@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.functions.ch
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Waves A–C of SURVEY.md §2: the scanner's analytical query family
+  * (aggregations, GROUP BY, DATE_TRUNC rollups, top-N — see
+  * /root/reference/src/prompts/scanner.py:27-31 and
+  * eval_repos/pg-expense-direct/app/api/expenses/stats/route.ts),
+  * star-schema joins, and window analytics.
+  *
+  * Scale notes: all aggregations are partial-aggregate friendly
+  * (low-cardinality group keys), dim joins are broadcast, fact joins
+  * shuffle once on the join key. No collect(), no UDFs.
+  */
+object Analytics {
+
+  val q01 = GraftQuery(
+    "q01_total_agg",
+    (s, dir) => Tables(s, dir).orders.agg(
+      count(lit(1)).as("cnt"),
+      round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total")),
+    Some("SELECT count(*) AS cnt, round(coalesce(sum(o_totalprice), 0), 2) AS total FROM orders"),
+  )
+
+  val q02 = GraftQuery(
+    "q02_group_topcat",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("category")),
+    Some("""SELECT o_orderpriority AS category, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 ORDER BY total DESC, category"""),
+  )
+
+  val q03 = GraftQuery(
+    "q03_monthly",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(ch.toStartOfMonth(col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy(col("month")),
+    Some("""SELECT date_trunc('month', l_shipdate) AS month, count(*) AS cnt,
+                   round(sum(l_extendedprice), 2) AS total
+            FROM lineitem GROUP BY 1 ORDER BY month"""),
+  )
+
+  val q04 = GraftQuery(
+    "q04_daily_topn",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(ch.toStartOfDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy(col("day").desc)
+      .limit(10),
+    Some("""SELECT date_trunc('day', ts) AS day, count(*) AS cnt, round(sum(value), 2) AS total
+            FROM events GROUP BY 1 ORDER BY day DESC LIMIT 10"""),
+  )
+
+  val q05 = GraftQuery(
+    "q05_filtered_range",
+    (s, dir) => Tables(s, dir).lineitem
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  /** TPC-H Q1 shape: one-pass multi-aggregate. */
+  val q06 = GraftQuery(
+    "q06_multi_agg",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
+  )
+
+  val q07 = GraftQuery(
+    "q07_count_distinct",
+    (s, dir) => Tables(s, dir).orders.agg(
+      ch.uniqExact(col("o_custkey")).as("uniq_cust"),
+      count(lit(1)).as("cnt")),
+    Some("SELECT count(DISTINCT o_custkey) AS uniq_cust, count(*) AS cnt FROM orders"),
+  )
+
+  val q08 = GraftQuery(
+    "q08_conditional_agg",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        ch.countIf(col("event_type") === "purchase").as("purchases"),
+        round(ch.sumIf(col("value"), col("event_type") === "purchase"), 2).as("purchase_value"),
+        ch.countIf(col("event_type") === "click").as("clicks"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase_value,
+                   count(*) FILTER (WHERE event_type = 'click') AS clicks
+            FROM events GROUP BY 1 ORDER BY user_id"""),
+  )
+
+  val q09 = GraftQuery(
+    "q09_having",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .where(col("cnt") >= 3)
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 HAVING count(*) >= 3 ORDER BY o_custkey"""),
+  )
+
+  /** Computed-expression aggregate. Revenue sums are off-grid doubles
+    * → rounded to whole units so parallel summation order can't flip
+    * the compare. */
+  val q10 = GraftQuery(
+    "q10_expr_agg",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 0).as("charge"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue,
+                   round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 0) AS charge
+            FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  // ---- Wave B: joins ----
+
+  val q11 = GraftQuery(
+    "q11_join_dim",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS cnt,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY p_brand"""),
+  )
+
+  val q12 = GraftQuery(
+    "q12_star_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name, count(*) AS customers, round(sum(c_acctbal), 2) AS acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2 ORDER BY r_name, n_name"""),
+  )
+
+  val q13 = GraftQuery(
+    "q13_left_anti",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            ORDER BY c_custkey"""),
+  )
+
+  val q14 = GraftQuery(
+    "q14_semi_exists",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(
+          t.orders.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            ORDER BY c_custkey"""),
+  )
+
+  /** TPC-H Q3 shape: fact⋈fact join, group, top-N by revenue. */
+  val q15 = GraftQuery(
+    "q15_join_topn",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.where(col("o_orderstatus") === "O")
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+  )
+
+  // ---- Wave C: window functions ----
+
+  val q16 = GraftQuery(
+    "q16_topn_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+            WHERE rn <= 3 ORDER BY o_orderpriority, rn"""),
+  )
+
+  private def dailyByType(t: Tables) =
+    t.events.groupBy(col("event_type"), ch.toStartOfDay(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("v"))
+  private val dailyByTypeSql =
+    """SELECT event_type, date_trunc('day', ts) AS day, round(sum(value), 2) AS v
+       FROM events GROUP BY 1, 2"""
+
+  val q17 = GraftQuery(
+    "q17_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dailyByType(Tables(s, dir))
+        .select(col("event_type"), col("day"), round(sum("v").over(w), 2).as("running"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH d AS ($dailyByTypeSql)
+             SELECT event_type, day,
+                    round(sum(v) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             FROM d ORDER BY event_type, day"""),
+  )
+
+  val q18 = GraftQuery(
+    "q18_lag_delta",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      dailyByType(Tables(s, dir))
+        .select(col("event_type"), col("day"),
+                round(col("v") - lag("v", 1).over(w), 2).as("delta"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH d AS ($dailyByTypeSql)
+             SELECT event_type, day,
+                    round(v - lag(v) OVER (PARTITION BY event_type ORDER BY day), 2) AS delta
+             FROM d ORDER BY event_type, day"""),
+  )
+
+  val q19 = GraftQuery(
+    "q19_moving_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      dailyByType(Tables(s, dir))
+        .select(col("event_type"), col("day"), round(avg("v").over(w), 4).as("ma7"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH d AS ($dailyByTypeSql)
+             SELECT event_type, day,
+                    round(avg(v) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+             FROM d ORDER BY event_type, day"""),
+  )
+
+  val q20 = GraftQuery(
+    "q20_rank_share",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val joined = t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wAll = Window.partitionBy("n_name")
+      joined.select(col("n_name"), col("c_custkey"),
+          dense_rank().over(w).as("rnk"),
+          round(avg("c_acctbal").over(wAll), 4).as("nation_avg"))
+        .where(col("rnk") <= 5)
+        .orderBy(col("n_name"), col("rnk"), col("c_custkey"))
+    },
+    Some("""SELECT n_name, c_custkey, rnk, nation_avg FROM (
+              SELECT n_name, c_custkey,
+                     dense_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+                     round(avg(c_acctbal) OVER (PARTITION BY n_name), 4) AS nation_avg
+              FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+            WHERE rnk <= 5 ORDER BY n_name, rnk, c_custkey"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+                                 q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}

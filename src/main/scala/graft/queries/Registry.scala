@@ -1,0 +1,9 @@
+package graft.queries
+
+import graft.GraftQuery
+
+/** The assembled SURVEY.md §2 inventory. */
+object Registry {
+  def all: Seq[GraftQuery] =
+    Analytics.all
+}
