@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.functions.ch
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Wave D of SURVEY.md §2: ClickHouse aggregate-function analogs.
+  * The reference's migrated code speaks ClickHouse dialect
+  * (/root/reference/src/corpus/orm_none.txt:483-489); these queries
+  * exercise the `graft.functions.ch` facade.
+  */
+object ChFunctions {
+
+  /** argMax/argMin over a deterministic total order. `value` has ties
+    * at 2 decimals, so the ordering key folds in event_id:
+    * ord = round(value*100)::bigint * 10^7 + event_id. */
+  val q21 = GraftQuery(
+    "q21_argmax",
+    (s, dir) => {
+      val ord = round(col("value") * 100).cast("long") * lit(10000000L) + col("event_id")
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(ch.argMax(col("event_type"), ord).as("top_event"),
+             ch.argMin(col("event_type"), ord).as("bottom_event"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+                   max_by(event_type, cast(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_event,
+                   min_by(event_type, cast(round(value * 100) AS BIGINT) * 10000000 + event_id) AS bottom_event
+            FROM events GROUP BY 1 ORDER BY user_id"""),
+  )
+
+  /** Exact quantiles (ClickHouse quantileExact), linear interpolation. */
+  val q22 = GraftQuery(
+    "q22_quantiles",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(round(ch.quantile(col("l_quantity"), 0.5), 4).as("p50"),
+           round(ch.quantile(col("l_quantity"), 0.9), 4).as("p90"),
+           round(ch.quantile(col("l_quantity"), 0.99), 4).as("p99"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+                   round(quantile_cont(l_quantity, 0.99), 4) AS p99
+            FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  /** topK(5) most active users per event_type. */
+  val q23 = GraftQuery(
+    "q23_topk",
+    (s, dir) => ch.topKByGroup(Tables(s, dir).events, Seq("event_type"), "user_id", 5)
+      .orderBy(col("event_type"), col("cnt").desc, col("user_id")),
+    Some("""SELECT event_type, user_id, cnt FROM (
+              SELECT event_type, user_id, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn
+              FROM events GROUP BY 1, 2) t
+            WHERE rn <= 5 ORDER BY event_type, cnt DESC, user_id"""),
+  )
+
+  /** groupArray with deterministic order (sorted). */
+  val q24 = GraftQuery(
+    "q24_grouparray",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(ch.groupArraySorted(col("o_orderkey")).as("orderkeys"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY o_custkey"""),
+  )
+
+  /** Statistical aggregates: corr / stddev / covar. */
+  val q25 = GraftQuery(
+    "q25_stats_corr",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 0).as("cov_qp"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                   round(stddev_samp(l_quantity), 4) AS sd_qty,
+                   round(covar_samp(l_quantity, l_extendedprice), 0) AS cov_qp
+            FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  /** uniq = HyperLogLog approximate distinct. Approximate by design →
+    * no SQL oracle; the driver records a rows-only check. Exactness is
+    * cross-checked against uniqExact in GraftSpec. */
+  val q26 = GraftQuery(
+    "q26_uniq_approx",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(ch.uniq(col("user_id")).as("uniq_users"),
+           ch.uniqExact(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type")),
+    None,
+  )
+
+  /** -If combinator family over weekly buckets. */
+  val q27 = GraftQuery(
+    "q27_if_combinators",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(ch.toStartOfWeek(col("ts")).as("week"))
+      .agg(ch.countIf(col("event_type") === "purchase").as("purchases"),
+           round(ch.sumIf(col("value"), col("event_type") === "purchase"), 2).as("purchase_value"),
+           round(ch.avgIf(col("value"), col("event_type") === "click"), 4).as("avg_click_value"),
+           round(ch.maxIf(col("value"), col("event_type") === "view"), 2).as("max_view_value"))
+      .orderBy(col("week")),
+    Some("""SELECT date_trunc('week', ts) AS week,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase_value,
+                   round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS avg_click_value,
+                   round(max(value) FILTER (WHERE event_type = 'view'), 2) AS max_view_value
+            FROM events GROUP BY 1 ORDER BY week"""),
+  )
+
+  /** toStartOf* bucketing family: day × hour-of-day heatmap. */
+  val q28 = GraftQuery(
+    "q28_date_buckets",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(ch.toStartOfDay(col("ts")).as("day"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy(col("day"), col("hr")),
+    Some("""SELECT date_trunc('day', ts) AS day, hour(ts) AS hr,
+                   count(*) AS cnt, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2 ORDER BY day, hr"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q21, q22, q23, q24, q25, q26, q27, q28)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.Replicate
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Wave E of SURVEY.md §2: replication / CDC-apply — the Spark-first
+  * re-expression of the reference's ClickPipe modes
+  * (/root/reference/src/tools/data_migrator.py:14-27) and the
+  * ClickHouse merge-tree semantics their targets rely on.
+  *
+  * The `events` table plays the role of a CDC stream: key = user_id,
+  * version = (ts, event_id), and event_type 'error' doubles as the
+  * delete tombstone.
+  */
+object Replication {
+
+  /** Snapshot replication with column mapping (rename/cast/derive) —
+    * ClickPipe tableMappings as a projection. */
+  val q30 = GraftQuery(
+    "q30_snapshot",
+    (s, dir) => Replicate.snapshot(Tables(s, dir).events, Seq(
+        "id"         -> col("event_id"),
+        "event_time" -> col("ts"),
+        "user_id"    -> col("user_id"),
+        "type"       -> upper(col("event_type")),
+        "amount"     -> round(col("value"), 2),
+        "prop_k"     -> regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+      .orderBy(col("id")),
+    Some("""SELECT event_id AS id, ts AS event_time, user_id,
+                   upper(event_type) AS type, round(value, 2) AS amount,
+                   regexp_extract(props, '"k": (\d+)', 1) AS prop_k
+            FROM events ORDER BY id"""),
+  )
+
+  /** ReplacingMergeTree FINAL: latest state per key. */
+  val q31 = GraftQuery(
+    "q31_cdc_latest",
+    (s, dir) => Replicate.latestByKey(
+        Tables(s, dir).events, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("event_type").as("last_type"), round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                   round(value, 2) AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1 ORDER BY user_id"""),
+  )
+
+  /** CDC apply with delete tombstones: a key whose latest op is a
+    * delete drops out of the materialized state. */
+  val q32 = GraftQuery(
+    "q32_cdc_deletes",
+    (s, dir) => Replicate.applyCdc(
+        Tables(s, dir).events, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        isDelete = col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("event_type").as("last_type"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""),
+  )
+
+  /** SCD-2 validity intervals over each user's event_type changes
+    * (restricted key range keeps the oracle result reviewable). */
+  val q33 = GraftQuery(
+    "q33_scd2",
+    (s, dir) => Replicate.scd2(
+        Tables(s, dir).events.where(col("user_id") < 20),
+        Seq("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumnRenamed("attr_value", "event_type")
+      .orderBy(col("user_id"), col("valid_from")),
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 20),
+                 c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id) AS prev FROM e),
+                 chg AS (SELECT user_id, ts, event_id, event_type FROM c
+                         WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+            FROM chg ORDER BY user_id, valid_from"""),
+  )
+
+  /** AggregatingMergeTree analog: daily partial aggregates re-merged
+    * into a monthly rollup — the incremental-materialized-view shape.
+    * Partial counts/sums merge exactly (counts are ints, daily sums
+    * are rounded on-grid before the re-sum on both sides). */
+  val q34 = GraftQuery(
+    "q34_incremental_agg",
+    (s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+      daily.groupBy(date_trunc("month", col("d")).as("month"), col("event_type"))
+        .agg(sum("c").as("cnt"), round(sum("v"), 2).as("val"))
+        .orderBy(col("month"), col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT date_trunc('day', ts) AS d, event_type,
+                                  count(*) AS c, round(sum(value), 2) AS v
+                           FROM events GROUP BY 1, 2)
+            SELECT date_trunc('month', d) AS month, event_type,
+                   CAST(sum(c) AS BIGINT) AS cnt, round(sum(v), 2) AS val
+            FROM daily GROUP BY 1, 2 ORDER BY month, event_type"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+}
