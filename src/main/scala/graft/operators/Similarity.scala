@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.vec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  *  - bruteForceTopK: the exact baseline — one scan, norms precomputed,
+  *    TakeOrderedAndProject (no shuffle of the scored rows).
+  *  - embeddingDupPairs: all-pairs near-dup above a cosine threshold.
+  *    Exact; the LSH variant is the 100 TB path.
+  *  - lshBuckets / lshAnnPairs: random-hyperplane LSH. Hyperplane
+  *    components are derived from a seeded hash of (plane, dim) — fully
+  *    deterministic, no RNG state to ship to executors.
+  *  - knnJoin: k nearest neighbors for each probe row against a
+  *    candidate set, bounded by broadcasting the (small) probe side.
+  */
+object Similarity {
+
+  /** Normalize: add a precomputed L2 norm column. */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__norm", vec.norm(col(vecCol)))
+
+  /** Exact top-k cosine neighbors of one probe vector (given as the
+    * row of `df` with id == probeId). Returns (id, cos) rounded. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     probeId: Long, k: Int): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val probe = base.where(col(idCol) === probeId)
+      .select(col(vecCol).as("__pv"), col("__norm").as("__pn"))
+    base.where(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(vec.cosineWithNorms(vec.dot(col(vecCol), col("__pv")), col("__norm"), col("__pn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs cosine near-duplicates above `minCos` (exact). The
+    * self-join is broadcast when one side is small; at corpus scale
+    * use lshAnnPairs instead. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 of the two indices, mapped to ±1. */
+  private def planeComponent(plane: Int, dim: Column) =
+    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits, planes
+    * `planeOffset until planeOffset + numPlanes` (offset gives each
+    * hash table an independent plane set). */
+  def lshBucket(vecCol: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
+    val dv = vec.toDoubleArr(vecCol)
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1), (x, i) => x * planeComponent(planeOffset + p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN candidate pairs via multi-table LSH (OR-amplification):
+    * `numTables` independent `numPlanes`-bit hyperplane hashes; a pair
+    * is a candidate when it collides in ANY table, and each candidate
+    * gets the exact cosine exactly once. Recall/cost dial: more
+    * tables → higher recall, more candidates; more planes → fewer,
+    * more-similar candidates per bucket. The (table, bucket) join is
+    * the only shuffle and is bounded by bucket occupancy. */
+  def lshAnnPairs(df: DataFrame, idCol: String, vecCol: String,
+                  numPlanes: Int = 8, numTables: Int = 4,
+                  minCos: Double = 0.3): DataFrame = {
+    val buckets = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), numPlanes, planeOffset = t * numPlanes).as("bk"))
+    }
+    val base = withNorm(df, vecCol)
+      .select(col(idCol), col(vecCol), col("__norm"), explode(array(buckets: _*)).as("b"))
+      .select(col(idCol), col(vecCol), col("__norm"), col("b.tbl").as("tbl"), col("b.bk").as("bk"))
+    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na"), col("tbl"), col("bk"))
+    val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb"), col("tbl"), col("bk"))
+    a.join(b, Seq("tbl", "bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** k-NN join: for every probe row, the k nearest candidates by
+    * cosine. Probe side must be small enough to broadcast. */
+  def knnJoin(probes: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"), col("__norm").as("pn"))
+    val c = withNorm(candidates, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__norm").as("cn"))
+    val scored = c.crossJoin(broadcast(p))
+      .select(col("probe_id"), col("cand_id"),
+        round(vec.cosineWithNorms(vec.dot(col("pv"), col("cv")), col("pn"), col("cn")), 4).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}

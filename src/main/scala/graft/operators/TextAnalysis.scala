@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: normalization,
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) —
+  * they run as a single projection over the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: collapse whitespace, trim, lowercase. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  def tokens(norm: Column): Column = split(norm, " ")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "is", "in", "it")
+
+  def stopwordCount(toks: Column, stops: Seq[String] = defaultStopwords): Column =
+    size(filter(toks, t => t.isInCollection(stops)))
+
+  /** Deterministic [0,1] quality score from length, stopword ratio and
+    * type-token ratio — the classic cheap pre-filter for web corpora. */
+  def qualityScore(norm: Column): Column = {
+    val toks  = tokens(norm)
+    val nTok  = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val stops = stopwordCount(toks).cast("double")
+    round(least(nTok / 50.0, lit(1.0)) * 0.4 + (stops / nTok) * 0.3 + (nUniq / nTok) * 0.3, 6)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set — catches shuffled/reordered copies of a document. */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(normalize(text)))), " ").cast("binary"))
+
+  /** Language-ID heuristic: score each language by marker-token hits,
+    * argmax with a deterministic tie order. N-gram frequency profiles
+    * are the real method at scale; marker sets are the cheap first
+    * pass and keep the whole thing inside codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"),
+  )
+
+  def langId(norm: Column): Column = {
+    val toks = tokens(norm)
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, ties broken by lang desc —
+    // deterministic. Score 0 everywhere → "und" (undetermined).
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Waves F–H of SURVEY.md §2: the LLM-training-data-pipeline operators
+  * (dedup family, similarity search, text analysis) over the
+  * `documents` and `embeddings` tables.
+  *
+  * Scale notes: every candidate-generation step is a bucketed join
+  * (shared token / LSH band / hyperplane bucket) — never an unbounded
+  * cross join. Exact-pairwise queries (q41, q44) restrict to a fixed
+  * subset or rely on thresholds precisely because the LSH variants
+  * (q42, q51) are the 100 TB path; the exact ones are the correctness
+  * anchors the approximate ones are judged against.
+  */
+object DataPipeline {
+
+  private def docsNorm(t: Tables) =
+    t.documents.withColumn("norm", TextAnalysis.normalize(col("text")))
+
+  /** DuckDB-side normalization, kept textually in sync with
+    * [[TextAnalysis.normalize]]. */
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  // ---------------------------------------------------------------- F. dedup
+
+  /** Exact dedup by md5 fingerprint of normalized text; keep min id. */
+  val q40 = GraftQuery(
+    "q40_dedup_exact",
+    (s, dir) => Dedup.exact(
+        docsNorm(Tables(s, dir)).withColumn("fp", md5(col("norm").cast("binary"))),
+        "doc_id", "fp")
+      .orderBy(col("fp")),
+    Some(s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+             FROM documents GROUP BY 1 ORDER BY fp"""),
+  )
+
+  /** Exact token-set Jaccard near-dup pairs on a fixed 300-doc slice
+    * (the exact-pairwise anchor; q42 is the at-scale path). */
+  val q41 = GraftQuery(
+    "q41_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(
+        docsNorm(Tables(s, dir)).where(col("doc_id") < 300), "doc_id", "norm",
+        minJaccard = 0.85)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split($normSql, ' '))) AS t
+                          FROM documents WHERE doc_id < 300),
+                  sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+                  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                            FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                            GROUP BY 1, 2)
+             SELECT id_a, id_b, inter, sa.n AS size_a, sb.n AS size_b,
+                    round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+             FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                        JOIN sizes sb ON id_b = sb.doc_id
+             WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.85
+             ORDER BY id_a, id_b"""),
+  )
+
+  /** MinHash + banded LSH candidates (seeded xxhash64 → no SQL oracle;
+    * rows-only check; cross-validated against q41 in GraftSpec). */
+  val q42 = GraftQuery(
+    "q42_minhash_lsh",
+    (s, dir) => Dedup.minHashLshPairs(
+        docsNorm(Tables(s, dir)), "doc_id", "norm",
+        numHashes = 64, bands = 16, minEstJaccard = 0.7)
+      .orderBy("id_a", "id_b"),
+    None,
+  )
+
+  /** 64-bit SimHash near-dup pairs, hamming ≤ 3 (seeded; rows-only). */
+  val q43 = GraftQuery(
+    "q43_simhash",
+    (s, dir) => Dedup.simHashPairs(
+        docsNorm(Tables(s, dir)), "doc_id", "norm", maxHamming = 3)
+      .orderBy("id_a", "id_b"),
+    None,
+  )
+
+  /** Embedding-cosine near-dup pairs above 0.4 (exact all-pairs over
+    * the bounded embeddings table; q51 is the bucketed path). */
+  val q44 = GraftQuery(
+    "q44_embedding_dup",
+    (s, dir) => Similarity.embeddingDupPairs(
+        Tables(s, dir).embeddings, "vec_id", "embedding", minCos = 0.4)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                         / (a.nrm * b.nrm), 4) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                        / (a.nrm * b.nrm), 4) >= 0.4
+            ORDER BY id_a, id_b"""),
+  )
+
+  // ----------------------------------------------------------- G. similarity
+
+  /** Brute-force exact cosine top-10 for probe vec_id=0. */
+  val q50 = GraftQuery(
+    "q50_ann_brute",
+    (s, dir) => Similarity.bruteForceTopK(
+        Tables(s, dir).embeddings, "vec_id", "embedding", probeId = 0L, k = 10),
+    Some("""WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+                 p AS (SELECT v AS pv, nrm AS pn FROM n WHERE vec_id = 0)
+            SELECT m2.vec_id,
+                   round(list_sum(list_transform(list_zip(m2.v, p.pv), q -> q[1] * q[2]))
+                         / (m2.nrm * p.pn), 4) AS cos
+            FROM n m2, p WHERE m2.vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 10"""),
+  )
+
+  /** Random-hyperplane LSH ANN pairs (seeded planes; rows-only;
+    * recall vs q44 is asserted in GraftSpec). */
+  val q51 = GraftQuery(
+    "q51_ann_lsh",
+    (s, dir) => Similarity.lshAnnPairs(
+        Tables(s, dir).embeddings, "vec_id", "embedding",
+        numPlanes = 8, numTables = 8, minCos = 0.4)
+      .orderBy("id_a", "id_b"),
+    None,
+  )
+
+  /** k-NN join label agreement: for each of 20 probe vectors, how many
+    * of its 5 nearest neighbors (self excluded) share its label. */
+  val q52 = GraftQuery(
+    "q52_knn_join_sample",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val knn = Similarity.knnJoin(
+          emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 6)
+        .where(col("rn") >= 2)
+      val labels = emb.select(col("vec_id"), col("label"))
+      knn
+        .join(broadcast(labels.toDF("probe_id", "p_label")), "probe_id")
+        .join(broadcast(labels.toDF("cand_id", "c_label")), "cand_id")
+        .groupBy("probe_id")
+        .agg(sum(when(col("p_label") === col("c_label"), 1).otherwise(0)).as("n_agree"))
+        .orderBy("probe_id")
+    },
+    Some("""WITH m AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 n AS (SELECT vec_id, label, v,
+                              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+                 scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                                   p.label AS p_label, c.label AS c_label,
+                                   round(list_sum(list_transform(list_zip(p.v, c.v), q -> q[1] * q[2]))
+                                         / (p.nrm * c.nrm), 4) AS cos
+                            FROM n p JOIN n c ON p.vec_id < 20),
+                 ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                                         ORDER BY cos DESC, cand_id) AS rn
+                            FROM scored)
+            SELECT probe_id, CAST(sum(CASE WHEN p_label = c_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM ranked WHERE rn BETWEEN 2 AND 6
+            GROUP BY 1 ORDER BY probe_id"""),
+  )
+
+  // ------------------------------------------------------------ H. text
+
+  /** Per-document token statistics. */
+  val q60 = GraftQuery(
+    "q60_token_stats",
+    (s, dir) => docsNorm(Tables(s, dir))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("norm"))).as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("norm")))).as("n_unique"),
+        length(col("norm")).as("n_chars_norm"))
+      .withColumn("ttr", round(col("n_unique") / col("n_tokens").cast("double"), 6))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+                    len(string_split($normSql, ' ')) AS n_tokens,
+                    len(list_distinct(string_split($normSql, ' '))) AS n_unique,
+                    length($normSql) AS n_chars_norm,
+                    round(len(list_distinct(string_split($normSql, ' ')))
+                          / CAST(len(string_split($normSql, ' ')) AS DOUBLE), 6) AS ttr
+             FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Deterministic [0,1] quality score (length/stopword/type-token). */
+  val q61 = GraftQuery(
+    "q61_quality_score",
+    (s, dir) => docsNorm(Tables(s, dir))
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("norm")).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+                  c AS (SELECT doc_id,
+                               CAST(len(toks) AS DOUBLE) AS n_tok,
+                               CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+                               CAST(len(list_filter(toks, x -> x IN
+                                 ('the','a','and','of','to','is','in','it'))) AS DOUBLE) AS stops
+                        FROM t)
+             SELECT doc_id,
+                    round(least(n_tok / 50.0, 1.0) * 0.4 + (stops / n_tok) * 0.3
+                          + (n_uniq / n_tok) * 0.3, 6) AS quality
+             FROM c ORDER BY doc_id"""),
+  )
+
+  /** Language-ID heuristic vs the labeled lang column: confusion
+    * matrix (marker-set heuristic; rows-only check). */
+  val q62 = GraftQuery(
+    "q62_lang_id",
+    (s, dir) => docsNorm(Tables(s, dir))
+      .select(col("lang"), TextAnalysis.langId(col("norm")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "lang_pred"),
+    None,
+  )
+
+  /** Content + token-set fingerprints (order-insensitive dup key). */
+  val q63 = GraftQuery(
+    "q63_fingerprint",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenSetFingerprint(col("text")).as("fp_tokset"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, md5($normSql) AS fp,
+                    md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS fp_tokset
+             FROM documents ORDER BY doc_id"""),
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(q40, q41, q42, q43, q44, q50, q51, q52, q60, q61, q62, q63)
+}
