@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.multimodal.Binary
+import graft.operators.Events
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Waves I–J of SURVEY.md §2: ClickHouse-style behavioral analytics
+  * over the events stream (sessionization, windowFunnel/retention
+  * combinator analogs, histogram, pivot) and the multimodal binary
+  * plumbing. All time math is integral microseconds; every query is
+  * one shuffle on the user key plus map-side work.
+  */
+object EventsAnalytics {
+
+  /** 30-minute-gap sessionization → per-session summary. */
+  val q70 = GraftQuery(
+    "q70_sessionize",
+    (s, dir) => Events.sessionize(Tables(s, dir).events, "user_id", "ts", "event_id")
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("sess_start"),
+           max(col("ts")).as("sess_end"))
+      .orderBy("user_id", "session_idx"),
+    Some("""WITH o AS (SELECT user_id, ts, event_id,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                                   THEN 1 ELSE 0 END AS is_new
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                 sess AS (SELECT user_id, ts,
+                                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                          FROM o)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS sess_start, max(ts) AS sess_end
+            FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx"""),
+  )
+
+  /** windowFunnel(7d) signup→click→purchase: users per deepest level. */
+  val q71 = GraftQuery(
+    "q71_funnel",
+    (s, dir) => Events.funnelLevels(Tables(s, dir).events, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), windowDays = 7)
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level"),
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t2, max(t1) AS t1
+                        FROM events e JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts > t1
+                          AND e.ts <= t1 + INTERVAL 7 DAY GROUP BY 1),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                        FROM events e JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts > t2
+                          AND e.ts <= t1 + INTERVAL 7 DAY GROUP BY 1)
+            SELECT level, count(*) AS n_users FROM (
+              SELECT s1.user_id,
+                     CASE WHEN s3.user_id IS NOT NULL THEN 3
+                          WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
+              FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) t
+            GROUP BY 1 ORDER BY level"""),
+  )
+
+  /** Weekly signup-cohort retention. */
+  val q72 = GraftQuery(
+    "q72_retention",
+    (s, dir) => Events.cohortRetention(Tables(s, dir).events, "user_id", "ts",
+        "event_type", cohortEvent = "signup")
+      .orderBy("week_offset"),
+    Some("""WITH cohort AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+                            FROM events WHERE event_type = 'signup' GROUP BY 1),
+                 act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+            SELECT CAST(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) / 7 AS INTEGER) AS week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act JOIN cohort USING (user_id)
+            WHERE aw >= cw GROUP BY 1 ORDER BY week_offset"""),
+  )
+
+  /** Fixed-grid value histogram: 20 buckets over [0, 500). */
+  val q73 = GraftQuery(
+    "q73_histogram",
+    (s, dir) => Events.histogram(Tables(s, dir).events, "value", 0.0, 500.0, 20)
+      .orderBy("bucket"),
+    Some("""SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+                   count(*) AS cnt,
+                   round(CAST(least(floor(value / 25.0), 19) AS BIGINT) * 25.0, 6) AS lo,
+                   round((CAST(least(floor(value / 25.0), 19) AS BIGINT) + 1) * 25.0, 6) AS hi
+            FROM events GROUP BY 1 ORDER BY bucket"""),
+  )
+
+  /** Per-user event_type pivot counts. */
+  val q74 = GraftQuery(
+    "q74_pivot",
+    (s, dir) => Tables(s, dir).events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY 1 ORDER BY user_id"""),
+  )
+
+  /** Binary payload column + typed metadata extraction (multimodal
+    * plumbing; payload here is the document text as opaque bytes). */
+  val q80 = GraftQuery(
+    "q80_binary_meta",
+    (s, dir) => Binary.withMeta(
+        Tables(s, dir).documents.withColumn("payload", col("text").cast("binary")),
+        "payload")
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.content_md5").as("content_md5"),
+        col("media_meta.magic").as("magic"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
+                   hex(encode(substring(text, 1, 4))) AS magic
+            FROM documents ORDER BY doc_id"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q80)
+}
