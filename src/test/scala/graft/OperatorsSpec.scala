@@ -1,0 +1,188 @@
+package graft
+
+import graft.functions.{ch, vec}
+import graft.operators.{Dedup, Events, Replicate, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- vec
+
+  test("vec.dot and vec.norm match hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      vec.dot(col("a"), col("b")).as("d"),
+      vec.norm(col("a")).as("n")).head()
+    assert(r.getDouble(0) === 1.0 * 4 - 2 * 5 + 3 * 6)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  // -------------------------------------------------------------- dedup
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (4L, "completely different content about spark engines"),
+  ).toDF("doc_id", "text")
+    .withColumn("norm", TextAnalysis.normalize(col("text")))
+
+  test("Dedup.exact groups identical fingerprints and keeps min id") {
+    val d = docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val groups = Dedup.exact(d, "doc_id", "fp").collect()
+    val dupGroup = groups.find(_.getAs[Long]("group_size") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    assert(groups.length == 3)
+  }
+
+  test("Dedup.ngramJaccardPairs finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "norm", minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("Dedup.minHashLshPairs catches identical docs with est 1.0") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "norm",
+      numHashes = 32, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+  }
+
+  test("Dedup.simHashPairs: identical docs at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "norm", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming").toLong).toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.001f, 0.0f)),  // ~same direction as 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("Similarity.bruteForceTopK ranks the near-identical vector first") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probeId = 1L, k = 2)
+      .collect()
+    assert(top.head.getLong(0) == 2L && top.head.getDouble(1) === 1.0)
+  }
+
+  test("Similarity.lshAnnPairs finds the high-cosine pair (recall on near-dups)") {
+    val pairs = Similarity.lshAnnPairs(vecs, "vec_id", "embedding",
+      numPlanes = 4, numTables = 6, minCos = 0.9).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // antipodal pair must never appear
+    assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
+  }
+
+  test("Similarity.knnJoin returns k rows per probe, self first") {
+    val knn = Similarity.knnJoin(vecs.where($"vec_id" === 1L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rn").collect()
+    assert(knn.length == 3)
+    assert(knn.head.getAs[Long]("cand_id") == 1L)   // self, cos = 1
+    assert(knn(1).getAs[Long]("cand_id") == 2L)
+  }
+
+  // ---------------------------------------------------------------- text
+
+  test("TextAnalysis.langId picks marker language, und when none") {
+    val r = Seq("the cat is on a mat of the king",
+                "el rey de la casa que los ve",
+                "zzz qqq xxx").toDF("t")
+      .select(TextAnalysis.langId(TextAnalysis.normalize(col("t"))).as("l"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("TextAnalysis.tokenSetFingerprint is order-insensitive") {
+    val fps = Seq("alpha beta gamma", "gamma alpha beta", "alpha beta delta").toDF("t")
+      .select(TextAnalysis.tokenSetFingerprint(col("t")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  // ------------------------------------------------------------- ch facade
+
+  test("ch combinators: countIf/sumIf and quantile") {
+    val df = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10).toDF("x")
+    val r = df.agg(
+      ch.countIf($"x" > 5).as("c"),
+      ch.sumIf($"x".cast("double"), $"x" % 2 === 0).as("s"),
+      ch.quantile($"x".cast("double"), 0.5).as("med")).head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) === 30.0)
+    assert(r.getDouble(2) === 5.5)
+  }
+
+  test("ch.uniq approximates uniqExact within rsd on realistic cardinality") {
+    val df = spark.range(0, 10000).select(($"id" % 1000).as("k"))
+    val r = df.agg(ch.uniq($"k").as("u"), ch.uniqExact($"k").as("e")).head()
+    val (u, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(u - e) / e < 0.15)
+  }
+
+  // ------------------------------------------------------------ replicate
+
+  private def cdc = Seq(
+    // key, version, op, payload
+    (1L, 1L, "u", "a"), (1L, 3L, "u", "c"), (1L, 2L, "u", "b"),
+    (2L, 1L, "u", "x"), (2L, 2L, "d", "x"),
+    (3L, 5L, "u", "z"),
+  ).toDF("k", "v", "op", "payload")
+
+  test("Replicate.latestByKey keeps max-version row per key") {
+    val out = Replicate.latestByKey(cdc, Seq("k"), Seq(col("v")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq((1L, "c"), (2L, "x"), (3L, "z")))
+  }
+
+  test("Replicate.applyCdc drops keys whose latest op is a delete") {
+    val out = Replicate.applyCdc(cdc, Seq("k"), Seq(col("v")), isDelete = $"op" === "d")
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  // --------------------------------------------------------------- events
+
+  test("Events.sessionize splits on gaps > threshold") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L),  // gap 40min → new session
+      (2L, ts(0), 4L),
+    ).toDF("user_id", "ts", "event_id")
+    val sess = Events.sessionize(df, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .groupBy("user_id").agg(max("session_idx").as("n")).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sess.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("Events.funnelLevels: ordered steps within window only") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(base.getTime + h * 3600000)
+    val df = Seq(
+      (1L, ts(0), "signup"), (1L, ts(1), "click"), (1L, ts(2), "purchase"), // level 3
+      (2L, ts(0), "signup"), (2L, ts(1), "click"),                          // level 2
+      (3L, ts(0), "click"), (3L, ts(1), "signup"),                          // click BEFORE signup → level 1
+      (4L, ts(0), "signup"), (4L, ts(24 * 8), "click"),                     // outside 7d window → level 1
+    ).toDF("user_id", "ts", "event_type")
+    val lv = Events.funnelLevels(df, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), windowDays = 7)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(lv.toSeq == Seq((1L, 3), (2L, 2), (3L, 1), (4L, 1)))
+  }
+
+  test("Events.histogram clamps overflow into last bucket") {
+    val df = Seq(0.0, 24.9, 25.0, 499.0, 750.0).toDF("value")
+    val h = Events.histogram(df, "value", 0.0, 500.0, 20)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.toSeq == Seq((0L, 2L), (1L, 1L), (19L, 2L)))
+  }
+}
