@@ -19,6 +19,7 @@ object GraftSession {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.map(_.toString).getOrElse(cores))
       .config("spark.sql.adaptive.enabled", "true")

@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
 object vec {
   def toDoubleArr(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product in double precision — the native
+    * codegen'd [[graft.plans.DotProduct]], resolved through the
+    * function registry (requires [[graft.plans.GraftExtensions]] on
+    * the session; same numeric contract as [[dotDeclarative]]). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Pure-builtin formulation (higher-order functions; no extension
+    * required). Numerically identical to [[dot]] — the spec asserts
+    * it — but interpreted, so keep it off 100 TB hot paths. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(toDoubleArr(a), toDoubleArr(b), (x, y) => x * y),
               lit(0.0), (acc, x) => acc + x)
 

@@ -59,10 +59,19 @@ object Dedup {
 
   /** MinHash signatures (k hash functions realized as seeded xxhash64
     * of the token) + banded LSH candidate generation. Returns candidate
-    * pairs with the signature-agreement estimate of Jaccard. */
+    * pairs with the signature-agreement estimate of Jaccard.
+    *
+    * Shuffle discipline (the 100 TB part): the band self-join carries
+    * ONLY (id, band, bandHash) — signatures never enter that shuffle —
+    * and candidate pairs are deduplicated down to bare id pairs before
+    * the two signature joins, so each surviving pair fetches its two
+    * 64-long signatures exactly once. Band geometry defaults to
+    * r=8 rows/band (collision threshold j ≈ (1/b)^(1/r) ≈ 0.77),
+    * which keeps bucket occupancy — and thus the join fan-out —
+    * bounded on corpora with high ambient similarity. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, normCol: String,
-      numHashes: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.7): DataFrame = {
+      numHashes: Int = 64, bands: Int = 8, minEstJaccard: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val tok = tokenSet(df, idCol, normCol)
@@ -73,14 +82,17 @@ object Dedup {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
-    val buckets = sig.select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("b"))
-      .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val l = buckets.toDF("id_a", "sig_a", "band", "bh")
-    val r = buckets.toDF("id_b", "sig_b", "band", "bh")
-    l.join(r, Seq("band", "bh")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = buckets.toDF("id_a", "band", "bh")
+      .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(sig.toDF("id_a", "sig_a"), "id_a")
+      .join(sig.toDF("id_b", "sig_b"), "id_b")
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        round(call_function("graft_array_eq_count", col("sig_a"), col("sig_b"))
           * lit(1.0) / numHashes, 6))
       .where(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")

@@ -51,21 +51,28 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the two indices, mapped to ±1. */
-  private def planeComponent(plane: Int, dim: Column) =
-    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** Max embedding dimensionality the pre-generated hyperplanes cover.
+    * [[graft.plans.DotProduct]] scores the common prefix, so planes are
+    * generated once at this width and work for any dim ≤ MaxDim. */
+  val MaxDim = 1024
+
+  /** Deterministic ±1 hyperplane for plane index `p`: seeded
+    * java.util.Random (LCG semantics are part of the JDK spec, so the
+    * planes are identical on every JVM/executor). Materialized
+    * driver-side and shipped as an array literal — the executor-side
+    * bucket computation is then `numPlanes` codegen'd dot products,
+    * no per-element hashing. */
+  private def plane(p: Int): Array[Double] = {
+    val rnd = new java.util.Random(0x5EED0000L + p)
+    Array.fill(MaxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
 
   /** Random-hyperplane LSH bucket id: `numPlanes` sign bits, planes
     * `planeOffset until planeOffset + numPlanes` (offset gives each
     * hash table an independent plane set). */
   def lshBucket(vecCol: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
-    val dv = vec.toDoubleArr(vecCol)
     val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(dv, sequence(lit(0), size(dv) - 1), (x, i) => x * planeComponent(planeOffset + p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(vec.dot(vecCol, lit(plane(planeOffset + p))) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -83,14 +90,20 @@ object Similarity {
     val buckets = (0 until numTables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(col(vecCol), numPlanes, planeOffset = t * numPlanes).as("bk"))
     }
+    // Bucket join carries ONLY (id, table, bucket); vectors rejoin
+    // after pair dedup, so each candidate pair ships its two vectors
+    // through a shuffle exactly once.
+    val keyed = df
+      .select(col(idCol), explode(array(buckets: _*)).as("b"))
+      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bk").as("bk"))
+    val cand = keyed.toDF("id_a", "tbl", "bk")
+      .join(keyed.toDF("id_b", "tbl", "bk"), Seq("tbl", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     val base = withNorm(df, vecCol)
-      .select(col(idCol), col(vecCol), col("__norm"), explode(array(buckets: _*)).as("b"))
-      .select(col(idCol), col(vecCol), col("__norm"), col("b.tbl").as("tbl"), col("b.bk").as("bk"))
-    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na"), col("tbl"), col("bk"))
-    val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb"), col("tbl"), col("bk"))
-    a.join(b, Seq("tbl", "bk")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
-      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers the native expressions under SQL
+  * names so they resolve through the normal Catalyst function registry
+  * (`functions.call_function("graft_dot", …)` or SQL `graft_dot(a,b)`).
+  *
+  * Activate with `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` — done by [[graft.GraftSession]],
+  * `Verify` and `Bench`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_array_eq_count"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "graft_array_eq_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_array_eq_count takes exactly 2 arguments")
+        ArrayEqCount(children.head, children(1))
+      }))
+  }
+}

@@ -67,7 +67,7 @@ object DataPipeline {
     "q42_minhash_lsh",
     (s, dir) => Dedup.minHashLshPairs(
         docsNorm(Tables(s, dir)), "doc_id", "norm",
-        numHashes = 64, bands = 16, minEstJaccard = 0.7)
+        numHashes = 64, bands = 8, minEstJaccard = 0.7)
       .orderBy("id_a", "id_b"),
     None,
   )

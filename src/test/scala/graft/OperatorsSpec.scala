@@ -19,6 +19,18 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("native graft_dot matches the declarative formulation bit-for-bit") {
+    val df = spark.range(0, 200).select(
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(hash($"id", i), lit(1000)) / 100.0).cast("float")).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(hash(i, $"id"), lit(1000)) / 100.0).cast("float")).as("b"))
+    val diff = df.select(
+        (vec.dot($"a", $"b") - vec.dotDeclarative($"a", $"b")).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
   // -------------------------------------------------------------- dedup
 
   private def docs = Seq(
