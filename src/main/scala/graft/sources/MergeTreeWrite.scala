@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Parquet sink with ClickHouse-MergeTree-shaped layout — the target
+  * side of the replication story (the reference's ClickPipes land rows
+  * in MergeTree tables whose `PARTITION BY`/`ORDER BY` drive all later
+  * query pruning; see /root/reference/src/tools/data_migrator.py).
+  *
+  * The Spark-native mapping:
+  *  - `PARTITION BY expr`  → directory partitioning (`partitionBy`),
+  *    giving coarse partition pruning on the filter column;
+  *  - `ORDER BY key`       → `sortWithinPartitions`, clustering rows so
+  *    parquet row-group min/max statistics act as the sparse primary
+  *    index (scans skip row groups exactly like MergeTree skips
+  *    granules);
+  *  - merges               → none needed; files are immutable and a
+  *    periodic compaction rewrite plays the OPTIMIZE role.
+  *
+  * Scale notes: rows are `repartition`-ed on the partition expression
+  * first so each output directory is written by as few tasks as hold
+  * its data — without this, every one of the N shuffle partitions
+  * writes a sliver into every directory (N × dirs small files, the
+  * classic 100 TB lake killer). Skewed partition values are AQE's
+  * problem at write time and the compactor's afterwards.
+  */
+object MergeTreeWrite {
+
+  /** Write `df` as parquet at `path`, partitioned by `partitionExprs`
+    * (name → expression; materialized as columns) and sorted within
+    * partitions by `orderBy` (the MergeTree ORDER BY analog). */
+  def write(df: DataFrame, path: String,
+            partitionExprs: Seq[(String, Column)],
+            orderBy: Seq[String],
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val withParts = partitionExprs.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) }
+    val partCols = partitionExprs.map(_._1)
+    val clustered = withParts
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ orderBy).map(col): _*)
+    clustered.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Compaction pass (the OPTIMIZE FINAL analog): rewrite one
+    * partition directory into `numFiles` sorted files. */
+  def compact(dfForPartition: DataFrame, path: String,
+              orderBy: Seq[String], numFiles: Int = 1): Unit =
+    dfForPartition
+      .repartition(numFiles)
+      .sortWithinPartitions(orderBy.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}

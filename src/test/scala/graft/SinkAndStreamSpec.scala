@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.MergeTreeWrite
+import graft.streaming.WindowedAgg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+class SinkAndStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MergeTreeWrite lays out partition dirs with rows sorted inside files") {
+    val base = java.sql.Timestamp.valueOf("2026-01-15 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(base.getTime + d.toLong * 86400000)
+    val df = Seq(
+      (3L, ts(0), "a"), (1L, ts(1), "b"), (2L, ts(40), "c"), (4L, ts(41), "d"),
+    ).toDF("id", "ts", "payload")
+    val out = Files.createTempDirectory("mtw").toString
+    MergeTreeWrite.write(df, out,
+      partitionExprs = Seq("month" -> date_format(col("ts"), "yyyy-MM")),
+      orderBy = Seq("id"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("month=2026-01", "month=2026-02"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    // partition pruning: a month filter must prune to one partition dir
+    val pruned = back.where(col("month") === "2026-01")
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("month=2026-02"))
+  }
+
+  test("WindowedAgg.tumbling aggregates event-time windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agged = WindowedAgg.tumbling(
+      input.toDF().toDF("ts", "k", "v"),
+      tsCol = "ts", watermarkDelay = "10 minutes", windowDur = "1 hour",
+      keys = Seq("k"), aggs = Seq(count(lit(1)).as("cnt"), round(sum("v"), 2).as("total")))
+    val q = agged.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(base.getTime + min.toLong * 60000)
+      input.addData((ts(5), "a", 1.0), (ts(10), "a", 2.0), (ts(65), "a", 4.0), (ts(20), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("k", "window_start", "cnt", "total")
+        .as[(String, java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("a", java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 2L, 3.0),
+        ("a", java.sql.Timestamp.valueOf("2026-01-01 11:00:00"), 1L, 4.0),
+        ("b", java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("Skew.saltedJoin matches a plain join") {
+    val big = spark.range(0, 10000)
+      .select((col("id") % 5).as("k"), col("id").as("v"))   // 5 hot keys
+    val small = Seq((0L, "x0"), (1L, "x1"), (2L, "x2"), (3L, "x3"), (4L, "x4"))
+      .toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltCount = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val plain = big.join(small, "k")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(salted.orderBy("name").collect().toSeq == plain.orderBy("name").collect().toSeq)
+  }
+
+  test("Skew.skewedCountDistinct equals countDistinct") {
+    val df = spark.range(0, 5000).select((col("id") % 3).as("k"), (col("id") % 97).as("v"))
+    val out = Skew.skewedCountDistinct(df, Seq("k"), "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = df.groupBy("k").agg(countDistinct("v").as("u")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == ref.toSeq)
+  }
+}
