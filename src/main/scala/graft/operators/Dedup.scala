@@ -31,17 +31,31 @@ object Dedup {
     df.groupBy(col(fpCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** Distinct (doc, token) pairs from a normalized-text column. */
-  private def tokenSet(df: DataFrame, idCol: String, normCol: String): DataFrame =
-    df.select(col(idCol), explode(array_distinct(split(col(normCol), " "))).as("t"))
+  /** Distinct (doc, shingle) pairs from a normalized-text column:
+    * word `n`-gram shingles (n = 1 degenerates to the token set).
+    * Documents shorter than `n` words contribute their whole text as
+    * one shingle. Shingling (vs bare tokens) is what makes set
+    * similarity mean *near-duplicate* — word order matters, and
+    * ultra-common single words stop flooding the posting lists. */
+  private[operators] def shingleSet(df: DataFrame, idCol: String, normCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    val toks = split(col(normCol), " ")
+    val shingles =
+      if (n == 1) array_distinct(toks)
+      else when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array(concat_ws(" ", toks)))
+    df.select(col(idCol), explode(shingles).as("t"))
+  }
 
   /** Exact token-set Jaccard similarity for all candidate pairs that
     * share at least one (not-too-common) token. Returns
     * (id_a, id_b, inter, size_a, size_b, jaccard). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, normCol: String,
-      minJaccard: Double, maxPostings: Int = 10000): DataFrame = {
-    val tok = tokenSet(df, idCol, normCol).cache()
+      minJaccard: Double, ngram: Int = 3, maxPostings: Int = 10000): DataFrame = {
+    val tok = shingleSet(df, idCol, normCol, ngram).cache()
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val capped = tok.withColumn("__p", count(lit(1)).over(Window.partitionBy("t")))
       .where(col("__p") <= maxPostings).drop("__p")
@@ -71,10 +85,11 @@ object Dedup {
     * bounded on corpora with high ambient similarity. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, normCol: String,
-      numHashes: Int = 64, bands: Int = 8, minEstJaccard: Double = 0.7): DataFrame = {
+      numHashes: Int = 64, bands: Int = 8, minEstJaccard: Double = 0.7,
+      ngram: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val tok = tokenSet(df, idCol, normCol)
+    val tok = shingleSet(df, idCol, normCol, ngram)
     val minhashAggs = (0 until numHashes).map(i => min(xxhash64(col("t"), lit(i))).as(s"h$i"))
     val sig = tok.groupBy(col(idCol))
       .agg(minhashAggs.head, minhashAggs.tail: _*)
@@ -103,8 +118,8 @@ object Dedup {
     * hamming distance 3 must agree on at least one of 4 chunks). */
   def simHashPairs(
       df: DataFrame, idCol: String, normCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val tok = tokenSet(df, idCol, normCol).withColumn("h", xxhash64(col("t")))
+      maxHamming: Int = 3, ngram: Int = 3): DataFrame = {
+    val tok = shingleSet(df, idCol, normCol, ngram).withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
     }

@@ -27,6 +27,17 @@ object Replicate {
   def snapshot(df: DataFrame, mapping: Seq[(String, Column)]): DataFrame =
     df.select(mapping.map { case (name, c) => c.as(name) }: _*)
 
+  /** Incremental batch pull (the CDC_ONLY mode run on a schedule
+    * instead of a stream): rows strictly newer than the last high
+    * watermark, plus the new watermark to persist for the next pull.
+    * The predicate pushes down to the source scan (parquet row-group
+    * stats or JDBC WHERE), so each pull reads O(new data). */
+  def incrementalPull(df: DataFrame, watermarkCol: String,
+                      lastWatermark: Option[Column]): (DataFrame, Column) = {
+    val pulled = lastWatermark.fold(df)(w => df.where(col(watermarkCol) > w))
+    (pulled, max(col(watermarkCol)))
+  }
+
   /** Latest row per key by a total version ordering (ReplacingMergeTree
     * FINAL semantics). `orderCols` must be a deterministic total order
     * within each key (include a unique id as tiebreak). */

@@ -38,17 +38,23 @@ object DataPipeline {
              FROM documents GROUP BY 1 ORDER BY fp"""),
   )
 
-  /** Exact token-set Jaccard near-dup pairs on a fixed 300-doc slice
-    * (the exact-pairwise anchor; q42 is the at-scale path). */
+  /** Exact 3-gram-shingle Jaccard near-dup pairs on a fixed 300-doc
+    * slice (the exact-pairwise anchor; q42 is the at-scale path). */
   val q41 = GraftQuery(
     "q41_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(
         docsNorm(Tables(s, dir)).where(col("doc_id") < 300), "doc_id", "norm",
-        minJaccard = 0.85)
+        minJaccard = 0.6, ngram = 3)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
       .orderBy("id_a", "id_b"),
-    Some(s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split($normSql, ' '))) AS t
-                          FROM documents WHERE doc_id < 300),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM documents WHERE doc_id < 300),
+                  tok AS (SELECT doc_id, unnest(
+                            CASE WHEN len(toks) >= 3
+                                 THEN list_distinct(list_transform(range(len(toks) - 2),
+                                        i -> array_to_string(toks[i+1:i+3], ' ')))
+                                 ELSE [array_to_string(toks, ' ')] END) AS t
+                          FROM t),
                   sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
                   inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
                             FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
@@ -57,7 +63,7 @@ object DataPipeline {
                     round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
              FROM inter JOIN sizes sa ON id_a = sa.doc_id
                         JOIN sizes sb ON id_b = sb.doc_id
-             WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.85
+             WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.6
              ORDER BY id_a, id_b"""),
   )
 

@@ -50,11 +50,12 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("Dedup.ngramJaccardPairs finds exact and near duplicates") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "norm", minJaccard = 0.5)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "norm", minJaccard = 0.3)
       .select("id_a", "id_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 9 words → 7 3-gram shingles; one substituted word breaks 3 of them
     assert(pairs((1L, 2L)) === 1.0)
-    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
     assert(!pairs.contains((1L, 4L)))
   }
 
@@ -153,6 +154,16 @@ class OperatorsSpec extends SparkSpec {
     val out = Replicate.latestByKey(cdc, Seq("k"), Seq(col("v")))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(3)))
     assert(out.toSeq == Seq((1L, "c"), (2L, "x"), (3L, "z")))
+  }
+
+  test("Replicate.incrementalPull reads only rows past the watermark") {
+    val (firstPull, wmExpr) = Replicate.incrementalPull(cdc, "v", None)
+    assert(firstPull.count() == 6)
+    val wm = firstPull.agg(wmExpr).head().getLong(0)
+    assert(wm == 5L)
+    val more = cdc.union(Seq((4L, 7L, "u", "new")).toDF("k", "v", "op", "payload"))
+    val (secondPull, _) = Replicate.incrementalPull(more, "v", Some(lit(wm)))
+    assert(secondPull.collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
   test("Replicate.applyCdc drops keys whose latest op is a delete") {
