@@ -81,4 +81,23 @@ object ch {
     val aggs = values.map(v => countIf(col(pivotCol) === v).as(v))
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ---- scalar conveniences ----
+  /** multiIf(c1, v1, c2, v2, …, else): first matching branch wins. */
+  def multiIf(branches: Seq[(Column, Column)], otherwise: Column): Column =
+    branches.foldRight(otherwise) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+
+  /** arrayJoin ≡ explode (one output row per array element). */
+  def arrayJoin(c: Column): Column = explode(c)
+
+  def ifNull(c: Column, default: Column): Column = coalesce(c, default)
+  def intDiv(a: Column, b: Column): Column = (a / b).cast("long")
+  def modulo(a: Column, b: Column): Column = pmod(a, b)
+
+  /** Deterministic systematic sample: keep keys with hash(key) ≡ 0
+    * (mod `outOf`). Unlike fraction sampling this is stable across
+    * runs, engines and partitionings — the property a reproducible
+    * training-data pipeline needs. */
+  def systematicSample(key: Column, outOf: Int): Column =
+    pmod(key, lit(outOf)) === 0
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.functions.ch
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Wave K of SURVEY.md §2: sampling, array analytics and conditional
+  * tiering — the remaining ClickHouse idioms a migrated user leans on
+  * (`arrayJoin`, `groupArray`+array functions, `multiIf`, SAMPLE).
+  */
+object Arrays {
+
+  /** Deterministic systematic sample (key ≡ 0 mod 100) + aggregate:
+    * reproducible sampling, unlike fraction-based TABLESAMPLE. */
+  val q90 = GraftQuery(
+    "q90_sample_systematic",
+    (s, dir) => Tables(s, dir).lineitem
+      .where(ch.systematicSample(col("l_orderkey"), 100))
+      .agg(count(lit(1)).as("cnt"),
+           round(sum("l_extendedprice"), 2).as("total"),
+           countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS total,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem WHERE l_orderkey % 100 = 0"""),
+  )
+
+  /** groupArray → array functions → arrayJoin round trip: per-customer
+    * order stats computed on collected arrays. */
+  val q91 = GraftQuery(
+    "q91_array_analytics",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(ch.groupArraySorted(col("o_orderkey")).as("keys"),
+           ch.groupUniqArray(col("o_orderpriority")).as("prios"))
+      .select(col("o_custkey"),
+        size(col("keys")).as("n_orders"),
+        size(col("prios")).as("n_prios"),
+        array_contains(col("prios"), "1-URGENT").cast("int").as("has_urgent"),
+        col("keys").getItem(0).as("first_key"),
+        element_at(col("keys"), -1).as("last_key"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+                   len(list_sort(list(o_orderkey))) AS n_orders,
+                   len(list_distinct(list(o_orderpriority))) AS n_prios,
+                   CAST(list_contains(list(o_orderpriority), '1-URGENT') AS INTEGER) AS has_urgent,
+                   list_sort(list(o_orderkey))[1] AS first_key,
+                   list_sort(list(o_orderkey))[-1] AS last_key
+            FROM orders GROUP BY 1 ORDER BY o_custkey"""),
+  )
+
+  /** multiIf tiering of customers by account balance. */
+  val q92 = GraftQuery(
+    "q92_multiif_tiers",
+    (s, dir) => Tables(s, dir).customer
+      .select(ch.multiIf(Seq(
+          (col("c_acctbal") < 0, lit("negative")),
+          (col("c_acctbal") < 5000, lit("mid"))),
+          lit("high")).as("tier"))
+      .groupBy("tier").agg(count(lit(1)).as("cnt"))
+      .orderBy("tier"),
+    Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS tier, count(*) AS cnt
+            FROM customer GROUP BY 1 ORDER BY tier"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q92)
+}

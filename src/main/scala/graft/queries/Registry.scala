@@ -6,5 +6,5 @@ import graft.GraftQuery
 object Registry {
   def all: Seq[GraftQuery] =
     Analytics.all ++ ChFunctions.all ++ Replication.all ++ DataPipeline.all ++
-      EventsAnalytics.all
+      EventsAnalytics.all ++ Arrays.all
 }
