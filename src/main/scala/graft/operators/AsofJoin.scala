@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ASOF JOIN — ClickHouse's temporal join: each left row matches the
+  * latest right row with `rightTime <= leftTime` on the same key
+  * (left-join semantics: unmatched left rows keep nulls).
+  *
+  * Spark-first plan: instead of a range join (quadratic per hot key)
+  * or a custom physical operator, both sides are unioned with a side
+  * marker and processed by ONE key-partitioned window ordered by
+  * (time, marker): `last(right payload, ignoreNulls)` up to the
+  * current row carries the most recent right match onto every left
+  * row. Cost = one shuffle on the key + one sorted scan per side —
+  * the same shape ClickHouse's sorted-merge ASOF executes, expressed
+  * entirely in Catalyst operators (AQE, codegen and spill handling
+  * apply for free).
+  *
+  * Right rows are first deduplicated to one per (key, time) — max
+  * `tiebreakCol` wins — making equal-timestamp semantics
+  * deterministic (and identical to DuckDB's ASOF, the oracle).
+  */
+object AsofJoin {
+
+  /** @param left        probe side (all its columns are preserved)
+    * @param right       build side (history to match against)
+    * @param keyCols     equi-join key present on both sides
+    * @param timeCol     event-time column name present on both sides
+    * @param tiebreakCol right-side column breaking equal-time ties
+    * @param rightCols   right-side payload columns, emitted as
+    *                    `right_<name>`
+    */
+  def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           timeCol: String, tiebreakCol: String, rightCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val r1 = Replicate.latestByKey(right, keyCols :+ timeCol, Seq(col(tiebreakCol)))
+    val rSide = r1.select(
+      (key :+ col(timeCol)) ++ rightCols.map(c => col(c).as(s"__r_$c")) :+ lit(0).as("__side"): _*)
+    val lSide = left.withColumn("__side", lit(1))
+    val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
+    // right rows (__side 0) sort BEFORE left rows at equal time →
+    // inclusive (<=) match semantics
+    val w = Window.partitionBy(key: _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"right_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    matched.where(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightCols.map(c => col(s"right_$c")): _*)
+  }
+}

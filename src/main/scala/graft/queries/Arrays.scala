@@ -65,5 +65,34 @@ object Arrays {
             FROM customer GROUP BY 1 ORDER BY tier"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q92)
+  /** ASOF JOIN: last-click attribution — for every purchase, the
+    * latest preceding click of the same user. */
+  val q93 = GraftQuery(
+    "q93_asof_attribution",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+                col("ts").as("click_ts"))
+      graft.operators.AsofJoin.join(purchases, clicks, Seq("user_id"),
+          timeCol = "ts", tiebreakCol = "click_id", rightCols = Seq("click_id", "click_ts"))
+        .select(col("user_id"), col("purchase_id"),
+          col("right_click_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("right_click_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                       WHERE event_type = 'purchase'),
+                 c0 AS (SELECT user_id, ts, event_id AS click_id FROM events
+                        WHERE event_type = 'click'),
+                 c AS (SELECT user_id, ts, max(click_id) AS click_id FROM c0 GROUP BY 1, 2)
+            SELECT p.user_id, p.purchase_id, c.click_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY purchase_id"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q92, q93)
 }

@@ -202,6 +202,27 @@ class OperatorsSpec extends SparkSpec {
     assert(lv.toSeq == Seq((1L, 3), (2L, 2), (3L, 1), (4L, 1)))
   }
 
+  test("AsofJoin matches latest right row at or before left time, per key") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min.toLong * 60000)
+    val quotes = Seq(
+      (1L, ts(0), 100L, 10.0), (1L, ts(10), 101L, 11.0), (1L, ts(10), 102L, 12.0),
+      (2L, ts(5), 200L, 20.0),
+    ).toDF("k", "ts", "qid", "px")
+    val trades = Seq(
+      (1L, ts(10), 900L),  // equal-ts: inclusive, tiebreak max qid → 102
+      (1L, ts(3), 901L),   // → qid 100
+      (2L, ts(1), 902L),   // before any quote → null
+    ).toDF("k", "ts", "tid")
+    val out = graft.operators.AsofJoin.join(trades, quotes, Seq("k"),
+        "ts", tiebreakCol = "qid", rightCols = Seq("qid", "px"))
+      .orderBy("tid")
+      .select("tid", "right_qid", "right_px").collect()
+    assert(out(0).getLong(0) == 900L && out(0).getLong(1) == 102L && out(0).getDouble(2) == 12.0)
+    assert(out(1).getLong(1) == 100L)
+    assert(out(2).isNullAt(1))
+  }
+
   test("Events.histogram clamps overflow into last bucket") {
     val df = Seq(0.0, 24.9, 25.0, 499.0, 750.0).toDF("value")
     val h = Events.histogram(df, "value", 0.0, 500.0, 20)
