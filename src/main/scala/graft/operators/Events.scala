@@ -34,31 +34,45 @@ object Events {
 
   /** windowFunnel analog: deepest step of `steps` (event-type names,
     * in order) each user reaches with strictly-increasing timestamps,
-    * all within `windowDays` of step 1. Returns (userCol, level).
-    * Each step is one filtered min-aggregate — map-side combined,
-    * shuffling only (user, ts) pairs. */
+    * all within `windowDays` of step 1 (anchor = user's earliest
+    * step-1 event). Returns (userCol, level) for users at level ≥ 1.
+    *
+    * Single-pass design: ONE shuffle collects each user's funnel-type
+    * events as a sorted array, then a fold advances the funnel state
+    * per user — at 100 TB the fact table moves through the cluster
+    * once, not once per step. Per-user state is bounded by that
+    * user's funnel-event count (filtered to `steps` types before the
+    * shuffle). Ties at equal timestamps sort candidate next-step
+    * events after the anchor (strict `>` semantics) because the sort
+    * is on (time, type) and the fold requires strictly-later times. */
   def funnelLevels(df: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String],
                    windowDays: Int = 7): DataFrame = {
     require(steps.nonEmpty)
-    // prefixes(i) = users reaching step i+1, with t1..t(i+1) earliest-
-    // completion timestamps. Each extension is one filtered agg + one
-    // join on the user key.
-    val first = df.where(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
-    val prefixes = steps.zipWithIndex.tail.scanLeft(first) { case (acc, (step, i)) =>
-      df.where(col(typeCol) === step)
-        .join(acc, userCol)
-        .where(col(tsCol) > col(s"t$i") &&
-               col(tsCol) <= col("t1") + expr(s"INTERVAL $windowDays DAY"))
-        .groupBy(col(userCol))
-        .agg(min(col(tsCol)).as(s"t${i + 1}"),
-             (1 to i).map(k => max(col(s"t$k")).as(s"t$k")): _*)
-    }
-    prefixes.zipWithIndex
-      .map { case (d, i) => d.select(col(userCol), lit(i + 1).as("level")) }
-      .reduce(_ union _)
-      .groupBy(col(userCol)).agg(max(col("level")).as("level"))
+    val winUs = windowDays.toLong * 86400L * 1000000L
+    val stepArr = array(steps.map(lit(_)): _*)
+    val perUser = df
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(userCol), unix_micros(col(tsCol)).as("t"), col(typeCol).as("y"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("evs"))
+    val zero = struct(
+      lit(0).as("lv"), lit(null).cast("long").as("t1"), lit(null).cast("long").as("tp"))
+    val folded = aggregate(col("evs"), zero, (acc, e) => {
+      val lv = acc.getField("lv")
+      val matches = e.getField("y") === element_at(stepArr, lv + 1)
+      val timeOk = (lv === 0) ||
+        (e.getField("t") > acc.getField("tp") &&
+         e.getField("t") <= acc.getField("t1") + lit(winUs))
+      val advance = (lv < steps.length) && matches && timeOk
+      when(advance, struct(
+        (lv + 1).as("lv"),
+        when(lv === 0, e.getField("t")).otherwise(acc.getField("t1")).as("t1"),
+        e.getField("t").as("tp")))
+        .otherwise(acc)
+    })
+    perUser.select(col(userCol), folded.getField("lv").as("level"))
+      .where(col("level") >= 1)
   }
 
   /** Cohort retention: users grouped by the week of their first
