@@ -94,6 +94,15 @@ object ch {
   def intDiv(a: Column, b: Column): Column = (a / b).cast("long")
   def modulo(a: Column, b: Column): Column = pmod(a, b)
 
+  // ---- JSON extraction (JSONExtract* family) ----
+  /** JSONExtractInt(json, '$.path') — codegen'd path extraction. */
+  def jsonExtractInt(c: Column, path: String): Column =
+    get_json_object(c, path).cast("long")
+  def jsonExtractFloat(c: Column, path: String): Column =
+    get_json_object(c, path).cast("double")
+  def jsonExtractString(c: Column, path: String): Column =
+    get_json_object(c, path)
+
   /** Deterministic systematic sample: keep keys with hash(key) ≡ 0
     * (mod `outOf`). Unlike fraction sampling this is stable across
     * runs, engines and partitionings — the property a reproducible

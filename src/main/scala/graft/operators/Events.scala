@@ -77,19 +77,25 @@ object Events {
 
   /** Cohort retention: users grouped by the week of their first
     * `cohortEvent`, counted as retained in each later week they have
-    * any activity. Returns (week_offset, n_users). */
+    * any activity. Returns (week_offset, n_users).
+    *
+    * Single-pass: one shuffle on the user key computes both the
+    * cohort week (conditional min) and the distinct active-week set
+    * (bounded by calendar weeks, not events); offsets then aggregate
+    * over a tiny (user, week) table. */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
-                      typeCol: String, cohortEvent: String): DataFrame = {
-    val cohort = df.where(col(typeCol) === cohortEvent)
-      .groupBy(col(userCol)).agg(min(date_trunc("week", col(tsCol))).as("cw"))
-    val activity = df.select(col(userCol), date_trunc("week", col(tsCol)).as("aw")).distinct()
-    activity.join(cohort, userCol)
+                      typeCol: String, cohortEvent: String): DataFrame =
+    df.select(col(userCol), date_trunc("week", col(tsCol)).as("w"), col(typeCol))
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === cohortEvent, col("w"))).as("cw"),
+           collect_set(col("w")).as("aws"))
+      .where(col("cw").isNotNull)
+      .select(col(userCol), col("cw"), explode(col("aws")).as("aw"))
       .where(col("aw") >= col("cw"))
       .select(col(userCol),
         (datediff(col("aw").cast("date"), col("cw").cast("date")) / 7).cast("int").as("week_offset"))
       .groupBy("week_offset")
       .agg(countDistinct(col(userCol)).as("n_users"))
-  }
 
   /** Fixed-grid histogram: `numBuckets` equal buckets over [lo, hi);
     * values ≥ hi clamp into the last bucket. Single map-side-combined

@@ -94,5 +94,21 @@ object Arrays {
             ORDER BY purchase_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q92, q93)
+  /** JSONExtract family over the semi-structured props column. */
+  val q94 = GraftQuery(
+    "q94_json_extract",
+    (s, dir) => Tables(s, dir).events
+      .select(col("event_type"), ch.jsonExtractInt(col("props"), "$.k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("cnt"),
+           round(avg(col("k")), 4).as("avg_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(CAST(props ->> '$.k' AS BIGINT)) AS cnt,
+                   round(avg(CAST(props ->> '$.k' AS BIGINT)), 4) AS avg_k,
+                   max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY 1 ORDER BY event_type"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q92, q93, q94)
 }
