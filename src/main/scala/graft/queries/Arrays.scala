@@ -110,5 +110,31 @@ object Arrays {
             FROM events GROUP BY 1 ORDER BY event_type"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q92, q93, q94)
+  /** ORDER BY … WITH FILL analog: zero-filled daily series over the
+    * observed range (spine from sequence(), left join, coalesce). */
+  val q95 = GraftQuery(
+    "q95_gap_fill",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val daily = e.where(col("event_type") === "purchase" && col("value") > 480)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = e
+        .agg(min(date_trunc("day", col("ts"))).as("lo"),
+             max(date_trunc("day", col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("day")
+    },
+    Some("""WITH b AS (SELECT min(date_trunc('day', ts)) AS lo,
+                              max(date_trunc('day', ts)) AS hi FROM events),
+                 spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+                 d AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt FROM events
+                       WHERE event_type = 'purchase' AND value > 480 GROUP BY 1)
+            SELECT spine.day, coalesce(d.cnt, 0) AS cnt
+            FROM spine LEFT JOIN d USING (day) ORDER BY day"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q92, q93, q94, q95)
 }

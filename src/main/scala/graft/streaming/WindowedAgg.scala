@@ -29,6 +29,20 @@ object WindowedAgg {
       .drop("window")
   }
 
+  /** Streaming sessionization: Spark's native `session_window` —
+    * gap-closed sessions per key, state bounded by the watermark (the
+    * streaming counterpart of [[graft.operators.Events.sessionize]]). */
+  def session(df: DataFrame, tsCol: String, watermarkDelay: String,
+              gapDur: String, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDur) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+  }
+
   /** Sliding windows (`windowDur` every `slideDur`). */
   def sliding(df: DataFrame, tsCol: String, watermarkDelay: String,
               windowDur: String, slideDur: String,

@@ -56,6 +56,26 @@ class SinkAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WindowedAgg.session closes gap-separated sessions on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agged = WindowedAgg.session(
+      input.toDF().toDF("ts", "k"),
+      tsCol = "ts", watermarkDelay = "10 minutes", gapDur = "30 minutes",
+      keys = Seq("k"), aggs = Seq(count(lit(1)).as("cnt")))
+    val q = agged.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2026-01-01 09:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(base.getTime + min.toLong * 60000)
+      input.addData((ts(0), "a"), (ts(10), "a"), (ts(60), "a"), (ts(0), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").select("k", "cnt").as[(String, Long)]
+        .collect().sorted
+      assert(rows.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("Skew.saltedJoin matches a plain join") {
     val big = spark.range(0, 10000)
       .select((col("id") % 5).as("k"), col("id").as("v"))   // 5 hot keys
