@@ -95,6 +95,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
   }
 
+  test("Similarity IVF finds the planted near-duplicate with a partial scan") {
+    val rnd = new scala.util.Random(99L)
+    val base = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val probe = base(17)._2.clone()
+    probe(0) += 0.01f // near-dup of vector 17
+    val df = base.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(df, "vec_id", "embedding", nlist = 8, seed = 1L)
+    val top = Similarity.ivfTopK(idx, "vec_id", "embedding", probe, k = 3, nprobe = 3)
+      .collect()
+    assert(top.head.getLong(0) == 17L, "nearest cell scan must surface the planted near-dup")
+    assert(top.head.getDouble(1) > 0.99)
+  }
+
   test("Similarity.knnJoin returns k rows per probe, self first") {
     val knn = Similarity.knnJoin(vecs.where($"vec_id" === 1L), vecs, "vec_id", "embedding", k = 3)
       .orderBy("rn").collect()
