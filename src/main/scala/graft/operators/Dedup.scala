@@ -113,6 +113,40 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Connected components over near-dup pairs → dedup clusters: every
+    * node labeled with the min id reachable through the pair graph
+    * (the canonical representative a dedup pipeline keeps).
+    *
+    * Min-label propagation: each round pushes labels across edges and
+    * keeps the min per node; converges in O(graph diameter) rounds —
+    * near-dup graphs are unions of small cliques, so typically 2-3.
+    * Each round is one shuffle; `localCheckpoint` truncates the plan
+    * so lineage doesn't grow exponentially (on a cluster use
+    * `checkpoint` to HDFS for fault tolerance). Returns (id, cluster_rep)
+    * for every node that appears in `pairs`. */
+  def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+               maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_rep")
+  }
+
   /** 64-bit SimHash per document + hamming-distance near-dup pairs,
     * candidates generated by 16-bit chunk equality (a pair within
     * hamming distance 3 must agree on at least one of 4 chunks). */

@@ -32,6 +32,14 @@ object TextAnalysis {
     round(least(nTok / 50.0, lit(1.0)) * 0.4 + (stops / nTok) * 0.3 + (nUniq / nTok) * 0.3, 6)
   }
 
+  /** BPE-ish subword-ready tokenization: runs of letters, runs of
+    * digits, and single non-space symbols — the pre-merge word-piece
+    * boundary a byte-pair tokenizer starts from. Counting these
+    * approximates LLM token counts far better than whitespace words
+    * (punctuation and numbers cost tokens). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
   /** Content fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 

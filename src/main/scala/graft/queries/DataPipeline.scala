@@ -87,6 +87,48 @@ object DataPipeline {
     None,
   )
 
+  /** Dedup clusters: connected components over the q41 near-dup pair
+    * graph; every doc in the 300-doc slice labeled with its canonical
+    * (min-id) representative — singletons represent themselves. */
+  val q45 = GraftQuery(
+    "q45_dedup_clusters",
+    (s, dir) => {
+      val slice = docsNorm(Tables(s, dir)).where(col("doc_id") < 300)
+      val pairs = Dedup.ngramJaccardPairs(slice, "doc_id", "norm",
+          minJaccard = 0.6, ngram = 3)
+        .select("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).toDF("doc_id", "cluster_rep")
+      slice.select("doc_id").join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+                  t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM documents WHERE doc_id < 300),
+                  tok AS (SELECT doc_id, unnest(
+                            CASE WHEN len(toks) >= 3
+                                 THEN list_distinct(list_transform(range(len(toks) - 2),
+                                        i -> array_to_string(toks[i+1:i+3], ' ')))
+                                 ELSE [array_to_string(toks, ' ')] END) AS t
+                          FROM t),
+                  sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+                  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                            FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                            GROUP BY 1, 2),
+                  e0 AS (SELECT id_a, id_b FROM inter
+                         JOIN sizes sa ON id_a = sa.doc_id
+                         JOIN sizes sb ON id_b = sb.doc_id
+                         WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.6),
+                  edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+                            UNION SELECT id_b, id_a FROM e0),
+                  reach(id, label) AS (
+                    SELECT doc_id, doc_id FROM t
+                    UNION
+                    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+             SELECT id AS doc_id, min(label) AS cluster_rep
+             FROM reach GROUP BY 1 ORDER BY doc_id"""),
+  )
+
   /** Embedding-cosine near-dup pairs above 0.4 (exact all-pairs over
     * the bounded embeddings table; q51 is the bucketed path). */
   val q44 = GraftQuery(
@@ -233,6 +275,22 @@ object DataPipeline {
              FROM documents ORDER BY doc_id"""),
   )
 
+  /** BPE-ish token counting per source: letter-runs / digit-runs /
+    * symbols — the LLM-token-cost estimator. */
+  val q64 = GraftQuery(
+    "q64_token_count_bpeish",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("source"), size(TextAnalysis.bpeishTokens(col("text"))).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n").as("bpeish_tokens"),
+           round(avg("n"), 4).as("avg_tokens"))
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS docs,
+                   CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
+                   round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))), 4) AS avg_tokens
+            FROM documents GROUP BY 1 ORDER BY source"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q50, q51, q52, q60, q61, q62, q63)
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q60, q61, q62, q63, q64)
 }

@@ -72,6 +72,13 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0L)
   }
 
+  test("Dedup.clusters labels transitive components with the min id") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
+  }
+
   // ---------------------------------------------------------- similarity
 
   private def vecs = Seq(
