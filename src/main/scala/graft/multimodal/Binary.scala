@@ -75,6 +75,34 @@ object Binary {
     }(enc)
   }
 
+  /** Feature-extraction stage: payload bytes → fixed-width embedding
+    * (`dim` floats). The real pipeline would run a vision/audio model
+    * here; the stub derives a deterministic pseudo-embedding from a
+    * rolling hash so the downstream contract — `array<float>` column
+    * feeding [[graft.operators.Similarity]] — is exercised end to end. */
+  def featureStage(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        var h = 1125899906842597L
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+        var d = 0
+        while (d < dim) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          out(d) = ((h >>> 16).toInt % 1000) / 1000.0f
+          d += 1
+        }
+        Row.fromSeq(r.toSeq :+ out.toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame-sampling shape: explode `n` evenly-spaced frame indexes per
     * media row (the real pipeline would decode those frames). Keeps
     * the payload un-shuffled; output is (input columns, frame_idx). */

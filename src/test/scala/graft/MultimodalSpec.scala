@@ -28,6 +28,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.forall(r => r.getInt(0) >= 16 && r.getInt(0) < 256))
   }
 
+  test("featureStage feeds the similarity operators end to end") {
+    val many = (1L to 50L).map(i => (i, s"payload-number-$i"))
+      .toDF("id", "s").withColumn("payload", col("s").cast("binary")).drop("s")
+    val feats = graft.multimodal.Binary.featureStage(many, "payload", dim = 8)
+    assert(feats.schema("features").dataType.simpleString == "array<float>")
+    // identical payloads → identical features → cosine 1.0 via ANN path
+    val dup = graft.multimodal.Binary.featureStage(
+      many.where(col("id") === 7L).withColumn("id", lit(999L)), "payload", dim = 8)
+    val top = graft.operators.Similarity.bruteForceTopK(
+      feats.union(dup), "id", "features", probeId = 999L, k = 1).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) === 1.0)
+  }
+
   test("sampleFrames explodes bounded evenly-spaced frame indexes") {
     val df = Binary.decodeStage(media, "payload")
       .select(col("id"), col("media_info.frames").as("frames"))
