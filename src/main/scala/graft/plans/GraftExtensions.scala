@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_array_eq_count takes exactly 2 arguments")
         ArrayEqCount(children.head, children(1))
       }))
+    ChDialect.register(ext)
   }
 }

@@ -130,5 +130,30 @@ object ChFunctions {
             FROM events GROUP BY 1, 2 ORDER BY day, hr"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q21, q22, q23, q24, q25, q26, q27, q28)
+  /** ClickHouse-dialect SQL text executed verbatim via spark.sql —
+    * the function names resolve through graft.plans.ChDialect, so the
+    * reference's migrated app queries run unchanged. */
+  val q29 = GraftQuery(
+    "q29_chsql_dialect",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_v")
+      s.sql("""SELECT toStartOfMonth(ts) AS month,
+                      countIf(event_type = 'purchase') AS purchases,
+                      round(sumIf(value, event_type = 'purchase'), 2) AS purchase_value,
+                      round(avgIf(value, event_type = 'click'), 4) AS avg_click,
+                      JSONExtractInt(props, 'k') % 1000 AS k_mod
+               FROM events_v
+               GROUP BY toStartOfMonth(ts), JSONExtractInt(props, 'k') % 1000
+               HAVING k_mod < 5
+               ORDER BY month, k_mod""")
+    },
+    Some("""SELECT date_trunc('month', ts) AS month,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+                   round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_value,
+                   round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS avg_click,
+                   CAST(props ->> '$.k' AS BIGINT) % 1000 AS k_mod
+            FROM events GROUP BY 1, 5 HAVING k_mod < 5 ORDER BY month, k_mod"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
