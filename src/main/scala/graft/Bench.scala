@@ -4,9 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // Warm the JVM/codegen paths so startup cost isn't attributed to
-    // whichever query happens to run first.
+    // Warm the JVM/codegen/parquet-reader paths so startup cost isn't
+    // attributed to whichever query happens to run first.
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("count(*)", "max(r_regionkey)").collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
