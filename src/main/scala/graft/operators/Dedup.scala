@@ -31,6 +31,14 @@ object Dedup {
     df.groupBy(col(fpCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Apply step: rows that survive exact dedup (id == group winner).
+    * One shuffle on the fingerprint; winners picked via min_by so the
+    * whole row survives without a second join against the input. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
+    val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Distinct (doc, shingle) pairs from a normalized-text column:
     * word `n`-gram shingles (n = 1 degenerates to the token set).
     * Documents shorter than `n` words contribute their whole text as

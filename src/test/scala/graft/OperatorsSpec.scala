@@ -49,6 +49,13 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.length == 3)
   }
 
+  test("Dedup.dropExactDuplicates keeps one full row per fingerprint") {
+    val d = docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val kept = Dedup.dropExactDuplicates(d, "doc_id", "fp")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L)) // doc 2 is the exact dup of 1
+  }
+
   test("Dedup.ngramJaccardPairs finds exact and near duplicates") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "norm", minJaccard = 0.3)
       .select("id_a", "id_b", "jaccard").collect()

@@ -76,6 +76,32 @@ class SinkAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MergeTreeWrite.compact rewrites a partition into sorted files") {
+    val df = Seq((5L, "e"), (1L, "a"), (3L, "c"), (2L, "b")).toDF("id", "v")
+    val out = Files.createTempDirectory("compact").toString
+    df.repartition(4).write.mode("overwrite").parquet(out) // fragmented
+    val frag = spark.read.parquet(out)
+    MergeTreeWrite.compact(frag, out + "_c", orderBy = Seq("id"), numFiles = 1)
+    val files = new java.io.File(out + "_c").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    val back = spark.read.parquet(out + "_c").collect().map(_.getLong(0))
+    assert(back.sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("WindowedAgg.sliding emits overlapping windows") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min.toLong * 60000)
+    val df = Seq((ts(0), "a"), (ts(45), "a")).toDF("ts", "k")
+    val rows = WindowedAgg.sliding(df, "ts", "10 minutes", "1 hour", "30 minutes",
+        Seq("k"), Seq(count(lit(1)).as("cnt")))
+      .select("window_start", "cnt")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // event at :00 lands in windows starting 09:30 and 10:00; :45 in 10:00 and 10:30
+    assert(rows(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")) == 2L)
+    assert(rows(java.sql.Timestamp.valueOf("2026-01-01 09:30:00")) == 1L)
+    assert(rows(java.sql.Timestamp.valueOf("2026-01-01 10:30:00")) == 1L)
+  }
+
   test("Skew.saltedJoin matches a plain join") {
     val big = spark.range(0, 10000)
       .select((col("id") % 5).as("k"), col("id").as("v"))   // 5 hot keys
