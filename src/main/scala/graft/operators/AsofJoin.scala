@@ -49,6 +49,6 @@ object AsofJoin {
       df.withColumn(s"right_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
     matched.where(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightCols.map(c => col(s"right_$c")): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ rightCols.map(c => col(s"right_$c")): _*)
   }
 }

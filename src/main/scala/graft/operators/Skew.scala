@@ -26,7 +26,7 @@ object Skew {
     // Salt from a hash of the whole big-side row (deterministic for
     // retried tasks, uniform enough to flatten hot keys).
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltCount)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(saltCount)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltCount - 1))))
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
