@@ -34,6 +34,9 @@ object AsofJoin {
     */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            timeCol: String, tiebreakCol: String, rightCols: Seq[String]): DataFrame = {
+    require(!left.columns.exists(c =>
+        c == "__side" || c.startsWith("__r_") || c.startsWith("right_")),
+      "left side must not contain __side/__r_*/right_* columns")
     val key = keyCols.map(col)
     val r1 = Replicate.latestByKey(right, keyCols :+ timeCol, Seq(col(tiebreakCol)))
     val rSide = r1.select(

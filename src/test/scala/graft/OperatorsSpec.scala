@@ -86,6 +86,11 @@ class OperatorsSpec extends SparkSpec {
     assert(cl == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
   }
 
+  test("Dedup.clusters on an empty pair set returns an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).isEmpty)
+  }
+
   // ---------------------------------------------------------- similarity
 
   private def vecs = Seq(
