@@ -20,7 +20,12 @@ object ch {
 
   // ---- date/time bucketing (toStartOf* family) ----
   def toStartOfMonth(c: Column): Column = date_trunc("month", c)
-  def toStartOfWeek(c: Column): Column  = date_trunc("week", c)
+  /** ClickHouse toStartOfWeek defaults to mode 0 = SUNDAY-start weeks
+    * (Spark's date_trunc('week') is Monday-start — that's toMonday). */
+  def toStartOfWeek(c: Column, mode: Int = 0): Column =
+    if (mode == 0) date_trunc("week", c + expr("INTERVAL 1 DAY")) - expr("INTERVAL 1 DAY")
+    else date_trunc("week", c)
+  def toMonday(c: Column): Column = date_trunc("week", c)
   def toStartOfDay(c: Column): Column   = date_trunc("day", c)
   def toStartOfHour(c: Column): Column  = date_trunc("hour", c)
   def toStartOfYear(c: Column): Column  = date_trunc("year", c)
@@ -91,8 +96,14 @@ object ch {
   def arrayJoin(c: Column): Column = explode(c)
 
   def ifNull(c: Column, default: Column): Column = coalesce(c, default)
-  def intDiv(a: Column, b: Column): Column = (a / b).cast("long")
-  def modulo(a: Column, b: Column): Column = pmod(a, b)
+  /** Integral division (no double round-trip — exact past 2^53). */
+  def intDiv(a: Column, b: Column): Column =
+    call_function("div", a.cast("long"), b.cast("long"))
+  /** C-style remainder (sign of dividend), matching ClickHouse modulo;
+    * pmod is NOT the analog — it differs for negative dividends. */
+  def modulo(a: Column, b: Column): Column = a % b
+  /** positiveModulo analog (always non-negative). */
+  def positiveModulo(a: Column, b: Column): Column = pmod(a, b)
 
   // ---- JSON extraction (JSONExtract* family) ----
   /** JSONExtractInt(json, '$.path') — codegen'd path extraction. */

@@ -69,7 +69,12 @@ object Binary {
     df.mapPartitions { rows =>
       // per-partition init happens here (native codec handle, etc.)
       rows.map { r =>
-        val info = decoder.decode(r.getAs[Array[Byte]](idx))
+        val bytes = r.getAs[Array[Byte]](idx)
+        // null payload (failed fetch) must not kill the stage — it
+        // decodes to ok=false like any other undecodable media
+        val info =
+          if (bytes == null) MediaInfo(0, 0, 0, ok = false)
+          else decoder.decode(bytes)
         Row.fromSeq(r.toSeq :+ Row(info.width, info.height, info.frames, info.ok))
       }
     }(enc)
@@ -87,7 +92,8 @@ object Binary {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
+        val bytes0 = r.getAs[Array[Byte]](idx)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
         var h = 1125899906842597L
         val out = new Array[Float](dim)
         var i = 0
@@ -103,11 +109,17 @@ object Binary {
     }(enc)
   }
 
-  /** Frame-sampling shape: explode `n` evenly-spaced frame indexes per
-    * media row (the real pipeline would decode those frames). Keeps
-    * the payload un-shuffled; output is (input columns, frame_idx). */
-  def sampleFrames(df: DataFrame, framesCol: String, n: Int): DataFrame =
-    df.withColumn("frame_idx",
-      explode(sequence(lit(0), greatest(col(framesCol) - 1, lit(0)),
-        greatest((col(framesCol) / n).cast("int"), lit(1)))))
+  /** Frame-sampling shape: explode exactly min(`n`, frames)
+    * evenly-spaced frame indexes per media row (zero-frame rows emit
+    * nothing — explode drops the empty array). Keeps the payload
+    * un-shuffled; output is (input columns, frame_idx). */
+  def sampleFrames(df: DataFrame, framesCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    val frames = col(framesCol)
+    val idxs = when(frames <= 0, array().cast("array<int>"))
+      .when(frames <= n, sequence(lit(0), frames.cast("int") - 1))
+      .otherwise(transform(sequence(lit(0), lit(n - 1)),
+        i => floor(i * frames / n).cast("int")))
+    df.withColumn("frame_idx", explode(idxs))
+  }
 }

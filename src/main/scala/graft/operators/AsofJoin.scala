@@ -39,8 +39,12 @@ object AsofJoin {
       "left side must not contain __side/__r_*/right_* columns")
     val key = keyCols.map(col)
     val r1 = Replicate.latestByKey(right, keyCols :+ timeCol, Seq(col(tiebreakCol)))
+    // The whole right payload travels as ONE struct so a null payload
+    // VALUE can never be skipped independently — last(ignoreNulls)
+    // either takes the entire latest right row or none of it.
     val rSide = r1.select(
-      (key :+ col(timeCol)) ++ rightCols.map(c => col(c).as(s"__r_$c")) :+ lit(0).as("__side"): _*)
+      (key :+ col(timeCol)) :+
+        struct(rightCols.map(col): _*).as("__r") :+ lit(0).as("__side"): _*)
     val lSide = left.withColumn("__side", lit(1))
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
     // right rows (__side 0) sort BEFORE left rows at equal time →
@@ -48,10 +52,10 @@ object AsofJoin {
     val w = Window.partitionBy(key: _*)
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"right_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    matched.where(col("__side") === 1)
-      .select(left.columns.toIndexedSeq.map(col) ++ rightCols.map(c => col(s"right_$c")): _*)
+    unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightCols.map(c => col(s"__m.$c").as(s"right_$c")): _*)
   }
 }

@@ -63,7 +63,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, normCol: String,
       minJaccard: Double, ngram: Int = 3, maxPostings: Int = 10000): DataFrame = {
-    val tok = shingleSet(df, idCol, normCol, ngram).cache()
+    // no cache: the shingle set is read twice but recomputing a
+    // projection+explode is cheaper than pinning (doc, shingle) rows
+    // in executor storage for the session lifetime
+    val tok = shingleSet(df, idCol, normCol, ngram)
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val capped = tok.withColumn("__p", count(lit(1)).over(Window.partitionBy("t")))
       .where(col("__p") <= maxPostings).drop("__p")

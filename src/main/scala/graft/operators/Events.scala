@@ -98,12 +98,15 @@ object Events {
       .agg(countDistinct(col(userCol)).as("n_users"))
 
   /** Fixed-grid histogram: `numBuckets` equal buckets over [lo, hi);
-    * values ≥ hi clamp into the last bucket. Single map-side-combined
-    * aggregation. */
+    * values outside the range clamp into the first/last bucket.
+    * Single map-side-combined aggregation. */
   def histogram(df: DataFrame, valueCol: String,
                 lo: Double, hi: Double, numBuckets: Int): DataFrame = {
+    require(hi > lo && numBuckets >= 1, "need hi > lo and numBuckets >= 1")
     val width = (hi - lo) / numBuckets
-    val bucket = least(floor((col(valueCol) - lo) / width), lit(numBuckets - 1L)).cast("long")
+    val bucket = greatest(
+      least(floor((col(valueCol) - lo) / width), lit(numBuckets - 1L)),
+      lit(0L)).cast("long")
     df.select(bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))

@@ -151,7 +151,15 @@ object Similarity {
   }
 
   /** k-NN join: for every probe row, the k nearest candidates by
-    * cosine. Probe side must be small enough to broadcast. */
+    * cosine. Probe side must be small enough to broadcast.
+    *
+    * Two-stage top-k: a first window partitioned by (input partition,
+    * probe) prunes each scan partition to k rows per probe WITHOUT
+    * moving the scored rows anywhere near a per-probe reducer; only
+    * numPartitions × k survivors shuffle into the final per-probe
+    * ranking. A single per-probe window would funnel every scored
+    * candidate row into numProbes reducers — the straggler that kills
+    * a billion-candidate scan. */
   def knnJoin(probes: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int): DataFrame = {
     val p = withNorm(probes, vecCol)
@@ -161,7 +169,12 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .select(col("probe_id"), col("cand_id"),
         round(vec.cosineWithNorms(vec.dot(col("pv"), col("cv")), col("pn"), col("cn")), 4).as("cos"))
+    val partialW = Window.partitionBy(spark_partition_id(), col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val partial = scored
+      .withColumn("__prn", row_number().over(partialW))
+      .where(col("__prn") <= k).drop("__prn")
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    partial.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 }

@@ -23,6 +23,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltCount: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltCount > 1)
+    // Outer-preserving the SMALL side would emit its unmatched rows
+    // once per salt replica — restrict to the join types where the
+    // replicated side only ever matches or drops.
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+        "left_semi", "leftanti", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types only, got $joinType")
     // Salt from a hash of the whole big-side row (deterministic for
     // retried tasks, uniform enough to flatten hot keys).
     val saltedBig = big.withColumn("__salt",

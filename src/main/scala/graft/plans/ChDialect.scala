@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types.{DateType, LongType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
   * Catalyst function registry, so SQL text produced by the reference's
@@ -27,7 +28,12 @@ object ChDialect {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "toStartOfYear"  -> (es => TruncTimestamp(Literal("year"), es.head)),
     "toStartOfMonth" -> (es => TruncTimestamp(Literal("month"), es.head)),
-    "toStartOfWeek"  -> (es => TruncTimestamp(Literal("week"), es.head)),
+    // ClickHouse default mode 0 = Sunday-start: trunc(ts + 1d) - 1d
+    "toStartOfWeek"  -> (es => TimestampAddInterval(
+      TruncTimestamp(Literal("week"),
+        TimestampAddInterval(es.head, Literal(new CalendarInterval(0, 1, 0L)))),
+      Literal(new CalendarInterval(0, -1, 0L)))),
+    "toMonday"       -> (es => TruncTimestamp(Literal("week"), es.head)),
     "toStartOfDay"   -> (es => TruncTimestamp(Literal("day"), es.head)),
     "toStartOfHour"  -> (es => TruncTimestamp(Literal("hour"), es.head)),
     "toYYYYMM"       -> (es => DateFormatClass(es.head, Literal("yyyyMM"))),

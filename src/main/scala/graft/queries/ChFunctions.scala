@@ -110,7 +110,7 @@ object ChFunctions {
            round(ch.avgIf(col("value"), col("event_type") === "click"), 4).as("avg_click_value"),
            round(ch.maxIf(col("value"), col("event_type") === "view"), 2).as("max_view_value"))
       .orderBy(col("week")),
-    Some("""SELECT date_trunc('week', ts) AS week,
+    Some("""SELECT date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
                    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
                    round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase_value,
                    round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS avg_click_value,

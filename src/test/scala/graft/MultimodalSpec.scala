@@ -41,13 +41,23 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getLong(0) == 7L && top.head.getDouble(1) === 1.0)
   }
 
-  test("sampleFrames explodes bounded evenly-spaced frame indexes") {
-    val df = Binary.decodeStage(media, "payload")
-      .select(col("id"), col("media_info.frames").as("frames"))
-    val sampled = Binary.sampleFrames(df, "frames", n = 4)
-    val counts = sampled.groupBy("id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val frames = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    counts.foreach { case (id, n) => assert(n >= 1 && n <= frames(id)) }
+  test("sampleFrames explodes exactly min(n, frames) indexes; 0-frame rows drop") {
+    val df = Seq((1L, 10), (2L, 2), (3L, 0)).toDF("id", "frames")
+    val sampled = Binary.sampleFrames(df, "frames", n = 3)
+    val byId = sampled.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Int]("frame_idx")).sorted.toSeq).toMap
+    assert(byId(1L) == Seq(0, 3, 6))   // 3 evenly-spaced of 10
+    assert(byId(2L) == Seq(0, 1))      // fewer frames than n → all
+    assert(!byId.contains(3L))         // zero frames → no rows
+  }
+
+  test("decodeStage survives null payloads as ok=false") {
+    val withNull = media.union(
+      Seq((3L, null.asInstanceOf[String])).toDF("id", "s")
+        .withColumn("payload", col("s").cast("binary")).drop("s"))
+    val out = Binary.decodeStage(withNull, "payload")
+      .select("id", "media_info.ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(3L) == false && out(1L) == true)
   }
 }

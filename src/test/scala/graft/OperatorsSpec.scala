@@ -257,10 +257,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
-  test("Events.histogram clamps overflow into last bucket") {
-    val df = Seq(0.0, 24.9, 25.0, 499.0, 750.0).toDF("value")
+  test("Events.histogram clamps out-of-range values into edge buckets") {
+    val df = Seq(-5.0, 0.0, 24.9, 25.0, 499.0, 750.0).toDF("value")
     val h = Events.histogram(df, "value", 0.0, 500.0, 20)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(h.toSeq == Seq((0L, 2L), (1L, 1L), (19L, 2L)))
+    assert(h.toSeq == Seq((0L, 3L), (1L, 1L), (19L, 2L)))
+  }
+
+  test("AsofJoin carries null payload VALUES from the matched row (no stitching)") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min.toLong * 60000)
+    val quotes = Seq(
+      (1L, ts(0), 100L, Some(10.0)),
+      (1L, ts(10), 101L, None),       // latest row has a NULL px
+    ).toDF("k", "ts", "qid", "px")
+    val trades = Seq((1L, ts(20), 900L)).toDF("k", "ts", "tid")
+    val out = graft.operators.AsofJoin.join(trades, quotes, Seq("k"),
+        "ts", tiebreakCol = "qid", rightCols = Seq("qid", "px")).head()
+    assert(out.getAs[Long]("right_qid") == 101L)
+    assert(out.isNullAt(out.fieldIndex("right_px")), "stale px must not resurrect")
   }
 }
