@@ -32,8 +32,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
   /** Apply step: rows that survive exact dedup (id == group winner).
-    * One shuffle on the fingerprint; winners picked via min_by so the
-    * whole row survives without a second join against the input. */
+    * One shuffle on the fingerprint; the winner is the min-id row via a
+    * row_number window over that partitioning, so the whole row
+    * survives without a second join against the input. */
   def dropExactDuplicates(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
     val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")

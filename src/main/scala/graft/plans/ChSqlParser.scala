@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** ClickHouse parametric-aggregate SQL syntax on Spark.
+  *
+  * ClickHouse spells parameterized aggregates as two call lists —
+  * `quantile(0.5)(x)`, `quantiles(0.25, 0.75)(x)`, `topK(5)(v)` —
+  * which Spark's grammar can't parse (the second list parses as a
+  * lambda-less call on a call). This delegating parser flattens the
+  * two lists into one (`quantile(0.5, x)`) BEFORE the real parser
+  * runs; [[ChDialect]] registers the flattened names to the native
+  * expressions (Percentile, [[GraftTopK]]), so the rest of the
+  * pipeline — analysis, partial aggregation, codegen — is stock
+  * Catalyst. Injected by [[GraftExtensions]] via `injectParser`.
+  *
+  * The rewrite is purely textual and scoped to the known parametric
+  * names; the parameter list of a parametric aggregate is literals by
+  * construction (ClickHouse requires constants there), so the
+  * non-nested `[^()]*` match is exact, and occurrences inside string
+  * literals are left alone by requiring a word boundary + the double
+  * call shape.
+  */
+class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import ChSqlParser.rewriteParametric
+
+  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewriteParametric(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewriteParametric(sqlText))
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(rewriteParametric(sqlText))
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+object ChSqlParser {
+  /** `name(params)(args` → `name(params, args` for the parametric
+    * aggregate family. Non-parametric single-list calls of the same
+    * names (`quantile(0.5, x)`) don't match (no second `(`). */
+  private val Parametric =
+    """\b(quantile|quantiles|quantileExact|topK)\s*\(([^()]*)\)\s*\(""".r
+
+  def rewriteParametric(sql: String): String =
+    Parametric.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
+}

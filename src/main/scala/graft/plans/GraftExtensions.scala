@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayEqCount(children.head, children(1))
       }))
     ChDialect.register(ext)
+    // ClickHouse parametric-aggregate spelling (quantile(0.5)(x)) —
+    // flattened pre-parse, resolved through the registrations above.
+    ext.injectParser((_, parser) => new ChSqlParser(parser))
   }
 }

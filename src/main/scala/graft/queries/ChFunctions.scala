@@ -59,15 +59,21 @@ object ChFunctions {
             WHERE rn <= 5 ORDER BY event_type, cnt DESC, user_id"""),
   )
 
-  /** groupArray with deterministic order (sorted). */
+  /** groupArray with deterministic order (sorted). The array itself is
+    * the operator under test (ch.groupArraySorted); the registry output
+    * serializes it to a ','-joined string because the driver's oracle
+    * harness sorts/hashes pandas values, and raw array cells crash its
+    * sort path (SURVEY §5 scalar-output convention). */
   val q24 = GraftQuery(
     "q24_grouparray",
     (s, dir) => Tables(s, dir).orders
       .groupBy(col("o_custkey"))
-      .agg(ch.groupArraySorted(col("o_orderkey")).as("orderkeys"),
+      .agg(array_join(ch.groupArraySorted(col("o_orderkey")), ",").as("orderkeys"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("o_custkey")),
-    Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n_orders
+    Some("""SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+                   count(*) AS n_orders
             FROM orders GROUP BY 1 ORDER BY o_custkey"""),
   )
 
@@ -155,5 +161,89 @@ object ChFunctions {
             FROM events GROUP BY 1, 5 HAVING k_mod < 5 ORDER BY month, k_mod"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29)
+  /** The reference's emitted category query, VERBATIM (text copied from
+    * /root/reference/src/corpus/orm_none.txt:462-468 with an empty
+    * whereClause). `if`/`empty` resolve through ChDialect; GROUP BY
+    * binds to the source column in both engines. The `expenses` view
+    * maps orders → the app's expense shape, with one priority mapped
+    * to '' so the empty() branch is exercised; `amount` is an
+    * integer-valued double so SUM is exact (bit-equal across engines
+    * with no rounding — the query text can't be touched). */
+  val q29b = GraftQuery(
+    "q29b_corpus_category",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", lit("")).otherwise(col("o_orderpriority")).as("category"),
+          round(col("o_totalprice")).as("amount"))
+        .createOrReplaceTempView("expenses")
+      s.sql("""SELECT
+        if(empty(category), 'Uncategorized', category) as category,
+        COUNT(*) as count,
+        SUM(amount) as total
+       FROM expenses
+       GROUP BY category
+       ORDER BY total DESC""")
+    },
+    Some("""WITH expenses AS (
+              SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN '' ELSE o_orderpriority END AS category,
+                     round(o_totalprice) AS amount
+              FROM orders)
+            SELECT CASE WHEN category IS NULL OR category = '' THEN 'Uncategorized' ELSE category END AS category,
+                   COUNT(*) AS "count",
+                   SUM(amount) AS total
+            FROM expenses
+            GROUP BY expenses.category
+            ORDER BY total DESC"""),
+  )
+
+  /** ClickHouse parametric-aggregate spelling through spark.sql —
+    * `quantile(0.5)(x)` / `quantiles(…)(x)` / `median(x)` parse via
+    * ChSqlParser and resolve to native Percentile. Same semantics as
+    * q22's DataFrame facade, now in the dialect itself. */
+  val q22b = GraftQuery(
+    "q22b_parametric_quantile",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag,
+                      round(quantile(0.5)(l_quantity), 4) AS p50,
+                      round(quantile(0.9)(l_quantity), 4) AS p90,
+                      round(quantiles(0.25, 0.75)(l_quantity)[1], 4) AS p75,
+                      round(median(l_quantity), 4) AS med
+               FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS med
+            FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+  )
+
+  /** ClickHouse `topK(5)(user_id)` through spark.sql → GraftTopK, the
+    * native exact top-frequency aggregate (count desc, value asc —
+    * deterministic, so unlike ClickHouse's SpaceSaving sketch this IS
+    * oracle-able). Output stringified per the SURVEY §5 scalar-output
+    * convention. */
+  val q23b = GraftQuery(
+    "q23b_parametric_topk",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type,
+                      array_join(transform(topK(5)(user_id), x -> cast(x AS STRING)), ',') AS top_users
+               FROM events_v GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH counted AS (
+              SELECT event_type, user_id, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY count(*) DESC, user_id) AS rn
+              FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   array_to_string(list(CAST(user_id AS VARCHAR) ORDER BY cnt DESC, user_id), ',') AS top_users
+            FROM counted WHERE rn <= 5
+            GROUP BY 1 ORDER BY event_type"""),
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q28, q29, q29b)
 }

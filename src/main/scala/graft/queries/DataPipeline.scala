@@ -129,15 +129,19 @@ object DataPipeline {
              FROM reach GROUP BY 1 ORDER BY doc_id"""),
   )
 
-  /** Embedding-cosine near-dup pairs above 0.4 (exact all-pairs over
-    * the bounded embeddings table; q51 is the bucketed path). */
+  /** Embedding-cosine near-dup pairs above 0.4 — the exact-pairwise
+    * anchor, deliberately bounded to a fixed 1000-vector slice (same
+    * convention as q41's 300-doc slice) so the O(n²) broadcast-cross
+    * plan has a provably bounded input at ANY scale factor; q51's
+    * LSH bucketing is the unbounded-corpus path. */
   val q44 = GraftQuery(
     "q44_embedding_dup",
     (s, dir) => Similarity.embeddingDupPairs(
-        Tables(s, dir).embeddings, "vec_id", "embedding", minCos = 0.4)
+        Tables(s, dir).embeddings.where(col("vec_id") < 1000),
+        "vec_id", "embedding", minCos = 0.4)
       .orderBy("id_a", "id_b"),
     Some("""WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
+                       FROM embeddings WHERE vec_id < 1000),
                  n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
