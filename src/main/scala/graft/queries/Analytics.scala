@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftQuery
 import graft.functions.ch
-import graft.sources.Tables
+import graft.sources.{MergeTreeWrite, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -233,6 +233,42 @@ object Analytics {
             GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
   )
 
+  /** q15's fact⋈fact join on a BUCKETED layout: both facts are landed
+    * once via [[graft.sources.MergeTreeWrite.writeBucketed]] hashed on
+    * the join key (the MergeTree ORDER-BY-locality analog), so the
+    * join itself plans with ZERO Exchange — each task zips bucket i
+    * with bucket i, and the downstream groupBy(o_orderkey, …) reuses
+    * the same clustering, so the aggregate needs no shuffle either.
+    * `hint("merge")` keeps the demonstration honest at small SF where
+    * the optimizer would otherwise broadcast `orders`; at 100 TB
+    * neither side is broadcastable and this bucketed plan IS the only
+    * shuffle-free option. Results identical to q15 (same oracle). */
+  val q15b = GraftQuery(
+    "q15b_bucketed_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ordersTbl, lineitemTbl) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+      if (!s.catalog.tableExists(ordersTbl)) {
+        MergeTreeWrite.writeBucketed(t.orders, ordersTbl,
+          s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", 8, Seq("o_orderkey"))
+        MergeTreeWrite.writeBucketed(t.lineitem, lineitemTbl,
+          s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+      }
+      s.table(ordersTbl).where(col("o_orderstatus") === "O").hint("merge")
+        .join(s.table(lineitemTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+  )
+
   // ---- Wave C: window functions ----
 
   val q16 = GraftQuery(
@@ -329,5 +365,5 @@ object Analytics {
   )
 
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-                                 q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+                                 q11, q12, q13, q14, q15, q15b, q16, q17, q18, q19, q20)
 }

@@ -42,6 +42,33 @@ object MergeTreeWrite {
     clustered.write.mode(mode).partitionBy(partCols: _*).parquet(path)
   }
 
+  /** Bucketed write — the co-located-join layout MergeTree gets from
+    * a shared ORDER BY prefix. Both sides of a recurring fact⋈fact
+    * join are landed pre-hashed into the SAME bucket scheme
+    * (`numBuckets` × hash(bucketCol)), so the join needs no Exchange
+    * at read time: each task zips bucket i with bucket i. `sortBy`
+    * additionally pre-sorts inside each bucket file, letting
+    * sort-merge joins skip their Sort too.
+    *
+    * Spark persists bucketing metadata in the table catalog, not the
+    * files, so this goes through `saveAsTable` with an explicit
+    * external `path`. Bucket count is the at-scale knob: it fixes the
+    * join parallelism for every downstream co-located join (1024 is a
+    * sane 100 TB default; tests use 8).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCol: String, numBuckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    val sorted = sortCols match {
+      case Nil          => w
+      case head +: tail => w.sortBy(head, tail: _*)
+    }
+    sorted.format("parquet").saveAsTable(tableName)
+  }
+
   /** Compaction pass (the OPTIMIZE FINAL analog): rewrite one
     * partition directory into `numFiles` sorted files. */
   def compact(dfForPartition: DataFrame, path: String,

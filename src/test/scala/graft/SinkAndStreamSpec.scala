@@ -32,6 +32,22 @@ class SinkAndStreamSpec extends SparkSpec {
     assert(!scan.contains("month=2026-02"))
   }
 
+  test("MergeTreeWrite.writeBucketed gives a zero-Exchange co-located join") {
+    val left = (1L to 200L).map(i => (i, s"o_$i")).toDF("k", "ov")
+    val right = (1L to 600L).map(i => (i % 200 + 1, s"l_$i")).toDF("k", "lv")
+    val base = Files.createTempDirectory("bkt").toString
+    MergeTreeWrite.writeBucketed(left, "bkt_left_spec", s"$base/left", "k", 4, Seq("k"))
+    MergeTreeWrite.writeBucketed(right, "bkt_right_spec", s"$base/right", "k", 4, Seq("k"))
+    val joined = spark.table("bkt_left_spec").hint("merge")
+      .join(spark.table("bkt_right_spec"), "k")
+    assert(joined.count() == 600)
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: bucket i zips with bucket i — no shuffle on either side
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("SelectedBucketsCount: 4 out of 4"))
+  }
+
   test("WindowedAgg.tumbling aggregates event-time windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
