@@ -113,19 +113,81 @@ object Similarity {
     * every vector to one of `nlist` cells; a probe scores only the
     * vectors in its `nprobe` nearest cells. The classic trade: scan
     * cost drops to ~nprobe/nlist of brute force, recall controlled by
-    * nprobe. Index build is one MLlib KMeans fit (seeded) + one
-    * assignment pass; at 100 TB fit on a sample, assign in one
-    * map-side pass, and partition the stored table by `cell` so a
-    * probe's scan prunes to nprobe partitions. */
-  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    * nprobe.
+    *
+    * The 100 TB shape of each stage:
+    *  - [[ivfFit]] runs MLlib k-means on a SAMPLE — centroid geometry
+    *    converges at a tiny fraction of the corpus, so the fit never
+    *    scans the full table;
+    *  - [[nearestCell]] assigns in ONE map-side pass of `nlist`
+    *    codegen'd dot products (no MLlib transform, no shuffle, no
+    *    vector-type conversion of the stored rows);
+    *  - [[ivfWrite]] lands the table partitioned by `cell`, so a
+    *    probe's scan prunes to `nprobe` directories at the file index
+    *    — the inverted file IS the storage layout.
+    */
+  def ivfFit(df: DataFrame, vecCol: String, nlist: Int,
+             sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.withColumn("__features", array_to_vector(vec.toDoubleArr(col(vecCol))))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cell").fit(feat)
-    val assigned = model.transform(feat).drop("__features")
-    (assigned, model.clusterCenters.map(_.toArray))
+    val sampled = if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed)
+    val feat = sampled.withColumn("__features", array_to_vector(vec.toDoubleArr(col(vecCol))))
+    new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(feat).clusterCenters.map(_.toArray)
+  }
+
+  /** Nearest-centroid cell id as a pure column expression: argmin over
+    * `nlist` cells of d²(v,c) = |v|² − 2·v·c + |c|². The |v|² term is
+    * constant across cells, so only (|c|² − 2·v·c) is scored —
+    * `nlist` codegen'd dot products per row, ties to the lowest cell
+    * id via struct ordering. */
+  def nearestCell(vecCol: Column, centers: Array[Array[Double]]): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * vec.dot(vecCol, lit(c))).as("d2"),
+             lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** Land `df` with its cell assignment, partitioned by `cell` on
+    * disk. The repartition-by-cell before the write keeps it to one
+    * writer wave per cell directory (no small-file spray). */
+  def ivfWrite(df: DataFrame, vecCol: String, centers: Array[Array[Double]], path: String): Unit =
+    df.withColumn("cell", nearestCell(col(vecCol), centers))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  /** Driver-side: indexes of the `nprobe` cells whose centroids are
+    * nearest to the probe (euclidean). O(nlist·dim) — trivial. */
+  def nearestCells(probe: Array[Double], centers: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+
+  /** Exact top-k cosine over a stored IVF table, scanning ONLY the
+    * `nprobe` nearest cell partitions — the `cell IN (…)` predicate is
+    * a partition filter, so pruning happens at the file index before a
+    * byte is read (the spec asserts `inputFiles` covers ≤ nprobe
+    * directories). */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centers: Array[Array[Double]], idCol: String, vecCol: String,
+                    probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val pd = probe.map(_.toDouble)
+    val cells = nearestCells(pd, centers, nprobe)
+    val cand = spark.read.parquet(path).where(col("cell").isin(cells: _*))
+    scoreAgainstProbe(cand, idCol, vecCol, pd, k)
+  }
+
+  /** In-memory IVF pair (assigned table, centroids) — the small-data
+    * convenience path; same fit/assign machinery as the stored form. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, seed: Long = 42L,
+               sampleFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
+    val centers = ivfFit(df, vecCol, nlist, sampleFraction, seed)
+    (df.withColumn("cell", nearestCell(col(vecCol), centers)), centers)
   }
 
   /** Exact top-k cosine within the `nprobe` cells nearest (by
@@ -135,14 +197,15 @@ object Similarity {
               probe: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val (assigned, centers) = indexed
     val pd = probe.map(_.toDouble)
-    val cells = centers.zipWithIndex
-      .map { case (c, i) =>
-        val d2 = c.zip(pd).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d2)
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
+    val cand = assigned.where(col("cell").isin(nearestCells(pd, centers, nprobe): _*))
+    scoreAgainstProbe(cand, idCol, vecCol, pd, k)
+  }
+
+  /** Exact cosine of every candidate against one probe vector, top-k
+    * by TakeOrderedAndProject (scored rows never shuffle). */
+  private def scoreAgainstProbe(cand: DataFrame, idCol: String, vecCol: String,
+                                pd: Array[Double], k: Int): DataFrame = {
     val pn = math.sqrt(pd.map(x => x * x).sum)
-    val cand = assigned.where(col("cell").isin(cells.toSeq: _*))
     withNorm(cand, vecCol)
       .select(col(idCol),
         round(vec.cosineWithNorms(vec.dot(col(vecCol), lit(pd)), col("__norm"), lit(pn)), 4).as("cos"))

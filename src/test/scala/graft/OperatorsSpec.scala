@@ -129,6 +129,40 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getDouble(1) > 0.99)
   }
 
+  test("Similarity IVF stored layout prunes the scan to nprobe cell partitions") {
+    val rnd = new scala.util.Random(7L)
+    val base = Seq.tabulate(400) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val probe = base(42)._2.clone()
+    probe(3) += 0.01f // near-dup of vector 42
+    val df = base.toDF("vec_id", "embedding")
+    // fit on a 50% sample — centroid geometry doesn't need the corpus
+    val centers = Similarity.ivfFit(df, "embedding", nlist = 8, sampleFraction = 0.5, seed = 1L)
+    assert(centers.length == 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.ivfWrite(df, "embedding", centers, path)
+    // every vector landed in exactly one cell, none lost
+    assert(spark.read.parquet(path).count() == 400)
+    val nprobe = 3
+    val top = Similarity.ivfTopKStored(spark, path, centers, "vec_id", "embedding",
+      probe, k = 3, nprobe = nprobe)
+    val got = top.collect()
+    assert(got.head.getLong(0) == 42L, "pruned scan must surface the planted near-dup")
+    assert(got.head.getDouble(1) > 0.99)
+    // pruning is physical: the executed scan read <= nprobe cell partitions
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val finalPlan = top.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val scan = finalPlan.collect { case s: FileSourceScanExec => s }.head
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead > 0 && partsRead <= nprobe,
+      s"expected <= $nprobe cell partitions read, got $partsRead")
+  }
+
   test("Similarity.knnJoin returns k rows per probe, self first") {
     val knn = Similarity.knnJoin(vecs.where($"vec_id" === 1L), vecs, "vec_id", "embedding", k = 3)
       .orderBy("rn").collect()
