@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * 2-3× total cores; AQE coalesces the excess).
   */
 object GraftSession {
+  /** Broadcast-join threshold. 64 MB comfortably broadcasts every dim
+    * table at test scale; at 100× the `part`/`customer` dims outgrow
+    * it and the dim joins silently fall back to shuffle joins (AQE
+    * still localizes them when runtime stats allow). If executor
+    * memory supports it, raise via SPARK_GRAFT_BROADCAST_MB so
+    * star-schema joins stay broadcast at the real scale factor —
+    * this is the one knob to revisit before a 100 TB run. */
+  private def broadcastBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong * 1024 * 1024
+
   def builder(appName: String = "graft",
               master: Option[String] = None,
               shufflePartitions: Option[Int] = None): SparkSession.Builder = {
@@ -25,7 +35,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes.toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     master.orElse(Some(s"local[$cores]")).foldLeft(b)(_ master _)
   }
