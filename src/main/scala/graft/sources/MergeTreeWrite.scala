@@ -69,6 +69,26 @@ object MergeTreeWrite {
     sorted.format("parquet").saveAsTable(tableName)
   }
 
+  /** Register an ALREADY-written bucketed layout in the catalog
+    * without rewriting it (bucket ids live in the file names, the
+    * bucket SPEC lives in the catalog — a fresh session must re-declare
+    * it). The spec passed here must match the one used at write time;
+    * mismatched declarations would silently mis-bucket joins, so only
+    * point this at directories produced by [[writeBucketed]]. */
+  def registerBucketed(spark: org.apache.spark.sql.SparkSession,
+                       tableName: String, path: String,
+                       bucketCol: String, numBuckets: Int,
+                       sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")}) " else ""
+    // bucketed CREATE TABLE requires an explicit column list — derive
+    // it from the parquet footer (a metadata read, not a scan)
+    val schemaDdl = spark.read.parquet(path).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $tableName ($schemaDdl) USING parquet
+         |CLUSTERED BY ($bucketCol) ${sorted}INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
   /** Compaction pass (the OPTIMIZE FINAL analog): rewrite one
     * partition directory into `numFiles` sorted files. */
   def compact(dfForPartition: DataFrame, path: String,
