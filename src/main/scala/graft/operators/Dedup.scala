@@ -101,11 +101,13 @@ object Dedup {
       ngram: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val tok = shingleSet(df, idCol, normCol, ngram)
-    val minhashAggs = (0 until numHashes).map(i => min(xxhash64(col("t"), lit(i))).as(s"h$i"))
-    val sig = tok.groupBy(col(idCol))
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // the whole signature is ONE map-side expression per document
+    // ([[graft.plans.MinHashSignature]]): no shingle explode, no
+    // 30-80× row blowup through a shuffle, no k-wide aggregate — the
+    // only shuffle in this operator is the band-bucket join below
+    val sig = df.select(col(idCol),
+        call_function("graft_minhash_sig", col(normCol), lit(ngram), lit(numHashes)).as("sig"))
+      .where(col("sig").isNotNull)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
@@ -165,15 +167,12 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, idCol: String, normCol: String,
       maxHamming: Int = 3, ngram: Int = 3): DataFrame = {
-    val tok = shingleSet(df, idCol, normCol, ngram).withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
-    }
-    val agged = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val hashed = agged.select(col(idCol), sim.as("simhash"))
+    // one map-side expression per document ([[graft.plans.SimHash64]]):
+    // majority vote over shingle-hash bits computed in a tight loop,
+    // replacing the explode + 64-aggregate-buffer shuffle
+    val hashed = df.select(col(idCol),
+        call_function("graft_simhash64", col(normCol), lit(ngram)).as("simhash"))
+      .where(col("simhash").isNotNull)
     val chunks = hashed.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))

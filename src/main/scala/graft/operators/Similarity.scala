@@ -54,25 +54,25 @@ object Similarity {
   /** Max embedding dimensionality the pre-generated hyperplanes cover.
     * [[graft.plans.DotProduct]] scores the common prefix, so planes are
     * generated once at this width and work for any dim ≤ MaxDim. */
-  val MaxDim = 1024
+  val MaxDim: Int = graft.plans.Hyperplanes.MaxDim
 
-  /** Deterministic ±1 hyperplane for plane index `p`: seeded
-    * java.util.Random (LCG semantics are part of the JDK spec, so the
-    * planes are identical on every JVM/executor). Materialized
-    * driver-side and shipped as an array literal — the executor-side
-    * bucket computation is then `numPlanes` codegen'd dot products,
-    * no per-element hashing. */
-  private def plane(p: Int): Array[Double] = {
-    val rnd = new java.util.Random(0x5EED0000L + p)
-    Array.fill(MaxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
+  /** Deterministic ±1 hyperplane for plane index `p` (shared with the
+    * batched [[graft.plans.LshBucketIds]] expression, so both
+    * formulations bucket identically). */
+  private def plane(p: Int): Array[Double] = graft.plans.Hyperplanes.plane(p)
 
   /** Random-hyperplane LSH bucket id: `numPlanes` sign bits, planes
     * `planeOffset until planeOffset + numPlanes` (offset gives each
-    * hash table an independent plane set). */
-  def lshBucket(vecCol: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
+    * hash table an independent plane set). Pass the embedding `dim`
+    * when known: the plane literals embedded in the plan shrink from
+    * MaxDim to dim doubles each — same bucket ids (the dot scores the
+    * common prefix either way), dramatically lighter plan analysis /
+    * serialization when dim ≪ MaxDim. */
+  def lshBucket(vecCol: Column, numPlanes: Int, planeOffset: Int = 0,
+                dim: Int = MaxDim): Column = {
+    val d = math.min(dim, MaxDim)
     val bits = (0 until numPlanes).map { p =>
-      when(vec.dot(vecCol, lit(plane(planeOffset + p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(vec.dot(vecCol, lit(plane(planeOffset + p).take(d))) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -86,16 +86,19 @@ object Similarity {
     * the only shuffle and is bounded by bucket occupancy. */
   def lshAnnPairs(df: DataFrame, idCol: String, vecCol: String,
                   numPlanes: Int = 8, numTables: Int = 4,
-                  minCos: Double = 0.3): DataFrame = {
-    val buckets = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col(vecCol), numPlanes, planeOffset = t * numPlanes).as("bk"))
-    }
+                  minCos: Double = 0.3, dim: Int = MaxDim): DataFrame = {
+    // All table bucket ids in ONE batched expression
+    // ([[graft.plans.LshBucketIds]]): the candidate-join stage sees a
+    // single cheap expression per side instead of numTables×numPlanes
+    // inlined dot loops (which blew past codegen size limits and fell
+    // back to per-element interpreted eval).
     // Bucket join carries ONLY (id, table, bucket); vectors rejoin
     // after pair dedup, so each candidate pair ships its two vectors
     // through a shuffle exactly once.
     val keyed = df
-      .select(col(idCol), explode(array(buckets: _*)).as("b"))
-      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bk").as("bk"))
+      .select(col(idCol),
+        posexplode(call_function("graft_lsh_buckets", col(vecCol), lit(numPlanes), lit(numTables))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
     val cand = keyed.toDF("id_a", "tbl", "bk")
       .join(keyed.toDF("id_b", "tbl", "bk"), Seq("tbl", "bk"))
       .where(col("id_a") < col("id_b"))

@@ -28,6 +28,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_array_eq_count takes exactly 2 arguments")
         ArrayEqCount(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_minhash_sig takes (text, nGram, numHashes)")
+        MinHashSignature(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBucketIds].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_lsh_buckets takes (vec, numPlanes, numTables)")
+        LshBucketIds(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_simhash64 takes (text, nGram)")
+        SimHash64(children.head, children(1))
+      }))
     ChDialect.register(ext)
     // ClickHouse parametric-aggregate spelling (quantile(0.5)(x)) —
     // flattened pre-parse, resolved through the registrations above.

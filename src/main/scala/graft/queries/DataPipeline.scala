@@ -176,7 +176,7 @@ object DataPipeline {
     "q51_ann_lsh",
     (s, dir) => Similarity.lshAnnPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding",
-        numPlanes = 8, numTables = 8, minCos = 0.4)
+        numPlanes = 8, numTables = 8, minCos = 0.4, dim = 64)
       .orderBy("id_a", "id_b"),
     None,
   )

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev loop: repeat-time registry queries in one JVM to separate
+  * first-run cost (analysis + codegen + JIT) from steady-state
+  * execution — `Bench` charges each query exactly once, so a slow
+  * line there can be either, and the fix differs (plan size vs
+  * actual work). Usage: Probe [queryName...] (defaults to the LSH
+  * dedup family); SPARK_GRAFT_SF_DIR picks the scale factor. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.read.parquet(s"$dir/region.parquet").count()
+    val qs = if (args.nonEmpty) args.toSeq
+             else Seq("q42_minhash_lsh", "q43_simhash", "q51_ann_lsh")
+    for (q <- qs; rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, dir).collect().length
+      println(f"$q rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
