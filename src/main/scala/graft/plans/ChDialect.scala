@@ -88,6 +88,101 @@ object ChDialect {
       case _         => throw new IllegalArgumentException("topK takes (k)(expr)")
     }),
     "groupArray" -> (es => CollectList(es.head)),
+    "groupUniqArray" -> (es => SortArray(CollectSet(es.head).toAggregateExpression(), Literal(true))),
+    "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
+    "uniqCombined" -> (es => HyperLogLogPlusPlus(es.head)),
+    "anyLast" -> (es => Last(es.head, ignoreNulls = true)),
+    "avgWeighted" -> (es =>
+      Divide(Sum(Multiply(es(0), es(1))).toAggregateExpression(),
+             Sum(es(1)).toAggregateExpression())),
+    // -- type conversions (toXxx family; Cast has ClickHouse's
+    // accurateCast semantics under ANSI mode, which the engine runs)
+    "toFloat64"  -> (es => Cast(es.head, org.apache.spark.sql.types.DoubleType)),
+    "toFloat32"  -> (es => Cast(es.head, org.apache.spark.sql.types.FloatType)),
+    "toInt64"    -> (es => Cast(es.head, LongType)),
+    "toInt32"    -> (es => Cast(es.head, org.apache.spark.sql.types.IntegerType)),
+    "toString"   -> (es => Cast(es.head, org.apache.spark.sql.types.StringType)),
+    "toDateTime" -> (es => Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+    // -- date parts (CH numbering: toDayOfWeek is ISO Monday=1..Sunday=7)
+    "toYear"       -> (es => Year(es.head)),
+    "toQuarter"    -> (es => Quarter(es.head)),
+    "toMonth"      -> (es => Month(es.head)),
+    "toDayOfMonth" -> (es => DayOfMonth(es.head)),
+    "toDayOfYear"  -> (es => DayOfYear(es.head)),
+    "toDayOfWeek"  -> (es => Add(WeekDay(es.head), Literal(1))),
+    "toHour"       -> (es => Hour(es.head)),
+    "toMinute"     -> (es => Minute(es.head)),
+    "toSecond"     -> (es => Second(es.head)),
+    "toYYYYMMDD"   -> (es => DateFormatClass(es.head, Literal("yyyyMMdd"))),
+    "today"        -> (_  => CurrentDate()),
+    "yesterday"    -> (_  => DateAdd(CurrentDate(), Literal(-1))),
+    // -- date arithmetic (add*/subtract* take (ts, n))
+    "addYears"    -> (es => TimestampAdd("YEAR", es(1), es(0))),
+    "addMonths"   -> (es => TimestampAdd("MONTH", es(1), es(0))),
+    "addWeeks"    -> (es => TimestampAdd("WEEK", es(1), es(0))),
+    "addDays"     -> (es => TimestampAdd("DAY", es(1), es(0))),
+    "addHours"    -> (es => TimestampAdd("HOUR", es(1), es(0))),
+    "addMinutes"  -> (es => TimestampAdd("MINUTE", es(1), es(0))),
+    "addSeconds"  -> (es => TimestampAdd("SECOND", es(1), es(0))),
+    "subtractDays"   -> (es => TimestampAdd("DAY", UnaryMinus(es(1)), es(0))),
+    "subtractMonths" -> (es => TimestampAdd("MONTH", UnaryMinus(es(1)), es(0))),
+    // dateDiff('unit', start, end): ClickHouse counts UNIT BOUNDARY
+    // crossings (dateDiff('day', 23:59, 00:01) = 1), not elapsed full
+    // units — so each unit maps to a boundary-exact formulation, not
+    // to timestampdiff. Spark's grammar owns the bare name `dateDiff`
+    // (unquoted-unit timestampdiff alias), so [[ChSqlParser]] reroutes
+    // the quoted-unit ClickHouse spelling to this registration.
+    "graft_dateDiff" -> (es => {
+      val (s, e) = (es(1), es(2))
+      def toDate(x: Expression) = Cast(x, DateType)
+      def monthIdx(x: Expression) = Add(Multiply(Year(x), Literal(12)), Month(x))
+      // timestamp → long casts to epoch SECONDS in Spark
+      def secIdx(x: Expression, unit: Long) =
+        Cast(new IntegralDivide(Cast(Cast(x, org.apache.spark.sql.types.TimestampType), LongType),
+          Literal(unit)), LongType)
+      val unit = es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString.toLowerCase
+        case other => throw new IllegalArgumentException(s"dateDiff unit must be a literal, got $other")
+      }
+      unit match {
+        case "day"     => Cast(DateDiff(toDate(e), toDate(s)), LongType)
+        case "week"    => Cast(new IntegralDivide(
+          Cast(DateDiff(TruncDate(toDate(e), Literal("week")), TruncDate(toDate(s), Literal("week"))), LongType),
+          Literal(7L)), LongType)
+        case "month"   => Cast(Subtract(monthIdx(e), monthIdx(s)), LongType)
+        case "quarter" => Cast(new IntegralDivide(Cast(Subtract(monthIdx(e), monthIdx(s)), LongType), Literal(3L)), LongType)
+        case "year"    => Cast(Subtract(Year(e), Year(s)), LongType)
+        case "hour"    => Subtract(secIdx(e, 3600L), secIdx(s, 3600L))
+        case "minute"  => Subtract(secIdx(e, 60L), secIdx(s, 60L))
+        case "second"  => Subtract(secIdx(e, 1L), secIdx(s, 1L))
+        case u => throw new IllegalArgumentException(s"dateDiff: unsupported unit '$u'")
+      }
+    }),
+    "formatDateTime" -> (es => DateFormatClass(es.head, es(1))),
+    // -- strings (CH names; Spark length/lower/upper are already
+    // code-point-correct, so the UTF8 variants map to the same exprs)
+    "lengthUTF8" -> (es => Length(es.head)),
+    "lowerUTF8"  -> (es => Lower(es.head)),
+    "upperUTF8"  -> (es => Upper(es.head)),
+    "position"   -> (es => new StringLocate(es(1), es(0))), // (haystack, needle) → 1-based, 0 absent
+    "positionCaseInsensitive" -> (es => new StringLocate(Lower(es(1)), Lower(es(0)))),
+    "replaceAll" -> (es => StringReplace(es(0), es(1), es(2))),
+    "replaceRegexpAll" -> (es => RegExpReplace(es(0), es(1), es(2))),
+    "splitByChar" -> (es => // (sep, s); \Q..\E-quote the separator for the regex engine
+      StringSplit(es(1), Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))),
+    "leftPad"  -> (es => StringLPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
+    "rightPad" -> (es => StringRPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
+    // -- arrays
+    "has"               -> (es => ArrayContains(es(0), es(1))),
+    "indexOf"           -> (es => ArrayPosition(es(0), es(1))),
+    "arrayConcat"       -> (es => Concat(es)),
+    "arraySlice"        -> (es => Slice(es(0), es(1), if (es.length > 2) es(2) else Literal(Int.MaxValue))),
+    "arraySort"         -> (es => SortArray(es.head, Literal(true))),
+    "arrayReverse"      -> (es => Reverse(es.head)),
+    "arrayDistinct"     -> (es => ArrayDistinct(es.head)),
+    "arrayUniq"         -> (es => Size(ArrayDistinct(es.head))),
+    "arrayStringConcat" -> (es =>
+      ArrayJoin(es.head, if (es.length > 1) es(1) else Literal(""), None)),
   )
 
   def register(ext: SparkSessionExtensions): Unit =

@@ -46,7 +46,15 @@ object ChSqlParser {
   private val Parametric =
     """\b(quantile|quantiles|quantileExact|topK)\s*\(([^()]*)\)\s*\(""".r
 
-  def rewriteParametric(sql: String): String =
-    Parametric.replaceAllIn(sql, m =>
+  /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
+    * which resolves to the boundary-crossing semantics in [[ChDialect]].
+    * Spark's own `dateDiff(DAY, …)` (unquoted unit, a grammar-level
+    * timestampdiff alias) doesn't match — the quote is required. */
+  private val QuotedDateDiff = """\bdateDiff\s*\(\s*'""".r
+
+  def rewriteParametric(sql: String): String = {
+    val flattened = Parametric.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
+    QuotedDateDiff.replaceAllIn(flattened, "graft_dateDiff('")
+  }
 }

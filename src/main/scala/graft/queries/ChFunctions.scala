@@ -244,6 +244,36 @@ object ChFunctions {
             GROUP BY 1 ORDER BY event_type"""),
   )
 
+  /** Round-2 dialect surface gauntlet: the type-conversion / date-part
+    * / date-arithmetic / string / array function families registered
+    * in ChDialect, exercised through spark.sql in ClickHouse spelling
+    * and oracle-checked against DuckDB's equivalents. dateDiff uses
+    * the quoted-unit ClickHouse form (boundary-crossing semantics,
+    * rerouted by ChSqlParser); DuckDB's date_diff counts boundaries
+    * too, so the two agree by construction. */
+  val q28b = GraftQuery(
+    "q28b_scalar_gauntlet",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_g")
+      s.sql("""SELECT CAST(toYear(o_orderdate) AS BIGINT) AS yr,
+                      replaceAll(lowerUTF8(o_orderpriority), '-', '_') AS prio,
+                      count(*) AS cnt,
+                      CAST(uniqExact(o_custkey) AS BIGINT) AS ncust,
+                      CAST(max(toDayOfWeek(o_orderdate)) AS BIGINT) AS max_dow,
+                      CAST(min(dateDiff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00')) AS BIGINT) AS min_days_left,
+                      leftPad(toString(toMonth(min(o_orderdate))), 2, '0') AS first_month
+               FROM orders_g GROUP BY 1, 2 ORDER BY yr, prio""")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   replace(lower(o_orderpriority), '-', '_') AS prio,
+                   count(*) AS cnt,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS ncust,
+                   CAST(max(isodow(o_orderdate)) AS BIGINT) AS max_dow,
+                   CAST(min(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00')) AS BIGINT) AS min_days_left,
+                   lpad(CAST(month(min(o_orderdate)) AS VARCHAR), 2, '0') AS first_month
+            FROM orders GROUP BY 1, 2 ORDER BY yr, prio"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q28, q29, q29b)
+    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q28, q28b, q29, q29b)
 }

@@ -84,6 +84,78 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getString(6) == "b")
   }
 
+  test("type/date dialect functions: toXxx family, add*/dateDiff boundary semantics") {
+    val r = spark.sql(
+      """SELECT toFloat64('2.5'), toInt64('7'), toString(42), toDate('2026-03-15'),
+               toYear(TIMESTAMP '2026-03-15 13:45:00'),
+               toQuarter(TIMESTAMP '2026-03-15 13:45:00'),
+               toDayOfWeek(TIMESTAMP '2026-03-15 13:45:00'),  -- Sunday → 7 (ISO)
+               toHour(TIMESTAMP '2026-03-15 13:45:00'),
+               toYYYYMMDD(TIMESTAMP '2026-03-15 13:45:00'),
+               addDays(TIMESTAMP '2026-03-15 13:45:00', 3),
+               subtractMonths(TIMESTAMP '2026-03-15 13:45:00', 2),
+               formatDateTime(TIMESTAMP '2026-03-15 13:45:00', 'yyyy/MM/dd')""").head()
+    assert(r.getDouble(0) == 2.5 && r.getLong(1) == 7L && r.getString(2) == "42")
+    assert(r.getDate(3).toString == "2026-03-15")
+    assert(r.getInt(4) == 2026 && r.getInt(5) == 1 && r.getInt(6) == 7 && r.getInt(7) == 13)
+    assert(r.getString(8) == "20260315")
+    assert(r.getTimestamp(9).toString == "2026-03-18 13:45:00.0")
+    assert(r.getTimestamp(10).toString == "2026-01-15 13:45:00.0")
+    assert(r.getString(11) == "2026/03/15")
+    // dateDiff counts BOUNDARY crossings (ClickHouse), not elapsed units
+    val d = spark.sql(
+      """SELECT dateDiff('day',   TIMESTAMP '2026-03-14 23:59:00', TIMESTAMP '2026-03-15 00:01:00'),
+               dateDiff('hour',  TIMESTAMP '2026-03-15 01:59:59', TIMESTAMP '2026-03-15 02:00:01'),
+               dateDiff('month', DATE '2026-01-31', DATE '2026-02-01'),
+               dateDiff('year',  DATE '2025-12-31', DATE '2026-01-01'),
+               dateDiff('week',  DATE '2026-03-15', DATE '2026-03-16')  -- Sun → Mon crosses ISO week
+        """).head()
+    assert(d.getLong(0) == 1L && d.getLong(1) == 1L)
+    assert(d.getLong(2) == 1L && d.getLong(3) == 1L && d.getLong(4) == 1L)
+  }
+
+  test("string/array dialect functions resolve with CH argument orders") {
+    val r = spark.sql(
+      """SELECT position('Hello world', 'world'), position('Hello', 'zzz'),
+               splitByChar(',', 'a,b,,c'),
+               replaceAll('a.b.c', '.', '-'),
+               arrayStringConcat(array('x','y','z'), '|'),
+               has(array(1, 2, 3), 2), indexOf(array(7, 8), 8),
+               arrayUniq(array(1, 1, 2)), arraySlice(array(1,2,3,4), 2, 2),
+               lengthUTF8('héllo'), leftPad('7', 3, '0')""").head()
+    assert(r.getInt(0) == 7 && r.getInt(1) == 0)
+    assert(r.getSeq[String](2) == Seq("a", "b", "", "c"))
+    assert(r.getString(3) == "a-b-c")
+    assert(r.getString(4) == "x|y|z")
+    assert(r.getBoolean(5) && r.getLong(6) == 2L)
+    assert(r.getInt(7) == 2)
+    assert(r.getSeq[Int](8) == Seq(2, 3))
+    assert(r.getInt(9) == 5)
+    assert(r.getString(10) == "007")
+  }
+
+  test("aggregate dialect functions: uniqExact/anyLast/avgWeighted/groupUniqArray") {
+    view
+    val r = spark.sql(
+      """SELECT uniqExact(user_id) AS u,
+               anyLast(etype) AS last_e,
+               avgWeighted(amount, user_id + 1) AS aw,
+               groupUniqArray(etype) AS types
+         FROM expenses""").head()
+    assert(r.getLong(0) == 7L)
+    assert(Set("view", "purchase").contains(r.getString(1)))
+    assert(r.getDouble(2) > 0)
+    assert(r.getSeq[String](3) == Seq("purchase", "view"))
+    // the drizzle corpus' exact aggregate spelling parses and runs
+    val corpus = spark.sql(
+      "SELECT COUNT(*) as count, sum(toFloat64(amount)) as total FROM expenses").head()
+    assert(corpus.getLong(0) == 300L && corpus.getDouble(1) == 44850.0)
+    val monthly = spark.sql(
+      """SELECT toStartOfMonth(toDate(date)) as month, sum(toFloat64(amount)) as total
+         FROM expenses GROUP BY month ORDER BY month""").collect()
+    assert(monthly.length == 3)
+  }
+
   test("conditional/argMax/uniq/JSON dialect functions resolve natively") {
     view
     val r = spark.sql(
