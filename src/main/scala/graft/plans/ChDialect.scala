@@ -183,6 +183,24 @@ object ChDialect {
     "arrayUniq"         -> (es => Size(ArrayDistinct(es.head))),
     "arrayStringConcat" -> (es =>
       ArrayJoin(es.head, if (es.length > 1) es(1) else Literal(""), None)),
+    // ClickHouse's arrayJoin is a row generator (one output row per
+    // element) — exactly Spark's explode, which the registry accepts
+    // in a SELECT list the same way ClickHouse does.
+    "arrayJoin" -> (es => Explode(es.head)),
+    // -- behavioral sequence aggregates (parametric spellings
+    // windowFunnel(w)(ts, c…) / sequenceMatch('p')(ts, c…) flattened
+    // by ChSqlParser, like quantile/topK)
+    "windowFunnel"  -> (es => GraftWindowFunnel(es.head, es(1), es.drop(2))),
+    "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2))),
+    // retention(c1, …, cN) → [c1 ever, c1 && c2 ever, …] as 0/1 ints
+    // (CH returns UInt8). Pure composition of bool_or partials — no
+    // custom state, full map-side combine.
+    "retention" -> (es => {
+      val flags = es.map(c => BoolOr(c).toAggregateExpression())
+      CreateArray(flags.zipWithIndex.map { case (f, i) =>
+        Cast(if (i == 0) f else And(flags.head, f), org.apache.spark.sql.types.IntegerType)
+      })
+    }),
   )
 
   def register(ext: SparkSessionExtensions): Unit =

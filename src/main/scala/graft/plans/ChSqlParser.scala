@@ -42,9 +42,12 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
 object ChSqlParser {
   /** `name(params)(args` → `name(params, args` for the parametric
     * aggregate family. Non-parametric single-list calls of the same
-    * names (`quantile(0.5, x)`) don't match (no second `(`). */
+    * names (`quantile(0.5, x)`) don't match (no second `(`). The param
+    * list is constants by construction (ClickHouse requires literals
+    * there): bare tokens without parens, or quoted strings which MAY
+    * contain parens (sequenceMatch's `'(?1).*(?2)'`). */
   private val Parametric =
-    """\b(quantile|quantiles|quantileExact|topK)\s*\(([^()]*)\)\s*\(""".r
+    """\b(quantile|quantiles|quantileExact|topK|windowFunnel|sequenceMatch)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].

@@ -113,6 +113,91 @@ object EventsAnalytics {
             FROM events GROUP BY 1 ORDER BY user_id"""),
   )
 
+  /** `windowFunnel(7d)` in its native parametric SQL spelling (the
+    * [[graft.plans.GraftWindowFunnel]] aggregate, strict_increase
+    * mode), oracle-checked against an exists-chain formulation: level
+    * L is reached iff a strictly-time-increasing cond1→…→condL chain
+    * exists whose last event is within the window of its first — the
+    * equivalence the aggregate's latest-start DP guarantees. One
+    * shuffle of (user, matching-event) pairs; the DuckDB self-joins
+    * are oracle-side only. */
+  val q75 = GraftQuery(
+    "q75_window_funnel",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_seq")
+      s.sql("""SELECT CAST(level AS BIGINT) AS level, count(*) AS n_users
+               FROM (SELECT user_id,
+                            windowFunnel(604800)(ts, event_type = 'signup',
+                              event_type = 'click', event_type = 'purchase') AS level
+                     FROM events_seq GROUP BY user_id) t
+               GROUP BY level ORDER BY level""")
+    },
+    Some("""WITH l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+                 l2 AS (SELECT DISTINCT a.user_id
+                        FROM events a JOIN events b USING (user_id)
+                        WHERE a.event_type = 'signup' AND b.event_type = 'click'
+                          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY),
+                 l3 AS (SELECT DISTINCT a.user_id
+                        FROM events a JOIN events b USING (user_id) JOIN events c USING (user_id)
+                        WHERE a.event_type = 'signup' AND b.event_type = 'click'
+                          AND c.event_type = 'purchase'
+                          AND b.ts > a.ts AND c.ts > b.ts AND c.ts <= a.ts + INTERVAL 7 DAY)
+            SELECT CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                             WHEN l2.user_id IS NOT NULL THEN 2
+                             WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level,
+                   count(*) AS n_users
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN l1 ON u.user_id = l1.user_id
+            LEFT JOIN l2 ON u.user_id = l2.user_id
+            LEFT JOIN l3 ON u.user_id = l3.user_id
+            GROUP BY 1 ORDER BY level"""),
+  )
+
+  /** `retention(cond…)` combinator — per-user flag vector, summed into
+    * cohort counts. Pure bool_or composition (no custom state). */
+  val q76 = GraftQuery(
+    "q76_retention_combinator",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_seq")
+      s.sql("""SELECT CAST(sum(element_at(r, 1)) AS BIGINT) AS w_signup,
+                      CAST(sum(element_at(r, 2)) AS BIGINT) AS w_click,
+                      CAST(sum(element_at(r, 3)) AS BIGINT) AS w_purchase,
+                      count(*) AS n_users
+               FROM (SELECT user_id, retention(event_type = 'signup',
+                       event_type = 'click', event_type = 'purchase') AS r
+                     FROM events_seq GROUP BY user_id) t""")
+    },
+    Some("""SELECT CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS w_signup,
+                   CAST(sum(CASE WHEN s AND c THEN 1 ELSE 0 END) AS BIGINT) AS w_click,
+                   CAST(sum(CASE WHEN s AND p THEN 1 ELSE 0 END) AS BIGINT) AS w_purchase,
+                   count(*) AS n_users
+            FROM (SELECT user_id, bool_or(event_type = 'signup') AS s,
+                         bool_or(event_type = 'click') AS c,
+                         bool_or(event_type = 'purchase') AS p
+                  FROM events GROUP BY user_id) t"""),
+  )
+
+  /** `sequenceMatch('(?1).*(?2).*(?3)')` — ordered-subsequence match
+    * per user; the oracle is the equivalent exists-chain. */
+  val q77 = GraftQuery(
+    "q77_sequence_match",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_seq")
+      s.sql("""SELECT CAST(count_if(m) AS BIGINT) AS n_matched, count(*) AS n_users
+               FROM (SELECT user_id, sequenceMatch('(?1).*(?2).*(?3)')(ts,
+                       event_type = 'view', event_type = 'click',
+                       event_type = 'purchase') AS m
+                     FROM events_seq GROUP BY user_id) t""")
+    },
+    Some("""WITH m AS (SELECT DISTINCT a.user_id
+                       FROM events a JOIN events b USING (user_id) JOIN events c USING (user_id)
+                       WHERE a.event_type = 'view' AND b.event_type = 'click'
+                         AND c.event_type = 'purchase'
+                         AND b.ts > a.ts AND c.ts > b.ts)
+            SELECT CAST(count(m.user_id) AS BIGINT) AS n_matched, count(*) AS n_users
+            FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN m USING (user_id)"""),
+  )
+
   /** Binary payload column + typed metadata extraction (multimodal
     * plumbing; payload here is the document text as opaque bytes). */
   val q80 = GraftQuery(
@@ -130,5 +215,5 @@ object EventsAnalytics {
             FROM documents ORDER BY doc_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q80)
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q80)
 }
