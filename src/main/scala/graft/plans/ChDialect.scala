@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{DateType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
@@ -24,6 +24,19 @@ object ChDialect {
 
   private def nullIfNot(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
+
+  private def lamVar(name: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(name))
+
+  /** `aggregate(arr, 0.0, (acc, x) -> acc + double(x), finish)` — the
+    * shared fold under arraySum/arrayAvg. */
+  private def sumFold(arr: Expression, finish: LambdaFunction): ArrayAggregate = {
+    val acc = lamVar("gr_acc")
+    val x   = lamVar("gr_x")
+    ArrayAggregate(arr, Literal(0.0d),
+      LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+      finish)
+  }
 
   /** name → (arity check, expression builder). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -187,11 +200,66 @@ object ChDialect {
     // element) — exactly Spark's explode, which the registry accepts
     // in a SELECT list the same way ClickHouse does.
     "arrayJoin" -> (es => Explode(es.head)),
+    // -- array higher-order functions. ClickHouse puts the lambda
+    // FIRST (`arrayMap(x -> x * 2, arr)`); Spark's HOF expressions
+    // take the collection first, so each registration swaps. The
+    // lambda parses as a LambdaFunction and the analyzer's standard
+    // HigherOrderFunction resolution binds its variables — same path
+    // as the built-in `transform`/`filter`.
+    "arrayMap"    -> (es => ArrayTransform(es(1), es.head)),
+    "arrayFilter" -> (es => ArrayFilter(es(1), es.head)),
+    "arrayExists" -> (es => ArrayExists(es(1), es.head)),
+    "arrayAll"    -> (es => ArrayForAll(es(1), es.head)),
+    // arrayCount/arrayFirst/arraySum/arrayAvg: the analyzer requires
+    // the ROOT of a lambda-taking call to itself be a
+    // HigherOrderFunction, so compositions like count = size∘filter
+    // are expressed as a single ArrayAggregate fold (with the
+    // division for avg in the fold's finish lambda) instead of a
+    // non-HOF wrapper around ArrayFilter.
+    "arrayCount" -> (es => {
+      val l = es.head.asInstanceOf[LambdaFunction]
+      val acc = lamVar("gr_acc")
+      ArrayAggregate(es(1), Literal(0),
+        LambdaFunction(Add(acc, If(l.function, Literal(1), Literal(0))), acc +: l.arguments),
+        LambdaFunction.identity)
+    }),
+    // First element of filter(arr, pred): the whole value is computed
+    // in the fold's ZERO (where a typed expression is allowed and the
+    // lambda sits under the HOF ArrayFilter); the fold itself runs
+    // over an empty slice, so the HOF root is a no-op veneer that
+    // satisfies the analyzer. ClickHouse returns the type's default
+    // value when nothing matches; null is the Spark-idiomatic analog.
+    "arrayFirst" -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      ArrayAggregate(
+        Slice(es(1), Literal(1), Literal(0)),
+        GetArrayItem(ArrayFilter(es(1), es.head), Literal(0), failOnError = false),
+        LambdaFunction(acc, Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    // arraySum/arrayAvg: 1-arg form over the array itself, 2-arg form
+    // maps the lambda first. Sum via the fold expression (aggregate).
+    "arraySum" -> (es =>
+      sumFold(if (es.length == 1) es.head else ArrayTransform(es(1), es.head),
+        LambdaFunction.identity)),
+    "arrayAvg" -> (es => {
+      val arr  = if (es.length == 1) es.head else ArrayTransform(es(1), es.head)
+      // length taken from the ORIGINAL array so the finish lambda does
+      // not duplicate the user's lambda subtree
+      val n = Cast(Size(if (es.length == 1) es.head else es(1)), DoubleType)
+      val s = lamVar("gr_s")
+      sumFold(arr, LambdaFunction(Divide(s, n), Seq(s)))
+    }),
     // -- behavioral sequence aggregates (parametric spellings
     // windowFunnel(w)(ts, c…) / sequenceMatch('p')(ts, c…) flattened
     // by ChSqlParser, like quantile/topK)
     "windowFunnel"  -> (es => GraftWindowFunnel(es.head, es(1), es.drop(2))),
     "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2))),
+    // element-wise map-combine over parallel (keys, values) arrays
+    "sumMap" -> (es => GraftMapAgg(es(0), es(1), "sum")),
+    "maxMap" -> (es => GraftMapAgg(es(0), es(1), "max")),
+    "minMap" -> (es => GraftMapAgg(es(0), es(1), "min")),
     // retention(c1, …, cN) → [c1 ever, c1 && c2 ever, …] as 0/1 ints
     // (CH returns UInt8). Pure composition of bool_or partials — no
     // custom state, full map-side combine.

@@ -55,9 +55,30 @@ object ChSqlParser {
     * timestampdiff alias) doesn't match — the quote is required. */
   private val QuotedDateDiff = """\bdateDiff\s*\(\s*'""".r
 
+  /** ClickHouse PREWHERE is a storage-layer filter hint; under Spark
+    * the parquet scan already gets every pushable predicate, so the
+    * keyword maps to plain WHERE. Only the lone-PREWHERE form is
+    * rewritten blindly — `PREWHERE a WHERE b` would produce two WHERE
+    * clauses and fail to parse (loud, never silently wrong), matching
+    * the rarity of the combined form in migrated code. */
+  private val Prewhere = """(?i)\bPREWHERE\b""".r
+
+  /** `GROUP BY k WITH TOTALS` → `GROUP BY GROUPING SETS ((k), ())`:
+    * the totals row lands inline with NULL group keys (Spark's
+    * grouping-sets convention) rather than ClickHouse's separate
+    * defaults-filled block — the aggregates themselves are identical.
+    * The `[^()]+?` key capture cannot cross parentheses, so a GROUP BY
+    * inside a subquery is never miscaptured; a WITH TOTALS whose keys
+    * contain calls simply doesn't match and fails at parse (loud,
+    * never silently wrong). */
+  private val WithTotals = """(?i)\bGROUP\s+BY\s+([^()]+?)\s+WITH\s+TOTALS\b""".r
+
   def rewriteParametric(sql: String): String = {
-    val flattened = Parametric.replaceAllIn(sql, m =>
+    var out = Parametric.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
-    QuotedDateDiff.replaceAllIn(flattened, "graft_dateDiff('")
+    out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
+    out = Prewhere.replaceAllIn(out, "WHERE")
+    WithTotals.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
   }
 }

@@ -244,6 +244,47 @@ object ChFunctions {
             GROUP BY 1 ORDER BY event_type"""),
   )
 
+  /** `sumMap` (graft.plans.GraftMapAgg) — ClickHouse's element-wise
+    * keyed combine over parallel arrays — plus the array HOFs in CH
+    * spelling (lambda first). Output serialized to joined strings per
+    * the §5 scalar-output convention; the DuckDB oracle computes the
+    * same map as an ordered group-by. */
+  val q27b = GraftQuery(
+    "q27b_summap",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_sm")
+      s.sql("""SELECT arrayStringConcat(m.keys, ',') AS flags,
+                      arrayStringConcat(arrayMap(x -> toString(x), m.vals), ',') AS sums,
+                      CAST(arraySum(m.vals) AS DOUBLE) AS total,
+                      CAST(arrayCount(x -> x > 100000, m.vals) AS INT) AS n_big
+               FROM (SELECT sumMap(array(l_returnflag), array(CAST(l_quantity AS BIGINT))) AS m
+                     FROM lineitem_sm) t""")
+    },
+    Some("""SELECT string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags,
+                   string_agg(CAST(s AS VARCHAR), ',' ORDER BY l_returnflag) AS sums,
+                   CAST(sum(s) AS DOUBLE) AS total,
+                   CAST(count(CASE WHEN s > 100000 THEN 1 END) AS INT) AS n_big
+            FROM (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+                  FROM lineitem GROUP BY 1) t"""),
+  )
+
+  /** `GROUP BY … WITH TOTALS` (ClickHouse spelling) → grouping sets
+    * via the ChSqlParser rewrite; the totals row carries NULL keys. */
+  val q29c = GraftQuery(
+    "q29c_with_totals",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+               FROM events_v
+               GROUP BY event_type WITH TOTALS
+               ORDER BY event_type NULLS FIRST""")
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), ())
+            ORDER BY event_type NULLS FIRST"""),
+  )
+
   /** Round-2 dialect surface gauntlet: the type-conversion / date-part
     * / date-arithmetic / string / array function families registered
     * in ChDialect, exercised through spark.sql in ClickHouse spelling
@@ -275,5 +316,5 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q28, q28b, q29, q29b)
+    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q27b, q28, q28b, q29, q29b, q29c)
 }

@@ -156,6 +156,64 @@ class ChDialectSpec extends SparkSpec {
     assert(monthly.length == 3)
   }
 
+  test("array HOFs in ClickHouse argument order (lambda first)") {
+    val r = spark.sql(
+      """SELECT arrayMap(x -> x * 2, array(1, 2, 3)),
+               arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4)),
+               arrayExists(x -> x > 3, array(1, 2)),
+               arrayAll(x -> x > 0, array(1, 2)),
+               arrayCount(x -> x > 1, array(1, 2, 3)),
+               arrayFirst(x -> x > 1, array(1, 2, 3)),
+               arraySum(array(1, 2, 3)),
+               arraySum(x -> x * x, array(1, 2, 3)),
+               round(arrayAvg(array(1.0, 2.0, 6.0)), 4)""").head()
+    assert(r.getSeq[Int](0) == Seq(2, 4, 6))
+    assert(r.getSeq[Int](1) == Seq(2, 4))
+    assert(!r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) == 2 && r.getInt(5) == 2)
+    assert(r.getDouble(6) == 6.0 && r.getDouble(7) == 14.0)
+    assert(r.getDouble(8) == 3.0)
+  }
+
+  test("sumMap/maxMap/minMap combine parallel arrays element-wise by key") {
+    view
+    Seq((Seq("a", "b"), Seq(1L, 10L)), (Seq("b", "c"), Seq(5L, 7L)), (Seq("a"), Seq(2L)))
+      .toDF("ks", "vs").repartition(3).createOrReplaceTempView("maps")
+    val r = spark.sql(
+      """SELECT sumMap(ks, vs) AS s, maxMap(ks, vs) AS mx, minMap(ks, vs) AS mn
+         FROM maps""").head()
+    val s = r.getStruct(0)
+    assert(s.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(s.getSeq[Long](1) == Seq(3L, 15L, 7L))
+    assert(r.getStruct(1).getSeq[Long](1) == Seq(2L, 10L, 7L))
+    assert(r.getStruct(2).getSeq[Long](1) == Seq(1L, 5L, 7L))
+    // fractional values combine in Double
+    Seq((Seq("x"), Seq(0.5)), (Seq("x"), Seq(0.25))).toDF("ks", "vs")
+      .createOrReplaceTempView("dmaps")
+    val d = spark.sql("SELECT sumMap(ks, vs) AS s FROM dmaps").head().getStruct(0)
+    assert(d.getSeq[Double](1) == Seq(0.75))
+  }
+
+  test("PREWHERE and GROUP BY ... WITH TOTALS rewrite to Spark equivalents") {
+    view
+    val pre = spark.sql(
+      "SELECT count(*) AS c FROM expenses PREWHERE etype = 'purchase'").head()
+    assert(pre.getLong(0) == 100L)
+    val tot = spark.sql(
+      """SELECT etype, count(*) AS c FROM expenses
+         GROUP BY etype WITH TOTALS ORDER BY etype NULLS FIRST""").collect()
+    assert(tot.length == 3) // totals row + 2 groups
+    assert(tot.head.isNullAt(0) && tot.head.getLong(1) == 300L)
+    assert(tot.map(_.getLong(1)).sum == 600L)
+    // a subquery's own GROUP BY is not miscaptured by the rewrite
+    val sub = spark.sql(
+      """SELECT n, count(*) AS c FROM
+           (SELECT etype, count(*) AS n FROM expenses GROUP BY etype) t
+         GROUP BY n WITH TOTALS ORDER BY n NULLS FIRST""").collect()
+    assert(sub.length == 3)
+    assert(sub.head.isNullAt(0) && sub.head.getLong(1) == 2L)
+  }
+
   test("conditional/argMax/uniq/JSON dialect functions resolve natively") {
     view
     val r = spark.sql(
