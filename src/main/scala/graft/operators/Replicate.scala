@@ -52,6 +52,23 @@ object Replicate {
     latestByKey(df.withColumn("__del", isDelete), keyCols, orderCols)
       .where(!col("__del")).drop("__del")
 
+  /** CollapsingMergeTree(sign) FINAL: +1 (state) and -1 (cancel) rows
+    * cancel out per key; a key survives only while its net sign is
+    * positive, and its surviving row is the latest +1 row by
+    * `orderCols`. One shuffle with full partial aggregation: the net
+    * and the survivor are computed in a single groupBy (`max_by` whose
+    * ordering key is nulled on cancel rows, so only +1 rows compete) —
+    * the window + self-join spelling would cost two shuffles. */
+  def collapse(df: DataFrame, keyCols: Seq[String], sign: Column, orderCols: Seq[Column]): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).cast("long").as("net"),
+           max_by(payload, when(sign > 0, struct(orderCols: _*))).as("__last"))
+      .where(col("net") > 0)
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"__last.`$c`").as(c)) :+ col("net"): _*)
+  }
+
   /** SCD-2 materialization: collapse consecutive identical values of
     * `attr` per key into validity intervals [valid_from, valid_to). */
   def scd2(df: DataFrame, keyCols: Seq[String], tsCol: Column, tiebreak: Column, attr: Column): DataFrame = {

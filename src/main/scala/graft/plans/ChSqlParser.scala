@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -29,6 +29,12 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
   import ChSqlParser.rewriteParametric
 
   override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewriteParametric(sqlText))
+  // `spark.sql(text, args)` enters here (NOT parsePlan) in Spark 4.1;
+  // the interface's default implementation drops the parameter
+  // context, so a delegating parser MUST forward it or every
+  // parameterized query fails with UNBOUND_SQL_PARAMETER.
+  override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(rewriteParametric(sqlText), ctx)
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewriteParametric(sqlText))
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(rewriteParametric(sqlText))
   override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
@@ -73,11 +79,23 @@ object ChSqlParser {
     * never silently wrong). */
   private val WithTotals = """(?i)\bGROUP\s+BY\s+([^()]+?)\s+WITH\s+TOTALS\b""".r
 
+  /** ClickHouse named query parameters — `{start_date:String}`,
+    * `{n:UInt64}`, `{xs:Array(String)}` (the corpus' client-side
+    * binding shape, /root/reference/src/corpus/orm_none.txt:432-437)
+    * — become Spark named parameter markers `:start_date`, bound by
+    * `spark.sql(text, args)`. The declared ClickHouse type is dropped:
+    * Spark types the parameter from the bound value and its normal
+    * coercions (e.g. a String date against a DATE column) mirror
+    * ClickHouse's cast-on-bind. */
+  private val NamedParam = """\{(\w+)\s*:\s*[A-Za-z0-9]+(?:\([^{}]*\))?\}""".r
+
   def rewriteParametric(sql: String): String = {
     var out = Parametric.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
     out = Prewhere.replaceAllIn(out, "WHERE")
+    out = NamedParam.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s":${m.group(1)}"))
     WithTotals.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
   }

@@ -285,6 +285,35 @@ object ChFunctions {
             ORDER BY event_type NULLS FIRST"""),
   )
 
+  /** ClickHouse named query parameters, verbatim from the corpus'
+    * getAllExpenses (/root/reference/src/corpus/orm_none.txt:432-437,
+    * 541): `{start_date:String}` markers are rewritten by ChSqlParser
+    * to Spark named parameter markers and bound via
+    * `spark.sql(text, args)`; string-typed dates coerce against the
+    * timestamp column exactly as ClickHouse casts on bind. */
+  val q29d = GraftQuery(
+    "q29d_param_query",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey").as("id"), round(col("o_totalprice"), 2).as("amount"),
+                col("o_orderpriority").as("category"), col("o_orderdate").as("date"))
+        .createOrReplaceTempView("expenses")
+      s.sql(
+        """SELECT id, amount, category, date FROM expenses
+           WHERE 1=1 AND date >= {start_date:String} AND date <= {end_date:String}
+             AND category = {category:String}
+           ORDER BY date DESC, id DESC""",
+        Map("start_date" -> "1995-01-01", "end_date" -> "1995-12-31", "category" -> "1-URGENT"))
+    },
+    Some("""SELECT o_orderkey AS id, round(o_totalprice, 2) AS amount,
+                   o_orderpriority AS category, o_orderdate AS "date"
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1995-12-31 00:00:00'
+              AND o_orderpriority = '1-URGENT'
+            ORDER BY "date" DESC, id DESC"""),
+  )
+
   /** Round-2 dialect surface gauntlet: the type-conversion / date-part
     * / date-arithmetic / string / array function families registered
     * in ChDialect, exercised through spark.sql in ClickHouse spelling
@@ -316,5 +345,5 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q27b, q28, q28b, q29, q29b, q29c)
+    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q27b, q28, q28b, q29, q29b, q29c, q29d)
 }

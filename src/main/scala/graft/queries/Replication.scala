@@ -108,5 +108,62 @@ object Replication {
             FROM daily GROUP BY 1, 2 ORDER BY month, event_type"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+  /** AggregatingMergeTree analog with true -State/-Merge semantics:
+    * daily partial states (count, on-grid sum, exact distinct SET) are
+    * materialized first, then MERGED into the monthly rollup without
+    * touching raw rows again — set-union playing uniqExactState /
+    * uniqExactMerge. The exact-set state is the heavy-exact path; the
+    * sketch path (hll_sketch_agg / hll_union_agg, same query shape
+    * with O(1) state per group) is cross-checked against it in
+    * OperatorsSpec and is the default at 100 TB. */
+  val q35 = GraftQuery(
+    "q35_agg_state_merge",
+    (s, dir) => {
+      val states = Tables(s, dir).events
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("cnt_state"), round(sum("value"), 2).as("sum_state"),
+             collect_set("user_id").as("uniq_state"))
+      states.groupBy(date_trunc("month", col("d")).as("month"))
+        .agg(sum("cnt_state").as("cnt"), round(sum("sum_state"), 2).as("total"),
+             size(array_distinct(flatten(collect_list("uniq_state")))).as("uniq_users"))
+        .orderBy("month")
+    },
+    Some("""WITH st AS (SELECT date_trunc('day', ts) AS d, event_type, count(*) AS c,
+                               round(sum(value), 2) AS v
+                        FROM events GROUP BY 1, 2),
+                 m AS (SELECT date_trunc('month', d) AS month, CAST(sum(c) AS BIGINT) AS cnt,
+                              round(sum(v), 2) AS total FROM st GROUP BY 1),
+                 u AS (SELECT date_trunc('month', ts) AS month,
+                              CAST(count(DISTINCT user_id) AS INT) AS uniq_users
+                       FROM events GROUP BY 1)
+            SELECT m.month, cnt, total, uniq_users FROM m JOIN u USING (month) ORDER BY month"""),
+  )
+
+  /** CollapsingMergeTree(sign) FINAL: 'error' events are the cancel
+    * rows; a user survives only with positive net sign, carrying the
+    * latest +1 row. */
+  val q36 = GraftQuery(
+    "q36_collapsing",
+    (s, dir) => {
+      val signed = Tables(s, dir).events
+        .withColumn("sign", when(col("event_type") === "error", lit(-1)).otherwise(lit(1)))
+      Replicate.collapse(signed, Seq("user_id"), col("sign"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+                round(col("value"), 2).as("last_value"), col("net"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH s AS (SELECT *, CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign
+                       FROM events),
+                 n AS (SELECT user_id, CAST(sum(sign) AS BIGINT) AS net FROM s GROUP BY 1),
+                 last AS (SELECT user_id, event_id, value FROM
+                           (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                         ORDER BY ts DESC, event_id DESC) AS rn
+                            FROM s WHERE sign = 1) t
+                          WHERE rn = 1)
+            SELECT n.user_id, last.event_id AS last_event_id,
+                   round(last.value, 2) AS last_value, net
+            FROM n JOIN last USING (user_id) WHERE net > 0 ORDER BY user_id"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36)
 }

@@ -22,8 +22,12 @@ object Probe {
              else Seq("q42_minhash_lsh", "q43_simhash", "q51_ann_lsh")
     for (q <- qs; rep <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, dir).collect().length
-      println(f"$q rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.executedPlan // force parse/analyze/optimize/plan
+      val t1 = System.nanoTime()
+      val n = df.collect().length
+      val t2 = System.nanoTime()
+      println(f"$q rep$rep: plan ${(t1 - t0) / 1e9}%.2f s + exec ${(t2 - t1) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }

@@ -214,6 +214,18 @@ class ChDialectSpec extends SparkSpec {
     assert(sub.head.isNullAt(0) && sub.head.getLong(1) == 2L)
   }
 
+  test("ClickHouse named query parameters bind through spark.sql args") {
+    view
+    val r = spark.sql(
+      """SELECT COUNT(*) as count, sum(amount) as total FROM expenses
+         WHERE 1=1 AND etype = {t:String} AND amount >= {min_amt:Float64}""",
+      Map("t" -> "purchase", "min_amt" -> 0.0)).head()
+    assert(r.getLong(0) == 100L)
+    // parenthesized CH types like Array(String) and Decimal(10, 2) also match
+    assert(graft.plans.ChSqlParser.rewriteParametric("x IN {xs:Array(String)} AND y = {d:Decimal(10, 2)}")
+      == "x IN :xs AND y = :d")
+  }
+
   test("conditional/argMax/uniq/JSON dialect functions resolve natively") {
     view
     val r = spark.sql(

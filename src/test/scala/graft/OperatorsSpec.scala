@@ -240,6 +240,44 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("Replicate.collapse: net sign gates survival, latest +1 row carries") {
+    val rows = Seq(
+      // key 1: two states, one cancel → net 1, survivor = v2 row
+      (1L, 1L, 1, "a"), (1L, 2L, 1, "b"), (1L, 1L, -1, "a"),
+      // key 2: state fully cancelled → net 0 → dropped
+      (2L, 1L, 1, "x"), (2L, 1L, -1, "x"),
+      // key 3: stray cancel with no state → net -1 → dropped
+      (3L, 9L, -1, "zz"),
+    ).toDF("k", "v", "sgn", "payload")
+    val out = Replicate.collapse(rows, Seq("k"), col("sgn"), Seq(col("v")))
+      .select("k", "payload", "net").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "b", 1L)))
+  }
+
+  test("agg-state merge: hll sketch states union to within 5% of the exact set union") {
+    // Same two-level shape as q35_agg_state_merge with the bounded
+    // sketch state in place of the exact set: daily hll states union
+    // into the monthly estimate.
+    val df = spark.range(0, 20000).select(
+      (($"id" % 60) + 1).cast("int").as("day"),
+      ($"id" % 3017).as("user_id"))
+    val states = df.groupBy($"day")
+      .agg(hll_sketch_agg($"user_id").as("uniq_state"), count(lit(1)).as("cnt_state"))
+    val merged = states.groupBy(($"day" % 12).as("month"))
+      .agg(hll_sketch_estimate(hll_union_agg($"uniq_state")).as("uniq_est"),
+           sum($"cnt_state").as("cnt"))
+    val exact = df.groupBy(($"day" % 12).as("month"))
+      .agg(countDistinct($"user_id").as("uniq"), count(lit(1)).as("cnt"))
+    val j = merged.withColumnRenamed("cnt", "cnt_m").join(exact, "month").collect()
+    assert(j.length == 12)
+    j.foreach { r =>
+      val (est, ex) = (r.getAs[Long]("uniq_est").toDouble, r.getAs[Long]("uniq").toDouble)
+      assert(math.abs(est - ex) / ex < 0.05, s"month ${r.get(0)}: est $est vs exact $ex")
+      // merged partial counts must agree exactly with the direct count
+      assert(r.getAs[Long]("cnt_m") == r.getAs[Long]("cnt"))
+    }
+  }
+
   // --------------------------------------------------------------- events
 
   test("Events.sessionize splits on gaps > threshold") {
