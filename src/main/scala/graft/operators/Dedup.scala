@@ -148,14 +148,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // The previous label rides through the aggregation (every node
+      // already has exactly one labels row, so first(ignoreNulls) picks
+      // it up), making the convergence check a shuffle-free filter over
+      // the checkpointed result instead of a second join per round.
       val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label"),
+                lit(null).cast(labels.schema("label").dataType).as("prev"))
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy("id").agg(min("label").as("label"), first("prev", ignoreNulls = true).as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.where(col("label") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_rep")

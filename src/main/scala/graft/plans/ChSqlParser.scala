@@ -89,6 +89,13 @@ object ChSqlParser {
     * ClickHouse's cast-on-bind. */
   private val NamedParam = """\{(\w+)\s*:\s*[A-Za-z0-9]+(?:\([^{}]*\))?\}""".r
 
+  /** ClickHouse `SAMPLE k` (fraction form, 0 < k < 1) → Spark
+    * `TABLESAMPLE (k*100 PERCENT)`. Both are storage-level Bernoulli
+    * samples with no determinism guarantee, so the mapping is
+    * semantically exact; the row-count form (`SAMPLE 10000`) has no
+    * Spark analog and is left for the parser to reject loudly. */
+  private val SampleClause = """(?i)\bSAMPLE\s+(0?\.\d+)""".r
+
   def rewriteParametric(sql: String): String = {
     var out = Parametric.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
@@ -96,6 +103,8 @@ object ChSqlParser {
     out = Prewhere.replaceAllIn(out, "WHERE")
     out = NamedParam.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s":${m.group(1)}"))
+    out = SampleClause.replaceAllIn(out, m =>
+      s"TABLESAMPLE (${m.group(1).toDouble * 100} PERCENT)")
     WithTotals.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
   }

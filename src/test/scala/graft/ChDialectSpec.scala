@@ -226,6 +226,14 @@ class ChDialectSpec extends SparkSpec {
       == "x IN :xs AND y = :d")
   }
 
+  test("SAMPLE clause maps to TABLESAMPLE and samples proportionally") {
+    view
+    assert(graft.plans.ChSqlParser.rewriteParametric("FROM t SAMPLE 0.5 WHERE x")
+      == "FROM t TABLESAMPLE (50.0 PERCENT) WHERE x")
+    val n = spark.sql("SELECT count(*) AS c FROM expenses SAMPLE 0.5").head().getLong(0)
+    assert(n > 50 && n < 550, s"sampled $n of 600")  // Bernoulli around 300
+  }
+
   test("conditional/argMax/uniq/JSON dialect functions resolve natively") {
     view
     val r = spark.sql(
