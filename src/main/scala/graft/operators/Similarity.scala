@@ -119,9 +119,12 @@ object Similarity {
     * nprobe.
     *
     * The 100 TB shape of each stage:
-    *  - [[ivfFit]] runs MLlib k-means on a SAMPLE — centroid geometry
-    *    converges at a tiny fraction of the corpus, so the fit never
-    *    scans the full table;
+    *  - [[ivfFit]] trains the coarse quantizer driver-side on ONE
+    *    collected sample capped at `maxSample` rows — centroid
+    *    geometry converges at a tiny fraction of the corpus, and an
+    *    in-process Lloyd fit on a bounded sample beats a distributed
+    *    trainer's job round-trips by orders of magnitude (swap in a
+    *    distributed fit only for huge nlist × dim codebooks);
     *  - [[nearestCell]] assigns in ONE map-side pass of `nlist`
     *    codegen'd dot products (no MLlib transform, no shuffle, no
     *    vector-type conversion of the stored rows);
@@ -130,14 +133,13 @@ object Similarity {
     *    — the inverted file IS the storage layout.
     */
   def ivfFit(df: DataFrame, vecCol: String, nlist: Int,
-             sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sampled = if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed)
-    val feat = sampled.withColumn("__features", array_to_vector(vec.toDoubleArr(col(vecCol))))
-    new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(feat).clusterCenters.map(_.toArray)
+             sampleFraction: Double = 1.0, seed: Long = 42L,
+             maxSample: Int = 50000): Array[Array[Double]] = {
+    val rows = (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
+      .select(vec.toDoubleArr(col(vecCol)).as("v")).limit(maxSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "ivfFit: empty sample")
+    lloyd(rows, nlist, iters = 15, seed = seed)
   }
 
   /** Nearest-centroid cell id as a pure column expression: argmin over
@@ -202,6 +204,124 @@ object Similarity {
     val pd = probe.map(_.toDouble)
     val cand = assigned.where(col("cell").isin(nearestCells(pd, centers, nprobe): _*))
     scoreAgainstProbe(cand, idCol, vecCol, pd, k)
+  }
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebooks: the vector is split into `m` equal subspaces and
+    * each dim/m-length slice gets its own `ksub`-centroid k-means
+    * codebook. A stored code is `m` small ints — for dim-64 float
+    * vectors with m=8 that is a 32× reduction in bytes scanned per
+    * candidate, which is the whole point at 100 TB: the in-cell scan
+    * reads codes, not vectors.
+    *
+    * Training runs DRIVER-SIDE on one collected sample, capped at
+    * `maxSample` rows: codebook geometry needs a few thousand points
+    * (m × ksub centroids of dim/m dims), and m in-process Lloyd fits
+    * on a bounded sample cost microseconds where m MLlib fits cost a
+    * job storm of cluster round-trips. The one collect here is the
+    * justified kind: explicitly bounded, build-time only — encoding
+    * the full table ([[pqEncode]]) stays a distributed map-side pass. */
+  def pqFit(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+            sampleFraction: Double = 1.0, seed: Long = 42L,
+            maxSample: Int = 20000): Array[Array[Array[Double]]] = {
+    val rows = (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
+      .select(vec.toDoubleArr(col(vecCol)).as("v")).limit(maxSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pqFit: empty sample")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      lloyd(rows.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+            ksub, iters = 12, seed = seed + s)
+    }.toArray
+  }
+
+  /** Plain seeded Lloyd's k-means for the tiny driver-side codebook
+    * fits. Deterministic; an emptied cluster keeps its old centroid. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val d = pts.head.length
+    var centers = rnd.shuffle(pts.indices.toVector).take(math.min(k, pts.length))
+      .map(i => pts(i).clone).toArray
+    // pad (degenerate tiny inputs) so callers always get k centroids
+    while (centers.length < k) centers = centers :+ centers(rnd.nextInt(centers.length)).clone
+    for (_ <- 0 until iters) {
+      val sums   = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = p(i) - centers(c)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until d)
+        centers(c)(i) = sums(c)(i) / counts(c)
+    }
+    centers
+  }
+
+  /** Encode a vector to its `m` PQ codes — one map-side pass of
+    * m × ksub codegen'd sub-dot-products, reusing [[nearestCell]] per
+    * subspace. Run once at index-build time and stored. */
+  def pqEncode(vecCol: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCell(slice(vecCol, s * dsub + 1, dsub), cb)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Asymmetric-distance score: the probe's per-subspace dot products
+    * with every centroid are precomputed driver-side (m × ksub
+    * doubles), and a row's approximate inner product is m lookups +
+    * adds over its codes — `element_at` on literal arrays, fully
+    * codegen'd, no vector column in sight. */
+  def pqScoreIp(codesCol: Column, probe: Array[Double],
+                codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      val lut = cb.map(_.zip(probe.slice(s * dsub, (s + 1) * dsub)).map { case (a, b) => a * b }.sum)
+      element_at(lit(lut), codesCol.getItem(s) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ index: cell assignment for pruning + stored codes for
+    * cheap in-cell scoring. */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String, nlist: Int, m: Int,
+                 ksub: Int, seed: Long = 42L, sampleFraction: Double = 1.0)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val centers = ivfFit(df, vecCol, nlist, sampleFraction, seed)
+    val codebooks = pqFit(df, vecCol, m, ksub, sampleFraction, seed)
+    (df.withColumn("cell", nearestCell(col(vecCol), centers))
+       .withColumn("codes", pqEncode(col(vecCol), codebooks)),
+     centers, codebooks)
+  }
+
+  /** IVF-PQ top-k: prune to `nprobe` cells, shortlist `k × refine`
+    * candidates by PQ score over (id, codes) ONLY, then re-rank just
+    * the shortlist with exact cosine on the re-fetched vectors. The
+    * expensive full-width read touches k × refine rows, not the cell.
+    */
+  def ivfPqTopK(indexed: (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]),
+                idCol: String, vecCol: String, probe: Array[Float], k: Int,
+                nprobe: Int, refine: Int = 4): DataFrame = {
+    val (assigned, centers, codebooks) = indexed
+    val pd = probe.map(_.toDouble)
+    val shortlist = assigned
+      .where(col("cell").isin(nearestCells(pd, centers, nprobe): _*))
+      .select(col(idCol), col("codes"))
+      .withColumn("__approx", pqScoreIp(col("codes"), pd, codebooks))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(k * refine)
+      .select(col(idCol))
+    scoreAgainstProbe(assigned.join(shortlist, idCol), idCol, vecCol, pd, k)
   }
 
   /** Exact cosine of every candidate against one probe vector, top-k

@@ -183,6 +183,25 @@ object DataPipeline {
 
   /** k-NN join label agreement: for each of 20 probe vectors, how many
     * of its 5 nearest neighbors (self excluded) share its label. */
+  /** IVF-PQ: coarse cells prune the scan, product-quantized codes
+    * (m=8 × 16 centroids over dim-64) shortlist by table lookups over
+    * 8 ints per row, exact cosine re-ranks only k×refine survivors.
+    * Seeded k-means → rows-only (no SQL oracle; the planted-near-dup
+    * recall and exact-re-rank behavior are spec-asserted). */
+  val q53 = GraftQuery(
+    "q53_ivf_pq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val probe = emb.where(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 16, seed = 11L)
+      Similarity.ivfPqTopK(idx, "vec_id", "embedding", probe,
+        k = 10, nprobe = 6, refine = 4).where(col("vec_id") =!= 7)
+    },
+    None,
+  )
+
   val q52 = GraftQuery(
     "q52_knn_join_sample",
     (s, dir) => {
@@ -296,5 +315,5 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q60, q61, q62, q63, q64)
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q60, q61, q62, q63, q64)
 }

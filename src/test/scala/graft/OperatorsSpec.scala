@@ -129,6 +129,25 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getDouble(1) > 0.99)
   }
 
+  test("Similarity IVF-PQ: code shortlist + exact re-rank recovers brute-force top-k") {
+    val rnd = new scala.util.Random(5L)
+    val base = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val probe = base(23)._2.clone()
+    probe(1) += 0.01f // near-dup of vector 23
+    val idx = Similarity.ivfPqIndex(df, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 16, seed = 3L)
+    // codes: every row carries m small ints in [0, ksub)
+    val codes = idx._1.select("codes").head().getSeq[Int](0)
+    assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 16))
+    val got = Similarity.ivfPqTopK(idx, "vec_id", "embedding", probe,
+      k = 3, nprobe = 4, refine = 8).collect()
+    assert(got.head.getLong(0) == 23L, "PQ shortlist + re-rank must surface the planted near-dup")
+    assert(got.head.getDouble(1) > 0.99, "re-rank is exact cosine, so the near-dup scores ~1")
+  }
+
   test("Similarity IVF stored layout prunes the scan to nprobe cell partitions") {
     val rnd = new scala.util.Random(7L)
     val base = Seq.tabulate(400) { i =>
