@@ -6,6 +6,7 @@ set -e
 cd /root/repo
 SF_DIR=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/graft_verify}
+FILTER="${@:3}"
 rm -rf "$OUT"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -19,7 +20,7 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT" 2>/tmp/graft_verify_stderr.log \
+  graft.Verify "$SF_DIR" "$OUT" $FILTER 2>/tmp/graft_verify_stderr.log \
   || { tail -30 /tmp/graft_verify_stderr.log; exit 1; }
 grep -E "\[verify\]" /tmp/graft_verify_stderr.log || true
 python3 scripts/compare.py "$SF_DIR" "$OUT"

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.DataType
+
+/** ClickHouse external-dictionary analog.
+  *
+  * The reference's migrated apps use dictionaries for in-memory
+  * key→attribute lookups inside scans (`dictGet('currencies', 'rate',
+  * cur_id)`), avoiding a SQL join in ClickHouse. The Spark-first
+  * equivalent of "in-memory replicated lookup table" is a BROADCAST
+  * HASH JOIN — same memory model (full copy per node), same probe cost
+  * (one hash lookup per row), but planned by Catalyst so it composes
+  * with codegen, AQE and column pruning instead of hiding inside a
+  * black-box function. [[graft.plans.DictGetRewrite]] performs that
+  * rewrite: every `dictGet` call in a query becomes an attribute of a
+  * broadcast left-outer join added under the operator that used it.
+  *
+  * This registry maps dictionary names to their source tables. Sources
+  * are thunks so each rewrite gets a FRESH plan (fresh expression ids
+  * — the same dictionary can back several joins in one query), and so
+  * a dictionary can be registered before its backing table exists.
+  * At 100 TB the dictionary is a dim table: broadcast works to ~100s
+  * of MB per ClickHouse's own guidance for in-memory dictionaries.
+  */
+object Dictionaries {
+
+  final case class Dict(keyCol: String, source: () => DataFrame) {
+    // schema is stable across source() calls (same table); cached
+    // because DictGetExpr.dataType is consulted many times per analysis
+    private lazy val schema = source().schema
+    def attrType(attr: String): DataType =
+      schema.find(_.name == attr).getOrElse(
+        throw new IllegalArgumentException(
+          s"dictionary attribute '$attr' not in [${schema.map(_.name).mkString(", ")}]")
+      ).dataType
+    def keyType: DataType = attrType(keyCol)
+  }
+
+  private val dicts = new ConcurrentHashMap[String, Dict]()
+
+  def register(name: String, keyCol: String, source: () => DataFrame): Unit =
+    dicts.put(name, Dict(keyCol, source))
+
+  def get(name: String): Dict = {
+    val d = dicts.get(name)
+    if (d == null) throw new IllegalArgumentException(
+      s"unknown dictionary '$name' — registered: [${names.mkString(", ")}]")
+    d
+  }
+
+  def names: Seq[String] = {
+    val it = dicts.keys()
+    Iterator.continually(if (it.hasMoreElements) Some(it.nextElement()) else None)
+      .takeWhile(_.isDefined).flatten.toSeq.sorted
+  }
+}

@@ -269,7 +269,101 @@ object ChDialect {
         Cast(if (i == 0) f else And(flags.head, f), org.apache.spark.sql.types.IntegerType)
       })
     }),
+    // -- statistical moments. varPop/covarPop map to the native
+    // streaming-moment aggregates; skewPop/kurtPop (ClickHouse is
+    // population-moment, NOT the bias-corrected sample statistic most
+    // engines call skewness) are compositions over raw power sums —
+    // one pass, full map-side combine, no custom state.
+    "varPop"     -> (es => VariancePop(Cast(es.head, DoubleType))),
+    "varSamp"    -> (es => VarianceSamp(Cast(es.head, DoubleType))),
+    "stddevPop"  -> (es => StddevPop(Cast(es.head, DoubleType))),
+    "stddevSamp" -> (es => StddevSamp(Cast(es.head, DoubleType))),
+    "covarPop"   -> (es => CovPopulation(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    "covarSamp"  -> (es => CovSample(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    "skewPop"    -> (es => momentRatio(es.head, order = 3)),
+    "kurtPop"    -> (es => momentRatio(es.head, order = 4)),
+    // -- bitwise aggregates (identical semantics in Spark)
+    "groupBitAnd" -> (es => BitAndAgg(es.head)),
+    "groupBitOr"  -> (es => BitOrAgg(es.head)),
+    "groupBitXor" -> (es => BitXorAgg(es.head)),
+    // -- URL family. Spark's ParseUrl is the same java.net.URI-based
+    // decomposition ClickHouse implements natively; CH returns ''
+    // (never NULL) for absent components, hence the Coalesce shims.
+    "protocol"    -> (es => coalesceEmpty(ParseUrl(Seq(es.head, Literal("PROTOCOL"))))),
+    "domain"      -> (es => coalesceEmpty(ParseUrl(Seq(es.head, Literal("HOST"))))),
+    "path"        -> (es => coalesceEmpty(ParseUrl(Seq(es.head, Literal("PATH"))))),
+    "pathFull"    -> (es => {
+      val q = ParseUrl(Seq(es.head, Literal("QUERY")))
+      Concat(Seq(coalesceEmpty(ParseUrl(Seq(es.head, Literal("PATH")))),
+        If(IsNull(q), Literal(""), Concat(Seq(Literal("?"), q)))))
+    }),
+    "queryString" -> (es => coalesceEmpty(ParseUrl(Seq(es.head, Literal("QUERY"))))),
+    "fragment"    -> (es => coalesceEmpty(ParseUrl(Seq(es.head, Literal("REF"))))),
+    "extractURLParameter" -> (es =>
+      coalesceEmpty(ParseUrl(Seq(es(0), Literal("QUERY"), es(1))))),
+    "cutQueryString"      -> (es => RegExpReplace(es.head, Literal("\\?[^#]*"), Literal(""))),
+    "topLevelDomain"      -> (es =>
+      coalesceEmpty(RegExpExtract(ParseUrl(Seq(es.head, Literal("HOST"))), Literal("([^.]+)$"), Literal(1)))),
+    // -- IPv4 (CH stores IPv4 as UInt32; the long math is identical)
+    "IPv4NumToString" -> (es => {
+      val n = Cast(es.head, LongType)
+      def octet(shift: Int) =
+        Cast(BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), org.apache.spark.sql.types.StringType)
+      ConcatWs(Literal(".") +: Seq(octet(24), octet(16), octet(8), octet(0)))
+    }),
+    "IPv4StringToNum" -> (es => {
+      val parts = StringSplit(es.head, Literal("\\."), Literal(-1))
+      def octet(i: Int, mult: Long) =
+        Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(mult))
+      Add(Add(octet(0, 16777216L), octet(1, 65536L)), Add(octet(2, 256L), octet(3, 1L)))
+    }),
+    // -- unix-time conversions
+    "toUnixTimestamp"   -> (es => Cast(Cast(es.head, org.apache.spark.sql.types.TimestampType), LongType)),
+    "fromUnixTimestamp" -> (es => SecondsToTimestamp(es.head)),
+    // -- dictionary lookups: plant [[DictGetExpr]]/[[DictHasExpr]]
+    // placeholders; [[DictGetRewrite]] turns each into a broadcast
+    // left-outer join during analysis (see Dictionaries scaladoc).
+    "dictGet" -> (es =>
+      DictGetExpr(litString(es(0), "dictGet dict name"),
+        litString(es(1), "dictGet attribute"), es(2), None)),
+    "dictGetOrDefault" -> (es =>
+      DictGetExpr(litString(es(0), "dictGetOrDefault dict name"),
+        litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
+    "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** ClickHouse component functions return '' where Spark yields NULL. */
+  private def coalesceEmpty(e: Expression): Expression = Coalesce(Seq(e, Literal("")))
+
+  /** Population skewness (order 3) / kurtosis (order 4) from raw power
+    * sums: one aggregation pass; semantically CH skewPop/kurtPop
+    * (kurtPop is m4/m2², NOT excess kurtosis). */
+  private def momentRatio(x: Expression, order: Int): Expression = {
+    val xd = Cast(x, DoubleType)
+    def powSum(k: Int): Expression =
+      Sum(Seq.fill(k)(xd: Expression).reduce(Multiply(_, _))).toAggregateExpression()
+    val n  = Cast(Count(Seq(xd)).toAggregateExpression(), DoubleType)
+    val mu = Divide(powSum(1), n)
+    def raw(k: Int) = Divide(powSum(k), n) // E[x^k]
+    val m2 = Subtract(raw(2), Multiply(mu, mu))
+    if (order == 3) {
+      val m3 = Add(Subtract(raw(3), Multiply(Literal(3.0d), Multiply(mu, raw(2)))),
+        Multiply(Literal(2.0d), Multiply(mu, Multiply(mu, mu))))
+      Divide(m3, Pow(m2, Literal(1.5d)))
+    } else {
+      val mu2 = Multiply(mu, mu)
+      val m4 = Subtract(
+        Add(Subtract(raw(4), Multiply(Literal(4.0d), Multiply(mu, raw(3)))),
+          Multiply(Literal(6.0d), Multiply(mu2, raw(2)))),
+        Multiply(Literal(3.0d), Multiply(mu2, mu2)))
+      Divide(m4, Multiply(m2, m2))
+    }
+  }
 
   def register(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

@@ -1,0 +1,131 @@
+package graft.plans
+
+import graft.operators.Dictionaries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** `dictGet('dict', 'attr', key)` / `dictGetOrDefault(…, default)` /
+  * `dictHas('dict', key)` — ClickHouse's dictionary lookups.
+  *
+  * The function registration (in [[ChDialect]]) only plants this
+  * placeholder; [[DictGetRewrite]] (an analyzer resolution rule)
+  * replaces every placeholder with an attribute of a broadcast
+  * left-outer join against the registered dictionary table. The
+  * lookup therefore never executes as an expression — by the time the
+  * optimizer runs, the plan is an ordinary join Catalyst can reorder,
+  * codegen and (at scale) spill like any other.
+  */
+sealed abstract class DictLookup extends Expression with Unevaluable {
+  def dictName: String
+  def key: Expression
+  override lazy val resolved: Boolean = childrenResolved
+}
+
+case class DictGetExpr(dictName: String, attrName: String, key: Expression,
+                       default: Option[Expression]) extends DictLookup {
+  override def children: Seq[Expression] = key +: default.toSeq
+  override def dataType: DataType = Dictionaries.get(dictName).attrType(attrName)
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head, default = newChildren.lift(1))
+}
+
+case class DictHasExpr(dictName: String, key: Expression) extends DictLookup {
+  override def children: Seq[Expression] = Seq(key)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head)
+}
+
+/** Rewrites [[DictLookup]] placeholders into broadcast left-outer
+  * joins during analysis.
+  *
+  * For each operator whose expressions contain lookups, the distinct
+  * (dictionary, key-expression) pairs each contribute ONE join under
+  * the operator — several `dictGet`s on different attributes of the
+  * same dictionary with the same key share a single join, exactly as
+  * ClickHouse serves them from a single hashed dictionary. Lookups
+  * then become plain attribute references (`dictGetOrDefault` a
+  * Coalesce, `dictHas` an IsNotNull on the joined key).
+  *
+  * Operators whose output is their child's (Filter, Sort, …) get a
+  * restoring Project on top so the widened join never leaks columns
+  * upward; Project/Aggregate outputs are their own expression lists,
+  * which the substitution leaves name-identical.
+  */
+case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def lookups(p: LogicalPlan): Seq[DictLookup] =
+    p.expressions.flatMap(_.collect { case d: DictLookup => d })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case p: UnaryNode if p.childrenResolved && lookups(p).nonEmpty &&
+        lookups(p).forall(_.children.forall(_.resolved)) =>
+      rewrite(p)
+  }
+
+  private def rewrite(p: UnaryNode): LogicalPlan = {
+    val selfOutputting = p.isInstanceOf[Project] || p.isInstanceOf[Aggregate]
+    val savedOutput = p.output
+    val all = lookups(p)
+
+    // distinct (dict, key-expression) pairs, each with the union of
+    // attributes every lookup on that pair needs → exactly one join per pair
+    var pairs = Seq.empty[(String, Expression, Seq[String])]
+    for (l <- all) {
+      val attrsWanted = l match {
+        case g: DictGetExpr => Seq(g.attrName)
+        case _: DictHasExpr => Nil
+      }
+      pairs.indexWhere { case (d, k, _) => d == l.dictName && k.semanticEquals(l.key) } match {
+        case -1 => pairs :+= ((l.dictName, l.key, attrsWanted))
+        case i  => pairs = pairs.updated(i,
+          (pairs(i)._1, pairs(i)._2, (pairs(i)._3 ++ attrsWanted).distinct))
+      }
+    }
+
+    var child: LogicalPlan = p.children.head
+    // (dict, key) → (joined key attribute, attr name → attribute)
+    var resolvedJoins = Seq.empty[(String, Expression, Attribute, Map[String, Attribute])]
+    for ((dictName, key, attrs) <- pairs) {
+      val dict = Dictionaries.get(dictName)
+      val want = attrs.filterNot(_ == dict.keyCol)
+      val proj = dict.source().selectExpr((dict.keyCol +: want).map(n => s"`$n`"): _*)
+        .queryExecution.analyzed
+      val keyAttr = proj.output.head
+      // lookups on the key column itself resolve to the joined key attr
+      val attrMap = want.zip(proj.output.tail).toMap ++
+        attrs.filter(_ == dict.keyCol).map(_ -> keyAttr).toMap
+      child = Join(child, proj, LeftOuter,
+        Some(EqualTo(Cast(key, keyAttr.dataType), keyAttr)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      resolvedJoins :+= ((dictName, key, keyAttr, attrMap))
+    }
+
+    def substitute(e: Expression): Expression = e.transformUp {
+      case g: DictGetExpr =>
+        val (_, _, _, attrMap) = resolvedJoins.find { case (d, k, _, _) =>
+          d == g.dictName && k.semanticEquals(g.key)
+        }.get
+        val attr = attrMap(g.attrName)
+        g.default match {
+          case Some(d) => Coalesce(Seq(attr, d))
+          case None    => attr
+        }
+      case h: DictHasExpr =>
+        val (_, _, keyAttr, _) = resolvedJoins.find { case (d, k, _, _) =>
+          d == h.dictName && k.semanticEquals(h.key)
+        }.get
+        IsNotNull(keyAttr)
+    }
+
+    val rewritten = p.withNewChildren(Seq(child)).mapExpressions(substitute)
+    if (selfOutputting) rewritten else Project(savedOutput, rewritten)
+  }
+}

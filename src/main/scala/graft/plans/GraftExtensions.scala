@@ -53,5 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ClickHouse parametric-aggregate spelling (quantile(0.5)(x)) —
     // flattened pre-parse, resolved through the registrations above.
     ext.injectParser((_, parser) => new ChSqlParser(parser))
+    // dictGet/dictHas placeholders → broadcast left-outer joins
+    ext.injectResolutionRule(session => DictGetRewrite(session))
   }
 }

@@ -344,6 +344,142 @@ object ChFunctions {
             FROM orders GROUP BY 1, 2 ORDER BY yr, prio"""),
   )
 
+  /** Moment / bitwise aggregate families in CH spelling. skewPop and
+    * kurtPop are population-moment statistics (ClickHouse semantics);
+    * DuckDB's skewness/kurtosis are bias-corrected sample statistics,
+    * so the oracle recomputes the population formulas from raw power
+    * sums — the same algebra the dialect composition uses, making the
+    * comparison exact up to the rounding both sides apply. */
+  val q25b = GraftQuery(
+    "q25b_moments",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_m")
+      s.sql("""SELECT l_returnflag,
+                      round(skewPop(l_quantity), 4) AS skew_qty,
+                      round(kurtPop(l_quantity), 4) AS kurt_qty,
+                      round(varPop(l_quantity), 4) AS var_qty,
+                      round(stddevPop(l_quantity), 4) AS sd_qty,
+                      round(covarPop(l_quantity, l_extendedprice), 0) AS cov_qp,
+                      CAST(groupBitAnd(l_linenumber) AS BIGINT) AS bit_and,
+                      CAST(groupBitOr(l_linenumber) AS BIGINT) AS bit_or,
+                      CAST(groupBitXor(l_linenumber) AS BIGINT) AS bit_xor
+               FROM lineitem_m GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   round(((s3/n) - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3)) / pow((s2/n) - pow(s1/n, 2), 1.5), 4) AS skew_qty,
+                   round(((s4/n) - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4)) / pow((s2/n) - pow(s1/n, 2), 2), 4) AS kurt_qty,
+                   round(vp, 4) AS var_qty,
+                   round(sdp, 4) AS sd_qty,
+                   round(cvp, 0) AS cov_qp,
+                   bit_and, bit_or, bit_xor
+            FROM (SELECT l_returnflag,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         sum(l_quantity) AS s1,
+                         sum(l_quantity*l_quantity) AS s2,
+                         sum(l_quantity*l_quantity*l_quantity) AS s3,
+                         sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4,
+                         var_pop(l_quantity) AS vp,
+                         stddev_pop(l_quantity) AS sdp,
+                         covar_pop(l_quantity, l_extendedprice) AS cvp,
+                         CAST(bit_and(l_linenumber) AS BIGINT) AS bit_and,
+                         CAST(bit_or(l_linenumber) AS BIGINT) AS bit_or,
+                         CAST(bit_xor(l_linenumber) AS BIGINT) AS bit_xor
+                  FROM lineitem GROUP BY 1) t
+            ORDER BY l_returnflag"""),
+  )
+
+  /** URL / IPv4 function families in CH spelling over a synthesized
+    * URL column (the testdata has no native URL column; both engines
+    * build the identical string, so the decomposition functions are
+    * what's under test). Every 5th event gets a query-less URL so the
+    * CH ''-for-absent semantics (extractURLParameter, queryString) is
+    * exercised, not just the happy path. */
+  val q28c = GraftQuery(
+    "q28c_url_ip",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_u")
+      s.sql("""SELECT domain(url) AS host,
+                      topLevelDomain(url) AS tld,
+                      protocol(url) AS proto,
+                      count(*) AS cnt,
+                      min(extractURLParameter(url, 'k')) AS min_k,
+                      max(extractURLParameter(url, 'k')) AS max_k,
+                      max(path(url)) AS max_path,
+                      max(cutQueryString(url)) AS max_cut,
+                      min(IPv4NumToString(ipnum)) AS min_ip,
+                      CAST(max(IPv4StringToNum(IPv4NumToString(ipnum)) - ipnum) AS BIGINT) AS ip_rt_err
+               FROM (SELECT concat('https://ex', toString(modulo(user_id, 3)), '.org/', event_type,
+                                   if(modulo(event_id, 5) = 0, '/q',
+                                      concat('/p?uid=', toString(user_id), '&k=', toString(modulo(event_id, 7))))) AS url,
+                            modulo(event_id * 2654435761, 4294967296) AS ipnum
+                     FROM events_u) t
+               GROUP BY 1, 2, 3 ORDER BY host, tld, proto""")
+    },
+    Some("""WITH t AS (
+              SELECT concat('https://ex', CAST(user_id % 3 AS VARCHAR), '.org/', event_type,
+                            CASE WHEN event_id % 5 = 0 THEN '/q'
+                                 ELSE concat('/p?uid=', CAST(user_id AS VARCHAR), '&k=', CAST(event_id % 7 AS VARCHAR)) END) AS url,
+                     (event_id * 2654435761) % 4294967296 AS ipnum
+              FROM events),
+            u AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+                     regexp_extract(url, '[?&]k=([^&#]*)', 1) AS k_param,
+                     regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+                     regexp_replace(url, '\?[^#]*', '') AS cut,
+                     concat_ws('.', CAST((ipnum // 16777216) % 256 AS VARCHAR),
+                                    CAST((ipnum // 65536) % 256 AS VARCHAR),
+                                    CAST((ipnum // 256) % 256 AS VARCHAR),
+                                    CAST(ipnum % 256 AS VARCHAR)) AS ip_str,
+                     ipnum
+              FROM t)
+            SELECT host,
+                   regexp_extract(host, '([^.]+)$', 1) AS tld,
+                   proto,
+                   count(*) AS cnt,
+                   min(k_param) AS min_k,
+                   max(k_param) AS max_k,
+                   max(pth) AS max_path,
+                   max(cut) AS max_cut,
+                   min(ip_str) AS min_ip,
+                   CAST(max(CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216
+                          + CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536
+                          + CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256
+                          + CAST(split_part(ip_str, '.', 4) AS BIGINT) - ipnum) AS BIGINT) AS ip_rt_err
+            FROM u GROUP BY 1, 2, 3 ORDER BY host, tld, proto"""),
+  )
+
+  /** ClickHouse external-dictionary lookups. `dictGet`/`dictHas`/
+    * `dictGetOrDefault` are planted as placeholders and rewritten by
+    * `graft.plans.DictGetRewrite` into broadcast left-outer joins —
+    * the oracle IS that join, written out by hand, so the hash-match
+    * proves the rewrite end to end. The modulo-key lookups miss for
+    * keys ≥ 25 (nation has 25 rows), exercising dictHas=false and the
+    * OrDefault branch, not just the happy path. */
+  val q38 = GraftQuery(
+    "q38_dictget",
+    (s, dir) => {
+      graft.operators.Dictionaries.register("nations", "n_nationkey", () => Tables(s, dir).nation)
+      Tables(s, dir).customer.createOrReplaceTempView("customer_d")
+      s.sql("""SELECT dictGet('nations', 'n_name', c_nationkey) AS nation,
+                      count(*) AS n_cust,
+                      round(sum(c_acctbal), 2) AS bal,
+                      CAST(countIf(dictHas('nations', modulo(c_custkey, 50))) AS BIGINT) AS n_hit,
+                      max(dictGetOrDefault('nations', 'n_name', modulo(c_custkey, 50), 'UNKNOWN')) AS max_name
+               FROM customer_d
+               GROUP BY dictGet('nations', 'n_name', c_nationkey)
+               ORDER BY nation""")
+    },
+    Some("""SELECT n.n_name AS nation, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS bal,
+                   CAST(count(*) FILTER (WHERE m.n_nationkey IS NOT NULL) AS BIGINT) AS n_hit,
+                   max(coalesce(m.n_name, 'UNKNOWN')) AS max_name
+            FROM customer c
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN nation m ON c.c_custkey % 50 = m.n_nationkey
+            GROUP BY 1 ORDER BY nation"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q23, q23b, q24, q25, q26, q27, q27b, q28, q28b, q29, q29b, q29c, q29d)
+    Seq(q21, q22, q22b, q23, q23b, q24, q25, q25b, q26, q27, q27b, q28, q28b, q28c, q29,
+        q29b, q29c, q29d, q38)
 }
