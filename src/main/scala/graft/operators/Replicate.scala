@@ -52,6 +52,17 @@ object Replicate {
     latestByKey(df.withColumn("__del", isDelete), keyCols, orderCols)
       .where(!col("__del")).drop("__del")
 
+  /** Register a ReplacingMergeTree-style table as TWO temp views: the
+    * raw versioned rows under `name`, and the latest-row-per-key
+    * collapse under `name_final` — the convention
+    * [[graft.plans.ChSqlParser]]'s `FROM table FINAL` rewrite targets,
+    * so migrated ClickHouse SQL that reads `FINAL` runs verbatim. */
+  def registerWithFinal(df: DataFrame, name: String,
+                        keyCols: Seq[String], orderCols: Seq[Column]): Unit = {
+    df.createOrReplaceTempView(name)
+    latestByKey(df, keyCols, orderCols).createOrReplaceTempView(s"${name}_final")
+  }
+
   /** CollapsingMergeTree(sign) FINAL: +1 (state) and -1 (cancel) rows
     * cancel out per key; a key survives only while its net sign is
     * positive, and its surviving row is the latest +1 row by

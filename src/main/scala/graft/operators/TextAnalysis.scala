@@ -69,4 +69,46 @@ object TextAnalysis {
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** PII redaction: emails, IPv4 addresses, then phone-shaped digit
+    * runs (order matters — the IP pass must not see digits the email
+    * pass owned, and the phone class has no dots so IPs survive it
+    * untouched). Patterns are RE2-safe (no backrefs/lookahead) so the
+    * exact same regexes run in any engine. One projection, codegen'd. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Fixed-size token chunking with overlap — the standard
+    * training-data windowing (chunk i covers tokens
+    * [i·stride, i·stride+chunkLen), stride = chunkLen − overlap; the
+    * final partial chunk is kept iff it adds tokens). Pure array
+    * expressions: chunking is a per-row projection, so it scales as
+    * the scan does — no shuffle, no UDF. */
+  def chunks(norm: Column, chunkLen: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkLen, "need 0 <= overlap < chunkLen")
+    val stride = chunkLen - overlap
+    val toks = tokens(norm)
+    val n = size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((n.cast("double") - overlap) / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * lit(stride) + 1, lit(chunkLen)), " "))
+  }
+
+  /** Deterministic shard assignment for training-data layout: shard =
+    * first hex nibble of md5(normalized text) → 16 stable,
+    * content-addressed shards. Content hashing (vs round-robin) keeps
+    * assignment reproducible across runs and engines, and co-locates
+    * exact duplicates in one shard — dedup within a shard is then
+    * global dedup. Nibbles compose: k hex chars give 16^k shards. */
+  def shardOf(text: Column): Column =
+    conv(substring(md5(normalize(text).cast("binary")), 1, 1), 16, 10).cast("int")
 }

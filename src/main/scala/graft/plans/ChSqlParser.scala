@@ -96,6 +96,24 @@ object ChSqlParser {
     * Spark analog and is left for the parser to reject loudly. */
   private val SampleClause = """(?i)\bSAMPLE\s+(0?\.\d+)""".r
 
+  /** ClickHouse `ORDER BY … LIMIT n BY cols [LIMIT m]` → a row_number
+    * window wrap: first n rows per cols-group in the given order.
+    * Constraints (all fail loudly at parse when violated, never
+    * silently wrong): the query must start with SELECT (no CTE
+    * prefix), and the ORDER BY / BY expression lists must be
+    * parenthesis-free — LIMIT BY inside a subquery does not match the
+    * end-anchored pattern and passes through unchanged. */
+  private val LimitBy =
+    """(?is)^\s*(SELECT\b.*\S)\s+ORDER\s+BY\s+([^()]+?)\s+LIMIT\s+(\d+)\s+BY\s+([^()]+?)\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""".r
+
+  /** ClickHouse `FROM table FINAL` (ReplacingMergeTree collapse at
+    * read time) → `FROM table_final`, the engine's convention for the
+    * latest-row-per-key view that
+    * [[graft.operators.Replicate.registerWithFinal]] registers
+    * alongside the raw table. A FINAL on a table registered without
+    * the companion view fails loudly at analysis (unknown relation). */
+  private val FromFinal = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+FINAL\b""".r
+
   def rewriteParametric(sql: String): String = {
     var out = Parametric.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
@@ -105,6 +123,17 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s":${m.group(1)}"))
     out = SampleClause.replaceAllIn(out, m =>
       s"TABLESAMPLE (${m.group(1).toDouble * 100} PERCENT)")
+    out = FromFinal.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
+    out = LimitBy.replaceAllIn(out, m => {
+      val (prefix, ord, n, cols) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val outerLimit = Option(m.group(5)).map(l => s" LIMIT $l").getOrElse("")
+      scala.util.matching.Regex.quoteReplacement(
+        s"""SELECT * EXCEPT (gr_rn__) FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ord) AS gr_rn__
+           |  FROM ($prefix)
+           |) WHERE gr_rn__ <= $n ORDER BY $ord$outerLimit""".stripMargin)
+    })
     WithTotals.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
   }

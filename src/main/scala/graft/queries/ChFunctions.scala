@@ -479,7 +479,29 @@ object ChFunctions {
             GROUP BY 1 ORDER BY nation"""),
   )
 
+  /** ClickHouse `LIMIT n BY cols` (first n rows per group in the
+    * ORDER BY order) spelled verbatim — ChSqlParser wraps the query in
+    * a row_number window. Top-2 orders per priority by value. */
+  val q29e = GraftQuery(
+    "q29e_limit_by",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_l")
+      s.sql("""SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                      round(o_totalprice, 2) AS total
+               FROM orders_l
+               ORDER BY prio, total DESC, okey
+               LIMIT 2 BY prio""")
+    },
+    Some("""SELECT prio, okey, total FROM (
+              SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                     round(o_totalprice, 2) AS total,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+              FROM orders) t
+            WHERE rn <= 2 ORDER BY prio, total DESC, okey"""),
+  )
+
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q23, q23b, q24, q25, q25b, q26, q27, q27b, q28, q28b, q28c, q29,
-        q29b, q29c, q29d, q38)
+        q29b, q29c, q29d, q29e, q38)
 }

@@ -314,6 +314,105 @@ object DataPipeline {
             FROM documents GROUP BY 1 ORDER BY source"""),
   )
 
+  /** PII scrubbing. The corpus has no real PII, so both engines inject
+    * the same synthetic email / IP / phone onto a deterministic subset
+    * of documents, then scrub — redaction counts and the scrubbed-text
+    * fingerprint must match exactly. Patterns are RE2-safe so the
+    * identical regex text runs in Spark and DuckDB. */
+  val q65 = GraftQuery(
+    "q65_pii_scrub",
+    (s, dir) => {
+      val injected = Tables(s, dir).documents
+        .withColumn("txt", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.7"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1 555 01"), pmod(col("doc_id"), lit(10)), lit(" 4567"))).otherwise(lit(""))))
+      injected
+        .select(col("doc_id"),
+          TextAnalysis.piiScrub(col("txt")).as("scrubbed"))
+        .select(col("doc_id"), md5(col("scrubbed").cast("binary")).as("fp"),
+          ((length(col("scrubbed")) - length(regexp_replace(col("scrubbed"), "<EMAIL>", ""))) / 7).cast("int").as("n_email"),
+          ((length(col("scrubbed")) - length(regexp_replace(col("scrubbed"), "<IP>", ""))) / 4).cast("int").as("n_ip"),
+          ((length(col("scrubbed")) - length(regexp_replace(col("scrubbed"), "<PHONE>", ""))) / 7).cast("int").as("n_phone"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (
+              SELECT doc_id, concat(text,
+                CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
+                CASE WHEN doc_id % 4 = 0 THEN concat(' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.7') ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN concat(' call +1 555 01', CAST(doc_id % 10 AS VARCHAR), ' 4567') ELSE '' END) AS txt
+              FROM documents),
+            scr AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS scrubbed
+              FROM inj)
+            SELECT doc_id, md5(scrubbed) AS fp,
+                   CAST((length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) / 7 AS INT) AS n_email,
+                   CAST((length(scrubbed) - length(replace(scrubbed, '<IP>', ''))) / 4 AS INT) AS n_ip,
+                   CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) / 7 AS INT) AS n_phone
+            FROM scr ORDER BY doc_id"""),
+  )
+
+  /** Fixed-size chunking with overlap (chunkLen=8 tokens, overlap=2):
+    * the training-data windowing step. Chunks stay a per-row array
+    * projection until the final posexplode — no shuffle before the
+    * (optional) downstream repartition. Bounded to doc_id < 100 to
+    * keep the oracle result reviewable. */
+  val q66 = GraftQuery(
+    "q66_chunking",
+    (s, dir) => docsNorm(Tables(s, dir))
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("norm"), chunkLen = 8, overlap = 2)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(split(col("col"), " ")).as("n_tokens"),
+        md5(col("col").cast("binary")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM documents WHERE doc_id < 100),
+                  c AS (SELECT doc_id, toks,
+                               greatest(1, CAST(ceil((len(toks) - 2) / 6.0) AS INT)) AS nc
+                        FROM t),
+                  e AS (SELECT doc_id, toks,
+                               unnest(generate_series(0, nc - 1)) AS chunk_idx
+                        FROM c),
+                  ch AS (SELECT doc_id, chunk_idx,
+                                array_to_string(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ') AS chunk
+                         FROM e)
+             SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                    len(string_split(chunk, ' ')) AS n_tokens,
+                    md5(chunk) AS chunk_fp
+             FROM ch ORDER BY doc_id, chunk_idx"""),
+  )
+
+  /** Deterministic content-addressed shard assignment (16 shards from
+    * the first md5 nibble): reproducible across runs AND engines, and
+    * exact duplicates land in the same shard by construction. The
+    * balance profile (counts per shard) is what a layout job checks
+    * before writing. */
+  val q67 = GraftQuery(
+    "q67_shard_assign",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.shardOf(col("text")).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+           max("doc_id").as("max_doc"), sum("n_chars").as("sum_chars"))
+      .orderBy("shard"),
+    Some(s"""SELECT CAST(strpos('0123456789abcdef', substring(md5($normSql), 1, 1)) - 1 AS INT) AS shard,
+                    count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             FROM documents GROUP BY 1 ORDER BY shard"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q60, q61, q62, q63, q64)
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q60, q61, q62, q63, q64,
+        q65, q66, q67)
 }

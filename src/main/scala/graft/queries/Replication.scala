@@ -165,5 +165,27 @@ object Replication {
             FROM n JOIN last USING (user_id) WHERE net > 0 ORDER BY user_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36)
+  /** ClickHouse `FROM table FINAL` spelled verbatim: the parser maps
+    * it to the `_final` companion view [[Replicate.registerWithFinal]]
+    * maintains (latest row per key), so migrated SQL that relies on
+    * ReplacingMergeTree FINAL reads runs unchanged. The oracle is the
+    * same collapse written out as a window. */
+  val q37 = GraftQuery(
+    "q37_final",
+    (s, dir) => {
+      Replicate.registerWithFinal(Tables(s, dir).events, "user_state",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      s.sql("""SELECT event_type AS last_type, count(*) AS n_users,
+                      round(sum(value), 2) AS total
+               FROM user_state FINAL
+               GROUP BY event_type ORDER BY last_type""")
+    },
+    Some("""SELECT event_type AS last_type, count(*) AS n_users, round(sum(value), 2) AS total
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1 GROUP BY 1 ORDER BY last_type"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{Dictionaries, Replicate, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-3 dialect surface: dictionary lookups (dictGet → broadcast
+  * join rewrite), LIMIT BY / FINAL parser rewrites, moment aggregates,
+  * and the training-pipeline text operators (PII scrub, chunking,
+  * shard assignment). */
+class DialectRound3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dicts: Unit = {
+    Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("id", "name", "rate").createOrReplaceTempView("currencies_t")
+    Dictionaries.register("currencies", "id", () => spark.table("currencies_t"))
+    Seq((100L, 1L), (101L, 2L), (102L, 9L), (103L, 3L), (104L, 1L))
+      .toDF("order_id", "cur").createOrReplaceTempView("orders_t")
+  }
+
+  test("dictGet resolves through a broadcast left join; misses are NULL") {
+    dicts
+    val out = spark.sql(
+      """SELECT order_id, dictGet('currencies', 'name', cur) AS cname
+         FROM orders_t ORDER BY order_id""").collect()
+    assert(out.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("alpha"), Some("beta"), None, Some("gamma"), Some("alpha")))
+  }
+
+  test("dictGetOrDefault / dictHas; one join serves several attributes") {
+    dicts
+    val df = spark.sql(
+      """SELECT order_id,
+                dictGetOrDefault('currencies', 'name', cur, 'UNK') AS cname,
+                dictGet('currencies', 'rate', cur) AS crate,
+                dictHas('currencies', cur) AS hit
+         FROM orders_t ORDER BY order_id""")
+    val out = df.collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("alpha", "beta", "UNK", "gamma", "alpha"))
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(true, true, false, true, true))
+    // same dict + same key expression → exactly ONE join in the plan
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length == 1, s"expected one shared dict join, got ${joins.length}")
+  }
+
+  test("dictGet works inside aggregates and grouping expressions") {
+    dicts
+    val out = spark.sql(
+      """SELECT dictGetOrDefault('currencies', 'name', cur, 'UNK') AS cname,
+                count(*) AS n, sum(dictGet('currencies', 'rate', cur)) AS s
+         FROM orders_t GROUP BY 1 ORDER BY cname""").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("UNK", 1L), ("alpha", 2L), ("beta", 1L), ("gamma", 1L)))
+    assert(out.find(_.getString(0) == "alpha").get.getDouble(2) == 20.0)
+  }
+
+  test("LIMIT n BY rewrites to a per-group row_number window") {
+    Seq(("a", 1, 9.0), ("a", 2, 8.0), ("a", 3, 7.0), ("b", 4, 6.0), ("b", 5, 5.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("lb_t")
+    val out = spark.sql(
+      """SELECT g, id, v FROM lb_t ORDER BY g, v DESC, id LIMIT 2 BY g""").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 4, 5))
+    // trailing total LIMIT applies after the per-group cut
+    val capped = spark.sql(
+      """SELECT g, id, v FROM lb_t ORDER BY g, v DESC, id LIMIT 2 BY g LIMIT 3""").collect()
+    assert(capped.map(_.getInt(1)).toSeq == Seq(1, 2, 4))
+    // plain LIMIT (no BY) is untouched by the rewriter
+    assert(graft.plans.ChSqlParser.rewriteParametric("SELECT * FROM t ORDER BY x LIMIT 5")
+      == "SELECT * FROM t ORDER BY x LIMIT 5")
+  }
+
+  test("FROM t FINAL reads the registered latest-per-key view") {
+    val df = Seq((1L, 1L, "old"), (1L, 2L, "new"), (2L, 1L, "only"))
+      .toDF("k", "ver", "payload")
+    Replicate.registerWithFinal(df, "fin_t", Seq("k"), Seq(col("ver")))
+    val out = spark.sql("SELECT k, payload FROM fin_t FINAL ORDER BY k").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("new", "only"))
+    // without FINAL the raw versioned rows are visible
+    assert(spark.sql("SELECT count(*) FROM fin_t").head().getLong(0) == 3L)
+  }
+
+  test("skewPop/kurtPop match population moments computed directly") {
+    val xs = Seq(1.0, 2.0, 2.0, 3.0, 7.0, 11.0)
+    xs.toDF("x").createOrReplaceTempView("mom_t")
+    val n = xs.length.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+    val r = spark.sql("SELECT skewPop(x), kurtPop(x) FROM mom_t").head()
+    assert(math.abs(r.getDouble(0) - m3 / math.pow(m2, 1.5)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - m4 / (m2 * m2)) < 1e-9)
+  }
+
+  test("URL family: CH ''-for-absent semantics") {
+    val r = spark.sql(
+      """SELECT domain(u), path(u), queryString(u), extractURLParameter(u, 'k'),
+                extractURLParameter(u, 'missing'), cutQueryString(u), topLevelDomain(u)
+         FROM (SELECT 'https://a.example.org/x/y?k=1&j=2' AS u)""").head()
+    assert(r.getString(0) == "a.example.org")
+    assert(r.getString(1) == "/x/y")
+    assert(r.getString(2) == "k=1&j=2")
+    assert(r.getString(3) == "1")
+    assert(r.getString(4) == "")
+    assert(r.getString(5) == "https://a.example.org/x/y")
+    assert(r.getString(6) == "org")
+  }
+
+  test("IPv4 num<->string round-trips") {
+    val r = spark.sql(
+      """SELECT IPv4NumToString(3232235777), IPv4StringToNum('192.168.1.1')""").head()
+    assert(r.getString(0) == "192.168.1.1")
+    assert(r.getLong(1) == 3232235777L)
+  }
+
+  test("piiScrub redacts emails, IPs and phones but not plain text") {
+    val out = Seq(
+      "mail me at jo.doe+x@corp.example.com ok",
+      "server 10.1.2.3 is up",
+      "call +1 555 0100 1234 now",
+      "no pii here 42")
+      .toDF("t").select(TextAnalysis.piiScrub($"t").as("s")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> ok")
+    assert(out(1) == "server <IP> is up")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "no pii here 42")
+  }
+
+  test("chunks covers every token; overlap and tail semantics") {
+    val df = Seq("a b c d e f g h i j").toDF("t")
+    val out = df.select(TextAnalysis.chunks($"t", chunkLen = 4, overlap = 1).as("c"))
+      .head().getSeq[String](0)
+    // stride 3: [a..d], [d..g], [g..j] — 10 tokens fully covered, and
+    // no trailing chunk that would only repeat overlap tokens
+    assert(out == Seq("a b c d", "d e f g", "g h i j"))
+    // short doc → one chunk, never empty
+    val short = Seq("x y").toDF("t")
+      .select(TextAnalysis.chunks($"t", 4, 1).as("c")).head().getSeq[String](0)
+    assert(short == Seq("x y"))
+  }
+
+  test("shardOf is deterministic and in [0, 16)") {
+    val shards = Seq("alpha", "beta", "Alpha  ", "gamma")
+      .toDF("t").select(TextAnalysis.shardOf($"t").as("s")).as[Int].collect()
+    assert(shards.forall(s => s >= 0 && s < 16))
+    // normalization folds case/whitespace → same shard for same content
+    assert(shards(0) == shards(2))
+  }
+}
