@@ -320,6 +320,22 @@ object ChDialect {
     // -- unix-time conversions
     "toUnixTimestamp"   -> (es => Cast(Cast(es.head, org.apache.spark.sql.types.TimestampType), LongType)),
     "fromUnixTimestamp" -> (es => SecondsToTimestamp(es.head)),
+    // -- -Array aggregate combinators: aggregate over all ELEMENTS of
+    // all arrays in the group. Element sums fold per row (ArrayAggregate)
+    // then Sum across rows — stays inside partial aggregation.
+    "sumArray" -> (es => sumFold(es.head, LambdaFunction.identity) match {
+      case fold => Sum(fold).toAggregateExpression()
+    }),
+    "avgArray" -> (es =>
+      Divide(Sum(sumFold(es.head, LambdaFunction.identity)).toAggregateExpression(),
+             Sum(Cast(Size(es.head), DoubleType)).toAggregateExpression())),
+    // -If combinator on any()'s deterministic cousins
+    "anyIf" -> (es => First(nullIfNot(es(1), es(0)), ignoreNulls = true)),
+    "anyLastIf" -> (es => Last(nullIfNot(es(1), es(0)), ignoreNulls = true)),
+    // t-digest quantile sketch ≈ Spark's approx_percentile sketch —
+    // both approximate-with-bounded-state; parametric spelling
+    // quantileTDigest(0.5)(x) flattens like quantile
+    "quantileTDigest" -> (es => new ApproximatePercentile(es(1), es(0))),
     // -- dictionary lookups: plant [[DictGetExpr]]/[[DictHasExpr]]
     // placeholders; [[DictGetRewrite]] turns each into a broadcast
     // left-outer join during analysis (see Dictionaries scaladoc).

@@ -136,5 +136,37 @@ object Arrays {
             FROM spine LEFT JOIN d USING (day) ORDER BY day"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q92, q93, q94, q95)
+  /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
+    * parametric quantile, in CH SQL spelling over per-customer arrays
+    * built with groupArray. The element aggregation folds per row and
+    * sums across rows — never explodes, so it map-side-combines like
+    * any Sum. (quantileTDigest is registered too but sketch rank
+    * conventions differ across engines on even counts, so the oracled
+    * median here uses the exact interpolating quantile; the t-digest
+    * path is exactness-pinned in DialectRound3Spec.) */
+  val q91b = GraftQuery(
+    "q91b_array_aggs",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_aa")
+      s.sql("""WITH per_cust AS (
+                 SELECT o_custkey, groupArray(round(o_totalprice, 2)) AS prices
+                 FROM orders_aa GROUP BY o_custkey)
+               SELECT modulo(o_custkey, 10) AS bucket,
+                      round(sumArray(prices), 2) AS total,
+                      round(avgArray(prices), 4) AS mean_price,
+                      round(quantile(0.5)(arraySum(prices)), 4) AS med_cust_total
+               FROM per_cust GROUP BY 1 ORDER BY bucket""")
+    },
+    Some("""WITH per_cust AS (
+              SELECT o_custkey, sum(round(o_totalprice, 2)) AS cust_total,
+                     count(*) AS n
+              FROM orders GROUP BY 1)
+            SELECT o_custkey % 10 AS bucket,
+                   round(sum(cust_total), 2) AS total,
+                   round(sum(cust_total) / sum(n), 4) AS mean_price,
+                   round(quantile_cont(cust_total, 0.5), 4) AS med_cust_total
+            FROM per_cust GROUP BY 1 ORDER BY bucket"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q92, q93, q94, q95)
 }

@@ -215,5 +215,33 @@ object EventsAnalytics {
             FROM documents ORDER BY doc_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q80)
+  /** deltaSum analog: sum of POSITIVE deltas of consecutive values.
+    * ClickHouse's deltaSum runs in block order (nondeterministic under
+    * parallel merge — its own docs warn so); the engine makes the
+    * order explicit with a window over (ts, event_id), which is both
+    * deterministic and the semantics users actually want. One shuffle
+    * on the user key; the sessionize family reuses the partitioning. */
+  val q78 = GraftQuery(
+    "q78_delta_sum",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("d", col("value") - lag(col("value"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(round(sum(when(col("d") > 0, col("d")).otherwise(lit(0.0))), 2).as("delta_sum"),
+             count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+    Some("""WITH d AS (SELECT user_id,
+                              value - lag(value) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id) AS d
+                       FROM events)
+            SELECT user_id,
+                   round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 2) AS delta_sum,
+                   count(*) AS n
+            FROM d GROUP BY 1 ORDER BY user_id"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80)
 }

@@ -115,6 +115,29 @@ class DialectRound3Spec extends SparkSpec {
     assert(r.getLong(1) == 3232235777L)
   }
 
+  test("sumArray/avgArray fold elements without exploding; quantileTDigest parses") {
+    Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0)), (2L, Seq(10.0, 20.0, 30.0)))
+      .toDF("g", "xs").createOrReplaceTempView("arr_t")
+    val out = spark.sql(
+      """SELECT g, sumArray(xs) AS s, avgArray(xs) AS a FROM arr_t
+         GROUP BY g ORDER BY g""").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(6.0, 60.0))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(2.0, 20.0))
+    // t-digest parametric spelling parses and is exact when the group
+    // fits one sketch (odd count → no rank-convention ambiguity)
+    val med = spark.sql(
+      "SELECT quantileTDigest(0.5)(x) FROM (SELECT explode(array(1.0d, 5.0d, 9.0d)) AS x)")
+      .head().getDouble(0)
+    assert(med == 5.0)
+  }
+
+  test("anyIf takes the first matching row's value, ignoring non-matches") {
+    Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v").createOrReplaceTempView("any_t")
+    val r = spark.sql("SELECT anyIf(v, k = 'b'), anyLastIf(v, k = 'a') FROM any_t").head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 3)
+  }
+
   test("piiScrub redacts emails, IPs and phones but not plain text") {
     val out = Seq(
       "mail me at jo.doe+x@corp.example.com ok",
