@@ -320,6 +320,48 @@ object ChDialect {
     // -- unix-time conversions
     "toUnixTimestamp"   -> (es => Cast(Cast(es.head, org.apache.spark.sql.types.TimestampType), LongType)),
     "fromUnixTimestamp" -> (es => SecondsToTimestamp(es.head)),
+    // -- positional array transforms. All guard the empty array
+    // (Sequence(1, 0) would count DOWN — Spark picks the step sign
+    // from the direction); results are double-typed like the CH
+    // originals' Float64 output for non-integral inputs.
+    "arrayEnumerate" -> (es => {
+      val arr = es.head
+      If(LessThanOrEqual(Size(arr), Literal(0)),
+        Literal.create(Array.empty[Int], org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+        new Sequence(Literal(1), Size(arr), None))
+    }),
+    "arrayCumSum" -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0d),
+        ElementAt(acc, Literal(-1), None, failOnError = false))
+      ArrayAggregate(es.head,
+        Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
+        LambdaFunction(Concat(Seq(acc, CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    "arrayDifference" -> (es => {
+      val arr = es.head
+      val i = lamVar("gr_i")
+      If(LessThanOrEqual(Size(arr), Literal(0)),
+        Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
+        ArrayTransform(new Sequence(Literal(1), Size(arr), None),
+          LambdaFunction(
+            If(EqualTo(i, Literal(1)), Literal(0.0d),
+              Subtract(Cast(ElementAt(arr, i, None, failOnError = false), DoubleType),
+                Cast(ElementAt(arr, Subtract(i, Literal(1)), None, failOnError = false), DoubleType))),
+            Seq(i))))
+    }),
+    // uniqUpTo(N)(x): exact distinct count saturating at N+1 (CH
+    // semantics). The exact count is cheap because saturation implies
+    // the user accepts coarse cardinality — still expressed as the
+    // native distinct-Count so partial aggregation applies.
+    "uniqUpTo" -> (es => es match {
+      case Seq(n, x) => Least(Seq(
+        Count(Seq(x)).toAggregateExpression(isDistinct = true),
+        Cast(Add(n, Literal(1)), LongType)))
+      case _ => throw new IllegalArgumentException("uniqUpTo takes (N)(expr)")
+    }),
     // -- -Array aggregate combinators: aggregate over all ELEMENTS of
     // all arrays in the group. Element sums fold per row (ArrayAggregate)
     // then Sum across rows — stays inside partial aggregation.

@@ -168,5 +168,47 @@ object Arrays {
             FROM per_cust GROUP BY 1 ORDER BY bucket"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q92, q93, q94, q95)
+  /** Positional array transforms (arrayCumSum / arrayDifference /
+    * arrayEnumerate) + uniqUpTo, over per-order sorted quantity
+    * arrays. The oracle rebuilds each transform with window functions
+    * — order-by-value makes ties harmless (equal values → identical
+    * cumsum/diff regardless of tie order). */
+  val q91c = GraftQuery(
+    "q91c_array_transforms",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_at")
+      s.sql("""WITH g AS (
+                 SELECT l_orderkey,
+                        arraySort(groupArray(CAST(l_quantity AS DOUBLE))) AS qs,
+                        CAST(uniqUpTo(3)(l_linenumber) AS BIGINT) AS lines_upto3
+                 FROM lineitem_at WHERE modulo(l_orderkey, 100) = 0
+                 GROUP BY l_orderkey)
+               SELECT l_orderkey,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 2)), arrayCumSum(qs)), ',') AS cum,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 2)), arrayDifference(qs)), ',') AS diffs,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerate(qs)), ',') AS idxs,
+                      lines_upto3
+               FROM g ORDER BY l_orderkey""")
+    },
+    Some("""WITH e AS (SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS q, l_linenumber
+                       FROM lineitem WHERE l_orderkey % 100 = 0),
+                 w AS (SELECT l_orderkey, q,
+                              row_number() OVER (PARTITION BY l_orderkey ORDER BY q) AS rn,
+                              round(sum(q) OVER (PARTITION BY l_orderkey ORDER BY q
+                                                 ROWS UNBOUNDED PRECEDING), 2) AS cum,
+                              round(coalesce(q - lag(q) OVER (PARTITION BY l_orderkey ORDER BY q), 0), 2) AS d
+                       FROM e),
+                 agg AS (SELECT l_orderkey,
+                                string_agg(CAST(cum AS VARCHAR), ',' ORDER BY rn) AS cum,
+                                string_agg(CAST(d AS VARCHAR), ',' ORDER BY rn) AS diffs,
+                                string_agg(CAST(rn AS VARCHAR), ',' ORDER BY rn) AS idxs
+                         FROM w GROUP BY 1),
+                 u AS (SELECT l_orderkey,
+                              least(count(DISTINCT l_linenumber), 4) AS lines_upto3
+                       FROM e GROUP BY 1)
+            SELECT agg.l_orderkey, cum, diffs, idxs, CAST(lines_upto3 AS BIGINT) AS lines_upto3
+            FROM agg JOIN u USING (l_orderkey) ORDER BY l_orderkey"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95)
 }

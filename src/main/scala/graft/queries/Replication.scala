@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
-import graft.operators.Replicate
+import graft.operators.{MatView, Replicate}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -187,5 +187,39 @@ object Replication {
             WHERE rn = 1 GROUP BY 1 ORDER BY last_type"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** Incrementally-maintained materialized view (MatView): the events
+    * stream lands in three batches — init + two O(delta) refreshes
+    * appending partial states — and the read is the -Merge over
+    * states. The oracle recomputes the same rollup from raw rows, so
+    * the hash-match proves init+refresh+merge ≡ full recompute. The
+    * store is rebuilt from scratch on every run (init overwrites), so
+    * re-runs can't double-append. An HLL distinct-user sketch rides
+    * in the same store; being approximate it stays out of the oracled
+    * output (exactness-checked in MatViewSpec instead). */
+  val q39 = GraftQuery(
+    "q39_matview",
+    (s, dir) => {
+      val spec = MatView.spec(Seq("event_type"),
+        MatView.countState("cnt"),
+        MatView.sumState("sum_v", round(col("value"), 2)),
+        MatView.minState("min_ts", col("ts")),
+        MatView.maxState("max_ts", col("ts")))
+      val path = s"/tmp/graft_matview/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val e = Tables(s, dir).events
+      val cut1 = "1995-06-01"
+      val cut2 = "1997-01-01"
+      MatView.init(e.where(col("ts") < cut1), spec, path)
+      MatView.refresh(e.where(col("ts") >= cut1 && col("ts") < cut2), spec, path)
+      MatView.refresh(e.where(col("ts") >= cut2), spec, path)
+      MatView.read(s, spec, path)
+        .select(col("event_type"), col("cnt"), round(col("sum_v"), 2).as("sum_v"),
+                col("min_ts"), col("max_ts"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(round(value, 2)), 2) AS sum_v,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events GROUP BY 1 ORDER BY event_type"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q39)
 }

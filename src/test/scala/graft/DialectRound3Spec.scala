@@ -56,6 +56,23 @@ class DialectRound3Spec extends SparkSpec {
     assert(out.find(_.getString(0) == "alpha").get.getDouble(2) == 20.0)
   }
 
+  test("dictGet in WHERE and ORDER BY (Filter/Sort rewrite paths)") {
+    dicts
+    // Filter: the restoring Project must hide the joined dict columns
+    val filtered = spark.sql(
+      """SELECT order_id FROM orders_t
+         WHERE dictGet('currencies', 'rate', cur) > 15.0
+         ORDER BY order_id""")
+    assert(filtered.columns.toSeq == Seq("order_id"))
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(101L, 103L))
+    // Sort: order by a dictionary attribute not in the select list
+    val sorted = spark.sql(
+      """SELECT order_id, cur FROM orders_t
+         WHERE dictHas('currencies', cur)
+         ORDER BY dictGet('currencies', 'name', cur), order_id""").collect()
+    assert(sorted.map(_.getLong(0)).toSeq == Seq(100L, 104L, 101L, 103L))
+  }
+
   test("LIMIT n BY rewrites to a per-group row_number window") {
     Seq(("a", 1, 9.0), ("a", 2, 8.0), ("a", 3, 7.0), ("b", 4, 6.0), ("b", 5, 5.0))
       .toDF("g", "id", "v").createOrReplaceTempView("lb_t")
@@ -129,6 +146,31 @@ class DialectRound3Spec extends SparkSpec {
       "SELECT quantileTDigest(0.5)(x) FROM (SELECT explode(array(1.0d, 5.0d, 9.0d)) AS x)")
       .head().getDouble(0)
     assert(med == 5.0)
+  }
+
+  test("positional array transforms handle empty and single-element arrays") {
+    val r = spark.sql(
+      """SELECT arrayCumSum(array(1.5d, 2.5d, -1.0d)) AS c,
+                arrayDifference(array(3.0d, 5.0d, 4.5d)) AS d,
+                arrayEnumerate(array('a', 'b')) AS e,
+                arrayCumSum(array()) AS c0,
+                arrayDifference(cast(array() AS ARRAY<DOUBLE>)) AS d0,
+                arrayEnumerate(array()) AS e0,
+                arrayCumSum(array(7.0d)) AS c1""").head()
+    assert(r.getSeq[Double](0) == Seq(1.5, 4.0, 3.0))
+    assert(r.getSeq[Double](1) == Seq(0.0, 2.0, -0.5))
+    assert(r.getSeq[Int](2) == Seq(1, 2))
+    assert(r.getSeq[Double](3).isEmpty)
+    assert(r.getSeq[Double](4).isEmpty)
+    assert(r.getSeq[Int](5).isEmpty)
+    assert(r.getSeq[Double](6) == Seq(7.0))
+  }
+
+  test("uniqUpTo saturates at N+1") {
+    Seq(1, 2, 3, 4, 5, 5).toDF("v").createOrReplaceTempView("uut_t")
+    val r = spark.sql("SELECT uniqUpTo(3)(v), uniqUpTo(10)(v) FROM uut_t").head()
+    assert(r.getLong(0) == 4L) // 5 distinct, saturates at 3+1
+    assert(r.getLong(1) == 5L) // under the cap → exact
   }
 
   test("anyIf takes the first matching row's value, ignoring non-matches") {
