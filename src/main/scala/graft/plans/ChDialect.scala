@@ -320,6 +320,31 @@ object ChDialect {
     // -- unix-time conversions
     "toUnixTimestamp"   -> (es => Cast(Cast(es.head, org.apache.spark.sql.types.TimestampType), LongType)),
     "fromUnixTimestamp" -> (es => SecondsToTimestamp(es.head)),
+    // -- string long tail
+    "splitByString" -> (es => // (sep, s) like splitByChar; literal-quoted
+      StringSplit(es(1), Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))),
+    "trimBoth"  -> (es => new StringTrim(es.head)),
+    "trimLeft"  -> (es => new StringTrimLeft(es.head)),
+    "trimRight" -> (es => new StringTrimRight(es.head)),
+    "substringUTF8" -> (es =>
+      Substring(es(0), es(1), if (es.length > 2) es(2) else Literal(Int.MaxValue))),
+    "reverseUTF8" -> (es => Reverse(es.head)),
+    "concatWithSeparator" -> (es => ConcatWs(es)),
+    // -- math / bit long tail
+    "bitCount"     -> (es => BitwiseCount(es.head)),
+    "roundBankers" -> (es => BRound(es(0), if (es.length > 1) es(1) else Literal(0))),
+    "SHA256"       -> (es => Sha2(es.head, Literal(256))),
+    // -- more arrays
+    "arrayIntersect" -> (es => es.reduce(ArrayIntersect(_, _))),
+    "arrayFlatten"   -> (es => Flatten(es.head)),
+    // -- hash functions. DELIBERATE SEMANTIC CAVEAT: ClickHouse's
+    // cityHash64/sipHash64 algorithms aren't in Spark; these map to
+    // xxhash64 with distinct seeds. Deterministic and well-distributed
+    // within THIS engine (bucketing/sampling/fingerprint use cases
+    // carry over) but the VALUES differ from ClickHouse — code that
+    // persisted CH hash values must re-hash, same as any engine move.
+    "cityHash64" -> (es => XxHash64(es, 42L)),
+    "sipHash64"  -> (es => XxHash64(es, 9L)),
     // -- positional array transforms. All guard the empty array
     // (Sequence(1, 0) would count DOWN — Spark picks the step sign
     // from the direction); results are double-typed like the CH

@@ -106,6 +106,10 @@ object ChSqlParser {
   private val LimitBy =
     """(?is)^\s*(SELECT\b.*\S)\s+ORDER\s+BY\s+([^()]+?)\s+LIMIT\s+(\d+)\s+BY\s+([^()]+?)\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""".r
 
+  /** ClickHouse `FROM numbers(N)` (the system.numbers table function)
+    * → Spark's `range(N)`, aliased to CH's column name `number`. */
+  private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*\)""".r
+
   /** ClickHouse `FROM table FINAL` (ReplacingMergeTree collapse at
     * read time) → `FROM table_final`, the engine's convention for the
     * latest-row-per-key view that
@@ -125,6 +129,8 @@ object ChSqlParser {
       s"TABLESAMPLE (${m.group(1).toDouble * 100} PERCENT)")
     out = FromFinal.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
+    out = NumbersFn.replaceAllIn(out, m =>
+      s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
     out = LimitBy.replaceAllIn(out, m => {
       val (prefix, ord, n, cols) = (m.group(1), m.group(2), m.group(3), m.group(4))
       val outerLimit = Option(m.group(5)).map(l => s" LIMIT $l").getOrElse("")

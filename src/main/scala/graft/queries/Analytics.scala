@@ -375,6 +375,41 @@ object Analytics {
             WHERE rnk <= 5 ORDER BY n_name, rnk, c_custkey"""),
   )
 
+  /** ClickHouse ANY LEFT JOIN strictness ([[graft.operators.Joins]]):
+    * at most one lineitem per order — the winner made deterministic
+    * (min line number) where ClickHouse leaves it undefined, so the
+    * oracle can reproduce it with a windowed dedupe. */
+  val q13b = GraftQuery(
+    "q13b_any_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.Joins.anyLeft(
+          t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_quantity")),
+          Seq("o_orderkey"),
+          // the synthetic data has duplicate line numbers per order;
+          // the quantity tiebreak makes the order total w.r.t. every
+          // output column, so the join is reproducible
+          winnerOrd = struct(col("l_linenumber"), col("l_quantity")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             count(col("l_linenumber")).as("n_matched"),
+             round(sum("l_quantity"), 2).as("qty_first_line"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH any_l AS (SELECT * FROM (
+              SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity,
+                     row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+              FROM lineitem) t WHERE rn = 1)
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   count(l_linenumber) AS n_matched,
+                   round(sum(l_quantity), 2) AS qty_first_line
+            FROM orders LEFT JOIN any_l USING (o_orderkey)
+            GROUP BY 1 ORDER BY o_orderpriority"""),
+  )
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-                                 q11, q12, q13, q14, q15, q15b, q16, q17, q18, q19, q20)
+                                 q11, q12, q13, q13b, q14, q15, q15b, q16, q17, q18,
+                                 q19, q20)
 }

@@ -206,6 +206,47 @@ class DialectRound3Spec extends SparkSpec {
     assert(short == Seq("x y"))
   }
 
+  test("string/math/array long tail and numbers() table function") {
+    val r = spark.sql(
+      """SELECT splitByString('--', 'a--b--c')[1] AS s1,
+                trimBoth('  x  ') AS t1,
+                substringUTF8('abcdef', 2, 3) AS sub,
+                reverseUTF8('abc') AS rev,
+                bitCount(7) AS bc,
+                roundBankers(2.5d) AS rb1, roundBankers(3.5d) AS rb2,
+                arrayIntersect(array(1, 2, 3), array(2, 3, 4)) AS ai,
+                arrayFlatten(array(array(1, 2), array(3))) AS af,
+                concatWithSeparator('-', 'a', 'b') AS cws
+         FROM (SELECT 1)""").head()
+    assert(r.getString(0) == "b")
+    assert(r.getString(1) == "x")
+    assert(r.getString(2) == "bcd")
+    assert(r.getString(3) == "cba")
+    assert(r.getInt(4) == 3)
+    assert(r.getDouble(5) == 2.0 && r.getDouble(6) == 4.0) // half-to-even
+    assert(r.getSeq[Int](7) == Seq(2, 3))
+    assert(r.getSeq[Int](8) == Seq(1, 2, 3))
+    assert(r.getString(9) == "a-b")
+    // numbers(N) → range with CH's column name
+    val n = spark.sql("SELECT sum(number) AS s FROM numbers(10)").head().getLong(0)
+    assert(n == 45L)
+    // hash family: deterministic, engine-internal (documented caveat)
+    val h = spark.sql(
+      "SELECT cityHash64('x') = cityHash64('x'), cityHash64('x') = sipHash64('x')").head()
+    assert(h.getBoolean(0) && !h.getBoolean(1))
+  }
+
+  test("Joins.anyInner keeps exactly one deterministic right row per key") {
+    val left = Seq((1, "l1"), (2, "l2"), (3, "l3")).toDF("k", "lv")
+    val right = Seq((1, 5, "r15"), (1, 2, "r12"), (2, 9, "r29")).toDF("k", "ord", "rv")
+    val out = graft.operators.Joins.anyInner(left, right, Seq("k"), col("ord"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(3))).toSeq ==
+      Seq((1, "r12"), (2, "r29"))) // min ord wins; k=3 dropped
+    val outer = graft.operators.Joins.anyLeft(left, right, Seq("k"), col("ord"))
+    assert(outer.count() == 3) // every left row survives
+  }
+
   test("shardOf is deterministic and in [0, 16)") {
     val shards = Seq("alpha", "beta", "Alpha  ", "gamma")
       .toDF("t").select(TextAnalysis.shardOf($"t").as("s")).as[Int].collect()
