@@ -256,6 +256,7 @@ object ChDialect {
     // by ChSqlParser, like quantile/topK)
     "windowFunnel"  -> (es => GraftWindowFunnel(es.head, es(1), es.drop(2))),
     "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2))),
+    "sequenceCount" -> (es => GraftSequenceCount(es.head, es(1), es.drop(2))),
     // element-wise map-combine over parallel (keys, values) arrays
     "sumMap" -> (es => GraftMapAgg(es(0), es(1), "sum")),
     "maxMap" -> (es => GraftMapAgg(es(0), es(1), "max")),

@@ -113,6 +113,37 @@ abstract class SequenceAggBase
   }
 }
 
+object SequenceAggBase {
+  /** Parse the supported sequence-pattern subset into (condIndex,
+    * gapBefore) steps: `(?N)` atoms, optionally separated by `.*`.
+    * Time-constraint atoms and bare `.`/`.+` are rejected loudly. */
+  def parseSteps(paramExpr: Expression, nConds: Int, name: String): Array[(Int, Boolean)] = {
+    val pattern = paramExpr.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(s"$name pattern must be a string literal, got $other")
+    }
+    val StepRe = """\(\?(\d+)\)""".r
+    val out = mutable.ArrayBuffer.empty[(Int, Boolean)]
+    var rest = pattern
+    var gap = false
+    while (rest.nonEmpty) {
+      if (rest.startsWith(".*")) { gap = true; rest = rest.drop(2) }
+      else StepRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          val idx = m.group(1).toInt - 1
+          require(idx >= 0 && idx < nConds,
+            s"$name pattern step (?${idx + 1}) exceeds $nConds conditions")
+          out += ((idx, gap)); gap = false; rest = rest.drop(m.matched.length)
+        case None =>
+          throw new IllegalArgumentException(
+            s"$name: unsupported pattern atom at '$rest' (supported: (?N) and .*)")
+      }
+    }
+    require(out.nonEmpty, s"$name pattern must contain at least one (?N) step")
+    out.toArray
+  }
+}
+
 /** ClickHouse `windowFunnel(window)(ts, cond1, …, condN)`: the deepest
   * funnel level reached by a chain of strictly-time-increasing events
   * cond1 → cond2 → … whose LAST event falls within `window` seconds of
@@ -211,31 +242,8 @@ case class GraftSequenceMatch(
   extends SequenceAggBase {
 
   /** (condIndex, gapBefore): gapBefore = a `.*` precedes this step. */
-  private lazy val steps: Array[(Int, Boolean)] = {
-    val pattern = paramExpr.eval() match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case other => throw new IllegalArgumentException(s"sequenceMatch pattern must be a string literal, got $other")
-    }
-    val StepRe = """\(\?(\d+)\)""".r
-    val out = mutable.ArrayBuffer.empty[(Int, Boolean)]
-    var rest = pattern
-    var gap = false
-    while (rest.nonEmpty) {
-      if (rest.startsWith(".*")) { gap = true; rest = rest.drop(2) }
-      else StepRe.findPrefixMatchOf(rest) match {
-        case Some(m) =>
-          val idx = m.group(1).toInt - 1
-          require(idx >= 0 && idx < conds.length,
-            s"sequenceMatch pattern step (?${idx + 1}) exceeds ${conds.length} conditions")
-          out += ((idx, gap)); gap = false; rest = rest.drop(m.matched.length)
-        case None =>
-          throw new IllegalArgumentException(
-            s"sequenceMatch: unsupported pattern atom at '$rest' (supported: (?N) and .*)")
-      }
-    }
-    require(out.nonEmpty, "sequenceMatch pattern must contain at least one (?N) step")
-    out.toArray
-  }
+  private lazy val steps: Array[(Int, Boolean)] =
+    SequenceAggBase.parseSteps(paramExpr, conds.length, prettyName)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "sequenceMatch"
@@ -291,5 +299,83 @@ case class GraftSequenceMatch(
   override def withNewInputAggBufferOffset(newOffset: Int): GraftSequenceMatch =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GraftSequenceMatch =
+    copy(paramExpr = newChildren.head, tsExpr = newChildren(1), conds = newChildren.drop(2))
+}
+
+/** ClickHouse `sequenceCount('(?1).*(?2)')(ts, cond1, …)`: number of
+  * NON-OVERLAPPING pattern matches, scanning left to right — after a
+  * match completes, the search resumes strictly after its last event
+  * (ClickHouse's documented greedy semantics). Same pattern subset and
+  * strict_increase discipline as [[GraftSequenceMatch]].
+  *
+  * The scan extends each candidate match with the EARLIEST feasible
+  * event per step; for this pattern subset (steps joined by adjacency
+  * or `.*`) earliest-extension is exchange-optimal, so the greedy
+  * count equals the maximum number of disjoint matches.
+  */
+case class GraftSequenceCount(
+    paramExpr: Expression,
+    tsExpr: Expression,
+    conds: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SequenceAggBase {
+
+  /** (condIndex, gapBefore) steps — same pattern grammar as
+    * sequenceMatch (kept in sync via the shared parser). */
+  private lazy val steps: Array[(Int, Boolean)] =
+    SequenceAggBase.parseSteps(paramExpr, conds.length, prettyName)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sequenceCount"
+
+  override def eval(buffer: mutable.ArrayBuffer[(Long, Int)]): Any = {
+    val evs = sorted(buffer)
+    val m = evs.length
+    var count = 0L
+    var pos = 0
+    while (pos < m) {
+      // attempt the earliest match starting at pos or later
+      var start = pos
+      var matched = -1
+      while (start < m && matched < 0) {
+        if ((evs(start)._2 & (1 << steps(0)._1)) != 0) {
+          // greedy earliest extension from this start
+          var last = start
+          var s = 1
+          var dead = false
+          while (s < steps.length && !dead) {
+            val (condIdx, gapBefore) = steps(s)
+            if (gapBefore) {
+              var j = last + 1
+              var found = -1
+              while (j < m && found < 0) {
+                if (evs(j)._1 > evs(last)._1 && (evs(j)._2 & (1 << condIdx)) != 0) found = j
+                j += 1
+              }
+              if (found < 0) dead = true else last = found
+            } else {
+              if (last + 1 < m && evs(last + 1)._1 > evs(last)._1 &&
+                  (evs(last + 1)._2 & (1 << condIdx)) != 0) last += 1
+              else dead = true
+            }
+            s += 1
+          }
+          if (!dead) matched = last
+        }
+        if (matched < 0) start += 1
+      }
+      if (matched < 0) return count
+      count += 1
+      pos = matched + 1
+    }
+    count
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftSequenceCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftSequenceCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GraftSequenceCount =
     copy(paramExpr = newChildren.head, tsExpr = newChildren(1), conds = newChildren.drop(2))
 }

@@ -198,6 +198,35 @@ object EventsAnalytics {
             FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN m USING (user_id)"""),
   )
 
+  /** sequenceCount (greedy non-overlapping '(?1).*(?2)' matches) per
+    * user. The oracle exploits the greedy structure: for a two-step
+    * gap pattern, the count equals the number of click→purchase
+    * boundaries in the click/purchase-filtered ordered stream (each
+    * counted purchase closes a match and resets the scan; ties can't
+    * occur — (user, ts) is unique among these events in the testdata,
+    * which the strict_increase DP otherwise resolves). */
+  val q77b = GraftQuery(
+    "q77b_sequence_count",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_sc")
+      s.sql("""SELECT user_id,
+                      sequenceCount('(?1).*(?2)')(ts,
+                        event_type = 'click', event_type = 'purchase') AS n_chains
+               FROM events_sc GROUP BY user_id
+               HAVING n_chains > 0 ORDER BY user_id""")
+    },
+    Some("""WITH f AS (SELECT user_id, ts, event_type FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 l AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                       FROM f)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase' AND prev = 'click') AS BIGINT) AS n_chains
+            FROM l GROUP BY 1
+            HAVING count(*) FILTER (WHERE event_type = 'purchase' AND prev = 'click') > 0
+            ORDER BY user_id"""),
+  )
+
   /** Binary payload column + typed metadata extraction (multimodal
     * plumbing; payload here is the document text as opaque bytes). */
   val q80 = GraftQuery(
@@ -243,5 +272,5 @@ object EventsAnalytics {
             FROM d GROUP BY 1 ORDER BY user_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80)
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q77b, q78, q80)
 }

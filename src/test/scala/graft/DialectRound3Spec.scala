@@ -247,6 +247,31 @@ class DialectRound3Spec extends SparkSpec {
     assert(outer.count() == 3) // every left row survives
   }
 
+  test("sequenceCount counts greedy non-overlapping matches") {
+    def ev(min: Int, t: String) =
+      (new java.sql.Timestamp(java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+        + min.toLong * 60000), t)
+    // stream: A B B A B  → '(?1).*(?2)' matches (A1,B2), (A4,B5) = 2
+    Seq(ev(1, "A"), ev(2, "B"), ev(3, "B"), ev(4, "A"), ev(5, "B"))
+      .toDF("ts", "t").createOrReplaceTempView("sc_t")
+    val r = spark.sql(
+      """SELECT sequenceCount('(?1).*(?2)')(ts, t = 'A', t = 'B') AS gap,
+                sequenceCount('(?1)(?2)')(ts, t = 'A', t = 'B') AS adj,
+                sequenceCount('(?1)')(ts, t = 'B') AS singles,
+                sequenceCount('(?1).*(?2)')(ts, t = 'X', t = 'B') AS none
+         FROM sc_t""").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 2L) // adjacent pairs: (A1,B2), (A4,B5)
+    assert(r.getLong(2) == 3L) // every B alone
+    assert(r.getLong(3) == 0L)
+    // consistency: count > 0 ⟺ sequenceMatch true
+    val both = spark.sql(
+      """SELECT sequenceMatch('(?1).*(?2)')(ts, t = 'A', t = 'B') AS m,
+                sequenceCount('(?1).*(?2)')(ts, t = 'A', t = 'B') AS c
+         FROM sc_t""").head()
+    assert(both.getBoolean(0) == (both.getLong(1) > 0))
+  }
+
   test("shardOf is deterministic and in [0, 16)") {
     val shards = Seq("alpha", "beta", "Alpha  ", "gamma")
       .toDF("t").select(TextAnalysis.shardOf($"t").as("s")).as[Int].collect()
