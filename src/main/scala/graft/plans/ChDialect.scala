@@ -404,6 +404,31 @@ object ChDialect {
     // both approximate-with-bounded-state; parametric spelling
     // quantileTDigest(0.5)(x) flattens like quantile
     "quantileTDigest" -> (es => new ApproximatePercentile(es(1), es(0))),
+    // -- -State / -Merge combinators, the spellings ClickHouse
+    // materialized-view SQL emits (AggregatingMergeTree targets).
+    // States here are Spark-native values with the same merge algebra:
+    // a partial sum IS a sum, a partial count merges by summing, avg
+    // carries (sum, count) as a struct, uniq carries an HLL sketch
+    // binary. [[graft.operators.MatView]] is the storage side of the
+    // same contract.
+    "sumState"   -> (es => Sum(Cast(es.head, DoubleType))),
+    "sumMerge"   -> (es => Sum(es.head)),
+    "countState" -> (es => Count(if (es.isEmpty) Seq(Literal(1)) else es)),
+    "countMerge" -> (es => Sum(es.head).toAggregateExpression() match {
+      case agg => Cast(agg, LongType)
+    }),
+    "minState"   -> (es => Min(es.head)),
+    "minMerge"   -> (es => Min(es.head)),
+    "maxState"   -> (es => Max(es.head)),
+    "maxMerge"   -> (es => Max(es.head)),
+    "avgState"   -> (es => CreateNamedStruct(Seq(
+      Literal("s"), Sum(Cast(es.head, DoubleType)).toAggregateExpression(),
+      Literal("c"), Count(Seq(es.head)).toAggregateExpression()))),
+    "avgMerge"   -> (es => Divide(
+      Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("s"))).toAggregateExpression(),
+      Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
+    "uniqState"  -> (es => new HllSketchAgg(es.head)),
+    "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
     // -- dictionary lookups: plant [[DictGetExpr]]/[[DictHasExpr]]
     // placeholders; [[DictGetRewrite]] turns each into a broadcast
     // left-outer join during analysis (see Dictionaries scaladoc).

@@ -210,5 +210,36 @@ object Arrays {
             FROM agg JOIN u USING (l_orderkey) ORDER BY l_orderkey"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95)
+  /** Partition pruning on the MergeTree-shaped layout: events landed
+    * ONCE per sf-dir under PARTITION BY month / ORDER BY (user_id, ts)
+    * (`MergeTreeWrite.write`, reused across sessions via the _SUCCESS
+    * guard, like q15b's bucketed layout), then a one-month query reads
+    * only that month's directory — the scan's PartitionFilters prune
+    * everything else, exactly the MergeTree PARTITION-BY promise. The
+    * oracle recomputes from the raw table with the same predicate. */
+  val q96 = GraftQuery(
+    "q96_partition_prune",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s"/tmp/graft_mergetree/$tag/events_by_month"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.sources.MergeTreeWrite.write(
+          Tables(s, dir).events, path,
+          partitionExprs = Seq("month" -> date_format(col("ts"), "yyyy-MM")),
+          orderBy = Seq("user_id", "ts"))
+      }
+      val landed = s.read.parquet(path)
+      val firstMonth = landed.agg(min("month")).head().getString(0)
+      landed.where(col("month") === firstMonth)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH fm AS (SELECT min(strftime(ts, '%Y-%m')) AS m FROM events)
+            SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total
+            FROM events, fm WHERE strftime(ts, '%Y-%m') = fm.m
+            GROUP BY 1 ORDER BY user_id"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q96)
 }

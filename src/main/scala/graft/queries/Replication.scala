@@ -139,6 +139,44 @@ object Replication {
             SELECT m.month, cnt, total, uniq_users FROM m JOIN u USING (month) ORDER BY month"""),
   )
 
+  /** The -State/-Merge combinators in their VERBATIM ClickHouse MV
+    * spelling (countState/sumState/minState/avgState at the daily
+    * grain, countMerge/sumMerge/minMerge/avgMerge at the monthly
+    * re-merge) — the SQL an AggregatingMergeTree materialized view
+    * emits, running unchanged through ChDialect. Sums re-merge at
+    * round-0 grid (parallel-order tolerance, q10 convention);
+    * uniqState/uniqMerge (HLL binary states) are registered too but
+    * sketch estimates stay out of oracled output (spec-pinned). */
+  val q35b = GraftQuery(
+    "q35b_state_merge_sql",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_sm2")
+      s.sql("""WITH states AS (
+                 SELECT toStartOfDay(ts) AS d, event_type,
+                        countState() AS cnt_st,
+                        sumState(value) AS sum_st,
+                        minState(value) AS min_st,
+                        avgState(value) AS avg_st
+                 FROM events_sm2 GROUP BY d, event_type)
+               SELECT toStartOfMonth(d) AS month,
+                      CAST(countMerge(cnt_st) AS BIGINT) AS cnt,
+                      round(sumMerge(sum_st), 0) AS total,
+                      round(minMerge(min_st), 2) AS min_v,
+                      round(avgMerge(avg_st), 4) AS avg_v
+               FROM states GROUP BY toStartOfMonth(d) ORDER BY month""")
+    },
+    Some("""WITH states AS (SELECT date_trunc('day', ts) AS d, event_type,
+                                   count(*) AS c, sum(value) AS sv,
+                                   min(value) AS mv, count(value) AS cv
+                            FROM events GROUP BY 1, 2)
+            SELECT date_trunc('month', d) AS month,
+                   CAST(sum(c) AS BIGINT) AS cnt,
+                   round(sum(sv), 0) AS total,
+                   round(min(mv), 2) AS min_v,
+                   round(sum(sv) / sum(cv), 4) AS avg_v
+            FROM states GROUP BY 1 ORDER BY month"""),
+  )
+
   /** CollapsingMergeTree(sign) FINAL: 'error' events are the cancel
     * rows; a user survives only with positive net sign, carrying the
     * latest +1 row. */
@@ -221,5 +259,5 @@ object Replication {
             FROM events GROUP BY 1 ORDER BY event_type"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q39)
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q37, q39)
 }

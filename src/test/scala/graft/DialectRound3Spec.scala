@@ -173,6 +173,31 @@ class DialectRound3Spec extends SparkSpec {
     assert(r.getLong(1) == 5L) // under the cap → exact
   }
 
+  test("-State/-Merge combinators: two-level rollup equals direct aggregation") {
+    Seq.tabulate(500)(i => (i % 7, i % 40, i.toDouble))
+      .toDF("g", "u", "v").createOrReplaceTempView("sm_t")
+    val merged = spark.sql(
+      """WITH st AS (SELECT g, u % 4 AS sub, countState() AS c, sumState(v) AS s,
+                            minState(v) AS mn, avgState(v) AS a, uniqState(u) AS uq
+                     FROM sm_t GROUP BY g, u % 4)
+         SELECT g, countMerge(c) AS cnt, sumMerge(s) AS total,
+                minMerge(mn) AS mn, round(avgMerge(a), 6) AS mean,
+                CAST(uniqMerge(uq) AS BIGINT) AS uniq
+         FROM st GROUP BY g ORDER BY g""").collect()
+    val direct = spark.sql(
+      """SELECT g, count(*) AS cnt, sum(v) AS total, min(v) AS mn,
+                round(avg(v), 6) AS mean, count(DISTINCT u) AS uniq
+         FROM sm_t GROUP BY g ORDER BY g""").collect()
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getLong(1) == d.getLong(1))
+      assert(math.abs(m.getDouble(2) - d.getDouble(2)) < 1e-6)
+      assert(m.getDouble(3) == d.getDouble(3))
+      assert(m.getDouble(4) == d.getDouble(4))
+      // 40 distinct values — well inside HLL-sketch exactness
+      assert(m.getLong(5) == d.getLong(5))
+    }
+  }
+
   test("anyIf takes the first matching row's value, ignoring non-matches") {
     Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v").createOrReplaceTempView("any_t")
     val r = spark.sql("SELECT anyIf(v, k = 'b'), anyLastIf(v, k = 'a') FROM any_t").head()
