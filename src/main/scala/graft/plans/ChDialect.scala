@@ -338,6 +338,39 @@ object ChDialect {
     // -- more arrays
     "arrayIntersect" -> (es => es.reduce(ArrayIntersect(_, _))),
     "arrayFlatten"   -> (es => Flatten(es.head)),
+    "arrayZip" -> (es => ArraysZip(es)),
+    "arrayJaccardIndex" -> (es =>
+      Divide(Cast(Size(ArrayIntersect(es(0), es(1))), DoubleType),
+             Cast(Size(ArrayUnion(es(0), es(1))), DoubleType))),
+    // -- tuples (CH tuple ≈ Spark struct; elements are 1-indexed and
+    // land in CreateStruct's colN field names)
+    "tuple" -> (es => CreateStruct(es)),
+    "tupleElement" -> (es => es(1) match {
+      case Literal(i: Int, _) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), Literal(s"col$i"))
+      case name @ Literal(_: org.apache.spark.unsafe.types.UTF8String, _) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), name)
+      case other => throw new IllegalArgumentException(
+        s"tupleElement index must be a literal int or name, got $other")
+    }),
+    "assumeNotNull" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(es.head)),
+    // human-readable byte size: '1.00 KiB' — the CH formatting helper
+    // dashboards lean on; pure CaseWhen over unit buckets
+    "formatReadableSize" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+      val branches = units.zipWithIndex.init.map { case (u, i) =>
+        val bound = Literal(math.pow(1024.0, i + 1.0))
+        (LessThan(x, bound),
+         Concat(Seq(FormatNumber(Divide(x, Literal(math.pow(1024.0, i.toDouble))), Literal(2)),
+           Literal(" " + u))): Expression)
+      }
+      val last = Concat(Seq(
+        FormatNumber(Divide(x, Literal(math.pow(1024.0, units.length - 1.0))), Literal(2)),
+        Literal(" " + units.last)))
+      CaseWhen(branches, Some(last))
+    }),
     // -- hash functions. DELIBERATE SEMANTIC CAVEAT: ClickHouse's
     // cityHash64/sipHash64 algorithms aren't in Spark; these map to
     // xxhash64 with distinct seeds. Deterministic and well-distributed

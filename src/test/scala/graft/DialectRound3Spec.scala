@@ -173,6 +173,27 @@ class DialectRound3Spec extends SparkSpec {
     assert(r.getLong(1) == 5L) // under the cap → exact
   }
 
+  test("tuple/arrayZip/arrayJaccardIndex/assumeNotNull/formatReadableSize") {
+    val r = spark.sql(
+      """SELECT tupleElement(tuple('a', 42), 2) AS te,
+                tupleElement(named_struct('x', 7, 'y', 8), 'y') AS tn,
+                arrayZip(array(1, 2), array('a', 'b')) AS az,
+                round(arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4)), 4) AS aj,
+                assumeNotNull(1 + 1) AS ann,
+                formatReadableSize(1536) AS f1,
+                formatReadableSize(1048576) AS f2,
+                formatReadableSize(500) AS f3""").head()
+    assert(r.getInt(0) == 42)
+    assert(r.getInt(1) == 8)
+    assert(r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getInt(0), x.getString(1)))
+      == Seq((1, "a"), (2, "b")))
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getInt(4) == 2)
+    assert(r.getString(5) == "1.50 KiB")
+    assert(r.getString(6) == "1.00 MiB")
+    assert(r.getString(7) == "500.00 B")
+  }
+
   test("-State/-Merge combinators: two-level rollup equals direct aggregation") {
     Seq.tabulate(500)(i => (i % 7, i % 40, i.toDouble))
       .toDF("g", "u", "v").createOrReplaceTempView("sm_t")
