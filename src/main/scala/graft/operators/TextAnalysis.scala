@@ -111,4 +111,33 @@ object TextAnalysis {
     * global dedup. Nibbles compose: k hex chars give 16^k shards. */
   def shardOf(text: Column): Column =
     conv(substring(md5(normalize(text).cast("binary")), 1, 1), 16, 10).cast("int")
+
+  /** The end-to-end corpus-curation pipeline, composed from the
+    * operators above: exact dedup (min-id winner per content
+    * fingerprint) → quality filter → fixed-size chunking with overlap
+    * → content-addressed shard assignment. Output: one row per
+    * surviving chunk (doc_id, chunk_idx, chunk, n_tokens, shard).
+    *
+    * Shape at scale: ONE shuffle (the dedup window on the
+    * fingerprint); normalization, scoring, chunking and sharding are
+    * all per-row projections fused into the surrounding stages. The
+    * shard column is the natural `repartition`/`partitionBy` key for
+    * the final write — duplicates co-locate by construction. */
+  def curateChunks(docs: DataFrame, idCol: String, textCol: String,
+                   minQuality: Double, chunkLen: Int, overlap: Int): DataFrame = {
+    val normed = docs
+      .withColumn("__norm", normalize(col(textCol)))
+      .withColumn("__fp", md5(col("__norm").cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    val deduped = normed
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    deduped
+      .where(qualityScore(col("__norm")) >= minQuality)
+      .select(col(idCol), posexplode(chunks(col("__norm"), chunkLen, overlap)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_tokens", size(split(col("chunk"), " ")))
+      .withColumn("shard", shardOf(col("chunk")))
+  }
 }

@@ -412,7 +412,49 @@ object DataPipeline {
              FROM documents GROUP BY 1 ORDER BY shard"""),
   )
 
+  /** The full curation pipeline in one operator
+    * ([[TextAnalysis.curateChunks]]): exact dedup → quality ≥ 0.5 →
+    * chunk(8, overlap 2) → shard. The oracle replays every stage in
+    * SQL — dedup winners, the q61 quality formula, the q66 chunk
+    * windows, the q67 shard nibble — so the hash-match certifies the
+    * composition, not just the parts. Output: per-shard corpus stats. */
+  val q68 = GraftQuery(
+    "q68_curation_pipeline",
+    (s, dir) => TextAnalysis.curateChunks(
+        Tables(s, dir).documents, "doc_id", "text",
+        minQuality = 0.5, chunkLen = 8, overlap = 2)
+      .groupBy("shard")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_chunks"),
+           sum("n_tokens").as("sum_tokens"),
+           min(md5(col("chunk").cast("binary"))).as("min_chunk_fp"))
+      .orderBy("shard"),
+    Some(s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+                  d AS (SELECT doc_id, norm,
+                               row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+                        FROM n),
+                  q AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM d WHERE rn = 1),
+                  f AS (SELECT doc_id, toks FROM q
+                        WHERE round(least(len(toks) / 50.0, 1.0) * 0.4
+                              + (len(list_filter(toks, x -> x IN
+                                  ('the','a','and','of','to','is','in','it'))) / CAST(len(toks) AS DOUBLE)) * 0.3
+                              + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 6) >= 0.5),
+                  c AS (SELECT doc_id, toks,
+                               greatest(1, CAST(ceil((len(toks) - 2) / 6.0) AS INT)) AS nc
+                        FROM f),
+                  e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c),
+                  ch AS (SELECT doc_id, chunk_idx,
+                                array_to_string(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ') AS chunk
+                         FROM e)
+             SELECT CAST(strpos('0123456789abcdef', substring(md5(chunk), 1, 1)) - 1 AS INT) AS shard,
+                    count(DISTINCT doc_id) AS n_docs,
+                    count(*) AS n_chunks,
+                    CAST(sum(len(string_split(chunk, ' '))) AS BIGINT) AS sum_tokens,
+                    min(md5(chunk)) AS min_chunk_fp
+             FROM ch GROUP BY 1 ORDER BY shard"""),
+  )
+
   val all: Seq[GraftQuery] =
     Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q60, q61, q62, q63, q64,
-        q65, q66, q67)
+        q65, q66, q67, q68)
 }

@@ -318,6 +318,33 @@ class DialectRound3Spec extends SparkSpec {
     assert(both.getBoolean(0) == (both.getLong(1) > 0))
   }
 
+  test("curateChunks: dedup keeps min id, quality filters, chunks cover, shards stable") {
+    val good = ("the quick brown fox jumps over a lazy dog and then " * 3).trim
+    val docs = Seq(
+      (1L, good),              // survives
+      (5L, good),              // exact dup of 1 → dropped
+      (2L, "a a a a a a a a"), // degenerate TTR → low quality
+      (3L, good + " extra words here make it a different document entirely ok"))
+      .toDF("doc_id", "text")
+    // quality scores: good ≈ 0.446, degenerate ≈ 0.4015 → 0.42 separates
+    val out = TextAnalysis.curateChunks(docs, "doc_id", "text",
+      minQuality = 0.42, chunkLen = 8, overlap = 2)
+    val byDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.contains(1L) && !byDoc.contains(5L), "min-id dedup winner")
+    assert(!byDoc.contains(2L), "low-quality doc filtered")
+    assert(byDoc.contains(3L))
+    // chunks reassemble the doc: stride tokens from each + full tail
+    val chunks1 = out.where($"doc_id" === 1).orderBy("chunk_idx")
+      .select("chunk").as[String].collect()
+    val reassembled = (chunks1.init.map(_.split(" ").take(6).mkString(" ")) :+ chunks1.last)
+      .mkString(" ")
+    assert(reassembled == good.toLowerCase)
+    // identical chunk text → identical shard, always in range
+    val shards = out.select("shard").as[Int].collect()
+    assert(shards.forall(s => s >= 0 && s < 16))
+  }
+
   test("shardOf is deterministic and in [0, 16)") {
     val shards = Seq("alpha", "beta", "Alpha  ", "gamma")
       .toDF("t").select(TextAnalysis.shardOf($"t").as("s")).as[Int].collect()
