@@ -118,6 +118,71 @@ object ChSqlParser {
     * the companion view fails loudly at analysis (unknown relation). */
   private val FromFinal = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+FINAL\b""".r
 
+  /** ClickHouse `FROM t [LEFT] ARRAY JOIN e1 AS x1[, e2 AS x2, …]` →
+    * chained LATERAL VIEWs. ARRAY JOIN with several arrays ZIPS them
+    * positionally (it is not a cross product), so the first pair
+    * drives positions via posexplode and every further alias is the
+    * positional element of its own array (`try_element_at`, 1-based;
+    * a one-element `explode(array(…))` lateral view is how a derived
+    * column can reference the generated position column in pure SQL).
+    * `LEFT ARRAY JOIN` keeps empty-array rows via LATERAL VIEW OUTER —
+    * Spark surfaces NULL elements where ClickHouse manufactures
+    * default values (0/''), the grouping-null-style difference
+    * documented for WITH TOTALS too. Matched subset: a named FROM
+    * table and `expr AS alias` pairs (parens allowed one level deep,
+    * commas inside parens protected); anything else — no alias,
+    * subquery source — passes through and fails loudly at parse,
+    * never silently wrong. */
+  private val ArrayJoinClause =
+    ("""(?is)\bFROM\s+([A-Za-z_]\w*)\s+(LEFT\s+)?ARRAY\s+JOIN\s+""" +
+     """((?:'[^']*'|\([^()]*\)|[^(),;])+?(?:,(?:'[^']*'|\([^()]*\)|[^(),;])+?)*)""" +
+     """(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|SETTINGS)\b|\s*;?\s*$|\s*\))""").r
+
+  private val ArrayJoinPair = """(?is)^\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+
+  /** Split on commas not nested inside parentheses. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out   = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur   = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { c =>
+      if (c == '\'') inStr = !inStr
+      if (!inStr) {
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+      }
+      if (c == ',' && depth == 0 && !inStr) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  private def rewriteArrayJoin(sql: String): String =
+    ArrayJoinClause.replaceAllIn(sql, m => {
+      val (table, left) = (m.group(1), m.group(2) != null)
+      val outer         = if (left) "OUTER " else ""
+      val pairs = splitTopLevel(m.group(3)).map {
+        case ArrayJoinPair(e, a) => Some((e.trim, a))
+        case _                   => None
+      }
+      if (pairs.exists(_.isEmpty))
+        scala.util.matching.Regex.quoteReplacement(m.matched) // alias-less form: untouched → loud parse error
+      else {
+        val ps = pairs.flatten
+        val views =
+          if (ps.size == 1)
+            Seq(s"LATERAL VIEW ${outer}explode(${ps.head._1}) gr_aj0 AS ${ps.head._2}")
+          else
+            s"LATERAL VIEW ${outer}posexplode(${ps.head._1}) gr_aj0 AS gr_aj_pos__, ${ps.head._2}" +:
+              ps.tail.zipWithIndex.map { case ((e, a), i) =>
+                s"LATERAL VIEW explode(array(try_element_at($e, gr_aj_pos__ + 1))) gr_aj${i + 1} AS $a"
+              }
+        scala.util.matching.Regex.quoteReplacement(s"FROM $table ${views.mkString(" ")}")
+      }
+    })
+
   def rewriteParametric(sql: String): String = {
     var out = Parametric.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
@@ -129,6 +194,7 @@ object ChSqlParser {
       s"TABLESAMPLE (${m.group(1).toDouble * 100} PERCENT)")
     out = FromFinal.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
+    out = rewriteArrayJoin(out)
     out = NumbersFn.replaceAllIn(out, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
     out = LimitBy.replaceAllIn(out, m => {

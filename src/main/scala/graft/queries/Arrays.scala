@@ -241,5 +241,40 @@ object Arrays {
             GROUP BY 1 ORDER BY user_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q96)
+  /** The ARRAY JOIN clause in ClickHouse spelling, with its hallmark
+    * zip semantics: two parallel per-order arrays (built positionally
+    * aligned by l_linenumber) are unrolled TOGETHER — one output row
+    * per position, never a cross product. ChSqlParser rewrites the
+    * clause into chained LATERAL VIEWs (posexplode drives positions,
+    * further arrays index by position); the DuckDB oracle zips the
+    * same arrays with its native multi-unnest. Ties in the final sort
+    * produce identical full rows, so the order stays hash-stable. */
+  val q97 = GraftQuery(
+    "q97_array_join",
+    (s, dir) => {
+      val arr = array_sort(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"))))
+      Tables(s, dir).lineitem
+        .where(col("l_orderkey") % 200 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(arr.as("arr"))
+        .select(col("l_orderkey"),
+          transform(col("arr"), _.getField("q")).as("qtys"),
+          transform(col("arr"), _.getField("p")).as("prices"))
+        .createOrReplaceTempView("order_arrays")
+      s.sql("""SELECT l_orderkey, CAST(q AS DOUBLE) AS qty, round(p, 2) AS price
+               FROM order_arrays ARRAY JOIN qtys AS q, prices AS p
+               ORDER BY l_orderkey, qty, price""")
+    },
+    Some("""WITH oa AS (SELECT l_orderkey,
+                               list(l_quantity ORDER BY l_linenumber) AS qtys,
+                               list(l_extendedprice ORDER BY l_linenumber) AS prices
+                        FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY 1),
+                 u AS (SELECT l_orderkey, unnest(qtys) AS q, unnest(prices) AS p FROM oa)
+            SELECT l_orderkey, CAST(q AS DOUBLE) AS qty, round(p, 2) AS price
+            FROM u ORDER BY l_orderkey, qty, price"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q96, q97)
 }

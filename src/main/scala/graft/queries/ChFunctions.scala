@@ -501,7 +501,39 @@ object ChFunctions {
             WHERE rn <= 2 ORDER BY prio, total DESC, okey"""),
   )
 
+  /** ClickHouse `GROUP BY … WITH ROLLUP` verbatim — Spark's grammar
+    * shares the spelling, so the dialect needs no rewrite; the work is
+    * the semantics convention: Spark marks rollup subtotal rows with
+    * NULL group keys (like WITH TOTALS) where ClickHouse emits
+    * defaults-filled rows, so the query normalizes the markers
+    * (-1/'ALL') to a deterministic, oracle-comparable shape. The
+    * DuckDB oracle is GROUP BY ROLLUP over the same expressions. */
+  val q29f = GraftQuery(
+    "q29f_rollup",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_ru")
+      s.sql("""WITH r AS (
+                 SELECT CAST(toYear(o_orderdate) AS BIGINT) AS yr,
+                        o_orderpriority AS prio,
+                        count(*) AS cnt,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM orders_ru
+                 GROUP BY CAST(toYear(o_orderdate) AS BIGINT), o_orderpriority WITH ROLLUP)
+               SELECT coalesce(yr, -1) AS yr, coalesce(prio, 'ALL') AS prio, cnt, total
+               FROM r ORDER BY yr, prio""")
+    },
+    Some("""WITH r AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     o_orderpriority AS prio,
+                     count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders
+              GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderpriority))
+            SELECT coalesce(yr, -1) AS yr, coalesce(prio, 'ALL') AS prio, cnt, total
+            FROM r ORDER BY yr, prio"""),
+  )
+
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q23, q23b, q24, q25, q25b, q26, q27, q27b, q28, q28b, q28c, q29,
-        q29b, q29c, q29d, q29e, q38)
+        q29b, q29c, q29d, q29e, q29f, q38)
 }

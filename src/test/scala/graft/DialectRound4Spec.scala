@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 dialect surface: the ARRAY JOIN clause (zip semantics,
+  * LEFT form, single-array form) and GROUP BY WITH ROLLUP/CUBE. */
+class DialectRound4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val arrView: Unit =
+    Seq(
+      (1L, Seq(10, 20, 30), Seq("a", "b", "c")),
+      (2L, Seq(5), Seq("x")),
+      (3L, Seq.empty[Int], Seq.empty[String]),
+    ).toDF("id", "ns", "ss").createOrReplaceTempView("aj_t")
+
+  test("ARRAY JOIN unrolls a single array") {
+    arrView
+    val out = spark.sql(
+      """SELECT id, n FROM aj_t ARRAY JOIN ns AS n ORDER BY id, n""")
+      .as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 10), (1L, 20), (1L, 30), (2L, 5)))
+  }
+
+  test("ARRAY JOIN zips multiple arrays positionally (no cross product)") {
+    arrView
+    val out = spark.sql(
+      """SELECT id, n, s FROM aj_t ARRAY JOIN ns AS n, ss AS s ORDER BY id, n""")
+      .as[(Long, Int, String)].collect()
+    // 3 elements + 1 element = 4 rows, NOT 3*3 + 1
+    assert(out.toSeq == Seq((1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"), (2L, 5, "x")))
+  }
+
+  test("LEFT ARRAY JOIN keeps empty-array rows (null element)") {
+    arrView
+    val out = spark.sql(
+      """SELECT id, n FROM aj_t LEFT ARRAY JOIN ns AS n ORDER BY id, n""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(out.toSeq == Seq((1L, 10), (1L, 20), (1L, 30), (2L, 5), (3L, -1)))
+  }
+
+  test("ARRAY JOIN composes with expressions and a WHERE boundary") {
+    arrView
+    val out = spark.sql(
+      """SELECT id, n2 FROM aj_t ARRAY JOIN arrayMap(x -> x * 2, ns) AS n2
+         WHERE id = 1 ORDER BY n2""").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 20), (1L, 40), (1L, 60)))
+  }
+
+  test("alias-less ARRAY JOIN is left untouched and fails loudly") {
+    val sql = "SELECT id FROM aj_t ARRAY JOIN ns"
+    intercept[Exception](spark.sql(sql).collect())
+  }
+
+  test("WITH ROLLUP and WITH CUBE run in ClickHouse spelling") {
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("g1", "g2", "v").createOrReplaceTempView("ru_t")
+    val roll = spark.sql(
+      """SELECT coalesce(g1, 'ALL') AS g1, coalesce(g2, 'ALL') AS g2, sum(v) AS s
+         FROM ru_t GROUP BY g1, g2 WITH ROLLUP ORDER BY g1, g2""").as[(String, String, Long)].collect()
+    assert(roll.toSeq == Seq(
+      ("ALL", "ALL", 7L), ("a", "ALL", 3L), ("a", "x", 1L), ("a", "y", 2L),
+      ("b", "ALL", 4L), ("b", "x", 4L)))
+    val cube = spark.sql(
+      """SELECT count(*) AS n FROM (
+           SELECT g1, g2, sum(v) AS s FROM ru_t GROUP BY g1, g2 WITH CUBE)""").head().getLong(0)
+    // 3 leaf + 2 g1-subtotals + 2 g2-subtotals + 1 grand total
+    assert(cube == 8L)
+  }
+}
