@@ -55,6 +55,39 @@ object Mutate {
   def delete(spark: SparkSession, path: String, partitionCol: String, pred: Column): Report =
     rewriteAffected(spark, path, partitionCol, pred, _.where(!pred))
 
+  final case class TtlReport(partitionsDropped: Long, partitionsRewritten: Long, rowsDeleted: Long)
+
+  /** MergeTree `TTL expr` semantics, the way ClickHouse actually
+    * executes it: parts whose entire range is expired are DROPPED as
+    * units — a directory delete, no data read or rewritten — and only
+    * the boundary part containing both live and expired rows pays a
+    * row-level rewrite. At 100 TB with month partitions, expiring a
+    * 90-day retention window is a handful of directory removals plus
+    * one month's rewrite, never a full-table scan.
+    *
+    * `partitionWhollyExpired` is a predicate over the PARTITION COLUMN
+    * ONLY (e.g. `col("month") < "2026-05"`), decidable from the
+    * directory name; `rowExpired` is the row-level TTL predicate
+    * applied to whatever partitions survive. The caller owns their
+    * consistency (every row in a wholly-expired partition should
+    * satisfy rowExpired) — the same contract ClickHouse's
+    * partition-level TTL drop has. `rowsDeleted` counts only
+    * row-level deletions: dropped parts are never read, so their rows
+    * are (deliberately) never counted. */
+  def ttl(spark: SparkSession, path: String, partitionCol: String,
+          rowExpired: Column, partitionWhollyExpired: Column): TtlReport = {
+    val dropped = spark.read.parquet(path)
+      .select(col(partitionCol)).distinct().where(partitionWhollyExpired)
+      .collect().map(_.get(0))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+    }
+    val rep = delete(spark, path, partitionCol, rowExpired)
+    TtlReport(dropped.length.toLong, rep.partitionsRewritten, rep.rowsChanged)
+  }
+
   /** ALTER TABLE … UPDATE col = expr, … WHERE pred. Assignments apply
     * only to matching rows; other rows in rewritten partitions are
     * copied through bit-identically. The match flag is computed ONCE

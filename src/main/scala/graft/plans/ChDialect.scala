@@ -100,6 +100,14 @@ object ChDialect {
       case Seq(k, x) => GraftTopK(x, k)
       case _         => throw new IllegalArgumentException("topK takes (k)(expr)")
     }),
+    "topKWeighted" -> (es => es match {
+      case Seq(k, x, w) => GraftTopKWeighted(k, x, w)
+      case _            => throw new IllegalArgumentException("topKWeighted takes (k)(expr, weight)")
+    }),
+    "quantileExactWeighted" -> (es => es match {
+      case Seq(q, x, w) => GraftQuantileExactWeighted(q, x, w)
+      case _            => throw new IllegalArgumentException("quantileExactWeighted takes (level)(expr, weight)")
+    }),
     "groupArray" -> (es => CollectList(es.head)),
     "groupUniqArray" -> (es => SortArray(CollectSet(es.head).toAggregateExpression(), Literal(true))),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),

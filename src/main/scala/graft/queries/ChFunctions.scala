@@ -533,7 +533,59 @@ object ChFunctions {
             FROM r ORDER BY yr, prio"""),
   )
 
+  /** Exact weighted quantile in the ClickHouse parametric spelling.
+    * `quantileExactWeighted(q)(x, w)` ≡ the q-quantile of the multiset
+    * where each x repeats w times (nearest-rank: smallest x whose
+    * cumulative weight reaches q × total). The oracle rebuilds exactly
+    * that definition with a cumulative-weight window. Values are
+    * rounded BEFORE aggregation so both engines bucket identical keys. */
+  val q22c = GraftQuery(
+    "q22c_quantile_weighted",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_qw")
+      s.sql("""SELECT o_orderpriority AS prio,
+                      round(quantileExactWeighted(0.5)(round(o_totalprice, 2),
+                            CAST(modulo(o_orderkey, 5) + 1 AS BIGINT)), 2) AS wmed,
+                      round(quantileExactWeighted(0.9)(round(o_totalprice, 2),
+                            CAST(modulo(o_orderkey, 5) + 1 AS BIGINT)), 2) AS wp90
+               FROM orders_qw GROUP BY 1 ORDER BY prio""")
+    },
+    Some("""WITH b AS (SELECT o_orderpriority AS prio, round(o_totalprice, 2) AS v,
+                              o_orderkey % 5 + 1 AS w FROM orders),
+                 g AS (SELECT prio, v, sum(w) AS w FROM b GROUP BY 1, 2),
+                 c AS (SELECT prio, v,
+                              sum(w) OVER (PARTITION BY prio ORDER BY v) AS cw,
+                              sum(w) OVER (PARTITION BY prio) AS tw FROM g)
+            SELECT prio,
+                   round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 2) AS wmed,
+                   round(min(CASE WHEN cw >= 0.9 * tw THEN v END), 2) AS wp90
+            FROM c GROUP BY prio ORDER BY prio"""),
+  )
+
+  /** topKWeighted in the parametric spelling: per order-year, the
+    * 3 priorities with the largest total weight. Exact variant with
+    * the deterministic (weight desc, value asc) tie-break; output
+    * serialized per the §5 scalar convention. */
+  val q23c = GraftQuery(
+    "q23c_topk_weighted",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_tw")
+      s.sql("""SELECT CAST(toYear(o_orderdate) AS BIGINT) AS yr,
+                      arrayStringConcat(topKWeighted(3)(o_orderpriority,
+                        CAST(modulo(o_custkey, 7) + 1 AS BIGINT)), ',') AS top_prios
+               FROM orders_tw GROUP BY 1 ORDER BY yr""")
+    },
+    Some("""WITH w AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS p,
+                              sum(o_custkey % 7 + 1) AS wt
+                       FROM orders GROUP BY 1, 2),
+                 r AS (SELECT yr, p,
+                              row_number() OVER (PARTITION BY yr ORDER BY wt DESC, p) AS rn
+                       FROM w)
+            SELECT yr, string_agg(p, ',' ORDER BY rn) AS top_prios
+            FROM r WHERE rn <= 3 GROUP BY yr ORDER BY yr"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q23, q23b, q24, q25, q25b, q26, q27, q27b, q28, q28b, q28c, q29,
-        q29b, q29c, q29d, q29e, q29f, q38)
+    Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q26, q27, q27b, q28, q28b,
+        q28c, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
-import graft.operators.{MatView, Replicate}
+import graft.operators.{MatView, Mutate, Replicate}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -259,5 +259,33 @@ object Replication {
             FROM events GROUP BY 1 ORDER BY event_type"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q37, q39)
+  /** MergeTree TTL, executed the ClickHouse way: orders landed under
+    * PARTITION BY year, then a retention cutoff mid-1995 — every year
+    * before 1995 is dropped as a whole part (directory delete, zero
+    * rows read), and only the 1995 boundary partition pays a
+    * row-level rewrite. The layout is rebuilt each run because TTL
+    * mutates it; the oracle is the surviving-row filter on the raw
+    * table. */
+  val q98 = GraftQuery(
+    "q98_ttl",
+    (s, dir) => {
+      val path = s"/tmp/graft_ttl/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_by_year"
+      Tables(s, dir).orders
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      Mutate.ttl(s, path, "yr",
+        rowExpired = col("o_orderdate") < "1995-07-01",
+        partitionWhollyExpired = col("yr") < 1995)
+      s.read.parquet(path)
+        .groupBy(col("yr").cast("long").as("yr"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+            GROUP BY 1 ORDER BY yr"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q37, q39, q98)
 }

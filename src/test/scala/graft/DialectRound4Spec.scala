@@ -52,6 +52,40 @@ class DialectRound4Spec extends SparkSpec {
     intercept[Exception](spark.sql(sql).collect())
   }
 
+  test("topKWeighted: weight-ordered, deterministic ties, partition-independent") {
+    val df = Seq(("a", 1L), ("b", 5L), ("c", 5L), ("a", 2L), ("d", 10L)).toDF("v", "w")
+    for (parts <- Seq(1, 4)) {
+      val got = df.repartition(parts)
+        .agg(expr("topKWeighted(3)(v, w)")).head().getSeq[String](0)
+      // d=10, b=5, c=5 (tie → value asc), a=3
+      assert(got == Seq("d", "b", "c"))
+    }
+    // weight ≡ 1 degenerates to topK's count ordering
+    val ones = Seq("x", "y", "x", "z", "x", "y").toDF("v").withColumn("w", lit(1L))
+    assert(ones.agg(expr("topKWeighted(2)(v, w)")).head().getSeq[String](0) == Seq("x", "y"))
+    // null values and null weights are skipped
+    val nulls = Seq(("a", java.lang.Long.valueOf(3L)), (null, java.lang.Long.valueOf(9L)), ("b", null))
+      .toDF("v", "w")
+    assert(nulls.agg(expr("topKWeighted(5)(v, w)")).head().getSeq[String](0) == Seq("a"))
+  }
+
+  test("quantileExactWeighted: nearest-rank over the weighted multiset") {
+    // multiset {1×1, 2×1, 3×8} → median = 3; q=0 → min; q=1 → max
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 8L)).toDF("v", "w")
+    for (parts <- Seq(1, 3)) {
+      val r = df.repartition(parts).selectExpr(
+        "quantileExactWeighted(0.5)(v, w) AS med",
+        "quantileExactWeighted(0)(v, w) AS lo",
+        "quantileExactWeighted(1.0)(v, w) AS hi").head()
+      assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0)
+    }
+    // unit weights reduce to the classic nearest-rank quantile
+    val u = Seq.tabulate(10)(i => (i + 1.0, 1L)).toDF("v", "w")
+    assert(u.selectExpr("quantileExactWeighted(0.3)(v, w)").head().getDouble(0) == 3.0)
+    // empty group → null
+    assert(df.where("v < 0").selectExpr("quantileExactWeighted(0.5)(v, w)").head().isNullAt(0))
+  }
+
   test("WITH ROLLUP and WITH CUBE run in ClickHouse spelling") {
     Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
       .toDF("g1", "g2", "v").createOrReplaceTempView("ru_t")

@@ -74,4 +74,39 @@ class MutateSpec extends SparkSpec {
     assert(fileState(path) == before)
     assert(spark.read.parquet(path).count() == 400)
   }
+
+  test("ttl drops wholly-expired partitions as units and rewrites only the boundary") {
+    // range-partitioned table (p = id / 100), so partition predicates
+    // are consistent with the row TTL — the MergeTree layout shape
+    val path = java.nio.file.Files.createTempDirectory("graft_mut_ttl")
+      .resolve("t").toString
+    Seq.tabulate(400) { i => (i.toLong, i / 100, i.toDouble) }
+      .toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(path)
+    val before = fileState(path)
+    // retention cutoff at id 250: partitions 0 and 1 wholly expired,
+    // partition 2 is the boundary, partition 3 is entirely live
+    val rep = Mutate.ttl(spark, path, "p",
+      rowExpired = $"id" < 250, partitionWhollyExpired = $"p" < 2)
+    assert(rep.partitionsDropped == 2)
+    assert(rep.partitionsRewritten == 1) // only the boundary partition
+    // dropped parts are never read, hence never counted; row-level
+    // deletions are the boundary's expired half: ids 200…249
+    assert(rep.rowsDeleted == 50)
+    // dropped directories are gone from disk
+    assert(!new java.io.File(s"$path/p=0").exists())
+    assert(!new java.io.File(s"$path/p=1").exists())
+    // surviving table is exactly the TTL filter
+    val t = spark.read.parquet(path)
+    assert(t.count() == 150)
+    assert(t.where($"id" < 250).count() == 0)
+    assert(t.select(sum($"id")).head().getLong(0) == (250L until 400L).sum)
+    // the fully-live partition was not rewritten: files byte-identical
+    val after = fileState(path)
+    before.keys.filter(_.contains("p=3")).foreach { k =>
+      assert(after(k) == before(k), s"$k was rewritten")
+    }
+    // …and the boundary partition's files actually changed
+    assert(before.keys.filter(_.contains("p=2")).forall(k => after.get(k) != Some(before(k))))
+  }
 }
