@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse (MergeTree) projections: alternate physical layouts of
+  * the same table — a different ORDER BY, or a pre-aggregation —
+  * maintained next to the base data, with queries routed to whichever
+  * layout serves them cheapest.
+  *
+  * Spark-first mapping: each layout is a parquet directory under the
+  * table root. A sort projection is the same rows range-partitioned +
+  * sorted on its own keys, so parquet row-group min/max stats prune
+  * decode work for selective predicates on those keys (the same
+  * mechanism MergeTree's sparse primary index exploits). An aggregate
+  * projection stores PARTIAL states (count/sum/min/max — all
+  * re-aggregable), so a matching GROUP BY reads rows proportional to
+  * group count, not fact count. A `_projections.txt` manifest makes
+  * the root self-describing; [[route]] picks the layout from the
+  * query's filter/groupBy shape — ClickHouse's optimizer choice,
+  * surfaced as an explicit, auditable call.
+  *
+  * At 100 TB: projections multiply storage, not shuffle — each layout
+  * is written once with one range-exchange (or one map-side-combined
+  * aggregation), and every routed query afterwards saves the full
+  * scan it would otherwise pay. Bucket/file counts are the
+  * parallelism knob, as in MergeTreeWrite.
+  */
+object Projections {
+
+  sealed trait Spec { def name: String; def keys: Seq[String] }
+  /** Same rows, alternate ORDER BY. */
+  final case class Sort(name: String, keys: Seq[String]) extends Spec
+  /** Pre-aggregation: `states` are (stateCol, func, srcCol) with func
+    * one of count|sum|min|max (count ignores srcCol). */
+  final case class Agg(name: String, keys: Seq[String], states: Seq[(String, String, String)]) extends Spec
+
+  private def stateCol(func: String, src: String) = func match {
+    case "count" => count(lit(1))
+    case "sum"   => sum(col(src))
+    case "min"   => min(col(src))
+    case "max"   => max(col(src))
+    case other   => throw new IllegalArgumentException(s"unsupported projection state: $other")
+  }
+
+  /** How a partial state merges on read: counts add, sums add,
+    * min/max idempotently recombine. */
+  private def mergeCol(func: String, c: String) = func match {
+    case "count" | "sum" => sum(col(c))
+    case "min"           => min(col(c))
+    case "max"           => max(col(c))
+    case other           => throw new IllegalArgumentException(s"unsupported projection state: $other")
+  }
+
+  /** Land the base layout plus every projection, and the manifest.
+    * One range-exchange per sort layout; one aggregation for each agg
+    * layout. `filesPerLayout` bounds file count (≈ row-group count),
+    * i.e. the pruning granularity. */
+  def write(df: DataFrame, path: String, baseOrder: Seq[String],
+            projections: Seq[Spec], filesPerLayout: Int = 8): Unit = {
+    def sorted(keys: Seq[String]) =
+      df.repartitionByRange(filesPerLayout, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+    sorted(baseOrder).write.mode("overwrite").parquet(s"$path/base")
+    projections.foreach {
+      case Sort(name, keys) =>
+        sorted(keys).write.mode("overwrite").parquet(s"$path/$name")
+      case Agg(name, keys, states) =>
+        val aggs = states.map { case (c, f, src) => stateCol(f, src).as(c) }
+        df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .write.mode("overwrite").parquet(s"$path/$name")
+    }
+    val manifest = (Seq(s"base|sort|${baseOrder.mkString(",")}|") ++ projections.map {
+      case Sort(name, keys) => s"$name|sort|${keys.mkString(",")}|"
+      case Agg(name, keys, states) =>
+        s"$name|agg|${keys.mkString(",")}|${states.map { case (c, f, s) => s"$c:$f:$s" }.mkString(",")}"
+    }).mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_projections.txt"),
+      manifest.getBytes("UTF-8"))
+  }
+
+  private def manifest(path: String): Seq[(String, String, Seq[String], Seq[(String, String, String)])] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_projections.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, kind, keys, states) = line.split("\\|", -1)
+        val st = states.split(",").toSeq.filter(_.nonEmpty).map { s =>
+          val Array(c, f, src) = s.split(":", -1); (c, f, src)
+        }
+        (name, kind, keys.split(",").toSeq.filter(_.nonEmpty), st)
+      }
+
+  /** Pick the cheapest layout for a query shape: an aggregate
+    * projection whose keys equal the GROUP BY set wins (rows ∝
+    * groups), else the sort layout whose leading key carries a
+    * selective filter (row-group pruning), else base. Returns the
+    * layout's DataFrame and its name (for plan audits). */
+  def route(spark: SparkSession, path: String,
+            filterCols: Set[String] = Set.empty,
+            groupByCols: Seq[String] = Nil): (DataFrame, String) = {
+    val specs = manifest(path)
+    val aggHit = specs.find { case (_, kind, keys, _) =>
+      kind == "agg" && groupByCols.nonEmpty && keys.toSet == groupByCols.toSet
+    }
+    val sortHit = specs.find { case (name, kind, keys, _) =>
+      kind == "sort" && name != "base" && keys.headOption.exists(filterCols.contains)
+    }
+    val name = aggHit.orElse(sortHit).map(_._1).getOrElse("base")
+    (spark.read.parquet(s"$path/$name"), name)
+  }
+
+  /** Finish an aggregate-projection read: merge the partial states
+    * down to final values (counts/sums add across state rows, min/max
+    * recombine). The manifest supplies the merge functions. */
+  def mergeAgg(spark: SparkSession, path: String, name: String): DataFrame = {
+    val (_, _, keys, states) = manifest(path).find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
+    val df = spark.read.parquet(s"$path/$name")
+    val aggs = states.map { case (c, f, _) => mergeCol(f, c).as(c) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

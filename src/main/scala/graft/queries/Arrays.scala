@@ -276,5 +276,43 @@ object Arrays {
             FROM u ORDER BY l_orderkey, qty, price"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q96, q97)
+  /** MergeTree projections made executable: lineitem landed once per
+    * sf-dir with a base ORDER BY, an alternate shipdate sort layout,
+    * and an aggregate projection keyed by (returnflag, linestatus)
+    * holding partial count/sum states. The query's GROUP BY routes to
+    * the aggregate projection — rows read ∝ group count, not fact
+    * count — and the partial states merge to the exact answer the
+    * oracle computes from the raw table (TPC-H Q1 shape). */
+  val q99 = GraftQuery(
+    "q99_projection",
+    (s, dir) => {
+      val tag  = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_proj/$tag/lineitem"
+      if (!new java.io.File(s"$path/_projections.txt").exists()) {
+        graft.operators.Projections.write(Tables(s, dir).lineitem, path,
+          baseOrder = Seq("l_orderkey"),
+          projections = Seq(
+            graft.operators.Projections.Sort("by_shipdate", Seq("l_shipdate")),
+            graft.operators.Projections.Agg("by_flag_status",
+              Seq("l_returnflag", "l_linestatus"),
+              Seq(("cnt", "count", ""),
+                  ("sum_qty", "sum", "l_quantity"),
+                  ("sum_price", "sum", "l_extendedprice")))))
+      }
+      val (_, name) = graft.operators.Projections.route(s, path,
+        groupByCols = Seq("l_returnflag", "l_linestatus"))
+      require(name == "by_flag_status", s"expected the agg projection, routed to $name")
+      graft.operators.Projections.mergeAgg(s, path, name)
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+                round(col("sum_qty"), 2).as("sum_qty"),
+                round(col("sum_price"), 2).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q96, q97, q99)
 }

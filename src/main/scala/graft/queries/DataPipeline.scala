@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -454,7 +454,58 @@ object DataPipeline {
              FROM ch GROUP BY 1 ORDER BY shard"""),
   )
 
+  /** Per-label embedding centroids (the first 8 dimensions): the
+    * aggregation that underpins clustering/IVF maintenance, expressed
+    * distributed — posexplode to (label, pos, value), one partial-
+    * aggregated shuffle on the (label, pos) pairs. The DuckDB oracle
+    * rebuilds the positional expansion with a lateral range join.
+    * Both sides round the float averages. */
+  val q54 = GraftQuery(
+    "q54_centroids",
+    (s, dir) => Tables(s, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .where(col("pos") < 8)
+      .groupBy("label", "pos")
+      // + 0.0 canonicalizes IEEE negative zero (−0.0 + 0.0 = 0.0) so a
+      // centroid coordinate that rounds to zero hashes identically on
+      // both engines
+      .agg((round(avg("col"), 3) + lit(0.0)).as("c"), count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"),
+              (col("pos") + 1).cast("long").as("pos"), col("c"), col("n"))
+      .orderBy("label", "pos"),
+    Some("""SELECT CAST(label AS BIGINT) AS label, i + 1 AS pos,
+                   round(avg(embedding[CAST(i + 1 AS INT)]), 3) + 0.0 AS c,
+                   count(*) AS n
+            FROM embeddings e, range(8) t(i)
+            GROUP BY 1, 2 ORDER BY label, pos"""),
+  )
+
+  /** Deterministic stratified sampling ([[Sampling.stratified]]):
+    * down-sample the over-represented language to 20% while keeping
+    * 90% of the rest — the training-data mixing move — with a
+    * content-addressed 256-bucket hash instead of an RNG, so the
+    * sample is identical across engines (the oracle replays the
+    * bucket arithmetic on md5 hex) and across partition layouts. */
+  val q90b = GraftQuery(
+    "q90b_stratified",
+    (s, dir) => Sampling.stratified(Tables(s, dir).documents,
+        key = col("text"), strata = col("lang"),
+        rates = Map("en" -> 0.2), defaultRate = 0.9)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+           min("doc_id").as("min_doc"))
+      .orderBy("lang"),
+    Some("""WITH b AS (SELECT lang, n_chars, doc_id,
+                              (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS bucket
+                       FROM documents)
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_doc
+            FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 51 ELSE 230 END
+            GROUP BY 1 ORDER BY lang"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q60, q61, q62, q63, q64,
-        q65, q66, q67, q68)
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q60, q61, q62, q63, q64,
+        q65, q66, q67, q68, q90b)
 }
