@@ -7,6 +7,14 @@ object Bench {
     // Warm the JVM/codegen/parquet-reader paths so startup cost isn't
     // attributed to whichever query happens to run first.
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    // …including the full spark.sql path (ANTLR + the injected dialect
+    // parser + aggregate codegen): without this, the first SQL-heavy
+    // registry query absorbs several seconds of one-time parser and
+    // whole-stage-codegen warmup and its number stops meaning anything.
+    spark.range(0, 1000).createOrReplaceTempView("graft_warmup")
+    spark.sql("""SELECT id % 3 AS g, count(*) AS c, quantile(0.5)(id) AS p50,
+                        max(toString(id)) AS s
+                 FROM graft_warmup GROUP BY 1 ORDER BY g""").collect()
     try spark.read.parquet(s"$sfDir/region.parquet")
       .selectExpr("count(*)", "max(r_regionkey)").collect()
     catch { case _: Throwable => () }

@@ -112,6 +112,62 @@ object TextAnalysis {
   def shardOf(text: Column): Column =
     conv(substring(md5(normalize(text).cast("binary")), 1, 1), 16, 10).cast("int")
 
+  /** BM25 relevance scoring of every document against a fixed term
+    * set — the retrieval primitive for corpus search and
+    * quality-by-query curation. Okapi BM25:
+    * score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Shape at scale: the posting explode filters to the query terms
+    * BEFORE its aggregation, so the tf shuffle carries only matching
+    * (doc, term) pairs — posting-list size, not corpus size; the
+    * per-term document frequencies and the corpus stats are one-row/
+    * few-row broadcasts. Returns (id, score, n_terms). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol), split(normalize(col(textCol)), " ").as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val stats = base.agg(count(lit(1)).as("__n_docs"), avg("__dl").as("__avgdl"))
+    val tf = base.select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
+      .where(col("__term").isin(terms: _*))
+      .groupBy(col(idCol), col("__term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfPerTerm = tf.groupBy("__term").agg(countDistinct(col(idCol)).as("__df"))
+    tf.join(broadcast(dfPerTerm), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n_docs") - col("__df") + 0.5) / (col("__df") + 0.5) + 1))
+      .withColumn("__contrib",
+        col("__idf") * col("__tf") /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum("__contrib").as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Train/eval contamination check — the overlap audit every LLM
+    * data pipeline needs before a benchmark is trusted: for each
+    * document of the eval slice, the fraction of its word `ngram`
+    * shingles that appear anywhere in the training slice.
+    *
+    * Shape at scale: training shingles are projected to the bare
+    * shingle column and distinct'd (map-side combined) before a
+    * LEFT SEMI join against the eval postings — the shuffle carries
+    * shingles, never documents, and the semi join never multiplies
+    * rows. Returns (id, n_sh, n_hit, frac). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    evalPred: Column, ngram: Int = 5): DataFrame = {
+    val normed  = docs.withColumn("__norm", normalize(col(textCol)))
+    val evalSh  = Dedup.shingleSet(normed.where(evalPred), idCol, "__norm", ngram)
+    val trainSh = Dedup.shingleSet(normed.where(!evalPred), idCol, "__norm", ngram)
+      .select("t").distinct()
+    val totals = evalSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val hits = evalSh.join(trainSh, Seq("t"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_sh"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("frac", round(col("n_hit") * lit(1.0) / col("n_sh"), 4))
+  }
+
   /** The end-to-end corpus-curation pipeline, composed from the
     * operators above: exact dedup (min-id winner per content
     * fingerprint) → quality filter → fixed-size chunking with overlap

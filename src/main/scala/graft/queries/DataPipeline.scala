@@ -505,7 +505,57 @@ object DataPipeline {
             GROUP BY 1 ORDER BY lang"""),
   )
 
+  /** BM25 retrieval ([[TextAnalysis.bm25]]) for a fixed 3-term query:
+    * top-10 documents by rounded score. The oracle recomputes Okapi
+    * BM25 from first principles in SQL; ordering is on the ROUNDED
+    * score + doc_id, so the top-10 cut is engine-independent. */
+  val q57 = GraftQuery(
+    "q57_bm25",
+    (s, dir) => TextAnalysis.bm25(Tables(s, dir).documents, "doc_id", "text",
+        Seq("vector", "hash", "merge"))
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+                  base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+                  stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+                  post AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+                  tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM post
+                         WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2, 3),
+                  dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+                  sc AS (SELECT doc_id,
+                                sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                                    * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score,
+                                count(*) AS n_terms
+                         FROM tf JOIN dft USING (term), stats GROUP BY 1)
+             SELECT doc_id, round(score, 4) AS score, n_terms
+             FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 10"""),
+  )
+
+  /** Train/eval contamination audit ([[TextAnalysis.contamination]]):
+    * every ~97th document plays the benchmark; for each, the fraction
+    * of its 5-gram shingles found anywhere in the training rest. */
+  val q58 = GraftQuery(
+    "q58_contamination",
+    (s, dir) => TextAnalysis.contamination(Tables(s, dir).documents,
+        "doc_id", "text", col("doc_id") % 97 === 0, ngram = 5)
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+                  sh AS (SELECT doc_id, unnest(
+                           CASE WHEN len(toks) >= 5
+                                THEN list_distinct(list_transform(range(len(toks) - 4),
+                                       i -> array_to_string(toks[i+1:i+5], ' ')))
+                                ELSE [array_to_string(toks, ' ')] END) AS s
+                         FROM t),
+                  ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+                  tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 <> 0),
+                  m AS (SELECT ev.doc_id, count(*) AS n_sh, count(tr.s) AS n_hit
+                        FROM ev LEFT JOIN tr ON ev.s = tr.s GROUP BY 1)
+             SELECT doc_id, n_sh, n_hit, round(n_hit * 1.0 / n_sh, 4) AS frac
+             FROM m ORDER BY doc_id"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q60, q61, q62, q63, q64,
-        q65, q66, q67, q68, q90b)
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q57, q58, q60, q61,
+        q62, q63, q64, q65, q66, q67, q68, q90b)
 }
