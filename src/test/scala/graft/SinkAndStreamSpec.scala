@@ -72,6 +72,34 @@ class SinkAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a materialized view stays fresh under streaming ingestion (foreachBatch refresh)") {
+    // ClickHouse MVs are populated on INSERT; the streaming analog is
+    // foreachBatch → MatView.refresh, each micro-batch appending its
+    // O(batch) partial states. A mid-stream compact must not change reads.
+    import graft.operators.MatView
+    implicit val sqlCtx = spark.sqlContext
+    val spec = MatView.spec(Seq("k"),
+      MatView.countState("cnt"), MatView.sumState("sv", col("v")))
+    val path = java.nio.file.Files.createTempDirectory("graft_mv_stream")
+      .resolve("mv").toString
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L) MatView.init(batch, spec, path)
+        else MatView.refresh(batch, spec, path)
+      }
+      .start()
+    try {
+      input.addData(("a", 1.0), ("b", 2.0)); q.processAllAvailable()
+      input.addData(("a", 4.0));             q.processAllAvailable()
+      MatView.compact(spark, spec, path)     // background-merge analog
+      input.addData(("b", 8.0), ("c", 16.0)); q.processAllAvailable()
+      val got = MatView.read(spark, spec, path)
+        .select("k", "cnt", "sv").as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(("a", 2L, 5.0), ("b", 2L, 10.0), ("c", 1L, 16.0)))
+    } finally q.stop()
+  }
+
   test("WindowedAgg.session closes gap-separated sessions on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
