@@ -82,7 +82,14 @@ object Mutate {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     dropped.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+      // Directory names use Spark's Hive-style partition-path escaping
+      // (spaces/colons percent-encoded, null → __HIVE_DEFAULT_PARTITION__);
+      // raw interpolation would silently miss such partitions, so build
+      // the name the same way the writer did and fail loudly on a miss.
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+      val p = new org.apache.hadoop.fs.Path(path, dirName)
+      require(fs.delete(p, true), s"TTL drop failed: partition directory $p not found")
     }
     val rep = delete(spark, path, partitionCol, rowExpired)
     TtlReport(dropped.length.toLong, rep.partitionsRewritten, rep.rowsChanged)

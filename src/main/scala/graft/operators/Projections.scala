@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Projections {
 
+  // Manifest IO goes through the Hadoop FileSystem resolved from the
+  // path URI (as Mutate.ttl does), so non-local roots (hdfs://, s3a://)
+  // work — java.nio would silently assume the local filesystem.
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(path: String) = new org.apache.hadoop.fs.Path(path, "_projections.txt")
+
   sealed trait Spec { def name: String; def keys: Seq[String] }
   /** Same rows, alternate ORDER BY. */
   final case class Sort(name: String, keys: Seq[String]) extends Spec
@@ -75,13 +83,27 @@ object Projections {
       case Agg(name, keys, states) =>
         s"$name|agg|${keys.mkString(",")}|${states.map { case (c, f, s) => s"$c:$f:$s" }.mkString(",")}"
     }).mkString("\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_projections.txt"),
-      manifest.getBytes("UTF-8"))
+    val out = fsFor(df.sparkSession, path).create(manifestPath(path), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
-  private def manifest(path: String): Seq[(String, String, Seq[String], Seq[(String, String, String)])] =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_projections.txt")), "UTF-8")
+  /** Modification time of the layout's manifest, if it exists — lets a
+    * caller invalidate a cached layout when the source data is newer
+    * (see the q99 registry entry). */
+  def manifestMTime(spark: SparkSession, path: String): Option[Long] = {
+    val fs = fsFor(spark, path)
+    val p  = manifestPath(path)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+  }
+
+  private def manifest(spark: SparkSession, path: String): Seq[(String, String, Seq[String], Seq[(String, String, String)])] = {
+    val in = fsFor(spark, path).open(manifestPath(path))
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    text
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>
         val Array(name, kind, keys, states) = line.split("\\|", -1)
         val st = states.split(",").toSeq.filter(_.nonEmpty).map { s =>
@@ -89,6 +111,7 @@ object Projections {
         }
         (name, kind, keys.split(",").toSeq.filter(_.nonEmpty), st)
       }
+  }
 
   /** Pick the cheapest layout for a query shape: an aggregate
     * projection whose keys equal the GROUP BY set wins (rows ∝
@@ -98,7 +121,7 @@ object Projections {
   def route(spark: SparkSession, path: String,
             filterCols: Set[String] = Set.empty,
             groupByCols: Seq[String] = Nil): (DataFrame, String) = {
-    val specs = manifest(path)
+    val specs = manifest(spark, path)
     val aggHit = specs.find { case (_, kind, keys, _) =>
       kind == "agg" && groupByCols.nonEmpty && keys.toSet == groupByCols.toSet
     }
@@ -113,7 +136,7 @@ object Projections {
     * down to final values (counts/sums add across state rows, min/max
     * recombine). The manifest supplies the merge functions. */
   def mergeAgg(spark: SparkSession, path: String, name: String): DataFrame = {
-    val (_, _, keys, states) = manifest(path).find(_._1 == name)
+    val (_, _, keys, states) = manifest(spark, path).find(_._1 == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
     val df = spark.read.parquet(s"$path/$name")
     val aggs = states.map { case (c, f, _) => mergeCol(f, c).as(c) }

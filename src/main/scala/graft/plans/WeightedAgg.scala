@@ -76,13 +76,15 @@ abstract class WeightedMapAgg
   // (value, weight) rows through an UnsafeProjection — the standard
   // map-buffer wire format for typed imperative aggregates.
   private lazy val rowTypes: Array[DataType] = Array(child.dataType, LongType)
+  // per-deserialized-instance (task-local), so reuse across the many
+  // serialize() calls of a high-cardinality GROUP BY is safe
+  @transient private lazy val projection = UnsafeProjection.create(rowTypes)
 
   override def serialize(buffer: mutable.HashMap[AnyRef, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val scratch = new Array[Byte](4096)
     try {
-      val projection = UnsafeProjection.create(rowTypes)
       buffer.foreach { case (key, wt) =>
         val unsafeRow = projection.apply(InternalRow.apply(key, wt))
         out.writeInt(unsafeRow.getSizeInBytes)
@@ -183,11 +185,15 @@ case class GraftQuantileExactWeighted(
   override def prettyName: String = "quantileExactWeighted"
 
   override def eval(buffer: mutable.HashMap[AnyRef, Long]): Any = {
-    if (buffer.isEmpty) null
+    // zero-weight values are not part of the weighted multiset — a
+    // group of only zero weights has no quantile (null), and at q=0
+    // the answer must be the smallest POSITIVELY-weighted value
+    val weighted = buffer.toSeq.filter(_._2 > 0)
+    if (weighted.isEmpty) null
     else {
       require(q >= 0.0 && q <= 1.0, s"quantile level must be in [0, 1], got $q")
       val valueOrd = TypeUtils.getInterpretedOrdering(child.dataType)
-      val sorted = buffer.toSeq.sortWith((a, b) => valueOrd.compare(a._1.asInstanceOf[Any], b._1.asInstanceOf[Any]) < 0)
+      val sorted = weighted.sortWith((a, b) => valueOrd.compare(a._1.asInstanceOf[Any], b._1.asInstanceOf[Any]) < 0)
       val total = sorted.iterator.map(_._2).sum
       val target = q * total
       var cum = 0L

@@ -288,7 +288,16 @@ object Arrays {
     (s, dir) => {
       val tag  = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_proj/$tag/lineitem"
-      if (!new java.io.File(s"$path/_projections.txt").exists()) {
+      // cache the layout per sf-dir, but invalidate when the SOURCE
+      // parquet is newer than the manifest — a regenerated testdata
+      // dir must not silently serve stale projection results
+      val srcMTime = {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")).getModificationTime
+      }
+      val fresh = graft.operators.Projections.manifestMTime(s, path).exists(_ >= srcMTime)
+      if (!fresh) {
         graft.operators.Projections.write(Tables(s, dir).lineitem, path,
           baseOrder = Seq("l_orderkey"),
           projections = Seq(

@@ -84,6 +84,16 @@ class DialectRound4Spec extends SparkSpec {
     assert(u.selectExpr("quantileExactWeighted(0.3)(v, w)").head().getDouble(0) == 3.0)
     // empty group → null
     assert(df.where("v < 0").selectExpr("quantileExactWeighted(0.5)(v, w)").head().isNullAt(0))
+    // zero-weight values are NOT in the weighted multiset: q=0 must
+    // return the smallest positively-weighted value, and a group of
+    // only zero weights has no quantile at all
+    val zw = Seq((1.0, 0L), (2.0, 3L), (3.0, 1L)).toDF("v", "w")
+    val z = zw.selectExpr(
+      "quantileExactWeighted(0)(v, w) AS lo",
+      "quantileExactWeighted(0.5)(v, w) AS med").head()
+    assert(z.getDouble(0) == 2.0 && z.getDouble(1) == 2.0)
+    val allZero = Seq((1.0, 0L), (2.0, 0L)).toDF("v", "w")
+    assert(allZero.selectExpr("quantileExactWeighted(0.5)(v, w)").head().isNullAt(0))
   }
 
   test("WITH ROLLUP and WITH CUBE run in ClickHouse spelling") {
