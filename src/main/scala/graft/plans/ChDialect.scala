@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
@@ -38,8 +38,56 @@ object ChDialect {
       finish)
   }
 
+  /** Pairwise fold Σ f(aᵢ, bᵢ) over two arrays (distance kernels). The
+    * zipped items are cast to double INSIDE f, so every kernel
+    * accumulates in double precision regardless of element type. */
+  private def zipFold(a: Expression, b: Expression,
+                      f: (Expression, Expression) => Expression): Expression = {
+    val x = lamVar("gr_zx")
+    val y = lamVar("gr_zy")
+    sumFold(ZipWith(a, b,
+      LambdaFunction(f(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y))),
+      LambdaFunction.identity)
+  }
+
   /** name → (arity check, expression builder). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // -- vector math (ClickHouse's L2Distance/cosineDistance family).
+    // dot products resolve to the codegen'd [[DotProduct]] expression
+    // (the same kernel behind graft_dot and the ANN operators);
+    // distance folds accumulate left-to-right in double precision, the
+    // precision contract the DuckDB oracles replay.
+    "dotProduct" -> (es => DotProduct(es(0), es(1))),
+    "L2Norm"     -> (es => Sqrt(DotProduct(es.head, es.head))),
+    "L1Norm"     -> (es => {
+      val x = lamVar("gr_x")
+      sumFold(ArrayTransform(es.head,
+        LambdaFunction(Abs(Cast(x, DoubleType)), Seq(x))), LambdaFunction.identity)
+    }),
+    "LinfNorm"   -> (es => {
+      val x = lamVar("gr_x")
+      ArrayMax(ArrayTransform(es.head, LambdaFunction(Abs(Cast(x, DoubleType)), Seq(x))))
+    }),
+    "L2SquaredDistance" -> (es =>
+      zipFold(es(0), es(1), (x, y) => Multiply(Subtract(x, y), Subtract(x, y)))),
+    "L2Distance" -> (es =>
+      Sqrt(zipFold(es(0), es(1), (x, y) => Multiply(Subtract(x, y), Subtract(x, y))))),
+    "L1Distance" -> (es =>
+      zipFold(es(0), es(1), (x, y) => Abs(Subtract(x, y)))),
+    "LinfDistance" -> (es => {
+      val x = lamVar("gr_zx")
+      val y = lamVar("gr_zy")
+      ArrayMax(ZipWith(es(0), es(1),
+        LambdaFunction(Abs(Subtract(Cast(x, DoubleType), Cast(y, DoubleType))), Seq(x, y))))
+    }),
+    "cosineDistance" -> (es => Subtract(Literal(1.0d),
+      Divide(DotProduct(es(0), es(1)),
+        Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1))))))),
+    "L2Normalize" -> (es => {
+      val x = lamVar("gr_x")
+      ArrayTransform(es.head,
+        LambdaFunction(Divide(Cast(x, DoubleType), Sqrt(DotProduct(es.head, es.head))), Seq(x)))
+    }),
     "toStartOfYear"  -> (es => TruncTimestamp(Literal("year"), es.head)),
     "toStartOfMonth" -> (es => TruncTimestamp(Literal("month"), es.head)),
     // ClickHouse default mode 0 = Sunday-start: trunc(ts + 1d) - 1d
@@ -202,6 +250,18 @@ object ChDialect {
     "arrayReverse"      -> (es => Reverse(es.head)),
     "arrayDistinct"     -> (es => ArrayDistinct(es.head)),
     "arrayUniq"         -> (es => Size(ArrayDistinct(es.head))),
+    "arrayMin"          -> (es => ArrayMin(es.head)),
+    "arrayMax"          -> (es => ArrayMax(es.head)),
+    "arrayProduct"      -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      ArrayAggregate(es.head, Literal(1.0d),
+        LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    // hasAll(a, b): every element of b occurs in a; hasAny: any does
+    "hasAll"            -> (es => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0))),
+    "hasAny"            -> (es => ArraysOverlap(es(0), es(1))),
     "arrayStringConcat" -> (es =>
       ArrayJoin(es.head, if (es.length > 1) es(1) else Literal(""), None)),
     // ClickHouse's arrayJoin is a row generator (one output row per
@@ -289,6 +349,46 @@ object ChDialect {
     "stddevSamp" -> (es => StddevSamp(Cast(es.head, DoubleType))),
     "covarPop"   -> (es => CovPopulation(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
     "covarSamp"  -> (es => CovSample(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    // -- statistical aggregates with buffered state (see StatsAgg)
+    "entropy"  -> (es => new GraftEntropy(es.head)),
+    "rankCorr" -> (es => GraftRankCorr(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    "maxIntersections" -> (es =>
+      GraftMaxIntersections(Cast(es(0), DoubleType), Cast(es(1), DoubleType), returnPosition = false)),
+    "maxIntersectionsPosition" -> (es =>
+      GraftMaxIntersections(Cast(es(0), DoubleType), Cast(es(1), DoubleType), returnPosition = true)),
+    // -- statistical compositions: pure aggregate algebra, so they
+    // stay inside partial aggregation (identical sub-aggregates are
+    // deduplicated by the physical planner)
+    "simpleLinearRegression" -> (es => {
+      val x = Cast(es(0), DoubleType)
+      val y = Cast(es(1), DoubleType)
+      val k = Divide(CovPopulation(x, y).toAggregateExpression(),
+                     VariancePop(x).toAggregateExpression())
+      CreateNamedStruct(Seq(
+        Literal("k"), k,
+        Literal("b"), Subtract(Average(y).toAggregateExpression(),
+                               Multiply(k, Average(x).toAggregateExpression()))))
+    }),
+    // boundingRatio(x, y): slope between the leftmost and rightmost
+    // points of the group — (y@max x − y@min x) / (max x − min x)
+    "boundingRatio" -> (es => {
+      val x = Cast(es(0), DoubleType)
+      val y = Cast(es(1), DoubleType)
+      Divide(Subtract(MaxBy(y, x).toAggregateExpression(), MinBy(y, x).toAggregateExpression()),
+             Subtract(Max(x).toAggregateExpression(), Min(x).toAggregateExpression()))
+    }),
+    "sumCount" -> (es => CreateNamedStruct(Seq(
+      Literal("sum"),   Sum(Cast(es.head, DoubleType)).toAggregateExpression(),
+      Literal("count"), Count(Seq(es.head)).toAggregateExpression()))),
+    // Spark's Sum over doubles already accumulates in double; the
+    // Kahan spelling maps to the same native aggregate
+    "sumKahan" -> (es => Sum(Cast(es.head, DoubleType))),
+    // studentTTest/welchTTest(value, sample_index): ClickHouse's
+    // two-sample t-tests, returning the (t_stat, p_value) tuple. The
+    // statistic is aggregate algebra over the two samples (conditional
+    // count/mean/variance); the p-value is [[StudentTPValue]] on top.
+    "studentTTest" -> (es => tTest(es(0), es(1), welch = false)),
+    "welchTTest"   -> (es => tTest(es(0), es(1), welch = true)),
     "skewPop"    -> (es => momentRatio(es.head, order = 3)),
     "kurtPop"    -> (es => momentRatio(es.head, order = 4)),
     // -- bitwise aggregates (identical semantics in Spark)
@@ -513,6 +613,41 @@ object ChDialect {
         Multiply(Literal(3.0d), Multiply(mu2, mu2)))
       Divide(m4, Multiply(m2, m2))
     }
+  }
+
+  /** Two-sample t test over (value, sample_index∈{0,1}): Student's
+    * (pooled variance, df = n₀+n₁−2) or Welch's (unpooled,
+    * Welch–Satterthwaite df). Every statistic is a conditional
+    * aggregate over the same rows — one aggregation pass. */
+  private def tTest(value: Expression, index: Expression, welch: Boolean): Expression = {
+    val x = Cast(value, DoubleType)
+    def sample(i: Int) = nullIfNot(EqualTo(Cast(index, IntegerType), Literal(i)), x)
+    def n(i: Int)  = Cast(Count(Seq(sample(i))).toAggregateExpression(), DoubleType)
+    def m(i: Int)  = Average(sample(i)).toAggregateExpression()
+    def s2(i: Int) = VarianceSamp(sample(i)).toAggregateExpression()
+    val (t, df) =
+      if (welch) {
+        val se0 = Divide(s2(0), n(0))
+        val se1 = Divide(s2(1), n(1))
+        val se  = Add(se0, se1)
+        val tStat = Divide(Subtract(m(0), m(1)), Sqrt(se))
+        // Welch–Satterthwaite effective degrees of freedom
+        val dfW = Divide(Multiply(se, se),
+          Add(Divide(Multiply(se0, se0), Subtract(n(0), Literal(1.0d))),
+              Divide(Multiply(se1, se1), Subtract(n(1), Literal(1.0d)))))
+        (tStat, dfW)
+      } else {
+        val dfS = Subtract(Add(n(0), n(1)), Literal(2.0d))
+        val sp2 = Divide(
+          Add(Multiply(Subtract(n(0), Literal(1.0d)), s2(0)),
+              Multiply(Subtract(n(1), Literal(1.0d)), s2(1))), dfS)
+        val tStat = Divide(Subtract(m(0), m(1)),
+          Sqrt(Multiply(sp2, Add(Divide(Literal(1.0d), n(0)), Divide(Literal(1.0d), n(1))))))
+        (tStat, dfS)
+      }
+    CreateNamedStruct(Seq(
+      Literal("t_stat"), t,
+      Literal("p_value"), StudentTPValue(t, df)))
   }
 
   def register(ext: SparkSessionExtensions): Unit =

@@ -1,0 +1,252 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType}
+import scala.collection.mutable
+
+/** ClickHouse's statistical aggregate family that genuinely needs
+  * buffered state (rank correlation, interval sweeps) — implemented as
+  * native `TypedImperativeAggregate`s so they ride Spark's partial
+  * aggregation: partitions buffer locally, merge concatenates, and
+  * only `eval` pays the O(n log n) sort, once per group on the reduce
+  * side. Memory is O(rows per group) — the same envelope ClickHouse's
+  * own implementations carry (both buffer every point).
+  *
+  * [[GraftEntropy]] lives in this family too but reuses the
+  * value→count map machinery of [[WeightedMapAgg]]: its state is
+  * O(distinct values), not O(rows).
+  */
+abstract class PairBufferAgg
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Double)]] with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[NumericType] && right.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric arguments, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  private def toD(v: Any): Double = v match {
+    case d: java.lang.Double  => d
+    case f: java.lang.Float   => f.doubleValue()
+    case l: java.lang.Long    => l.doubleValue()
+    case i: java.lang.Integer => i.doubleValue()
+    case s: java.lang.Short   => s.doubleValue()
+    case b: java.lang.Byte    => b.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"$prettyName: non-numeric $other")
+  }
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Double)] =
+    mutable.ArrayBuffer.empty
+
+  override def update(buf: mutable.ArrayBuffer[(Double, Double)], input: InternalRow): mutable.ArrayBuffer[(Double, Double)] = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a != null && b != null) buf += ((toD(a), toD(b)))
+    buf
+  }
+
+  override def merge(buf: mutable.ArrayBuffer[(Double, Double)], other: mutable.ArrayBuffer[(Double, Double)]): mutable.ArrayBuffer[(Double, Double)] = {
+    buf ++= other; buf
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    try {
+      out.writeInt(buf.length)
+      buf.foreach { case (a, b) => out.writeDouble(a); out.writeDouble(b) }
+      out.flush(); bos.toByteArray
+    } finally out.close()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Double)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val n = in.readInt()
+      val buf = new mutable.ArrayBuffer[(Double, Double)](n)
+      var i = 0
+      while (i < n) { buf += ((in.readDouble(), in.readDouble())); i += 1 }
+      buf
+    } finally in.close()
+  }
+}
+
+/** `rankCorr(x, y)`: Spearman's rank correlation — Pearson correlation
+  * of the average-tie ranks. Merge-order independent (ranking happens
+  * once, in eval, over the full group). Null when fewer than two
+  * points or either variable is constant. */
+case class GraftRankCorr(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "rankCorr"
+
+  /** 1-based average ranks (ties share the mean of their positions). */
+  private def avgRanks(v: Array[Double]): Array[Double] = {
+    val idx = v.indices.toArray.sortBy(v)
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && v(idx(j + 1)) == v(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0
+      var k = i
+      while (k <= j) { r(idx(k)) = avg; k += 1 }
+      i = j + 1
+    }
+    r
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.length < 2) null
+    else {
+      val rx = avgRanks(buf.map(_._1).toArray)
+      val ry = avgRanks(buf.map(_._2).toArray)
+      val n = rx.length
+      val mx = rx.sum / n
+      val my = ry.sum / n
+      var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      var i = 0
+      while (i < n) {
+        val dx = rx(i) - mx; val dy = ry(i) - my
+        sxy += dx * dy; sxx += dx * dx; syy += dy * dy
+        i += 1
+      }
+      if (sxx == 0.0 || syy == 0.0) null
+      else java.lang.Double.valueOf(sxy / math.sqrt(sxx * syy))
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftRankCorr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftRankCorr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftRankCorr =
+    copy(left = l, right = r)
+}
+
+/** `maxIntersections(start, end)` / `maxIntersectionsPosition(start,
+  * end)`: the maximum number of simultaneously-overlapping half-open
+  * intervals [start, end), and the smallest position where that
+  * maximum is first reached. The sweep sorts boundary events by
+  * (position, delta) so an end at p closes BEFORE a start at p opens —
+  * the half-open convention, stated here because ClickHouse leaves it
+  * implicit; the q25d oracle replays the identical sweep in SQL. */
+case class GraftMaxIntersections(
+    left: Expression,
+    right: Expression,
+    returnPosition: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean  = true
+  override def prettyName: String =
+    if (returnPosition) "maxIntersectionsPosition" else "maxIntersections"
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty) null
+    else {
+      val events = new Array[(Double, Int)](buf.length * 2)
+      var i = 0
+      buf.foreach { case (s, e) =>
+        events(i) = (s, 1); events(i + 1) = (e, -1); i += 2
+      }
+      java.util.Arrays.sort(events, Ordering.Tuple2[Double, Int])
+      var cur = 0L; var best = 0L; var bestPos = 0.0
+      events.foreach { case (pos, delta) =>
+        cur += delta
+        if (cur > best) { best = cur; bestPos = pos }
+      }
+      java.lang.Long.valueOf(if (returnPosition) bestPos.toLong else best)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftMaxIntersections =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftMaxIntersections =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftMaxIntersections =
+    copy(left = l, right = r)
+}
+
+/** `entropy(x)`: Shannon entropy (bits) of the value distribution —
+  * state is the value→count map of [[WeightedMapAgg]] (weight pinned
+  * to 1), so memory is O(distinct values) and merges sum counts.
+  * `+ 0.0` canonicalizes the single-value group's −0.0. */
+case class GraftEntropy(
+    param: Expression,
+    child: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends WeightedMapAgg {
+
+  def this(child: Expression) = this(Literal(1), child, Literal(1L))
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "entropy"
+
+  override def eval(buffer: mutable.HashMap[AnyRef, Long]): Any = {
+    val total = buffer.valuesIterator.sum.toDouble
+    if (total <= 0) null
+    else {
+      var h = 0.0
+      buffer.valuesIterator.foreach { c =>
+        if (c > 0) { val p = c / total; h -= p * (math.log(p) / math.log(2.0)) }
+      }
+      java.lang.Double.valueOf(h + 0.0)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftEntropy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftEntropy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): GraftEntropy =
+    copy(param = f, child = s, weight = t)
+}
+
+/** Two-sided p-value for a Student t statistic: 2·P(T_df ≥ |t|),
+  * through commons-math3's TDistribution (a Spark-provided
+  * dependency). Interpreted-only (CodegenFallback) — p-values sit at
+  * the top of aggregate results, never in per-row hot loops. */
+case class StudentTPValue(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "graft_t_pvalue"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires double (t, df)")
+
+  override protected def nullSafeEval(t: Any, df: Any): Any = {
+    val dfv = df.asInstanceOf[Double]
+    if (dfv <= 0 || dfv.isNaN) null
+    else {
+      val dist = new org.apache.commons.math3.distribution.TDistribution(dfv)
+      java.lang.Double.valueOf(2.0 * dist.cumulativeProbability(-math.abs(t.asInstanceOf[Double])))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StudentTPValue =
+    copy(left = l, right = r)
+}

@@ -388,6 +388,106 @@ object ChFunctions {
             ORDER BY l_returnflag"""),
   )
 
+  /** The statistical-aggregate family in CH spelling: entropy (native
+    * map-state agg), rankCorr (Spearman, native pair-buffer agg),
+    * simpleLinearRegression / boundingRatio / sumCount (aggregate
+    * algebra), and both two-sample t-tests. The t statistic is
+    * oracled exactly (pooled/Welch formulas in SQL); the p-value on
+    * top is a deterministic scalar of (t, df) that DuckDB cannot
+    * express, so it is pinned in DialectRound5Spec against published
+    * t-table values instead. boundingRatio's x is made unique
+    * (orderkey*10+linenumber) so argMax/argMin are deterministic. */
+  val q25c = GraftQuery(
+    "q25c_stat_tests",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_st")
+      s.sql("""SELECT l_returnflag,
+                      round(entropy(l_linestatus), 6) AS ent,
+                      round(rankCorr(l_quantity, l_extendedprice), 4) AS rc,
+                      round(tupleElement(simpleLinearRegression(l_quantity, l_extendedprice), 'k'), 4) AS slope,
+                      round(tupleElement(simpleLinearRegression(l_quantity, l_extendedprice), 'b'), 2) AS icept,
+                      round(boundingRatio(l_orderkey * 10 + l_linenumber, l_extendedprice), 6) AS br,
+                      round(tupleElement(sumCount(l_quantity), 'sum'), 2) AS sc_sum,
+                      tupleElement(sumCount(l_quantity), 'count') AS sc_cnt,
+                      round(tupleElement(studentTTest(l_extendedprice, l_orderkey % 2), 't_stat'), 4) AS t_student,
+                      round(tupleElement(welchTTest(l_extendedprice, l_orderkey % 2), 't_stat'), 4) AS t_welch
+               FROM lineitem_st GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH r AS (SELECT l_returnflag AS f,
+                              rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                                + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+                              rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                                + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+                       FROM lineitem),
+                 rc AS (SELECT f, corr(rx, ry) AS rc FROM r GROUP BY 1),
+                 ec AS (SELECT l_returnflag AS f, l_linestatus AS v, count(*) AS c
+                        FROM lineitem GROUP BY 1, 2),
+                 en AS (SELECT f, 0.0 - sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS ent
+                        FROM (SELECT f, c, sum(c) OVER (PARTITION BY f) AS n FROM ec)
+                        GROUP BY 1),
+                 ag AS (SELECT l_returnflag AS f,
+                               regr_slope(l_extendedprice, l_quantity) AS slope,
+                               regr_intercept(l_extendedprice, l_quantity) AS icept,
+                               (arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber)
+                                - arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber))
+                               / (max(l_orderkey * 10 + l_linenumber) - min(l_orderkey * 10 + l_linenumber)) AS br,
+                               sum(l_quantity) AS sc_sum,
+                               count(l_quantity) AS sc_cnt,
+                               avg(l_extendedprice) FILTER (l_orderkey % 2 = 0) AS m0,
+                               avg(l_extendedprice) FILTER (l_orderkey % 2 = 1) AS m1,
+                               var_samp(l_extendedprice) FILTER (l_orderkey % 2 = 0) AS v0,
+                               var_samp(l_extendedprice) FILTER (l_orderkey % 2 = 1) AS v1,
+                               count(*) FILTER (l_orderkey % 2 = 0) AS n0,
+                               count(*) FILTER (l_orderkey % 2 = 1) AS n1
+                        FROM lineitem GROUP BY 1)
+            SELECT ag.f AS l_returnflag,
+                   round(ent, 6) AS ent,
+                   round(rc.rc, 4) AS rc,
+                   round(slope, 4) AS slope,
+                   round(icept, 2) AS icept,
+                   round(br, 6) AS br,
+                   round(sc_sum, 2) AS sc_sum,
+                   sc_cnt,
+                   round((m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+                                          * (1.0 / n0 + 1.0 / n1)), 4) AS t_student,
+                   round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t_welch
+            FROM ag JOIN rc ON ag.f = rc.f JOIN en ON ag.f = en.f
+            ORDER BY l_returnflag"""),
+  )
+
+  /** maxIntersections / maxIntersectionsPosition: peak concurrent
+    * intervals (orders as 30-day half-open spans, per priority class)
+    * — ClickHouse's interval-sweep aggregates as one native
+    * pair-buffer agg; the oracle replays the identical ±1 sweep with
+    * a window running sum. */
+  val q25d = GraftQuery(
+    "q25d_interval_sweep",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_mi")
+      s.sql("""SELECT o_orderpriority,
+                      maxIntersections(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01'),
+                                       datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 30) AS mi,
+                      maxIntersectionsPosition(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01'),
+                                               datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 30) AS mip
+               FROM orders_mi GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""WITH iv AS (SELECT o_orderpriority AS p,
+                               date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s
+                        FROM orders),
+                 ev AS (SELECT p, s AS pos, 1 AS delta FROM iv
+                        UNION ALL
+                        SELECT p, s + 30 AS pos, -1 AS delta FROM iv),
+                 sw AS (SELECT p, pos, delta,
+                               sum(delta) OVER (PARTITION BY p ORDER BY pos, delta
+                                                ROWS UNBOUNDED PRECEDING) AS cur
+                        FROM ev),
+                 mx AS (SELECT p, max(cur) AS mi FROM sw GROUP BY 1),
+                 mp AS (SELECT sw.p, min(pos) AS mip
+                        FROM sw JOIN mx ON sw.p = mx.p AND sw.cur = mx.mi GROUP BY 1)
+            SELECT mx.p AS o_orderpriority, CAST(mi AS BIGINT) AS mi, CAST(mip AS BIGINT) AS mip
+            FROM mx JOIN mp ON mx.p = mp.p ORDER BY o_orderpriority"""),
+  )
+
   /** URL / IPv4 function families in CH spelling over a synthesized
     * URL column (the testdata has no native URL column; both engines
     * build the identical string, so the decomposition functions are
@@ -586,6 +686,6 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q26, q27, q27b, q28, q28b,
-        q28c, q29, q29b, q29c, q29d, q29e, q29f, q38)
+    Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q26, q27, q27b,
+        q28, q28b, q28c, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }

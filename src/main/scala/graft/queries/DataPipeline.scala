@@ -480,6 +480,46 @@ object DataPipeline {
             GROUP BY 1, 2 ORDER BY label, pos"""),
   )
 
+  /** The ClickHouse vector-math function family (L2Distance /
+    * L1Distance / LinfDistance / cosineDistance / dotProduct /
+    * L2Norm), run as VERBATIM ClickHouse SQL text: every kernel
+    * resolves to the codegen'd [[graft.plans.DotProduct]] expression
+    * or a double-precision zip-fold — the same hot loops the ANN
+    * operators use, now reachable from migrated SQL. The oracle
+    * replays each kernel with DuckDB list functions; ordering is on
+    * the ROUNDED cosine distance + vec_id so the cut is stable. */
+  val q55 = GraftQuery(
+    "q55_vector_math",
+    (s, dir) => {
+      Tables(s, dir).embeddings.createOrReplaceTempView("emb_vm")
+      s.sql("""SELECT e.vec_id,
+                      round(dotProduct(e.embedding, p.embedding), 4) AS dot,
+                      round(L2Distance(e.embedding, p.embedding), 4) AS l2,
+                      round(L1Distance(e.embedding, p.embedding), 4) AS l1,
+                      round(LinfDistance(e.embedding, p.embedding), 4) AS linf,
+                      round(cosineDistance(e.embedding, p.embedding), 6) AS cosd,
+                      round(L2Norm(e.embedding), 4) AS nrm
+               FROM emb_vm e CROSS JOIN (SELECT embedding FROM emb_vm WHERE vec_id = 0) p
+               WHERE e.vec_id > 0 AND e.vec_id <= 500
+               ORDER BY cosd, vec_id LIMIT 50""")
+    },
+    Some("""WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 p AS (SELECT v AS pv FROM m WHERE vec_id = 0)
+            SELECT m.vec_id,
+                   round(list_sum(list_transform(list_zip(m.v, p.pv), q -> q[1] * q[2])), 4) AS dot,
+                   round(sqrt(list_sum(list_transform(list_zip(m.v, p.pv),
+                         q -> (q[1] - q[2]) * (q[1] - q[2])))), 4) AS l2,
+                   round(list_sum(list_transform(list_zip(m.v, p.pv), q -> abs(q[1] - q[2]))), 4) AS l1,
+                   round(list_max(list_transform(list_zip(m.v, p.pv), q -> abs(q[1] - q[2]))), 4) AS linf,
+                   round(1 - list_sum(list_transform(list_zip(m.v, p.pv), q -> q[1] * q[2]))
+                           / (sqrt(list_sum(list_transform(m.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(p.pv, x -> x * x)))), 6) AS cosd,
+                   round(sqrt(list_sum(list_transform(m.v, x -> x * x))), 4) AS nrm
+            FROM m, p WHERE m.vec_id > 0 AND m.vec_id <= 500
+            ORDER BY cosd, vec_id LIMIT 50"""),
+  )
+
   /** Deterministic stratified sampling ([[Sampling.stratified]]):
     * down-sample the over-represented language to 20% while keeping
     * 90% of the rest — the training-data mixing move — with a
@@ -556,6 +596,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q57, q58, q60, q61,
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q57, q58, q60, q61,
         q62, q63, q64, q65, q66, q67, q68, q90b)
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 dialect surface: the vector-math kernel family, statistical
+  * aggregates (entropy / rankCorr / t-tests / interval sweeps) and the
+  * array membership helpers. The t-test p-values — which no SQL oracle
+  * can replay — are pinned here against published t-table values. */
+class DialectRound5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector kernels: distances, norms, normalize") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+    val r = df.selectExpr(
+      "dotProduct(a, a) AS dot",
+      "L2Norm(a) AS n2",
+      "L1Norm(a) AS n1",
+      "LinfNorm(a) AS ninf",
+      "L2Distance(a, b) AS d2",
+      "L2SquaredDistance(a, b) AS d2s",
+      "L1Distance(a, b) AS d1",
+      "LinfDistance(a, b) AS dinf").head()
+    assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 7.0)
+    assert(r.getDouble(3) == 4.0 && r.getDouble(4) == 5.0 && r.getDouble(5) == 25.0)
+    assert(r.getDouble(6) == 7.0 && r.getDouble(7) == 4.0)
+    // cosine of identical vectors is 0; orthogonal is 1
+    val c = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b")
+      .selectExpr("round(cosineDistance(a, a), 10) AS same", "cosineDistance(a, b) AS orth").head()
+    assert(c.getDouble(0) == 0.0 && c.getDouble(1) == 1.0)
+    val nz = Seq(Tuple1(Seq(3.0, 4.0))).toDF("a")
+      .selectExpr("L2Normalize(a) AS u").head().getSeq[Double](0)
+    assert(nz == Seq(0.6, 0.8))
+  }
+
+  test("array membership and folds: hasAll/hasAny/arrayMin/arrayMax/arrayProduct") {
+    val r = Seq(Tuple1(Seq(3, 1, 2))).toDF("a").selectExpr(
+      "hasAll(a, array(1, 2)) AS all_in",
+      "hasAll(a, array(1, 9)) AS not_all",
+      "hasAny(a, array(9, 2)) AS any_in",
+      "hasAny(a, array(9, 8)) AS none_in",
+      "arrayMin(a) AS mn",
+      "arrayMax(a) AS mx",
+      "arrayProduct(a) AS pr").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getInt(4) == 1 && r.getInt(5) == 3 && r.getDouble(6) == 6.0)
+  }
+
+  test("entropy: bits of the value distribution, merge-order independent") {
+    val df = Seq("a", "a", "b", "b").toDF("v")
+    for (parts <- Seq(1, 4)) {
+      assert(df.repartition(parts).selectExpr("entropy(v)").head().getDouble(0) == 1.0)
+    }
+    // uniform over 4 values → 2 bits; single value → 0 (not −0)
+    assert(Seq("a", "b", "c", "d").toDF("v").selectExpr("entropy(v)").head().getDouble(0) == 2.0)
+    val single = Seq("a", "a").toDF("v").selectExpr("entropy(v)").head().getDouble(0)
+    assert(single == 0.0 && (1.0 / single) > 0) // +0.0, not -0.0
+  }
+
+  test("rankCorr: Spearman with average-tie ranks") {
+    // perfectly monotone (nonlinear) → 1; reversed → −1
+    val mono = Seq.tabulate(10)(i => (i.toDouble, math.exp(i.toDouble))).toDF("x", "y")
+    assert(mono.selectExpr("rankCorr(x, y)").head().getDouble(0) == 1.0)
+    assert(mono.selectExpr("rankCorr(x, -y)").head().getDouble(0) == -1.0)
+    // tie handling: known Spearman for x=(1,2,2,3), y=(1,3,2,4):
+    // rx=(1,2.5,2.5,4), ry=(1,3,2,4) → ρ = 4.5/√22.5 = 0.9486832...
+    val ties = Seq((1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+    val rho = ties.selectExpr("rankCorr(x, y)").head().getDouble(0)
+    assert(math.abs(rho - 0.9486832980505138) < 1e-12)
+    // constant column → null; partition-count independent
+    assert(Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+      .selectExpr("rankCorr(x, y)").head().isNullAt(0))
+    val big = Seq.tabulate(100)(i => ((i * 7 % 100).toDouble, (i * 13 % 50).toDouble)).toDF("x", "y")
+    val one = big.repartition(1).selectExpr("round(rankCorr(x, y), 12)").head().getDouble(0)
+    val many = big.repartition(8).selectExpr("round(rankCorr(x, y), 12)").head().getDouble(0)
+    assert(one == many)
+  }
+
+  test("t-tests: statistic formulas and p-values vs published tables") {
+    // samples {1..5} (index 0) vs {2..6} (index 1): pooled s²=2.5,
+    // t = −1, df = 8 → two-sided p = 0.34659... (standard t table)
+    val df = (Seq(1, 2, 3, 4, 5).map((_, 0)) ++ Seq(2, 3, 4, 5, 6).map((_, 1))).toDF("v", "g")
+    val s = df.selectExpr(
+      "tupleElement(studentTTest(v, g), 't_stat') AS t",
+      "tupleElement(studentTTest(v, g), 'p_value') AS p").head()
+    assert(math.abs(s.getDouble(0) - (-1.0)) < 1e-12)
+    assert(math.abs(s.getDouble(1) - 0.34659) < 2e-4)
+    // equal variances → Welch t equals Student t; Welch df stays 8
+    val w = df.selectExpr(
+      "tupleElement(welchTTest(v, g), 't_stat') AS t",
+      "tupleElement(welchTTest(v, g), 'p_value') AS p").head()
+    assert(math.abs(w.getDouble(0) - (-1.0)) < 1e-12)
+    assert(math.abs(w.getDouble(1) - 0.34659) < 2e-4)
+    // identical samples → t = 0, p = 1
+    val same = (Seq(1, 2, 3).map((_, 0)) ++ Seq(1, 2, 3).map((_, 1))).toDF("v", "g")
+    val z = same.selectExpr("tupleElement(studentTTest(v, g), 'p_value')").head()
+    assert(z.getDouble(0) == 1.0)
+  }
+
+  test("simpleLinearRegression / boundingRatio / sumCount") {
+    // y = 2x + 1 exactly
+    val lin = Seq.tabulate(5)(i => (i.toDouble, 2.0 * i + 1)).toDF("x", "y")
+    val r = lin.selectExpr(
+      "tupleElement(simpleLinearRegression(x, y), 'k') AS k",
+      "tupleElement(simpleLinearRegression(x, y), 'b') AS b",
+      "boundingRatio(x, y) AS br",
+      "tupleElement(sumCount(y), 'sum') AS s",
+      "tupleElement(sumCount(y), 'count') AS c").head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 25.0 && r.getLong(4) == 5L)
+  }
+
+  test("maxIntersections: half-open sweep, first-peak position") {
+    // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
+    val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
+    val r = iv.selectExpr(
+      "maxIntersections(s, e) AS mi",
+      "maxIntersectionsPosition(s, e) AS mip").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    // half-open: [1,2) and [2,3) never overlap
+    val touch = Seq((1, 2), (2, 3)).toDF("s", "e")
+    assert(touch.selectExpr("maxIntersections(s, e)").head().getLong(0) == 1L)
+    // merge-order independence
+    val big = Seq.tabulate(200)(i => (i % 50, i % 50 + 10)).toDF("s", "e")
+    val one = big.repartition(1).selectExpr("maxIntersections(s, e)").head().getLong(0)
+    val many = big.repartition(7).selectExpr("maxIntersections(s, e)").head().getLong(0)
+    assert(one == many)
+  }
+}
