@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
@@ -98,6 +98,15 @@ object ChDialect {
     "toMonday"       -> (es => TruncTimestamp(Literal("week"), es.head)),
     "toStartOfDay"   -> (es => TruncTimestamp(Literal("day"), es.head)),
     "toStartOfHour"  -> (es => TruncTimestamp(Literal("hour"), es.head)),
+    "toStartOfQuarter" -> (es => TruncTimestamp(Literal("quarter"), es.head)),
+    "toStartOfMinute"  -> (es => TruncTimestamp(Literal("minute"), es.head)),
+    // fixed sub-hour buckets: epoch-second integer division, the same
+    // arithmetic ClickHouse uses (UTC session timezone per SURVEY §5)
+    "toStartOfFiveMinutes"    -> (es => secondBucket(es.head, 300L)),
+    "toStartOfTenMinutes"     -> (es => secondBucket(es.head, 600L)),
+    "toStartOfFifteenMinutes" -> (es => secondBucket(es.head, 900L)),
+    "toLastDayOfMonth" -> (es => LastDay(Cast(es.head, DateType))),
+    "monthName" -> (es => DateFormatClass(es.head, Literal("MMMM"))),
     "toYYYYMM"       -> (es => DateFormatClass(es.head, Literal("yyyyMM"))),
     "toDate"         -> (es => Cast(es.head, DateType)),
     "argMax"         -> (es => MaxBy(es(0), es(1))),
@@ -157,6 +166,13 @@ object ChDialect {
       case _            => throw new IllegalArgumentException("quantileExactWeighted takes (level)(expr, weight)")
     }),
     "groupArray" -> (es => CollectList(es.head)),
+    // groupArrayMovingSum/Avg(n)(x): per-position moving window over
+    // the group's SORTED value array (ClickHouse leaves insertion
+    // order undefined in distributed tables; sorting makes the result
+    // deterministic and oracle-able, the same choice groupArray makes
+    // here). Without n the window is the whole prefix (CH default).
+    "groupArrayMovingSum" -> (es => movingAgg(es, isAvg = false)),
+    "groupArrayMovingAvg" -> (es => movingAgg(es, isAvg = true)),
     "groupUniqArray" -> (es => SortArray(CollectSet(es.head).toAggregateExpression(), Literal(true))),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
     "uniqCombined" -> (es => HyperLogLogPlusPlus(es.head)),
@@ -195,6 +211,13 @@ object ChDialect {
     "addSeconds"  -> (es => TimestampAdd("SECOND", es(1), es(0))),
     "subtractDays"   -> (es => TimestampAdd("DAY", UnaryMinus(es(1)), es(0))),
     "subtractMonths" -> (es => TimestampAdd("MONTH", UnaryMinus(es(1)), es(0))),
+    "subtractYears"   -> (es => TimestampAdd("YEAR", UnaryMinus(es(1)), es(0))),
+    "subtractQuarters" -> (es => TimestampAdd("QUARTER", UnaryMinus(es(1)), es(0))),
+    "subtractWeeks"   -> (es => TimestampAdd("WEEK", UnaryMinus(es(1)), es(0))),
+    "subtractHours"   -> (es => TimestampAdd("HOUR", UnaryMinus(es(1)), es(0))),
+    "subtractMinutes" -> (es => TimestampAdd("MINUTE", UnaryMinus(es(1)), es(0))),
+    "subtractSeconds" -> (es => TimestampAdd("SECOND", UnaryMinus(es(1)), es(0))),
+    "addQuarters"     -> (es => TimestampAdd("QUARTER", es(1), es(0))),
     // dateDiff('unit', start, end): ClickHouse counts UNIT BOUNDARY
     // crossings (dateDiff('day', 23:59, 00:01) = 1), not elapsed full
     // units — so each unit maps to a boundary-exact formulation, not
@@ -613,6 +636,38 @@ object ChDialect {
         Multiply(Literal(3.0d), Multiply(mu2, mu2)))
       Divide(m4, Multiply(m2, m2))
     }
+  }
+
+  /** Epoch-second bucket of width `w` seconds, back as a timestamp —
+    * toStartOfFiveMinutes-family arithmetic. */
+  private def secondBucket(ts: Expression, w: Long): Expression = {
+    val secs = Cast(Cast(ts, TimestampType), LongType)
+    SecondsToTimestamp(Multiply(new IntegralDivide(secs, Literal(w)), Literal(w)))
+  }
+
+  /** groupArrayMovingSum/Avg: transform-with-index over the sorted
+    * group array; each position folds its own slice [max(1, i+2−n),
+    * i+1] (1-based). The duplicated CollectList subtrees are
+    * deduplicated by aggregate planning, so the group array is built
+    * once. O(len·n) per group at eval — post-aggregation, never on the
+    * scan path. */
+  private def movingAgg(es: Seq[Expression], isAvg: Boolean): Expression = {
+    val (nOpt, x) = if (es.length >= 2) (Some(es.head), es(1)) else (None, es.head)
+    def arr = SortArray(CollectList(Cast(x, DoubleType)).toAggregateExpression(), Literal(true))
+    val v = lamVar("gr_mv_v")
+    val i = lamVar("gr_mv_i")
+    val start: Expression = nOpt match {
+      case Some(n) => Greatest(Seq(Literal(1), Subtract(Add(i, Literal(2)), Cast(n, IntegerType))))
+      case None    => Literal(1)
+    }
+    val len   = Subtract(Add(i, Literal(2)), start)
+    val slice = Slice(arr, start, len)
+    val body =
+      if (isAvg) {
+        val s = lamVar("gr_mv_s")
+        sumFold(slice, LambdaFunction(Divide(s, Cast(len, DoubleType)), Seq(s)))
+      } else sumFold(slice, LambdaFunction.identity)
+    ArrayTransform(arr, LambdaFunction(body, Seq(v, i)))
   }
 
   /** Two-sample t test over (value, sample_index∈{0,1}): Student's

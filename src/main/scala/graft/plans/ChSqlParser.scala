@@ -53,7 +53,7 @@ object ChSqlParser {
     * there): bare tokens without parens, or quoted strings which MAY
     * contain parens (sequenceMatch's `'(?1).*(?2)'`). */
   private val Parametric =
-    """\b(quantile|quantiles|quantileExactWeighted|quantileExact|quantileTDigest|topKWeighted|topK|uniqUpTo|windowFunnel|sequenceMatch|sequenceCount)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
+    """\b(quantile|quantiles|quantileExactWeighted|quantileExact|quantileTDigest|topKWeighted|topK|uniqUpTo|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].
@@ -140,6 +140,70 @@ object ChSqlParser {
 
   private val ArrayJoinPair = """(?is)^\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
 
+  /** ClickHouse `ORDER BY col WITH FILL FROM a TO b [STEP s]` —
+    * supported subset: the query's LAST clause, integer bounds/step, a
+    * fill column that is a named output of the select list. Rewritten
+    * to an integer-sequence axis FULL OUTER JOINed with the original
+    * query: grid points missing from the result appear with the other
+    * columns coalesced to 0 (ClickHouse's numeric default-fill), and
+    * off-grid source rows survive, exactly CH's behavior. TO is
+    * exclusive, as in ClickHouse. Anything outside the subset — CTE
+    * prefix, expression bounds, INTERPOLATE — passes through untouched
+    * and fails loudly at parse, never silently wrong. */
+  private val WithFill =
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?\s*;?\s*$""".r
+
+  /** Index of the top-level FROM keyword (outside parens/strings). */
+  private def topLevelFromIndex(s: String): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'f' || c == 'F') && i + 4 <= s.length &&
+                 s.substring(i, i + 4).equalsIgnoreCase("from") &&
+                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+                 (i + 4 == s.length || !Character.isLetterOrDigit(s.charAt(i + 4))))
+          return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val AliasedItem = """(?is)^.*\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+  private val BareItem    = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
+
+  private def rewriteWithFill(sql: String): String = sql match {
+    case WithFill(body, fillCol, from, to, stepOrNull) =>
+      val step = Option(stepOrNull).getOrElse("1")
+      val fromIdx = topLevelFromIndex(body)
+      if (fromIdx < 0) sql
+      else {
+        val names = splitTopLevel(body.substring(0, fromIdx)).map {
+          case AliasedItem(a) => Some(a)
+          case BareItem(a)    => Some(a)
+          case _              => None
+        }
+        if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol)) sql
+        else {
+          val sel = names.flatten.map { n =>
+            if (n == fillCol) s"coalesce(gr_src__.$n, gr_axis__.gr_fill__) AS $n"
+            else s"coalesce(gr_src__.$n, 0) AS $n"
+          }.mkString(", ")
+          s"""SELECT $sel
+             |FROM (SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__) gr_axis__
+             |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__
+             |ORDER BY $fillCol""".stripMargin
+        }
+      }
+    case _ => sql
+  }
+
   /** Split on commas not nested inside parentheses. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out   = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -195,6 +259,7 @@ object ChSqlParser {
     out = FromFinal.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
     out = rewriteArrayJoin(out)
+    out = rewriteWithFill(out)
     out = NumbersFn.replaceAllIn(out, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
     out = LimitBy.replaceAllIn(out, m => {

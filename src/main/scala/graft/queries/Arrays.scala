@@ -136,6 +136,29 @@ object Arrays {
             FROM spine LEFT JOIN d USING (day) ORDER BY day"""),
   )
 
+  /** `ORDER BY … WITH FILL FROM … TO … STEP …` VERBATIM (ChSqlParser
+    * rewrite): integer-grid axis FULL OUTER JOINed under the query, so
+    * missing grid days appear zero-filled and off-grid rows survive —
+    * ClickHouse's fill semantics (TO exclusive). q95 keeps the
+    * DataFrame-combinator analog; this is the migrated-SQL spelling. */
+  val q95b = GraftQuery(
+    "q95b_with_fill",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_wf")
+      s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt
+               FROM events_wf WHERE event_type = 'purchase' AND value > 495
+               GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
+               ORDER BY d WITH FILL FROM 0 TO 60""")
+    },
+    Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+                              count(*) AS cnt
+                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                 axis AS (SELECT range AS g FROM range(0, 60))
+            SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, coalesce(cnt, 0) AS cnt
+            FROM axis FULL OUTER JOIN d ON d.d = axis.g
+            ORDER BY d"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -323,5 +346,5 @@ object Arrays {
             FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q96, q97, q99)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q95b, q96, q97, q99)
 }

@@ -268,6 +268,39 @@ object ChFunctions {
                   FROM lineitem GROUP BY 1) t"""),
   )
 
+  /** groupArrayMovingSum/Avg(n)(x) in their parametric spelling: a
+    * 3-wide moving window over each group's SORTED value array
+    * (determinism choice documented at the registration). Arrays
+    * serialize to joined strings per the §5 convention; the oracle
+    * rebuilds the identical windows with ROWS BETWEEN — tie order is
+    * irrelevant because tied values are equal, so every window holds
+    * the same multiset. */
+  val q27c = GraftQuery(
+    "q27c_moving_agg",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_mv")
+      s.sql("""SELECT l_returnflag,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 2)),
+                        groupArrayMovingSum(3)(l_quantity)), ',') AS ms,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+                        groupArrayMovingAvg(3)(l_quantity)), ',') AS ma
+               FROM lineitem_mv WHERE l_orderkey < 300
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH s AS (SELECT l_returnflag AS f, CAST(l_quantity AS DOUBLE) AS q
+                       FROM lineitem WHERE l_orderkey < 300),
+                 w AS (SELECT f, q,
+                              sum(q) OVER (PARTITION BY f ORDER BY q
+                                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms,
+                              avg(q) OVER (PARTITION BY f ORDER BY q
+                                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma
+                       FROM s)
+            SELECT f AS l_returnflag,
+                   string_agg(CAST(round(ms, 2) AS VARCHAR), ',' ORDER BY q, ms) AS ms,
+                   string_agg(CAST(round(ma, 4) AS VARCHAR), ',' ORDER BY q, ma) AS ma
+            FROM w GROUP BY f ORDER BY l_returnflag"""),
+  )
+
   /** `GROUP BY … WITH TOTALS` (ClickHouse spelling) → grouping sets
     * via the ChSqlParser rewrite; the totals row carries NULL keys. */
   val q29c = GraftQuery(
@@ -687,5 +720,5 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q26, q27, q27b,
-        q28, q28b, q28c, q29, q29b, q29c, q29d, q29e, q29f, q38)
+        q27c, q28, q28b, q28c, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }

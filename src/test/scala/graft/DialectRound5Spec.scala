@@ -109,6 +109,53 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getDouble(3) == 25.0 && r.getLong(4) == 5L)
   }
 
+  test("groupArrayMovingSum/Avg: windowed folds over the sorted group array") {
+    val df = Seq(1, 3, 2, 5, 4).toDF("v") // sorted: 1 2 3 4 5
+    val ms = df.selectExpr("groupArrayMovingSum(2)(v) AS s").head().getSeq[Double](0)
+    assert(ms == Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+    val ma = df.selectExpr("groupArrayMovingAvg(2)(v) AS a").head().getSeq[Double](0)
+    assert(ma == Seq(1.0, 1.5, 2.5, 3.5, 4.5))
+    // parameterless form: whole-prefix sums (cumulative)
+    val cum = df.selectExpr("groupArrayMovingSum(v) AS s").head().getSeq[Double](0)
+    assert(cum == Seq(1.0, 3.0, 6.0, 10.0, 15.0))
+  }
+
+  test("ORDER BY WITH FILL fills grid gaps and keeps off-grid rows") {
+    Seq((1, 10L), (3, 30L), (7, 70L)).toDF("d", "v").createOrReplaceTempView("wf_t")
+    val out = spark.sql(
+      """SELECT d, sum(v) AS s FROM wf_t GROUP BY d ORDER BY d WITH FILL FROM 0 TO 6 STEP 2""")
+      .as[(Int, Long)].collect().toSeq
+    // grid {0,2,4} zero-filled; source rows 1,3,7 (off-grid/outside) kept
+    assert(out == Seq((0, 0L), (1, 10L), (2, 0L), (3, 30L), (4, 0L), (7, 70L)))
+    // default step = 1
+    val d1 = spark.sql(
+      """SELECT d, sum(v) AS s FROM wf_t GROUP BY d ORDER BY d WITH FILL FROM 1 TO 4""")
+      .as[(Int, Long)].collect().toSeq
+    assert(d1 == Seq((1, 10L), (2, 0L), (3, 30L), (7, 70L)))
+  }
+
+  test("date long tail: quarter/minute buckets, last day, month name, subtract family") {
+    val r = Seq(Tuple1("2026-08-12 13:47:31")).toDF("s")
+      .selectExpr("CAST(s AS TIMESTAMP) AS ts")
+      .selectExpr(
+        "CAST(toStartOfQuarter(ts) AS STRING) AS q",
+        "CAST(toStartOfMinute(ts) AS STRING) AS mi",
+        "CAST(toStartOfFiveMinutes(ts) AS STRING) AS m5",
+        "CAST(toStartOfFifteenMinutes(ts) AS STRING) AS m15",
+        "CAST(toLastDayOfMonth(ts) AS STRING) AS ld",
+        "monthName(ts) AS mn",
+        "CAST(subtractYears(ts, 1) AS STRING) AS sy",
+        "CAST(addQuarters(ts, 2) AS STRING) AS aq").head()
+    assert(r.getString(0) == "2026-07-01 00:00:00")
+    assert(r.getString(1) == "2026-08-12 13:47:00")
+    assert(r.getString(2) == "2026-08-12 13:45:00")
+    assert(r.getString(3) == "2026-08-12 13:45:00")
+    assert(r.getString(4) == "2026-08-31")
+    assert(r.getString(5) == "August")
+    assert(r.getString(6) == "2025-08-12 13:47:31")
+    assert(r.getString(7) == "2027-02-12 13:47:31")
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
