@@ -103,6 +103,74 @@ object TextAnalysis {
       i => array_join(slice(toks, i * lit(stride) + 1, lit(chunkLen)), " "))
   }
 
+  /** Word n-gram array (space-joined windows); empty when the document
+    * is shorter than n words. */
+  def ngramArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Run lengths of a SORTED gram array — the per-document frequency
+    * histogram computed WITHOUT a shuffle: mark run starts, diff
+    * consecutive start positions. `sorted` must be a plain column
+    * reference: the lambda body indexes it per element, and a staged
+    * attribute makes that O(1) even under interpreted (non-codegen)
+    * evaluation. */
+  private def runLengths(sorted: Column): Column = {
+    val m = size(sorted)
+    val starts = filter(sequence(lit(1), m),
+      i => (i === 1) || (element_at(sorted, i) =!= element_at(sorted, i - 1)))
+    zip_with(
+      starts,
+      concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))), array(m + 1)),
+      (a, b) => b - a)
+  }
+
+  /** Gopher-style repetition signals — the quality filters an LLM
+    * corpus pipeline runs before training (duplicate-content fraction
+    * at several n-gram sizes, dominance of the single most frequent
+    * n-gram, mean word length). Per-row array math with NO shuffle: at
+    * 100 TB this is a map-only pass over the scan.
+    *
+    * Each intermediate (token array, gram arrays, sorted copies, run
+    * lengths) is STAGED as its own projection column, deliberately:
+    * a single fused expression here both blows past the codegen method
+    * limit (falling back to interpreted eval) and re-evaluates shared
+    * subtrees per array element in that mode — O(m²) normalizations
+    * per row. Staged attributes evaluate once per row regardless of
+    * evaluation mode, and CollapseProject keeps multiply-referenced
+    * non-cheap aliases staged. Emitted fractions:
+    * top_X_frac  = occurrences of the most frequent X / total X,
+    * dup_X_frac  = occurrences of X-grams appearing more than once / total X. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = docs
+      .withColumn("__toks", tokens(normalize(col(textCol))))
+      .withColumn("__s1", array_sort(col("__toks")))
+      .withColumn("__s2", array_sort(ngramArray(col("__toks"), 2)))
+      .withColumn("__s5", array_sort(ngramArray(col("__toks"), 5)))
+      .withColumn("__r1", runLengths(col("__s1")))
+      .withColumn("__r2", runLengths(col("__s2")))
+      .withColumn("__r5", runLengths(col("__s5")))
+    def metrics(sorted: String, runs: String, name: String): Seq[Column] = {
+      val m = size(col(sorted)).cast("double")
+      val top = when(m > 0, array_max(col(runs)).cast("double") / m).otherwise(0.0)
+      val dup = when(m > 0,
+        aggregate(col(runs), lit(0), (a, r) => a + when(r > 1, r).otherwise(0)).cast("double") / m)
+        .otherwise(0.0)
+      Seq(round(top, 6).as(s"top_${name}_frac"), round(dup, 6).as(s"dup_${name}_frac"))
+    }
+    val cols = Seq(
+      col(idCol),
+      size(col("__toks")).cast("long").as("n_words"),
+      round(aggregate(col("__toks"), lit(0), (a, t) => a + length(t)).cast("double")
+        / size(col("__toks")), 4).as("mean_word_len")) ++
+      metrics("__s1", "__r1", "word") ++
+      metrics("__s2", "__r2", "bigram") ++
+      metrics("__s5", "__r5", "gram5")
+    staged.select(cols: _*)
+  }
+
   /** Deterministic shard assignment for training-data layout: shard =
     * first hex nibble of md5(normalized text) → 16 stable,
     * content-addressed shards. Content hashing (vs round-robin) keeps

@@ -264,6 +264,36 @@ object ChDialect {
       StringSplit(es(1), Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))),
     "leftPad"  -> (es => StringLPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
     "rightPad" -> (es => StringRPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
+    // -- substring search family. countSubstrings counts
+    // non-overlapping occurrences via the length delta (codegen'd
+    // string ops, no regex); multiSearch* fold over the needle array.
+    "countSubstrings" -> (es => Cast(new IntegralDivide(
+      Subtract(Length(es(0)), Length(StringReplace(es(0), es(1), Literal("")))),
+      Length(es(1))), LongType)),
+    "multiSearchAny" -> (es => {
+      val n = lamVar("gr_n")
+      ArrayExists(es(1), LambdaFunction(GreaterThan(new StringLocate(n, es(0)), Literal(0)), Seq(n)))
+    }),
+    "multiSearchAllPositions" -> (es => {
+      val n = lamVar("gr_n")
+      ArrayTransform(es(1), LambdaFunction(new StringLocate(n, es(0)), Seq(n)))
+    }),
+    // extractAll: group 1 when the literal pattern declares a
+    // capturing group (ClickHouse's rule), whole match otherwise
+    "extractAll" -> (es => {
+      val idx = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+          if s.toString.replace("\\(", "").replace("(?:", "").contains("(") => 1
+        case _ => 0
+      }
+      RegExpExtractAll(es(0), es(1), Literal(idx))
+    }),
+    "countMatches" -> (es => Cast(Size(RegExpExtractAll(es(0), es(1), Literal(0))), LongType)),
+    "match" -> (es => RLike(es(0), es(1))),
+    // ngramDistance: 4-gram multiset symmetric difference over the two
+    // strings, normalized by total gram count — nested HOF folds;
+    // short strings (<4 chars) contribute themselves as one gram
+    "ngramDistance" -> (es => ngramDistanceExpr(es(0), es(1))),
     // -- arrays
     "has"               -> (es => ArrayContains(es(0), es(1))),
     "indexOf"           -> (es => ArrayPosition(es(0), es(1))),
@@ -636,6 +666,39 @@ object ChDialect {
         Multiply(Literal(3.0d), Multiply(mu2, mu2)))
       Divide(m4, Multiply(m2, m2))
     }
+  }
+
+  /** 4-gram character windows of a string: substring windows joined
+    * into an array; strings shorter than 4 chars are their own single
+    * gram (empty string → empty array). */
+  private def charGrams(s: Expression): Expression = {
+    val i = lamVar("gr_gi")
+    CaseWhen(Seq(
+      (EqualTo(Length(s), Literal(0)), Literal.create(Array.empty[String], org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))),
+      (LessThan(Length(s), Literal(4)), CreateArray(Seq(s)))),
+      ArrayTransform(new Sequence(Literal(1), Subtract(Length(s), Literal(3))),
+        LambdaFunction(Substring(s, i, Literal(4)), Seq(i))))
+  }
+
+  /** Multiset 4-gram distance: (|A| + |B| − 2·matched) / (|A| + |B|),
+    * matched = Σ_g min(count_A(g), count_B(g)) over distinct grams —
+    * 0 for identical strings, 1 for disjoint gram sets. */
+  private def ngramDistanceExpr(a: Expression, b: Expression): Expression = {
+    val ga = charGrams(a)
+    val gb = charGrams(b)
+    val acc = lamVar("gr_nd_acc")
+    val g   = lamVar("gr_nd_g")
+    val x   = lamVar("gr_nd_x")
+    def countOf(arr: Expression, needle: Expression) =
+      Size(ArrayFilter(arr, LambdaFunction(EqualTo(x, needle), Seq(x))))
+    val matched = ArrayAggregate(
+      ArrayDistinct(Concat(Seq(ga, gb))), Literal(0),
+      LambdaFunction(Add(acc, Least(Seq(countOf(ga, g), countOf(gb, g)))), Seq(acc, g)),
+      LambdaFunction.identity)
+    val total = Add(Size(ga), Size(gb))
+    If(EqualTo(total, Literal(0)), Literal(0.0d),
+      Divide(Cast(Subtract(total, Multiply(Literal(2), matched)), DoubleType),
+             Cast(total, DoubleType)))
   }
 
   /** Epoch-second bucket of width `w` seconds, back as a timestamp —

@@ -421,6 +421,38 @@ object ChFunctions {
             ORDER BY l_returnflag"""),
   )
 
+  /** The substring/regex search family in CH spelling over documents:
+    * countSubstrings (length-delta arithmetic, no regex),
+    * multiSearchAny / multiSearchAllPositions (folds over the needle
+    * array), countMatches / match / extractAll (regex), position.
+    * ngramDistance is registered too but spec-pinned (its 4-gram
+    * multiset fold has no concise DuckDB replay). */
+  val q28d = GraftQuery(
+    "q28d_string_search",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("docs_ss")
+      s.sql("""SELECT doc_id,
+                      countSubstrings(text, 'table') AS c_sub,
+                      CAST(multiSearchAny(text, array('vector', 'hash', 'merge')) AS INT) AS any_hit,
+                      arrayStringConcat(arrayMap(x -> toString(x),
+                        multiSearchAllPositions(text, array('table', 'spark'))), ',') AS pos_all,
+                      countMatches(text, 'ta[bg]le') AS c_re,
+                      position(text, 'spark') AS p_spark,
+                      CAST(match(text, '^key') AS INT) AS starts_key,
+                      arrayStringConcat(extractAll(text, '[a-z]*ow'), '|') AS ow_words
+               FROM docs_ss WHERE doc_id < 200 ORDER BY doc_id""")
+    },
+    Some("""SELECT doc_id,
+                   CAST((len(text) - len(replace(text, 'table', ''))) / 5 AS BIGINT) AS c_sub,
+                   CAST(text LIKE '%vector%' OR text LIKE '%hash%' OR text LIKE '%merge%' AS INT) AS any_hit,
+                   CAST(strpos(text, 'table') AS VARCHAR) || ',' || CAST(strpos(text, 'spark') AS VARCHAR) AS pos_all,
+                   CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT) AS c_re,
+                   strpos(text, 'spark') AS p_spark,
+                   CAST(regexp_matches(text, '^key') AS INT) AS starts_key,
+                   coalesce(array_to_string(regexp_extract_all(text, '[a-z]*ow'), '|'), '') AS ow_words
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+  )
+
   /** The statistical-aggregate family in CH spelling: entropy (native
     * map-state agg), rankCorr (Spearman, native pair-buffer agg),
     * simpleLinearRegression / boundingRatio / sumCount (aggregate
@@ -720,5 +752,5 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q26, q27, q27b,
-        q27c, q28, q28b, q28c, q29, q29b, q29c, q29d, q29e, q29f, q38)
+        q27c, q28, q28b, q28c, q28d, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }

@@ -480,6 +480,51 @@ object DataPipeline {
             GROUP BY 1, 2 ORDER BY label, pos"""),
   )
 
+  /** Gopher-style repetition/quality signals
+    * ([[TextAnalysis.repetitionSignals]]): duplicate-content and
+    * most-frequent-n-gram fractions at word/bigram/5-gram granularity
+    * plus mean word length — the pre-training corpus filters, computed
+    * as one shuffle-free projection. The oracle rebuilds every signal
+    * from exploded n-gram frequency tables. */
+  val q69 = GraftQuery(
+    "q69_repetition",
+    (s, dir) => TextAnalysis.repetitionSignals(
+        Tables(s, dir).documents.where(col("doc_id") < 200), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM documents WHERE doc_id < 200),
+                  base AS (SELECT doc_id, len(toks) AS n_words,
+                                  round(list_sum(list_transform(toks, w -> len(w))) * 1.0 / len(toks), 4) AS mean_word_len
+                           FROM t),
+                  g1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+                  c1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+                  m1 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS topf,
+                                round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dupf
+                         FROM c1 GROUP BY 1),
+                  g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                                THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+                                ELSE [] END) AS g FROM t),
+                  c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+                  m2 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS topf,
+                                round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dupf
+                         FROM c2 GROUP BY 1),
+                  g5 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+                                THEN list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))
+                                ELSE [] END) AS g FROM t),
+                  c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+                  m5 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS topf,
+                                round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dupf
+                         FROM c5 GROUP BY 1)
+             SELECT base.doc_id, n_words, mean_word_len,
+                    coalesce(m1.topf, 0) AS top_word_frac,  coalesce(m1.dupf, 0) AS dup_word_frac,
+                    coalesce(m2.topf, 0) AS top_bigram_frac, coalesce(m2.dupf, 0) AS dup_bigram_frac,
+                    coalesce(m5.topf, 0) AS top_gram5_frac,  coalesce(m5.dupf, 0) AS dup_gram5_frac
+             FROM base LEFT JOIN m1 ON base.doc_id = m1.doc_id
+                       LEFT JOIN m2 ON base.doc_id = m2.doc_id
+                       LEFT JOIN m5 ON base.doc_id = m5.doc_id
+             ORDER BY base.doc_id"""),
+  )
+
   /** The ClickHouse vector-math function family (L2Distance /
     * L1Distance / LinfDistance / cosineDistance / dotProduct /
     * L2Norm), run as VERBATIM ClickHouse SQL text: every kernel
@@ -597,5 +642,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q57, q58, q60, q61,
-        q62, q63, q64, q65, q66, q67, q68, q90b)
+        q62, q63, q64, q65, q66, q67, q68, q69, q90b)
 }

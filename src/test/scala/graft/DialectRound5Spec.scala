@@ -156,6 +156,33 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getString(7) == "2027-02-12 13:47:31")
   }
 
+  test("string search: countSubstrings/multiSearch/countMatches/ngramDistance") {
+    val df = Seq(Tuple1("the table and the stable table")).toDF("s")
+    val r = df.selectExpr(
+      "countSubstrings(s, 'table') AS c",
+      "CAST(multiSearchAny(s, array('xx', 'stab')) AS INT) AS any1",
+      "CAST(multiSearchAny(s, array('xx', 'yy')) AS INT) AS any0",
+      "arrayStringConcat(arrayMap(x -> toString(x), multiSearchAllPositions(s, array('table', 'zz'))), ',') AS pos",
+      "countMatches(s, 'ta[bg]le') AS cm",
+      "CAST(match(s, '^the') AS INT) AS m").head()
+    assert(r.getLong(0) == 3L && r.getInt(1) == 1 && r.getInt(2) == 0)
+    assert(r.getString(3) == "5,0" && r.getLong(4) == 3L && r.getInt(5) == 1)
+    // extractAll: whole match without a capture group, group 1 with one
+    val e = Seq(Tuple1("a1 b22 c333")).toDF("s").selectExpr(
+      "arrayStringConcat(extractAll(s, '[a-z][0-9]+'), ',') AS whole",
+      "arrayStringConcat(extractAll(s, '[a-z]([0-9]+)'), ',') AS grp").head()
+    assert(e.getString(0) == "a1,b22,c333" && e.getString(1) == "1,22,333")
+    // ngramDistance: 0 identical, 1 disjoint, 0.5 half-shared grams
+    val d = Seq(("abcde", "abcdf")).toDF("a", "b").selectExpr(
+      "ngramDistance(a, a) AS same",
+      "ngramDistance(a, 'zzzzz') AS far",
+      "ngramDistance(a, b) AS half",
+      "ngramDistance('ab', 'ab') AS short_same",
+      "ngramDistance('', '') AS empty").head()
+    assert(d.getDouble(0) == 0.0 && d.getDouble(1) == 1.0 && d.getDouble(2) == 0.5)
+    assert(d.getDouble(3) == 0.0 && d.getDouble(4) == 0.0)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
