@@ -409,6 +409,14 @@ object ChDialect {
       GraftMaxIntersections(Cast(es(0), DoubleType), Cast(es(1), DoubleType), returnPosition = false)),
     "maxIntersectionsPosition" -> (es =>
       GraftMaxIntersections(Cast(es(0), DoubleType), Cast(es(1), DoubleType), returnPosition = true)),
+    "intervalLengthSum" -> (es =>
+      GraftIntervalLengthSum(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    // categorical association coefficients over the joint (x, y)
+    // contingency map — see GraftAssociation
+    "cramersV"              -> (es => assoc(es, "cramersV")),
+    "cramersVBiasCorrected" -> (es => assoc(es, "cramersVBiasCorrected")),
+    "theilsU"               -> (es => assoc(es, "theilsU")),
+    "contingency"           -> (es => assoc(es, "contingency")),
     // -- statistical compositions: pure aggregate algebra, so they
     // stay inside partial aggregation (identical sub-aggregates are
     // deduplicated by the physical planner)
@@ -732,6 +740,11 @@ object ChDialect {
       } else sumFold(slice, LambdaFunction.identity)
     ArrayTransform(arr, LambdaFunction(body, Seq(v, i)))
   }
+
+  private def assoc(es: Seq[Expression], kind: String): Expression =
+    GraftAssociation(Literal(1),
+      CreateNamedStruct(Seq(Literal("x"), es(0), Literal("y"), es(1))),
+      Literal(1L), kind)
 
   /** Two-sample t test over (value, sample_index∈{0,1}): Student's
     * (pooled variance, df = n₀+n₁−2) or Welch's (unpooled,

@@ -4,9 +4,10 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType}
 import scala.collection.mutable
 
@@ -218,6 +219,160 @@ case class GraftEntropy(
   override def withNewInputAggBufferOffset(newOffset: Int): GraftEntropy =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): GraftEntropy =
+    copy(param = f, child = s, weight = t)
+}
+
+/** `intervalLengthSum(start, end)`: total length of the UNION of the
+  * intervals — overlaps counted once (merge-sweep over start-sorted
+  * intervals at eval). Closed vs half-open is measure-equivalent here;
+  * degenerate intervals (end ≤ start) contribute nothing, matching the
+  * segment-union reading. */
+case class GraftIntervalLengthSum(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "intervalLengthSum"
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    val iv = buf.filter { case (s, e) => e > s }.sortBy(identity)
+    if (iv.isEmpty) (if (buf.isEmpty) null else java.lang.Double.valueOf(0.0))
+    else {
+      var total = 0.0
+      var (curS, curE) = iv.head
+      iv.tail.foreach { case (s, e) =>
+        if (s > curE) { total += curE - curS; curS = s; curE = e }
+        else if (e > curE) curE = e
+      }
+      total += curE - curS
+      java.lang.Double.valueOf(total)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftIntervalLengthSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftIntervalLengthSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftIntervalLengthSum =
+    copy(left = l, right = r)
+}
+
+/** The categorical-association family — `cramersV`,
+  * `cramersVBiasCorrected`, `theilsU`, `contingency` — over a joint
+  * (x, y) contingency map: the buffer (via [[WeightedMapAgg]], keyed
+  * by the (x, y) struct, weight 1) is O(distinct pairs) and merges by
+  * count summation; eval builds marginals and the χ² sum over the full
+  * observed category cross product. theilsU is the uncertainty
+  * coefficient U(X|Y) = (H(X) − H(X|Y)) / H(X). Null when degenerate
+  * (single category on either axis; empty group). */
+case class GraftAssociation(
+    param: Expression,
+    child: Expression,
+    weight: Expression,
+    kind: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends WeightedMapAgg {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = kind
+
+  // the (x, y) struct key: the base class's typeWithProperEquals check
+  // rejects structs wholesale, but a struct of atomic fields copied via
+  // InternalRow.copyValue compares correctly as a map key
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: org.apache.spark.sql.types.StructType
+      if s.length == 2 && s.forall(f => TypeUtils.typeWithProperEquals(f.dataType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires two atomic-typed arguments, got ${other.sql}")
+  }
+
+  // Map keys MUST have one canonical representation: update-path
+  // struct values arrive as GenericInternalRow while deserialized
+  // merge-path keys are UnsafeRows, and the two never compare equal.
+  // Project every key through the same UnsafeProjection layout the
+  // wire format uses. Rows with a null category are skipped (the
+  // standard aggregate null contract).
+  @transient private lazy val keyProj = UnsafeProjection.create(
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType))
+
+  override def update(buffer: mutable.HashMap[AnyRef, Long], input: InternalRow): mutable.HashMap[AnyRef, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val r = v.asInstanceOf[InternalRow]
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val key = keyProj(r).copy()
+        buffer.updateWith(key) { c => Some(c.getOrElse(0L) + 1L) }
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: mutable.HashMap[AnyRef, Long]): Any = {
+    if (buffer.isEmpty) return null
+    val st = child.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cells = buffer.toSeq.map { case (k, c) =>
+      val row = k.asInstanceOf[InternalRow]
+      // keys only need identity (map/equality), not decoding
+      ((row.get(0, st(0).dataType), row.get(1, st(1).dataType)), c.toDouble)
+    }
+    val n  = cells.map(_._2).sum
+    val xm = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ym = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val kx = xm.size
+    val ky = ym.size
+    if (kind == "theilsU") {
+      def h(counts: Iterable[Double]): Double = {
+        val t = counts.sum
+        -counts.filter(_ > 0).map { c => val p = c / t; p * math.log(p) }.sum
+      }
+      val hx = h(xm.values)
+      if (hx == 0.0) return null
+      // H(X|Y) = Σ_y p(y) · H(X | Y=y)
+      val hxy = ym.map { case (y, ny) =>
+        (ny / n) * h(cells.filter(_._1._2 == y).map(_._2))
+      }.sum
+      return java.lang.Double.valueOf((hx - hxy) / hx)
+    }
+    val joint = cells.map { case ((x, y), c) => (x, y) -> c }.toMap
+    var chi2 = 0.0
+    xm.foreach { case (x, nx) =>
+      ym.foreach { case (y, ny) =>
+        val e = nx * ny / n
+        val o = joint.getOrElse((x, y), 0.0)
+        chi2 += (o - e) * (o - e) / e
+      }
+    }
+    kind match {
+      case "contingency" => java.lang.Double.valueOf(math.sqrt(chi2 / (chi2 + n)))
+      case "cramersV" =>
+        if (math.min(kx, ky) < 2) null
+        else java.lang.Double.valueOf(math.sqrt(chi2 / (n * (math.min(kx, ky) - 1))))
+      case "cramersVBiasCorrected" =>
+        if (math.min(kx, ky) < 2 || n <= 1) null
+        else {
+          val phi2 = chi2 / n
+          val phi2c = math.max(0.0, phi2 - (kx - 1.0) * (ky - 1.0) / (n - 1))
+          val kxc = kx - (kx - 1.0) * (kx - 1.0) / (n - 1)
+          val kyc = ky - (ky - 1.0) * (ky - 1.0) / (n - 1)
+          val d = math.min(kxc, kyc) - 1
+          if (d <= 0) null else java.lang.Double.valueOf(math.sqrt(phi2c / d))
+        }
+      case other => throw new IllegalStateException(s"unknown association kind $other")
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftAssociation =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftAssociation =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): GraftAssociation =
     copy(param = f, child = s, weight = t)
 }
 

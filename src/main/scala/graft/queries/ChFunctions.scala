@@ -533,7 +533,9 @@ object ChFunctions {
                       maxIntersections(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01'),
                                        datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 30) AS mi,
                       maxIntersectionsPosition(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01'),
-                                               datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 30) AS mip
+                                               datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 30) AS mip,
+                      CAST(intervalLengthSum(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01'),
+                                             datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 30) AS BIGINT) AS ils
                FROM orders_mi GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
     Some("""WITH iv AS (SELECT o_orderpriority AS p,
@@ -548,9 +550,68 @@ object ChFunctions {
                         FROM ev),
                  mx AS (SELECT p, max(cur) AS mi FROM sw GROUP BY 1),
                  mp AS (SELECT sw.p, min(pos) AS mip
-                        FROM sw JOIN mx ON sw.p = mx.p AND sw.cur = mx.mi GROUP BY 1)
-            SELECT mx.p AS o_orderpriority, CAST(mi AS BIGINT) AS mi, CAST(mip AS BIGINT) AS mip
-            FROM mx JOIN mp ON mx.p = mp.p ORDER BY o_orderpriority"""),
+                        FROM sw JOIN mx ON sw.p = mx.p AND sw.cur = mx.mi GROUP BY 1),
+                 ilo AS (SELECT p, s, s + 30 AS e,
+                                max(s + 30) OVER (PARTITION BY p ORDER BY s
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                         FROM iv),
+                 ilg AS (SELECT p, s, e,
+                                sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                                  OVER (PARTITION BY p ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+                         FROM ilo),
+                 ils AS (SELECT p, CAST(sum(len) AS BIGINT) AS ils
+                         FROM (SELECT p, grp, max(e) - min(s) AS len FROM ilg GROUP BY p, grp)
+                         GROUP BY p)
+            SELECT mx.p AS o_orderpriority, CAST(mi AS BIGINT) AS mi, CAST(mip AS BIGINT) AS mip,
+                   ils.ils
+            FROM mx JOIN mp ON mx.p = mp.p JOIN ils ON ils.p = mx.p ORDER BY o_orderpriority"""),
+  )
+
+  /** Categorical-association coefficients (cramersV, bias-corrected
+    * cramersV, Theil's U, contingency coefficient) per ship-year over
+    * the (returnflag, linestatus) contingency — native joint-count-map
+    * aggregates ([[graft.plans.GraftAssociation]], O(distinct pairs)
+    * state); the oracle rebuilds χ², marginals and entropies in SQL. */
+  val q25e = GraftQuery(
+    "q25e_association",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_as")
+      s.sql("""SELECT toYear(l_shipdate) AS yr,
+                      round(cramersV(l_returnflag, l_linestatus), 6) AS v,
+                      round(cramersVBiasCorrected(l_returnflag, l_linestatus), 6) AS vbc,
+                      round(theilsU(l_returnflag, l_linestatus), 6) AS u,
+                      round(contingency(l_returnflag, l_linestatus), 6) AS cg
+               FROM lineitem_as GROUP BY toYear(l_shipdate) ORDER BY yr""")
+    },
+    Some("""WITH c AS (SELECT year(l_shipdate) AS m, l_returnflag AS x, l_linestatus AS y,
+                              count(*) * 1.0 AS c
+                       FROM lineitem GROUP BY 1, 2, 3),
+                 tot AS (SELECT m, sum(c) AS n FROM c GROUP BY 1),
+                 xs  AS (SELECT m, x, sum(c) AS nx FROM c GROUP BY 1, 2),
+                 ys  AS (SELECT m, y, sum(c) AS ny FROM c GROUP BY 1, 2),
+                 kk  AS (SELECT tot.m, n,
+                                (SELECT count(*) FROM xs WHERE xs.m = tot.m) AS kx,
+                                (SELECT count(*) FROM ys WHERE ys.m = tot.m) AS ky
+                         FROM tot),
+                 ex  AS (SELECT xs.m, xs.x, ys.y, xs.nx * ys.ny / tot.n AS e
+                         FROM xs JOIN ys ON xs.m = ys.m JOIN tot ON tot.m = xs.m),
+                 chi AS (SELECT ex.m, sum(pow(coalesce(c.c, 0) - e, 2) / e) AS chi2
+                         FROM ex LEFT JOIN c ON c.m = ex.m AND c.x = ex.x AND c.y = ex.y
+                         GROUP BY 1),
+                 hx  AS (SELECT xs.m, -sum((nx / n) * ln(nx / n)) AS hx
+                         FROM xs JOIN tot ON tot.m = xs.m GROUP BY 1),
+                 hxy AS (SELECT c.m, -sum((c.c / tot.n) * ln(c.c / ys.ny)) AS hxy
+                         FROM c JOIN ys ON ys.m = c.m AND ys.y = c.y
+                                JOIN tot ON tot.m = c.m GROUP BY 1)
+            SELECT CAST(kk.m AS INT) AS yr,
+                   round(sqrt(chi2 / (n * (least(kx, ky) - 1))), 6) AS v,
+                   round(sqrt(greatest(0, chi2 / n - (kx - 1) * (ky - 1) / (n - 1)) /
+                         (least(kx - pow(kx - 1, 2) / (n - 1),
+                                ky - pow(ky - 1, 2) / (n - 1)) - 1)), 6) AS vbc,
+                   round((hx.hx - hxy.hxy) / hx.hx, 6) AS u,
+                   round(sqrt(chi2 / (chi2 + n)), 6) AS cg
+            FROM kk JOIN chi ON chi.m = kk.m JOIN hx ON hx.m = kk.m JOIN hxy ON hxy.m = kk.m
+            ORDER BY yr"""),
   )
 
   /** URL / IPv4 function families in CH spelling over a synthesized
@@ -751,6 +812,6 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q26, q27, q27b,
+    Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q28, q28b, q28c, q28d, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }

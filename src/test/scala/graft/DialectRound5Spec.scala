@@ -156,6 +156,35 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getString(7) == "2027-02-12 13:47:31")
   }
 
+  test("association coefficients: perfect, independent, and tie cases") {
+    // x == y on two categories: perfect association
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")).toDF("x", "y")
+    val p = perfect.selectExpr(
+      "cramersV(x, y) AS v", "theilsU(x, y) AS u", "contingency(x, y) AS c").head()
+    assert(p.getDouble(0) == 1.0 && p.getDouble(1) == 1.0)
+    assert(math.abs(p.getDouble(2) - math.sqrt(0.5)) < 1e-12) // chi2 = n
+    // independent uniform 2×2: association 0
+    val indep = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")).toDF("x", "y")
+    val i = indep.selectExpr(
+      "cramersV(x, y) AS v", "theilsU(x, y) AS u", "contingency(x, y) AS c").head()
+    assert(i.getDouble(0) == 0.0 && i.getDouble(1) == 0.0 && i.getDouble(2) == 0.0)
+    // single category on one axis → degenerate → null V; merge-order independence
+    assert(Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+      .selectExpr("cramersV(x, y)").head().isNullAt(0))
+    val big = Seq.tabulate(100)(k => (s"x${k % 3}", s"y${k % 4}")).toDF("x", "y")
+    val one  = big.repartition(1).selectExpr("round(cramersVBiasCorrected(x, y), 12)").head().getDouble(0)
+    val many = big.repartition(8).selectExpr("round(cramersVBiasCorrected(x, y), 12)").head().getDouble(0)
+    assert(one == many)
+  }
+
+  test("intervalLengthSum: union length, overlaps once, degenerates ignored") {
+    val iv = Seq((1, 3), (2, 5), (7, 8), (4, 4)).toDF("s", "e")
+    assert(iv.selectExpr("intervalLengthSum(s, e)").head().getDouble(0) == 5.0)
+    // touching intervals merge with no double-count
+    assert(Seq((1, 2), (2, 3)).toDF("s", "e")
+      .selectExpr("intervalLengthSum(s, e)").head().getDouble(0) == 2.0)
+  }
+
   test("string search: countSubstrings/multiSearch/countMatches/ngramDistance") {
     val df = Seq(Tuple1("the table and the stable table")).toDF("s")
     val r = df.selectExpr(
