@@ -540,6 +540,81 @@ object ChDialect {
         Literal(" " + units.last)))
       CaseWhen(branches, Some(last))
     }),
+    // human-readable decimal quantity: '1.25 million' (always 2
+    // decimals, CH's format)
+    "formatReadableQuantity" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      def fmt(scale: Double, suffix: String) =
+        Concat(Seq(FormatNumber(Divide(x, Literal(scale)), Literal(2)), Literal(suffix)))
+      CaseWhen(Seq(
+        (LessThan(x, Literal(1e3)),  FormatNumber(x, Literal(2)): Expression),
+        (LessThan(x, Literal(1e6)),  fmt(1e3, " thousand"): Expression),
+        (LessThan(x, Literal(1e9)),  fmt(1e6, " million"): Expression),
+        (LessThan(x, Literal(1e12)), fmt(1e9, " billion"): Expression)),
+        fmt(1e12, " trillion"))
+    }),
+    // bar(x, min, max, width): full-block char chart. CH also renders
+    // fractional eighth-blocks; this emits whole blocks only — the
+    // subset that stays byte-identical across engines/oracles.
+    "bar" -> (es => {
+      val frac = Divide(Subtract(Cast(es(0), DoubleType), Cast(es(1), DoubleType)),
+                        Subtract(Cast(es(2), DoubleType), Cast(es(1), DoubleType)))
+      val w = if (es.length > 3) Cast(es(3), DoubleType) else Literal(80.0d)
+      val n = Cast(Floor(Multiply(Greatest(Seq(Literal(0.0d), Least(Seq(frac, Literal(1.0d))))), w)), IntegerType)
+      StringRepeat(Literal("█"), n)
+    }),
+    "base64Encode" -> (es => Base64(Cast(es.head, org.apache.spark.sql.types.BinaryType))),
+    "base64Decode" -> (es => Cast(new UnBase64(es.head), org.apache.spark.sql.types.StringType)),
+    // -- bit manipulation
+    "bitTest" -> (es => Cast(BitwiseAnd(
+      ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType)), Literal(1L)), IntegerType)),
+    "bitShiftLeft"  -> (es => ShiftLeft(Cast(es(0), LongType), Cast(es(1), IntegerType))),
+    "bitShiftRight" -> (es => ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType))),
+    "bitRotateLeft" -> (es => {
+      val x = Cast(es(0), LongType)
+      val n = Cast(es(1), IntegerType)
+      BitwiseOr(ShiftLeft(x, n), ShiftRightUnsigned(x, Subtract(Literal(64), n)))
+    }),
+    "bitHammingDistance" -> (es =>
+      BitwiseCount(BitwiseXor(Cast(es(0), LongType), Cast(es(1), LongType)))),
+    // -- guarded integer arithmetic / power helpers
+    "intDivOrZero" -> (es => {
+      val (a, b) = (Cast(es(0), LongType), Cast(es(1), LongType))
+      If(EqualTo(b, Literal(0L)), Literal(0L), new IntegralDivide(a, b))
+    }),
+    "moduloOrZero" -> (es => {
+      val (a, b) = (Cast(es(0), LongType), Cast(es(1), LongType))
+      If(EqualTo(b, Literal(0L)), Literal(0L), Remainder(a, b))
+    }),
+    "intExp2"  -> (es => ShiftLeft(Literal(1L), Cast(es.head, IntegerType))),
+    "intExp10" -> (es => Cast(Pow(Literal(10.0d), Cast(es.head, DoubleType)), LongType)),
+    // largest power of two ≤ x (0 below 1, CH's convention)
+    "roundToExp2" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      If(LessThan(x, Literal(1.0d)), Literal(0L),
+        ShiftLeft(Literal(1L), Cast(Floor(Log2(x)), IntegerType)))
+    }),
+    "roundDuration" -> (es => stepLadder(es.head,
+      Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000))),
+    "roundAge" -> (es => stepLadder(es.head, Seq(18, 25, 35, 45, 55))),
+    // caseWithExpression(x, from, to, default) — ClickHouse's value
+    // remapper (its `transform`, renamed: Spark's transform is the HOF)
+    "caseWithExpression" -> (es => {
+      val pos = ArrayPosition(es(1), es(0))
+      If(GreaterThan(pos, Literal(0L)), ElementAt(es(2), Cast(pos, IntegerType)), es(3))
+    }),
+    // great-circle distance in meters (haversine, R = 6371 km — CH's
+    // spherical model); args (lon1, lat1, lon2, lat2) in degrees
+    "greatCircleDistance" -> (es => {
+      val Seq(lon1, lat1, lon2, lat2) = es.take(4).map(e => ToRadians(Cast(e, DoubleType)))
+      def sin2half(d: Expression) = {
+        val s = Sin(Divide(d, Literal(2.0d)))
+        Multiply(s, s)
+      }
+      val h = Add(sin2half(Subtract(lat2, lat1)),
+        Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
+      Multiply(Literal(2.0d * 6371000.0), Asin(Sqrt(h)))
+    }),
     // -- hash functions. DELIBERATE SEMANTIC CAVEAT: ClickHouse's
     // cityHash64/sipHash64 algorithms aren't in Spark; these map to
     // xxhash64 with distinct seeds. Deterministic and well-distributed
@@ -739,6 +814,16 @@ object ChDialect {
         sumFold(slice, LambdaFunction(Divide(s, Cast(len, DoubleType)), Seq(s)))
       } else sumFold(slice, LambdaFunction.identity)
     ArrayTransform(arr, LambdaFunction(body, Seq(v, i)))
+  }
+
+  /** Round x down to the largest step ≤ x (0 below the first step) —
+    * the roundDuration/roundAge bucket ladders. */
+  private def stepLadder(e: Expression, steps: Seq[Int]): Expression = {
+    val x = Cast(e, LongType)
+    val branches = (steps.reverse.map { s =>
+      (GreaterThanOrEqual(x, Literal(s.toLong)), Literal(s.toLong): Expression)
+    })
+    CaseWhen(branches, Some(Literal(0L)))
   }
 
   private def assoc(es: Seq[Expression], kind: String): Expression =

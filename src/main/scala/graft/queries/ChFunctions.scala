@@ -567,6 +567,81 @@ object ChFunctions {
             FROM mx JOIN mp ON mx.p = mp.p JOIN ils ON ils.p = mx.p ORDER BY o_orderpriority"""),
   )
 
+  /** Formatting / bit-manipulation / guarded-arithmetic gauntlet in CH
+    * spelling: bar (whole-block subset), formatReadableQuantity/Size,
+    * base64 round trip, bitTest/bitShiftLeft/bitRotateLeft/
+    * bitHammingDistance, intDivOrZero/moduloOrZero, intExp2/intExp10/
+    * roundToExp2, roundDuration/roundAge ladders, caseWithExpression
+    * (ClickHouse's `transform` value remapper, renamed because
+    * Spark's `transform` is the array HOF), greatCircleDistance
+    * (haversine, R=6371 km). Oracle replays each formula in DuckDB. */
+  val q28f = GraftQuery(
+    "q28f_format_bits",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_fm")
+      s.sql("""SELECT l_linenumber AS ln,
+                      bar(l_linenumber, 0, 7, 14) AS bar14,
+                      formatReadableQuantity(round(sum(l_extendedprice), 0)) AS frq,
+                      formatReadableSize(l_linenumber * 1536) AS frs,
+                      bitTest(l_linenumber, 1) AS bt,
+                      bitShiftLeft(l_linenumber, 3) AS bsl,
+                      bitRotateLeft(l_linenumber, 2) AS brl,
+                      CAST(bitHammingDistance(l_linenumber, 5) AS INT) AS bhd,
+                      intDivOrZero(10, l_linenumber - 1) AS idz,
+                      moduloOrZero(10, l_linenumber - 1) AS mdz,
+                      intExp2(l_linenumber) AS e2,
+                      intExp10(l_linenumber) AS e10,
+                      roundToExp2(count(*)) AS r2,
+                      roundDuration(l_linenumber * 50) AS rd,
+                      roundAge(l_linenumber * 9) AS ra,
+                      caseWithExpression(l_linenumber, array(1, 2, 3),
+                                         array('one', 'two', 'three'), 'many') AS cw,
+                      base64Encode(CAST(l_linenumber AS STRING)) AS b64,
+                      base64Decode(base64Encode(CAST(l_linenumber AS STRING))) AS b64rt,
+                      round(greatCircleDistance(0, 0, l_linenumber, l_linenumber), 0) AS gcd_m
+               FROM lineitem_fm GROUP BY l_linenumber ORDER BY ln""")
+    },
+    Some("""SELECT l_linenumber AS ln,
+                   repeat('█', CAST(floor(l_linenumber / 7.0 * 14) AS INT)) AS bar14,
+                   printf('%.2f', round(sum(l_extendedprice), 0) / 1000000.0) || ' million' AS frq,
+                   printf('%.2f', l_linenumber * 1536 / 1024.0) || ' KiB' AS frs,
+                   CAST((CAST(l_linenumber AS BIGINT) >> 1) & 1 AS INT) AS bt,
+                   CAST(l_linenumber AS BIGINT) << 3 AS bsl,
+                   CAST(l_linenumber AS BIGINT) << 2 AS brl,
+                   CAST(bit_count(xor(CAST(l_linenumber AS BIGINT), 5)) AS INT) AS bhd,
+                   CASE WHEN l_linenumber = 1 THEN 0
+                        ELSE 10 // (CAST(l_linenumber AS BIGINT) - 1) END AS idz,
+                   CASE WHEN l_linenumber = 1 THEN 0
+                        ELSE 10 % (CAST(l_linenumber AS BIGINT) - 1) END AS mdz,
+                   CAST(1 AS BIGINT) << l_linenumber AS e2,
+                   CAST(pow(10, l_linenumber) AS BIGINT) AS e10,
+                   CAST(1 AS BIGINT) << CAST(floor(log2(count(*))) AS INT) AS r2,
+                   CASE WHEN l_linenumber * 50 >= 600 THEN 600
+                        WHEN l_linenumber * 50 >= 300 THEN 300
+                        WHEN l_linenumber * 50 >= 240 THEN 240
+                        WHEN l_linenumber * 50 >= 180 THEN 180
+                        WHEN l_linenumber * 50 >= 120 THEN 120
+                        WHEN l_linenumber * 50 >= 60 THEN 60
+                        WHEN l_linenumber * 50 >= 30 THEN 30
+                        WHEN l_linenumber * 50 >= 10 THEN 10
+                        ELSE 1 END AS rd,
+                   CASE WHEN l_linenumber * 9 >= 55 THEN 55
+                        WHEN l_linenumber * 9 >= 45 THEN 45
+                        WHEN l_linenumber * 9 >= 35 THEN 35
+                        WHEN l_linenumber * 9 >= 25 THEN 25
+                        WHEN l_linenumber * 9 >= 18 THEN 18
+                        ELSE 0 END AS ra,
+                   CASE l_linenumber WHEN 1 THEN 'one' WHEN 2 THEN 'two' WHEN 3 THEN 'three'
+                        ELSE 'many' END AS cw,
+                   base64(encode(CAST(l_linenumber AS VARCHAR))) AS b64,
+                   CAST(l_linenumber AS VARCHAR) AS b64rt,
+                   round(2 * 6371000 * asin(sqrt(
+                     pow(sin(radians(l_linenumber) / 2), 2)
+                     + cos(0) * cos(radians(l_linenumber))
+                       * pow(sin(radians(l_linenumber) / 2), 2))), 0) AS gcd_m
+            FROM lineitem GROUP BY l_linenumber ORDER BY ln"""),
+  )
+
   /** Categorical-association coefficients (cramersV, bias-corrected
     * cramersV, Theil's U, contingency coefficient) per ship-year over
     * the (returnflag, linestatus) contingency — native joint-count-map
@@ -813,5 +888,5 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
-        q27c, q28, q28b, q28c, q28d, q29, q29b, q29c, q29d, q29e, q29f, q38)
+        q27c, q28, q28b, q28c, q28d, q28f, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }
