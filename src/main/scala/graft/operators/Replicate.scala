@@ -80,6 +80,25 @@ object Replicate {
       .select(keyCols.map(col) ++ payloadCols.map(c => col(s"__last.`$c`").as(c)) :+ col("net"): _*)
   }
 
+  /** VersionedCollapsingMergeTree FINAL: rows carry (version, sign);
+    * a state (+1) is cancelled by a −1 with the SAME version, and the
+    * surviving state with the HIGHEST version wins per key. TWO
+    * partial-aggregated shuffles — (key, version) net+survivor, then
+    * key-level argmax — both map-side combined; no window sort, no
+    * self-join. Returns the winning state row per key (keys with
+    * every version cancelled disappear, like FINAL). */
+  def collapseVersioned(df: DataFrame, keyCols: Seq[String], version: Column, sign: Column): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    val perVersion = df.groupBy(keyCols.map(col) :+ version.as("__v"): _*)
+      .agg(sum(sign).cast("long").as("__net"),
+           max_by(payload, when(sign > 0, lit(1))).as("__state"))
+      .where(col("__net") > 0)
+    perVersion.groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("__state"), col("__v")).as("__last"), max(col("__v")).as("__last_v"))
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"__last.`$c`").as(c)): _*)
+  }
+
   /** SCD-2 materialization: collapse consecutive identical values of
     * `attr` per key into validity intervals [valid_from, valid_to). */
   def scd2(df: DataFrame, keyCols: Seq[String], tsCol: Column, tiebreak: Column, attr: Column): DataFrame = {

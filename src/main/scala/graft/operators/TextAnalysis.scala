@@ -180,6 +180,30 @@ object TextAnalysis {
   def shardOf(text: Column): Column =
     conv(substring(md5(normalize(text).cast("binary")), 1, 1), 16, 10).cast("int")
 
+  /** Perplexity-proxy quality scoring: each document's mean unigram
+    * log-probability under the corpus's own unigram LM — the cheap
+    * KenLM stand-in corpus pipelines use to rank documents before a
+    * real LM pass (low mean logprob ⇒ rare-token soup ⇒ low quality).
+    *
+    * Shape at scale: per-document term frequencies FIRST (shrinks the
+    * posting join to distinct (doc, word) pairs), then a shuffle join
+    * against the word-count table on the word key, re-aggregated per
+    * document; the corpus total rides as a one-row broadcast. No
+    * driver-side state — the vocabulary never leaves the cluster.
+    * Returns (id, n_toks, avg_logprob). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val post = docs.select(col(idCol), explode(tokens(normalize(col(textCol)))).as("__w"))
+    val tf = post.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val wc = tf.groupBy("__w").agg(sum("__tf").as("__c"))
+    val total = wc.agg(sum("__c").as("__total"))
+    tf.join(wc, "__w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum("__tf").cast("long").as("n_toks"),
+           round(sum(col("__tf") * (log(col("__c")) - log(col("__total")))) / sum("__tf"), 4)
+             .as("avg_logprob"))
+  }
+
   /** BM25 relevance scoring of every document against a fixed term
     * set — the retrieval primitive for corpus search and
     * quality-by-query curation. Okapi BM25:

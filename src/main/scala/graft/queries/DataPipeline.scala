@@ -480,6 +480,25 @@ object DataPipeline {
             GROUP BY 1, 2 ORDER BY label, pos"""),
   )
 
+  /** Perplexity-proxy quality ranking ([[TextAnalysis.unigramLogProb]]):
+    * mean unigram log-probability of each document under the corpus's
+    * own unigram LM. The oracle rebuilds the LM and the per-document
+    * expectation in SQL. */
+  val q56 = GraftQuery(
+    "q56_unigram_logprob",
+    (s, dir) => TextAnalysis.unigramLogProb(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+                  post AS (SELECT doc_id, unnest(toks) AS w FROM t),
+                  tf AS (SELECT doc_id, w, count(*) AS tf FROM post GROUP BY 1, 2),
+                  wc AS (SELECT w, sum(tf) AS c FROM tf GROUP BY 1),
+                  tot AS (SELECT sum(c) AS total FROM wc)
+             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+                    round(sum(tf * (ln(c) - ln(total))) / sum(tf), 4) AS avg_logprob
+             FROM tf JOIN wc USING (w), tot
+             GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   /** Gopher-style repetition/quality signals
     * ([[TextAnalysis.repetitionSignals]]): duplicate-content and
     * most-frequent-n-gram fractions at word/bigram/5-gram granularity
@@ -641,6 +660,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q57, q58, q60, q61,
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61,
         q62, q63, q64, q65, q66, q67, q68, q69, q90b)
 }

@@ -259,6 +259,31 @@ object Replication {
             FROM events GROUP BY 1 ORDER BY event_type"""),
   )
 
+  /** VersionedCollapsingMergeTree FINAL ([[Replicate.collapseVersioned]]):
+    * every order is a +1 state versioned by o_orderkey; every third
+    * order gets a −1 cancel at the same version. FINAL = surviving
+    * state with the highest version per customer — two map-side-
+    * combined shuffles, no window sort. Customers with every version
+    * cancelled disappear, as in ClickHouse. */
+  val q36b = GraftQuery(
+    "q36b_versioned_collapse",
+    (s, dir) => {
+      val o = Tables(s, dir).orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      val states  = o.withColumn("sign", lit(1))
+      val cancels = o.where(col("o_orderkey") % 3 === 0).withColumn("sign", lit(-1))
+      Replicate.collapseVersioned(states.unionByName(cancels),
+          Seq("o_custkey"), col("o_orderkey"), col("sign"))
+        .select(col("o_custkey"), col("o_orderkey").as("last_version"),
+                round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH surv AS (SELECT o_custkey, o_orderkey, o_totalprice
+                          FROM orders WHERE o_orderkey % 3 <> 0)
+            SELECT o_custkey, max(o_orderkey) AS last_version,
+                   round(arg_max(o_totalprice, o_orderkey), 2) AS price
+            FROM surv GROUP BY 1 ORDER BY o_custkey"""),
+  )
+
   /** MergeTree TTL, executed the ClickHouse way: orders landed under
     * PARTITION BY year, then a retention cutoff mid-1995 — every year
     * before 1995 is dropped as a whole part (directory delete, zero
@@ -287,5 +312,5 @@ object Replication {
             GROUP BY 1 ORDER BY yr"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q37, q39, q98)
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q36b, q37, q39, q98)
 }
