@@ -706,6 +706,104 @@ object ChDialect {
       Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
     "uniqState"  -> (es => new HllSketchAgg(es.head)),
     "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
+    // -- Map data type family. ClickHouse's Map(K, V) is Spark's
+    // MapType; every function maps onto the native map expressions
+    // (entry order is insertion order on both engines). Lambdas come
+    // FIRST in the CH spellings, same convention as the array HOFs.
+    "mapFromArrays" -> (es => MapFromArrays(es(0), es(1))),
+    "mapKeys"       -> (es => MapKeys(es.head)),
+    "mapValues"     -> (es => MapValues(es.head)),
+    "mapContains"   -> (es => ArrayContains(MapKeys(es(0)), es(1))),
+    "mapContainsKeyLike" -> (es => {
+      val k = lamVar("gr_mk")
+      ArrayExists(MapKeys(es(0)), LambdaFunction(Like(k, es(1), '\\'), Seq(k)))
+    }),
+    "mapExtractKeyLike" -> (es => {
+      val k = lamVar("gr_mk")
+      val v = lamVar("gr_mv")
+      MapFilter(es(0), LambdaFunction(Like(k, es(1), '\\'), Seq(k, v)))
+    }),
+    "mapFilter" -> (es => MapFilter(es(1), es.head)),
+    // mapExists/mapAll take a (k, v) predicate: the user lambda binds
+    // under ZipWith (a 2-ary HOF) producing the per-entry booleans,
+    // and the root HOF folds them — same analyzer-friendly shape as
+    // arrayCount.
+    "mapExists" -> (es => {
+      val x = lamVar("gr_mx")
+      ArrayExists(ZipWith(MapKeys(es(1)), MapValues(es(1)), es.head),
+        LambdaFunction(x, Seq(x)))
+    }),
+    "mapAll" -> (es => {
+      val x = lamVar("gr_mx")
+      ArrayForAll(ZipWith(MapKeys(es(1)), MapValues(es(1)), es.head),
+        LambdaFunction(x, Seq(x)))
+    }),
+    // mapAdd/mapSubtract: element-wise combine over the union of keys
+    // (absent keys contribute 0); mapUpdate: right map's value wins.
+    // Key order = left map's keys then unseen right keys (ArrayUnion
+    // order), deterministic for deterministic inputs.
+    "mapAdd"      -> (es => es.reduce(mapMerge(_, _,
+      (x, y) => Add(Coalesce(Seq(x, Literal(0))), Coalesce(Seq(y, Literal(0))))))),
+    "mapSubtract" -> (es => es.reduce(mapMerge(_, _,
+      (x, y) => Subtract(Coalesce(Seq(x, Literal(0))), Coalesce(Seq(y, Literal(0))))))),
+    "mapUpdate"   -> (es => mapMerge(es(0), es(1), (x, y) => Coalesce(Seq(y, x)))),
+    // mapPopulateSeries(keys, vals[, max]): dense integer series from
+    // min(keys) to max (inclusive, CH semantics), gaps filled with 0 —
+    // the counter-map densifier. Returns the (keys, vals) struct shape
+    // sumMap uses, so tupleElement reads both.
+    "mapPopulateSeries" -> (es => {
+      val (keys, vals) = (es(0), es(1))
+      val kmax = Cast(if (es.length > 2) es(2) else ArrayMax(keys), LongType)
+      val outKeys = new Sequence(Cast(ArrayMin(keys), LongType), kmax, None)
+      val k   = lamVar("gr_ps_k")
+      val pos = ArrayPosition(keys, k)
+      val v = If(GreaterThan(pos, Literal(0L)),
+        ElementAt(vals, Cast(pos, IntegerType), None, failOnError = false), Literal(0))
+      CreateNamedStruct(Seq(
+        Literal("keys"), outKeys,
+        Literal("vals"), ArrayTransform(outKeys, LambdaFunction(v, Seq(k)))))
+    }),
+    // -- float guards (CH Float64 semantics; Spark doubles are IEEE754
+    // the same way). isNaN needs no shim: Spark's isnan resolves
+    // case-insensitively.
+    "isFinite" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity)))
+    }),
+    "isInfinite" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      EqualTo(Abs(x), Literal(Double.PositiveInfinity))
+    }),
+    "ifNotFinite" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      If(And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))), x, Cast(es(1), DoubleType))
+    }),
+    // -- arithmetic spelled as functions (ORM-generated CH code emits
+    // these). divide is CH's float division (always Float64; intDiv is
+    // the integral form).
+    "plus"     -> (es => Add(es(0), es(1))),
+    "minus"    -> (es => Subtract(es(0), es(1))),
+    "multiply" -> (es => Multiply(es(0), es(1))),
+    // CH divide is IEEE Float64: x/0 → ±inf, 0/0 → NaN. Spark's ANSI
+    // Divide raises on a zero divisor instead, so the zero branch is
+    // computed explicitly (sign(x)·∞ — which is NaN at x=0, exactly
+    // IEEE); the guarded Divide never sees a zero.
+    "divide"   -> (es => {
+      val (a, b) = (Cast(es(0), DoubleType), Cast(es(1), DoubleType))
+      If(EqualTo(b, Literal(0.0d)),
+        Multiply(Signum(a), Literal(Double.PositiveInfinity)),
+        Divide(a, b))
+    }),
+    "negate"   -> (es => UnaryMinus(es.head)),
+    "exp2"     -> (es => Pow(Literal(2.0d), Cast(es.head, DoubleType))),
+    "exp10"    -> (es => Pow(Literal(10.0d), Cast(es.head, DoubleType))),
+    // -- engine-hint no-ops: LowCardinality is a storage encoding
+    // (Spark's dictionary-encoded parquet pages play that role) and
+    // materialize defeats constant folding — both are identity here.
+    // ignore() evaluates and discards (CH returns 0).
+    "toLowCardinality" -> (es => es.head),
+    "materialize"      -> (es => es.head),
+    "ignore"           -> (_ => Literal(0)),
     // -- dictionary lookups: plant [[DictGetExpr]]/[[DictHasExpr]]
     // placeholders; [[DictGetRewrite]] turns each into a broadcast
     // left-outer join during analysis (see Dictionaries scaladoc).
@@ -717,6 +815,19 @@ object ChDialect {
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  /** Element-wise merge of two maps over the union of their keys —
+    * mapAdd/mapSubtract/mapUpdate. Absent keys surface as NULL to `f`
+    * (ElementAt with failOnError = false), which each caller folds
+    * with its own identity. */
+  private def mapMerge(a: Expression, b: Expression,
+                       f: (Expression, Expression) => Expression): Expression = {
+    val k = lamVar("gr_mm_k")
+    val keys = ArrayUnion(MapKeys(a), MapKeys(b))
+    def get(m: Expression) = ElementAt(m, k, None, failOnError = false)
+    MapFromArrays(keys,
+      ArrayTransform(keys, LambdaFunction(f(get(a), get(b)), Seq(k))))
+  }
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString

@@ -124,6 +124,118 @@ object ChFunctions {
             FROM events GROUP BY 1 ORDER BY week"""),
   )
 
+  /** The Map-data-type function family in CH spelling: construction,
+    * key/value access, containment (exact + LIKE), element-wise
+    * mapAdd/mapSubtract/mapUpdate, and the (k, v)-lambda family
+    * (mapFilter/mapExtractKeyLike/mapExists/mapAll). Everything
+    * resolves to native Spark map expressions (per-row, codegen'd —
+    * no shuffle beyond the final sort); the oracle replays each op as
+    * scalar arithmetic on the unpacked columns. */
+  val q27d = GraftQuery(
+    "q27d_map_funcs",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_mf")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+                      arrayStringConcat(mapKeys(m), ',') AS ks,
+                      round(arraySum(mapValues(m)), 2) AS vsum,
+                      CAST(mapContains(m, 'tax') AS INT) AS has_tax,
+                      CAST(mapContainsKeyLike(m, 'q%') AS INT) AS has_qlike,
+                      round(element_at(mapAdd(m, map('qty', CAST(1.0 AS DOUBLE))), 'qty'), 2) AS qty_plus1,
+                      round(element_at(mapSubtract(m, map('disc', CAST(0.01 AS DOUBLE))), 'disc'), 2) AS disc_minus,
+                      round(element_at(mapUpdate(m, map('tax', CAST(9.99 AS DOUBLE))), 'tax'), 2) AS tax_upd,
+                      arrayStringConcat(mapKeys(mapFilter((k, v) -> v > 0.03, m)), ',') AS big_keys,
+                      arrayStringConcat(mapKeys(mapExtractKeyLike(m, '%is%')), ',') AS like_keys,
+                      CAST(mapExists((k, v) -> k = 'disc' AND v > 0.05, m) AS INT) AS any_big,
+                      CAST(mapAll((k, v) -> v >= 0, m) AS INT) AS all_nonneg
+               FROM (SELECT l_orderkey, l_linenumber,
+                            map('qty', CAST(l_quantity AS DOUBLE),
+                                'disc', CAST(l_discount AS DOUBLE),
+                                'tax', CAST(l_tax AS DOUBLE)) AS m
+                     FROM lineitem_mf WHERE l_orderkey <= 512) t
+               ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   'qty,disc,tax' AS ks,
+                   round(l_quantity + l_discount + l_tax, 2) AS vsum,
+                   1 AS has_tax,
+                   1 AS has_qlike,
+                   round(l_quantity + 1.0, 2) AS qty_plus1,
+                   round(l_discount - 0.01, 2) AS disc_minus,
+                   CAST(9.99 AS DOUBLE) AS tax_upd,
+                   concat_ws(',', 'qty',
+                             CASE WHEN l_discount > 0.03 THEN 'disc' END,
+                             CASE WHEN l_tax > 0.03 THEN 'tax' END) AS big_keys,
+                   'disc' AS like_keys,
+                   CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS any_big,
+                   1 AS all_nonneg
+            FROM lineitem WHERE l_orderkey <= 512
+            ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  /** mapPopulateSeries: densify a sparse integer-keyed counter map —
+    * the gap-filler for the sumMap monitoring idiom. Keys are spread
+    * onto 2×linenumber so every group genuinely has holes; the filled
+    * series rides out as the (keys, vals) struct sumMap produces. The
+    * oracle rebuilds the dense axis with generate_series + LEFT JOIN. */
+  val q27e = GraftQuery(
+    "q27e_map_series",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_mp")
+      s.sql("""SELECT l_orderkey,
+                      arrayStringConcat(arrayMap(x -> toString(x), ps.keys), ',') AS pk,
+                      arrayStringConcat(arrayMap(x -> toString(x), ps.vals), ',') AS pv
+               FROM (SELECT l_orderkey, mapPopulateSeries(m.keys, m.vals) AS ps
+                     FROM (SELECT l_orderkey,
+                                  sumMap(array(CAST(l_linenumber * 2 AS BIGINT)),
+                                         array(CAST(l_quantity AS BIGINT))) AS m
+                           FROM lineitem_mp WHERE l_orderkey <= 200
+                           GROUP BY l_orderkey) t) u
+               ORDER BY l_orderkey""")
+    },
+    Some("""WITH base AS (SELECT l_orderkey, 2 * l_linenumber AS k,
+                                 CAST(sum(l_quantity) AS BIGINT) AS v
+                          FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1, 2),
+                 rng AS (SELECT l_orderkey, unnest(generate_series(min(k), max(k))) AS k
+                         FROM base GROUP BY l_orderkey),
+                 j AS (SELECT r.l_orderkey, r.k, coalesce(b.v, 0) AS v
+                       FROM rng r LEFT JOIN base b ON r.l_orderkey = b.l_orderkey AND r.k = b.k)
+            SELECT l_orderkey,
+                   string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS pk,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS pv
+            FROM j GROUP BY l_orderkey ORDER BY l_orderkey"""),
+  )
+
+  /** Float-guard and function-spelled-arithmetic families: isFinite /
+    * isInfinite / ifNotFinite over a division that genuinely produces
+    * infinities (zero discounts), plus/minus/multiply/divide/negate
+    * (the ORM-emitted spellings), exp2/exp10, and the toLowCardinality
+    * no-op. The oracle never divides by zero — it branches on the
+    * denominator, which is exactly what the guards compute. */
+  val q28e = GraftQuery(
+    "q28e_float_math",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_fg")
+      s.sql("""SELECT l_returnflag,
+                      CAST(sum(CASE WHEN isFinite(divide(l_extendedprice, l_discount)) THEN 1 ELSE 0 END) AS BIGINT) AS n_fin,
+                      CAST(sum(CASE WHEN isInfinite(divide(l_extendedprice, l_discount)) THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+                      round(sum(ifNotFinite(divide(l_extendedprice, l_discount), 0.0)), 0) AS s_ratio,
+                      round(max(plus(multiply(l_quantity, 2.0), negate(minus(l_tax, 0.5)))), 2) AS mx,
+                      round(exp2(CAST(max(l_linenumber) AS DOUBLE)), 0) AS e2,
+                      round(exp10(2.0), 0) AS e10,
+                      max(toLowCardinality(l_returnflag)) AS lc
+               FROM lineitem_fg GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fin,
+                   CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+                   round(sum(CASE WHEN l_discount <> 0 THEN l_extendedprice / l_discount ELSE 0 END), 0) AS s_ratio,
+                   round(max(2.0 * l_quantity - l_tax + 0.5), 2) AS mx,
+                   round(pow(2.0, CAST(max(l_linenumber) AS DOUBLE)), 0) AS e2,
+                   round(pow(10.0, 2.0), 0) AS e10,
+                   max(l_returnflag) AS lc
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   /** toStartOf* bucketing family: day × hour-of-day heatmap. */
   val q28 = GraftQuery(
     "q28_date_buckets",
@@ -888,5 +1000,5 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
-        q27c, q28, q28b, q28c, q28d, q28f, q29, q29b, q29c, q29d, q29e, q29f, q38)
+        q27c, q27d, q27e, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d, q29e, q29f, q38)
 }

@@ -212,6 +212,60 @@ class DialectRound5Spec extends SparkSpec {
     assert(d.getDouble(3) == 0.0 && d.getDouble(4) == 0.0)
   }
 
+  test("map family: access, containment, element-wise merges") {
+    val r = spark.sql(
+      """SELECT mapKeys(m) AS ks, mapValues(m) AS vs,
+        |       mapContains(m, 'b') AS has_b, mapContains(m, 'z') AS has_z,
+        |       mapContainsKeyLike(m, 'a%') AS like_a,
+        |       element_at(mapAdd(m, map('a', 10.0, 'z', 1.0)), 'a') AS a_add,
+        |       element_at(mapAdd(m, map('a', 10.0, 'z', 1.0)), 'z') AS z_add,
+        |       element_at(mapSubtract(m, map('b', 0.5)), 'b') AS b_sub,
+        |       element_at(mapUpdate(m, map('a', 99.0)), 'a') AS a_upd,
+        |       element_at(mapUpdate(m, map('c', 7.0)), 'c') AS c_new,
+        |       mapKeys(mapFilter((k, v) -> v > 1.5, m)) AS big,
+        |       mapKeys(mapExtractKeyLike(m, 'b%')) AS bkeys,
+        |       mapExists((k, v) -> v > 1.5, m) AS any_big,
+        |       mapAll((k, v) -> v > 0.5, m) AS all_pos
+        |FROM (SELECT map('a', CAST(1.0 AS DOUBLE), 'b', CAST(2.0 AS DOUBLE)) AS m)""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b") && r.getSeq[Double](1) == Seq(1.0, 2.0))
+    assert(r.getBoolean(2) && !r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getDouble(5) == 11.0 && r.getDouble(6) == 1.0 && r.getDouble(7) == 1.5)
+    assert(r.getDouble(8) == 99.0 && r.getDouble(9) == 7.0)
+    assert(r.getSeq[String](10) == Seq("b") && r.getSeq[String](11) == Seq("b"))
+    assert(r.getBoolean(12) && r.getBoolean(13))
+  }
+
+  test("mapPopulateSeries: dense axis, zero fill, explicit max") {
+    val r = spark.sql(
+      """SELECT mapPopulateSeries(array(1L, 4L), array(10L, 40L)) AS d,
+        |       mapPopulateSeries(array(2L, 3L), array(5L, 6L), 5) AS m""".stripMargin).head()
+    val d = r.getStruct(0)
+    assert(d.getSeq[Long](0) == Seq(1L, 2L, 3L, 4L))
+    assert(d.getSeq[Long](1) == Seq(10L, 0L, 0L, 40L))
+    val m = r.getStruct(1)
+    assert(m.getSeq[Long](0) == Seq(2L, 3L, 4L, 5L))
+    assert(m.getSeq[Long](1) == Seq(5L, 6L, 0L, 0L))
+  }
+
+  test("float guards: IEEE divide, isFinite family, arithmetic spellings") {
+    val r = spark.sql(
+      """SELECT divide(1.0, 0.0) AS pinf, divide(-2.0, 0.0) AS ninf,
+        |       divide(0.0, 0.0) AS nan, divide(7.0, 2.0) AS q,
+        |       isFinite(1.5) AS f1, isFinite(divide(1.0, 0.0)) AS f2,
+        |       isInfinite(divide(-1.0, 0.0)) AS i1, isInfinite(3.0) AS i2,
+        |       ifNotFinite(divide(1.0, 0.0), -1.0) AS g1, ifNotFinite(2.5, -1.0) AS g2,
+        |       plus(2, 3) AS p, minus(2, 3) AS mn, multiply(4, 5) AS ml,
+        |       negate(7) AS ng, exp2(10) AS e2, exp10(3) AS e10,
+        |       toLowCardinality('x') AS lc, materialize(5) AS mat, ignore(99) AS ig""".stripMargin).head()
+    assert(r.getDouble(0).isPosInfinity && r.getDouble(1).isNegInfinity && r.getDouble(2).isNaN)
+    assert(r.getDouble(3) == 3.5)
+    assert(r.getBoolean(4) && !r.getBoolean(5) && r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getDouble(8) == -1.0 && r.getDouble(9) == 2.5)
+    assert(r.getInt(10) == 5 && r.getInt(11) == -1 && r.getInt(12) == 20 && r.getInt(13) == -7)
+    assert(r.getDouble(14) == 1024.0 && r.getDouble(15) == 1000.0)
+    assert(r.getString(16) == "x" && r.getInt(17) == 5 && r.getInt(18) == 0)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
