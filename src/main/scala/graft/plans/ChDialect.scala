@@ -706,6 +706,68 @@ object ChDialect {
       Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
     "uniqState"  -> (es => new HllSketchAgg(es.head)),
     "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
+    // -- aggregate combinators. -Distinct forces DISTINCT on the
+    // underlying native aggregate; -OrNull yields NULL on an empty
+    // set (count is the only family member that needs a shim — the
+    // others are already NULL-on-empty in Spark); -OrDefault yields
+    // the numeric zero default instead.
+    "sumDistinct"   -> (es => Sum(es.head).toAggregateExpression(isDistinct = true)),
+    "avgDistinct"   -> (es => Average(es.head).toAggregateExpression(isDistinct = true)),
+    "countDistinct" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
+    "sumOrNull"     -> (es => Sum(es.head)),
+    "avgOrNull"     -> (es => Average(es.head)),
+    "minOrNull"     -> (es => Min(es.head)),
+    "maxOrNull"     -> (es => Max(es.head)),
+    "countOrNull"   -> (es => {
+      val cnt = Count(if (es.isEmpty) Seq(Literal(1)) else es).toAggregateExpression()
+      nullIfNot(GreaterThan(cnt, Literal(0L)), cnt)
+    }),
+    "sumOrDefault"  -> (es => Coalesce(Seq(Sum(es.head).toAggregateExpression(), Literal(0)))),
+    "avgOrDefault"  -> (es => Coalesce(Seq(Average(es.head).toAggregateExpression(), Literal(0)))),
+    "minOrDefault"  -> (es => Coalesce(Seq(Min(es.head).toAggregateExpression(), Literal(0)))),
+    "maxOrDefault"  -> (es => Coalesce(Seq(Max(es.head).toAggregateExpression(), Literal(0)))),
+    // any = first encountered value (ClickHouse's first-value
+    // aggregate, NOT Spark's bool_or spelled `any` — migrated CH SQL
+    // means the former; shadowing is the dialect's purpose). Same
+    // determinism caveat as the anyLast registration above. anyHeavy
+    // maps to the native Mode aggregate — a deterministic heavy-hitter
+    // when the mode is unique, which is the only case an oracle can
+    // pin anyway.
+    "any"      -> (es => First(es.head, ignoreNulls = true)),
+    "anyHeavy" -> (es => Mode(es.head)),
+    // -- -ForEach combinator: aggregate element-wise across the
+    // group's arrays (result[i] = agg of every array's i-th element).
+    // Rides on [[GraftMapAgg]] keyed by 1-based position — positions
+    // are contiguous per row, so the sorted key union is dense and the
+    // vals array lines up with positions with no fill step. Map-side
+    // combine applies; state is bounded by the longest array.
+    "sumForEach"   -> (es => forEachVals(enumKeys(es.head), es.head, "sum")),
+    "minForEach"   -> (es => forEachVals(enumKeys(es.head), es.head, "min")),
+    "maxForEach"   -> (es => forEachVals(enumKeys(es.head), es.head, "max")),
+    "countForEach" -> (es => forEachVals(enumKeys(es.head), onesLike(es.head), "sum")),
+    "avgForEach"   -> (es => {
+      val s = lamVar("gr_fe_s")
+      val c = lamVar("gr_fe_c")
+      ZipWith(forEachVals(enumKeys(es.head), es.head, "sum"),
+              forEachVals(enumKeys(es.head), onesLike(es.head), "sum"),
+        LambdaFunction(safeRatio(s, c), Seq(s, c)))
+    }),
+    // -- -Resample combinator (parametric: countResample(start, end,
+    // step)(key), sumResample(…)(x, key), flattened by ChSqlParser):
+    // one value per [start, end) bucket, empty buckets as 0 (CH's
+    // default-value convention). Keys outside the range are dropped
+    // BEFORE aggregation state, so the per-group state is nb entries.
+    "countResample" -> (es => resampleAgg(es(0), es(1), es(2), es(3), Literal(1), "sum")),
+    "sumResample"   -> (es => resampleAgg(es(0), es(1), es(2), es(4), es(3), "sum")),
+    "minResample"   -> (es => resampleAgg(es(0), es(1), es(2), es(4), es(3), "min")),
+    "maxResample"   -> (es => resampleAgg(es(0), es(1), es(2), es(4), es(3), "max")),
+    "avgResample"   -> (es => {
+      val s = lamVar("gr_rs_s")
+      val c = lamVar("gr_rs_c")
+      ZipWith(resampleAgg(es(0), es(1), es(2), es(4), es(3), "sum"),
+              resampleAgg(es(0), es(1), es(2), es(4), Literal(1), "sum"),
+        LambdaFunction(safeRatio(s, c), Seq(s, c)))
+    }),
     // -- Map data type family. ClickHouse's Map(K, V) is Spark's
     // MapType; every function maps onto the native map expressions
     // (entry order is insertion order on both engines). Lambdas come
@@ -815,6 +877,59 @@ object ChDialect {
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  /** s/c in doubles with NaN at c = 0 (CH's avg-of-nothing) — ANSI
+    * Divide would raise instead. */
+  private def safeRatio(s: Expression, c: Expression): Expression =
+    If(EqualTo(Cast(c, DoubleType), Literal(0.0d)), Literal(Double.NaN),
+      Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
+
+  /** 1-based positions of an array's elements (empty-safe — Sequence
+    * would count DOWN from 1 to 0). */
+  private def enumKeys(arr: Expression): Expression =
+    If(LessThanOrEqual(Size(arr), Literal(0)),
+      Literal.create(Array.empty[Int], org.apache.spark.sql.types.ArrayType(IntegerType)),
+      new Sequence(Literal(1), Size(arr), None))
+
+  /** 1 where the element is non-null, null where it is (so countForEach
+    * counts only present elements, the CH convention). */
+  private def onesLike(arr: Expression): Expression = {
+    val x = lamVar("gr_fe_x")
+    ArrayTransform(arr,
+      LambdaFunction(If(IsNull(x), Literal.create(null, IntegerType), Literal(1)), Seq(x)))
+  }
+
+  /** The vals array of a [[GraftMapAgg]] over (keys, vals) — the
+    * -ForEach combinator core. Identical aggregate subtrees reused by
+    * a caller (avgForEach's sum + count) are deduplicated by the
+    * aggregate planner. */
+  private def forEachVals(keys: Expression, vals: Expression, op: String): Expression =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+      GraftMapAgg(keys, vals, op).toAggregateExpression(), Literal("vals"))
+
+  /** -Resample core: bucket the resampling key into [start, end) steps
+    * (out-of-range rows contribute nothing), combine per bucket via
+    * [[GraftMapAgg]], then densify onto the 0..nb-1 bucket axis with
+    * zero fill. */
+  private def resampleAgg(start: Expression, end: Expression, step: Expression,
+                          key: Expression, value: Expression, op: String): Expression = {
+    val kl = Cast(key, LongType)
+    val s  = Cast(start, LongType)
+    val e  = Cast(end, LongType)
+    val st = Cast(step, LongType)
+    val bucket = nullIfNot(And(GreaterThanOrEqual(kl, s), LessThan(kl, e)),
+      new IntegralDivide(Subtract(kl, s), st))
+    val m = GraftMapAgg(CreateArray(Seq(bucket)), CreateArray(Seq(value)), op).toAggregateExpression()
+    def field(n: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(m, Literal(n))
+    val nb = Cast(Ceil(Divide(Cast(Subtract(e, s), DoubleType), Cast(st, DoubleType))), LongType)
+    val i   = lamVar("gr_rs_i")
+    val pos = ArrayPosition(field("keys"), i)
+    ArrayTransform(new Sequence(Literal(0L), Subtract(nb, Literal(1L)), None),
+      LambdaFunction(If(GreaterThan(pos, Literal(0L)),
+        ElementAt(field("vals"), Cast(pos, IntegerType), None, failOnError = false),
+        Literal(0)), Seq(i)))
+  }
 
   /** Element-wise merge of two maps over the union of their keys —
     * mapAdd/mapSubtract/mapUpdate. Absent keys surface as NULL to `f`

@@ -124,6 +124,112 @@ object ChFunctions {
             FROM events GROUP BY 1 ORDER BY week"""),
   )
 
+  /** Aggregate-combinator families: -Distinct (forced DISTINCT on the
+    * native aggregate), -OrNull (NULL on an empty set — exercised with
+    * a predicate false on every row so the result is sf-independent),
+    * -OrDefault (numeric zero default), plus any (first-value, pinned
+    * deterministic by aggregating a group-constant column) and
+    * anyHeavy (Mode — the l_linenumber distribution has a unique mode
+    * at every scale factor, so the oracle's mode() agrees). */
+  val q21b = GraftQuery(
+    "q21b_combinators",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_cb")
+      s.sql("""SELECT l_returnflag,
+                      round(sumDistinct(l_quantity), 2) AS sd,
+                      round(avgDistinct(l_quantity), 4) AS ad,
+                      CAST(countDistinct(l_suppkey) AS BIGINT) AS cd,
+                      any(l_returnflag) AS a_flag,
+                      CAST(anyHeavy(l_linenumber) AS BIGINT) AS heavy_ln,
+                      CAST(countOrNull(CASE WHEN l_quantity < 0 THEN 1 END) AS BIGINT) AS c_null,
+                      round(sumOrNull(CASE WHEN l_quantity < 0 THEN l_quantity END), 2) AS s_null,
+                      round(sumOrDefault(CASE WHEN l_quantity < 0 THEN l_quantity END), 2) AS s_def,
+                      round(maxOrDefault(CASE WHEN l_quantity < 0 THEN l_quantity END), 2) AS m_def
+               FROM lineitem_cb GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   round(sum(DISTINCT l_quantity), 2) AS sd,
+                   round(avg(DISTINCT l_quantity), 4) AS ad,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS cd,
+                   l_returnflag AS a_flag,
+                   CAST(mode(l_linenumber) AS BIGINT) AS heavy_ln,
+                   CAST(NULLIF(count(CASE WHEN l_quantity < 0 THEN 1 END), 0) AS BIGINT) AS c_null,
+                   round(sum(CASE WHEN l_quantity < 0 THEN l_quantity END), 2) AS s_null,
+                   round(coalesce(sum(CASE WHEN l_quantity < 0 THEN l_quantity END), 0), 2) AS s_def,
+                   round(coalesce(max(CASE WHEN l_quantity < 0 THEN l_quantity END), 0), 2) AS m_def
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  /** -ForEach combinator: element-wise aggregation across the group's
+    * arrays (result[i] = agg over every row's i-th element), riding on
+    * the sumMap position-keyed state. Rows alternate 2- and 3-element
+    * arrays so the tail position genuinely aggregates a subset; the
+    * oracle rebuilds each position with conditional aggregates. */
+  val q27f = GraftQuery(
+    "q27f_foreach",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_fe")
+      s.sql("""SELECT l_returnflag,
+                      arrayStringConcat(arrayMap(x -> toString(x), sumForEach(arr)), ',') AS sfe,
+                      arrayStringConcat(arrayMap(x -> toString(x), minForEach(arr)), ',') AS mnfe,
+                      arrayStringConcat(arrayMap(x -> toString(x), maxForEach(arr)), ',') AS mxfe,
+                      arrayStringConcat(arrayMap(x -> toString(x), countForEach(arr)), ',') AS cfe,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 4)), avgForEach(arr)), ',') AS afe
+               FROM (SELECT l_returnflag,
+                            CASE WHEN l_linenumber % 2 = 0
+                                 THEN array(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT), CAST(l_suppkey AS BIGINT))
+                                 ELSE array(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT)) END AS arr
+                     FROM lineitem_fe WHERE l_orderkey <= 1000) t
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   concat(CAST(sum(q) AS VARCHAR), ',', CAST(sum(ln) AS VARCHAR), ',', CAST(sum(CASE WHEN ev THEN sk END) AS VARCHAR)) AS sfe,
+                   concat(CAST(min(q) AS VARCHAR), ',', CAST(min(ln) AS VARCHAR), ',', CAST(min(CASE WHEN ev THEN sk END) AS VARCHAR)) AS mnfe,
+                   concat(CAST(max(q) AS VARCHAR), ',', CAST(max(ln) AS VARCHAR), ',', CAST(max(CASE WHEN ev THEN sk END) AS VARCHAR)) AS mxfe,
+                   concat(CAST(count(*) AS VARCHAR), ',', CAST(count(*) AS VARCHAR), ',', CAST(count(CASE WHEN ev THEN 1 END) AS VARCHAR)) AS cfe,
+                   concat(CAST(round(avg(q), 4) AS VARCHAR), ',', CAST(round(avg(ln), 4) AS VARCHAR), ',', CAST(round(avg(CASE WHEN ev THEN sk END), 4) AS VARCHAR)) AS afe
+            FROM (SELECT l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS q,
+                         CAST(l_linenumber AS BIGINT) AS ln,
+                         CAST(l_suppkey AS BIGINT) AS sk,
+                         l_linenumber % 2 = 0 AS ev
+                  FROM lineitem WHERE l_orderkey <= 1000) t
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  /** -Resample combinator in its parametric CH spelling: one value per
+    * [start, end) step-bucket of the resampling key, empty buckets 0.
+    * l_linenumber buckets as {1,2},{3,4},{5,6},{7} under (1, 8, 2) —
+    * the oracle rebuilds each bucket with conditional aggregates. */
+  val q27g = GraftQuery(
+    "q27g_resample",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_rs")
+      s.sql("""SELECT l_returnflag,
+                      arrayStringConcat(arrayMap(x -> toString(x), countResample(1, 8, 2)(l_linenumber)), ',') AS cnts,
+                      arrayStringConcat(arrayMap(x -> toString(x), sumResample(1, 8, 2)(CAST(l_quantity AS BIGINT), l_linenumber)), ',') AS sums,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 4)), avgResample(1, 8, 2)(CAST(l_quantity AS BIGINT), l_linenumber)), ',') AS avgs
+               FROM lineitem_rs GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   concat(CAST(count(CASE WHEN b = 0 THEN 1 END) AS VARCHAR), ',',
+                          CAST(count(CASE WHEN b = 1 THEN 1 END) AS VARCHAR), ',',
+                          CAST(count(CASE WHEN b = 2 THEN 1 END) AS VARCHAR), ',',
+                          CAST(count(CASE WHEN b = 3 THEN 1 END) AS VARCHAR)) AS cnts,
+                   concat(CAST(coalesce(sum(CASE WHEN b = 0 THEN q END), 0) AS VARCHAR), ',',
+                          CAST(coalesce(sum(CASE WHEN b = 1 THEN q END), 0) AS VARCHAR), ',',
+                          CAST(coalesce(sum(CASE WHEN b = 2 THEN q END), 0) AS VARCHAR), ',',
+                          CAST(coalesce(sum(CASE WHEN b = 3 THEN q END), 0) AS VARCHAR)) AS sums,
+                   concat(CAST(round(avg(CASE WHEN b = 0 THEN q END), 4) AS VARCHAR), ',',
+                          CAST(round(avg(CASE WHEN b = 1 THEN q END), 4) AS VARCHAR), ',',
+                          CAST(round(avg(CASE WHEN b = 2 THEN q END), 4) AS VARCHAR), ',',
+                          CAST(round(avg(CASE WHEN b = 3 THEN q END), 4) AS VARCHAR)) AS avgs
+            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                         (l_linenumber - 1) // 2 AS b
+                  FROM lineitem) t
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   /** The Map-data-type function family in CH spelling: construction,
     * key/value access, containment (exact + LIKE), element-wise
     * mapAdd/mapSubtract/mapUpdate, and the (k, v)-lambda family
@@ -1000,5 +1106,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
-        q27c, q27d, q27e, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d, q29e, q29f, q38)
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d,
+        q29e, q29f, q38, q21b)
 }

@@ -266,6 +266,51 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getString(16) == "x" && r.getInt(17) == 5 && r.getInt(18) == 0)
   }
 
+  test("combinators: -Distinct, -OrNull on empty sets, -OrDefault") {
+    val r = spark.sql(
+      """SELECT sumDistinct(v) AS sd, avgDistinct(v) AS ad, countDistinct(v) AS cd,
+        |       countOrNull(CASE WHEN v > 99 THEN 1 END) AS cn,
+        |       sumOrNull(CASE WHEN v > 99 THEN v END) AS sn,
+        |       sumOrDefault(CASE WHEN v > 99 THEN v END) AS sdef,
+        |       maxOrDefault(CASE WHEN v > 99 THEN v END) AS mdef,
+        |       any(k) AS a
+        |FROM VALUES ('x', 1), ('x', 1), ('x', 2) AS t(k, v)""".stripMargin).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.5 && r.getLong(2) == 2L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getLong(5) == 0L && r.getInt(6) == 0)
+    assert(r.getString(7) == "x")
+  }
+
+  test("forEach combinators: ragged arrays, null elements, NaN-free tails") {
+    val r = spark.sql(
+      """SELECT sumForEach(a) AS s, minForEach(a) AS mn, maxForEach(a) AS mx,
+        |       countForEach(a) AS c, avgForEach(a) AS av
+        |FROM VALUES (array(1L, 10L, 100L)), (array(3L, 30L)), (array(5L)) AS t(a)""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(9L, 40L, 100L))
+    assert(r.getSeq[Long](1) == Seq(1L, 10L, 100L))
+    assert(r.getSeq[Long](2) == Seq(5L, 30L, 100L))
+    assert(r.getSeq[Long](3) == Seq(3L, 2L, 1L))
+    assert(r.getSeq[Double](4) == Seq(3.0, 20.0, 100.0))
+    // null elements: counted out, summed as absent
+    val n = spark.sql(
+      """SELECT sumForEach(a) AS s, countForEach(a) AS c
+        |FROM VALUES (array(1L, NULL)), (array(2L, 5L)) AS t(a)""".stripMargin).head()
+    assert(n.getSeq[Long](0) == Seq(3L, 5L) && n.getSeq[Long](1) == Seq(2L, 1L))
+  }
+
+  test("resample combinators: range filter, empty buckets, NaN avg") {
+    val r = spark.sql(
+      """SELECT countResample(0, 6, 2)(k) AS c,
+        |       sumResample(0, 6, 2)(v, k) AS s,
+        |       avgResample(0, 6, 2)(v, k) AS av
+        |FROM VALUES (0, 10L), (1, 20L), (5, 50L), (9, 99L), (-1, 77L) AS t(k, v)""".stripMargin).head()
+    // buckets [0,2) [2,4) [4,6): k=9 and k=-1 fall outside and vanish
+    assert(r.getSeq[Long](0) == Seq(2L, 0L, 1L))
+    assert(r.getSeq[Long](1) == Seq(30L, 0L, 50L))
+    val av = r.getSeq[Double](2)
+    assert(av(0) == 15.0 && av(1).isNaN && av(2) == 50.0)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
