@@ -99,6 +99,22 @@ object Replicate {
       .select(keyCols.map(col) ++ payloadCols.map(c => col(s"__last.`$c`").as(c)): _*)
   }
 
+  /** SummingMergeTree FINAL: one row per sorting key with the numeric
+    * `sumCols` summed and every remaining payload column taking the
+    * group MINIMUM — ClickHouse keeps "any of the rows'" value there;
+    * min makes it deterministic (the same choice anyLeft makes). One
+    * partial-aggregated shuffle, map-side combined; original column
+    * order preserved so the collapsed frame is a drop-in for the raw
+    * table. */
+  def collapseSumming(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val otherCols = df.columns.filterNot(c => keyCols.contains(c) || sumCols.contains(c)).toSeq
+      .filterNot(keyCols.contains)
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ otherCols.map(c => min(col(c)).as(c))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.toSeq.map(col): _*)
+  }
+
   /** SCD-2 materialization: collapse consecutive identical values of
     * `attr` per key into validity intervals [valid_from, valid_to). */
   def scd2(df: DataFrame, keyCols: Seq[String], tsCol: Column, tiebreak: Column, attr: Column): DataFrame = {

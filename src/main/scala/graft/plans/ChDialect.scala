@@ -738,6 +738,23 @@ object ChDialect {
       Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
     "uniqState"  -> (es => new HllSketchAgg(es.head)),
     "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
+    // -- window-function spellings. ClickHouse's lagInFrame /
+    // leadInFrame are exactly Spark's lag/lead (CH renamed them to
+    // avoid its own legacy neighbor()); they resolve to the native
+    // offset window functions and require an OVER clause like any
+    // window function.
+    "lagInFrame" -> (es => es match {
+      case Seq(x)       => Lag(x, Literal(1), Literal(null), ignoreNulls = false)
+      case Seq(x, o)    => Lag(x, o, Literal(null), ignoreNulls = false)
+      case Seq(x, o, d) => Lag(x, o, d, ignoreNulls = false)
+      case _ => throw new IllegalArgumentException("lagInFrame takes (expr[, offset[, default]])")
+    }),
+    "leadInFrame" -> (es => es match {
+      case Seq(x)       => Lead(x, Literal(1), Literal(null), ignoreNulls = false)
+      case Seq(x, o)    => Lead(x, o, Literal(null), ignoreNulls = false)
+      case Seq(x, o, d) => Lead(x, o, d, ignoreNulls = false)
+      case _ => throw new IllegalArgumentException("leadInFrame takes (expr[, offset[, default]])")
+    }),
     // -- aggregate combinators. -Distinct forces DISTINCT on the
     // underlying native aggregate; -OrNull yields NULL on an empty
     // set (count is the only family member that needs a shim — the

@@ -79,6 +79,25 @@ object ChSqlParser {
     * never silently wrong). */
   private val WithTotals = """(?i)\bGROUP\s+BY\s+([^()]+?)\s+WITH\s+TOTALS\b""".r
 
+  /** ClickHouse `GLOBAL IN` / `GLOBAL JOIN`: a distributed-execution
+    * hint that ships the right side to every shard — which is exactly
+    * what Spark's broadcast/shuffle planning already decides (AQE
+    * picks broadcast when the subquery result is small). The keyword
+    * is semantically a no-op here, so it strips — only ahead of the
+    * join/IN tokens it can legally prefix, never inside identifiers
+    * (word-boundary + lookahead) and never inside string literals
+    * ([[stripGlobalHints]] applies it outside quotes only). */
+  private val GlobalHint =
+    """(?i)\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|ANY\b|ALL\b|SEMI\b|ANTI\b)""".r
+
+  /** Apply the GLOBAL strip on the segments OUTSIDE single-quoted
+    * string literals (split preserves quote parity: even indexes are
+    * code, odd are literal bodies). */
+  private def stripGlobalHints(sql: String): String =
+    sql.split("'", -1).zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 0) GlobalHint.replaceAllIn(p, "") else p
+    }.mkString("'")
+
   /** ClickHouse named query parameters — `{start_date:String}`,
     * `{n:UInt64}`, `{xs:Array(String)}` (the corpus' client-side
     * binding shape, /root/reference/src/corpus/orm_none.txt:432-437)
@@ -252,6 +271,7 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
     out = Prewhere.replaceAllIn(out, "WHERE")
+    out = stripGlobalHints(out)
     out = NamedParam.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s":${m.group(1)}"))
     out = SampleClause.replaceAllIn(out, m =>

@@ -339,6 +339,32 @@ object Analytics {
              FROM d ORDER BY event_type, day"""),
   )
 
+  /** ClickHouse's window-function spellings run verbatim through
+    * spark.sql: lagInFrame/leadInFrame (CH's names for lag/lead —
+    * renamed there to avoid its legacy neighbor()) resolve to the
+    * native offset window functions, composed with first_value /
+    * row_number which share their spelling. */
+  val q18b = GraftQuery(
+    "q18b_ch_window",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_wf")
+      s.sql("""SELECT o_custkey, o_orderkey,
+                      round(o_totalprice - lagInFrame(o_totalprice, 1, CAST(0 AS DOUBLE))
+                              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta,
+                      CAST(leadInFrame(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_ok,
+                      CAST(first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_ok
+               FROM orders_wf WHERE o_custkey <= 200
+               ORDER BY o_custkey, o_orderkey""")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   round(o_totalprice - coalesce(lag(o_totalprice, 1)
+                           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS delta,
+                   CAST(lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_ok,
+                   CAST(first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_ok
+            FROM orders WHERE o_custkey <= 200
+            ORDER BY o_custkey, o_orderkey"""),
+  )
+
   val q19 = GraftQuery(
     "q19_moving_avg",
     (s, dir) => {
@@ -411,5 +437,5 @@ object Analytics {
 
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
                                  q11, q12, q13, q13b, q14, q15, q15b, q16, q17, q18,
-                                 q19, q20)
+                                 q18b, q19, q20)
 }

@@ -230,6 +230,41 @@ object ChFunctions {
             GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
+  /** Set operations, CTEs and the GLOBAL distributed-query hints run
+    * VERBATIM: `WITH … INTERSECT … EXCEPT` share Spark's grammar, and
+    * ChSqlParser strips `GLOBAL` ahead of IN/JOIN (a shard-shipping
+    * hint that Spark's broadcast planning already subsumes). The
+    * oracle is the same query minus GLOBAL. */
+  val q29g = GraftQuery(
+    "q29g_setops",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_so")
+      Tables(s, dir).customer.createOrReplaceTempView("customer_so")
+      s.sql("""WITH big AS (SELECT o_custkey FROM orders_so WHERE o_totalprice > 200000),
+                    recent AS (SELECT o_custkey FROM orders_so WHERE o_orderdate >= DATE '1997-01-01')
+               SELECT c_custkey, c_name
+               FROM customer_so
+               WHERE c_custkey GLOBAL IN (SELECT o_custkey FROM big
+                                          INTERSECT
+                                          SELECT o_custkey FROM recent)
+                 AND c_custkey NOT IN (SELECT o_custkey FROM orders_so WHERE o_orderstatus = 'F'
+                                       EXCEPT
+                                       SELECT o_custkey FROM recent)
+               ORDER BY c_custkey""")
+    },
+    Some("""WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+                 recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM big
+                                INTERSECT
+                                SELECT o_custkey FROM recent)
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                                    EXCEPT
+                                    SELECT o_custkey FROM recent)
+            ORDER BY c_custkey"""),
+  )
+
   /** The Map-data-type function family in CH spelling: construction,
     * key/value access, containment (exact + LIKE), element-wise
     * mapAdd/mapSubtract/mapUpdate, and the (k, v)-lambda family
@@ -1107,5 +1142,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d,
-        q29e, q29f, q38, q21b)
+        q29e, q29f, q29g, q38, q21b)
 }

@@ -284,6 +284,29 @@ object Replication {
             FROM surv GROUP BY 1 ORDER BY o_custkey"""),
   )
 
+  /** SummingMergeTree FINAL (`Replicate.collapseSumming`): pre-agg
+    * rows collapse per sorting key with numeric columns summed and
+    * the remaining payload taking the deterministic group minimum —
+    * the counters-table engine, one map-side-combined shuffle. */
+  val q36c = GraftQuery(
+    "q36c_summing",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      Replicate.collapseSumming(li, Seq("l_orderkey"), Seq("l_quantity", "l_extendedprice"))
+        .where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"),
+                round(col("l_quantity"), 2).as("qty"),
+                round(col("l_extendedprice"), 2).as("total"),
+                col("l_returnflag").as("flag"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, round(sum(l_quantity), 2) AS qty,
+                   round(sum(l_extendedprice), 2) AS total,
+                   min(l_returnflag) AS flag
+            FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1 ORDER BY l_orderkey"""),
+  )
+
   /** MergeTree TTL, executed the ClickHouse way: orders landed under
     * PARTITION BY year, then a retention cutoff mid-1995 — every year
     * before 1995 is dropped as a whole part (directory delete, zero
@@ -312,5 +335,5 @@ object Replication {
             GROUP BY 1 ORDER BY yr"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q36b, q37, q39, q98)
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98)
 }

@@ -334,6 +334,42 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getBoolean(13) && !r.getBoolean(14))
   }
 
+  test("GLOBAL hint strips before IN/JOIN only, never inside names or strings") {
+    import graft.plans.ChSqlParser.rewriteParametric
+    assert(rewriteParametric("SELECT * FROM a GLOBAL JOIN b ON a.k = b.k")
+      == "SELECT * FROM a JOIN b ON a.k = b.k")
+    assert(rewriteParametric("WHERE x GLOBAL IN (SELECT k FROM t)")
+      == "WHERE x IN (SELECT k FROM t)")
+    assert(rewriteParametric("WHERE x GLOBAL NOT IN (SELECT k FROM t)")
+      == "WHERE x NOT IN (SELECT k FROM t)")
+    assert(rewriteParametric("SELECT global_rank FROM t")
+      == "SELECT global_rank FROM t")
+    assert(rewriteParametric("SELECT 'GLOBAL IN text' AS s FROM t")
+      == "SELECT 'GLOBAL IN text' AS s FROM t")
+  }
+
+  test("lagInFrame/leadInFrame resolve as native offset window functions") {
+    val r = spark.sql(
+      """SELECT k, v,
+        |       lagInFrame(v) OVER (ORDER BY k) AS l1,
+        |       lagInFrame(v, 2, -1) OVER (ORDER BY k) AS l2,
+        |       leadInFrame(v, 1, 0) OVER (ORDER BY k) AS ld
+        |FROM VALUES (1, 10), (2, 20), (3, 30) AS t(k, v)
+        |ORDER BY k""".stripMargin).collect()
+    assert(r.map(x => if (x.isNullAt(2)) -99 else x.getInt(2)).toSeq == Seq(-99, 10, 20))
+    assert(r.map(_.getInt(3)).toSeq == Seq(-1, -1, 10))
+    assert(r.map(_.getInt(4)).toSeq == Seq(20, 30, 0))
+  }
+
+  test("collapseSumming: sums the named columns, min for the rest, keeps column order") {
+    val df = Seq((1L, 5.0, "b"), (1L, 7.0, "a"), (2L, 1.0, "z")).toDF("k", "v", "tag")
+    val out = graft.operators.Replicate.collapseSumming(df, Seq("k"), Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "v", "tag"))
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      == Seq((1L, 12.0, "a"), (2L, 1.0, "z")))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
