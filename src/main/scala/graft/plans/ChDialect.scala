@@ -330,7 +330,10 @@ object ChDialect {
     "has"               -> (es => ArrayContains(es(0), es(1))),
     "indexOf"           -> (es => ArrayPosition(es(0), es(1))),
     "arrayConcat"       -> (es => Concat(es)),
-    "arraySlice"        -> (es => Slice(es(0), es(1), if (es.length > 2) es(2) else Literal(Int.MaxValue))),
+    // open-ended slice length = the array size (a safe over-estimate:
+    // Slice clamps to the end; Int.MaxValue would OVERFLOW in Slice's
+    // start+length arithmetic and silently return [])
+    "arraySlice"        -> (es => Slice(es(0), es(1), if (es.length > 2) es(2) else Size(es(0)))),
     "arraySort"         -> (es => SortArray(es.head, Literal(true))),
     "arrayReverse"      -> (es => Reverse(es.head)),
     "arrayDistinct"     -> (es => ArrayDistinct(es.head)),
@@ -543,6 +546,100 @@ object ChDialect {
     "arrayJaccardIndex" -> (es =>
       Divide(Cast(Size(ArrayIntersect(es(0), es(1))), DoubleType),
              Cast(Size(ArrayUnion(es(0), es(1))), DoubleType))),
+    // -- array long tail. arrayReduce applies a (literal) aggregate
+    // name over an array's ELEMENTS per row — the supported names map
+    // to the same folds the -Array combinators use; median is exact
+    // nearest-rank over the sorted copy, argMax/argMin take (values,
+    // by) array pairs with first-occurrence tie-break.
+    "arrayReduce" -> (es => {
+      val name = litString(es.head, "arrayReduce aggregate name")
+      val a    = es(1)
+      def notNull = {
+        val x = lamVar("gr_rd_x")
+        ArrayFilter(a, LambdaFunction(IsNotNull(x), Seq(x)))
+      }
+      name match {
+        case "sum" => sumFold(a, LambdaFunction.identity)
+        case "min" => ArrayMin(a)
+        case "max" => ArrayMax(a)
+        case "avg" => {
+          val s = lamVar("gr_rd_s")
+          sumFold(a, LambdaFunction(Divide(s, Cast(Size(a), DoubleType)), Seq(s)))
+        }
+        case "count" => {
+          val acc = lamVar("gr_rd_acc")
+          val x   = lamVar("gr_rd_x")
+          ArrayAggregate(a, Literal(0L),
+            LambdaFunction(Add(acc, If(IsNull(x), Literal(0L), Literal(1L))), Seq(acc, x)),
+            LambdaFunction.identity)
+        }
+        case "uniq" | "uniqExact" => Size(ArrayDistinct(notNull))
+        case "median" | "quantile" =>
+          ElementAt(SortArray(a, Literal(true)),
+            Cast(Ceil(Divide(Cast(Size(a), DoubleType), Literal(2.0d))), IntegerType),
+            None, failOnError = false)
+        case "any"     => ElementAt(a, Literal(1), None, failOnError = false)
+        case "anyLast" => ElementAt(a, Literal(-1), None, failOnError = false)
+        case "argMax" =>
+          ElementAt(es(1), Cast(ArrayPosition(es(2), ArrayMax(es(2))), IntegerType), None, failOnError = false)
+        case "argMin" =>
+          ElementAt(es(1), Cast(ArrayPosition(es(2), ArrayMin(es(2))), IntegerType), None, failOnError = false)
+        case other => throw new IllegalArgumentException(s"arrayReduce: unsupported aggregate '$other'")
+      }
+    }),
+    // consecutive-duplicate collapse (the Run-Length heads)
+    "arrayCompact" -> (es => {
+      val a = es.head
+      val i = lamVar("gr_ac_i")
+      val s = lamVar("gr_ac_s")
+      val keep = ArrayFilter(enumKeys(a), LambdaFunction(
+        Or(EqualTo(i, Literal(1)),
+           Not(EqualNullSafe(ElementAt(a, i, None, failOnError = false),
+                             ElementAt(a, Subtract(i, Literal(1)), None, failOnError = false)))),
+        Seq(i)))
+      ArrayTransform(keep, LambdaFunction(ElementAt(a, s, None, failOnError = false), Seq(s)))
+    }),
+    // occurrence index of each element among its equals so far
+    "arrayEnumerateUniq" -> (es => {
+      val a = es.head
+      val i = lamVar("gr_eu_i")
+      val x = lamVar("gr_eu_x")
+      ArrayTransform(enumKeys(a), LambdaFunction(
+        Size(ArrayFilter(Slice(a, Literal(1), i),
+          LambdaFunction(EqualNullSafe(x, ElementAt(a, i, None, failOnError = false)), Seq(x)))),
+        Seq(i)))
+    }),
+    // resize with explicit fill, or a typed NULL when omitted (the
+    // out-of-bounds ElementAt manufactures the element type's null)
+    "arrayResize" -> (es => {
+      val a = es(0)
+      val n = Cast(es(1), IntegerType)
+      val fill = if (es.length > 2) es(2)
+                 else ElementAt(a, Add(Size(a), Literal(1)), None, failOnError = false)
+      If(LessThanOrEqual(n, Size(a)),
+        Slice(a, Literal(1), Greatest(Seq(n, Literal(0)))),
+        Concat(Seq(a, ArrayRepeat(fill, Subtract(n, Size(a))))))
+    }),
+    "arrayPushBack"  -> (es => Concat(Seq(es(0), CreateArray(Seq(es(1)))))),
+    "arrayPushFront" -> (es => Concat(Seq(CreateArray(Seq(es(1))), es(0)))),
+    "arrayPopBack"   -> (es => Slice(es.head, Literal(1), Greatest(Seq(Subtract(Size(es.head), Literal(1)), Literal(0))))),
+    "arrayPopFront"  -> (es => Slice(es.head, Literal(2), Size(es.head))),
+    "arrayWithConstant" -> (es => ArrayRepeat(es(1), Cast(es(0), IntegerType))),
+    "arrayReverseSort"  -> (es => SortArray(es.head, Literal(false))),
+    // range(n) / range(s, e[, step]): end-EXCLUSIVE integer series
+    // (Spark's sequence is inclusive, hence the -1; empty guarded —
+    // Sequence would count down)
+    "range" -> (es => {
+      val (s0, e0, st) = es match {
+        case Seq(n)         => (Literal(0L), Cast(n, LongType), Literal(1L))
+        case Seq(s, e)      => (Cast(s, LongType), Cast(e, LongType), Literal(1L))
+        case Seq(s, e, st0) => (Cast(s, LongType), Cast(e, LongType), Cast(st0, LongType))
+        case _ => throw new IllegalArgumentException("range takes (end) or (start, end[, step])")
+      }
+      If(LessThanOrEqual(e0, s0),
+        Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)),
+        new Sequence(s0, Subtract(e0, Literal(1L)), Some(st)))
+    }),
     // -- tuples (CH tuple ≈ Spark struct; elements are 1-indexed and
     // land in CreateStruct's colN field names)
     "tuple" -> (es => CreateStruct(es)),

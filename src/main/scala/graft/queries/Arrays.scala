@@ -249,6 +249,69 @@ object Arrays {
     * arrays. The oracle rebuilds each transform with window functions
     * — order-by-value makes ties harmless (equal values → identical
     * cumsum/diff regardless of tie order). */
+  /** Array long tail: arrayReduce (per-row aggregate-by-name over
+    * elements, argMax pairs included), arrayCompact (consecutive-dup
+    * collapse), arrayEnumerateUniq (occurrence indexes), resize /
+    * push / pop surgery, arrayWithConstant, arrayReverseSort and the
+    * end-exclusive range(). Arrays are built from lineitem columns so
+    * every expected value is plain CASE arithmetic in the oracle. */
+  val q91d = GraftQuery(
+    "q91d_array_tail",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_at")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+                      CAST(arrayReduce('sum', a3) AS DOUBLE) AS r_sum,
+                      CAST(arrayReduce('min', a3) AS BIGINT) AS r_min,
+                      CAST(arrayReduce('max', a3) AS BIGINT) AS r_max,
+                      round(arrayReduce('avg', a3), 4) AS r_avg,
+                      CAST(arrayReduce('count', a3) AS BIGINT) AS r_cnt,
+                      CAST(arrayReduce('uniqExact', a3) AS INT) AS r_uniq,
+                      CAST(arrayReduce('median', a3) AS BIGINT) AS r_med,
+                      arrayReduce('argMax', array(l_returnflag, 'zz'), array(q, ln)) AS r_am,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayCompact(a3)), ',') AS compacted,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerateUniq(a3)), ',') AS occ,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayResize(a3, 4, 0)), ',') AS resized,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayResize(a3, 2)), ',') AS shrunk,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayPushBack(arrayPopFront(a3), 7)), ',') AS surgery,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayWithConstant(2, ln)), ',') AS repeated,
+                      arrayStringConcat(arrayMap(x -> toString(x), arrayReverseSort(a3)), ',') AS rsorted,
+                      arrayStringConcat(arrayMap(x -> toString(x), range(3)), ',') AS rng1,
+                      arrayStringConcat(arrayMap(x -> toString(x), range(2, 5)), ',') AS rng2,
+                      arrayStringConcat(arrayMap(x -> toString(x), range(1, 10, 3)), ',') AS rng3
+               FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                            CAST(l_quantity AS BIGINT) AS q,
+                            CAST(l_linenumber AS BIGINT) AS ln,
+                            array(CAST(l_quantity AS BIGINT), CAST(l_quantity AS BIGINT),
+                                  CAST(l_linenumber AS BIGINT)) AS a3
+                     FROM lineitem_at WHERE l_orderkey <= 300) t
+               ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   CAST(2 * q + ln AS DOUBLE) AS r_sum,
+                   least(q, ln) AS r_min,
+                   greatest(q, ln) AS r_max,
+                   round((2 * q + ln) / 3.0, 4) AS r_avg,
+                   CAST(3 AS BIGINT) AS r_cnt,
+                   CASE WHEN q = ln THEN 1 ELSE 2 END AS r_uniq,
+                   q AS r_med,
+                   CASE WHEN q >= ln THEN l_returnflag ELSE 'zz' END AS r_am,
+                   CASE WHEN q = ln THEN CAST(q AS VARCHAR)
+                        ELSE concat(CAST(q AS VARCHAR), ',', CAST(ln AS VARCHAR)) END AS compacted,
+                   CASE WHEN q = ln THEN '1,2,3' ELSE '1,2,1' END AS occ,
+                   concat(CAST(q AS VARCHAR), ',', CAST(q AS VARCHAR), ',', CAST(ln AS VARCHAR), ',0') AS resized,
+                   concat(CAST(q AS VARCHAR), ',', CAST(q AS VARCHAR)) AS shrunk,
+                   concat(CAST(q AS VARCHAR), ',', CAST(ln AS VARCHAR), ',7') AS surgery,
+                   concat(CAST(ln AS VARCHAR), ',', CAST(ln AS VARCHAR)) AS repeated,
+                   CASE WHEN q >= ln THEN concat(CAST(q AS VARCHAR), ',', CAST(q AS VARCHAR), ',', CAST(ln AS VARCHAR))
+                        ELSE concat(CAST(ln AS VARCHAR), ',', CAST(q AS VARCHAR), ',', CAST(q AS VARCHAR)) END AS rsorted,
+                   '0,1,2' AS rng1, '2,3,4' AS rng2, '1,4,7' AS rng3
+            FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS q,
+                         CAST(l_linenumber AS BIGINT) AS ln
+                  FROM lineitem WHERE l_orderkey <= 300) t
+            ORDER BY l_orderkey, l_linenumber"""),
+  )
+
   val q91c = GraftQuery(
     "q91c_array_transforms",
     (s, dir) => {
@@ -399,5 +462,5 @@ object Arrays {
             FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q92, q93, q94, q94b, q95, q95b, q96, q97, q99)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q92, q93, q94, q94b, q95, q95b, q96, q97, q99)
 }

@@ -370,6 +370,44 @@ class DialectRound5Spec extends SparkSpec {
       == Seq((1L, 12.0, "a"), (2L, 1.0, "z")))
   }
 
+  test("array long tail: reduce, compact, enumerate-uniq, surgery, range") {
+    val r = spark.sql(
+      """SELECT arrayReduce('sum', array(1L, 2L, 3L)) AS s,
+        |       arrayReduce('avg', array(2L, 4L)) AS av,
+        |       arrayReduce('count', array(1L, NULL, 3L)) AS c,
+        |       arrayReduce('uniqExact', array(1L, 1L, NULL, 2L)) AS u,
+        |       arrayReduce('median', array(5L, 1L, 3L)) AS med,
+        |       arrayReduce('median', array(4L, 1L, 3L, 2L)) AS med_even,
+        |       arrayReduce('any', array(7L, 8L)) AS a1,
+        |       arrayReduce('anyLast', array(7L, 8L)) AS a2,
+        |       arrayReduce('argMax', array('a', 'b', 'c'), array(1, 9, 2)) AS am,
+        |       arrayCompact(array(1, 1, 2, 2, 1)) AS cp,
+        |       arrayEnumerateUniq(array(10, 20, 10, 10)) AS eu,
+        |       arrayResize(array(1, 2, 3), 2) AS shrink,
+        |       arrayResize(array(1, 2), 4, 9) AS grow,
+        |       arrayResize(array(1, 2), 3) AS grow_null,
+        |       arraySlice(array(1, 2, 3, 4), 2) AS open_slice,
+        |       arrayPushFront(arrayPopBack(array(1, 2, 3)), 0) AS surgery,
+        |       arrayWithConstant(3, 'z') AS wc,
+        |       arrayReverseSort(array(2, 9, 5)) AS rs,
+        |       range(4) AS r1, range(2, 2) AS r_empty, range(10, 2) AS r_neg""".stripMargin).head()
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 3.0)
+    assert(r.getLong(2) == 2L && r.getInt(3) == 2)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 2L) // nearest-rank lower median
+    assert(r.getLong(6) == 7L && r.getLong(7) == 8L && r.getString(8) == "b")
+    assert(r.getSeq[Int](9) == Seq(1, 2, 1))
+    assert(r.getSeq[Int](10) == Seq(1, 1, 2, 3))
+    assert(r.getSeq[Int](11) == Seq(1, 2))
+    assert(r.getSeq[Int](12) == Seq(1, 2, 9, 9))
+    assert(r.getSeq[Any](13) == Seq(1, 2, null))
+    assert(r.getSeq[Int](14) == Seq(2, 3, 4)) // Int.MaxValue length would overflow to []
+    assert(r.getSeq[Int](15) == Seq(0, 1, 2))
+    assert(r.getSeq[String](16) == Seq("z", "z", "z"))
+    assert(r.getSeq[Int](17) == Seq(9, 5, 2))
+    assert(r.getSeq[Long](18) == Seq(0L, 1L, 2L, 3L))
+    assert(r.getSeq[Long](19) == Seq() && r.getSeq[Long](20) == Seq())
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
