@@ -407,6 +407,55 @@ object ChDialect {
       val s = lamVar("gr_s")
       sumFold(arr, LambdaFunction(Divide(s, n), Seq(s)))
     }),
+    // -- text tokenization (the search/data-pipeline helpers).
+    // tokens splits on non-alphanumeric runs and drops empties;
+    // ngrams emits the character n-gram windows ([] when the string
+    // is shorter than n, CH's convention).
+    "tokens" -> (es => {
+      val x = lamVar("gr_tk_x")
+      ArrayFilter(StringSplit(es.head, Literal("[^\\p{L}\\p{N}]+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(x), Literal(0)), Seq(x)))
+    }),
+    "ngrams" -> (es => {
+      val (s, n) = (es(0), Cast(es(1), IntegerType))
+      val i = lamVar("gr_ng_i")
+      If(LessThan(Length(s), n),
+        Literal.create(Array.empty[String], org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        ArrayTransform(new Sequence(Literal(1), Subtract(Length(s), Subtract(n, Literal(1))), None),
+          LambdaFunction(Substring(s, i, n), Seq(i))))
+    }),
+    // generic Lp kernels (p ≥ 1, double): Σ|x|^p then the 1/p root
+    "LpNorm" -> (es => {
+      val p = Cast(es(1), DoubleType)
+      val x = lamVar("gr_lp_x")
+      Pow(sumFold(ArrayTransform(es.head,
+        LambdaFunction(Pow(Abs(Cast(x, DoubleType)), p), Seq(x))), LambdaFunction.identity),
+        Divide(Literal(1.0d), p))
+    }),
+    "LpDistance" -> (es => {
+      val p = Cast(es(2), DoubleType)
+      Pow(zipFold(es(0), es(1), (x, y) => Pow(Abs(Subtract(x, y)), p)),
+        Divide(Literal(1.0d), p))
+    }),
+    // sketch-spelling aliases: uniqTheta/uniqHLL12/uniqCombined64 are
+    // all bounded-state distinct sketches → the native HLL++;
+    // quantileTiming/quantileDeterministic map to the EXACT percentile
+    // (strictly more accurate than CH's bounded-state variants — the
+    // spelling contract is the parametric call shape, which
+    // ChSqlParser flattens the same way)
+    "uniqTheta"      -> (es => HyperLogLogPlusPlus(es.head)),
+    "uniqHLL12"      -> (es => HyperLogLogPlusPlus(es.head)),
+    "uniqCombined64" -> (es => HyperLogLogPlusPlus(es.head)),
+    "quantileTiming" -> (es => es match {
+      case Seq(x)    => new Percentile(x, Literal(0.5))
+      case Seq(p, x) => new Percentile(x, p)
+      case _         => throw new IllegalArgumentException("quantileTiming takes (level)(expr)")
+    }),
+    "quantileDeterministic" -> (es => es match {
+      case Seq(p, x, _) => new Percentile(x, p)
+      case Seq(x, _)    => new Percentile(x, Literal(0.5))
+      case _ => throw new IllegalArgumentException("quantileDeterministic takes (level)(expr, determinator)")
+    }),
     // -- behavioral sequence aggregates (parametric spellings
     // windowFunnel(w)(ts, c…) / sequenceMatch('p')(ts, c…) flattened
     // by ChSqlParser, like quantile/topK)

@@ -53,7 +53,7 @@ object ChSqlParser {
     * there): bare tokens without parens, or quoted strings which MAY
     * contain parens (sequenceMatch's `'(?1).*(?2)'`). */
   private val Parametric =
-    """\b(quantile|quantiles|quantileExactWeighted|quantileExact|quantileTDigest|topKWeighted|topK|uniqUpTo|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].

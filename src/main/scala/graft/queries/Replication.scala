@@ -318,7 +318,12 @@ object Replication {
     "q98_ttl",
     (s, dir) => {
       val path = s"/tmp/graft_ttl/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_by_year"
+      // land only the columns the TTL query reads: the layout is
+      // rebuilt every run (TTL mutates it destructively), so the
+      // write IS the query's cost — a projected landing is the same
+      // partition-drop exercise at a third of the IO
       Tables(s, dir).orders
+        .select(col("o_orderdate"), col("o_totalprice"))
         .withColumn("yr", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("yr").parquet(path)
       Mutate.ttl(s, path, "yr",

@@ -408,6 +408,25 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getSeq[Long](19) == Seq() && r.getSeq[Long](20) == Seq())
   }
 
+  test("tokens/ngrams/Lp kernels/sketch aliases") {
+    val r = spark.sql(
+      """SELECT tokens('Hello, wonderful world! 42') AS t,
+        |       ngrams('spark', 3) AS g,
+        |       ngrams('ab', 3) AS g_short,
+        |       round(LpNorm(array(3.0, 4.0), 2.0), 6) AS lp2,
+        |       round(LpNorm(array(3.0, -4.0), 1.0), 6) AS lp1,
+        |       round(LpDistance(array(0.0, 0.0), array(3.0, 4.0), 2.0), 6) AS lpd,
+        |       quantileTiming(0.5)(v) AS qt,
+        |       quantileDeterministic(0.5)(v, v) AS qd,
+        |       uniqTheta(v) AS ut
+        |FROM VALUES (1.0), (2.0), (3.0) AS t(v)""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("Hello", "wonderful", "world", "42"))
+    assert(r.getSeq[String](1) == Seq("spa", "par", "ark"))
+    assert(r.getSeq[String](2) == Seq())
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 7.0 && r.getDouble(5) == 5.0)
+    assert(r.getDouble(6) == 2.0 && r.getDouble(7) == 2.0 && r.getLong(8) == 3L)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
