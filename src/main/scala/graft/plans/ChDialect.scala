@@ -636,6 +636,47 @@ object ChDialect {
         case other => throw new IllegalArgumentException(s"arrayReduce: unsupported aggregate '$other'")
       }
     }),
+    // arrayFold((acc, x) -> …, arr, init): the user lambda binds
+    // directly under ArrayAggregate (same (acc, x) order)
+    "arrayFold" -> (es => ArrayAggregate(es(1), es.last,
+      es.head.asInstanceOf[LambdaFunction], LambdaFunction.identity)),
+    "countEqual" -> (es => {
+      val acc = lamVar("gr_ce_acc")
+      val x   = lamVar("gr_ce_x")
+      ArrayAggregate(es(0), Literal(0L),
+        LambdaFunction(Add(acc, If(EqualNullSafe(x, es(1)), Literal(1L), Literal(0L))), Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    // arrayAUC(scores, labels): ROC AUC per row via average-tie ranks
+    // — AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), rank =
+    // #less + (#equal + 1)/2 over ALL scores. O(n²) per row in the
+    // pairwise count folds (fine for per-row arrays; the aggregate
+    // path for corpus-level AUC is a sort + window, not this). NaN
+    // when a class is absent, CH's convention.
+    "arrayAUC" -> (es => {
+      val (scores, labels) = (es(0), es(1))
+      def cnt(cond: Expression => Expression): Expression = {
+        val acc = lamVar("gr_auc_a")
+        val x   = lamVar("gr_auc_x")
+        ArrayAggregate(scores, Literal(0.0d),
+          LambdaFunction(Add(acc, If(cond(Cast(x, DoubleType)), Literal(1.0d), Literal(0.0d))), Seq(acc, x)),
+          LambdaFunction.identity)
+      }
+      val s = lamVar("gr_auc_s")
+      val l = lamVar("gr_auc_l")
+      def rank(v: Expression) = Add(
+        cnt(x => LessThan(x, v)),
+        Divide(Add(cnt(x => EqualTo(x, v)), Literal(1.0d)), Literal(2.0d)))
+      val sumPosRanks = sumFold(
+        ZipWith(scores, labels, LambdaFunction(
+          If(EqualTo(Cast(l, DoubleType), Literal(1.0d)), rank(Cast(s, DoubleType)), Literal(0.0d)),
+          Seq(s, l))),
+        LambdaFunction.identity)
+      val p = sumFold(labels, LambdaFunction.identity)
+      val n = Subtract(Cast(Size(labels), DoubleType), p)
+      safeRatio(Subtract(sumPosRanks, Divide(Multiply(p, Add(p, Literal(1.0d))), Literal(2.0d))),
+        Multiply(p, n))
+    }),
     // consecutive-duplicate collapse (the Run-Length heads)
     "arrayCompact" -> (es => {
       val a = es.head

@@ -90,6 +90,22 @@ object ChSqlParser {
   private val GlobalHint =
     """(?i)\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|ANY\b|ALL\b|SEMI\b|ANTI\b)""".r
 
+  /** Trailing `FORMAT <name>` — the client-side output format every
+    * ClickHouse console/driver appends. Output formatting is the
+    * caller's concern here (DataFrames render themselves), so the
+    * clause strips. End-anchored: CH only allows it as the final
+    * clause, so a FORMAT mid-query is never touched. */
+  private val FormatClause = """(?is)\s+FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$""".r
+
+  /** Trailing `SETTINGS k = v, …` — per-query engine knobs
+    * (max_threads, max_memory_usage, …). Spark's equivalents are
+    * session confs the harness owns; the clause is an execution hint
+    * with no semantic effect, so it strips. End-anchored like FORMAT
+    * (which strips first, so `SETTINGS … FORMAT …` unwinds right to
+    * left). */
+  private val SettingsClause =
+    """(?is)\s+SETTINGS\s+\w+\s*=\s*(?:'[^']*'|[^,;\s]+)(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[^,;\s]+))*\s*;?\s*$""".r
+
   /** Apply the GLOBAL strip on the segments OUTSIDE single-quoted
     * string literals (split preserves quote parity: even indexes are
     * code, odd are literal bodies). */
@@ -267,7 +283,12 @@ object ChSqlParser {
     })
 
   def rewriteParametric(sql: String): String = {
-    var out = Parametric.replaceAllIn(sql, m =>
+    // client-side trailing clauses unwind first (right to left), so
+    // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
+    // their clause at the end of the text
+    var out = FormatClause.replaceAllIn(sql, "")
+    out = SettingsClause.replaceAllIn(out, "")
+    out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
     out = Prewhere.replaceAllIn(out, "WHERE")

@@ -275,6 +275,8 @@ object Arrays {
                       arrayStringConcat(arrayMap(x -> toString(x), arrayPushBack(arrayPopFront(a3), 7)), ',') AS surgery,
                       arrayStringConcat(arrayMap(x -> toString(x), arrayWithConstant(2, ln)), ',') AS repeated,
                       arrayStringConcat(arrayMap(x -> toString(x), arrayReverseSort(a3)), ',') AS rsorted,
+                      CAST(arrayFold((acc, x) -> acc * 2 + x, a3, CAST(0 AS BIGINT)) AS BIGINT) AS r_fold,
+                      CAST(countEqual(a3, q) AS BIGINT) AS c_eq,
                       arrayStringConcat(arrayMap(x -> toString(x), range(3)), ',') AS rng1,
                       arrayStringConcat(arrayMap(x -> toString(x), range(2, 5)), ',') AS rng2,
                       arrayStringConcat(arrayMap(x -> toString(x), range(1, 10, 3)), ',') AS rng3
@@ -304,6 +306,8 @@ object Arrays {
                    concat(CAST(ln AS VARCHAR), ',', CAST(ln AS VARCHAR)) AS repeated,
                    CASE WHEN q >= ln THEN concat(CAST(q AS VARCHAR), ',', CAST(q AS VARCHAR), ',', CAST(ln AS VARCHAR))
                         ELSE concat(CAST(ln AS VARCHAR), ',', CAST(q AS VARCHAR), ',', CAST(q AS VARCHAR)) END AS rsorted,
+                   6 * q + ln AS r_fold,
+                   CASE WHEN q = ln THEN CAST(3 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS c_eq,
                    '0,1,2' AS rng1, '2,3,4' AS rng2, '1,4,7' AS rng3
             FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
                          CAST(l_quantity AS BIGINT) AS q,

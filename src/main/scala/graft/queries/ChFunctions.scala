@@ -265,6 +265,29 @@ object ChFunctions {
             ORDER BY c_custkey"""),
   )
 
+  /** Client-side trailing clauses run verbatim: every ClickHouse
+    * console/driver appends `FORMAT <name>`, and migrated queries
+    * carry per-query `SETTINGS k = v` engine knobs — both are
+    * execution/rendering hints with no semantic content, stripped
+    * end-anchored by ChSqlParser (right to left, so the combined
+    * `SETTINGS … FORMAT …` tail unwinds too). */
+  val q29h = GraftQuery(
+    "q29h_settings_format",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_sf")
+      s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+                      round(sum(o_totalprice), 2) AS total
+               FROM orders_sf
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority
+               SETTINGS max_threads = 8, max_memory_usage = 10000000000
+               FORMAT PrettyCompact""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
   /** The Map-data-type function family in CH spelling: construction,
     * key/value access, containment (exact + LIKE), element-wise
     * mapAdd/mapSubtract/mapUpdate, and the (k, v)-lambda family
@@ -1142,5 +1165,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q38, q21b)
+        q29e, q29f, q29g, q29h, q38, q21b)
 }

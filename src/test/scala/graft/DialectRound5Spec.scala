@@ -427,6 +427,33 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getDouble(6) == 2.0 && r.getDouble(7) == 2.0 && r.getLong(8) == 3L)
   }
 
+  test("arrayFold, countEqual, arrayAUC") {
+    val r = spark.sql(
+      """SELECT arrayFold((acc, x) -> acc * 10 + x, array(1L, 2L, 3L), 0L) AS f,
+        |       countEqual(array(1, 2, 1, NULL, 1), 1) AS ce,
+        |       countEqual(array(1, NULL, 2), NULL) AS cn,
+        |       round(arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)), 6) AS auc,
+        |       round(arrayAUC(array(0.5, 0.5), array(0, 1)), 6) AS auc_tie,
+        |       arrayAUC(array(0.3, 0.7), array(1, 1)) AS auc_one_class""".stripMargin).head()
+    assert(r.getLong(0) == 123L)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.75) // the classic sklearn roc_auc_score example
+    assert(r.getDouble(4) == 0.5)  // tied scores -> chance
+    assert(r.getDouble(5).isNaN)   // one class absent
+  }
+
+  test("trailing SETTINGS / FORMAT clauses strip end-anchored") {
+    import graft.plans.ChSqlParser.rewriteParametric
+    assert(rewriteParametric("SELECT 1 FORMAT JSON") == "SELECT 1")
+    assert(rewriteParametric("SELECT 1 SETTINGS max_threads = 8") == "SELECT 1")
+    assert(rewriteParametric(
+      "SELECT a FROM t ORDER BY a SETTINGS max_threads = 8, join_algorithm = 'hash' FORMAT Pretty")
+      == "SELECT a FROM t ORDER BY a")
+    // mid-query occurrences (subquery text, identifiers) are untouched
+    val mid = "SELECT format FROM t WHERE settings = 1"
+    assert(rewriteParametric(mid) == mid)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
