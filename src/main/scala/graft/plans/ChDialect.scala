@@ -198,6 +198,30 @@ object ChDialect {
       case _            => throw new IllegalArgumentException("quantileExactWeighted takes (level)(expr, weight)")
     }),
     "groupArray" -> (es => CollectList(es.head)),
+    // exact nearest-rank quantile variants over the sorted group
+    // array: Low takes floor((n−1)·q), High takes ceil — CH's two
+    // discrete selectors (Percentile interpolates, these never do)
+    "quantileExactLow"  -> (es => exactRankQuantile(es, high = false)),
+    "quantileExactHigh" -> (es => exactRankQuantile(es, high = true)),
+    // groupArraySorted(n)(x): the first n values in ascending order
+    "groupArraySorted" -> (es => es match {
+      case Seq(n, x) => Slice(SortArray(CollectList(x).toAggregateExpression(), Literal(true)), Literal(1), n)
+      case Seq(x)    => SortArray(CollectList(x).toAggregateExpression(), Literal(true))
+      case _         => throw new IllegalArgumentException("groupArraySorted takes (n)(expr)")
+    }),
+    // numerically-stable spellings: Spark's moment aggregates already
+    // use Welford-style streaming updates, so the *Stable names bind
+    // to the same expressions
+    "varPopStable"    -> (es => VariancePop(Cast(es.head, DoubleType))),
+    "varSampStable"   -> (es => VarianceSamp(Cast(es.head, DoubleType))),
+    "stddevPopStable" -> (es => StddevPop(Cast(es.head, DoubleType))),
+    "stddevSampStable" -> (es => StddevSamp(Cast(es.head, DoubleType))),
+    "covarPopStable"  -> (es => CovPopulation(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    "covarSampStable" -> (es => CovSample(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    "corrStable"      -> (es => Corr(Cast(es(0), DoubleType), Cast(es(1), DoubleType))),
+    // CH sums wrap on overflow for fixed-width ints; Long arithmetic
+    // here wraps the same way, so the spelling is the plain Sum
+    "sumWithOverflow" -> (es => Sum(es.head)),
     // groupArrayMovingSum/Avg(n)(x): per-position moving window over
     // the group's SORTED value array (ClickHouse leaves insertion
     // order undefined in distributed tables; sorting makes the result
@@ -1113,6 +1137,22 @@ object ChDialect {
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  /** quantileExactLow/High(q)(x): the discrete nearest-rank selector
+    * over the sorted group array — index floor/ceil((n−1)·q), 1-based
+    * ElementAt. The CollectList subtree is shared with any other
+    * sorted-array aggregate in the same projection by planner dedup. */
+  private def exactRankQuantile(es: Seq[Expression], high: Boolean): Expression = {
+    val (q, x) = es match {
+      case Seq(q0, x0) => (Cast(q0, DoubleType), x0)
+      case Seq(x0)     => (Literal(0.5d), x0)
+      case _ => throw new IllegalArgumentException("quantileExactLow/High take (level)(expr)")
+    }
+    val arr  = SortArray(CollectList(x).toAggregateExpression(), Literal(true))
+    val nm1  = Cast(Subtract(Size(arr), Literal(1)), DoubleType)
+    val idx0 = if (high) Ceil(Multiply(q, nm1)) else Floor(Multiply(q, nm1))
+    ElementAt(arr, Cast(Add(idx0, Literal(1L)), IntegerType), None, failOnError = false)
+  }
 
   /** get_json_object with a ClickHouse-style path: each trailing arg
     * is a key (string) or 1-based array index (integer literal);

@@ -53,7 +53,7 @@ object ChSqlParser {
     * there): bare tokens without parens, or quoted strings which MAY
     * contain parens (sequenceMatch's `'(?1).*(?2)'`). */
   private val Parametric =
-    """\b(quantileExactWeighted|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].
@@ -105,6 +105,37 @@ object ChSqlParser {
     * left). */
   private val SettingsClause =
     """(?is)\s+SETTINGS\s+\w+\s*=\s*(?:'[^']*'|[^,;\s]+)(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[^,;\s]+))*\s*;?\s*$""".r
+
+  /** ClickHouse scalar WITH: `WITH <expr> AS <ident>, … SELECT …`
+    * names a per-query constant (not a CTE — those parenthesize a
+    * SELECT). Spark has no equivalent form, so each ident substitutes
+    * as `(expr)` throughout the SELECT body — word-bounded and
+    * outside string literals. Applies ONLY when no definition
+    * contains a SELECT: real CTEs (and the unsupported scalar-
+    * subquery WITH) pass through untouched and parse on their own
+    * merits, never silently wrong. Caveat: a BARE ident as a select
+    * item surfaces under the substituted expression's derived name,
+    * not the ident (ClickHouse keeps the ident) — alias explicitly
+    * when the output name matters, as migrated queries do. */
+  private val WithConstant = """(?is)^\s*WITH\s+(.+?)\s+(SELECT\b.*)$""".r
+
+  private def rewriteWithConstants(sql: String): String = sql match {
+    case WithConstant(defs, rest) if !defs.toUpperCase.contains("SELECT") =>
+      val pairs = splitTopLevel(defs).map {
+        case ArrayJoinPair(e, a) => Some((e.trim, a))
+        case _                   => None
+      }
+      if (pairs.exists(_.isEmpty)) sql
+      else pairs.flatten.foldLeft(rest) { case (acc, (expr, ident)) =>
+        val pat = ("""\b""" + ident + """\b""").r
+        acc.split("'", -1).zipWithIndex.map { case (seg, i) =>
+          if (i % 2 == 0)
+            pat.replaceAllIn(seg, scala.util.matching.Regex.quoteReplacement(s"($expr)"))
+          else seg
+        }.mkString("'")
+      }
+    case _ => sql
+  }
 
   /** Apply the GLOBAL strip on the segments OUTSIDE single-quoted
     * string literals (split preserves quote parity: even indexes are
@@ -288,6 +319,7 @@ object ChSqlParser {
     // their clause at the end of the text
     var out = FormatClause.replaceAllIn(sql, "")
     out = SettingsClause.replaceAllIn(out, "")
+    out = rewriteWithConstants(out)
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")

@@ -265,6 +265,61 @@ object ChFunctions {
             ORDER BY c_custkey"""),
   )
 
+  /** Discrete exact-quantile selectors (quantileExactLow/High — the
+    * never-interpolating variants), groupArraySorted(n) and the
+    * *Stable / sumWithOverflow aliases. The oracle rebuilds the
+    * nearest-rank indexes over DuckDB's sorted lists. */
+  val q22d = GraftQuery(
+    "q22d_exact_variants",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_eq")
+      s.sql("""SELECT l_returnflag,
+                      round(quantileExactLow(0.5)(l_quantity), 2) AS q_low,
+                      round(quantileExactHigh(0.5)(l_quantity), 2) AS q_high,
+                      round(quantileExactLow(0.25)(l_quantity), 2) AS q1_low,
+                      arrayStringConcat(arrayMap(x -> toString(x),
+                        groupArraySorted(5)(CAST(l_quantity AS BIGINT))), ',') AS first5,
+                      round(sumWithOverflow(l_quantity), 2) AS s,
+                      round(stddevPopStable(l_quantity), 4) AS sd
+               FROM lineitem_eq WHERE l_orderkey <= 2000
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH g AS (SELECT l_returnflag,
+                              list_sort(list(l_quantity)) AS arr,
+                              list_sort(list(CAST(l_quantity AS BIGINT))) AS arrb,
+                              round(sum(l_quantity), 2) AS s,
+                              round(stddev_pop(l_quantity), 4) AS sd
+                       FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
+            SELECT l_returnflag,
+                   round(arr[CAST(floor(0.5 * (len(arr) - 1)) AS INT) + 1], 2) AS q_low,
+                   round(arr[CAST(ceil(0.5 * (len(arr) - 1)) AS INT) + 1], 2) AS q_high,
+                   round(arr[CAST(floor(0.25 * (len(arr) - 1)) AS INT) + 1], 2) AS q1_low,
+                   array_to_string(list_slice(arrb, 1, 5), ',') AS first5,
+                   s, sd
+            FROM g ORDER BY l_returnflag"""),
+  )
+
+  /** ClickHouse's scalar WITH — `WITH <expr> AS <ident> SELECT …`
+    * names a per-query constant (NOT a CTE). ChSqlParser substitutes
+    * each ident as (expr) through the body; real CTEs are untouched
+    * (q29g proves those separately). */
+  val q29i = GraftQuery(
+    "q29i_scalar_with",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_sw")
+      s.sql("""WITH toYear(DATE '1995-06-15') AS yr, 5 AS topn
+               SELECT o_orderpriority, count(*) AS cnt
+               FROM orders_sw
+               WHERE toYear(o_orderdate) = yr
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority
+               LIMIT topn""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt
+            FROM orders WHERE year(o_orderdate) = 1995
+            GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 5"""),
+  )
+
   /** Client-side trailing clauses run verbatim: every ClickHouse
     * console/driver appends `FORMAT <name>`, and migrated queries
     * carry per-query `SETTINGS k = v` engine knobs — both are
@@ -1163,7 +1218,7 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q22c, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
+    Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q38, q21b)
+        q29e, q29f, q29g, q29h, q29i, q38, q21b)
 }

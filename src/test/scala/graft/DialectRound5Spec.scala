@@ -454,6 +454,29 @@ class DialectRound5Spec extends SparkSpec {
     assert(rewriteParametric(mid) == mid)
   }
 
+  test("scalar WITH substitutes constants; CTEs pass through untouched") {
+    import graft.plans.ChSqlParser.rewriteParametric
+    assert(rewriteParametric("WITH 5 AS n SELECT n * 2 AS x FROM t")
+      == "SELECT (5) * 2 AS x FROM t")
+    assert(rewriteParametric("WITH toYear(d) AS yr, 2 AS k SELECT yr, k FROM t WHERE yr > k")
+      == "SELECT (toYear(d)), (2) FROM t WHERE (toYear(d)) > (2)")
+    // word boundary: ident `n` must not rewrite inside `name`
+    assert(rewriteParametric("WITH 5 AS n SELECT name, n FROM t")
+      == "SELECT name, (5) FROM t")
+    // string literals survive
+    assert(rewriteParametric("WITH 5 AS n SELECT 'n is n', n FROM t")
+      == "SELECT 'n is n', (5) FROM t")
+    // a real CTE is untouched
+    val cte = "WITH big AS (SELECT k FROM t) SELECT * FROM big"
+    assert(rewriteParametric(cte) == cte)
+    // exact-quantile variants resolve end to end
+    val r = spark.sql(
+      """SELECT quantileExactLow(0.5)(v) AS lo, quantileExactHigh(0.5)(v) AS hi,
+        |       quantileExactLow(0.0)(v) AS mn, quantileExactHigh(1.0)(v) AS mx
+        |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 4)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
