@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
@@ -244,6 +244,35 @@ object ChDialect {
     "toInt32"    -> (es => Cast(es.head, org.apache.spark.sql.types.IntegerType)),
     "toString"   -> (es => Cast(es.head, org.apache.spark.sql.types.StringType)),
     "toDateTime" -> (es => Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+    // -- OrNull/OrZero conversions: ClickHouse's forgiving parses are
+    // exactly Spark's TRY cast (NULL on malformed input), with the
+    // zero default coalesced on top. parseDateTimeBestEffort maps to
+    // the timestamp cast (ISO-ish inputs; CH accepts more exotic
+    // spellings — documented subset).
+    "toInt64OrNull"   -> (es => tryCastTo(es.head, LongType)),
+    "toInt32OrNull"   -> (es => tryCastTo(es.head, IntegerType)),
+    "toFloat64OrNull" -> (es => tryCastTo(es.head, DoubleType)),
+    "toDateOrNull"    -> (es => tryCastTo(es.head, DateType)),
+    "toDateTimeOrNull" -> (es => tryCastTo(es.head, TimestampType)),
+    "toInt64OrZero"   -> (es => Coalesce(Seq(tryCastTo(es.head, LongType), Literal(0L)))),
+    "toInt32OrZero"   -> (es => Coalesce(Seq(tryCastTo(es.head, IntegerType), Literal(0)))),
+    "toFloat64OrZero" -> (es => Coalesce(Seq(tryCastTo(es.head, DoubleType), Literal(0.0d)))),
+    "parseDateTimeBestEffort"       -> (es => Cast(es.head, TimestampType)),
+    "parseDateTimeBestEffortOrNull" -> (es => tryCastTo(es.head, TimestampType)),
+    // ISO week numbering; ISO year = the year of that week's Thursday
+    // (Monday truncation + 3 days)
+    "toISOWeek" -> (es => WeekOfYear(Cast(es.head, DateType))),
+    "toISOYear" -> (es => Year(DateAdd(TruncDate(Cast(es.head, DateType), Literal("week")), Literal(3)))),
+    // epoch-based bucket indexes (UTC session, SURVEY §5)
+    "toRelativeDayNum"    -> (es => DateDiff(Cast(es.head, DateType), Literal.create(0, DateType))),
+    "toRelativeHourNum"   -> (es => new IntegralDivide(Cast(Cast(es.head, TimestampType), LongType), Literal(3600L))),
+    "toRelativeMinuteNum" -> (es => new IntegralDivide(Cast(Cast(es.head, TimestampType), LongType), Literal(60L))),
+    "timeSlot"            -> (es => secondBucket(es.head, 1800L)),
+    "toStartOfHalfHour"   -> (es => secondBucket(es.head, 1800L)),
+    // -If on the distinct-count family
+    "uniqIf"          -> (es => HyperLogLogPlusPlus(nullIfNot(es(1), es(0)))),
+    "uniqExactIf"     -> (es => Count(Seq(nullIfNot(es(1), es(0)))).toAggregateExpression(isDistinct = true)),
+    "countDistinctIf" -> (es => Count(Seq(nullIfNot(es(1), es(0)))).toAggregateExpression(isDistinct = true)),
     // -- date parts (CH numbering: toDayOfWeek is ISO Monday=1..Sunday=7)
     "toYear"       -> (es => Year(es.head)),
     "toQuarter"    -> (es => Quarter(es.head)),
@@ -1137,6 +1166,11 @@ object ChDialect {
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  /** TRY-mode cast: NULL on malformed input instead of the ANSI
+    * error — the OrNull conversion family's core. */
+  private def tryCastTo(e: Expression, dt: DataType): Expression =
+    Cast(e, dt, None, EvalMode.TRY)
 
   /** quantileExactLow/High(q)(x): the discrete nearest-rank selector
     * over the sorted group array — index floor/ceil((n−1)·q), 1-based

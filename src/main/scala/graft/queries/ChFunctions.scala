@@ -320,6 +320,48 @@ object ChFunctions {
             GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 5"""),
   )
 
+  /** Forgiving-conversion family (toInt64OrNull/OrZero,
+    * toFloat64OrNull, toDateOrNull — Spark TRY casts) over inputs
+    * that genuinely fail to parse, plus ISO week/year, the
+    * toRelative*Num epoch indexes and timeSlot half-hour buckets. */
+  val q28h = GraftQuery(
+    "q28h_conversions",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_cv")
+      s.sql("""SELECT o_orderkey,
+                      CAST(toInt64OrNull(s_num) AS BIGINT) AS n_or_null,
+                      CAST(toInt64OrZero(s_num) AS BIGINT) AS n_or_zero,
+                      round(toFloat64OrNull(s_float), 2) AS f_or_null,
+                      toDateOrNull(s_date) AS d_or_null,
+                      CAST(toISOWeek(o_orderdate) AS INT) AS iso_w,
+                      CAST(toISOYear(o_orderdate) AS INT) AS iso_y,
+                      CAST(toRelativeDayNum(o_orderdate) AS INT) AS day_num,
+                      CAST(toRelativeHourNum(o_orderdate) AS BIGINT) AS hour_num,
+                      timeSlot(o_orderdate) AS slot
+               FROM (SELECT o_orderkey, o_orderdate,
+                            CASE WHEN o_orderkey % 3 = 0 THEN 'x'
+                                 ELSE CAST(o_orderkey AS STRING) END AS s_num,
+                            CASE WHEN o_orderkey % 4 = 0 THEN 'oops' ELSE '3.14' END AS s_float,
+                            CASE WHEN o_orderkey % 5 = 0 THEN 'nope'
+                                 ELSE CAST(CAST(o_orderdate AS DATE) AS STRING) END AS s_date
+                     FROM orders_cv WHERE o_orderkey <= 2000) t
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey END AS n_or_null,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE o_orderkey END AS n_or_zero,
+                   CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE 3.14 END AS f_or_null,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE CAST(o_orderdate AS DATE) END AS d_or_null,
+                   CAST(weekofyear(o_orderdate) AS INT) AS iso_w,
+                   CAST(isoyear(o_orderdate) AS INT) AS iso_y,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_num,
+                   CAST(epoch(o_orderdate) // 3600 AS BIGINT) AS hour_num,
+                   CAST(to_timestamp(epoch(o_orderdate) // 1800 * 1800) AS TIMESTAMP) AS slot
+            FROM orders WHERE o_orderkey <= 2000
+            ORDER BY o_orderkey"""),
+  )
+
   /** Client-side trailing clauses run verbatim: every ClickHouse
     * console/driver appends `FORMAT <name>`, and migrated queries
     * carry per-query `SETTINGS k = v` engine knobs — both are
@@ -1219,6 +1261,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q38, q21b)
 }

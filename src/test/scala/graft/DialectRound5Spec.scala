@@ -477,6 +477,27 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 4)
   }
 
+  test("OrNull conversions, ISO calendar, relative nums, -If distincts") {
+    val r = spark.sql(
+      """SELECT toInt64OrNull('42') AS a, toInt64OrNull('nope') AS b,
+        |       toInt64OrZero('nope') AS c, toFloat64OrNull('1.5') AS d,
+        |       toDateOrNull('2024-02-29') AS e, toDateOrNull('2024-02-30') AS f,
+        |       parseDateTimeBestEffortOrNull('2024-01-02 03:04:05') AS g,
+        |       toISOWeek(DATE '2021-01-01') AS w,  -- ISO week 53 of 2020
+        |       toISOYear(DATE '2021-01-01') AS y,
+        |       toRelativeDayNum(DATE '1970-01-11') AS dn,
+        |       toRelativeHourNum(TIMESTAMP '1970-01-02 01:00:00') AS hn""".stripMargin).head()
+    assert(r.getLong(0) == 42L && r.isNullAt(1) && r.getLong(2) == 0L && r.getDouble(3) == 1.5)
+    assert(r.getDate(4).toString == "2024-02-29" && r.isNullAt(5))
+    assert(r.getTimestamp(6).toString.startsWith("2024-01-02 03:04:05"))
+    assert(r.getInt(7) == 53 && r.getInt(8) == 2020)
+    assert(r.getInt(9) == 10 && r.getLong(10) == 25L)
+    val agg = spark.sql(
+      """SELECT uniqExactIf(v, k = 'a') AS ua, countDistinctIf(v, k = 'z') AS uz
+        |FROM VALUES ('a', 1), ('a', 1), ('a', 2), ('b', 9) AS t(k, v)""".stripMargin).head()
+    assert(agg.getLong(0) == 2L && agg.getLong(1) == 0L)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
