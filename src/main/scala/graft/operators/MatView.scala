@@ -74,6 +74,26 @@ object MatView {
   def refresh(batch: DataFrame, spec: Spec, path: String): Unit =
     partials(batch, spec).write.mode("append").parquet(path)
 
+  /** Idempotent refresh for at-least-once delivery (the streaming
+    * face — [[graft.streaming.StreamingMatView]] calls this per
+    * micro-batch): the batch's states land under `batch=<id>/`, and a
+    * replayed id is detected by its `_SUCCESS` marker and skipped —
+    * a partially-written directory (crash mid-write) has no marker
+    * and is safely overwritten. Parquet partition discovery surfaces
+    * the id as a `batch` column, which merge-on-read ignores. Returns
+    * whether the batch was applied. Compact only a QUIESCED store:
+    * compaction drops the markers, so replays older than it would
+    * re-append. */
+  def refreshOnce(batch: DataFrame, spec: Spec, path: String, batchId: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    val fs  = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
+    else {
+      partials(batch, spec).write.mode("overwrite").parquet(dir.toString)
+      true
+    }
+  }
+
   /** Merge-on-read: re-aggregate states by group (-Merge). */
   def read(spark: SparkSession, spec: Spec, path: String): DataFrame = {
     val st = spark.read.parquet(path)

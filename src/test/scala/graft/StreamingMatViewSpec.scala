@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.MatView
+import graft.streaming.StreamingMatView
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Continuous materialized-view maintenance: the streamed store must
+  * equal the batch recompute over everything ingested, and a replayed
+  * micro-batch (at-least-once delivery) must fold away through the
+  * refreshOnce idempotence marker. */
+class StreamingMatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = MatView.spec(Seq("k"),
+    MatView.countState("cnt"),
+    MatView.sumState("s", col("v")),
+    MatView.maxState("hi", col("v")))
+
+  private def storePath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_smv_$tag")
+    d.toFile.deleteOnExit()
+    d.resolve("store").toString
+  }
+
+  private def readMap(path: String): Map[String, (Long, Double, Double)] =
+    MatView.read(spark, spec, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+
+  test("streamed store equals the batch recompute across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = storePath("eq")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_smv_ckpt").toString
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingMatView.attach(input.toDF().toDF("k", "v"), spec, path)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 5.0))
+      q.processAllAvailable()
+      input.addData(("a", 7.0), ("c", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("a", 7.0), ("c", 2.0))
+      .toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("s"), max("v").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(readMap(path) == expected)
+  }
+
+  test("a replayed batch id is skipped; a partial write (no marker) is retried") {
+    val path = storePath("replay")
+    val delta = Seq(("a", 10.0), ("b", 1.0)).toDF("k", "v")
+    assert(MatView.refreshOnce(delta, spec, path, batchId = 0L))
+    val once = readMap(path)
+    // at-least-once redelivery of the same batch id: no double count
+    assert(!MatView.refreshOnce(delta, spec, path, batchId = 0L))
+    assert(readMap(path) == once)
+    // a crashed half-write leaves no _SUCCESS: the retry must apply
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch=1/_SUCCESS"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/batch=1"))
+    assert(MatView.refreshOnce(delta, spec, path, batchId = 1L))
+    assert(readMap(path)("a") == ((2L, 20.0, 10.0)))
+  }
+}
