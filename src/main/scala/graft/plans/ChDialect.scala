@@ -336,6 +336,28 @@ object ChDialect {
       }
     }),
     "formatDateTime" -> (es => DateFormatClass(es.head, es(1))),
+    // age('unit', s, e): COMPLETE units elapsed (dateDiff counts
+    // boundary crossings — age('day', 23:59, 00:01) is 0 where
+    // dateDiff says 1). Month-family units floor months_between
+    // (day-of-month aware); time-family units floor the epoch delta.
+    "age" -> (es => {
+      val unit = litString(es.head, "age unit").toLowerCase
+      val (s, e) = (es(1), es(2))
+      def mb = new MonthsBetween(Cast(e, TimestampType), Cast(s, TimestampType), Literal(false))
+      def secDelta = Subtract(Cast(Cast(e, TimestampType), LongType), Cast(Cast(s, TimestampType), LongType))
+      def fullSecs(w: Long) = new IntegralDivide(secDelta, Literal(w))
+      unit match {
+        case "year"    => Cast(Floor(Divide(mb, Literal(12.0d))), LongType)
+        case "quarter" => Cast(Floor(Divide(mb, Literal(3.0d))), LongType)
+        case "month"   => Cast(Floor(mb), LongType)
+        case "week"    => fullSecs(604800L)
+        case "day"     => fullSecs(86400L)
+        case "hour"    => fullSecs(3600L)
+        case "minute"  => fullSecs(60L)
+        case "second"  => fullSecs(1L)
+        case u => throw new IllegalArgumentException(s"age: unsupported unit '$u'")
+      }
+    }),
     // -- strings (CH names; Spark length/lower/upper are already
     // code-point-correct, so the UTF8 variants map to the same exprs)
     "lengthUTF8" -> (es => Length(es.head)),

@@ -59,7 +59,7 @@ object ChSqlParser {
     * which resolves to the boundary-crossing semantics in [[ChDialect]].
     * Spark's own `dateDiff(DAY, …)` (unquoted unit, a grammar-level
     * timestampdiff alias) doesn't match — the quote is required. */
-  private val QuotedDateDiff = """\bdateDiff\s*\(\s*'""".r
+  private val QuotedDateDiff = """\b(?:dateDiff|date_diff|timestampDiff)\s*\(\s*'""".r
 
   /** ClickHouse PREWHERE is a storage-layer filter hint; under Spark
     * the parquet scan already gets every pushable predicate, so the

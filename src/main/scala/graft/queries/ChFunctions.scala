@@ -337,7 +337,9 @@ object ChFunctions {
                       CAST(toISOYear(o_orderdate) AS INT) AS iso_y,
                       CAST(toRelativeDayNum(o_orderdate) AS INT) AS day_num,
                       CAST(toRelativeHourNum(o_orderdate) AS BIGINT) AS hour_num,
-                      timeSlot(o_orderdate) AS slot
+                      timeSlot(o_orderdate) AS slot,
+                      CAST(age('month', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS BIGINT) AS age_m,
+                      CAST(age('day', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS BIGINT) AS age_d
                FROM (SELECT o_orderkey, o_orderdate,
                             CASE WHEN o_orderkey % 3 = 0 THEN 'x'
                                  ELSE CAST(o_orderkey AS STRING) END AS s_num,
@@ -357,7 +359,10 @@ object ChFunctions {
                    CAST(isoyear(o_orderdate) AS INT) AS iso_y,
                    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_num,
                    CAST(epoch(o_orderdate) // 3600 AS BIGINT) AS hour_num,
-                   CAST(to_timestamp(epoch(o_orderdate) // 1800 * 1800) AS TIMESTAMP) AS slot
+                   CAST(to_timestamp(epoch(o_orderdate) // 1800 * 1800) AS TIMESTAMP) AS slot,
+                   CAST((1998 * 12 + 12) - (year(o_orderdate) * 12 + month(o_orderdate))
+                        - CASE WHEN day(o_orderdate) > 1 THEN 1 ELSE 0 END AS BIGINT) AS age_m,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS age_d
             FROM orders WHERE o_orderkey <= 2000
             ORDER BY o_orderkey"""),
   )

@@ -498,6 +498,21 @@ class DialectRound5Spec extends SparkSpec {
     assert(agg.getLong(0) == 2L && agg.getLong(1) == 0L)
   }
 
+  test("age counts complete units where dateDiff counts boundaries") {
+    val r = spark.sql(
+      """SELECT age('day', TIMESTAMP '2024-01-01 23:59:00', TIMESTAMP '2024-01-02 00:01:00') AS a_d,
+        |       dateDiff('day', TIMESTAMP '2024-01-01 23:59:00', TIMESTAMP '2024-01-02 00:01:00') AS dd_d,
+        |       age('month', TIMESTAMP '2024-01-31 00:00:00', TIMESTAMP '2024-02-01 00:00:00') AS a_m,
+        |       age('month', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-03-15 00:00:00') AS a_m2,
+        |       age('year', TIMESTAMP '2020-06-01 00:00:00', TIMESTAMP '2024-05-30 00:00:00') AS a_y,
+        |       age('hour', TIMESTAMP '2024-01-01 10:30:00', TIMESTAMP '2024-01-01 13:00:00') AS a_h,
+        |       date_diff('week', TIMESTAMP '2024-01-07 00:00:00', TIMESTAMP '2024-01-08 00:00:00') AS dd_w""".stripMargin).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L) // complete days vs day boundary
+    assert(r.getLong(2) == 0L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 2L)
+    assert(r.getLong(6) == 1L) // quoted-unit date_diff routes to boundary semantics (Mon starts new ISO week)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
