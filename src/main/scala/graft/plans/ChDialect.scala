@@ -111,7 +111,9 @@ object ChDialect {
     "toDate"         -> (es => Cast(es.head, DateType)),
     "argMax"         -> (es => MaxBy(es(0), es(1))),
     "argMin"         -> (es => MinBy(es(0), es(1))),
-    "uniq"           -> (es => HyperLogLogPlusPlus(es.head)),
+    // multi-argument uniq counts distinct TUPLES (CH semantics):
+    // the args pack into a struct for the sketch
+    "uniq" -> (es => HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es))),
     "countIf"        -> (es => CountIf(es.head)),
     "sumIf"          -> (es => Sum(nullIfNot(es(1), es(0)))),
     "avgIf"          -> (es => Average(nullIfNot(es(1), es(0)))),
@@ -231,7 +233,15 @@ object ChDialect {
     "groupArrayMovingAvg" -> (es => movingAgg(es, isAvg = true)),
     "groupUniqArray" -> (es => SortArray(CollectSet(es.head).toAggregateExpression(), Literal(true))),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
-    "uniqCombined" -> (es => HyperLogLogPlusPlus(es.head)),
+    // uniqCombined([K])(x): K = log2 of the counter array (CH's
+    // HLL-precision knob) → the equivalent relative standard
+    // deviation 1.04/√2^K for the native HLL++ sketch
+    "uniqCombined" -> (es => es match {
+      case Seq(x) => HyperLogLogPlusPlus(x)
+      case Seq(Literal(k: Int, IntegerType), x) =>
+        HyperLogLogPlusPlus(x, relativeSD = 1.04d / math.sqrt(math.pow(2.0, k.toDouble)))
+      case _ => throw new IllegalArgumentException("uniqCombined takes ([K])(expr)")
+    }),
     "anyLast" -> (es => Last(es.head, ignoreNulls = true)),
     "avgWeighted" -> (es =>
       Divide(Sum(Multiply(es(0), es(1))).toAggregateExpression(),

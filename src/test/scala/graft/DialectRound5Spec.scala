@@ -513,6 +513,17 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getLong(6) == 1L) // quoted-unit date_diff routes to boundary semantics (Mon starts new ISO week)
   }
 
+  test("uniq over tuples; uniqCombined precision knob") {
+    val r = spark.sql(
+      """SELECT uniq(a, b) AS tuples, uniq(a) AS singles,
+        |       uniqCombined(v) AS plain, uniqCombined(16)(v) AS precise
+        |FROM (SELECT id % 4 AS a, id % 2 AS b, id AS v FROM range(1000))""".stripMargin).head()
+    assert(r.getLong(0) == 4L)  // (a, b) pairs: (0,0) (1,1) (2,0) (3,1)
+    assert(r.getLong(1) == 4L)
+    // 1000 distinct values; the K=16 sketch is tighter than default
+    assert(math.abs(r.getLong(3) - 1000L) <= math.abs(r.getLong(2) - 1000L) + 5)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
