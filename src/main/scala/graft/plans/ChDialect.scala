@@ -541,6 +541,13 @@ object ChDialect {
       case Seq(x, _)    => new Percentile(x, Literal(0.5))
       case _ => throw new IllegalArgumentException("quantileDeterministic takes (level)(expr, determinator)")
     }),
+    // adaptive histogram (parametric: histogram(n)(x)) — see
+    // [[GraftHistogram]]; merge-order dependent like the original,
+    // hence rows-only in the registry
+    "histogram" -> (es => es match {
+      case Seq(n, x) => GraftHistogram(n, x)
+      case _         => throw new IllegalArgumentException("histogram takes (bins)(expr)")
+    }),
     // -- behavioral sequence aggregates (parametric spellings
     // windowFunnel(w)(ts, c…) / sequenceMatch('p')(ts, c…) flattened
     // by ChSqlParser, like quantile/topK)

@@ -53,7 +53,7 @@ object ChSqlParser {
     * there): bare tokens without parens, or quoted strings which MAY
     * contain parens (sequenceMatch's `'(?1).*(?2)'`). */
   private val Parametric =
-    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].

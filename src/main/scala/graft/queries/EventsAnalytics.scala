@@ -90,6 +90,31 @@ object EventsAnalytics {
             FROM events GROUP BY 1 ORDER BY bucket"""),
   )
 
+  /** ClickHouse's adaptive `histogram(n)(x)` in its parametric SQL
+    * spelling ([[graft.plans.GraftHistogram]]): bounds emerge from
+    * greedy closest-center merging instead of a pre-declared grid
+    * (q73 is the fixed-grid form). Bin boundaries depend on partial-
+    * merge order, exactly like the original — rows-only (SURVEY ⭕);
+    * the invariants (bin count, conserved mass, nested bounds) are
+    * spec-pinned — and the registry output exposes exactly the
+    * deterministic pair (bin count, total mass), which the oracle
+    * checks as (12, row count). */
+  val q73b = GraftQuery(
+    "q73b_adaptive_histogram",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_ah")
+      s.sql("""SELECT event_type,
+                      CAST(size(h) AS INT) AS n_bins,
+                      round(aggregate(h, CAST(0.0 AS DOUBLE), (acc, b) -> acc + b.height), 0) AS mass
+               FROM (SELECT event_type, histogram(12)(value) AS h
+                     FROM events_ah GROUP BY event_type) t
+               ORDER BY event_type""")
+    },
+    Some("""SELECT event_type, 12 AS n_bins,
+                   round(CAST(count(*) AS DOUBLE), 0) AS mass
+            FROM events GROUP BY 1 ORDER BY event_type"""),
+  )
+
   /** Per-user event_type pivot counts. */
   val q74 = GraftQuery(
     "q74_pivot",
@@ -272,5 +297,5 @@ object EventsAnalytics {
             FROM d GROUP BY 1 ORDER BY user_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q75, q76, q77, q77b, q78, q80)
+  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q73b, q74, q75, q76, q77, q77b, q78, q80)
 }

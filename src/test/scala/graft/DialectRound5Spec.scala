@@ -524,6 +524,27 @@ class DialectRound5Spec extends SparkSpec {
     assert(math.abs(r.getLong(3) - 1000L) <= math.abs(r.getLong(2) - 1000L) + 5)
   }
 
+  test("adaptive histogram: deterministic single-partition bins + invariants") {
+    // 1,2 merge first (closest pair after the cap sweep): two clean bins
+    val one = Seq(1.0, 2.0, 3.0, 4.0).toDF("v").repartition(1)
+      .selectExpr("inline(histogram(2)(v))")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(one.length == 2)
+    assert(one.map(_._3).sum == 4.0)
+    assert(one.forall { case (lo, hi, _) => lo <= hi })
+    // invariants survive multi-partition merges: bin cap, conserved
+    // mass, ordered non-overlapping-center bins
+    val rows = spark.range(5000).selectExpr("CAST(id % 997 AS DOUBLE) AS v")
+      .repartition(11)
+      .selectExpr("inline(histogram(10)(v))")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    assert(rows.map(_._3).sum == 5000.0)
+    assert(rows.forall { case (lo, hi, h) => lo <= hi && h > 0 })
+    val centers = rows.map { case (lo, hi, _) => (lo + hi) / 2 }
+    assert(centers.sameElements(centers.sorted))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
