@@ -51,7 +51,9 @@ object ChDialect {
   }
 
   /** name → (arity check, expression builder). */
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  val functions: Seq[(String, Seq[Expression] => Expression)] = baseFns ++ emptyArrayFns
+
+  private def baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // -- vector math (ClickHouse's L2Distance/cosineDistance family).
     // dot products resolve to the codegen'd [[DotProduct]] expression
     // (the same kernel behind graft_dot and the ANN operators);
@@ -492,6 +494,39 @@ object ChDialect {
       val s = lamVar("gr_s")
       sumFold(arr, LambdaFunction(Divide(s, n), Seq(s)))
     }),
+    // -- Unicode normalization (pre-dedup/fingerprint cleanup) and
+    // the split long tail
+    "normalizeUTF8NFC"  -> (es => NormalizeUtf8(es.head, java.text.Normalizer.Form.NFC)),
+    "normalizeUTF8NFD"  -> (es => NormalizeUtf8(es.head, java.text.Normalizer.Form.NFD)),
+    "normalizeUTF8NFKC" -> (es => NormalizeUtf8(es.head, java.text.Normalizer.Form.NFKC)),
+    "normalizeUTF8NFKD" -> (es => NormalizeUtf8(es.head, java.text.Normalizer.Form.NFKD)),
+    "splitByWhitespace" -> (es => {
+      val x = lamVar("gr_sw_x")
+      ArrayFilter(StringSplit(es.head, Literal("\\s+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(x), Literal(0)), Seq(x)))
+    }),
+    "splitByRegexp" -> (es => StringSplit(es(1), es(0), Literal(-1))),
+    // sumMapFiltered(keep)(keys, vals): sumMap restricted to the keys
+    // in `keep` — pairs are filtered BEFORE aggregation state, so the
+    // per-group map never holds dropped keys
+    "sumMapFiltered" -> (es => {
+      val (keep, keys, vals) = (es(0), es(1), es(2))
+      val k = lamVar("gr_smf_k")
+      val v = lamVar("gr_smf_v")
+      val p = lamVar("gr_smf_p")
+      def field(e: Expression, n: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(n))
+      val pairs = ArrayFilter(
+        ZipWith(keys, vals, LambdaFunction(CreateNamedStruct(Seq(Literal("k"), k, Literal("v"), v)), Seq(k, v))),
+        LambdaFunction(ArrayContains(keep, field(p, "k")), Seq(p)))
+      GraftMapAgg(
+        ArrayTransform(pairs, LambdaFunction(field(p, "k"), Seq(p))),
+        ArrayTransform(pairs, LambdaFunction(field(p, "v"), Seq(p))),
+        "sum")
+    }),
+    // groupBitmap = distinct cardinality (CH's roaring-bitmap state
+    // is an engine detail; the SQL contract is the exact count)
+    "groupBitmap" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
     // -- text tokenization (the search/data-pipeline helpers).
     // tokens splits on non-alphanumeric runs and drops empties;
     // ngrams emits the character n-gram windows ([] when the string
@@ -1205,6 +1240,22 @@ object ChDialect {
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
   )
+
+  /** The emptyArray<Type>() constructors (typed [] literals; UInt64
+    * widens to Long like the rest of the dialect's unsigned story). */
+  private def emptyArrayFns: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.types._
+    def empty(dt: DataType): Seq[Expression] => Expression =
+      _ => Literal.create(Array.empty[Any], ArrayType(dt))
+    Seq(
+      "emptyArrayUInt8" -> empty(IntegerType), "emptyArrayUInt16" -> empty(IntegerType),
+      "emptyArrayUInt32" -> empty(LongType),   "emptyArrayUInt64" -> empty(LongType),
+      "emptyArrayInt8"  -> empty(IntegerType), "emptyArrayInt16"  -> empty(IntegerType),
+      "emptyArrayInt32" -> empty(IntegerType), "emptyArrayInt64"  -> empty(LongType),
+      "emptyArrayFloat32" -> empty(FloatType), "emptyArrayFloat64" -> empty(DoubleType),
+      "emptyArrayDate" -> empty(DateType),     "emptyArrayDateTime" -> empty(TimestampType),
+      "emptyArrayString" -> empty(StringType))
+  }
 
   /** TRY-mode cast: NULL on malformed input instead of the ANSI
     * error — the OrNull conversion family's core. */

@@ -50,10 +50,11 @@ object ChSqlParser {
     * aggregate family. Non-parametric single-list calls of the same
     * names (`quantile(0.5, x)`) don't match (no second `(`). The param
     * list is constants by construction (ClickHouse requires literals
-    * there): bare tokens without parens, or quoted strings which MAY
-    * contain parens (sequenceMatch's `'(?1).*(?2)'`). */
+    * there): bare tokens, quoted strings which MAY contain parens
+    * (sequenceMatch's `'(?1).*(?2)'`), or constant calls nested ONE
+    * level (sumMapFiltered's `array('A', 'N')`). */
   private val Parametric =
-    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|windowFunnel|sequenceMatch|sequenceCount|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].

@@ -634,14 +634,22 @@ object ChFunctions {
       s.sql("""SELECT arrayStringConcat(m.keys, ',') AS flags,
                       arrayStringConcat(arrayMap(x -> toString(x), m.vals), ',') AS sums,
                       CAST(arraySum(m.vals) AS DOUBLE) AS total,
-                      CAST(arrayCount(x -> x > 100000, m.vals) AS INT) AS n_big
-               FROM (SELECT sumMap(array(l_returnflag), array(CAST(l_quantity AS BIGINT))) AS m
+                      CAST(arrayCount(x -> x > 100000, m.vals) AS INT) AS n_big,
+                      arrayStringConcat(mf.keys, ',') AS f_flags,
+                      arrayStringConcat(arrayMap(x -> toString(x), mf.vals), ',') AS f_sums
+               FROM (SELECT sumMap(array(l_returnflag), array(CAST(l_quantity AS BIGINT))) AS m,
+                            sumMapFiltered(array('A', 'N'))(array(l_returnflag),
+                              array(CAST(l_quantity AS BIGINT))) AS mf
                      FROM lineitem_sm) t""")
     },
     Some("""SELECT string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags,
                    string_agg(CAST(s AS VARCHAR), ',' ORDER BY l_returnflag) AS sums,
                    CAST(sum(s) AS DOUBLE) AS total,
-                   CAST(count(CASE WHEN s > 100000 THEN 1 END) AS INT) AS n_big
+                   CAST(count(CASE WHEN s > 100000 THEN 1 END) AS INT) AS n_big,
+                   string_agg(CASE WHEN l_returnflag IN ('A', 'N') THEN l_returnflag END,
+                              ',' ORDER BY l_returnflag) AS f_flags,
+                   string_agg(CASE WHEN l_returnflag IN ('A', 'N') THEN CAST(s AS VARCHAR) END,
+                              ',' ORDER BY l_returnflag) AS f_sums
             FROM (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
                   FROM lineitem GROUP BY 1) t"""),
   )

@@ -545,6 +545,25 @@ class DialectRound5Spec extends SparkSpec {
     assert(centers.sameElements(centers.sorted))
   }
 
+  test("UTF8 normalization, whitespace/regexp splits, empty arrays, groupBitmap") {
+    val r = spark.sql(
+      """SELECT length(normalizeUTF8NFC('é')) AS nfc_len,
+        |       length(normalizeUTF8NFD('é')) AS nfd_len,
+        |       normalizeUTF8NFKC('①') AS circled_one,
+        |       splitByWhitespace('  a  b\tc ') AS sw,
+        |       splitByRegexp('[,;]', 'a,b;c') AS sr,
+        |       emptyArrayInt64() AS ei, emptyArrayString() AS es_arr,
+        |       size(emptyArrayFloat64()) AS ef_size""".stripMargin).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2) // é composes to 1 cp, decomposes to 2
+    assert(r.getString(2) == "1")                // ① NFKC-folds to the digit
+    assert(r.getSeq[String](3) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](4) == Seq("a", "b", "c"))
+    assert(r.getSeq[Long](5) == Seq() && r.getSeq[String](6) == Seq() && r.getInt(7) == 0)
+    val g = spark.sql(
+      "SELECT groupBitmap(v) AS card FROM VALUES (1), (1), (2), (9) AS t(v)").head()
+    assert(g.getLong(0) == 3L)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
