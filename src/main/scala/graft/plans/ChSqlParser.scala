@@ -107,6 +107,50 @@ object ChSqlParser {
   private val SettingsClause =
     """(?is)\s+SETTINGS\s+\w+\s*=\s*(?:'[^']*'|[^,;\s]+)(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[^,;\s]+))*\s*;?\s*$""".r
 
+  /** Trailing `INTO OUTFILE '<path>'` — the console's local-file
+    * export. Output routing is the caller's concern (DataFrames write
+    * wherever asked), so the clause strips; runs after the FORMAT
+    * strip, which CH orders after it. */
+  private val IntoOutfile = """(?is)\s+INTO\s+OUTFILE\s+'[^']*'\s*;?\s*$""".r
+
+  /** `ORDER BY … LIMIT n WITH TIES` → a rank() window wrap: every row
+    * tying with the n-th row's sort key survives. Same supported
+    * subset and loud-failure contract as LIMIT BY: SELECT prefix,
+    * paren-free ORDER list. The final ORDER BY is the ties key — a
+    * caller needing a total output order selects exactly the ORDER BY
+    * columns (ties are duplicates of the key, so that order IS
+    * total). */
+  private val LimitWithTies =
+    """(?is)^\s*(SELECT\b.*\S)\s+ORDER\s+BY\s+([^()]+?)\s+LIMIT\s+(\d+)\s+WITH\s+TIES\s*;?\s*$""".r
+
+  /** ClickHouse type names inside `CAST(x AS <T>)` that Spark's
+    * grammar rejects: Nullable(T) unwraps (every Spark type is
+    * nullable), LowCardinality(String)/FixedString(n) → STRING, the
+    * fixed-width integer/float/DateTime names map to their Spark
+    * equivalents (unsigned widths widen one step). String/Date need
+    * no rewrite — Spark already accepts those spellings — so bare
+    * aliases named like common words are never touched; the mapped
+    * names (UInt32, Float64, …) are not plausible aliases. */
+  private val NullableCast = """(?i)\b(AS\s+)Nullable\s*\(\s*([A-Za-z0-9_]+(?:\s*\(\s*[0-9, ]*\s*\))?)\s*\)""".r
+  private val LowCardCast  = """(?i)\b(AS\s+)LowCardinality\s*\(\s*String\s*\)""".r
+  private val FixedStrCast = """(?i)\b(AS\s+)FixedString\s*\(\s*\d+\s*\)""".r
+  private val ChTypeCast   = """(?i)\b(AS\s+)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Float32|Float64|DateTime64|DateTime)\b""".r
+  private val ChTypeMap = Map(
+    "uint8" -> "SMALLINT", "uint16" -> "INT", "uint32" -> "BIGINT", "uint64" -> "BIGINT",
+    "int8" -> "TINYINT", "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
+    "float32" -> "FLOAT", "float64" -> "DOUBLE", "datetime" -> "TIMESTAMP", "datetime64" -> "TIMESTAMP")
+
+  private def rewriteChTypes(sql: String): String = {
+    var out = NullableCast.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}${m.group(2)}"))
+    out = LowCardCast.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
+    out = FixedStrCast.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
+    ChTypeCast.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}${ChTypeMap(m.group(2).toLowerCase)}"))
+  }
+
   /** ClickHouse scalar WITH: `WITH <expr> AS <ident>, … SELECT …`
     * names a per-query constant (not a CTE — those parenthesize a
     * SELECT). Spark has no equivalent form, so each ident substitutes
@@ -173,9 +217,10 @@ object ChSqlParser {
   private val LimitBy =
     """(?is)^\s*(SELECT\b.*\S)\s+ORDER\s+BY\s+([^()]+?)\s+LIMIT\s+(\d+)\s+BY\s+([^()]+?)\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""".r
 
-  /** ClickHouse `FROM numbers(N)` (the system.numbers table function)
-    * → Spark's `range(N)`, aliased to CH's column name `number`. */
-  private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*\)""".r
+  /** ClickHouse `FROM numbers(N)` / `numbers(start, count)` (the
+    * system.numbers table function) → Spark's `range`, aliased to
+    * CH's column name `number`. */
+  private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
   /** ClickHouse `FROM table FINAL` (ReplacingMergeTree collapse at
     * read time) → `FROM table_final`, the engine's convention for the
@@ -319,8 +364,10 @@ object ChSqlParser {
     // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
     // their clause at the end of the text
     var out = FormatClause.replaceAllIn(sql, "")
+    out = IntoOutfile.replaceAllIn(out, "")
     out = SettingsClause.replaceAllIn(out, "")
     out = rewriteWithConstants(out)
+    out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
@@ -334,8 +381,19 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
     out = rewriteArrayJoin(out)
     out = rewriteWithFill(out)
-    out = NumbersFn.replaceAllIn(out, m =>
-      s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
+    out = NumbersFn.replaceAllIn(out, m => Option(m.group(2)) match {
+      case Some(count) =>
+        s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"
+      case None => s"FROM (SELECT id AS number FROM range(${m.group(1)}))"
+    })
+    out = LimitWithTies.replaceAllIn(out, m => {
+      val (prefix, ord, n) = (m.group(1), m.group(2), m.group(3))
+      scala.util.matching.Regex.quoteReplacement(
+        s"""SELECT * EXCEPT (gr_rk__) FROM (
+           |  SELECT *, rank() OVER (ORDER BY $ord) AS gr_rk__
+           |  FROM ($prefix)
+           |) WHERE gr_rk__ <= $n ORDER BY $ord""".stripMargin)
+    })
     out = LimitBy.replaceAllIn(out, m => {
       val (prefix, ord, n, cols) = (m.group(1), m.group(2), m.group(3), m.group(4))
       val outerLimit = Option(m.group(5)).map(l => s" LIMIT $l").getOrElse("")

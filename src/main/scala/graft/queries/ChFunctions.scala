@@ -367,6 +367,55 @@ object ChFunctions {
             ORDER BY o_orderkey"""),
   )
 
+  /** ClickHouse type names run verbatim inside CAST: Nullable(T)
+    * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
+    * fixed-width numeric/DateTime names map to Spark equivalents
+    * (unsigned widths widen a step). A trailing INTO OUTFILE also
+    * strips, like FORMAT/SETTINGS. */
+  val q29j = GraftQuery(
+    "q29j_ch_types",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_ct")
+      s.sql("""SELECT CAST(o_orderpriority AS LowCardinality(String)) AS prio,
+                      CAST(count(*) AS UInt32) AS cnt,
+                      round(CAST(avg(o_totalprice) AS Float64), 2) AS avg_p,
+                      CAST(max(o_orderkey) AS Nullable(Int64)) AS mx,
+                      CAST(min(o_orderkey) AS UInt16) AS mn,
+                      CAST(max(o_orderdate) AS DateTime) AS latest
+               FROM orders_ct
+               GROUP BY o_orderpriority
+               ORDER BY prio
+               INTO OUTFILE '/tmp/never-written.csv'
+               FORMAT CSV""")
+    },
+    Some("""SELECT o_orderpriority AS prio,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(avg(o_totalprice), 2) AS avg_p,
+                   CAST(max(o_orderkey) AS BIGINT) AS mx,
+                   CAST(min(o_orderkey) AS INT) AS mn,
+                   CAST(max(o_orderdate) AS TIMESTAMP) AS latest
+            FROM orders GROUP BY 1 ORDER BY prio"""),
+  )
+
+  /** `LIMIT n WITH TIES` verbatim: every row tying with the n-th
+    * row's sort key survives (rank() window wrap). The query selects
+    * exactly the ORDER BY column so the output order is total — the
+    * §5 determinism convention for a ties query. */
+  val q29k = GraftQuery(
+    "q29k_limit_ties",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_wt")
+      s.sql("""SELECT bucket FROM (SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bucket
+                                   FROM orders_wt WHERE o_orderkey <= 500) t
+               ORDER BY bucket LIMIT 10 WITH TIES""")
+    },
+    Some("""WITH t AS (SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bucket
+                       FROM orders WHERE o_orderkey <= 500),
+                 k AS (SELECT bucket AS cut FROM t ORDER BY bucket LIMIT 1 OFFSET 9)
+            SELECT bucket FROM t WHERE bucket <= (SELECT cut FROM k)
+            ORDER BY bucket"""),
+  )
+
   /** Client-side trailing clauses run verbatim: every ClickHouse
     * console/driver appends `FORMAT <name>`, and migrated queries
     * carry per-query `SETTINGS k = v` engine knobs — both are
@@ -1275,5 +1324,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q38, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q38, q21b)
 }

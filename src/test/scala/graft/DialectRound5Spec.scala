@@ -564,6 +564,24 @@ class DialectRound5Spec extends SparkSpec {
     assert(g.getLong(0) == 3L)
   }
 
+  test("CH type casts, numbers(start, count), LIMIT WITH TIES, INTO OUTFILE") {
+    import graft.plans.ChSqlParser.rewriteParametric
+    assert(rewriteParametric("SELECT CAST(x AS UInt32), CAST(y AS Nullable(Int64)) FROM t")
+      == "SELECT CAST(x AS BIGINT), CAST(y AS BIGINT) FROM t")
+    assert(rewriteParametric("CAST(s AS LowCardinality(String)), CAST(f AS FixedString(8))")
+      == "CAST(s AS STRING), CAST(f AS STRING)")
+    // String/Date are valid Spark spellings already: untouched
+    assert(rewriteParametric("SELECT CAST(x AS String), CAST(d AS Date) FROM t")
+      == "SELECT CAST(x AS String), CAST(d AS Date) FROM t")
+    val nums = spark.sql("SELECT max(number) AS m, count(*) AS c FROM numbers(5, 10)").head()
+    assert(nums.getLong(0) == 14L && nums.getLong(1) == 10L)
+    val ties = spark.sql(
+      """SELECT v FROM (SELECT CAST(id / 3 AS INT) AS v FROM range(12)) t
+        |ORDER BY v LIMIT 4 WITH TIES""".stripMargin).collect().map(_.getInt(0))
+    assert(ties.toSeq == Seq(0, 0, 0, 1, 1, 1)) // the 4th row's key (1) keeps its ties
+    assert(rewriteParametric("SELECT 1 INTO OUTFILE '/tmp/x.csv' FORMAT CSV") == "SELECT 1")
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
