@@ -945,10 +945,35 @@ object ChDialect {
     "roundAge" -> (es => stepLadder(es.head, Seq(18, 25, 35, 45, 55))),
     // caseWithExpression(x, from, to, default) — ClickHouse's value
     // remapper (its `transform`, renamed: Spark's transform is the HOF)
-    "caseWithExpression" -> (es => {
-      val pos = ArrayPosition(es(1), es(0))
-      If(GreaterThan(pos, Literal(0L)), ElementAt(es(2), Cast(pos, IntegerType)), es(3))
+    "caseWithExpression" -> (es => remap(es(0), es(1), es(2), es(3))),
+    // `transform` itself dispatches on shape: a lambda second arg is
+    // Spark's HOF (unchanged semantics), 3–4 plain args are the CH
+    // value remapper — the 3-arg form keeps x itself when unmatched
+    "transform" -> (es => es match {
+      case Seq(a, l: LambdaFunction)  => ArrayTransform(a, l)
+      case Seq(x, from, to)           => remap(x, from, to, x)
+      case Seq(x, from, to, d)        => remap(x, from, to, d)
+      case _ => throw new IllegalArgumentException(
+        "transform takes (array, lambda) or (x, from, to[, default])")
     }),
+    // string similarity long tail: native levenshtein under the CH
+    // names; stringJaccardIndex is the character-SET Jaccard
+    "editDistance"        -> (es => Levenshtein(es(0), es(1))),
+    "levenshteinDistance" -> (es => Levenshtein(es(0), es(1))),
+    "stringJaccardIndex"  -> (es => {
+      def chars(e: Expression) = ArrayDistinct(StringSplit(e, Literal(""), Literal(-1)))
+      val (a, b) = (chars(es(0)), chars(es(1)))
+      val inter = Cast(Size(ArrayIntersect(a, b)), DoubleType)
+      val union = Cast(Size(ArrayUnion(a, b)), DoubleType)
+      If(EqualTo(union, Literal(0.0d)), Literal(1.0d), Divide(inter, union))
+    }),
+    // extractKeyValuePairs / mapFromString ('a:1,b:2' → map) on the
+    // native str_to_map; CH arg order is (text[, kvDelim[, pairDelim]])
+    "extractKeyValuePairs" -> (es => StringToMap(es(0),
+      if (es.length > 2) es(2) else Literal(","),
+      if (es.length > 1) es(1) else Literal(":"))),
+    "arrayElement" -> (es => ElementAt(es(0), es(1), None, failOnError = false)),
+    "concatAssumeInjective" -> (es => Concat(es)),
     // great-circle distance in meters (haversine, R = 6371 km — CH's
     // spherical model); args (lon1, lat1, lon2, lat2) in degrees
     "greatCircleDistance" -> (es => {
@@ -1453,6 +1478,13 @@ object ChDialect {
         sumFold(slice, LambdaFunction(Divide(s, Cast(len, DoubleType)), Seq(s)))
       } else sumFold(slice, LambdaFunction.identity)
     ArrayTransform(arr, LambdaFunction(body, Seq(v, i)))
+  }
+
+  /** ClickHouse's transform/caseWithExpression remap: x found in
+    * `from` → the matching `to` element, else `default`. */
+  private def remap(x: Expression, from: Expression, to: Expression, default: Expression): Expression = {
+    val pos = ArrayPosition(from, x)
+    If(GreaterThan(pos, Literal(0L)), ElementAt(to, Cast(pos, IntegerType)), default)
   }
 
   /** Round x down to the largest step ≤ x (0 below the first step) —

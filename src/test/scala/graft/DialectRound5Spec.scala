@@ -582,6 +582,27 @@ class DialectRound5Spec extends SparkSpec {
     assert(rewriteParametric("SELECT 1 INTO OUTFILE '/tmp/x.csv' FORMAT CSV") == "SELECT 1")
   }
 
+  test("transform dispatch, edit distance, string Jaccard, key-value parse") {
+    val r = spark.sql(
+      """SELECT transform(array(1, 2, 3), x -> x * 10) AS hof,
+        |       transform(2, array(1, 2), array('a', 'b'), 'z') AS hit,
+        |       transform(9, array(1, 2), array('a', 'b'), 'z') AS miss,
+        |       transform(9, array(1, 2), array(10, 20)) AS keep_self,
+        |       caseWithExpression(1, array(1), array('one'), '?') AS cwe,
+        |       editDistance('kitten', 'sitting') AS ed,
+        |       round(stringJaccardIndex('abc', 'bcd'), 4) AS sj,
+        |       round(stringJaccardIndex('', ''), 4) AS sj_empty,
+        |       element_at(extractKeyValuePairs('a:1,b:2'), 'b') AS kv,
+        |       arrayElement(array(5, 6, 7), -1) AS last_el,
+        |       concatAssumeInjective('x', 'y') AS cai""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(10, 20, 30))
+    assert(r.getString(1) == "b" && r.getString(2) == "z")
+    assert(r.getInt(3) == 9 && r.getString(4) == "one")
+    assert(r.getInt(5) == 3)
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 1.0)
+    assert(r.getString(8) == "2" && r.getInt(9) == 7 && r.getString(10) == "xy")
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
