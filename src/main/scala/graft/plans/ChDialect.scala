@@ -698,9 +698,33 @@ object ChDialect {
         Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(mult))
       Add(Add(octet(0, 16777216L), octet(1, 65536L)), Add(octet(2, 256L), octet(3, 1L)))
     }),
-    // -- unix-time conversions
+    // -- unix-time conversions (the 64-suffixed family is CH's
+    // DateTime64 sub-second story; micros are Spark's native
+    // resolution, nanos round-trip through a ×1000)
     "toUnixTimestamp"   -> (es => Cast(Cast(es.head, org.apache.spark.sql.types.TimestampType), LongType)),
     "fromUnixTimestamp" -> (es => SecondsToTimestamp(es.head)),
+    "fromUnixTimestamp64Milli" -> (es => MillisToTimestamp(es.head)),
+    "fromUnixTimestamp64Micro" -> (es => MicrosToTimestamp(es.head)),
+    "fromUnixTimestamp64Nano"  -> (es => MicrosToTimestamp(new IntegralDivide(Cast(es.head, LongType), Literal(1000L)))),
+    "toUnixTimestamp64Milli" -> (es => UnixMillis(Cast(es.head, TimestampType))),
+    "toUnixTimestamp64Micro" -> (es => UnixMicros(Cast(es.head, TimestampType))),
+    "toUnixTimestamp64Nano"  -> (es => Multiply(UnixMicros(Cast(es.head, TimestampType)), Literal(1000L))),
+    "toDateTime64"      -> (es => Cast(es.head, TimestampType)),
+    "toStartOfSecond"   -> (es => secondBucket(es.head, 1L)),
+    // arrayRotate: cyclic shift by n (mod size, negative = the other
+    // direction); arrayShift: drop + pad with `fill` (or the element
+    // type's NULL via the out-of-bounds ElementAt trick)
+    "arrayRotateLeft"  -> (es => arrayRotate(es(0), Cast(es(1), IntegerType))),
+    "arrayRotateRight" -> (es => arrayRotate(es(0), UnaryMinus(Cast(es(1), IntegerType)))),
+    "arrayShiftLeft"   -> (es => arrayShift(es(0), Cast(es(1), IntegerType),
+      if (es.length > 2) es(2) else nullOfElementType(es(0)), left = true)),
+    "arrayShiftRight"  -> (es => arrayShift(es(0), Cast(es(1), IntegerType),
+      if (es.length > 2) es(2) else nullOfElementType(es(0)), left = false)),
+    // indexHint evaluates its argument only for index pruning and
+    // always returns 1; Spark's pushdown already prunes, so the
+    // result contract is all that remains
+    "indexHint" -> (_ => Literal(1)),
+    "byteSize"  -> (es => OctetLength(es.head)),
     // -- string long tail
     "splitByString" -> (es => // (sep, s) like splitByChar; literal-quoted
       StringSplit(es(1), Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))),
@@ -1478,6 +1502,31 @@ object ChDialect {
         sumFold(slice, LambdaFunction(Divide(s, Cast(len, DoubleType)), Seq(s)))
       } else sumFold(slice, LambdaFunction.identity)
     ArrayTransform(arr, LambdaFunction(body, Seq(v, i)))
+  }
+
+  /** A NULL typed as the array's element type (ElementAt past the
+    * end with failOnError = false). */
+  private def nullOfElementType(arr: Expression): Expression =
+    ElementAt(arr, Add(Size(arr), Literal(1)), None, failOnError = false)
+
+  /** Cyclic rotate left by n (negative n rotates right); n reduces
+    * mod size with the sign folded in, empty arrays pass through. */
+  private def arrayRotate(arr: Expression, n: Expression): Expression = {
+    val size = Size(arr)
+    val k = Remainder(Add(Remainder(n, size), size), size) // true mod, ≥ 0
+    If(Or(LessThanOrEqual(size, Literal(0)), EqualTo(k, Literal(0))), arr,
+      Concat(Seq(Slice(arr, Add(k, Literal(1)), size), Slice(arr, Literal(1), k))))
+  }
+
+  /** Shift left/right by n, padding the vacated tail/head with
+    * `fill`; |n| ≥ size yields an all-fill array (CH semantics). */
+  private def arrayShift(arr: Expression, n: Expression, fill: Expression, left: Boolean): Expression = {
+    val size = Size(arr)
+    val k = Least(Seq(Greatest(Seq(n, Literal(0))), size))
+    val pad = ArrayRepeat(fill, k)
+    If(LessThanOrEqual(size, Literal(0)), arr,
+      if (left) Concat(Seq(Slice(arr, Add(k, Literal(1)), size), pad))
+      else      Concat(Seq(pad, Slice(arr, Literal(1), Subtract(size, k)))))
   }
 
   /** ClickHouse's transform/caseWithExpression remap: x found in

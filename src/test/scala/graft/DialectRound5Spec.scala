@@ -603,6 +603,32 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getString(8) == "2" && r.getInt(9) == 7 && r.getString(10) == "xy")
   }
 
+  test("DateTime64 conversions, array rotate/shift, indexHint, byteSize") {
+    val r = spark.sql(
+      """SELECT toUnixTimestamp64Milli(TIMESTAMP '1970-01-01 00:00:01.5') AS ms,
+        |       toUnixTimestamp64Micro(TIMESTAMP '1970-01-01 00:00:01.5') AS us,
+        |       toUnixTimestamp64Nano(TIMESTAMP '1970-01-01 00:00:01.5') AS ns,
+        |       fromUnixTimestamp64Milli(1500) AS t_ms,
+        |       fromUnixTimestamp64Nano(1500000000) AS t_ns,
+        |       arrayRotateLeft(array(1, 2, 3, 4), 1) AS rl,
+        |       arrayRotateLeft(array(1, 2, 3, 4), 6) AS rl_mod,
+        |       arrayRotateRight(array(1, 2, 3, 4), 1) AS rr,
+        |       arrayShiftLeft(array(1, 2, 3), 1, 0) AS sl,
+        |       arrayShiftRight(array(1, 2, 3), 2, 9) AS sr,
+        |       arrayShiftLeft(array(1, 2), 1) AS sl_null,
+        |       indexHint(42) AS ih,
+        |       byteSize('abc') AS bs""".stripMargin).head()
+    assert(r.getLong(0) == 1500L && r.getLong(1) == 1500000L && r.getLong(2) == 1500000000L)
+    assert(r.getTimestamp(3).getTime == 1500L && r.getTimestamp(4).getTime == 1500L)
+    assert(r.getSeq[Int](5) == Seq(2, 3, 4, 1))
+    assert(r.getSeq[Int](6) == Seq(3, 4, 1, 2))
+    assert(r.getSeq[Int](7) == Seq(4, 1, 2, 3))
+    assert(r.getSeq[Int](8) == Seq(2, 3, 0))
+    assert(r.getSeq[Int](9) == Seq(9, 9, 1))
+    assert(r.getSeq[Any](10) == Seq(2, null))
+    assert(r.getInt(11) == 1 && r.getInt(12) == 3)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
