@@ -409,6 +409,51 @@ object ChDialect {
     }),
     "countMatches" -> (es => Cast(Size(RegExpExtractAll(es(0), es(1), Literal(0))), LongType)),
     "match" -> (es => RLike(es(0), es(1))),
+    // replaceOne: first occurrence only (position + overlay
+    // arithmetic; Spark's replace/regexp_replace are replace-ALL)
+    "replaceOne" -> (es => {
+      val (s, pat, rep) = (es(0), es(1), es(2))
+      val pos = new StringLocate(pat, s)
+      If(GreaterThan(pos, Literal(0)),
+        Concat(Seq(
+          Substring(s, Literal(1), Subtract(pos, Literal(1))),
+          rep,
+          Substring(s, Add(pos, Length(pat)), Length(s)))),
+        s)
+    }),
+    // extractGroups(s, 're'): every capture group of the FIRST match
+    // as an array — the group count is read off the literal pattern
+    "extractGroups" -> (es => {
+      val pat = litString(es(1), "extractGroups pattern")
+      val n = pat.replace("\\(", "").replace("(?:", "").count(_ == '(')
+      require(n > 0, "extractGroups needs at least one capturing group")
+      CreateArray((1 to n).map(i => RegExpExtract(es(0), es(1), Literal(i))))
+    }),
+    "countSubstringsCaseInsensitive" -> (es => Cast(new IntegralDivide(
+      Subtract(Length(es(0)), Length(StringReplace(Lower(es(0)), Lower(es(1)), Literal("")))),
+      Length(es(1))), LongType)),
+    "positionUTF8" -> (es => new StringLocate(es(1), es(0))),
+    "positionCaseInsensitiveUTF8" -> (es => new StringLocate(Lower(es(1)), Lower(es(0)))),
+    // throwIf(cond[, msg]): data-quality assertion — raises on true,
+    // returns 0 otherwise (CH's contract)
+    "throwIf" -> (es => {
+      val msg = if (es.length > 1) es(1) else Literal("throwIf condition met")
+      If(Coalesce(Seq(es.head, Literal(false))), Cast(RaiseError(msg), IntegerType), Literal(0))
+    }),
+    "positiveModulo" -> (es => Pmod(es(0), es(1))),
+    // dateName('part', d): the named date component
+    "dateName" -> (es => litString(es.head, "dateName part").toLowerCase match {
+      case "year"    => Cast(Year(es(1)), org.apache.spark.sql.types.StringType)
+      case "quarter" => Cast(Quarter(es(1)), org.apache.spark.sql.types.StringType)
+      case "month"   => DateFormatClass(es(1), Literal("MMMM"))
+      case "week"    => Cast(WeekOfYear(es(1)), org.apache.spark.sql.types.StringType)
+      case "day"     => Cast(DayOfMonth(es(1)), org.apache.spark.sql.types.StringType)
+      case "weekday" => DateFormatClass(es(1), Literal("EEEE"))
+      case "hour"    => Cast(Hour(es(1)), org.apache.spark.sql.types.StringType)
+      case "minute"  => Cast(Minute(es(1)), org.apache.spark.sql.types.StringType)
+      case "second"  => Cast(Second(es(1)), org.apache.spark.sql.types.StringType)
+      case p => throw new IllegalArgumentException(s"dateName: unsupported part '$p'")
+    }),
     // ngramDistance: 4-gram multiset symmetric difference over the two
     // strings, normalized by total gram count — nested HOF folds;
     // short strings (<4 chars) contribute themselves as one gram

@@ -629,6 +629,28 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getInt(11) == 1 && r.getInt(12) == 3)
   }
 
+  test("replaceOne, extractGroups, case-insensitive counts, throwIf, dateName") {
+    val r = spark.sql(
+      """SELECT replaceOne('a-b-c', '-', '+') AS r1,
+        |       replaceOne('abc', 'z', '+') AS r_miss,
+        |       extractGroups('k=7;v=hi', 'k=(\\d+);v=(\\w+)') AS grp,
+        |       countSubstringsCaseInsensitive('AbaBA', 'ab') AS ci,
+        |       positionCaseInsensitiveUTF8('Hello', 'LLO') AS pci,
+        |       throwIf(1 > 2, 'nope') AS ok,
+        |       positiveModulo(-7, 3) AS pm,
+        |       dateName('month', DATE '2024-03-05') AS mn,
+        |       dateName('weekday', DATE '2024-03-05') AS wd""".stripMargin).head()
+    assert(r.getString(0) == "a+b-c" && r.getString(1) == "abc")
+    assert(r.getSeq[String](2) == Seq("7", "hi"))
+    assert(r.getLong(3) == 2L && r.getInt(4) == 3)
+    assert(r.getInt(5) == 0 && r.getInt(6) == 2)
+    assert(r.getString(7) == "March" && r.getString(8) == "Tuesday")
+    val thrown = intercept[Exception] {
+      spark.sql("SELECT throwIf(true, 'data quality gate') AS x").collect()
+    }
+    assert(thrown.getMessage.contains("data quality gate"))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
