@@ -659,7 +659,55 @@ object DataPipeline {
              FROM m ORDER BY doc_id"""),
   )
 
+  /** Int8 embedding quantization for storage — the 4× compression a
+    * training pipeline applies before writing embedding shards.
+    * Per-vector affine params (min, scale = range/255) with FLOOR
+    * codes (floor, not round: identical in IEEE doubles on every
+    * engine, so the oracle is exact); reconstruction at code centers
+    * bounds the error by one scale step, emitted as a checked flag.
+    * Pure per-row array expressions in CH spelling — a map-only
+    * stage, no shuffle until the final sort. */
+  val q59 = GraftQuery(
+    "q59_embed_quantize",
+    (s, dir) => {
+      Tables(s, dir).embeddings.createOrReplaceTempView("embeddings_qz")
+      s.sql("""SELECT vec_id,
+                      round(mn, 6) AS mn,
+                      round(scale, 8) AS scale,
+                      arrayStringConcat(arraySlice(arrayMap(x -> toString(x), codes), 1, 8), ',') AS first_codes,
+                      CAST(arrayMax(codes) AS INT) AS max_code,
+                      CAST(arrayMin(codes) AS INT) AS min_code,
+                      CAST(max_err <= scale AS INT) AS within_bound
+               FROM (SELECT vec_id, mn, scale,
+                            arrayMap(x -> CAST(floor((CAST(x AS DOUBLE) - mn) / scale) AS INT), v) AS codes,
+                            arrayMax(arrayMap(x -> abs(CAST(x AS DOUBLE) - (mn + (floor((CAST(x AS DOUBLE) - mn) / scale) + 0.5) * scale)), v)) AS max_err
+                     FROM (SELECT vec_id, embedding AS v,
+                                  CAST(arrayMin(embedding) AS DOUBLE) AS mn,
+                                  (CAST(arrayMax(embedding) AS DOUBLE) - CAST(arrayMin(embedding) AS DOUBLE)) / 255.0 AS scale
+                           FROM embeddings_qz WHERE vec_id < 500) t0) t1
+               ORDER BY vec_id""")
+    },
+    Some("""WITH t0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings WHERE vec_id < 500),
+                 t1 AS (SELECT vec_id, v,
+                               list_min(v) AS mn,
+                               (list_max(v) - list_min(v)) / 255.0 AS scale
+                        FROM t0),
+                 t2 AS (SELECT vec_id, mn, scale,
+                               list_transform(v, x -> CAST(floor((x - mn) / scale) AS INT)) AS codes,
+                               list_max(list_transform(v, x -> abs(x - (mn + (floor((x - mn) / scale) + 0.5) * scale)))) AS max_err
+                        FROM t1)
+            SELECT vec_id,
+                   round(mn, 6) AS mn,
+                   round(scale, 8) AS scale,
+                   array_to_string(list_transform(codes[1:8], c -> CAST(c AS VARCHAR)), ',') AS first_codes,
+                   CAST(list_max(codes) AS INT) AS max_code,
+                   CAST(list_min(codes) AS INT) AS min_code,
+                   CAST(max_err <= scale AS INT) AS within_bound
+            FROM t2 ORDER BY vec_id"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q60, q61,
-        q62, q63, q64, q65, q66, q67, q68, q69, q90b)
+    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+        q61, q62, q63, q64, q65, q66, q67, q68, q69, q90b)
 }
