@@ -265,6 +265,52 @@ object ChSqlParser {
   private val WithFill =
     """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?\s*;?\s*$""".r
 
+  /** ClickHouse `ASOF [LEFT] JOIN` — the nearest-preceding-match join
+    * — rewritten to a correlated LATERAL subquery with `ORDER BY
+    * <right time ref> LIMIT 1`, which Catalyst DECORRELATES into a
+    * rank-based hash join (no per-row execution; verified in the
+    * spec's plan). Supported subset, everything else passing through
+    * to fail loudly on the ASOF token: named right table with alias,
+    * ON as a top-level AND list holding exactly ONE inequality whose
+    * one side references the right alias. The inequality's direction
+    * picks the LATERAL sort (probe ≥ right → latest-before, DESC).
+    * Ties at equal right timestamps are CH-unspecified; dedupe the
+    * right side per (key, time) first for determinism, as q93b does.
+    * [[graft.operators.AsofJoin]] remains the DataFrame-first path —
+    * this rewrite serves migrated SQL text. */
+  private val AsofJoinClause =
+    ("""(?is)\bFROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ASOF\s+(LEFT\s+)?JOIN\s+""" +
+     """([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+(.+?)""" +
+     """(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|SETTINGS)\b|\s*;?\s*$)""").r
+
+  private val IneqCond = """(?s)^(.+?)\s*(<=|>=|<|>)\s*(.+)$""".r
+
+  private def rewriteAsofJoin(sql: String): String =
+    AsofJoinClause.replaceAllIn(sql, m => {
+      val (t1, a1, t2, a2) = (m.group(1), m.group(2), m.group(4), m.group(5))
+      val parts = m.group(6).split("(?i)\\s+AND\\s+").map(_.trim).toSeq
+      val ineqs = parts.collect { case p @ IneqCond(_, _, _) => p }
+      val rewritten = ineqs match {
+        case Seq(IneqCond(lhs, op, rhs)) =>
+          val (l, r) = (lhs.trim, rhs.trim)
+          val a2Left  = l.startsWith(a2 + ".")
+          val a2Right = r.startsWith(a2 + ".")
+          if (a2Left == a2Right) None // ambiguous/unsupported → untouched
+          else {
+            val a2Ref = if (a2Left) l else r
+            // normalize to probe-on-the-left form to pick the sort
+            val effOp = if (a2Right) op
+                        else op match { case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case _ => ">" }
+            val dir = if (effOp == ">=" || effOp == ">") "DESC" else "ASC"
+            val left = if (m.group(3) != null) "LEFT " else ""
+            Some(s"FROM $t1 $a1 ${left}JOIN LATERAL (SELECT * FROM $t2 $a2 " +
+                 s"WHERE ${parts.mkString(" AND ")} ORDER BY $a2Ref $dir LIMIT 1) $a2 ON true")
+          }
+        case _ => None
+      }
+      scala.util.matching.Regex.quoteReplacement(rewritten.getOrElse(m.matched))
+    })
+
   /** Index of the top-level FROM keyword (outside parens/strings). */
   private def topLevelFromIndex(s: String): Int = {
     var depth = 0
@@ -380,6 +426,7 @@ object ChSqlParser {
     out = FromFinal.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
     out = rewriteArrayJoin(out)
+    out = rewriteAsofJoin(out)
     out = rewriteWithFill(out)
     out = NumbersFn.replaceAllIn(out, m => Option(m.group(2)) match {
       case Some(count) =>

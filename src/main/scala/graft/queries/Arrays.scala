@@ -94,6 +94,37 @@ object Arrays {
             ORDER BY purchase_id"""),
   )
 
+  /** ClickHouse `ASOF LEFT JOIN` SQL text verbatim: ChSqlParser
+    * rewrites it to a correlated LATERAL + LIMIT 1 that Catalyst
+    * decorrelates into a rank-based hash join. The click side is
+    * deduped per (user, ts) first — ties at equal timestamps are
+    * CH-unspecified, and the dedupe makes both engines deterministic
+    * (the same convention q93's oracle uses). */
+  val q93b = GraftQuery(
+    "q93b_asof_sql",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        .createOrReplaceTempView("purch_aj")
+      e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        .createOrReplaceTempView("clicks_aj")
+      s.sql("""SELECT p.user_id, p.purchase_id, c.click_id
+               FROM purch_aj p ASOF LEFT JOIN clicks_aj c
+               ON p.user_id = c.user_id AND p.ts >= c.ts
+               ORDER BY p.purchase_id""")
+    },
+    Some("""WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                       WHERE event_type = 'purchase'),
+                 c0 AS (SELECT user_id, ts, event_id AS click_id FROM events
+                        WHERE event_type = 'click'),
+                 c AS (SELECT user_id, ts, max(click_id) AS click_id FROM c0 GROUP BY 1, 2)
+            SELECT p.user_id, p.purchase_id, c.click_id
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY purchase_id"""),
+  )
+
   /** JSONExtract family over the semi-structured props column. */
   val q94 = GraftQuery(
     "q94_json_extract",
@@ -466,5 +497,5 @@ object Arrays {
             FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q92, q93, q94, q94b, q95, q95b, q96, q97, q99)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99)
 }

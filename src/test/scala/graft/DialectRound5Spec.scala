@@ -651,6 +651,32 @@ class DialectRound5Spec extends SparkSpec {
     assert(thrown.getMessage.contains("data quality gate"))
   }
 
+  test("ASOF JOIN rewrites to lateral limit-1; unsupported shapes untouched") {
+    import graft.plans.ChSqlParser.rewriteParametric
+    val out = rewriteParametric(
+      "SELECT p.x FROM probes p ASOF LEFT JOIN clicks c ON p.k = c.k AND p.ts >= c.ts ORDER BY p.x")
+    assert(out.contains("LEFT JOIN LATERAL"))
+    assert(out.contains("ORDER BY c.ts DESC LIMIT 1"))
+    // inner form, flipped operand order: still resolves direction
+    val inner = rewriteParametric(
+      "SELECT 1 FROM a x ASOF JOIN b y ON c.ts <= x.ts AND x.k = y.k WHERE x.k > 0")
+    // y never referenced in the inequality → ambiguous → untouched (fails loudly later)
+    assert(inner.contains("ASOF"))
+    val flipped = rewriteParametric(
+      "SELECT 1 FROM a x ASOF JOIN b y ON y.ts <= x.ts AND x.k = y.k")
+    assert(flipped.contains("JOIN LATERAL") && flipped.contains("ORDER BY y.ts DESC LIMIT 1"))
+    // end-to-end semantics (nearest preceding per key)
+    Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "p").createOrReplaceTempView("asof_p")
+    Seq((1L, 8L, "c1"), (1L, 15L, "c2"), (2L, 9L, "c3"))
+      .toDF("k", "ts", "c").createOrReplaceTempView("asof_c")
+    val got = spark.sql(
+      """SELECT p.p, c.c FROM asof_p p ASOF LEFT JOIN asof_c c
+        |ON p.k = c.k AND p.ts >= c.ts ORDER BY p.p""".stripMargin)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq(("p1", "c1"), ("p2", "c2"), ("p3", null)))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
