@@ -187,6 +187,31 @@ object ChDialect {
       require(es.length >= 2, "quantiles takes (l1, l2, …)(expr)")
       new Percentile(es.last, CreateArray(es.init))
     }),
+    "quantilesExact" -> (es => {
+      require(es.length >= 2, "quantilesExact takes (l1, l2, …)(expr)")
+      new Percentile(es.last, CreateArray(es.init))
+    }),
+    "quantilesTDigest" -> (es => {
+      require(es.length >= 2, "quantilesTDigest takes (l1, l2, …)(expr)")
+      new ApproximatePercentile(es.last, CreateArray(es.init))
+    }),
+    // groupArrayInsertAt(default, size)(x, pos): values placed at
+    // their positions (0-based), holes filled with `default`, first
+    // value per position wins — made deterministic via min, the
+    // anyLeft convention. Rides the position-keyed GraftMapAgg.
+    "groupArrayInsertAt" -> (es => es match {
+      case Seq(dflt, size, x, pos) =>
+        val m = GraftMapAgg(CreateArray(Seq(Cast(pos, LongType))), CreateArray(Seq(x)), "min")
+          .toAggregateExpression()
+        def field(n: String) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(m, Literal(n))
+        val i = lamVar("gr_ia_i")
+        val p = ArrayPosition(field("keys"), i)
+        ArrayTransform(new Sequence(Literal(0L), Subtract(Cast(size, LongType), Literal(1L)), None),
+          LambdaFunction(If(GreaterThan(p, Literal(0L)),
+            ElementAt(field("vals"), Cast(p, IntegerType), None, failOnError = false), dflt), Seq(i)))
+      case _ => throw new IllegalArgumentException("groupArrayInsertAt takes (default, size)(expr, pos)")
+    }),
     "median"   -> (es => new Percentile(es.head, Literal(0.5))),
     "topK" -> (es => es match {
       case Seq(x)    => GraftTopK(x, Literal(10))

@@ -677,6 +677,17 @@ class DialectRound5Spec extends SparkSpec {
     assert(got == Seq(("p1", "c1"), ("p2", "c2"), ("p3", null)))
   }
 
+  test("plural exact quantiles, groupArrayInsertAt") {
+    val r = spark.sql(
+      """SELECT quantilesExact(0.25, 0.75)(v) AS qs,
+        |       size(quantilesTDigest(0.1, 0.5, 0.9)(v)) AS n_td,
+        |       groupArrayInsertAt(-1, 6)(v, p) AS ins
+        |FROM VALUES (10, 1), (20, 4), (30, 2) AS t(v, p)""".stripMargin).head()
+    assert(r.getSeq[Double](0) == Seq(15.0, 25.0))
+    assert(r.getInt(1) == 3)
+    assert(r.getSeq[Int](2) == Seq(-1, 10, 30, -1, 20, -1))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
