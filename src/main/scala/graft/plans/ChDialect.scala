@@ -993,6 +993,32 @@ object ChDialect {
         (LessThan(x, Literal(1e12)), fmt(1e9, " billion"): Expression)),
         fmt(1e12, " trillion"))
     }),
+    // formatReadableTimeDelta(sec): '2 days, 3 hours, 5 seconds' —
+    // day/hour/minute/second decomposition, zero parts skipped,
+    // pluralized, '0 seconds' for zero (CH's day-ceiling subset; its
+    // optional year/month units need a calendar, not a delta)
+    "formatReadableTimeDelta" -> (es => {
+      val total = Cast(es.head, LongType)
+      def unitPart(n: Expression, unit: String) =
+        nullIfNot(GreaterThan(n, Literal(0L)),
+          Concat(Seq(Cast(n, org.apache.spark.sql.types.StringType), Literal(" " + unit),
+            If(EqualTo(n, Literal(1L)), Literal(""), Literal("s")))))
+      val d = new IntegralDivide(total, Literal(86400L))
+      val h = new IntegralDivide(Remainder(total, Literal(86400L)), Literal(3600L))
+      val m = new IntegralDivide(Remainder(total, Literal(3600L)), Literal(60L))
+      val s = Remainder(total, Literal(60L))
+      val joined = ConcatWs(Seq(Literal(", "),
+        unitPart(d, "day"), unitPart(h, "hour"), unitPart(m, "minute"), unitPart(s, "second")))
+      If(EqualTo(total, Literal(0L)), Literal("0 seconds"), joined)
+    }),
+    // server-introspection constants (single-engine story: the Spark
+    // session IS the server)
+    "hostName"        -> (_ => Literal("localhost")),
+    "version"         -> (_ => Literal("graft 5 (spark 4.1)")),
+    "currentDatabase" -> (_ => CurrentDatabase()),
+    "currentUser"     -> (_ => CurrentUser()),
+    "toJSONString"    -> (es => StructsToJson(Map.empty[String, String], es.head)),
+    "generateUUIDv4"  -> (_ => new Uuid()),
     // bar(x, min, max, width): full-block char chart. CH also renders
     // fractional eighth-blocks; this emits whole blocks only — the
     // subset that stays byte-identical across engines/oracles.

@@ -688,6 +688,24 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getSeq[Int](2) == Seq(-1, 10, 30, -1, 20, -1))
   }
 
+  test("readable time deltas, server constants, JSON string, UUID") {
+    val r = spark.sql(
+      """SELECT formatReadableTimeDelta(93784) AS big,
+        |       formatReadableTimeDelta(61) AS small,
+        |       formatReadableTimeDelta(0) AS zero,
+        |       formatReadableTimeDelta(7200) AS exact_h,
+        |       hostName() AS hn, version() AS v,
+        |       toJSONString(named_struct('a', 1, 'b', 'x')) AS js,
+        |       length(generateUUIDv4()) AS ulen""".stripMargin).head()
+    assert(r.getString(0) == "1 day, 2 hours, 3 minutes, 4 seconds")
+    assert(r.getString(1) == "1 minute, 1 second")
+    assert(r.getString(2) == "0 seconds")
+    assert(r.getString(3) == "2 hours")
+    assert(r.getString(4) == "localhost" && r.getString(5).startsWith("graft"))
+    assert(r.getString(6) == """{"a":1,"b":"x"}""")
+    assert(r.getInt(7) == 36)
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
