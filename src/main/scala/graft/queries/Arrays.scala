@@ -99,7 +99,7 @@ object Arrays {
     * decorrelates into window-group-limit ranking — but the time
     * inequality lands in a domain-side nested-loop join, so the SQL
     * form is O(probes × right) and the registry entry BOUNDS the
-    * probe slice (user_id < 200), the same explicit-anchor treatment
+    * probe slice (user_id < 20), the same explicit-anchor treatment
     * q44 gets. Unbounded ASOF at scale is [[graft.operators.AsofJoin]]
     * (q93): one shuffle, window over the union, no cross term. The
     * click side is deduped per (user, ts) first — ties at equal
@@ -109,7 +109,7 @@ object Arrays {
     "q93b_asof_sql",
     (s, dir) => {
       val e = Tables(s, dir).events
-      e.where(col("event_type") === "purchase" && col("user_id") < 200)
+      e.where(col("event_type") === "purchase" && col("user_id") < 20)
         .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
         .createOrReplaceTempView("purch_aj")
       e.where(col("event_type") === "click")
@@ -121,7 +121,7 @@ object Arrays {
                ORDER BY p.purchase_id""")
     },
     Some("""WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
-                       WHERE event_type = 'purchase' AND user_id < 200),
+                       WHERE event_type = 'purchase' AND user_id < 20),
                  c0 AS (SELECT user_id, ts, event_id AS click_id FROM events
                         WHERE event_type = 'click'),
                  c AS (SELECT user_id, ts, max(click_id) AS click_id FROM c0 GROUP BY 1, 2)
