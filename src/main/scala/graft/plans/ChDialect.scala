@@ -1106,6 +1106,11 @@ object ChDialect {
         Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
       Multiply(Literal(2.0d * 6371000.0), Asin(Sqrt(h)))
     }),
+    // -- geohash pair + polygon containment (native expressions, Geo)
+    "geohashEncode" -> (es => GeohashEncode(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+      if (es.length > 2) es(2) else Literal(12))),
+    "geohashDecode" -> (es => GeohashDecode(es.head)),
+    "pointInPolygon" -> (es => PointInPolygon(es(0), es(1))),
     // -- hash functions. DELIBERATE SEMANTIC CAVEAT: ClickHouse's
     // cityHash64/sipHash64 algorithms aren't in Spark; these map to
     // xxhash64 with distinct seeds. Deterministic and well-distributed

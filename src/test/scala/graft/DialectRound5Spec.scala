@@ -706,6 +706,22 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getInt(7) == 36)
   }
 
+  test("geohash round trip and point-in-polygon") {
+    val r = spark.sql(
+      """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,
+        |       geohashEncode(13.361389, 38.115556, 8) AS gh2,
+        |       geohashDecode('ezs42') AS dec,
+        |       pointInPolygon((2.0, 2.0), array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))) AS inside,
+        |       pointInPolygon((5.0, 5.0), array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))) AS outside,
+        |       pointInPolygon((1.0, 0.5), array((0.0, 0.0), (4.0, 0.0), (2.0, 1.5))) AS tri""".stripMargin).head()
+    assert(r.getString(0) == "ezs42") // the canonical geohash example
+    assert(r.getString(1).startsWith("sq")) // Palermo, CH docs example: sqc8b49rny
+    assert(r.getString(1) == "sqc8b49r")
+    val dec = r.getStruct(2)
+    assert(math.abs(dec.getDouble(0) - -5.603) < 0.01 && math.abs(dec.getDouble(1) - 42.605) < 0.01)
+    assert(r.getBoolean(3) && !r.getBoolean(4) && r.getBoolean(5))
+  }
+
   test("maxIntersections: half-open sweep, first-peak position") {
     // ClickHouse doc-shaped example: [1,6) [2,4) [3,5) [5,8) → peak 3 at pos 3
     val iv = Seq((1, 6), (2, 4), (3, 5), (5, 8)).toDF("s", "e")
