@@ -227,6 +227,18 @@ object ChDialect {
       case _            => throw new IllegalArgumentException("quantileExactWeighted takes (level)(expr, weight)")
     }),
     "groupArray" -> (es => CollectList(es.head)),
+    // groupConcat([sep])(x): sorted join of the group's values (CH
+    // leaves insertion order undefined; sorting is the groupArray
+    // determinism convention)
+    "groupConcat" -> (es => {
+      val (sep, x) = es match {
+        case Seq(x0)    => (Literal(""), x0)
+        case Seq(s, x0) => (s, x0)
+        case _ => throw new IllegalArgumentException("groupConcat takes ([separator])(expr)")
+      }
+      ArrayJoin(SortArray(CollectList(Cast(x, org.apache.spark.sql.types.StringType))
+        .toAggregateExpression(), Literal(true)), sep, None)
+    }),
     // exact nearest-rank quantile variants over the sorted group
     // array: Low takes floor((n−1)·q), High takes ceil — CH's two
     // discrete selectors (Percentile interpolates, these never do)

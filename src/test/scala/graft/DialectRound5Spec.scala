@@ -706,6 +706,13 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getInt(7) == 36)
   }
 
+  test("groupConcat sorts then joins") {
+    val r = spark.sql(
+      """SELECT groupConcat(', ')(v) AS with_sep, groupConcat(v) AS bare
+        |FROM VALUES ('b'), ('a'), ('c') AS t(v)""".stripMargin).head()
+    assert(r.getString(0) == "a, b, c" && r.getString(1) == "abc")
+  }
+
   test("geohash round trip and point-in-polygon") {
     val r = spark.sql(
       """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,
