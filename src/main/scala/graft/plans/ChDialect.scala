@@ -671,10 +671,11 @@ object ChDialect {
     "windowFunnel"  -> (es => GraftWindowFunnel(es.head, es(1), es.drop(2))),
     "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2))),
     "sequenceCount" -> (es => GraftSequenceCount(es.head, es(1), es.drop(2))),
-    // element-wise map-combine over parallel (keys, values) arrays
-    "sumMap" -> (es => GraftMapAgg(es(0), es(1), "sum")),
-    "maxMap" -> (es => GraftMapAgg(es(0), es(1), "max")),
-    "minMap" -> (es => GraftMapAgg(es(0), es(1), "min")),
+    // element-wise map-combine over parallel (keys, values) arrays,
+    // or over a Map-typed column directly (CH accepts both shapes)
+    "sumMap" -> (es => mapAggOf(es, "sum")),
+    "maxMap" -> (es => mapAggOf(es, "max")),
+    "minMap" -> (es => mapAggOf(es, "min")),
     // retention(c1, …, cN) → [c1 ever, c1 && c2 ever, …] as 0/1 ints
     // (CH returns UInt8). Pure composition of bool_or partials — no
     // custom state, full map-side combine.
@@ -1504,6 +1505,14 @@ object ChDialect {
       LambdaFunction(If(GreaterThan(pos, Literal(0L)),
         ElementAt(field("vals"), Cast(pos, IntegerType), None, failOnError = false),
         Literal(0)), Seq(i)))
+  }
+
+  /** sumMap/minMap/maxMap over (keys, values) arrays or a single
+    * Map-typed argument (unpacked to its key/value arrays). */
+  private def mapAggOf(es: Seq[Expression], op: String): Expression = es match {
+    case Seq(m)     => GraftMapAgg(MapKeys(m), MapValues(m), op)
+    case Seq(k, v)  => GraftMapAgg(k, v, op)
+    case _ => throw new IllegalArgumentException(s"${op}Map takes (keys, values) or (map)")
   }
 
   /** Element-wise merge of two maps over the union of their keys —

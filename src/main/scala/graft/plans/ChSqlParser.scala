@@ -70,6 +70,14 @@ object ChSqlParser {
     * the rarity of the combined form in migrated code. */
   private val Prewhere = """(?i)\bPREWHERE\b""".r
 
+  /** The combined `PREWHERE a WHERE b` form folds both predicates
+    * into one WHERE (the storage-layer split is a no-op under
+    * pushdown); runs before the lone-PREWHERE rewrite. The predicate
+    * capture allows one paren level — deeper nesting falls through to
+    * the lone rewrite and fails loudly at parse. */
+  private val PrewhereCombined =
+    """(?is)\bPREWHERE\s+((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])+?)\s+WHERE\s+""".r
+
   /** `GROUP BY k WITH TOTALS` → `GROUP BY GROUPING SETS ((k), ())`:
     * the totals row lands inline with NULL group keys (Spark's
     * grouping-sets convention) rather than ClickHouse's separate
@@ -417,6 +425,8 @@ object ChSqlParser {
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
+    out = PrewhereCombined.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"WHERE (${m.group(1)}) AND "))
     out = Prewhere.replaceAllIn(out, "WHERE")
     out = stripGlobalHints(out)
     out = NamedParam.replaceAllIn(out, m =>

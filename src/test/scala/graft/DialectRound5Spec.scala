@@ -713,6 +713,22 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getString(0) == "a, b, c" && r.getString(1) == "abc")
   }
 
+  test("sumMap over a Map column; combined PREWHERE/WHERE") {
+    val r = spark.sql(
+      """SELECT sumMap(m) AS s
+        |FROM VALUES (map('a', 1L, 'b', 2L)), (map('b', 10L, 'c', 5L)) AS t(m)""".stripMargin).head()
+    val s = r.getStruct(0)
+    assert(s.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(s.getSeq[Long](1) == Seq(1L, 12L, 5L))
+    import graft.plans.ChSqlParser.rewriteParametric
+    assert(rewriteParametric("SELECT x FROM t PREWHERE a > 1 WHERE b < 2")
+      == "SELECT x FROM t WHERE (a > 1) AND b < 2")
+    assert(rewriteParametric("SELECT x FROM t PREWHERE f(a) = 1 WHERE b < 2")
+      == "SELECT x FROM t WHERE (f(a) = 1) AND b < 2")
+    assert(rewriteParametric("SELECT x FROM t PREWHERE a > 1 ORDER BY x")
+      == "SELECT x FROM t WHERE a > 1 ORDER BY x")
+  }
+
   test("geohash round trip and point-in-polygon") {
     val r = spark.sql(
       """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,
