@@ -729,6 +729,27 @@ class DialectRound5Spec extends SparkSpec {
       == "SELECT x FROM t WHERE a > 1 ORDER BY x")
   }
 
+  test("ClickHouse format names round-trip through files") {
+    import graft.sources.Formats
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    for (fmt <- Seq("CSVWithNames", "TSVWithNames", "JSONEachRow", "Parquet", "ORC")) {
+      val p = s"$root/$fmt"
+      Formats.write(df, p, fmt)
+      val back = Formats.read(spark, p, fmt,
+        schemaDdl = if (fmt == "CSVWithNames" || fmt == "TSVWithNames")
+          Some("id BIGINT, k STRING, v DOUBLE") else None)
+      val rows = back.orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("k"), r.getAs[Double]("v"))).toSeq
+      assert(rows == Seq((1L, "a", 1.5), (2L, "b", 2.5)), s"format $fmt")
+    }
+    // header-less CSV with an explicit schema
+    Formats.write(df, s"$root/CSV", "CSV")
+    val bare = Formats.read(spark, s"$root/CSV", "CSV", Some("id BIGINT, k STRING, v DOUBLE"))
+    assert(bare.count() == 2 && bare.columns.toSeq == Seq("id", "k", "v"))
+    intercept[IllegalArgumentException] { Formats.read(spark, root, "Pretty") }
+  }
+
   test("geohash round trip and point-in-polygon") {
     val r = spark.sql(
       """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,
