@@ -95,6 +95,20 @@ object Mutate {
     TtlReport(dropped.length.toLong, rep.partitionsRewritten, rep.rowsChanged)
   }
 
+  /** ALTER TABLE … DROP PARTITION 'v': the whole part vanishes as a
+    * directory unit — zero rows read, the operation ClickHouse ops
+    * run constantly for retention and bad-load rollback. Hive-escaped
+    * directory naming like [[ttl]]; a missing partition fails loudly
+    * (dropping what isn't there is an operator error, not a no-op). */
+  def dropPartition(spark: SparkSession, path: String, partitionCol: String, value: Any): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partitionCol, if (value == null) null else value.toString)
+    val p = new org.apache.hadoop.fs.Path(path, dirName)
+    require(fs.delete(p, true), s"DROP PARTITION failed: directory $p not found")
+  }
+
   /** ALTER TABLE … UPDATE col = expr, … WHERE pred. Assignments apply
     * only to matching rows; other rows in rewritten partitions are
     * copied through bit-identically. The match flag is computed ONCE

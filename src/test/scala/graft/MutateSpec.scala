@@ -75,6 +75,20 @@ class MutateSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 400)
   }
 
+  test("dropPartition removes exactly one part, untouched parts stay byte-identical") {
+    val path = freshTable("drop")
+    val before = fileState(path)
+    Mutate.dropPartition(spark, path, "p", 2)
+    val after = fileState(path)
+    assert(spark.read.parquet(path).select("p").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(0, 1, 3))
+    assert(spark.read.parquet(path).count() == 300)
+    // every surviving file untouched (no rewrite happened at all)
+    assert(after.forall { case (f, st) => before.get(f).contains(st) })
+    // dropping a missing partition is a loud error
+    intercept[IllegalArgumentException] { Mutate.dropPartition(spark, path, "p", 99) }
+  }
+
   test("ttl drops wholly-expired partitions as units and rewrites only the boundary") {
     // range-partitioned table (p = id / 100), so partition predicates
     // are consistent with the row TTL — the MergeTree layout shape
