@@ -275,14 +275,32 @@ object DataPipeline {
   )
 
   /** Language-ID heuristic vs the labeled lang column: confusion
-    * matrix (marker-set heuristic; rows-only check). */
+    * matrix. The marker-set scoring is fully deterministic (max
+    * marker hits, ties to the lexicographically largest lang, 0 hits
+    * → 'und'), so the oracle replays it exactly with list_filter +
+    * the tie-break CASE ladder — no longer a rows-only entry. */
   val q62 = GraftQuery(
     "q62_lang_id",
     (s, dir) => docsNorm(Tables(s, dir))
       .select(col("lang"), TextAnalysis.langId(col("norm")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_pred"),
-    None,
+    Some(s"""WITH t AS (SELECT lang, string_split($normSql, ' ') AS toks FROM documents),
+                  s AS (SELECT lang,
+                               len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+                               len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'los'))) AS s_es,
+                               len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+                               len(list_filter(toks, x -> x IN ('de5', 'shi4', 'le5', 'zai4', 'he2'))) AS s_zh
+                        FROM t),
+                  p AS (SELECT lang,
+                               CASE WHEN greatest(s_en, s_es, s_de, s_zh) = 0 THEN 'und'
+                                    WHEN s_zh = greatest(s_en, s_es, s_de, s_zh) THEN 'zh'
+                                    WHEN s_es = greatest(s_en, s_es, s_de, s_zh) THEN 'es'
+                                    WHEN s_en = greatest(s_en, s_es, s_de, s_zh) THEN 'en'
+                                    ELSE 'de' END AS lang_pred
+                        FROM s)
+             SELECT lang, lang_pred, count(*) AS cnt
+             FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred"""),
   )
 
   /** Content + token-set fingerprints (order-insensitive dup key). */
