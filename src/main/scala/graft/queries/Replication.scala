@@ -284,6 +284,34 @@ object Replication {
             FROM surv GROUP BY 1 ORDER BY o_custkey"""),
   )
 
+  /** ClickHouse file-format surface in the registry: a slice of
+    * orders lands as CSVWithNames and as JSONEachRow
+    * (`graft.sources.Formats`), reads back through the same format
+    * names, and the round-tripped union must aggregate exactly like
+    * the parquet original (the oracle never sees the files). */
+  val q30b = GraftQuery(
+    "q30b_format_roundtrip",
+    (s, dir) => {
+      val root = s"/tmp/graft_fmt/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val slice = Tables(s, dir).orders
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sources.Formats.write(slice, s"$root/csv", "CSVWithNames")
+      graft.sources.Formats.write(slice, s"$root/json", "JSONEachRow")
+      val schema = "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+      val csv  = graft.sources.Formats.read(s, s"$root/csv", "CSVWithNames", Some(schema))
+      val json = graft.sources.Formats.read(s, s"$root/json", "JSONEachRow", Some(schema))
+      csv.unionByName(json)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, 2 * count(*) AS cnt,
+                   round(2 * sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey <= 2000
+            GROUP BY 1 ORDER BY o_orderpriority"""),
+  )
+
   /** SummingMergeTree FINAL (`Replicate.collapseSumming`): pre-agg
     * rows collapse per sorting key with numeric columns summed and
     * the remaining payload taking the deterministic group minimum —
@@ -340,5 +368,5 @@ object Replication {
             GROUP BY 1 ORDER BY yr"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98)
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98)
 }
