@@ -677,6 +677,31 @@ object DataPipeline {
              FROM m ORDER BY doc_id"""),
   )
 
+  /** The first BPE tokenizer-training step: corpus-wide counts of
+    * adjacent character pairs inside words — the statistic every
+    * merge round of byte-pair encoding ranks on. Per-row char-window
+    * expressions (tokens → ngrams(2)) keep the pair generation
+    * map-only; the single shuffle is the final pair count. Top pairs
+    * with a (count desc, pair) tie-break are fully deterministic. */
+  val q64b = GraftQuery(
+    "q64b_bpe_pairs",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("docs_bpe")
+      s.sql(s"""SELECT pair, count(*) AS cnt
+                FROM (SELECT explode(ngrams(word, 2)) AS pair
+                      FROM (SELECT explode(tokens(lower(trim(regexp_replace(text, '\\\\s+', ' '))))) AS word
+                            FROM docs_bpe WHERE doc_id < 300) w) p
+                GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")
+    },
+    Some(s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS word
+                        FROM documents WHERE doc_id < 300),
+                  p AS (SELECT substr(word, i + 1, 2) AS pair
+                        FROM w, LATERAL (SELECT unnest(range(len(word) - 1)) AS i) t
+                        WHERE len(word) >= 2)
+             SELECT pair, count(*) AS cnt
+             FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""),
+  )
+
   /** Int8 embedding quantization for storage — the 4× compression a
     * training pipeline applies before writing embedding shards.
     * Per-vector affine params (min, scale = range/255) with FLOOR
@@ -727,5 +752,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q65, q66, q67, q68, q69, q90b)
+        q61, q62, q63, q64, q64b, q65, q66, q67, q68, q69, q90b)
 }
