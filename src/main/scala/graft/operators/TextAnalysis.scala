@@ -288,4 +288,55 @@ object TextAnalysis {
       .withColumn("n_tokens", size(split(col("chunk"), " ")))
       .withColumn("shard", shardOf(col("chunk")))
   }
+
+  /** Byte-pair-encoding trainer (Sennrich et al. 2016, the standard
+    * subword-tokenizer recipe): learns `numMerges` merge rules over
+    * the corpus and returns them with the final symbol vocabulary.
+    *
+    * Distribution shape: the corpus collapses ONCE to a (word,
+    * frequency) table (the only data-sized shuffle — corpus scale
+    * stops mattering after it, state is O(distinct words)); each
+    * round is then one pair-count aggregation over that table plus a
+    * map-side merge fold. The driver holds only the winning pair per
+    * round (a one-row collect, the same bounded per-round driver
+    * step [[graft.operators.Dedup.clusters]] uses) and the word table
+    * is localCheckpoint-truncated periodically so lineage doesn't
+    * grow with merges. Ties break (count desc, pair asc) — fully
+    * deterministic, which the spec pins on the classic
+    * low/lower/newest/widest example. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): (Seq[(String, String)], DataFrame) = {
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(tokens(normalize(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (round <- 1 to numMerges) {
+      val top = words
+        .select(posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)).as(Seq("i", "a")), col("syms"), col("freq"))
+        .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        merges += ((a, b))
+        // greedy left-to-right merge of (a, b) inside every word
+        val emptyArr = array().cast("array<string>")
+        words = words.withColumn("syms",
+          aggregate(col("syms"), emptyArr, (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+        if (round % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    val vocab = words
+      .select(explode(col("syms")).as("symbol"), col("freq"))
+      .groupBy("symbol").agg(sum("freq").as("cnt"))
+    (merges.toSeq, vocab)
+  }
 }

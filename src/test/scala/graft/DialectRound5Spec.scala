@@ -750,6 +750,21 @@ class DialectRound5Spec extends SparkSpec {
     intercept[IllegalArgumentException] { Formats.read(spark, root, "Pretty") }
   }
 
+  test("bpeTrain learns the classic merge sequence deterministically") {
+    import graft.operators.TextAnalysis
+    // Sennrich et al.'s canonical corpus: low x5, lower x2, newest x6,
+    // widest x3 — the first merges are (e,s), (es,t), (l,o), (lo,w)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+                Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("low") == 7L)  // low + lower share the learned 'low' symbol
+    assert(v("est") == 9L)  // newest + widest share 'est'
+    assert(v.keySet.contains("n") && v.keySet.contains("w"))
+  }
+
   test("geohash round trip and point-in-polygon") {
     val r = spark.sql(
       """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,
