@@ -725,11 +725,15 @@ object ChDialect {
                                Multiply(k, Average(x).toAggregateExpression()))))
     }),
     // boundingRatio(x, y): slope between the leftmost and rightmost
-    // points of the group — (y@max x − y@min x) / (max x − min x)
+    // points of the group — (y@max x − y@min x) / (max x − min x).
+    // Ties on x are CH-undefined; ordering by the (x, y) pair makes
+    // the winner deterministic (largest y at the right edge, smallest
+    // at the left), which is what lets the oracle replay it.
     "boundingRatio" -> (es => {
       val x = Cast(es(0), DoubleType)
       val y = Cast(es(1), DoubleType)
-      Divide(Subtract(MaxBy(y, x).toAggregateExpression(), MinBy(y, x).toAggregateExpression()),
+      def pair = CreateStruct(Seq(x, y))
+      Divide(Subtract(MaxBy(y, pair).toAggregateExpression(), MinBy(y, pair).toAggregateExpression()),
              Subtract(Max(x).toAggregateExpression(), Min(x).toAggregateExpression()))
     }),
     "sumCount" -> (es => CreateNamedStruct(Seq(

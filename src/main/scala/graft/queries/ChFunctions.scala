@@ -823,7 +823,7 @@ object ChFunctions {
     (s, dir) => {
       Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_m")
       s.sql("""SELECT l_returnflag,
-                      round(skewPop(l_quantity), 4) AS skew_qty,
+                      round(skewPop(l_quantity), 4) + 0 AS skew_qty,
                       round(kurtPop(l_quantity), 4) AS kurt_qty,
                       round(varPop(l_quantity), 4) AS var_qty,
                       round(stddevPop(l_quantity), 4) AS sd_qty,
@@ -834,7 +834,7 @@ object ChFunctions {
                FROM lineitem_m GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
-                   round(((s3/n) - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3)) / pow((s2/n) - pow(s1/n, 2), 1.5), 4) AS skew_qty,
+                   round(((s3/n) - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3)) / pow((s2/n) - pow(s1/n, 2), 1.5), 4) + 0 AS skew_qty,
                    round(((s4/n) - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4)) / pow((s2/n) - pow(s1/n, 2), 2), 4) AS kurt_qty,
                    round(vp, 4) AS var_qty,
                    round(sdp, 4) AS sd_qty,
@@ -928,9 +928,6 @@ object ChFunctions {
                  ag AS (SELECT l_returnflag AS f,
                                regr_slope(l_extendedprice, l_quantity) AS slope,
                                regr_intercept(l_extendedprice, l_quantity) AS icept,
-                               (arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber)
-                                - arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber))
-                               / (max(l_orderkey * 10 + l_linenumber) - min(l_orderkey * 10 + l_linenumber)) AS br,
                                sum(l_quantity) AS sc_sum,
                                count(l_quantity) AS sc_cnt,
                                avg(l_extendedprice) FILTER (l_orderkey % 2 = 0) AS m0,
@@ -939,19 +936,30 @@ object ChFunctions {
                                var_samp(l_extendedprice) FILTER (l_orderkey % 2 = 1) AS v1,
                                count(*) FILTER (l_orderkey % 2 = 0) AS n0,
                                count(*) FILTER (l_orderkey % 2 = 1) AS n1
-                        FROM lineitem GROUP BY 1)
+                        FROM lineitem GROUP BY 1),
+                 -- bounding ratio with the deterministic (x, y)-pair
+                 -- tie-break: largest y at the right edge, smallest y
+                 -- at the left (x is NOT unique in the synthetic data)
+                 xb AS (SELECT l_returnflag AS f, l_extendedprice AS y,
+                               l_orderkey * 10 + l_linenumber AS x FROM lineitem),
+                 xr AS (SELECT f, max(x) AS mxx, min(x) AS mnx FROM xb GROUP BY 1),
+                 brv AS (SELECT xb.f,
+                                (max(CASE WHEN x = mxx THEN y END)
+                                 - min(CASE WHEN x = mnx THEN y END))
+                                / (max(x) - min(x)) AS br
+                         FROM xb JOIN xr ON xb.f = xr.f GROUP BY 1)
             SELECT ag.f AS l_returnflag,
                    round(ent, 6) AS ent,
                    round(rc.rc, 4) AS rc,
                    round(slope, 4) AS slope,
                    round(icept, 2) AS icept,
-                   round(br, 6) AS br,
+                   round(brv.br, 6) AS br,
                    round(sc_sum, 2) AS sc_sum,
                    sc_cnt,
                    round((m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
                                           * (1.0 / n0 + 1.0 / n1)), 4) AS t_student,
                    round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t_welch
-            FROM ag JOIN rc ON ag.f = rc.f JOIN en ON ag.f = en.f
+            FROM ag JOIN rc ON ag.f = rc.f JOIN en ON ag.f = en.f JOIN brv ON ag.f = brv.f
             ORDER BY l_returnflag"""),
   )
 
@@ -986,10 +994,15 @@ object ChFunctions {
                  mx AS (SELECT p, max(cur) AS mi FROM sw GROUP BY 1),
                  mp AS (SELECT sw.p, min(pos) AS mip
                         FROM sw JOIN mx ON sw.p = mx.p AND sw.cur = mx.mi GROUP BY 1),
+                 -- the union-length chain dedupes s first: duplicate
+                 -- starts don't change the union (e is a function of
+                 -- s) but DO break the ROWS-frame island detection —
+                 -- tied rows split nondeterministically across the
+                 -- "1 PRECEDING" boundary and can fork an island
                  ilo AS (SELECT p, s, s + 30 AS e,
                                 max(s + 30) OVER (PARTITION BY p ORDER BY s
                                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-                         FROM iv),
+                         FROM (SELECT DISTINCT p, s FROM iv) dv),
                  ilg AS (SELECT p, s, e,
                                 sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
                                   OVER (PARTITION BY p ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
