@@ -1051,7 +1051,16 @@ object ChFunctions {
     },
     Some("""SELECT l_linenumber AS ln,
                    repeat('█', CAST(floor(l_linenumber / 7.0 * 14) AS INT)) AS bar14,
-                   printf('%.2f', round(sum(l_extendedprice), 0) / 1000000.0) || ' million' AS frq,
+                   CASE WHEN round(sum(l_extendedprice), 0) < 1e3
+                          THEN printf('%.2f', round(sum(l_extendedprice), 0))
+                        WHEN round(sum(l_extendedprice), 0) < 1e6
+                          THEN printf('%.2f', round(sum(l_extendedprice), 0) / 1e3) || ' thousand'
+                        WHEN round(sum(l_extendedprice), 0) < 1e9
+                          THEN printf('%.2f', round(sum(l_extendedprice), 0) / 1e6) || ' million'
+                        WHEN round(sum(l_extendedprice), 0) < 1e12
+                          THEN printf('%.2f', round(sum(l_extendedprice), 0) / 1e9) || ' billion'
+                        ELSE printf('%.2f', round(sum(l_extendedprice), 0) / 1e12) || ' trillion'
+                   END AS frq,
                    printf('%.2f', l_linenumber * 1536 / 1024.0) || ' KiB' AS frs,
                    CAST((CAST(l_linenumber AS BIGINT) >> 1) & 1 AS INT) AS bt,
                    CAST(l_linenumber AS BIGINT) << 3 AS bsl,
