@@ -367,6 +367,42 @@ object ChFunctions {
             ORDER BY o_orderkey"""),
   )
 
+  /** Geo family over synthesized coordinates (exact 2-decimal
+    * lon/lat derived from order columns): geohash encode→decode
+    * round-trips within the precision-12 cell (~4 cm, so rounding
+    * back to 2 decimals is exact), pointInPolygon tests a rectangle
+    * replayed as CASE bounds, and greatCircleDistance's haversine is
+    * replayed with DuckDB trig at the same 6371 km radius. */
+  val q28i = GraftQuery(
+    "q28i_geo",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_geo")
+      s.sql("""SELECT o_orderkey,
+                      round(geohashDecode(geohashEncode(lon, lat, 12)).longitude, 2) AS lon_rt,
+                      round(geohashDecode(geohashEncode(lon, lat, 12)).latitude, 2) AS lat_rt,
+                      CAST(pointInPolygon((lon, lat),
+                             array((-50.0, -30.0), (50.0, -30.0), (50.0, 30.0), (-50.0, 30.0))) AS INT) AS in_box,
+                      CAST(round(greatCircleDistance(0.0, 0.0, lon, lat), 0) AS BIGINT) AS dist_m
+               FROM (SELECT o_orderkey,
+                            CAST(o_orderkey % 360 - 180 AS DOUBLE) + CAST(o_orderkey % 97 AS DOUBLE) / 100.0 AS lon,
+                            CAST(o_orderkey % 170 - 85 AS DOUBLE) + CAST(o_orderkey % 89 AS DOUBLE) / 100.0 AS lat
+                     FROM orders_geo WHERE o_orderkey <= 2000) t
+               ORDER BY o_orderkey""")
+    },
+    Some("""WITH t AS (SELECT o_orderkey,
+                              CAST(o_orderkey % 360 - 180 AS DOUBLE) + CAST(o_orderkey % 97 AS DOUBLE) / 100.0 AS lon,
+                              CAST(o_orderkey % 170 - 85 AS DOUBLE) + CAST(o_orderkey % 89 AS DOUBLE) / 100.0 AS lat
+                       FROM orders WHERE o_orderkey <= 2000)
+            SELECT o_orderkey,
+                   round(lon, 2) AS lon_rt,
+                   round(lat, 2) AS lat_rt,
+                   CASE WHEN lon > -50 AND lon < 50 AND lat > -30 AND lat < 30 THEN 1 ELSE 0 END AS in_box,
+                   CAST(round(2 * 6371000.0 * asin(sqrt(
+                          pow(sin(radians(lat) / 2), 2)
+                          + cos(0) * cos(radians(lat)) * pow(sin(radians(lon) / 2), 2))), 0) AS BIGINT) AS dist_m
+            FROM t ORDER BY o_orderkey"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1345,6 +1381,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q38, q21b)
 }
