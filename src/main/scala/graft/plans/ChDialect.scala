@@ -563,6 +563,34 @@ object ChDialect {
         LambdaFunction(acc, Seq(acc, x)),
         LambdaFunction.identity)
     }),
+    // arrayLast: same zero-slice veneer as arrayFirst, anchored at
+    // the filtered array's tail
+    "arrayLast" -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      ArrayAggregate(
+        Slice(es(1), Literal(1), Literal(0)),
+        ElementAt(ArrayFilter(es(1), es.head), Literal(-1), None, failOnError = false),
+        LambdaFunction(acc, Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    // first/last 1-based index where the predicate holds (0 when
+    // none, CH's convention): the user lambda maps the array to
+    // booleans, ArrayPosition finds the edge, and the whole value
+    // rides in a zero-slice fold's ZERO so the analyzer sees a HOF
+    // root (the arrayFirst pattern)
+    "arrayFirstIndex" -> (es => hofVeneer(es(1),
+      ArrayPosition(ArrayTransform(es(1), es.head), Literal(true)))),
+    "arrayLastIndex" -> (es => {
+      val revPos = ArrayPosition(Reverse(ArrayTransform(es(1), es.head)), Literal(true))
+      hofVeneer(es(1),
+        If(GreaterThan(revPos, Literal(0L)),
+          Subtract(Cast(Size(es(1)), LongType), Subtract(revPos, Literal(1L))), Literal(0L)))
+    }),
+    "arrayUnion" -> (es => ArrayDistinct(Concat(es))),
+    // in at least one argument but not in all of them
+    "arraySymmetricDifference" -> (es =>
+      ArrayExcept(ArrayDistinct(Concat(es)), es.reduce(ArrayIntersect(_, _)))),
     // arraySum/arrayAvg: 1-arg form over the array itself, 2-arg form
     // maps the lambda first. Sum via the fold expression (aggregate).
     "arraySum" -> (es =>
@@ -1456,6 +1484,16 @@ object ChDialect {
       case e => Concat(Seq(Literal("."), e))
     }
     GetJsonObject(es.head, Concat(Literal("$") +: parts))
+  }
+
+  /** Zero-slice fold whose ZERO carries `value`: satisfies the
+    * analyzer's HOF-at-root requirement for compositions over a
+    * user-written lambda (the arrayFirst pattern). */
+  private def hofVeneer(arr: Expression, value: Expression): Expression = {
+    val acc = lamVar("gr_vn_acc")
+    val x   = lamVar("gr_vn_x")
+    ArrayAggregate(Slice(arr, Literal(1), Literal(0)), value,
+      LambdaFunction(acc, Seq(acc, x)), LambdaFunction.identity)
   }
 
   /** s/c in doubles with NaN at c = 0 (CH's avg-of-nothing) — ANSI

@@ -765,6 +765,23 @@ class DialectRound5Spec extends SparkSpec {
     assert(v.keySet.contains("n") && v.keySet.contains("w"))
   }
 
+  test("arrayLast/FirstIndex/LastIndex, union, symmetric difference") {
+    val r = spark.sql(
+      """SELECT arrayLast(x -> x < 9, array(1, 5, 12, 7)) AS last_small,
+        |       arrayLast(x -> x > 99, array(1, 2)) AS last_none,
+        |       arrayFirstIndex(x -> x % 2 = 0, array(3, 4, 6)) AS fi,
+        |       arrayLastIndex(x -> x % 2 = 0, array(3, 4, 6)) AS li,
+        |       arrayFirstIndex(x -> x > 99, array(1, 2)) AS fi_none,
+        |       arrayLastIndex(x -> x > 99, array(1, 2)) AS li_none,
+        |       arraySort(arrayUnion(array(1, 2), array(2, 3))) AS un,
+        |       arraySort(arraySymmetricDifference(array(1, 2, 3), array(2, 3, 4))) AS sd""".stripMargin).head()
+    assert(r.getInt(0) == 7 && r.isNullAt(1))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](7) == Seq(1, 4))
+  }
+
   test("geohash round trip and point-in-polygon") {
     val r = spark.sql(
       """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,
