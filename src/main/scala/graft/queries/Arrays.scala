@@ -98,9 +98,9 @@ object Arrays {
     * rewrites it to a correlated LATERAL + LIMIT 1, which Catalyst
     * decorrelates into window-group-limit ranking — but the time
     * inequality lands in a domain-side nested-loop join, so the SQL
-    * form is O(probes × right) and the registry entry BOUNDS the
-    * probe slice (user_id < 20), the same explicit-anchor treatment
-    * q44 gets. Unbounded ASOF at scale is [[graft.operators.AsofJoin]]
+    * form is O(probes × right) and the registry entry BOUNDS BOTH
+    * sides on the same equi-key slice (user_id < 20), the same
+    * explicit-anchor treatment q44 gets. Unbounded ASOF at scale is [[graft.operators.AsofJoin]]
     * (q93): one shuffle, window over the union, no cross term. The
     * click side is deduped per (user, ts) first — ties at equal
     * timestamps are CH-unspecified, the dedupe makes both engines
@@ -112,7 +112,12 @@ object Arrays {
       e.where(col("event_type") === "purchase" && col("user_id") < 20)
         .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
         .createOrReplaceTempView("purch_aj")
-      e.where(col("event_type") === "click")
+      // The equi-key user_id < 20 slice applies to BOTH sides: the
+      // decorrelated plan carries `p.ts >= c.ts` in a nested-loop
+      // join, so an unsliced click stream makes it O(probes × all
+      // clicks). Slicing the build side on the same equi-key is
+      // semantics-preserving and bounds both BNLJ inputs.
+      e.where(col("event_type") === "click" && col("user_id") < 20)
         .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
         .createOrReplaceTempView("clicks_aj")
       s.sql("""SELECT p.user_id, p.purchase_id, c.click_id
@@ -123,7 +128,7 @@ object Arrays {
     Some("""WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
                        WHERE event_type = 'purchase' AND user_id < 20),
                  c0 AS (SELECT user_id, ts, event_id AS click_id FROM events
-                        WHERE event_type = 'click'),
+                        WHERE event_type = 'click' AND user_id < 20),
                  c AS (SELECT user_id, ts, max(click_id) AS click_id FROM c0 GROUP BY 1, 2)
             SELECT p.user_id, p.purchase_id, c.click_id
             FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
