@@ -77,19 +77,25 @@ object MatView {
   /** Idempotent refresh for at-least-once delivery (the streaming
     * face — [[graft.streaming.StreamingMatView]] calls this per
     * micro-batch): the batch's states land under `batch=<id>/`, and a
-    * replayed id is detected by its `_SUCCESS` marker and skipped —
-    * a partially-written directory (crash mid-write) has no marker
-    * and is safely overwritten. Parquet partition discovery surfaces
-    * the id as a `batch` column, which merge-on-read ignores. Returns
-    * whether the batch was applied. Compact only a QUIESCED store:
-    * compaction drops the markers, so replays older than it would
-    * re-append. */
+    * replayed id is detected by its commit marker and skipped — a
+    * partially-written directory (crash mid-write) has no marker and
+    * is safely overwritten. The marker is written by THIS method
+    * (`_GRAFT_COMMITTED`, created only after the parquet write
+    * returns), so exactly-once does not depend on the committer's
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` conf; a
+    * `_SUCCESS` file from stores written by earlier versions is still
+    * honored. Parquet partition discovery surfaces the id as a
+    * `batch` column, which merge-on-read ignores. Returns whether the
+    * batch was applied. Compact only a QUIESCED store: compaction
+    * drops the markers, so replays older than it would re-append. */
   def refreshOnce(batch: DataFrame, spec: Spec, path: String, batchId: Long): Boolean = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
     val fs  = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
+    if (fs.exists(marker) || fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
     else {
       partials(batch, spec).write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, true).close()
       true
     }
   }

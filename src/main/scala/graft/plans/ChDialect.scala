@@ -423,9 +423,7 @@ object ChDialect {
     // -- substring search family. countSubstrings counts
     // non-overlapping occurrences via the length delta (codegen'd
     // string ops, no regex); multiSearch* fold over the needle array.
-    "countSubstrings" -> (es => Cast(new IntegralDivide(
-      Subtract(Length(es(0)), Length(StringReplace(es(0), es(1), Literal("")))),
-      Length(es(1))), LongType)),
+    "countSubstrings" -> (es => countSubstringsExpr(es(0), es(1))),
     "multiSearchAny" -> (es => {
       val n = lamVar("gr_n")
       ArrayExists(es(1), LambdaFunction(GreaterThan(new StringLocate(n, es(0)), Literal(0)), Seq(n)))
@@ -466,9 +464,8 @@ object ChDialect {
       require(n > 0, "extractGroups needs at least one capturing group")
       CreateArray((1 to n).map(i => RegExpExtract(es(0), es(1), Literal(i))))
     }),
-    "countSubstringsCaseInsensitive" -> (es => Cast(new IntegralDivide(
-      Subtract(Length(es(0)), Length(StringReplace(Lower(es(0)), Lower(es(1)), Literal("")))),
-      Length(es(1))), LongType)),
+    "countSubstringsCaseInsensitive" -> (es =>
+      countSubstringsExpr(Lower(es(0)), Lower(es(1)))),
     "positionUTF8" -> (es => new StringLocate(es(1), es(0))),
     "positionCaseInsensitiveUTF8" -> (es => new StringLocate(Lower(es(1)), Lower(es(0)))),
     // throwIf(cond[, msg]): data-quality assertion — raises on true,
@@ -1683,15 +1680,31 @@ object ChDialect {
   }
 
   /** Shift left/right by n, padding the vacated tail/head with
-    * `fill`; |n| ≥ size yields an all-fill array (CH semantics). */
+    * `fill`; |n| ≥ size yields an all-fill array, and a NEGATIVE n
+    * shifts the OTHER way (CH semantics — arrayShiftLeft(a, -2) ≡
+    * arrayShiftRight(a, 2)). */
   private def arrayShift(arr: Expression, n: Expression, fill: Expression, left: Boolean): Expression = {
     val size = Size(arr)
-    val k = Least(Seq(Greatest(Seq(n, Literal(0))), size))
+    val k = Least(Seq(Abs(n), size))
     val pad = ArrayRepeat(fill, k)
+    val shiftL = Concat(Seq(Slice(arr, Add(k, Literal(1)), size), pad))
+    val shiftR = Concat(Seq(pad, Slice(arr, Literal(1), Subtract(size, k))))
     If(LessThanOrEqual(size, Literal(0)), arr,
-      if (left) Concat(Seq(Slice(arr, Add(k, Literal(1)), size), pad))
-      else      Concat(Seq(pad, Slice(arr, Literal(1), Subtract(size, k)))))
+      If(GreaterThanOrEqual(n, Literal(0)),
+        if (left) shiftL else shiftR,
+        if (left) shiftR else shiftL))
   }
+
+  /** Non-overlapping substring count via the length delta (codegen'd
+    * string ops, no regex). An empty needle counts 0 (guarding the
+    * division); callers wanting case-insensitivity pass both sides
+    * pre-lowered so the delta and the divisor measure the SAME
+    * (lowercased) text even where lowercasing changes string length. */
+  private def countSubstringsExpr(hay: Expression, needle: Expression): Expression =
+    If(EqualTo(Length(needle), Literal(0)), Literal(0L),
+      Cast(new IntegralDivide(
+        Subtract(Length(hay), Length(StringReplace(hay, needle, Literal("")))),
+        Length(needle)), LongType))
 
   /** ClickHouse's transform/caseWithExpression remap: x found in
     * `from` → the matching `to` element, else `default`. */

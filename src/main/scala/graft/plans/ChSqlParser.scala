@@ -190,6 +190,19 @@ object ChSqlParser {
     case _ => sql
   }
 
+  /** Strip an end-anchored trailing clause (FORMAT / SETTINGS / INTO
+    * OUTFILE) only when the match starts OUTSIDE a string literal —
+    * a literal ending in `… SETTINGS a = 1'` would otherwise lose its
+    * tail including the closing quote. Quote parity before the match
+    * start decides: even = code, odd = inside a literal. The latest
+    * even-parity match wins (the clause is end-anchored, so at most
+    * one real occurrence exists). */
+  private def stripTrailingClause(sql: String, re: scala.util.matching.Regex): String =
+    re.findAllMatchIn(sql).toSeq.reverseIterator
+      .find(m => sql.substring(0, m.start).count(_ == '\'') % 2 == 0)
+      .map(m => sql.substring(0, m.start))
+      .getOrElse(sql)
+
   /** Apply the GLOBAL strip on the segments OUTSIDE single-quoted
     * string literals (split preserves quote parity: even indexes are
     * code, odd are literal bodies). */
@@ -417,9 +430,9 @@ object ChSqlParser {
     // client-side trailing clauses unwind first (right to left), so
     // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
     // their clause at the end of the text
-    var out = FormatClause.replaceAllIn(sql, "")
-    out = IntoOutfile.replaceAllIn(out, "")
-    out = SettingsClause.replaceAllIn(out, "")
+    var out = stripTrailingClause(sql, FormatClause)
+    out = stripTrailingClause(out, IntoOutfile)
+    out = stripTrailingClause(out, SettingsClause)
     out = rewriteWithConstants(out)
     out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>

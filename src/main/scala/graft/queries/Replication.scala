@@ -292,7 +292,9 @@ object Replication {
   val q30b = GraftQuery(
     "q30b_format_roundtrip",
     (s, dir) => {
-      val root = s"/tmp/graft_fmt/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // per-invocation path: concurrent sessions (driver verify + a
+      // local bench, say) must not clobber each other's files
+      val root = s"/tmp/graft_fmt/${dir.replaceAll("[^A-Za-z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
       val slice = Tables(s, dir).orders
         .where(col("o_orderkey") <= 2000)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))

@@ -452,6 +452,15 @@ class DialectRound5Spec extends SparkSpec {
     // mid-query occurrences (subquery text, identifiers) are untouched
     val mid = "SELECT format FROM t WHERE settings = 1"
     assert(rewriteParametric(mid) == mid)
+    // a string literal ending in a SETTINGS-shaped tail is NOT a
+    // clause — quote parity protects it
+    val lit = "SELECT 'x SETTINGS a = 1'"
+    assert(rewriteParametric(lit) == lit)
+    assert(rewriteParametric(
+      "SELECT 'keep SETTINGS a = 1' AS s FROM t SETTINGS real_knob = 2")
+      == "SELECT 'keep SETTINGS a = 1' AS s FROM t")
+    val fmtLit = "SELECT 'x FORMAT JSON'"
+    assert(rewriteParametric(fmtLit) == fmtLit)
   }
 
   test("scalar WITH substitutes constants; CTEs pass through untouched") {
@@ -627,6 +636,14 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getSeq[Int](9) == Seq(9, 9, 1))
     assert(r.getSeq[Any](10) == Seq(2, null))
     assert(r.getInt(11) == 1 && r.getInt(12) == 3)
+    // negative offsets dispatch to the opposite direction (CH semantics)
+    val neg = spark.sql(
+      """SELECT arrayShiftLeft(array(1, 2, 3), -1, 0) AS nl,
+        |       arrayShiftRight(array(1, 2, 3), -2, 9) AS nr,
+        |       arrayShiftLeft(array(1, 2), -5, 7) AS nl_over""".stripMargin).head()
+    assert(neg.getSeq[Int](0) == Seq(0, 1, 2))
+    assert(neg.getSeq[Int](1) == Seq(3, 9, 9))
+    assert(neg.getSeq[Int](2) == Seq(7, 7))
   }
 
   test("replaceOne, extractGroups, case-insensitive counts, throwIf, dateName") {
@@ -643,6 +660,15 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getString(0) == "a+b-c" && r.getString(1) == "abc")
     assert(r.getSeq[String](2) == Seq("7", "hi"))
     assert(r.getLong(3) == 2L && r.getInt(4) == 3)
+    // empty needle: defined 0, never a division by zero
+    val empt = spark.sql(
+      """SELECT countSubstrings('abc', '') AS c0,
+        |       countSubstringsCaseInsensitive('abc', '') AS ci0,
+        |       countSubstringsCaseInsensitive('İstanbul İzmir', 'i̇') AS utf8""".stripMargin).head()
+    assert(empt.getLong(0) == 0L && empt.getLong(1) == 0L)
+    // 'İ' lowercases to a two-codepoint sequence; counting on the
+    // lowered text keeps the delta and divisor consistent
+    assert(empt.getLong(2) == 2L)
     assert(r.getInt(5) == 0 && r.getInt(6) == 2)
     assert(r.getString(7) == "March" && r.getString(8) == "Tuesday")
     val thrown = intercept[Exception] {

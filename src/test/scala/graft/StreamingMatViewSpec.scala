@@ -64,4 +64,21 @@ class StreamingMatViewSpec extends SparkSpec {
     assert(MatView.refreshOnce(delta, spec, path, batchId = 1L))
     assert(readMap(path)("a") == ((2L, 20.0, 10.0)))
   }
+
+  test("idempotence holds even with the committer's _SUCCESS markers off") {
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val path = storePath("nosuccess")
+      val delta = Seq(("a", 4.0)).toDF("k", "v")
+      assert(MatView.refreshOnce(delta, spec, path, batchId = 0L))
+      // the write produced no _SUCCESS, but refreshOnce's own marker
+      // still detects the replay
+      assert(!MatView.refreshOnce(delta, spec, path, batchId = 0L))
+      assert(readMap(path)("a") == ((1L, 4.0, 4.0)))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
