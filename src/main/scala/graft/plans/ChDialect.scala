@@ -691,11 +691,18 @@ object ChDialect {
       case _         => throw new IllegalArgumentException("histogram takes (bins)(expr)")
     }),
     // -- behavioral sequence aggregates (parametric spellings
-    // windowFunnel(w)(ts, c…) / sequenceMatch('p')(ts, c…) flattened
-    // by ChSqlParser, like quantile/topK)
-    "windowFunnel"  -> (es => GraftWindowFunnel(es.head, es(1), es.drop(2))),
-    "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2))),
-    "sequenceCount" -> (es => GraftSequenceCount(es.head, es(1), es.drop(2))),
+    // windowFunnel(w[, 'mode'…])(ts, c…) / sequenceMatch('p')(ts, c…)
+    // flattened by ChSqlParser, like quantile/topK). The per-group
+    // event cap is captured from the session conf at plan time.
+    "windowFunnel"  -> (es => {
+      val modes = es.drop(1).iterator.map(funnelModeOf).takeWhile(_.isDefined).map(_.get).toSeq
+      GraftWindowFunnel(es.head, modes, es(1 + modes.length), es.drop(2 + modes.length),
+        SequenceAggBase.configuredCap())
+    }),
+    "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2),
+      SequenceAggBase.configuredCap())),
+    "sequenceCount" -> (es => GraftSequenceCount(es.head, es(1), es.drop(2),
+      SequenceAggBase.configuredCap())),
     // element-wise map-combine over parallel (keys, values) arrays,
     // or over a Map-typed column directly (CH accepts both shapes)
     "sumMap" -> (es => mapAggOf(es, "sum")),
@@ -1570,6 +1577,14 @@ object ChDialect {
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
     case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** A windowFunnel mode flag if the expression is one of the known
+    * mode string literals (the leading args after the window). */
+  private def funnelModeOf(e: Expression): Option[String] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+      if Set("strict_order", "strict_dedup", "strict_increase")(s.toString) => Some(s.toString)
+    case _ => None
   }
 
   /** ClickHouse component functions return '' where Spark yields NULL. */

@@ -178,6 +178,157 @@ object EventsAnalytics {
             GROUP BY 1 ORDER BY level"""),
   )
 
+  /** windowFunnel's `strict_order` / `strict_dedup` modes
+    * ([[graft.plans.GraftWindowFunnel]]): strict_order breaks a
+    * started chain on any interleaving event (foreign events retained
+    * for exactly this reason), strict_dedup interrupts when a
+    * condition whose level is already reached fires again. The oracle
+    * REPLAYS the documented one-slot-per-level scan as a recursive
+    * CTE over (ts, condIdx)-sorted per-user entries — the same
+    * deterministic order the aggregate uses — so the hash-match
+    * certifies the scan event by event, not just aggregate totals. */
+  val q75b = GraftQuery(
+    "q75b_funnel_modes",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_seq")
+      s.sql("""SELECT CAST(lo AS BIGINT) AS level_order, CAST(ld AS BIGINT) AS level_dedup,
+                      count(*) AS n_users
+               FROM (SELECT user_id,
+                            windowFunnel(604800, 'strict_order')(ts, event_type = 'signup',
+                              event_type = 'click', event_type = 'purchase') AS lo,
+                            windowFunnel(604800, 'strict_dedup')(ts, event_type = 'signup',
+                              event_type = 'click', event_type = 'purchase') AS ld
+                     FROM events_seq GROUP BY user_id) t
+               GROUP BY lo, ld ORDER BY level_order, level_dedup""")
+    },
+    Some("""WITH RECURSIVE
+              base AS (SELECT user_id, epoch_us(ts) AS t,
+                              CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+                                   WHEN 'purchase' THEN 2 ELSE -1 END AS idx
+                       FROM events),
+              eo AS (SELECT user_id, t, idx,
+                            row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn
+                     FROM base),
+              ed AS (SELECT user_id, t, idx,
+                            row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn
+                     FROM base WHERE idx >= 0),
+              u AS (SELECT DISTINCT user_id FROM events),
+              so AS (
+                SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS f0, CAST(NULL AS BIGINT) AS p0,
+                       CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS p1,
+                       CAST(NULL AS BIGINT) AS f2, false AS stopped, CAST(NULL AS INTEGER) AS forced
+                FROM u
+                UNION ALL
+                SELECT s.user_id, e.rn,
+                  CASE WHEN e.idx = 0 THEN e.t ELSE s.f0 END,
+                  CASE WHEN e.idx = 0 THEN e.t ELSE s.p0 END,
+                  CASE WHEN e.idx = 1 AND s.f0 IS NOT NULL AND e.t - s.f0 <= 604800000000
+                            AND s.p0 < e.t THEN s.f0 ELSE s.f1 END,
+                  CASE WHEN e.idx = 1 AND s.f0 IS NOT NULL AND e.t - s.f0 <= 604800000000
+                            AND s.p0 < e.t THEN e.t ELSE s.p1 END,
+                  CASE WHEN e.idx = 2 AND s.f1 IS NOT NULL AND e.t - s.f1 <= 604800000000
+                            AND s.p1 < e.t THEN s.f1 ELSE s.f2 END,
+                  (e.idx = -1 AND s.f0 IS NOT NULL)
+                    OR (e.idx = 2 AND s.f0 IS NOT NULL AND s.f1 IS NULL)
+                    OR (e.idx = 2 AND s.f1 IS NOT NULL AND e.t - s.f1 <= 604800000000 AND s.p1 < e.t),
+                  CASE WHEN e.idx = 2 AND s.f1 IS NOT NULL AND e.t - s.f1 <= 604800000000
+                            AND s.p1 < e.t THEN 3
+                       WHEN (e.idx = -1 AND s.f0 IS NOT NULL)
+                         OR (e.idx = 2 AND s.f0 IS NOT NULL AND s.f1 IS NULL)
+                       THEN CASE WHEN s.f2 IS NOT NULL THEN 3 WHEN s.f1 IS NOT NULL THEN 2
+                                 WHEN s.f0 IS NOT NULL THEN 1 ELSE 0 END
+                       ELSE NULL END
+                FROM so s JOIN eo e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+                WHERE NOT s.stopped),
+              sd AS (
+                SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS f0, CAST(NULL AS BIGINT) AS p0,
+                       CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS p1,
+                       CAST(NULL AS BIGINT) AS f2, false AS stopped, CAST(NULL AS INTEGER) AS forced
+                FROM u
+                UNION ALL
+                SELECT s.user_id, e.rn,
+                  CASE WHEN e.idx = 0 THEN e.t ELSE s.f0 END,
+                  CASE WHEN e.idx = 0 THEN e.t ELSE s.p0 END,
+                  CASE WHEN e.idx = 1 AND s.f1 IS NULL AND s.f0 IS NOT NULL
+                            AND e.t - s.f0 <= 604800000000 AND s.p0 < e.t THEN s.f0 ELSE s.f1 END,
+                  CASE WHEN e.idx = 1 AND s.f1 IS NULL AND s.f0 IS NOT NULL
+                            AND e.t - s.f0 <= 604800000000 AND s.p0 < e.t THEN e.t ELSE s.p1 END,
+                  CASE WHEN e.idx = 2 AND s.f1 IS NOT NULL AND e.t - s.f1 <= 604800000000
+                            AND s.p1 < e.t THEN s.f1 ELSE s.f2 END,
+                  (e.idx = 1 AND s.f1 IS NOT NULL)
+                    OR (e.idx = 2 AND s.f1 IS NOT NULL AND e.t - s.f1 <= 604800000000 AND s.p1 < e.t),
+                  CASE WHEN e.idx = 1 AND s.f1 IS NOT NULL THEN 2
+                       WHEN e.idx = 2 AND s.f1 IS NOT NULL AND e.t - s.f1 <= 604800000000
+                            AND s.p1 < e.t THEN 3
+                       ELSE NULL END
+                FROM sd s JOIN ed e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+                WHERE NOT s.stopped),
+              sof AS (SELECT user_id,
+                             COALESCE(forced, CASE WHEN f2 IS NOT NULL THEN 3
+                               WHEN f1 IS NOT NULL THEN 2 WHEN f0 IS NOT NULL THEN 1 ELSE 0 END) AS lo
+                      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+                            FROM so) WHERE rr = 1),
+              sdf AS (SELECT user_id,
+                             COALESCE(forced, CASE WHEN f2 IS NOT NULL THEN 3
+                               WHEN f1 IS NOT NULL THEN 2 WHEN f0 IS NOT NULL THEN 1 ELSE 0 END) AS ld
+                      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+                            FROM sd) WHERE rr = 1)
+            SELECT CAST(lo AS BIGINT) AS level_order, CAST(ld AS BIGINT) AS level_dedup,
+                   count(*) AS n_users
+            FROM sof JOIN sdf USING (user_id)
+            GROUP BY 1, 2 ORDER BY level_order, level_dedup"""),
+  )
+
+  /** sequenceMatch's time-bounded gaps `(?t op N)` and strict-next `.`
+    * atom ([[graft.plans.GraftSequenceMatch]]). The time-gap legs
+    * oracle as exists-chains carrying the bound; the `.` leg replays
+    * the (ts, mask)-sorted adjacency with window row numbers. */
+  val q77c = GraftQuery(
+    "q77c_sequence_time",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_seq")
+      s.sql("""SELECT CAST(count_if(m_within) AS BIGINT) AS n_within_day,
+                      CAST(count_if(m_over) AS BIGINT) AS n_over_hour,
+                      CAST(count_if(m_next) AS BIGINT) AS n_strict_next,
+                      count(*) AS n_users
+               FROM (SELECT user_id,
+                       sequenceMatch('(?1)(?t<=86400)(?2)')(ts,
+                         event_type = 'view', event_type = 'purchase') AS m_within,
+                       sequenceMatch('(?1)(?t>3600)(?2)')(ts,
+                         event_type = 'click', event_type = 'purchase') AS m_over,
+                       sequenceMatch('(?1).(?2)')(ts,
+                         event_type = 'view', event_type = 'purchase') AS m_next
+                     FROM events_seq GROUP BY user_id) t""")
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+                 w AS (SELECT DISTINCT a.user_id
+                       FROM events a JOIN events b USING (user_id)
+                       WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+                         AND b.ts > a.ts
+                         AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000),
+                 o AS (SELECT DISTINCT a.user_id
+                       FROM events a JOIN events b USING (user_id)
+                       WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+                         AND b.ts > a.ts
+                         AND epoch_us(b.ts) - epoch_us(a.ts) > 3600000000),
+                 ord AS (SELECT user_id, ts,
+                                CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2 ELSE 0 END AS mask,
+                                row_number() OVER (PARTITION BY user_id ORDER BY ts,
+                                  CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2 ELSE 0 END) AS rn
+                         FROM events),
+                 nx AS (SELECT DISTINCT a.user_id
+                        FROM ord a
+                        JOIN ord b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+                        JOIN ord c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+                        WHERE a.mask = 1 AND c.mask = 2 AND b.ts > a.ts AND c.ts > b.ts)
+            SELECT CAST(count(w.user_id) AS BIGINT) AS n_within_day,
+                   CAST(count(o.user_id) AS BIGINT) AS n_over_hour,
+                   CAST(count(nx.user_id) AS BIGINT) AS n_strict_next,
+                   count(*) AS n_users
+            FROM u LEFT JOIN w USING (user_id) LEFT JOIN o USING (user_id)
+                   LEFT JOIN nx USING (user_id)"""),
+  )
+
   /** `retention(cond…)` combinator — per-user flag vector, summed into
     * cohort counts. Pure bool_or composition (no custom state). */
   val q76 = GraftQuery(
@@ -297,5 +448,6 @@ object EventsAnalytics {
             FROM d GROUP BY 1 ORDER BY user_id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q73b, q74, q75, q76, q77, q77b, q78, q80)
+  val all: Seq[GraftQuery] =
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q78, q80)
 }
