@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.DataType
   */
 object Dictionaries {
 
-  final case class Dict(keyCol: String, source: () => DataFrame) {
+  final case class Dict(keyCol: String, source: () => DataFrame,
+                        parentCol: Option[String] = None) {
     // schema is stable across source() calls (same table); cached
     // because DictGetExpr.dataType is consulted many times per analysis
     private lazy val schema = source().schema
@@ -43,6 +44,52 @@ object Dictionaries {
 
   def register(name: String, keyCol: String, source: () => DataFrame): Unit =
     dicts.put(name, Dict(keyCol, source))
+
+  /** A HIERARCHICAL dictionary (ClickHouse's `hierarchical` attribute
+    * flag): `parentCol` names the parent-key attribute, enabling
+    * `dictGetHierarchy` / `dictIsIn`. Keys must be integral (CH
+    * requires UInt64 there too). */
+  def registerHierarchical(name: String, keyCol: String, parentCol: String,
+                           source: () => DataFrame): Unit =
+    dicts.put(name, Dict(keyCol, source, Some(parentCol)))
+
+  /** The (key → ancestor chain) closure table for a hierarchical
+    * dictionary: one row per key, `gr_h_chain` = [key, parent(key),
+    * …] up to the root (parent NULL, missing, or self-referential).
+    *
+    * Built by collecting the dictionary's (key, parent) pairs to the
+    * driver and walking the parent map — the SAME memory envelope as
+    * the broadcast join every dictGet already implies (dictionaries
+    * are dim-sized by contract; ClickHouse likewise holds the whole
+    * hierarchy in RAM on every server). The closure then feeds the
+    * standard [[graft.plans.DictGetRewrite]] broadcast-join machinery,
+    * so the per-row lookup is one hash probe — never a per-row walk.
+    * Cycles fail loudly rather than looping. */
+  def hierarchyClosure(name: String): DataFrame = {
+    val d = get(name)
+    val parentCol = d.parentCol.getOrElse(throw new IllegalArgumentException(
+      s"dictionary '$name' is not hierarchical — register with registerHierarchical"))
+    val src = d.source()
+    val spark = src.sparkSession
+    val pairs = src.selectExpr(s"CAST(`${d.keyCol}` AS BIGINT)", s"CAST(`$parentCol` AS BIGINT)")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val parent = pairs.toMap
+    val chains = pairs.map { case (k, _) =>
+      val chain = scala.collection.mutable.ArrayBuffer(k)
+      val seen = scala.collection.mutable.Set(k)
+      var cur = parent.get(k).flatten
+      while (cur.isDefined && cur.get != chain.last) {
+        val c = cur.get
+        require(seen.add(c), s"dictionary '$name': hierarchy cycle at key $c")
+        chain += c
+        cur = parent.get(c).flatten
+      }
+      (k, chain.toSeq)
+    }.toSeq
+    import spark.implicits._
+    chains.toDF("gr_h_key", "gr_h_chain")
+  }
 
   def get(name: String): Dict = {
     val d = dicts.get(name)

@@ -34,4 +34,19 @@ object Sampling {
     }
     df.where(bucketOf(key) < threshold)
   }
+
+  /** Table → sample-key SQL expression, the engine's analog of
+    * ClickHouse's table-level `SAMPLE BY <expr>` DDL clause. A table
+    * registered here makes `FROM t SAMPLE 0.25` rewrite
+    * ([[graft.plans.ChSqlParser]]) to the content-addressed bucket
+    * filter above instead of nondeterministic TABLESAMPLE — the
+    * sample becomes reproducible across runs, engines and partition
+    * layouts, hence oracle-able. */
+  private val sampleKeys = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerSampleBy(table: String, keyExprSql: String): Unit =
+    sampleKeys.put(table.toLowerCase, keyExprSql)
+
+  def sampleKeyFor(table: String): Option[String] =
+    Option(sampleKeys.get(table.toLowerCase))
 }

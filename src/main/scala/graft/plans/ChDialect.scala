@@ -1438,6 +1438,10 @@ object ChDialect {
       DictGetExpr(litString(es(0), "dictGetOrDefault dict name"),
         litString(es(1), "dictGetOrDefault attribute"), es(2), Some(es(3)))),
     "dictHas" -> (es => DictHasExpr(litString(es(0), "dictHas dict name"), es(1))),
+    "dictGetHierarchy" -> (es =>
+      DictGetHierarchyExpr(litString(es(0), "dictGetHierarchy dict name"), es(1))),
+    "dictIsIn" -> (es =>
+      DictIsInExpr(litString(es(0), "dictIsIn dict name"), es(1), es(2))),
   )
 
   /** The emptyArray<Type>() constructors (typed [] literals; UInt64

@@ -221,12 +221,36 @@ object ChSqlParser {
     * ClickHouse's cast-on-bind. */
   private val NamedParam = """\{(\w+)\s*:\s*[A-Za-z0-9]+(?:\([^{}]*\))?\}""".r
 
-  /** ClickHouse `SAMPLE k` (fraction form, 0 < k < 1) → Spark
-    * `TABLESAMPLE (k*100 PERCENT)`. Both are storage-level Bernoulli
-    * samples with no determinism guarantee, so the mapping is
-    * semantically exact; the row-count form (`SAMPLE 10000`) has no
-    * Spark analog and is left for the parser to reject loudly. */
+  /** ClickHouse `SAMPLE k` (fraction form, 0 < k < 1). A table with a
+    * registered sample key ([[graft.operators.Sampling.registerSampleBy]]
+    * — the analog of CH's table-level `SAMPLE BY` DDL) rewrites to the
+    * deterministic content-addressed bucket filter (md5 leading-byte
+    * < k·256), reproducible across engines and partition layouts and
+    * therefore oracle-able. Tables without a key fall back to Spark
+    * `TABLESAMPLE (k*100 PERCENT)` — both sides nondeterministic
+    * storage-level samples, semantically exact. The row-count form
+    * (`SAMPLE 10000`) has no Spark analog and is left for the parser
+    * to reject loudly. */
+  private val SampleByTable = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(0?\.\d+)""".r
   private val SampleClause = """(?i)\bSAMPLE\s+(0?\.\d+)""".r
+
+  private def rewriteSample(sql: String): String = {
+    val keyed = SampleByTable.replaceAllIn(sql, m => {
+      val (tbl, frac) = (m.group(1), m.group(2).toDouble)
+      scala.util.matching.Regex.quoteReplacement(
+        graft.operators.Sampling.sampleKeyFor(tbl) match {
+          case Some(key) =>
+            val thr = (frac * 256).round.toInt
+            s"FROM (SELECT * FROM $tbl WHERE " +
+              s"CAST(conv(substring(md5(CAST(($key) AS BINARY)), 1, 2), 16, 10) AS INT) < $thr) $tbl"
+          case None => s"FROM $tbl TABLESAMPLE (${frac * 100} PERCENT)"
+        })
+    })
+    // non-`FROM ident`-shaped occurrences (subquery sources): plain
+    // TABLESAMPLE mapping as before
+    SampleClause.replaceAllIn(keyed, m =>
+      s"TABLESAMPLE (${m.group(1).toDouble * 100} PERCENT)")
+  }
 
   /** ClickHouse `ORDER BY … LIMIT n BY cols [LIMIT m]` → a row_number
     * window wrap: first n rows per cols-group in the given order.
@@ -444,8 +468,7 @@ object ChSqlParser {
     out = stripGlobalHints(out)
     out = NamedParam.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s":${m.group(1)}"))
-    out = SampleClause.replaceAllIn(out, m =>
-      s"TABLESAMPLE (${m.group(1).toDouble * 100} PERCENT)")
+    out = rewriteSample(out)
     out = FromFinal.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
     out = rewriteArrayJoin(out)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** `dictGet('dict', 'attr', key)` / `dictGetOrDefault(…, default)` /
   * `dictHas('dict', key)` — ClickHouse's dictionary lookups.
@@ -43,6 +43,34 @@ case class DictHasExpr(dictName: String, key: Expression) extends DictLookup {
     copy(key = newChildren.head)
 }
 
+/** `dictGetHierarchy('dict', key)` — the key's ancestor chain [key,
+  * parent(key), …, root] as ARRAY<BIGINT>; a key absent from the
+  * dictionary yields [key] (the walk stops immediately), matching
+  * ClickHouse. Resolved against the dictionary's hierarchy-closure
+  * table ([[graft.operators.Dictionaries.hierarchyClosure]]) via the
+  * same broadcast-join machinery as dictGet — one hash probe per row,
+  * never a per-row parent walk. */
+case class DictGetHierarchyExpr(dictName: String, key: Expression) extends DictLookup {
+  override def children: Seq[Expression] = Seq(key)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head)
+}
+
+/** `dictIsIn('dict', child, ancestor)` — whether `ancestor` appears
+  * in `child`'s hierarchy chain (child itself included, so
+  * child = ancestor holds, as in ClickHouse). */
+case class DictIsInExpr(dictName: String, child: Expression, ancestor: Expression)
+  extends DictLookup {
+  override def key: Expression = child
+  override def children: Seq[Expression] = Seq(child, ancestor)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head, ancestor = newChildren(1))
+}
+
 /** Rewrites [[DictLookup]] placeholders into broadcast left-outer
   * joins during analysis.
   *
@@ -74,14 +102,22 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val selfOutputting = p.isInstanceOf[Project] || p.isInstanceOf[Aggregate]
     val savedOutput = p.output
     val all = lookups(p)
+    val flat = all.filter {
+      case _: DictGetExpr | _: DictHasExpr => true
+      case _ => false
+    }
+    val hier = all.filter {
+      case _: DictGetHierarchyExpr | _: DictIsInExpr => true
+      case _ => false
+    }
 
     // distinct (dict, key-expression) pairs, each with the union of
     // attributes every lookup on that pair needs → exactly one join per pair
     var pairs = Seq.empty[(String, Expression, Seq[String])]
-    for (l <- all) {
+    for (l <- flat) {
       val attrsWanted = l match {
         case g: DictGetExpr => Seq(g.attrName)
-        case _: DictHasExpr => Nil
+        case _              => Nil
       }
       pairs.indexWhere { case (d, k, _) => d == l.dictName && k.semanticEquals(l.key) } match {
         case -1 => pairs :+= ((l.dictName, l.key, attrsWanted))
@@ -108,6 +144,31 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       resolvedJoins :+= ((dictName, key, keyAttr, attrMap))
     }
 
+    // hierarchy lookups join the dictionary's closure table instead —
+    // one broadcast join per distinct (dict, child-key expression)
+    var hierPairs = Seq.empty[(String, Expression)]
+    for (l <- hier)
+      if (!hierPairs.exists { case (d, k) => d == l.dictName && k.semanticEquals(l.key) })
+        hierPairs :+= ((l.dictName, l.key))
+    // (dict, key) → chain attribute of the joined closure
+    var hierJoins = Seq.empty[(String, Expression, Attribute)]
+    for ((dictName, key) <- hierPairs) {
+      val proj = Dictionaries.hierarchyClosure(dictName).queryExecution.analyzed
+      val keyAttr = proj.output.head
+      child = Join(child, proj, LeftOuter,
+        Some(EqualTo(Cast(key, LongType), keyAttr)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      hierJoins :+= ((dictName, key, proj.output(1)))
+    }
+
+    def chainOf(dictName: String, key: Expression): Expression = {
+      val (_, _, chainAttr) = hierJoins.find { case (d, k, _) =>
+        d == dictName && k.semanticEquals(key)
+      }.get
+      // an unknown key walks nowhere: its chain is just [key]
+      Coalesce(Seq(chainAttr, CreateArray(Seq(Cast(key, LongType)))))
+    }
+
     def substitute(e: Expression): Expression = e.transformUp {
       case g: DictGetExpr =>
         val (_, _, _, attrMap) = resolvedJoins.find { case (d, k, _, _) =>
@@ -123,6 +184,11 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           d == h.dictName && k.semanticEquals(h.key)
         }.get
         IsNotNull(keyAttr)
+      case gh: DictGetHierarchyExpr => chainOf(gh.dictName, gh.key)
+      case in: DictIsInExpr =>
+        Coalesce(Seq(
+          ArrayContains(chainOf(in.dictName, in.child), Cast(in.ancestor, LongType)),
+          Literal(false)))
     }
 
     val rewritten = p.withNewChildren(Seq(child)).mapExpressions(substitute)

@@ -1273,6 +1273,70 @@ object ChFunctions {
             GROUP BY 1 ORDER BY nation"""),
   )
 
+  /** ClickHouse `SAMPLE k` on a table with a registered sample key
+    * ([[graft.operators.Sampling.registerSampleBy]], the analog of
+    * CH's `SAMPLE BY` DDL): the clause rewrites to the deterministic
+    * content-addressed md5-bucket filter, so — unlike TABLESAMPLE —
+    * the drawn sample is identical across engines and the oracle
+    * replays the same bucket arithmetic on DuckDB's md5. The filter
+    * is a pure projection predicate: no shuffle, pushes to the scan,
+    * and every engine in a 1000-executor pipeline draws the same
+    * rows. */
+  val q29m = GraftQuery(
+    "q29m_sample",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_smp")
+      graft.operators.Sampling.registerSampleBy("orders_smp", "CAST(o_orderkey AS STRING)")
+      s.sql("""SELECT o_orderpriority AS prio, count(*) AS n,
+                      round(sum(o_totalprice), 2) AS total
+               FROM orders_smp SAMPLE 0.25
+               GROUP BY o_orderpriority ORDER BY prio""")
+    },
+    Some("""WITH b AS (SELECT o_orderpriority, o_totalprice,
+                              (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1 AS bucket
+                       FROM orders)
+            SELECT o_orderpriority AS prio, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM b WHERE bucket < 64
+            GROUP BY 1 ORDER BY prio"""),
+  )
+
+  /** Hierarchical dictionary walkers `dictGetHierarchy` / `dictIsIn`
+    * over a synthetic binary-tree hierarchy on nation keys
+    * (parent(k) = (k−1)/2, root 0): the closure table
+    * ([[graft.operators.Dictionaries.hierarchyClosure]]) is built
+    * once — bounded by the dictionary, the same envelope as its
+    * broadcast — and the per-row lookup is a broadcast-join probe.
+    * The oracle rebuilds each chain with a recursive CTE. */
+  val q38b = GraftQuery(
+    "q38b_dict_hierarchy",
+    (s, dir) => {
+      graft.operators.Dictionaries.registerHierarchical("geo_h", "n_nationkey", "parent",
+        () => Tables(s, dir).nation.selectExpr("n_nationkey",
+          """CASE WHEN n_nationkey = 0 THEN CAST(NULL AS INT)
+                  ELSE CAST(floor((n_nationkey - 1) / 2) AS INT) END AS parent"""))
+      Tables(s, dir).nation.createOrReplaceTempView("nation_h")
+      s.sql("""SELECT n_nationkey AS k,
+                      dictGetHierarchy('geo_h', n_nationkey) AS chain,
+                      dictIsIn('geo_h', n_nationkey, 1) AS under_one,
+                      dictIsIn('geo_h', n_nationkey, 60) AS under_missing
+               FROM nation_h ORDER BY k""")
+    },
+    Some("""WITH RECURSIVE chains AS (
+              SELECT n_nationkey AS k, CAST(n_nationkey AS BIGINT) AS cur,
+                     [CAST(n_nationkey AS BIGINT)] AS chain
+              FROM nation
+              UNION ALL
+              SELECT k, CAST((cur - 1) // 2 AS BIGINT),
+                     list_append(chain, CAST((cur - 1) // 2 AS BIGINT))
+              FROM chains WHERE cur > 0)
+            SELECT k, chain,
+                   list_contains(chain, 1) AS under_one,
+                   list_contains(chain, 60) AS under_missing
+            FROM chains WHERE cur = 0 ORDER BY k"""),
+  )
+
   /** ClickHouse `LIMIT n BY cols` (first n rows per group in the
     * ORDER BY order) spelled verbatim — ChSqlParser wraps the query in
     * a row_number window. Top-2 orders per priority by value. */
@@ -1382,5 +1446,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q38, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q38, q38b, q21b)
 }

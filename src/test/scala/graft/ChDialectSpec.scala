@@ -234,6 +234,52 @@ class ChDialectSpec extends SparkSpec {
     assert(n > 50 && n < 550, s"sampled $n of 600")  // Bernoulli around 300
   }
 
+  test("SAMPLE on a table with a registered sample key is deterministic") {
+    view
+    graft.operators.Sampling.registerSampleBy("expenses", "CAST(user_id AS STRING)")
+    val rewritten = graft.plans.ChSqlParser.rewriteParametric(
+      "SELECT count(*) AS c FROM expenses SAMPLE 0.25")
+    assert(rewritten.contains("md5") && rewritten.contains("< 64"),
+      s"expected the content-addressed bucket filter, got: $rewritten")
+    // identical draw on every run — the whole point
+    val a = spark.sql("SELECT count(*) AS c FROM expenses SAMPLE 0.25").head().getLong(0)
+    val b = spark.sql("SELECT count(*) AS c FROM expenses SAMPLE 0.25").head().getLong(0)
+    assert(a == b && a > 0 && a < 600)
+    // and it matches the Sampling operator's own bucket math
+    val direct = graft.operators.Sampling.sample(
+      spark.table("expenses"), expr("CAST(user_id AS STRING)"), 0.25).count()
+    assert(a == direct)
+  }
+
+  test("dictGetHierarchy/dictIsIn walk a registered hierarchy via one broadcast probe") {
+    import spark.implicits._
+    // 0 ← 1 ← 3, 0 ← 2; 9 is absent from the dictionary
+    graft.operators.Dictionaries.registerHierarchical("org", "id", "boss",
+      () => Seq((0, Option.empty[Int]), (1, Some(0)), (2, Some(0)), (3, Some(1)))
+        .toDF("id", "boss"))
+    Seq(0, 1, 2, 3, 9).toDF("emp").createOrReplaceTempView("emps")
+    val rows = spark.sql(
+      """SELECT emp, dictGetHierarchy('org', emp) AS chain,
+                dictIsIn('org', emp, 0) AS under_root,
+                dictIsIn('org', emp, 1) AS under_one
+         FROM emps ORDER BY emp""").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toList, r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.toList == List(
+      (0, List(0L), true, false),
+      (1, List(1L, 0L), true, true),
+      (2, List(2L, 0L), true, false),
+      (3, List(3L, 1L, 0L), true, true),
+      (9, List(9L), false, false))) // missing key: chain is just [key]
+    // a cyclic hierarchy fails loudly instead of looping
+    graft.operators.Dictionaries.registerHierarchical("cyc", "id", "boss",
+      () => Seq((1, Some(2)), (2, Some(1))).toDF("id", "boss"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT dictGetHierarchy('cyc', emp) AS c FROM emps").collect()
+    }
+    assert(e.getMessage.contains("cycle") ||
+      (e.getCause != null && e.getCause.getMessage.contains("cycle")))
+  }
+
   test("conditional/argMax/uniq/JSON dialect functions resolve natively") {
     view
     val r = spark.sql(
