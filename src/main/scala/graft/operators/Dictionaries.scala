@@ -91,6 +91,42 @@ object Dictionaries {
     chains.toDF("gr_h_key", "gr_h_chain")
   }
 
+  /** The downward closure: one row per key, `gr_h_down` = descendants
+    * within `maxLevel` parent-hops (maxLevel 0 = unbounded, level 1 =
+    * direct children), sorted ascending for determinism (ClickHouse's
+    * dictGetChildren/dictGetDescendants leave order internal). Same
+    * driver-side envelope and cycle guard as [[hierarchyClosure]]. */
+  def descendantsClosure(name: String, maxLevel: Int): DataFrame = {
+    val d = get(name)
+    val parentCol = d.parentCol.getOrElse(throw new IllegalArgumentException(
+      s"dictionary '$name' is not hierarchical — register with registerHierarchical"))
+    val src = d.source()
+    val spark = src.sparkSession
+    val pairs = src.selectExpr(s"CAST(`${d.keyCol}` AS BIGINT)", s"CAST(`$parentCol` AS BIGINT)")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val children = pairs.collect { case (k, Some(p)) if p != k => p -> k }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val rows = pairs.map { case (k, _) =>
+      // BFS down, depth-bounded; cycles would re-visit → loud failure
+      val seen = scala.collection.mutable.Set(k)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var frontier = children.getOrElse(k, Seq.empty)
+      var depth = 1
+      while (frontier.nonEmpty && (maxLevel == 0 || depth <= maxLevel)) {
+        frontier.foreach { c =>
+          require(seen.add(c), s"dictionary '$name': hierarchy cycle at key $c")
+          out += c
+        }
+        frontier = frontier.flatMap(c => children.getOrElse(c, Seq.empty))
+        depth += 1
+      }
+      (k, out.sorted.toSeq)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("gr_h_key", "gr_h_down")
+  }
+
   def get(name: String): Dict = {
     val d = dicts.get(name)
     if (d == null) throw new IllegalArgumentException(

@@ -1442,6 +1442,19 @@ object ChDialect {
       DictGetHierarchyExpr(litString(es(0), "dictGetHierarchy dict name"), es(1))),
     "dictIsIn" -> (es =>
       DictIsInExpr(litString(es(0), "dictIsIn dict name"), es(1), es(2))),
+    "dictGetChildren" -> (es =>
+      DictDescendantsExpr(litString(es(0), "dictGetChildren dict name"), es(1), 1)),
+    "dictGetDescendants" -> (es => {
+      val lvl =
+        if (es.length <= 2) 0
+        else es(2) match {
+          case Literal(i: Int, _)  => i
+          case Literal(l: Long, _) => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"dictGetDescendants level must be an integer literal, got $other")
+        }
+      DictDescendantsExpr(litString(es(0), "dictGetDescendants dict name"), es(1), lvl)
+    }),
   )
 
   /** The emptyArray<Type>() constructors (typed [] literals; UInt64

@@ -231,18 +231,37 @@ object ChSqlParser {
     * storage-level samples, semantically exact. The row-count form
     * (`SAMPLE 10000`) has no Spark analog and is left for the parser
     * to reject loudly. */
+  private val SampleOffsetByTable =
+    """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(0?\.\d+)\s+OFFSET\s+(0?\.\d+)""".r
   private val SampleByTable = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(0?\.\d+)""".r
   private val SampleClause = """(?i)\bSAMPLE\s+(0?\.\d+)""".r
 
+  private def bucketPredicate(key: String, loBucket: Int, hiBucket: Int): String = {
+    val b = s"CAST(conv(substring(md5(CAST(($key) AS BINARY)), 1, 2), 16, 10) AS INT)"
+    if (loBucket <= 0) s"$b < $hiBucket" else s"$b >= $loBucket AND $b < $hiBucket"
+  }
+
   private def rewriteSample(sql: String): String = {
-    val keyed = SampleByTable.replaceAllIn(sql, m => {
+    // SAMPLE k OFFSET m (CH's disjoint-slice form — e.g. two pipelines
+    // splitting one table): bucket ∈ [m·256, (m+k)·256). Only the
+    // deterministic keyed path exists; TABLESAMPLE has no offset, so a
+    // keyless table passes through and fails loudly at parse.
+    val sliced = SampleOffsetByTable.replaceAllIn(sql, m => {
+      val (tbl, frac, off) = (m.group(1), m.group(2).toDouble, m.group(3).toDouble)
+      scala.util.matching.Regex.quoteReplacement(
+        graft.operators.Sampling.sampleKeyFor(tbl) match {
+          case Some(key) =>
+            val (lo, hi) = ((off * 256).round.toInt, ((off + frac) * 256).round.toInt)
+            s"FROM (SELECT * FROM $tbl WHERE ${bucketPredicate(key, lo, hi)}) $tbl"
+          case None => m.matched
+        })
+    })
+    val keyed = SampleByTable.replaceAllIn(sliced, m => {
       val (tbl, frac) = (m.group(1), m.group(2).toDouble)
       scala.util.matching.Regex.quoteReplacement(
         graft.operators.Sampling.sampleKeyFor(tbl) match {
           case Some(key) =>
-            val thr = (frac * 256).round.toInt
-            s"FROM (SELECT * FROM $tbl WHERE " +
-              s"CAST(conv(substring(md5(CAST(($key) AS BINARY)), 1, 2), 16, 10) AS INT) < $thr) $tbl"
+            s"FROM (SELECT * FROM $tbl WHERE ${bucketPredicate(key, 0, (frac * 256).round.toInt)}) $tbl"
           case None => s"FROM $tbl TABLESAMPLE (${frac * 100} PERCENT)"
         })
     })

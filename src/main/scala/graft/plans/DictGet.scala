@@ -71,6 +71,23 @@ case class DictIsInExpr(dictName: String, child: Expression, ancestor: Expressio
     copy(child = newChildren.head, ancestor = newChildren(1))
 }
 
+/** `dictGetChildren('dict', key)` (level = 1) and
+  * `dictGetDescendants('dict', key[, level])` (level 0 = the whole
+  * subtree) — the DOWNWARD hierarchy walkers, served from a
+  * per-(dict, level) descendants-closure table through the same
+  * broadcast-join machinery. Keys absent from the dictionary (and
+  * leaves) yield []. Arrays are sorted ascending — deterministic
+  * where ClickHouse leaves order internal, hence oracle-able. */
+case class DictDescendantsExpr(dictName: String, key: Expression, level: Int)
+  extends DictLookup {
+  require(level >= 0, s"dictGetDescendants level must be ≥ 0, got $level")
+  override def children: Seq[Expression] = Seq(key)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren.head)
+}
+
 /** Rewrites [[DictLookup]] placeholders into broadcast left-outer
   * joins during analysis.
   *
@@ -110,6 +127,7 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _: DictGetHierarchyExpr | _: DictIsInExpr => true
       case _ => false
     }
+    val down = all.collect { case d: DictDescendantsExpr => d }
 
     // distinct (dict, key-expression) pairs, each with the union of
     // attributes every lookup on that pair needs → exactly one join per pair
@@ -169,6 +187,24 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Coalesce(Seq(chainAttr, CreateArray(Seq(Cast(key, LongType)))))
     }
 
+    // downward walkers: one broadcast join per distinct
+    // (dict, key expression, level)
+    var downPairs = Seq.empty[(String, Expression, Int)]
+    for (l <- down)
+      if (!downPairs.exists { case (d, k, lv) =>
+            d == l.dictName && k.semanticEquals(l.key) && lv == l.level })
+        downPairs :+= ((l.dictName, l.key, l.level))
+    var downJoins = Seq.empty[(String, Expression, Int, Attribute)]
+    for ((dictName, key, level) <- downPairs) {
+      val proj = Dictionaries.descendantsClosure(dictName, level).queryExecution.analyzed
+      val keyAttr = proj.output.head
+      child = Join(child, proj, LeftOuter,
+        Some(EqualTo(Cast(key, LongType), keyAttr)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      downJoins :+= ((dictName, key, level, proj.output(1)))
+    }
+    val emptyChain = Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false))
+
     def substitute(e: Expression): Expression = e.transformUp {
       case g: DictGetExpr =>
         val (_, _, _, attrMap) = resolvedJoins.find { case (d, k, _, _) =>
@@ -189,6 +225,11 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Coalesce(Seq(
           ArrayContains(chainOf(in.dictName, in.child), Cast(in.ancestor, LongType)),
           Literal(false)))
+      case dd: DictDescendantsExpr =>
+        val (_, _, _, attr) = downJoins.find { case (d, k, lv, _) =>
+          d == dd.dictName && k.semanticEquals(dd.key) && lv == dd.level
+        }.get
+        Coalesce(Seq(attr, emptyChain))
     }
 
     val rewritten = p.withNewChildren(Seq(child)).mapExpressions(substitute)

@@ -1337,6 +1337,51 @@ object ChFunctions {
             FROM chains WHERE cur = 0 ORDER BY k"""),
   )
 
+  /** The DOWNWARD hierarchy walkers dictGetChildren /
+    * dictGetDescendants (all levels and level-bounded) over the same
+    * binary-tree hierarchy as q38b — per-(dict, level) descendants
+    * closure, broadcast-probed, arrays sorted for determinism; the
+    * oracle inverts the recursive ancestor chains (j is a descendant
+    * of k iff k is in j's chain). */
+  val q38c = GraftQuery(
+    "q38c_dict_descendants",
+    (s, dir) => {
+      graft.operators.Dictionaries.registerHierarchical("geo_h", "n_nationkey", "parent",
+        () => Tables(s, dir).nation.selectExpr("n_nationkey",
+          """CASE WHEN n_nationkey = 0 THEN CAST(NULL AS INT)
+                  ELSE CAST(floor((n_nationkey - 1) / 2) AS INT) END AS parent"""))
+      Tables(s, dir).nation.createOrReplaceTempView("nation_h")
+      s.sql("""SELECT n_nationkey AS k,
+                      dictGetChildren('geo_h', n_nationkey) AS kids,
+                      dictGetDescendants('geo_h', n_nationkey) AS all_desc,
+                      dictGetDescendants('geo_h', n_nationkey, 2) AS two_levels
+               FROM nation_h ORDER BY k""")
+    },
+    Some("""WITH RECURSIVE chains AS (
+              SELECT n_nationkey AS k, CAST(n_nationkey AS BIGINT) AS cur,
+                     [CAST(n_nationkey AS BIGINT)] AS chain
+              FROM nation
+              UNION ALL
+              SELECT k, CAST((cur - 1) // 2 AS BIGINT),
+                     list_append(chain, CAST((cur - 1) // 2 AS BIGINT))
+              FROM chains WHERE cur > 0),
+            f AS (SELECT k, chain FROM chains WHERE cur = 0),
+            pd AS (SELECT p.node, p.anc, list_position(f2.chain, p.anc) - 1 AS depth
+                   FROM (SELECT f.k AS node, UNNEST(f.chain) AS anc FROM f) p
+                   JOIN f f2 ON f2.k = p.node),
+            de AS (SELECT anc,
+                          list(CAST(node AS BIGINT)) FILTER (WHERE depth = 1) AS kd,
+                          list(CAST(node AS BIGINT)) FILTER (WHERE depth >= 1) AS ad,
+                          list(CAST(node AS BIGINT)) FILTER (WHERE depth BETWEEN 1 AND 2) AS tl
+                   FROM pd GROUP BY anc)
+            SELECT n.n_nationkey AS k,
+                   COALESCE(list_sort(de.kd), CAST([] AS BIGINT[])) AS kids,
+                   COALESCE(list_sort(de.ad), CAST([] AS BIGINT[])) AS all_desc,
+                   COALESCE(list_sort(de.tl), CAST([] AS BIGINT[])) AS two_levels
+            FROM nation n LEFT JOIN de ON n.n_nationkey = de.anc
+            ORDER BY k"""),
+  )
+
   /** ClickHouse `LIMIT n BY cols` (first n rows per group in the
     * ORDER BY order) spelled verbatim — ChSqlParser wraps the query in
     * a row_number window. Top-2 orders per priority by value. */
@@ -1446,5 +1491,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q38, q38b, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q38, q38b, q38c, q21b)
 }

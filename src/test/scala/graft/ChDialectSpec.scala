@@ -249,6 +249,13 @@ class ChDialectSpec extends SparkSpec {
     val direct = graft.operators.Sampling.sample(
       spark.table("expenses"), expr("CAST(user_id AS STRING)"), 0.25).count()
     assert(a == direct)
+    // SAMPLE k OFFSET m: four disjoint quarter-slices partition the table
+    val total = spark.table("expenses").count()
+    val slices = Seq(0.0, 0.25, 0.5, 0.75).map { off =>
+      spark.sql(s"SELECT count(*) AS c FROM expenses SAMPLE 0.25 OFFSET $off")
+        .head().getLong(0)
+    }
+    assert(slices.sum == total, s"slices $slices must partition $total rows")
   }
 
   test("dictGetHierarchy/dictIsIn walk a registered hierarchy via one broadcast probe") {
@@ -270,6 +277,21 @@ class ChDialectSpec extends SparkSpec {
       (2, List(2L, 0L), true, false),
       (3, List(3L, 1L, 0L), true, true),
       (9, List(9L), false, false))) // missing key: chain is just [key]
+    // downward walkers on the same hierarchy: children, full subtree,
+    // level-bounded subtree; leaves and missing keys yield []
+    val downs = spark.sql(
+      """SELECT emp, dictGetChildren('org', emp) AS kids,
+                dictGetDescendants('org', emp) AS all_desc,
+                dictGetDescendants('org', emp, 1) AS lvl1
+         FROM emps ORDER BY emp""").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toList,
+                 r.getSeq[Long](2).toList, r.getSeq[Long](3).toList))
+    assert(downs.toList == List(
+      (0, List(1L, 2L), List(1L, 2L, 3L), List(1L, 2L)),
+      (1, List(3L), List(3L), List(3L)),
+      (2, Nil, Nil, Nil),
+      (3, Nil, Nil, Nil),
+      (9, Nil, Nil, Nil)))
     // a cyclic hierarchy fails loudly instead of looping
     graft.operators.Dictionaries.registerHierarchical("cyc", "id", "boss",
       () => Seq((1, Some(2)), (2, Some(1))).toDF("id", "boss"))

@@ -62,4 +62,79 @@ class RandomizedSpec extends SparkSpec {
       assert(got(u) == expected, s"user $u")
     }
   }
+
+  test("sequenceMatch DP equals brute force over random streams, all pattern atoms") {
+    sealed trait Gap
+    case object Adj extends Gap
+    case object AnyG extends Gap
+    case class TGap(op: String, us: Long) extends Gap
+    case class Step(cond: Int, gap: Gap) // cond −1 = '.'
+
+    // brute force: try every placement of step 0, extend recursively
+    // honoring the gap kind and strict timestamp increase
+    def brute(evs: IndexedSeq[(Long, Int)], steps: Seq[Step]): Boolean = {
+      def holds(op: String, dt: Long, b: Long) = op match {
+        case "<=" => dt <= b; case "<" => dt < b
+        case ">=" => dt >= b; case ">" => dt > b; case _ => dt == b
+      }
+      def condOk(s: Step, i: Int) = s.cond < 0 || (evs(i)._2 & (1 << s.cond)) != 0
+      def rec(si: Int, prev: Int): Boolean =
+        si == steps.length || (steps(si) match {
+          case st @ Step(_, Adj) =>
+            prev + 1 < evs.length && evs(prev + 1)._1 > evs(prev)._1 &&
+              condOk(st, prev + 1) && rec(si + 1, prev + 1)
+          case st @ Step(_, AnyG) =>
+            ((prev + 1) until evs.length).exists(i =>
+              evs(i)._1 > evs(prev)._1 && condOk(st, i) && rec(si + 1, i))
+          case st @ Step(_, TGap(op, b)) =>
+            ((prev + 1) until evs.length).exists(i =>
+              evs(i)._1 > evs(prev)._1 && holds(op, evs(i)._1 - evs(prev)._1, b) &&
+                condOk(st, i) && rec(si + 1, i))
+        })
+      evs.indices.exists(i => condOk(steps.head, i) && rec(1, i))
+    }
+
+    val rnd = new scala.util.Random(20260813L)
+    val baseMs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // 4 event kinds: a/b/c are conditions 1..3, z matches nothing;
+    // timestamps over 12 s with deliberate equal-ts collisions
+    val events = (1L to 40L).flatMap { u =>
+      Seq.fill(4 + rnd.nextInt(7)) {
+        (u, new java.sql.Timestamp(baseMs + rnd.nextInt(12) * 1000L),
+          "abcz".charAt(rnd.nextInt(4)).toString)
+      }
+    }
+    events.toDF("user_id", "ts", "etype").repartition(5)
+      .createOrReplaceTempView("rnd_seq")
+    def mask(e: String) = e match { case "a" => 1; case "b" => 2; case "c" => 4; case _ => 0 }
+    val byUser = events.groupBy(_._1).view.mapValues(
+      _.map(e => ((baseMs / 1000 * 1000000L) + (e._2.getTime - baseMs) * 1000L, mask(e._3)))).toMap
+
+    val sec = 1000000L
+    val patterns = Seq(
+      "(?1).*(?2)"        -> Seq(Step(0, Adj), Step(1, AnyG)),
+      "(?1)(?2)"          -> Seq(Step(0, Adj), Step(1, Adj)),
+      "(?1).(?2)"         -> Seq(Step(0, Adj), Step(-1, Adj), Step(1, Adj)),
+      "(?1)(?t<=5)(?2)"   -> Seq(Step(0, Adj), Step(1, TGap("<=", 5 * sec))),
+      "(?1)(?t>3)(?3)"    -> Seq(Step(0, Adj), Step(2, TGap(">", 3 * sec))),
+      "(?2)(?t>=4)(?1)"   -> Seq(Step(1, Adj), Step(0, TGap(">=", 4 * sec))),
+      "(?1)(?t==5)(?2)"   -> Seq(Step(0, Adj), Step(1, TGap("==", 5 * sec))),
+      "(?1).*(?2).(?3)"   -> Seq(Step(0, Adj), Step(1, AnyG), Step(-1, Adj), Step(2, Adj)),
+      "(?3)(?t<7)(?2).*(?1)" -> Seq(Step(2, Adj), Step(1, TGap("<", 7 * sec)), Step(0, AnyG)),
+    )
+    for ((pat, steps) <- patterns) {
+      val got = spark.sql(
+        s"""SELECT user_id, sequenceMatch('$pat')(ts,
+             etype = 'a', etype = 'b', etype = 'c') AS m
+            FROM rnd_seq GROUP BY user_id""").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val hasDot = steps.exists(_.cond < 0)
+      for ((u, raw) <- byUser) {
+        // mirror the buffer discipline: no-dot patterns see only
+        // condition-matching events; dotted patterns see the full stream
+        val evs = raw.filter(e => hasDot || e._2 != 0).sorted.toIndexedSeq
+        assert(got(u) == brute(evs, steps), s"pattern $pat user $u events $evs")
+      }
+    }
+  }
 }
