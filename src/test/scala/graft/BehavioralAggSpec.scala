@@ -171,6 +171,15 @@ class BehavioralAggSpec extends SparkSpec {
     assert(r(8L) == ((3, 1, 3)))
     // u9: the repeated click interrupts strict_dedup at level 2
     assert(r(9L) == ((3, 3, 2)))
+    // combined modes compose: u7's foreign event still breaks the
+    // order, u9's repeat still interrupts the dedup
+    val both = spark.sql(
+      """SELECT user_id,
+               windowFunnel(86400, 'strict_order', 'strict_dedup')(ts,
+                 etype = 'signup', etype = 'click', etype = 'purchase') AS l
+         FROM funnel_mode_events GROUP BY user_id ORDER BY user_id""").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(both == Map(7L -> 2, 8L -> 1, 9L -> 2))
   }
 
   test("whale-user guard: per-group cap keeps the earliest events, deterministically") {

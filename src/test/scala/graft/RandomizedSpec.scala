@@ -135,6 +135,54 @@ class RandomizedSpec extends SparkSpec {
         val evs = raw.filter(e => hasDot || e._2 != 0).sorted.toIndexedSeq
         assert(got(u) == brute(evs, steps), s"pattern $pat user $u events $evs")
       }
+
+      // sequenceCount: independent greedy re-derivation (earliest
+      // start, earliest feasible extension, resume after match end)
+      val gotN = spark.sql(
+        s"""SELECT user_id, sequenceCount('$pat')(ts,
+             etype = 'a', etype = 'b', etype = 'c') AS n
+            FROM rnd_seq GROUP BY user_id""").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def condOk(s: Step, evs: IndexedSeq[(Long, Int)], i: Int) =
+        s.cond < 0 || (evs(i)._2 & (1 << s.cond)) != 0
+      def holds(op: String, dt: Long, b: Long) = op match {
+        case "<=" => dt <= b; case "<" => dt < b
+        case ">=" => dt >= b; case ">" => dt > b; case _ => dt == b
+      }
+      def greedyCount(evs: IndexedSeq[(Long, Int)]): Long = {
+        var count = 0L
+        var pos = 0
+        while (pos < evs.length) {
+          val end = (pos until evs.length).iterator.map { start =>
+            if (!condOk(steps.head, evs, start)) -1
+            else steps.drop(1).foldLeft(start) { (prev, st) =>
+              if (prev < 0) -1
+              else st.gap match {
+                case Adj =>
+                  if (prev + 1 < evs.length && evs(prev + 1)._1 > evs(prev)._1 &&
+                      condOk(st, evs, prev + 1)) prev + 1 else -1
+                case AnyG =>
+                  ((prev + 1) until evs.length)
+                    .find(i => evs(i)._1 > evs(prev)._1 && condOk(st, evs, i)).getOrElse(-1)
+                case TGap(op, b) =>
+                  ((prev + 1) until evs.length)
+                    .find(i => evs(i)._1 > evs(prev)._1 &&
+                      holds(op, evs(i)._1 - evs(prev)._1, b) && condOk(st, evs, i))
+                    .getOrElse(-1)
+              }
+            }
+          }.find(_ >= 0)
+          end match {
+            case Some(last) => count += 1; pos = last + 1
+            case None       => pos = evs.length
+          }
+        }
+        count
+      }
+      for ((u, raw) <- byUser) {
+        val evs = raw.filter(e => hasDot || e._2 != 0).sorted.toIndexedSeq
+        assert(gotN(u) == greedyCount(evs), s"count pattern $pat user $u events $evs")
+      }
     }
   }
 }
