@@ -42,16 +42,36 @@ object Dictionaries {
 
   private val dicts = new ConcurrentHashMap[String, Dict]()
 
-  def register(name: String, keyCol: String, source: () => DataFrame): Unit =
+  def register(name: String, keyCol: String, source: () => DataFrame): Unit = {
     dicts.put(name, Dict(keyCol, source))
+    invalidateClosures(name)
+  }
 
   /** A HIERARCHICAL dictionary (ClickHouse's `hierarchical` attribute
     * flag): `parentCol` names the parent-key attribute, enabling
     * `dictGetHierarchy` / `dictIsIn`. Keys must be integral (CH
     * requires UInt64 there too). */
   def registerHierarchical(name: String, keyCol: String, parentCol: String,
-                           source: () => DataFrame): Unit =
+                           source: () => DataFrame): Unit = {
     dicts.put(name, Dict(keyCol, source, Some(parentCol)))
+    invalidateClosures(name)
+  }
+
+  // collected (key, parent) walks cached per dictionary so repeated
+  // query analysis doesn't re-collect the source; invalidated on
+  // re-register (ClickHouse's dictionary-reload moment). Only ROWS
+  // are cached — each rewrite still builds a fresh DataFrame, so
+  // every join gets fresh expression ids.
+  private val closureRows =
+    new ConcurrentHashMap[(String, Int), Seq[(Long, Seq[Long])]]()
+
+  private def invalidateClosures(name: String): Unit = {
+    val it = closureRows.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k._1 == name) closureRows.remove(k)
+    }
+  }
 
   /** The (key → ancestor chain) closure table for a hierarchical
     * dictionary: one row per key, `gr_h_chain` = [key, parent(key),
@@ -66,16 +86,27 @@ object Dictionaries {
     * so the per-row lookup is one hash probe — never a per-row walk.
     * Cycles fail loudly rather than looping. */
   def hierarchyClosure(name: String): DataFrame = {
+    val spark = get(name).source().sparkSession
+    val rows = closureRows.computeIfAbsent((name, -1), _ => buildAncestors(name))
+    import spark.implicits._
+    rows.toDF("gr_h_key", "gr_h_chain")
+  }
+
+  /** The dictionary's (key, parent) pairs, collected — bounded by the
+    * dictionary size, the same envelope its broadcast join implies. */
+  private def collectPairs(name: String): Array[(Long, Option[Long])] = {
     val d = get(name)
     val parentCol = d.parentCol.getOrElse(throw new IllegalArgumentException(
       s"dictionary '$name' is not hierarchical — register with registerHierarchical"))
-    val src = d.source()
-    val spark = src.sparkSession
-    val pairs = src.selectExpr(s"CAST(`${d.keyCol}` AS BIGINT)", s"CAST(`$parentCol` AS BIGINT)")
+    d.source().selectExpr(s"CAST(`${d.keyCol}` AS BIGINT)", s"CAST(`$parentCol` AS BIGINT)")
       .collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+  }
+
+  private def buildAncestors(name: String): Seq[(Long, Seq[Long])] = {
+    val pairs = collectPairs(name)
     val parent = pairs.toMap
-    val chains = pairs.map { case (k, _) =>
+    pairs.map { case (k, _) =>
       val chain = scala.collection.mutable.ArrayBuffer(k)
       val seen = scala.collection.mutable.Set(k)
       var cur = parent.get(k).flatten
@@ -87,8 +118,6 @@ object Dictionaries {
       }
       (k, chain.toSeq)
     }.toSeq
-    import spark.implicits._
-    chains.toDF("gr_h_key", "gr_h_chain")
   }
 
   /** The downward closure: one row per key, `gr_h_down` = descendants
@@ -97,17 +126,18 @@ object Dictionaries {
     * dictGetChildren/dictGetDescendants leave order internal). Same
     * driver-side envelope and cycle guard as [[hierarchyClosure]]. */
   def descendantsClosure(name: String, maxLevel: Int): DataFrame = {
-    val d = get(name)
-    val parentCol = d.parentCol.getOrElse(throw new IllegalArgumentException(
-      s"dictionary '$name' is not hierarchical — register with registerHierarchical"))
-    val src = d.source()
-    val spark = src.sparkSession
-    val pairs = src.selectExpr(s"CAST(`${d.keyCol}` AS BIGINT)", s"CAST(`$parentCol` AS BIGINT)")
-      .collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    require(maxLevel >= 0, s"descendantsClosure maxLevel must be ≥ 0, got $maxLevel")
+    val spark = get(name).source().sparkSession
+    val rows = closureRows.computeIfAbsent((name, maxLevel), _ => buildDescendants(name, maxLevel))
+    import spark.implicits._
+    rows.toDF("gr_h_key", "gr_h_down")
+  }
+
+  private def buildDescendants(name: String, maxLevel: Int): Seq[(Long, Seq[Long])] = {
+    val pairs = collectPairs(name)
     val children = pairs.collect { case (k, Some(p)) if p != k => p -> k }
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
-    val rows = pairs.map { case (k, _) =>
+    pairs.map { case (k, _) =>
       // BFS down, depth-bounded; cycles would re-visit → loud failure
       val seen = scala.collection.mutable.Set(k)
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -123,8 +153,6 @@ object Dictionaries {
       }
       (k, out.sorted.toSeq)
     }.toSeq
-    import spark.implicits._
-    rows.toDF("gr_h_key", "gr_h_down")
   }
 
   def get(name: String): Dict = {
