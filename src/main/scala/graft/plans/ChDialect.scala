@@ -226,7 +226,23 @@ object ChDialect {
       case Seq(q, x, w) => GraftQuantileExactWeighted(q, x, w)
       case _            => throw new IllegalArgumentException("quantileExactWeighted takes (level)(expr, weight)")
     }),
-    "groupArray" -> (es => CollectList(es.head)),
+    // groupArray(x) unbounded; groupArray(N)(x) (parametric, flattened
+    // to (N, x)) keeps the N SMALLEST values after sorting — CH keeps
+    // the first N in arrival order, which is nondeterministic under
+    // parallelism; the sorted variant is the engine's deterministic
+    // (hence oracle-able) reading, same convention as q24
+    "groupArray" -> (es =>
+      if (es.length == 1) CollectList(es.head)
+      else {
+        val n = es.head match {
+          case Literal(i: Int, _)  => i
+          case Literal(l: Long, _) => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"groupArray(N)(x) needs an integer literal N, got $other")
+        }
+        Slice(new SortArray(CollectList(es(1)).toAggregateExpression()),
+          Literal(1), Literal(n))
+      }),
     // groupConcat([sep])(x): sorted join of the group's values (CH
     // leaves insertion order undefined; sorting is the groupArray
     // determinism convention)
@@ -780,6 +796,37 @@ object ChDialect {
     // count/mean/variance); the p-value is [[StudentTPValue]] on top.
     "studentTTest" -> (es => tTest(es(0), es(1), welch = false)),
     "welchTTest"   -> (es => tTest(es(0), es(1), welch = true)),
+    // rank/ECDF two-sample tests (statistic-only, like the t family).
+    // A leading alternative-literal param ('two-sided', …) from CH's
+    // parametric spelling is accepted and ignored — the statistic
+    // doesn't depend on it.
+    "mannWhitneyUTest" -> (es => {
+      val args = es.dropWhile(isStringLiteral)
+      GraftMannWhitneyU(Cast(args(0), DoubleType), Cast(args(1), DoubleType))
+    }),
+    "kolmogorovSmirnovTest" -> (es => {
+      val args = es.dropWhile(isStringLiteral)
+      GraftKolmogorovSmirnov(Cast(args(0), DoubleType), Cast(args(1), DoubleType))
+    }),
+    // deltaSumTimestamp(value, ts): positive consecutive deltas in
+    // explicit (ts, value) order — CH's own is block-order
+    // nondeterministic (same story as deltaSum/q78). Timestamp/date
+    // orderings go through epoch seconds (NTZ/DATE can't cast to
+    // DOUBLE directly).
+    "deltaSumTimestamp" -> (es => {
+      val tsNum = es(1).dataType match {
+        case TimestampType | org.apache.spark.sql.types.TimestampNTZType | DateType =>
+          Cast(Cast(es(1), TimestampType), DoubleType)
+        case _ => Cast(es(1), DoubleType)
+      }
+      GraftDeltaSumTimestamp(Cast(es(0), DoubleType), tsNum)
+    }),
+    // singleValueOrNull(x): the value when the group holds exactly one
+    // distinct non-null x, else NULL — plain aggregate algebra
+    "singleValueOrNull" -> (es => If(
+      EqualTo(Count(es.head).toAggregateExpression(isDistinct = true), Literal(1L)),
+      Min(es.head).toAggregateExpression(),
+      Literal.create(null, es.head.dataType))),
     "skewPop"    -> (es => momentRatio(es.head, order = 3)),
     "kurtPop"    -> (es => momentRatio(es.head, order = 4)),
     // -- bitwise aggregates (identical semantics in Spark)
@@ -1594,6 +1641,11 @@ object ChDialect {
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
     case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def isStringLiteral(e: Expression): Boolean = e match {
+    case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => true
+    case _ => false
   }
 
   /** A windowFunnel mode flag if the expression is one of the known

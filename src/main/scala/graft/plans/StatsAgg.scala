@@ -77,6 +77,22 @@ abstract class PairBufferAgg
       buf
     } finally in.close()
   }
+
+  /** 1-based average ranks (ties share the mean of their positions). */
+  protected def avgRanks(v: Array[Double]): Array[Double] = {
+    val idx = v.indices.toArray.sortBy(v)
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && v(idx(j + 1)) == v(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0
+      var k = i
+      while (k <= j) { r(idx(k)) = avg; k += 1 }
+      i = j + 1
+    }
+    r
+  }
 }
 
 /** `rankCorr(x, y)`: Spearman's rank correlation — Pearson correlation
@@ -93,22 +109,6 @@ case class GraftRankCorr(
   override def dataType: DataType = DoubleType
   override def nullable: Boolean  = true
   override def prettyName: String = "rankCorr"
-
-  /** 1-based average ranks (ties share the mean of their positions). */
-  private def avgRanks(v: Array[Double]): Array[Double] = {
-    val idx = v.indices.toArray.sortBy(v)
-    val r = new Array[Double](v.length)
-    var i = 0
-    while (i < idx.length) {
-      var j = i
-      while (j + 1 < idx.length && v(idx(j + 1)) == v(idx(i))) j += 1
-      val avg = (i + j + 2) / 2.0
-      var k = i
-      while (k <= j) { r(idx(k)) = avg; k += 1 }
-      i = j + 1
-    }
-    r
-  }
 
   override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
     if (buf.length < 2) null
@@ -403,5 +403,134 @@ case class StudentTPValue(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StudentTPValue =
+    copy(left = l, right = r)
+}
+
+/** `mannWhitneyUTest(value, sample_index)`: the Mann–Whitney U
+  * statistic of sample 0 vs sample 1 (U₀ = R₀ − n₀(n₀+1)/2 over
+  * average-tie ranks of the pooled values — the rank-sum convention).
+  * The STATISTIC is returned, like the t-test family here (q25c's
+  * precedent); its null distribution is the caller's concern. Null
+  * when either sample is empty. Merge-order independent: ranking
+  * happens once, in eval, over the full group. */
+case class GraftMannWhitneyU(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "mannWhitneyUTest"
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    val n0 = buf.count(_._2 == 0.0)
+    val n1 = buf.length - n0
+    if (n0 == 0 || n1 == 0) null
+    else {
+      val ranks = avgRanks(buf.map(_._1).toArray)
+      var r0 = 0.0
+      var i = 0
+      while (i < buf.length) {
+        if (buf(i)._2 == 0.0) r0 += ranks(i)
+        i += 1
+      }
+      java.lang.Double.valueOf(r0 - n0.toDouble * (n0 + 1) / 2.0)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftMannWhitneyU =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftMannWhitneyU =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftMannWhitneyU =
+    copy(left = l, right = r)
+}
+
+/** `kolmogorovSmirnovTest(value, sample_index)`: the two-sample KS D
+  * statistic — the largest absolute gap between the two empirical
+  * CDFs, evaluated at every pooled value. Statistic-only, like the
+  * rest of the test family. Null when either sample is empty. */
+case class GraftKolmogorovSmirnov(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "kolmogorovSmirnovTest"
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    val s0 = buf.collect { case (v, g) if g == 0.0 => v }.toArray
+    val s1 = buf.collect { case (v, g) if g != 0.0 => v }.toArray
+    if (s0.isEmpty || s1.isEmpty) null
+    else {
+      java.util.Arrays.sort(s0)
+      java.util.Arrays.sort(s1)
+      var i = 0; var j = 0
+      var d = 0.0
+      // sweep the merged order; after consuming every copy of a value
+      // from both sides, the ECDF gap at that value is |i/n0 - j/n1|
+      while (i < s0.length || j < s1.length) {
+        val v = if (j >= s1.length || (i < s0.length && s0(i) <= s1(j))) s0(i) else s1(j)
+        while (i < s0.length && s0(i) == v) i += 1
+        while (j < s1.length && s1(j) == v) j += 1
+        val gap = math.abs(i.toDouble / s0.length - j.toDouble / s1.length)
+        if (gap > d) d = gap
+      }
+      java.lang.Double.valueOf(d)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftKolmogorovSmirnov =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftKolmogorovSmirnov =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftKolmogorovSmirnov =
+    copy(left = l, right = r)
+}
+
+/** `deltaSumTimestamp(value, ts)`: sum of POSITIVE deltas between
+  * consecutive values ordered by (ts, value). ClickHouse's own runs
+  * in block-store order and is nondeterministic under parallel merge
+  * (its docs warn so, same story as deltaSum/q78); the explicit
+  * (ts, value) order here is deterministic and merge-order
+  * independent, hence oracle-able. The ts argument is any numeric or
+  * timestamp expression (cast upstream). */
+case class GraftDeltaSumTimestamp(
+    left: Expression,   // value
+    right: Expression,  // timestamp (as numeric)
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = false
+  override def prettyName: String = "deltaSumTimestamp"
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, (a: (Double, Double), b: (Double, Double)) => {
+      val c = java.lang.Double.compare(a._2, b._2)
+      if (c != 0) c else java.lang.Double.compare(a._1, b._1)
+    })
+    var sum = 0.0
+    var i = 1
+    while (i < arr.length) {
+      val d = arr(i)._1 - arr(i - 1)._1
+      if (d > 0) sum += d
+      i += 1
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftDeltaSumTimestamp =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftDeltaSumTimestamp =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftDeltaSumTimestamp =
     copy(left = l, right = r)
 }

@@ -999,6 +999,68 @@ object ChFunctions {
             ORDER BY l_returnflag"""),
   )
 
+  /** Rank/ECDF two-sample tests (mannWhitneyUTest U statistic,
+    * kolmogorovSmirnovTest D statistic — statistic-only like the
+    * q25c t family), deltaSumTimestamp in the engine's deterministic
+    * (ts, value) order, bounded parametric `groupArray(3)(x)`
+    * (smallest-n reading of CH's first-n — deterministic) and
+    * singleValueOrNull (one distinct → the value, else NULL). The
+    * oracle rebuilds U from window avg-ranks, D from cumulative
+    * per-value counts, and the delta sum from a lag window. */
+  val q25f = GraftQuery(
+    "q25f_rank_tests",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_rt")
+      s.sql("""SELECT l_returnflag,
+                      round(mannWhitneyUTest(l_quantity, CAST(l_orderkey % 2 AS INT)), 2) AS mwu,
+                      round(kolmogorovSmirnovTest(l_quantity, CAST(l_orderkey % 2 AS INT)), 6) AS ks_d,
+                      round(deltaSumTimestamp(l_extendedprice, l_shipdate), 2) AS dst,
+                      groupArray(3)(l_orderkey) AS first3,
+                      singleValueOrNull(l_returnflag) AS only_flag,
+                      singleValueOrNull(l_linenumber) AS multi_null
+               FROM lineitem_rt GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH mw AS (SELECT l_returnflag AS f, l_quantity AS v, l_orderkey % 2 AS g,
+                               l_orderkey, l_extendedprice, l_shipdate, l_linenumber
+                        FROM lineitem),
+                 mr AS (SELECT f, g,
+                               rank() OVER (PARTITION BY f ORDER BY v)
+                               + (count(*) OVER (PARTITION BY f, v) - 1) / 2.0 AS ar
+                        FROM mw),
+                 mws AS (SELECT f,
+                                round(sum(ar) FILTER (WHERE g = 0)
+                                      - count(*) FILTER (WHERE g = 0)
+                                        * (count(*) FILTER (WHERE g = 0) + 1) / 2.0, 2) AS mwu
+                         FROM mr GROUP BY f),
+                 kv AS (SELECT f, v, count(*) FILTER (WHERE g = 0) AS c0,
+                               count(*) FILTER (WHERE g = 1) AS c1
+                        FROM mw GROUP BY f, v),
+                 kc AS (SELECT f,
+                               sum(c0) OVER (PARTITION BY f ORDER BY v) AS a0,
+                               sum(c1) OVER (PARTITION BY f ORDER BY v) AS a1,
+                               sum(c0) OVER (PARTITION BY f) AS n0,
+                               sum(c1) OVER (PARTITION BY f) AS n1
+                        FROM kv),
+                 ks AS (SELECT f, round(max(abs(a0 * 1.0 / n0 - a1 * 1.0 / n1)), 6) AS ks_d
+                        FROM kc GROUP BY f),
+                 dd AS (SELECT f, l_extendedprice
+                               - lag(l_extendedprice) OVER (PARTITION BY f
+                                   ORDER BY l_shipdate, l_extendedprice) AS d
+                        FROM mw),
+                 ds AS (SELECT f, round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 2) AS dst
+                        FROM dd GROUP BY f),
+                 ga AS (SELECT f, (list_sort(list(l_orderkey)))[1:3] AS first3 FROM mw GROUP BY f),
+                 sv AS (SELECT f,
+                               CASE WHEN count(DISTINCT f) = 1 THEN min(f) END AS only_flag,
+                               CASE WHEN count(DISTINCT l_linenumber) = 1 THEN min(l_linenumber) END AS multi_null
+                        FROM mw GROUP BY f)
+            SELECT mws.f AS l_returnflag, mws.mwu, ks.ks_d, ds.dst, ga.first3,
+                   sv.only_flag, sv.multi_null
+            FROM mws JOIN ks ON mws.f = ks.f JOIN ds ON ds.f = mws.f
+                 JOIN ga ON ga.f = mws.f JOIN sv ON sv.f = mws.f
+            ORDER BY l_returnflag"""),
+  )
+
   /** maxIntersections / maxIntersectionsPosition: peak concurrent
     * intervals (orders as 30-day half-open spans, per priority class)
     * — ClickHouse's interval-sweep aggregates as one native
@@ -1489,7 +1551,7 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q26, q27, q27b,
+    Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q38, q38b, q38c, q21b)
 }

@@ -442,6 +442,34 @@ class DialectRound5Spec extends SparkSpec {
     assert(r.getDouble(5).isNaN)   // one class absent
   }
 
+  test("rank tests, deltaSumTimestamp, bounded groupArray, singleValueOrNull") {
+    // U of {1,2,3} vs {2,3,4}: pooled avg ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    // → R0 = 8, U0 = 8 − 3·4/2 = 2 (scipy mannwhitneyu agrees)
+    val r = spark.sql(
+      """SELECT mannWhitneyUTest(v, g) AS u,
+               kolmogorovSmirnovTest(v, g) AS d
+         FROM VALUES (1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (4.0, 1) t(v, g)""").head()
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12) // max ECDF gap
+    // the CH parametric spelling with an alternative literal parses too
+    val rp = spark.sql(
+      """SELECT mannWhitneyUTest('two-sided')(v, g) AS u
+         FROM VALUES (1.0, 0), (2.0, 1) t(v, g)""").head()
+    assert(rp.getDouble(0) == 0.0)
+    val d = spark.sql(
+      """SELECT deltaSumTimestamp(v, ts) AS s
+         FROM VALUES (1.0, 1), (5.0, 2), (3.0, 3), (7.0, 4) t(v, ts)""").head()
+    assert(d.getDouble(0) == 8.0) // +4, −2, +4 → 8
+    val misc = spark.sql(
+      """SELECT groupArray(2)(v) AS g2,
+               singleValueOrNull(k) AS sv1,
+               singleValueOrNull(v) AS svn
+         FROM VALUES (5L, 'x'), (3L, 'x'), (9L, 'x') t(v, k)""").head()
+    assert(misc.getSeq[Long](0) == Seq(3L, 5L)) // smallest 2, sorted
+    assert(misc.getString(1) == "x")
+    assert(misc.isNullAt(2)) // three distinct values → NULL
+  }
+
   test("trailing SETTINGS / FORMAT clauses strip end-anchored") {
     import graft.plans.ChSqlParser.rewriteParametric
     assert(rewriteParametric("SELECT 1 FORMAT JSON") == "SELECT 1")
