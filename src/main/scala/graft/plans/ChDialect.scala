@@ -796,6 +796,19 @@ object ChDialect {
     // count/mean/variance); the p-value is [[StudentTPValue]] on top.
     "studentTTest" -> (es => tTest(es(0), es(1), welch = false)),
     "welchTTest"   -> (es => tTest(es(0), es(1), welch = true)),
+    // meanZTest(pop_var_0, pop_var_1, conf)(value, index) — z statistic
+    // with KNOWN population variances: (m0 − m1)/√(σ₀²/n0 + σ₁²/n1).
+    // Statistic-only like the t family; the confidence level shapes
+    // the CH tuple's interval bounds, which we don't emit.
+    "meanZTest" -> (es => {
+      val (v0, v1, value, index) = (es(0), es(1), es(3), es(4))
+      val x = Cast(value, DoubleType)
+      def sample(i: Int) = nullIfNot(EqualTo(Cast(index, IntegerType), Literal(i)), x)
+      def n(i: Int) = Cast(Count(Seq(sample(i))).toAggregateExpression(), DoubleType)
+      def m(i: Int) = Average(sample(i)).toAggregateExpression()
+      Divide(Subtract(m(0), m(1)),
+        Sqrt(Add(Divide(Cast(v0, DoubleType), n(0)), Divide(Cast(v1, DoubleType), n(1)))))
+    }),
     // rank/ECDF two-sample tests (statistic-only, like the t family).
     // A leading alternative-literal param ('two-sided', …) from CH's
     // parametric spelling is accepted and ignored — the statistic

@@ -468,6 +468,12 @@ class DialectRound5Spec extends SparkSpec {
     assert(misc.getSeq[Long](0) == Seq(3L, 5L)) // smallest 2, sorted
     assert(misc.getString(1) == "x")
     assert(misc.isNullAt(2)) // three distinct values → NULL
+    // meanZTest: means 2 vs 4, σ² = 1 both, n = 3 each →
+    // z = −2/√(2/3) = −√6 ≈ −2.449489…
+    val z = spark.sql(
+      """SELECT meanZTest(1.0, 1.0, 0.95)(v, g) AS z
+         FROM VALUES (1.0, 0), (2.0, 0), (3.0, 0), (3.0, 1), (4.0, 1), (5.0, 1) t(v, g)""").head()
+    assert(math.abs(z.getDouble(0) + math.sqrt(6.0)) < 1e-12)
   }
 
   test("trailing SETTINGS / FORMAT clauses strip end-anchored") {
