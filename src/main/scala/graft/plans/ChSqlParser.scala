@@ -426,6 +426,41 @@ object ChSqlParser {
     case _ => sql
   }
 
+  /** ClickHouse/DuckDB/Snowflake `QUALIFY <pred>` — a post-window
+    * filter Spark's grammar lacks. The predicate is injected as a
+    * boolean select item (lateral column aliases make select-list
+    * names like a `row_number() … AS r` visible to it, and a window
+    * call written directly in the predicate computes alongside the
+    * query's own windows), then the query wraps once and the marker
+    * filters and drops via `* EXCEPT`. Supported subset mirrors
+    * LIMIT BY: a plain SELECT head (no DISTINCT — injecting an item
+    * would change its key), optional paren-free trailing ORDER BY
+    * and LIMIT n. Anything else leaves the text untouched and fails
+    * loudly at parse on the QUALIFY keyword — never silently
+    * wrong. */
+  private val QualifyClause =
+    """(?is)^\s*(SELECT\s+(?!DISTINCT\b).+?)\s+QUALIFY\s+(.+?)(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*;?\s*$""".r
+
+  private def rewriteQualify(sql: String): String =
+    QualifyClause.findFirstMatchIn(sql).flatMap { m =>
+      // quote parity at the keyword: odd = the match strays into a
+      // string literal, leave the text alone
+      if (sql.substring(0, m.end(1)).count(_ == '\'') % 2 != 0) None
+      else {
+        val head    = m.group(1)
+        val fromIdx = topLevelFromIndex(head)
+        if (fromIdx < 0) None
+        else {
+          val pred = m.group(2)
+          val ord  = Option(m.group(3)).getOrElse("")
+          val lim  = Option(m.group(4)).getOrElse("")
+          val injected =
+            head.substring(0, fromIdx).trim + s", ($pred) AS gr_qf__ " + head.substring(fromIdx)
+          Some(s"SELECT * EXCEPT (gr_qf__) FROM ($injected) WHERE gr_qf__$ord$lim")
+        }
+      }
+    }.getOrElse(sql)
+
   /** Split on commas not nested inside parentheses. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out   = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -498,6 +533,7 @@ object ChSqlParser {
         s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"
       case None => s"FROM (SELECT id AS number FROM range(${m.group(1)}))"
     })
+    out = rewriteQualify(out)
     out = LimitWithTies.replaceAllIn(out, m => {
       val (prefix, ord, n) = (m.group(1), m.group(2), m.group(3))
       scala.util.matching.Regex.quoteReplacement(

@@ -1364,6 +1364,34 @@ object ChFunctions {
             GROUP BY 1 ORDER BY prio"""),
   )
 
+  /** `QUALIFY` — the post-window filter clause (CH 23.x+, DuckDB,
+    * Snowflake). [[graft.plans.ChSqlParser.rewriteQualify]] injects
+    * the predicate as a boolean select item (lateral column aliases
+    * resolve the `rn` reference against the select list) and wraps
+    * once in `* EXCEPT` — one window, one filter, zero extra
+    * shuffles vs the hand-written subquery form. The oracle runs the
+    * same QUALIFY text natively on DuckDB. */
+  val q29n = GraftQuery(
+    "q29n_qualify",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_qf")
+      s.sql("""SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                      round(o_totalprice, 2) AS total,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders_qf
+               QUALIFY rn <= 3
+               ORDER BY prio, rn""")
+    },
+    Some("""SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                   round(o_totalprice, 2) AS total,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+            ORDER BY prio, rn"""),
+  )
+
   /** Hierarchical dictionary walkers `dictGetHierarchy` / `dictIsIn`
     * over a synthetic binary-tree hierarchy on nation keys
     * (parent(k) = (k−1)/2, root 0): the closure table
@@ -1553,5 +1581,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q38, q38b, q38c, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
