@@ -534,6 +534,50 @@ object ChDialect {
     "hasAny"            -> (es => ArraysOverlap(es(0), es(1))),
     "arrayStringConcat" -> (es =>
       ArrayJoin(es.head, if (es.length > 1) es(1) else Literal(""), None)),
+    // -- bitmap family. A bitmap here is a SORTED DISTINCT
+    // array<bigint> — the Roaring container ClickHouse serializes is
+    // a storage codec, not query semantics, so the set algebra maps
+    // onto the codegen'd array expressions directly and every result
+    // is canonical (sorted) and therefore oracle-able. Group-level
+    // folds (groupBitmap*) are [[BitmapFoldAgg]], a set-fold
+    // TypedImperativeAggregate with map-side partial merge.
+    "bitmapBuild"       -> (es => SortArray(ArrayDistinct(Cast(es.head, org.apache.spark.sql.types.ArrayType(LongType))), Literal(true))),
+    "bitmapToArray"     -> (es => es.head),
+    "bitmapCardinality" -> (es => Cast(Size(es.head), LongType)),
+    "bitmapAnd"         -> (es => SortArray(ArrayIntersect(es(0), es(1)), Literal(true))),
+    "bitmapOr"          -> (es => SortArray(ArrayDistinct(Concat(Seq(es(0), es(1)))), Literal(true))),
+    "bitmapXor"         -> (es => SortArray(Concat(Seq(ArrayExcept(es(0), es(1)), ArrayExcept(es(1), es(0)))), Literal(true))),
+    "bitmapAndnot"      -> (es => SortArray(ArrayExcept(es(0), es(1)), Literal(true))),
+    "bitmapAndCardinality"    -> (es => Cast(Size(ArrayIntersect(es(0), es(1))), LongType)),
+    "bitmapOrCardinality"     -> (es => Cast(Size(ArrayDistinct(Concat(Seq(es(0), es(1))))), LongType)),
+    "bitmapXorCardinality"    -> (es => Cast(Add(Size(ArrayExcept(es(0), es(1))), Size(ArrayExcept(es(1), es(0)))), LongType)),
+    "bitmapAndnotCardinality" -> (es => Cast(Size(ArrayExcept(es(0), es(1))), LongType)),
+    "bitmapContains"    -> (es => ArrayContains(es(0), Cast(es(1), LongType))),
+    "bitmapHasAll"      -> (es => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0))),
+    "bitmapHasAny"      -> (es => ArraysOverlap(es(0), es(1))),
+    "bitmapMin"         -> (es => ArrayMin(es.head)),
+    "bitmapMax"         -> (es => ArrayMax(es.head)),
+    // subset helpers: filters preserve sortedness, so no re-sort
+    "bitmapSubsetInRange" -> (es => {
+      val x = lamVar("gr_bm")
+      ArrayFilter(es.head, LambdaFunction(
+        And(GreaterThanOrEqual(x, Cast(es(1), LongType)), LessThan(x, Cast(es(2), LongType))), Seq(x)))
+    }),
+    "bitmapSubsetLimit" -> (es => {
+      val x = lamVar("gr_bm")
+      Slice(ArrayFilter(es.head,
+        LambdaFunction(GreaterThanOrEqual(x, Cast(es(1), LongType)), Seq(x))), Literal(1), Cast(es(2), IntegerType))
+    }),
+    "subBitmap" -> (es =>
+      Slice(es.head, Add(Cast(es(1), IntegerType), Literal(1)), Cast(es(2), IntegerType))),
+    "groupBitmapState"    -> (es => BitmapFoldAgg(Cast(es.head, LongType), "or").toAggregateExpression()),
+    "groupBitmap"         -> (es => Cast(Size(BitmapFoldAgg(Cast(es.head, LongType), "or").toAggregateExpression()), LongType)),
+    "groupBitmapOrState"  -> (es => BitmapFoldAgg(es.head, "or").toAggregateExpression()),
+    "groupBitmapAndState" -> (es => BitmapFoldAgg(es.head, "and").toAggregateExpression()),
+    "groupBitmapXorState" -> (es => BitmapFoldAgg(es.head, "xor").toAggregateExpression()),
+    "groupBitmapOr"       -> (es => Cast(Size(BitmapFoldAgg(es.head, "or").toAggregateExpression()), LongType)),
+    "groupBitmapAnd"      -> (es => Cast(Size(BitmapFoldAgg(es.head, "and").toAggregateExpression()), LongType)),
+    "groupBitmapXor"      -> (es => Cast(Size(BitmapFoldAgg(es.head, "xor").toAggregateExpression()), LongType)),
     // ClickHouse's arrayJoin is a row generator (one output row per
     // element) — exactly Spark's explode, which the registry accepts
     // in a SELECT list the same way ClickHouse does.

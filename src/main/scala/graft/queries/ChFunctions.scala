@@ -403,6 +403,74 @@ object ChFunctions {
             FROM t ORDER BY o_orderkey"""),
   )
 
+  /** ClickHouse bitmap family: a bitmap is a sorted distinct
+    * `array<bigint>` (Roaring is a storage codec, not semantics), so
+    * the scalar algebra maps to codegen'd array expressions and the
+    * group folds ride [[graft.plans.BitmapFoldAgg]] — a set-fold
+    * TypedImperativeAggregate whose buffer dedups eagerly
+    * (O(distinct) per group, map-side partial merge; strictly
+    * smaller than collecting inputs). The oracle replays the set
+    * algebra with DuckDB list functions and derives the group folds
+    * from element-level membership counts (and = in every bucket,
+    * xor = odd-membership), so every output is value-checked. */
+  val q28j = GraftQuery(
+    "q28j_bitmap",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_bm")
+      s.sql("""WITH s AS (SELECT o_orderpriority AS prio, o_custkey % 4 AS b,
+                                 groupBitmapState(o_orderkey % 97) AS bm
+                          FROM orders_bm GROUP BY 1, 2),
+                    folds AS (SELECT prio, groupBitmapOr(bm) AS or_card,
+                                     groupBitmapAnd(bm) AS and_card,
+                                     groupBitmapXor(bm) AS xor_card
+                              FROM s GROUP BY prio),
+                    lo AS (SELECT prio, bm FROM s WHERE b = 0),
+                    hi AS (SELECT prio, bm FROM s WHERE b = 1)
+               SELECT f.prio AS prio, f.or_card, f.and_card, f.xor_card,
+                      bitmapCardinality(lo.bm) AS lo_card,
+                      bitmapAndCardinality(lo.bm, hi.bm) AS pair_and,
+                      bitmapOrCardinality(lo.bm, hi.bm) AS pair_or,
+                      bitmapXorCardinality(lo.bm, hi.bm) AS pair_xor,
+                      bitmapAndnotCardinality(lo.bm, hi.bm) AS pair_andnot,
+                      bitmapHasAll(lo.bm, bitmapAnd(lo.bm, hi.bm)) AS has_sub,
+                      bitmapHasAny(lo.bm, hi.bm) AS overlaps,
+                      bitmapContains(lo.bm, bitmapMin(lo.bm)) AS has_min,
+                      bitmapMin(lo.bm) AS mn, bitmapMax(lo.bm) AS mx,
+                      bitmapCardinality(bitmapSubsetInRange(lo.bm, 10, 50)) AS mid_card,
+                      bitmapToArray(subBitmap(lo.bm, 2, 3)) AS sub3
+               FROM folds f JOIN lo ON f.prio = lo.prio JOIN hi ON f.prio = hi.prio
+               ORDER BY prio""")
+    },
+    Some("""WITH base AS (SELECT o_orderpriority AS prio, o_custkey % 4 AS b,
+                                 o_orderkey % 97 AS x
+                          FROM orders),
+                 s AS (SELECT prio, b, list_sort(list_distinct(list(x))) AS bm
+                       FROM base GROUP BY prio, b),
+                 memb AS (SELECT prio, x, count(DISTINCT b) AS nb FROM base GROUP BY prio, x),
+                 nb AS (SELECT prio, count(DISTINCT b) AS tb FROM base GROUP BY prio),
+                 folds AS (SELECT m.prio,
+                                  count(*) AS or_card,
+                                  count(*) FILTER (WHERE m.nb = n.tb) AS and_card,
+                                  count(*) FILTER (WHERE m.nb % 2 = 1) AS xor_card
+                           FROM memb m JOIN nb n ON m.prio = n.prio GROUP BY m.prio),
+                 lo AS (SELECT prio, bm FROM s WHERE b = 0),
+                 hi AS (SELECT prio, bm FROM s WHERE b = 1)
+            SELECT f.prio AS prio, f.or_card, f.and_card, f.xor_card,
+                   len(lo.bm) AS lo_card,
+                   len(list_intersect(lo.bm, hi.bm)) AS pair_and,
+                   len(list_distinct(list_concat(lo.bm, hi.bm))) AS pair_or,
+                   len(list_distinct(list_concat(lo.bm, hi.bm))) - len(list_intersect(lo.bm, hi.bm)) AS pair_xor,
+                   len(lo.bm) - len(list_intersect(lo.bm, hi.bm)) AS pair_andnot,
+                   list_has_all(lo.bm, list_intersect(lo.bm, hi.bm)) AS has_sub,
+                   list_has_any(lo.bm, hi.bm) AS overlaps,
+                   list_contains(lo.bm, list_min(lo.bm)) AS has_min,
+                   list_min(lo.bm) AS mn, list_max(lo.bm) AS mx,
+                   len(list_filter(lo.bm, x -> x >= 10 AND x < 50)) AS mid_card,
+                   lo.bm[3:5] AS sub3
+            FROM folds f JOIN lo ON f.prio = lo.prio JOIN hi ON f.prio = hi.prio
+            ORDER BY prio"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1580,6 +1648,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }

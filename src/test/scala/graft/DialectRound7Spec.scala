@@ -42,6 +42,63 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getString(0) == "a QUALIFY b" && r.getInt(1) == 1)
   }
 
+  test("bitmap scalar algebra: build/and/or/xor/andnot, subsets, predicates") {
+    val r = spark.sql(
+      """SELECT bitmapToArray(bitmapBuild(array(3, 1, 2, 3, 1))) AS built,
+                bitmapAnd(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS a,
+                bitmapOr(array(1L, 2L), array(2L, 4L)) AS o,
+                bitmapXor(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS x,
+                bitmapAndnot(array(1L, 2L, 3L), array(2L, 9L)) AS an,
+                bitmapAndCardinality(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ac,
+                bitmapOrCardinality(array(1L, 2L), array(2L, 4L)) AS oc,
+                bitmapXorCardinality(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS xc,
+                bitmapAndnotCardinality(array(1L, 2L, 3L), array(2L, 9L)) AS anc,
+                bitmapContains(array(1L, 5L), 5) AS c5,
+                bitmapHasAll(array(1L, 2L, 3L), array(2L, 3L)) AS hall,
+                bitmapHasAny(array(1L, 2L), array(9L)) AS hany,
+                bitmapMin(array(4L, 2L, 9L)) AS mn,
+                bitmapMax(array(4L, 2L, 9L)) AS mx,
+                bitmapSubsetInRange(array(1L, 3L, 5L, 7L), 3, 7) AS rng,
+                bitmapSubsetLimit(array(1L, 3L, 5L, 7L), 3, 2) AS lim,
+                subBitmap(array(1L, 3L, 5L, 7L), 1, 2) AS sub""").head()
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](1) == Seq(2L, 3L) && r.getSeq[Long](2) == Seq(1L, 2L, 4L))
+    assert(r.getSeq[Long](3) == Seq(1L, 4L) && r.getSeq[Long](4) == Seq(1L, 3L))
+    assert(r.getLong(5) == 2L && r.getLong(6) == 3L && r.getLong(7) == 2L && r.getLong(8) == 2L)
+    assert(r.getBoolean(9) && r.getBoolean(10) && !r.getBoolean(11))
+    assert(r.getLong(12) == 2L && r.getLong(13) == 9L)
+    assert(r.getSeq[Long](14) == Seq(3L, 5L))
+    assert(r.getSeq[Long](15) == Seq(3L, 5L))
+    assert(r.getSeq[Long](16) == Seq(3L, 5L))
+  }
+
+  test("bitmap group folds: or/and/xor over states, scalar build, no-input identity") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW bm_t AS SELECT * FROM VALUES " +
+      "(1, 1), (1, 2), (1, 2), (2, 2), (2, 3), (3, 2), (3, 5) v(g, x)")
+    val st = spark.sql(
+      """SELECT groupBitmap(x) AS card, groupBitmapState(x) AS bm
+         FROM bm_t WHERE g = 1""").head()
+    assert(st.getLong(0) == 2L && st.getSeq[Long](1) == Seq(1L, 2L))
+    // fold the three per-g bitmaps {1,2} {2,3} {2,5}: or = {1,2,3,5},
+    // and = {2}, xor = odd-membership = {1,2,3,5} (2 appears 3×)
+    val folded = spark.sql(
+      """WITH s AS (SELECT g, groupBitmapState(x) AS bm FROM bm_t GROUP BY g)
+         SELECT groupBitmapOr(bm) AS oc, groupBitmapAnd(bm) AS ac, groupBitmapXor(bm) AS xc,
+                groupBitmapOrState(bm) AS os, groupBitmapAndState(bm) AS as_, groupBitmapXorState(bm) AS xs
+         FROM s""").head()
+    assert(folded.getLong(0) == 4L && folded.getLong(1) == 1L && folded.getLong(2) == 4L)
+    assert(folded.getSeq[Long](3) == Seq(1L, 2L, 3L, 5L))
+    assert(folded.getSeq[Long](4) == Seq(2L))
+    assert(folded.getSeq[Long](5) == Seq(1L, 2L, 3L, 5L))
+    // xor parity ignores duplicates WITHIN one bitmap (set semantics per input)
+    val dup = spark.sql(
+      "SELECT groupBitmapXorState(bm) AS xs FROM VALUES (array(1L, 1L, 2L)), (array(2L)) v(bm)").head()
+    assert(dup.getSeq[Long](0) == Seq(1L))
+    // and over zero inputs is empty, not an error
+    val empty = spark.sql("SELECT groupBitmapAnd(bm) AS c FROM (SELECT array(1L) AS bm) WHERE false").head()
+    assert(empty.getLong(0) == 0L)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
