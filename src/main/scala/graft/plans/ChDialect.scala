@@ -886,6 +886,19 @@ object ChDialect {
       Literal.create(null, es.head.dataType))),
     "skewPop"    -> (es => momentRatio(es.head, order = 3)),
     "kurtPop"    -> (es => momentRatio(es.head, order = 4)),
+    "skewSamp"   -> (es => sampMomentRatio(es.head, order = 3)),
+    "kurtSamp"   -> (es => sampMomentRatio(es.head, order = 4)),
+    // one-way ANOVA F statistic (statistic-only like the t family);
+    // buffer is O(#groups) — see [[GraftAnova]]
+    "analysisOfVariance" -> (es =>
+      GraftAnova(Cast(es(0), DoubleType), Cast(es(1), LongType)).toAggregateExpression()),
+    // decayed folds to the group's latest time point; constant-size
+    // rescaling buffer — see [[GraftExpDecay]]. Parametric spellings
+    // (`exponentialMovingAverage(h)(v, t)`) arrive flattened.
+    "exponentialMovingAverage" -> (es =>
+      GraftExpDecay(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es(0), "avg").toAggregateExpression()),
+    "exponentialTimeDecayedSum" -> (es =>
+      GraftExpDecay(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es(0), "sum").toAggregateExpression()),
     // -- bitwise aggregates (identical semantics in Spark)
     "groupBitAnd" -> (es => BitAndAgg(es.head)),
     "groupBitOr"  -> (es => BitOrAgg(es.head)),
@@ -1711,6 +1724,34 @@ object ChDialect {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
       if Set("strict_order", "strict_dedup", "strict_increase")(s.toString) => Some(s.toString)
     case _ => None
+  }
+
+  /** Sample skewness (order 3) / kurtosis (order 4): central moments
+    * with the n−1 divisor over the sample stddev's matching power —
+    * CH skewSamp = m3ₛ/s³, kurtSamp = m4ₛ/s⁴ (not excess). Same
+    * one-pass raw-power-sum construction as [[momentRatio]]. */
+  private def sampMomentRatio(x: Expression, order: Int): Expression = {
+    val xd = Cast(x, DoubleType)
+    def powSum(k: Int): Expression =
+      Sum(Seq.fill(k)(xd: Expression).reduce(Multiply(_, _))).toAggregateExpression()
+    val n  = Cast(Count(Seq(xd)).toAggregateExpression(), DoubleType)
+    val mu = Divide(powSum(1), n)
+    def raw(k: Int) = Divide(powSum(k), n) // E[x^k]
+    val nOverNm1 = Divide(n, Subtract(n, Literal(1.0d)))
+    val varS = Multiply(nOverNm1, Subtract(raw(2), Multiply(mu, mu)))
+    if (order == 3) {
+      val m3c = Multiply(nOverNm1,
+        Add(Subtract(raw(3), Multiply(Literal(3.0d), Multiply(mu, raw(2)))),
+          Multiply(Literal(2.0d), Multiply(mu, Multiply(mu, mu)))))
+      Divide(m3c, Pow(varS, Literal(1.5d)))
+    } else {
+      val mu2 = Multiply(mu, mu)
+      val m4c = Multiply(nOverNm1, Subtract(
+        Add(Subtract(raw(4), Multiply(Literal(4.0d), Multiply(mu, raw(3)))),
+          Multiply(Literal(6.0d), Multiply(mu2, raw(2)))),
+        Multiply(Literal(3.0d), Multiply(mu2, mu2))))
+      Divide(m4c, Multiply(varS, varS))
+    }
   }
 
   /** ClickHouse component functions return '' where Spark yields NULL. */

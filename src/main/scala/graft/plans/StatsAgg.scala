@@ -534,3 +534,198 @@ case class GraftDeltaSumTimestamp(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftDeltaSumTimestamp =
     copy(left = l, right = r)
 }
+
+/** `analysisOfVariance(value, group_index)` — one-way ANOVA F
+  * statistic (statistic-only, like the t-test family; ClickHouse
+  * returns an (F, p) tuple). The buffer keys per-group count/sum/
+  * sum-of-squares — O(#groups), NOT O(rows), so a 100 TB fold ships
+  * three doubles per group per partition and merges by summation
+  * (commutative + associative → partition-order independent).
+  * F = [(T − S²/n)/(k−1)] / [(Q − T)/(n−k)] with T = Σ_g S_g²/n_g,
+  * S = Σx, Q = Σx². NULL when k < 2 or n ≤ k (no within-group df). */
+case class GraftAnova(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Long, Array[Double]]] with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"analysisOfVariance expects (DOUBLE, BIGINT), got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "analysisOfVariance"
+
+  override def createAggregationBuffer(): mutable.HashMap[Long, Array[Double]] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Long, Array[Double]], input: InternalRow): mutable.HashMap[Long, Array[Double]] = {
+    val v = left.eval(input)
+    val g = right.eval(input)
+    if (v != null && g != null) {
+      val x = v.asInstanceOf[Double]
+      val s = buf.getOrElseUpdate(g.asInstanceOf[Long], Array(0.0, 0.0, 0.0))
+      s(0) += 1.0; s(1) += x; s(2) += x * x
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Long, Array[Double]], other: mutable.HashMap[Long, Array[Double]]): mutable.HashMap[Long, Array[Double]] = {
+    other.foreach { case (g, o) =>
+      val s = buf.getOrElseUpdate(g, Array(0.0, 0.0, 0.0))
+      s(0) += o(0); s(1) += o(1); s(2) += o(2)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Long, Array[Double]]): Any = {
+    val k = buf.size
+    if (k < 2) return null
+    var n = 0.0; var sum = 0.0; var sq = 0.0; var t = 0.0
+    buf.valuesIterator.foreach { s =>
+      n += s(0); sum += s(1); sq += s(2); t += s(1) * s(1) / s(0)
+    }
+    if (n <= k) return null
+    val between = (t - sum * sum / n) / (k - 1)
+    val within  = (sq - t) / (n - k)
+    java.lang.Double.valueOf(between / within)
+  }
+
+  override def serialize(buf: mutable.HashMap[Long, Array[Double]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    try {
+      out.writeInt(buf.size)
+      buf.foreach { case (g, s) =>
+        out.writeLong(g); out.writeDouble(s(0)); out.writeDouble(s(1)); out.writeDouble(s(2))
+      }
+      out.flush(); bos.toByteArray
+    } finally out.close()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Array[Double]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val n = in.readInt()
+      val buf = mutable.HashMap.empty[Long, Array[Double]]
+      var i = 0
+      while (i < n) {
+        buf.update(in.readLong(), Array(in.readDouble(), in.readDouble(), in.readDouble()))
+        i += 1
+      }
+      buf
+    } finally in.close()
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftAnova =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftAnova =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftAnova =
+    copy(left = l, right = r)
+}
+
+/** `exponentialMovingAverage(halflife)(value, time)` and
+  * `exponentialTimeDecayedSum(tau)(value, time)` — decayed folds to
+  * the group's LATEST time point. The buffer is four doubles (seen,
+  * maxT, num, den) kept rescaled to the current max time, so the
+  * decay weights never overflow no matter how large the raw time
+  * axis is (2^(t/h) on an epoch axis would be +inf); update and
+  * merge re-anchor whichever side is older. Modes: `avg` weights by
+  * 2^(−Δt/halflife) and normalizes (CH exponentialMovingAverage);
+  * `sum` weights by e^(−Δt/tau) unnormalized (CH
+  * exponentialTimeDecayedSum). Merge is associative and commutative
+  * up to FP rounding — the oracle replays the same closed form with
+  * one max(t) pass. */
+case class GraftExpDecay(
+    valueExpr: Expression,
+    timeExpr: Expression,
+    paramExpr: Expression,
+    mode: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  private lazy val tau: Double = paramExpr.eval() match {
+    case d: java.lang.Double  => d
+    case f: java.lang.Float   => f.doubleValue()
+    case l: java.lang.Long    => l.doubleValue()
+    case i: java.lang.Integer => i.doubleValue()
+    case other => throw new IllegalArgumentException(s"$prettyName: non-constant window $other")
+  }
+
+  private def decay(dt: Double): Double =
+    if (mode == "avg") math.pow(2.0, -dt / tau) else math.exp(-dt / tau)
+
+  override def first: Expression  = valueExpr
+  override def second: Expression = timeExpr
+  override def third: Expression  = paramExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!paramExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName window must be a constant")
+    else if (valueExpr.dataType != DoubleType || timeExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (DOUBLE, DOUBLE) inputs, got ${valueExpr.dataType.sql}, ${timeExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String =
+    if (mode == "avg") "exponentialMovingAverage" else "exponentialTimeDecayedSum"
+
+  // buffer: [seen, maxT, num, den], num/den anchored at maxT
+  override def createAggregationBuffer(): Array[Double] = Array(0.0, 0.0, 0.0, 0.0)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = valueExpr.eval(input)
+    val t = timeExpr.eval(input)
+    if (v == null || t == null) return buf
+    val x = v.asInstanceOf[Double]
+    val ts = t.asInstanceOf[Double]
+    if (buf(0) == 0.0) { buf(0) = 1.0; buf(1) = ts; buf(2) = x; buf(3) = 1.0 }
+    else if (ts <= buf(1)) { val w = decay(buf(1) - ts); buf(2) += x * w; buf(3) += w }
+    else { val f = decay(ts - buf(1)); buf(2) = buf(2) * f + x; buf(3) = buf(3) * f + 1.0; buf(1) = ts }
+    buf
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    if (other(0) == 0.0) return buf
+    if (buf(0) == 0.0) { System.arraycopy(other, 0, buf, 0, 4); return buf }
+    if (other(1) <= buf(1)) {
+      val f = decay(buf(1) - other(1))
+      buf(2) += other(2) * f; buf(3) += other(3) * f
+    } else {
+      val f = decay(other(1) - buf(1))
+      buf(2) = buf(2) * f + other(2); buf(3) = buf(3) * f + other(3); buf(1) = other(1)
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf(0) == 0.0) null
+    else java.lang.Double.valueOf(if (mode == "avg") buf(2) / buf(3) else buf(2))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    try { buf.foreach(out.writeDouble); out.flush(); bos.toByteArray } finally out.close()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    try Array(in.readDouble(), in.readDouble(), in.readDouble(), in.readDouble())
+    finally in.close()
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftExpDecay =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftExpDecay =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): GraftExpDecay =
+    copy(valueExpr = f, timeExpr = s, paramExpr = t)
+}

@@ -1129,6 +1129,58 @@ object ChFunctions {
             ORDER BY l_returnflag"""),
   )
 
+  /** Sample moments, one-way ANOVA and decayed time folds.
+    * skewSamp/kurtSamp are one-pass raw-power-sum trees (the n−1
+    * sample variant of q25b's population moments); analysisOfVariance
+    * is [[graft.plans.GraftAnova]] — per-group count/sum/sumsq keyed
+    * in an O(#groups) buffer, so the F statistic folds with map-side
+    * partial merge and no row buffering; exponentialMovingAverage /
+    * exponentialTimeDecayedSum are [[graft.plans.GraftExpDecay]] — a
+    * four-double rescaling buffer anchored at the group's max time so
+    * epoch-scale axes can't overflow the weights. The oracle replays
+    * each closed form (power sums, per-group sums, one max(t) pass)
+    * in DuckDB. */
+  val q25g = GraftQuery(
+    "q25g_decay_anova",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_dc")
+      s.sql("""SELECT l_returnflag,
+                      round(skewSamp(l_quantity), 4) AS sk_q,
+                      round(kurtSamp(l_quantity), 4) AS ku_q,
+                      round(analysisOfVariance(l_quantity, l_linenumber % 3), 4) AS f_stat,
+                      round(exponentialMovingAverage(30)(l_quantity, datediff(l_shipdate, DATE '1992-01-01')), 4) AS ema_q,
+                      round(exponentialTimeDecayedSum(30)(l_quantity, datediff(l_shipdate, DATE '1992-01-01')), 4) AS etds_q
+               FROM lineitem_dc GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q,
+                                 l_linenumber % 3 AS g,
+                                 CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS DOUBLE) AS t
+                          FROM lineitem),
+                 mx AS (SELECT rf, max(t) AS mt FROM base GROUP BY rf),
+                 pg AS (SELECT rf, g, CAST(count(*) AS DOUBLE) AS ng, sum(q) AS sg
+                        FROM base GROUP BY rf, g),
+                 an AS (SELECT rf, CAST(count(*) AS DOUBLE) AS k, sum(ng) AS n, sum(sg) AS s,
+                               sum(sg*sg/ng) AS tt
+                        FROM pg GROUP BY rf),
+                 qt AS (SELECT rf, CAST(count(*) AS DOUBLE) AS n, sum(q) AS s1, sum(q*q) AS s2,
+                               sum(q*q*q) AS s3, sum(q*q*q*q) AS s4
+                        FROM base GROUP BY rf),
+                 em AS (SELECT b.rf,
+                               sum(b.q * pow(2, (b.t - m.mt)/30.0)) / sum(pow(2, (b.t - m.mt)/30.0)) AS ema_q,
+                               sum(b.q * exp((b.t - m.mt)/30.0)) AS etds_q
+                        FROM base b JOIN mx m ON b.rf = m.rf GROUP BY b.rf)
+            SELECT q.rf AS l_returnflag,
+                   round(((q.s3/q.n) - 3*(q.s1/q.n)*(q.s2/q.n) + 2*pow(q.s1/q.n, 3)) * (q.n/(q.n-1))
+                         / pow(((q.s2/q.n) - pow(q.s1/q.n, 2)) * (q.n/(q.n-1)), 1.5), 4) AS sk_q,
+                   round(((q.s4/q.n) - 4*(q.s1/q.n)*(q.s3/q.n) + 6*pow(q.s1/q.n, 2)*(q.s2/q.n) - 3*pow(q.s1/q.n, 4)) * (q.n/(q.n-1))
+                         / pow(((q.s2/q.n) - pow(q.s1/q.n, 2)) * (q.n/(q.n-1)), 2), 4) AS ku_q,
+                   round(((a.tt - a.s*a.s/a.n)/(a.k-1)) / ((q.s2 - a.tt)/(a.n - a.k)), 4) AS f_stat,
+                   round(e.ema_q, 4) AS ema_q,
+                   round(e.etds_q, 4) AS etds_q
+            FROM qt q JOIN an a ON q.rf = a.rf JOIN em e ON q.rf = e.rf
+            ORDER BY l_returnflag"""),
+  )
+
   /** maxIntersections / maxIntersectionsPosition: peak concurrent
     * intervals (orders as 30-day half-open spans, per priority class)
     * — ClickHouse's interval-sweep aggregates as one native
@@ -1647,7 +1699,7 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q26, q27, q27b,
+    Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }

@@ -99,6 +99,42 @@ class DialectRound7Spec extends SparkSpec {
     assert(empty.getLong(0) == 0L)
   }
 
+  test("skewSamp/kurtSamp: n-1 central moments over matching stddev power") {
+    // [1,2,3,4,10]: mean 4, devs (-3,-2,-1,0,6); m3s = 180/4 = 45,
+    // varS = 50/4 = 12.5, m4s = 1394/4 = 348.5
+    val r = spark.sql(
+      "SELECT skewSamp(v) AS sk, kurtSamp(v) AS ku FROM VALUES (1), (2), (3), (4), (10) t(v)").head()
+    assert(math.abs(r.getDouble(0) - 45.0 / math.pow(12.5, 1.5)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 348.5 / (12.5 * 12.5)) < 1e-12)
+  }
+
+  test("analysisOfVariance: one-way F statistic, group-keyed O(k) buffer") {
+    // groups (1,2,3), (3,4,5), (6,8): T = 12+48+98 = 158, S = 32, n = 8,
+    // Q = 164 → between = 15, within = 1.2, F = 12.5
+    val r = spark.sql(
+      """SELECT analysisOfVariance(v, g) AS f FROM VALUES
+         (1.0, 0), (2.0, 0), (3.0, 0), (3.0, 1), (4.0, 1), (5.0, 1), (6.0, 2), (8.0, 2) t(v, g)""").head()
+    assert(math.abs(r.getDouble(0) - 12.5) < 1e-12)
+    // fewer than two groups → NULL, not a crash
+    assert(spark.sql("SELECT analysisOfVariance(v, 0) AS f FROM VALUES (1.0), (2.0) t(v)").head().isNullAt(0))
+  }
+
+  test("exponentialMovingAverage / exponentialTimeDecayedSum: decay to latest point") {
+    // halflife 2 over (1@0, 2@2, 3@4): weights 0.25, 0.5, 1
+    val r = spark.sql(
+      """SELECT exponentialMovingAverage(2)(v, t) AS ema,
+                exponentialTimeDecayedSum(2)(v, t) AS etds
+         FROM VALUES (1.0, 0.0), (2.0, 2.0), (3.0, 4.0) x(v, t)""").head()
+    assert(math.abs(r.getDouble(0) - 4.25 / 1.75) < 1e-12)
+    val expected = 1.0 * math.exp(-2.0) + 2.0 * math.exp(-1.0) + 3.0
+    assert(math.abs(r.getDouble(1) - expected) < 1e-12)
+    // huge raw time axis must not overflow the weights (rescaled buffer)
+    val big = spark.sql(
+      """SELECT exponentialMovingAverage(3600)(v, t) AS ema
+         FROM VALUES (5.0, 1.7e9), (7.0, 1.7e9 + 3600) x(v, t)""").head()
+    assert(math.abs(big.getDouble(0) - (5.0 * 0.5 + 7.0) / 1.5) < 1e-9)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
