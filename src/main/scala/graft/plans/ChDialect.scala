@@ -743,6 +743,30 @@ object ChDialect {
       case Seq(x, _)    => new Percentile(x, Literal(0.5))
       case _ => throw new IllegalArgumentException("quantileDeterministic takes (level)(expr, determinator)")
     }),
+    // Greenwald-Khanna: Spark's approx_percentile IS a GK-family
+    // sketch — the accuracy parameter maps directly (CH spells
+    // relative accuracy, Spark 1/accuracy; both bound rank error)
+    "quantileGK" -> (es => es match {
+      case Seq(acc, x)    => new ApproximatePercentile(x, Literal(0.5d), Cast(acc, IntegerType))
+      case Seq(acc, p, x) => new ApproximatePercentile(x, p, Cast(acc, IntegerType))
+      case _ => throw new IllegalArgumentException("quantileGK takes (accuracy[, level])(expr)")
+    }),
+    // weighted quantile with linear interpolation — percentile_cont
+    // over the weight-expanded multiset; see
+    // [[GraftQuantileInterpolatedWeighted]]
+    "quantileInterpolatedWeighted" -> (es => es match {
+      case Seq(p, x, w) => GraftQuantileInterpolatedWeighted(p, Cast(x, DoubleType), w)
+      case _ => throw new IllegalArgumentException("quantileInterpolatedWeighted takes (level)(expr, weight)")
+    }),
+    // exact interpolated quantile over bfloat16-truncated inputs —
+    // the truncation is bit-exact ([[Bfloat16Truncate]]), so unlike
+    // CH's histogram-bucketed original this is deterministic
+    "quantileBFloat16" -> (es => es match {
+      case Seq(x)    => new Percentile(Bfloat16Truncate(Cast(x, org.apache.spark.sql.types.FloatType)), Literal(0.5))
+      case Seq(p, x) => new Percentile(Bfloat16Truncate(Cast(x, org.apache.spark.sql.types.FloatType)), p)
+      case _ => throw new IllegalArgumentException("quantileBFloat16 takes (level)(expr)")
+    }),
+    "toBFloat16" -> (es => Bfloat16Truncate(Cast(es.head, org.apache.spark.sql.types.FloatType))),
     // adaptive histogram (parametric: histogram(n)(x)) — see
     // [[GraftHistogram]]; merge-order dependent like the original,
     // hence rows-only in the registry

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, Decimal, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, Decimal, DoubleType, IntegerType, LongType, ShortType}
 import scala.collection.mutable
 
 /** Shared machinery for the ClickHouse weighted-aggregate family
@@ -214,5 +214,71 @@ case class GraftQuantileExactWeighted(
   override def withNewInputAggBufferOffset(newOffset: Int): GraftQuantileExactWeighted =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): GraftQuantileExactWeighted =
+    copy(param = f, child = s, weight = t)
+}
+
+/** `quantileInterpolatedWeighted(q)(value, weight)`: weighted
+  * quantile with linear interpolation — the percentile_cont (type-7)
+  * quantile of the multiset where each value repeats `weight` times,
+  * computed from cumulative weights without materializing the
+  * expansion: h = q·(S−1) on the 0-based expanded axis, the two
+  * bracketing expanded elements are located by cumulative-weight
+  * binary walk, and the result interpolates between them. With
+  * weight ≡ 1 this is exactly percentile_cont(q). Shares the
+  * value→weight map buffer (O(distinct values), summation merge). */
+case class GraftQuantileInterpolatedWeighted(
+    param: Expression,
+    child: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends WeightedMapAgg {
+
+  private lazy val q: Double = param.eval() match {
+    case d: java.lang.Double  => d.doubleValue()
+    case f: java.lang.Float   => f.doubleValue()
+    case dec: Decimal         => dec.toDouble
+    case i: java.lang.Integer => i.doubleValue()
+    case other => throw new IllegalArgumentException(s"quantileInterpolatedWeighted level must be numeric, got $other")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "quantileInterpolatedWeighted"
+
+  override def eval(buffer: mutable.HashMap[AnyRef, Long]): Any = {
+    val weighted = buffer.toSeq.filter(_._2 > 0)
+    if (weighted.isEmpty) null
+    else {
+      require(q >= 0.0 && q <= 1.0, s"quantile level must be in [0, 1], got $q")
+      val sorted = weighted
+        .map { case (v, w) => (v.asInstanceOf[Number].doubleValue(), w) }
+        .sortBy(_._1)
+      val total = sorted.iterator.map(_._2).sum
+      val h    = q * (total - 1)
+      val k    = math.floor(h).toLong            // 0-based expanded index
+      val frac = h - k
+      // value at expanded index i = first value whose cumweight > i
+      def at(i: Long): Double = {
+        var cum = 0L
+        val it = sorted.iterator
+        while (it.hasNext) {
+          val (v, w) = it.next()
+          cum += w
+          if (cum > i) return v
+        }
+        sorted.last._1
+      }
+      val lo = at(k)
+      val hi = if (frac == 0.0) lo else at(k + 1)
+      java.lang.Double.valueOf(lo + frac * (hi - lo))
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftQuantileInterpolatedWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftQuantileInterpolatedWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): GraftQuantileInterpolatedWeighted =
     copy(param = f, child = s, weight = t)
 }

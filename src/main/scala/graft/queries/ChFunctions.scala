@@ -265,6 +265,64 @@ object ChFunctions {
             ORDER BY c_custkey"""),
   )
 
+  /** quantileInterpolatedWeighted (percentile_cont over the
+    * weight-expanded multiset, computed on cumulative weights — see
+    * [[graft.plans.GraftQuantileInterpolatedWeighted]]) and
+    * quantileBFloat16 (exact interpolated quantile over bit-exact
+    * bfloat16-truncated float32s, [[graft.plans.Bfloat16Truncate]] —
+    * deterministic where CH's histogram variant is approximate). The
+    * oracle rebuilds the expanded-index bracketing with window
+    * cumsums and replays the upper-16-bit truncation numerically
+    * (floor(|x|/2^(e−7))·2^(e−7), e = floor(log2|x|)) before
+    * quantile_cont. quantileGK rides Spark's native GK sketch —
+    * rank-error-bounded, so it's spec-pinned, not oracled. */
+  val q22e = GraftQuery(
+    "q22e_quantile_variants",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_qv")
+      s.sql("""SELECT l_returnflag,
+                      round(quantileInterpolatedWeighted(0.5)(l_quantity, l_linenumber), 6) AS iw_med,
+                      round(quantileInterpolatedWeighted(0.9)(l_quantity, l_linenumber), 6) AS iw_p90,
+                      round(quantileBFloat16(0.5)(l_extendedprice), 4) AS bf_med,
+                      round(quantileBFloat16(0.25)(l_extendedprice), 4) AS bf_p25
+               FROM lineitem_qv GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH w AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS v,
+                              CAST(l_linenumber AS BIGINT) AS wt
+                       FROM lineitem),
+                 agg AS (SELECT rf, v, sum(wt) AS wt FROM w GROUP BY rf, v),
+                 c AS (SELECT rf, v, wt,
+                              sum(wt) OVER (PARTITION BY rf ORDER BY v) AS cum,
+                              sum(wt) OVER (PARTITION BY rf) AS s
+                       FROM agg),
+                 hp AS (SELECT rf, q, q*(s-1) AS h, floor(q*(s-1)) AS k
+                        FROM (SELECT DISTINCT rf, s FROM c) p
+                        CROSS JOIN (VALUES (0.5), (0.9)) lv(q)),
+                 lo AS (SELECT hp.rf, hp.q, min(c.v) AS vlo
+                        FROM c JOIN hp ON c.rf = hp.rf AND c.cum > hp.k GROUP BY hp.rf, hp.q),
+                 hi AS (SELECT hp.rf, hp.q, min(c.v) AS vhi
+                        FROM c JOIN hp ON c.rf = hp.rf AND c.cum > hp.k + 1 GROUP BY hp.rf, hp.q),
+                 iw AS (SELECT hp.rf, hp.q,
+                               lo.vlo + (hp.h - hp.k) * (coalesce(hi.vhi, lo.vlo) - lo.vlo) AS val
+                        FROM hp JOIN lo ON hp.rf = lo.rf AND hp.q = lo.q
+                        LEFT JOIN hi ON hp.rf = hi.rf AND hp.q = hi.q),
+                 bt AS (SELECT l_returnflag AS rf,
+                               CASE WHEN xf = 0 THEN 0.0
+                                    ELSE sign(xf) * floor(abs(xf) / pow(2, floor(log2(abs(xf))) - 7))
+                                         * pow(2, floor(log2(abs(xf))) - 7) END AS b
+                        FROM (SELECT l_returnflag, CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS xf
+                              FROM lineitem) fx),
+                 bq AS (SELECT rf, quantile_cont(b, 0.5) AS bf_med, quantile_cont(b, 0.25) AS bf_p25
+                        FROM bt GROUP BY rf)
+            SELECT i.rf AS l_returnflag,
+                   round(max(CASE WHEN i.q = 0.5 THEN i.val END), 6) AS iw_med,
+                   round(max(CASE WHEN i.q = 0.9 THEN i.val END), 6) AS iw_p90,
+                   round(max(b.bf_med), 4) AS bf_med,
+                   round(max(b.bf_p25), 4) AS bf_p25
+            FROM iw i JOIN bq b ON i.rf = b.rf
+            GROUP BY i.rf ORDER BY l_returnflag"""),
+  )
+
   /** Discrete exact-quantile selectors (quantileExactLow/High — the
     * never-interpolating variants), groupArraySorted(n) and the
     * *Stable / sumWithOverflow aliases. The oracle rebuilds the
@@ -1699,7 +1757,7 @@ object ChFunctions {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q21, q22, q22b, q22c, q22d, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
+    Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }

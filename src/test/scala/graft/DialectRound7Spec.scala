@@ -135,6 +135,36 @@ class DialectRound7Spec extends SparkSpec {
     assert(math.abs(big.getDouble(0) - (5.0 * 0.5 + 7.0) / 1.5) < 1e-9)
   }
 
+  test("quantileInterpolatedWeighted: percentile_cont over the weight-expanded multiset") {
+    // (1,w1) (2,w2) (4,w1) expands to [1,2,2,4]
+    val r = spark.sql(
+      """SELECT quantileInterpolatedWeighted(0.5)(v, w) AS med,
+                quantileInterpolatedWeighted(0.75)(v, w) AS p75
+         FROM VALUES (1.0, 1), (2.0, 2), (4.0, 1) t(v, w)""").head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 2.5) // h = 2.25 between expanded idx 2 (=2) and 3 (=4)
+    // weight ≡ 1 degenerates to percentile_cont
+    val u = spark.sql(
+      "SELECT quantileInterpolatedWeighted(0.3)(v, 1) AS q FROM VALUES (1.0), (2.0), (3.0), (4.0), (5.0) t(v)").head()
+    assert(math.abs(u.getDouble(0) - 2.2) < 1e-12)
+  }
+
+  test("quantileGK: bounded-rank-error sketch lands near the true median") {
+    val med = spark.sql(
+      "SELECT quantileGK(100)(id + 1) AS m, quantileGK(100, 0.9)(id + 1) AS p90 FROM range(100)").head()
+    assert(med.getLong(0) >= 45L && med.getLong(0) <= 55L)
+    assert(med.getLong(1) >= 85L && med.getLong(1) <= 95L)
+  }
+
+  test("quantileBFloat16 / toBFloat16: bit-exact upper-16 truncation") {
+    val r = spark.sql(
+      """SELECT toBFloat16(CAST(3.14159 AS FLOAT)) AS pi_t,
+                quantileBFloat16(0.5)(v) AS q
+         FROM VALUES (CAST(1.7 AS FLOAT)) t(v)""").head()
+    assert(r.getFloat(0) == 3.140625f) // 0x40490FD0 -> 0x40490000
+    assert(r.getDouble(1) == 1.6953125) // 0x3FD9999A -> 0x3FD90000
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
