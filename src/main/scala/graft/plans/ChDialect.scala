@@ -532,6 +532,22 @@ object ChDialect {
     // hasAll(a, b): every element of b occurs in a; hasAny: any does
     "hasAll"            -> (es => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0))),
     "hasAny"            -> (es => ArraysOverlap(es(0), es(1))),
+    // partial sort: CH promises the first n sorted, remainder
+    // unspecified — the full sort is a conforming (and the only
+    // deterministic, hence oracle-able) reading
+    "arrayPartialSort"        -> (es => SortArray(es(1), Literal(true))),
+    "arrayPartialReverseSort" -> (es => SortArray(es(1), Literal(false))),
+    // seeded deterministic permutation: indexes ordered by
+    // xxhash64(index, seed) (struct sort tie-breaks on the element,
+    // so equal hashes still permute). CH's seedless spelling is
+    // random; here it's seed 0 — same engine contract as the
+    // content-addressed SAMPLE (determinism over irreproducibility).
+    "arrayShuffle"      -> (es => arrayShuffle(es.head, if (es.length > 1) es(1) else Literal(0))),
+    // deterministic subset: first k of the seeded permutation
+    "arrayRandomSample" -> (es => Slice(arrayShuffle(es(0), Literal(0)), Literal(1), Cast(es(1), IntegerType))),
+    // intersection of every array in the group — sorted, generic
+    // elements, shrinking buffer; see [[GraftArrayIntersectAgg]]
+    "groupArrayIntersect" -> (es => GraftArrayIntersectAgg(es.head).toAggregateExpression()),
     "arrayStringConcat" -> (es =>
       ArrayJoin(es.head, if (es.length > 1) es(1) else Literal(""), None)),
     // -- bitmap family. A bitmap here is a SORTED DISTINCT
@@ -1967,6 +1983,25 @@ object ChDialect {
     CreateNamedStruct(Seq(
       Literal("t_stat"), t,
       Literal("p_value"), StudentTPValue(t, df)))
+  }
+
+  /** Deterministic keyed permutation: each position pairs with
+    * xxhash64(position, seed), the (hash, element) structs sort, and
+    * the keys strip — a uniform pseudorandom shuffle that is
+    * reproducible across engines, partition layouts and reruns.
+    * Arrays of size ≤ 1 (and NULL) pass through. */
+  private def arrayShuffle(arr: Expression, seed: Expression): Expression = {
+    val i = lamVar("gr_shi")
+    val p = lamVar("gr_shp")
+    val idx = new Sequence(Literal(0), Subtract(Size(arr), Literal(1)), Literal(1))
+    val pairs = ArrayTransform(idx, LambdaFunction(
+      CreateStruct(Seq(
+        new XxHash64(Seq(i, Cast(seed, LongType))),
+        ElementAt(arr, Add(i, Literal(1))))),
+      Seq(i)))
+    val out = ArrayTransform(SortArray(pairs, Literal(true)), LambdaFunction(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(p, Literal("col2")), Seq(p)))
+    If(LessThanOrEqual(Size(arr), Literal(1)), arr, out)
   }
 
   def register(ext: SparkSessionExtensions): Unit =

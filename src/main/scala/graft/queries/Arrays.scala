@@ -507,5 +507,46 @@ object Arrays {
             FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99)
+  /** Array long tail: groupArrayIntersect (generic shrinking
+    * set-intersection aggregate, [[graft.plans.GraftArrayIntersectAgg]]),
+    * arrayPartialSort / arrayPartialReverseSort (full sorts — the
+    * deterministic conforming reading of CH's "first n sorted, rest
+    * unspecified"), and the seeded deterministic arrayShuffle /
+    * arrayRandomSample (xxhash-keyed permutation — reproducible
+    * across engines, so the oracle can check the permutation and
+    * subset INVARIANTS even though no SQL engine replays the hash).
+    * The intersection oracle rebuilds membership counts per element
+    * over the distinct per-group arrays. */
+  val q91e = GraftQuery(
+    "q91e_array_sets",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_at")
+      s.sql("""WITH g AS (SELECT l_returnflag AS rf,
+                                 sequence(CAST(l_linenumber % 3 AS BIGINT),
+                                          CAST(l_linenumber % 3 AS BIGINT) + 3) AS a
+                          FROM lineitem_at)
+               SELECT rf,
+                      groupArrayIntersect(a) AS common,
+                      arrayPartialSort(3, arrayReverse(CAST(sequence(1, 5) AS ARRAY<BIGINT>))) AS ps,
+                      arrayPartialReverseSort(2, CAST(sequence(1, 4) AS ARRAY<BIGINT>)) AS prs,
+                      arraySort(arrayShuffle(CAST(sequence(1, 8) AS ARRAY<BIGINT>), 7)) AS shuf_sorted,
+                      size(arrayRandomSample(sequence(1, 8), 3)) AS sample_n
+               FROM g GROUP BY rf ORDER BY rf""")
+    },
+    Some("""WITH d AS (SELECT DISTINCT l_returnflag AS rf, l_linenumber % 3 AS b FROM lineitem),
+                 e AS (SELECT rf, b, unnest(generate_series(b, b + 3)) AS x FROM d),
+                 tot AS (SELECT rf, count(*) AS nb FROM d GROUP BY rf),
+                 c1 AS (SELECT rf, x, count(*) AS c FROM e GROUP BY rf, x),
+                 com AS (SELECT c1.rf, list_sort(list(c1.x)) AS common
+                         FROM c1 JOIN tot ON c1.rf = tot.rf
+                         WHERE c1.c = tot.nb GROUP BY c1.rf)
+            SELECT rf, common,
+                   generate_series(1, 5) AS ps,
+                   list_sort(generate_series(1, 4), 'DESC') AS prs,
+                   generate_series(1, 8) AS shuf_sorted,
+                   3 AS sample_n
+            FROM com ORDER BY rf"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99)
 }

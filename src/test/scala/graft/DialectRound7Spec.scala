@@ -165,6 +165,47 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getDouble(1) == 1.6953125) // 0x3FD9999A -> 0x3FD90000
   }
 
+  test("arrayPartialSort / arrayPartialReverseSort: conforming full sorts") {
+    val r = spark.sql(
+      """SELECT arrayPartialSort(2, array(3, 1, 2)) AS a,
+                arrayPartialReverseSort(2, array(3, 1, 2)) AS d""").head()
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) == Seq(3, 2, 1))
+  }
+
+  test("arrayShuffle: seeded deterministic permutation; arrayRandomSample subset") {
+    val df = spark.sql(
+      """SELECT arrayShuffle(array(1, 2, 3, 4, 5, 6, 7, 8), 7) AS s7,
+                arrayShuffle(array(1, 2, 3, 4, 5, 6, 7, 8), 7) AS s7b,
+                arrayShuffle(array(1, 2, 3, 4, 5, 6, 7, 8), 8) AS s8,
+                arrayShuffle(array(), 1) AS se,
+                arrayShuffle(array(9), 1) AS s1,
+                arrayRandomSample(array(1, 2, 3, 4, 5, 6, 7, 8), 3) AS smp""")
+    val r = df.head()
+    val s7 = r.getSeq[Int](0)
+    assert(s7 == r.getSeq[Int](1))                  // same seed → same permutation
+    assert(s7.sorted == Seq(1, 2, 3, 4, 5, 6, 7, 8)) // a permutation, nothing lost
+    assert(s7 != r.getSeq[Int](2))                  // different seed → different order
+    assert(r.getSeq[Int](3).isEmpty && r.getSeq[Int](4) == Seq(9))
+    val smp = r.getSeq[Int](5)
+    assert(smp.length == 3 && smp.toSet.subsetOf(Set(1, 2, 3, 4, 5, 6, 7, 8)))
+    assert(smp.toSet.size == 3)                     // sample without replacement
+  }
+
+  test("groupArrayIntersect: shrinking generic intersection, sorted output") {
+    val r = spark.sql(
+      """SELECT groupArrayIntersect(a) AS x FROM VALUES
+         (array(3, 2, 1)), (array(2, 3, 9)), (array(5, 3, 2)) t(a)""").head()
+    assert(r.getSeq[Int](0) == Seq(2, 3))
+    val strs = spark.sql(
+      """SELECT groupArrayIntersect(a) AS x FROM VALUES
+         (array('b', 'a')), (array('a', 'c')) t(a)""").head()
+    assert(strs.getSeq[String](0) == Seq("a"))
+    val disjoint = spark.sql(
+      "SELECT groupArrayIntersect(a) AS x FROM VALUES (array(1)), (array(2)) t(a)").head()
+    assert(disjoint.getSeq[Int](0).isEmpty)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
