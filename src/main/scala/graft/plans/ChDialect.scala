@@ -1425,6 +1425,20 @@ object ChDialect {
       case Seq(x, o, d) => Lead(x, o, d, ignoreNulls = false)
       case _ => throw new IllegalArgumentException("leadInFrame takes (expr[, offset[, default]])")
     }),
+    // deprecated block-order functions: their result depends on the
+    // physical row order within a processing block — meaningless on a
+    // distributed engine (and deprecated in ClickHouse for the same
+    // reason). Loud errors point at the deterministic window
+    // spellings a migrated query should use instead.
+    "runningDifference" -> (_ => throw new UnsupportedOperationException(
+      "runningDifference is block-order dependent; use x - lagInFrame(x) OVER (ORDER BY …) " +
+        "or nonNegativeDerivative(x, t) OVER (…)")),
+    "runningDifferenceStartingWithFirstValue" -> (_ => throw new UnsupportedOperationException(
+      "runningDifferenceStartingWithFirstValue is block-order dependent; use lagInFrame under an explicit window")),
+    "runningAccumulate" -> (_ => throw new UnsupportedOperationException(
+      "runningAccumulate is block-order dependent; use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)")),
+    "neighbor" -> (_ => throw new UnsupportedOperationException(
+      "neighbor is block-order dependent; use lagInFrame/leadInFrame OVER (ORDER BY …)")),
     // -- aggregate combinators. -Distinct forces DISTINCT on the
     // underlying native aggregate; -OrNull yields NULL on an empty
     // set (count is the only family member that needs a shim — the

@@ -461,6 +461,37 @@ object ChSqlParser {
       }
     }.getOrElse(sql)
 
+  /** ClickHouse window function `nonNegativeDerivative(metric, ts
+    * [, INTERVAL n unit]) OVER (…)` → the lag-based rate expression:
+    * (m − lag m) · scale / (t − lag t), clamped at 0. Spark's
+    * `greatest` skips NULLs, so the frame's first row (lag = NULL)
+    * and a zero time step (nullif'd denominator — ANSI division
+    * would raise) both land on 0, matching CH. Supported subset:
+    * paren-free args and window spec; anything else is left intact
+    * and fails loudly at parse on the CH name. */
+  private val NonNegDeriv =
+    """(?i)\bnonNegativeDerivative\s*\(([^()]+?)\)\s*OVER\s*(\([^()]*\))""".r
+
+  private val IntervalArg = """(?i)^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?$""".r
+  private val IntervalSeconds =
+    Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L)
+
+  private def rewriteNonNegDeriv(sql: String): String =
+    NonNegDeriv.replaceAllIn(sql, m => {
+      val parts = splitTopLevel(m.group(1)).map(_.trim)
+      val over  = m.group(2)
+      val scale = parts.drop(2) match {
+        case Seq(IntervalArg(n, unit)) => (n.toLong * IntervalSeconds(unit.toLowerCase)).toString
+        case Seq()                     => "1"
+        case other                     => return sql // unsupported third arg → loud parse failure
+      }
+      if (parts.length < 2) return sql
+      val (mx, tx) = (parts(0), parts(1))
+      scala.util.matching.Regex.quoteReplacement(
+        s"greatest(CAST(0 AS DOUBLE), (CAST($mx AS DOUBLE) - lag(CAST($mx AS DOUBLE)) OVER $over) * $scale" +
+          s" / nullif(CAST($tx AS DOUBLE) - lag(CAST($tx AS DOUBLE)) OVER $over, CAST(0 AS DOUBLE)))")
+    })
+
   /** Split on commas not nested inside parentheses. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out   = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -533,6 +564,7 @@ object ChSqlParser {
         s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"
       case None => s"FROM (SELECT id AS number FROM range(${m.group(1)}))"
     })
+    out = rewriteNonNegDeriv(out)
     out = rewriteQualify(out)
     out = LimitWithTies.replaceAllIn(out, m => {
       val (prefix, ord, n) = (m.group(1), m.group(2), m.group(3))

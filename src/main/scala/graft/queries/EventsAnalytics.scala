@@ -426,6 +426,35 @@ object EventsAnalytics {
     * order explicit with a window over (ts, event_id), which is both
     * deterministic and the semantics users actually want. One shuffle
     * on the user key; the sessionize family reuses the partitioning. */
+  /** ClickHouse window function `nonNegativeDerivative(metric, ts)
+    * OVER (…)` run as verbatim SQL: ChSqlParser rewrites it into the
+    * lag-based rate expression (clamped at 0; first row and zero
+    * time steps land on 0 via NULL-skipping greatest + nullif'd
+    * denominator). One window, no extra shuffle beyond the
+    * partitionBy — the oracle replays the same lag algebra. */
+  val q78b = GraftQuery(
+    "q78b_nonneg_derivative",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_nd")
+      s.sql("""WITH d AS (SELECT user_id,
+                                 nonNegativeDerivative(value, ts)
+                                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rate
+                          FROM events_nd)
+               SELECT user_id, round(sum(rate), 4) AS rate_sum,
+                      round(max(rate), 4) AS rate_max, count(*) AS n
+               FROM d GROUP BY user_id ORDER BY user_id""")
+    },
+    Some("""WITH d AS (SELECT user_id,
+                              greatest(0, (value - lag(value) OVER w)
+                                          / nullif(epoch_us(ts)/1000000.0
+                                                   - epoch_us(lag(ts) OVER w)/1000000.0, 0)) AS rate
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, round(sum(rate), 4) AS rate_sum,
+                   round(max(rate), 4) AS rate_max, count(*) AS n
+            FROM d GROUP BY 1 ORDER BY user_id"""),
+  )
+
   val q78 = GraftQuery(
     "q78_delta_sum",
     (s, dir) => {
@@ -449,5 +478,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q78, q80)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q78, q78b, q80)
 }

@@ -206,6 +206,39 @@ class DialectRound7Spec extends SparkSpec {
     assert(disjoint.getSeq[Int](0).isEmpty)
   }
 
+  test("nonNegativeDerivative: lag-based rate, clamped, first row and zero step → 0") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW nnd_t AS SELECT * FROM VALUES " +
+      "(1, 0.0, 10.0), (1, 2.0, 14.0), (1, 4.0, 8.0), (1, 4.0, 9.0), (2, 0.0, 1.0), (2, 10.0, 21.0) v(g, t, m)")
+    val rows = spark.sql(
+      """SELECT g, t, m,
+                nonNegativeDerivative(m, t) OVER (PARTITION BY g ORDER BY t, m) AS d
+         FROM nnd_t ORDER BY g, t, m""").collect()
+    val d = rows.map(_.getDouble(3))
+    assert(d(0) == 0.0)               // first row of partition
+    assert(d(1) == 2.0)               // (14-10)/2
+    assert(d(2) == 0.0)               // negative derivative clamps
+    assert(d(3) == 0.0)               // zero time step → 0, not an error
+    assert(d(4) == 0.0 && d(5) == 2.0)
+    // INTERVAL scaling: per-minute rate
+    val scaled = spark.sql(
+      """SELECT nonNegativeDerivative(m, t, INTERVAL 1 MINUTE) OVER (ORDER BY t) AS d
+         FROM VALUES (0.0, 0.0), (30.0, 5.0) v(t, m) ORDER BY d""").collect()
+    assert(scaled.map(_.getDouble(0)).toSeq == Seq(0.0, 10.0)) // 5/30*60
+  }
+
+  test("block-order functions are refused loudly with window guidance") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW bo_t AS SELECT * FROM VALUES (1) v(x)")
+    for ((fn, hint) <- Seq(
+        ("runningDifference(x)", "lagInFrame"),
+        ("runningAccumulate(x)", "ROWS UNBOUNDED PRECEDING"),
+        ("neighbor(x, 1)", "leadInFrame"))) {
+      val e = intercept[Exception](spark.sql(s"SELECT $fn FROM bo_t").collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(hint)), s"$fn error should mention $hint")
+    }
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
