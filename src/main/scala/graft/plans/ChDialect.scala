@@ -783,6 +783,17 @@ object ChDialect {
       case _ => throw new IllegalArgumentException("quantileBFloat16 takes (level)(expr)")
     }),
     "toBFloat16" -> (es => Bfloat16Truncate(Cast(es.head, org.apache.spark.sql.types.FloatType))),
+    // chart/downsample aggregates (parametric: sparkbar(n)(x, y),
+    // largestTriangleThreeBuckets(n)(x, y)) — deterministic over the
+    // (x, y)-sorted stream; see [[GraftSparkbar]] / [[GraftLttb]]
+    "sparkbar" -> (es => es match {
+      case Seq(n, x, y) => GraftSparkbar(n, Cast(x, DoubleType), Cast(y, DoubleType))
+      case _            => throw new IllegalArgumentException("sparkbar takes (buckets)(x, y)")
+    }),
+    "largestTriangleThreeBuckets" -> (es => es match {
+      case Seq(n, x, y) => GraftLttb(n, Cast(x, DoubleType), Cast(y, DoubleType))
+      case _ => throw new IllegalArgumentException("largestTriangleThreeBuckets takes (n)(x, y)")
+    }),
     // adaptive histogram (parametric: histogram(n)(x)) — see
     // [[GraftHistogram]]; merge-order dependent like the original,
     // hence rows-only in the registry
@@ -802,6 +813,12 @@ object ChDialect {
     "sequenceMatch" -> (es => GraftSequenceMatch(es.head, es(1), es.drop(2),
       SequenceAggBase.configuredCap())),
     "sequenceCount" -> (es => GraftSequenceCount(es.head, es(1), es.drop(2),
+      SequenceAggBase.configuredCap())),
+    // the value of the event AFTER a matched consecutive chain —
+    // args (dir, base)(ts, event, base_cond, cond1, …); see
+    // [[GraftSequenceNextNode]]
+    "sequenceNextNode" -> (es => GraftSequenceNextNode(es(0), es(1), es(2),
+      Cast(es(3), org.apache.spark.sql.types.StringType), es.drop(4),
       SequenceAggBase.configuredCap())),
     // element-wise map-combine over parallel (keys, values) arrays,
     // or over a Map-typed column directly (CH accepts both shapes)

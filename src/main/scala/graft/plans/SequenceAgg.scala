@@ -583,3 +583,164 @@ case class GraftSequenceCount(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GraftSequenceCount =
     copy(paramExpr = newChildren.head, tsExpr = newChildren(1), conds = newChildren.drop(2))
 }
+
+/** `sequenceNextNode(direction, base)(ts, event, base_cond, cond1,
+  * …, condN)` — the value of the event immediately AFTER a matched
+  * consecutive chain. Supported modes: ('forward', 'head') — the
+  * chain must start at the group's first base-qualifying event;
+  * ('forward', 'first_match') — the chain may start at the first
+  * position where it matches (base_cond holding at the start);
+  * ('backward', 'tail' / 'last_match') — the mirror image over the
+  * reversed stream. Other spellings are refused loudly. Events sort
+  * by (ts, value) — the deterministic reading that makes the result
+  * oracle-able with window leads. The buffer is whale-capped by the
+  * same `graft.sequence.maxGroupEvents` conf as the other sequence
+  * aggregates (earliest-n exact truncation). */
+case class GraftSequenceNextNode(
+    dirExpr: Expression,
+    baseExpr: Expression,
+    tsExpr: Expression,
+    valueExpr: Expression,
+    conds: Seq[Expression],
+    maxGroupEvents: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Int, String)]] with Logging {
+
+  private lazy val forward: Boolean = dirExpr.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String if s.toString == "forward"  => true
+    case s: org.apache.spark.unsafe.types.UTF8String if s.toString == "backward" => false
+    case other => throw new IllegalArgumentException(
+      s"sequenceNextNode direction must be 'forward' or 'backward', got $other")
+  }
+
+  private lazy val firstMatch: Boolean = baseExpr.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      s.toString match {
+        case "head" | "tail"                 => false
+        case "first_match" | "last_match"    => true
+        case other => throw new IllegalArgumentException(
+          s"sequenceNextNode base must be head/tail/first_match/last_match, got '$other'")
+      }
+    case other => throw new IllegalArgumentException(s"sequenceNextNode base must be a string literal, got $other")
+  }
+
+  override def children: Seq[Expression] = dirExpr +: baseExpr +: tsExpr +: valueExpr +: conds
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sequenceNextNode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!dirExpr.foldable || !baseExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("sequenceNextNode direction/base must be literals")
+    else if (tsExpr.dataType != TimestampType && tsExpr.dataType != TimestampNTZType)
+      TypeCheckResult.TypeCheckFailure(s"sequenceNextNode timestamp must be TIMESTAMP, got ${tsExpr.dataType.sql}")
+    else if (valueExpr.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"sequenceNextNode event column must be STRING, got ${valueExpr.dataType.sql}")
+    else if (conds.isEmpty || conds.length > 31)
+      TypeCheckResult.TypeCheckFailure(s"sequenceNextNode takes 1..31 conditions, got ${conds.length}")
+    else if (!conds.forall(_.dataType == BooleanType))
+      TypeCheckResult.TypeCheckFailure("sequenceNextNode conditions must all be BOOLEAN")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Long, Int, String)] =
+    mutable.ArrayBuffer.empty
+
+  override def update(
+      buffer: mutable.ArrayBuffer[(Long, Int, String)],
+      input: InternalRow): mutable.ArrayBuffer[(Long, Int, String)] = {
+    val ts = tsExpr.eval(input)
+    val v  = valueExpr.eval(input)
+    if (ts != null && v != null) {
+      var mask = 0
+      var i = 0
+      while (i < conds.length) {
+        if (conds(i).eval(input) == true) mask |= 1 << i
+        i += 1
+      }
+      buffer += ((ts.asInstanceOf[Long], mask, v.toString))
+      capped(buffer)
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: mutable.ArrayBuffer[(Long, Int, String)],
+      other: mutable.ArrayBuffer[(Long, Int, String)]): mutable.ArrayBuffer[(Long, Int, String)] = {
+    buffer ++= other
+    capped(buffer)
+    buffer
+  }
+
+  private def ordered(buffer: mutable.ArrayBuffer[(Long, Int, String)]): Array[(Long, Int, String)] = {
+    val arr = buffer.toArray
+    java.util.Arrays.sort(arr, (a: (Long, Int, String), b: (Long, Int, String)) => {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else a._3.compareTo(b._3)
+    })
+    if (arr.length > maxGroupEvents) {
+      logWarning(s"sequenceNextNode: group truncated to its earliest $maxGroupEvents events " +
+        "(graft.sequence.maxGroupEvents)")
+      arr.take(maxGroupEvents)
+    } else arr
+  }
+
+  private def capped(buffer: mutable.ArrayBuffer[(Long, Int, String)]): Unit =
+    if (maxGroupEvents != Int.MaxValue && buffer.length > 2L * maxGroupEvents) {
+      val arr = ordered(buffer)
+      buffer.clear()
+      buffer ++= arr.iterator.take(maxGroupEvents)
+    }
+
+  override def eval(buffer: mutable.ArrayBuffer[(Long, Int, String)]): Any = {
+    if (buffer.isEmpty) return null
+    var events = ordered(buffer)
+    if (!forward) events = events.reverse
+    val nChain   = conds.length - 1 // cond 0 is the base condition
+    val baseBit  = 1
+    def chainAt(i: Int): Boolean =
+      (0 until nChain).forall { k =>
+        i + k < events.length && (events(i + k)._2 & (1 << (k + 1))) != 0
+      }
+    val start =
+      if (firstMatch) (0 until events.length).find(i => (events(i)._2 & baseBit) != 0 && chainAt(i))
+      else (0 until events.length).find(i => (events(i)._2 & baseBit) != 0)
+        .filter(chainAt) // head/tail: the chain must start AT the base event
+    start match {
+      case Some(i) if i + nChain < events.length =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(events(i + nChain)._3)
+      case _ => null
+    }
+  }
+
+  override def serialize(buffer: mutable.ArrayBuffer[(Long, Int, String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    try {
+      out.writeInt(buffer.length)
+      buffer.foreach { case (ts, mask, v) =>
+        out.writeLong(ts); out.writeInt(mask); out.writeUTF(v)
+      }
+      out.flush(); bos.toByteArray
+    } finally out.close()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Long, Int, String)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val n = in.readInt()
+      val buffer = new mutable.ArrayBuffer[(Long, Int, String)](n)
+      var i = 0
+      while (i < n) { buffer += ((in.readLong(), in.readInt(), in.readUTF())); i += 1 }
+      buffer
+    } finally in.close()
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftSequenceNextNode =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftSequenceNextNode =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GraftSequenceNextNode =
+    copy(dirExpr = newChildren(0), baseExpr = newChildren(1), tsExpr = newChildren(2),
+      valueExpr = newChildren(3), conds = newChildren.drop(4))
+}

@@ -426,6 +426,42 @@ object EventsAnalytics {
     * order explicit with a window over (ts, event_id), which is both
     * deterministic and the semantics users actually want. One shuffle
     * on the user key; the sessionize family reuses the partitioning. */
+  /** `sequenceNextNode` — the event value AFTER a matched
+    * consecutive chain ([[graft.plans.GraftSequenceNextNode]]).
+    * Events order by (ts, value) — the deterministic reading — so
+    * the oracle can rebuild both modes with window leads: first
+    * match of view→click per user (next value after it), and the
+    * head mode (chain anchored at the group's first event). */
+  val q77d = GraftQuery(
+    "q77d_sequence_next",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_sn")
+      s.sql("""SELECT user_id,
+                      sequenceNextNode('forward', 'first_match')(ts, event_type, true,
+                          event_type = 'view', event_type = 'click') AS after_vc,
+                      sequenceNextNode('forward', 'head')(ts, event_type, true,
+                          event_type = 'view') AS head_next
+               FROM events_sn GROUP BY user_id ORDER BY user_id""")
+    },
+    Some("""WITH o AS (SELECT user_id, event_type AS ev, ts,
+                              row_number() OVER w AS rn,
+                              lead(event_type, 1) OVER w AS nx1,
+                              lead(event_type, 2) OVER w AS nx2
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+                 fm AS (SELECT user_id, min(rn) AS rn
+                        FROM o WHERE ev = 'view' AND nx1 = 'click' GROUP BY user_id),
+                 fmv AS (SELECT o.user_id, o.nx2 AS after_vc
+                         FROM o JOIN fm ON o.user_id = fm.user_id AND o.rn = fm.rn),
+                 hd AS (SELECT user_id, CASE WHEN ev = 'view' THEN nx1 END AS head_next
+                        FROM o WHERE rn = 1),
+                 u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id, fmv.after_vc, hd.head_next
+            FROM u LEFT JOIN fmv ON u.user_id = fmv.user_id
+                   LEFT JOIN hd ON u.user_id = hd.user_id
+            ORDER BY u.user_id"""),
+  )
+
   /** ClickHouse window function `nonNegativeDerivative(metric, ts)
     * OVER (…)` run as verbatim SQL: ChSqlParser rewrites it into the
     * lag-based rate expression (clamped at 0; first row and zero
@@ -478,5 +514,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q78, q78b, q80)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80)
 }

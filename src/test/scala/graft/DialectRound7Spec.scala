@@ -239,6 +239,55 @@ class DialectRound7Spec extends SparkSpec {
     }
   }
 
+  test("sequenceNextNode: forward head/first_match, backward tail, null off-end") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW snn_t AS SELECT ts, ev FROM VALUES
+      (TIMESTAMP '2024-01-01 00:00:01', 'home'),
+      (TIMESTAMP '2024-01-01 00:00:02', 'view'),
+      (TIMESTAMP '2024-01-01 00:00:03', 'click'),
+      (TIMESTAMP '2024-01-01 00:00:04', 'buy'),
+      (TIMESTAMP '2024-01-01 00:00:05', 'exit') v(ts, ev)""")
+    val r = spark.sql(
+      """SELECT sequenceNextNode('forward', 'first_match')(ts, ev, true, ev = 'view', ev = 'click') AS fm,
+                sequenceNextNode('forward', 'head')(ts, ev, true, ev = 'home') AS hd,
+                sequenceNextNode('forward', 'head')(ts, ev, true, ev = 'view') AS hd_miss,
+                sequenceNextNode('backward', 'tail')(ts, ev, true, ev = 'exit') AS tl,
+                sequenceNextNode('forward', 'first_match')(ts, ev, true, ev = 'exit') AS off_end
+         FROM snn_t""").head()
+    assert(r.getString(0) == "buy")   // view→click chain, next = buy
+    assert(r.getString(1) == "view")  // head starts at first event
+    assert(r.isNullAt(2))             // head chain must start AT the first event
+    assert(r.getString(3) == "buy")   // backward from tail: exit, previous = buy
+    assert(r.isNullAt(4))             // chain matches but nothing follows
+    // unsupported mode refused loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT sequenceNextNode('sideways', 'head')(ts, ev, true, ev = 'x') FROM snn_t").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("forward")))
+  }
+
+  test("sparkbar: leveled unicode bars, empty buckets as spaces") {
+    val r = spark.sql(
+      """SELECT sparkbar(4)(x, y) AS bar FROM VALUES
+         (0.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 4.0) t(x, y)""").head()
+    assert(r.getString(0) == "▂▄▆█")
+    val gap = spark.sql(
+      "SELECT sparkbar(3)(x, y) AS bar FROM VALUES (0.0, 2.0), (3.0, 2.0) t(x, y)").head()
+    assert(gap.getString(0) == "█ █")
+  }
+
+  test("largestTriangleThreeBuckets: endpoints kept, peak survives") {
+    val r = spark.sql(
+      """SELECT largestTriangleThreeBuckets(3)(x, y) AS pts FROM VALUES
+         (0.0, 0.0), (1.0, 10.0), (2.0, 0.0), (3.0, 5.0), (4.0, 0.0) t(x, y)""").head()
+    val pts = r.getSeq[org.apache.spark.sql.Row](0).map(p => (p.getDouble(0), p.getDouble(1)))
+    assert(pts == Seq((0.0, 0.0), (1.0, 10.0), (4.0, 0.0))) // the spike wins the middle bucket
+    // n >= series length → identity
+    val id = spark.sql(
+      "SELECT largestTriangleThreeBuckets(10)(x, y) AS pts FROM VALUES (0.0, 1.0), (1.0, 2.0) t(x, y)").head()
+    assert(id.getSeq[org.apache.spark.sql.Row](0).size == 2)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
