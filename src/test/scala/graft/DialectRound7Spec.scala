@@ -288,6 +288,42 @@ class DialectRound7Spec extends SparkSpec {
     assert(id.getSeq[org.apache.spark.sql.Row](0).size == 2)
   }
 
+  test("exponentialTimeDecayed Avg/Count/Max siblings") {
+    val r = spark.sql(
+      """SELECT exponentialTimeDecayedAvg(2)(v, t) AS ea,
+                exponentialTimeDecayedCount(2)(t) AS ec,
+                exponentialTimeDecayedMax(2)(v, t) AS em
+         FROM VALUES (1.0, 0.0), (2.0, 2.0), (3.0, 4.0) x(v, t)""").head()
+    val w = Seq(math.exp(-2.0), math.exp(-1.0), 1.0)
+    val num = 1.0 * w(0) + 2.0 * w(1) + 3.0 * w(2)
+    val den = w.sum
+    assert(math.abs(r.getDouble(0) - num / den) < 1e-12)
+    assert(math.abs(r.getDouble(1) - den) < 1e-12)
+    assert(r.getDouble(2) == 3.0)
+    // max with a decaying earlier spike: 5@0 vs 1@2, tau 2 → 5/e wins
+    val spike = spark.sql(
+      "SELECT exponentialTimeDecayedMax(2)(v, t) AS em FROM VALUES (5.0, 0.0), (1.0, 2.0) x(v, t)").head()
+    assert(math.abs(spike.getDouble(0) - 5.0 * math.exp(-1.0)) < 1e-12)
+  }
+
+  test("proportionsZTest, flatten, arrayEnumerateDense, geoDistance, mapConcat") {
+    val r = spark.sql(
+      """SELECT proportionsZTest(10, 10, 100, 200) AS z,
+                flatten(array(array(1, 2), array(3))) AS fl,
+                arrayEnumerateDense(array(10, 20, 10, 30)) AS dense,
+                geoDistance(0.0, 0.0, 0.0, 1.0) AS gd,
+                greatCircleDistance(0.0, 0.0, 0.0, 1.0) AS gc,
+                mapConcat(map(1, 'a'), map(2, 'b')) AS mc""").head()
+    val p = 20.0 / 300.0
+    val expectedZ = (0.1 - 0.05) / math.sqrt(p * (1 - p) * (1.0 / 100 + 1.0 / 200))
+    assert(math.abs(r.getDouble(0) - expectedZ) < 1e-12)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Long](2) == Seq(1L, 2L, 1L, 3L))
+    assert(r.getDouble(3) == r.getDouble(4)) // alias: spherical approximation
+    assert(math.abs(r.getDouble(3) - 111194.9) < 100) // ~111 km per degree
+    assert(r.getMap[Int, String](5).size == 2)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
