@@ -324,6 +324,32 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getMap[Int, String](5).size == 2)
   }
 
+  test("new aggregates are partition-merge independent") {
+    // the same aggregation over 1 vs 13 partitions must be identical —
+    // this is what certifies every merge() path (union/intersect/xor
+    // set folds, decay re-anchoring, ANOVA summation, chain buffers)
+    import spark.implicits._
+    val n = 500
+    val rows = (0 until n).map { i =>
+      (i % 7, (i * 37) % 101, (i % 13).toDouble, i.toDouble % 251)
+    }
+    val agg =
+      """SELECT g,
+                groupBitmap(x) AS bc,
+                groupBitmapXorState(array(CAST(x AS BIGINT), CAST(x % 9 AS BIGINT))) AS xs,
+                groupArrayIntersect(array(x % 5, x % 3, 1)) AS ai,
+                round(analysisOfVariance(v, x % 4), 9) AS f,
+                round(exponentialMovingAverage(50)(v, t), 9) AS ema,
+                round(exponentialTimeDecayedMax(50)(v, t), 9) AS emx,
+                quantileInterpolatedWeighted(0.62)(v, x % 6 + 1) AS iw
+         FROM src GROUP BY g ORDER BY g"""
+    def run(parts: Int): Seq[String] = {
+      rows.toDF("g", "x", "v", "t").repartition(parts).createOrReplaceTempView("src")
+      spark.sql(agg).collect().map(_.toString).toSeq
+    }
+    assert(run(1) == run(13))
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
