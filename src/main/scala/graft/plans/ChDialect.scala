@@ -822,6 +822,10 @@ object ChDialect {
       SequenceAggBase.configuredCap())),
     "sequenceCount" -> (es => GraftSequenceCount(es.head, es(1), es.drop(2),
       SequenceAggBase.configuredCap())),
+    // the (?N)-step timestamps of the LEFTMOST pattern match — see
+    // [[GraftSequenceMatchEvents]]
+    "sequenceMatchEvents" -> (es => GraftSequenceMatchEvents(es.head, es(1), es.drop(2),
+      SequenceAggBase.configuredCap())),
     // the value of the event AFTER a matched consecutive chain —
     // args (dir, base)(ts, event, base_cond, cond1, …); see
     // [[GraftSequenceNextNode]]

@@ -54,7 +54,7 @@ object ChSqlParser {
     * (sequenceMatch's `'(?1).*(?2)'`), or constant calls nested ONE
     * level (sumMapFiltered's `array('A', 'N')`). */
   private val Parametric =
-    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantileInterpolatedWeighted|quantileGK|quantileBFloat16|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|sparkbar|largestTriangleThreeBuckets|windowFunnel|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArray|groupConcat|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantileInterpolatedWeighted|quantileGK|quantileBFloat16|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|sparkbar|largestTriangleThreeBuckets|windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArray|groupConcat|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].

@@ -224,6 +224,55 @@ object SequenceAggBase {
     * must then retain. */
   def needsAllEvents(steps: Array[SeqStep]): Boolean = steps.exists(_.condIdx < 0)
 
+  /** Backward feasibility DP shared by sequenceMatch and
+    * sequenceMatchEvents: ok(s)(i) = steps s.. can match with step s
+    * placed on event i (strict-increase timestamps between steps,
+    * gap kinds honored). */
+  def feasibility(evs: Array[(Long, Int)], steps: Array[SeqStep]): Array[Array[Boolean]] = {
+    val m = evs.length
+    val k = steps.length
+    def condAt(s: Int, i: Int): Boolean =
+      steps(s).condIdx < 0 || (evs(i)._2 & (1 << steps(s).condIdx)) != 0
+    val ok = Array.ofDim[Boolean](k, m)
+    var s = k - 1
+    var next: Array[Boolean] = null
+    while (s >= 0) {
+      val cur = ok(s)
+      val gapAfter: SeqGap = if (s + 1 < k) steps(s + 1).gap else null
+      var i = m - 1
+      while (i >= 0) {
+        if (condAt(s, i)) {
+          if (s == k - 1) cur(i) = true
+          else gapAfter match {
+            case Adjacent =>
+              cur(i) = i + 1 < m && evs(i + 1)._1 > evs(i)._1 && next(i + 1)
+            case AnyGap =>
+              var j = i + 1
+              var found = false
+              while (j < m && !found) {
+                if (evs(j)._1 > evs(i)._1 && next(j)) found = true
+                j += 1
+              }
+              cur(i) = found
+            case tg: TimeGap =>
+              var j = i + 1
+              var found = false
+              while (j < m && !found) {
+                if (evs(j)._1 > evs(i)._1 && tg.holds(evs(j)._1 - evs(i)._1) && next(j))
+                  found = true
+                j += 1
+              }
+              cur(i) = found
+          }
+        }
+        i -= 1
+      }
+      next = cur
+      s -= 1
+    }
+    ok
+  }
+
   /** Per-group event cap from the session conf, captured at plan time
     * so it ships to executors inside the aggregate itself. */
   def configuredCap(): Int =
@@ -431,53 +480,11 @@ case class GraftSequenceMatch(
 
   override def eval(buffer: mutable.ArrayBuffer[(Long, Int)]): Any = {
     val evs = sorted(buffer)
-    val m = evs.length
-    val k = steps.length
-    if (m == 0) return false
-    def condAt(s: Int, i: Int): Boolean =
-      steps(s).condIdx < 0 || (evs(i)._2 & (1 << steps(s).condIdx)) != 0
-    // ok(s)(i) = steps s.. can match with step s placed on event i
-    val ok = Array.ofDim[Boolean](k, m)
-    var s = k - 1
-    var next: Array[Boolean] = null
-    while (s >= 0) {
-      val cur = ok(s)
-      val gapAfter: SeqGap = if (s + 1 < k) steps(s + 1).gap else null
-      var i = m - 1
-      while (i >= 0) {
-        if (condAt(s, i)) {
-          if (s == k - 1) cur(i) = true
-          else gapAfter match {
-            case Adjacent =>
-              cur(i) = i + 1 < m && evs(i + 1)._1 > evs(i)._1 && next(i + 1)
-            case AnyGap =>
-              // any later event with strictly greater ts
-              var j = i + 1
-              var found = false
-              while (j < m && !found) {
-                if (evs(j)._1 > evs(i)._1 && next(j)) found = true
-                j += 1
-              }
-              cur(i) = found
-            case tg: TimeGap =>
-              var j = i + 1
-              var found = false
-              while (j < m && !found) {
-                if (evs(j)._1 > evs(i)._1 && tg.holds(evs(j)._1 - evs(i)._1) && next(j))
-                  found = true
-                j += 1
-              }
-              cur(i) = found
-          }
-        }
-        i -= 1
-      }
-      next = cur
-      s -= 1
-    }
+    if (evs.isEmpty) return false
+    val ok = SequenceAggBase.feasibility(evs, steps)
     // leading events before the first step are always allowed
     var i = 0
-    while (i < m) {
+    while (i < evs.length) {
       if (ok(0)(i)) return true
       i += 1
     }
@@ -743,4 +750,68 @@ case class GraftSequenceNextNode(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GraftSequenceNextNode =
     copy(dirExpr = newChildren(0), baseExpr = newChildren(1), tsExpr = newChildren(2),
       valueExpr = newChildren(3), conds = newChildren.drop(4))
+}
+
+/** `sequenceMatchEvents('pattern')(ts, cond1, …)` — the timestamps
+  * of the (?N) condition steps of the LEFTMOST pattern match (the
+  * deterministic reading: the match is reconstructed forward from
+  * the shared feasibility DP by always taking the earliest feasible
+  * event per step). Empty array when the pattern doesn't match.
+  * Same grammar ((?N), ., .*, (?t op N)), strict-increase and
+  * whale-cap discipline as [[GraftSequenceMatch]]. */
+case class GraftSequenceMatchEvents(
+    paramExpr: Expression,
+    tsExpr: Expression,
+    conds: Seq[Expression],
+    maxGroupEvents: Int = Int.MaxValue,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SequenceAggBase {
+  import SequenceAggBase._
+
+  private lazy val steps: Array[SeqStep] =
+    SequenceAggBase.parseSteps(paramExpr, conds.length, prettyName)
+
+  override protected lazy val keepAllEvents: Boolean = needsAllEvents(steps)
+
+  override def dataType: DataType = ArrayType(tsExpr.dataType, containsNull = false)
+  override def prettyName: String = "sequenceMatchEvents"
+
+  override def eval(buffer: mutable.ArrayBuffer[(Long, Int)]): Any = {
+    val evs = sorted(buffer)
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (evs.isEmpty) return empty
+    val ok = SequenceAggBase.feasibility(evs, steps)
+    val k = steps.length
+    val start = evs.indices.find(ok(0))
+    if (start.isEmpty) return empty
+    val picked = new Array[Int](k)
+    picked(0) = start.get
+    var s = 1
+    while (s < k) {
+      val prev = picked(s - 1)
+      val j = steps(s).gap match {
+        case Adjacent => prev + 1 // DP guarantees validity
+        case AnyGap =>
+          (prev + 1 until evs.length)
+            .find(j => evs(j)._1 > evs(prev)._1 && ok(s)(j)).get
+        case tg: TimeGap =>
+          (prev + 1 until evs.length)
+            .find(j => evs(j)._1 > evs(prev)._1 && tg.holds(evs(j)._1 - evs(prev)._1) && ok(s)(j)).get
+      }
+      picked(s) = j
+      s += 1
+    }
+    val ts = picked.indices.collect {
+      case i if steps(i).condIdx >= 0 => java.lang.Long.valueOf(evs(picked(i))._1)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(ts.toArray[Any])
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftSequenceMatchEvents =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftSequenceMatchEvents =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): GraftSequenceMatchEvents =
+    copy(paramExpr = newChildren.head, tsExpr = newChildren(1), conds = newChildren.drop(2))
 }

@@ -350,6 +350,24 @@ class DialectRound7Spec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("sequenceMatchEvents: leftmost match timestamps, only (?N) steps") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sme_t AS SELECT ts, ev FROM VALUES
+      (TIMESTAMP '2024-01-01 00:00:01', 'a'),
+      (TIMESTAMP '2024-01-01 00:00:02', 'b'),
+      (TIMESTAMP '2024-01-01 00:00:03', 'a'),
+      (TIMESTAMP '2024-01-01 00:00:04', 'c') v(ts, ev)""")
+    val r = spark.sql(
+      """SELECT sequenceMatchEvents('(?1).*(?2)')(ts, ev = 'a', ev = 'c') AS m,
+                sequenceMatchEvents('(?1).(?2)')(ts, ev = 'b', ev = 'c') AS adj,
+                sequenceMatchEvents('(?1).*(?2)')(ts, ev = 'c', ev = 'a') AS none
+         FROM sme_t""").head()
+    val m = r.getSeq[java.sql.Timestamp](0).map(_.toInstant.getEpochSecond % 60)
+    assert(m == Seq(1L, 4L))          // leftmost 'a' (00:01), then 'c'
+    val adj = r.getSeq[java.sql.Timestamp](1).map(_.toInstant.getEpochSecond % 60)
+    assert(adj == Seq(2L, 4L))        // b, one any-event, c
+    assert(r.getSeq[java.sql.Timestamp](2).isEmpty)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
