@@ -100,6 +100,39 @@ object ChDialect {
     "toMonday"       -> (es => TruncTimestamp(Literal("week"), es.head)),
     "toStartOfDay"   -> (es => TruncTimestamp(Literal("day"), es.head)),
     "toStartOfHour"  -> (es => TruncTimestamp(Literal("hour"), es.head)),
+    // generic n-unit bucketing: `toStartOfInterval(t, INTERVAL 15
+    // MINUTE)`. Time-unit widths floor the µs axis with pmod (exact,
+    // negative-safe); month-granular widths floor the months-since-
+    // epoch axis and return a DATE, CH's return type at that grain.
+    "toStartOfInterval" -> (es => {
+      val t = es.head
+      def monthly(months: Int): Expression = {
+        val monthsSince = Add(
+          Multiply(Subtract(Year(t), Literal(1970)), Literal(12)),
+          Subtract(Month(t), Literal(1)))
+        val floored = Subtract(monthsSince, Pmod(monthsSince, Literal(months)))
+        AddMonths(Literal.create(0, DateType), floored)
+      }
+      def timed(widthUs: Long): Expression = {
+        require(widthUs > 0, "toStartOfInterval: zero-length interval")
+        val us = UnixMicros(Cast(t, TimestampType))
+        MicrosToTimestamp(Subtract(us, Pmod(us, Literal(widthUs))))
+      }
+      (es(1).dataType, es(1).eval()) match {
+        case (_: org.apache.spark.sql.types.YearMonthIntervalType, m: java.lang.Integer) =>
+          monthly(m.intValue())
+        case (_: org.apache.spark.sql.types.DayTimeIntervalType, us: java.lang.Long) =>
+          timed(us.longValue())
+        case (org.apache.spark.sql.types.CalendarIntervalType, ci: CalendarInterval) =>
+          if (ci.months > 0) {
+            require(ci.days == 0 && ci.microseconds == 0,
+              "toStartOfInterval: mixed month/day-time intervals are unsupported")
+            monthly(ci.months)
+          } else timed(ci.days * 86400000000L + ci.microseconds)
+        case (_, other) => throw new IllegalArgumentException(
+          s"toStartOfInterval expects an INTERVAL literal, got $other")
+      }
+    }),
     "toStartOfQuarter" -> (es => TruncTimestamp(Literal("quarter"), es.head)),
     "toStartOfMinute"  -> (es => TruncTimestamp(Literal("minute"), es.head)),
     // fixed sub-hour buckets: epoch-second integer division, the same
@@ -434,6 +467,20 @@ object ChDialect {
     "replaceRegexpAll" -> (es => RegExpReplace(es(0), es(1), es(2))),
     "splitByChar" -> (es => // (sep, s); \Q..\E-quote the separator for the regex engine
       StringSplit(es(1), Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))),
+    // latin-letter runs; split drops the non-letter stretches and the
+    // filter drops the boundary empties
+    "alphaTokens" -> (es => {
+      val x = lamVar("gr_at")
+      ArrayFilter(StringSplit(es.head, Literal("[^a-zA-Z]+"), Literal(-1)),
+        LambdaFunction(Not(EqualTo(Length(x), Literal(0))), Seq(x)))
+    }),
+    // literal scrubbing for query fingerprinting: quoted strings and
+    // bare numbers become `?` (CH normalizes whitespace too — the
+    // literal classes are what dedup/fingerprint pipelines key on)
+    "normalizeQuery" -> (es =>
+      RegExpReplace(RegExpReplace(es.head,
+        Literal("'[^']*'"), Literal("?")),
+        Literal("\\b\\d+(\\.\\d+)?\\b"), Literal("?"))),
     "leftPad"  -> (es => StringLPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
     "rightPad" -> (es => StringRPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
     // -- substring search family. countSubstrings counts
@@ -1064,6 +1111,13 @@ object ChDialect {
     // -- math / bit long tail
     "bitCount"     -> (es => BitwiseCount(es.head)),
     "roundBankers" -> (es => BRound(es(0), if (es.length > 1) es(1) else Literal(0))),
+    // numeric truncation toward zero at n decimals (Spark's `trunc`
+    // is the DATE function, so only the full CH spelling registers)
+    "truncate" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      val p = if (es.length > 1) Pow(Literal(10.0d), Cast(es(1), DoubleType)) else Literal(1.0d)
+      Divide(Multiply(Signum(x), Floor(Multiply(Abs(x), p))), p)
+    }),
     "SHA256"       -> (es => Sha2(es.head, Literal(256))),
     // -- more arrays
     "arrayIntersect" -> (es => es.reduce(ArrayIntersect(_, _))),
@@ -1290,6 +1344,12 @@ object ChDialect {
     // -- bit manipulation
     "bitTest" -> (es => Cast(BitwiseAnd(
       ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType)), Literal(1L)), IntegerType)),
+    "bitTestAll" -> (es => es.tail.map(b => EqualTo(BitwiseAnd(
+      ShiftRight(Cast(es(0), LongType), Cast(b, IntegerType)), Literal(1L)), Literal(1L)): Expression)
+      .reduce(And(_, _))),
+    "bitTestAny" -> (es => es.tail.map(b => EqualTo(BitwiseAnd(
+      ShiftRight(Cast(es(0), LongType), Cast(b, IntegerType)), Literal(1L)), Literal(1L)): Expression)
+      .reduce(Or(_, _))),
     "bitShiftLeft"  -> (es => ShiftLeft(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitShiftRight" -> (es => ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitRotateLeft" -> (es => {

@@ -56,6 +56,12 @@ object ChSqlParser {
   private val Parametric =
     """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExact|quantileTDigest|quantileTiming|quantileDeterministic|quantileInterpolatedWeighted|quantileGK|quantileBFloat16|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|sparkbar|largestTriangleThreeBuckets|windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArray|groupConcat|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
 
+  /** ClickHouse `untuple(t)` in a select list → Spark's struct star
+    * expansion `t.*`. Only a bare (possibly qualified) identifier is
+    * rewritten — an arbitrary expression operand stays intact and
+    * fails loudly at parse on the CH name. */
+  private val Untuple = """(?i)\buntuple\s*\(\s*([A-Za-z_][\w.]*)\s*\)""".r
+
   /** ClickHouse `dateDiff('day', …)` (quoted unit) → `graft_dateDiff`,
     * which resolves to the boundary-crossing semantics in [[ChDialect]].
     * Spark's own `dateDiff(DAY, …)` (unquoted unit, a grammar-level
@@ -547,6 +553,8 @@ object ChSqlParser {
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
+    out = Untuple.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.*"))
     out = PrewhereCombined.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"WHERE (${m.group(1)}) AND "))
     out = Prewhere.replaceAllIn(out, "WHERE")

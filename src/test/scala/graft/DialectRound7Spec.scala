@@ -368,6 +368,39 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getSeq[java.sql.Timestamp](2).isEmpty)
   }
 
+  test("toStartOfInterval: µs-axis pmod buckets and month-granular dates") {
+    val r = spark.sql(
+      """SELECT toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', INTERVAL 15 MINUTE) AS m15,
+                toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', INTERVAL 2 HOUR) AS h2,
+                toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', INTERVAL 1 DAY) AS d1,
+                toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', INTERVAL 2 MONTH) AS mo2,
+                toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', INTERVAL 1 YEAR) AS y1""").head()
+    assert(r.getTimestamp(0).toString == "2024-03-15 10:45:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-15 10:00:00.0")
+    assert(r.getTimestamp(2).toString == "2024-03-15 00:00:00.0")
+    assert(r.getDate(3).toString == "2024-03-01")
+    assert(r.getDate(4).toString == "2024-01-01")
+  }
+
+  test("alphaTokens, normalizeQuery, truncate, bitTestAll/Any, untuple") {
+    val r = spark.sql(
+      """SELECT alphaTokens('abc1def-gh') AS toks,
+                normalizeQuery('SELECT a FROM t WHERE x = 42 AND s = ''v''') AS nq,
+                truncate(-1.999, 2) AS tn, truncate(23.7) AS t0,
+                bitTestAll(43, 0, 1, 3, 5) AS ball,
+                bitTestAll(41, 0, 1, 3, 5) AS ball2,
+                bitTestAny(4, 0, 1, 2) AS bany,
+                bitTestAny(8, 0, 1, 2) AS bany2""").head()
+    assert(r.getSeq[String](0) == Seq("abc", "def", "gh"))
+    assert(r.getString(1) == "SELECT a FROM t WHERE x = ? AND s = ?")
+    assert(r.getDouble(2) == -1.99 && r.getDouble(3) == 23.0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    val ut = spark.sql(
+      "SELECT untuple(s) FROM (SELECT tuple(1, 'x') AS s)").head()
+    assert(ut.getInt(0) == 1 && ut.getString(1) == "x")
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
