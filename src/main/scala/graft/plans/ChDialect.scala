@@ -1022,6 +1022,37 @@ object ChDialect {
     // count variant takes only the time column: weight 1 per event
     "exponentialTimeDecayedCount" -> (es =>
       GraftExpDecay(Literal(1.0d), Cast(es(1), DoubleType), es(0), "ecount").toAggregateExpression()),
+    // standard-normal quantile (Acklam approximation, <1.2e-9 rel.)
+    "normalQuantile" -> (es => NormalQuantileExpr(Cast(es.head, DoubleType))),
+    // A/B-test sample-size planners (textbook two-sided forms; CH
+    // returns a tuple with the group proportions, the size component
+    // is what migrated planning queries consume).
+    // conversion: n = ((z_{1-α/2}·√(2p̄q̄) + z_{power}·√(p₁q₁+p₂q₂))/mde)²
+    // with p₂ = baseline + mde
+    "minSampleSizeConversion" -> (es => {
+      val Seq(p1, mde, power, alpha) = es.take(4).map(e => Cast(e, DoubleType))
+      val p2   = Add(p1, mde)
+      val pbar = Divide(Add(p1, p2), Literal(2.0d))
+      val za   = NormalQuantileExpr(Subtract(Literal(1.0d), Divide(alpha, Literal(2.0d))))
+      val zb   = NormalQuantileExpr(power)
+      val lhs  = Multiply(za, Sqrt(Multiply(Literal(2.0d),
+        Multiply(pbar, Subtract(Literal(1.0d), pbar)))))
+      val rhs  = Multiply(zb, Sqrt(Add(
+        Multiply(p1, Subtract(Literal(1.0d), p1)),
+        Multiply(p2, Subtract(Literal(1.0d), p2)))))
+      val root = Divide(Add(lhs, rhs), mde)
+      Multiply(root, root)
+    }),
+    // continuous metric: n = 2σ²(z_{1-α/2} + z_{power})²/(mde·baseline)²
+    "minSampleSizeContinuous" -> (es => {
+      val Seq(baseline, sigma, mde, power, alpha) = es.take(5).map(e => Cast(e, DoubleType))
+      val z = Add(
+        NormalQuantileExpr(Subtract(Literal(1.0d), Divide(alpha, Literal(2.0d)))),
+        NormalQuantileExpr(power))
+      val effect = Multiply(mde, baseline)
+      Divide(Multiply(Multiply(Literal(2.0d), Multiply(sigma, sigma)), Multiply(z, z)),
+        Multiply(effect, effect))
+    }),
     // two-proportion z statistic from success/trial counts
     // (statistic-only like the t family; pooled variance, the CH
     // default 'unpooled' third spelling accepted and ignored — the

@@ -401,6 +401,23 @@ class DialectRound7Spec extends SparkSpec {
     assert(ut.getInt(0) == 1 && ut.getString(1) == "x")
   }
 
+  test("normalQuantile and minSampleSize planners") {
+    val r = spark.sql(
+      """SELECT normalQuantile(0.975) AS z975,
+                normalQuantile(0.5) AS z50,
+                normalQuantile(0.8) AS z80,
+                minSampleSizeConversion(0.1, 0.02, 0.8, 0.05) AS n_conv,
+                minSampleSizeContinuous(100.0, 20.0, 0.05, 0.8, 0.05) AS n_cont""").head()
+    assert(math.abs(r.getDouble(0) - 1.959963985) < 1e-7)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 0.8416212336) < 1e-7)
+    // textbook two-proportion size: p1=.1 p2=.12 → ≈ 3841
+    assert(math.abs(r.getDouble(3) - 3841.0) < 2.0)
+    // continuous: 2·400·(1.95996+0.84162)²/25 = 32·7.849 ≈ 251.1
+    val z = 1.959963985 + 0.8416212336
+    assert(math.abs(r.getDouble(4) - 2 * 400 * z * z / 25.0) < 0.01)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
