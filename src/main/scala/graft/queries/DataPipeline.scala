@@ -750,7 +750,59 @@ object DataPipeline {
             FROM t2 ORDER BY vec_id"""),
   )
 
+  /** Sequence packing — the training-data step after chunking: fill
+    * fixed token-budget bins (here 512, tok ≈ n_chars/4) with docs in
+    * deterministic (doc_id) order, first-fit-sequential, one pack
+    * counter per shard. The fold is a declarative `aggregate` HOF
+    * over each shard's sorted doc list — per-shard state only, so
+    * 1000 shards pack in parallel with ONE shuffle (the groupBy);
+    * no driver loop, no UDF. An oversized doc gets its own pack and
+    * never blocks the stream. The oracle replays the identical
+    * recurrence with a recursive CTE. */
+  val q66b = GraftQuery(
+    "q66b_sequence_packing",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("docs_pk")
+      s.sql("""WITH base AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+                                    CAST(n_chars DIV 4 AS BIGINT) AS tok
+                             FROM docs_pk),
+                    g AS (SELECT shard, array_sort(collect_list(named_struct('doc_id', doc_id, 'tok', tok))) AS ds
+                          FROM base GROUP BY shard),
+                    packed AS (SELECT shard,
+                      aggregate(ds,
+                        named_struct('pack', CAST(0 AS INT), 'run', CAST(0 AS BIGINT),
+                          'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, pack: INT, tok: BIGINT>>)),
+                        (acc, d) -> CASE WHEN acc.run > 0 AND acc.run + d.tok > 512
+                          THEN named_struct('pack', acc.pack + 1, 'run', d.tok,
+                                 'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'pack', acc.pack + 1, 'tok', d.tok))))
+                          ELSE named_struct('pack', acc.pack, 'run', acc.run + d.tok,
+                                 'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'pack', acc.pack, 'tok', d.tok)))) END,
+                        acc -> acc.out) AS out
+                      FROM g)
+               SELECT shard, pack, count(*) AS n_docs, sum(tok) AS tok_sum,
+                      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+               FROM (SELECT shard, inline(out) FROM packed)
+               GROUP BY shard, pack ORDER BY shard, pack""")
+    },
+    Some("""WITH RECURSIVE base AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+                                           CAST(n_chars // 4 AS BIGINT) AS tok
+                                    FROM documents),
+                 d AS (SELECT shard, doc_id, tok,
+                              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                       FROM base),
+                 packed AS (
+                   SELECT shard, rn, doc_id, tok, 0 AS pack, tok AS run FROM d WHERE rn = 1
+                   UNION ALL
+                   SELECT d.shard, d.rn, d.doc_id, d.tok,
+                          CASE WHEN p.run > 0 AND p.run + d.tok > 512 THEN p.pack + 1 ELSE p.pack END,
+                          CASE WHEN p.run > 0 AND p.run + d.tok > 512 THEN d.tok ELSE p.run + d.tok END
+                   FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+            SELECT shard, pack, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sum,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM packed GROUP BY shard, pack ORDER BY shard, pack"""),
+  )
+
   val all: Seq[GraftQuery] =
     Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q67, q68, q69, q90b)
+        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q68, q69, q90b)
 }
