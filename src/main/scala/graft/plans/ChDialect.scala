@@ -146,6 +146,28 @@ object ChDialect {
     "toDate"         -> (es => Cast(es.head, DateType)),
     "argMax"         -> (es => MaxBy(es(0), es(1))),
     "argMin"         -> (es => MinBy(es(0), es(1))),
+    // -If combinators: max_by/min_by skip rows whose ordering key is
+    // NULL, so nulling the key where the condition fails IS the filter
+    "argMaxIf"       -> (es => MaxBy(es(0), nullIfNot(es(2), es(1)))),
+    "argMinIf"       -> (es => MinBy(es(0), nullIfNot(es(2), es(1)))),
+    "identity"       -> (es => es.head),
+    // spelled aliases of the codegen'd dot-product kernel (cast
+    // covers decimal/int literal arrays)
+    "arrayDotProduct" -> (es => DotProduct(
+      Cast(es(0), org.apache.spark.sql.types.ArrayType(DoubleType)),
+      Cast(es(1), org.apache.spark.sql.types.ArrayType(DoubleType)))),
+    "scalarProduct"   -> (es => DotProduct(
+      Cast(es(0), org.apache.spark.sql.types.ArrayType(DoubleType)),
+      Cast(es(1), org.apache.spark.sql.types.ArrayType(DoubleType)))),
+    // canonical key-ordered maps (entry order is presentation order)
+    "mapSort"        -> (es => MapFromEntries(SortArray(MapEntries(es.head), Literal(true)))),
+    "mapReverseSort" -> (es => MapFromEntries(SortArray(MapEntries(es.head), Literal(false)))),
+    // pairwise matrices over k columns: k² native moment aggregates
+    // in ONE pass (array-of-arrays output, row-major)
+    "corrMatrix" -> (es => CreateArray(es.map(x =>
+      CreateArray(es.map(y => Corr(Cast(x, DoubleType), Cast(y, DoubleType)).toAggregateExpression()))))),
+    "covarPopMatrix" -> (es => CreateArray(es.map(x =>
+      CreateArray(es.map(y => CovPopulation(Cast(x, DoubleType), Cast(y, DoubleType)).toAggregateExpression()))))),
     // multi-argument uniq counts distinct TUPLES (CH semantics):
     // the args pack into a struct for the sketch
     "uniq" -> (es => HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es))),
@@ -264,6 +286,26 @@ object ChDialect {
     // the first N in arrival order, which is nondeterministic under
     // parallelism; the sorted variant is the engine's deterministic
     // (hence oracle-able) reading, same convention as q24
+    // groupArrayLast(n)(x): CH keeps the block-order LAST n — the
+    // deterministic reading here is the LARGEST n values, returned
+    // ascending (mirror of bounded groupArray's smallest-n)
+    "groupArrayLast" -> (es => es match {
+      case Seq(n, x) => SortArray(Slice(SortArray(CollectList(x).toAggregateExpression(),
+        Literal(false)), Literal(1), Cast(n, IntegerType)), Literal(true))
+      case _ => throw new IllegalArgumentException("groupArrayLast takes (n)(expr)")
+    }),
+    // groupArraySample(n[, seed])(x): seeded deterministic sample —
+    // the first n of the xxhash-keyed permutation of the SORTED
+    // group (sorting first makes the draw partition-independent)
+    "groupArraySample" -> (es => es match {
+      case Seq(n, x) => Slice(arrayShuffle(SortArray(CollectList(x).toAggregateExpression(),
+        Literal(true)), Literal(0)), Literal(1), Cast(n, IntegerType))
+      case Seq(n, seed, x) => Slice(arrayShuffle(SortArray(CollectList(x).toAggregateExpression(),
+        Literal(true)), seed), Literal(1), Cast(n, IntegerType))
+      case _ => throw new IllegalArgumentException("groupArraySample takes (n[, seed])(expr)")
+    }),
+    // Excel PERCENTILE.INC — exactly the interpolated exact quantile
+    "quantileExactInclusive" -> (es => new Percentile(es(1), es(0))),
     "groupArray" -> (es =>
       if (es.length == 1) CollectList(es.head)
       else {

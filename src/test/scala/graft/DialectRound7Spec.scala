@@ -418,6 +418,36 @@ class DialectRound7Spec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 2 * 400 * z * z / 25.0) < 0.01)
   }
 
+  test("argMaxIf/argMinIf, groupArrayLast/Sample, matrices, mapSort, aliases") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW agg7_t AS SELECT * FROM VALUES " +
+      "(1, 10, true), (2, 20, true), (3, 30, false), (4, 5, true) v(id, x, c)")
+    val r = spark.sql(
+      """SELECT argMaxIf(id, x, c) AS amx, argMinIf(id, x, c) AS amn,
+                groupArrayLast(2)(x) AS last2,
+                groupArraySample(2, 7)(x) AS smp,
+                quantileExactInclusive(0.5)(x) AS med,
+                corrMatrix(id, x) AS cm,
+                covarPopMatrix(id, x) AS cvm
+         FROM agg7_t""").head()
+    assert(r.getInt(0) == 2)  // condition excludes x=30
+    assert(r.getInt(1) == 4)  // smallest conditioned x is 5 → id 4
+    assert(r.getSeq[Int](2) == Seq(20, 30)) // largest two, ascending
+    val smp = r.getSeq[Int](3)
+    assert(smp.length == 2 && smp.toSet.subsetOf(Set(5, 10, 20, 30)))
+    assert(r.getDouble(4) == 15.0) // percentile_cont of [5,10,20,30]
+    val cm = r.getSeq[Seq[Double]](5)
+    assert(cm.size == 2 && math.abs(cm(0)(0) - 1.0) < 1e-12 && cm(0)(1) == cm(1)(0))
+    val cvm = r.getSeq[Seq[Double]](6)
+    assert(math.abs(cvm(0)(0) - 1.25) < 1e-12) // varPop of 1..4
+    val m = spark.sql(
+      """SELECT map_keys(mapSort(map(3, 'c', 1, 'a', 2, 'b'))) AS ks,
+                map_keys(mapReverseSort(map(3, 'c', 1, 'a', 2, 'b'))) AS rks,
+                arrayDotProduct(array(1.0, 2.0), array(3.0, 4.0)) AS dp,
+                identity(42) AS id42""").head()
+    assert(m.getSeq[Int](0) == Seq(1, 2, 3) && m.getSeq[Int](1) == Seq(3, 2, 1))
+    assert(m.getDouble(2) == 11.0 && m.getInt(3) == 42)
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
