@@ -100,6 +100,67 @@ object ChDialect {
     "toMonday"       -> (es => TruncTimestamp(Literal("week"), es.head)),
     "toStartOfDay"   -> (es => TruncTimestamp(Literal("day"), es.head)),
     "toStartOfHour"  -> (es => TruncTimestamp(Literal("hour"), es.head)),
+    // time-of-day mapped onto CH's fixed anchor date 1970-01-02
+    "toTime" -> (es => MicrosToTimestamp(Add(Literal(86400000000L),
+      Pmod(UnixMicros(Cast(es.head, TimestampType)), Literal(86400000000L))))),
+    // same instant re-expressed in the target zone's wall clock
+    "toTimezone" -> (es => new FromUTCTimestamp(Cast(es(0), TimestampType), es(1))),
+    // Modified Julian Day: days since 1858-11-17
+    "toModifiedJulianDay"   -> (es => Cast(DateDiff(Cast(es.head, DateType),
+      Literal.create(-40587, DateType)), LongType)),
+    "fromModifiedJulianDay" -> (es => DateAdd(Literal.create(-40587, DateType),
+      Cast(es.head, IntegerType))),
+    // days since 0000-01-01 (proleptic Gregorian; 719528 days to epoch)
+    "toDaysSinceYearZero"   -> (es => Add(Cast(DateDiff(Cast(es.head, DateType),
+      Literal.create(0, DateType)), LongType), Literal(719528L))),
+    "fromDaysSinceYearZero" -> (es => DateAdd(Literal.create(0, DateType),
+      Cast(Subtract(Cast(es.head, LongType), Literal(719528L)), IntegerType))),
+    // Twitter-epoch snowflake ids: ms = (id >> 22) + 1288834974657
+    "snowflakeToDateTime" -> (es => MicrosToTimestamp(Multiply(
+      Add(ShiftRight(Cast(es.head, LongType), Literal(22)), Literal(1288834974657L)),
+      Literal(1000L)))),
+    "dateTimeToSnowflake" -> (es => ShiftLeft(Subtract(
+      Cast(Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType), Literal(1000.0d)), LongType),
+      Literal(1288834974657L)), Literal(22))),
+    "now64" -> (_ => CurrentTimestamp()),
+    // Monday of ISO week 1: the ISO year is the year of the week's
+    // Thursday; week 1 contains Jan 4
+    "toStartOfISOYear" -> (es => {
+      val d = Cast(es.head, DateType)
+      val isoYear = Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+      val jan4 = MakeDate(isoYear, Literal(1), Literal(4))
+      DateSub(jan4, WeekDay(jan4))
+    }),
+    // makeDate(y, m, d) and CH's 2-arg day-of-year form
+    "makeDate" -> (es => es match {
+      case Seq(y, m, d) => MakeDate(Cast(y, IntegerType), Cast(m, IntegerType), Cast(d, IntegerType))
+      case Seq(y, doy)  => DateAdd(MakeDate(Cast(y, IntegerType), Literal(1), Literal(1)),
+        Cast(Subtract(Cast(doy, LongType), Literal(1L)), IntegerType))
+      case _ => throw new IllegalArgumentException("makeDate takes (year, month, day) or (year, dayofyear)")
+    }),
+    "makeDateTime" -> (es => MakeTimestamp(
+      Cast(es(0), IntegerType), Cast(es(1), IntegerType), Cast(es(2), IntegerType),
+      Cast(es(3), IntegerType), Cast(es(4), IntegerType),
+      Cast(es(5), org.apache.spark.sql.types.DecimalType(16, 6)))),
+    "addMilliseconds" -> (es => MicrosToTimestamp(Add(
+      UnixMicros(Cast(es(0), TimestampType)), Multiply(Cast(es(1), LongType), Literal(1000L))))),
+    "addMicroseconds" -> (es => MicrosToTimestamp(Add(
+      UnixMicros(Cast(es(0), TimestampType)), Cast(es(1), LongType)))),
+    // interval constructors (compose with toStartOfInterval)
+    "toIntervalSecond"  -> (es => MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Cast(es.head, org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalMinute"  -> (es => MakeDTInterval(Literal(0), Literal(0), Cast(es.head, IntegerType),
+      Literal.create(org.apache.spark.sql.types.Decimal(0, 18, 6), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalHour"    -> (es => MakeDTInterval(Literal(0), Cast(es.head, IntegerType), Literal(0),
+      Literal.create(org.apache.spark.sql.types.Decimal(0, 18, 6), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalDay"     -> (es => MakeDTInterval(Cast(es.head, IntegerType), Literal(0), Literal(0),
+      Literal.create(org.apache.spark.sql.types.Decimal(0, 18, 6), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalWeek"    -> (es => MakeDTInterval(Multiply(Cast(es.head, IntegerType), Literal(7)),
+      Literal(0), Literal(0),
+      Literal.create(org.apache.spark.sql.types.Decimal(0, 18, 6), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalMonth"   -> (es => MakeYMInterval(Literal(0), Cast(es.head, IntegerType))),
+    "toIntervalQuarter" -> (es => MakeYMInterval(Literal(0), Multiply(Cast(es.head, IntegerType), Literal(3)))),
+    "toIntervalYear"    -> (es => MakeYMInterval(Cast(es.head, IntegerType), Literal(0))),
     // generic n-unit bucketing: `toStartOfInterval(t, INTERVAL 15
     // MINUTE)`. Time-unit widths floor the µs axis with pmod (exact,
     // negative-safe); month-granular widths floor the months-since-

@@ -448,6 +448,41 @@ class DialectRound7Spec extends SparkSpec {
     assert(m.getDouble(2) == 11.0 && m.getInt(3) == 42)
   }
 
+  test("date/time long tail: toTime, MJD, snowflake, ISO year start, makeDate, millis, intervals") {
+    val r = spark.sql(
+      """SELECT toTime(TIMESTAMP '2024-03-15 10:47:30') AS tt,
+                toModifiedJulianDay(DATE '1858-11-17') AS mjd0,
+                toModifiedJulianDay(DATE '2024-01-01') AS mjd,
+                fromModifiedJulianDay(60310) AS mjd_rt,
+                toDaysSinceYearZero(DATE '1970-01-01') AS dy0,
+                fromDaysSinceYearZero(719528) AS dy_rt,
+                snowflakeToDateTime(1537228928000000000) AS sf,
+                toStartOfISOYear(DATE '2021-01-01') AS iso21,
+                toStartOfISOYear(DATE '2023-06-15') AS iso23,
+                makeDate(2024, 3, 15) AS md3,
+                makeDate(2024, 75) AS md2,
+                makeDateTime(2024, 3, 15, 10, 47, 30) AS mdt,
+                addMilliseconds(TIMESTAMP '2024-01-01 00:00:00', 1500) AS ms,
+                addMicroseconds(TIMESTAMP '2024-01-01 00:00:00', 250) AS us,
+                toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', toIntervalMinute(15)) AS ivq,
+                toStartOfInterval(TIMESTAMP '2024-03-15 10:47:30', toIntervalQuarter(1)) AS ivm""").head()
+    assert(r.getTimestamp(0).toString == "1970-01-02 10:47:30.0")
+    assert(r.getLong(1) == 0L && r.getLong(2) == 60310L)
+    assert(r.getDate(3).toString == "2024-01-01")
+    assert(r.getLong(4) == 719528L && r.getDate(5).toString == "1970-01-01")
+    // (id >> 22) ms + Twitter epoch 1288834974657 ms
+    assert(r.getTimestamp(6).toString == "2022-06-16 00:21:51.424")
+    // 2021-01-01 (Fri) sits in ISO 2020-W53; ISO-2020 began Mon 2019-12-30
+    assert(r.getDate(7).toString == "2019-12-30")
+    assert(r.getDate(8).toString == "2023-01-02")
+    assert(r.getDate(9).toString == "2024-03-15" && r.getDate(10).toString == "2024-03-15")
+    assert(r.getTimestamp(11).toString == "2024-03-15 10:47:30.0")
+    assert(r.getTimestamp(12).toString == "2024-01-01 00:00:01.5")
+    assert(r.getTimestamp(13).toString == "2024-01-01 00:00:00.00025")
+    assert(r.getTimestamp(14).toString == "2024-03-15 10:45:00.0")
+    assert(r.getDate(15).toString == "2024-01-01")
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
