@@ -1583,6 +1583,67 @@ object ChDialect {
     // persisted CH hash values must re-hash, same as any engine move.
     "cityHash64" -> (es => XxHash64(es, 42L)),
     "sipHash64"  -> (es => XxHash64(es, 9L)),
+    // more CH hash spellings on the same contract (the engine's
+    // deterministic 64-bit kernel under distinct seeds — these names
+    // promise a stable hash, not a byte-level CH replay); the 32-bit
+    // ones mask to the unsigned range CH returns
+    "intHash64"      -> (es => XxHash64(es, 101L)),
+    "URLHash"        -> (es => XxHash64(es, 103L)),
+    "murmurHash2_64" -> (es => XxHash64(es, 104L)),
+    "murmurHash3_64" -> (es => XxHash64(es, 105L)),
+    "metroHash64"    -> (es => XxHash64(es, 106L)),
+    "wyHash64"       -> (es => XxHash64(es, 107L)),
+    "intHash32"      -> (es => BitwiseAnd(XxHash64(es, 102L), Literal(0xFFFFFFFFL))),
+    // true MurmurHash3 x86_32 (Spark's native kernel), unsigned
+    "murmurHash3_32" -> (es => BitwiseAnd(Cast(new Murmur3Hash(es), LongType), Literal(0xFFFFFFFFL))),
+    "hiveHash"       -> (es => HiveHash(es)),
+    // 128-bit digest spelling → hex MD5 (stable, 16 bytes)
+    "sipHash128"     -> (es => Md5(Cast(es.head, org.apache.spark.sql.types.BinaryType))),
+    "ascii"          -> (es => Ascii(es.head)),
+    "repeat"         -> (es => StringRepeat(es(0), es(1))),
+    "space"          -> (es => StringSpace(es.head)),
+    "substringIndex" -> (es => SubstringIndex(es(0), es(1), es(2))),
+    "appendTrailingCharIfAbsent" -> (es =>
+      If(EndsWith(es(0), es(1)), es(0), Concat(Seq(es(0), es(1))))),
+    "firstLine"      -> (es => SubstringIndex(es.head, Literal("\n"), Literal(1))),
+    "startsWithUTF8" -> (es => StartsWith(es(0), es(1))),
+    "endsWithUTF8"   -> (es => EndsWith(es(0), es(1))),
+    "encodeURLComponent"     -> (es => UrlEncode(es.head)),
+    "encodeURLFormComponent" -> (es => UrlEncode(es.head)),
+    "decodeURLComponent"     -> (es => UrlDecode(es.head)),
+    "decodeURLFormComponent" -> (es => UrlDecode(es.head)),
+    // XML entity escaping (amp first on encode, last on decode)
+    "encodeXMLComponent" -> (es => {
+      val amp = StringReplace(es.head, Literal("&"), Literal("&amp;"))
+      val lt  = StringReplace(amp, Literal("<"), Literal("&lt;"))
+      val gt  = StringReplace(lt, Literal(">"), Literal("&gt;"))
+      val qt  = StringReplace(gt, Literal("\""), Literal("&quot;"))
+      StringReplace(qt, Literal("'"), Literal("&apos;"))
+    }),
+    "decodeXMLComponent" -> (es => {
+      val qt = StringReplace(es.head, Literal("&quot;"), Literal("\""))
+      val ap = StringReplace(qt, Literal("&apos;"), Literal("'"))
+      val lt = StringReplace(ap, Literal("&lt;"), Literal("<"))
+      val gt = StringReplace(lt, Literal("&gt;"), Literal(">"))
+      StringReplace(gt, Literal("&amp;"), Literal("&"))
+    }),
+    // crude-but-faithful HTML text extraction: drop script/style
+    // blocks, drop tags, collapse whitespace — the corpus-cleaning
+    // step an LLM ingest pipeline runs at full scale (one codegen'd
+    // projection, no shuffle)
+    "extractTextFromHTML" -> (es =>
+      new StringTrimBoth(RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(es.head,
+            Literal("(?is)<(script|style)[^>]*>.*?</(script|style)>"), Literal(" ")),
+          Literal("<[^>]*>"), Literal(" ")),
+        Literal("\\s+"), Literal(" ")))),
+    // round-trip through a validating UTF-8 decode: invalid byte
+    // sequences become U+FFFD, CH's toValidUTF8 contract
+    "toValidUTF8" -> (es =>
+      StringDecode(Encode(es.head, Literal("UTF-8")), Literal("UTF-8"))),
+    "isValidUTF8" -> (es =>
+      EqualTo(es.head, StringDecode(Encode(es.head, Literal("UTF-8")), Literal("UTF-8")))),
     // -- positional array transforms. All guard the empty array
     // (Sequence(1, 0) would count DOWN — Spark picks the step sign
     // from the direction); results are double-typed like the CH

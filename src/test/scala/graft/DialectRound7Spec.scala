@@ -483,6 +483,32 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getDate(15).toString == "2024-01-01")
   }
 
+  test("hash spellings, string helpers, XML/HTML, UTF-8 validation") {
+    val r = spark.sql(
+      """SELECT intHash32(7) AS h32, murmurHash3_32('abc') AS m32,
+                ascii('A') AS asc, repeat('ab', 3) AS rep, space(2) AS sp,
+                substringIndex('a.b.c', '.', 2) AS si,
+                appendTrailingCharIfAbsent('dir', '/') AS app1,
+                appendTrailingCharIfAbsent('dir/', '/') AS app2,
+                firstLine('one\ntwo') AS fl,
+                encodeXMLComponent('a<b&"c"') AS xe,
+                decodeXMLComponent('a&lt;b&amp;&quot;c&quot;') AS xd,
+                extractTextFromHTML('<html><script>x=1</script><p>Hello  <b>world</b></p></html>') AS txt,
+                isValidUTF8('plain') AS ok,
+                toValidUTF8('plain') AS tv,
+                startsWithUTF8('héllo', 'hé') AS sw""").head()
+    assert(r.getLong(0) >= 0 && r.getLong(0) <= 0xFFFFFFFFL)
+    assert(r.getLong(1) >= 0 && r.getLong(1) <= 0xFFFFFFFFL)
+    assert(r.getInt(2) == 65 && r.getString(3) == "ababab" && r.getString(4) == "  ")
+    assert(r.getString(5) == "a.b")
+    assert(r.getString(6) == "dir/" && r.getString(7) == "dir/")
+    assert(r.getString(8) == "one")
+    assert(r.getString(9) == "a&lt;b&amp;&quot;c&quot;")
+    assert(r.getString(10) == "a<b&\"c\"")
+    assert(r.getString(11) == "Hello world")
+    assert(r.getBoolean(12) && r.getString(13) == "plain" && r.getBoolean(14))
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
