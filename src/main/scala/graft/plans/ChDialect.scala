@@ -251,6 +251,23 @@ object ChDialect {
     "JSONExtractRaw"    -> (es => jsonGet(es)),
     "JSONExtractKeys"   -> (es => JsonObjectKeys(jsonGet(es))),
     "JSONHas"      -> (es => Not(IsNull(jsonGet(es)))),
+    // legacy flat-scan spellings (simpleJSON*/visitParam*) — on the
+    // JSON documents this engine stores they are exactly the
+    // path-one-deep extraction
+    "simpleJSONExtractString" -> (es => jsonGet(es)),
+    "simpleJSONExtractRaw"    -> (es => jsonGet(es)),
+    "simpleJSONExtractInt"    -> (es => tryCastTo(jsonGet(es), LongType)),
+    "simpleJSONExtractUInt"   -> (es => tryCastTo(jsonGet(es), LongType)),
+    "simpleJSONExtractFloat"  -> (es => tryCastTo(jsonGet(es), DoubleType)),
+    "simpleJSONExtractBool"   -> (es => tryCastTo(jsonGet(es), org.apache.spark.sql.types.BooleanType)),
+    "simpleJSONHas"           -> (es => Not(IsNull(jsonGet(es)))),
+    "visitParamExtractString" -> (es => jsonGet(es)),
+    "visitParamExtractRaw"    -> (es => jsonGet(es)),
+    "visitParamExtractInt"    -> (es => tryCastTo(jsonGet(es), LongType)),
+    "visitParamExtractUInt"   -> (es => tryCastTo(jsonGet(es), LongType)),
+    "visitParamExtractFloat"  -> (es => tryCastTo(jsonGet(es), DoubleType)),
+    "visitParamExtractBool"   -> (es => tryCastTo(jsonGet(es), org.apache.spark.sql.types.BooleanType)),
+    "visitParamHas"           -> (es => Not(IsNull(jsonGet(es)))),
     "isValidJSON"  -> (es => Not(IsNull(GetJsonObject(es.head, Literal("$"))))),
     // JSONLength: array length for arrays, key count for objects —
     // the two cases CH defines.
@@ -1205,6 +1222,38 @@ object ChDialect {
         Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(mult))
       Add(Add(octet(0, 16777216L), octet(1, 65536L)), Add(octet(2, 256L), octet(3, 1L)))
     }),
+    // shape + octet-range validation, pure codegen (regex gate, then
+    // every dotted part ≤ 255)
+    "isIPv4String" -> (es => {
+      val x = lamVar("gr_ip4")
+      And(RLike(es.head, Literal("^(\\d{1,3}\\.){3}\\d{1,3}$")),
+        ArrayForAll(StringSplit(es.head, Literal("\\."), Literal(-1)),
+          LambdaFunction(LessThanOrEqual(Cast(x, IntegerType), Literal(255)), Seq(x))))
+    }),
+    // shape check only (full RFC 4291 compression validation needs a
+    // parser; the regex admits the hex-groups / :: compressed forms)
+    "isIPv6String" -> (es =>
+      RLike(es.head, Literal("^([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$|^([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?::([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?$"))),
+    // (lo, hi) bounds of a v4 CIDR block, as dotted strings — the
+    // log-filtering staple; bits beyond the prefix zero/one out
+    "ipv4CIDRToRange" -> (es => {
+      val ip   = ipv4ToNum(es(0))
+      val bits = Cast(es(1), IntegerType)
+      val mask = BitwiseAnd(
+        ShiftLeft(Literal(0xFFFFFFFFL), Subtract(Literal(32), bits)), Literal(0xFFFFFFFFL))
+      CreateStruct(Seq(
+        numToIpv4(BitwiseAnd(ip, mask)),
+        numToIpv4(BitwiseOr(BitwiseAnd(ip, mask), BitwiseAnd(BitwiseNot(mask), Literal(0xFFFFFFFFL))))))
+    }),
+    "isIPAddressInRange" -> (es => {
+      val cidr = StringSplit(es(1), Literal("/"), Literal(-1))
+      val ip   = ipv4ToNum(es(0))
+      val base = ipv4ToNum(GetArrayItem(cidr, Literal(0)))
+      val bits = Cast(GetArrayItem(cidr, Literal(1)), IntegerType)
+      val mask = BitwiseAnd(
+        ShiftLeft(Literal(0xFFFFFFFFL), Subtract(Literal(32), bits)), Literal(0xFFFFFFFFL))
+      EqualTo(BitwiseAnd(ip, mask), BitwiseAnd(base, mask))
+    }),
     // -- unix-time conversions (the 64-suffixed family is CH's
     // DateTime64 sub-second story; micros are Spark's native
     // resolution, nanos round-trip through a ×1000)
@@ -1475,6 +1524,7 @@ object ChDialect {
     }),
     "base64Encode" -> (es => Base64(Cast(es.head, org.apache.spark.sql.types.BinaryType))),
     "base64Decode" -> (es => Cast(new UnBase64(es.head), org.apache.spark.sql.types.StringType)),
+    "tryBase64Decode" -> (es => Cast(new UnBase64(es.head), org.apache.spark.sql.types.StringType)),
     // -- bit manipulation
     "bitTest" -> (es => Cast(BitwiseAnd(
       ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType)), Literal(1L)), IntegerType)),
@@ -1484,6 +1534,39 @@ object ChDialect {
     "bitTestAny" -> (es => es.tail.map(b => EqualTo(BitwiseAnd(
       ShiftRight(Cast(es(0), LongType), Cast(b, IntegerType)), Literal(1L)), Literal(1L)): Expression)
       .reduce(Or(_, _))),
+    // set-bit decompositions over the 64-bit axis (pure array exprs)
+    "bitmaskToArray" -> (es => {
+      val x = Cast(es.head, LongType)
+      val i = lamVar("gr_bm_i")
+      val p = lamVar("gr_bm_p")
+      ArrayFilter(
+        ArrayTransform(new Sequence(Literal(0), Literal(62), Literal(1)),
+          LambdaFunction(ShiftLeft(Literal(1L), i), Seq(i))),
+        LambdaFunction(Not(EqualTo(BitwiseAnd(x, p), Literal(0L))), Seq(p)))
+    }),
+    "bitmaskToList" -> (es => {
+      val x = Cast(es.head, LongType)
+      val i = lamVar("gr_bl_i")
+      val p = lamVar("gr_bl_p")
+      ArrayJoin(ArrayFilter(
+        ArrayTransform(new Sequence(Literal(0), Literal(62), Literal(1)),
+          LambdaFunction(ShiftLeft(Literal(1L), i), Seq(i))),
+        LambdaFunction(Not(EqualTo(BitwiseAnd(x, p), Literal(0L))), Seq(p))), Literal(","), None)
+    }),
+    "bitPositionsToArray" -> (es => {
+      val x = Cast(es.head, LongType)
+      val i = lamVar("gr_bp_i")
+      ArrayFilter(new Sequence(Literal(0L), Literal(63L), Literal(1L)),
+        LambdaFunction(EqualTo(BitwiseAnd(ShiftRight(x, Cast(i, IntegerType)), Literal(1L)), Literal(1L)), Seq(i)))
+    }),
+    "byteSwap" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[java.lang.Long], LongType, "reverseBytes", Seq(Cast(es.head, LongType)),
+      returnNullable = false)),
+    "reverseBits" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[java.lang.Long], LongType, "reverse", Seq(Cast(es.head, LongType)),
+      returnNullable = false)),
+    "gcd" -> (es => GcdExpr(Cast(es(0), LongType), Cast(es(1), LongType))),
+    "lcm" -> (es => LcmExpr(Cast(es(0), LongType), Cast(es(1), LongType))),
     "bitShiftLeft"  -> (es => ShiftLeft(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitShiftRight" -> (es => ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitRotateLeft" -> (es => {
@@ -2320,6 +2403,23 @@ object ChDialect {
     CreateNamedStruct(Seq(
       Literal("t_stat"), t,
       Literal("p_value"), StudentTPValue(t, df)))
+  }
+
+  /** Dotted-quad string → unsigned 32-bit value (shared by the CIDR
+    * helpers and IPv4StringToNum's registration). */
+  private def ipv4ToNum(s: Expression): Expression = {
+    val parts = StringSplit(s, Literal("\\."), Literal(-1))
+    def octet(i: Int, mult: Long) =
+      Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(mult))
+    Add(Add(octet(0, 16777216L), octet(1, 65536L)), Add(octet(2, 256L), octet(3, 1L)))
+  }
+
+  /** Unsigned 32-bit value → dotted-quad string. */
+  private def numToIpv4(e: Expression): Expression = {
+    val n = Cast(e, LongType)
+    def octet(shift: Int) =
+      Cast(BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), org.apache.spark.sql.types.StringType)
+    ConcatWs(Literal(".") +: Seq(octet(24), octet(16), octet(8), octet(0)))
   }
 
   /** Deterministic keyed permutation: each position pairs with

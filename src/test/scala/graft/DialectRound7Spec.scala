@@ -509,6 +509,35 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getBoolean(12) && r.getString(13) == "plain" && r.getBoolean(14))
   }
 
+  test("IP validation/CIDR, bitmask decompositions, gcd/lcm, simpleJSON, byteSwap") {
+    val r = spark.sql(
+      """SELECT isIPv4String('10.0.0.1') AS v4ok, isIPv4String('10.0.0.999') AS v4bad,
+                isIPv4String('not-an-ip') AS v4no,
+                isIPv6String('2001:db8::1') AS v6ok, isIPv6String('10.0.0.1') AS v6no,
+                ipv4CIDRToRange('192.168.5.77', 24) AS rng,
+                isIPAddressInRange('192.168.5.77', '192.168.5.0/24') AS inr,
+                isIPAddressInRange('192.168.6.1', '192.168.5.0/24') AS outr,
+                bitmaskToArray(50) AS bma,
+                bitPositionsToArray(50) AS bpa,
+                bitmaskToList(6) AS bml,
+                gcd(12, 18) AS g, lcm(4, 6) AS l,
+                byteSwap(1) AS bs,
+                simpleJSONExtractString('{"a": "x", "n": 5}', 'a') AS sj,
+                simpleJSONExtractInt('{"a": "x", "n": 5}', 'n') AS sn,
+                visitParamHas('{"a": 1}', 'b') AS vh""").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    val rng = r.getStruct(5)
+    assert(rng.getString(0) == "192.168.5.0" && rng.getString(1) == "192.168.5.255")
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getSeq[Long](8) == Seq(2L, 16L, 32L))
+    assert(r.getSeq[Long](9) == Seq(1L, 4L, 5L))
+    assert(r.getString(10) == "2,4")
+    assert(r.getLong(11) == 6L && r.getLong(12) == 12L)
+    assert(r.getLong(13) == 72057594037927936L) // 1 byte-swapped to the top byte
+    assert(r.getString(14) == "x" && r.getLong(15) == 5L && !r.getBoolean(16))
+  }
+
   test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
     viewT()
     val e = intercept[Exception] {
