@@ -529,6 +529,61 @@ object ChFunctions {
             ORDER BY prio"""),
   )
 
+  /** Bit/integer/IP long tail, hash-verified: gcd/lcm (native codegen
+    * kernels), bitmaskToArray/bitPositionsToArray (set-bit
+    * decompositions as pure array expressions), byteSwap
+    * (Long.reverseBytes under codegen), the IPv4 validation/CIDR
+    * helpers (pure bit math on the dotted-quad value) and the legacy
+    * simpleJSON flat-scan spellings. The oracle replays each: DuckDB
+    * ships gcd/lcm natively, the bit decompositions rebuild with
+    * list_filter/list_transform, byteSwap as an 8-term byte sum, and
+    * the CIDR bounds with the same mask arithmetic. */
+  val q28k = GraftQuery(
+    "q28k_bits_ip",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_bt")
+      s.sql("""WITH b AS (SELECT o_orderkey AS k,
+                                 concat_ws('.', CAST(o_orderkey % 256 AS STRING), '10', '20', '30') AS ip
+                          FROM orders_bt WHERE o_orderkey < 400)
+               SELECT k,
+                      gcd(k, 36) AS g,
+                      lcm(k % 12 + 1, 8) AS l,
+                      bitmaskToArray(k % 64) AS bma,
+                      bitPositionsToArray(k % 64) AS bpa,
+                      byteSwap(k % 128) AS bsw,
+                      isIPv4String(ip) AS ok4,
+                      ipv4CIDRToRange(ip, 26).col1 AS cidr_lo,
+                      ipv4CIDRToRange(ip, 26).col2 AS cidr_hi,
+                      isIPAddressInRange(ip, '128.0.0.0/1') AS top_half,
+                      simpleJSONExtractInt(concat('{"v": ', CAST(k AS STRING), '}'), 'v') AS jv
+               FROM b ORDER BY k""")
+    },
+    Some("""WITH b AS (SELECT o_orderkey AS k,
+                              (o_orderkey % 256) * 16777216 + 10 * 65536 + 20 * 256 + 30 AS ipn
+                       FROM orders WHERE o_orderkey < 400),
+                 c AS (SELECT k, ipn,
+                              (ipn // 16777216) % 256 AS oct1,
+                              CAST(ipn AS BIGINT) & 4294967232 AS lo,
+                              (CAST(ipn AS BIGINT) & 4294967232) | 63 AS hi
+                       FROM b)
+            SELECT k,
+                   gcd(k, 36) AS g,
+                   lcm(k % 12 + 1, 8) AS l,
+                   list_transform(list_filter(generate_series(0, 62), i -> (CAST(k % 64 AS BIGINT) >> i) & 1 = 1),
+                                  i -> CAST(1 AS BIGINT) << i) AS bma,
+                   list_filter(generate_series(0, 63), i -> (CAST(k % 64 AS BIGINT) >> i) & 1 = 1) AS bpa,
+                   CAST(((k % 128) & 255) << 56 AS BIGINT)
+                     + (((k % 128) >> 8) & 255) * 281474976710656 AS bsw,
+                   true AS ok4,
+                   concat_ws('.', CAST((lo // 16777216) % 256 AS VARCHAR), CAST((lo // 65536) % 256 AS VARCHAR),
+                             CAST((lo // 256) % 256 AS VARCHAR), CAST(lo % 256 AS VARCHAR)) AS cidr_lo,
+                   concat_ws('.', CAST((hi // 16777216) % 256 AS VARCHAR), CAST((hi // 65536) % 256 AS VARCHAR),
+                             CAST((hi // 256) % 256 AS VARCHAR), CAST(hi % 256 AS VARCHAR)) AS cidr_hi,
+                   oct1 >= 128 AS top_half,
+                   k AS jv
+            FROM c ORDER BY k"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1758,6 +1813,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
