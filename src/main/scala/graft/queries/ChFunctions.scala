@@ -584,6 +584,50 @@ object ChFunctions {
             FROM c ORDER BY k"""),
   )
 
+  /** Date/time + string long tail, hash-verified over real event
+    * timestamps: toStartOfInterval (µs-axis pmod buckets), toTime
+    * (CH's 1970-01-02 anchor), Modified-Julian/days-since-year-zero
+    * day indexes, snowflake-id round trip, makeDate, and the string
+    * helpers (substringIndex, repeat, firstLine, XML escaping, HTML
+    * text extraction). The oracle replays the µs arithmetic with
+    * make_timestamp and the string forms with DuckDB equivalents. */
+  val q28l = GraftQuery(
+    "q28l_datetime_tail",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_dt")
+      s.sql("""SELECT event_id AS k,
+                      toStartOfInterval(ts, INTERVAL 15 MINUTE) AS b15,
+                      toStartOfInterval(ts, INTERVAL 1 DAY) AS bday,
+                      toTime(ts) AS tod,
+                      addMilliseconds(ts, 1500) AS ams,
+                      toModifiedJulianDay(CAST(ts AS DATE)) AS mjd,
+                      toDaysSinceYearZero(CAST(ts AS DATE)) AS dy,
+                      dateTimeToSnowflake(ts) AS snow,
+                      makeDate(2024, CAST(event_id % 12 + 1 AS INT), 15) AS md,
+                      firstLine(concat(event_type, '\n', 'tail')) AS fl,
+                      substringIndex(event_type, 'i', 1) AS si,
+                      repeat('ab', CAST(event_id % 3 AS INT)) AS rep,
+                      encodeXMLComponent(concat('<', event_type, '>')) AS xml,
+                      extractTextFromHTML(concat('<p>', event_type, ' <b>x</b></p>')) AS txt
+               FROM events_dt WHERE event_id < 200 ORDER BY k""")
+    },
+    Some("""SELECT event_id AS k,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS b15,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bday,
+                   make_timestamp(86400000000 + epoch_us(ts) % 86400000000) AS tod,
+                   make_timestamp(epoch_us(ts) + 1500000) AS ams,
+                   datediff('day', DATE '1858-11-17', CAST(ts AS DATE)) AS mjd,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528 AS dy,
+                   ((epoch_us(ts) // 1000) - 1288834974657) << 22 AS snow,
+                   make_date(2024, CAST(event_id % 12 + 1 AS INT), 15) AS md,
+                   event_type AS fl,
+                   split_part(event_type, 'i', 1) AS si,
+                   repeat('ab', CAST(event_id % 3 AS INT)) AS rep,
+                   replace(replace(concat('<', event_type, '>'), '<', '&lt;'), '>', '&gt;') AS xml,
+                   concat(event_type, ' x') AS txt
+            FROM events WHERE event_id < 200 ORDER BY k"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1813,6 +1857,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
