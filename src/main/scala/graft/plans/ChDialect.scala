@@ -1613,6 +1613,14 @@ object ChDialect {
     // names; stringJaccardIndex is the character-SET Jaccard
     "editDistance"        -> (es => Levenshtein(es(0), es(1))),
     "levenshteinDistance" -> (es => Levenshtein(es(0), es(1))),
+    // Spark's levenshtein already counts code points, so the UTF8
+    // spelling is the same kernel
+    "editDistanceUTF8"    -> (es => Levenshtein(es(0), es(1))),
+    "jaroSimilarity"             -> (es => JaroSimilarity(es(0), es(1))),
+    "jaroWinklerSimilarity"      -> (es => JaroWinklerSimilarity(es(0), es(1))),
+    "damerauLevenshteinDistance" -> (es => DamerauLevenshtein(es(0), es(1))),
+    "byteHammingDistance"        -> (es => ByteHammingDistance(es(0), es(1))),
+    "soundex"                    -> (es => SoundexExpr(es.head)),
     "stringJaccardIndex"  -> (es => {
       def chars(e: Expression) = ArrayDistinct(StringSplit(e, Literal(""), Literal(-1)))
       val (a, b) = (chars(es(0)), chars(es(1)))
