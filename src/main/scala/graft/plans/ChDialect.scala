@@ -615,6 +615,34 @@ object ChDialect {
       val n = lamVar("gr_n")
       ArrayTransform(es(1), LambdaFunction(new StringLocate(n, es(0)), Seq(n)))
     }),
+    "multiSearchAnyCaseInsensitive" -> (es => {
+      val n = lamVar("gr_n")
+      ArrayExists(es(1), LambdaFunction(
+        GreaterThan(new StringLocate(Lower(n), Lower(es(0))), Literal(0)), Seq(n)))
+    }),
+    // first-position/first-index over the needle array: leftmost
+    // occurrence wins, ties broken by needle order (CH's contract);
+    // 0 when nothing matches
+    "multiSearchFirstPosition" -> (es => multiSearchFirstPositionExpr(es(0), es(1))),
+    "multiSearchFirstIndex"    -> (es => multiSearchFirstIndexExpr(es(0), es(1))),
+    "multiSearchFirstPositionCaseInsensitive" -> (es =>
+      multiSearchFirstPositionExpr(Lower(es(0)), lowerAll(es(1)))),
+    "multiSearchFirstIndexCaseInsensitive" -> (es =>
+      multiSearchFirstIndexExpr(Lower(es(0)), lowerAll(es(1)))),
+    // regex variants: each needle is a pattern; RLike compiles
+    // per-row when the pattern isn't foldable, so array needles work
+    "multiMatchAny" -> (es => {
+      val p = lamVar("gr_p")
+      ArrayExists(es(1), LambdaFunction(RLike(es(0), p), Seq(p)))
+    }),
+    "multiMatchAnyIndex" -> (es => {
+      val p = lamVar("gr_p")
+      Coalesce(Seq(
+        Cast(ArrayPosition(
+          ArrayTransform(es(1), LambdaFunction(RLike(es(0), p), Seq(p))),
+          Literal(true)), LongType),
+        Literal(0L)))
+    }),
     // extractAll: group 1 when the literal pattern declares a
     // capturing group (ClickHouse's rule), whole match otherwise
     "extractAll" -> (es => {
@@ -626,6 +654,12 @@ object ChDialect {
       RegExpExtractAll(es(0), es(1), Literal(idx))
     }),
     "countMatches" -> (es => Cast(Size(RegExpExtractAll(es(0), es(1), Literal(0))), LongType)),
+    "countMatchesCaseInsensitive" -> (es => Cast(Size(RegExpExtractAll(
+      es(0), Concat(Seq(Literal("(?i)"), es(1))), Literal(0))), LongType)),
+    // regexpExtract(h, pattern[, index]) — CH's MySQL-compat spelling,
+    // group 1 by default
+    "regexpExtract" -> (es =>
+      RegExpExtract(es(0), es(1), if (es.length > 2) es(2) else Literal(1))),
     "match" -> (es => RLike(es(0), es(1))),
     // replaceOne: first occurrence only (position + overlay
     // arithmetic; Spark's replace/regexp_replace are replace-ALL)
@@ -649,6 +683,21 @@ object ChDialect {
     }),
     "countSubstringsCaseInsensitive" -> (es =>
       countSubstringsExpr(Lower(es(0)), Lower(es(1)))),
+    // all-matches group extraction; group count read off the literal
+    // pattern (extractGroups' rule). Horizontal: one array per group
+    // across matches; vertical: one groups-array per match.
+    "extractAllGroupsHorizontal" -> (es => {
+      val n = literalGroupCount(es(1), "extractAllGroupsHorizontal")
+      CreateArray((1 to n).map(i => RegExpExtractAll(es(0), es(1), Literal(i))))
+    }),
+    "extractAllGroupsVertical" -> (es => {
+      val n = literalGroupCount(es(1), "extractAllGroupsVertical")
+      val cols = (1 to n).map(i => RegExpExtractAll(es(0), es(1), Literal(i)))
+      val m = lamVar("gr_egv_i")
+      ArrayTransform(new Sequence(Literal(1), Size(cols.head)),
+        LambdaFunction(CreateArray(cols.map(c =>
+          ElementAt(c, m, None, failOnError = false))), Seq(m)))
+    }),
     "positionUTF8" -> (es => new StringLocate(es(1), es(0))),
     "positionCaseInsensitiveUTF8" -> (es => new StringLocate(Lower(es(1)), Lower(es(0)))),
     // throwIf(cond[, msg]): data-quality assertion — raises on true,
@@ -675,6 +724,12 @@ object ChDialect {
     // strings, normalized by total gram count — nested HOF folds;
     // short strings (<4 chars) contribute themselves as one gram
     "ngramDistance" -> (es => ngramDistanceExpr(es(0), es(1))),
+    "ngramDistanceCaseInsensitive" -> (es => ngramDistanceExpr(Lower(es(0)), Lower(es(1)))),
+    // ngramSearch: non-symmetric — matched needle grams over total
+    // needle grams (how much of the needle appears in the haystack)
+    "ngramSearch" -> (es => ngramSearchExpr(es(0), es(1))),
+    "ngramSearchCaseInsensitive" -> (es => ngramSearchExpr(Lower(es(0)), Lower(es(1)))),
+    "initcapUTF8" -> (es => new InitCap(es.head)),
     // -- arrays
     "has"               -> (es => ArrayContains(es(0), es(1))),
     "indexOf"           -> (es => ArrayPosition(es(0), es(1))),
@@ -2281,6 +2336,61 @@ object ChDialect {
     If(EqualTo(total, Literal(0)), Literal(0.0d),
       Divide(Cast(Subtract(total, Multiply(Literal(2), matched)), DoubleType),
              Cast(total, DoubleType)))
+  }
+
+  /** ngramSearch: Σ_g min(count_h(g), count_n(g)) / |grams(needle)| —
+    * 1 when every needle gram appears in the haystack, 0 when none do. */
+  private def ngramSearchExpr(h: Expression, needle: Expression): Expression = {
+    val gh = charGrams(h)
+    val gn = charGrams(needle)
+    val acc = lamVar("gr_ns_acc")
+    val g   = lamVar("gr_ns_g")
+    val x   = lamVar("gr_ns_x")
+    def countOf(arr: Expression, n: Expression) =
+      Size(ArrayFilter(arr, LambdaFunction(EqualTo(x, n), Seq(x))))
+    val matched = ArrayAggregate(
+      ArrayDistinct(gn), Literal(0),
+      LambdaFunction(Add(acc, Least(Seq(countOf(gh, g), countOf(gn, g)))), Seq(acc, g)),
+      LambdaFunction.identity)
+    If(EqualTo(Size(gn), Literal(0)), Literal(1.0d),
+      Divide(Cast(matched, DoubleType), Cast(Size(gn), DoubleType)))
+  }
+
+  private def lowerAll(arr: Expression): Expression = {
+    val v = lamVar("gr_low")
+    ArrayTransform(arr, LambdaFunction(Lower(v), Seq(v)))
+  }
+
+  /** Leftmost match position over a needle array (0 if none). */
+  private def multiSearchFirstPositionExpr(h: Expression, needles: Expression): Expression = {
+    val n = lamVar("gr_fp_n")
+    val p = lamVar("gr_fp_p")
+    val positions = ArrayTransform(needles, LambdaFunction(new StringLocate(n, h), Seq(n)))
+    Coalesce(Seq(
+      ArrayMin(ArrayFilter(positions, LambdaFunction(GreaterThan(p, Literal(0)), Seq(p)))),
+      Literal(0)))
+  }
+
+  /** 1-based index of the needle with the leftmost match — ties break
+    * toward the earlier needle because array_position finds the first
+    * occurrence of the minimum. 0 if nothing matches. */
+  private def multiSearchFirstIndexExpr(h: Expression, needles: Expression): Expression = {
+    val n = lamVar("gr_fi_n")
+    val p = lamVar("gr_fi_p")
+    val positions = ArrayTransform(needles, LambdaFunction(new StringLocate(n, h), Seq(n)))
+    val minPos = ArrayMin(ArrayFilter(positions,
+      LambdaFunction(GreaterThan(p, Literal(0)), Seq(p))))
+    If(IsNull(minPos), Literal(0L),
+      Cast(ArrayPosition(positions, minPos), LongType))
+  }
+
+  /** Capture-group count of a literal regex (extractGroups' counting
+    * rule: parens minus escaped and non-capturing ones). */
+  private def literalGroupCount(pat: Expression, fn: String): Int = {
+    val p = litString(pat, s"$fn pattern")
+    val n = p.replace("\\(", "").replace("(?:", "").count(_ == '(')
+    require(n > 0, s"$fn needs at least one capturing group")
+    n
   }
 
   /** Epoch-second bucket of width `w` seconds, back as a timestamp —

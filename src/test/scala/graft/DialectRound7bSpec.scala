@@ -56,4 +56,55 @@ class DialectRound7bSpec extends SparkSpec {
   test("editDistanceUTF8 aliases the code-point levenshtein") {
     assert(spark.sql("SELECT editDistanceUTF8('flaw', 'lawn') AS v").head().getInt(0) == 2)
   }
+
+  test("multiSearchFirstPosition/FirstIndex: leftmost occurrence wins, 0 when absent") {
+    val r = spark.sql(
+      """SELECT multiSearchFirstPosition('hello world', array('world', 'lo')) AS p,
+                multiSearchFirstIndex('hello world', array('world', 'lo')) AS i,
+                multiSearchFirstPosition('hello', array('x', 'y')) AS p0,
+                multiSearchFirstIndex('hello', array('x', 'y')) AS i0,
+                multiSearchFirstIndexCaseInsensitive('HELLO', array('zz', 'ell')) AS ci
+      """).head()
+    assert(r.getInt(0) == 4)   // 'lo' at 4 beats 'world' at 7
+    assert(r.getLong(1) == 2L) // needle #2 ('lo') matched leftmost
+    assert(r.getInt(2) == 0 && r.getLong(3) == 0L)
+    assert(r.getLong(4) == 2L)
+  }
+
+  test("multiMatchAny/AnyIndex: regex needles, first matching pattern's index") {
+    val r = spark.sql(
+      """SELECT multiMatchAny('abc123', array('^xyz', '[0-9]+$')) AS any,
+                multiMatchAnyIndex('abc123', array('^xyz', '[0-9]+$')) AS idx,
+                multiMatchAny('abc', array('\\d')) AS no,
+                multiMatchAnyIndex('abc', array('\\d')) AS noidx""").head()
+    assert(r.getBoolean(0) && r.getLong(1) == 2L)
+    assert(!r.getBoolean(2) && r.getLong(3) == 0L)
+  }
+
+  test("countMatchesCaseInsensitive and regexpExtract default group") {
+    val r = spark.sql(
+      """SELECT countMatchesCaseInsensitive('Aa aA xx', 'aa') AS c,
+                regexpExtract('v=42;', 'v=([0-9]+)') AS g1,
+                regexpExtract('v=42;', '(v)=([0-9]+)', 2) AS g2""").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getString(1) == "42" && r.getString(2) == "42")
+  }
+
+  test("extractAllGroupsHorizontal/Vertical over key=value pairs") {
+    val r = spark.sql(
+      """SELECT extractAllGroupsHorizontal('a=1,b=2', '(\\w)=(\\d)') AS h,
+                extractAllGroupsVertical('a=1,b=2', '(\\w)=(\\d)') AS v""").head()
+    assert(r.getSeq[Seq[String]](0) == Seq(Seq("a", "b"), Seq("1", "2")))
+    assert(r.getSeq[Seq[String]](1) == Seq(Seq("a", "1"), Seq("b", "2")))
+  }
+
+  test("ngramSearch: needle-side containment ratio; CI variants") {
+    assert(d("ngramSearch('abcdef', 'abcdef')") == 1.0)
+    assert(d("ngramSearch('abcdef', 'zzzzz')") == 0.0)
+    // 'abcde' grams {abcd,bcde} both inside 'abcdef' grams
+    assert(d("ngramSearch('abcdef', 'abcde')") == 1.0)
+    assert(d("ngramDistanceCaseInsensitive('ABCDEF', 'abcdef')") == 0.0)
+    assert(d("ngramSearchCaseInsensitive('ABCDEF', 'abcde')") == 1.0)
+    assert(s("initcapUTF8('hello world')") == "Hello World")
+  }
 }
