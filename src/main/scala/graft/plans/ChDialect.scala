@@ -485,8 +485,36 @@ object ChDialect {
     "toRelativeDayNum"    -> (es => DateDiff(Cast(es.head, DateType), Literal.create(0, DateType))),
     "toRelativeHourNum"   -> (es => new IntegralDivide(Cast(Cast(es.head, TimestampType), LongType), Literal(3600L))),
     "toRelativeMinuteNum" -> (es => new IntegralDivide(Cast(Cast(es.head, TimestampType), LongType), Literal(60L))),
+    "toRelativeSecondNum" -> (es => Cast(Cast(es.head, TimestampType), LongType)),
+    // Monday-aligned week index since epoch (1970-01-01 was a
+    // Thursday, so the containing week started daynum −3)
+    "toRelativeWeekNum" -> (es => new IntegralDivide(
+      Add(DateDiff(Cast(es.head, DateType), Literal.create(0, DateType)), Literal(3)), Literal(7L))),
+    // CH's year-anchored month/quarter indexes: year*12+month,
+    // year*4+quarter−1 — monotone bucket ids, not elapsed counts
+    "toRelativeMonthNum" -> (es =>
+      Add(Multiply(Year(Cast(es.head, DateType)), Literal(12)), Month(Cast(es.head, DateType)))),
+    "toRelativeQuarterNum" -> (es =>
+      Add(Multiply(Year(Cast(es.head, DateType)), Literal(4)),
+        Subtract(Quarter(Cast(es.head, DateType)), Literal(1)))),
+    "toRelativeYearNum" -> (es => Year(Cast(es.head, DateType))),
     "timeSlot"            -> (es => secondBucket(es.head, 1800L)),
+    // timeSlots(start, duration[, size]): every size-second slot
+    // boundary the [start, start+duration] range touches, as an array
+    // of timestamps (the slot-expansion helper behind CH sessionization)
+    "timeSlots" -> (es => {
+      val size = if (es.length > 2) Cast(es(2), LongType) else Literal(1800L)
+      val s0 = Cast(Cast(es(0), TimestampType), LongType)
+      val s1 = Add(s0, Cast(es(1), LongType))
+      val i = lamVar("gr_ts_i")
+      ArrayTransform(
+        new Sequence(new IntegralDivide(s0, size), new IntegralDivide(s1, size)),
+        LambdaFunction(SecondsToTimestamp(Multiply(i, size)), Seq(i)))
+    }),
     "toStartOfHalfHour"   -> (es => secondBucket(es.head, 1800L)),
+    // Spark registers this as width_bucket; CH/camel spelling
+    "widthBucket" -> (es => WidthBucket(Cast(es(0), DoubleType),
+      Cast(es(1), DoubleType), Cast(es(2), DoubleType), Cast(es(3), LongType))),
     // -If on the distinct-count family
     "uniqIf"          -> (es => HyperLogLogPlusPlus(nullIfNot(es(1), es(0)))),
     "uniqExactIf"     -> (es => Count(Seq(nullIfNot(es(1), es(0)))).toAggregateExpression(isDistinct = true)),
@@ -1528,6 +1556,27 @@ object ChDialect {
         Literal(" " + units.last)))
       CaseWhen(branches, Some(last))
     }),
+    // decimal (SI) flavor: 1000-based units, B/KB/MB/…
+    "formatReadableDecimalSize" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
+      val branches = units.zipWithIndex.init.map { case (u, i) =>
+        val bound = Literal(math.pow(1000.0, i + 1.0))
+        (LessThan(x, bound),
+         Concat(Seq(FormatNumber(Divide(x, Literal(math.pow(1000.0, i.toDouble))), Literal(2)),
+           Literal(" " + u))): Expression)
+      }
+      val last = Concat(Seq(
+        FormatNumber(Divide(x, Literal(math.pow(1000.0, units.length - 1.0))), Literal(2)),
+        Literal(" " + units.last)))
+      CaseWhen(branches, Some(last))
+    }),
+    // parseReadableSize('1.5 KiB') → bytes, ceil'd to integer (CH's
+    // UInt64 contract). Binary and SI units both accepted. OrZero /
+    // OrNull variants absorb malformed input; the strict one raises.
+    "parseReadableSize"       -> (es => parseReadableSizeExpr(es.head, onBad = "raise")),
+    "parseReadableSizeOrNull" -> (es => parseReadableSizeExpr(es.head, onBad = "null")),
+    "parseReadableSizeOrZero" -> (es => parseReadableSizeExpr(es.head, onBad = "zero")),
     // human-readable decimal quantity: '1.25 million' (always 2
     // decimals, CH's format)
     "formatReadableQuantity" -> (es => {
@@ -2354,6 +2403,37 @@ object ChDialect {
       LambdaFunction.identity)
     If(EqualTo(Size(gn), Literal(0)), Literal(1.0d),
       Divide(Cast(matched, DoubleType), Cast(Size(gn), DoubleType)))
+  }
+
+  /** parseReadableSize kernel: regex-split '<num> <unit>', CaseWhen
+    * over the unit table (KiB=1024ⁱ, KB=1000ⁱ), ceil to whole bytes.
+    * onBad: "raise" | "null" | "zero" for malformed input. */
+  private def parseReadableSizeExpr(in: Expression, onBad: String): Expression = {
+    val pat = Literal("^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([A-Za-z]+)\\s*$")
+    val numS = RegExpExtract(in, pat, Literal(1))
+    val unit = Lower(RegExpExtract(in, pat, Literal(2)))
+    val binary = Seq("b", "kib", "mib", "gib", "tib", "pib", "eib")
+    val si     = Seq("kb", "mb", "gb", "tb", "pb", "eb")
+    val branches =
+      binary.zipWithIndex.map { case (u, i) =>
+        (EqualTo(unit, Literal(u)), Literal(math.pow(1024.0, i.toDouble)): Expression) } ++
+      si.zipWithIndex.map { case (u, i) =>
+        (EqualTo(unit, Literal(u)), Literal(math.pow(1000.0, i + 1.0)): Expression) }
+    val mult = CaseWhen(branches, None) // null on unknown unit
+    // no-match extract yields '' — TRY cast turns it into null
+    // instead of an ANSI error so the OrNull/OrZero contracts hold
+    val num = Cast(numS, DoubleType, None, EvalMode.TRY)
+    val value = Multiply(num, mult) // null if either side is bad
+    val bytes = Cast(Ceil(value), LongType)
+    onBad match {
+      case "null" => bytes
+      case "zero" => Coalesce(Seq(bytes, Literal(0L)))
+      case _ => If(IsNull(in), Literal.create(null, LongType),
+        If(IsNull(bytes),
+          Cast(RaiseError(Concat(Seq(Literal("parseReadableSize: cannot parse '"), in,
+            Literal("'")))), LongType),
+          bytes))
+    }
   }
 
   private def lowerAll(arr: Expression): Expression = {

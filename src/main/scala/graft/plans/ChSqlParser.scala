@@ -292,6 +292,10 @@ object ChSqlParser {
     * CH's column name `number`. */
   private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
+  /** ClickHouse `FROM zeros(N)` (the constant-0 generator table) —
+    * same range rewrite, column name `zero`. */
+  private val ZerosFn = """(?i)\bFROM\s+zeros\s*\(\s*(\d+)\s*\)""".r
+
   /** ClickHouse `FROM table FINAL` (ReplacingMergeTree collapse at
     * read time) → `FROM table_final`, the engine's convention for the
     * latest-row-per-key view that
@@ -572,6 +576,8 @@ object ChSqlParser {
         s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"
       case None => s"FROM (SELECT id AS number FROM range(${m.group(1)}))"
     })
+    out = ZerosFn.replaceAllIn(out, m =>
+      s"FROM (SELECT 0 AS zero FROM range(${m.group(1)}))")
     out = rewriteNonNegDeriv(out)
     out = rewriteQualify(out)
     out = LimitWithTies.replaceAllIn(out, m => {

@@ -107,4 +107,64 @@ class DialectRound7bSpec extends SparkSpec {
     assert(d("ngramSearchCaseInsensitive('ABCDEF', 'abcde')") == 1.0)
     assert(s("initcapUTF8('hello world')") == "Hello World")
   }
+
+  test("toRelative*Num family: monotone epoch-anchored bucket ids") {
+    val r = spark.sql(
+      """SELECT toRelativeSecondNum(timestamp'1970-01-01 00:01:40') AS sec,
+                toRelativeWeekNum(date'1970-01-01') AS w0,
+                toRelativeWeekNum(date'1970-01-05') AS w1,
+                toRelativeMonthNum(date'2024-03-15') AS m,
+                toRelativeQuarterNum(date'2024-12-31') AS q,
+                toRelativeYearNum(date'2024-06-01') AS y""").head()
+    assert(r.getLong(0) == 100L)
+    // Jan 1 1970 (Thu) and Jan 5 (Mon) land in consecutive Monday-weeks
+    assert(r.getLong(2) == r.getLong(1) + 1)
+    assert(r.getInt(3) == 2024 * 12 + 3)
+    assert(r.getInt(4) == 2024 * 4 + 3)
+    assert(r.getInt(5) == 2024)
+  }
+
+  test("timeSlots: every slot boundary the interval touches") {
+    val r = spark.sql(
+      """SELECT timeSlots(timestamp'1970-01-01 00:20:00', 3600) AS s,
+                timeSlots(timestamp'1970-01-01 00:00:00', 600, 300) AS fine""").head()
+    // 00:20 .. 01:20 touches slots 00:00, 00:30, 01:00
+    assert(r.getSeq[java.sql.Timestamp](0).map(_.getTime / 1000).toSeq == Seq(0L, 1800L, 3600L))
+    assert(r.getSeq[java.sql.Timestamp](1).map(_.getTime / 1000).toSeq == Seq(0L, 300L, 600L))
+  }
+
+  test("widthBucket: camel spelling resolves to the native expression") {
+    assert(l("widthBucket(5.35, 0.0, 10.0, 5)") == 3L)
+    assert(l("widthBucket(-1.0, 0.0, 10.0, 5)") == 0L)
+    assert(l("widthBucket(11.0, 0.0, 10.0, 5)") == 6L)
+  }
+
+  test("formatReadableDecimalSize: 1000-based units") {
+    assert(s("formatReadableDecimalSize(1)") == "1.00 B")
+    assert(s("formatReadableDecimalSize(1500)") == "1.50 KB")
+    assert(s("formatReadableDecimalSize(2500000)") == "2.50 MB")
+  }
+
+  test("parseReadableSize: binary and SI units, ceil, OrNull/OrZero absorb junk") {
+    assert(l("parseReadableSize('1 KiB')") == 1024L)
+    assert(l("parseReadableSize('1.5 KiB')") == 1536L)
+    assert(l("parseReadableSize('5.00 MB')") == 5000000L)
+    assert(l("parseReadableSize('3 B')") == 3L)
+    assert(l("parseReadableSize('1.1 B')") == 2L) // ceil to whole bytes
+    val r = spark.sql(
+      """SELECT parseReadableSizeOrNull('junk') AS n, parseReadableSizeOrZero('junk') AS z,
+                parseReadableSizeOrNull('2 TiB') AS t""").head()
+    assert(r.isNullAt(0) && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 2L * 1024 * 1024 * 1024 * 1024)
+    intercept[Exception] {
+      spark.sql("SELECT parseReadableSize('nope') AS v").collect()
+    }
+  }
+
+  test("zeros(N) table function joins the numbers() rewrite") {
+    val r = spark.sql("SELECT count(*) AS c, sum(zero) AS s FROM zeros(7)").head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 0L)
+    // numbers() still works alongside
+    assert(spark.sql("SELECT sum(number) AS s FROM numbers(5)").head().getLong(0) == 10L)
+  }
 }
