@@ -803,6 +803,14 @@ object ChDialect {
     "arrayShuffle"      -> (es => arrayShuffle(es.head, if (es.length > 1) es(1) else Literal(0))),
     // deterministic subset: first k of the seeded permutation
     "arrayRandomSample" -> (es => Slice(arrayShuffle(es(0), Literal(0)), Literal(1), Cast(es(1), IntegerType))),
+    // partial shuffle: CH only promises the first `limit` positions
+    // are uniformly random and the tail order is unspecified — the
+    // full keyed permutation satisfies both, so it shares the kernel
+    "arrayPartialShuffle" -> (es =>
+      arrayShuffle(es.head, if (es.length > 2) es(2) else Literal(0))),
+    "arrayROCAUC"         -> (es => ArrayRocAuc(es(0), es(1))),
+    "arrayAUC"            -> (es => ArrayRocAuc(es(0), es(1))),
+    "arrayNormalizedGini" -> (es => ArrayNormalizedGini(es(0), es(1))),
     // intersection of every array in the group — sorted, generic
     // elements, shrinking buffer; see [[GraftArrayIntersectAgg]]
     "groupArrayIntersect" -> (es => GraftArrayIntersectAgg(es.head).toAggregateExpression()),
@@ -1389,6 +1397,10 @@ object ChDialect {
     "arrayIntersect" -> (es => es.reduce(ArrayIntersect(_, _))),
     "arrayFlatten"   -> (es => Flatten(es.head)),
     "arrayZip" -> (es => ArraysZip(es)),
+    // unaligned zip: pad the shorter arrays with NULL out to the
+    // longest (Spark's arrays_zip is already CH-unaligned semantics —
+    // registered under the CH spelling for migrated text)
+    "arrayZipUnaligned" -> (es => ArraysZip(es)),
     "arrayJaccardIndex" -> (es =>
       Divide(Cast(Size(ArrayIntersect(es(0), es(1))), DoubleType),
              Cast(Size(ArrayUnion(es(0), es(1))), DoubleType))),
@@ -1628,6 +1640,21 @@ object ChDialect {
     }),
     "base64Encode" -> (es => Base64(Cast(es.head, org.apache.spark.sql.types.BinaryType))),
     "base64Decode" -> (es => Cast(new UnBase64(es.head), org.apache.spark.sql.types.StringType)),
+    // URL-safe base64 (unpadded, CH's flavor), base58 (Bitcoin
+    // alphabet), raw punycode (RFC 3492) and whole-domain IDNA —
+    // all on the [[StringCodec]] static-kernel expression
+    "base64URLEncode"   -> (es => StringCodec(es.head, "base64UrlEncode")),
+    "base64URLDecode"   -> (es => StringCodec(es.head, "base64UrlDecode")),
+    "tryBase64URLDecode" -> (es => StringCodec(es.head, "tryBase64UrlDecode")),
+    "base58Encode"      -> (es => StringCodec(es.head, "base58Encode")),
+    "base58Decode"      -> (es => StringCodec(es.head, "base58Decode")),
+    "tryBase58Decode"   -> (es => StringCodec(es.head, "tryBase58Decode")),
+    "punycodeEncode"    -> (es => StringCodec(es.head, "punycodeEncode")),
+    "punycodeDecode"    -> (es => StringCodec(es.head, "punycodeDecode")),
+    "tryPunycodeDecode" -> (es => StringCodec(es.head, "tryPunycodeDecode")),
+    "idnaEncode"        -> (es => StringCodec(es.head, "idnaEncode")),
+    "tryIdnaEncode"     -> (es => StringCodec(es.head, "tryIdnaEncode")),
+    "idnaDecode"        -> (es => StringCodec(es.head, "idnaDecode")),
     "tryBase64Decode" -> (es => Cast(new UnBase64(es.head), org.apache.spark.sql.types.StringType)),
     // -- bit manipulation
     "bitTest" -> (es => Cast(BitwiseAnd(
@@ -1857,6 +1884,19 @@ object ChDialect {
       ArrayAggregate(es.head,
         Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
         LambdaFunction(Concat(Seq(acc, CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    // running sum clamped at zero after each step (CH's gauge-reset
+    // semantics: a negative dip restarts accumulation from 0)
+    "arrayCumSumNonNegative" -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0d),
+        ElementAt(acc, Literal(-1), None, failOnError = false))
+      ArrayAggregate(es.head,
+        Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
+        LambdaFunction(Concat(Seq(acc, CreateArray(Seq(
+          Greatest(Seq(Literal(0.0d), Add(last, Cast(x, DoubleType)))))))), Seq(acc, x)),
         LambdaFunction.identity)
     }),
     "arrayDifference" -> (es => {

@@ -161,6 +161,64 @@ class DialectRound7bSpec extends SparkSpec {
     }
   }
 
+  test("base58: Bitcoin-alphabet round trip, leading-zero preservation, try variant") {
+    assert(s("base58Encode('Hello')") == "9Ajdvzr")
+    assert(s("base58Decode('9Ajdvzr')") == "Hello")
+    assert(s("base58Encode('')") == "")
+    assert(s("base58Decode(base58Encode('clickhouse.build'))") == "clickhouse.build")
+    assert(s("tryBase58Decode('0invalid!')") == "")
+    intercept[Exception] { spark.sql("SELECT base58Decode('0') AS v").collect() }
+  }
+
+  test("base64URL: unpadded URL-safe alphabet round trip") {
+    assert(s("base64URLEncode('https://clickhouse.com')") == "aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ")
+    assert(s("base64URLDecode('aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ')") == "https://clickhouse.com")
+    // '>' encodes to Pg in url-safe (would be + / in standard)
+    assert(s("base64URLEncode('>>>?')") == "Pj4-Pw")
+    assert(s("tryBase64URLDecode('!!!')") == "")
+  }
+
+  test("punycode: RFC 3492 vectors and round trip; IDNA whole domains") {
+    assert(s("punycodeEncode('München')") == "Mnchen-3ya")
+    assert(s("punycodeEncode('bücher')") == "bcher-kva")
+    assert(s("punycodeDecode('Mnchen-3ya')") == "München")
+    assert(s("punycodeDecode(punycodeEncode('αβγ'))") == "αβγ")
+    assert(s("idnaEncode('münchen.example.com')") == "xn--mnchen-3ya.example.com")
+    assert(s("idnaDecode('xn--mnchen-3ya.example.com')") == "münchen.example.com")
+    assert(s("tryPunycodeDecode('§bad§')") == "")
+  }
+
+  test("arrayROCAUC: hand-checked rank AUC with ties; arrayAUC alias") {
+    // scores [.1 .4 .35 .8], labels [0 0 1 1] → AUC = 0.75 (sklearn's example)
+    assert(d("arrayROCAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1))") == 0.75)
+    assert(d("arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1))") == 0.75)
+    // perfect separation → 1.0; inverted → 0.0
+    assert(d("arrayROCAUC(array(1.0, 2.0, 3.0, 4.0), array(0, 0, 1, 1))") == 1.0)
+    assert(d("arrayROCAUC(array(4.0, 3.0, 2.0, 1.0), array(0, 0, 1, 1))") == 0.0)
+    // all-tied scores → 0.5
+    assert(d("arrayROCAUC(array(1.0, 1.0, 1.0, 1.0), array(0, 1, 0, 1))") == 0.5)
+    // degenerate single-class input → 0
+    assert(d("arrayROCAUC(array(1.0, 2.0), array(1, 1))") == 0.0)
+  }
+
+  test("arrayNormalizedGini: ideal ordering scores 1, binary case is 2·AUC−1") {
+    assert(math.abs(d("arrayNormalizedGini(array(4.0, 3.0, 2.0, 1.0), array(1, 1, 0, 0))") - 1.0) < 1e-12)
+    val auc = d("arrayROCAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1))")
+    val gini = d("arrayNormalizedGini(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1))")
+    assert(math.abs(gini - (2 * auc - 1)) < 1e-12)
+  }
+
+  test("arrayCumSumNonNegative clamps dips at zero; arrayPartialShuffle permutes") {
+    val r = spark.sql(
+      """SELECT arrayCumSumNonNegative(array(1, 1, -4, 1)) AS c,
+                array_sort(arrayPartialShuffle(array(5, 1, 4, 2, 3), 2, 7)) AS p,
+                arrayZipUnaligned(array(1, 2, 3), array('a')) AS z""").head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 2.0, 0.0, 1.0))
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3, 4, 5))
+    val z = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(z.length == 3 && z.head.getInt(0) == 1 && z.head.getString(1) == "a" && z(2).isNullAt(1))
+  }
+
   test("zeros(N) table function joins the numbers() rewrite") {
     val r = spark.sql("SELECT count(*) AS c, sum(zero) AS s FROM zeros(7)").head()
     assert(r.getLong(0) == 7L && r.getLong(1) == 0L)
