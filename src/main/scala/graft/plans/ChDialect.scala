@@ -1819,6 +1819,35 @@ object ChDialect {
     // true MurmurHash3 x86_32 (Spark's native kernel), unsigned
     "murmurHash3_32" -> (es => BitwiseAnd(Cast(new Murmur3Hash(es), LongType), Literal(0xFFFFFFFFL))),
     "hiveHash"       -> (es => HiveHash(es)),
+    // remaining alias spellings on the same seeded-kernel contract
+    "farmHash64"        -> (es => XxHash64(es, 108L)),
+    "farmFingerprint64" -> (es => XxHash64(es, 109L)),
+    "kafkaMurmurHash"   -> (es => BitwiseAnd(XxHash64(es, 110L), Literal(0xFFFFFFFFL))),
+    "gccMurmurHash"     -> (es => XxHash64(es, 111L)),
+    // VALUE-parity kernels (same numbers as ClickHouse for the same
+    // string): true xxHash64/xxHash32 (seed 0), CRC32 (IEEE), CRC64
+    // (ECMA/XZ), javaHash (String.hashCode), halfMD5
+    "xxHash64"        -> (es => HashKernelExpr(es.head, "xxHash64")),
+    "xxh3"            -> (es => XxHash64(es, 112L)), // alias contract, not byte-parity
+    "xxHash32"        -> (es => HashKernelExpr(es.head, "xxHash32")),
+    "CRC32"           -> (es => HashKernelExpr(es.head, "crc32")),
+    "CRC32IEEE"       -> (es => HashKernelExpr(es.head, "crc32")),
+    "CRC64"           -> (es => HashKernelExpr(es.head, "crc64")),
+    "javaHash"        -> (es => HashKernelExpr(es.head, "javaHash")),
+    "javaHashUTF16LE" -> (es => HashKernelExpr(es.head, "javaHashUTF16LE")),
+    "halfMD5"         -> (es => HashKernelExpr(es.head, "halfMD5")),
+    // scalar sketch spellings (CH defaults: minhash gram 3 / 6
+    // hashes, ngramSimHash gram 2, wordShingleSimHash shingle 3)
+    "ngramMinHash" -> (es => TextSketch(es.head,
+      if (es.length > 1) es(1) else Literal(3),
+      if (es.length > 2) es(2) else Literal(6), "ngramMinHash")),
+    "wordShingleMinHash" -> (es => TextSketch(es.head,
+      if (es.length > 1) es(1) else Literal(3),
+      if (es.length > 2) es(2) else Literal(6), "wordShingleMinHash")),
+    "ngramSimHash" -> (es => TextSketch(es.head,
+      if (es.length > 1) es(1) else Literal(2), Literal(0), "ngramSimHash")),
+    "wordShingleSimHash" -> (es => TextSketch(es.head,
+      if (es.length > 1) es(1) else Literal(3), Literal(0), "wordShingleSimHash")),
     // 128-bit digest spelling → hex MD5 (stable, 16 bytes)
     "sipHash128"     -> (es => Md5(Cast(es.head, org.apache.spark.sql.types.BinaryType))),
     "ascii"          -> (es => Ascii(es.head)),

@@ -121,6 +121,65 @@ private[plans] object TextHashes {
     sim
   }
 
+  /** Hashes of all byte n-grams — CH's ngram* sketch family is
+    * byte-level, unlike the word-shingle family above. Shorter-than-n
+    * input is one gram; empty input one sentinel. */
+  def byteGramHashes(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    if (bytes.length == 0) return Array(XXH64.hashLong(0L, TokenSeed))
+    if (bytes.length < n)
+      return Array(XXH64.hashUnsafeBytes(bytes, off, bytes.length, TokenSeed))
+    val out = new Array[Long](bytes.length - n + 1)
+    var i = 0
+    while (i <= bytes.length - n) {
+      out(i) = XXH64.hashUnsafeBytes(bytes, off + i, n, TokenSeed)
+      i += 1
+    }
+    out
+  }
+
+  /** CH minHash-tuple shape: fold-hash of the k smallest shingle
+    * hashes and of the k largest — two stable digests that collide
+    * for near-identical documents (either end surviving edits flags
+    * the pair), the contract ngramMinHash/wordShingleMinHash serve. */
+  def minHashTuple(hashes: Array[Long], k: Int): Array[Long] = {
+    val sorted = hashes.clone()
+    java.util.Arrays.sort(sorted)
+    val kk = math.min(k, sorted.length)
+    var h1 = TokenSeed
+    var h2 = TokenSeed
+    var i = 0
+    while (i < kk) {
+      h1 = XXH64.hashLong(sorted(i), h1)
+      h2 = XXH64.hashLong(sorted(sorted.length - 1 - i), h2)
+      i += 1
+    }
+    Array(h1, h2)
+  }
+
+  /** Majority-vote 64-bit simhash of a shingle-hash set. */
+  def simHashOf(shingles: Array[Long]): Long = {
+    val ones = new Array[Int](64)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var i = 0
+      while (i < 64) {
+        ones(i) += ((h >>> i) & 1L).toInt
+        i += 1
+      }
+      s += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 64) {
+      if (ones(i) * 2 > shingles.length) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
   def requireFoldableInt(e: Expression, name: String): TypeCheckResult =
     if (!e.foldable || e.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$name must be an integer literal")
@@ -174,4 +233,51 @@ case class SimHash64(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): SimHash64 = copy(l, r)
+}
+
+/** The ClickHouse scalar sketch spellings — `ngramMinHash` /
+  * `wordShingleMinHash` (→ struct of two digests: fold of the k
+  * smallest and k largest shingle hashes) and `ngramSimHash` /
+  * `wordShingleSimHash` (→ bigint). `kind` picks byte-gram vs
+  * word-shingle input; the sketch values are this engine's
+  * deterministic XXH64 family, not a byte-level CH replay (the same
+  * documented contract as cityHash64). */
+case class TextSketch(first: Expression, second: Expression, third: Expression, kind: String)
+    extends TernaryExpression with CodegenFallback {
+  import TextHashes._
+
+  private def isMinHash = kind.endsWith("MinHash")
+  private def isByteGram = kind.startsWith("ngram")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$kind requires a string column")
+    else requireFoldableInt(second, "gramSize") match {
+      case TypeCheckResult.TypeCheckSuccess => requireFoldableInt(third, "hashNum")
+      case fail => fail
+    }
+  }
+
+  override def dataType: DataType =
+    if (isMinHash)
+      StructType(Seq(StructField("h1", LongType, nullable = false),
+                     StructField("h2", LongType, nullable = false)))
+    else LongType
+  override def prettyName: String = kind
+
+  private lazy val n = second.eval().asInstanceOf[Int]
+  private lazy val k = third.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, nv: Any, kv: Any): Any = {
+    val t = text.asInstanceOf[UTF8String]
+    val shingles = if (isByteGram) byteGramHashes(t, n) else shingleHashes(t, n)
+    if (isMinHash) {
+      val pair = minHashTuple(shingles, k)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](pair(0), pair(1)))
+    } else simHashOf(shingles)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TextSketch = copy(f, s, t)
 }

@@ -219,6 +219,47 @@ class DialectRound7bSpec extends SparkSpec {
     assert(z.length == 3 && z.head.getInt(0) == 1 && z.head.getString(1) == "a" && z(2).isNullAt(1))
   }
 
+  test("hash value-parity kernels: published check vectors") {
+    // xxHash spec test vectors (seed 0, empty input)
+    assert(l("xxHash64('')") == -1205034819632174695L) // 0xEF46DB3751D8E999
+    assert(l("xxHash32('')") == 46947589L)             // 0x02CC5D05
+    // CRC catalog check values over '123456789'
+    assert(l("CRC32('123456789')") == 3421780262L)     // 0xCBF43926
+    assert(l("CRC32IEEE('123456789')") == 3421780262L)
+    assert(l("CRC64('123456789')") == -7395533204333446662L) // 0x995DC9BBDF1939FA (XZ variant)
+    // JVM String.hashCode and MD5-prefix
+    assert(l("javaHash('abc')") == 96354L)
+    assert(l("halfMD5('')") == -3162216497309240828L)
+    assert(l("halfMD5('abc')") == -8070080442485551184L)
+    // determinism + distinctness across the alias family
+    val r = spark.sql(
+      """SELECT farmHash64('x') AS f, farmFingerprint64('x') AS ff,
+                kafkaMurmurHash('x') AS km, gccMurmurHash('x') AS gm, xxh3('x') AS x3""").head()
+    val vals = (0 until 5).map(r.getLong)
+    assert(vals.distinct.length == 5)
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 0xFFFFFFFFL) // kafka's UInt32 range
+  }
+
+  test("scalar text sketches: stable, edit-tolerant, parameterized") {
+    val r = spark.sql(
+      """SELECT ngramMinHash('the quick brown fox') AS nm,
+                ngramMinHash('the quick brown fox') AS nm2,
+                wordShingleMinHash('a b c d e f') AS wm,
+                ngramSimHash('hello world hello world') AS ns,
+                wordShingleSimHash('a b c d e f') AS ws""").head()
+    val nm = r.getStruct(0); val nm2 = r.getStruct(1)
+    assert(nm.getLong(0) == nm2.getLong(0) && nm.getLong(1) == nm2.getLong(1))
+    assert(nm.getLong(0) != nm.getLong(1))
+    assert(r.getStruct(2).getLong(0) != 0L)
+    assert(r.getLong(3) != r.getLong(4))
+    // one-word edit keeps the min-end digest of a long document alive
+    // more often than not — at minimum the call shape works with
+    // explicit params
+    val p = spark.sql(
+      "SELECT ngramMinHash('abcdefgh', 4, 2) AS a, wordShingleSimHash('x y z w', 2) AS b").head()
+    assert(p.getStruct(0).getLong(0) != 0L)
+  }
+
   test("zeros(N) table function joins the numbers() rewrite") {
     val r = spark.sql("SELECT count(*) AS c, sum(zero) AS s FROM zeros(7)").head()
     assert(r.getLong(0) == 7L && r.getLong(1) == 0L)
