@@ -1827,10 +1827,25 @@ object ChDialect {
     // VALUE-parity kernels (same numbers as ClickHouse for the same
     // string): true xxHash64/xxHash32 (seed 0), CRC32 (IEEE), CRC64
     // (ECMA/XZ), javaHash (String.hashCode), halfMD5
-    "xxHash64"        -> (es => HashKernelExpr(es.head, "xxHash64")),
+    // CAREFUL: the name "xxHash64" also shadows Spark's builtin
+    // xxhash64 (the session registry is case-insensitive and the
+    // Column API resolves functions BY NAME in Spark 4). A
+    // single-string call gets the CH value-parity kernel; any other
+    // shape keeps the builtin's variadic type-tagged behavior, so
+    // internal callers (Dedup band hashing, Skew salting) and
+    // migrated multi-arg SQL are unchanged.
+    "xxHash64" -> (es =>
+      if (es.length == 1 && es.head.resolved &&
+          es.head.dataType == org.apache.spark.sql.types.StringType)
+        HashKernelExpr(es.head, "xxHash64")
+      else new XxHash64(es)),
     "xxh3"            -> (es => XxHash64(es, 112L)), // alias contract, not byte-parity
     "xxHash32"        -> (es => HashKernelExpr(es.head, "xxHash32")),
-    "CRC32"           -> (es => HashKernelExpr(es.head, "crc32")),
+    // same shadowing rule for Spark's crc32(binary)
+    "CRC32" -> (es =>
+      if (es.head.resolved && es.head.dataType == org.apache.spark.sql.types.StringType)
+        HashKernelExpr(es.head, "crc32")
+      else Crc32(es.head)),
     "CRC32IEEE"       -> (es => HashKernelExpr(es.head, "crc32")),
     "CRC64"           -> (es => HashKernelExpr(es.head, "crc64")),
     "javaHash"        -> (es => HashKernelExpr(es.head, "javaHash")),

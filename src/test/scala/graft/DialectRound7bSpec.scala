@@ -240,6 +240,20 @@ class DialectRound7bSpec extends SparkSpec {
     assert(r.getLong(2) >= 0 && r.getLong(2) <= 0xFFFFFFFFL) // kafka's UInt32 range
   }
 
+  test("xxHash64/CRC32 registration must not shadow the variadic/binary builtins") {
+    import org.apache.spark.sql.functions._
+    // Column-API resolution goes BY NAME in Spark 4 — the injected CH
+    // spelling must keep non-(single string) shapes on the builtin
+    val df = spark.range(3).select(
+      xxhash64(org.apache.spark.sql.functions.array(col("id"), col("id"))).as("arr"),
+      xxhash64(col("id"), col("id")).as("multi"),
+      crc32(col("id").cast("string").cast("binary")).as("c"))
+    assert(df.collect().length == 3) // would ClassCastException if shadowed
+    // and SQL multi-arg spelling stays variadic too
+    assert(spark.sql("SELECT xxHash64(1, 2) AS h").head().getLong(0) ==
+           spark.sql("SELECT xxhash64(1, 2) AS h").head().getLong(0))
+  }
+
   test("scalar text sketches: stable, edit-tolerant, parameterized") {
     val r = spark.sql(
       """SELECT ngramMinHash('the quick brown fox') AS nm,
