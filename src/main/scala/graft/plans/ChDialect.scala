@@ -1797,6 +1797,83 @@ object ChDialect {
       if (es.length > 2) es(2) else Literal(12))),
     "geohashDecode" -> (es => GeohashDecode(es.head)),
     "pointInPolygon" -> (es => PointInPolygon(es(0), es(1))),
+    "geohashesInBox" -> (es => GeohashesInBox(es)),
+    // central angle in degrees (same haversine core as the distance)
+    "greatCircleAngle" -> (es => {
+      val Seq(lon1, lat1, lon2, lat2) = es.take(4).map(e => ToRadians(Cast(e, DoubleType)))
+      def sin2half(d: Expression) = {
+        val s = Sin(Divide(d, Literal(2.0d)))
+        Multiply(s, s)
+      }
+      val h = Add(sin2half(Subtract(lat2, lat1)),
+        Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
+      ToDegrees(Multiply(Literal(2.0d), Asin(Sqrt(h))))
+    }),
+    // pointInEllipses(x, y, x0, y0, a, b[, x1, y1, a1, b1, …]) — true
+    // if the point is inside ANY of the axis-aligned ellipses
+    "pointInEllipses" -> (es => {
+      require(es.length >= 6 && (es.length - 2) % 4 == 0,
+        "pointInEllipses takes (x, y) plus groups of (x0, y0, a, b)")
+      val x = Cast(es(0), DoubleType)
+      val y = Cast(es(1), DoubleType)
+      val tests = es.drop(2).grouped(4).map { g =>
+        val Seq(cx, cy, a, b) = g.map(e => Cast(e, DoubleType))
+        def sq(e: Expression) = Multiply(e, e)
+        LessThanOrEqual(
+          Add(Divide(sq(Subtract(x, cx)), sq(a)), Divide(sq(Subtract(y, cy)), sq(b))),
+          Literal(1.0d)): Expression
+      }.toSeq
+      If(tests.reduceLeft(Or), Literal(1), Literal(0))
+    }),
+    // -- series analysis over groupArray'd arrays
+    "seriesOutliersDetectTukey" -> (es => SeriesOutliersTukey(es.head,
+      if (es.length > 1) Cast(es(1), DoubleType) else Literal(0.25d),
+      if (es.length > 2) Cast(es(2), DoubleType) else Literal(0.75d),
+      if (es.length > 3) Cast(es(3), DoubleType) else Literal(1.5d))),
+    "seriesPeriodDetectFFT" -> (es => SeriesPeriodDetect(es.head)),
+    "seriesDecomposeSTL" -> (es => SeriesDecompose(es(0), es(1))),
+    // -- random distributions, derived from Rand/Randn by the
+    // standard transforms (Box-Muller is already inside Randn). Each
+    // call site gets a fresh seed at plan-build; per-row values are
+    // i.i.d. like the CH originals. Discrete heavy-tail generators
+    // (Poisson/Binomial/StudentT/ChiSquared/FisherF) are deliberately
+    // absent — calls fail loudly at resolution, never silently wrong.
+    "randUniform" -> (es => Add(Cast(es(0), DoubleType),
+      Multiply(new Rand(Literal(scala.util.Random.nextLong())),
+        Subtract(Cast(es(1), DoubleType), Cast(es(0), DoubleType))))),
+    "randNormal" -> (es => Add(Cast(es(0), DoubleType),
+      Multiply(Cast(es(1), DoubleType), new Randn(Literal(scala.util.Random.nextLong()))))),
+    "randLogNormal" -> (es => Exp(Add(Cast(es(0), DoubleType),
+      Multiply(Cast(es(1), DoubleType), new Randn(Literal(scala.util.Random.nextLong())))))),
+    // −ln(1−U)/λ keeps the argument in (0, 1] — no log(0)
+    "randExponential" -> (es => Divide(
+      UnaryMinus(Log(Subtract(Literal(1.0d), new Rand(Literal(scala.util.Random.nextLong()))))),
+      Cast(es.head, DoubleType))),
+    "randBernoulli" -> (es => If(
+      LessThan(new Rand(Literal(scala.util.Random.nextLong())), Cast(es.head, DoubleType)),
+      Literal(1), Literal(0))),
+    "randCauchy" -> (es => Add(Cast(es(0), DoubleType),
+      Multiply(Cast(es(1), DoubleType),
+        Tan(Multiply(Literal(math.Pi),
+          Subtract(new Rand(Literal(scala.util.Random.nextLong())), Literal(0.5d))))))),
+    // UUIDv7: unix-ms (48 bits) + version nibble '7' + random tail
+    // from a v4 uuid (its variant nibble is already RFC-correct).
+    // Timestamp is query-evaluation time (CurrentTimestamp folds per
+    // query, CH stamps per row — documented difference).
+    "generateUUIDv7" -> (_ => {
+      val tsHex = Lower(StringLPad(Hex(UnixMillis(CurrentTimestamp())), Literal(12), Literal("0")))
+      val clean = StringReplace(new Uuid(), Literal("-"), Literal(""))
+      Concat(Seq(
+        Substring(tsHex, Literal(1), Literal(8)), Literal("-"),
+        Substring(tsHex, Literal(9), Literal(4)), Literal("-7"),
+        Substring(clean, Literal(14), Literal(3)), Literal("-"),
+        Substring(clean, Literal(17), Literal(4)), Literal("-"),
+        Substring(clean, Literal(21), Literal(12))))
+    }),
+    "UUIDv7ToDateTime" -> (es => MillisToTimestamp(Cast(
+      Conv(Concat(Seq(Substring(es.head, Literal(1), Literal(8)),
+        Substring(es.head, Literal(10), Literal(4)))), Literal(16), Literal(10)),
+      LongType))),
     // -- hash functions. DELIBERATE SEMANTIC CAVEAT: ClickHouse's
     // cityHash64/sipHash64 algorithms aren't in Spark; these map to
     // xxhash64 with distinct seeds. Deterministic and well-distributed

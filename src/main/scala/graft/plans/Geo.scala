@@ -134,3 +134,70 @@ case class PointInPolygon(point: Expression, polygon: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PointInPolygon =
     copy(point = newLeft, polygon = newRight)
 }
+
+/** geohashesInBox(lonMin, latMin, lonMax, latMax, precision): every
+  * geohash cell of the given precision intersecting the box, as an
+  * array of strings — CH's tile-cover helper for geo pruning. Cell
+  * grid: lon splits ceil(5p/2) times, lat floor(5p/2). Result capped
+  * at 100k cells (raise precision bounds-first, like the original,
+  * which throws past its own cap). */
+case class GeohashesInBox(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+  require(children.length == 5, "geohashesInBox takes (lonMin, latMin, lonMax, latMax, precision)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "geohashesInBox"
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) return null
+    def dbl(v: Any): Double = v match {
+      case d: java.lang.Double  => d
+      case f: java.lang.Float   => f.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case l: java.lang.Long    => l.toDouble
+      case d: Decimal           => d.toDouble
+      case x => x.toString.toDouble
+    }
+    val lonMin = dbl(vals(0)); val latMin = dbl(vals(1))
+    val lonMax = dbl(vals(2)); val latMax = dbl(vals(3))
+    val precision = vals(4) match {
+      case i: java.lang.Integer => i.toInt
+      case l: java.lang.Long    => l.toInt
+      case x => x.toString.toDouble.toInt
+    }
+    require(precision >= 1 && precision <= 12, "geohashesInBox: precision must be 1..12")
+    if (lonMin > lonMax || latMin > latMax)
+      return new GenericArrayData(Array.empty[Any])
+    val lonBits = (5 * precision + 1) / 2
+    val latBits = 5 * precision / 2
+    val cellW = 360.0 / (1L << lonBits)
+    val cellH = 180.0 / (1L << latBits)
+    val lon0 = math.floor((lonMin + 180.0) / cellW)
+    val lon1 = math.floor(((lonMax + 180.0) / cellW) - 1e-12)
+    val lat0 = math.floor((latMin + 90.0) / cellH)
+    val lat1 = math.floor(((latMax + 90.0) / cellH) - 1e-12)
+    val nLon = (lon1 - lon0).toLong + 1
+    val nLat = (lat1 - lat0).toLong + 1
+    require(nLon * nLat <= 100000L,
+      s"geohashesInBox: box covers ${nLon * nLat} cells at precision $precision (cap 100000)")
+    val out = new Array[Any]((nLon * nLat).toInt)
+    var k = 0
+    var li = 0L
+    while (li < nLon) {
+      val lon = -180.0 + (lon0 + li + 0.5) * cellW
+      var bi = 0L
+      while (bi < nLat) {
+        val lat = -90.0 + (lat0 + bi + 0.5) * cellH
+        out(k) = UTF8String.fromString(Geo.encode(lon, lat, precision))
+        k += 1
+        bi += 1
+      }
+      li += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeohashesInBox = copy(children = newChildren)
+}

@@ -54,7 +54,10 @@ object StringDistanceKernels {
       i += 1
     }
     val m = matches.toDouble
-    (m / la + m / lb + (m - transpositions / 2.0) / m) / 3.0
+    // implementations (CH's C++, DuckDB's RapidFuzz) FLOOR the
+    // half-transposition count via integer division — follow them,
+    // not the textbook's fractional t/2, so oracles hash-match
+    (m / la + m / lb + (m - transpositions / 2) / m) / 3.0
   }
 
   /** Jaro–Winkler with the standard 0.1 prefix scale, 4-char prefix
@@ -69,38 +72,50 @@ object StringDistanceKernels {
     j + prefix * 0.1 * (1.0 - j)
   }
 
-  /** Damerau–Levenshtein, optimal-string-alignment variant (adjacent
-    * transposition counts as one edit; the variant DuckDB's
-    * damerau_levenshtein implements). */
+  /** Unrestricted Damerau–Levenshtein (transpositions may be edited
+    * further — the variant both ClickHouse and DuckDB implement, so
+    * the oracle can hash-check it; distinct from OSA, e.g.
+    * 'ca'→'abc' is 2 here, 3 under OSA). Full-matrix DP, guarded to
+    * 16M cells so a pathological pair fails loudly instead of
+    * allocating without bound. */
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Long = {
     val a = ua.toString; val b = ub.toString
     val la = a.length; val lb = b.length
     if (la == 0) return lb.toLong
     if (lb == 0) return la.toLong
-    // three rolling rows: i-2, i-1, i
-    var prev2 = new Array[Int](lb + 1)
-    var prev1 = new Array[Int](lb + 1)
-    var cur = new Array[Int](lb + 1)
+    require(la.toLong * lb <= 16000000L,
+      s"damerauLevenshteinDistance: inputs too long ($la x $lb chars)")
+    val maxDist = la + lb
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    @inline def get(i: Int, j: Int) = d(i * w + j)
+    @inline def set(i: Int, j: Int, v: Int): Unit = d(i * w + j) = v
+    set(0, 0, maxDist)
+    var i = 0
+    while (i <= la) { set(i + 1, 0, maxDist); set(i + 1, 1, i); i += 1 }
     var j = 0
-    while (j <= lb) { prev1(j) = j; j += 1 }
-    var i = 1
+    while (j <= lb) { set(0, j + 1, maxDist); set(1, j + 1, j); j += 1 }
+    val da = new java.util.HashMap[Char, Int]
+    i = 1
     while (i <= la) {
-      cur(0) = i
+      var db = 0
       j = 1
       while (j <= lb) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        var best = math.min(math.min(cur(j - 1) + 1, prev1(j) + 1), prev1(j - 1) + cost)
-        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
-            a.charAt(i - 2) == b.charAt(j - 1)) {
-          best = math.min(best, prev2(j - 2) + 1)
-        }
-        cur(j) = best
+        val k = da.getOrDefault(b.charAt(j - 1), 0)
+        val l = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = get(i, j) + cost
+        val ins = get(i + 1, j) + 1
+        val del = get(i, j + 1) + 1
+        val trans = get(k, l) + (i - k - 1) + 1 + (j - l - 1)
+        set(i + 1, j + 1, math.min(math.min(sub, ins), math.min(del, trans)))
         j += 1
       }
-      val t = prev2; prev2 = prev1; prev1 = cur; cur = t
+      da.put(a.charAt(i - 1), i)
       i += 1
     }
-    prev1(lb).toLong
+    get(la + 1, lb + 1).toLong
   }
 
   /** Byte-level Hamming: differing bytes over the common prefix plus

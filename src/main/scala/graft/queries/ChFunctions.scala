@@ -628,6 +628,42 @@ object ChFunctions {
             FROM events WHERE event_id < 200 ORDER BY k"""),
   )
 
+  /** String-distance long tail over real document text: Jaro,
+    * Jaro–Winkler (0.1/4-char/0.7-threshold Winkler variant),
+    * unrestricted Damerau–Levenshtein, Levenshtein, byte Hamming —
+    * consecutive-doc pairs on an ASCII-sanitized prefix so both
+    * engines measure the same code units. DuckDB owns native
+    * equivalents for all five, so this whole family is hash-checked,
+    * not just spec-pinned. */
+  val q28m = GraftQuery(
+    "q28m_string_distance",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("docs_sd")
+      s.sql("""WITH d AS (SELECT doc_id,
+                                 regexp_replace(lower(substring(text, 1, 24)), '[^a-z0-9 ]', '') AS s
+                          FROM docs_sd WHERE doc_id < 300)
+               SELECT a.doc_id AS k,
+                      round(jaroSimilarity(a.s, b.s), 6) AS jaro,
+                      round(jaroWinklerSimilarity(a.s, b.s), 6) AS jw,
+                      damerauLevenshteinDistance(a.s, b.s) AS dl,
+                      CAST(levenshteinDistance(a.s, b.s) AS BIGINT) AS lev,
+                      byteHammingDistance(rightPad(a.s, 24, '.'), rightPad(b.s, 24, '.')) AS ham
+               FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+               ORDER BY k""")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                              regexp_replace(lower(substr(text, 1, 24)), '[^a-z0-9 ]', '', 'g') AS s
+                       FROM documents WHERE doc_id < 300)
+            SELECT a.doc_id AS k,
+                   round(jaro_similarity(a.s, b.s), 6) AS jaro,
+                   round(jaro_winkler_similarity(a.s, b.s), 6) AS jw,
+                   damerau_levenshtein(a.s, b.s) AS dl,
+                   levenshtein(a.s, b.s) AS lev,
+                   hamming(rpad(a.s, 24, '.'), rpad(b.s, 24, '.')) AS ham
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+            ORDER BY k"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1857,6 +1893,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }

@@ -28,9 +28,9 @@ class DialectRound7bSpec extends SparkSpec {
     assert(d("jaroWinklerSimilarity('same', 'same')") == 1.0)
   }
 
-  test("damerauLevenshteinDistance: OSA transposition counts one edit") {
+  test("damerauLevenshteinDistance: unrestricted variant (matches CH and the oracle)") {
     assert(l("damerauLevenshteinDistance('ab', 'ba')") == 1L)
-    assert(l("damerauLevenshteinDistance('ca', 'abc')") == 3L) // OSA, not unrestricted DL
+    assert(l("damerauLevenshteinDistance('ca', 'abc')") == 2L) // unrestricted, not OSA
     assert(l("damerauLevenshteinDistance('clickhouse', 'mouse')") == 6L)
     assert(l("damerauLevenshteinDistance('', 'abc')") == 3L)
     assert(l("damerauLevenshteinDistance('kitten', 'sitting')") == 3L)
@@ -272,6 +272,88 @@ class DialectRound7bSpec extends SparkSpec {
     val p = spark.sql(
       "SELECT ngramMinHash('abcdefgh', 4, 2) AS a, wordShingleSimHash('x y z w', 2) AS b").head()
     assert(p.getStruct(0).getLong(0) != 0L)
+  }
+
+  test("seriesOutliersDetectTukey: fence distances, zero inside") {
+    val r = spark.sql(
+      "SELECT seriesOutliersDetectTukey(array(1.0, 2.0, 3.0, 2.0, 100.0, 2.0, 1.0)) AS s").head()
+    val scores = r.getSeq[Double](0)
+    assert(scores.count(_ != 0.0) == 1)
+    assert(scores(4) > 0.0) // the 100 spikes above the upper fence
+    // custom band: zero-width IQR puts both fences at 1, so 50 scores 49
+    val t = spark.sql(
+      "SELECT seriesOutliersDetectTukey(array(1.0, 1.0, 1.0, 1.0, 50.0), 0.25, 0.75, 0.5) AS s").head()
+    assert(t.getSeq[Double](0).last == 49.0)
+  }
+
+  test("seriesPeriodDetectFFT: recovers a planted period") {
+    // sin wave with period 8 over 64 samples
+    val r = spark.sql(
+      """SELECT seriesPeriodDetectFFT(transform(sequence(0, 63),
+                  i -> sin(2 * pi() * i / 8))) AS p,
+                seriesPeriodDetectFFT(array(5.0, 5.0, 5.0, 5.0, 5.0)) AS flat""").head()
+    assert(r.getDouble(0) == 8.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("seriesDecomposeSTL: seasonal+trend+residual reconstructs the series") {
+    val r = spark.sql(
+      """SELECT seriesDecomposeSTL(transform(sequence(0, 23),
+                  i -> double(i) + element_at(array(10.0, -5.0, -5.0, 0.0), int(i % 4) + 1)), 4) AS d""").head()
+    val parts = r.getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+    assert(parts.length == 3)
+    val Seq(seasonal, trend, residual) = parts
+    assert(seasonal.length == 24 && trend.length == 24 && residual.length == 24)
+    // seasonal sums to ~0 over one period
+    assert(math.abs(seasonal.take(4).sum) < 1e-9)
+    // reconstruction: x == s + t + r by construction
+    val x = (0 until 24).map(i => i.toDouble + Seq(10.0, -5.0, -5.0, 0.0)(i % 4))
+    val recon = (0 until 24).map(i => seasonal(i) + trend(i) + residual(i))
+    x.zip(recon).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // interior trend of a linear+seasonal series is the line itself
+    assert(math.abs(trend(10) - 10.0) < 0.75)
+  }
+
+  test("rand distribution family: moments land near theory on 20k draws") {
+    val r = spark.sql(
+      """SELECT avg(u) AS u, avg(n) AS n, stddev_samp(n) AS ns,
+                avg(e) AS e, avg(b) AS b, avg(ln) AS ln
+         FROM (SELECT randUniform(2, 6) AS u, randNormal(10, 2) AS n,
+                      randExponential(4.0) AS e, randBernoulli(0.3) AS b,
+                      randLogNormal(0.0, 0.25) AS ln
+               FROM numbers(20000))""").head()
+    assert(math.abs(r.getDouble(0) - 4.0) < 0.1)    // U(2,6) mean 4
+    assert(math.abs(r.getDouble(1) - 10.0) < 0.1)   // N(10,2) mean
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.1)    // N(10,2) sd
+    assert(math.abs(r.getDouble(3) - 0.25) < 0.02)  // Exp(4) mean 1/4
+    assert(math.abs(r.getDouble(4) - 0.3) < 0.02)   // Bernoulli(0.3)
+    assert(math.abs(r.getDouble(5) - math.exp(0.03125)) < 0.03) // LN mean e^{σ²/2}
+  }
+
+  test("generateUUIDv7: v7 format, time-ordered prefix, distinct; round trip to ms") {
+    val rows = spark.sql(
+      "SELECT generateUUIDv7() AS u FROM numbers(50)").collect().map(_.getString(0))
+    assert(rows.distinct.length == 50)
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    rows.foreach(u => assert(re.findFirstIn(u).isDefined, s"malformed uuidv7: $u"))
+    val ms = spark.sql(
+      s"SELECT unix_millis(UUIDv7ToDateTime('${rows.head}')) AS m").head().getLong(0)
+    assert(math.abs(ms - System.currentTimeMillis()) < 3600_000L)
+  }
+
+  test("greatCircleAngle, pointInEllipses, geohashesInBox") {
+    val r = spark.sql(
+      """SELECT greatCircleAngle(0, 0, 90, 0) AS quarter,
+                pointInEllipses(1.0, 0.5, 0.0, 0.0, 2.0, 1.0) AS inside,
+                pointInEllipses(5.0, 5.0, 0.0, 0.0, 2.0, 1.0, 4.0, 4.0, 2.0, 2.0) AS second,
+                pointInEllipses(9.0, 9.0, 0.0, 0.0, 1.0, 1.0) AS outside,
+                geohashesInBox(-0.2, 50.9, 0.2, 51.1, 3) AS cover""").head()
+    assert(math.abs(r.getDouble(0) - 90.0) < 1e-9)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 0)
+    val cover = r.getSeq[String](3 + 1)
+    assert(cover.nonEmpty && cover.forall(_.length == 3))
+    // London's gcp cell must be in a box around (0, 51)
+    assert(cover.exists(_.startsWith("gcp")) || cover.exists(_.startsWith("u10")))
   }
 
   test("zeros(N) table function joins the numbers() rewrite") {
