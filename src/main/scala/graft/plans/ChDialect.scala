@@ -1095,6 +1095,29 @@ object ChDialect {
     "sumMap" -> (es => mapAggOf(es, "sum")),
     "maxMap" -> (es => mapAggOf(es, "max")),
     "minMap" -> (es => mapAggOf(es, "min")),
+    // avgMap = sumMap / per-key occurrence count, composed from two
+    // map-agg buffers (both eval key-sorted, so the zip aligns);
+    // result values are always double
+    "avgMap" -> (es => {
+      val (k, v) = es match {
+        case Seq(m)    => (MapKeys(m), MapValues(m))
+        case Seq(k, v) => (k, v)
+        case _ => throw new IllegalArgumentException("avgMap takes (keys, values) or (map)")
+      }
+      val x = lamVar("gr_am_x")
+      val ones = ArrayTransform(v, LambdaFunction(
+        If(IsNull(x), Literal.create(null, LongType), Literal(1L)), Seq(x)))
+      val sums = GraftMapAgg(k, v, "sum").toAggregateExpression()
+      val counts = GraftMapAgg(k, ones, "sum").toAggregateExpression()
+      def field(e: Expression, f: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(f))
+      val a = lamVar("gr_am_a")
+      val b = lamVar("gr_am_b")
+      CreateNamedStruct(Seq(
+        Literal("keys"), field(sums, "keys"),
+        Literal("vals"), ZipWith(field(sums, "vals"), field(counts, "vals"),
+          LambdaFunction(Divide(Cast(a, DoubleType), Cast(b, DoubleType)), Seq(a, b)))))
+    }),
     // retention(c1, …, cN) → [c1 ever, c1 && c2 ever, …] as 0/1 ints
     // (CH returns UInt8). Pure composition of bool_or partials — no
     // custom state, full map-side combine.
@@ -1766,6 +1789,90 @@ object ChDialect {
       if (es.length > 1) es(1) else Literal(":"))),
     "arrayElement" -> (es => ElementAt(es(0), es(1), None, failOnError = false)),
     "concatAssumeInjective" -> (es => Concat(es)),
+    // format('{} and {0}', args…): CH's fmt-style templating — the
+    // literal pattern unrolls to a Concat at plan build ({} takes the
+    // next arg, {N} is positional, {{ }} escape braces), so the row
+    // path is a plain codegen'd concat
+    "format" -> (es => {
+      val pat = litString(es.head, "format pattern")
+      val args = es.tail
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      val sb = new StringBuilder
+      var next = 0
+      var i = 0
+      while (i < pat.length) {
+        val c = pat.charAt(i)
+        if (c == '{' && i + 1 < pat.length && pat.charAt(i + 1) == '{') { sb += '{'; i += 2 }
+        else if (c == '}' && i + 1 < pat.length && pat.charAt(i + 1) == '}') { sb += '}'; i += 2 }
+        else if (c == '{') {
+          val close = pat.indexOf('}', i)
+          require(close > 0, s"format: unclosed '{' in pattern '$pat'")
+          val spec = pat.substring(i + 1, close)
+          val idx = if (spec.isEmpty) { val n = next; next += 1; n }
+                    else spec.toInt
+          require(idx < args.length, s"format: placeholder $idx but only ${args.length} args")
+          if (sb.nonEmpty) { parts += Literal(sb.toString); sb.clear() }
+          parts += Cast(args(idx), org.apache.spark.sql.types.StringType)
+          i = close + 1
+        } else { sb += c; i += 1 }
+      }
+      if (sb.nonEmpty) parts += Literal(sb.toString)
+      if (parts.isEmpty) Literal("") else Concat(parts.toSeq)
+    }),
+    // tuple arithmetic — ClickHouse tuples land as ARRAYS in this
+    // engine (the same convention the vector-math family uses), so
+    // these are element-wise zips/transforms in double precision
+    "tuplePlus"     -> (es => tupleZip(es(0), es(1), Add(_, _))),
+    "tupleMinus"    -> (es => tupleZip(es(0), es(1), Subtract(_, _))),
+    "tupleMultiply" -> (es => tupleZip(es(0), es(1), Multiply(_, _))),
+    "tupleDivide"   -> (es => tupleZip(es(0), es(1), Divide(_, _))),
+    "tupleNegate"   -> (es => {
+      val x = lamVar("gr_tn_x")
+      ArrayTransform(es.head, LambdaFunction(UnaryMinus(Cast(x, DoubleType)), Seq(x)))
+    }),
+    "tupleConcat"   -> (es => Concat(es)),
+    "tupleMultiplyByNumber" -> (es => {
+      val x = lamVar("gr_tm_x")
+      ArrayTransform(es(0), LambdaFunction(
+        Multiply(Cast(x, DoubleType), Cast(es(1), DoubleType)), Seq(x)))
+    }),
+    "tupleDivideByNumber" -> (es => {
+      val x = lamVar("gr_td_x")
+      ArrayTransform(es(0), LambdaFunction(
+        Divide(Cast(x, DoubleType), Cast(es(1), DoubleType)), Seq(x)))
+    }),
+    "isNotDistinctFrom" -> (es => EqualNullSafe(es(0), es(1))),
+    // per-session stable UUID (CH's is per server process — same
+    // contract: constant within a running engine)
+    "serverUUID" -> (_ => Literal(SessionUuid)),
+    // Decimal conversions: toDecimalN(x, scale) with CH's width map
+    "toDecimal32"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32 scale")))),
+    "toDecimal64"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64 scale")))),
+    "toDecimal128" -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128 scale")))),
+    "toDecimal32OrNull" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32OrNull scale")), None, EvalMode.TRY)),
+    "toDecimal64OrNull" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64OrNull scale")), None, EvalMode.TRY)),
+    // ULID: 48-bit unix-ms + 80 random bits in Crockford base32 (26
+    // chars). Timestamp folds per query like generateUUIDv7; the
+    // base32hex→Crockford remap is a translate over conv() output.
+    "generateULID" -> (_ => {
+      def crockford(e: Expression, width: Int) =
+        StringLPad(StringTranslate(
+          Conv(e, Literal(10), Literal(32)),
+          Literal("ABCDEFGHIJKLMNOPQRSTUV"), Literal("ABCDEFGHJKMNPQRSTVWXYZ")),
+          Literal(width), Literal("0"))
+      def rand40() = Cast(Multiply(new Rand(Literal(scala.util.Random.nextLong())),
+        Literal(1099511627776.0d)), LongType)
+      Concat(Seq(
+        crockford(Cast(UnixMillis(CurrentTimestamp()), org.apache.spark.sql.types.StringType), 10),
+        crockford(Cast(rand40(), org.apache.spark.sql.types.StringType), 8),
+        crockford(Cast(rand40(), org.apache.spark.sql.types.StringType), 8)))
+    }),
+    "ULIDStringToDateTime" -> (es => MillisToTimestamp(Cast(
+      Conv(StringTranslate(Substring(es.head, Literal(1), Literal(10)),
+        Literal("ABCDEFGHJKMNPQRSTVWXYZ"), Literal("ABCDEFGHIJKLMNOPQRSTUV")),
+        Literal(32), Literal(10)), LongType))),
     // great-circle distance in meters (haversine, R = 6371 km — CH's
     // spherical model); args (lon1, lat1, lon2, lat2) in degrees
     "greatCircleDistance" -> (es => {
@@ -2058,6 +2165,23 @@ object ChDialect {
     // both approximate-with-bounded-state; parametric spelling
     // quantileTDigest(0.5)(x) flattens like quantile
     "quantileTDigest" -> (es => new ApproximatePercentile(es(1), es(0))),
+    // DDSketch spelling: quantileDD(rel_accuracy[, level])(x) — same
+    // bounded-state sketch family; the relative accuracy maps to the
+    // percentile sketch's inverse-error knob (documented
+    // approximation, like quantileTDigest)
+    "quantileDD" -> (es => {
+      val (acc, level, x) = es match {
+        case Seq(a, x)    => (a, Literal(0.5d), x)
+        case Seq(a, l, x) => (a, l, x)
+        case _ => throw new IllegalArgumentException(
+          "quantileDD takes (accuracy[, level])(x)")
+      }
+      val accInt = acc match {
+        case Literal(d: Double, _) => math.max(100, math.ceil(1.0 / math.max(d, 1e-6)).toInt)
+        case _ => 10000
+      }
+      new ApproximatePercentile(x, level, Literal(accInt))
+    }),
     // -- -State / -Merge combinators, the spellings ClickHouse
     // materialized-view SQL emits (AggregatingMergeTree targets).
     // States here are Spark-native values with the same merge algebra:
@@ -2439,6 +2563,24 @@ object ChDialect {
     def get(m: Expression) = ElementAt(m, k, None, failOnError = false)
     MapFromArrays(keys,
       ArrayTransform(keys, LambdaFunction(f(get(a), get(b)), Seq(k))))
+  }
+
+  /** Stable for the life of this JVM — the serverUUID contract. */
+  private val SessionUuid: String = java.util.UUID.randomUUID().toString
+
+  /** Element-wise arithmetic over two array-encoded tuples, double
+    * precision (the tuplePlus family). */
+  private def tupleZip(a: Expression, b: Expression,
+                       f: (Expression, Expression) => Expression): Expression = {
+    val x = lamVar("gr_tz_x")
+    val y = lamVar("gr_tz_y")
+    ZipWith(a, b, LambdaFunction(f(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, _)  => i
+    case Literal(l: Long, _) => l.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
   private def litString(e: Expression, what: String): String = e match {

@@ -356,6 +356,80 @@ class DialectRound7bSpec extends SparkSpec {
     assert(cover.exists(_.startsWith("gcp")) || cover.exists(_.startsWith("u10")))
   }
 
+  test("format: sequential {}, positional {N}, brace escapes") {
+    assert(s("format('{} owns {}', 'a', 'b')") == "a owns b")
+    assert(s("format('{1} then {0}', 'x', 'y')") == "y then x")
+    assert(s("format('{{literal}} {}', 42)") == "{literal} 42")
+    assert(s("format('no holes')") == "no holes")
+    intercept[Exception] { spark.sql("SELECT format('{2}', 'a') AS v").collect() }
+  }
+
+  test("tuple arithmetic over array-encoded tuples") {
+    val r = spark.sql(
+      """SELECT tuplePlus(array(1, 2), array(10, 20)) AS p,
+                tupleMinus(array(5.0, 3.0), array(1.0, 1.0)) AS m,
+                tupleMultiply(array(2, 3), array(4, 5)) AS x,
+                tupleDivide(array(8.0, 9.0), array(2.0, 3.0)) AS d,
+                tupleNegate(array(1, -2)) AS n,
+                tupleConcat(array(1, 2), array(3)) AS c,
+                tupleMultiplyByNumber(array(1.5, 2.5), 2) AS mn,
+                tupleDivideByNumber(array(4.0, 6.0), 2) AS dn""").head()
+    assert(r.getSeq[Double](0) == Seq(11.0, 22.0))
+    assert(r.getSeq[Double](1) == Seq(4.0, 2.0))
+    assert(r.getSeq[Double](2) == Seq(8.0, 15.0))
+    assert(r.getSeq[Double](3) == Seq(4.0, 3.0))
+    assert(r.getSeq[Double](4) == Seq(-1.0, 2.0))
+    assert(r.getSeq[Int](5) == Seq(1, 2, 3))
+    assert(r.getSeq[Double](6) == Seq(3.0, 5.0))
+    assert(r.getSeq[Double](7) == Seq(2.0, 3.0))
+  }
+
+  test("isNotDistinctFrom, serverUUID, toDecimal widths") {
+    val r = spark.sql(
+      """SELECT isNotDistinctFrom(NULL, NULL) AS nn,
+                isNotDistinctFrom(1, NULL) AS n1,
+                serverUUID() AS su, serverUUID() AS su2,
+                toDecimal32(3.14159, 2) AS d32,
+                toDecimal64(1234.5678, 4) AS d64,
+                toDecimal32OrNull('abc', 2) AS bad""").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == r.getString(3) && r.getString(2).length == 36)
+    assert(r.getDecimal(4).toPlainString == "3.14")
+    assert(r.getDecimal(5).toPlainString == "1234.5678")
+    assert(r.isNullAt(6))
+  }
+
+  test("generateULID: 26-char Crockford, time prefix round-trips to ms") {
+    val rows = spark.sql("SELECT generateULID() AS u FROM numbers(20)").collect().map(_.getString(0))
+    assert(rows.distinct.length == 20)
+    val re = "^[0-9ABCDEFGHJKMNPQRSTVWXYZ]{26}$".r
+    rows.foreach(u => assert(re.findFirstIn(u).isDefined, s"malformed ulid: $u"))
+    val ms = spark.sql(
+      s"SELECT unix_millis(ULIDStringToDateTime('${rows.head}')) AS m").head().getLong(0)
+    assert(math.abs(ms - System.currentTimeMillis()) < 3600_000L)
+  }
+
+  test("avgMap: per-key means from parallel arrays and map input") {
+    val r = spark.sql(
+      """SELECT avgMap(k, v) AS am
+         FROM VALUES (array('a', 'b'), array(10, 20)),
+                     (array('a'), array(30)) t(k, v)""").head()
+    val st = r.getStruct(0)
+    assert(st.getSeq[String](0) == Seq("a", "b"))
+    assert(st.getSeq[Double](1) == Seq(20.0, 20.0))
+  }
+
+  test("quantileDD: parametric spelling lands within accuracy of the exact median") {
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").lineitem.createOrReplaceTempView("li_dd")
+    val r = spark.sql(
+      """SELECT quantileDD(0.01)(l_extendedprice) AS p50,
+                quantileDD(0.01, 0.9)(l_extendedprice) AS p90,
+                percentile(l_extendedprice, 0.5) AS e50
+         FROM li_dd""").head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(2)) / r.getDouble(2) < 0.05)
+    assert(r.getDouble(1) > r.getDouble(0))
+  }
+
   test("zeros(N) table function joins the numbers() rewrite") {
     val r = spark.sql("SELECT count(*) AS c, sum(zero) AS s FROM zeros(7)").head()
     assert(r.getLong(0) == 7L && r.getLong(1) == 0L)
