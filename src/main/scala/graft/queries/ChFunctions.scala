@@ -664,6 +664,45 @@ object ChFunctions {
             ORDER BY k"""),
   )
 
+  /** Multi-needle search + regex group extraction over document
+    * text: multiSearchFirstPosition/FirstIndex/Any (leftmost-
+    * occurrence contract), case-insensitive match counting, all-
+    * matches group extraction (horizontal), first-match extraction —
+    * every column replayed in DuckDB via instr/list lambdas/
+    * regexp_extract_all. */
+  val q28n = GraftQuery(
+    "q28n_search_extract",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("docs_se")
+      s.sql("""WITH d AS (SELECT doc_id, lower(substring(text, 1, 64)) AS s
+                          FROM docs_se WHERE doc_id < 250)
+               SELECT doc_id AS k,
+                      CAST(multiSearchFirstPosition(s, array('data', 'key', 'row')) AS BIGINT) AS fp,
+                      multiSearchFirstIndex(s, array('data', 'key', 'row')) AS fi,
+                      multiSearchAny(s, array('data', 'key', 'row')) AS any_hit,
+                      countMatchesCaseInsensitive(s, 'the') AS cthe,
+                      extractAllGroupsHorizontal(s, '([a-z]{3})([a-z]+)')[0] AS g1,
+                      extractAllGroupsHorizontal(s, '([a-z]{3})([a-z]+)')[1] AS g2,
+                      regexpExtract(s, '([a-z]{4,})', 1) AS firstlong
+               FROM d ORDER BY k""")
+    },
+    Some("""WITH d AS (SELECT doc_id, lower(substr(text, 1, 64)) AS s
+                       FROM documents WHERE doc_id < 250),
+                 p AS (SELECT doc_id, s,
+                              [instr(s, 'data'), instr(s, 'key'), instr(s, 'row')] AS pos
+                       FROM d)
+            SELECT doc_id AS k,
+                   CAST(coalesce(list_min(list_filter(pos, x -> x > 0)), 0) AS BIGINT) AS fp,
+                   CAST(CASE WHEN list_min(list_filter(pos, x -> x > 0)) IS NULL THEN 0
+                        ELSE list_position(pos, list_min(list_filter(pos, x -> x > 0))) END AS BIGINT) AS fi,
+                   (instr(s, 'data') > 0 OR instr(s, 'key') > 0 OR instr(s, 'row') > 0) AS any_hit,
+                   CAST(length(regexp_extract_all(s, 'the', 0, 'i')) AS BIGINT) AS cthe,
+                   regexp_extract_all(s, '([a-z]{3})([a-z]+)', 1) AS g1,
+                   regexp_extract_all(s, '([a-z]{3})([a-z]+)', 2) AS g2,
+                   regexp_extract(s, '([a-z]{4,})', 1) AS firstlong
+            FROM p ORDER BY k"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1893,6 +1932,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
