@@ -158,6 +158,14 @@ object ChDialect {
     "toIntervalWeek"    -> (es => MakeDTInterval(Multiply(Cast(es.head, IntegerType), Literal(7)),
       Literal(0), Literal(0),
       Literal.create(org.apache.spark.sql.types.Decimal(0, 18, 6), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    // sub-second constructors: decimal seconds (ns truncates to the
+    // engine's µs axis, documented in SURVEY §5)
+    "toIntervalMillisecond" -> (es => MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Cast(Divide(Cast(es.head, DoubleType), Literal(1e3)), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalMicrosecond" -> (es => MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Cast(Divide(Cast(es.head, DoubleType), Literal(1e6)), org.apache.spark.sql.types.DecimalType(18, 6)))),
+    "toIntervalNanosecond" -> (es => MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Cast(Divide(Cast(es.head, DoubleType), Literal(1e9)), org.apache.spark.sql.types.DecimalType(18, 6)))),
     "toIntervalMonth"   -> (es => MakeYMInterval(Literal(0), Cast(es.head, IntegerType))),
     "toIntervalQuarter" -> (es => MakeYMInterval(Literal(0), Multiply(Cast(es.head, IntegerType), Literal(3)))),
     "toIntervalYear"    -> (es => MakeYMInterval(Cast(es.head, IntegerType), Literal(0))),
@@ -193,6 +201,36 @@ object ChDialect {
         case (_, other) => throw new IllegalArgumentException(
           s"toStartOfInterval expects an INTERVAL literal, got $other")
       }
+    }),
+    // streaming-SQL window TVF spellings as scalars: tumble gives the
+    // containing fixed window's bounds, hop the bounds of the slot-
+    // aligned window (day-time interval literals only — month-grain
+    // windows aren't fixed-width)
+    "tumbleStart" -> (es => windowFloor(es(0), intervalMicros(es(1), "tumbleStart"))),
+    "tumbleEnd" -> (es => {
+      val w = intervalMicros(es(1), "tumbleEnd")
+      MicrosToTimestamp(Add(UnixMicros(Cast(windowFloor(es(0), w), TimestampType)), Literal(w)))
+    }),
+    "tumble" -> (es => {
+      val w = intervalMicros(es(1), "tumble")
+      val start = windowFloor(es(0), w)
+      CreateNamedStruct(Seq(
+        Literal("start"), start,
+        Literal("end"), MicrosToTimestamp(Add(UnixMicros(Cast(start, TimestampType)), Literal(w)))))
+    }),
+    "hopStart" -> (es => windowFloor(es(0), intervalMicros(es(1), "hopStart"))),
+    "hopEnd" -> (es => {
+      val hop = intervalMicros(es(1), "hopEnd")
+      val size = intervalMicros(es(2), "hopEnd")
+      MicrosToTimestamp(Add(UnixMicros(Cast(windowFloor(es(0), hop), TimestampType)), Literal(size)))
+    }),
+    "hop" -> (es => {
+      val hop = intervalMicros(es(1), "hop")
+      val size = intervalMicros(es(2), "hop")
+      val start = windowFloor(es(0), hop)
+      CreateNamedStruct(Seq(
+        Literal("start"), start,
+        Literal("end"), MicrosToTimestamp(Add(UnixMicros(Cast(start, TimestampType)), Literal(size)))))
     }),
     "toStartOfQuarter" -> (es => TruncTimestamp(Literal("quarter"), es.head)),
     "toStartOfMinute"  -> (es => TruncTimestamp(Literal("minute"), es.head)),
@@ -358,6 +396,12 @@ object ChDialect {
     "quantileExactWeighted" -> (es => es match {
       case Seq(q, x, w) => GraftQuantileExactWeighted(q, x, w)
       case _            => throw new IllegalArgumentException("quantileExactWeighted takes (level)(expr, weight)")
+    }),
+    // t-digest-weighted spelling lands on the EXACT weighted kernel —
+    // strictly more accurate than the sketch it names, same contract
+    "quantileTDigestWeighted" -> (es => es match {
+      case Seq(q, x, w) => GraftQuantileExactWeighted(q, x, w)
+      case _ => throw new IllegalArgumentException("quantileTDigestWeighted takes (level)(expr, weight)")
     }),
     // groupArray(x) unbounded; groupArray(N)(x) (parametric, flattened
     // to (N, x)) keeps the N SMALLEST values after sorting — CH keeps
@@ -1842,6 +1886,14 @@ object ChDialect {
         Divide(Cast(x, DoubleType), Cast(es(1), DoubleType)), Seq(x)))
     }),
     "isNotDistinctFrom" -> (es => EqualNullSafe(es(0), es(1))),
+    // struct subcolumn by literal name (CH's tuple-element access
+    // spelling for named tuples)
+    "getSubcolumn" -> (es =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), es(1))),
+    // CH's nowInBlock re-evaluates per block; here it folds per query
+    // like now() — the same documented difference generateUUIDv7
+    // carries for its timestamp half
+    "nowInBlock" -> (_ => CurrentTimestamp()),
     // per-session stable UUID (CH's is per server process — same
     // contract: constant within a running engine)
     "serverUUID" -> (_ => Literal(SessionUuid)),
@@ -2563,6 +2615,23 @@ object ChDialect {
     def get(m: Expression) = ElementAt(m, k, None, failOnError = false)
     MapFromArrays(keys,
       ArrayTransform(keys, LambdaFunction(f(get(a), get(b)), Seq(k))))
+  }
+
+  /** Day-time interval literal → width in microseconds (the tumble/
+    * hop family's allowed window grain). */
+  private def intervalMicros(e: Expression, fn: String): Long = (e.dataType, e.eval()) match {
+    case (_: org.apache.spark.sql.types.DayTimeIntervalType, us: java.lang.Long) => us.longValue()
+    case (org.apache.spark.sql.types.CalendarIntervalType, ci: CalendarInterval)
+        if ci.months == 0 => ci.days * 86400000000L + ci.microseconds
+    case (_, other) => throw new IllegalArgumentException(
+      s"$fn expects a day-time INTERVAL literal, got $other")
+  }
+
+  /** Floor a timestamp to a w-microsecond grid. */
+  private def windowFloor(t: Expression, w: Long): Expression = {
+    require(w > 0, "window width must be positive")
+    val us = UnixMicros(Cast(t, TimestampType))
+    MicrosToTimestamp(Subtract(us, Pmod(us, Literal(w))))
   }
 
   /** Stable for the life of this JVM — the serverUUID contract. */

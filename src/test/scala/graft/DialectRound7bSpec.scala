@@ -430,6 +430,45 @@ class DialectRound7bSpec extends SparkSpec {
     assert(r.getDouble(1) > r.getDouble(0))
   }
 
+  test("tumble/hop window scalars: fixed-grid bounds from interval literals") {
+    val r = spark.sql(
+      """SELECT tumbleStart(timestamp'1970-01-01 00:20:00', INTERVAL 15 MINUTE) AS ts,
+                tumbleEnd(timestamp'1970-01-01 00:20:00', INTERVAL 15 MINUTE) AS te,
+                tumble(timestamp'1970-01-01 00:20:00', INTERVAL 15 MINUTE) AS t,
+                hopStart(timestamp'1970-01-01 00:20:00', INTERVAL 5 MINUTE, INTERVAL 15 MINUTE) AS hs,
+                hopEnd(timestamp'1970-01-01 00:20:00', INTERVAL 5 MINUTE, INTERVAL 15 MINUTE) AS he""").head()
+    def sec(i: Int) = r.getTimestamp(i).getTime / 1000
+    assert(sec(0) == 900L && sec(1) == 1800L)
+    val t = r.getStruct(2)
+    assert(t.getTimestamp(0).getTime / 1000 == 900L && t.getTimestamp(1).getTime / 1000 == 1800L)
+    assert(sec(3) == 1200L && sec(4) == 2100L) // hop slot 20:00, +15min window
+    intercept[Exception] {
+      spark.sql("SELECT tumbleStart(now(), INTERVAL 1 MONTH) AS v").collect()
+    }
+  }
+
+  test("sub-second interval constructors compose with toStartOfInterval") {
+    val r = spark.sql(
+      """SELECT toStartOfInterval(timestamp'1970-01-01 00:00:00.777', toIntervalMillisecond(250)) AS ms,
+                unix_micros(timestamp'1970-01-01 00:00:00' + toIntervalMicrosecond(1500)) AS us,
+                unix_micros(timestamp'1970-01-01 00:00:00' + toIntervalNanosecond(2000)) AS ns""").head()
+    assert(r.getTimestamp(0).getTime == 750L)
+    assert(r.getLong(1) == 1500L)
+    assert(r.getLong(2) == 2L) // ns truncates to the µs axis
+  }
+
+  test("getSubcolumn, nowInBlock, quantileTDigestWeighted") {
+    val r = spark.sql(
+      """SELECT getSubcolumn(named_struct('a', 7, 'b', 'x'), 'a') AS a,
+                nowInBlock() AS nb""").head()
+    assert(r.getInt(0) == 7)
+    assert(math.abs(r.getTimestamp(1).getTime - System.currentTimeMillis()) < 3600_000L)
+    val q = spark.sql(
+      """SELECT quantileTDigestWeighted(0.5)(double(v), w) AS med
+         FROM VALUES (1.0, 1), (10.0, 8), (100.0, 1) t(v, w)""").head()
+    assert(q.getDouble(0) == 10.0)
+  }
+
   test("zeros(N) table function joins the numbers() rewrite") {
     val r = spark.sql("SELECT count(*) AS c, sum(zero) AS s FROM zeros(7)").head()
     assert(r.getLong(0) == 7L && r.getLong(1) == 0L)
