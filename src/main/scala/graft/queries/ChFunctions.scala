@@ -1376,12 +1376,14 @@ object ChFunctions {
     "q25g_decay_anova",
     (s, dir) => {
       Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_dc")
+      // + 0.0 canonicalizes IEEE negative zero on every rounded stat
+      // (a tiny negative skew rounds to −0.0 at small SFs)
       s.sql("""SELECT l_returnflag,
-                      round(skewSamp(l_quantity), 4) AS sk_q,
-                      round(kurtSamp(l_quantity), 4) AS ku_q,
-                      round(analysisOfVariance(l_quantity, l_linenumber % 3), 4) AS f_stat,
-                      round(exponentialMovingAverage(30)(l_quantity, datediff(l_shipdate, DATE '1992-01-01')), 4) AS ema_q,
-                      round(exponentialTimeDecayedSum(30)(l_quantity, datediff(l_shipdate, DATE '1992-01-01')), 4) AS etds_q
+                      round(skewSamp(l_quantity), 4) + 0.0 AS sk_q,
+                      round(kurtSamp(l_quantity), 4) + 0.0 AS ku_q,
+                      round(analysisOfVariance(l_quantity, l_linenumber % 3), 4) + 0.0 AS f_stat,
+                      round(exponentialMovingAverage(30)(l_quantity, datediff(l_shipdate, DATE '1992-01-01')), 4) + 0.0 AS ema_q,
+                      round(exponentialTimeDecayedSum(30)(l_quantity, datediff(l_shipdate, DATE '1992-01-01')), 4) + 0.0 AS etds_q
                FROM lineitem_dc GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q,
@@ -1403,12 +1405,12 @@ object ChFunctions {
                         FROM base b JOIN mx m ON b.rf = m.rf GROUP BY b.rf)
             SELECT q.rf AS l_returnflag,
                    round(((q.s3/q.n) - 3*(q.s1/q.n)*(q.s2/q.n) + 2*pow(q.s1/q.n, 3)) * (q.n/(q.n-1))
-                         / pow(((q.s2/q.n) - pow(q.s1/q.n, 2)) * (q.n/(q.n-1)), 1.5), 4) AS sk_q,
+                         / pow(((q.s2/q.n) - pow(q.s1/q.n, 2)) * (q.n/(q.n-1)), 1.5), 4) + 0.0 AS sk_q,
                    round(((q.s4/q.n) - 4*(q.s1/q.n)*(q.s3/q.n) + 6*pow(q.s1/q.n, 2)*(q.s2/q.n) - 3*pow(q.s1/q.n, 4)) * (q.n/(q.n-1))
-                         / pow(((q.s2/q.n) - pow(q.s1/q.n, 2)) * (q.n/(q.n-1)), 2), 4) AS ku_q,
-                   round(((a.tt - a.s*a.s/a.n)/(a.k-1)) / ((q.s2 - a.tt)/(a.n - a.k)), 4) AS f_stat,
-                   round(e.ema_q, 4) AS ema_q,
-                   round(e.etds_q, 4) AS etds_q
+                         / pow(((q.s2/q.n) - pow(q.s1/q.n, 2)) * (q.n/(q.n-1)), 2), 4) + 0.0 AS ku_q,
+                   round(((a.tt - a.s*a.s/a.n)/(a.k-1)) / ((q.s2 - a.tt)/(a.n - a.k)), 4) + 0.0 AS f_stat,
+                   round(e.ema_q, 4) + 0.0 AS ema_q,
+                   round(e.etds_q, 4) + 0.0 AS etds_q
             FROM qt q JOIN an a ON q.rf = a.rf JOIN em e ON q.rf = e.rf
             ORDER BY l_returnflag"""),
   )
