@@ -185,4 +185,67 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("string-distance kernels: metric properties on random strings") {
+    import graft.plans.StringDistanceKernels._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val rnd = new scala.util.Random(77L)
+    def randStr() = {
+      val n = rnd.nextInt(12)
+      new String(Array.fill(n)(('a' + rnd.nextInt(4)).toChar))
+    }
+    (1 to 300).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      val j = jaro(u8(a), u8(b))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == jaro(u8(b), u8(a)), s"jaro asymmetric on '$a'/'$b'")
+      val jw = jaroWinkler(u8(a), u8(b))
+      assert(jw >= j - 1e-12 && jw <= 1.0, s"winkler below jaro on '$a'/'$b'")
+      val dl = damerauLevenshtein(u8(a), u8(b))
+      assert(dl == damerauLevenshtein(u8(b), u8(a)))
+      // DL is bounded by plain Levenshtein (transpositions only help)
+      val lev = {
+        val (x, y) = (a, b)
+        val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (x.charAt(i - 1) == y.charAt(j - 1)) 0 else 1))
+        d(x.length)(y.length)
+      }
+      assert(dl <= lev, s"DL $dl > lev $lev on '$a'/'$b'")
+      assert((dl == 0) == (a == b))
+      val bh = byteHamming(u8(a), u8(b))
+      assert(bh >= math.abs(a.length - b.length))
+      val sx = soundex(u8(a)).toString
+      assert(sx.isEmpty || (sx.length == 4 && sx.head.isLetter))
+    }
+  }
+
+  test("codec kernels: round trips on random input") {
+    import graft.plans.EncodingKernels._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val rnd = new scala.util.Random(78L)
+    (1 to 200).foreach { _ =>
+      val ascii = new String(Array.fill(rnd.nextInt(20))((32 + rnd.nextInt(95)).toChar))
+      assert(base58Decode(base58Encode(u8(ascii))).toString == ascii)
+      assert(base64UrlDecode(base64UrlEncode(u8(ascii))).toString == ascii)
+      val uni = new String(Array.fill(rnd.nextInt(12))(
+        if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar else (0xC0 + rnd.nextInt(0x500)).toChar))
+      assert(punycodeDecode(punycodeEncode(u8(uni))).toString == uni, s"punycode round trip '$uni'")
+    }
+  }
+
+  test("readable-size round trip and hash determinism on random values") {
+    val rnd = new scala.util.Random(79L)
+    val vals = Seq.fill(50)(math.abs(rnd.nextLong()) % 1000000000000L + 1)
+    val df = vals.toDF("b").selectExpr(
+      "b", "parseReadableSize(formatReadableSize(b)) AS rt", "xxHash32(CAST(b AS STRING)) AS h32")
+    df.collect().foreach { r =>
+      val (b, rt) = (r.getLong(0), r.getLong(1))
+      // formatReadableSize keeps 2 decimals, so the round trip is within 0.5%
+      assert(math.abs(rt - b).toDouble / b < 0.005, s"$b -> $rt")
+      val h = r.getLong(2)
+      assert(h >= 0 && h <= 0xFFFFFFFFL)
+    }
+  }
 }
