@@ -1039,6 +1039,36 @@ object ChFunctions {
                   FROM lineitem GROUP BY 1) t"""),
   )
 
+  /** avgMap/minMap/maxMap: the rest of the -Map combinator family —
+    * avgMap composes two map-agg buffers (sum and per-key count) and
+    * divides element-wise; min/max share sumMap's
+    * TypedImperativeAggregate with a different combine. Key-sorted
+    * eval makes the serialization deterministic; the oracle is the
+    * plain GROUP BY restated as joined strings. */
+  val q27h = GraftQuery(
+    "q27h_map_avg_minmax",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_am")
+      s.sql("""SELECT arrayStringConcat(am.keys, ',') AS a_keys,
+                      arrayStringConcat(arrayMap(x -> toString(round(x, 4)), am.vals), ',') AS a_avgs,
+                      arrayStringConcat(arrayMap(x -> toString(x), mn.vals), ',') AS mins,
+                      arrayStringConcat(arrayMap(x -> toString(x), mx.vals), ',') AS maxs
+               FROM (SELECT avgMap(array(l_returnflag), array(CAST(l_quantity AS BIGINT))) AS am,
+                            minMap(array(l_returnflag), array(CAST(l_quantity AS BIGINT))) AS mn,
+                            maxMap(array(l_returnflag), array(CAST(l_quantity AS BIGINT))) AS mx
+                     FROM lineitem_am) t""")
+    },
+    Some("""SELECT string_agg(rf, ',' ORDER BY rf) AS a_keys,
+                   string_agg(CAST(a AS VARCHAR), ',' ORDER BY rf) AS a_avgs,
+                   string_agg(CAST(mn AS VARCHAR), ',' ORDER BY rf) AS mins,
+                   string_agg(CAST(mx AS VARCHAR), ',' ORDER BY rf) AS maxs
+            FROM (SELECT l_returnflag AS rf,
+                         round(avg(CAST(l_quantity AS BIGINT)), 4) AS a,
+                         min(CAST(l_quantity AS BIGINT)) AS mn,
+                         max(CAST(l_quantity AS BIGINT)) AS mx
+                  FROM lineitem GROUP BY 1) t"""),
+  )
+
   /** groupArrayMovingSum/Avg(n)(x) in their parametric spelling: a
     * 3-wide moving window over each group's SORTED value array
     * (determinism choice documented at the registration). Arrays
@@ -1934,6 +1964,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
