@@ -122,6 +122,26 @@ object ChDialect {
     "dateTimeToSnowflake" -> (es => ShiftLeft(Subtract(
       Cast(Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType), Literal(1000.0d)), LongType),
       Literal(1288834974657L)), Literal(22))),
+    // the 64-suffixed snowflake pair is the same arithmetic — the
+    // DateTime64 spelling only widens the printed precision
+    "snowflakeToDateTime64" -> (es => MicrosToTimestamp(Multiply(
+      Add(ShiftRight(Cast(es.head, LongType), Literal(22)), Literal(1288834974657L)),
+      Literal(1000L)))),
+    "dateTime64ToSnowflake" -> (es => ShiftLeft(Subtract(
+      Cast(Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType), Literal(1000.0d)), LongType),
+      Literal(1288834974657L)), Literal(22))),
+    // Spark timestamps are instants rendered in the session zone;
+    // toTimeZone's "same instant, different wall clock" is
+    // from_utc_timestamp under the session's pinned-UTC convention
+    // (GraftSession sets spark.sql.session.timeZone=UTC)
+    "toTimeZone" -> (es => FromUTCTimestamp(Cast(es.head, TimestampType), es(1))),
+    "timeZoneOf" -> (_ => CurrentTimeZone()),
+    "timezoneOf" -> (_ => CurrentTimeZone()),
+    "timeZone"   -> (_ => CurrentTimeZone()),
+    "timezone"   -> (_ => CurrentTimeZone()),
+    "serverTimeZone" -> (_ => CurrentTimeZone()),
+    "serverTimezone" -> (_ => CurrentTimeZone()),
+    "UTCTimestamp"   -> (_ => CurrentTimestamp()),
     "now64" -> (_ => CurrentTimestamp()),
     // Monday of ISO week 1: the ISO year is the year of the week's
     // Thursday; week 1 contains Jan 4
@@ -428,6 +448,10 @@ object ChDialect {
     }),
     // Excel PERCENTILE.INC — exactly the interpolated exact quantile
     "quantileExactInclusive" -> (es => new Percentile(es(1), es(0))),
+    // groupArray's -Array combinator: concatenate the group's arrays
+    // (same insertion-order caveat as groupArray — callers sort)
+    "groupArrayArray" -> (es =>
+      Flatten(CollectList(es.head).toAggregateExpression())),
     "groupArray" -> (es =>
       if (es.length == 1) CollectList(es.head)
       else {
@@ -1064,6 +1088,24 @@ object ChDialect {
       case Seq(p, x) => new Percentile(x, p)
       case _         => throw new IllegalArgumentException("quantileTiming takes (level)(expr)")
     }),
+    // weighted/plural timing spellings land on the exact kernels the
+    // unweighted one does (strictly more accurate than CH's
+    // bounded-state timing sketch; same call-shape contract)
+    "quantileTimingWeighted" -> (es => es match {
+      case Seq(x, w)    => GraftQuantileExactWeighted(Literal(0.5), x, w)
+      case Seq(p, x, w) => GraftQuantileExactWeighted(p, x, w)
+      case _ => throw new IllegalArgumentException("quantileTimingWeighted takes (level)(expr, weight)")
+    }),
+    "quantilesTiming" -> (es => {
+      require(es.length >= 2, "quantilesTiming takes (l1, l2, …)(expr)")
+      new Percentile(es.last, CreateArray(es.init))
+    }),
+    "quantilesTimingWeighted" -> (es => {
+      require(es.length >= 3, "quantilesTimingWeighted takes (l1, l2, …)(expr, weight)")
+      val (x, w) = (es(es.length - 2), es.last)
+      CreateArray(es.dropRight(2).map(p =>
+        GraftQuantileExactWeighted(p, x, w).toAggregateExpression()))
+    }),
     "quantileDeterministic" -> (es => es match {
       case Seq(p, x, _) => new Percentile(x, p)
       case Seq(x, _)    => new Percentile(x, Literal(0.5))
@@ -1139,6 +1181,11 @@ object ChDialect {
     "sumMap" -> (es => mapAggOf(es, "sum")),
     "maxMap" -> (es => mapAggOf(es, "max")),
     "minMap" -> (es => mapAggOf(es, "min")),
+    // the -MappedArrays spellings are the same aggregates under their
+    // explicit (keys, values) array signature
+    "sumMappedArrays" -> (es => mapAggOf(es, "sum")),
+    "maxMappedArrays" -> (es => mapAggOf(es, "max")),
+    "minMappedArrays" -> (es => mapAggOf(es, "min")),
     // avgMap = sumMap / per-key occurrence count, composed from two
     // map-agg buffers (both eval key-sorted, so the zip aligns);
     // result values are always double
@@ -1367,6 +1414,57 @@ object ChDialect {
     "cutQueryString"      -> (es => RegExpReplace(es.head, Literal("\\?[^#]*"), Literal(""))),
     "topLevelDomain"      -> (es =>
       coalesceEmpty(RegExpExtract(ParseUrl(Seq(es.head, Literal("HOST"))), Literal("([^.]+)$"), Literal(1)))),
+    // URL long tail: regex/array compositions (scheme-optional like
+    // CH, unlike java.net.URI), all codegen-friendly
+    "domainWithoutWWW" -> (es =>
+      RegExpReplace(urlHostExpr(es.head), Literal("^www\\."), Literal(""))),
+    "netloc" -> (es => urlNetlocExpr(es.head)),
+    "port" -> (es => {
+      val p = RegExpExtract(urlNetlocExpr(es.head), Literal(":(\\d+)$"), Literal(1))
+      val dflt: Expression =
+        if (es.length >= 2) Cast(es(1), IntegerType) else Literal(0)
+      If(EqualTo(Length(p), Literal(0)), dflt, Cast(p, IntegerType))
+    }),
+    "firstSignificantSubdomain" -> (es => {
+      val (labels, n, sld) = hostLabels(urlHostExpr(es.head))
+      If(And(GreaterThanOrEqual(n, Literal(3)), In(sld, significantSlds)),
+        ElementAt(labels, Subtract(n, Literal(2)), None, failOnError = false),
+        If(GreaterThanOrEqual(n, Literal(2)), sld, Literal("")))
+    }),
+    "cutToFirstSignificantSubdomain" -> (es => {
+      val (labels, n, sld) = hostLabels(urlHostExpr(es.head))
+      def lastK(k: Int) = ArrayJoin(
+        Slice(labels, Subtract(n, Literal(k - 1)), Literal(k)), Literal("."), None)
+      If(And(GreaterThanOrEqual(n, Literal(3)), In(sld, significantSlds)),
+        lastK(3), If(GreaterThanOrEqual(n, Literal(2)), lastK(2), Literal("")))
+    }),
+    "cutWWW" -> (es => RegExpReplace(es.head,
+      Literal("^((?:[A-Za-z][A-Za-z0-9+.-]*://)?)www\\."), Literal("$1"))),
+    "cutFragment" -> (es =>
+      RegExpReplace(es.head, Literal("(?s)#.*$"), Literal(""))),
+    "cutQueryStringAndFragment" -> (es =>
+      RegExpReplace(es.head, Literal("(?s)[?#].*$"), Literal(""))),
+    "queryStringAndFragment" -> (es => {
+      val q = RegExpExtract(es.head, Literal("\\?([^#]*)"), Literal(1))
+      val f = RegExpExtract(es.head, Literal("(?s)#(.*)$"), Literal(1))
+      If(Contains(es.head, Literal("#")), Concat(Seq(q, Literal("#"), f)), q)
+    }),
+    "extractURLParameters" -> (es => {
+      val qs = RegExpExtract(es.head, Literal("\\?([^#]*)"), Literal(1))
+      val p  = lamVar("gr_up_p")
+      ArrayFilter(StringSplit(qs, Literal("&"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
+    }),
+    "extractURLParameterNames" -> (es => {
+      val qs = RegExpExtract(es.head, Literal("\\?([^#]*)"), Literal(1))
+      val p  = lamVar("gr_up_n")
+      ArrayTransform(
+        ArrayFilter(StringSplit(qs, Literal("&"), Literal(-1)),
+          LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p))),
+        LambdaFunction(RegExpExtract(p, Literal("^([^=]*)"), Literal(1)), Seq(p)))
+    }),
+    "URLHierarchy"     -> (es => urlHierarchyExpr(es.head, pathOnly = false)),
+    "URLPathHierarchy" -> (es => urlHierarchyExpr(es.head, pathOnly = true)),
     // -- IPv4 (CH stores IPv4 as UInt32; the long math is identical)
     "IPv4NumToString" -> (es => {
       val n = Cast(es.head, LongType)
@@ -2290,6 +2388,21 @@ object ChDialect {
       "runningAccumulate is block-order dependent; use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)")),
     "neighbor" -> (_ => throw new UnsupportedOperationException(
       "neighbor is block-order dependent; use lagInFrame/leadInFrame OVER (ORDER BY …)")),
+    // SGD aggregates fold state in row-visit order — nondeterministic
+    // on a distributed engine; the closed-form spelling is exact
+    "stochasticLinearRegression" -> (_ => throw new UnsupportedOperationException(
+      "stochasticLinearRegression's SGD state is row-order dependent; " +
+        "use simpleLinearRegression (closed form, order-independent)")),
+    "stochasticLogisticRegression" -> (_ => throw new UnsupportedOperationException(
+      "stochasticLogisticRegression's SGD state is row-order dependent; " +
+        "fit offline and score with the expression language instead")),
+    // bounded-edit-distance regex needs a hyperscan-class engine
+    "multiFuzzyMatchAny" -> (_ => throw new UnsupportedOperationException(
+      "multiFuzzyMatchAny needs a fuzzy regex engine; use multiMatchAny " +
+        "(exact) or ngramDistance/editDistance for fuzzy candidates")),
+    "multiFuzzyMatchAnyIndex" -> (_ => throw new UnsupportedOperationException(
+      "multiFuzzyMatchAnyIndex needs a fuzzy regex engine; use multiMatchAnyIndex " +
+        "(exact) or ngramDistance/editDistance for fuzzy candidates")),
     // -- aggregate combinators. -Distinct forces DISTINCT on the
     // underlying native aggregate; -OrNull yields NULL on an empty
     // set (count is the only family member that needs a shim — the
@@ -2917,6 +3030,85 @@ object ChDialect {
       Cast(new IntegralDivide(
         Subtract(Length(hay), Length(StringReplace(hay, needle, Literal("")))),
         Length(needle)), LongType))
+
+  /** Scheme-optional host extraction (ClickHouse's domain() accepts
+    * `ex.com/path` without a scheme, unlike java.net.URI): optional
+    * scheme, optional userinfo, host up to the first `:/?#`. */
+  private def urlHostExpr(url: Expression): Expression =
+    RegExpExtract(url,
+      Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^@/?#]*@)?([^/?#:]+)"), Literal(1))
+
+  /** netloc: everything between the optional scheme and the first
+    * `/?#` — userinfo, host and port kept verbatim (CH semantics). */
+  private def urlNetlocExpr(url: Expression): Expression =
+    RegExpExtract(url, Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)"), Literal(1))
+
+  /** The public-suffix-adjacent label set the documented
+    * firstSignificantSubdomain heuristic keys on: a host whose
+    * second-from-end label is one of these (com.tr, co.uk, …) takes
+    * its third-from-end label as significant. ClickHouse embeds a
+    * full public-suffix list; this is the documented core of it —
+    * spec-pinned, and the divergence is only on exotic suffixes. */
+  private val significantSlds: Seq[Expression] =
+    Seq("com", "net", "org", "co", "biz", "edu", "gov", "mil").map(Literal(_))
+
+  /** (labels, count, second-from-end label) of a host — the shared
+    * decomposition under the firstSignificantSubdomain pair. */
+  private def hostLabels(host: Expression): (Expression, Expression, Expression) = {
+    val labels = StringSplit(host, Literal("\\."), Literal(-1))
+    val n = Size(labels)
+    val sld = ElementAt(labels, Subtract(n, Literal(1)), None, failOnError = false)
+    (labels, n, sld)
+  }
+
+  /** URLHierarchy/URLPathHierarchy: the URL truncated after each run
+    * of `/` `?` separators past the authority (consecutive separators
+    * collapse — the cut lands after the run), full URL appended when
+    * it doesn't end in a separator. pathOnly drops the scheme+
+    * authority prefix and the bare `/` root element (CH shape). All
+    * array ops — no UDF, O(|tail|) per row. */
+  private def urlHierarchyExpr(url: Expression, pathOnly: Boolean): Expression = {
+    val schemeIdx = StringInstr(url, Literal("://"))
+    val prefixLen = If(GreaterThan(schemeIdx, Literal(0)),
+      Add(schemeIdx, Literal(2)), Literal(0))
+    val after = Substring(url, Add(prefixLen, Literal(1)), Literal(Int.MaxValue))
+    def posOf(c: String): Expression = {
+      val p = StringInstr(after, Literal(c))
+      If(EqualTo(p, Literal(0)), Add(Length(after), Literal(1)), p)
+    }
+    val firstSep = Least(Seq(posOf("/"), posOf("?"), posOf("#")))
+    val base = Substring(url, Literal(1), Subtract(Add(prefixLen, firstSep), Literal(1)))
+    val tail = Substring(url, Add(prefixLen, firstSep), Literal(Int.MaxValue))
+    val len  = Length(tail)
+    def isSep(e: Expression): Expression =
+      In(e, Seq(Literal("/"), Literal("?")))
+    val i = lamVar("gr_uh_i")
+    // positions ending a separator run ("consecutive separators count
+    // as one; the cut is made after all of them")
+    val runEnds = ArrayFilter(
+      // Slice guards the empty tail: Sequence(1, 0) would run DOWN
+      Slice(new Sequence(Literal(0), len, None), Literal(2), len),
+      LambdaFunction(And(isSep(Substring(tail, i, Literal(1))),
+        Or(EqualTo(i, len), Not(isSep(Substring(tail, Add(i, Literal(1)), Literal(1)))))), Seq(i)))
+    val cutAt = lamVar("gr_uh_c")
+    val levels = ArrayTransform(runEnds,
+      LambdaFunction(
+        if (pathOnly) Substring(tail, Literal(1), cutAt)
+        else Concat(Seq(base, Substring(tail, Literal(1), cutAt))), Seq(cutAt)))
+    val lastIsSep = And(GreaterThan(len, Literal(0)),
+      isSep(Substring(tail, len, Literal(1))))
+    val full: Expression = if (pathOnly) tail else url
+    val withFull = If(lastIsSep, levels,
+      Concat(Seq(levels, CreateArray(Seq(full)))))
+    val empty = Literal.create(Seq.empty[String],
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    if (pathOnly) {
+      // the bare "/" root level is not part of the CH path hierarchy
+      val e = lamVar("gr_uh_e")
+      If(LessThanOrEqual(len, Literal(0)), empty,
+        ArrayFilter(withFull, LambdaFunction(Not(EqualTo(e, Literal("/"))), Seq(e))))
+    } else If(LessThanOrEqual(len, Literal(0)), CreateArray(Seq(url)), withFull)
+  }
 
   /** ClickHouse's transform/caseWithExpression remap: x found in
     * `from` → the matching `to` element, else `default`. */

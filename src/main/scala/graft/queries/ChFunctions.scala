@@ -703,6 +703,84 @@ object ChFunctions {
             FROM p ORDER BY k"""),
   )
 
+  /** URL long tail over four generated URL shapes (www + two-level
+    * suffix + query + fragment; userinfo + explicit port; bare co.uk;
+    * subdomain + root query): domainWithoutWWW, the
+    * firstSignificantSubdomain pair, netloc, port,
+    * queryStringAndFragment, cutWWW/cutFragment, both hierarchy
+    * arrays and parameter-name extraction. The oracle replays each
+    * expected value from the generating template per URL shape —
+    * every output is a deterministic string function of (m, t, uid,
+    * k), so the comparison is exact. */
+  val q28o = GraftQuery(
+    "q28o_url_tail",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_ut")
+      s.sql("""SELECT domainWithoutWWW(url) AS host_nw,
+                      firstSignificantSubdomain(url) AS fss,
+                      cutToFirstSignificantSubdomain(url) AS cfss,
+                      netloc(url) AS nl,
+                      port(url) AS prt,
+                      count(*) AS cnt,
+                      max(queryStringAndFragment(url)) AS max_qf,
+                      max(cutWWW(url)) AS max_cw,
+                      max(cutFragment(url)) AS max_cf,
+                      max(arrayStringConcat(URLHierarchy(url), ' ')) AS max_hier,
+                      max(arrayStringConcat(URLPathHierarchy(url), ' ')) AS max_ph,
+                      max(arrayStringConcat(extractURLParameterNames(url), ',')) AS pnames
+               FROM (SELECT CASE modulo(event_id, 4)
+                       WHEN 0 THEN concat('https://www.ex', toString(modulo(user_id, 3)), '.com.tr/a/b?uid=',
+                                          toString(user_id), '&k=', toString(modulo(event_id, 7)), '#frag')
+                       WHEN 1 THEN concat('http://user:pw@ex', toString(modulo(user_id, 3)), '.org:8080/p/q/r')
+                       WHEN 2 THEN concat('https://ex', toString(modulo(user_id, 3)), '.co.uk/solo')
+                       ELSE concat('https://sub.ex', toString(modulo(user_id, 3)), '.io/?a=1&b=2') END AS url
+                     FROM events_ut) t
+               GROUP BY 1, 2, 3, 4, 5 ORDER BY host_nw, nl""")
+    },
+    Some("""WITH b AS (SELECT user_id % 3 AS m, event_id % 4 AS t,
+                              CAST(user_id AS VARCHAR) AS us,
+                              CAST(event_id % 7 AS VARCHAR) AS ks
+                       FROM events),
+                 r AS (SELECT t, concat('ex', CAST(m AS VARCHAR)) AS ex, us, ks,
+                              CASE t
+                                WHEN 0 THEN concat('https://www.ex', CAST(m AS VARCHAR), '.com.tr/a/b?uid=', us, '&k=', ks, '#frag')
+                                WHEN 1 THEN concat('http://user:pw@ex', CAST(m AS VARCHAR), '.org:8080/p/q/r')
+                                WHEN 2 THEN concat('https://ex', CAST(m AS VARCHAR), '.co.uk/solo')
+                                ELSE concat('https://sub.ex', CAST(m AS VARCHAR), '.io/?a=1&b=2') END AS url
+                       FROM b),
+                 x AS (SELECT t, ex, url,
+                              CASE t WHEN 0 THEN concat(ex, '.com.tr') WHEN 1 THEN concat(ex, '.org')
+                                     WHEN 2 THEN concat(ex, '.co.uk') ELSE concat('sub.', ex, '.io') END AS host_nw,
+                              ex AS fss,
+                              CASE t WHEN 0 THEN concat(ex, '.com.tr') WHEN 1 THEN concat(ex, '.org')
+                                     WHEN 2 THEN concat(ex, '.co.uk') ELSE concat(ex, '.io') END AS cfss,
+                              CASE t WHEN 0 THEN concat('www.', ex, '.com.tr') WHEN 1 THEN concat('user:pw@', ex, '.org:8080')
+                                     WHEN 2 THEN concat(ex, '.co.uk') ELSE concat('sub.', ex, '.io') END AS nl,
+                              CASE t WHEN 1 THEN 8080 ELSE 0 END AS prt,
+                              CASE t WHEN 0 THEN concat('uid=', us, '&k=', ks, '#frag')
+                                     WHEN 3 THEN 'a=1&b=2' ELSE '' END AS qf,
+                              CASE t WHEN 0 THEN concat('https://', ex, '.com.tr/a/b?uid=', us, '&k=', ks, '#frag')
+                                     ELSE url END AS cw,
+                              CASE t WHEN 0 THEN concat('https://www.', ex, '.com.tr/a/b?uid=', us, '&k=', ks)
+                                     ELSE url END AS cf,
+                              CASE t
+                                WHEN 0 THEN concat('https://www.', ex, '.com.tr/ https://www.', ex, '.com.tr/a/ https://www.', ex, '.com.tr/a/b? ', url)
+                                WHEN 1 THEN concat('http://user:pw@', ex, '.org:8080/ http://user:pw@', ex, '.org:8080/p/ http://user:pw@', ex, '.org:8080/p/q/ ', url)
+                                WHEN 2 THEN concat('https://', ex, '.co.uk/ ', url)
+                                ELSE concat('https://sub.', ex, '.io/? ', url) END AS hier,
+                              CASE t
+                                WHEN 0 THEN concat('/a/ /a/b? /a/b?uid=', us, '&k=', ks, '#frag')
+                                WHEN 1 THEN '/p/ /p/q/ /p/q/r'
+                                WHEN 2 THEN '/solo'
+                                ELSE '/? /?a=1&b=2' END AS ph,
+                              CASE t WHEN 0 THEN 'uid,k' WHEN 3 THEN 'a,b' ELSE '' END AS pn
+                       FROM r)
+            SELECT host_nw, fss, cfss, nl, prt, count(*) AS cnt,
+                   max(qf) AS max_qf, max(cw) AS max_cw, max(cf) AS max_cf,
+                   max(hier) AS max_hier, max(ph) AS max_ph, max(pn) AS pnames
+            FROM x GROUP BY 1, 2, 3, 4, 5 ORDER BY host_nw, nl"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -1964,6 +2042,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
