@@ -998,6 +998,61 @@ object ChDialect {
     // in at least one argument but not in all of them
     "arraySymmetricDifference" -> (es =>
       ArrayExcept(ArrayDistinct(Concat(es)), es.reduce(ArrayIntersect(_, _)))),
+    // arrayFill/arrayReverseFill: elements whose predicate fails take
+    // the nearest preceding (resp. following) passing value. The user
+    // lambda maps to a flag array under its own HOF root; the fill is
+    // a pure struct-accumulator fold after that.
+    "arrayFill" -> (es =>
+      fillForward(es(1), hofFlags(es))),
+    // hofVeneer: the analyzer wants the ROOT of a lambda-taking call
+    // to be a HigherOrderFunction (the arrayFirstIndex precedent)
+    "arrayReverseFill" -> (es => hofVeneer(es(1),
+      Reverse(fillForward(Reverse(es(1)), Reverse(hofFlags(es)))))),
+    // arraySplit cuts BEFORE each flagged element (the first element
+    // never opens a cut); arrayReverseSplit cuts AFTER each flagged
+    // element (a flagged last element opens none)
+    "arraySplit" -> (es => {
+      val arr = es(1)
+      val flags = hofFlags(es)
+      val n = Size(arr)
+      val i = lamVar("gr_sp_i")
+      val cuts = ArrayFilter(oneToN(n),
+        LambdaFunction(And(GreaterThanOrEqual(i, Literal(2)),
+          Cast(ElementAt(flags, i, None, failOnError = false),
+            org.apache.spark.sql.types.BooleanType)), Seq(i)))
+      hofVeneer(arr, sliceByCuts(arr, cuts))
+    }),
+    "arrayReverseSplit" -> (es => {
+      val arr = es(1)
+      val flags = hofFlags(es)
+      val n = Size(arr)
+      val i = lamVar("gr_rs_i")
+      val cuts = ArrayTransform(
+        ArrayFilter(oneToN(n),
+          LambdaFunction(And(LessThan(i, n),
+            Cast(ElementAt(flags, i, None, failOnError = false),
+              org.apache.spark.sql.types.BooleanType)), Seq(i))),
+        LambdaFunction(Add(i, Literal(1)), Seq(i)))
+      hofVeneer(arr, sliceByCuts(arr, cuts))
+    }),
+    // contiguous-subsequence containment; an empty needle is always
+    // contained (CH convention)
+    "hasSubstr" -> (es => {
+      val (a, b) = (es(0), es(1))
+      val nb = Size(b)
+      val m = Add(Subtract(Size(a), nb), Literal(1))
+      val i = lamVar("gr_hs_i")
+      If(LessThanOrEqual(nb, Literal(0)), Literal(true),
+        ArrayExists(oneToN(m),
+          LambdaFunction(EqualTo(Slice(a, i, nb), b), Seq(i))))
+    }),
+    // element_at that yields NULL on every out-of-range index —
+    // including CH's never-valid index 0 (element_at would raise)
+    "arrayElementOrNull" -> (es => {
+      val idx = Cast(es(1), IntegerType)
+      If(EqualTo(idx, Literal(0)), GetArrayItem(es(0), Literal(Int.MaxValue), failOnError = false),
+        ElementAt(es(0), idx, None, failOnError = false))
+    }),
     // arraySum/arrayAvg: 1-arg form over the array itself, 2-arg form
     // maps the lambda first. Sum via the fold expression (aggregate).
     "arraySum" -> (es =>
@@ -1863,6 +1918,25 @@ object ChDialect {
       returnNullable = false)),
     "gcd" -> (es => GcdExpr(Cast(es(0), LongType), Cast(es(1), LongType))),
     "lcm" -> (es => LcmExpr(Cast(es(0), LongType), Cast(es(1), LongType))),
+    // special functions — straight static calls into the
+    // commons-math3 kernels Spark already ships (codegen'd via
+    // StaticInvoke like reverseBits above; same double-precision
+    // algorithms ClickHouse's libm backs these with)
+    "erf" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[org.apache.commons.math3.special.Erf], DoubleType, "erf",
+      Seq(Cast(es.head, DoubleType)), returnNullable = false)),
+    "erfc" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[org.apache.commons.math3.special.Erf], DoubleType, "erfc",
+      Seq(Cast(es.head, DoubleType)), returnNullable = false)),
+    "lgamma" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[org.apache.commons.math3.special.Gamma], DoubleType, "logGamma",
+      Seq(Cast(es.head, DoubleType)), returnNullable = false)),
+    "tgamma" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[org.apache.commons.math3.special.Gamma], DoubleType, "gamma",
+      Seq(Cast(es.head, DoubleType)), returnNullable = false)),
+    // binary min/max in Float64, the CH contract
+    "min2" -> (es => Least(es.map(Cast(_, DoubleType)))),
+    "max2" -> (es => Greatest(es.map(Cast(_, DoubleType)))),
     "bitShiftLeft"  -> (es => ShiftLeft(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitShiftRight" -> (es => ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitRotateLeft" -> (es => {
@@ -1995,6 +2069,10 @@ object ChDialect {
     // per-session stable UUID (CH's is per server process — same
     // contract: constant within a running engine)
     "serverUUID" -> (_ => Literal(SessionUuid)),
+    // seconds since this JVM came up — the serverUUID of durations
+    "uptime" -> (_ => Cast(Divide(
+      Cast(Subtract(UnixMillis(CurrentTimestamp()), Literal(JvmStartMs)), DoubleType),
+      Literal(1000.0d)), LongType)),
     // Decimal conversions: toDecimalN(x, scale) with CH's width map
     "toDecimal32"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32 scale")))),
     "toDecimal64"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64 scale")))),
@@ -2113,6 +2191,18 @@ object ChDialect {
       Multiply(Cast(es(1), DoubleType),
         Tan(Multiply(Literal(math.Pi),
           Subtract(new Rand(Literal(scala.util.Random.nextLong())), Literal(0.5d))))))),
+    // 64-bit uniform: xxhash of a fresh-seeded rand (all 64 bits
+    // exercised; CH's rand64 contract is "uniform UInt64", not a
+    // specific stream)
+    "rand64" -> (_ => new XxHash64(Seq(new Rand(Literal(scala.util.Random.nextLong()))))),
+    // one random value per query, constant across rows — drawn at
+    // plan build, exactly CH's per-block-constant intent
+    "randConstant" -> (_ => Literal(scala.util.Random.nextLong() >>> 32)),
+    // random printable strings (space..tilde). randomString shares
+    // the printable alphabet — emitting raw random bytes would
+    // produce invalid UTF-8 under Spark's string type.
+    "randomPrintableASCII" -> (es => randPrintable(es.head)),
+    "randomString"         -> (es => randPrintable(es.head)),
     // UUIDv7: unix-ms (48 bits) + version nibble '7' + random tail
     // from a v4 uuid (its variant nibble is already RFC-correct).
     // Timestamp is query-evaluation time (CurrentTimestamp folds per
@@ -2388,6 +2478,16 @@ object ChDialect {
       "runningAccumulate is block-order dependent; use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)")),
     "neighbor" -> (_ => throw new UnsupportedOperationException(
       "neighbor is block-order dependent; use lagInFrame/leadInFrame OVER (ORDER BY …)")),
+    // block introspection belongs to the single-node executor model —
+    // Spark has no stable block identity to expose
+    "blockSize" -> (_ => throw new UnsupportedOperationException(
+      "blockSize is block-scoped; partition sizes are a plan/metrics concern on Spark")),
+    "blockNumber" -> (_ => throw new UnsupportedOperationException(
+      "blockNumber is block-scoped; use spark_partition_id() if partition identity is wanted")),
+    "rowNumberInBlock" -> (_ => throw new UnsupportedOperationException(
+      "rowNumberInBlock is block-order dependent; use row_number() OVER (ORDER BY …)")),
+    "rowNumberInAllBlocks" -> (_ => throw new UnsupportedOperationException(
+      "rowNumberInAllBlocks is block-order dependent; use row_number() OVER (ORDER BY …)")),
     // SGD aggregates fold state in row-visit order — nondeterministic
     // on a distributed engine; the closed-form spelling is exact
     "stochasticLinearRegression" -> (_ => throw new UnsupportedOperationException(
@@ -2566,6 +2666,7 @@ object ChDialect {
     // ignore() evaluates and discards (CH returns 0).
     "toLowCardinality" -> (es => es.head),
     "materialize"      -> (es => es.head),
+    "toNullable"       -> (es => es.head),
     "ignore"           -> (_ => Literal(0)),
     // -- dictionary lookups: plant [[DictGetExpr]]/[[DictHasExpr]]
     // placeholders; [[DictGetRewrite]] turns each into a broadcast
@@ -2654,6 +2755,63 @@ object ChDialect {
     val x   = lamVar("gr_vn_x")
     ArrayAggregate(Slice(arr, Literal(1), Literal(0)), value,
       LambdaFunction(acc, Seq(acc, x)), LambdaFunction.identity)
+  }
+
+  /** The user lambda of the arrayFill/arraySplit family applied to
+    * its array argument(s), directly under a HOF root (1-array form →
+    * ArrayTransform, 2-array form → ZipWith) — yields the flag
+    * array the pure slicing/folding logic consumes. */
+  private def hofFlags(es: Seq[Expression]): Expression = es.length match {
+    case 2 => ArrayTransform(es(1), es.head)
+    case 3 => ZipWith(es(1), es(2), es.head)
+    case _ => throw new IllegalArgumentException(
+      "array fill/split functions take (lambda, arr[, arr2])")
+  }
+
+  /** [1..n] as an Int array; safe at n ≤ 0 (a bare Sequence(1, 0)
+    * would count DOWN — the Slice drops the 0 anchor instead). */
+  private def oneToN(n: Expression): Expression =
+    Slice(new Sequence(Literal(0), Greatest(Seq(n, Literal(0))), None), Literal(2), n)
+
+  /** Forward fill: element i keeps itself when its flag holds (or
+    * nothing passed yet), else takes the last written value. One
+    * struct-accumulator fold — O(n), no quadratic re-scan. */
+  private def fillForward(arr: Expression, flags: Expression): Expression = {
+    val xv = lamVar("gr_ff_x")
+    val fv = lamVar("gr_ff_f")
+    val pairs = ZipWith(arr, flags, LambdaFunction(
+      CreateNamedStruct(Seq(Literal("x"), xv, Literal("f"), fv)), Seq(xv, fv)))
+    val acc = lamVar("gr_ff_acc")
+    val p   = lamVar("gr_ff_p")
+    def fld(e: Expression, n: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(n))
+    val prev = fld(acc, "prev")
+    val keep = Or(Cast(fld(p, "f"), org.apache.spark.sql.types.BooleanType), IsNull(prev))
+    val v    = If(keep, fld(p, "x"), prev)
+    ArrayAggregate(pairs,
+      CreateNamedStruct(Seq(
+        Literal("res"), Slice(arr, Literal(1), Literal(0)),
+        Literal("prev"), GetArrayItem(arr, Literal(Int.MaxValue), failOnError = false))),
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("res"), Concat(Seq(fld(acc, "res"), CreateArray(Seq(v)))),
+        Literal("prev"), v)), Seq(acc, p)),
+      LambdaFunction(fld(acc, "res"), Seq(acc)))
+  }
+
+  /** Slice arr into consecutive runs opening at 1 and at each cut
+    * position (1-based, ascending). Empty input → empty output. */
+  private def sliceByCuts(arr: Expression, cuts: Expression): Expression = {
+    val n = Size(arr)
+    val starts = Concat(Seq(CreateArray(Seq(Literal(1))), cuts))
+    val k = Size(starts)
+    val j = lamVar("gr_sc_j")
+    val start = ElementAt(starts, j, None, failOnError = false)
+    val end = If(LessThan(j, k),
+      ElementAt(starts, Add(j, Literal(1)), None, failOnError = false),
+      Add(n, Literal(1)))
+    val out = ArrayTransform(oneToN(k),
+      LambdaFunction(Slice(arr, start, Subtract(end, start)), Seq(j)))
+    If(LessThanOrEqual(n, Literal(0)), Slice(out, Literal(1), Literal(0)), out)
   }
 
   /** s/c in doubles with NaN at c = 0 (CH's avg-of-nothing) — ANSI
@@ -2749,6 +2907,20 @@ object ChDialect {
 
   /** Stable for the life of this JVM — the serverUUID contract. */
   private val SessionUuid: String = java.util.UUID.randomUUID().toString
+
+  /** JVM start instant, for uptime(). */
+  private val JvmStartMs: Long =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+
+  /** n random printable-ASCII chars (space..tilde), fresh seed per
+    * call site; one Rand draw per character via array transform. */
+  private def randPrintable(n: Expression): Expression = {
+    val i = lamVar("gr_rp_i")
+    val ch = Chr(Add(Literal(32L),
+      Cast(Multiply(new Rand(Literal(scala.util.Random.nextLong())), Literal(95.0d)), LongType)))
+    ArrayJoin(ArrayTransform(oneToN(Cast(n, IntegerType)), LambdaFunction(ch, Seq(i))),
+      Literal(""), None)
+  }
 
   /** Element-wise arithmetic over two array-encoded tuples, double
     * precision (the tuplePlus family). */
