@@ -260,6 +260,11 @@ object ChDialect {
     "toStartOfTenMinutes"     -> (es => secondBucket(es.head, 600L)),
     "toStartOfFifteenMinutes" -> (es => secondBucket(es.head, 900L)),
     "toLastDayOfMonth" -> (es => LastDay(Cast(es.head, DateType))),
+    // mode-0 weeks end on Sunday (WeekDay: Monday = 0 … Sunday = 6)
+    "toLastDayOfWeek" -> (es => {
+      val d = Cast(es.head, DateType)
+      DateAdd(d, Subtract(Literal(6), WeekDay(d)))
+    }),
     "monthName" -> (es => DateFormatClass(es.head, Literal("MMMM"))),
     "toYYYYMM"       -> (es => DateFormatClass(es.head, Literal("yyyyMM"))),
     "toDate"         -> (es => Cast(es.head, DateType)),
@@ -308,6 +313,41 @@ object ChDialect {
     "JSONExtractString" -> (es => jsonGet(es)),
     "JSONExtractRaw"    -> (es => jsonGet(es)),
     "JSONExtractKeys"   -> (es => JsonObjectKeys(jsonGet(es))),
+    // (key, value-as-T) pairs of an object; the trailing literal
+    // names the CH value type. Values pull through get_json_object
+    // per key — dynamic paths are allowed there.
+    "JSONExtractKeysAndValues" -> (es => {
+      val obj = jsonGet(es.init)
+      val t = es.last match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"JSONExtractKeysAndValues needs a literal type name, got $other")
+      }
+      val vt: DataType = t match {
+        case "String" => org.apache.spark.sql.types.StringType
+        case "Int64" | "Int32" | "Int16" | "Int8" |
+             "UInt64" | "UInt32" | "UInt16" | "UInt8" => LongType
+        case "Float64" | "Float32" => DoubleType
+        case "Bool" => org.apache.spark.sql.types.BooleanType
+        case other => throw new IllegalArgumentException(
+          s"JSONExtractKeysAndValues: unsupported value type $other")
+      }
+      val k = lamVar("gr_kv_k")
+      ArrayTransform(JsonObjectKeys(obj),
+        LambdaFunction(CreateNamedStruct(Seq(
+          Literal("key"), k,
+          Literal("value"),
+          Cast(GetJsonObject(obj, Concat(Seq(Literal("$."), k))), vt))), Seq(k)))
+    }),
+    "JSONExtractKeysAndValuesRaw" -> (es => {
+      val obj = jsonGet(es)
+      val k = lamVar("gr_kvr_k")
+      ArrayTransform(JsonObjectKeys(obj),
+        LambdaFunction(CreateNamedStruct(Seq(
+          Literal("key"), k,
+          Literal("value"),
+          GetJsonObject(obj, Concat(Seq(Literal("$."), k))))), Seq(k)))
+    }),
     "JSONHas"      -> (es => Not(IsNull(jsonGet(es)))),
     // legacy flat-scan spellings (simpleJSON*/visitParam*) — on the
     // JSON documents this engine stores they are exactly the
@@ -327,6 +367,11 @@ object ChDialect {
     "visitParamExtractBool"   -> (es => tryCastTo(jsonGet(es), org.apache.spark.sql.types.BooleanType)),
     "visitParamHas"           -> (es => Not(IsNull(jsonGet(es)))),
     "isValidJSON"  -> (es => Not(IsNull(GetJsonObject(es.head, Literal("$"))))),
+    // RFC 7386 merge patch (left-fold over 2+ documents)
+    "JSONMergePatch" -> (es => es.reduce((l, r) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.JsonKernels"),
+        org.apache.spark.sql.types.StringType, "mergePatch", Seq(l, r)))),
     // JSONLength: array length for arrays, key count for objects —
     // the two cases CH defines.
     "JSONLength" -> (es => {
@@ -448,6 +493,18 @@ object ChDialect {
     }),
     // Excel PERCENTILE.INC — exactly the interpolated exact quantile
     "quantileExactInclusive" -> (es => new Percentile(es(1), es(0))),
+    // Excel PERCENTILE.EXC: h = p(n+1) against the sorted values,
+    // clamped to the ends — expression algebra over one sorted
+    // collect (identical sub-aggregates dedup in the planner)
+    "quantileExactExclusive"  -> (es => percentileExc(es(0), es(1))),
+    "quantilesExactExclusive" -> (es => {
+      require(es.length >= 2, "quantilesExactExclusive takes (l1, l2, …)(expr)")
+      CreateArray(es.init.map(p => percentileExc(p, es.last)))
+    }),
+    "quantilesExactInclusive" -> (es => {
+      require(es.length >= 2, "quantilesExactInclusive takes (l1, l2, …)(expr)")
+      new Percentile(es.last, CreateArray(es.init))
+    }),
     // groupArray's -Array combinator: concatenate the group's arrays
     // (same insertion-order caveat as groupArray — callers sort)
     "groupArrayArray" -> (es =>
@@ -1565,6 +1622,29 @@ object ChDialect {
         ShiftLeft(Literal(0xFFFFFFFFL), Subtract(Literal(32), bits)), Literal(0xFFFFFFFFL))
       EqualTo(BitwiseAnd(ip, mask), BitwiseAnd(base, mask))
     }),
+    // -- IPv6 (CH stores IPv6 as FixedString(16); BinaryType here).
+    // Parse/format are pure text↔byte kernels ([[IpKernels]], RFC
+    // 4291/5952 — NOT java.net.InetAddress, which would DNS-resolve
+    // hostname-shaped input), called via codegen'd StaticInvoke.
+    "IPv6StringToNum" -> (es => ipInvoke(
+      org.apache.spark.sql.types.BinaryType, "ipv6ToBytes", Seq(es.head))),
+    "IPv6NumToString" -> (es => ipInvoke(
+      org.apache.spark.sql.types.StringType, "bytesToIpv6",
+      Seq(Cast(es.head, org.apache.spark.sql.types.BinaryType)))),
+    "cutIPv6" -> (es => ipInvoke(
+      org.apache.spark.sql.types.StringType, "cutIPv6",
+      Seq(Cast(es(0), org.apache.spark.sql.types.BinaryType),
+        Cast(es(1), IntegerType), Cast(es(2), IntegerType)))),
+    "toIPv6" -> (es => ipInvoke(
+      org.apache.spark.sql.types.BinaryType, "toIpv6Bytes", Seq(es.head))),
+    "IPv4ToIPv6" -> (es => ipInvoke(
+      org.apache.spark.sql.types.BinaryType, "ipv4ToIpv6Bytes",
+      Seq(Cast(es.head, LongType)))),
+    "toIPv4" -> (es => ipv4ToNum(es.head)),
+    // Lamping–Veach jump hash — published algorithm, value parity
+    "jumpConsistentHash" -> (es => ipInvoke(
+      IntegerType, "jumpConsistentHash",
+      Seq(Cast(es(0), LongType), Cast(es(1), IntegerType)), nullable = false)),
     // -- unix-time conversions (the 64-suffixed family is CH's
     // DateTime64 sub-second story; micros are Spark's native
     // resolution, nanos round-trip through a ×1000)
@@ -1601,6 +1681,21 @@ object ChDialect {
     "substringUTF8" -> (es =>
       Substring(es(0), es(1), if (es.length > 2) es(2) else Literal(Int.MaxValue))),
     "reverseUTF8" -> (es => Reverse(es.head)),
+    "leftUTF8"  -> (es => Substring(es(0), Literal(1), Cast(es(1), IntegerType))),
+    "rightUTF8" -> (es => {
+      val n = Cast(es(1), IntegerType)
+      If(LessThanOrEqual(n, Literal(0)), Literal(""),
+        Substring(es(0), UnaryMinus(n), n))
+    }),
+    // escape every character ClickHouse's regexpQuoteMeta escapes, so
+    // the result embeds safely in a pattern
+    "regexpQuoteMeta" -> (es => RegExpReplace(es.head,
+      Literal("([\\\\|()^$.\\[\\]?*+{:-])"), Literal("\\\\$1"))),
+    "isZeroOrNull" -> (es =>
+      Or(IsNull(es.head), EqualTo(es.head, Literal(0)))),
+    // Spark's type name, not CH's — introspection helper, documented
+    // deviation (the engine's types ARE Spark types here)
+    "toTypeName" -> (es => TypeOf(es.head)),
     "concatWithSeparator" -> (es => ConcatWs(es)),
     // -- math / bit long tail
     "bitCount"     -> (es => BitwiseCount(es.head)),
@@ -1848,6 +1943,21 @@ object ChDialect {
     "currentUser"     -> (_ => CurrentUser()),
     "toJSONString"    -> (es => StructsToJson(Map.empty[String, String], es.head)),
     "generateUUIDv4"  -> (_ => new Uuid()),
+    // UUID text ↔ 16-byte binary, pure hex compositions
+    "toUUID" -> (es => {
+      val lo = Lower(es.head)
+      If(RLike(lo, Literal("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
+        lo, Literal.create(null, org.apache.spark.sql.types.StringType))
+    }),
+    "UUIDStringToNum" -> (es =>
+      Unhex(RegExpReplace(es.head, Literal("-"), Literal("")))),
+    "UUIDNumToString" -> (es => {
+      val h = Lower(Hex(Cast(es.head, org.apache.spark.sql.types.BinaryType)))
+      ConcatWs(Literal("-") +: Seq(
+        Substring(h, Literal(1), Literal(8)), Substring(h, Literal(9), Literal(4)),
+        Substring(h, Literal(13), Literal(4)), Substring(h, Literal(17), Literal(4)),
+        Substring(h, Literal(21), Literal(12))))
+    }),
     // bar(x, min, max, width): full-block char chart. CH also renders
     // fractional eighth-blocks; this emits whole blocks only — the
     // subset that stays byte-identical across engines/oracles.
@@ -2237,6 +2347,13 @@ object ChDialect {
     "URLHash"        -> (es => XxHash64(es, 103L)),
     "murmurHash2_64" -> (es => XxHash64(es, 104L)),
     "murmurHash3_64" -> (es => XxHash64(es, 105L)),
+    "murmurHash2_32" -> (es =>
+      BitwiseAnd(Cast(new Murmur3Hash(es, 106), LongType), Literal(0xFFFFFFFFL))),
+    // 16-byte digest spelled as two independent 64-bit lanes (same
+    // engine-internal-remap convention as the murmur aliases above)
+    "murmurHash3_128" -> (es => Unhex(Concat(Seq(
+      StringLPad(Hex(XxHash64(es, 107L)), Literal(16), Literal("0")),
+      StringLPad(Hex(XxHash64(es, 108L)), Literal(16), Literal("0")))))),
     "metroHash64"    -> (es => XxHash64(es, 106L)),
     "wyHash64"       -> (es => XxHash64(es, 107L)),
     "intHash32"      -> (es => BitwiseAnd(XxHash64(es, 102L), Literal(0xFFFFFFFFL))),
@@ -2745,6 +2862,23 @@ object ChDialect {
       case e => Concat(Seq(Literal("."), e))
     }
     GetJsonObject(es.head, Concat(Literal("$") +: parts))
+  }
+
+  /** Excel PERCENTILE.EXC over the group's sorted values: h = p(n+1),
+    * ends clamped, linear interpolation between neighbors. Pure
+    * aggregate algebra over one sorted collect. */
+  private def percentileExc(p: Expression, x: Expression): Expression = {
+    val a = new SortArray(CollectList(Cast(x, DoubleType)).toAggregateExpression())
+    val n = Size(a)
+    val h = Multiply(Cast(p, DoubleType), Cast(Add(n, Literal(1)), DoubleType))
+    val lo = Cast(Floor(h), IntegerType)
+    def at(i: Expression) = ElementAt(a, i, None, failOnError = false)
+    val interp = Add(at(lo),
+      Multiply(Subtract(h, Cast(lo, DoubleType)),
+        Subtract(at(Add(lo, Literal(1))), at(lo))))
+    If(LessThanOrEqual(n, Literal(0)), Literal.create(null, DoubleType),
+      If(LessThanOrEqual(h, Literal(1.0d)), at(Literal(1)),
+        If(GreaterThanOrEqual(h, Cast(n, DoubleType)), at(n), interp)))
   }
 
   /** Zero-slice fold whose ZERO carries `value`: satisfies the
@@ -3341,6 +3475,13 @@ object ChDialect {
 
   /** Dotted-quad string → unsigned 32-bit value (shared by the CIDR
     * helpers and IPv4StringToNum's registration). */
+  /** Codegen'd static call into [[IpKernels]] (Class.forName reaches
+    * the static forwarders the object compiles to). */
+  private def ipInvoke(dt: DataType, name: String, args: Seq[Expression],
+                       nullable: Boolean = true): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      Class.forName("graft.plans.IpKernels"), dt, name, args, returnNullable = nullable)
+
   private def ipv4ToNum(s: Expression): Expression = {
     val parts = StringSplit(s, Literal("\\."), Literal(-1))
     def octet(i: Int, mult: Long) =

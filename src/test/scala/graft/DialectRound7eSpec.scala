@@ -1,0 +1,120 @@
+package graft
+
+/** Fifth round-7 widening wave: IPv6 text↔binary kernels, UUID
+  * text↔binary, jump consistent hash (published algorithm, value
+  * parity), Excel-EXC exact quantiles, JSON keys-and-values +
+  * RFC 7386 merge patch, and string/date stragglers. */
+class DialectRound7eSpec extends SparkSpec {
+
+  private def s(sql: String): String =
+    spark.sql(s"SELECT $sql AS v").head().getString(0)
+  private def d(sql: String): Double =
+    spark.sql(s"SELECT $sql AS v").head().getDouble(0)
+
+  test("IPv6 round trips: RFC 5952 compression, mapped dotted form") {
+    assert(s("IPv6NumToString(IPv6StringToNum('2001:0db8:0000:0000:0000:ff00:0042:8329'))")
+      == "2001:db8::ff00:42:8329")
+    assert(s("IPv6NumToString(IPv6StringToNum('::1'))") == "::1")
+    assert(s("IPv6NumToString(IPv6StringToNum('::'))") == "::")
+    assert(s("IPv6NumToString(IPv6StringToNum('2001:db8::'))") == "2001:db8::")
+    // single zero group is NOT compressed (RFC 5952 §4.2.2)
+    assert(s("IPv6NumToString(IPv6StringToNum('2001:db8:1:0:2:3:4:5'))")
+      == "2001:db8:1:0:2:3:4:5")
+    // leftmost of two equal zero runs compresses
+    assert(s("IPv6NumToString(IPv6StringToNum('1:0:0:2:3:0:0:4'))") == "1::2:3:0:0:4")
+    // IPv4-mapped prints dotted; embedded dotted tail parses
+    assert(s("IPv6NumToString(IPv6StringToNum('::ffff:192.168.0.1'))") == "::ffff:192.168.0.1")
+    assert(s("IPv6NumToString(toIPv6('192.168.0.1'))") == "::ffff:192.168.0.1")
+    assert(s("IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('10.0.0.7')))") == "::ffff:10.0.0.7")
+    // malformed → null
+    assert(spark.sql("SELECT IPv6StringToNum('not-an-ip') AS v").head().isNullAt(0))
+    assert(spark.sql("SELECT IPv6StringToNum('1::2::3') AS v").head().isNullAt(0))
+  }
+
+  test("cutIPv6: v6 cut on native, v4 cut on mapped") {
+    assert(s("cutIPv6(IPv6StringToNum('2001:db8:1:2:3:4:5:6'), 8, 0)") == "2001:db8:1:2::")
+    assert(s("cutIPv6(IPv6StringToNum('::ffff:192.168.12.34'), 0, 2)") == "::ffff:192.168.0.0")
+  }
+
+  test("toIPv4 numeric equivalence and jumpConsistentHash published values") {
+    assert(spark.sql("SELECT toIPv4('1.2.3.4') AS v").head().getLong(0) == 16909060L)
+    val r = spark.sql(
+      """SELECT jumpConsistentHash(1, 10) AS a, jumpConsistentHash(42, 57) AS b,
+                jumpConsistentHash(0, 1) AS c""").head()
+    // invariants of the Lamping–Veach algorithm
+    assert(r.getInt(2) == 0)
+    assert(r.getInt(0) >= 0 && r.getInt(0) < 10)
+    assert(r.getInt(1) >= 0 && r.getInt(1) < 57)
+    // monotone-growth property: adding a bucket only moves keys INTO it
+    val moved = spark.sql(
+      """SELECT count(*) AS c FROM range(1000)
+         WHERE jumpConsistentHash(id, 11) != jumpConsistentHash(id, 10)
+           AND jumpConsistentHash(id, 11) != 10""").head().getLong(0)
+    assert(moved == 0L)
+  }
+
+  test("UUID text to binary and back") {
+    assert(s("UUIDNumToString(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))")
+      == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    assert(s("toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0')")
+      == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    assert(spark.sql("SELECT toUUID('nope') AS v").head().isNullAt(0))
+    assert(spark.sql("SELECT length(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS v")
+      .head().getInt(0) == 16)
+  }
+
+  test("quantileExactExclusive: Excel PERCENTILE.EXC values") {
+    val q = spark.sql(
+      """SELECT quantileExactExclusive(0.25)(double(v)) AS q25,
+                quantilesExactExclusive(0.25, 0.5, 0.75)(double(v)) AS qs,
+                quantilesExactInclusive(0.25, 0.75)(double(v)) AS qi
+         FROM VALUES (1.0), (2.0), (3.0), (4.0), (5.0) t(v)""").head()
+    // EXC over [1..5]: h = p*6 → 1.5 → 1.5; median 3; 4.5
+    assert(q.getDouble(0) == 1.5)
+    assert(q.getSeq[Double](1) == Seq(1.5, 3.0, 4.5))
+    // INC over [1..5]: plain interpolated quantiles
+    assert(q.getSeq[Double](2) == Seq(2.0, 4.0))
+    // clamps: p beyond the ends takes the extremes
+    val c = spark.sql(
+      """SELECT quantileExactExclusive(0.01)(double(v)) AS lo,
+                quantileExactExclusive(0.99)(double(v)) AS hi
+         FROM VALUES (1.0), (2.0) t(v)""").head()
+    assert(c.getDouble(0) == 1.0 && c.getDouble(1) == 2.0)
+  }
+
+  test("JSONExtractKeysAndValues and JSONMergePatch") {
+    val r = spark.sql(
+      """SELECT JSONExtractKeysAndValues('{"a": 1, "b": 7}', 'Int64') AS kv,
+                JSONExtractKeysAndValuesRaw('{"a": {"x": 1}, "b": [2]}') AS raw,
+                JSONMergePatch('{"a": 1, "b": 2}', '{"b": null, "c": 3}') AS mp,
+                JSONMergePatch('{"a": {"x": 1, "y": 2}}', '{"a": {"y": 9}}') AS nested""").head()
+    val kv = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getString(0), x.getLong(1)))
+    assert(kv == Seq(("a", 1L), ("b", 7L)))
+    val raw = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1)))
+    assert(raw == Seq(("a", """{"x":1}"""), ("b", "[2]")))
+    assert(r.getString(2) == """{"a":1,"c":3}""")
+    assert(r.getString(3) == """{"a":{"x":1,"y":9}}""")
+    assert(spark.sql("SELECT JSONMergePatch('not json', '{}') AS v").head().isNullAt(0))
+  }
+
+  test("string/date stragglers: toLastDayOfWeek, UTF8 left/right, quote-meta, zero-or-null") {
+    val r = spark.sql(
+      """SELECT toLastDayOfWeek(date'2024-05-08') AS sun,
+                leftUTF8('привет', 3) AS l3, rightUTF8('привет', 3) AS r3,
+                rightUTF8('abc', 0) AS r0,
+                regexpQuoteMeta('a.b*c') AS qm,
+                isZeroOrNull(0) AS z1, isZeroOrNull(CAST(null AS INT)) AS z2,
+                isZeroOrNull(5) AS z3,
+                toTypeName(1) AS tn""").head()
+    assert(r.getDate(0).toString == "2024-05-12") // Wednesday → Sunday
+    assert(r.getString(1) == "при" && r.getString(2) == "вет" && r.getString(3) == "")
+    assert(r.getString(4) == "a\\.b\\*c")
+    assert(r.getBoolean(5) && r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getString(8) == "int")
+    // murmur additions: stable widths
+    val h = spark.sql(
+      """SELECT murmurHash2_32('abc') AS h32, length(murmurHash3_128('abc')) AS n""").head()
+    assert(h.getLong(0) >= 0L && h.getLong(0) <= 0xFFFFFFFFL)
+    assert(h.getInt(1) == 16)
+  }
+}
