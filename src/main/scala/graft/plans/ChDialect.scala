@@ -76,6 +76,30 @@ object ChDialect {
       Sqrt(zipFold(es(0), es(1), (x, y) => Multiply(Subtract(x, y), Subtract(x, y))))),
     "L1Distance" -> (es =>
       zipFold(es(0), es(1), (x, y) => Abs(Subtract(x, y)))),
+    // unit-scaled copies; the norm subtree is shared by codegen CSE
+    "normalizeL1" -> (es => {
+      val x = lamVar("gr_n1_x")
+      val norm = sumFold(ArrayTransform(es.head,
+        LambdaFunction(Abs(Cast(x, DoubleType)), Seq(x))), LambdaFunction.identity)
+      val y = lamVar("gr_n1_y")
+      ArrayTransform(es.head,
+        LambdaFunction(Divide(Cast(y, DoubleType), norm), Seq(y)))
+    }),
+    "normalizeL2" -> (es => {
+      val norm = Sqrt(DotProduct(es.head, es.head))
+      val y = lamVar("gr_n2_y")
+      ArrayTransform(es.head,
+        LambdaFunction(Divide(Cast(y, DoubleType), norm), Seq(y)))
+    }),
+    "vectorSum"        -> (es => tupleZip(es(0), es(1), Add(_, _))),
+    "vectorDifference" -> (es => tupleZip(es(0), es(1), Subtract(_, _))),
+    // consecutive n-slices of an array (the array n-gram helper)
+    "arrayShingles" -> (es => {
+      val n = Cast(es(1), IntegerType)
+      val i = lamVar("gr_sh_i")
+      ArrayTransform(oneToN(Add(Subtract(Size(es.head), n), Literal(1))),
+        LambdaFunction(Slice(es.head, i, n), Seq(i)))
+    }),
     "LinfDistance" -> (es => {
       val x = lamVar("gr_zx")
       val y = lamVar("gr_zy")
@@ -162,6 +186,37 @@ object ChDialect {
       Cast(es(0), IntegerType), Cast(es(1), IntegerType), Cast(es(2), IntegerType),
       Cast(es(3), IntegerType), Cast(es(4), IntegerType),
       Cast(es(5), org.apache.spark.sql.types.DecimalType(16, 6)))),
+    "makeDateTime64" -> (es => MakeTimestamp(
+      Cast(es(0), IntegerType), Cast(es(1), IntegerType), Cast(es(2), IntegerType),
+      Cast(es(3), IntegerType), Cast(es(4), IntegerType),
+      Cast(es(5), org.apache.spark.sql.types.DecimalType(16, 6)))),
+    // sub-second truncation: Spark's native resolution is micros, so
+    // micro/nano starts are the identity on that axis
+    "toStartOfMillisecond" -> (es => MicrosToTimestamp(Multiply(
+      new IntegralDivide(UnixMicros(Cast(es.head, TimestampType)), Literal(1000L)),
+      Literal(1000L)))),
+    "toStartOfMicrosecond" -> (es => Cast(es.head, TimestampType)),
+    "toStartOfNanosecond"  -> (es => Cast(es.head, TimestampType)),
+    // changeYear/…/changeSecond: recompose via make_timestamp with
+    // one field swapped (changeSecond drops the sub-second fraction,
+    // which is what setting the seconds field means)
+    "changeYear"   -> (es => changeField(es, 0)),
+    "changeMonth"  -> (es => changeField(es, 1)),
+    "changeDay"    -> (es => changeField(es, 2)),
+    "changeHour"   -> (es => changeField(es, 3)),
+    "changeMinute" -> (es => changeField(es, 4)),
+    "changeSecond" -> (es => changeField(es, 5)),
+    // quoted-unit dateAdd/dateSub (ChSqlParser routes the CH quoted
+    // spellings here; unquoted units parse in Spark's own grammar): a
+    // MakeInterval in the unit's slot — Add(timestamp, interval)
+    // resolves to the native TimeAdd
+    "graft_dateAdd" -> (es => Add(Cast(es(2), TimestampType),
+      chUnitInterval(litString(es(0), "dateAdd unit"), Cast(es(1), IntegerType)))),
+    "graft_dateSub" -> (es => Add(Cast(es(2), TimestampType),
+      chUnitInterval(litString(es(0), "dateSub unit"), UnaryMinus(Cast(es(1), IntegerType))))),
+    // addDate/subDate take an interval value directly
+    "addDate" -> (es => Add(Cast(es(0), TimestampType), es(1))),
+    "subDate" -> (es => Subtract(Cast(es(0), TimestampType), es(1))),
     "addMilliseconds" -> (es => MicrosToTimestamp(Add(
       UnixMicros(Cast(es(0), TimestampType)), Multiply(Cast(es(1), LongType), Literal(1000L))))),
     "addMicroseconds" -> (es => MicrosToTimestamp(Add(
@@ -318,20 +373,7 @@ object ChDialect {
     // per key — dynamic paths are allowed there.
     "JSONExtractKeysAndValues" -> (es => {
       val obj = jsonGet(es.init)
-      val t = es.last match {
-        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-        case other => throw new IllegalArgumentException(
-          s"JSONExtractKeysAndValues needs a literal type name, got $other")
-      }
-      val vt: DataType = t match {
-        case "String" => org.apache.spark.sql.types.StringType
-        case "Int64" | "Int32" | "Int16" | "Int8" |
-             "UInt64" | "UInt32" | "UInt16" | "UInt8" => LongType
-        case "Float64" | "Float32" => DoubleType
-        case "Bool" => org.apache.spark.sql.types.BooleanType
-        case other => throw new IllegalArgumentException(
-          s"JSONExtractKeysAndValues: unsupported value type $other")
-      }
+      val vt = chScalarType(litString(es.last, "JSONExtractKeysAndValues type"))
       val k = lamVar("gr_kv_k")
       ArrayTransform(JsonObjectKeys(obj),
         LambdaFunction(CreateNamedStruct(Seq(
@@ -595,6 +637,18 @@ object ChDialect {
     "toInt64OrNull"   -> (es => tryCastTo(es.head, LongType)),
     "toInt32OrNull"   -> (es => tryCastTo(es.head, IntegerType)),
     "toFloat64OrNull" -> (es => tryCastTo(es.head, DoubleType)),
+    "toBool" -> (es => Cast(es.head, org.apache.spark.sql.types.BooleanType)),
+    // accurateCast: the strict (ANSI, throwing) cast; OrNull/OrDefault
+    // are the forgiving forms. CH type names map via chScalarType.
+    "accurateCast" -> (es =>
+      Cast(es.head, chScalarType(litString(es(1), "accurateCast type")))),
+    "accurateCastOrNull" -> (es =>
+      tryCastTo(es.head, chScalarType(litString(es(1), "accurateCastOrNull type")))),
+    "accurateCastOrDefault" -> (es => {
+      val t = chScalarType(litString(es(1), "accurateCastOrDefault type"))
+      val dflt = if (es.length > 2) Cast(es(2), t) else Cast(Literal(0), t)
+      Coalesce(Seq(tryCastTo(es.head, t), dflt))
+    }),
     "toDateOrNull"    -> (es => tryCastTo(es.head, DateType)),
     "toDateTimeOrNull" -> (es => tryCastTo(es.head, TimestampType)),
     "toInt64OrZero"   -> (es => Coalesce(Seq(tryCastTo(es.head, LongType), Literal(0L)))),
@@ -602,6 +656,41 @@ object ChDialect {
     "toFloat64OrZero" -> (es => Coalesce(Seq(tryCastTo(es.head, DoubleType), Literal(0.0d)))),
     "parseDateTimeBestEffort"       -> (es => Cast(es.head, TimestampType)),
     "parseDateTimeBestEffortOrNull" -> (es => tryCastTo(es.head, TimestampType)),
+    "parseDateTime32BestEffort"     -> (es => Cast(es.head, TimestampType)),
+    // explicit-format parsing; same Java-pattern convention as
+    // formatDateTime below (documented deviation from the %-syntax)
+    "parseDateTime"             -> (es => new ParseToTimestamp(es(0), es(1))),
+    "parseDateTimeInJodaSyntax" -> (es => new ParseToTimestamp(es(0), es(1))),
+    "dateTrunc" -> (es => TruncTimestamp(es(0), Cast(es(1), TimestampType))),
+    // MySQL-mode week numbering: mode 0 (Sunday-start, week 0 before
+    // the first Sunday — the CH default) and mode 3 (ISO). Other
+    // modes refuse loudly rather than silently shifting weeks.
+    "toWeek" -> (es => {
+      val d = Cast(es.head, DateType)
+      weekMode(es) match {
+        case 0 => week0(d)
+        case 3 => WeekOfYear(d)
+        case m => throw new IllegalArgumentException(
+          s"toWeek: mode $m not supported (0 and 3 are)")
+      }
+    }),
+    "toYearWeek" -> (es => {
+      val d = Cast(es.head, DateType)
+      weekMode(es) match {
+        case 0 =>
+          // week 0 belongs to the PREVIOUS year's last week (MySQL
+          // YEARWEEK); re-anchor at Dec 31 of the prior year
+          val prev = DateSub(TruncDate(d, Literal("year")), Literal(1))
+          If(EqualTo(week0(d), Literal(0)),
+            Add(Multiply(Year(prev), Literal(100)), week0(prev)),
+            Add(Multiply(Year(d), Literal(100)), week0(d)))
+        case 3 =>
+          val isoYear = Year(DateAdd(TruncDate(d, Literal("week")), Literal(3)))
+          Add(Multiply(isoYear, Literal(100)), WeekOfYear(d))
+        case m => throw new IllegalArgumentException(
+          s"toYearWeek: mode $m not supported (0 and 3 are)")
+      }
+    }),
     // ISO week numbering; ISO year = the year of that week's Thursday
     // (Monday truncation + 3 days)
     "toISOWeek" -> (es => WeekOfYear(Cast(es.head, DateType))),
@@ -707,6 +796,9 @@ object ChDialect {
       }
     }),
     "formatDateTime" -> (es => DateFormatClass(es.head, es(1))),
+    "formatDateTimeInJodaSyntax" -> (es => DateFormatClass(es.head, es(1))),
+    "fromUnixTimestampInJodaSyntax" -> (es =>
+      DateFormatClass(SecondsToTimestamp(es.head), es(1))),
     // age('unit', s, e): COMPLETE units elapsed (dateDiff counts
     // boundary crossings — age('day', 23:59, 00:01) is 0 where
     // dateDiff says 1). Month-family units floor months_between
@@ -1681,6 +1773,32 @@ object ChDialect {
     "substringUTF8" -> (es =>
       Substring(es(0), es(1), if (es.length > 2) es(2) else Literal(Int.MaxValue))),
     "reverseUTF8" -> (es => Reverse(es.head)),
+    // token-run splitters: letters are the token alphabet for
+    // splitByNonAlpha, the separator alphabet for splitByAlpha
+    "splitByNonAlpha" -> (es => {
+      val p = lamVar("gr_sa_p")
+      ArrayFilter(StringSplit(es.head, Literal("[^\\p{L}]+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
+    }),
+    "splitByAlpha" -> (es => {
+      val p = lamVar("gr_sb_p")
+      ArrayFilter(StringSplit(es.head, Literal("[\\p{L}]+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
+    }),
+    // token search: the needle bounded by non-token characters (CH
+    // tokens are [A-Za-z0-9_] runs); dynamic needles escape through
+    // the regexpQuoteMeta composition
+    "hasToken" -> (es => hasTokenExpr(es(0), es(1))),
+    "hasTokenOrNull" -> (es =>
+      If(RLike(es(1), Literal("^[A-Za-z0-9_]+$")), hasTokenExpr(es(0), es(1)),
+        Literal.create(null, org.apache.spark.sql.types.BooleanType))),
+    "substringIndexUTF8" -> (es =>
+      SubstringIndex(es(0), es(1), Cast(es(2), IntegerType))),
+    "countSubstringsCaseInsensitiveUTF8" -> (es =>
+      countSubstringsExpr(Lower(es(0)), Lower(es(1)))),
+    "translateUTF8" -> (es => StringTranslate(es(0), es(1), es(2))),
+    "overlayUTF8" -> (es => new Overlay(es(0), es(1), Cast(es(2), IntegerType),
+      if (es.length > 3) Cast(es(3), IntegerType) else Literal(-1))),
     "leftUTF8"  -> (es => Substring(es(0), Literal(1), Cast(es(1), IntegerType))),
     "rightUTF8" -> (es => {
       val n = Cast(es(1), IntegerType)
@@ -2100,14 +2218,10 @@ object ChDialect {
     "jaroWinklerSimilarity"      -> (es => JaroWinklerSimilarity(es(0), es(1))),
     "damerauLevenshteinDistance" -> (es => DamerauLevenshtein(es(0), es(1))),
     "byteHammingDistance"        -> (es => ByteHammingDistance(es(0), es(1))),
+    "mismatches"                 -> (es => ByteHammingDistance(es(0), es(1))),
     "soundex"                    -> (es => SoundexExpr(es.head)),
-    "stringJaccardIndex"  -> (es => {
-      def chars(e: Expression) = ArrayDistinct(StringSplit(e, Literal(""), Literal(-1)))
-      val (a, b) = (chars(es(0)), chars(es(1)))
-      val inter = Cast(Size(ArrayIntersect(a, b)), DoubleType)
-      val union = Cast(Size(ArrayUnion(a, b)), DoubleType)
-      If(EqualTo(union, Literal(0.0d)), Literal(1.0d), Divide(inter, union))
-    }),
+    "stringJaccardIndex"  -> (es => stringJaccardExpr(es)),
+    "stringJaccardIndexUTF8" -> (es => stringJaccardExpr(es)),
     // extractKeyValuePairs / mapFromString ('a:1,b:2' → map) on the
     // native str_to_map; CH arg order is (text[, kvDelim[, pairDelim]])
     "extractKeyValuePairs" -> (es => StringToMap(es(0),
@@ -2862,6 +2976,90 @@ object ChDialect {
       case e => Concat(Seq(Literal("."), e))
     }
     GetJsonObject(es.head, Concat(Literal("$") +: parts))
+  }
+
+  /** Distinct-character Jaccard (stringJaccardIndex[UTF8]); split("")
+    * is already codepoint-wise on Spark strings. */
+  private def stringJaccardExpr(es: Seq[Expression]): Expression = {
+    def chars(e: Expression) = ArrayDistinct(StringSplit(e, Literal(""), Literal(-1)))
+    val (a, b) = (chars(es(0)), chars(es(1)))
+    val inter = Cast(Size(ArrayIntersect(a, b)), DoubleType)
+    val union = Cast(Size(ArrayUnion(a, b)), DoubleType)
+    If(EqualTo(union, Literal(0.0d)), Literal(1.0d), Divide(inter, union))
+  }
+
+  /** CH scalar type name → Spark type (the CAST-name convention
+    * ChSqlParser applies textually, here for expression-level use). */
+  private def chScalarType(name: String): DataType = name match {
+    case "String" | "FixedString" => org.apache.spark.sql.types.StringType
+    case "Int64" | "Int32" | "Int16" | "Int8" |
+         "UInt64" | "UInt32" | "UInt16" | "UInt8" => LongType
+    case "Float64" | "Float32" => DoubleType
+    case "Bool" => org.apache.spark.sql.types.BooleanType
+    case "Date" => DateType
+    case "DateTime" | "DateTime64" => TimestampType
+    case other => throw new IllegalArgumentException(
+      s"unsupported ClickHouse scalar type name '$other'")
+  }
+
+  /** Token-bounded needle search: CH tokens are [A-Za-z0-9_] runs, so
+    * the needle must sit between non-token characters (or ends). The
+    * needle escapes through the regexpQuoteMeta composition, so
+    * dynamic needles are safe. */
+  private def hasTokenExpr(hay: Expression, needle: Expression): Expression = {
+    val quoted = RegExpReplace(needle,
+      Literal("([\\\\|()^$.\\[\\]?*+{:-])"), Literal("\\\\$1"))
+    RLike(hay, Concat(Seq(
+      Literal("(?:^|[^A-Za-z0-9_])"), quoted, Literal("(?:$|[^A-Za-z0-9_])"))))
+  }
+
+  /** MySQL week mode 0: Sunday-start weeks, week 0 before the year's
+    * first Sunday. */
+  private def week0(d: Expression): Expression = {
+    val jan1 = TruncDate(d, Literal("year"))
+    // WeekDay: Monday = 0 … Sunday = 6 → Sunday-based index
+    val wd0 = Pmod(Add(WeekDay(jan1), Literal(1)), Literal(7))
+    val firstSunday = DateAdd(jan1, Pmod(Subtract(Literal(7), wd0), Literal(7)))
+    If(LessThan(d, firstSunday), Literal(0),
+      Add(Cast(new IntegralDivide(Cast(DateDiff(d, firstSunday), LongType),
+        Literal(7L)), IntegerType), Literal(1)))
+  }
+
+  private def weekMode(es: Seq[Expression]): Int =
+    if (es.length < 2) 0 else es(1) match {
+      case Literal(i: Int, _)  => i
+      case Literal(l: Long, _) => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"week mode must be an integer literal, got $other")
+    }
+
+  /** make_timestamp with field `idx` (y mo d h mi s) replaced. */
+  private def changeField(es: Seq[Expression], idx: Int): Expression = {
+    val t = Cast(es(0), TimestampType)
+    val fields: Seq[Expression] = Seq(
+      Year(t), Month(t), DayOfMonth(t), Hour(t), Minute(t), Second(t))
+      .updated(idx, Cast(es(1), IntegerType))
+    MakeTimestamp(
+      fields(0), fields(1), fields(2), fields(3), fields(4),
+      Cast(fields(5), org.apache.spark.sql.types.DecimalType(16, 6)))
+  }
+
+  /** A MakeInterval carrying n in the named CH unit's slot. */
+  private def chUnitInterval(unit: String, n: Expression): Expression = {
+    val z = Literal(0)
+    val zs = Cast(Literal(0), org.apache.spark.sql.types.DecimalType(18, 6))
+    unit.toLowerCase match {
+      case "year"    => MakeInterval(n, z, z, z, z, z, zs)
+      case "quarter" => MakeInterval(z, Multiply(n, Literal(3)), z, z, z, z, zs)
+      case "month"   => MakeInterval(z, n, z, z, z, z, zs)
+      case "week"    => MakeInterval(z, z, n, z, z, z, zs)
+      case "day"     => MakeInterval(z, z, z, n, z, z, zs)
+      case "hour"    => MakeInterval(z, z, z, z, n, z, zs)
+      case "minute"  => MakeInterval(z, z, z, z, z, n, zs)
+      case "second"  => MakeInterval(z, z, z, z, z, z,
+        Cast(n, org.apache.spark.sql.types.DecimalType(18, 6)))
+      case u => throw new IllegalArgumentException(s"unsupported interval unit '$u'")
+    }
   }
 
   /** Excel PERCENTILE.EXC over the group's sorted values: h = p(n+1),

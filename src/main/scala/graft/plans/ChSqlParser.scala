@@ -68,6 +68,14 @@ object ChSqlParser {
     * timestampdiff alias) doesn't match — the quote is required. */
   private val QuotedDateDiff = """\b(?:dateDiff|date_diff|timestampDiff)\s*\(\s*'""".r
 
+  /** Same treatment for the add/sub family: Spark's grammar owns the
+    * unquoted-unit spellings (`dateAdd(MONTH, …)` parses natively),
+    * the ClickHouse quoted-unit forms route to the registry. Only the
+    * camelCase CH spellings rewrite — `date_add('2024-01-01', 3)` is
+    * Spark's own two-arg day-add and must stay untouched. */
+  private val QuotedDateAdd = """\b(?:dateAdd|timestampAdd)\s*\(\s*'""".r
+  private val QuotedDateSub = """\b(?:dateSub|timestampSub)\s*\(\s*'""".r
+
   /** ClickHouse PREWHERE is a storage-layer filter hint; under Spark
     * the parquet scan already gets every pushable predicate, so the
     * keyword maps to plain WHERE. Only the lone-PREWHERE form is
@@ -557,6 +565,8 @@ object ChSqlParser {
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
+    out = QuotedDateAdd.replaceAllIn(out, "graft_dateAdd('")
+    out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
     out = Untuple.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.*"))
     out = PrewhereCombined.replaceAllIn(out, m =>
