@@ -109,6 +109,12 @@ object ChDialect {
     "cosineDistance" -> (es => Subtract(Literal(1.0d),
       Divide(DotProduct(es(0), es(1)),
         Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1))))))),
+    "cosineSimilarity" -> (es =>
+      Divide(DotProduct(es(0), es(1)),
+        Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1)))))),
+    "innerProduct"  -> (es => DotProduct(es(0), es(1))),
+    "scalarProduct" -> (es => DotProduct(es(0), es(1))),
+    "L2SquaredNorm" -> (es => DotProduct(es.head, es.head)),
     "L2Normalize" -> (es => {
       val x = lamVar("gr_x")
       ArrayTransform(es.head,
@@ -842,10 +848,52 @@ object ChDialect {
     // literal scrubbing for query fingerprinting: quoted strings and
     // bare numbers become `?` (CH normalizes whitespace too — the
     // literal classes are what dedup/fingerprint pipelines key on)
-    "normalizeQuery" -> (es =>
-      RegExpReplace(RegExpReplace(es.head,
-        Literal("'[^']*'"), Literal("?")),
-        Literal("\\b\\d+(\\.\\d+)?\\b"), Literal("?"))),
+    "normalizeQuery" -> (es => normalizeQueryExpr(es.head)),
+    // our normalization never touches identifiers, so KeepNames is
+    // the same transform; the hash is the engine-internal-remap
+    // convention (xxHash64 of the normalized text)
+    "normalizeQueryKeepNames" -> (es => normalizeQueryExpr(es.head)),
+    "normalizedQueryHash" -> (es =>
+      new XxHash64(Seq(normalizeQueryExpr(es.head)))),
+    "normalizedQueryHashKeepNames" -> (es =>
+      new XxHash64(Seq(normalizeQueryExpr(es.head)))),
+    // NUL-padded fixed width; CH throws when the value is longer —
+    // rpad's truncation is the forgiving analog (documented)
+    "toFixedString" -> (es =>
+      StringRPad(es(0), Cast(es(1), IntegerType), Literal("\u0000"))),
+    "toStringCutToZero" -> (es =>
+      GetArrayItem(StringSplit(es.head, Literal("\u0000"), Literal(2)), Literal(0),
+        failOnError = false)),
+    // digits of the integer part (sign excluded)
+    "countDigits" -> (es =>
+      Length(Cast(Abs(Cast(es.head, LongType)), org.apache.spark.sql.types.StringType))),
+    "toDecimalString" -> (es => Cast(
+      Cast(es.head, org.apache.spark.sql.types.DecimalType(38,
+        litInt(es(1), "toDecimalString scale"))),
+      org.apache.spark.sql.types.StringType)),
+    // '1d 2h 3m' → seconds: number/unit pairs extracted in lockstep,
+    // unit words remapped to their second weights, zip-folded
+    "parseTimeDelta" -> (es => {
+      val pat = "([0-9]*\\.?[0-9]+)\\s*([A-Za-z]+)"
+      val nums  = RegExpExtractAll(es.head, Literal(pat), Literal(1))
+      val units = RegExpExtractAll(es.head, Literal(pat), Literal(2))
+      val names = CreateArray(Seq(
+        "ns", "us", "ms", "s", "sec", "secs", "second", "seconds",
+        "m", "min", "mins", "minute", "minutes",
+        "h", "hr", "hrs", "hour", "hours",
+        "d", "day", "days", "w", "week", "weeks").map(Literal(_)))
+      val weights = CreateArray(Seq(
+        1e-9, 1e-6, 1e-3, 1d, 1d, 1d, 1d, 1d,
+        60d, 60d, 60d, 60d, 60d,
+        3600d, 3600d, 3600d, 3600d, 3600d,
+        86400d, 86400d, 86400d, 604800d, 604800d, 604800d).map(Literal(_)))
+      val n = lamVar("gr_td_n")
+      val u = lamVar("gr_td_u")
+      sumFold(ZipWith(nums, units, LambdaFunction(
+        Multiply(Cast(n, DoubleType),
+          remap(Lower(u), names, weights, Literal(0.0d))), Seq(n, u))),
+        LambdaFunction.identity)
+    }),
     "leftPad"  -> (es => StringLPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
     "rightPad" -> (es => StringRPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))),
     // -- substring search family. countSubstrings counts
@@ -1245,6 +1293,24 @@ object ChDialect {
         ArrayTransform(pairs, LambdaFunction(field(p, "v"), Seq(p))),
         "sum")
     }),
+    // -WithOverflow keeps the input width in CH; Long accumulation
+    // here, same alias convention as sumMap
+    "sumMapFilteredWithOverflow" -> (es => {
+      val (keep, keys, vals) = (es(0), es(1), es(2))
+      val k = lamVar("gr_smo_k")
+      val v = lamVar("gr_smo_v")
+      val p = lamVar("gr_smo_p")
+      def field(e: Expression, n: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(n))
+      val pairs = ArrayFilter(
+        ZipWith(keys, vals, LambdaFunction(CreateNamedStruct(Seq(Literal("k"), k, Literal("v"), v)), Seq(k, v))),
+        LambdaFunction(ArrayContains(keep, field(p, "k")), Seq(p)))
+      GraftMapAgg(
+        ArrayTransform(pairs, LambdaFunction(field(p, "k"), Seq(p))),
+        ArrayTransform(pairs, LambdaFunction(field(p, "v"), Seq(p))),
+        "sum")
+    }),
+    "sumMapWithOverflow" -> (es => mapAggOf(es, "sum")),
     // groupBitmap = distinct cardinality (CH's roaring-bitmap state
     // is an engine detail; the SQL contract is the exact count)
     "groupBitmap" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
@@ -2265,6 +2331,10 @@ object ChDialect {
     "tuplePlus"     -> (es => tupleZip(es(0), es(1), Add(_, _))),
     "tupleMinus"    -> (es => tupleZip(es(0), es(1), Subtract(_, _))),
     "tupleMultiply" -> (es => tupleZip(es(0), es(1), Multiply(_, _))),
+    "tupleModulo"   -> (es => tupleZip(es(0), es(1), Remainder(_, _))),
+    "tupleHammingDistance" -> (es =>
+      Cast(zipFold(es(0), es(1), (x, y) =>
+        If(EqualTo(x, y), Literal(0.0d), Literal(1.0d))), LongType)),
     "tupleDivide"   -> (es => tupleZip(es(0), es(1), Divide(_, _))),
     "tupleNegate"   -> (es => {
       val x = lamVar("gr_tn_x")
@@ -2709,6 +2779,39 @@ object ChDialect {
       "runningAccumulate is block-order dependent; use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)")),
     "neighbor" -> (_ => throw new UnsupportedOperationException(
       "neighbor is block-order dependent; use lagInFrame/leadInFrame OVER (ORDER BY …)")),
+    // WKT points: format / parse the one geometry the engine's geo
+    // family models natively ((x, y) structs)
+    "wkt" -> (es => Concat(Seq(Literal("POINT("),
+      Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("col1")),
+        org.apache.spark.sql.types.StringType),
+      Literal(" "),
+      Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("col2")),
+        org.apache.spark.sql.types.StringType),
+      Literal(")")))),
+    "readWKTPoint" -> (es => {
+      val pat = "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)"
+      CreateStruct(Seq(
+        Cast(RegExpExtract(es.head, Literal(pat), Literal(1)), DoubleType),
+        Cast(RegExpExtract(es.head, Literal(pat), Literal(2)), DoubleType)))
+    }),
+    // network IO / embedded-geobase lookups have no deterministic
+    // distributed analog — loud errors name the replacement
+    "reverseDNSQuery" -> (_ => throw new UnsupportedOperationException(
+      "reverseDNSQuery performs network IO; resolve offline and join the result table")),
+    "regionToCountry" -> (_ => throw new UnsupportedOperationException(
+      "regionTo* needs an embedded geobase; load it as a dimension table and dictGet it")),
+    "regionToContinent" -> (_ => throw new UnsupportedOperationException(
+      "regionTo* needs an embedded geobase; load it as a dimension table and dictGet it")),
+    "regionToCity" -> (_ => throw new UnsupportedOperationException(
+      "regionTo* needs an embedded geobase; load it as a dimension table and dictGet it")),
+    "geoToH3" -> (_ => throw new UnsupportedOperationException(
+      "the H3/S2 index families need their native libraries; geohashEncode covers the bucketing use")),
+    "h3ToGeo" -> (_ => throw new UnsupportedOperationException(
+      "the H3/S2 index families need their native libraries; geohashDecode covers the bucketing use")),
+    "lowCardinalityIndices" -> (_ => throw new UnsupportedOperationException(
+      "lowCardinalityIndices is dictionary-block-scoped; use dense_rank() OVER (ORDER BY x) for a stable encoding")),
+    "lowCardinalityKeys" -> (_ => throw new UnsupportedOperationException(
+      "lowCardinalityKeys is dictionary-block-scoped; use collect_set/array_distinct for the value dictionary")),
     // block introspection belongs to the single-node executor model —
     // Spark has no stable block identity to expose
     "blockSize" -> (_ => throw new UnsupportedOperationException(
@@ -2977,6 +3080,13 @@ object ChDialect {
     }
     GetJsonObject(es.head, Concat(Literal("$") +: parts))
   }
+
+  /** Literal-stripping query normalization shared by the
+    * normalizeQuery/normalizedQueryHash family. */
+  private def normalizeQueryExpr(q: Expression): Expression =
+    RegExpReplace(RegExpReplace(q,
+      Literal("'[^']*'"), Literal("?")),
+      Literal("\\b\\d+(\\.\\d+)?\\b"), Literal("?"))
 
   /** Distinct-character Jaccard (stringJaccardIndex[UTF8]); split("")
     * is already codepoint-wise on Spark strings. */

@@ -1,0 +1,87 @@
+package graft
+
+/** Seventh round-7 widening wave: fixed-string codecs, digit/decimal
+  * formatting, parseTimeDelta, normalizeQuery family, tuple/vector
+  * tail, WKT points, sumMap overflow aliases, and the loud-refusal
+  * set for geobase/H3/DNS/block-scoped names. */
+class DialectRound7gSpec extends SparkSpec {
+
+  private def s(sql: String): String =
+    spark.sql(s"SELECT $sql AS v").head().getString(0)
+  private def d(sql: String): Double =
+    spark.sql(s"SELECT $sql AS v").head().getDouble(0)
+
+  test("toFixedString/toStringCutToZero round trip through NUL padding") {
+    assert(spark.sql("SELECT length(toFixedString('ab', 5)) AS v").head().getInt(0) == 5)
+    assert(s("toStringCutToZero(toFixedString('ab', 5))") == "ab")
+    assert(s("toStringCutToZero('plain')") == "plain")
+  }
+
+  test("countDigits / toDecimalString") {
+    assert(spark.sql("SELECT countDigits(12345) AS v").head().getInt(0) == 5)
+    assert(spark.sql("SELECT countDigits(-987) AS v").head().getInt(0) == 3)
+    assert(s("toDecimalString(2.5, 3)") == "2.500")
+    assert(s("toDecimalString(7, 2)") == "7.00")
+  }
+
+  test("parseTimeDelta: CH doc shapes") {
+    assert(d("parseTimeDelta('11s+22min')") == 1331.0)
+    assert(d("parseTimeDelta('1d 2h 3m 4s')") == 93784.0)
+    assert(d("parseTimeDelta('0.5h')") == 1800.0)
+    assert(d("parseTimeDelta('2 weeks')") == 1209600.0)
+    assert(d("parseTimeDelta('')") == 0.0)
+  }
+
+  test("normalizeQuery family and hash stability") {
+    assert(s("normalizeQueryKeepNames(\"SELECT x FROM t WHERE a = 5 AND b = 'q'\")")
+      == "SELECT x FROM t WHERE a = ? AND b = ?")
+    val r = spark.sql(
+      """SELECT normalizedQueryHash('SELECT 1') AS a,
+                normalizedQueryHash('SELECT 2') AS b,
+                normalizedQueryHashKeepNames('SELECT 1') AS c""").head()
+    // literals normalize away → all three hashes agree
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == r.getLong(2))
+  }
+
+  test("tuple/vector tail: modulo, hamming, cosineSimilarity, L2SquaredNorm") {
+    val r = spark.sql(
+      """SELECT tupleModulo(array(7.0D, 9.0D), array(4.0D, 5.0D)) AS tm,
+                tupleHammingDistance(array(1, 2, 3), array(1, 9, 3)) AS th,
+                cosineSimilarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+                L2SquaredNorm(array(3.0D, 4.0D)) AS sq,
+                innerProduct(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ip""").head()
+    assert(r.getSeq[Double](0) == Seq(3.0, 4.0))
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 25.0)
+    assert(r.getDouble(4) == 11.0)
+  }
+
+  test("WKT point format/parse round trip") {
+    assert(s("wkt(struct(1.5, -2.25))") == "POINT(1.5 -2.25)")
+    val p = spark.sql("SELECT readWKTPoint('POINT(10 -20.5)') AS v").head().getStruct(0)
+    assert(p.getDouble(0) == 10.0 && p.getDouble(1) == -20.5)
+  }
+
+  test("sumMapFilteredWithOverflow matches sumMapFiltered") {
+    val r = spark.sql(
+      """SELECT sumMapFiltered(array('a'))(k, v) AS f,
+                sumMapFilteredWithOverflow(array('a'))(k, v) AS fo,
+                sumMapWithOverflow(k, v) AS so
+         FROM VALUES (array('a','b'), array(1L, 10L)), (array('a'), array(5L)) t(k, v)""").head()
+    assert(r.getStruct(0) == r.getStruct(1))
+    val so = r.getStruct(2)
+    assert(so.getSeq[String](0).zip(so.getSeq[Long](1)).toMap == Map("a" -> 6L, "b" -> 10L))
+  }
+
+  test("geobase/H3/DNS/block-scoped names refuse loudly") {
+    def refusal(sql: String, hint: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(hint), s"$sql → ${e.getMessage.take(120)}")
+    }
+    refusal("SELECT regionToCountry(1)", "geobase")
+    refusal("SELECT geoToH3(0.0, 0.0, 1)", "geohashEncode")
+    refusal("SELECT reverseDNSQuery('1.2.3.4')", "network IO")
+    refusal("SELECT lowCardinalityIndices('x')", "dense_rank")
+  }
+}
