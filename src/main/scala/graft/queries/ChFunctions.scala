@@ -781,6 +781,60 @@ object ChFunctions {
             FROM x GROUP BY 1, 2, 3, 4, 5 ORDER BY host_nw, nl"""),
   )
 
+  /** Datetime surgery over the orders dates: MySQL mode-0 weeks
+    * (Sunday-start, week 0 before the first Sunday, year-carry in
+    * toYearWeek), ISO mode 3, toLastDayOfWeek, changeDay
+    * recomposition, quoted-unit dateAdd. The oracle rebuilds mode-0
+    * week numbering from first principles in DuckDB (dayofweek
+    * arithmetic + the Dec-31 prev-year anchor), so the whole week
+    * convention is hash-checked, not just spec-pinned. */
+  val q28p = GraftQuery(
+    "q28p_datetime_surgery",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_ds")
+      s.sql("""SELECT year(d) AS yr, count(*) AS cnt,
+                      CAST(min(toWeek(d)) AS INT) AS wk0_min,
+                      CAST(max(toWeek(d)) AS INT) AS wk0_max,
+                      CAST(min(toYearWeek(d)) AS INT) AS yw0_min,
+                      CAST(max(toYearWeek(d, 3)) AS INT) AS yw3_max,
+                      max(toLastDayOfWeek(d)) AS last_dow,
+                      max(changeDay(CAST(d AS TIMESTAMP), 15)) AS chg15,
+                      min(dateAdd('quarter', 1, CAST(d AS TIMESTAMP))) AS qadd
+               FROM (SELECT o_orderdate AS d FROM orders_ds) t
+               GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH t AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+                 base AS (SELECT d, CAST(date_trunc('year', d) AS DATE) AS j1,
+                                 CAST(date_trunc('year', d) AS DATE) - 1 AS pd,
+                                 CAST(date_trunc('year', CAST(date_trunc('year', d) AS DATE) - 1) AS DATE) AS j1p
+                          FROM t),
+                 fs AS (SELECT d, pd,
+                               j1 + CAST((7 - dayofweek(j1)) % 7 AS INTEGER) AS fsun,
+                               j1p + CAST((7 - dayofweek(j1p)) % 7 AS INTEGER) AS fsunp
+                        FROM base),
+                 wk AS (SELECT d,
+                               CASE WHEN d < fsun THEN 0
+                                    ELSE CAST((d - fsun) // 7 + 1 AS INTEGER) END AS wk0,
+                               CAST((pd - fsunp) // 7 + 1 AS INTEGER) AS wk0p,
+                               year(pd) AS yprev
+                        FROM fs),
+                 vals AS (SELECT d, wk0,
+                                 CASE WHEN wk0 = 0 THEN yprev * 100 + wk0p
+                                      ELSE year(d) * 100 + wk0 END AS yw0,
+                                 CAST(isoyear(d) * 100 + weekofyear(d) AS INTEGER) AS yw3,
+                                 d + CAST(7 - isodow(d) AS INTEGER) AS last_dow,
+                                 make_timestamp(year(d), month(d), 15, 0, 0, 0) AS chg15,
+                                 CAST(d AS TIMESTAMP) + INTERVAL 3 MONTH AS qadd
+                          FROM wk)
+            SELECT year(d) AS yr, count(*) AS cnt,
+                   CAST(min(wk0) AS INTEGER) AS wk0_min,
+                   CAST(max(wk0) AS INTEGER) AS wk0_max,
+                   CAST(min(yw0) AS INTEGER) AS yw0_min,
+                   CAST(max(yw3) AS INTEGER) AS yw3_max,
+                   max(last_dow) AS last_dow, max(chg15) AS chg15, min(qadd) AS qadd
+            FROM vals GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** ClickHouse type names run verbatim inside CAST: Nullable(T)
     * unwraps, LowCardinality(String)/FixedString(n) → STRING, the
     * fixed-width numeric/DateTime names map to Spark equivalents
@@ -2042,6 +2096,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
