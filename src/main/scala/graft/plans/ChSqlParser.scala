@@ -162,6 +162,62 @@ object ChSqlParser {
     "int8" -> "TINYINT", "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
     "float32" -> "FLOAT", "float64" -> "DOUBLE", "datetime" -> "TIMESTAMP", "datetime64" -> "TIMESTAMP")
 
+  /** ClickHouse's zero-arg `count()` → `count(*)`. */
+  private val BareCount = """(?i)\bcount\s*\(\s*\)""".r
+
+  /** `* EXCEPT col` (the paren-free single-column CH spelling) →
+    * Spark's `* EXCEPT (col)`. Keyword lookahead keeps set-operation
+    * EXCEPT untouched (a set-op EXCEPT never directly follows `*`
+    * anyway — a bare `SELECT *` has no FROM — but belt and braces). */
+  private val BareStarExcept =
+    """\*\s+EXCEPT\s+(?!ALL\b|DISTINCT\b|SELECT\b|\()([A-Za-z_]\w*)\b""".r
+
+  /** `* REPLACE (expr AS col, …)` → `* EXCEPT (cols…), expr AS col,
+    * …`. The replaced columns move to the end of the select list —
+    * a documented positional deviation (Spark's star has no in-place
+    * replace); values are identical. Paren-aware split so exprs may
+    * contain calls. */
+  private val StarReplace = """(?is)\*\s+REPLACE\s*\(""".r
+  private def rewriteStarReplace(sql: String): String = {
+    val m = StarReplace.findFirstMatchIn(sql).getOrElse(return sql)
+    val start = m.end // first char after '('
+    var depth = 1
+    var i = start
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    var argStart = start
+    while (i < sql.length && depth > 0) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+          if (depth == 0) { args += sql.substring(argStart, i).trim }
+        case ',' if depth == 1 =>
+          args += sql.substring(argStart, i).trim; argStart = i + 1
+        case '\'' => // skip string literal
+          i += 1
+          while (i < sql.length && sql.charAt(i) != '\'') i += 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) return sql
+    val AsCol = """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+    val pairs = args.map {
+      case AsCol(expr, col) => (expr, col)
+      case other => throw new IllegalArgumentException(
+        s"* REPLACE entries must be 'expr AS col', got '$other'")
+    }
+    val cols = pairs.map(_._2).mkString(", ")
+    val repl = pairs.map { case (e, c) => s"$e AS $c" }.mkString(", ")
+    val rewritten = sql.substring(0, m.start) + s"* EXCEPT ($cols), $repl" + sql.substring(i)
+    rewriteStarReplace(rewritten) // handle further occurrences
+  }
+
+  /** The same CH type names after the `::` cast operator
+    * (`1 :: Int64`); Spark's grammar owns `::` itself, only the type
+    * word rewrites. */
+  private val ChTypeColonCast =
+    """(?i)(::\s*)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Float32|Float64|DateTime64|DateTime)\b""".r
+
   private def rewriteChTypes(sql: String): String = {
     var out = NullableCast.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}${m.group(2)}"))
@@ -169,7 +225,9 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
     out = FixedStrCast.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
-    ChTypeCast.replaceAllIn(out, m =>
+    out = ChTypeCast.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}${ChTypeMap(m.group(2).toLowerCase)}"))
+    ChTypeColonCast.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}${ChTypeMap(m.group(2).toLowerCase)}"))
   }
 
@@ -567,6 +625,10 @@ object ChSqlParser {
     out = QuotedDateDiff.replaceAllIn(out, "graft_dateDiff('")
     out = QuotedDateAdd.replaceAllIn(out, "graft_dateAdd('")
     out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
+    out = BareCount.replaceAllIn(out, "count(*)")
+    out = BareStarExcept.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"* EXCEPT (${m.group(1)})"))
+    out = rewriteStarReplace(out)
     out = Untuple.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.*"))
     out = PrewhereCombined.replaceAllIn(out, m =>

@@ -84,4 +84,21 @@ class DialectRound7gSpec extends SparkSpec {
     refusal("SELECT reverseDNSQuery('1.2.3.4')", "network IO")
     refusal("SELECT lowCardinalityIndices('x')", "dense_rank")
   }
+
+  test("SELECT-list modifiers: bare EXCEPT, REPLACE, count(), :: type casts") {
+    spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("mods_t")
+    assert(spark.sql("SELECT * EXCEPT b FROM mods_t").columns.toSeq == Seq("a", "c"))
+    // REPLACE: replaced column moves to the end (documented), value swapped
+    val r = spark.sql("SELECT * REPLACE (a + 10 AS a) FROM mods_t").head()
+    val cols = spark.sql("SELECT * REPLACE (a + 10 AS a) FROM mods_t").columns.toSeq
+    assert(cols.sorted == Seq("a", "b", "c"))
+    assert(r.getInt(cols.indexOf("a")) == 11)
+    val two = spark.sql("SELECT * REPLACE (a + 10 AS a, upper('x') AS q) FROM (SELECT 1 AS a, 'y' AS q)").head()
+    assert(two.getInt(0) + 0 >= 0) // parses; values:
+    assert(spark.sql("SELECT * REPLACE (a + 10 AS a, upper('x') AS q) FROM (SELECT 1 AS a, 'y' AS q)")
+      .collect().head.toSeq.toSet == Set(11, "X"))
+    assert(spark.sql("SELECT count() FROM mods_t").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT 1 :: Int64 AS v").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT '3.5' :: Float64 AS v").head().getDouble(0) == 3.5)
+  }
 }
