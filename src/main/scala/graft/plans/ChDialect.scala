@@ -2748,6 +2748,79 @@ object ChDialect {
       Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
     "uniqState"  -> (es => new HllSketchAgg(es.head)),
     "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
+    // groupArray state = partial array; merge concatenates (the
+    // groupArray insertion-order caveat applies — callers sort)
+    "groupArrayState" -> (es => CollectList(es.head)),
+    "groupArrayMerge" -> (es => Flatten(CollectList(es.head).toAggregateExpression())),
+    "groupUniqArrayState" -> (es => CollectSet(es.head)),
+    "groupUniqArrayMerge" -> (es =>
+      ArrayDistinct(Flatten(CollectList(es.head).toAggregateExpression()))),
+    // any/anyLast states are the deterministic any convention itself
+    "anyState"      -> (es => Min(es.head)),
+    "anyMerge"      -> (es => Min(es.head)),
+    "anyLastState"  -> (es => Last(es.head, ignoreNulls = true)),
+    "anyLastMerge"  -> (es => Last(es.head, ignoreNulls = true)),
+    // argMax/argMin: the state carries (arg-at-edge, edge value) so
+    // merging re-runs the same edge fight over partials
+    "argMaxState" -> (es => CreateNamedStruct(Seq(
+      Literal("a"), MaxBy(es(0), es(1)).toAggregateExpression(),
+      Literal("v"), Max(es(1)).toAggregateExpression()))),
+    "argMaxMerge" -> (es => MaxBy(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("a")),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("v")))),
+    "argMinState" -> (es => CreateNamedStruct(Seq(
+      Literal("a"), MinBy(es(0), es(1)).toAggregateExpression(),
+      Literal("v"), Min(es(1)).toAggregateExpression()))),
+    "argMinMerge" -> (es => MinBy(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("a")),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("v")))),
+    // exact-quantile state = the sorted partial multiset; merge
+    // re-sorts the concatenation and interpolates (Percentile INC)
+    "quantileState" -> (es => new SortArray(CollectList(es.head).toAggregateExpression())),
+    "medianState"   -> (es => new SortArray(CollectList(es.head).toAggregateExpression())),
+    "quantileMerge" -> (es => es match {
+      case Seq(p, s) => percentileIncOfArray(
+        new SortArray(Flatten(CollectList(s).toAggregateExpression())), p)
+      case Seq(s) => percentileIncOfArray(
+        new SortArray(Flatten(CollectList(s).toAggregateExpression())), Literal(0.5d))
+      case _ => throw new IllegalArgumentException("quantileMerge takes (level)(state)")
+    }),
+    "medianMerge" -> (es => percentileIncOfArray(
+      new SortArray(Flatten(CollectList(es.head).toAggregateExpression())), Literal(0.5d))),
+    // sumMap state IS the (keys, vals) result struct; merge re-folds
+    "sumMapState" -> (es => mapAggOf(es, "sum")),
+    "sumMapMerge" -> (es => GraftMapAgg(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("keys")),
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("vals")),
+      "sum")),
+    // bitwise partials merge with the same operation
+    "groupBitAndState" -> (es => BitAndAgg(es.head)),
+    "groupBitAndMerge" -> (es => BitAndAgg(es.head)),
+    "groupBitOrState"  -> (es => BitOrAgg(es.head)),
+    "groupBitOrMerge"  -> (es => BitOrAgg(es.head)),
+    "groupBitXorState" -> (es => BitXorAgg(es.head)),
+    "groupBitXorMerge" -> (es => BitXorAgg(es.head)),
+    // -SimpleState: the stored state IS the plain value for these
+    "sumSimpleState" -> (es => Sum(es.head)),
+    "minSimpleState" -> (es => Min(es.head)),
+    "maxSimpleState" -> (es => Max(es.head)),
+    "anySimpleState" -> (es => Min(es.head)),
+    // sequence/funnel states are event buffers, not values — the MV
+    // pattern is to store raw events and re-aggregate on read
+    "windowFunnelMerge" -> (_ => throw new UnsupportedOperationException(
+      "windowFunnel has no mergeable value state here; store raw events in the MV and re-aggregate")),
+    "retentionMerge" -> (_ => throw new UnsupportedOperationException(
+      "retention has no mergeable value state here; store raw events in the MV and re-aggregate")),
+    "sequenceMatchMerge" -> (_ => throw new UnsupportedOperationException(
+      "sequenceMatch has no mergeable value state here; store raw events in the MV and re-aggregate")),
+    // -If over parametric quantiles: null the value where the
+    // condition fails (Percentile skips nulls)
+    "quantileIf" -> (es => es match {
+      case Seq(p, x, c) => new Percentile(nullIfNot(c, x), p)
+      case Seq(x, c)    => new Percentile(nullIfNot(c, x), Literal(0.5d))
+      case _ => throw new IllegalArgumentException("quantileIf takes (level)(expr, cond)")
+    }),
+    "medianIf" -> (es => new Percentile(nullIfNot(es(1), es(0)), Literal(0.5d))),
     // -- window-function spellings. ClickHouse's lagInFrame /
     // leadInFrame are exactly Spark's lag/lead (CH renamed them to
     // avoid its own legacy neighbor()); they resolve to the native
@@ -3170,6 +3243,22 @@ object ChDialect {
         Cast(n, org.apache.spark.sql.types.DecimalType(18, 6)))
       case u => throw new IllegalArgumentException(s"unsupported interval unit '$u'")
     }
+  }
+
+  /** Interpolated (Percentile-INC) quantile of an already-sorted
+    * double array: h = 1 + p(n−1), linear interpolation. */
+  private def percentileIncOfArray(a: Expression, p: Expression): Expression = {
+    val n = Size(a)
+    val h = Add(Literal(1.0d),
+      Multiply(Cast(p, DoubleType), Cast(Subtract(n, Literal(1)), DoubleType)))
+    val lo = Cast(Floor(h), IntegerType)
+    def at(i: Expression) =
+      Cast(ElementAt(a, i, None, failOnError = false), DoubleType)
+    val interp = Add(at(lo),
+      Multiply(Subtract(h, Cast(lo, DoubleType)),
+        Subtract(at(Add(lo, Literal(1))), at(lo))))
+    If(LessThanOrEqual(n, Literal(0)), Literal.create(null, DoubleType),
+      If(GreaterThanOrEqual(lo, n), at(n), interp))
   }
 
   /** Excel PERCENTILE.EXC over the group's sorted values: h = p(n+1),
