@@ -2699,6 +2699,16 @@ object ChDialect {
     "avgArray" -> (es =>
       Divide(Sum(sumFold(es.head, LambdaFunction.identity)).toAggregateExpression(),
              Sum(Cast(Size(es.head), DoubleType)).toAggregateExpression())),
+    // max/min of per-row element extremes (empty arrays yield null,
+    // which the outer Max/Min skip); count sums the sizes
+    "maxArray" -> (es => Max(ArrayMax(es.head))),
+    "minArray" -> (es => Min(ArrayMin(es.head))),
+    "countArray" -> (es => Sum(Cast(Size(es.head), LongType))),
+    // exact distinct over the union of elements. Collects the group's
+    // arrays once — bounded by (distinct elements × rows); the scalar
+    // uniq spellings are the sketch path for unbounded domains.
+    "uniqArray" -> (es => Cast(
+      Size(ArrayDistinct(Flatten(CollectList(es.head).toAggregateExpression()))), LongType)),
     // -If combinator on any()'s deterministic cousins
     "anyIf" -> (es => First(nullIfNot(es(1), es(0)), ignoreNulls = true)),
     "anyLastIf" -> (es => Last(nullIfNot(es(1), es(0)), ignoreNulls = true)),
@@ -2748,6 +2758,22 @@ object ChDialect {
       Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
     "uniqState"  -> (es => new HllSketchAgg(es.head)),
     "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
+    "uniqExactState" -> (es => CollectSet(es.head)),
+    "uniqExactMerge" -> (es => Cast(
+      Size(ArrayDistinct(Flatten(CollectList(es.head).toAggregateExpression()))), LongType)),
+    // sketch-valued states (topK space-saving, t-digest, adaptive
+    // histogram) have engine-internal buffers with no SQL value
+    // representation — the exact spellings carry the same contract
+    "topKState" -> (_ => throw new UnsupportedOperationException(
+      "topK's sketch state is not value-representable; store groupArrayState and recompute, or topK on read")),
+    "topKMerge" -> (_ => throw new UnsupportedOperationException(
+      "topK's sketch state is not value-representable; store groupArrayState and recompute, or topK on read")),
+    "quantileTDigestState" -> (_ => throw new UnsupportedOperationException(
+      "t-digest state is engine-internal; use quantileState/quantileMerge (exact, same call shape)")),
+    "quantileTDigestMerge" -> (_ => throw new UnsupportedOperationException(
+      "t-digest state is engine-internal; use quantileState/quantileMerge (exact, same call shape)")),
+    "histogramState" -> (_ => throw new UnsupportedOperationException(
+      "adaptive-histogram state is engine-internal; store groupArrayState and histogram on read")),
     // groupArray state = partial array; merge concatenates (the
     // groupArray insertion-order caveat applies — callers sort)
     "groupArrayState" -> (es => CollectList(es.head)),

@@ -64,4 +64,17 @@ class StateMergeRound7Spec extends SparkSpec {
       spark.sql("SELECT windowFunnelMerge(1) FROM VALUES (1) t(x)").collect())
     assert(e.getMessage.contains("re-aggregate"))
   }
+
+  test("-Array combinator tail and uniqExact state pair") {
+    val r = spark.sql(
+      """SELECT maxArray(a) AS mx, minArray(a) AS mn, countArray(a) AS cnt,
+                uniqArray(a) AS uq
+         FROM VALUES (array(1, 5)), (array(2)), (array()), (array(5, 0)) t(a)""").head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 0)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 4L)
+    twoPhaseEqualsDirect("uniqExactState(v)", "uniqExactMerge(st)", "uniqExact(v)")
+    val e = intercept[Exception](
+      spark.sql("SELECT quantileTDigestState(double(x)) FROM VALUES (1) t(x)").collect())
+    assert(e.getMessage.contains("quantileState"))
+  }
 }
