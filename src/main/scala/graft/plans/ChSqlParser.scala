@@ -165,6 +165,121 @@ object ChSqlParser {
   /** ClickHouse's zero-arg `count()` → `count(*)`. */
   private val BareCount = """(?i)\bcount\s*\(\s*\)""".r
 
+  /** ClickHouse CREATE TABLE DDL → Spark DDL. Fires ONLY when an
+    * `ENGINE =` clause marks the statement as ClickHouse dialect —
+    * plain Spark DDL never matches. Column types map through
+    * [[chDdlType]]; DEFAULT/MATERIALIZED/CODEC/COMMENT column
+    * attributes strip; PARTITION BY keeps bare-identifier keys as
+    * PARTITIONED BY; ORDER BY / PRIMARY KEY / SAMPLE BY / TTL /
+    * SETTINGS strip — they are physical-layout hints whose honored
+    * path is [[graft.sources.MergeTreeWrite]] (month partitions +
+    * sorted files), not catalog DDL. */
+  private val ChCreateTable =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*ENGINE\s*=\s*[A-Za-z]+(?:\([^)]*\))?\s*(.*?)\s*;?\s*$""".r
+
+  private def rewriteChCreateTable(sql: String): String = sql match {
+    case ChCreateTable(ifNot, name, colsRaw, tail) =>
+      val cols = topLevelSplit(colsRaw).flatMap { entry =>
+        val e = entry.trim
+        // constraint/index/projection entries have no storage analog
+        if (e.isEmpty ||
+            """(?is)^(PRIMARY\s+KEY|INDEX|CONSTRAINT|PROJECTION)\b""".r.findFirstIn(e).isDefined) None
+        else {
+          val m = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.*)$""".r.findFirstMatchIn(e).getOrElse(
+            throw new IllegalArgumentException(s"cannot parse column entry '$e'"))
+          val colName = m.group(1)
+          // the type runs to the first column attribute keyword
+          val typePart = """(?is)\s+(DEFAULT|MATERIALIZED|EPHEMERAL|ALIAS|CODEC|TTL|COMMENT)\b.*$""".r
+            .replaceAllIn(m.group(2), "").trim
+          Some(s"$colName ${chDdlType(typePart)}")
+        }
+      }
+      val partitioned = """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|\S+)""".r
+        .findFirstMatchIn(tail).map(_.group(1)) match {
+        case Some(p) =>
+          val keys = p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim)
+          // only bare columns translate; expression keys (toYYYYMM…)
+          // need the MergeTreeWrite path and strip here
+          if (keys.nonEmpty && keys.forall(_.matches("[A-Za-z_]\\w*")))
+            s" PARTITIONED BY (${keys.mkString(", ")})"
+          else ""
+        case None => ""
+      }
+      val ine = if (ifNot == null) "" else "IF NOT EXISTS "
+      s"CREATE TABLE $ine$name (${cols.mkString(", ")}) USING parquet$partitioned"
+    case _ => sql
+  }
+
+  /** ClickHouse type text → Spark DDL type (recursive over the
+    * container types). */
+  private def chDdlType(t0: String): String = {
+    val t = t0.trim
+    def inner(prefix: String): String =
+      t.substring(prefix.length).trim.stripPrefix("(").stripSuffix(")").trim
+    val lower = t.toLowerCase
+    if (lower.startsWith("nullable(")) chDdlType(inner("nullable"))
+    else if (lower.startsWith("lowcardinality(")) chDdlType(inner("lowcardinality"))
+    else if (lower.startsWith("simpleaggregatefunction(")) {
+      val args = topLevelSplit(inner("simpleaggregatefunction"))
+      chDdlType(args.last)
+    } else if (lower.startsWith("array(")) s"ARRAY<${chDdlType(inner("array"))}>"
+    else if (lower.startsWith("map(")) {
+      val args = topLevelSplit(inner("map"))
+      s"MAP<${chDdlType(args(0))}, ${chDdlType(args(1))}>"
+    } else if (lower.startsWith("tuple(")) {
+      val args = topLevelSplit(inner("tuple"))
+      val fields = args.zipWithIndex.map { case (a, i) =>
+        """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r.findFirstMatchIn(a.trim) match {
+          case Some(m) => s"${m.group(1)}: ${chDdlType(m.group(2))}"
+          case None    => s"_${i + 1}: ${chDdlType(a)}"
+        }
+      }
+      s"STRUCT<${fields.mkString(", ")}>"
+    } else if (lower.startsWith("fixedstring")) "STRING"
+    else if (lower.startsWith("enum")) "STRING"
+    else if (lower.startsWith("datetime64") || lower.startsWith("datetime")) "TIMESTAMP"
+    else if (lower.startsWith("decimal32")) s"DECIMAL(9, ${inner("decimal32")})"
+    else if (lower.startsWith("decimal64")) s"DECIMAL(18, ${inner("decimal64")})"
+    else if (lower.startsWith("decimal128")) s"DECIMAL(38, ${inner("decimal128")})"
+    else if (lower.startsWith("decimal(")) s"DECIMAL(${inner("decimal")})"
+    else lower match {
+      case "string" | "uuid" | "json" => "STRING"
+      case "bool" | "boolean" => "BOOLEAN"
+      case "date" | "date32"  => "DATE"
+      case "ipv4" => "BIGINT"
+      case "ipv6" => "BINARY"
+      case "int128" | "int256" | "uint128" | "uint256" => "DECIMAL(38, 0)"
+      case other => ChTypeMap.getOrElse(other,
+        throw new IllegalArgumentException(s"unsupported ClickHouse DDL type '$t0'"))
+    }
+  }
+
+  /** Split on top-level commas (paren- and quote-aware). */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '`' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '`') i += 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.filter(_.trim.nonEmpty).toSeq
+  }
+
   /** `* EXCEPT col` (the paren-free single-column CH spelling) →
     * Spark's `* EXCEPT (col)`. Keyword lookahead keeps set-operation
     * EXCEPT untouched (a set-op EXCEPT never directly follows `*`
@@ -618,6 +733,7 @@ object ChSqlParser {
     var out = stripTrailingClause(sql, FormatClause)
     out = stripTrailingClause(out, IntoOutfile)
     out = stripTrailingClause(out, SettingsClause)
+    out = rewriteChCreateTable(out)
     out = rewriteWithConstants(out)
     out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>

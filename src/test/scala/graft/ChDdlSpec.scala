@@ -1,0 +1,87 @@
+package graft
+
+/** Verbatim ClickHouse CREATE TABLE DDL running on spark.sql: the
+  * ENGINE clause marks the dialect, column types map to Spark types,
+  * layout hints (ORDER BY / TTL / SETTINGS) strip — their honored
+  * path is MergeTreeWrite. Plain Spark DDL must never be touched. */
+class ChDdlSpec extends SparkSpec {
+
+  private def drop(t: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $t")
+
+  test("MergeTree DDL with the full type zoo creates a usable table") {
+    drop("ddl_zoo")
+    spark.sql("""
+      CREATE TABLE ddl_zoo (
+        id UInt64,
+        name String,
+        tag LowCardinality(String),
+        score Nullable(Float64),
+        born Date,
+        seen DateTime64(3),
+        flags Array(UInt8),
+        attrs Map(String, Int64),
+        pt Tuple(x Float64, y Float64),
+        amount Decimal(12, 2),
+        tiny Decimal32(4),
+        ok Bool,
+        uid UUID,
+        fs FixedString(16),
+        level Enum8('low' = 1, 'high' = 2)
+      ) ENGINE = MergeTree()
+      ORDER BY (id, born)
+      TTL born + INTERVAL 30 DAY
+      SETTINGS index_granularity = 8192""")
+    val schema = spark.table("ddl_zoo").schema
+    def dt(c: String) = schema(c).dataType.sql
+    assert(dt("id") == "BIGINT" && dt("name") == "STRING" && dt("tag") == "STRING")
+    assert(dt("score") == "DOUBLE" && dt("born") == "DATE" && dt("seen") == "TIMESTAMP")
+    assert(dt("flags") == "ARRAY<SMALLINT>")
+    assert(dt("attrs") == "MAP<STRING, BIGINT>")
+    assert(dt("pt") == "STRUCT<x: DOUBLE, y: DOUBLE>")
+    assert(dt("amount") == "DECIMAL(12,2)" && dt("tiny") == "DECIMAL(9,4)")
+    assert(dt("ok") == "BOOLEAN" && dt("uid") == "STRING")
+    assert(dt("fs") == "STRING" && dt("level") == "STRING")
+    // the table is writable and readable through normal SQL
+    spark.sql("""INSERT INTO ddl_zoo VALUES
+      (1, 'a', 't', 0.5, date'2020-01-01', timestamp'2020-01-01 00:00:00',
+       array(1, 2), map('k', 5L), struct(1.0D, 2.0D), 12.34, 1.2345, true,
+       'u-1', 'fixed', 'low')""")
+    assert(spark.sql("SELECT count(*) FROM ddl_zoo").head().getLong(0) == 1L)
+    drop("ddl_zoo")
+  }
+
+  test("PARTITION BY bare columns survives; expression keys strip") {
+    drop("ddl_part")
+    spark.sql("""CREATE TABLE ddl_part (d Date, k UInt32, v String)
+                 ENGINE = MergeTree PARTITION BY k ORDER BY d""")
+    val cat = spark.sql("DESCRIBE TABLE ddl_part").collect().map(_.getString(0))
+    assert(cat.contains("# Partition Information"))
+    drop("ddl_part")
+    drop("ddl_expr")
+    // expression partition key: table still creates, unpartitioned
+    spark.sql("""CREATE TABLE ddl_expr (d DateTime, v UInt64)
+                 ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY d""")
+    assert(!spark.sql("DESCRIBE TABLE ddl_expr").collect()
+      .map(_.getString(0)).contains("# Partition Information"))
+    drop("ddl_expr")
+  }
+
+  test("IF NOT EXISTS, ReplacingMergeTree, and defaults/codecs strip") {
+    drop("ddl_rep")
+    spark.sql("""CREATE TABLE IF NOT EXISTS ddl_rep (
+        k UInt64,
+        v String DEFAULT 'x' CODEC(ZSTD),
+        ver UInt64
+      ) ENGINE = ReplacingMergeTree(ver) ORDER BY k""")
+    spark.sql("CREATE TABLE IF NOT EXISTS ddl_rep (k UInt64) ENGINE = Memory")
+    assert(spark.table("ddl_rep").schema.fieldNames.toSeq == Seq("k", "v", "ver"))
+    drop("ddl_rep")
+  }
+
+  test("plain Spark DDL is untouched") {
+    drop("ddl_plain")
+    spark.sql("CREATE TABLE ddl_plain (a INT, b STRING) USING parquet")
+    assert(spark.table("ddl_plain").schema.fieldNames.toSeq == Seq("a", "b"))
+    drop("ddl_plain")
+  }
+}
