@@ -177,6 +177,23 @@ object ChSqlParser {
   private val ChCreateTable =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*ENGINE\s*=\s*[A-Za-z]+(?:\([^)]*\))?\s*(.*?)\s*;?\s*$""".r
 
+  /** `CREATE MATERIALIZED VIEW … [TO t] [ENGINE = …] [POPULATE] AS
+    * SELECT …` → a plain view: results are identical on read; the
+    * incremental-materialization path is [[graft.operators.MatView]]
+    * (and its streaming sibling), which this DDL front-end documents
+    * rather than hides. */
+  private val ChCreateMatView =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*).*?\bAS\s+(SELECT\b.*)$""".r
+
+  /** ClickHouse mutation/optimize DDL has no one-statement analog on
+    * parquet tables — the copy-on-write path is
+    * [[graft.operators.Mutate]]; the error says so instead of
+    * half-running. */
+  private val AlterMutation =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\b""".r
+  private val OptimizeFinal =
+    """(?is)^\s*OPTIMIZE\s+TABLE\b""".r
+
   private def rewriteChCreateTable(sql: String): String = sql match {
     case ChCreateTable(ifNot, name, colsRaw, tail) =>
       val cols = topLevelSplit(colsRaw).flatMap { entry =>
@@ -734,6 +751,22 @@ object ChSqlParser {
     out = stripTrailingClause(out, IntoOutfile)
     out = stripTrailingClause(out, SettingsClause)
     out = rewriteChCreateTable(out)
+    out = ChCreateMatView.replaceAllIn(out, m => {
+      val ine = if (m.group(1) == null) "" else "IF NOT EXISTS "
+      scala.util.matching.Regex.quoteReplacement(
+        s"CREATE VIEW $ine${m.group(2)} AS ${m.group(3)}")
+    })
+    AlterMutation.findFirstMatchIn(out).foreach { m =>
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE ${m.group(2)} is a ClickHouse mutation; use graft.operators.Mutate." +
+          (if (m.group(2).equalsIgnoreCase("DELETE")) "delete" else "update") +
+          " (partition-pruned copy-on-write) on the table's path")
+    }
+    OptimizeFinal.findFirstMatchIn(out).foreach { _ =>
+      throw new UnsupportedOperationException(
+        "OPTIMIZE TABLE is a ClickHouse compaction; use graft.operators.MatView.compact " +
+          "(read-invariant) or rely on AQE coalescing at write time")
+    }
     out = rewriteWithConstants(out)
     out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>

@@ -84,4 +84,22 @@ class ChDdlSpec extends SparkSpec {
     assert(spark.table("ddl_plain").schema.fieldNames.toSeq == Seq("a", "b"))
     drop("ddl_plain")
   }
+
+  test("CREATE MATERIALIZED VIEW maps to a view; mutations refuse with pointers") {
+    spark.sql("DROP VIEW IF EXISTS ddl_mv")
+    spark.sql("DROP TABLE IF EXISTS ddl_mv_src")
+    spark.sql("CREATE TABLE ddl_mv_src (k UInt32, v UInt64) ENGINE = MergeTree ORDER BY k")
+    spark.sql("INSERT INTO ddl_mv_src VALUES (1, 10), (1, 20), (2, 5)")
+    spark.sql("""CREATE MATERIALIZED VIEW ddl_mv ENGINE = SummingMergeTree ORDER BY k POPULATE
+                 AS SELECT k, sum(v) AS s FROM ddl_mv_src GROUP BY k""")
+    val r = spark.sql("SELECT * FROM ddl_mv ORDER BY k").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 30L), (2L, 5L)))
+    spark.sql("DROP VIEW ddl_mv"); spark.sql("DROP TABLE ddl_mv_src")
+    val e1 = intercept[Exception](spark.sql("ALTER TABLE t DELETE WHERE x = 1"))
+    assert(e1.getMessage.contains("Mutate.delete"))
+    val e2 = intercept[Exception](spark.sql("ALTER TABLE t UPDATE x = 1 WHERE y = 2"))
+    assert(e2.getMessage.contains("Mutate.update"))
+    val e3 = intercept[Exception](spark.sql("OPTIMIZE TABLE t FINAL"))
+    assert(e3.getMessage.contains("MatView.compact"))
+  }
 }
