@@ -165,6 +165,45 @@ object ChSqlParser {
   /** ClickHouse's zero-arg `count()` → `count(*)`. */
   private val BareCount = """(?i)\bcount\s*\(\s*\)""".r
 
+  /** `FROM file('path'[, 'Format'])` / `FROM s3('url'[, 'Format'])` →
+    * Spark's direct-path relation `format.`path``. Formats with no
+    * path-syntax analog (headered CSV, TSV delimiters, Native) refuse
+    * loudly toward [[graft.sources.Formats]]; `url()` would need
+    * arbitrary HTTP egress and refuses. s3:// maps to the s3a://
+    * connector scheme. */
+  private val FileTableFn =
+    """(?i)\bFROM\s+(file|s3|url)\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)')?\s*\)""".r
+
+  private def rewriteFileTableFn(sql: String): String =
+    FileTableFn.replaceAllIn(sql, m => {
+      val (fn, path) = (m.group(1).toLowerCase, m.group(2))
+      if (fn == "url") throw new UnsupportedOperationException(
+        "url() needs arbitrary HTTP egress; land the file and read it with file()")
+      val fmt = Option(m.group(3)).getOrElse {
+        // infer from the extension, the CH default behavior
+        val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+        ext match {
+          case "parquet" => "Parquet"
+          case "orc" => "ORC"
+          case "json" | "jsonl" | "ndjson" => "JSONEachRow"
+          case "csv" => "CSV"
+          case other => throw new IllegalArgumentException(
+            s"file(): cannot infer a format from extension '$other'; pass the format name")
+        }
+      }
+      val spark = fmt match {
+        case "Parquet" => "parquet"
+        case "ORC" => "orc"
+        case "JSONEachRow" | "NDJSON" | "JSONLines" => "json"
+        case "CSV" => "csv"
+        case other => throw new IllegalArgumentException(
+          s"file()/s3(): format '$other' has no direct-path reader; use graft.sources.Formats")
+      }
+      val p = if (fn == "s3" && path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+              else path
+      scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
+    })
+
   /** ClickHouse CREATE TABLE DDL → Spark DDL. Fires ONLY when an
     * `ENGINE =` clause marks the statement as ClickHouse dialect —
     * plain Spark DDL never matches. Column types map through
@@ -775,6 +814,7 @@ object ChSqlParser {
     out = QuotedDateAdd.replaceAllIn(out, "graft_dateAdd('")
     out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
     out = BareCount.replaceAllIn(out, "count(*)")
+    out = rewriteFileTableFn(out)
     out = BareStarExcept.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"* EXCEPT (${m.group(1)})"))
     out = rewriteStarReplace(out)

@@ -102,4 +102,24 @@ class ChDdlSpec extends SparkSpec {
     val e3 = intercept[Exception](spark.sql("OPTIMIZE TABLE t FINAL"))
     assert(e3.getMessage.contains("MatView.compact"))
   }
+
+  test("file() table function reads direct paths; s3/url map or refuse") {
+    val dir = s"/tmp/graft_ddl_file_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.range(5).selectExpr("id", "id * 2 AS dbl").write.parquet(dir)
+    assert(spark.sql(s"SELECT sum(dbl) FROM file('$dir', 'Parquet')").head().getLong(0) == 20L)
+    // format inferred from the extension of a single file
+    val one = spark.sql(s"SELECT count(*) FROM file('$dir/*.parquet')").head().getLong(0)
+    assert(one == 5L)
+    // s3 rewrites to the s3a connector scheme (parse-level check)
+    val plan = spark.sessionState.sqlParser.parsePlan(
+      "SELECT * FROM s3('s3://bucket/k.parquet', 'Parquet')")
+    assert(plan.toString.contains("s3a://bucket/k.parquet"))
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM url('http://x/y.csv', 'CSV')"))
+    assert(e1.getMessage.contains("egress"))
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM file('$dir', 'Native')"))
+    assert(e2.getMessage.contains("Formats"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
