@@ -529,6 +529,13 @@ object ChSqlParser {
     * CH's column name `number`. */
   private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
+  /** `FROM system.numbers LIMIT n` — the unbounded generator is only
+    * meaningful with its LIMIT, which becomes the range bound.
+    * `system.one` is the dual of DUAL. */
+  private val SystemNumbers =
+    """(?i)\bFROM\s+system\.numbers\s+LIMIT\s+(\d+)""".r
+  private val SystemOne = """(?i)\bFROM\s+system\.one\b""".r
+
   /** ClickHouse `FROM zeros(N)` (the constant-0 generator table) —
     * same range rewrite, column name `zero`. */
   private val ZerosFn = """(?i)\bFROM\s+zeros\s*\(\s*(\d+)\s*\)""".r
@@ -832,6 +839,9 @@ object ChSqlParser {
     out = rewriteArrayJoin(out)
     out = rewriteAsofJoin(out)
     out = rewriteWithFill(out)
+    out = SystemNumbers.replaceAllIn(out, m =>
+      s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
+    out = SystemOne.replaceAllIn(out, "FROM (SELECT 0 AS dummy)")
     out = NumbersFn.replaceAllIn(out, m => Option(m.group(2)) match {
       case Some(count) =>
         s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"

@@ -122,4 +122,9 @@ class ChDdlSpec extends SparkSpec {
     assert(e2.getMessage.contains("Formats"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("system.numbers LIMIT and system.one generators") {
+    assert(spark.sql("SELECT sum(number) FROM system.numbers LIMIT 10").head().getLong(0) == 45L)
+    assert(spark.sql("SELECT dummy FROM system.one").head().getInt(0) == 0)
+  }
 }
