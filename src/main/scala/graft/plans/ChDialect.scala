@@ -633,6 +633,13 @@ object ChDialect {
     "toFloat32"  -> (es => Cast(es.head, org.apache.spark.sql.types.FloatType)),
     "toInt64"    -> (es => Cast(es.head, LongType)),
     "toInt32"    -> (es => Cast(es.head, org.apache.spark.sql.types.IntegerType)),
+    "toInt16"    -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
+    "toInt8"     -> (es => Cast(es.head, org.apache.spark.sql.types.ByteType)),
+    // unsigned widths widen one step, the CAST-name convention
+    "toUInt8"    -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
+    "toUInt16"   -> (es => Cast(es.head, org.apache.spark.sql.types.IntegerType)),
+    "toUInt32"   -> (es => Cast(es.head, LongType)),
+    "toUInt64"   -> (es => Cast(es.head, LongType)),
     "toString"   -> (es => Cast(es.head, org.apache.spark.sql.types.StringType)),
     "toDateTime" -> (es => Cast(es.head, org.apache.spark.sql.types.TimestampType)),
     // -- OrNull/OrZero conversions: ClickHouse's forgiving parses are
@@ -836,6 +843,28 @@ object ChDialect {
     "positionCaseInsensitive" -> (es => new StringLocate(Lower(es(1)), Lower(es(0)))),
     "replaceAll" -> (es => StringReplace(es(0), es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es(0), es(1), es(2))),
+    // first-match-only replacement (kernel: Matcher.replaceFirst, so
+    // $1-group references in the replacement stay correct — same
+    // replacement convention as replaceRegexpAll above)
+    "replaceRegexpOne" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.StrKernels"),
+        org.apache.spark.sql.types.StringType, "replaceFirst",
+        Seq(es(0), es(1), es(2)))),
+    // empty array → single-element array. CH fills with the type's
+    // default (0/''); Spark's analog of an untyped default is NULL,
+    // so the filler element is null here — documented deviation
+    // (wrap with coalesce for a concrete default).
+    "emptyArrayToSingle" -> (es => {
+      val e = es.head
+      If(EqualTo(Size(e), Literal(0)),
+        CreateArray(Seq(ElementAt(e, Literal(1), None, failOnError = false))), e)
+    }),
+    // scalar bit-op spellings
+    "bitAnd" -> (es => BitwiseAnd(Cast(es(0), LongType), Cast(es(1), LongType))),
+    "bitOr"  -> (es => BitwiseOr(Cast(es(0), LongType), Cast(es(1), LongType))),
+    "bitXor" -> (es => BitwiseXor(Cast(es(0), LongType), Cast(es(1), LongType))),
+    "bitNot" -> (es => BitwiseNot(Cast(es.head, LongType))),
     "splitByChar" -> (es => // (sep, s); \Q..\E-quote the separator for the regex engine
       StringSplit(es(1), Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))),
     // latin-letter runs; split drops the non-letter stretches and the

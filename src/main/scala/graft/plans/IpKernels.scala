@@ -182,3 +182,22 @@ object IpKernels {
     b.toInt
   }
 }
+
+/** String kernels with no compositional expression analog. */
+object StrKernels {
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.util.regex.Pattern](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.util.regex.Pattern]): Boolean = size() > 64
+      })
+
+  /** replaceRegexpOne: first match only; $N group references follow
+    * the same Java convention replaceRegexpAll (regexp_replace)
+    * uses. */
+  def replaceFirst(s: UTF8String, pat: UTF8String, repl: UTF8String): UTF8String = {
+    if (s == null || pat == null || repl == null) return null
+    val p = cache.computeIfAbsent(pat.toString, java.util.regex.Pattern.compile(_))
+    UTF8String.fromString(p.matcher(s.toString).replaceFirst(repl.toString))
+  }
+}

@@ -101,4 +101,20 @@ class DialectRound7gSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 :: Int64 AS v").head().getLong(0) == 1L)
     assert(spark.sql("SELECT '3.5' :: Float64 AS v").head().getDouble(0) == 3.5)
   }
+
+  test("conversion widths, replaceRegexpOne, emptyArrayToSingle, scalar bit ops") {
+    val r = spark.sql(
+      """SELECT toUInt64('7') AS u64, toUInt8(200) AS u8, toInt16(12) AS i16,
+                replaceRegexpOne('aXbXc', 'X', '-') AS one,
+                replaceRegexpOne('k=1 k=2', 'k=(\\d)', 'v$1') AS grp,
+                emptyArrayToSingle(CAST(array() AS ARRAY<INT>)) AS ea,
+                emptyArrayToSingle(array(5)) AS ne,
+                bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo,
+                bitXor(12, 10) AS bx, bitNot(0) AS bn""").head()
+    assert(r.getLong(0) == 7L && r.getShort(1) == 200 && r.getShort(2) == 12)
+    assert(r.getString(3) == "a-bXc")
+    assert(r.getString(4) == "v1 k=2")
+    assert(r.getSeq[Any](5) == Seq(null) && r.getSeq[Int](6) == Seq(5))
+    assert(r.getLong(7) == 8L && r.getLong(8) == 14L && r.getLong(9) == 6L && r.getLong(10) == -1L)
+  }
 }
