@@ -640,6 +640,28 @@ object ChDialect {
     "toUInt16"   -> (es => Cast(es.head, org.apache.spark.sql.types.IntegerType)),
     "toUInt32"   -> (es => Cast(es.head, LongType)),
     "toUInt64"   -> (es => Cast(es.head, LongType)),
+    // byte-reinterpret pair (little-endian, the CH convention) —
+    // StaticInvoke kernels; the narrower reinterpretAsUInt* spellings
+    // mask the same 64-bit read
+    "reinterpretAsUInt64" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      Class.forName("graft.plans.ReinterpretKernels"), LongType, "stringToUInt64",
+      Seq(es.head), returnNullable = false)),
+    "reinterpretAsUInt32" -> (es => BitwiseAnd(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.ReinterpretKernels"), LongType, "stringToUInt64",
+        Seq(es.head), returnNullable = false), Literal(0xFFFFFFFFL))),
+    "reinterpretAsUInt16" -> (es => BitwiseAnd(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.ReinterpretKernels"), LongType, "stringToUInt64",
+        Seq(es.head), returnNullable = false), Literal(0xFFFFL))),
+    "reinterpretAsUInt8" -> (es => BitwiseAnd(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.ReinterpretKernels"), LongType, "stringToUInt64",
+        Seq(es.head), returnNullable = false), Literal(0xFFL))),
+    "reinterpretAsString" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      Class.forName("graft.plans.ReinterpretKernels"),
+      org.apache.spark.sql.types.StringType, "uint64ToString",
+      Seq(Cast(es.head, LongType)), returnNullable = false)),
     "toString"   -> (es => Cast(es.head, org.apache.spark.sql.types.StringType)),
     "toDateTime" -> (es => Cast(es.head, org.apache.spark.sql.types.TimestampType)),
     // -- OrNull/OrZero conversions: ClickHouse's forgiving parses are

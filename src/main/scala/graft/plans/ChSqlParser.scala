@@ -802,6 +802,10 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(
         s"CREATE VIEW $ine${m.group(2)} AS ${m.group(3)}")
     })
+    if ("""(?i)\bPASTE\s+JOIN\b""".r.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "PASTE JOIN zips rows by physical order, which a distributed engine does not define; " +
+          "join on explicit row_number() OVER (ORDER BY …) keys instead")
     AlterMutation.findFirstMatchIn(out).foreach { m =>
       throw new UnsupportedOperationException(
         s"ALTER TABLE ${m.group(2)} is a ClickHouse mutation; use graft.operators.Mutate." +

@@ -201,3 +201,28 @@ object StrKernels {
     UTF8String.fromString(p.matcher(s.toString).replaceFirst(repl.toString))
   }
 }
+
+/** Byte-reinterpret kernels (little-endian, the CH convention). */
+object ReinterpretKernels {
+  /** First 8 bytes of the string as a little-endian unsigned int
+    * (shorter strings zero-extend — CH semantics). */
+  def stringToUInt64(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val b = s.getBytes
+    var v = 0L
+    var i = math.min(b.length, 8) - 1
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
+    v
+  }
+
+  /** Little-endian bytes of the value with trailing zero bytes
+    * stripped, read back as a string (CH reinterpretAsString). */
+  def uint64ToString(v: Long): UTF8String = {
+    var n = 8
+    while (n > 0 && ((v >>> ((n - 1) * 8)) & 0xFF) == 0) n -= 1
+    val b = new Array[Byte](n)
+    var i = 0
+    while (i < n) { b(i) = ((v >>> (i * 8)) & 0xFF).toByte; i += 1 }
+    UTF8String.fromBytes(b)
+  }
+}

@@ -117,4 +117,18 @@ class DialectRound7gSpec extends SparkSpec {
     assert(r.getSeq[Any](5) == Seq(null) && r.getSeq[Int](6) == Seq(5))
     assert(r.getLong(7) == 8L && r.getLong(8) == 14L && r.getLong(9) == 6L && r.getLong(10) == -1L)
   }
+
+  test("reinterpret pair round-trips and PASTE JOIN refuses") {
+    val r = spark.sql(
+      """SELECT reinterpretAsUInt64('abc') AS u,
+                reinterpretAsString(reinterpretAsUInt64('hello')) AS rt,
+                reinterpretAsUInt8('abc') AS u8""").head()
+    // 'abc' little-endian: 0x636261
+    assert(r.getLong(0) == 0x636261L)
+    assert(r.getString(1) == "hello")
+    assert(r.getLong(2) == 0x61L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM a PASTE JOIN b"))
+    assert(e.getMessage.contains("row_number"))
+  }
 }
