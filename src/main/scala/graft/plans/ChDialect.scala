@@ -1931,6 +1931,14 @@ object ChDialect {
     // Spark's type name, not CH's — introspection helper, documented
     // deviation (the engine's types ARE Spark types here)
     "toTypeName" -> (es => TypeOf(es.head)),
+    "toColumnTypeName" -> (es => TypeOf(es.head)),
+    // base-2 text → number (bin()'s inverse; Spark has no unbin)
+    "unbin" -> (es => Cast(Conv(es.head, Literal(2), Literal(10)), LongType)),
+    "splitByNonAlphaUTF8" -> (es => {
+      val p = lamVar("gr_sa8_p")
+      ArrayFilter(StringSplit(es.head, Literal("[^\\p{L}]+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
+    }),
     "concatWithSeparator" -> (es => ConcatWs(es)),
     // -- math / bit long tail
     "bitCount"     -> (es => BitwiseCount(es.head)),
@@ -2173,8 +2181,40 @@ object ChDialect {
     // server-introspection constants (single-engine story: the Spark
     // session IS the server)
     "hostName"        -> (_ => Literal("localhost")),
+    "hostname"        -> (_ => Literal("localhost")),
+    "FQDN"            -> (_ => Literal("localhost")),
     "version"         -> (_ => Literal("graft 5 (spark 4.1)")),
     "currentDatabase" -> (_ => CurrentDatabase()),
+    // one logical shard: Spark's parallelism is partitions, not shards
+    "shardNum"   -> (_ => Literal(1)),
+    "shardCount" -> (_ => Literal(1)),
+    // fresh per plan-build, constant across the query's rows — the
+    // randConstant convention
+    "queryID"        -> (_ => Literal(java.util.UUID.randomUUID().toString)),
+    "initialQueryID" -> (_ => Literal(java.util.UUID.randomUUID().toString)),
+    // plan-time foldability IS the CH constancy question
+    "isConstant" -> (es => Literal(es.head.foldable)),
+    "visibleWidth" -> (es =>
+      Length(Cast(es.head, org.apache.spark.sql.types.StringType))),
+    "basename" -> (es =>
+      RegExpExtract(es.head, Literal("([^/\\\\]*)$"), Literal(1))),
+    "sleep" -> (_ => throw new UnsupportedOperationException(
+      "sleep() is a timing side effect; benchmarks belong outside the query")),
+    "sleepEachRow" -> (_ => throw new UnsupportedOperationException(
+      "sleepEachRow() is a timing side effect; benchmarks belong outside the query")),
+    // 48-bit MAC ↔ colon-hex text, pure bit math
+    "MACNumToString" -> (es => {
+      val n = Cast(es.head, LongType)
+      def oct(sh: Int) = StringLPad(
+        Lower(Hex(BitwiseAnd(ShiftRight(n, Literal(sh)), Literal(255L)))),
+        Literal(2), Literal("0"))
+      ConcatWs(Literal(":") +: Seq(oct(40), oct(32), oct(24), oct(16), oct(8), oct(0)))
+    }),
+    "MACStringToNum" -> (es =>
+      Conv(RegExpReplace(es.head, Literal(":"), Literal("")), Literal(16), Literal(10),
+        ansiEnabled = false) match {
+        case c => Cast(c, LongType)
+      }),
     "currentUser"     -> (_ => CurrentUser()),
     "toJSONString"    -> (es => StructsToJson(Map.empty[String, String], es.head)),
     "generateUUIDv4"  -> (_ => new Uuid()),

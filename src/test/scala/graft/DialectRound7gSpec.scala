@@ -131,4 +131,27 @@ class DialectRound7gSpec extends SparkSpec {
       spark.sql("SELECT * FROM a PASTE JOIN b"))
     assert(e.getMessage.contains("row_number"))
   }
+
+  test("MAC codecs, basename, unbin, isConstant, shard constants") {
+    val r = spark.sql(
+      """SELECT MACNumToString(1099511627775) AS mac,
+                MACStringToNum(MACNumToString(123456789)) AS rt,
+                basename('/a/b/file.txt') AS bn,
+                basename('plain') AS bp,
+                unbin('1010') AS ub,
+                isConstant(1 + 2) AS ic,
+                visibleWidth(12345) AS vw,
+                shardNum() AS sn, shardCount() AS sc,
+                length(queryID()) AS qid""").head()
+    assert(r.getString(0) == "00:ff:ff:ff:ff:ff")
+    assert(r.getLong(1) == 123456789L)
+    assert(r.getString(2) == "file.txt" && r.getString(3) == "plain")
+    assert(r.getLong(4) == 10L)
+    assert(r.getBoolean(5))
+    assert(r.getInt(6) == 5)
+    assert(r.getInt(7) == 1 && r.getInt(8) == 1)
+    assert(r.getInt(9) == 36)
+    val e = intercept[Exception](spark.sql("SELECT sleep(1)").collect())
+    assert(e.getMessage.contains("timing"))
+  }
 }
