@@ -140,6 +140,11 @@ object ChDialect {
       Literal.create(-40587, DateType)), LongType)),
     "fromModifiedJulianDay" -> (es => DateAdd(Literal.create(-40587, DateType),
       Cast(es.head, IntegerType))),
+    // OrNull forms: try-parse feeds the same arithmetic, nulls ride
+    "toModifiedJulianDayOrNull" -> (es => Cast(DateDiff(tryCastTo(es.head, DateType),
+      Literal.create(-40587, DateType)), LongType)),
+    "fromModifiedJulianDayOrNull" -> (es => DateAdd(Literal.create(-40587, DateType),
+      tryCastTo(es.head, IntegerType))),
     // days since 0000-01-01 (proleptic Gregorian; 719528 days to epoch)
     "toDaysSinceYearZero"   -> (es => Add(Cast(DateDiff(Cast(es.head, DateType),
       Literal.create(0, DateType)), LongType), Literal(719528L))),
@@ -227,6 +232,45 @@ object ChDialect {
       UnixMicros(Cast(es(0), TimestampType)), Multiply(Cast(es(1), LongType), Literal(1000L))))),
     "addMicroseconds" -> (es => MicrosToTimestamp(Add(
       UnixMicros(Cast(es(0), TimestampType)), Cast(es(1), LongType)))),
+    // nanos truncate to the µs axis (Spark's native resolution)
+    "addNanoseconds" -> (es => MicrosToTimestamp(Add(
+      UnixMicros(Cast(es(0), TimestampType)),
+      Cast(Divide(Cast(es(1), DoubleType), Literal(1000.0d)), LongType)))),
+    "subtractMilliseconds" -> (es => MicrosToTimestamp(Subtract(
+      UnixMicros(Cast(es(0), TimestampType)), Multiply(Cast(es(1), LongType), Literal(1000L))))),
+    "subtractMicroseconds" -> (es => MicrosToTimestamp(Subtract(
+      UnixMicros(Cast(es(0), TimestampType)), Cast(es(1), LongType)))),
+    "subtractNanoseconds" -> (es => MicrosToTimestamp(Subtract(
+      UnixMicros(Cast(es(0), TimestampType)),
+      Cast(Divide(Cast(es(1), DoubleType), Literal(1000.0d)), LongType)))),
+    // sub-second components
+    "toMillisecond" -> (es => Cast(new IntegralDivide(
+      Pmod(UnixMicros(Cast(es.head, TimestampType)), Literal(1000000L)),
+      Literal(1000L)), IntegerType)),
+    "toMicrosecond" -> (es => Cast(
+      Pmod(UnixMicros(Cast(es.head, TimestampType)), Literal(1000000L)), IntegerType)),
+    // packed-digit constructors: 20240506 → date
+    "YYYYMMDDToDate" -> (es => {
+      val n = Cast(es.head, LongType)
+      MakeDate(
+        Cast(new IntegralDivide(n, Literal(10000L)), IntegerType),
+        Cast(Pmod(new IntegralDivide(n, Literal(100L)), Literal(100L)), IntegerType),
+        Cast(Pmod(n, Literal(100L)), IntegerType))
+    }),
+    "YYYYMMDDhhmmssToDateTime" -> (es => {
+      val n = Cast(es.head, LongType)
+      MakeTimestamp(
+        Cast(new IntegralDivide(n, Literal(10000000000L)), IntegerType),
+        Cast(Pmod(new IntegralDivide(n, Literal(100000000L)), Literal(100L)), IntegerType),
+        Cast(Pmod(new IntegralDivide(n, Literal(1000000L)), Literal(100L)), IntegerType),
+        Cast(Pmod(new IntegralDivide(n, Literal(10000L)), Literal(100L)), IntegerType),
+        Cast(Pmod(new IntegralDivide(n, Literal(100L)), Literal(100L)), IntegerType),
+        Cast(Pmod(n, Literal(100L)), org.apache.spark.sql.types.DecimalType(16, 6)))
+    }),
+    // seconds from first to second (the dateDiff('second') shorthand)
+    "timeDiff" -> (es => Subtract(
+      Cast(Cast(es(1), TimestampType), LongType),
+      Cast(Cast(es(0), TimestampType), LongType))),
     // interval constructors (compose with toStartOfInterval)
     "toIntervalSecond"  -> (es => MakeDTInterval(Literal(0), Literal(0), Literal(0),
       Cast(es.head, org.apache.spark.sql.types.DecimalType(18, 6)))),

@@ -109,4 +109,24 @@ class DialectRound7fSpec extends SparkSpec {
   private implicit class LetOps[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
+
+  test("sub-second arithmetic/components, packed-digit constructors, timeDiff") {
+    val r = spark.sql(
+      """SELECT toMillisecond(timestamp'2024-05-06 07:08:09.123456') AS ms,
+                toMicrosecond(timestamp'2024-05-06 07:08:09.123456') AS us,
+                subtractMilliseconds(timestamp'2024-05-06 00:00:00.500', 300) AS sub_ms,
+                addNanoseconds(timestamp'2024-05-06 00:00:00', 2500) AS add_ns,
+                YYYYMMDDToDate(20240506) AS d,
+                YYYYMMDDhhmmssToDateTime(20240506070809) AS dt,
+                timeDiff(timestamp'2024-05-06 00:00:00', timestamp'2024-05-06 00:01:30') AS td,
+                toModifiedJulianDayOrNull('not-a-date') AS mjn,
+                toModifiedJulianDayOrNull('1858-11-17') AS mj0""").head()
+    assert(r.getInt(0) == 123 && r.getInt(1) == 123456)
+    assert(r.getTimestamp(2).toInstant.toString == "2024-05-06T00:00:00.200Z")
+    assert(r.getTimestamp(3).toInstant.toString == "2024-05-06T00:00:00.000002Z")
+    assert(r.getDate(4).toString == "2024-05-06")
+    assert(r.getTimestamp(5).toInstant.toString == "2024-05-06T07:08:09Z")
+    assert(r.getLong(6) == 90L)
+    assert(r.isNullAt(7) && r.getLong(8) == 0L)
+  }
 }
