@@ -781,6 +781,52 @@ object ChFunctions {
             FROM x GROUP BY 1, 2, 3, 4, 5 ORDER BY host_nw, nl"""),
   )
 
+  /** Scalar long-tail sweep over generated values: MAC codec
+    * round-trip text, countDigits, toDecimalString (eighth-steps, so
+    * no cross-engine rounding ambiguity), parseTimeDelta replayed
+    * from its generated spelling, token-bounded hasToken,
+    * basename, scalar bit ops, min2. Every output is a deterministic
+    * function of (event_id, event_type) the oracle recomputes
+    * closed-form. */
+  val q28q = GraftQuery(
+    "q28q_scalar_tail",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_st")
+      s.sql("""SELECT modulo(event_id, 8) AS g, count(*) AS cnt,
+                      max(MACNumToString(modulo(event_id * 2654435761, 281474976710656))) AS mac,
+                      CAST(max(countDigits(event_id + 1)) AS INT) AS cd,
+                      max(toDecimalString(modulo(event_id, 1000) * 0.125, 3)) AS ds,
+                      max(parseTimeDelta(concat(toString(modulo(event_id, 5)), 'd ',
+                                                toString(modulo(event_id, 24)), 'h ',
+                                                toString(modulo(event_id, 60)), 'min'))) AS td,
+                      countIf(hasToken(CASE modulo(event_id, 3) WHEN 0 THEN 'pre tok post'
+                                            WHEN 1 THEN 'pretok' ELSE 'tok' END, 'tok')) AS ht,
+                      max(basename(concat('/x/', event_type))) AS bn,
+                      max(bitAnd(event_id, 255)) AS ba,
+                      max(bitXor(event_id, 170)) AS bx,
+                      max(min2(modulo(event_id, 10), 5)) AS mn2
+               FROM events_st GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH t AS (SELECT event_id, event_type,
+                              (event_id * 2654435761) % 281474976710656 AS m48
+                       FROM events)
+            SELECT event_id % 8 AS g, count(*) AS cnt,
+                   max(printf('%02x:%02x:%02x:%02x:%02x:%02x',
+                       m48 // 1099511627776 % 256, m48 // 4294967296 % 256,
+                       m48 // 16777216 % 256, m48 // 65536 % 256,
+                       m48 // 256 % 256, m48 % 256)) AS mac,
+                   CAST(max(length(CAST(event_id + 1 AS VARCHAR))) AS INTEGER) AS cd,
+                   max(CAST(CAST((event_id % 1000) * 0.125 AS DECIMAL(38, 3)) AS VARCHAR)) AS ds,
+                   max((event_id % 5) * 86400.0 + (event_id % 24) * 3600
+                       + (event_id % 60) * 60) AS td,
+                   CAST(sum(CASE WHEN event_id % 3 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS ht,
+                   max(event_type) AS bn,
+                   CAST(max(event_id & 255) AS BIGINT) AS ba,
+                   CAST(max(xor(event_id, 170)) AS BIGINT) AS bx,
+                   CAST(max(least(event_id % 10, 5)) AS DOUBLE) AS mn2
+            FROM t GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Datetime surgery over the orders dates: MySQL mode-0 weeks
     * (Sunday-start, week 0 before the first Sunday, year-carry in
     * toYearWeek), ISO mode 3, toLastDayOfWeek, changeDay
@@ -2096,6 +2142,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
 }
