@@ -802,6 +802,18 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(
         s"CREATE VIEW $ine${m.group(2)} AS ${m.group(3)}")
     })
+    // CH EXPLAIN flavors: AST/SYNTAX describe the parse (Spark's
+    // EXTENDED shows both), PLAN/PIPELINE/ESTIMATE describe execution
+    // (FORMATTED is the Spark shape of that answer)
+    out = """(?is)^\s*EXPLAIN\s+(AST|SYNTAX)\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
+    out = """(?is)^\s*EXPLAIN\s+(PLAN|PIPELINE|ESTIMATE)\b""".r.replaceAllIn(out, "EXPLAIN FORMATTED")
+    // RENAME TABLE a TO b[, …] → one ALTER per pair (single-pair form
+    // rewrites; multi-pair needs separate statements, loudly)
+    """(?is)^\s*RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*(,?)""".r.findFirstMatchIn(out).foreach { m =>
+      if (m.group(3) == ",") throw new UnsupportedOperationException(
+        "RENAME TABLE with multiple pairs: issue one RENAME per pair")
+      out = s"ALTER TABLE ${m.group(1)} RENAME TO ${m.group(2)}"
+    }
     if ("""(?i)\bPASTE\s+JOIN\b""".r.findFirstIn(out).isDefined)
       throw new UnsupportedOperationException(
         "PASTE JOIN zips rows by physical order, which a distributed engine does not define; " +

@@ -127,4 +127,18 @@ class ChDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(number) FROM system.numbers LIMIT 10").head().getLong(0) == 45L)
     assert(spark.sql("SELECT dummy FROM system.one").head().getInt(0) == 0)
   }
+
+  test("EXPLAIN flavors and RENAME TABLE rewrite") {
+    val ast = spark.sql("EXPLAIN SYNTAX SELECT 1").head().getString(0)
+    assert(ast.contains("Parsed Logical Plan") || ast.contains("== Physical Plan =="))
+    val pipe = spark.sql("EXPLAIN PIPELINE SELECT count(*) FROM system.one").head().getString(0)
+    assert(pipe.contains("(1)") || pipe.contains("Physical Plan"))
+    spark.sql("DROP TABLE IF EXISTS ren_a"); spark.sql("DROP TABLE IF EXISTS ren_b")
+    spark.sql("CREATE TABLE ren_a (x UInt32) ENGINE = Memory")
+    spark.sql("RENAME TABLE ren_a TO ren_b")
+    assert(spark.catalog.tableExists("ren_b") && !spark.catalog.tableExists("ren_a"))
+    spark.sql("DROP TABLE ren_b")
+    val e = intercept[Exception](spark.sql("RENAME TABLE a TO b, c TO d"))
+    assert(e.getMessage.contains("one RENAME per pair"))
+  }
 }
