@@ -202,10 +202,12 @@ object ChDialect {
       Cast(es(3), IntegerType), Cast(es(4), IntegerType),
       Cast(es(5), org.apache.spark.sql.types.DecimalType(16, 6)))),
     // sub-second truncation: Spark's native resolution is micros, so
-    // micro/nano starts are the identity on that axis
-    "toStartOfMillisecond" -> (es => MicrosToTimestamp(Multiply(
-      new IntegralDivide(UnixMicros(Cast(es.head, TimestampType)), Literal(1000L)),
-      Literal(1000L)))),
+    // micro/nano starts are the identity on that axis. Pmod (not a
+    // truncating divide) keeps pre-epoch values flooring DOWN.
+    "toStartOfMillisecond" -> (es => {
+      val us = UnixMicros(Cast(es.head, TimestampType))
+      MicrosToTimestamp(Subtract(us, Pmod(us, Literal(1000L))))
+    }),
     "toStartOfMicrosecond" -> (es => Cast(es.head, TimestampType)),
     "toStartOfNanosecond"  -> (es => Cast(es.head, TimestampType)),
     // changeYear/…/changeSecond: recompose via make_timestamp with
@@ -365,10 +367,14 @@ object ChDialect {
     "toStartOfTenMinutes"     -> (es => secondBucket(es.head, 600L)),
     "toStartOfFifteenMinutes" -> (es => secondBucket(es.head, 900L)),
     "toLastDayOfMonth" -> (es => LastDay(Cast(es.head, DateType))),
-    // mode-0 weeks end on Sunday (WeekDay: Monday = 0 … Sunday = 6)
+    // CH mode 0 (the default, Sunday-START weeks like toStartOfWeek)
+    // rounds UP to Saturday; odd modes (Monday-start) round up to
+    // Sunday. WeekDay: Monday = 0 … Sunday = 6.
     "toLastDayOfWeek" -> (es => {
       val d = Cast(es.head, DateType)
-      DateAdd(d, Subtract(Literal(6), WeekDay(d)))
+      val wd = WeekDay(d)
+      val sundayEnd = weekMode(es) % 2 == 1
+      DateAdd(d, Pmod(Subtract(Literal(if (sundayEnd) 6 else 5), wd), Literal(7)))
     }),
     "monthName" -> (es => DateFormatClass(es.head, Literal("MMMM"))),
     "toYYYYMM"       -> (es => DateFormatClass(es.head, Literal("yyyyMM"))),
@@ -725,7 +731,17 @@ object ChDialect {
       tryCastTo(es.head, chScalarType(litString(es(1), "accurateCastOrNull type")))),
     "accurateCastOrDefault" -> (es => {
       val t = chScalarType(litString(es(1), "accurateCastOrDefault type"))
-      val dflt = if (es.length > 2) Cast(es(2), t) else Cast(Literal(0), t)
+      // the implicit default is the CH type default — a typed literal
+      // (Cast(0, DATE) would not even analyze)
+      val dflt: Expression =
+        if (es.length > 2) Cast(es(2), t)
+        else t match {
+          case org.apache.spark.sql.types.StringType => Literal("")
+          case org.apache.spark.sql.types.BooleanType => Literal(false)
+          case DateType => Literal.create(0, DateType)
+          case TimestampType => MicrosToTimestamp(Literal(0L))
+          case other => Cast(Literal(0), other)
+        }
       Coalesce(Seq(tryCastTo(es.head, t), dflt))
     }),
     "toDateOrNull"    -> (es => tryCastTo(es.head, DateType)),
@@ -1936,16 +1952,8 @@ object ChDialect {
     "reverseUTF8" -> (es => Reverse(es.head)),
     // token-run splitters: letters are the token alphabet for
     // splitByNonAlpha, the separator alphabet for splitByAlpha
-    "splitByNonAlpha" -> (es => {
-      val p = lamVar("gr_sa_p")
-      ArrayFilter(StringSplit(es.head, Literal("[^\\p{L}]+"), Literal(-1)),
-        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
-    }),
-    "splitByAlpha" -> (es => {
-      val p = lamVar("gr_sb_p")
-      ArrayFilter(StringSplit(es.head, Literal("[\\p{L}]+"), Literal(-1)),
-        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
-    }),
+    "splitByNonAlpha" -> (es => splitByPattern(es.head, "[^\\p{L}]+")),
+    "splitByAlpha"    -> (es => splitByPattern(es.head, "[\\p{L}]+")),
     // token search: the needle bounded by non-token characters (CH
     // tokens are [A-Za-z0-9_] runs); dynamic needles escape through
     // the regexpQuoteMeta composition
@@ -1976,13 +1984,12 @@ object ChDialect {
     // deviation (the engine's types ARE Spark types here)
     "toTypeName" -> (es => TypeOf(es.head)),
     "toColumnTypeName" -> (es => TypeOf(es.head)),
-    // base-2 text → number (bin()'s inverse; Spark has no unbin)
-    "unbin" -> (es => Cast(Conv(es.head, Literal(2), Literal(10)), LongType)),
-    "splitByNonAlphaUTF8" -> (es => {
-      val p = lamVar("gr_sa8_p")
-      ArrayFilter(StringSplit(es.head, Literal("[^\\p{L}]+"), Literal(-1)),
-        LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
-    }),
+    // bin()'s byte-string inverse (CH semantics: '0011000000110001'
+    // → '01'), not a numeric parse — kernel decodes bit-octets
+    "unbin" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      Class.forName("graft.plans.StrKernels"),
+      org.apache.spark.sql.types.StringType, "unbin", Seq(es.head))),
+    "splitByNonAlphaUTF8" -> (es => splitByPattern(es.head, "[^\\p{L}]+")),
     "concatWithSeparator" -> (es => ConcatWs(es)),
     // -- math / bit long tail
     "bitCount"     -> (es => BitwiseCount(es.head)),
@@ -2255,10 +2262,8 @@ object ChDialect {
       ConcatWs(Literal(":") +: Seq(oct(40), oct(32), oct(24), oct(16), oct(8), oct(0)))
     }),
     "MACStringToNum" -> (es =>
-      Conv(RegExpReplace(es.head, Literal(":"), Literal("")), Literal(16), Literal(10),
-        ansiEnabled = false) match {
-        case c => Cast(c, LongType)
-      }),
+      Cast(Conv(RegExpReplace(es.head, Literal(":"), Literal("")),
+        Literal(16), Literal(10), ansiEnabled = false), LongType)),
     "currentUser"     -> (_ => CurrentUser()),
     "toJSONString"    -> (es => StructsToJson(Map.empty[String, String], es.head)),
     "generateUUIDv4"  -> (_ => new Uuid()),
@@ -3315,6 +3320,14 @@ object ChDialect {
     GetJsonObject(es.head, Concat(Literal("$") +: parts))
   }
 
+  /** Split on runs matching `pattern`, empty fragments dropped — the
+    * splitByAlpha/splitByNonAlpha[UTF8] builder. */
+  private def splitByPattern(s: Expression, pattern: String): Expression = {
+    val p = lamVar("gr_sp_frag")
+    ArrayFilter(StringSplit(s, Literal(pattern), Literal(-1)),
+      LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p)))
+  }
+
   /** Literal-stripping query normalization shared by the
     * normalizeQuery/normalizedQueryHash family. */
   private def normalizeQueryExpr(q: Expression): Expression =
@@ -3377,11 +3390,17 @@ object ChDialect {
         s"week mode must be an integer literal, got $other")
     }
 
-  /** make_timestamp with field `idx` (y mo d h mi s) replaced. */
+  /** make_timestamp with field `idx` (y mo d h mi s) replaced. The
+    * seconds carry their sub-second fraction (Pmod keeps pre-epoch
+    * values positive) — except when the seconds field itself is the
+    * one being set, where the new integer value replaces fraction and
+    * all. */
   private def changeField(es: Seq[Expression], idx: Int): Expression = {
     val t = Cast(es(0), TimestampType)
+    val fracSeconds = Divide(
+      Cast(Pmod(UnixMicros(t), Literal(60000000L)), DoubleType), Literal(1e6))
     val fields: Seq[Expression] = Seq(
-      Year(t), Month(t), DayOfMonth(t), Hour(t), Minute(t), Second(t))
+      Year(t), Month(t), DayOfMonth(t), Hour(t), Minute(t), fracSeconds)
       .updated(idx, Cast(es(1), IntegerType))
     MakeTimestamp(
       fields(0), fields(1), fields(2), fields(3), fields(4),
@@ -3465,9 +3484,11 @@ object ChDialect {
   private def oneToN(n: Expression): Expression =
     Slice(new Sequence(Literal(0), Greatest(Seq(n, Literal(0))), None), Literal(2), n)
 
-  /** Forward fill: element i keeps itself when its flag holds (or
-    * nothing passed yet), else takes the last written value. One
-    * struct-accumulator fold — O(n), no quadratic re-scan. */
+  /** Forward fill: element i keeps itself when its flag holds (or it
+    * is the first element — nothing precedes), else takes the last
+    * written value. An explicit `seen` flag distinguishes "first
+    * element" from "previous written value was NULL" — a passing NULL
+    * must still fill forward. One struct-accumulator fold — O(n). */
   private def fillForward(arr: Expression, flags: Expression): Expression = {
     val xv = lamVar("gr_ff_x")
     val fv = lamVar("gr_ff_f")
@@ -3477,16 +3498,18 @@ object ChDialect {
     val p   = lamVar("gr_ff_p")
     def fld(e: Expression, n: String) =
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(n))
-    val prev = fld(acc, "prev")
-    val keep = Or(Cast(fld(p, "f"), org.apache.spark.sql.types.BooleanType), IsNull(prev))
-    val v    = If(keep, fld(p, "x"), prev)
+    val keep = Or(Cast(fld(p, "f"), org.apache.spark.sql.types.BooleanType),
+      Not(Cast(fld(acc, "seen"), org.apache.spark.sql.types.BooleanType)))
+    val v    = If(keep, fld(p, "x"), fld(acc, "prev"))
     ArrayAggregate(pairs,
       CreateNamedStruct(Seq(
         Literal("res"), Slice(arr, Literal(1), Literal(0)),
-        Literal("prev"), GetArrayItem(arr, Literal(Int.MaxValue), failOnError = false))),
+        Literal("prev"), GetArrayItem(arr, Literal(Int.MaxValue), failOnError = false),
+        Literal("seen"), Literal(false))),
       LambdaFunction(CreateNamedStruct(Seq(
         Literal("res"), Concat(Seq(fld(acc, "res"), CreateArray(Seq(v)))),
-        Literal("prev"), v)), Seq(acc, p)),
+        Literal("prev"), v,
+        Literal("seen"), Literal(true))), Seq(acc, p)),
       LambdaFunction(fld(acc, "res"), Seq(acc)))
   }
 

@@ -204,6 +204,13 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
     })
 
+  /** Longer file()/s3()/url() argument lists (credentials, explicit
+    * structure, headers) that the 1-2 arg rewrite above cannot model
+    * — caught here so the user gets the intended guidance instead of
+    * an opaque unresolved-relation error. */
+  private val FileTableFnLong =
+    """(?i)\bFROM\s+(file|s3|url)\s*\(\s*'[^']*'\s*,\s*'[^']*'\s*,""".r
+
   /** ClickHouse CREATE TABLE DDL → Spark DDL. Fires ONLY when an
     * `ENGINE =` clause marks the statement as ClickHouse dialect —
     * plain Spark DDL never matches. Column types map through
@@ -529,9 +536,15 @@ object ChSqlParser {
     * CH's column name `number`. */
   private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
-  /** `FROM system.numbers LIMIT n` — the unbounded generator is only
-    * meaningful with its LIMIT, which becomes the range bound.
-    * `system.one` is the dual of DUAL. */
+  /** `FROM system.numbers LIMIT n [OFFSET m]` / `LIMIT m, n` — the
+    * unbounded generator is only meaningful with its LIMIT, which
+    * (with any offset) becomes the range bounds. Both the OFFSET and
+    * the comma form are consumed so they cannot double-apply to the
+    * already-bounded range. `system.one` is the dual of DUAL. */
+  private val SystemNumbersOffset =
+    """(?i)\bFROM\s+system\.numbers\s+LIMIT\s+(\d+)\s+OFFSET\s+(\d+)""".r
+  private val SystemNumbersComma =
+    """(?i)\bFROM\s+system\.numbers\s+LIMIT\s+(\d+)\s*,\s*(\d+)""".r
   private val SystemNumbers =
     """(?i)\bFROM\s+system\.numbers\s+LIMIT\s+(\d+)""".r
   private val SystemOne = """(?i)\bFROM\s+system\.one\b""".r
@@ -837,6 +850,11 @@ object ChSqlParser {
     out = QuotedDateAdd.replaceAllIn(out, "graft_dateAdd('")
     out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
     out = BareCount.replaceAllIn(out, "count(*)")
+    FileTableFnLong.findFirstMatchIn(out).foreach { m =>
+      throw new UnsupportedOperationException(
+        s"${m.group(1)}() with more than (path, format) arguments is not modeled: " +
+          "pass credentials via Hadoop conf and explicit schemas via graft.sources.Formats")
+    }
     out = rewriteFileTableFn(out)
     out = BareStarExcept.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"* EXCEPT (${m.group(1)})"))
@@ -855,6 +873,14 @@ object ChSqlParser {
     out = rewriteArrayJoin(out)
     out = rewriteAsofJoin(out)
     out = rewriteWithFill(out)
+    out = SystemNumbersOffset.replaceAllIn(out, m => {
+      val (n, off) = (m.group(1).toLong, m.group(2).toLong)
+      s"FROM (SELECT id AS number FROM range($off, ${off + n}))"
+    })
+    out = SystemNumbersComma.replaceAllIn(out, m => {
+      val (off, n) = (m.group(1).toLong, m.group(2).toLong)
+      s"FROM (SELECT id AS number FROM range($off, ${off + n}))"
+    })
     out = SystemNumbers.replaceAllIn(out, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
     out = SystemOne.replaceAllIn(out, "FROM (SELECT 0 AS dummy)")

@@ -200,6 +200,22 @@ object StrKernels {
     val p = cache.computeIfAbsent(pat.toString, java.util.regex.Pattern.compile(_))
     UTF8String.fromString(p.matcher(s.toString).replaceFirst(repl.toString))
   }
+
+  /** bin()'s inverse: bit text → the bytes it spells (left-padded to
+    * whole octets, the CH convention); null on non-binary chars. */
+  def unbin(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    if (!str.forall(c => c == '0' || c == '1')) return null
+    val padded = "0" * ((8 - str.length % 8) % 8) + str
+    val out = new Array[Byte](padded.length / 8)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(padded.substring(i * 8, i * 8 + 8), 2).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** Byte-reinterpret kernels (little-endian, the CH convention). */

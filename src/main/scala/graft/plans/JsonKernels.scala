@@ -21,15 +21,19 @@ object JsonKernels {
   }
 
   private def merge(target: JsonNode, patch: JsonNode): JsonNode =
-    if (!patch.isObject || !target.isObject) patch
+    if (!patch.isObject) patch
     else {
-      val out = target.deepCopy().asInstanceOf[ObjectNode]
+      // RFC 7386: a non-object target is replaced by {} first, so
+      // null-valued patch keys are dropped rather than copied
+      val out: ObjectNode =
+        if (target.isObject) target.deepCopy().asInstanceOf[ObjectNode]
+        else mapper.createObjectNode()
       val it = patch.properties().iterator()
       while (it.hasNext) {
         val e = it.next()
         if (e.getValue.isNull) out.remove(e.getKey)
         else if (out.has(e.getKey)) out.set(e.getKey, merge(out.get(e.getKey), e.getValue))
-        else out.set(e.getKey, e.getValue)
+        else out.set(e.getKey, merge(mapper.createObjectNode(), e.getValue))
       }
       out
     }

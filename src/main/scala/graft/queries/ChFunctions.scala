@@ -868,7 +868,7 @@ object ChFunctions {
                                  CASE WHEN wk0 = 0 THEN yprev * 100 + wk0p
                                       ELSE year(d) * 100 + wk0 END AS yw0,
                                  CAST(isoyear(d) * 100 + weekofyear(d) AS INTEGER) AS yw3,
-                                 d + CAST(7 - isodow(d) AS INTEGER) AS last_dow,
+                                 d + CAST((6 - isodow(d) + 7) % 7 AS INTEGER) AS last_dow,
                                  make_timestamp(year(d), month(d), 15, 0, 0, 0) AS chg15,
                                  CAST(d AS TIMESTAMP) + INTERVAL 3 MONTH AS qadd
                           FROM wk)

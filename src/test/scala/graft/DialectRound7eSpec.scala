@@ -98,6 +98,12 @@ class DialectRound7eSpec extends SparkSpec {
   }
 
   test("string/date stragglers: toLastDayOfWeek, UTF8 left/right, quote-meta, zero-or-null") {
+    // mode 0 (Sunday-start week, matching toStartOfWeek) ends Saturday;
+    // mode 1 (Monday-start) ends Sunday — the CH convention
+    assert(spark.sql("SELECT toLastDayOfWeek(date'2024-05-11') AS v").head()
+      .getDate(0).toString == "2024-05-11") // a Saturday is its own week end
+    assert(spark.sql("SELECT toLastDayOfWeek(date'2024-05-08', 1) AS v").head()
+      .getDate(0).toString == "2024-05-12")
     val r = spark.sql(
       """SELECT toLastDayOfWeek(date'2024-05-08') AS sun,
                 leftUTF8('привет', 3) AS l3, rightUTF8('привет', 3) AS r3,
@@ -106,7 +112,7 @@ class DialectRound7eSpec extends SparkSpec {
                 isZeroOrNull(0) AS z1, isZeroOrNull(CAST(null AS INT)) AS z2,
                 isZeroOrNull(5) AS z3,
                 toTypeName(1) AS tn""").head()
-    assert(r.getDate(0).toString == "2024-05-12") // Wednesday → Sunday
+    assert(r.getDate(0).toString == "2024-05-11") // Wednesday → Saturday (mode 0)
     assert(r.getString(1) == "при" && r.getString(2) == "вет" && r.getString(3) == "")
     assert(r.getString(4) == "a\\.b\\*c")
     assert(r.getBoolean(5) && r.getBoolean(6) && !r.getBoolean(7))

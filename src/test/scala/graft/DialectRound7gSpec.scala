@@ -138,7 +138,8 @@ class DialectRound7gSpec extends SparkSpec {
                 MACStringToNum(MACNumToString(123456789)) AS rt,
                 basename('/a/b/file.txt') AS bn,
                 basename('plain') AS bp,
-                unbin('1010') AS ub,
+                unbin('0011000000110001') AS ub,
+                unbin(bin(65)) AS ub_rt,
                 isConstant(1 + 2) AS ic,
                 visibleWidth(12345) AS vw,
                 shardNum() AS sn, shardCount() AS sc,
@@ -146,12 +147,47 @@ class DialectRound7gSpec extends SparkSpec {
     assert(r.getString(0) == "00:ff:ff:ff:ff:ff")
     assert(r.getLong(1) == 123456789L)
     assert(r.getString(2) == "file.txt" && r.getString(3) == "plain")
-    assert(r.getLong(4) == 10L)
-    assert(r.getBoolean(5))
-    assert(r.getInt(6) == 5)
-    assert(r.getInt(7) == 1 && r.getInt(8) == 1)
-    assert(r.getInt(9) == 36)
+    // CH unbin is bin()'s byte-string inverse, not a numeric parse
+    assert(r.getString(4) == "01")
+    assert(r.getString(5) == "A")
+    assert(r.getBoolean(6))
+    assert(r.getInt(7) == 5)
+    assert(r.getInt(8) == 1 && r.getInt(9) == 1)
+    assert(r.getInt(10) == 36)
     val e = intercept[Exception](spark.sql("SELECT sleep(1)").collect())
     assert(e.getMessage.contains("timing"))
+  }
+
+  test("review fixes: RFC 7386 null-drop, fill NULL chain, fraction keep, numbers offset") {
+    // RFC 7386: non-object target is replaced by {} first, nulls drop
+    val j = spark.sql(
+      """SELECT JSONMergePatch('[1,2]', '{"a": null, "b": 2}') AS a,
+                JSONMergePatch('{}', '{"a": {"b": null, "c": 1}}') AS b""").head()
+    assert(j.getString(0) == """{"b":2}""")
+    assert(j.getString(1) == """{"a":{"c":1}}""")
+    // a passing NULL element still fills forward
+    assert(spark.sql(
+      "SELECT arrayFill(x -> x IS NULL, array(CAST(null AS INT), 5)) AS v")
+      .head().getSeq[Integer](0) == Seq(null, null))
+    // non-second field changes keep the sub-second fraction
+    assert(spark.sql(
+      "SELECT changeYear(timestamp'2024-05-06 07:08:09.123', 2020) AS v")
+      .head().getTimestamp(0).toInstant.toString == "2020-05-06T07:08:09.123Z")
+    // system.numbers LIMIT+OFFSET and the comma form bound the range
+    assert(spark.sql("SELECT min(number) || ':' || max(number) || ':' || count(*) AS v " +
+      "FROM system.numbers LIMIT 10 OFFSET 5").head().getString(0) == "5:14:10")
+    assert(spark.sql("SELECT min(number) || ':' || count(*) AS v " +
+      "FROM system.numbers LIMIT 3, 4").head().getString(0) == "3:4")
+    // implicit Date default analyses and yields the epoch
+    assert(spark.sql("SELECT accurateCastOrDefault('nope', 'Date') AS v")
+      .head().getDate(0).toString == "1970-01-01")
+    // pre-epoch millisecond start floors DOWN
+    assert(spark.sql(
+      "SELECT toStartOfMillisecond(timestamp'1969-12-31 23:59:59.9995') AS v")
+      .head().getTimestamp(0).toInstant.toString == "1969-12-31T23:59:59.999Z")
+    // 3+-arg table functions get the guidance, not an opaque error
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM s3('s3://b/k', 'KEY', 'SECRET', 'Parquet')"))
+    assert(e.getMessage.contains("Hadoop conf"))
   }
 }
