@@ -590,11 +590,15 @@ object ChSqlParser {
     * query: grid points missing from the result appear with the other
     * columns coalesced to 0 (ClickHouse's numeric default-fill), and
     * off-grid source rows survive, exactly CH's behavior. TO is
-    * exclusive, as in ClickHouse. Anything outside the subset — CTE
-    * prefix, expression bounds, INTERPOLATE — passes through untouched
-    * and fails loudly at parse, never silently wrong. */
+    * exclusive, as in ClickHouse. `INTERPOLATE (c1, c2)` — the bare
+    * carry-forward form — fills those columns from the nearest
+    * preceding source row instead of 0 (last_value ignore-nulls over
+    * the fill order). Anything outside the subset — CTE prefix,
+    * expression bounds, INTERPOLATE with AS-expressions — passes
+    * through untouched and fails loudly at parse, never silently
+    * wrong. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
   /** ClickHouse `ASOF [LEFT] JOIN` — the nearest-preceding-match join
     * — rewritten to a correlated LATERAL subquery with `ORDER BY
@@ -668,8 +672,13 @@ object ChSqlParser {
   private val BareItem    = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
 
   private def rewriteWithFill(sql: String): String = sql match {
-    case WithFill(body, fillCol, from, to, stepOrNull) =>
+    case WithFill(body, fillCol, from, to, stepOrNull, interpOrNull) =>
       val step = Option(stepOrNull).getOrElse("1")
+      val interp = Option(interpOrNull).map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set.empty[String])
+      // AS-expression interpolation is not the bare subset — leave
+      // the text alone so the INTERPOLATE keyword fails loudly
+      if (interp.exists(!_.matches("[A-Za-z_]\\w*"))) return sql
       val fromIdx = topLevelFromIndex(body)
       if (fromIdx < 0) sql
       else {
@@ -680,14 +689,27 @@ object ChSqlParser {
         }
         if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol)) sql
         else {
-          val sel = names.flatten.map { n =>
+          val cols = names.flatten
+          val sel = cols.map { n =>
             if (n == fillCol) s"coalesce(gr_src__.$n, gr_axis__.gr_fill__) AS $n"
+            else if (interp(n)) s"gr_src__.$n AS $n" // filled below
             else s"coalesce(gr_src__.$n, 0) AS $n"
           }.mkString(", ")
-          s"""SELECT $sel
-             |FROM (SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__) gr_axis__
-             |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__
-             |ORDER BY $fillCol""".stripMargin
+          val joined =
+            s"""(SELECT $sel
+               |FROM (SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__) gr_axis__
+               |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+          if (interp.isEmpty)
+            s"SELECT * FROM $joined ORDER BY $fillCol"
+          else {
+            // carry the nearest preceding source value across filled rows
+            val outer = cols.map { n =>
+              if (interp(n))
+                s"last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $n"
+              else n
+            }.mkString(", ")
+            s"SELECT $outer FROM $joined ORDER BY $fillCol"
+          }
         }
       }
     case _ => sql

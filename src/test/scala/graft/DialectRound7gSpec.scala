@@ -190,4 +190,21 @@ class DialectRound7gSpec extends SparkSpec {
       spark.sql("SELECT * FROM s3('s3://b/k', 'KEY', 'SECRET', 'Parquet')"))
     assert(e.getMessage.contains("Hadoop conf"))
   }
+
+  test("WITH FILL INTERPOLATE carries values across filled rows") {
+    spark.sql("SELECT * FROM VALUES (1, 10.0D, 100L), (4, 40.0D, 400L) t(x, v, w)")
+      .createOrReplaceTempView("wf_src")
+    val rows = spark.sql(
+      """SELECT x, v, w FROM wf_src
+         ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (v)""").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 5))
+    // v carries the last seen value forward; w defaults to 0
+    val vs = rows.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(vs == Seq(null, 10.0, 10.0, 10.0, 40.0, 40.0))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 100L, 0L, 0L, 400L, 0L))
+    // AS-expression form stays out of the subset and fails loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT x, v FROM wf_src ORDER BY x WITH FILL FROM 0 TO 3 INTERPOLATE (v AS v + 1)"))
+    assert(e != null)
+  }
 }
