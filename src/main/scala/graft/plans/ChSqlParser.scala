@@ -529,7 +529,7 @@ object ChSqlParser {
     * parenthesis-free — LIMIT BY inside a subquery does not match the
     * end-anchored pattern and passes through unchanged. */
   private val LimitBy =
-    """(?is)^\s*(SELECT\b.*\S)\s+ORDER\s+BY\s+([^()]+?)\s+LIMIT\s+(\d+)\s+BY\s+([^()]+?)\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*(SELECT\b.*\S)\s+ORDER\s+BY\s+([^()]+?)\s+LIMIT\s+(?:(\d+)\s*,\s*)?(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\s+([^()]+?)\s*(?:LIMIT\s+(\d+))?\s*;?\s*$""".r
 
   /** ClickHouse `FROM numbers(N)` / `numbers(start, count)` (the
     * system.numbers table function) → Spark's `range`, aliased to
@@ -924,13 +924,16 @@ object ChSqlParser {
            |) WHERE gr_rk__ <= $n ORDER BY $ord""".stripMargin)
     })
     out = LimitBy.replaceAllIn(out, m => {
-      val (prefix, ord, n, cols) = (m.group(1), m.group(2), m.group(3), m.group(4))
-      val outerLimit = Option(m.group(5)).map(l => s" LIMIT $l").getOrElse("")
+      val (prefix, ord, n, cols) = (m.group(1), m.group(2), m.group(4), m.group(6))
+      // both per-group offset spellings: `LIMIT off, n BY` and
+      // `LIMIT n OFFSET off BY`
+      val off = Option(m.group(3)).orElse(Option(m.group(5))).map(_.toLong).getOrElse(0L)
+      val outerLimit = Option(m.group(7)).map(l => s" LIMIT $l").getOrElse("")
       scala.util.matching.Regex.quoteReplacement(
         s"""SELECT * EXCEPT (gr_rn__) FROM (
            |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ord) AS gr_rn__
            |  FROM ($prefix)
-           |) WHERE gr_rn__ <= $n ORDER BY $ord$outerLimit""".stripMargin)
+           |) WHERE gr_rn__ > $off AND gr_rn__ <= ${off + n.toLong} ORDER BY $ord$outerLimit""".stripMargin)
     })
     WithTotals.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))

@@ -207,4 +207,19 @@ class DialectRound7gSpec extends SparkSpec {
       "SELECT x, v FROM wf_src ORDER BY x WITH FILL FROM 0 TO 3 INTERPOLATE (v AS v + 1)"))
     assert(e != null)
   }
+
+  test("LIMIT BY per-group offset forms") {
+    spark.sql("""SELECT * FROM VALUES ('a', 1), ('a', 2), ('a', 3), ('b', 1), ('b', 2) t(g, v)""")
+      .createOrReplaceTempView("lb_src")
+    def run(sql: String): Seq[(String, Int)] =
+      spark.sql(sql).collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    // skip 1, take 1 per group — both spellings
+    assert(run("SELECT g, v FROM lb_src ORDER BY g, v LIMIT 1 OFFSET 1 BY g")
+      == Seq(("a", 2), ("b", 2)))
+    assert(run("SELECT g, v FROM lb_src ORDER BY g, v LIMIT 1, 1 BY g")
+      == Seq(("a", 2), ("b", 2)))
+    // no-offset form unchanged
+    assert(run("SELECT g, v FROM lb_src ORDER BY g, v LIMIT 2 BY g")
+      == Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)))
+  }
 }
