@@ -141,4 +141,36 @@ class ChDdlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("RENAME TABLE a TO b, c TO d"))
     assert(e.getMessage.contains("one RENAME per pair"))
   }
+
+  test("DDL type mapper survives randomly nested container types") {
+    val rnd = new scala.util.Random(20260813L)
+    val scalars = Seq(
+      "UInt64" -> "BIGINT", "Int32" -> "INT", "Float64" -> "DOUBLE",
+      "String" -> "STRING", "Date" -> "DATE", "DateTime" -> "TIMESTAMP",
+      "Bool" -> "BOOLEAN", "Decimal(10, 2)" -> "DECIMAL(10,2)", "UUID" -> "STRING")
+    def gen(depth: Int): (String, String) =
+      if (depth == 0 || rnd.nextInt(3) == 0) scalars(rnd.nextInt(scalars.length))
+      else rnd.nextInt(4) match {
+        case 0 => val (c, s) = gen(depth - 1); (s"Array($c)", s"ARRAY<$s>")
+        case 1 => val (c, s) = gen(depth - 1); (s"Nullable($c)", s)
+        case 2 =>
+          val (k, ks) = scalars(rnd.nextInt(scalars.length))
+          val (v, vs) = gen(depth - 1)
+          (s"Map($k, $v)", s"MAP<$ks, $vs>")
+        case 3 =>
+          val (a, as_) = gen(depth - 1); val (b, bs) = gen(depth - 1)
+          (s"Tuple(f1 $a, f2 $b)", s"STRUCT<f1: $as_, f2: $bs>")
+      }
+    (1 to 15).foreach { i =>
+      val cols = (1 to 3).map { j => val (ch, sp) = gen(2); (s"c$j", ch, sp) }
+      spark.sql(s"DROP TABLE IF EXISTS ddl_fuzz_$i")
+      spark.sql(s"CREATE TABLE ddl_fuzz_$i (${cols.map(c => s"${c._1} ${c._2}").mkString(", ")}) " +
+        "ENGINE = MergeTree ORDER BY c1")
+      val schema = spark.table(s"ddl_fuzz_$i").schema
+      cols.foreach { case (n, ch, sp) =>
+        assert(schema(n).dataType.sql == sp, s"$ch -> ${schema(n).dataType.sql}, want $sp")
+      }
+      spark.sql(s"DROP TABLE ddl_fuzz_$i")
+    }
+  }
 }
