@@ -239,6 +239,14 @@ object ChSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\b""".r
   private val OptimizeFinal =
     """(?is)^\s*OPTIMIZE\s+TABLE\b""".r
+  private val AlterProjection =
+    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(ADD|DROP|MATERIALIZE|CLEAR)\s+PROJECTION\b""".r
+  private val AlterTtl =
+    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(MODIFY|REMOVE)\s+TTL\b""".r
+  private val CreateDictionary =
+    """(?is)^\s*CREATE\s+DICTIONARY\b""".r
+  private val SystemStmt =
+    """(?is)^\s*SYSTEM\s+\w+""".r
 
   private def rewriteChCreateTable(sql: String): String = sql match {
     case ChCreateTable(ifNot, name, colsRaw, tail) =>
@@ -864,6 +872,22 @@ object ChSqlParser {
         "OPTIMIZE TABLE is a ClickHouse compaction; use graft.operators.MatView.compact " +
           "(read-invariant) or rely on AQE coalescing at write time")
     }
+    if (AlterProjection.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "projection DDL: use graft.operators.Projections (base + alternate-sort + " +
+          "aggregate layouts under one root, route() picks by query shape)")
+    if (AlterTtl.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "TTL DDL: use graft.operators.Mutate.ttl (drops wholly-expired partitions as " +
+          "directory units, rewrites only the boundary partition)")
+    if (CreateDictionary.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "CREATE DICTIONARY: load the source as a table and use dictGet (broadcast-join " +
+          "rewrite) via graft.operators.Dictionaries")
+    if (SystemStmt.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "SYSTEM statements administer a ClickHouse server; there is no server here — " +
+          "caches and dictionaries reload per query plan")
     out = rewriteWithConstants(out)
     out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>

@@ -173,4 +173,22 @@ class ChDdlSpec extends SparkSpec {
       spark.sql(s"DROP TABLE ddl_fuzz_$i")
     }
   }
+
+  test("projection/TTL/dictionary/SYSTEM DDL refuse with operator pointers; TRUNCATE works") {
+    def refusal(sql: String, hint: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage.take(100)}")
+    }
+    refusal("ALTER TABLE t ADD PROJECTION p (SELECT * ORDER BY x)", "Projections")
+    refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY", "Mutate.ttl")
+    refusal("CREATE DICTIONARY d (k UInt64) PRIMARY KEY k", "dictGet")
+    refusal("SYSTEM RELOAD DICTIONARIES", "no server")
+    // TRUNCATE on a DDL-created table is native Spark behavior
+    spark.sql("DROP TABLE IF EXISTS ddl_trunc")
+    spark.sql("CREATE TABLE ddl_trunc (k UInt32) ENGINE = Memory")
+    spark.sql("INSERT INTO ddl_trunc VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE ddl_trunc")
+    assert(spark.sql("SELECT count(*) FROM ddl_trunc").head().getLong(0) == 0L)
+    spark.sql("DROP TABLE ddl_trunc")
+  }
 }
