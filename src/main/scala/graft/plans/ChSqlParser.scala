@@ -165,6 +165,77 @@ object ChSqlParser {
   /** ClickHouse's zero-arg `count()` → `count(*)`. */
   private val BareCount = """(?i)\bcount\s*\(\s*\)""".r
 
+  /** Keywords a `[` can legally follow as an ARRAY LITERAL opener —
+    * after any other identifier (or `)`/`]`/a string) it is Spark's
+    * native subscript and stays. */
+  private val PreBracketKeywords = Set(
+    "select", "from", "where", "and", "or", "not", "in", "join", "on",
+    "by", "as", "when", "then", "else", "end", "union", "all", "having",
+    "array", "values", "between", "like", "ilike", "is", "case",
+    "distinct", "group", "order", "limit", "interval", "using", "if",
+    "return", "totals", "prewhere", "qualify", "settings")
+
+  /** ClickHouse `[…]` array literals → `array(…)`. A quote-aware
+    * single pass; each `[` is classified by the token before it
+    * (identifier/`)`/`]`/string → subscript, anything else including
+    * the keyword set → literal) and its matching `]` rewrites with
+    * it. Nested literals and mixed literal/subscript chains like
+    * `[[1],[2]][1]` work — the closer inherits the opener's kind. */
+  private def rewriteArrayLiterals(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    val Subscript = 0; val ArrayLit = 1; val ParenList = 2
+    val sb = new java.lang.StringBuilder(sql.length + 16)
+    val kinds = scala.collection.mutable.Stack[Int]()
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '`') =>
+          sb.append(q); i += 1
+          var closed = false
+          while (i < sql.length && !closed) {
+            sb.append(sql.charAt(i))
+            if (sql.charAt(i) == q) {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == q) { sb.append(q); i += 1 }
+              else closed = true
+            }
+            i += 1
+          }
+        case '[' =>
+          // token before the bracket, read back from the output
+          var j = sb.length - 1
+          while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+          val kind =
+            if (j < 0) ArrayLit
+            else sb.charAt(j) match {
+              case ')' | ']' | '\'' | '`' => Subscript
+              case c if c.isLetterOrDigit || c == '_' =>
+                val e = j
+                while (j >= 0 && (sb.charAt(j).isLetterOrDigit || sb.charAt(j) == '_')) j -= 1
+                val word = sb.substring(j + 1, e + 1).toLowerCase
+                // `IN [..]` is a value list, not an array expression
+                if (word == "in") ParenList
+                else if (PreBracketKeywords.contains(word)) ArrayLit
+                else Subscript
+              case _ => ArrayLit
+            }
+          kinds.push(kind)
+          sb.append(kind match {
+            case ArrayLit => "array("
+            case ParenList => "("
+            case _ => "["
+          })
+          i += 1
+        case ']' =>
+          val kind = if (kinds.nonEmpty) kinds.pop() else Subscript
+          sb.append(if (kind == Subscript) ']' else ')')
+          i += 1
+        case c =>
+          sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** `FROM file('path'[, 'Format'])` / `FROM s3('url'[, 'Format'])` →
     * Spark's direct-path relation `format.`path``. Formats with no
     * path-syntax analog (headered CSV, TSV delimiters, Native) refuse
@@ -889,6 +960,7 @@ object ChSqlParser {
         "SYSTEM statements administer a ClickHouse server; there is no server here — " +
           "caches and dictionaries reload per query plan")
     out = rewriteWithConstants(out)
+    out = rewriteArrayLiterals(out)
     out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))

@@ -222,4 +222,29 @@ class DialectRound7gSpec extends SparkSpec {
     assert(run("SELECT g, v FROM lb_src ORDER BY g, v LIMIT 2 BY g")
       == Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)))
   }
+
+  test("ClickHouse [..] array literals parse; subscripts stay subscripts") {
+    val r = spark.sql(
+      """SELECT [1, 2, 3] AS a,
+                arraySum([1, 2, 3]) AS s,
+                [1, 2, 3][1] AS idx,
+                [[1, 2], [3]] AS nested,
+                [[1, 2], [3]][0][1] AS chain,
+                has([10, 20], 20) AS h,
+                ['a', 'b'] AS strs""").head()
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getDouble(1) == 6.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getSeq[Seq[Int]](3) == Seq(Seq(1, 2), Seq(3)))
+    assert(r.getInt(4) == 2)
+    assert(r.getBoolean(5))
+    assert(r.getSeq[String](6) == Seq("a", "b"))
+    // a real column subscript is untouched
+    spark.sql("SELECT array(7, 8) AS arr").createOrReplaceTempView("al_t")
+    assert(spark.sql("SELECT arr[1] FROM al_t").head().getInt(0) == 8)
+    // brackets inside string literals never rewrite
+    assert(spark.sql("SELECT '[1,2]' AS s").head().getString(0) == "[1,2]")
+    // IN over a literal list
+    assert(spark.sql("SELECT 2 IN [1, 2, 3] AS v").head().getBoolean(0))
+  }
 }
