@@ -181,6 +181,54 @@ object ChSqlParser {
     * the keyword set → literal) and its matching `]` rewrites with
     * it. Nested literals and mixed literal/subscript chains like
     * `[[1],[2]][1]` work — the closer inherits the opener's kind. */
+  /** ClickHouse `{'k': v, …}` map literals → `map('k', v, …)`. Only
+    * a `{` whose first significant content is a string key rewrites —
+    * named parameters (`{n:UInt64}`) and anything else stay. Quote-
+    * aware; top-level `:` and `,` both become argument separators. */
+  private def rewriteMapLiterals(sql: String): String = {
+    if (!sql.contains('{')) return sql
+    val sb = new java.lang.StringBuilder(sql.length + 16)
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '`') =>
+          sb.append(q); i += 1
+          var closed = false
+          while (i < sql.length && !closed) {
+            sb.append(sql.charAt(i))
+            if (sql.charAt(i) == q) closed = true
+            i += 1
+          }
+        case '{' =>
+          var k = i + 1
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && sql.charAt(k) == '\'') {
+            // map literal: scan to the matching brace, quote-aware
+            sb.append("map(")
+            i += 1
+            var depth = 1
+            while (i < sql.length && depth > 0) {
+              sql.charAt(i) match {
+                case '\'' =>
+                  sb.append('\''); i += 1
+                  while (i < sql.length && sql.charAt(i) != '\'') { sb.append(sql.charAt(i)); i += 1 }
+                  if (i < sql.length) { sb.append('\''); i += 1 }
+                case '{' => depth += 1; sb.append('{'); i += 1
+                case '}' =>
+                  depth -= 1
+                  sb.append(if (depth == 0) ")" else "}")
+                  i += 1
+                case ':' if depth == 1 => sb.append(','); i += 1
+                case c => sb.append(c); i += 1
+              }
+            }
+          } else { sb.append('{'); i += 1 }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   private def rewriteArrayLiterals(sql: String): String = {
     if (!sql.contains('[')) return sql
     val Subscript = 0; val ArrayLit = 1; val ParenList = 2
@@ -961,6 +1009,7 @@ object ChSqlParser {
           "caches and dictionaries reload per query plan")
     out = rewriteWithConstants(out)
     out = rewriteArrayLiterals(out)
+    out = rewriteMapLiterals(out)
     out = rewriteChTypes(out)
     out = Parametric.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}(${m.group(2)}, "))

@@ -247,4 +247,20 @@ class DialectRound7gSpec extends SparkSpec {
     // IN over a literal list
     assert(spark.sql("SELECT 2 IN [1, 2, 3] AS v").head().getBoolean(0))
   }
+
+  test("ClickHouse {..} map literals parse; named parameters untouched") {
+    val r = spark.sql(
+      """SELECT {'a': 1, 'b': 2} AS m,
+                {'k': [1, 2]} AS nested,
+                map_keys({'x': 10})[0] AS k1""").head()
+    assert(r.getMap[String, Int](0) == Map("a" -> 1, "b" -> 2))
+    assert(r.getMap[String, scala.collection.Seq[Int]](1)("k").toSeq == Seq(1, 2))
+    assert(r.getString(2) == "x")
+    // colons inside string keys/values survive
+    assert(spark.sql("SELECT {'a:b': 'c:d'} AS m").head()
+      .getMap[String, String](0)("a:b") == "c:d")
+    // named parameters ({id:UInt64}) still work through the dialect
+    val p = spark.sql("SELECT {n:UInt64} + 1 AS v", Map("n" -> "41")).head()
+    assert(p.getLong(0) == 42L)
+  }
 }
