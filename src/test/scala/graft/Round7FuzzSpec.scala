@@ -77,4 +77,27 @@ class Round7FuzzSpec extends SparkSpec {
       assert(got == expect.toDouble, s"'$spelled' -> $got, want $expect")
     }
   }
+
+  test("literal lexer fuzz: bracket spelling equals array() spelling on random shapes") {
+    val rnd = new scala.util.Random(424242L)
+    (1 to 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(4)
+      val vals = Seq.fill(n)(rnd.nextInt(100))
+      val idx = rnd.nextInt(n)
+      val bracketed = s"SELECT ${vals.mkString("[", ", ", "]")}[$idx] AS v"
+      val spelled   = s"SELECT array(${vals.mkString(", ")})[$idx] AS v"
+      assert(spark.sql(bracketed).head().getInt(0) == spark.sql(spelled).head().getInt(0),
+        s"mismatch for $bracketed")
+    }
+    // brackets inside strings, backticks, and JSON paths are inert
+    assert(spark.sql("SELECT get_json_object('{\"a\": [5, 6]}', '$.a[1]') AS v")
+      .head().getString(0) == "6")
+    assert(spark.sql("SELECT '[not][an][array]' AS v").head().getString(0) == "[not][an][array]")
+    val r = spark.sql("SELECT 1 AS `weird[col]`")
+    assert(r.columns.head == "weird[col]")
+    // literals work in every clause position
+    assert(spark.sql(
+      "SELECT x FROM (SELECT explode([3, 1, 2]) AS x) WHERE x IN [1, 3] ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
 }
