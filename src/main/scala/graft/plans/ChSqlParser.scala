@@ -588,6 +588,22 @@ object ChSqlParser {
       if (i % 2 == 0) GlobalHint.replaceAllIn(p, "") else p
     }.mkString("'")
 
+  /** ClickHouse positional tuple access `t.1` → `.col1` (the default
+    * field names of tuple()/`(a, b)` structs). Guarded to follow a
+    * letter/underscore/`)`/`]` so decimal literals (digit before the
+    * dot) never match, and applied outside string literals only —
+    * 'file.1' stays text. */
+  private val TupleDotAccess = """(?<=[A-Za-z_)\]])((?:\.\d+)+)(?!\d)""".r
+  private def rewriteTupleDot(sql: String): String =
+    sql.split("'", -1).zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 0)
+        // whole chains (`.2.1`) match at once — each index becomes a
+        // default-named struct field step
+        TupleDotAccess.replaceAllIn(p, m =>
+          m.group(1).split("\\.").filter(_.nonEmpty).map("col" + _).mkString(".", ".", ""))
+      else p
+    }.mkString("'")
+
   /** ClickHouse named query parameters — `{start_date:String}`,
     * `{n:UInt64}`, `{xs:Array(String)}` (the corpus' client-side
     * binding shape, /root/reference/src/corpus/orm_none.txt:432-437)
@@ -1032,6 +1048,7 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"WHERE (${m.group(1)}) AND "))
     out = Prewhere.replaceAllIn(out, "WHERE")
     out = stripGlobalHints(out)
+    out = rewriteTupleDot(out)
     out = NamedParam.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s":${m.group(1)}"))
     out = rewriteSample(out)

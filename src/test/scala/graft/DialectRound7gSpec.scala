@@ -263,4 +263,15 @@ class DialectRound7gSpec extends SparkSpec {
     val p = spark.sql("SELECT {n:UInt64} + 1 AS v", Map("n" -> "41")).head()
     assert(p.getLong(0) == 42L)
   }
+
+  test("positional tuple access .N maps to default struct fields") {
+    val r = spark.sql(
+      """SELECT tuple(7, 'x').1 AS a, tuple(7, 'x').2 AS b,
+                (1, (2, 3)).2.1 AS nested,
+                1.5D AS dec, 'file.1' AS txt""").head()
+    assert(r.getInt(0) == 7 && r.getString(1) == "x")
+    assert(r.getInt(2) == 2)
+    assert(r.getDouble(3) == 1.5)
+    assert(r.getString(4) == "file.1")
+  }
 }
