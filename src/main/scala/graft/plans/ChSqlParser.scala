@@ -183,43 +183,60 @@ object ChSqlParser {
     * `[[1],[2]][1]` work — the closer inherits the opener's kind. */
   /** ClickHouse `{'k': v, …}` map literals → `map('k', v, …)`. Only
     * a `{` whose first significant content is a string key rewrites —
-    * named parameters (`{n:UInt64}`) and anything else stay. Quote-
-    * aware; top-level `:` and `,` both become argument separators. */
+    * named parameters (`{n:UInt64}`) and anything else stay. A `:`
+    * converts to an argument separator only when it FOLLOWS a string
+    * key, so `::` casts and other value-side colons survive; nested
+    * maps resolve over fixpoint passes (the inner literal surfaces
+    * once its wrapper is rewritten). */
   private def rewriteMapLiterals(sql: String): String = {
+    var cur = sql
+    var prev: String = null
+    var rounds = 0
+    while (cur != prev && rounds < 8) { prev = cur; cur = mapLiteralPass(cur); rounds += 1 }
+    cur
+  }
+
+  private def mapLiteralPass(sql: String): String = {
     if (!sql.contains('{')) return sql
     val sb = new java.lang.StringBuilder(sql.length + 16)
     var i = 0
+    def copyQuoted(q: Char): Unit = {
+      sb.append(q); i += 1
+      var closed = false
+      while (i < sql.length && !closed) {
+        val d = sql.charAt(i)
+        sb.append(d)
+        if (d == '\\' && q != '`' && i + 1 < sql.length) { i += 1; sb.append(sql.charAt(i)) }
+        else if (d == q) closed = true
+        i += 1
+      }
+    }
     while (i < sql.length) {
       sql.charAt(i) match {
-        case q @ ('\'' | '`') =>
-          sb.append(q); i += 1
-          var closed = false
-          while (i < sql.length && !closed) {
-            sb.append(sql.charAt(i))
-            if (sql.charAt(i) == q) closed = true
-            i += 1
-          }
+        case q @ ('\'' | '"' | '`') => copyQuoted(q)
         case '{' =>
           var k = i + 1
           while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
           if (k < sql.length && sql.charAt(k) == '\'') {
-            // map literal: scan to the matching brace, quote-aware
+            // map literal: scan to the matching brace
             sb.append("map(")
             i += 1
             var depth = 1
+            var prevSig: Char = 0
             while (i < sql.length && depth > 0) {
               sql.charAt(i) match {
-                case '\'' =>
-                  sb.append('\''); i += 1
-                  while (i < sql.length && sql.charAt(i) != '\'') { sb.append(sql.charAt(i)); i += 1 }
-                  if (i < sql.length) { sb.append('\''); i += 1 }
-                case '{' => depth += 1; sb.append('{'); i += 1
+                case q @ ('\'' | '"' | '`') => copyQuoted(q); prevSig = q
+                case '{' => depth += 1; sb.append('{'); i += 1; prevSig = '{'
                 case '}' =>
                   depth -= 1
                   sb.append(if (depth == 0) ")" else "}")
-                  i += 1
-                case ':' if depth == 1 => sb.append(','); i += 1
-                case c => sb.append(c); i += 1
+                  i += 1; prevSig = '}'
+                case ':' if depth == 1 && prevSig == '\'' =>
+                  // the key/value separator — only ever after a string key
+                  sb.append(','); i += 1; prevSig = ','
+                case c =>
+                  sb.append(c); i += 1
+                  if (!c.isWhitespace) prevSig = c
               }
             }
           } else { sb.append('{'); i += 1 }
@@ -237,12 +254,14 @@ object ChSqlParser {
     var i = 0
     while (i < sql.length) {
       sql.charAt(i) match {
-        case q @ ('\'' | '`') =>
+        case q @ ('\'' | '"' | '`') =>
           sb.append(q); i += 1
           var closed = false
           while (i < sql.length && !closed) {
-            sb.append(sql.charAt(i))
-            if (sql.charAt(i) == q) {
+            val d = sql.charAt(i)
+            sb.append(d)
+            if (d == '\\' && q != '`' && i + 1 < sql.length) { i += 1; sb.append(sql.charAt(i)) }
+            else if (d == q) {
               if (i + 1 < sql.length && sql.charAt(i + 1) == q) { sb.append(q); i += 1 }
               else closed = true
             }
@@ -255,7 +274,7 @@ object ChSqlParser {
           val kind =
             if (j < 0) ArrayLit
             else sb.charAt(j) match {
-              case ')' | ']' | '\'' | '`' => Subscript
+              case ')' | ']' | '\'' | '"' | '`' => Subscript
               case c if c.isLetterOrDigit || c == '_' =>
                 val e = j
                 while (j >= 0 && (sb.charAt(j).isLetterOrDigit || sb.charAt(j) == '_')) j -= 1
@@ -583,26 +602,52 @@ object ChSqlParser {
   /** Apply the GLOBAL strip on the segments OUTSIDE single-quoted
     * string literals (split preserves quote parity: even indexes are
     * code, odd are literal bodies). */
+  /** Apply `f` to the segments of sql OUTSIDE any quoted literal —
+    * single- and double-quoted strings (Spark's default treats both
+    * as strings) and backtick identifiers, with backslash escapes
+    * respected inside string quotes. The one quote-skipping
+    * implementation every outside-literal rewrite shares. */
+  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val sb = new java.lang.StringBuilder(sql.length + 16)
+    val seg = new java.lang.StringBuilder
+    var i = 0
+    def flush(): Unit = { sb.append(f(seg.toString)); seg.setLength(0) }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        flush()
+        sb.append(c); i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          val d = sql.charAt(i)
+          sb.append(d)
+          if (d == '\\' && c != '`' && i + 1 < sql.length) { i += 1; sb.append(sql.charAt(i)) }
+          else if (d == c) closed = true
+          i += 1
+        }
+      } else { seg.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
   private def stripGlobalHints(sql: String): String =
-    sql.split("'", -1).zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 0) GlobalHint.replaceAllIn(p, "") else p
-    }.mkString("'")
+    mapOutsideQuotes(sql)(GlobalHint.replaceAllIn(_, ""))
 
   /** ClickHouse positional tuple access `t.1` → `.col1` (the default
     * field names of tuple()/`(a, b)` structs). Guarded to follow a
     * letter/underscore/`)`/`]` so decimal literals (digit before the
-    * dot) never match, and applied outside string literals only —
-    * 'file.1' stays text. */
+    * dot) never match, and applied outside quoted literals only —
+    * 'file.1', "file.1" and `a.1` (incl. file()-rewritten backtick
+    * paths) stay text. */
   private val TupleDotAccess = """(?<=[A-Za-z_)\]])((?:\.\d+)+)(?!\d)""".r
   private def rewriteTupleDot(sql: String): String =
-    sql.split("'", -1).zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 0)
-        // whole chains (`.2.1`) match at once — each index becomes a
-        // default-named struct field step
-        TupleDotAccess.replaceAllIn(p, m =>
-          m.group(1).split("\\.").filter(_.nonEmpty).map("col" + _).mkString(".", ".", ""))
-      else p
-    }.mkString("'")
+    mapOutsideQuotes(sql) { p =>
+      // whole chains (`.2.1`) match at once — each index becomes a
+      // default-named struct field step
+      TupleDotAccess.replaceAllIn(p, m =>
+        m.group(1).split("\\.").filter(_.nonEmpty).map("col" + _).mkString(".", ".", ""))
+    }
 
   /** ClickHouse named query parameters — `{start_date:String}`,
     * `{n:UInt64}`, `{xs:Array(String)}` (the corpus' client-side
@@ -830,7 +875,11 @@ object ChSqlParser {
           case BareItem(a)    => Some(a)
           case _              => None
         }
-        if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol)) sql
+        val colSet = names.flatten.toSet
+        // an INTERPOLATE column absent from the SELECT list leaves the
+        // text alone → the keyword fails loudly, never silently skips
+        if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol) ||
+            !interp.subsetOf(colSet)) sql
         else {
           val cols = names.flatten
           val sel = cols.map { n =>
@@ -845,10 +894,12 @@ object ChSqlParser {
           if (interp.isEmpty)
             s"SELECT * FROM $joined ORDER BY $fillCol"
           else {
-            // carry the nearest preceding source value across filled rows
+            // carry the nearest preceding source value across filled
+            // rows; before the first source row the 0 default applies
+            // (the same default the non-interpolated columns get)
             val outer = cols.map { n =>
               if (interp(n))
-                s"last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $n"
+                s"coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
               else n
             }.mkString(", ")
             s"SELECT $outer FROM $joined ORDER BY $fillCol"

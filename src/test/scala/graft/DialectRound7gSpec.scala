@@ -198,9 +198,10 @@ class DialectRound7gSpec extends SparkSpec {
       """SELECT x, v, w FROM wf_src
          ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (v)""").collect()
     assert(rows.map(_.getInt(0)).toSeq == (0 to 5))
-    // v carries the last seen value forward; w defaults to 0
+    // v carries the last seen value forward; before the first source
+    // row the 0 default applies (same as the non-interpolated columns)
     val vs = rows.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
-    assert(vs == Seq(null, 10.0, 10.0, 10.0, 40.0, 40.0))
+    assert(vs == Seq(0.0, 10.0, 10.0, 10.0, 40.0, 40.0))
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 100L, 0L, 0L, 400L, 0L))
     // AS-expression form stays out of the subset and fails loudly
     val e = intercept[Exception](spark.sql(
@@ -273,5 +274,28 @@ class DialectRound7gSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
     assert(r.getDouble(3) == 1.5)
     assert(r.getString(4) == "file.1")
+  }
+
+  test("second-review fixes: backtick paths, double-quoted strings, nested maps, :: values") {
+    // tuple-dot must not corrupt backtick content (file()-rewritten paths)
+    val dir = s"/tmp/graft_dot_${java.util.UUID.randomUUID().toString.take(8)}.v1.parquet"
+    spark.range(3).write.parquet(dir)
+    assert(spark.sql(s"SELECT count(*) FROM file('$dir', 'Parquet')").head().getLong(0) == 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // double-quoted strings are literals under Spark defaults - inert
+    val dq = spark.sql("""SELECT '[1]' = "[1]" AS eq, "{'a': 1}" AS m, "v.1" AS t""").head()
+    assert(dq.getBoolean(0) && dq.getString(1) == "{'a': 1}" && dq.getString(2) == "v.1")
+    // backslash-escaped quotes inside array literals
+    assert(spark.sql("""SELECT ['don\'t', 'b'] AS a""").head().getSeq[String](0)
+      == Seq("don't", "b"))
+    // nested map literals and ::-cast values
+    val nm = spark.sql("""SELECT {'a': {'b': 1}} AS nested, {'k': 1 :: Int64} AS cast_v""").head()
+    assert(nm.getMap[String, Map[String, Int]](0)("a") == Map("b" -> 1))
+    assert(nm.getMap[String, Long](1)("k") == 1L)
+    // INTERPOLATE of an unselected column fails loudly
+    spark.sql("SELECT 1 AS x, 2 AS v").createOrReplaceTempView("wf_g")
+    val e = intercept[Exception](spark.sql(
+      "SELECT x, v FROM wf_g ORDER BY x WITH FILL FROM 0 TO 3 INTERPOLATE (w)"))
+    assert(e != null)
   }
 }
