@@ -342,6 +342,27 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
     })
 
+  /** `INSERT INTO [FUNCTION] file('p', 'Fmt') SELECT …` — the write
+    * side of the table function → INSERT OVERWRITE DIRECTORY. */
+  private val InsertFileFn =
+    """(?i)\bINSERT\s+INTO\s+(?:FUNCTION\s+)?(file|s3)\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""".r
+
+  private def rewriteInsertFileFn(sql: String): String =
+    InsertFileFn.replaceAllIn(sql, m => {
+      val fmt = m.group(3) match {
+        case "Parquet" => "parquet"
+        case "ORC" => "orc"
+        case "JSONEachRow" | "NDJSON" | "JSONLines" => "json"
+        case "CSV" => "csv"
+        case other => throw new IllegalArgumentException(
+          s"file() write: format '$other' has no directory writer; use graft.sources.Formats")
+      }
+      val p = if (m.group(1).toLowerCase == "s3" && m.group(2).startsWith("s3://"))
+        "s3a://" + m.group(2).stripPrefix("s3://") else m.group(2)
+      scala.util.matching.Regex.quoteReplacement(
+        s"INSERT OVERWRITE DIRECTORY '$p' USING $fmt")
+    })
+
   /** Longer file()/s3()/url() argument lists (credentials, explicit
     * structure, headers) that the 1-2 arg rewrite above cannot model
     * — caught here so the user gets the intended guidance instead of
@@ -1084,6 +1105,7 @@ object ChSqlParser {
     out = QuotedDateAdd.replaceAllIn(out, "graft_dateAdd('")
     out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
     out = BareCount.replaceAllIn(out, "count(*)")
+    out = rewriteInsertFileFn(out)
     FileTableFnLong.findFirstMatchIn(out).foreach { m =>
       throw new UnsupportedOperationException(
         s"${m.group(1)}() with more than (path, format) arguments is not modeled: " +

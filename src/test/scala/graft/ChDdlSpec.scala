@@ -191,4 +191,14 @@ class ChDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM ddl_trunc").head().getLong(0) == 0L)
     spark.sql("DROP TABLE ddl_trunc")
   }
+
+  test("INSERT INTO FUNCTION file() writes through a directory insert") {
+    val dir = s"/tmp/graft_ins_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"INSERT INTO FUNCTION file('$dir', 'Parquet') SELECT id, id * 3 AS t FROM range(4)")
+    assert(spark.sql(s"SELECT sum(t) FROM file('$dir', 'Parquet')").head().getLong(0) == 18L)
+    // bare (no FUNCTION keyword) spelling too
+    spark.sql(s"INSERT INTO file('$dir', 'Parquet') SELECT id, id AS t FROM range(2)")
+    assert(spark.sql(s"SELECT count(*) FROM file('$dir', 'Parquet')").head().getLong(0) == 2L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
