@@ -342,6 +342,51 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
     })
 
+  /** `FROM generateRandom('a UInt64, b String'[, seed…]) LIMIT n` —
+    * CH's random-rows generator. The declared structure maps through
+    * the DDL type mapper to per-type random projections over
+    * range(n); the LIMIT is consumed as the row count (unbounded
+    * generation refuses — the seed args are accepted and ignored,
+    * rand() seeds per plan like the rand distribution family). */
+  private val GenerateRandomFn =
+    """(?i)\bFROM\s+generateRandom\s*\(\s*'([^']+)'[^)]*\)\s+LIMIT\s+(\d+)""".r
+  private val GenerateRandomNoLimit =
+    """(?i)\bFROM\s+generateRandom\s*\(""".r
+
+  private def randomExprFor(sparkType: String, name: String): String = sparkType match {
+    case "BIGINT" => s"CAST(rand() * 9e18 AS BIGINT) AS $name"
+    case "INT" => s"CAST(rand() * 2e9 - 1e9 AS INT) AS $name"
+    case "SMALLINT" => s"CAST(rand() * 6e4 - 3e4 AS SMALLINT) AS $name"
+    case "TINYINT" => s"CAST(rand() * 200 - 100 AS TINYINT) AS $name"
+    case "DOUBLE" => s"(rand() * 2 - 1) * 1e6 AS $name"
+    case "FLOAT" => s"CAST((rand() * 2 - 1) * 1e6 AS FLOAT) AS $name"
+    case "STRING" => s"randomPrintableASCII(8) AS $name"
+    case "BOOLEAN" => s"rand() < 0.5 AS $name"
+    case "DATE" => s"date_add(date'1970-01-01', CAST(rand() * 20000 AS INT)) AS $name"
+    case "TIMESTAMP" => s"timestamp_seconds(CAST(rand() * 1.7e9 AS BIGINT)) AS $name"
+    case t if t.startsWith("DECIMAL") => s"CAST(rand() * 1e6 AS $t) AS $name"
+    case other => throw new IllegalArgumentException(
+      s"generateRandom: no generator for type $other; project it from a supported column")
+  }
+
+  private def rewriteGenerateRandom(sql: String): String = {
+    val out = GenerateRandomFn.replaceAllIn(sql, m => {
+      val cols = topLevelSplit(m.group(1)).map { entry =>
+        val t = entry.trim
+        val sp = t.indexOf(' ')
+        if (sp < 0) throw new IllegalArgumentException(
+          s"generateRandom structure entry '$t' needs 'name Type'")
+        randomExprFor(chDdlType(t.substring(sp + 1).trim), t.substring(0, sp))
+      }
+      scala.util.matching.Regex.quoteReplacement(
+        s"FROM (SELECT ${cols.mkString(", ")} FROM range(${m.group(2)}))")
+    })
+    if (GenerateRandomNoLimit.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "generateRandom needs a LIMIT to bound the row count on a finite engine")
+    out
+  }
+
   /** `INSERT INTO [FUNCTION] file('p', 'Fmt') SELECT …` — the write
     * side of the table function → INSERT OVERWRITE DIRECTORY. */
   private val InsertFileFn =
@@ -1105,6 +1150,7 @@ object ChSqlParser {
     out = QuotedDateAdd.replaceAllIn(out, "graft_dateAdd('")
     out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
     out = BareCount.replaceAllIn(out, "count(*)")
+    out = rewriteGenerateRandom(out)
     out = rewriteInsertFileFn(out)
     FileTableFnLong.findFirstMatchIn(out).foreach { m =>
       throw new UnsupportedOperationException(

@@ -201,4 +201,17 @@ class ChDdlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM file('$dir', 'Parquet')").head().getLong(0) == 2L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("generateRandom produces the declared shape; unbounded refuses") {
+    val r = spark.sql(
+      """SELECT count(*) AS n, count(DISTINCT s) > 1 AS varied
+         FROM generateRandom('id UInt64, s String, d Date, ok Bool') LIMIT 50""").head()
+    assert(r.getLong(0) == 50L && r.getBoolean(1))
+    val schema = spark.sql(
+      "SELECT * FROM generateRandom('a Int32, b Float64') LIMIT 1").schema
+    assert(schema("a").dataType.sql == "INT" && schema("b").dataType.sql == "DOUBLE")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM generateRandom('a UInt64')"))
+    assert(e.getMessage.contains("LIMIT"))
+  }
 }
