@@ -387,6 +387,29 @@ object ChSqlParser {
     out
   }
 
+  /** `FROM null('a UInt64, …')` — an empty relation with the declared
+    * schema (CH's sink/placeholder table function): the same
+    * structure mapping over range(0). */
+  private val NullTableFn =
+    """(?i)\bFROM\s+null\s*\(\s*'([^']+)'\s*\)""".r
+
+  private def rewriteNullTableFn(sql: String): String =
+    NullTableFn.replaceAllIn(sql, m => {
+      val cols = topLevelSplit(m.group(1)).map { entry =>
+        val t = entry.trim
+        val sp = t.indexOf(' ')
+        if (sp < 0) throw new IllegalArgumentException(
+          s"null() structure entry '$t' needs 'name Type'")
+        s"CAST(NULL AS ${chDdlType(t.substring(sp + 1).trim)}) AS ${t.substring(0, sp)}"
+      }
+      scala.util.matching.Regex.quoteReplacement(
+        s"FROM (SELECT ${cols.mkString(", ")} FROM range(0))")
+    })
+
+  /** Cluster-fabric table functions have no single-session analog. */
+  private val ClusterTableFn =
+    """(?i)\bFROM\s+(remote|remoteSecure|cluster|clusterAllReplicas|merge)\s*\(""".r
+
   /** `INSERT INTO [FUNCTION] file('p', 'Fmt') SELECT …` — the write
     * side of the table function → INSERT OVERWRITE DIRECTORY. */
   private val InsertFileFn =
@@ -1151,6 +1174,12 @@ object ChSqlParser {
     out = QuotedDateSub.replaceAllIn(out, "graft_dateSub('")
     out = BareCount.replaceAllIn(out, "count(*)")
     out = rewriteGenerateRandom(out)
+    out = rewriteNullTableFn(out)
+    ClusterTableFn.findFirstMatchIn(out).foreach { m =>
+      throw new UnsupportedOperationException(
+        s"${m.group(1)}() addresses a ClickHouse cluster; Spark's distribution is the " +
+          "cluster here — read the table directly (merge(): UNION ALL the members)")
+    }
     out = rewriteInsertFileFn(out)
     FileTableFnLong.findFirstMatchIn(out).foreach { m =>
       throw new UnsupportedOperationException(

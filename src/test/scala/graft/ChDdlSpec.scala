@@ -214,4 +214,16 @@ class ChDdlSpec extends SparkSpec {
       spark.sql("SELECT * FROM generateRandom('a UInt64')"))
     assert(e.getMessage.contains("LIMIT"))
   }
+
+  test("null() structure tables and cluster-fabric refusals") {
+    val df = spark.sql("SELECT * FROM null('a UInt64, s String')")
+    assert(df.count() == 0L)
+    assert(df.schema("a").dataType.sql == "BIGINT" && df.schema("s").dataType.sql == "STRING")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM remote('host:9000', 'db.t')"))
+    assert(e.getMessage.contains("cluster"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM merge('db', '^events')"))
+    assert(e2.getMessage.contains("UNION ALL"))
+  }
 }
