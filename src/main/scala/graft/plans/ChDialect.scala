@@ -366,6 +366,10 @@ object ChDialect {
     "toStartOfFiveMinutes"    -> (es => secondBucket(es.head, 300L)),
     "toStartOfTenMinutes"     -> (es => secondBucket(es.head, 600L)),
     "toStartOfFifteenMinutes" -> (es => secondBucket(es.head, 900L)),
+    // the legacy singular spellings
+    "toStartOfFiveMinute"    -> (es => secondBucket(es.head, 300L)),
+    "toStartOfTenMinute"     -> (es => secondBucket(es.head, 600L)),
+    "toStartOfFifteenMinute" -> (es => secondBucket(es.head, 900L)),
     "toLastDayOfMonth" -> (es => LastDay(Cast(es.head, DateType))),
     // CH mode 0 (the default, Sunday-START weeks like toStartOfWeek)
     // rounds UP to Saturday; odd modes (Monday-start) round up to
@@ -1018,6 +1022,11 @@ object ChDialect {
     "multiSearchAllPositions" -> (es => {
       val n = lamVar("gr_n")
       ArrayTransform(es(1), LambdaFunction(new StringLocate(n, es(0)), Seq(n)))
+    }),
+    "multiSearchAllPositionsCaseInsensitive" -> (es => {
+      val n = lamVar("gr_nci")
+      ArrayTransform(es(1),
+        LambdaFunction(new StringLocate(Lower(n), Lower(es(0))), Seq(n)))
     }),
     "multiSearchAnyCaseInsensitive" -> (es => {
       val n = lamVar("gr_n")
@@ -1797,6 +1806,9 @@ object ChDialect {
       coalesceEmpty(RegExpExtract(ParseUrl(Seq(es.head, Literal("HOST"))), Literal("([^.]+)$"), Literal(1)))),
     // URL long tail: regex/array compositions (scheme-optional like
     // CH, unlike java.net.URI), all codegen-friendly
+    "domainRFC"        -> (es => coalesceEmpty(ParseUrl(Seq(es.head, Literal("HOST"))))),
+    "topLevelDomainRFC" -> (es =>
+      coalesceEmpty(RegExpExtract(ParseUrl(Seq(es.head, Literal("HOST"))), Literal("([^.]+)$"), Literal(1)))),
     "domainWithoutWWW" -> (es =>
       RegExpReplace(urlHostExpr(es.head), Literal("^www\\."), Literal(""))),
     "netloc" -> (es => urlNetlocExpr(es.head)),

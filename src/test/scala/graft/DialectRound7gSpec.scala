@@ -298,4 +298,16 @@ class DialectRound7gSpec extends SparkSpec {
       "SELECT x, v FROM wf_g ORDER BY x WITH FILL FROM 0 TO 3 INTERPOLATE (w)"))
     assert(e != null)
   }
+
+  test("spelling variants: singular minute buckets, RFC domains, CI multi-positions") {
+    val r = spark.sql(
+      """SELECT toStartOfFiveMinute(timestamp'2024-05-06 07:08:09') AS m5,
+                toStartOfFiveMinutes(timestamp'2024-05-06 07:08:09') AS m5s,
+                domainRFC('https://ex.com/a') AS d,
+                topLevelDomainRFC('https://ex.co.uk/a') AS tld,
+                multiSearchAllPositionsCaseInsensitive('Hello World', array('WORLD', 'x')) AS pos""").head()
+    assert(r.getTimestamp(0) == r.getTimestamp(1))
+    assert(r.getString(2) == "ex.com" && r.getString(3) == "uk")
+    assert(r.getSeq[Int](4) == Seq(7, 0))
+  }
 }
