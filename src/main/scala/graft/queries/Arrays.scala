@@ -526,10 +526,13 @@ object Arrays {
                                           CAST(l_linenumber % 3 AS BIGINT) + 3) AS a
                           FROM lineitem_at)
                SELECT rf,
-                      groupArrayIntersect(a) AS common,
-                      arrayPartialSort(3, arrayReverse(CAST(sequence(1, 5) AS ARRAY<BIGINT>))) AS ps,
-                      arrayPartialReverseSort(2, CAST(sequence(1, 4) AS ARRAY<BIGINT>)) AS prs,
-                      arraySort(arrayShuffle(CAST(sequence(1, 8) AS ARRAY<BIGINT>), 7)) AS shuf_sorted,
+                      arrayStringConcat(arrayMap(x -> toString(x), groupArrayIntersect(a)), ',') AS common,
+                      arrayStringConcat(arrayMap(x -> toString(x),
+                        arrayPartialSort(3, arrayReverse(CAST(sequence(1, 5) AS ARRAY<BIGINT>)))), ',') AS ps,
+                      arrayStringConcat(arrayMap(x -> toString(x),
+                        arrayPartialReverseSort(2, CAST(sequence(1, 4) AS ARRAY<BIGINT>))), ',') AS prs,
+                      arrayStringConcat(arrayMap(x -> toString(x),
+                        arraySort(arrayShuffle(CAST(sequence(1, 8) AS ARRAY<BIGINT>), 7))), ',') AS shuf_sorted,
                       size(arrayRandomSample(sequence(1, 8), 3)) AS sample_n
                FROM g GROUP BY rf ORDER BY rf""")
     },
@@ -540,10 +543,10 @@ object Arrays {
                  com AS (SELECT c1.rf, list_sort(list(c1.x)) AS common
                          FROM c1 JOIN tot ON c1.rf = tot.rf
                          WHERE c1.c = tot.nb GROUP BY c1.rf)
-            SELECT rf, common,
-                   generate_series(1, 5) AS ps,
-                   list_sort(generate_series(1, 4), 'DESC') AS prs,
-                   generate_series(1, 8) AS shuf_sorted,
+            SELECT rf, array_to_string(common, ',') AS common,
+                   array_to_string(generate_series(1, 5), ',') AS ps,
+                   array_to_string(list_sort(generate_series(1, 4), 'DESC'), ',') AS prs,
+                   array_to_string(generate_series(1, 8), ',') AS shuf_sorted,
                    3 AS sample_n
             FROM com ORDER BY rf"""),
   )

@@ -495,7 +495,7 @@ object ChFunctions {
                       bitmapContains(lo.bm, bitmapMin(lo.bm)) AS has_min,
                       bitmapMin(lo.bm) AS mn, bitmapMax(lo.bm) AS mx,
                       bitmapCardinality(bitmapSubsetInRange(lo.bm, 10, 50)) AS mid_card,
-                      bitmapToArray(subBitmap(lo.bm, 2, 3)) AS sub3
+                      arrayStringConcat(arrayMap(x -> toString(x), bitmapToArray(subBitmap(lo.bm, 2, 3))), ',') AS sub3
                FROM folds f JOIN lo ON f.prio = lo.prio JOIN hi ON f.prio = hi.prio
                ORDER BY prio""")
     },
@@ -524,7 +524,7 @@ object ChFunctions {
                    list_contains(lo.bm, list_min(lo.bm)) AS has_min,
                    list_min(lo.bm) AS mn, list_max(lo.bm) AS mx,
                    len(list_filter(lo.bm, x -> x >= 10 AND x < 50)) AS mid_card,
-                   lo.bm[3:5] AS sub3
+                   array_to_string(lo.bm[3:5], ',') AS sub3
             FROM folds f JOIN lo ON f.prio = lo.prio JOIN hi ON f.prio = hi.prio
             ORDER BY prio"""),
   )
@@ -548,8 +548,8 @@ object ChFunctions {
                SELECT k,
                       gcd(k, 36) AS g,
                       lcm(k % 12 + 1, 8) AS l,
-                      bitmaskToArray(k % 64) AS bma,
-                      bitPositionsToArray(k % 64) AS bpa,
+                      arrayStringConcat(arrayMap(x -> toString(x), bitmaskToArray(k % 64)), ',') AS bma,
+                      arrayStringConcat(arrayMap(x -> toString(x), bitPositionsToArray(k % 64)), ',') AS bpa,
                       byteSwap(k % 128) AS bsw,
                       isIPv4String(ip) AS ok4,
                       ipv4CIDRToRange(ip, 26).col1 AS cidr_lo,
@@ -569,9 +569,9 @@ object ChFunctions {
             SELECT k,
                    gcd(k, 36) AS g,
                    lcm(k % 12 + 1, 8) AS l,
-                   list_transform(list_filter(generate_series(0, 62), i -> (CAST(k % 64 AS BIGINT) >> i) & 1 = 1),
-                                  i -> CAST(1 AS BIGINT) << i) AS bma,
-                   list_filter(generate_series(0, 63), i -> (CAST(k % 64 AS BIGINT) >> i) & 1 = 1) AS bpa,
+                   COALESCE(array_to_string(list_transform(list_filter(generate_series(0, 62), i -> (CAST(k % 64 AS BIGINT) >> i) & 1 = 1),
+                                                           i -> CAST(1 AS BIGINT) << i), ','), '') AS bma,
+                   COALESCE(array_to_string(list_filter(generate_series(0, 63), i -> (CAST(k % 64 AS BIGINT) >> i) & 1 = 1), ','), '') AS bpa,
                    CAST(((k % 128) & 255) << 56 AS BIGINT)
                      + (((k % 128) >> 8) & 255) * 281474976710656 AS bsw,
                    true AS ok4,
@@ -681,8 +681,8 @@ object ChFunctions {
                       multiSearchFirstIndex(s, array('data', 'key', 'row')) AS fi,
                       multiSearchAny(s, array('data', 'key', 'row')) AS any_hit,
                       countMatchesCaseInsensitive(s, 'the') AS cthe,
-                      extractAllGroupsHorizontal(s, '([a-z]{3})([a-z]+)')[0] AS g1,
-                      extractAllGroupsHorizontal(s, '([a-z]{3})([a-z]+)')[1] AS g2,
+                      arrayStringConcat(extractAllGroupsHorizontal(s, '([a-z]{3})([a-z]+)')[0], ',') AS g1,
+                      arrayStringConcat(extractAllGroupsHorizontal(s, '([a-z]{3})([a-z]+)')[1], ',') AS g2,
                       regexpExtract(s, '([a-z]{4,})', 1) AS firstlong
                FROM d ORDER BY k""")
     },
@@ -697,8 +697,8 @@ object ChFunctions {
                         ELSE list_position(pos, list_min(list_filter(pos, x -> x > 0))) END AS BIGINT) AS fi,
                    (instr(s, 'data') > 0 OR instr(s, 'key') > 0 OR instr(s, 'row') > 0) AS any_hit,
                    CAST(length(regexp_extract_all(s, 'the', 0, 'i')) AS BIGINT) AS cthe,
-                   regexp_extract_all(s, '([a-z]{3})([a-z]+)', 1) AS g1,
-                   regexp_extract_all(s, '([a-z]{3})([a-z]+)', 2) AS g2,
+                   array_to_string(regexp_extract_all(s, '([a-z]{3})([a-z]+)', 1), ',') AS g1,
+                   array_to_string(regexp_extract_all(s, '([a-z]{3})([a-z]+)', 2), ',') AS g2,
                    regexp_extract(s, '([a-z]{4,})', 1) AS firstlong
             FROM p ORDER BY k"""),
   )
@@ -1523,7 +1523,7 @@ object ChFunctions {
                       round(mannWhitneyUTest(l_quantity, CAST(l_orderkey % 2 AS INT)), 2) AS mwu,
                       round(kolmogorovSmirnovTest(l_quantity, CAST(l_orderkey % 2 AS INT)), 6) AS ks_d,
                       round(deltaSumTimestamp(l_extendedprice, l_shipdate), 2) AS dst,
-                      groupArray(3)(l_orderkey) AS first3,
+                      arrayStringConcat(arrayMap(x -> toString(x), groupArray(3)(l_orderkey)), ',') AS first3,
                       singleValueOrNull(l_returnflag) AS only_flag,
                       singleValueOrNull(l_linenumber) AS multi_null
                FROM lineitem_rt GROUP BY l_returnflag ORDER BY l_returnflag""")
@@ -1557,7 +1557,7 @@ object ChFunctions {
                         FROM mw),
                  ds AS (SELECT f, round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 2) AS dst
                         FROM dd GROUP BY f),
-                 ga AS (SELECT f, (list_sort(list(l_orderkey)))[1:3] AS first3 FROM mw GROUP BY f),
+                 ga AS (SELECT f, array_to_string((list_sort(list(l_orderkey)))[1:3], ',') AS first3 FROM mw GROUP BY f),
                  sv AS (SELECT f,
                                CASE WHEN count(DISTINCT f) = 1 THEN min(f) END AS only_flag,
                                CASE WHEN count(DISTINCT l_linenumber) = 1 THEN min(l_linenumber) END AS multi_null
@@ -1970,7 +1970,7 @@ object ChFunctions {
                   ELSE CAST(floor((n_nationkey - 1) / 2) AS INT) END AS parent"""))
       Tables(s, dir).nation.createOrReplaceTempView("nation_h")
       s.sql("""SELECT n_nationkey AS k,
-                      dictGetHierarchy('geo_h', n_nationkey) AS chain,
+                      arrayStringConcat(arrayMap(x -> toString(x), dictGetHierarchy('geo_h', n_nationkey)), ',') AS chain,
                       dictIsIn('geo_h', n_nationkey, 1) AS under_one,
                       dictIsIn('geo_h', n_nationkey, 60) AS under_missing
                FROM nation_h ORDER BY k""")
@@ -1983,7 +1983,7 @@ object ChFunctions {
               SELECT k, CAST((cur - 1) // 2 AS BIGINT),
                      list_append(chain, CAST((cur - 1) // 2 AS BIGINT))
               FROM chains WHERE cur > 0)
-            SELECT k, chain,
+            SELECT k, array_to_string(chain, ',') AS chain,
                    list_contains(chain, 1) AS under_one,
                    list_contains(chain, 60) AS under_missing
             FROM chains WHERE cur = 0 ORDER BY k"""),
@@ -2004,9 +2004,9 @@ object ChFunctions {
                   ELSE CAST(floor((n_nationkey - 1) / 2) AS INT) END AS parent"""))
       Tables(s, dir).nation.createOrReplaceTempView("nation_h")
       s.sql("""SELECT n_nationkey AS k,
-                      dictGetChildren('geo_h', n_nationkey) AS kids,
-                      dictGetDescendants('geo_h', n_nationkey) AS all_desc,
-                      dictGetDescendants('geo_h', n_nationkey, 2) AS two_levels
+                      arrayStringConcat(arrayMap(x -> toString(x), dictGetChildren('geo_h', n_nationkey)), ',') AS kids,
+                      arrayStringConcat(arrayMap(x -> toString(x), dictGetDescendants('geo_h', n_nationkey)), ',') AS all_desc,
+                      arrayStringConcat(arrayMap(x -> toString(x), dictGetDescendants('geo_h', n_nationkey, 2)), ',') AS two_levels
                FROM nation_h ORDER BY k""")
     },
     Some("""WITH RECURSIVE chains AS (
@@ -2027,9 +2027,9 @@ object ChFunctions {
                           list(CAST(node AS BIGINT)) FILTER (WHERE depth BETWEEN 1 AND 2) AS tl
                    FROM pd GROUP BY anc)
             SELECT n.n_nationkey AS k,
-                   COALESCE(list_sort(de.kd), CAST([] AS BIGINT[])) AS kids,
-                   COALESCE(list_sort(de.ad), CAST([] AS BIGINT[])) AS all_desc,
-                   COALESCE(list_sort(de.tl), CAST([] AS BIGINT[])) AS two_levels
+                   COALESCE(array_to_string(list_sort(de.kd), ','), '') AS kids,
+                   COALESCE(array_to_string(list_sort(de.ad), ','), '') AS all_desc,
+                   COALESCE(array_to_string(list_sort(de.tl), ','), '') AS two_levels
             FROM nation n LEFT JOIN de ON n.n_nationkey = de.anc
             ORDER BY k"""),
   )
