@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Epoch microseconds tolerant of both TIMESTAMP and TIMESTAMP_NTZ
+    * inputs (parquet without isAdjustedToUTC reads as NTZ; session tz
+    * is UTC, so the cast is value-preserving and matches DuckDB's
+    * epoch_us). `unix_micros` itself rejects NTZ. */
+  private[graft] def epochMicros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`.
     * Adds `session_idx` (1-based per user). One shuffle on userCol. */
@@ -26,7 +33,7 @@ object Events {
     val prev = lag(col(tsCol), 1).over(w)
     val isNew = when(
       prev.isNull ||
-        unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+        epochMicros(col(tsCol)) - epochMicros(prev) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     df.withColumn("session_idx",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -53,7 +60,7 @@ object Events {
     val stepArr = array(steps.map(lit(_)): _*)
     val perUser = df
       .where(col(typeCol).isin(steps: _*))
-      .select(col(userCol), unix_micros(col(tsCol)).as("t"), col(typeCol).as("y"))
+      .select(col(userCol), epochMicros(col(tsCol)).as("t"), col(typeCol).as("y"))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("evs"))
     val zero = struct(

@@ -1060,8 +1060,11 @@ object ChSqlParser {
       if (parts.length < 2) return sql
       val (mx, tx) = (parts(0), parts(1))
       scala.util.matching.Regex.quoteReplacement(
+        // CH requires a DateTime second arg, so epoch seconds via
+        // unix_micros (NTZ-tolerant through the TIMESTAMP cast; a raw
+        // CAST(ts AS DOUBLE) rejects TIMESTAMP_NTZ inputs).
         s"greatest(CAST(0 AS DOUBLE), (CAST($mx AS DOUBLE) - lag(CAST($mx AS DOUBLE)) OVER $over) * $scale" +
-          s" / nullif(CAST($tx AS DOUBLE) - lag(CAST($tx AS DOUBLE)) OVER $over, CAST(0 AS DOUBLE)))")
+          s" / nullif((unix_micros(CAST($tx AS TIMESTAMP)) - lag(unix_micros(CAST($tx AS TIMESTAMP))) OVER $over) / 1000000.0D, CAST(0 AS DOUBLE)))")
     })
 
   /** Split on commas not nested inside parentheses. */

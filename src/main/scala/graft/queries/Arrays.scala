@@ -80,7 +80,8 @@ object Arrays {
           timeCol = "ts", tiebreakCol = "click_id", rightCols = Seq("click_id", "click_ts"))
         .select(col("user_id"), col("purchase_id"),
           col("right_click_id").as("click_id"),
-          (unix_micros(col("ts")) - unix_micros(col("right_click_ts"))).as("gap_us"))
+          (graft.operators.Events.epochMicros(col("ts")) -
+            graft.operators.Events.epochMicros(col("right_click_ts"))).as("gap_us"))
         .orderBy("purchase_id")
     },
     Some("""WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
