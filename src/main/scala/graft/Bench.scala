@@ -33,10 +33,14 @@ object Bench {
       val t1 = once()
       name -> (if (t1 < 20.0) math.min(t1, once()) else t1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON ~3 KB instead of
+    // ~5 KB — the driver captures a bounded log tail, and full double
+    // precision pushed the line past it (BENCH_r08 "parsed": null).
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
