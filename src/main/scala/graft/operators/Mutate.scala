@@ -45,8 +45,23 @@ object Mutate {
     val slice = table.where(col(partitionCol).isInCollection(affected.toSeq))
     val changed = slice.where(pred).count()
     val rewritten = transform(slice)
+    // Dynamic overwrite only replaces partitions PRESENT in the output:
+    // a partition whose every row is deleted produces no output rows and
+    // would otherwise survive on disk untouched. Find those (bounded by
+    // the affected set) and drop their directories explicitly.
+    val survivors = rewritten.select(partitionCol).distinct().collect().map(_.get(0)).toSet
     withDynamicOverwrite(spark) {
       rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    }
+    val emptied = affected.filterNot(survivors)
+    if (emptied.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+      }
     }
     Report(total, affected.length.toLong, changed)
   }
@@ -116,7 +131,12 @@ object Mutate {
     * sees pre-update values for every assignment (SQL UPDATE
     * semantics, not sequential reassignment). */
   def update(spark: SparkSession, path: String, partitionCol: String, pred: Column,
-             set: Seq[(String, Column)]): Report =
+             set: Seq[(String, Column)]): Report = {
+    // ClickHouse forbids mutating key columns; here the partition column
+    // is the physical key — updating it would move rows between
+    // directories while dynamic overwrite leaves the stale copies behind.
+    require(!set.exists(_._1.equalsIgnoreCase(partitionCol)),
+      s"cannot UPDATE partition column '$partitionCol'")
     rewriteAffected(spark, path, partitionCol, pred, df => {
       val flagged = df.withColumn("__graft_match", pred)
       // evaluate every RHS against the PRE-update row first…
@@ -129,4 +149,5 @@ object Mutate {
       }
       applied.drop("__graft_match" +: set.indices.map(i => s"__graft_new_$i"): _*)
     })
+  }
 }

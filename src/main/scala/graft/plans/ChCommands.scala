@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
+
+/** Executable ClickHouse maintenance DDL — the statements a migrated
+  * application issues verbatim after a ClickPipe cutover (reference
+  * context: /root/reference/src/prompts/scanner.py models exactly this
+  * post-migration SQL surface):
+  *
+  *   ALTER TABLE t DELETE WHERE …          → [[graft.operators.Mutate.delete]]
+  *   ALTER TABLE t UPDATE c = e, … WHERE … → [[graft.operators.Mutate.update]]
+  *   OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY c, …]] → compaction pass
+  *
+  * Each is a [[LeafRunnableCommand]]: `spark.sql(…)` executes it
+  * eagerly (Spark's command semantics, same as ClickHouse mutations
+  * with `mutations_sync = 2`) and returns a small report relation.
+  * The storage work is the partition-pruned copy-on-write path —
+  * untouched partitions stay byte-identical on disk, so at 100 TB a
+  * one-month GDPR delete rewrites one month.
+  *
+  * Tables resolve through the session catalog (the CH `CREATE TABLE …
+  * ENGINE = MergeTree` front-end lands there as parquet tables); the
+  * catalog's partition registry is re-synced after the rewrite so
+  * dropped/changed partitions are visible to subsequent reads.
+  */
+object ChCommands {
+
+  private[plans] case class TableInfo(path: String, partCols: Seq[String], isCatalogTable: Boolean)
+
+  private[plans] def resolve(spark: SparkSession, table: String): TableInfo = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    TableInfo(meta.location.toString, meta.partitionColumnNames, isCatalogTable = true)
+  }
+
+  /** Partition registry + data cache re-sync after files changed
+    * underneath a catalog table. */
+  private[plans] def resync(spark: SparkSession, table: String, partitioned: Boolean): Unit = {
+    if (partitioned) spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+    spark.catalog.refreshTable(table)
+  }
+
+  private[plans] val reportSchema: Seq[Attribute] = Seq(
+    AttributeReference("partitions_total", LongType, nullable = false)(),
+    AttributeReference("partitions_rewritten", LongType, nullable = false)(),
+    AttributeReference("rows_changed", LongType, nullable = false)())
+}
+
+/** `ALTER TABLE t DELETE WHERE pred` / `ALTER TABLE t UPDATE a = e, …
+  * WHERE pred`. Predicate and assignment RHS are SQL text resolved at
+  * run time against the table (so the full registered CH function
+  * surface is available inside them). */
+case class ChAlterMutateCommand(table: String, predSql: String,
+                                assignments: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ChCommands.reportSchema
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(spark, table)
+    val pred = expr(predSql)
+    val rep = info.partCols match {
+      case Seq(p) =>
+        if (assignments.isEmpty) graft.operators.Mutate.delete(spark, info.path, p, pred)
+        else graft.operators.Mutate.update(spark, info.path, p, pred,
+          assignments.map { case (n, e) => n -> expr(e) })
+      case Seq() =>
+        // unpartitioned: a mutation is inherently a full rewrite (same
+        // as ClickHouse rewriting every part). Two-phase via a side
+        // directory because Spark refuses to overwrite a path it is
+        // reading; streaming both phases, nothing driver-side.
+        fullRewrite(spark, info.path, pred)
+      case many => throw new UnsupportedOperationException(
+        s"ALTER TABLE mutation on a ${many.size}-level partitioned table: " +
+          "use graft.operators.Mutate with an explicit partition column")
+    }
+    ChCommands.resync(spark, table, info.partCols.nonEmpty)
+    Seq(Row(rep.partitionsTotal, rep.partitionsRewritten, rep.rowsChanged))
+  }
+
+  private def fullRewrite(spark: SparkSession, path: String,
+                          pred: org.apache.spark.sql.Column): graft.operators.Mutate.Report = {
+    val t = spark.read.parquet(path)
+    val changed = t.where(pred).count()
+    if (changed == 0) return graft.operators.Mutate.Report(1, 0, 0)
+    val out =
+      if (assignments.isEmpty) t.where(!pred)
+      else {
+        val flagged = t.withColumn("__graft_match", pred)
+        val staged = assignments.zipWithIndex.foldLeft(flagged) { case (d, ((_, e), i)) =>
+          d.withColumn(s"__graft_new_$i", expr(e))
+        }
+        val applied = assignments.zipWithIndex.foldLeft(staged) { case (d, ((n, _), i)) =>
+          d.withColumn(n, org.apache.spark.sql.functions.when(
+            col("__graft_match"), col(s"__graft_new_$i")).otherwise(col(n)))
+        }
+        applied.drop("__graft_match" +: assignments.indices.map(i => s"__graft_new_$i"): _*)
+      }
+    val tmp = path.stripSuffix("/") + "__graft_mutating"
+    out.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    require(fs.delete(dst, true), s"mutation swap failed deleting $dst")
+    require(fs.rename(src, dst), s"mutation swap failed renaming $src -> $dst")
+    graft.operators.Mutate.Report(1, 1, changed)
+  }
+}
+
+/** `OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY c, …]]` — the MergeTree
+  * merge/compaction pass: rewrite each partition's many small parts
+  * into one file (read-invariant; file count drops). DEDUPLICATE
+  * additionally drops exact-duplicate rows (optionally BY a column
+  * subset, keeping an arbitrary survivor — ClickHouse semantics). */
+case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+
+  private def countFiles(spark: SparkSession, path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(spark, table)
+    val before = countFiles(spark, info.path)
+    val t0 = spark.read.parquet(info.path)
+    val t = dedupBy match {
+      case None           => t0
+      case Some(Nil)      => t0.dropDuplicates()
+      case Some(cols)     => t0.dropDuplicates(cols)
+    }
+    info.partCols match {
+      case Seq(p) =>
+        // one hash-shuffle on the partition key → each directory lands
+        // as a single file; dynamic overwrite touches every partition
+        // (that IS the operation) but streams, never collects
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try t.repartition(col(p)).write.mode("overwrite").partitionBy(p).parquet(info.path)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key)
+        }
+      case Seq() =>
+        val tmp = info.path.stripSuffix("/") + "__graft_optimizing"
+        t.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(info.path), spark.sparkContext.hadoopConfiguration)
+        val src = new org.apache.hadoop.fs.Path(tmp)
+        val dst = new org.apache.hadoop.fs.Path(info.path)
+        require(fs.delete(dst, true), s"optimize swap failed deleting $dst")
+        require(fs.rename(src, dst), s"optimize swap failed renaming $src -> $dst")
+      case many => throw new UnsupportedOperationException(
+        s"OPTIMIZE on a ${many.size}-level partitioned table: use " +
+          "graft.sources.MergeTreeWrite.compact per partition directory")
+    }
+    ChCommands.resync(spark, table, info.partCols.nonEmpty)
+    Seq(Row(before, countFiles(spark, info.path)))
+  }
+}

@@ -28,13 +28,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
   import ChSqlParser.rewriteParametric
 
-  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewriteParametric(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val out = rewriteParametric(sqlText)
+    ChSqlParser.interceptCommand(out).getOrElse(delegate.parsePlan(out))
+  }
   // `spark.sql(text, args)` enters here (NOT parsePlan) in Spark 4.1;
   // the interface's default implementation drops the parameter
   // context, so a delegating parser MUST forward it or every
   // parameterized query fails with UNBOUND_SQL_PARAMETER.
-  override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(rewriteParametric(sqlText), ctx)
+  override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan = {
+    val out = rewriteParametric(sqlText)
+    ChSqlParser.interceptCommand(out)
+      .getOrElse(delegate.parsePlanWithParameters(out, ctx))
+  }
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewriteParametric(sqlText))
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(rewriteParametric(sqlText))
   override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
@@ -458,14 +464,71 @@ object ChSqlParser {
   private val ChCreateMatView =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*).*?\bAS\s+(SELECT\b.*)$""".r
 
-  /** ClickHouse mutation/optimize DDL has no one-statement analog on
-    * parquet tables — the copy-on-write path is
-    * [[graft.operators.Mutate]]; the error says so instead of
-    * half-running. */
-  private val AlterMutation =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\b""".r
-  private val OptimizeFinal =
-    """(?is)^\s*OPTIMIZE\s+TABLE\b""".r
+  /** ClickHouse mutation/optimize DDL executes through
+    * [[graft.plans.ChCommands]] (RunnableCommands over the
+    * partition-pruned copy-on-write path) — see interceptCommand. */
+  private val AlterMutationFull =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\s+(.*?)\s*;?\s*$""".r
+  private val OptimizeStmt =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+([A-Za-z_][\w.]*)\s*(.*?)\s*;?\s*$""".r
+
+  /** Executable maintenance DDL → eager RunnableCommand plans; None
+    * for every other statement (the delegate parses those). Runs on
+    * the REWRITTEN text, so SETTINGS/FORMAT tails are already
+    * stripped and CH literal forms already translated. */
+  private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case AlterMutationFull(table, kind, rest) =>
+      if ("""(?i)\bIN\s+PARTITION\b""".r.findFirstIn(rest).isDefined)
+        throw new UnsupportedOperationException(
+          "ALTER … IN PARTITION: fold the partition predicate into WHERE — " +
+            "the rewrite prunes to affected partitions from the predicate alone")
+      if (kind.equalsIgnoreCase("DELETE")) {
+        val pred = """(?is)^WHERE\s+(.*)$""".r.findFirstMatchIn(rest.trim).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            "ALTER TABLE … DELETE requires a WHERE clause"))
+        Some(ChAlterMutateCommand(table, pred, Nil))
+      } else {
+        val (setPart, predPart) = splitAtTopLevelWhere(rest.trim).getOrElse(
+          throw new IllegalArgumentException("ALTER TABLE … UPDATE requires a WHERE clause"))
+        val assigns = splitTopLevel(setPart).map { a =>
+          val m = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$""".r.findFirstMatchIn(a)
+            .getOrElse(throw new IllegalArgumentException(s"cannot parse assignment '$a'"))
+          (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2))
+        }
+        Some(ChAlterMutateCommand(table, predPart, assigns))
+      }
+    case OptimizeStmt(table, tail) =>
+      if ("""(?i)\bPARTITION\b""".r.findFirstIn(tail).isDefined)
+        throw new UnsupportedOperationException(
+          "OPTIMIZE … PARTITION: use graft.sources.MergeTreeWrite.compact on that directory")
+      val dedup = """(?is)\bDEDUPLICATE(\s+BY\s+(.*?))?\s*$""".r.findFirstMatchIn(tail)
+        .map(m => Option(m.group(2)).map(g => splitTopLevel(g).map(_.trim)).getOrElse(Nil))
+      Some(ChOptimizeCommand(table, dedup))
+    case _ => None
+  }
+
+  /** Split at the first WHERE keyword at paren depth 0 outside
+    * string literals (assignment RHS may contain parenthesized
+    * subqueries with their own WHERE). */
+  private def splitAtTopLevelWhere(s: String): Option[(String, String)] = {
+    var depth = 0; var inStr = false; var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'w' || c == 'W') && i + 5 <= s.length &&
+                 s.substring(i, i + 5).equalsIgnoreCase("where") &&
+                 (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+                 (i + 5 == s.length || !isWordChar(s.charAt(i + 5))))
+          return Some((s.substring(0, i).trim, s.substring(i + 5).trim))
+      }
+      i += 1
+    }
+    None
+  }
   private val AlterProjection =
     """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(ADD|DROP|MATERIALIZE|CLEAR)\s+PROJECTION\b""".r
   private val AlterTtl =
@@ -1139,17 +1202,9 @@ object ChSqlParser {
       throw new UnsupportedOperationException(
         "PASTE JOIN zips rows by physical order, which a distributed engine does not define; " +
           "join on explicit row_number() OVER (ORDER BY …) keys instead")
-    AlterMutation.findFirstMatchIn(out).foreach { m =>
-      throw new UnsupportedOperationException(
-        s"ALTER TABLE ${m.group(2)} is a ClickHouse mutation; use graft.operators.Mutate." +
-          (if (m.group(2).equalsIgnoreCase("DELETE")) "delete" else "update") +
-          " (partition-pruned copy-on-write) on the table's path")
-    }
-    OptimizeFinal.findFirstMatchIn(out).foreach { _ =>
-      throw new UnsupportedOperationException(
-        "OPTIMIZE TABLE is a ClickHouse compaction; use graft.operators.MatView.compact " +
-          "(read-invariant) or rely on AQE coalescing at write time")
-    }
+    // ALTER TABLE … DELETE/UPDATE and OPTIMIZE TABLE execute — they
+    // become RunnableCommands in interceptCommand (called by
+    // parsePlan on the rewritten text), not string rewrites.
     if (AlterProjection.findFirstIn(out).isDefined)
       throw new UnsupportedOperationException(
         "projection DDL: use graft.operators.Projections (base + alternate-sort + " +

@@ -66,6 +66,24 @@ class MutateSpec extends SparkSpec {
     assert(t.count() == 400)
   }
 
+  test("a delete emptying an entire partition removes its directory") {
+    val path = freshTable("empty")
+    val rep = Mutate.delete(spark, path, "p", $"p" === 2)
+    assert(rep.partitionsRewritten == 1 && rep.rowsChanged == 100)
+    // dynamic overwrite alone would have left p=2's old files in place
+    assert(!new java.io.File(s"$path/p=2").exists())
+    val t = spark.read.parquet(path)
+    assert(t.count() == 300)
+    assert(t.select("p").distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 3))
+  }
+
+  test("updating the partition column is refused") {
+    val path = freshTable("pkey")
+    intercept[IllegalArgumentException] {
+      Mutate.update(spark, path, "p", $"id" < 10, Seq("p" -> lit(9)))
+    }
+  }
+
   test("a predicate matching nothing rewrites nothing") {
     val path = freshTable("noop")
     val before = fileState(path)
