@@ -538,23 +538,32 @@ object ChSqlParser {
   private val SystemStmt =
     """(?is)^\s*SYSTEM\s+\w+""".r
 
+  /** CH column-list text → (name, Spark DDL type) pairs; shared by the
+    * batch CREATE TABLE rewrite and the Kafka-engine streaming DDL. */
+  private[graft] def chColumnsToSpark(colsRaw: String): Seq[(String, String)] =
+    topLevelSplit(colsRaw).flatMap { entry =>
+      val e = entry.trim
+      // constraint/index/projection entries have no storage analog
+      if (e.isEmpty ||
+          """(?is)^(PRIMARY\s+KEY|INDEX|CONSTRAINT|PROJECTION)\b""".r.findFirstIn(e).isDefined) None
+      else {
+        val m = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.*)$""".r.findFirstMatchIn(e).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse column entry '$e'"))
+        // the type runs to the first column attribute keyword
+        val typePart = """(?is)\s+(DEFAULT|MATERIALIZED|EPHEMERAL|ALIAS|CODEC|TTL|COMMENT)\b.*$""".r
+          .replaceAllIn(m.group(2), "").trim
+        Some((m.group(1), chDdlType(typePart)))
+      }
+    }
+
   private def rewriteChCreateTable(sql: String): String = sql match {
     case ChCreateTable(ifNot, name, colsRaw, tail) =>
-      val cols = topLevelSplit(colsRaw).flatMap { entry =>
-        val e = entry.trim
-        // constraint/index/projection entries have no storage analog
-        if (e.isEmpty ||
-            """(?is)^(PRIMARY\s+KEY|INDEX|CONSTRAINT|PROJECTION)\b""".r.findFirstIn(e).isDefined) None
-        else {
-          val m = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.*)$""".r.findFirstMatchIn(e).getOrElse(
-            throw new IllegalArgumentException(s"cannot parse column entry '$e'"))
-          val colName = m.group(1)
-          // the type runs to the first column attribute keyword
-          val typePart = """(?is)\s+(DEFAULT|MATERIALIZED|EPHEMERAL|ALIAS|CODEC|TTL|COMMENT)\b.*$""".r
-            .replaceAllIn(m.group(2), "").trim
-          Some(s"$colName ${chDdlType(typePart)}")
-        }
-      }
+      if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
+        throw new UnsupportedOperationException(
+          "ENGINE = Kafka declares a streaming queue, not a batch table; drive it with " +
+            "graft.streaming.KafkaEngine.fromDdl (readStream source + MV chain — " +
+            "file-directory stand-in locally, kafka connector format on a cluster)")
+      val cols = chColumnsToSpark(colsRaw).map { case (n, t) => s"$n $t" }
       val partitioned = """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|\S+)""".r
         .findFirstMatchIn(tail).map(_.group(1)) match {
         case Some(p) =>

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** The ClickHouse Kafka-engine chain, driven from its verbatim DDL:
+  *
+  * {{{
+  *   CREATE TABLE queue (k String, v Float64)
+  *     ENGINE = Kafka('host:9092', 'topic', 'group', 'JSONEachRow')
+  *   CREATE MATERIALIZED VIEW mv TO target AS
+  *     SELECT k, count(*) AS cnt, sum(v) AS s FROM queue GROUP BY k
+  * }}}
+  *
+  * ClickHouse semantics, restated Spark-first: the queue table is a
+  * STREAMING SOURCE (it holds nothing); each consumed block runs
+  * through every attached MV's SELECT and the block-local result is
+  * APPENDED to the TO-table — an AggregatingMergeTree target then
+  * merges partials on read. The Structured Streaming mapping is
+  * exact: `readStream` is the queue, `foreachBatch` is the per-block
+  * SELECT, an idempotent batch-directory append is the TO-table
+  * insert, and merge-on-read is a GROUP BY over the partials (the
+  * same -Merge discipline as [[graft.operators.MatView.read]]).
+  *
+  * Broker spelling decides the transport: a filesystem path (or
+  * `file:` URI) tails the directory as newline-delimited files of the
+  * declared format — the capture-agent stand-in, same shape as
+  * [[ChangelogSource]] — while anything else becomes the stock
+  * `kafka` connector source (`subscribe` = topic); that jar ships on
+  * real clusters but not in this sandbox, so specs drive the
+  * file-directory transport. Exactly-once at the store: Structured
+  * Streaming redelivers the last uncommitted batch after a crash
+  * (at-least-once), and the `_GRAFT_COMMITTED` marker makes the
+  * replayed append a no-op — identical discipline to
+  * [[graft.operators.MatView.refreshOnce]].
+  */
+object KafkaEngine {
+
+  final case class Queue(name: String, schema: StructType, brokers: String,
+                         topic: String, group: String, format: String)
+
+  final case class MatViewTo(name: String, target: String, select: String)
+
+  private val KafkaDdl =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*""" +
+     """\((.*)\)\s*ENGINE\s*=\s*Kafka\s*(?:\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*'([^']*)'\s*\))?(.*?)\s*;?\s*$""").r
+
+  private def setting(tail: String, key: String): Option[String] =
+    (s"""(?is)\\b$key\\s*=\\s*'([^']*)'""").r.findFirstMatchIn(tail).map(_.group(1))
+
+  /** Parse `CREATE TABLE … ENGINE = Kafka(…)` — both the positional
+    * argument and the `SETTINGS kafka_broker_list = …` spellings. */
+  def parseQueue(ddl: String): Queue = ddl match {
+    case KafkaDdl(name, colsRaw, b, t, g, f, tail) =>
+      val cols = graft.plans.ChSqlParser.chColumnsToSpark(colsRaw)
+      val schema = StructType.fromDDL(cols.map { case (n, ty) => s"$n $ty" }.mkString(", "))
+      def pick(pos: String, key: String, what: String): String =
+        Option(pos).orElse(setting(tail, key)).getOrElse(
+          throw new IllegalArgumentException(s"ENGINE = Kafka: missing $what"))
+      Queue(name, schema,
+        brokers = pick(b, "kafka_broker_list", "broker list"),
+        topic   = pick(t, "kafka_topic_list", "topic"),
+        group   = Option(g).orElse(setting(tail, "kafka_group_name")).getOrElse("graft"),
+        format  = pick(f, "kafka_format", "format"))
+    case _ => throw new IllegalArgumentException(
+      s"not a Kafka-engine CREATE TABLE: ${ddl.linesIterator.next()}")
+  }
+
+  private val MatViewToDdl =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+TO\s+([A-Za-z_][\w./-]*)\s+AS\s+(SELECT\b.*?)\s*;?\s*$""".r
+
+  /** Parse `CREATE MATERIALIZED VIEW mv TO target AS SELECT …`. */
+  def parseMatView(ddl: String): MatViewTo = ddl match {
+    case MatViewToDdl(name, target, select) => MatViewTo(name, target, select)
+    case _ => throw new IllegalArgumentException(
+      s"not a CREATE MATERIALIZED VIEW … TO … AS SELECT: ${ddl.linesIterator.next()}")
+  }
+
+  private def fileFormat(chFormat: String): String = chFormat match {
+    case "JSONEachRow" | "NDJSON" | "JSONLines" => "json"
+    case "CSV"                                  => "csv"
+    case "Parquet"                              => "parquet"
+    case other => throw new IllegalArgumentException(
+      s"Kafka engine format '$other' has no streaming reader here; use JSONEachRow/CSV/Parquet")
+  }
+
+  /** The queue table as a streaming DataFrame in its declared schema. */
+  def source(spark: SparkSession, q: Queue): DataFrame =
+    if (q.brokers.startsWith("/") || q.brokers.startsWith("file:")) {
+      spark.readStream.schema(q.schema).format(fileFormat(q.format))
+        .load(q.brokers.stripPrefix("file:"))
+    } else {
+      val raw = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", q.brokers)
+        .option("subscribe", q.topic)
+        .option("startingOffsets", "earliest")
+        .load()
+      q.format match {
+        case "JSONEachRow" | "NDJSON" | "JSONLines" =>
+          raw.select(from_json(col("value").cast("string"), q.schema).as("r")).select("r.*")
+        case other => throw new IllegalArgumentException(
+          s"Kafka connector transport decodes JSONEachRow only (got '$other'); " +
+            "route other formats through a landing directory")
+      }
+    }
+
+  /** Idempotent per-block append: the TO-table insert under
+    * `batch=<id>/`, no-op when the marker says this block already
+    * landed (at-least-once redelivery → exactly-once store). */
+  private[streaming] def appendOnce(block: DataFrame, path: String, batchId: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    val fs  = dir.getFileSystem(block.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
+    if (fs.exists(marker)) false
+    else {
+      block.write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** Attach one MV to the queue: per micro-batch, run the MV's SELECT
+    * over that block (the queue name resolves to the BLOCK, exactly
+    * ClickHouse's per-insert-block MV semantics) and append the
+    * result to `targetPath`. Call `.start()` with a checkpoint
+    * location on the result. */
+  def attach(spark: SparkSession, q: Queue, mv: MatViewTo,
+             targetPath: String): DataStreamWriter[Row] =
+    source(spark, q).writeStream.foreachBatch { (block: Dataset[Row], batchId: Long) =>
+      // the micro-batch runs in a cloned session — register and
+      // resolve the queue-named view THERE, not on the outer session
+      block.createOrReplaceTempView(q.name)
+      appendOnce(block.sparkSession.sql(mv.select), targetPath, batchId)
+      ()
+    }
+
+  /** Whole chain from verbatim DDL: queue DDL + MV DDL → a started
+    * streaming query writing partials under `targetPath`. Read the
+    * TO-table with a merge-on-read GROUP BY (AggregatingMergeTree
+    * discipline) or plain scan for non-aggregating MVs. */
+  def fromDdl(spark: SparkSession, queueDdl: String, matViewDdl: String,
+              targetPath: String, checkpoint: String): StreamingQuery =
+    attach(spark, parseQueue(queueDdl), parseMatView(matViewDdl), targetPath)
+      .option("checkpointLocation", checkpoint).start()
+}

@@ -65,6 +65,52 @@ class StreamingMatViewSpec extends SparkSpec {
     assert(readMap(path)("a") == ((2L, 20.0, 10.0)))
   }
 
+  test("Kafka-engine DDL drives the queue -> MV -> TO-table chain end-to-end") {
+    import graft.streaming.KafkaEngine
+    val topicDir = java.nio.file.Files.createTempDirectory("graft_kq_topic").toString
+    val target   = java.nio.file.Files.createTempDirectory("graft_kq_tgt").resolve("t").toString
+    val ckpt     = java.nio.file.Files.createTempDirectory("graft_kq_ckpt").toString
+
+    def produce(name: String, lines: String*): Unit = {
+      val tmp = java.nio.file.Paths.get(topicDir, s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(topicDir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    // verbatim CH spellings: positional-args Kafka engine + MV TO
+    val query = KafkaEngine.fromDdl(spark,
+      """CREATE TABLE kq_events (k String, v Float64)
+         ENGINE = Kafka('""" + topicDir + """', 'events', 'g1', 'JSONEachRow')""",
+      """CREATE MATERIALIZED VIEW kq_mv TO kq_target AS
+         SELECT k, count(*) AS cnt, sum(v) AS s FROM kq_events GROUP BY k""",
+      target, ckpt)
+    try {
+      produce("b0.json", """{"k":"a","v":1.0}""", """{"k":"a","v":3.0}""", """{"k":"b","v":5.0}""")
+      query.processAllAvailable()
+      produce("b1.json", """{"k":"a","v":7.0}""", """{"k":"c","v":2.0}""")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // merge-on-read over the appended partials (AggregatingMergeTree read)
+    val merged = spark.read.parquet(target).groupBy("k")
+      .agg(sum("cnt").as("cnt"), sum("s").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged == Map("a" -> (3L, 11.0), "b" -> (1L, 5.0), "c" -> (1L, 2.0)))
+
+    // SETTINGS spelling parses to the same queue shape
+    val qs = KafkaEngine.parseQueue(
+      """CREATE TABLE kq2 (k String) ENGINE = Kafka
+         SETTINGS kafka_broker_list = 'h:9092', kafka_topic_list = 'tp',
+                  kafka_group_name = 'g2', kafka_format = 'JSONEachRow'""")
+    assert(qs.brokers == "h:9092" && qs.topic == "tp" && qs.group == "g2")
+
+    // the batch DDL front-end refuses to mistake a queue for a table
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE kq3 (k String) ENGINE = Kafka('h:9092', 't', 'g', 'JSONEachRow')"))
+    assert(e.getMessage.contains("KafkaEngine"))
+  }
+
   test("idempotence holds even with the committer's _SUCCESS markers off") {
     val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
     val prev = spark.conf.getOption(key)
