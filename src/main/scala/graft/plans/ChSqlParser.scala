@@ -309,20 +309,64 @@ object ChSqlParser {
     sb.toString
   }
 
-  /** `FROM file('path'[, 'Format'])` / `FROM s3('url'[, 'Format'])` →
-    * Spark's direct-path relation `format.`path``. Formats with no
-    * path-syntax analog (headered CSV, TSV delimiters, Native) refuse
-    * loudly toward [[graft.sources.Formats]]; `url()` would need
-    * arbitrary HTTP egress and refuses. s3:// maps to the s3a://
-    * connector scheme. */
+  /** `FROM file('path'[, 'Format'])` / `FROM s3('url'[, 'Format'])` /
+    * `FROM url('uri'[, 'Format'])` → Spark's direct-path relation
+    * `format.`path``. Formats with no path-syntax analog (headered
+    * CSV, TSV delimiters, Native) refuse loudly toward
+    * [[graft.sources.Formats]]. s3:// maps to the s3a:// connector
+    * scheme; url() reads file: URIs in place and fetches allowlisted
+    * (loopback / SPARK_GRAFT_URL_ALLOWLIST) http(s) URLs — every
+    * other host keeps the egress refusal. */
   private val FileTableFn =
     """(?i)\bFROM\s+(file|s3|url)\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)')?\s*\)""".r
+
+  /** Hosts url() may fetch from: loopback always (a service on this
+    * node is not egress), plus the operator-supplied
+    * SPARK_GRAFT_URL_ALLOWLIST (comma-separated host or host:port
+    * entries). Everything else keeps the egress refusal. */
+  private def urlHostAllowed(uri: java.net.URI): Boolean = {
+    val allowed = Set("localhost", "127.0.0.1", "::1", "[::1]") ++
+      sys.env.get("SPARK_GRAFT_URL_ALLOWLIST").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val host = Option(uri.getHost).getOrElse("")
+    allowed.contains(host) || (uri.getPort > 0 && allowed.contains(s"$host:${uri.getPort}"))
+  }
+
+  /** url('…') → a readable local path. file: URIs read in place; an
+    * allowlisted http(s) URL is fetched ONCE, driver-side, to a temp
+    * file (the ClickHouse use of url() is small lookup/side files —
+    * on a multi-node cluster land big data on shared storage
+    * instead; this mirrors CH re-fetching per query). */
+  private def resolveUrl(raw: String): String = {
+    val uri = new java.net.URI(raw)
+    uri.getScheme match {
+      case null | "file" => Option(uri.getPath).filter(_.nonEmpty).getOrElse(raw)
+      case "http" | "https" =>
+        if (!urlHostAllowed(uri)) throw new UnsupportedOperationException(
+          "url() to a non-allowlisted host needs arbitrary HTTP egress; land the file and " +
+            "read it with file(), or add the host to SPARK_GRAFT_URL_ALLOWLIST")
+        val ext = {
+          val p = Option(uri.getPath).getOrElse("")
+          val i = p.lastIndexOf('.')
+          if (i >= 0) p.substring(i) else ""
+        }
+        val tmp = java.nio.file.Files.createTempFile("graft_url_", ext)
+        val conn = uri.toURL.openConnection()
+        conn.setConnectTimeout(5000); conn.setReadTimeout(30000)
+        val in = conn.getInputStream
+        try java.nio.file.Files.copy(in, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        tmp.toFile.deleteOnExit()
+        tmp.toString
+      case other => throw new UnsupportedOperationException(
+        s"url() scheme '$other' is not readable here; use file()/s3() or a mounted path")
+    }
+  }
 
   private def rewriteFileTableFn(sql: String): String =
     FileTableFn.replaceAllIn(sql, m => {
       val (fn, path) = (m.group(1).toLowerCase, m.group(2))
-      if (fn == "url") throw new UnsupportedOperationException(
-        "url() needs arbitrary HTTP egress; land the file and read it with file()")
       val fmt = Option(m.group(3)).getOrElse {
         // infer from the extension, the CH default behavior
         val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
@@ -344,6 +388,7 @@ object ChSqlParser {
           s"file()/s3(): format '$other' has no direct-path reader; use graft.sources.Formats")
       }
       val p = if (fn == "s3" && path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+              else if (fn == "url") resolveUrl(path)
               else path
       scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
     })

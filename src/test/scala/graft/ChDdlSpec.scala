@@ -210,6 +210,37 @@ class ChDdlSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("url() reads file: URIs and allowlisted local http; egress refusal holds") {
+    // file: scheme reads in place
+    val d = java.nio.file.Files.createTempDirectory("graft_url").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(d, "rows.json"),
+      """{"k":"a","v":1}""" + "\n" + """{"k":"b","v":2}""")
+    assert(spark.sql(s"SELECT sum(v) FROM url('file://$d/rows.json', 'JSONEachRow')")
+      .head().getLong(0) == 3L)
+
+    // loopback http serves a JSONEachRow fixture (JDK built-in server)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = """{"k":"x","v":10}""" + "\n" + """{"k":"y","v":32}"""
+    server.createContext("/data.json", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // format inferred from the URL path extension
+      assert(spark.sql(s"SELECT sum(v) FROM url('http://127.0.0.1:$port/data.json')")
+        .head().getLong(0) == 42L)
+    } finally server.stop(0)
+
+    // non-loopback hosts still refuse (egress policy intact)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM url('https://example.com/x.csv', 'CSV')"))
+    assert(e.getMessage.contains("egress"))
+  }
+
   test("system.numbers LIMIT and system.one generators") {
     assert(spark.sql("SELECT sum(number) FROM system.numbers LIMIT 10").head().getLong(0) == 45L)
     assert(spark.sql("SELECT dummy FROM system.one").head().getInt(0) == 0)
