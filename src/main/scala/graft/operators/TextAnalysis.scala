@@ -296,16 +296,30 @@ object TextAnalysis {
     * Distribution shape: the corpus collapses ONCE to a (word,
     * frequency) table (the only data-sized shuffle — corpus scale
     * stops mattering after it, state is O(distinct words)); each
-    * round is then one pair-count aggregation over that table plus a
-    * map-side merge fold. The driver holds only the winning pair per
-    * round (a one-row collect, the same bounded per-round driver
-    * step [[graft.operators.Dedup.clusters]] uses) and the word table
-    * is localCheckpoint-truncated periodically so lineage doesn't
-    * grow with merges. Ties break (count desc, pair asc) — fully
-    * deterministic, which the spec pins on the classic
-    * low/lower/newest/widest example. */
-  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): (Seq[(String, String)], DataFrame) = {
-    val spark = docs.sparkSession
+    * JOB is then one pair-count aggregation over that table plus a
+    * map-side merge fold, and the driver holds only the top-`batchK`
+    * pairs per job (a bounded collect, the same per-round driver
+    * envelope [[graft.operators.Dedup.clusters]] uses). The word
+    * table is localCheckpoint-truncated periodically so lineage
+    * doesn't grow with merges. Ties break (count desc, pair asc) —
+    * fully deterministic, which the spec pins on the classic
+    * low/lower/newest/widest example.
+    *
+    * Merge batching (the ~batchK× driver-round-trip cut): from one
+    * ranked count job, several merges can be applied at once and
+    * still equal the strictly-sequential result. Safe prefix rule,
+    * with proof sketch: merging (a,b) never raises any existing
+    * pair's count, leaves pairs disjoint from {a,b} untouched, and
+    * any NEW pair (x,ab)/(ab,y) is bounded by the old count of a
+    * pair overlapping {a,b}. Accept the ranked prefix that stays
+    * pairwise symbol-disjoint, stop at the first overlap, and keep
+    * only pairs counting STRICTLY above the first non-accepted
+    * rank — every threat (decayed overlap or spawned ab-pair) then
+    * sits strictly below each accepted pair at its turn, so the
+    * sequential argmax is unchanged, tie order included. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               batchK: Int = 8): (Seq[(String, String)], DataFrame) = {
+    require(batchK >= 1, "batchK must be >= 1")
     var words = docs
       .select(explode(tokens(normalize(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -313,25 +327,48 @@ object TextAnalysis {
       .localCheckpoint()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (round <- 1 to numMerges) {
+    var rounds = 0
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val want = numMerges - merges.size
+      val k = math.min(batchK, want) + 1 // +1: the cutoff rank for the strict bound
       val top = words
         .select(posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)).as(Seq("i", "a")), col("syms"), col("freq"))
         .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"), col("freq"))
         .groupBy("a", "b").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val a = top.head.getString(0)
-        val b = top.head.getString(1)
-        merges += ((a, b))
-        // greedy left-to-right merge of (a, b) inside every word
+        .limit(k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // ranked-disjoint prefix, cut strictly above the first
+        // non-accepted count (unknown tail counts are <= the last
+        // collected row's, so an incomplete batch bounds by that)
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopped = false
+        var cutoff = if (top.length < k) Long.MinValue else top.last._3
+        for ((a, b, cnt) <- top.take(math.min(batchK, want)) if !stopped) {
+          if (used.contains(a) || used.contains(b)) { stopped = true; cutoff = math.max(cutoff, cnt) }
+          else { prefix += ((a, b, cnt)); used += a; used += b }
+        }
+        val accepted = {
+          val safe = prefix.head +: prefix.tail.filter(_._3 > cutoff)
+          safe.take(want)
+        }
+        // greedy left-to-right merge of each accepted pair, applied in
+        // rank order inside ONE projection over the word table
         val emptyArr = array().cast("array<string>")
-        words = words.withColumn("syms",
-          aggregate(col("syms"), emptyArr, (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))))
-        if (round % 8 == 0) words = words.localCheckpoint()
+        words = accepted.foldLeft(words) { case (w, (a, b, _)) =>
+          w.withColumn("syms",
+            aggregate(col("syms"), emptyArr, (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+        }
+        merges ++= accepted.map { case (a, b, _) => (a, b) }
+        rounds += 1
+        if (rounds % 4 == 0) words = words.localCheckpoint()
       }
     }
     val vocab = words

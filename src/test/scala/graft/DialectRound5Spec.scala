@@ -825,6 +825,21 @@ class DialectRound5Spec extends SparkSpec {
     assert(v.keySet.contains("n") && v.keySet.contains("w"))
   }
 
+  test("bpeTrain merge batching equals the strictly-sequential result") {
+    import graft.operators.TextAnalysis
+    // corpus with enough pair-count structure to exercise both the
+    // disjoint-prefix acceptance and the strict-cutoff trim
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest") ++ Seq.fill(4)("slowest") ++ Seq.fill(7)("banana bandana") ++
+      Seq.fill(2)("abracadabra") ++ Seq.fill(3)("mississippi river")
+    val docs = texts.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (seq1, _)  = TextAnalysis.bpeTrain(docs, "text", numMerges = 12, batchK = 1)
+    val (seq8, _)  = TextAnalysis.bpeTrain(docs, "text", numMerges = 12, batchK = 8)
+    val (seq16, _) = TextAnalysis.bpeTrain(docs, "text", numMerges = 12, batchK = 16)
+    assert(seq8 == seq1, "batchK=8 diverged from sequential merges")
+    assert(seq16 == seq1, "batchK=16 diverged from sequential merges")
+  }
+
   test("arrayLast/FirstIndex/LastIndex, union, symmetric difference") {
     val r = spark.sql(
       """SELECT arrayLast(x -> x < 9, array(1, 5, 12, 7)) AS last_small,
