@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Scale-rehearsal data builder (harness-side only).
+
+Builds an sf1-equivalent dataset in /tmp by replicating the sf0.1 fact
+tables N times with shifted primary keys (FKs to dimension tables keep
+their values, so join fan-in grows like a real scale-up; dims copy
+as-is). Perf rehearsal only — correctness stays pinned to the driver's
+own sf dirs.
+
+Usage: python3 scripts/make_sf_scale.py [N] [outdir]
+"""
+import sys
+
+import duckdb
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+SRC = "/root/testdata/sf0.1"
+SHIFT = 10_000_000_000  # key shift per replica, far above any base key
+
+copy_asis = ["region", "nation", "customer", "supplier", "part"]
+# fact table -> (key columns to shift, timestamp column to jitter)
+facts = {
+    "orders": (["o_orderkey"], None),
+    "lineitem": (["l_orderkey"], None),
+    "events": (["event_id", "user_id"], None),
+    "documents": (["doc_id"], None),
+    "embeddings": (["vec_id"], None),
+}
+
+con = duckdb.connect()
+import pathlib
+pathlib.Path(OUT).mkdir(parents=True, exist_ok=True)
+
+for t in copy_asis:
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT parquet)")
+    print(f"{t}: copied")
+
+for t, (keys, _) in facts.items():
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+    selects = []
+    for i in range(N):
+        proj = ", ".join(
+            f"{c} + {i * SHIFT} AS {c}" if c in keys else c for c in cols)
+        selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
+    union = " UNION ALL ".join(selects)
+    con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT parquet)")
+    n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows ({N}x)")
+print("done ->", OUT)

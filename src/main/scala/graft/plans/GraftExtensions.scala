@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBucketIds(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_pack_ids"),
+      new ExpressionInfo(classOf[PackIds].getName, "graft_pack_ids"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_pack_ids takes (tokCounts, maxTokens)")
+        PackIds(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {

@@ -763,26 +763,23 @@ object DataPipeline {
     "q66b_sequence_packing",
     (s, dir) => {
       Tables(s, dir).documents.createOrReplaceTempView("docs_pk")
+      // greedy packing state is sequential, but building the per-shard
+      // output by array-appending inside a SQL `aggregate` fold copies
+      // the accumulator every step (O(n^2) per shard — 9 s at sf1).
+      // graft_pack_ids is the same recurrence in O(n); everything
+      // around it stays declarative (one shuffle on shard).
       s.sql("""WITH base AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
                                     CAST(n_chars DIV 4 AS BIGINT) AS tok
                              FROM docs_pk),
                     g AS (SELECT shard, array_sort(collect_list(named_struct('doc_id', doc_id, 'tok', tok))) AS ds
                           FROM base GROUP BY shard),
-                    packed AS (SELECT shard,
-                      aggregate(ds,
-                        named_struct('pack', CAST(0 AS INT), 'run', CAST(0 AS BIGINT),
-                          'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, pack: INT, tok: BIGINT>>)),
-                        (acc, d) -> CASE WHEN acc.run > 0 AND acc.run + d.tok > 512
-                          THEN named_struct('pack', acc.pack + 1, 'run', d.tok,
-                                 'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'pack', acc.pack + 1, 'tok', d.tok))))
-                          ELSE named_struct('pack', acc.pack, 'run', acc.run + d.tok,
-                                 'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'pack', acc.pack, 'tok', d.tok)))) END,
-                        acc -> acc.out) AS out
-                      FROM g)
-               SELECT shard, pack, count(*) AS n_docs, sum(tok) AS tok_sum,
-                      min(doc_id) AS first_doc, max(doc_id) AS last_doc
-               FROM (SELECT shard, inline(out) FROM packed)
-               GROUP BY shard, pack ORDER BY shard, pack""")
+                    p AS (SELECT shard, ds,
+                                 graft_pack_ids(transform(ds, d -> d.tok), 512) AS packs
+                          FROM g),
+                    z AS (SELECT shard, inline(arrays_zip(ds, packs)) FROM p)
+               SELECT shard, packs AS pack, count(*) AS n_docs, sum(ds.tok) AS tok_sum,
+                      min(ds.doc_id) AS first_doc, max(ds.doc_id) AS last_doc
+               FROM z GROUP BY shard, packs ORDER BY shard, pack""")
     },
     Some("""WITH RECURSIVE base AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
                                            CAST(n_chars // 4 AS BIGINT) AS tok

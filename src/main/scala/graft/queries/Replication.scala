@@ -370,5 +370,77 @@ object Replication {
             GROUP BY 1 ORDER BY yr"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98)
+  /** Drop a catalog table AND its managed location (an aborted prior
+    * run can leave the directory behind, failing the next CREATE). */
+  private def dropWithLocation(s: org.apache.spark.sql.SparkSession, t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+    val p = new org.apache.hadoop.fs.Path(wh, t)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** The post-migration maintenance SQL surface, gate-checked end to
+    * end: verbatim ClickHouse `ALTER TABLE … DELETE` then `… UPDATE`
+    * execute as partition-pruned copy-on-write mutations
+    * ([[graft.plans.ChCommands]]) against a table created and loaded
+    * through the CH DDL front-end; the oracle replays the same
+    * delete-then-update algebra declaratively. Bounded by key range,
+    * so the rebuilt table stays constant-size at any SF. */
+  val q100 = GraftQuery(
+    "q100_mutation_sql",
+    (s, dir) => {
+      dropWithLocation(s, "gq100")
+      s.sql("""CREATE TABLE gq100 (id UInt64, status String, total Float64, prio String)
+               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq100_src")
+      s.sql("""INSERT INTO gq100
+               SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+               FROM gq100_src WHERE o_orderkey < 20000""")
+      s.sql("ALTER TABLE gq100 DELETE WHERE total < 50000")
+      s.sql("ALTER TABLE gq100 UPDATE status = 'X', total = total * 2 WHERE id % 10 = 0")
+      s.sql("""SELECT prio, status, count(*) AS cnt, round(sum(total), 2) AS total
+               FROM gq100 GROUP BY prio, status ORDER BY prio, status""")
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                                 o_totalprice AS total, o_orderpriority AS prio
+                          FROM orders WHERE o_orderkey < 20000),
+                 del AS (SELECT * FROM base WHERE NOT (total < 50000)),
+                 upd AS (SELECT id, CASE WHEN id % 10 = 0 THEN 'X' ELSE status END AS status,
+                                CASE WHEN id % 10 = 0 THEN total * 2 ELSE total END AS total,
+                                prio
+                         FROM del)
+            SELECT prio, status, count(*) AS cnt, round(sum(total), 2) AS total
+            FROM upd GROUP BY prio, status ORDER BY prio, status"""),
+  )
+
+  /** `OPTIMIZE TABLE … FINAL DEDUPLICATE`, gate-checked: many small
+    * inserts (one of them a verbatim duplicate) compact to one file
+    * per partition and the duplicate block collapses; the result must
+    * be read-invariantly the distinct base slice. */
+  val q101 = GraftQuery(
+    "q101_optimize_sql",
+    (s, dir) => {
+      dropWithLocation(s, "gq101")
+      s.sql("""CREATE TABLE gq101 (id UInt64, v Float64, prio String)
+               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq101_src")
+      val ins = """INSERT INTO gq101
+                   SELECT o_orderkey, o_totalprice, o_orderpriority
+                   FROM gq101_src WHERE o_orderkey >= %d AND o_orderkey < %d"""
+      s.sql(ins.format(0, 4000)); s.sql(ins.format(4000, 8000)); s.sql(ins.format(8000, 12000))
+      s.sql(ins.format(0, 4000)) // duplicate part, collapsed by DEDUPLICATE
+      s.sql("OPTIMIZE TABLE gq101 FINAL DEDUPLICATE")
+      s.sql("""SELECT prio, count(*) AS cnt, round(sum(v), 2) AS total
+               FROM gq101 GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH base AS (SELECT DISTINCT o_orderkey AS id, o_totalprice AS v,
+                                 o_orderpriority AS prio
+                          FROM orders WHERE o_orderkey < 12000)
+            SELECT prio, count(*) AS cnt, round(sum(v), 2) AS total
+            FROM base GROUP BY prio ORDER BY prio"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101)
 }

@@ -368,4 +368,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getAs[Long]("right_qid") == 101L)
     assert(out.isNullAt(out.fieldIndex("right_px")), "stale px must not resurrect")
   }
+
+  test("graft_pack_ids matches the greedy packing recurrence") {
+    val r = spark.sql(
+      """SELECT graft_pack_ids(array(100L, 200L, 300L, 500L, 10L, 600L, 5L), 512) AS p,
+        |       graft_pack_ids(CAST(array() AS ARRAY<BIGINT>), 512) AS empty""".stripMargin).head()
+    // 100+200 fits; +300 overflows -> pack 1; +500 overflows -> pack 2;
+    // +10 fits pack 2; 600 > budget gets its own pack; 5 joins nothing after (600+5>512)
+    assert(r.getSeq[Int](0) == Seq(0, 0, 1, 2, 2, 3, 4))
+    assert(r.getSeq[Int](1).isEmpty)
+  }
 }
