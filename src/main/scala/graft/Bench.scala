@@ -1,8 +1,29 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Two outputs, by design:
+  *
+  *  1. A FULL machine-readable artifact — every query's seconds plus any
+  *     error — written by this process itself to a repo file
+  *     (`SPARK_GRAFT_BENCH_OUT`, default `/root/repo/BENCH_local.json`)
+  *     and committed per round. Earlier rounds tried to squeeze all 159
+  *     per-query times into the one stdout line and the driver's bounded
+  *     log tail truncated it (`BENCH_r08/r09 "parsed": null`); a file the
+  *     benchmark writes directly can't be truncated by log capture.
+  *  2. ONE compact stdout JSON line for the driver: total, count, the
+  *     top-10 slowest queries, error count, and a pointer to the full
+  *     artifact. Stays well under the driver's 2000-char tail.
+  *
+  * A query that throws is NOT timed as if it ran (the old
+  * `catch { case _ => () }` benched crashes at near-zero): its wall time
+  * is still recorded but it is excluded from the total and listed under
+  * `"errors"` with the exception summary.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
     val spark = GraftSession.local("graft-bench")
     // Warm the JVM/codegen/parquet-reader paths so startup cost isn't
     // attributed to whichever query happens to run first.
@@ -24,23 +45,53 @@ object Bench {
     // every query is inflated, so a "skip retry if slow" rule skips
     // exactly the queries that need the retry most. A 20 s cap still
     // bounds total bench time on a pathological host.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    final case class R(sec: Double, err: Option[String])
+    val results: Seq[(String, R)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): R = {
+          val t0 = System.nanoTime()
+          val err =
+            try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+            }
+          R((System.nanoTime() - t0) / 1e9, err)
+        }
+        val r1 = once()
+        val best =
+          if (r1.err.isDefined) r1 // don't re-run a crash just to time it
+          else if (r1.sec < 20.0) { val r2 = once(); if (r2.err.isEmpty && r2.sec < r1.sec) r2 else r1 }
+          else r1
+        name -> best
       }
-      val t1 = once()
-      name -> (if (t1 < 20.0) math.min(t1, once()) else t1)
-    }
-    // Millisecond precision keeps the one-line JSON ~3 KB instead of
-    // ~5 KB — the driver captures a bounded log tail, and full double
-    // precision pushed the line past it (BENCH_r08 "parsed": null).
+
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    val ok = results.filter(_._2.err.isEmpty)
+    val errs = results.collect { case (n, R(_, Some(e))) => n -> e }
+    val total = ok.map(_._2.sec).sum
+    val allQs = results.map { case (k, v) => jstr(k) + ":" + ms(v.sec) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errs.map { case (k, e) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val common =
+      s""""metric":"total","value":${ms(total)},"unit":"sec","count":${results.size},"ok":${ok.size},"sf":${jstr(sfDir)}"""
+    // Full artifact: every query, every error — the committed evidence.
+    Files.writeString(Paths.get(outPath),
+      s"""{$common,"queries":$allQs,"errors":$errJson}\n""")
+    // Stdout: driver-parseable summary that fits a bounded log tail.
+    val top10 = ok.sortBy(-_._2.sec).take(10)
+      .map { case (k, v) => jstr(k) + ":" + ms(v.sec) }.mkString("{", ",", "}")
+    println(s"""{$common,"queries":$top10,"errors":${errs.size},"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }

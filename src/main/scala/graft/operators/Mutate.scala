@@ -21,6 +21,23 @@ object Mutate {
 
   final case class Report(partitionsTotal: Long, partitionsRewritten: Long, rowsChanged: Long)
 
+  /** The string Spark's partitioned writer embeds in a directory name
+    * for this partition value. `v.toString` is NOT it for every type:
+    * `java.sql.Timestamp.toString` yields `… 00:00:00.0` where the
+    * writer's `Cast(v, String)` yields `… 00:00:00` — building the
+    * path from toString would miss the directory and (for a deletion)
+    * silently resurrect deleted rows. Evaluate the same cast the
+    * writer uses, under the session timezone, driver-side. */
+  private def partitionPathValue(spark: SparkSession, v: Any): String =
+    if (v == null) null
+    else {
+      val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(v),
+        org.apache.spark.sql.types.StringType,
+        Option(spark.sessionState.conf.sessionLocalTimeZone))
+      Option(cast.eval(null)).map(_.toString).orNull
+    }
+
   private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
@@ -59,7 +76,7 @@ object Mutate {
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
       emptied.foreach { v =>
         val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+          .getPartitionPathString(partitionCol, partitionPathValue(spark, v))
         fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
       }
     }
@@ -102,7 +119,7 @@ object Mutate {
       // raw interpolation would silently miss such partitions, so build
       // the name the same way the writer did and fail loudly on a miss.
       val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+        .getPartitionPathString(partitionCol, partitionPathValue(spark, v))
       val p = new org.apache.hadoop.fs.Path(path, dirName)
       require(fs.delete(p, true), s"TTL drop failed: partition directory $p not found")
     }
@@ -119,7 +136,7 @@ object Mutate {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .getPartitionPathString(partitionCol, if (value == null) null else value.toString)
+      .getPartitionPathString(partitionCol, partitionPathValue(spark, value))
     val p = new org.apache.hadoop.fs.Path(path, dirName)
     require(fs.delete(p, true), s"DROP PARTITION failed: directory $p not found")
   }

@@ -49,6 +49,39 @@ object ChCommands {
     AttributeReference("partitions_total", LongType, nullable = false)(),
     AttributeReference("partitions_rewritten", LongType, nullable = false)(),
     AttributeReference("rows_changed", LongType, nullable = false)())
+
+  /** Swap a fully-written side directory into the table location.
+    *
+    * NOT delete-then-rename: a crash between those two steps leaves
+    * the table location missing entirely (data only in the side dir)
+    * and a subsequent read or CREATE sees no table. Instead the old
+    * data is renamed to a `__graft_backup` sibling first, so at every
+    * instant the complete table bytes exist under a well-known name:
+    * either `dst` (normal), or `dst__graft_backup` (crash between the
+    * two renames — recovery is renaming the backup back, which the
+    * next swap attempt also does implicitly by clearing it only after
+    * its own rename succeeds).
+    */
+  private[plans] def swapInPlace(spark: SparkSession, tmp: String, dstPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dstPath), spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val backup = new org.apache.hadoop.fs.Path(dstPath.stripSuffix("/") + "__graft_backup")
+    // stale backup from a previous crashed swap: the current dst (if
+    // present) is newer — clear the backup; if dst is MISSING we are
+    // the recovery path and the backup is the live data.
+    if (fs.exists(backup)) {
+      if (fs.exists(dst)) require(fs.delete(backup, true), s"swap failed clearing stale $backup")
+      else require(fs.rename(backup, dst), s"swap recovery failed renaming $backup -> $dst")
+    }
+    require(fs.rename(dst, backup), s"swap failed renaming $dst -> $backup")
+    if (!fs.rename(src, dst)) {
+      fs.rename(backup, dst) // restore so the table location always exists
+      throw new IllegalStateException(s"swap failed renaming $src -> $dst; original restored")
+    }
+    fs.delete(backup, true) // best-effort: a leftover backup is inert (dst exists and wins)
+  }
 }
 
 /** `ALTER TABLE t DELETE WHERE pred` / `ALTER TABLE t UPDATE a = e, …
@@ -101,12 +134,7 @@ case class ChAlterMutateCommand(table: String, predSql: String,
       }
     val tmp = path.stripSuffix("/") + "__graft_mutating"
     out.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    require(fs.delete(dst, true), s"mutation swap failed deleting $dst")
-    require(fs.rename(src, dst), s"mutation swap failed renaming $src -> $dst")
+    ChCommands.swapInPlace(spark, tmp, path)
     graft.operators.Mutate.Report(1, 1, changed)
   }
 }
@@ -154,12 +182,7 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extend
       case Seq() =>
         val tmp = info.path.stripSuffix("/") + "__graft_optimizing"
         t.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(info.path), spark.sparkContext.hadoopConfiguration)
-        val src = new org.apache.hadoop.fs.Path(tmp)
-        val dst = new org.apache.hadoop.fs.Path(info.path)
-        require(fs.delete(dst, true), s"optimize swap failed deleting $dst")
-        require(fs.rename(src, dst), s"optimize swap failed renaming $src -> $dst")
+        ChCommands.swapInPlace(spark, tmp, info.path)
       case many => throw new UnsupportedOperationException(
         s"OPTIMIZE on a ${many.size}-level partitioned table: use " +
           "graft.sources.MergeTreeWrite.compact per partition directory")

@@ -38,8 +38,19 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
   // parameterized query fails with UNBOUND_SQL_PARAMETER.
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan = {
     val out = rewriteParametric(sqlText)
-    ChSqlParser.interceptCommand(out)
-      .getOrElse(delegate.parsePlanWithParameters(out, ctx))
+    ChSqlParser.interceptCommand(out) match {
+      case Some(plan) =>
+        // An intercepted maintenance command re-parses its predicate /
+        // assignment text at run time, OUTSIDE the parameter binding —
+        // a `?` or `:name` placeholder would silently unbind and then
+        // mis-parse. Refuse loudly rather than mis-execute.
+        if (ChSqlParser.hasParameters(ctx)) throw new UnsupportedOperationException(
+          "parameterized ALTER TABLE DELETE/UPDATE/OPTIMIZE is not supported: the " +
+            "command re-parses its predicate text at run time where placeholder " +
+            "bindings are no longer in scope — inline the values into the SQL text")
+        plan
+      case None => delegate.parsePlanWithParameters(out, ctx)
+    }
   }
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewriteParametric(sqlText))
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(rewriteParametric(sqlText))
@@ -52,6 +63,12 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object ChSqlParser {
+  private def hasParameters(ctx: ParameterContext): Boolean = ctx match {
+    case p: org.apache.spark.sql.catalyst.parser.PositionalParameterContext => p.params.nonEmpty
+    case n: org.apache.spark.sql.catalyst.parser.NamedParameterContext => n.params.nonEmpty
+    case _ => false
+  }
+
   /** `name(params)(args` → `name(params, args` for the parametric
     * aggregate family. Non-parametric single-list calls of the same
     * names (`quantile(0.5, x)`) don't match (no second `(`). The param
@@ -332,11 +349,20 @@ object ChSqlParser {
     allowed.contains(host) || (uri.getPort > 0 && allowed.contains(s"$host:${uri.getPort}"))
   }
 
+  /** Fetches already done this JVM, URL text → local temp path. The
+    * rewrite runs at parse time, so without a cache every re-parse of
+    * matching text (EXPLAIN, a retried statement, the same query
+    * re-issued) would re-fetch and leak another temp file. */
+  private val urlFetchCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** url('…') → a readable local path. file: URIs read in place; an
-    * allowlisted http(s) URL is fetched ONCE, driver-side, to a temp
-    * file (the ClickHouse use of url() is small lookup/side files —
-    * on a multi-node cluster land big data on shared storage
-    * instead; this mirrors CH re-fetching per query). */
+    * allowlisted http(s) URL is fetched ONCE per JVM, driver-side, to
+    * a temp file (the ClickHouse use of url() is small lookup/side
+    * files — on a multi-node cluster land big data on shared storage
+    * instead). Redirects are REFUSED: HttpURLConnection follows 3xx
+    * across hosts by default, which would let an allowlisted host
+    * bounce the fetch to an arbitrary external one, defeating the
+    * egress refusal this feature is built around. */
   private def resolveUrl(raw: String): String = {
     val uri = new java.net.URI(raw)
     uri.getScheme match {
@@ -345,27 +371,63 @@ object ChSqlParser {
         if (!urlHostAllowed(uri)) throw new UnsupportedOperationException(
           "url() to a non-allowlisted host needs arbitrary HTTP egress; land the file and " +
             "read it with file(), or add the host to SPARK_GRAFT_URL_ALLOWLIST")
-        val ext = {
-          val p = Option(uri.getPath).getOrElse("")
-          val i = p.lastIndexOf('.')
-          if (i >= 0) p.substring(i) else ""
-        }
-        val tmp = java.nio.file.Files.createTempFile("graft_url_", ext)
-        val conn = uri.toURL.openConnection()
-        conn.setConnectTimeout(5000); conn.setReadTimeout(30000)
-        val in = conn.getInputStream
-        try java.nio.file.Files.copy(in, tmp,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
-        tmp.toFile.deleteOnExit()
-        tmp.toString
+        urlFetchCache.computeIfAbsent(raw, _ => {
+          val ext = {
+            val p = Option(uri.getPath).getOrElse("")
+            val i = p.lastIndexOf('.')
+            if (i >= 0) p.substring(i) else ""
+          }
+          val tmp = java.nio.file.Files.createTempFile("graft_url_", ext)
+          val conn = uri.toURL.openConnection() match {
+            case h: java.net.HttpURLConnection => h
+            case other => throw new UnsupportedOperationException(
+              s"url(): unexpected connection type ${other.getClass.getName}")
+          }
+          conn.setInstanceFollowRedirects(false)
+          conn.setConnectTimeout(5000); conn.setReadTimeout(30000)
+          val code = conn.getResponseCode
+          if (code >= 300 && code < 400) throw new UnsupportedOperationException(
+            s"url(): '$raw' answered HTTP $code — redirects are refused because they can " +
+              "leave the allowlist; point url() at the final location")
+          if (code >= 400) throw new java.io.IOException(s"url(): '$raw' returned HTTP $code")
+          val in = conn.getInputStream
+          try java.nio.file.Files.copy(in, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          tmp.toFile.deleteOnExit()
+          tmp.toString
+        })
       case other => throw new UnsupportedOperationException(
         s"url() scheme '$other' is not readable here; use file()/s3() or a mounted path")
     }
   }
 
+  /** True when `pos` falls inside a single-quoted SQL string literal
+    * (handling `''` and backslash escapes) — used to keep text-level
+    * table-function rewrites out of string literal contents. */
+  private def insideStringLiteral(sql: String, pos: Int): Boolean = {
+    var in = false
+    var i = 0
+    while (i < pos) {
+      val c = sql.charAt(i)
+      if (in && c == '\\') i += 1 // skip the escaped char
+      else if (c == '\'') {
+        if (in && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1 // '' escape
+        else in = !in
+      }
+      i += 1
+    }
+    in
+  }
+
   private def rewriteFileTableFn(sql: String): String =
     FileTableFn.replaceAllIn(sql, m => {
+      // `FROM url(...)` appearing INSIDE a string literal is data, not
+      // syntax — rewriting it would fetch at parse time from text that
+      // never executes.
+      if (insideStringLiteral(sql, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
       val (fn, path) = (m.group(1).toLowerCase, m.group(2))
       val fmt = Option(m.group(3)).getOrElse {
         // infer from the extension, the CH default behavior
@@ -391,6 +453,7 @@ object ChSqlParser {
               else if (fn == "url") resolveUrl(path)
               else path
       scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
+      }
     })
 
   /** `FROM generateRandom('a UInt64, b String'[, seed…]) LIMIT n` —

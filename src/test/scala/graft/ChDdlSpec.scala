@@ -241,6 +241,49 @@ class ChDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("egress"))
   }
 
+  test("url() refuses redirects, fetches once per JVM, skips string literals; params refuse on commands") {
+    // a loopback server that redirects — following it could leave the
+    // allowlist, so the fetch must refuse on the 3xx itself
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/hop.json", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.add("Location", "http://203.0.113.9/evil.json")
+      ex.sendResponseHeaders(302, -1); ex.close()
+    })
+    server.createContext("/counted.json", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val bytes = """{"v":7}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM url('http://127.0.0.1:$port/hop.json')"))
+      assert(e.getMessage.contains("redirect"))
+      // parse the same URL twice (EXPLAIN parses without executing):
+      // the fetch cache must make that one HTTP request, not two
+      spark.sql(s"EXPLAIN SELECT v FROM url('http://127.0.0.1:$port/counted.json')").collect()
+      assert(spark.sql(s"SELECT v FROM url('http://127.0.0.1:$port/counted.json')")
+        .head().getLong(0) == 7L)
+      assert(hits.get() == 1, s"expected one fetch, saw ${hits.get()}")
+    } finally server.stop(0)
+
+    // `FROM url(...)` inside a string literal is data — no rewrite, no
+    // fetch (an attempted fetch of this host would throw the refusal)
+    val lit = spark.sql("SELECT 'see FROM url(''https://example.com/x.csv'') for more' AS s")
+      .head().getString(0)
+    assert(lit.contains("FROM url('https://example.com/x.csv')"))
+
+    // a bound parameter on an intercepted maintenance command cannot
+    // reach the run-time predicate re-parse — refuse, don't mis-execute
+    val ep = intercept[Exception](
+      spark.sql("ALTER TABLE some_t DELETE WHERE id = ?", Array(1)))
+    assert(ep.getMessage.contains("inline the values"))
+  }
+
   test("system.numbers LIMIT and system.one generators") {
     assert(spark.sql("SELECT sum(number) FROM system.numbers LIMIT 10").head().getLong(0) == 45L)
     assert(spark.sql("SELECT dummy FROM system.one").head().getInt(0) == 0)

@@ -49,6 +49,27 @@ class MutateSpec extends SparkSpec {
     assert(before.keys.filter(_.contains("p=1")).forall(k => after.get(k) != Some(before(k))))
   }
 
+  test("timestamp partition column: full-partition delete removes the directory (writer-format path)") {
+    // java.sql.Timestamp.toString ends in ".0" where Spark's writer
+    // formats the directory from Cast(v, String) — a toString-built
+    // path would miss the dir and deleted rows would resurrect on read
+    val path = java.nio.file.Files.createTempDirectory("graft_mut_ts").resolve("t").toString
+    Seq.tabulate(40) { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"2026-0${1 + i % 2}-01 00:00:00"))
+    }.toDF("id", "ts").write.partitionBy("ts").parquet(path)
+    val rep = Mutate.delete(spark, path, "ts",
+      $"ts" === java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    assert(rep.partitionsRewritten == 1 && rep.rowsChanged == 20)
+    val left = spark.read.parquet(path)
+    assert(left.count() == 20)
+    assert(left.where($"ts" === java.sql.Timestamp.valueOf("2026-02-01 00:00:00")).count() == 0)
+    // dropPartition formats the same way
+    Mutate.dropPartition(spark, path, "ts", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val dirs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(!dirs.exists(_.startsWith("ts=")), s"partition dirs survived: $dirs")
+  }
+
   test("update applies assignments to matching rows only, pre-update RHS") {
     val path = freshTable("upd")
     // swap semantics check: v := v + id uses PRE-update v for the flag
