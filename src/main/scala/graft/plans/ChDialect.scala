@@ -2667,14 +2667,13 @@ object ChDialect {
       Conv(Concat(Seq(Substring(es.head, Literal(1), Literal(8)),
         Substring(es.head, Literal(10), Literal(4)))), Literal(16), Literal(10)),
       LongType))),
-    // -- hash functions. DELIBERATE SEMANTIC CAVEAT: ClickHouse's
-    // cityHash64/sipHash64 algorithms aren't in Spark; these map to
-    // xxhash64 with distinct seeds. Deterministic and well-distributed
-    // within THIS engine (bucketing/sampling/fingerprint use cases
-    // carry over) but the VALUES differ from ClickHouse — code that
-    // persisted CH hash values must re-hash, same as any engine move.
-    "cityHash64" -> (es => XxHash64(es, 42L)),
-    "sipHash64"  -> (es => XxHash64(es, 9L)),
+    // -- hash functions. cityHash64 (CityHash v1.0.2, the version CH
+    // pinned) and sipHash64 (SipHash-2-4, key 0) are real kernels with
+    // ClickHouse VALUE parity for String/FixedString arguments,
+    // including the multi-arg combine convention; non-string args keep
+    // the engine-internal seeded remap (see ChWireHash scaladoc).
+    "cityHash64" -> (es => ChWireHash(es, "cityHash64", 42L)),
+    "sipHash64"  -> (es => ChWireHash(es, "sipHash64", 9L)),
     // more CH hash spellings on the same contract (the engine's
     // deterministic 64-bit kernel under distinct seeds — these names
     // promise a stable hash, not a byte-level CH replay); the 32-bit

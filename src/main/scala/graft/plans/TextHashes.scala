@@ -241,7 +241,7 @@ case class SimHash64(left: Expression, right: Expression)
   * `wordShingleSimHash` (→ bigint). `kind` picks byte-gram vs
   * word-shingle input; the sketch values are this engine's
   * deterministic XXH64 family, not a byte-level CH replay (the same
-  * documented contract as cityHash64). */
+  * documented contract as the murmur/URLHash alias family). */
 case class TextSketch(first: Expression, second: Expression, third: Expression, kind: String)
     extends TernaryExpression with CodegenFallback {
   import TextHashes._
