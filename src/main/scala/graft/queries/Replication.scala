@@ -442,5 +442,56 @@ object Replication {
             FROM base GROUP BY prio ORDER BY prio"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101)
+  /** The Kafka-engine → MV → TO-table chain, gate-checked end to end
+    * from verbatim CH DDL: a bounded NDJSON landing plays the topic
+    * (file transport, `kafka_max_block_size = 1` forcing one file per
+    * micro-batch), each block runs the MV's SELECT and appends an
+    * idempotent partial to the TO-table, and the query reads the
+    * TO-table with the AggregatingMergeTree merge-on-read GROUP BY.
+    * Counts and integer cent-sums are block-partition-invariant, so
+    * the result is deterministic however the stream is blocked and
+    * the DuckDB oracle can replay it from the source table directly.
+    * The landing is bounded (events ≤ a fixed key slice) so the
+    * streaming leg stays constant-cost at any SF. */
+  val q102 = GraftQuery(
+    "q102_kafka_mv_chain",
+    (s, dir) => {
+      val base = s"/tmp/graft_kafka/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      // fresh chain per run: a stale checkpoint would skip the replay
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (landing, target, ckpt) = (s"$base/landing", s"$base/target", s"$base/ckpt")
+      Tables(s, dir).events
+        .where(col("user_id") < 50)
+        .select(col("user_id"), col("event_type"),
+                expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .repartition(3)
+        .write.mode("overwrite").json(landing)
+      // Spark's json writer leaves a _SUCCESS marker the schema'd
+      // streaming reader must not treat as data
+      fs.delete(new org.apache.hadoop.fs.Path(landing, "_SUCCESS"), false)
+      val q = graft.streaming.KafkaEngine.fromDdl(s,
+        s"""CREATE TABLE gq102_queue (user_id UInt64, event_type String, cents Int64)
+            ENGINE = Kafka SETTINGS kafka_broker_list = '$landing',
+            kafka_topic_list = 'events', kafka_group_name = 'g102',
+            kafka_format = 'JSONEachRow', kafka_max_block_size = '1'""",
+        """CREATE MATERIALIZED VIEW gq102_mv TO gq102_target AS
+           SELECT user_id, event_type, count(*) AS cnt, sum(cents) AS cents
+           FROM gq102_queue GROUP BY user_id, event_type""",
+        target, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(target)
+        .groupBy("user_id", "event_type")
+        .agg(sum("cnt").as("cnt"), sum("cents").as("cents"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, count(*) AS cnt,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events WHERE user_id < 50
+            GROUP BY user_id, event_type ORDER BY user_id, event_type"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101, q102)
 }

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types.StructType
 object KafkaEngine {
 
   final case class Queue(name: String, schema: StructType, brokers: String,
-                         topic: String, group: String, format: String)
+                         topic: String, group: String, format: String,
+                         maxBlockFiles: Option[Int] = None)
 
   final case class MatViewTo(name: String, target: String, select: String)
 
@@ -63,7 +64,11 @@ object KafkaEngine {
         brokers = pick(b, "kafka_broker_list", "broker list"),
         topic   = pick(t, "kafka_topic_list", "topic"),
         group   = Option(g).orElse(setting(tail, "kafka_group_name")).getOrElse("graft"),
-        format  = pick(f, "kafka_format", "format"))
+        format  = pick(f, "kafka_format", "format"),
+        // CH's per-poll block-size bound; on the file transport it
+        // bounds files-per-micro-batch (maxFilesPerTrigger), forcing
+        // genuinely multiple blocks through the MV
+        maxBlockFiles = setting(tail, "kafka_max_block_size").map(_.toInt))
     case _ => throw new IllegalArgumentException(
       s"not a Kafka-engine CREATE TABLE: ${ddl.linesIterator.next()}")
   }
@@ -89,8 +94,9 @@ object KafkaEngine {
   /** The queue table as a streaming DataFrame in its declared schema. */
   def source(spark: SparkSession, q: Queue): DataFrame =
     if (q.brokers.startsWith("/") || q.brokers.startsWith("file:")) {
-      spark.readStream.schema(q.schema).format(fileFormat(q.format))
-        .load(q.brokers.stripPrefix("file:"))
+      val r = spark.readStream.schema(q.schema).format(fileFormat(q.format))
+      q.maxBlockFiles.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.load(q.brokers.stripPrefix("file:"))
     } else {
       val raw = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", q.brokers)
