@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` column plus a typed metadata struct, with batched
   * per-partition transforms for the decode/feature-extract stages.
   *
-  * The decode step itself is STUBBED (no media codecs in this
-  * environment): [[StubDecoder]] derives deterministic fake
-  * width/height/frames from the payload hash. The Spark-side contract
-  * — schema, partition-batched execution, metadata propagation — is
-  * the real design and is what the tests cover: swap [[Decoder]] for a
-  * JNI/codec-backed one and nothing else changes.
+  * IMAGE decode and pixel features are REAL ([[ImageIoDecoder]] /
+  * [[ImageGridFeatures]], on the JDK's built-in `javax.imageio`
+  * codecs — PNG/JPEG/GIF/BMP; gate-checked end to end by
+  * `q80b_image_decode`). Audio/video codecs don't ship on a stock
+  * JVM, so those paths keep the deterministic [[StubDecoder]] /
+  * [[HashFeatures]] stand-ins; the Spark-side contract — schema,
+  * partition-batched execution, metadata propagation — is identical,
+  * so a JNI/codec-backed [[Decoder]] drops in with no other change.
   *
   * Scale notes: payloads never pass through a shuffle — metadata is
   * extracted in a projection over the scan, and decode runs
@@ -33,7 +35,8 @@ object Binary {
   }
 
   /** Deterministic fake decoder: dimensions derived from payload
-    * bytes. Stands in for the codec the container doesn't have. */
+    * bytes. Stands in for codecs the JVM doesn't ship (audio/video)
+    * and keeps CI fixtures format-independent. */
   object StubDecoder extends Decoder {
     def decode(payload: Array[Byte]): MediaInfo = {
       var h = 1125899906842597L // FNV-ish rolling hash, stable across JVMs
@@ -42,6 +45,101 @@ object Binary {
       val w = 16 + (Math.floorMod(h, 240L)).toInt
       val ht = 16 + (Math.floorMod(h >> 8, 240L)).toInt
       MediaInfo(w, ht, 1 + Math.floorMod(h >> 16, 30L).toInt, ok = payload.nonEmpty)
+    }
+  }
+
+  /** REAL image decode on the JVM's built-in codecs (`javax.imageio`
+    * — PNG/JPEG/GIF/BMP ship with the JDK, no new dependency).
+    * Width/height come from the header (no full pixel decode — cheap
+    * enough for a 100 TB metadata pass); `frames` counts images in
+    * the container (animated GIF > 1). Undecodable or truncated bytes
+    * degrade to `ok = false`, never an exception — one bad file in a
+    * billion must not kill a partition. */
+  object ImageIoDecoder extends Decoder {
+    def decode(payload: Array[Byte]): MediaInfo = {
+      if (payload == null || payload.isEmpty) return MediaInfo(0, 0, 0, ok = false)
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) MediaInfo(0, 0, 0, ok = false)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              val frames =
+                try { val n = r.getNumImages(true); if (n < 1) 1 else n }
+                catch { case _: Exception => 1 }
+              MediaInfo(r.getWidth(0), r.getHeight(0), frames, ok = true)
+            } finally r.dispose()
+          }
+        } finally if (in != null) in.close()
+      } catch { case _: Exception => MediaInfo(0, 0, 0, ok = false) }
+    }
+  }
+
+  /** The pluggable feature stage: payload bytes → `dim` floats. */
+  trait FeatureExtractor extends Serializable {
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic pseudo-embedding from a rolling hash (the CI-safe
+    * default — format-independent, stable across JVMs). */
+  object HashFeatures extends FeatureExtractor {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      var h = 1125899906842597L
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+      var d = 0
+      while (d < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(d) = ((h >>> 16).toInt % 1000) / 1000.0f
+        d += 1
+      }
+      out
+    }
+  }
+
+  /** REAL pixel features: full `javax.imageio` decode, then mean
+    * luminance (ITU-R BT.601 in [0,1]) pooled over a √dim × √dim
+    * grid — the classic thumbnail-embedding baseline, deterministic
+    * for a given image. Undecodable payloads embed as all-zero
+    * (distinguishable and cluster-stable) rather than throwing. */
+  object ImageGridFeatures extends FeatureExtractor {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes == null || bytes.isEmpty) return out
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return out
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(g - 1, y * g / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(g - 1, x * g / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)) / 255.0
+          val c = gy * g + gx
+          sums(c) += lum; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < g * g && c < dim) {
+        out(c) = if (counts(c) == 0) 0f else (sums(c) / counts(c)).toFloat
+        c += 1
+      }
+      out
     }
   }
 
@@ -85,7 +183,8 @@ object Binary {
     * here; the stub derives a deterministic pseudo-embedding from a
     * rolling hash so the downstream contract — `array<float>` column
     * feeding [[graft.operators.Similarity]] — is exercised end to end. */
-  def featureStage(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
+  def featureStage(df: DataFrame, payloadCol: String, dim: Int = 16,
+                   extractor: FeatureExtractor = HashFeatures): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
     val idx = df.schema.fieldIndex(payloadCol)
@@ -94,17 +193,7 @@ object Binary {
       rows.map { r =>
         val bytes0 = r.getAs[Array[Byte]](idx)
         val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-        var h = 1125899906842597L
-        val out = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
-        var d = 0
-        while (d < dim) {
-          h = h * 6364136223846793005L + 1442695040888963407L
-          out(d) = ((h >>> 16).toInt % 1000) / 1000.0f
-          d += 1
-        }
-        Row.fromSeq(r.toSeq :+ out.toSeq)
+        Row.fromSeq(r.toSeq :+ extractor.features(bytes, dim).toSeq)
       }
     }(enc)
   }

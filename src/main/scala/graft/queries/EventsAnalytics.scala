@@ -420,6 +420,46 @@ object EventsAnalytics {
             FROM documents ORDER BY doc_id"""),
   )
 
+  /** REAL image decode through the multimodal plumbing: deterministic
+    * synthetic PNGs (pixel pattern fixed, so width/height/frames are
+    * exact facts however the encoder serializes them) plus one
+    * corrupt payload, decoded per-partition by
+    * [[Binary.ImageIoDecoder]] (`javax.imageio`, JDK built-in
+    * codecs). Scalar metadata out per §5; oracle = the known
+    * dimensions as literals. The corrupt row must degrade to
+    * ok = false, never throw. */
+  val q80b = GraftQuery(
+    "q80b_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      def png(w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (x * 37 + y * 101) & 0xFFFFFF); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        1L -> png(7, 5), 2L -> png(16, 16), 3L -> png(33, 9),
+        4L -> Array[Byte](1, 2, 3)) // not an image
+      Binary.decodeStage(rows.toDF("id", "payload"), "payload", Binary.ImageIoDecoder)
+        .select($"id", $"media_info.width".as("width"), $"media_info.height".as("height"),
+                $"media_info.frames".as("frames"), $"media_info.ok".as("ok"))
+        .orderBy("id")
+    },
+    Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 7, 5, 1, TRUE),
+                                  (2, 16, 16, 1, TRUE),
+                                  (3, 33, 9, 1, TRUE),
+                                  (4, 0, 0, 0, FALSE))
+            AS t(id, width, height, frames, ok) ORDER BY id"""),
+  )
+
   /** deltaSum analog: sum of POSITIVE deltas of consecutive values.
     * ClickHouse's deltaSum runs in block order (nondeterministic under
     * parallel merge — its own docs warn so); the engine makes the
@@ -514,5 +554,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b)
 }

@@ -41,6 +41,54 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getLong(0) == 7L && top.head.getDouble(1) === 1.0)
   }
 
+  test("ImageIoDecoder decodes real PNG and GIF bytes; corrupt bytes degrade to ok=false") {
+    def png(w: Int, h: Int, fmt: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // direct kernel facts
+    assert(Binary.ImageIoDecoder.decode(png(12, 34)) == Binary.MediaInfo(12, 34, 1, ok = true))
+    assert(Binary.ImageIoDecoder.decode(png(5, 3, "gif")).ok)
+    assert(!Binary.ImageIoDecoder.decode("not an image".getBytes).ok)
+    assert(!Binary.ImageIoDecoder.decode(png(9, 9).take(10)).ok) // truncated header
+    // through the distributed stage
+    val df = Seq(1L -> png(64, 48), 2L -> png(3, 3), 3L -> Array[Byte](0, 1))
+      .toDF("id", "payload")
+    val out = Binary.decodeStage(df, "payload", Binary.ImageIoDecoder)
+      .select("id", "media_info.width", "media_info.height", "media_info.ok")
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 64 && out(0).getInt(2) == 48 && out(0).getBoolean(3))
+    assert(out(1).getInt(1) == 3 && out(2).getBoolean(3) == false)
+  }
+
+  test("ImageGridFeatures pools real pixel luminance into the embedding grid") {
+    // left half black, right half white → first grid column ≈ 0,
+    // last ≈ 1, for a 4×4 grid over a 16×16 image
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Binary.ImageGridFeatures.features(bos.toByteArray, 16)
+    assert(f.length == 16)
+    for (row <- 0 until 4) {
+      assert(f(row * 4) == 0f, s"grid cell ($row,0) should be black")
+      assert(math.abs(f(row * 4 + 3) - 1f) < 1e-3, s"grid cell ($row,3) should be white")
+    }
+    // undecodable → all-zero embedding, not an exception
+    assert(Binary.ImageGridFeatures.features("junk".getBytes, 16).forall(_ == 0f))
+    // and it rides the existing featureStage plumbing unchanged
+    val feats = Binary.featureStage(
+      Seq(1L -> bos.toByteArray).toDF("id", "payload"), "payload",
+      dim = 16, extractor = Binary.ImageGridFeatures)
+    assert(feats.select("features").head().getSeq[Float](0).length == 16)
+  }
+
   test("sampleFrames explodes exactly min(n, frames) indexes; 0-frame rows drop") {
     val df = Seq((1L, 10), (2L, 2), (3L, 0)).toDF("id", "frames")
     val sampled = Binary.sampleFrames(df, "frames", n = 3)
