@@ -83,10 +83,18 @@ object Similarity {
     * gets the exact cosine exactly once. Recall/cost dial: more
     * tables → higher recall, more candidates; more planes → fewer,
     * more-similar candidates per bucket. The (table, bucket) join is
-    * the only shuffle and is bounded by bucket occupancy. */
+    * the only shuffle and is bounded by bucket occupancy — which
+    * `maxBucket` CAPS (lowest ids win, deterministically): without
+    * it one degenerate hot bucket (mass-duplicated rows, all-zero
+    * embeddings) turns the self-join quadratic at 100 TB, the same
+    * whale-bucket failure q41's posting-list cap guards against.
+    * Normal buckets sit far below the cap (sf1 rehearsal: ~80 rows
+    * vs 4096), so recall is untouched except inside a degenerate
+    * bucket, where truncating is the point. */
   def lshAnnPairs(df: DataFrame, idCol: String, vecCol: String,
                   numPlanes: Int = 8, numTables: Int = 4,
-                  minCos: Double = 0.3, dim: Int = MaxDim): DataFrame = {
+                  minCos: Double = 0.3, dim: Int = MaxDim,
+                  maxBucket: Int = 4096): DataFrame = {
     // All table bucket ids in ONE batched expression
     // ([[graft.plans.LshBucketIds]]): the candidate-join stage sees a
     // single cheap expression per side instead of numTables×numPlanes
@@ -95,10 +103,16 @@ object Similarity {
     // Bucket join carries ONLY (id, table, bucket); vectors rejoin
     // after pair dedup, so each candidate pair ships its two vectors
     // through a shuffle exactly once.
-    val keyed = df
+    val keyed0 = df
       .select(col(idCol),
         posexplode(call_function("graft_lsh_buckets", col(vecCol), lit(numPlanes), lit(numTables))))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
+    // whale-bucket cap: one row_number window on the same (tbl, bk)
+    // key the candidate join shuffles on anyway
+    val keyed = keyed0
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("tbl"), col("bk")).orderBy(col(idCol))))
+      .where(col("__rn") <= maxBucket).drop("__rn")
     val cand = keyed.toDF("id_a", "tbl", "bk")
       .join(keyed.toDF("id_b", "tbl", "bk"), Seq("tbl", "bk"))
       .where(col("id_a") < col("id_b"))

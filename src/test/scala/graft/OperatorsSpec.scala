@@ -114,6 +114,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
   }
 
+  test("Similarity.lshAnnPairs whale-bucket cap bounds a degenerate duplicate flood") {
+    // 400 verbatim copies of one vector: uncapped, every table's
+    // bucket yields 400·399/2 ≈ 80k candidate pairs; capped at 20,
+    // at most 20·19/2 per table survive — and the lowest ids win,
+    // deterministically
+    val flood = (0L until 400L).map(i => (i, Array(0.6f, 0.8f, 0.0f))) :+
+      (1000L, Array(0.0f, 0.0f, 1.0f))
+    val pairs = Similarity.lshAnnPairs(flood.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numPlanes = 4, numTables = 6, minCos = 0.9,
+      maxBucket = 20).collect()
+    assert(pairs.length == 20 * 19 / 2, s"expected capped pair count, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) < 20 && r.getLong(1) < 20))
+    // the default cap leaves realistic buckets untouched (same result
+    // as the recall test above)
+    val normal = Similarity.lshAnnPairs(vecs, "vec_id", "embedding",
+      numPlanes = 4, numTables = 6, minCos = 0.9).collect()
+    assert(normal.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("Similarity IVF finds the planted near-duplicate with a partial scan") {
     val rnd = new scala.util.Random(99L)
     val base = Seq.tabulate(200) { i =>
