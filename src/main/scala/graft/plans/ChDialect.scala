@@ -2678,7 +2678,8 @@ object ChDialect {
     // deterministic 64-bit kernel under distinct seeds — these names
     // promise a stable hash, not a byte-level CH replay); the 32-bit
     // ones mask to the unsigned range CH returns
-    "intHash64"      -> (es => XxHash64(es, 101L)),
+    // real CH kernel: the published murmur fmix64 finalizer
+    "intHash64"      -> (es => IntHash64Expr(Cast(es.head, LongType))),
     "URLHash"        -> (es => XxHash64(es, 103L)),
     "murmurHash2_64" -> (es => XxHash64(es, 104L)),
     "murmurHash3_64" -> (es => XxHash64(es, 105L)),

