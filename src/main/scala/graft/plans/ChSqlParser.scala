@@ -1006,6 +1006,102 @@ object ChSqlParser {
     """(?i)\bFROM\s+system\.numbers\s+LIMIT\s+(\d+)""".r
   private val SystemOne = """(?i)\bFROM\s+system\.one\b""".r
 
+  /** `system.tables` / `system.columns` / `system.databases` — the
+    * introspection surface BI tools and migrated apps query
+    * constantly. Rewritten to an inline VALUES snapshot of the
+    * session catalog taken AT PARSE TIME (the natural analog of CH
+    * reading its own metadata tables; a snapshot is exactly what a
+    * SELECT over them observes anyway). Engines report as the CH
+    * names this front-end models: MergeTree for stored tables, View
+    * for views/temp views. Column types map back to CH spellings for
+    * the common scalar/array cases, passing through Spark's name
+    * where no CH analog exists. */
+  private val SystemTables = """(?i)\bFROM\s+system\.tables\b""".r
+  private val SystemColumns = """(?i)\bFROM\s+system\.columns\b""".r
+  private val SystemDatabases = """(?i)\bFROM\s+system\.databases\b""".r
+
+  private[plans] def chTypeNameOf(t: String): String = {
+    val s = t.trim
+    val l = s.toLowerCase
+    if (l.startsWith("array<") && l.endsWith(">"))
+      "Array(" + chTypeNameOf(s.substring(6, s.length - 1)) + ")"
+    else if (l.startsWith("decimal(")) "Decimal" + s.substring(7)
+    else l match {
+      case "bigint" | "long" => "Int64"
+      case "int" | "integer" => "Int32"
+      case "smallint" | "short" => "Int16"
+      case "tinyint" | "byte" => "Int8"
+      case "double" => "Float64"
+      case "float" | "real" => "Float32"
+      case "string" | "varchar" | "binary" => "String"
+      case "date" => "Date"
+      case "timestamp" | "timestamp_ltz" | "timestamp_ntz" => "DateTime64(6)"
+      case "boolean" => "Bool"
+      case _ => s
+    }
+  }
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** VALUES subquery or a typed empty relation when the catalog has
+    * no rows to report. */
+  private def valuesSubquery(rows: Seq[Seq[String]], cols: Seq[String]): String =
+    if (rows.isEmpty)
+      s"(SELECT ${cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString(", ")} WHERE 1=0)"
+    else
+      s"(SELECT * FROM VALUES ${rows.map(_.mkString("(", ", ", ")")).mkString(", ")} " +
+        s"AS __graft_sys(${cols.mkString(", ")}))"
+
+  private def catalogTables(spark: org.apache.spark.sql.SparkSession): Seq[(String, String, String)] =
+    spark.catalog.listDatabases().collect().toSeq.flatMap { db =>
+      spark.catalog.listTables(db.name).collect().toSeq.map { t =>
+        val database =
+          if (t.isTemporary) "" else Option(t.namespace).map(_.mkString(".")).getOrElse(db.name)
+        val engine = if (t.isTemporary || t.tableType == "VIEW") "View" else "MergeTree"
+        (database, t.name, engine)
+      }
+    }.distinct
+
+  private def rewriteSystemCatalog(sql: String): String = {
+    // cheap guard: don't touch the catalog for the vast majority of
+    // statements that never mention these names
+    if (!sql.toLowerCase.contains("system.")) return sql
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    if (sparkOpt.isEmpty) return sql
+    val spark = sparkOpt.get
+    var out = sql
+    try {
+      if (SystemDatabases.findFirstIn(out).isDefined) {
+        val rows = spark.catalog.listDatabases().collect().toSeq
+          .map(db => Seq(sqlStr(db.name)))
+        out = SystemDatabases.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement("FROM " + valuesSubquery(rows, Seq("name"))))
+      }
+      if (SystemTables.findFirstIn(out).isDefined) {
+        val rows = catalogTables(spark).map { case (d, n, e) =>
+          Seq(sqlStr(d), sqlStr(n), sqlStr(e))
+        }
+        out = SystemTables.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement(
+            "FROM " + valuesSubquery(rows, Seq("database", "name", "engine"))))
+      }
+      if (SystemColumns.findFirstIn(out).isDefined) {
+        val rows = catalogTables(spark).flatMap { case (d, n, _) =>
+          val qualified = if (d.isEmpty) n else s"$d.$n"
+          try spark.catalog.listColumns(qualified).collect().toSeq.zipWithIndex.map {
+            case (c, i) => Seq(sqlStr(d), sqlStr(n), sqlStr(c.name),
+              sqlStr(chTypeNameOf(c.dataType)), (i + 1).toString)
+          } catch { case _: Exception => Nil }
+        }
+        out = SystemColumns.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement(
+            "FROM " + valuesSubquery(rows, Seq("database", "table", "name", "type", "position"))))
+      }
+      out
+    } catch { case _: Exception => sql } // fall through to a loud unknown-table error
+  }
+
   /** ClickHouse `FROM zeros(N)` (the constant-0 generator table) —
     * same range rewrite, column name `zero`. */
   private val ZerosFn = """(?i)\bFROM\s+zeros\s*\(\s*(\d+)\s*\)""".r
@@ -1391,6 +1487,7 @@ object ChSqlParser {
     out = SystemNumbers.replaceAllIn(out, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
     out = SystemOne.replaceAllIn(out, "FROM (SELECT 0 AS dummy)")
+    out = rewriteSystemCatalog(out)
     out = NumbersFn.replaceAllIn(out, m => Option(m.group(2)) match {
       case Some(count) =>
         s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"

@@ -284,6 +284,31 @@ class ChDdlSpec extends SparkSpec {
     assert(ep.getMessage.contains("inline the values"))
   }
 
+  test("system.tables / system.columns / system.databases introspection") {
+    spark.sql("DROP TABLE IF EXISTS sys_probe")
+    try {
+      spark.sql("""CREATE TABLE sys_probe (id UInt64, label String)
+                   ENGINE = MergeTree ORDER BY id""")
+      spark.range(3).createOrReplaceTempView("sys_probe_view")
+      val t = spark.sql(
+        "SELECT database, name, engine FROM system.tables WHERE name LIKE 'sys_probe%' ORDER BY name")
+        .collect()
+      assert(t.exists(r => r.getString(1) == "sys_probe" && r.getString(2) == "MergeTree"))
+      assert(t.exists(r => r.getString(1) == "sys_probe_view" && r.getString(2) == "View"))
+      val c = spark.sql(
+        """SELECT name, type, position FROM system.columns
+           WHERE table = 'sys_probe' ORDER BY position""").collect()
+      assert(c.map(_.getString(0)).toSeq == Seq("id", "label"))
+      assert(c.map(_.getString(1)).toSeq == Seq("Int64", "String"))
+      assert(c.map(_.getInt(2)).toSeq == Seq(1, 2))
+      val d = spark.sql("SELECT name FROM system.databases").collect().map(_.getString(0))
+      assert(d.contains("default"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sys_probe")
+      spark.catalog.dropTempView("sys_probe_view")
+    }
+  }
+
   test("system.numbers LIMIT and system.one generators") {
     assert(spark.sql("SELECT sum(number) FROM system.numbers LIMIT 10").head().getLong(0) == 45L)
     assert(spark.sql("SELECT dummy FROM system.one").head().getInt(0) == 0)
