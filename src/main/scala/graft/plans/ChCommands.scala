@@ -84,6 +84,125 @@ object ChCommands {
   }
 }
 
+/** ClickHouse schema-evolution DDL: `ALTER TABLE t ADD | DROP |
+  * RENAME | MODIFY COLUMN …`. ClickHouse applies these as instant
+  * metadata changes and materializes lazily on merge; here the data
+  * is rewritten eagerly through the crash-safe side-directory swap
+  * ([[ChCommands.swapInPlace]]), which keeps read semantics exact —
+  * in particular ADD COLUMN without DEFAULT backfills the CH type
+  * default (0 / '' / epoch; NULL only for Nullable(…)), matching
+  * what a ClickHouse read would synthesize, where Spark's
+  * metadata-only schema evolution would surface nulls. The catalog's
+  * stored schema is updated in the same command
+  * (`alterTableDataSchema`), so subsequent reads resolve the new
+  * shape. Partition columns refuse to be dropped/renamed/retyped
+  * (they are the physical layout). */
+sealed trait ChColumnOp
+object ChColumnOp {
+  final case class Add(name: String, chType: String, default: Option[String],
+                       first: Boolean, after: Option[String], ifNotExists: Boolean) extends ChColumnOp
+  final case class Drop(name: String, ifExists: Boolean) extends ChColumnOp
+  final case class Rename(from: String, to: String, ifExists: Boolean) extends ChColumnOp
+  final case class Modify(name: String, chType: String, ifExists: Boolean) extends ChColumnOp
+}
+
+case class ChAlterColumnCommand(table: String, op: ChColumnOp) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType => LT}
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("columns", LT, nullable = false)())
+
+  private def chDefault(spark: SparkSession, chType: String, sparkType: String) = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val lower = chType.trim.toLowerCase
+    if (lower.startsWith("nullable(")) lit(null).cast(sparkType)
+    else {
+      val st = sparkType.toLowerCase
+      if (st == "string") lit("")
+      else if (st == "boolean") lit(false)
+      else if (st == "date") lit(java.sql.Date.valueOf("1970-01-01"))
+      else if (st.startsWith("timestamp")) lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+      else if (st.startsWith("array")) expr("array()").cast(sparkType)
+      else if (st.startsWith("map") || st.startsWith("struct"))
+        throw new UnsupportedOperationException(
+          s"ADD COLUMN of $chType needs an explicit DEFAULT or Nullable(…) here")
+      else lit(0).cast(sparkType) // the numeric family
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val info = ChCommands.resolve(spark, table)
+    val partCols = info.partCols.toSet
+    def refusePartition(c: String): Unit =
+      if (partCols.contains(c)) throw new UnsupportedOperationException(
+        s"column '$c' is the partition key — recreate the table to change the physical layout")
+    val df = spark.read.parquet(info.path)
+    val has = df.schema.fieldNames.toSet
+    val newDf: Option[org.apache.spark.sql.DataFrame] = op match {
+      case ChColumnOp.Add(name, chType, default, first, after, ifNotExists) =>
+        if (has.contains(name)) {
+          if (ifNotExists) None
+          else throw new IllegalArgumentException(s"column '$name' already exists in $table")
+        } else {
+          val sparkType = ChSqlParser.chDdlTypeOf(chType)
+          val value = default.map(d => expr(d).cast(sparkType))
+            .getOrElse(chDefault(spark, chType, sparkType))
+          val added = df.withColumn(name, value)
+          val order0 = df.schema.fieldNames.toSeq
+          val order =
+            if (first) name +: order0
+            else after match {
+              case Some(a) =>
+                if (!has.contains(a)) throw new IllegalArgumentException(
+                  s"AFTER $a: no such column in $table")
+                order0.flatMap(c => if (c == a) Seq(c, name) else Seq(c))
+              case None => order0 :+ name
+            }
+          Some(added.select(order.map(col): _*))
+        }
+      case ChColumnOp.Drop(name, ifExists) =>
+        refusePartition(name)
+        if (!has.contains(name)) {
+          if (ifExists) None
+          else throw new IllegalArgumentException(s"no column '$name' in $table")
+        } else Some(df.drop(name))
+      case ChColumnOp.Rename(from, to, ifExists) =>
+        refusePartition(from)
+        if (!has.contains(from)) {
+          if (ifExists) None
+          else throw new IllegalArgumentException(s"no column '$from' in $table")
+        } else if (has.contains(to))
+          throw new IllegalArgumentException(s"column '$to' already exists in $table")
+        else Some(df.withColumnRenamed(from, to))
+      case ChColumnOp.Modify(name, chType, ifExists) =>
+        refusePartition(name)
+        if (!has.contains(name)) {
+          if (ifExists) None
+          else throw new IllegalArgumentException(s"no column '$name' in $table")
+        } else Some(df.withColumn(name, col(name).cast(ChSqlParser.chDdlTypeOf(chType))))
+    }
+    newDf match {
+      case None => Seq(Row(df.schema.length.toLong)) // IF [NOT] EXISTS no-op
+      case Some(out) =>
+        val tmp = info.path.stripSuffix("/") + "__graft_altering"
+        if (info.partCols.nonEmpty)
+          out.write.mode("overwrite").partitionBy(info.partCols: _*).parquet(tmp)
+        else out.write.mode("overwrite").parquet(tmp)
+        ChCommands.swapInPlace(spark, tmp, info.path)
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          out.schema.fields.filterNot(f => partCols.contains(f.name)))
+        // the external catalog applies the new shape directly —
+        // SessionCatalog's wrapper refuses drops/renames, which are
+        // exactly what this command just materialized on disk
+        val db = ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+        spark.sharedState.externalCatalog.alterTableDataSchema(db, ident.table, dataSchema)
+        ChCommands.resync(spark, table, info.partCols.nonEmpty)
+        Seq(Row(out.schema.length.toLong))
+    }
+  }
+}
+
 /** `ALTER TABLE t DELETE WHERE pred` / `ALTER TABLE t UPDATE a = e, …
   * WHERE pred`. Predicate and assignment RHS are SQL text resolved at
   * run time against the table (so the full registered CH function

@@ -577,6 +577,77 @@ object ChSqlParser {
     * partition-pruned copy-on-write path) — see interceptCommand. */
   private val AlterMutationFull =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\s+(.*?)\s*;?\s*$""".r
+  private val AlterColumnStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(.*?)\s*;?\s*$""".r
+
+  /** One `ALTER TABLE … {ADD|DROP|RENAME|MODIFY} COLUMN` clause →
+    * [[ChColumnOp]]. ClickHouse's comma-chained multi-op ALTER is
+    * refused (one op per statement keeps the swap atomic per op). */
+  private def parseColumnOp(kind: String, rest0: String): ChColumnOp = {
+    if (splitTopLevel(rest0).length > 1) throw new UnsupportedOperationException(
+      "one column operation per ALTER TABLE statement here — issue them sequentially")
+    val rest = rest0.trim
+    def stripIf(re: String, s: String): (Boolean, String) = {
+      val m = ("(?is)^" + re + "\\s+").r
+      m.findFirstIn(s) match {
+        case Some(x) => (true, s.substring(x.length).trim)
+        case None => (false, s)
+      }
+    }
+    kind.toUpperCase match {
+      case "ADD" =>
+        val (ifNot, r1) = stripIf("IF\\s+NOT\\s+EXISTS", rest)
+        val nm = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.*)$""".r.findFirstMatchIn(r1).getOrElse(
+          throw new IllegalArgumentException(s"ADD COLUMN: cannot parse '$r1' (need name Type)"))
+        val name = nm.group(1).stripPrefix("`").stripSuffix("`")
+        var spec = nm.group(2).trim
+        // position clause first (end-anchored), then DEFAULT split
+        var first = false
+        var after: Option[String] = None
+        """(?is)\s+FIRST\s*$""".r.findFirstIn(spec).foreach { x =>
+          first = true; spec = spec.substring(0, spec.length - x.length).trim
+        }
+        """(?is)\s+AFTER\s+(`[^`]+`|[A-Za-z_]\w*)\s*$""".r.findFirstMatchIn(spec).foreach { m =>
+          after = Some(m.group(1).stripPrefix("`").stripSuffix("`"))
+          spec = spec.substring(0, m.start).trim
+        }
+        for (kw <- Seq("MATERIALIZED", "EPHEMERAL", "ALIAS", "CODEC", "TTL", "COMMENT"))
+          if (("(?is)\\b" + kw + "\\b").r.findFirstIn(spec).isDefined)
+            throw new UnsupportedOperationException(
+              s"ADD COLUMN … $kw has no storage analog here; use a plain column (+ DEFAULT)")
+        val (chType, default) =
+          """(?is)\s+DEFAULT\s+""".r.findFirstMatchIn(spec) match {
+            case Some(m) => (spec.substring(0, m.start).trim,
+                             Some(spec.substring(m.end).trim))
+            case None => (spec, None)
+          }
+        if (chType.isEmpty) throw new IllegalArgumentException(
+          "ADD COLUMN needs an explicit type (CH infers from DEFAULT; spell the type here)")
+        ChColumnOp.Add(name, chType, default, first, after, ifNot)
+      case "DROP" =>
+        val (ifEx, r1) = stripIf("IF\\s+EXISTS", rest)
+        ChColumnOp.Drop(r1.stripPrefix("`").stripSuffix("`"), ifEx)
+      case "RENAME" =>
+        val (ifEx, r1) = stripIf("IF\\s+EXISTS", rest)
+        val m = """(?is)^(`[^`]+`|[A-Za-z_]\w*)\s+TO\s+(`[^`]+`|[A-Za-z_]\w*)\s*$""".r
+          .findFirstMatchIn(r1).getOrElse(throw new IllegalArgumentException(
+            s"RENAME COLUMN: cannot parse '$r1' (need old TO new)"))
+        ChColumnOp.Rename(m.group(1).stripPrefix("`").stripSuffix("`"),
+          m.group(2).stripPrefix("`").stripSuffix("`"), ifEx)
+      case "MODIFY" =>
+        val (ifEx, r1) = stripIf("IF\\s+EXISTS", rest)
+        val m = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.*)$""".r.findFirstMatchIn(r1).getOrElse(
+          throw new IllegalArgumentException(
+            s"MODIFY COLUMN: cannot parse '$r1' (need name NewType)"))
+        val spec = m.group(2).trim
+        if ("""(?is)^(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT|REMOVE)\b""".r
+              .findFirstIn(spec).isDefined)
+          throw new UnsupportedOperationException(
+            "MODIFY COLUMN here changes the TYPE only (name NewType); column attributes " +
+              "(DEFAULT/CODEC/TTL/…) have no storage analog")
+        ChColumnOp.Modify(m.group(1).stripPrefix("`").stripSuffix("`"), spec, ifEx)
+    }
+  }
   private val OptimizeStmt =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+([A-Za-z_][\w.]*)\s*(.*?)\s*;?\s*$""".r
 
@@ -585,6 +656,8 @@ object ChSqlParser {
     * the REWRITTEN text, so SETTINGS/FORMAT tails are already
     * stripped and CH literal forms already translated. */
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case AlterColumnStmt(table, kind, rest) =>
+      Some(ChAlterColumnCommand(table, parseColumnOp(kind, rest)))
     case AlterMutationFull(table, kind, rest) =>
       if ("""(?i)\bIN\s+PARTITION\b""".r.findFirstIn(rest).isDefined)
         throw new UnsupportedOperationException(
@@ -687,6 +760,9 @@ object ChSqlParser {
       s"CREATE TABLE $ine$name (${cols.mkString(", ")}) USING parquet$partitioned"
     case _ => sql
   }
+
+  /** [[chDdlType]] for the command layer (ChAlterColumnCommand). */
+  private[plans] def chDdlTypeOf(t: String): String = chDdlType(t)
 
   /** ClickHouse type text → Spark DDL type (recursive over the
     * container types). */

@@ -493,5 +493,39 @@ object Replication {
             GROUP BY user_id, event_type ORDER BY user_id, event_type"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101, q102)
+  /** ClickHouse schema-evolution DDL end to end in the gate: ADD
+    * COLUMN (CH type-default backfill AND a DEFAULT expression with
+    * AFTER positioning), RENAME, a mutation over the renamed column,
+    * MODIFY type, and a scratch-column DROP — five data rewrites
+    * through the crash-safe swap, then an aggregate the oracle
+    * replays declaratively. Bounded by key range like q100. */
+  val q103 = GraftQuery(
+    "q103_alter_column_sql",
+    (s, dir) => {
+      dropWithLocation(s, "gq103")
+      s.sql("""CREATE TABLE gq103 (id UInt64, total Float64, prio String)
+               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq103_src")
+      s.sql("""INSERT INTO gq103 SELECT o_orderkey, o_totalprice, o_orderpriority
+               FROM gq103_src WHERE o_orderkey < 8000""")
+      s.sql("ALTER TABLE gq103 ADD COLUMN flag UInt8") // backfills 0, not null
+      s.sql("ALTER TABLE gq103 ADD COLUMN half Float64 DEFAULT total / 2 AFTER total")
+      s.sql("ALTER TABLE gq103 ADD COLUMN scratch Nullable(String)")
+      s.sql("ALTER TABLE gq103 RENAME COLUMN flag TO is_big")
+      s.sql("ALTER TABLE gq103 UPDATE is_big = 1 WHERE total >= 100000")
+      s.sql("ALTER TABLE gq103 MODIFY COLUMN is_big UInt64")
+      s.sql("ALTER TABLE gq103 DROP COLUMN scratch")
+      s.sql("""SELECT prio, CAST(sum(is_big) AS BIGINT) AS n_big, count(*) AS cnt,
+                      round(sum(half), 2) AS half_total
+               FROM gq103 GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH base AS (SELECT o_totalprice AS total, o_orderpriority AS prio
+                          FROM orders WHERE o_orderkey < 8000)
+            SELECT prio,
+                   CAST(sum(CASE WHEN total >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+                   count(*) AS cnt, round(sum(total / 2), 2) AS half_total
+            FROM base GROUP BY prio ORDER BY prio"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101, q102, q103)
 }

@@ -284,6 +284,51 @@ class ChDdlSpec extends SparkSpec {
     assert(ep.getMessage.contains("inline the values"))
   }
 
+  test("ALTER TABLE ADD/DROP/RENAME/MODIFY COLUMN execute with CH default semantics") {
+    spark.sql("DROP TABLE IF EXISTS ddl_col")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    whFs.delete(new org.apache.hadoop.fs.Path(wh, "ddl_col"), true)
+    spark.sql("""CREATE TABLE ddl_col (id UInt64, v Float64, p String)
+                 ENGINE = MergeTree PARTITION BY p ORDER BY id""")
+    spark.range(4).selectExpr("id", "CAST(id AS DOUBLE) * 1.5 AS v",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p")
+      .createOrReplaceTempView("ddl_col_src")
+    spark.sql("INSERT INTO ddl_col SELECT id, v, p FROM ddl_col_src")
+
+    // ADD without DEFAULT backfills the CH type default (0, not null)
+    spark.sql("ALTER TABLE ddl_col ADD COLUMN cnt UInt32")
+    val afterAdd = spark.sql("SELECT id, cnt FROM ddl_col ORDER BY id").collect()
+    assert(afterAdd.forall(r => !r.isNullAt(1) && r.getLong(1) == 0L))
+    // ADD with DEFAULT expression referencing another column, AFTER pos
+    spark.sql("ALTER TABLE ddl_col ADD COLUMN v2 Float64 DEFAULT v * 2 AFTER v")
+    val cols = spark.table("ddl_col").schema.fieldNames.toSeq.filterNot(_ == "p")
+    assert(cols == Seq("id", "v", "v2", "cnt"), cols.toString)
+    assert(spark.sql("SELECT count(*) FROM ddl_col WHERE v2 = v * 2").head().getLong(0) == 4)
+    // Nullable ADD → nulls; IF NOT EXISTS no-op
+    spark.sql("ALTER TABLE ddl_col ADD COLUMN note Nullable(String)")
+    assert(spark.sql("SELECT count(*) FROM ddl_col WHERE note IS NULL").head().getLong(0) == 4)
+    spark.sql("ALTER TABLE ddl_col ADD COLUMN IF NOT EXISTS note Nullable(String)")
+    // RENAME + MODIFY (widen type) + DROP
+    spark.sql("ALTER TABLE ddl_col RENAME COLUMN cnt TO hits")
+    spark.sql("ALTER TABLE ddl_col MODIFY COLUMN hits UInt64")
+    assert(spark.table("ddl_col").schema("hits").dataType.simpleString == "bigint")
+    spark.sql("ALTER TABLE ddl_col DROP COLUMN note")
+    assert(!spark.table("ddl_col").schema.fieldNames.contains("note"))
+    // rows survived all five rewrites, partitioned layout intact
+    val r = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(hits) AS BIGINT) AS s FROM ddl_col").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 0)
+    assert(spark.sql("SELECT count(*) FROM ddl_col WHERE p = 'a'").head().getLong(0) == 2)
+    // partition column refuses; unknown column fails loudly
+    val e1 = intercept[Exception](spark.sql("ALTER TABLE ddl_col DROP COLUMN p"))
+    assert(e1.getMessage.contains("partition key"))
+    val e2 = intercept[Exception](spark.sql("ALTER TABLE ddl_col DROP COLUMN nope"))
+    assert(e2.getMessage.contains("no column"))
+    spark.sql("DROP TABLE IF EXISTS ddl_col")
+  }
+
   test("system.tables / system.columns / system.databases introspection") {
     spark.sql("DROP TABLE IF EXISTS sys_probe")
     try {
