@@ -203,6 +203,39 @@ case class ChAlterColumnCommand(table: String, op: ChColumnOp) extends LeafRunna
   }
 }
 
+/** `ALTER TABLE t DROP PARTITION 'v'` — the retention/rollback
+  * workhorse: the partition vanishes as a directory unit through
+  * [[graft.operators.Mutate.dropPartition]] (zero rows read). The
+  * literal is evaluated and cast to the partition column's type so
+  * `DROP PARTITION '1995'` and `DROP PARTITION 1995` both name the
+  * same directory. */
+case class ChDropPartitionCommand(table: String, valueSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partitions_dropped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(spark, table)
+    val p = info.partCols match {
+      case Seq(one) => one
+      case Seq() => throw new UnsupportedOperationException(
+        s"$table is unpartitioned — DROP PARTITION needs a partitioned layout (use TRUNCATE/DELETE)")
+      case many => throw new UnsupportedOperationException(
+        s"DROP PARTITION on a ${many.size}-level partitioned table: use graft.operators.Mutate")
+    }
+    val dt = spark.table(table).schema(p).dataType
+    val lit = spark.sessionState.sqlParser.parseExpression(valueSql)
+    if (!lit.foldable) throw new IllegalArgumentException(
+      s"DROP PARTITION takes a literal partition value, got: $valueSql")
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      lit, dt, Option(spark.sessionState.conf.sessionLocalTimeZone))
+    val external = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(cast.eval(null), dt)
+    graft.operators.Mutate.dropPartition(spark, info.path, p, external)
+    ChCommands.resync(spark, table, partitioned = true)
+    Seq(Row(1L))
+  }
+}
+
 /** `ALTER TABLE t DELETE WHERE pred` / `ALTER TABLE t UPDATE a = e, …
   * WHERE pred`. Predicate and assignment RHS are SQL text resolved at
   * run time against the table (so the full registered CH function

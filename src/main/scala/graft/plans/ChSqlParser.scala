@@ -579,6 +579,12 @@ object ChSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\s+(.*?)\s*;?\s*$""".r
   private val AlterColumnStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(.*?)\s*;?\s*$""".r
+  private val AlterDropPartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+PARTITION\s+(.*?)\s*;?\s*$""".r
+  private val AlterPartitionOther =
+    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(DETACH|ATTACH|FREEZE|MOVE|REPLACE|FETCH)\s+PART(ITION)?\b.*$""".r
+  private val AlterDropPart =
+    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+DROP\s+PART\s.*$""".r
 
   /** One `ALTER TABLE … {ADD|DROP|RENAME|MODIFY} COLUMN` clause →
     * [[ChColumnOp]]. ClickHouse's comma-chained multi-op ALTER is
@@ -656,6 +662,14 @@ object ChSqlParser {
     * the REWRITTEN text, so SETTINGS/FORMAT tails are already
     * stripped and CH literal forms already translated. */
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case AlterDropPart() => throw new UnsupportedOperationException(
+      "DROP PART names a physical part — this layout's unit is the partition; " +
+        "use DROP PARTITION 'value' or graft.sources.MergeTreeWrite.compact")
+    case AlterPartitionOther(verb, _) => throw new UnsupportedOperationException(
+      s"ALTER TABLE $verb PARTITION has no single-engine analog here; DROP PARTITION " +
+        "executes, and cross-table moves are a copy + DROP PARTITION")
+    case AlterDropPartition(table, value) =>
+      Some(ChDropPartitionCommand(table, value))
     case AlterColumnStmt(table, kind, rest) =>
       Some(ChAlterColumnCommand(table, parseColumnOp(kind, rest)))
     case AlterMutationFull(table, kind, rest) =>
@@ -737,6 +751,35 @@ object ChSqlParser {
       }
     }
 
+  /** ClickHouse CTAS: `CREATE TABLE t ENGINE = X [ORDER BY …]
+    * [PARTITION BY …] AS SELECT …` (no column list — the schema
+    * comes from the SELECT). Same clause treatment as the column-list
+    * form: bare-identifier PARTITION BY keys become PARTITIONED BY,
+    * physical-layout hints strip toward MergeTreeWrite. */
+  private val ChCreateTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+ENGINE\s*=\s*[A-Za-z]+(?:\([^)]*\))?\s*(.*?)\s*AS\s+(SELECT\b.*)$""".r
+
+  private def partitionedByClause(tail: String): String =
+    """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|\S+)""".r
+      .findFirstMatchIn(tail).map(_.group(1)) match {
+      case Some(p) =>
+        val keys = p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim)
+        if (keys.nonEmpty && keys.forall(_.matches("[A-Za-z_]\\w*")))
+          s" PARTITIONED BY (${keys.mkString(", ")})"
+        else ""
+      case None => ""
+    }
+
+  private def rewriteChCreateTableAs(sql: String): String = sql match {
+    case ChCreateTableAs(ifNot, name, tail, select) =>
+      if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
+        throw new UnsupportedOperationException(
+          "ENGINE = Kafka declares a streaming queue; drive it with graft.streaming.KafkaEngine")
+      val ine = if (ifNot == null) "" else "IF NOT EXISTS "
+      s"CREATE TABLE $ine$name USING parquet${partitionedByClause(tail)} AS $select"
+    case _ => sql
+  }
+
   private def rewriteChCreateTable(sql: String): String = sql match {
     case ChCreateTable(ifNot, name, colsRaw, tail) =>
       if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
@@ -745,17 +788,9 @@ object ChSqlParser {
             "graft.streaming.KafkaEngine.fromDdl (readStream source + MV chain — " +
             "file-directory stand-in locally, kafka connector format on a cluster)")
       val cols = chColumnsToSpark(colsRaw).map { case (n, t) => s"$n $t" }
-      val partitioned = """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|\S+)""".r
-        .findFirstMatchIn(tail).map(_.group(1)) match {
-        case Some(p) =>
-          val keys = p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim)
-          // only bare columns translate; expression keys (toYYYYMM…)
-          // need the MergeTreeWrite path and strip here
-          if (keys.nonEmpty && keys.forall(_.matches("[A-Za-z_]\\w*")))
-            s" PARTITIONED BY (${keys.mkString(", ")})"
-          else ""
-        case None => ""
-      }
+      // only bare columns translate; expression keys (toYYYYMM…)
+      // need the MergeTreeWrite path and strip here
+      val partitioned = partitionedByClause(tail)
       val ine = if (ifNot == null) "" else "IF NOT EXISTS "
       s"CREATE TABLE $ine$name (${cols.mkString(", ")}) USING parquet$partitioned"
     case _ => sql
@@ -1470,6 +1505,7 @@ object ChSqlParser {
     out = stripTrailingClause(out, IntoOutfile)
     out = stripTrailingClause(out, SettingsClause)
     out = rewriteChCreateTable(out)
+    out = rewriteChCreateTableAs(out)
     out = ChCreateMatView.replaceAllIn(out, m => {
       val ine = if (m.group(1) == null) "" else "IF NOT EXISTS "
       scala.util.matching.Regex.quoteReplacement(

@@ -329,6 +329,32 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ddl_col")
   }
 
+  test("CTAS with ENGINE clause and ALTER TABLE DROP PARTITION execute") {
+    for (t <- Seq("ddl_ctas", "ddl_dp")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+    // ClickHouse CTAS spelling: schema from the SELECT, layout hints strip
+    spark.sql("""CREATE TABLE ddl_ctas ENGINE = MergeTree ORDER BY id AS
+                 SELECT id, id % 3 AS bucket FROM range(30)""")
+    assert(spark.table("ddl_ctas").count() == 30)
+    // partitioned CTAS + DROP PARTITION (string literal cast to the key type)
+    spark.sql("""CREATE TABLE ddl_dp ENGINE = MergeTree PARTITION BY g ORDER BY id AS
+                 SELECT id, CAST(id % 3 AS BIGINT) AS g FROM range(30)""")
+    val r = spark.sql("ALTER TABLE ddl_dp DROP PARTITION '1'").head()
+    assert(r.getLong(0) == 1L)
+    val left = spark.sql("SELECT DISTINCT g FROM ddl_dp ORDER BY g").collect().map(_.getLong(0))
+    assert(left.toSeq == Seq(0L, 2L))
+    // missing partition fails loudly; DETACH refuses with guidance
+    intercept[Exception](spark.sql("ALTER TABLE ddl_dp DROP PARTITION '9'"))
+    val e = intercept[Exception](spark.sql("ALTER TABLE ddl_dp DETACH PARTITION '0'"))
+    assert(e.getMessage.contains("no single-engine analog"))
+    for (t <- Seq("ddl_ctas", "ddl_dp")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("system.tables / system.columns / system.databases introspection") {
     spark.sql("DROP TABLE IF EXISTS sys_probe")
     try {
