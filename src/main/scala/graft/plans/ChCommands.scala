@@ -203,6 +203,23 @@ case class ChAlterColumnCommand(table: String, op: ChColumnOp) extends LeafRunna
   }
 }
 
+/** `EXCHANGE TABLES a AND b` — the MV-repoint / blue-green swap. Three
+  * catalog renames; a crash mid-sequence leaves a well-named
+  * `__graft_exchange_tmp` table rather than data loss (ClickHouse's
+  * own EXCHANGE is atomic only on the Atomic database engine). */
+case class ChExchangeTablesCommand(a: String, b: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    for (t <- Seq(a, b)) if (!spark.catalog.tableExists(t))
+      throw new IllegalArgumentException(s"EXCHANGE TABLES: no table '$t'")
+    val tmp = "__graft_exchange_tmp"
+    spark.sql(s"ALTER TABLE $a RENAME TO $tmp")
+    spark.sql(s"ALTER TABLE $b RENAME TO $a")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $b")
+    Nil
+  }
+}
+
 /** `ALTER TABLE t DROP PARTITION 'v'` — the retention/rollback
   * workhorse: the partition vanishes as a directory unit through
   * [[graft.operators.Mutate.dropPartition]] (zero rows read). The

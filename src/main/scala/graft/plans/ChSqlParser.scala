@@ -585,6 +585,8 @@ object ChSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(DETACH|ATTACH|FREEZE|MOVE|REPLACE|FETCH)\s+PART(ITION)?\b.*$""".r
   private val AlterDropPart =
     """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+DROP\s+PART\s.*$""".r
+  private val ExchangeTablesStmt =
+    """(?is)^\s*EXCHANGE\s+TABLES\s+([\w.]+)\s+AND\s+([\w.]+)\s*;?\s*$""".r
 
   /** One `ALTER TABLE … {ADD|DROP|RENAME|MODIFY} COLUMN` clause →
     * [[ChColumnOp]]. ClickHouse's comma-chained multi-op ALTER is
@@ -670,6 +672,8 @@ object ChSqlParser {
         "executes, and cross-table moves are a copy + DROP PARTITION")
     case AlterDropPartition(table, value) =>
       Some(ChDropPartitionCommand(table, value))
+    case ExchangeTablesStmt(a, b) =>
+      Some(ChExchangeTablesCommand(a, b))
     case AlterColumnStmt(table, kind, rest) =>
       Some(ChAlterColumnCommand(table, parseColumnOp(kind, rest)))
     case AlterMutationFull(table, kind, rest) =>
@@ -1522,6 +1526,13 @@ object ChSqlParser {
       if (m.group(3) == ",") throw new UnsupportedOperationException(
         "RENAME TABLE with multiple pairs: issue one RENAME per pair")
       out = s"ALTER TABLE ${m.group(1)} RENAME TO ${m.group(2)}"
+    }
+    // EXISTS [TABLE] t → one-row 0/1 (parse-time catalog check, same
+    // snapshot discipline as system.tables)
+    """(?is)^\s*EXISTS\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r.findFirstMatchIn(out).foreach { m =>
+      val exists = org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(s => try s.catalog.tableExists(m.group(1)) catch { case _: Exception => false })
+      out = s"SELECT CAST(${if (exists) 1 else 0} AS TINYINT) AS result"
     }
     if ("""(?i)\bPASTE\s+JOIN\b""".r.findFirstIn(out).isDefined)
       throw new UnsupportedOperationException(

@@ -355,6 +355,31 @@ class ChDdlSpec extends SparkSpec {
     for (t <- Seq("ddl_ctas", "ddl_dp")) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("EXISTS TABLE and EXCHANGE TABLES") {
+    for (t <- Seq("ddl_ex_a", "ddl_ex_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+    assert(spark.sql("EXISTS TABLE ddl_ex_a").head().getByte(0) == 0)
+    spark.sql("CREATE TABLE ddl_ex_a ENGINE = MergeTree ORDER BY id AS SELECT id FROM range(3)")
+    spark.sql("CREATE TABLE ddl_ex_b ENGINE = MergeTree ORDER BY id AS SELECT id FROM range(7)")
+    assert(spark.sql("EXISTS ddl_ex_a").head().getByte(0) == 1)
+    spark.sql("EXCHANGE TABLES ddl_ex_a AND ddl_ex_b")
+    assert(spark.table("ddl_ex_a").count() == 7)
+    assert(spark.table("ddl_ex_b").count() == 3)
+    // EXPLAIN of an EXCHANGE must not execute it: it fails loudly at
+    // the delegate (commands intercept only as full statements) and
+    // the tables stay untouched — no parse-time side effects
+    intercept[Exception](spark.sql("EXPLAIN EXCHANGE TABLES ddl_ex_a AND ddl_ex_b").collect())
+    assert(spark.table("ddl_ex_a").count() == 7)
+    val e = intercept[Exception](spark.sql("EXCHANGE TABLES ddl_ex_a AND nope_t"))
+    assert(e.getMessage.contains("no table"))
+    for (t <- Seq("ddl_ex_a", "ddl_ex_b")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("system.tables / system.columns / system.databases introspection") {
     spark.sql("DROP TABLE IF EXISTS sys_probe")
     try {
