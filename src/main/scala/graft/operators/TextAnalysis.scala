@@ -289,6 +289,16 @@ object TextAnalysis {
       .withColumn("shard", shardOf(col("chunk")))
   }
 
+  /** BPE APPLY: tokenize `text` with the merge rules [[bpeTrain]]
+    * learned — the map-only hot path that runs on every document
+    * (see [[graft.plans.BpeFns]] for the per-JVM rank-table and
+    * word-memo design). Normalization and word-splitting match the
+    * trainer, so `bpeEncode(text, bpeTrain(corpus…)._1)` tokenizes
+    * exactly the symbols the training corpus produced. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode", normalize(text),
+      lit(merges.map { case (a, b) => s"$a $b" }.mkString("\n")))
+
   /** Byte-pair-encoding trainer (Sennrich et al. 2016, the standard
     * subword-tokenizer recipe): learns `numMerges` merge rules over
     * the corpus and returns them with the final symbol vocabulary.

@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PackIds(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_bpe_encode takes (text, mergesTable)")
+        BpeEncodeExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {

@@ -825,6 +825,33 @@ class DialectRound5Spec extends SparkSpec {
     assert(v.keySet.contains("n") && v.keySet.contains("w"))
   }
 
+  test("bpeEncode applies trained merges greedily by rank (and memoizes per word)") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+                Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (merges, _) = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+    // merges: (e,s) (es,t) (l,o) (lo,w) — so:
+    //   low → [low], lower → [low, e, r], newest → [n, e, w, est],
+    //   widest → [w, i, d, est]
+    val enc = docs.select(col("text"),
+        TextAnalysis.bpeEncode(col("text"), merges).as("toks"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc("low") == List("low"))
+    assert(enc("lower") == List("low", "e", "r"))
+    assert(enc("newest") == List("n", "e", "w", "est"))
+    assert(enc("widest") == List("w", "i", "d", "est"))
+    // multi-word text flattens in order; unknown symbols pass through
+    val free = docs.sparkSession.sql(
+      s"SELECT graft_bpe_encode('lowest zq', '${merges.map { case (a, b) => s"$a $b" }.mkString("\\n")}') AS t")
+      .head().getSeq[String](0).toList
+    assert(free == List("low", "est", "z", "q"))
+    // concatenating tokens reconstructs the input words exactly
+    assert(enc.forall { case (w, ts) => ts.mkString == w })
+  }
+
   test("bpeTrain merge batching equals the strictly-sequential result") {
     import graft.operators.TextAnalysis
     // corpus with enough pair-count structure to exercise both the
