@@ -40,6 +40,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental dedup — the corpus-building loop: a NEW batch
+    * arrives, anything whose fingerprint is already in the persisted
+    * `seen` store drops (the store always wins — its copy shipped in
+    * an earlier training mix), then the batch dedups within itself.
+    * Two shuffle-free-on-payload steps: the store side carries ONLY
+    * fingerprints (a left-anti join a 100 TB store serves from a
+    * bucketed/broadcast layout), and the within-batch pass is the
+    * standard min-id window on the batch alone. The survivors' (fp)
+    * projection is exactly what gets appended back to the store —
+    * the loop closes without ever rereading old payloads. */
+  def incrementalExact(newBatch: DataFrame, idCol: String, fpCol: String,
+                       seenFps: DataFrame): DataFrame = {
+    val seen = seenFps.select(col(fpCol))
+    dropExactDuplicates(
+      newBatch.join(seen, Seq(fpCol), "left_anti"), idCol, fpCol)
+  }
+
   /** Distinct (doc, shingle) pairs from a normalized-text column:
     * word `n`-gram shingles (n = 1 degenerates to the token set).
     * Documents shorter than `n` words contribute their whole text as

@@ -38,6 +38,32 @@ object DataPipeline {
              FROM documents GROUP BY 1 ORDER BY fp"""),
   )
 
+  /** Incremental dedup — the corpus-building loop: docs with
+    * doc_id < 300 play the persisted fingerprint store ("already in
+    * an earlier training mix"), the rest arrive as the new batch;
+    * store-seen fingerprints drop via left-anti, then the batch
+    * dedups within itself (min-id). The store side carries only
+    * fingerprints — the 100 TB shape where old payloads are never
+    * reread. */
+  val q40b = GraftQuery(
+    "q40b_incremental_dedup",
+    (s, dir) => {
+      val docs = docsNorm(Tables(s, dir))
+        .withColumn("fp", md5(col("norm").cast("binary")))
+      val seen = docs.where(col("doc_id") < 300).select("fp").distinct()
+      Dedup.incrementalExact(docs.where(col("doc_id") >= 300), "doc_id", "fp", seen)
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+                  seen AS (SELECT DISTINCT fp FROM f WHERE doc_id < 300),
+                  batch AS (SELECT * FROM f WHERE doc_id >= 300
+                            AND fp NOT IN (SELECT fp FROM seen))
+             SELECT doc_id, fp FROM batch
+             WHERE doc_id = (SELECT min(b2.doc_id) FROM batch b2 WHERE b2.fp = batch.fp)
+             ORDER BY doc_id"""),
+  )
+
   /** Exact 3-gram-shingle Jaccard near-dup pairs on a fixed 300-doc
     * slice (the exact-pairwise anchor; q42 is the at-scale path). */
   val q41 = GraftQuery(
@@ -800,6 +826,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
         q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q68, q69, q90b)
 }
