@@ -1628,6 +1628,21 @@ object ChSqlParser {
            |  FROM ($prefix)
            |) WHERE gr_rk__ <= $n ORDER BY $ord""".stripMargin)
     })
+    // `SELECT DISTINCT ON (k) … ORDER BY ord` — the Postgres idiom CH
+    // accepts as sugar for `LIMIT 1 BY k` (per CH docs they are the
+    // same operation): reshape to that spelling and let the LIMIT BY
+    // window wrap below do the work. Without a trailing ORDER BY the
+    // surviving row per key would be arbitrary — refuse loudly.
+    out = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+(.*\S)\s+ORDER\s+BY\s+([^()]+?)(\s+LIMIT\s+\d+)?\s*;?\s*$""".r
+      .replaceAllIn(out, m => {
+        val lim = Option(m.group(4)).getOrElse("")
+        scala.util.matching.Regex.quoteReplacement(
+          s"SELECT ${m.group(2)} ORDER BY ${m.group(3)} LIMIT 1 BY ${m.group(1)}$lim")
+      })
+    if ("""(?is)^\s*SELECT\s+DISTINCT\s+ON\b""".r.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "DISTINCT ON needs a trailing parenthesis-free ORDER BY to define which row " +
+          "survives per key (it rewrites to LIMIT 1 BY)")
     out = LimitBy.replaceAllIn(out, m => {
       val (prefix, ord, n, cols) = (m.group(1), m.group(2), m.group(4), m.group(6))
       // both per-group offset spellings: `LIMIT off, n BY` and

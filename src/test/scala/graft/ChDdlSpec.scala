@@ -355,6 +355,22 @@ class ChDdlSpec extends SparkSpec {
     for (t <- Seq("ddl_ctas", "ddl_dp")) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("SELECT DISTINCT ON rewrites to LIMIT 1 BY semantics") {
+    spark.range(12).selectExpr("id", "id % 3 AS k", "id % 4 AS v")
+      .createOrReplaceTempView("don_t")
+    // first row per k ordered by v desc, id — deterministic winner
+    val r = spark.sql(
+      "SELECT DISTINCT ON (k) k, id, v FROM don_t ORDER BY v DESC, id")
+      .orderBy("k").collect()
+    assert(r.length == 3)
+    // per k the winner has the max v (ties by min id): k=0 → id 3 (v=3),
+    // k=1 → id 7 (v=3), k=2 → id 11 (v=3)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 3L), (1L, 7L), (2L, 11L)))
+    val e = intercept[Exception](
+      spark.sql("SELECT DISTINCT ON (k) k, v FROM don_t"))
+    assert(e.getMessage.contains("DISTINCT ON"))
+  }
+
   test("EXISTS TABLE and EXCHANGE TABLES") {
     for (t <- Seq("ddl_ex_a", "ddl_ex_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
