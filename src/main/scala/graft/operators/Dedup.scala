@@ -115,7 +115,7 @@ object Dedup {
   def minHashLshPairs(
       df: DataFrame, idCol: String, normCol: String,
       numHashes: Int = 64, bands: Int = 8, minEstJaccard: Double = 0.7,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // the whole signature is ONE map-side expression per document
@@ -128,8 +128,17 @@ object Dedup {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+    val buckets0 = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    // whale-bucket cap (same discipline as lshAnnPairs/ngram
+    // maxPostings): a mass-duplicated document — web boilerplate,
+    // license pages — puts every copy in one band bucket and the
+    // self-join goes quadratic. Lowest ids win deterministically;
+    // run EXACT dedup first so verbatim copies never reach here.
+    val buckets = buckets0
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col(idCol))))
+      .where(col("__rn") <= maxBucket).drop("__rn")
     val cand = buckets.toDF("id_a", "band", "bh")
       .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
@@ -187,17 +196,23 @@ object Dedup {
     * hamming distance 3 must agree on at least one of 4 chunks). */
   def simHashPairs(
       df: DataFrame, idCol: String, normCol: String,
-      maxHamming: Int = 3, ngram: Int = 3): DataFrame = {
+      maxHamming: Int = 3, ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
     // one map-side expression per document ([[graft.plans.SimHash64]]):
     // majority vote over shingle-hash bits computed in a tight loop,
     // replacing the explode + 64-aggregate-buffer shuffle
     val hashed = df.select(col(idCol),
         call_function("graft_simhash64", col(normCol), lit(ngram)).as("simhash"))
       .where(col("simhash").isNotNull)
-    val chunks = hashed.select(col(idCol), col("simhash"),
+    val chunks0 = hashed.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    // same whale-bucket cap as minHashLshPairs: identical simhashes
+    // collapse to one (chunk, value) bucket per chunk
+    val chunks = chunks0
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("c"), col("v")).orderBy(col(idCol))))
+      .where(col("__rn") <= maxBucket).drop("__rn")
     val l = chunks.toDF("id_a", "sim_a", "c", "v")
     val r = chunks.toDF("id_b", "sim_b", "c", "v")
     l.join(r, Seq("c", "v")).where(col("id_a") < col("id_b"))

@@ -133,6 +133,25 @@ class OperatorsSpec extends SparkSpec {
     assert(normal.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("minHashLshPairs and simHashPairs whale-bucket caps bound duplicate floods") {
+    import graft.operators.Dedup
+    // 200 verbatim copies (identical signatures → one bucket per
+    // band/chunk) + one distinct doc; capped at 10 → at most
+    // 10·9/2 = 45 pairs, lowest ids, instead of ~19,900
+    val flood = ((0L until 200L).map(i => (i, "the quick brown fox jumps over the lazy dog")) :+
+      (999L, "completely different content about databases and engines"))
+      .toDF("doc_id", "text")
+      .withColumn("norm", graft.operators.TextAnalysis.normalize(col("text")))
+    val mh = Dedup.minHashLshPairs(flood, "doc_id", "norm",
+      numHashes = 16, bands = 4, minEstJaccard = 0.5, maxBucket = 10).collect()
+    assert(mh.length == 45, s"minhash pairs ${mh.length}")
+    assert(mh.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+    val sh = Dedup.simHashPairs(flood, "doc_id", "norm",
+      maxHamming = 3, maxBucket = 10).collect()
+    assert(sh.length == 45, s"simhash pairs ${sh.length}")
+    assert(sh.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+  }
+
   test("Similarity IVF finds the planted near-duplicate with a partial scan") {
     val rnd = new scala.util.Random(99L)
     val base = Seq.tabulate(200) { i =>
