@@ -57,6 +57,52 @@ object Dedup {
       newBatch.join(seen, Seq(fpCol), "left_anti"), idCol, fpCol)
   }
 
+  /** Exact-substring (token-window) dedup, the span-level pass from
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., ACL 2022): any `w`-token window whose text appears
+    * verbatim at more than one (doc, pos) occurrence marks its covered
+    * tokens for removal at every occurrence EXCEPT the canonical one
+    * (min (doc_id, pos) — the copy that survives). Returns one row per
+    * affected document: `doc_id, dup_windows, covered_tokens,
+    * n_tokens` (covered = union length of the removable spans, via
+    * sorted-starts + lead — fixed-width windows make the interval
+    * union a single window function, no per-position explode).
+    *
+    * Scale shape: the corpus-wide shuffle key is `xxhash64(window)` —
+    * 8 bytes, not the w-token string (the paper's pipelines do the
+    * same; a 64-bit collision merging two distinct windows is ~n²/2⁶⁵
+    * and only ever over-flags). One shuffle on the window hash (the
+    * count+canon pass is a whole-partition window over that key, so a
+    * boilerplate window repeated 10⁶ times costs a linear sorted
+    * partition, never a pair blow-up), one shuffle on doc_id for the
+    * span union. Canonical-occurrence encoding `doc_id*1e6+pos` bounds
+    * docs at 10⁶ tokens — raise the multiplier for longer inputs. */
+  def substringDedupStats(df: DataFrame, idCol: String, normCol: String, w: Int): DataFrame = {
+    require(w >= 2, "window width under 2 degenerates to token counting")
+    val base = df.select(col(idCol).cast("long").as("doc_id"), split(col(normCol), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")))
+    val wins = base.where(col("n_tokens") >= w)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - w),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(w))))).as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(col("win")).as("h"))
+    val occ = col("doc_id") * 1000000L + col("pos")
+    val byHash = Window.partitionBy(col("h"))
+    val removable = wins
+      .withColumn("cnt", count(lit(1)).over(byHash))
+      .withColumn("canon", min(occ).over(byHash))
+      .where(col("cnt") >= 2 && occ =!= col("canon"))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = removable
+      .withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(when(col("nxt").isNull || col("nxt") - col("pos") >= w, w)
+          .otherwise(col("nxt") - col("pos"))).as("covered_tokens"))
+    cov.join(base.select("doc_id", "n_tokens"), Seq("doc_id"))
+  }
+
   /** Distinct (doc, shingle) pairs from a normalized-text column:
     * word `n`-gram shingles (n = 1 degenerates to the token set).
     * Documents shorter than `n` words contribute their whole text as

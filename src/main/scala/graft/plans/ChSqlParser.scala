@@ -520,9 +520,107 @@ object ChSqlParser {
         s"FROM (SELECT ${cols.mkString(", ")} FROM range(0))")
     })
 
-  /** Cluster-fabric table functions have no single-session analog. */
-  private val ClusterTableFn =
-    """(?i)\bFROM\s+(remote|remoteSecure|cluster|clusterAllReplicas|merge)\s*\(""".r
+  /** remote()/remoteSecure() address a DIFFERENT server — that needs
+    * network egress to a live ClickHouse, which this engine does not
+    * model. cluster()/merge() below DO have single-session analogs. */
+  private val RemoteTableFn =
+    """(?i)\bFROM\s+(remote|remoteSecure)\s*\(""".r
+
+  /** `merge(['db',] 'tables_regexp')` — CH's Merge-engine table
+    * function (reference corpus uses it to read sharded-by-name table
+    * families): every catalog table whose NAME matches the regexp
+    * (re2 partial match in CH; java `find()` here), expanded at parse
+    * time into one ordinary UNION ALL so Catalyst plans it like any
+    * union — per-branch filter/column pushdown still applies. The CH
+    * virtual column `_table` materializes only when the query text
+    * references it, matching CH's lazy virtual-column semantics. */
+  private val MergeTableFn =
+    """(?i)\bFROM\s+merge\s*\(\s*((?:[^()']|\([^()]*\)|'[^']*')*)\)""".r
+
+  /** `cluster('name', db.table)` / `clusterAllReplicas(...)` — in CH
+    * these fan a query out over every shard/replica of a cluster. In
+    * Spark, distribution IS the execution model: the table already
+    * spans all executors, so reading it directly is the exact
+    * semantic equivalent of "run on every shard and union". */
+  private val ClusterFn =
+    """(?i)\bFROM\s+(cluster|clusterAllReplicas)\s*\(\s*((?:[^()']|\([^()]*\)|'[^']*')*)\)""".r
+
+  private val TableVirtualColRef = """(?i)\b_table\b""".r
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') || (t.head == '`' && t.last == '`')))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Databases that mean "this session" — everything else would be a
+    * different ClickHouse server's namespace. */
+  private def requireLocalDb(db: String, fn: String): Unit = {
+    val d = db.trim
+    if (!(d.isEmpty || d.equalsIgnoreCase("default") || d.equalsIgnoreCase("currentDatabase()")))
+      throw new UnsupportedOperationException(
+        s"$fn(): database '$d' is not this session's catalog; only default/currentDatabase() " +
+          "tables exist here — land the remote table locally first")
+  }
+
+  private def rewriteMergeTableFn(sql: String): String =
+    MergeTableFn.replaceAllIn(sql, m => {
+      if (insideStringLiteral(sql, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val args = topLevelSplit(m.group(1)).map(_.trim).filter(_.nonEmpty)
+        val rx = args match {
+          case Seq(one) => stripQuotes(one)
+          case Seq(db, r) => requireLocalDb(stripQuotes(db), "merge"); stripQuotes(r)
+          case _ => throw new IllegalArgumentException(
+            "merge() takes ('tables_regexp') or (db, 'tables_regexp')")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val pat = java.util.regex.Pattern.compile(rx)
+        val names = spark.catalog.listTables().collect().map(_.name)
+          .filter(n => pat.matcher(n).find()).sorted.toSeq
+        if (names.isEmpty) throw new IllegalArgumentException(
+          s"merge(): no catalog table name matches '$rx'")
+        // CH's Merge engine takes the structure of the first table; a
+        // positional UNION ALL over drifted schemas would silently
+        // mis-bind columns, so require name-identical layouts upfront.
+        val colNames = names.map(n => n -> spark.table(n).schema.fieldNames.toSeq)
+        colNames.find(_._2 != colNames.head._2).foreach { case (n, cols) =>
+          throw new UnsupportedOperationException(
+            s"merge(): table '$n' columns ${cols.mkString("(", ", ", ")")} differ from " +
+              s"'${colNames.head._1}' ${colNames.head._2.mkString("(", ", ", ")")}; align the " +
+              "schemas or UNION the aligned projections explicitly")
+        }
+        val wantTable = TableVirtualColRef.findFirstIn(sql).isDefined
+        val branches = names.map { n =>
+          if (wantTable) s"SELECT *, '$n' AS _table FROM $n" else s"SELECT * FROM $n"
+        }
+        scala.util.matching.Regex.quoteReplacement(
+          s"FROM (${branches.mkString(" UNION ALL ")})")
+      }
+    })
+
+  private def rewriteClusterFn(sql: String): String =
+    ClusterFn.replaceAllIn(sql, m => {
+      if (insideStringLiteral(sql, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val fn = m.group(1)
+        val args = topLevelSplit(m.group(2)).map(a => stripQuotes(a).trim).filter(_.nonEmpty)
+        if (args.size < 2) throw new IllegalArgumentException(
+          s"$fn() takes ('cluster', db.table) or ('cluster', db, table)")
+        val table = args.drop(1) match {
+          case Seq(dbTable) =>
+            val parts = dbTable.split("\\.", 2)
+            if (parts.length == 2) { requireLocalDb(parts(0), fn); parts(1) } else dbTable
+          case Seq(db, t) => requireLocalDb(db, fn); t
+          case _ => throw new IllegalArgumentException(
+            s"$fn(): too many arguments — table functions as the target are not modeled")
+        }
+        scala.util.matching.Regex.quoteReplacement(s"FROM $table")
+      }
+    })
 
   /** `INSERT INTO [FUNCTION] file('p', 'Fmt') SELECT …` — the write
     * side of the table function → INSERT OVERWRITE DIRECTORY. */
@@ -1569,11 +1667,14 @@ object ChSqlParser {
     out = BareCount.replaceAllIn(out, "count(*)")
     out = rewriteGenerateRandom(out)
     out = rewriteNullTableFn(out)
-    ClusterTableFn.findFirstMatchIn(out).foreach { m =>
-      throw new UnsupportedOperationException(
-        s"${m.group(1)}() addresses a ClickHouse cluster; Spark's distribution is the " +
-          "cluster here — read the table directly (merge(): UNION ALL the members)")
+    RemoteTableFn.findFirstMatchIn(out).foreach { m =>
+      if (!insideStringLiteral(out, m.start))
+        throw new UnsupportedOperationException(
+          s"${m.group(1)}() addresses a different ClickHouse server and needs live egress; " +
+            "land the remote table locally (file()/s3()/url()) and read it directly")
     }
+    out = rewriteMergeTableFn(out)
+    out = rewriteClusterFn(out)
     out = rewriteInsertFileFn(out)
     FileTableFnLong.findFirstMatchIn(out).foreach { m =>
       throw new UnsupportedOperationException(

@@ -1954,6 +1954,47 @@ object ChFunctions {
             ORDER BY prio, rn"""),
   )
 
+  /** Cluster-fabric table functions with a real single-session
+    * analog (reference: scanner-modeled CH surface; CH docs
+    * `merge`/`cluster`): `merge('regexp')` expands at parse time into
+    * a UNION ALL over every catalog table whose name matches —
+    * Catalyst pushes filters/pruning into each branch, and the
+    * `_table` virtual column materializes only when referenced,
+    * matching CH's lazy virtual columns. `cluster('name', t)` reads
+    * the table directly: in Spark the distribution IS the cluster,
+    * so "run on every shard and union" is just the scan. Scale shape:
+    * merge() is metadata-only expansion — N branch scans, no extra
+    * shuffle beyond the aggregation the query asked for. */
+  val q29o = GraftQuery(
+    "q29o_merge_cluster",
+    (s, dir) => {
+      val orders = Tables(s, dir).orders
+      orders.filter("o_orderkey % 2 = 0").createOrReplaceTempView("shard_orders_even")
+      orders.filter("o_orderkey % 2 = 1").createOrReplaceTempView("shard_orders_odd")
+      s.sql("""SELECT _table, count() AS cnt, round(sum(o_totalprice), 2) AS total
+               FROM merge('^shard_orders_')
+               GROUP BY _table
+               UNION ALL
+               SELECT 'cluster_all' AS _table, count() AS cnt,
+                      round(sum(o_totalprice), 2) AS total
+               FROM cluster('default', shard_orders_even)
+               ORDER BY _table""")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'shard_orders_even' AS _table, count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT 'shard_orders_odd' AS _table, count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders WHERE o_orderkey % 2 = 1
+              UNION ALL
+              SELECT 'cluster_all' AS _table, count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders WHERE o_orderkey % 2 = 0
+            ) u ORDER BY _table"""),
+  )
+
   /** Hierarchical dictionary walkers `dictGetHierarchy` / `dictIsIn`
     * over a synthetic binary-tree hierarchy on nation keys
     * (parent(k) = (k−1)/2, root 0): the closure table
@@ -2143,5 +2184,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q38, q38b, q38c, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q38, q38b, q38c, q21b)
 }

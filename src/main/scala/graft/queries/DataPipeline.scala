@@ -155,6 +155,40 @@ object DataPipeline {
              FROM reach GROUP BY 1 ORDER BY doc_id"""),
   )
 
+  /** Exact-substring span dedup (Lee et al., ACL 2022): every 8-token
+    * window appearing verbatim at >1 occurrence marks its span for
+    * removal everywhere but the canonical (min doc, min pos) copy;
+    * per-doc output = removable-window count + interval-union covered
+    * tokens vs total. Spark shuffles the 8-byte xxhash64 of each
+    * window, never the window text ([[Dedup.substringDedupStats]]);
+    * the oracle replays the same partition groups keyed by the window
+    * STRING — identical groups absent a 64-bit collision. */
+  val q46 = GraftQuery(
+    "q46_substring_dedup",
+    (s, dir) => Dedup.substringDedupStats(docsNorm(Tables(s, dir)), "doc_id", "norm", w = 8)
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+                  wins AS (SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS win
+                           FROM toks, LATERAL unnest(range(1, len(t) - 6)) AS u(i)),
+                  marked AS (SELECT doc_id, pos,
+                                    count(*) OVER (PARTITION BY win) AS cnt,
+                                    min(doc_id * 1000000 + pos) OVER (PARTITION BY win) AS canon
+                             FROM wins),
+                  removable AS (SELECT doc_id, pos FROM marked
+                                WHERE cnt >= 2 AND doc_id * 1000000 + pos <> canon),
+                  spans AS (SELECT doc_id, pos,
+                                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                            FROM removable),
+                  cov AS (SELECT doc_id, count(*) AS dup_windows,
+                                 CAST(sum(CASE WHEN nxt IS NULL OR nxt - pos >= 8
+                                               THEN 8 ELSE nxt - pos END) AS BIGINT)
+                                   AS covered_tokens
+                          FROM spans GROUP BY doc_id)
+             SELECT c.doc_id, c.dup_windows, c.covered_tokens, len(t.t) AS n_tokens
+             FROM cov c JOIN toks t USING (doc_id)
+             ORDER BY c.doc_id"""),
+  )
+
   /** Embedding-cosine near-dup pairs above 0.4 — the exact-pairwise
     * anchor, deliberately bounded to a fixed 1000-vector slice (same
     * convention as q41's 300-doc slice) so the O(n²) broadcast-cross
@@ -826,6 +860,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q40b, q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q43, q44, q45, q46, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
         q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q68, q69, q90b)
 }

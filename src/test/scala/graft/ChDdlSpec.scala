@@ -513,15 +513,52 @@ class ChDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("LIMIT"))
   }
 
-  test("null() structure tables and cluster-fabric refusals") {
+  test("null() structure tables and remote() refusal") {
     val df = spark.sql("SELECT * FROM null('a UInt64, s String')")
     assert(df.count() == 0L)
     assert(df.schema("a").dataType.sql == "BIGINT" && df.schema("s").dataType.sql == "STRING")
     val e = intercept[Exception](
       spark.sql("SELECT * FROM remote('host:9000', 'db.t')"))
-    assert(e.getMessage.contains("cluster"))
+    assert(e.getMessage.contains("egress"))
     val e2 = intercept[Exception](
-      spark.sql("SELECT * FROM merge('db', '^events')"))
-    assert(e2.getMessage.contains("UNION ALL"))
+      spark.sql("SELECT * FROM merge('otherdb', '^events')"))
+    assert(e2.getMessage.contains("catalog"))
+  }
+
+  test("merge() unions name-matched catalog tables; _table only when referenced") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("mrg_t1")
+    Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("mrg_t2")
+    // no _table reference -> plain union, SELECT * keeps the base schema
+    val plain = spark.sql("SELECT * FROM merge('^mrg_t[0-9]$') ORDER BY id")
+    assert(plain.columns.toSeq == Seq("id", "v"))
+    assert(plain.count() == 3L)
+    // _table referenced -> virtual column materializes per branch
+    val tagged = spark.sql(
+      "SELECT _table, count() AS c FROM merge('default', '^mrg_t') GROUP BY _table ORDER BY _table")
+    assert(tagged.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("mrg_t1", 2L), ("mrg_t2", 1L)))
+    // no match -> clear error
+    val none = intercept[Exception](spark.sql("SELECT * FROM merge('^no_such_prefix')"))
+    assert(none.getMessage.contains("no catalog table"))
+    // drifted schemas refuse instead of positional mis-binding
+    Seq((1L, 2L)).toDF("id", "other").createOrReplaceTempView("mrg_t3")
+    val drift = intercept[Exception](spark.sql("SELECT * FROM merge('^mrg_t')"))
+    assert(drift.getMessage.contains("differ"))
+    // merge() inside a string literal is data, not syntax
+    val lit = spark.sql("SELECT 'FROM merge(''^mrg_t'')' AS s").collect()(0).getString(0)
+    assert(lit.contains("merge"))
+  }
+
+  test("cluster()/clusterAllReplicas() read the table directly") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x").createOrReplaceTempView("clu_t")
+    val a = spark.sql("SELECT sum(k) AS s FROM cluster('default', clu_t)").collect()(0).getLong(0)
+    val b = spark.sql(
+      "SELECT sum(k) AS s FROM clusterAllReplicas('default', default.clu_t)").collect()(0).getLong(0)
+    assert(a == 3L && b == 3L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM cluster('default', otherdb.t)"))
+    assert(e.getMessage.contains("catalog"))
   }
 }

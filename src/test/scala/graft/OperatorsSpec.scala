@@ -416,4 +416,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getSeq[Int](0) == Seq(0, 0, 1, 2, 2, 3, 4))
     assert(r.getSeq[Int](1).isEmpty)
   }
+
+  test("Dedup.substringDedupStats: canonical copy survives, span union merges overlaps") {
+    import spark.implicits._
+    // doc 1 is canonical for the shared run; doc 2 repeats it verbatim inside
+    // other text; doc 3 is unrelated; doc 4 repeats it twice (overlapping
+    // removable windows must union, not double-count).
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens, w=4 -> 7 windows
+    val docs = Seq(
+      (1L, shared),
+      (2L, s"alpha beta $shared gamma delta"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+      (4L, s"$shared pad1 pad2 $shared"),
+    ).toDF("doc_id", "norm")
+    val out = graft.operators.Dedup.substringDedupStats(docs, "doc_id", "norm", w = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 1 canonical -> absent; doc 3 unrelated -> absent
+    assert(out.map(_._1).toSeq == Seq(2L, 4L))
+    val d2 = out(0)
+    // doc 2: the 7 shared windows are removable; they tile one 10-token span
+    assert(d2._2 == 7L && d2._3 == 10L && d2._4 == 14)
+    val d4 = out(1)
+    // doc 4: both copies removable (14 windows), two disjoint 10-token spans
+    assert(d4._2 == 14L && d4._3 == 20L && d4._4 == 22)
+  }
 }
