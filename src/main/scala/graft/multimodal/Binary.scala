@@ -143,6 +143,80 @@ object Binary {
     }
   }
 
+  /** Decoded-audio facts + whole-clip signal stats (one pass over the
+    * PCM frames — at 100 TB the stats ride along with the decode
+    * instead of a second pass over the payload bytes). */
+  final case class AudioInfo(channels: Int, sampleRate: Int, nSamples: Int,
+                             rms: Double, zeroCrossings: Long, ok: Boolean)
+
+  /** REAL audio decode on the JVM's built-in `javax.sound.sampled`
+    * codecs (WAV/AIFF/AU containers, PCM payloads — ship with the JDK,
+    * no new dependency; gate-checked end to end by
+    * `q80c_audio_decode`). Handles signed 16-bit PCM either
+    * endianness; other encodings (float, µ-law, 8/24-bit) surface
+    * their header facts with `ok = false` rather than guessing a
+    * sample interpretation. Junk/truncated bytes degrade to
+    * `ok = false`, never an exception. Compressed formats (MP3/OGG)
+    * have no stock-JVM codec — those fall back to [[StubDecoder]]
+    * plumbing until a codec-backed decoder drops in. */
+  object JavaSoundAudio extends Serializable {
+    def decode(payload: Array[Byte]): AudioInfo = {
+      if (payload == null || payload.isEmpty) return AudioInfo(0, 0, 0, 0.0, 0L, ok = false)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16)
+            return AudioInfo(f.getChannels, f.getSampleRate.toInt, 0, 0.0, 0L, ok = false)
+          val bytes = ais.readAllBytes()
+          val big = f.isBigEndian
+          val ch = math.max(1, f.getChannels)
+          val n = bytes.length / 2
+          var i = 0
+          var sumSq = 0.0
+          var zc = 0L
+          var prev = 0
+          while (i < n) {
+            val s =
+              if (big) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+              else ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            sumSq += s.toDouble * s
+            if (i > 0 && s.toLong * prev < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          AudioInfo(ch, f.getSampleRate.toInt, n / ch,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0, zc, ok = true)
+        } finally ais.close()
+      } catch { case _: Exception => AudioInfo(0, 0, 0, 0.0, 0L, ok = false) }
+    }
+  }
+
+  /** Audio decode stage: per-partition batched [[JavaSoundAudio]]
+    * application, appending an `audio_info` struct. Same contract as
+    * [[decodeStage]]: payloads never shuffle, bad rows degrade. */
+  def audioDecodeStage(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio_info",
+      StructType(Seq(
+        StructField("channels", IntegerType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_samples", IntegerType, nullable = false),
+        StructField("rms", DoubleType, nullable = false),
+        StructField("zero_crossings", LongType, nullable = false),
+        StructField("ok", BooleanType, nullable = false)))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val info = JavaSoundAudio.decode(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(info.channels, info.sampleRate, info.nSamples,
+          info.rms, info.zeroCrossings, info.ok))
+      }
+    }(enc)
+  }
+
   /** Cheap metadata over the payload — pure column expressions
     * (codegen'd): byte size, content md5, leading-bytes magic. */
   def withMeta(df: DataFrame, payloadCol: String): DataFrame =

@@ -460,6 +460,70 @@ object EventsAnalytics {
             AS t(id, width, height, frames, ok) ORDER BY id"""),
   )
 
+  /** REAL audio decode through the multimodal plumbing: deterministic
+    * synthetic 16-bit PCM WAVs (integer sample formula, so RMS and
+    * zero-crossings are EXACT cross-engine facts — every vᵢ² is an
+    * integer below 2⁵³, making the double sum order-independent),
+    * written by `javax.sound.sampled` and decoded back by
+    * [[Binary.JavaSoundAudio]]; one junk payload must degrade to
+    * ok = false, never throw. The oracle REPLAYS the sample formula
+    * over generate_series — it recomputes the same RMS/ZC from first
+    * principles rather than trusting literals. */
+  val q80c = GraftQuery(
+    "q80c_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      def wav(n: Int, rate: Int, a: Int, b: Int): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = ((i * a + b) % 4096) - 2048
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        1L -> wav(800, 16000, 2957, 123),
+        2L -> wav(1200, 8000, 1493, 777),
+        3L -> wav(64, 44100, 3331, 2048),
+        4L -> Array[Byte](9, 9, 9)) // not audio
+      Binary.audioDecodeStage(rows.toDF("id", "payload"), "payload")
+        .select($"id", $"audio_info.channels".as("channels"),
+          $"audio_info.sample_rate".as("sample_rate"),
+          $"audio_info.n_samples".as("n_samples"),
+          round($"audio_info.rms", 6).as("rms"),
+          $"audio_info.zero_crossings".as("zc"),
+          $"audio_info.ok".as("ok"))
+        .orderBy("id")
+    },
+    Some("""WITH p(id, n, rate, a, b) AS (VALUES (CAST(1 AS BIGINT), 800, 16000, 2957, 123),
+                                                 (2, 1200, 8000, 1493, 777),
+                                                 (3, 64, 44100, 3331, 2048)),
+                 s AS (SELECT id, n, rate, u.i AS i, ((u.i * a + b) % 4096) - 2048 AS v
+                       FROM p, LATERAL unnest(range(0, n)) AS u(i)),
+                 s2 AS (SELECT id, n, rate, i, v,
+                               lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+                        FROM s),
+                 agg AS (SELECT id, CAST(1 AS INT) AS channels, CAST(rate AS INT) AS sample_rate,
+                                CAST(n AS INT) AS n_samples,
+                                round(sqrt(sum(CAST(v AS DOUBLE) * v) / n) / 32768, 6) AS rms,
+                                CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v * pv < 0) AS BIGINT) AS zc,
+                                TRUE AS ok
+                         FROM s2 GROUP BY id, rate, n)
+            SELECT id, channels, sample_rate, n_samples, rms, zc, ok FROM agg
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), 0, 0, 0, 0.0, 0, FALSE
+            ORDER BY id"""),
+  )
+
   /** deltaSum analog: sum of POSITIVE deltas of consecutive values.
     * ClickHouse's deltaSum runs in block order (nondeterministic under
     * parallel merge — its own docs warn so); the engine makes the
@@ -554,5 +618,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c)
 }

@@ -108,4 +108,42 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out(3L) == false && out(1L) == true)
   }
+
+  private def pcmWav(samples: Array[Int], rate: Float, channels: Int,
+                     bigEndian: Boolean, fileType: javax.sound.sampled.AudioFileFormat.Type =
+                       javax.sound.sampled.AudioFileFormat.Type.WAVE): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, bigEndian)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      if (bigEndian) { bytes(2 * i) = ((v >> 8) & 0xff).toByte; bytes(2 * i + 1) = (v & 0xff).toByte }
+      else { bytes(2 * i) = (v & 0xff).toByte; bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  test("JavaSoundAudio: known samples round-trip exactly, both endiannesses") {
+    val samples = Array(1000, -1000, 2000, -2000, 0, 500)
+    // RMS from first principles over the exact integers
+    val rms = math.sqrt(samples.map(v => v.toDouble * v).sum / samples.length) / 32768.0
+    val le = Binary.JavaSoundAudio.decode(pcmWav(samples, 8000f, 1, bigEndian = false))
+    assert(le.ok && le.channels == 1 && le.sampleRate == 8000 && le.nSamples == 6)
+    assert(math.abs(le.rms - rms) < 1e-12)
+    assert(le.zeroCrossings == 3) // +→−, −→+, +→−; −→0 and 0→+ don't cross
+    val be = Binary.JavaSoundAudio.decode(
+      pcmWav(samples, 8000f, 1, bigEndian = true,
+        fileType = javax.sound.sampled.AudioFileFormat.Type.AIFF))
+    assert(be.ok && be.rms == le.rms && be.zeroCrossings == le.zeroCrossings)
+  }
+
+  test("JavaSoundAudio: stereo frame count, junk and empty degrade to ok=false") {
+    val st = Binary.JavaSoundAudio.decode(pcmWav(Array(1, 2, 3, 4, 5, 6), 44100f, 2, bigEndian = false))
+    assert(st.ok && st.channels == 2 && st.nSamples == 3) // 6 samples / 2 channels
+    assert(!Binary.JavaSoundAudio.decode(Array[Byte](1, 2, 3, 4)).ok)
+    assert(!Binary.JavaSoundAudio.decode(Array.emptyByteArray).ok)
+    assert(!Binary.JavaSoundAudio.decode(null).ok)
+  }
 }
