@@ -527,5 +527,93 @@ object Replication {
             FROM base GROUP BY prio ORDER BY prio"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101, q102, q103)
+  /** Watermarked event-time window aggregation IN the gate — real
+    * Structured Streaming semantics made deterministic: a 5-file
+    * landing replayed one file per micro-batch (mtimes pin the
+    * order). File 0 is the on-time data; file 1 is EMPTY — its only
+    * job is a flush batch in which the watermark from batch 0 evicts
+    * every closed window (Spark drops a late row only if its window
+    * was evicted in a PRIOR batch; without this batch the late rows
+    * would merge into still-open state — probe-verified); file 2
+    * holds the rows withheld from file 0 whose 1-day window closed
+    * more than 6 h (the watermark delay) before file 0's max event
+    * time — Spark MUST drop them (numRowsDroppedByWatermark); files
+    * 3/4 are far-future sentinels pushing the watermark so append
+    * mode flushes the remaining windows while the sentinels' own
+    * windows never close. Determinism: the late-selection threshold
+    * is the EXACT watermark Spark computes (ms-floored max − 6 h),
+    * selected rows satisfy window_end < W ⇒ dropped, everything else
+    * arrives in batch 0 under watermark 0 ⇒ kept — so the oracle
+    * replays "group the not-withheld rows" declaratively with no
+    * boundary cases. State bound at scale: watermark delay caps open
+    * windows per key. */
+  val q104 = GraftQuery(
+    "q104_stream_window",
+    (s, dir) => {
+      val base = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (landing, target, ckpt, tmp) =
+        (s"$base/landing", s"$base/target", s"$base/ckpt", s"$base/tmp")
+      val slice = Tables(s, dir).events.where(col("user_id") < 20)
+        .select(col("user_id"),
+          // NTZ sources normalize to TIMESTAMP (session is UTC, values preserved)
+          col("ts").cast("timestamp").as("ts"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      // the exact watermark Spark will compute after batch 1:
+      // ms-floored max event time minus the 6h delay
+      val maxTs = slice.agg(max("ts")).head().getTimestamp(0) // one bounded scalar
+      val wm = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli(maxTs.getTime).minusSeconds(6 * 3600))
+      val winEnd = expr("date_trunc('DAY', ts) + INTERVAL 1 DAY")
+      val lateCond = col("user_id") % 5 === 3 && winEnd < lit(wm)
+      def sentinel(isoTs: String) = s.range(1).select(
+        lit(9999L).as("user_id"), lit(isoTs).cast("timestamp").as("ts"), lit(0L).as("cents"))
+      val files = Seq(
+        Some(slice.where(!lateCond)), None /* empty flush batch */,
+        Some(slice.where(lateCond)),
+        Some(sentinel("2100-01-01 00:00:00")), Some(sentinel("2100-01-02 00:00:00")))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      files.zipWithIndex.foreach { case (dfOpt, i) =>
+        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+        dfOpt match {
+          case Some(df) =>
+            val t = s"$tmp/$i"
+            df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("cents"))
+              .coalesce(1).write.mode("overwrite").json(t)
+            val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+            fs.rename(part, dst)
+          case None => fs.create(dst, true).close()
+        }
+        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      }
+      val schema = "user_id LONG, ts_us LONG, cents LONG"
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("cents"))
+      val agg = graft.streaming.WindowedAgg.tumbling(
+        stream, "ts", watermarkDelay = "6 hours", windowDur = "1 day",
+        keys = Seq("user_id"),
+        aggs = Seq(count(lit(1)).as("cnt"), sum("cents").as("cents")))
+      val q = agg.select("user_id", "window_start", "cnt", "cents")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", target).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(target).orderBy("user_id", "window_start")
+    },
+    Some("""WITH slice AS (SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+                           FROM events WHERE user_id < 20),
+                 wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 6 HOUR AS w
+                        FROM slice),
+                 kept AS (SELECT * FROM slice
+                          WHERE NOT (user_id % 5 = 3 AND
+                                     date_trunc('day', ts) + INTERVAL 1 DAY < (SELECT w FROM wm)))
+            SELECT user_id, date_trunc('day', ts) AS window_start,
+                   count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents
+            FROM kept GROUP BY 1, 2 ORDER BY user_id, window_start"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101, q102, q103, q104)
 }
