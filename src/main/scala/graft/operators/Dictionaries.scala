@@ -42,6 +42,14 @@ object Dictionaries {
 
   private val dicts = new ConcurrentHashMap[String, Dict]()
 
+  def exists(name: String): Boolean = dicts.containsKey(name)
+
+  /** Remove a dictionary (DROP DICTIONARY); true when it existed. */
+  def unregister(name: String): Boolean = {
+    invalidateClosures(name)
+    dicts.remove(name) != null
+  }
+
   def register(name: String, keyCol: String, source: () => DataFrame): Unit = {
     dicts.put(name, Dict(keyCol, source))
     invalidateClosures(name)

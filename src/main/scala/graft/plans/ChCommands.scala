@@ -360,3 +360,71 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extend
     Seq(Row(before, countFiles(spark, info.path)))
   }
 }
+
+/** `CREATE DICTIONARY … SOURCE(…) LAYOUT(…)` executed: registers the
+  * dictionary over its source in [[graft.operators.Dictionaries]], so
+  * every later `dictGet('name', 'attr', key)` becomes the
+  * broadcast-join rewrite. All in-process LAYOUTs (FLAT/HASHED/
+  * CACHE/DIRECT/…) map to the same broadcast-hash-join physical
+  * shape — ClickHouse's layout choice tunes ITS in-memory container,
+  * which Catalyst owns here; COMPLEX_KEY layouts refuse at parse.
+  * Declared attribute types are enforced by casting the projected
+  * source columns, and the source schema is validated AT DDL TIME
+  * (fail here, not at the first dictGet). */
+case class ChCreateDictionaryCommand(
+    name: String, keyCol: String, cols: Seq[(String, String)],
+    hierarchicalCol: Option[String], sourceKind: String,
+    sourceProps: Map[String, String], ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import graft.operators.Dictionaries
+    if (ifNotExists && Dictionaries.exists(name)) return Seq.empty
+    def project(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    val thunk: () => org.apache.spark.sql.DataFrame = sourceKind match {
+      case "CLICKHOUSE" =>
+        val tbl = sourceProps.getOrElse("TABLE", throw new IllegalArgumentException(
+          "SOURCE(CLICKHOUSE(…)) needs TABLE 'name'"))
+        sourceProps.get("DB").orElse(sourceProps.get("DATABASE")).foreach { d =>
+          if (!(d.isEmpty || d.equalsIgnoreCase("default")))
+            throw new UnsupportedOperationException(
+              s"dictionary source database '$d' is not this session's catalog; " +
+                "land the table locally first")
+        }
+        () => project(sparkSession.table(tbl))
+      case "FILE" =>
+        val path = sourceProps.getOrElse("PATH", throw new IllegalArgumentException(
+          "SOURCE(FILE(…)) needs PATH 'path'"))
+        val fmt = sourceProps.getOrElse("FORMAT", "Parquet")
+        () => project(fmt.toUpperCase match {
+          case "PARQUET" => sparkSession.read.parquet(path)
+          case "CSVWITHNAMES" =>
+            sparkSession.read.option("header", "true").csv(path)
+          case "JSONEACHROW" | "NDJSON" | "JSONLINES" => sparkSession.read.json(path)
+          case other => throw new IllegalArgumentException(
+            s"dictionary FILE format '$other' has no reader here; use Parquet/" +
+              "CSVWithNames/JSONEachRow")
+        })
+      case other => throw new UnsupportedOperationException(
+        s"dictionary SOURCE($other) would need a live external system; land the data " +
+          "as a table and use SOURCE(CLICKHOUSE(TABLE '…'))")
+    }
+    thunk().schema // source must resolve and carry the declared columns NOW
+    hierarchicalCol match {
+      case Some(p) => Dictionaries.registerHierarchical(name, keyCol, p, thunk)
+      case None    => Dictionaries.register(name, keyCol, thunk)
+    }
+    Seq.empty
+  }
+}
+
+/** `DROP DICTIONARY [IF EXISTS] name`. */
+case class ChDropDictionaryCommand(name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val removed = graft.operators.Dictionaries.unregister(name)
+    if (!removed && !ifExists)
+      throw new IllegalArgumentException(s"dictionary '$name' does not exist")
+    Seq.empty
+  }
+}

@@ -794,6 +794,11 @@ object ChSqlParser {
         }
         Some(ChAlterMutateCommand(table, predPart, assigns))
       }
+    case s if CreateDictionary.findFirstIn(s).isDefined =>
+      Some(parseCreateDictionary(s))
+    case DropDictionary(ifExists, name) =>
+      Some(ChDropDictionaryCommand(
+        name.stripPrefix("`").stripSuffix("`"), ifExists != null))
     case OptimizeStmt(table, tail) =>
       if ("""(?i)\bPARTITION\b""".r.findFirstIn(tail).isDefined)
         throw new UnsupportedOperationException(
@@ -832,6 +837,78 @@ object ChSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(MODIFY|REMOVE)\s+TTL\b""".r
   private val CreateDictionary =
     """(?is)^\s*CREATE\s+DICTIONARY\b""".r
+  private val DropDictionary =
+    """(?is)^\s*DROP\s+DICTIONARY\s+(?:(IF\s+EXISTS)\s+)?(`[^`]+`|[\w.]+)\s*;?\s*$""".r
+  private val CreateDictionaryHead =
+    """(?is)^\s*CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)\s*\(""".r
+
+  /** Extract the balanced-paren body starting at `open` (which must
+    * index a '('), quote-aware; returns (inner text, close index). */
+  private def balancedParen(s: String, open: Int): (String, Int) = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr) {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return (s.substring(open + 1, i), i) }
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in DDL")
+  }
+
+  /** `CREATE DICTIONARY name (attrs…) PRIMARY KEY k SOURCE(KIND(k 'v' …))
+    * LAYOUT(NAME()) [LIFETIME(…)]` — executes by registering the
+    * dictionary over its source table/file in
+    * [[graft.operators.Dictionaries]]; every later `dictGet` becomes
+    * the broadcast-join rewrite. LIFETIME is freshness config for a
+    * long-lived server cache — here the source re-reads per query
+    * plan, which is strictly fresher, so it parses and drops. */
+  private[plans] def parseCreateDictionary(sql: String): LogicalPlan = {
+    val m = CreateDictionaryHead.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE DICTIONARY needs: CREATE DICTIONARY name (attrs…) PRIMARY KEY k " +
+          "SOURCE(…) LAYOUT(…)"))
+    val ifNotExists = m.group(1) != null
+    val name = m.group(2).stripPrefix("`").stripSuffix("`")
+    val (colsRaw, closeIdx) = balancedParen(sql, m.end - 1)
+    val tail = sql.substring(closeIdx + 1)
+    val pkM = """(?is)\bPRIMARY\s+KEY\s+([`\w]+(?:\s*,\s*[`\w]+)*)""".r.findFirstMatchIn(tail)
+      .getOrElse(throw new IllegalArgumentException("CREATE DICTIONARY requires PRIMARY KEY"))
+    val pkCols = pkM.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+    val layout = """(?is)\bLAYOUT\s*\(\s*(\w+)""".r.findFirstMatchIn(tail)
+      .map(_.group(1).toUpperCase).getOrElse("HASHED")
+    if (pkCols.size != 1 || layout.startsWith("COMPLEX_KEY"))
+      throw new UnsupportedOperationException(
+        "composite dictionary keys (COMPLEX_KEY layouts) are not modeled: concatenate " +
+          "the key columns into one key attribute, or use an explicit broadcast join")
+    val srcKw = """(?i)\bSOURCE\s*\(""".r.findFirstMatchIn(tail).getOrElse(
+      throw new IllegalArgumentException("CREATE DICTIONARY requires SOURCE(…)"))
+    val (srcInner, _) = balancedParen(tail, srcKw.end - 1)
+    val srcM = """(?is)^\s*(\w+)\s*\(""".r.findFirstMatchIn(srcInner).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse dictionary SOURCE '$srcInner'"))
+    val (srcArgsRaw, _) = balancedParen(srcInner, srcM.end - 1)
+    val srcProps = """(\w+)\s+'([^']*)'""".r.findAllMatchIn(srcArgsRaw)
+      .map(mm => mm.group(1).toUpperCase -> mm.group(2)).toMap
+    val entries = topLevelSplit(colsRaw).map(_.trim).filter(_.nonEmpty)
+    // dictionary-attribute flags the storage mapper doesn't know;
+    // HIERARCHICAL additionally marks the parent-key attribute
+    val hierCol = entries.find(e => """(?i)\bHIERARCHICAL\b""".r.findFirstIn(e).isDefined)
+      .map(e => """^(`[^`]+`|[A-Za-z_]\w*)""".r.findFirstMatchIn(e).get.group(1)
+        .stripPrefix("`").stripSuffix("`"))
+    val strippedCols = entries
+      .map(_.replaceAll("(?i)\\b(HIERARCHICAL|INJECTIVE|IS_OBJECT_ID)\\b", " "))
+      .mkString(", ")
+    val cols = chColumnsToSpark(strippedCols)
+    if (!cols.exists(_._1 == pkCols.head))
+      throw new IllegalArgumentException(
+        s"PRIMARY KEY ${pkCols.head} must be declared in the dictionary column list")
+    ChCreateDictionaryCommand(name, pkCols.head, cols, hierCol,
+      srcM.group(1).toUpperCase, srcProps, ifNotExists)
+  }
   private val SystemStmt =
     """(?is)^\s*SYSTEM\s+\w+""".r
 
@@ -1600,6 +1677,11 @@ object ChSqlParser {
     })
 
   def rewriteParametric(sql: String): String = {
+    // dictionary DDL parses as a COMMAND from the RAW text (CH types
+    // and SOURCE/LAYOUT clauses intact) — the query rewrites below
+    // would mangle its type names and clause parens
+    if (CreateDictionary.findFirstIn(sql).isDefined ||
+        DropDictionary.findFirstIn(sql).isDefined) return sql
     // client-side trailing clauses unwind first (right to left), so
     // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
     // their clause at the end of the text
@@ -1647,10 +1729,6 @@ object ChSqlParser {
       throw new UnsupportedOperationException(
         "TTL DDL: use graft.operators.Mutate.ttl (drops wholly-expired partitions as " +
           "directory units, rewrites only the boundary partition)")
-    if (CreateDictionary.findFirstIn(out).isDefined)
-      throw new UnsupportedOperationException(
-        "CREATE DICTIONARY: load the source as a table and use dictGet (broadcast-join " +
-          "rewrite) via graft.operators.Dictionaries")
     if (SystemStmt.findFirstIn(out).isDefined)
       throw new UnsupportedOperationException(
         "SYSTEM statements administer a ClickHouse server; there is no server here — " +

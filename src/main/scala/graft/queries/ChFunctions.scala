@@ -1995,6 +1995,38 @@ object ChFunctions {
             ) u ORDER BY _table"""),
   )
 
+  /** CREATE DICTIONARY DDL executing end to end (round 10): the
+    * dictionary registers from VERBATIM ClickHouse DDL
+    * (`ChCreateDictionaryCommand` — SOURCE(CLICKHOUSE(TABLE)), LAYOUT,
+    * LIFETIME all honored or deliberately dropped), then dictGet
+    * resolves through the same broadcast-join rewrite as q38.
+    * The declared attribute types cast the source columns, which the
+    * oracle replays with explicit CASTs on the join. */
+  val q38d = GraftQuery(
+    "q38d_dict_ddl",
+    (s, dir) => {
+      Tables(s, dir).nation.createOrReplaceTempView("nation_ddl_src")
+      Tables(s, dir).supplier.createOrReplaceTempView("supplier_dd")
+      s.sql("DROP DICTIONARY IF EXISTS nations_ddl")
+      s.sql("""CREATE DICTIONARY nations_ddl
+               (n_nationkey UInt64, n_name String, n_regionkey UInt64)
+               PRIMARY KEY n_nationkey
+               SOURCE(CLICKHOUSE(TABLE 'nation_ddl_src'))
+               LAYOUT(HASHED())
+               LIFETIME(MIN 0 MAX 300)""")
+      s.sql("""SELECT dictGet('nations_ddl', 'n_name', s_nationkey) AS nation,
+                      CAST(dictGet('nations_ddl', 'n_regionkey', s_nationkey) AS BIGINT) AS region,
+                      count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
+               FROM supplier_dd
+               GROUP BY 1, 2
+               ORDER BY nation""")
+    },
+    Some("""SELECT n.n_name AS nation, CAST(n.n_regionkey AS BIGINT) AS region,
+                   count(*) AS n_supp, round(sum(s.s_acctbal), 2) AS bal
+            FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2 ORDER BY nation"""),
+  )
+
   /** Hierarchical dictionary walkers `dictGetHierarchy` / `dictIsIn`
     * over a synthetic binary-tree hierarchy on nation keys
     * (parent(k) = (k−1)/2, root 0): the closure table
@@ -2184,5 +2216,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q38, q38b, q38c, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q38, q38b, q38c, q38d, q21b)
 }

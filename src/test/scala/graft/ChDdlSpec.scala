@@ -479,7 +479,6 @@ class ChDdlSpec extends SparkSpec {
     }
     refusal("ALTER TABLE t ADD PROJECTION p (SELECT * ORDER BY x)", "Projections")
     refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY", "Mutate.ttl")
-    refusal("CREATE DICTIONARY d (k UInt64) PRIMARY KEY k", "dictGet")
     refusal("SYSTEM RELOAD DICTIONARIES", "no server")
     // TRUNCATE on a DDL-created table is native Spark behavior
     spark.sql("DROP TABLE IF EXISTS ddl_trunc")
@@ -548,6 +547,56 @@ class ChDdlSpec extends SparkSpec {
     // merge() inside a string literal is data, not syntax
     val lit = spark.sql("SELECT 'FROM merge(''^mrg_t'')' AS s").collect()(0).getString(0)
     assert(lit.contains("merge"))
+  }
+
+  test("CREATE DICTIONARY executes: dictGet resolves, hierarchy flag works, DROP removes") {
+    import spark.implicits._
+    Seq((1L, "one", 1L), (2L, "two", 1L), (3L, "three", 1L)) // root = self-parent
+      .toDF("k", "label", "parent").createOrReplaceTempView("dict_src_t")
+    spark.sql("""CREATE DICTIONARY ddl_dict (k UInt64, label String, parent UInt64 HIERARCHICAL)
+                 PRIMARY KEY k
+                 SOURCE(CLICKHOUSE(TABLE 'dict_src_t'))
+                 LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 300)""")
+    val got = spark.sql(
+      "SELECT dictGet('ddl_dict', 'label', CAST(id + 1 AS BIGINT)) AS l FROM range(2) ORDER BY l")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("one", "two"))
+    // HIERARCHICAL parent attribute wires dictGetHierarchy
+    val chain = spark.sql("SELECT dictGetHierarchy('ddl_dict', CAST(3 AS BIGINT)) AS c")
+      .head().getSeq[Long](0)
+    assert(chain == Seq(3L, 1L))
+    // IF NOT EXISTS is a no-op on an existing name
+    spark.sql("""CREATE DICTIONARY IF NOT EXISTS ddl_dict (k UInt64, label String)
+                 PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'no_such_table')) LAYOUT(FLAT())""")
+    // missing source table fails at DDL time, not first dictGet
+    val e = intercept[Exception](
+      spark.sql("""CREATE DICTIONARY ddl_dict2 (k UInt64, label String) PRIMARY KEY k
+                   SOURCE(CLICKHOUSE(TABLE 'no_such_table')) LAYOUT(HASHED())"""))
+    assert(e.getMessage.toLowerCase.contains("no_such_table") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    // composite keys refuse with guidance
+    val e2 = intercept[Exception](
+      spark.sql("""CREATE DICTIONARY ddl_dict3 (a UInt64, b UInt64, v String)
+                   PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 'dict_src_t'))
+                   LAYOUT(COMPLEX_KEY_HASHED())"""))
+    assert(e2.getMessage.contains("COMPLEX_KEY"))
+    spark.sql("DROP DICTIONARY ddl_dict")
+    assert(!graft.operators.Dictionaries.exists("ddl_dict"))
+    spark.sql("DROP DICTIONARY IF EXISTS ddl_dict") // no-op, no throw
+    val e3 = intercept[Exception](spark.sql("DROP DICTIONARY ddl_dict"))
+    assert(e3.getMessage.contains("does not exist"))
+  }
+
+  test("CREATE DICTIONARY from a FILE source") {
+    val dir = s"/tmp/graft_dictfile_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.range(5).selectExpr("id AS k", "concat('v', id) AS v")
+      .write.mode("overwrite").parquet(dir)
+    spark.sql(s"""CREATE DICTIONARY ddl_fdict (k UInt64, v String) PRIMARY KEY k
+                  SOURCE(FILE(PATH '$dir' FORMAT 'Parquet')) LAYOUT(FLAT())""")
+    assert(spark.sql("SELECT dictGet('ddl_fdict', 'v', CAST(4 AS BIGINT)) AS v")
+      .head().getString(0) == "v4")
+    spark.sql("DROP DICTIONARY ddl_fdict")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("cluster()/clusterAllReplicas() read the table directly") {
