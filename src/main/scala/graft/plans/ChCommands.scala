@@ -38,6 +38,11 @@ object ChCommands {
     TableInfo(meta.location.toString, meta.partitionColumnNames, isCatalogTable = true)
   }
 
+  /** Where a table's TTL rule persists (beside the data, like the
+    * projections manifest — survives session restarts with the table). */
+  private[plans] def ttlManifest(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_graft_ttl.txt")
+
   /** Partition registry + data cache re-sync after files changed
     * underneath a catalog table. */
   private[plans] def resync(spark: SparkSession, table: String, partitioned: Boolean): Unit = {
@@ -426,5 +431,62 @@ case class ChDropDictionaryCommand(name: String, ifExists: Boolean) extends Leaf
     if (!removed && !ifExists)
       throw new IllegalArgumentException(s"dictionary '$name' does not exist")
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t MODIFY TTL <expr> [DELETE]` — sets the table's
+  * row-expiry rule (ClickHouse metadata semantics: rows where
+  * `expr <= now()` are eligible for removal). The expression is
+  * validated against the table NOW (fail at DDL time), persisted in a
+  * `_graft_ttl.txt` manifest beside the data, and applied by
+  * `ALTER TABLE t MATERIALIZE TTL` — which delegates to the same
+  * partition-pruned mutate path as ALTER DELETE, so wholly-expired
+  * partitions rewrite as units and untouched ones stay byte-identical.
+  * (ClickHouse applies TTL lazily on merges; MATERIALIZE is its
+  * explicit-apply spelling, and the only deterministic one.) */
+case class ChModifyTtlCommand(table: String, ttlExpr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(sparkSession, table)
+    // the expiry predicate must resolve against the current schema
+    sparkSession.read.parquet(info.path)
+      .where(expr(s"($ttlExpr) <= current_timestamp()")).queryExecution.analyzed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(ChCommands.ttlManifest(info.path), true)
+    try out.write(ttlExpr.getBytes("UTF-8")) finally out.close()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t REMOVE TTL` — clears the expiry rule (no-op when none). */
+case class ChRemoveTtlCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(sparkSession, table)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(ChCommands.ttlManifest(info.path), false)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t MATERIALIZE TTL` — applies the stored rule now. */
+case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = ChCommands.reportSchema
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(sparkSession, table)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
+    val p = ChCommands.ttlManifest(info.path)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"table '$table' has no TTL; set one with ALTER TABLE $table MODIFY TTL <expr>")
+    val in = fs.open(p)
+    val ttl = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    ChAlterMutateCommand(table, s"($ttl) <= current_timestamp()", Nil).run(sparkSession)
   }
 }

@@ -794,6 +794,16 @@ object ChSqlParser {
         }
         Some(ChAlterMutateCommand(table, predPart, assigns))
       }
+    case AlterModifyTtl(table, rawExpr) =>
+      if ("""(?i)\b(TO\s+DISK|TO\s+VOLUME|RECOMPRESS|GROUP\s+BY|WHERE)\b""".r
+            .findFirstIn(rawExpr).isDefined)
+        throw new UnsupportedOperationException(
+          "TTL actions beyond DELETE (TO DISK/VOLUME, RECOMPRESS, GROUP BY, WHERE) " +
+            "have no single-tier analog here; use graft.operators.Mutate for custom " +
+            "expiry rewrites")
+      Some(ChModifyTtlCommand(table, rawExpr.replaceAll("(?is)\\s+DELETE\\s*$", "").trim))
+    case AlterRemoveTtl(table) => Some(ChRemoveTtlCommand(table))
+    case AlterMaterializeTtl(table) => Some(ChMaterializeTtlCommand(table))
     case s if CreateDictionary.findFirstIn(s).isDefined =>
       Some(parseCreateDictionary(s))
     case DropDictionary(ifExists, name) =>
@@ -833,8 +843,12 @@ object ChSqlParser {
   }
   private val AlterProjection =
     """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(ADD|DROP|MATERIALIZE|CLEAR)\s+PROJECTION\b""".r
-  private val AlterTtl =
-    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(MODIFY|REMOVE)\s+TTL\b""".r
+  private val AlterModifyTtl =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+TTL\s+(.+?)\s*;?\s*$""".r
+  private val AlterRemoveTtl =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REMOVE\s+TTL\s*;?\s*$""".r
+  private val AlterMaterializeTtl =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MATERIALIZE\s+TTL\s*;?\s*$""".r
   private val CreateDictionary =
     """(?is)^\s*CREATE\s+DICTIONARY\b""".r
   private val DropDictionary =
@@ -1725,10 +1739,6 @@ object ChSqlParser {
       throw new UnsupportedOperationException(
         "projection DDL: use graft.operators.Projections (base + alternate-sort + " +
           "aggregate layouts under one root, route() picks by query shape)")
-    if (AlterTtl.findFirstIn(out).isDefined)
-      throw new UnsupportedOperationException(
-        "TTL DDL: use graft.operators.Mutate.ttl (drops wholly-expired partitions as " +
-          "directory units, rewrites only the boundary partition)")
     if (SystemStmt.findFirstIn(out).isDefined)
       throw new UnsupportedOperationException(
         "SYSTEM statements administer a ClickHouse server; there is no server here — " +

@@ -527,6 +527,43 @@ object Replication {
             FROM base GROUP BY prio ORDER BY prio"""),
   )
 
+  /** TTL DDL executing end to end (round 10): verbatim
+    * `ALTER TABLE … MODIFY TTL d + INTERVAL 30 DAY` persists the
+    * expiry rule beside the data, `MATERIALIZE TTL` applies it through
+    * the same partition-pruned mutate path as ALTER DELETE
+    * ([[graft.plans.ChModifyTtlCommand]]). Deterministic against the
+    * wall clock by construction: expired rows sit in 2019–2020 and
+    * survivors in 2123, so `d + 30 days <= now()` has the same truth
+    * value until 2123 however long the gate takes. The oracle drops
+    * the expired tier declaratively. (q98 gates the partition-drop
+    * TTL operator itself; this gates the DDL front door.) */
+  val q98b = GraftQuery(
+    "q98b_ttl_ddl",
+    (s, dir) => {
+      dropWithLocation(s, "gq98b")
+      s.sql("""CREATE TABLE gq98b (id UInt64, total Float64, d DateTime, prio String)
+               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq98b_src")
+      // partition columns land LAST in a Spark table schema; the
+      // positional INSERT lists them last to match
+      s.sql("""INSERT INTO gq98b
+               SELECT o_orderkey, o_totalprice,
+                      CASE WHEN o_orderkey % 3 = 0
+                           THEN timestamp'2020-01-01 00:00:00'
+                           ELSE timestamp'2123-01-01 00:00:00' END,
+                      o_orderpriority
+               FROM gq98b_src WHERE o_orderkey < 6000""")
+      s.sql("ALTER TABLE gq98b MODIFY TTL d + INTERVAL 30 DAY")
+      s.sql("ALTER TABLE gq98b MATERIALIZE TTL")
+      s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total
+               FROM gq98b GROUP BY prio ORDER BY prio""")
+    },
+    Some("""SELECT o_orderpriority AS prio, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey < 6000 AND o_orderkey % 3 <> 0
+            GROUP BY 1 ORDER BY prio"""),
+  )
+
   /** Watermarked event-time window aggregation IN the gate — real
     * Structured Streaming semantics made deterministic: a 5-file
     * landing replayed one file per micro-batch (mtimes pin the
@@ -615,5 +652,5 @@ object Replication {
             FROM kept GROUP BY 1, 2 ORDER BY user_id, window_start"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q100, q101, q102, q103, q104)
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q98b, q100, q101, q102, q103, q104)
 }

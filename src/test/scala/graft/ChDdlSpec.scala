@@ -478,7 +478,7 @@ class ChDdlSpec extends SparkSpec {
       assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage.take(100)}")
     }
     refusal("ALTER TABLE t ADD PROJECTION p (SELECT * ORDER BY x)", "Projections")
-    refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY", "Mutate.ttl")
+    refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY TO DISK 'cold'", "TO DISK")
     refusal("SYSTEM RELOAD DICTIONARIES", "no server")
     // TRUNCATE on a DDL-created table is native Spark behavior
     spark.sql("DROP TABLE IF EXISTS ddl_trunc")
@@ -585,6 +585,32 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("DROP DICTIONARY IF EXISTS ddl_dict") // no-op, no throw
     val e3 = intercept[Exception](spark.sql("DROP DICTIONARY ddl_dict"))
     assert(e3.getMessage.contains("does not exist"))
+  }
+
+  test("MODIFY/MATERIALIZE/REMOVE TTL execute: expired rows drop on materialize") {
+    spark.sql("DROP TABLE IF EXISTS ttl_ddl_t")
+    spark.sql("""CREATE TABLE ttl_ddl_t (id UInt64, d DateTime)
+                 ENGINE = MergeTree ORDER BY id""")
+    spark.sql("""INSERT INTO ttl_ddl_t VALUES
+                 (1, toDateTime('2020-01-01 00:00:00')),
+                 (2, toDateTime('2123-01-01 00:00:00')),
+                 (3, toDateTime('2019-06-01 00:00:00'))""")
+    // MODIFY alone is metadata: nothing deleted yet
+    spark.sql("ALTER TABLE ttl_ddl_t MODIFY TTL d + INTERVAL 30 DAY")
+    assert(spark.table("ttl_ddl_t").count() == 3L)
+    // MATERIALIZE applies: 2020/2019 rows are long past d+30d
+    spark.sql("ALTER TABLE ttl_ddl_t MATERIALIZE TTL")
+    assert(spark.table("ttl_ddl_t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // REMOVE clears the rule; MATERIALIZE then refuses
+    spark.sql("ALTER TABLE ttl_ddl_t REMOVE TTL")
+    val e = intercept[Exception](spark.sql("ALTER TABLE ttl_ddl_t MATERIALIZE TTL"))
+    assert(e.getMessage.contains("no TTL"))
+    // a TTL over a missing column fails at MODIFY time
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE ttl_ddl_t MODIFY TTL nope + INTERVAL 1 DAY"))
+    assert(e2.getMessage.toLowerCase.contains("nope") ||
+      e2.getMessage.contains("UNRESOLVED_COLUMN"))
+    spark.sql("DROP TABLE ttl_ddl_t")
   }
 
   test("CREATE DICTIONARY from a FILE source") {
