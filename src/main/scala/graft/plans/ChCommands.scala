@@ -87,6 +87,133 @@ object ChCommands {
     }
     fs.delete(backup, true) // best-effort: a leftover backup is inert (dst exists and wins)
   }
+
+  // ------------------------------------------------------------------
+  // Aggregate-projection DDL support (ChAddProjectionCommand & co. +
+  // the ProjectionAutoUse optimizer rule)
+
+  /** One declared projection: keys, (stateCol, func, srcCol) states,
+    * and whether its recorded base fingerprint still matches. */
+  private[plans] case class ProjSpec(name: String, keys: Seq[String],
+      states: Seq[(String, String, String)], dataPath: String,
+      fingerprint: String, fingerprintOk: Boolean)
+
+  private def projManifest(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_graft_table_projections.txt")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Content fingerprint of the BASE data under `path`: every visible
+    * (non-hidden) file's (relative path, length, mtime), sorted,
+    * md5'd. Any insert/mutation/compaction changes it, which is
+    * exactly the staleness signal auto-use needs. Cost is a metadata
+    * walk — no data read. */
+  private[plans] def contentFingerprint(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val acc = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else acc += s"${st.getPath.toString.stripPrefix(root.toString)}|${st.getLen}|${st.getModificationTime}"
+        }
+      }
+    walk(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    org.apache.commons.codec.binary.Hex.encodeHexString(
+      md.digest(acc.sorted.mkString("\n").getBytes("UTF-8")))
+  }
+
+  // manifest parse results cached per (path, manifest mtime) — the
+  // optimizer rule consults this on every candidate aggregate
+  private val projCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[ProjSpec])]()
+
+  private[plans] def invalidateProjectionCache(path: String): Unit = projCache.remove(path)
+
+  /** The declared projections of the table at `path` (empty when none).
+    * `fingerprintOk` is evaluated fresh on every call — it's the
+    * correctness gate; only the manifest PARSE is cached. */
+  private[plans] def tableProjections(spark: SparkSession, path: String): Seq[ProjSpec] = {
+    val fs = fsOf(spark, path)
+    val mp = projManifest(path)
+    val mtime = try {
+      if (!fs.exists(mp)) return Nil
+      fs.getFileStatus(mp).getModificationTime
+    } catch { case _: Exception => return Nil }
+    val cached = projCache.get(path)
+    val parsed = if (cached != null && cached._1 == mtime) cached._2 else {
+      val in = fs.open(mp)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      val specs = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, keys, states, fp) = line.split("\\|", -1)
+        ProjSpec(name, keys.split(",").toSeq.filter(_.nonEmpty),
+          states.split(",").toSeq.filter(_.nonEmpty).map { s =>
+            val Array(c, f, src) = s.split(":", -1); (c, f, src)
+          },
+          new org.apache.hadoop.fs.Path(path, s"_graft_proj_$name").toString, fp,
+          fingerprintOk = false)
+      }
+      projCache.put(path, (mtime, specs))
+      specs
+    }
+    lazy val currentFp = contentFingerprint(spark, path)
+    parsed.map { sp =>
+      val dataOk = try fs.exists(new org.apache.hadoop.fs.Path(sp.dataPath)) catch {
+        case _: Exception => false
+      }
+      sp.copy(fingerprintOk = dataOk && sp.fingerprint == currentFp)
+    }
+  }
+
+  /** Materialize one projection's data + upsert its manifest line with
+    * the fingerprint of the base it was built from. */
+  private[plans] def writeProjection(spark: SparkSession, path: String, name: String,
+      keys: Seq[String], states: Seq[(String, String, String)]): Unit = {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max => mx, min => mn, sum => sm}
+    val base = spark.read.parquet(path)
+    val missing = (keys ++ states.map(_._3).filter(_.nonEmpty))
+      .filterNot(base.schema.fieldNames.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"projection '$name' references missing columns: ${missing.mkString(", ")}")
+    val aggCols = states.map {
+      case (c, "count", _) => cnt(lit(1)).as(c)
+      case (c, "sum", src) => sm(col(src)).as(c)
+      case (c, "min", src) => mn(col(src)).as(c)
+      case (c, "max", src) => mx(col(src)).as(c)
+      case (_, f, _) => throw new IllegalArgumentException(s"unsupported projection state $f")
+    }
+    val fp = contentFingerprint(spark, path) // BEFORE writing (proj dirs are hidden anyway)
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_graft_proj_${name}__building").toString
+    base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = fsOf(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path, s"_graft_proj_$name")
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst), s"projection build rename failed: $dst")
+    val others = tableProjections(spark, path).filterNot(_.name == name)
+    writeProjectionManifest(spark, path,
+      others :+ ProjSpec(name, keys, states, dst.toString, fp, fingerprintOk = true))
+  }
+
+  private[plans] def writeProjectionManifest(spark: SparkSession, path: String,
+      specs: Seq[ProjSpec]): Unit = {
+    val fs = fsOf(spark, path)
+    val text = specs.map { sp =>
+      s"${sp.name}|${sp.keys.mkString(",")}|${sp.states.map { case (c, f, s) => s"$c:$f:$s" }.mkString(",")}|${sp.fingerprint}"
+    }.mkString("\n")
+    val out = fs.create(projManifest(path), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    invalidateProjectionCache(path)
+  }
 }
 
 /** ClickHouse schema-evolution DDL: `ALTER TABLE t ADD | DROP |
@@ -488,5 +615,98 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
     ChAlterMutateCommand(table, s"($ttl) <= current_timestamp()", Nil).run(sparkSession)
+  }
+}
+
+/** `ALTER TABLE t ADD PROJECTION p (SELECT k…, agg(x)… GROUP BY k…)`
+  * — an AGGREGATE projection, built EAGERLY from the current data
+  * (ClickHouse builds for future parts and backfills on MATERIALIZE;
+  * a recompute engine's eager build is the deterministic equivalent).
+  * The projection lands under `<table>/_graft_proj_<name>/` (the
+  * leading underscore hides it from the base table's own parquet
+  * reads) with a manifest line binding (name, keys, states) to a
+  * CONTENT FINGERPRINT of the base data; [[ProjectionAutoUse]] swaps
+  * matching aggregates onto the projection only while the
+  * fingerprint holds, so later inserts/mutations silently fall back
+  * to base until re-MATERIALIZEd — never stale reads.
+  * Sort-order projections (no GROUP BY) refuse toward
+  * [[graft.operators.Projections]], whose root layout owns that
+  * shape. */
+case class ChAddProjectionCommand(table: String, name: String, body: String,
+                                  ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(sparkSession, table)
+    if (ChCommands.tableProjections(sparkSession, info.path).exists(_.name == name)) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(s"projection '$name' already exists on $table")
+    }
+    val m = """(?is)^\s*SELECT\s+(.*?)\s+GROUP\s+BY\s+(.*?)\s*$""".r.findFirstMatchIn(body)
+      .getOrElse(throw new UnsupportedOperationException(
+        "only AGGREGATE projections (SELECT … GROUP BY …) execute here; alternate " +
+          "sort-order projections belong to graft.operators.Projections layouts"))
+    val keys = m.group(2).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+    val items = m.group(1).split(",").map(_.trim).toSeq
+    val states: Seq[(String, String, String)] = items.flatMap { it =>
+      val fm = """(?i)^(count|sum|min|max)\s*\(\s*(\*|`?[\w]*`?)\s*\)$""".r.findFirstMatchIn(it)
+      fm match {
+        case Some(f) =>
+          val func = f.group(1).toLowerCase
+          val src = f.group(2).stripPrefix("`").stripSuffix("`") match {
+            case "*" | "" => ""
+            case c => c
+          }
+          if (func != "count" && src.isEmpty)
+            throw new IllegalArgumentException(s"projection state '$it' needs a column")
+          Some((if (func == "count") "__cnt" else s"__${func}_$src", func, src))
+        case None =>
+          val bare = it.stripPrefix("`").stripSuffix("`")
+          if (!keys.contains(bare)) throw new UnsupportedOperationException(
+            s"projection item '$it': only grouping keys and count/sum/min/max states " +
+              "are modeled (ClickHouse's own projection restrictions are similar)")
+          None
+      }
+    }
+    if (states.isEmpty) throw new IllegalArgumentException(
+      "an aggregate projection needs at least one aggregate state")
+    ChCommands.writeProjection(sparkSession, info.path, name, keys, states)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t MATERIALIZE PROJECTION p` — rebuild from current
+  * data and re-pin the fingerprint (the explicit refresh after
+  * inserts/mutations). */
+case class ChMaterializeProjectionCommand(table: String, name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(sparkSession, table)
+    val sp = ChCommands.tableProjections(sparkSession, info.path).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"projection '$name' does not exist on $table"))
+    ChCommands.writeProjection(sparkSession, info.path, sp.name, sp.keys, sp.states)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP PROJECTION [IF EXISTS] p` / `CLEAR PROJECTION p`
+  * — DROP removes data + manifest entry; CLEAR removes only the data
+  * (the declaration stays; auto-use skips until re-MATERIALIZE). */
+case class ChDropProjectionCommand(table: String, name: String, ifExists: Boolean,
+                                   clearOnly: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(sparkSession, table)
+    val specs = ChCommands.tableProjections(sparkSession, info.path)
+    if (!specs.exists(_.name == name)) {
+      if (ifExists) return Seq.empty
+      throw new IllegalArgumentException(s"projection '$name' does not exist on $table")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(info.path, s"_graft_proj_$name"), true)
+    if (!clearOnly)
+      ChCommands.writeProjectionManifest(sparkSession, info.path, specs.filterNot(_.name == name))
+    ChCommands.invalidateProjectionCache(info.path)
+    Seq.empty
   }
 }

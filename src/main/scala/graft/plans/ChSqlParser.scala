@@ -794,6 +794,18 @@ object ChSqlParser {
         }
         Some(ChAlterMutateCommand(table, predPart, assigns))
       }
+    case AddProjectionStmt(table, ine, name, body) =>
+      if ("""(?is)\bGROUP\s+BY\b""".r.findFirstIn(body).isEmpty)
+        throw new UnsupportedOperationException(
+          "only AGGREGATE projections (SELECT … GROUP BY …) execute from DDL; " +
+            "alternate sort-order layouts belong to graft.operators.Projections")
+      Some(ChAddProjectionCommand(table,
+        name.stripPrefix("`").stripSuffix("`"), body, ine != null))
+    case DropProjectionStmt(table, verb, ife, name) =>
+      Some(ChDropProjectionCommand(table, name.stripPrefix("`").stripSuffix("`"),
+        ifExists = ife != null, clearOnly = verb.equalsIgnoreCase("CLEAR")))
+    case MaterializeProjectionStmt(table, name) =>
+      Some(ChMaterializeProjectionCommand(table, name.stripPrefix("`").stripSuffix("`")))
     case AlterModifyTtl(table, rawExpr) =>
       if ("""(?i)\b(TO\s+DISK|TO\s+VOLUME|RECOMPRESS|GROUP\s+BY|WHERE)\b""".r
             .findFirstIn(rawExpr).isDefined)
@@ -841,8 +853,12 @@ object ChSqlParser {
     }
     None
   }
-  private val AlterProjection =
-    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(ADD|DROP|MATERIALIZE|CLEAR)\s+PROJECTION\b""".r
+  private val AddProjectionStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PROJECTION\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(`[^`]+`|\w+)\s*\((.*)\)\s*;?\s*$""".r
+  private val DropProjectionStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(DROP|CLEAR)\s+PROJECTION\s+(?:(IF\s+EXISTS)\s+)?(`[^`]+`|\w+)\s*;?\s*$""".r
+  private val MaterializeProjectionStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MATERIALIZE\s+PROJECTION\s+(`[^`]+`|\w+)\s*;?\s*$""".r
   private val AlterModifyTtl =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+TTL\s+(.+?)\s*;?\s*$""".r
   private val AlterRemoveTtl =
@@ -1735,10 +1751,6 @@ object ChSqlParser {
     // ALTER TABLE … DELETE/UPDATE and OPTIMIZE TABLE execute — they
     // become RunnableCommands in interceptCommand (called by
     // parsePlan on the rewritten text), not string rewrites.
-    if (AlterProjection.findFirstIn(out).isDefined)
-      throw new UnsupportedOperationException(
-        "projection DDL: use graft.operators.Projections (base + alternate-sort + " +
-          "aggregate layouts under one root, route() picks by query shape)")
     if (SystemStmt.findFirstIn(out).isDefined)
       throw new UnsupportedOperationException(
         "SYSTEM statements administer a ClickHouse server; there is no server here — " +

@@ -69,5 +69,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, parser) => new ChSqlParser(parser))
     // dictGet/dictHas placeholders → broadcast left-outer joins
     ext.injectResolutionRule(session => DictGetRewrite(session))
+    ext.injectOptimizerRule(session => ProjectionAutoUse(session))
   }
 }

@@ -552,5 +552,44 @@ object Arrays {
             FROM com ORDER BY rf"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99)
+  /** Projection DDL + automatic use (round 10): verbatim `ALTER TABLE
+    * … ADD PROJECTION (SELECT … GROUP BY …)` materializes aggregate
+    * states beside the table, and the [[graft.plans.ProjectionAutoUse]]
+    * optimizer rule transparently rewrites the matching GROUP BY to
+    * merge those states — rows read ∝ groups, not base rows (CH's
+    * transparent-projection read path; a content fingerprint guards
+    * staleness, spec-pinned in ChDdlSpec). The oracle replays the
+    * aggregation from the raw table — identical results are the whole
+    * point of a transparent rewrite. */
+  val q99b = GraftQuery(
+    "q99b_projection_ddl",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS gq99b")
+      val wh = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))),
+        "gq99b")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      s.sql("""CREATE TABLE gq99b (id UInt64, prio String, total Float64)
+               ENGINE = MergeTree ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq99b_src")
+      s.sql("""INSERT INTO gq99b SELECT o_orderkey, o_orderpriority, o_totalprice
+               FROM gq99b_src""")
+      s.sql("""ALTER TABLE gq99b ADD PROJECTION by_prio
+               (SELECT prio, count(), sum(total), min(total), max(total) GROUP BY prio)""")
+      val out = s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total,
+                                round(min(total), 2) AS lo, round(max(total), 2) AS hi
+                         FROM gq99b GROUP BY prio ORDER BY prio""")
+      // the rewrite must actually fire — a silent fallback would make
+      // this a plain GROUP BY and the gate would prove nothing
+      require(out.queryExecution.executedPlan.toString.contains("_graft_proj_by_prio"),
+        "projection auto-use did not engage")
+      out
+    },
+    Some("""SELECT o_orderpriority AS prio, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total,
+                   round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+            FROM orders GROUP BY 1 ORDER BY prio"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99, q99b)
 }

@@ -613,6 +613,54 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE ttl_ddl_t")
   }
 
+  test("ADD PROJECTION executes; matching aggregates auto-use it; staleness falls back") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString // FileScan shows the location
+    drop("proj_ddl_t")
+    spark.sql("""CREATE TABLE proj_ddl_t (k String, v Float64)
+                 ENGINE = MergeTree ORDER BY k""")
+    spark.sql("INSERT INTO proj_ddl_t VALUES ('a', 1.0), ('a', 2.0), ('b', 10.0)")
+    spark.sql("""ALTER TABLE proj_ddl_t ADD PROJECTION p_agg
+                 (SELECT k, count(), sum(v), max(v) GROUP BY k)""")
+    val q = "SELECT k, count(*) AS c, sum(v) AS s FROM proj_ddl_t GROUP BY k ORDER BY k"
+    val df1 = spark.sql(q)
+    assert(planOf(df1).contains("_graft_proj_p_agg"), "aggregate should scan the projection")
+    assert(df1.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 3.0), ("b", 1L, 10.0)))
+    // group-key filter rides along
+    val df1f = spark.sql("SELECT k, max(v) AS m FROM proj_ddl_t WHERE k = 'b' GROUP BY k")
+    assert(planOf(df1f).contains("_graft_proj_p_agg"))
+    assert(df1f.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("b", 10.0)))
+    // a non-covered aggregate (avg) must NOT use the projection
+    assert(!planOf(spark.sql("SELECT k, avg(v) AS a FROM proj_ddl_t GROUP BY k"))
+      .contains("_graft_proj_p_agg"))
+    // INSERT invalidates the fingerprint: fall back to base, results fresh
+    spark.sql("INSERT INTO proj_ddl_t VALUES ('b', 5.0)")
+    val df2 = spark.sql(q)
+    assert(!planOf(df2).contains("_graft_proj_p_agg"), "stale projection must not be read")
+    assert(df2.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 3.0), ("b", 2L, 15.0)))
+    // MATERIALIZE re-pins: used again with the new data
+    spark.sql("ALTER TABLE proj_ddl_t MATERIALIZE PROJECTION p_agg")
+    val df3 = spark.sql(q)
+    assert(planOf(df3).contains("_graft_proj_p_agg"))
+    assert(df3.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 3.0), ("b", 2L, 15.0)))
+    // CLEAR drops the data but keeps the declaration → fallback
+    spark.sql("ALTER TABLE proj_ddl_t CLEAR PROJECTION p_agg")
+    assert(!planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
+    spark.sql("ALTER TABLE proj_ddl_t MATERIALIZE PROJECTION p_agg")
+    assert(planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
+    // DROP removes declaration + data; duplicate ADD refuses; sort form refuses
+    spark.sql("ALTER TABLE proj_ddl_t DROP PROJECTION p_agg")
+    assert(!planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
+    spark.sql("ALTER TABLE proj_ddl_t DROP PROJECTION IF EXISTS p_agg") // no-op
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE proj_ddl_t ADD PROJECTION s (SELECT k, v ORDER BY v)"))
+    assert(e.getMessage.contains("graft.operators.Projections"))
+    spark.sql("DROP TABLE proj_ddl_t")
+  }
+
   test("CREATE DICTIONARY from a FILE source") {
     val dir = s"/tmp/graft_dictfile_${java.util.UUID.randomUUID().toString.take(8)}"
     spark.range(5).selectExpr("id AS k", "concat('v', id) AS v")
