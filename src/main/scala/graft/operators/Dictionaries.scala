@@ -44,6 +44,26 @@ object Dictionaries {
 
   def exists(name: String): Boolean = dicts.containsKey(name)
 
+  /** Registered dictionaries, for `system.dictionaries`: (name,
+    * key column, hierarchical?). Sorted for deterministic output. */
+  def list: Seq[(String, String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
+    dicts.forEach((n, d) => out += ((n, d.keyCol, d.parentCol.isDefined)))
+    out.sortBy(_._1).toSeq
+  }
+
+  /** `SYSTEM RELOAD DICTIONARY [name]` — drop cached closure rows so
+    * the next use re-reads the source (sources are thunks, so data
+    * freshness is already per-plan; this clears the hierarchy walks). */
+  def reload(name: Option[String]): Unit = name match {
+    case Some(n) =>
+      if (!exists(n)) throw new IllegalArgumentException(s"dictionary '$n' does not exist")
+      invalidateClosures(n)
+    case None =>
+      val it = dicts.keys()
+      while (it.hasMoreElements) invalidateClosures(it.nextElement())
+  }
+
   /** Remove a dictionary (DROP DICTIONARY); true when it existed. */
   def unregister(name: String): Boolean = {
     invalidateClosures(name)

@@ -710,3 +710,20 @@ case class ChDropProjectionCommand(table: String, name: String, ifExists: Boolea
     Seq.empty
   }
 }
+
+/** The SYSTEM statements with a real single-engine action:
+  * `SYSTEM RELOAD DICTIONARY [name] / DICTIONARIES` drops cached
+  * dictionary closure rows (sources are thunks, so data freshness is
+  * already per-plan — this clears the hierarchy-walk caches), and
+  * `SYSTEM DROP MARK|UNCOMPRESSED|FILESYSTEM|QUERY CACHE` clears
+  * Spark's cached relations — the closest in-engine analogs of CH's
+  * cache administration. Every other SYSTEM form refuses at parse. */
+case class ChSystemCommand(reloadDict: Option[Option[String]] = None,
+                           dropCache: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    reloadDict.foreach(graft.operators.Dictionaries.reload)
+    if (dropCache) sparkSession.catalog.clearCache()
+    Seq.empty
+  }
+}

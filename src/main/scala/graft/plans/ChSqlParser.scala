@@ -794,6 +794,10 @@ object ChSqlParser {
         }
         Some(ChAlterMutateCommand(table, predPart, assigns))
       }
+    case SystemReloadDicts() => Some(ChSystemCommand(reloadDict = Some(None)))
+    case SystemReloadDict(name) =>
+      Some(ChSystemCommand(reloadDict = Some(Some(name.stripPrefix("`").stripSuffix("`")))))
+    case SystemDropCache(_) => Some(ChSystemCommand(dropCache = true))
     case AddProjectionStmt(table, ine, name, body) =>
       if ("""(?is)\bGROUP\s+BY\b""".r.findFirstIn(body).isEmpty)
         throw new UnsupportedOperationException(
@@ -941,6 +945,14 @@ object ChSqlParser {
   }
   private val SystemStmt =
     """(?is)^\s*SYSTEM\s+\w+""".r
+  // the SYSTEM forms with a real single-engine action (cache/closure
+  // invalidation) — everything else refuses above
+  private val SystemReloadDicts =
+    """(?is)^\s*SYSTEM\s+RELOAD\s+DICTIONARIES\s*;?\s*$""".r
+  private val SystemReloadDict =
+    """(?is)^\s*SYSTEM\s+RELOAD\s+DICTIONARY\s+(`[^`]+`|[\w.]+)\s*;?\s*$""".r
+  private val SystemDropCache =
+    """(?is)^\s*SYSTEM\s+DROP\s+(MARK|UNCOMPRESSED|FILESYSTEM|QUERY)\s+CACHE\s*;?\s*$""".r
 
   /** CH column-list text → (name, Spark DDL type) pairs; shared by the
     * batch CREATE TABLE rewrite and the Kafka-engine streaming DDL. */
@@ -1339,6 +1351,8 @@ object ChSqlParser {
   private val SystemTables = """(?i)\bFROM\s+system\.tables\b""".r
   private val SystemColumns = """(?i)\bFROM\s+system\.columns\b""".r
   private val SystemDatabases = """(?i)\bFROM\s+system\.databases\b""".r
+  private val SystemParts = """(?i)\bFROM\s+system\.parts\b""".r
+  private val SystemDictionaries = """(?i)\bFROM\s+system\.dictionaries\b""".r
 
   private[plans] def chTypeNameOf(t: String): String = {
     val s = t.trim
@@ -1405,6 +1419,58 @@ object ChSqlParser {
         out = SystemTables.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
             "FROM " + valuesSubquery(rows, Seq("database", "name", "engine"))))
+      }
+      if (SystemDictionaries.findFirstIn(out).isDefined) {
+        val rows = graft.operators.Dictionaries.list.map { case (n, k, h) =>
+          Seq(sqlStr(n), sqlStr(k), if (h) "1" else "0")
+        }
+        out = SystemDictionaries.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement(
+            "FROM " + valuesSubquery(rows, Seq("name", "key", "hierarchical"))))
+      }
+      // system.parts: one row per partition directory (the engine's
+      // "part" unit — directories drop/rewrite as units) with
+      // file count + bytes from a metadata walk, no data read.
+      if (SystemParts.findFirstIn(out).isDefined) {
+        val rows = catalogTables(spark).filter(_._3 == "MergeTree").flatMap { case (d, n, _) =>
+          try {
+            val qualified = if (d.isEmpty) n else s"$d.$n"
+            val meta = spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(qualified))
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              meta.location, spark.sparkContext.hadoopConfiguration)
+            val root = new org.apache.hadoop.fs.Path(meta.location)
+            def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+              var (cnt, bytes) = (0L, 0L)
+              fs.listStatus(p).foreach { st =>
+                val nm = st.getPath.getName
+                if (!nm.startsWith("_") && !nm.startsWith(".")) {
+                  if (st.isDirectory) { val (c, b) = filesUnder(st.getPath); cnt += c; bytes += b }
+                  else { cnt += 1; bytes += st.getLen }
+                }
+              }
+              (cnt, bytes)
+            }
+            if (meta.partitionColumnNames.nonEmpty) {
+              fs.listStatus(root).toSeq
+                .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith("."))
+                .map { st =>
+                  val (c, b) = filesUnder(st.getPath)
+                  Seq(sqlStr(if (d.isEmpty) "default" else d), sqlStr(n),
+                    sqlStr(st.getPath.getName), c.toString, b.toString)
+                }
+            } else {
+              val (c, b) = filesUnder(root)
+              Seq(Seq(sqlStr(if (d.isEmpty) "default" else d), sqlStr(n),
+                sqlStr("all"), c.toString, b.toString))
+            }
+          } catch { case _: Exception => Nil }
+        }
+        out = SystemParts.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement(
+            "FROM " + valuesSubquery(rows,
+              Seq("database", "table", "partition", "part_count", "bytes_on_disk"))))
       }
       if (SystemColumns.findFirstIn(out).isDefined) {
         val rows = catalogTables(spark).flatMap { case (d, n, _) =>
@@ -1751,10 +1817,14 @@ object ChSqlParser {
     // ALTER TABLE … DELETE/UPDATE and OPTIMIZE TABLE execute — they
     // become RunnableCommands in interceptCommand (called by
     // parsePlan on the rewritten text), not string rewrites.
-    if (SystemStmt.findFirstIn(out).isDefined)
+    if (SystemStmt.findFirstIn(out).isDefined &&
+        SystemReloadDicts.findFirstIn(out).isEmpty &&
+        SystemReloadDict.findFirstIn(out).isEmpty &&
+        SystemDropCache.findFirstIn(out).isEmpty)
       throw new UnsupportedOperationException(
         "SYSTEM statements administer a ClickHouse server; there is no server here — " +
-          "caches and dictionaries reload per query plan")
+          "caches and dictionaries reload per query plan (SYSTEM RELOAD DICTIONARY/" +
+          "DICTIONARIES and SYSTEM DROP … CACHE do execute)")
     out = rewriteWithConstants(out)
     out = rewriteArrayLiterals(out)
     out = rewriteMapLiterals(out)

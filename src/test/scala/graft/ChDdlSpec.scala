@@ -415,10 +415,35 @@ class ChDdlSpec extends SparkSpec {
       assert(c.map(_.getInt(2)).toSeq == Seq(1, 2))
       val d = spark.sql("SELECT name FROM system.databases").collect().map(_.getString(0))
       assert(d.contains("default"))
+      // system.parts: one row per partition directory, bytes from metadata
+      spark.sql("INSERT INTO sys_probe VALUES (1, 'a'), (2, 'b')")
+      val p = spark.sql(
+        "SELECT partition, part_count, bytes_on_disk FROM system.parts WHERE table = 'sys_probe'")
+        .collect()
+      assert(p.length == 1 && p(0).getString(0) == "all" &&
+        p(0).getInt(1) >= 1 && p(0).getInt(2) > 0)
     } finally {
       spark.sql("DROP TABLE IF EXISTS sys_probe")
       spark.catalog.dropTempView("sys_probe_view")
     }
+  }
+
+  test("SYSTEM RELOAD DICTIONARY/DROP CACHE execute; system.dictionaries lists") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("sysd_src")
+    spark.sql("""CREATE DICTIONARY sysd (k UInt64, v String) PRIMARY KEY k
+                 SOURCE(CLICKHOUSE(TABLE 'sysd_src')) LAYOUT(FLAT())""")
+    val rows = spark.sql(
+      "SELECT name, key, hierarchical FROM system.dictionaries WHERE name = 'sysd'").collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "k" && rows(0).getInt(2) == 0)
+    spark.sql("SYSTEM RELOAD DICTIONARY sysd")
+    spark.sql("SYSTEM RELOAD DICTIONARIES")
+    spark.sql("SYSTEM DROP MARK CACHE")
+    val e = intercept[Exception](spark.sql("SYSTEM RELOAD DICTIONARY no_such"))
+    assert(e.getMessage.contains("does not exist"))
+    val e2 = intercept[Exception](spark.sql("SYSTEM FLUSH LOGS"))
+    assert(e2.getMessage.contains("no server"))
+    spark.sql("DROP DICTIONARY sysd")
   }
 
   test("system.numbers LIMIT and system.one generators") {
@@ -479,7 +504,7 @@ class ChDdlSpec extends SparkSpec {
     }
     refusal("ALTER TABLE t ADD PROJECTION p (SELECT * ORDER BY x)", "Projections")
     refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY TO DISK 'cold'", "TO DISK")
-    refusal("SYSTEM RELOAD DICTIONARIES", "no server")
+    refusal("SYSTEM RESTART REPLICA r", "no server")
     // TRUNCATE on a DDL-created table is native Spark behavior
     spark.sql("DROP TABLE IF EXISTS ddl_trunc")
     spark.sql("CREATE TABLE ddl_trunc (k UInt32) ENGINE = Memory")

@@ -248,4 +248,50 @@ class RandomizedSpec extends SparkSpec {
       assert(h >= 0 && h <= 0xFFFFFFFFL)
     }
   }
+
+  test("projection auto-use equals the base aggregation on random tables and queries") {
+    val rnd = new scala.util.Random(20260814L)
+    spark.sql("DROP TABLE IF EXISTS rnd_proj_t")
+    val loc = new java.io.File("spark-warehouse/rnd_proj_t")
+    if (loc.exists()) {
+      java.nio.file.Files.walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
+    }
+    spark.sql("""CREATE TABLE rnd_proj_t (g1 String, g2 UInt32, a Int64, b Float64)
+                 ENGINE = MergeTree ORDER BY g1""")
+    val rows = Seq.tabulate(400)(_ =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(4), rnd.nextInt(1000).toLong, rnd.nextInt(10000) / 100.0))
+    rows.toDF("g1", "g2", "a", "b").createOrReplaceTempView("rnd_proj_src")
+    spark.sql("INSERT INTO rnd_proj_t SELECT * FROM rnd_proj_src")
+    spark.sql("""ALTER TABLE rnd_proj_t ADD PROJECTION rp
+                 (SELECT g1, g2, count(), sum(a), min(b), max(b), sum(b) GROUP BY g1, g2)""")
+    val queries = Seq(
+      "SELECT g1, g2, count(*) AS c, sum(a) AS sa FROM rnd_proj_t GROUP BY g1, g2 ORDER BY g1, g2",
+      "SELECT g2, g1, max(b) AS mb, min(b) AS nb, round(sum(b), 2) AS sb FROM rnd_proj_t GROUP BY g2, g1 ORDER BY g2, g1",
+      "SELECT g1, g2, sum(a) * 2 + count(*) AS mix FROM rnd_proj_t WHERE g1 <> 'k3' GROUP BY g1, g2 ORDER BY g1, g2",
+      "SELECT g1, g2, count(*) AS c FROM rnd_proj_t WHERE g2 >= 2 GROUP BY g1, g2 ORDER BY g1, g2",
+    )
+    queries.foreach { q =>
+      val withProj = spark.sql(q)
+      assert(withProj.queryExecution.executedPlan.toString.contains("_graft_proj_rp"),
+        s"projection should engage for: $q")
+      val got = withProj.collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.projections.autoUse", "false")
+      val want = try spark.sql(q).collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.graft.projections.autoUse", "true")
+      assert(got == want, s"projection rewrite changed results for: $q")
+    }
+    // non-matching shapes must not engage: avg, distinct, non-key filter, subset keys
+    Seq(
+      "SELECT g1, g2, avg(b) AS ab FROM rnd_proj_t GROUP BY g1, g2",
+      "SELECT g1, g2, count(DISTINCT a) AS d FROM rnd_proj_t GROUP BY g1, g2",
+      "SELECT g1, g2, count(*) AS c FROM rnd_proj_t WHERE a > 100 GROUP BY g1, g2",
+      "SELECT g1, count(*) AS c FROM rnd_proj_t GROUP BY g1",
+    ).foreach { q =>
+      assert(!spark.sql(q).queryExecution.executedPlan.toString.contains("_graft_proj_rp"),
+        s"projection must not engage for: $q")
+    }
+    spark.sql("DROP TABLE rnd_proj_t")
+  }
 }
