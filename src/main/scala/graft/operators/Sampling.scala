@@ -50,3 +50,43 @@ object Sampling {
   def sampleKeyFor(table: String): Option[String] =
     Option(sampleKeys.get(table.toLowerCase))
 }
+
+/** Deterministic global shuffle — the training-order pass: every epoch
+  * visits the corpus in a different but REPRODUCIBLE pseudo-random
+  * order, keyed by `md5(seed || id)` (content-addressed like SAMPLE,
+  * so any engine — and any rerun — derives the same permutation).
+  *
+  * Scale shape: a single global row_number() would sort the corpus in
+  * ONE partition. Instead the key's leading hex nibble forms 16
+  * ordered shards (shard-major order IS key order, because the shard
+  * is the key's prefix): positions are a per-shard window plus each
+  * shard's prefix-sum offset — a tiny 16-row aggregate — so every
+  * sort is shard-bounded. Raise the nibble count for more parallelism
+  * (two nibbles → 256 shards) at 100 TB.
+  */
+object Shuffle {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** Append `epoch_pos` (0-based global position for this epoch's
+    * permutation) and `shuffle_shard` to `df`. Ties on the md5 key
+    * break by id, so the order is total on both engines. */
+  def epochOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = md5(concat_ws("-", lit(seed), col(idCol).cast("string")))
+    val shard = (instr(lit("0123456789abcdef"), substring(key, 1, 1)) - 1).cast("int")
+    val withKey = df.withColumn("__sk", key).withColumn("shuffle_shard", shard)
+    val inShard = row_number().over(
+      Window.partitionBy(col("shuffle_shard")).orderBy(col("__sk"), col(idCol)))
+    val counts = withKey.groupBy("shuffle_shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("shuffle_shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shuffle_shard"), col("__offset"))
+    withKey.withColumn("__rn", inShard)
+      .join(broadcast(counts), Seq("shuffle_shard"))
+      .withColumn("epoch_pos", col("__offset") + col("__rn") - 1)
+      .drop("__sk", "__rn", "__offset")
+  }
+}

@@ -490,6 +490,41 @@ object DataPipeline {
              FROM documents GROUP BY 1 ORDER BY shard"""),
   )
 
+  /** Deterministic global shuffle for training order (round 10):
+    * every epoch permutes the corpus by `md5(seed || id)` —
+    * content-addressed, so any engine and any rerun derives the same
+    * order. [[graft.operators.Shuffle.epochOrder]] computes positions
+    * shard-locally (the key's leading nibble is the shard AND the
+    * order prefix, so shard-major order is key order) + a 16-row
+    * broadcast prefix-sum — no global single-partition sort. Two
+    * epochs in the output demonstrate distinct permutations; the
+    * oracle replays both with one global row_number each. */
+  val q67b = GraftQuery(
+    "q67b_global_shuffle",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id")
+      val e0 = graft.operators.Shuffle.epochOrder(docs, "doc_id", "epoch0")
+        .select(col("doc_id"), col("epoch_pos").as("pos_e0"),
+          col("shuffle_shard").as("shard_e0"))
+      val e1 = graft.operators.Shuffle.epochOrder(docs, "doc_id", "epoch1")
+        .select(col("doc_id"), col("epoch_pos").as("pos_e1"))
+      e0.join(e1, Seq("doc_id")).orderBy("doc_id")
+    },
+    Some("""WITH k0 AS (SELECT doc_id, md5(concat('epoch0', '-', CAST(doc_id AS VARCHAR))) AS k
+                        FROM documents),
+                 k1 AS (SELECT doc_id, md5(concat('epoch1', '-', CAST(doc_id AS VARCHAR))) AS k
+                        FROM documents),
+                 p0 AS (SELECT doc_id,
+                               CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos_e0,
+                               CAST(strpos('0123456789abcdef', substring(k, 1, 1)) - 1 AS INT) AS shard_e0
+                        FROM k0),
+                 p1 AS (SELECT doc_id,
+                               CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos_e1
+                        FROM k1)
+            SELECT p0.doc_id, p0.pos_e0, p0.shard_e0, p1.pos_e1
+            FROM p0 JOIN p1 USING (doc_id) ORDER BY doc_id"""),
+  )
+
   /** The full curation pipeline in one operator
     * ([[TextAnalysis.curateChunks]]): exact dedup → quality ≥ 0.5 →
     * chunk(8, overlap 2) → shard. The oracle replays every stage in
@@ -861,5 +896,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q40b, q41, q42, q43, q44, q45, q46, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q68, q69, q90b)
+        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b)
 }
