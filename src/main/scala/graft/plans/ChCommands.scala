@@ -101,6 +101,14 @@ object ChCommands {
   private def projManifest(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path, "_graft_table_projections.txt")
 
+  /** Projection data lives in a SIBLING of the table directory (like
+    * swapInPlace's backup), not inside it: a leading-underscore child
+    * is invisible to the base read but some read paths also refuse an
+    * underscore ROOT, while a sibling is a perfectly ordinary
+    * directory for the projection scan AND outside the base walk. */
+  private[plans] def projDataPath(path: String, name: String): String =
+    path.stripSuffix("/") + s"__graft_proj_$name"
+
   private def fsOf(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -159,7 +167,7 @@ object ChCommands {
           states.split(",").toSeq.filter(_.nonEmpty).map { s =>
             val Array(c, f, src) = s.split(":", -1); (c, f, src)
           },
-          new org.apache.hadoop.fs.Path(path, s"_graft_proj_$name").toString, fp,
+          projDataPath(path, name), fp,
           fingerprintOk = false)
       }
       projCache.put(path, (mtime, specs))
@@ -191,12 +199,12 @@ object ChCommands {
       case (c, "max", src) => mx(col(src)).as(c)
       case (_, f, _) => throw new IllegalArgumentException(s"unsupported projection state $f")
     }
-    val fp = contentFingerprint(spark, path) // BEFORE writing (proj dirs are hidden anyway)
-    val tmp = new org.apache.hadoop.fs.Path(path, s"_graft_proj_${name}__building").toString
+    val fp = contentFingerprint(spark, path) // sibling data dirs are outside the walk
+    val tmp = projDataPath(path, name) + "__building"
     base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       .write.mode("overwrite").parquet(tmp)
     val fs = fsOf(spark, path)
-    val dst = new org.apache.hadoop.fs.Path(path, s"_graft_proj_$name")
+    val dst = new org.apache.hadoop.fs.Path(projDataPath(path, name))
     fs.delete(dst, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst), s"projection build rename failed: $dst")
     val others = tableProjections(spark, path).filterNot(_.name == name)
@@ -622,9 +630,9 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
   * — an AGGREGATE projection, built EAGERLY from the current data
   * (ClickHouse builds for future parts and backfills on MATERIALIZE;
   * a recompute engine's eager build is the deterministic equivalent).
-  * The projection lands under `<table>/_graft_proj_<name>/` (the
-  * leading underscore hides it from the base table's own parquet
-  * reads) with a manifest line binding (name, keys, states) to a
+  * The projection lands in a SIBLING directory
+  * `<table>__graft_proj_<name>/` (outside the base table's own
+  * parquet walk) with a manifest line binding (name, keys, states) to a
   * CONTENT FINGERPRINT of the base data; [[ProjectionAutoUse]] swaps
   * matching aggregates onto the projection only while the
   * fingerprint holds, so later inserts/mutations silently fall back
@@ -703,7 +711,7 @@ case class ChDropProjectionCommand(table: String, name: String, ifExists: Boolea
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(info.path, s"_graft_proj_$name"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ChCommands.projDataPath(info.path, name)), true)
     if (!clearOnly)
       ChCommands.writeProjectionManifest(sparkSession, info.path, specs.filterNot(_.name == name))
     ChCommands.invalidateProjectionCache(info.path)

@@ -98,6 +98,9 @@ case class ProjectionAutoUse(session: SparkSession) extends Rule[LogicalPlan] {
         return None
     }
     val wanted = aggKey.values.toSet
+    // keys-only aggregate (a DISTINCT): nothing to merge — the base
+    // scan's own partial aggregation is already minimal; skip
+    if (wanted.isEmpty) return None
     val hit = specs.find { sp =>
       sp.keys.toSet == keyNames.toSet && sp.fingerprintOk &&
         wanted.subsetOf(sp.states.map(st => (st._2, st._3)).toSet)

@@ -565,10 +565,12 @@ object Arrays {
     "q99b_projection_ddl",
     (s, dir) => {
       s.sql("DROP TABLE IF EXISTS gq99b")
-      val wh = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))),
-        "gq99b")
-      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      val whRoot = new org.apache.hadoop.fs.Path(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the table dir AND its sibling projection-data dirs from prior runs
+      fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99b*"))
+        .foreach(st => fs.delete(st.getPath, true))
       s.sql("""CREATE TABLE gq99b (id UInt64, prio String, total Float64)
                ENGINE = MergeTree ORDER BY id""")
       Tables(s, dir).orders.createOrReplaceTempView("gq99b_src")
