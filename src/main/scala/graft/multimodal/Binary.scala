@@ -11,11 +11,16 @@ import org.apache.spark.sql.types._
   * IMAGE decode and pixel features are REAL ([[ImageIoDecoder]] /
   * [[ImageGridFeatures]], on the JDK's built-in `javax.imageio`
   * codecs — PNG/JPEG/GIF/BMP; gate-checked end to end by
-  * `q80b_image_decode`). Audio/video codecs don't ship on a stock
-  * JVM, so those paths keep the deterministic [[StubDecoder]] /
-  * [[HashFeatures]] stand-ins; the Spark-side contract — schema,
-  * partition-batched execution, metadata propagation — is identical,
-  * so a JNI/codec-backed [[Decoder]] drops in with no other change.
+  * `q80b_image_decode`). AUDIO decode is REAL ([[JavaSoundAudio]] on
+  * `javax.sound.sampled` — WAV/AIFF/AU PCM; `q80c_audio_decode`).
+  * VIDEO container decode and frame extraction are REAL
+  * ([[AviCodec]] — AVI RIFF mux/demux with uncompressed-DIB and
+  * MJPEG frames; `q80d_video_decode`). Only compressed codecs the
+  * JVM doesn't ship (H.264, MP3/OGG) keep the deterministic
+  * [[StubDecoder]] / [[HashFeatures]] stand-ins; the Spark-side
+  * contract — schema, partition-batched execution, metadata
+  * propagation — is identical, so a JNI/codec-backed [[Decoder]]
+  * drops in with no other change.
   *
   * Scale notes: payloads never pass through a shuffle — metadata is
   * extracted in a projection over the scan, and decode runs
@@ -213,6 +218,54 @@ object Binary {
         val info = JavaSoundAudio.decode(r.getAs[Array[Byte]](idx))
         Row.fromSeq(r.toSeq :+ Row(info.channels, info.sampleRate, info.nSamples,
           info.rms, info.zeroCrossings, info.ok))
+      }
+    }(enc)
+  }
+
+  /** Video decode stage: per-partition batched [[AviCodec.probe]]
+    * (REAL container parse — see AviCodec for the format notes),
+    * appending a `video_info` struct. Header-only: frame payloads are
+    * not decoded, so this is a cheap 100 TB metadata pass. */
+  def videoDecodeStage(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("video_info",
+      StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("frames", IntegerType, nullable = false),
+        StructField("fps_num", IntegerType, nullable = false),
+        StructField("fps_den", IntegerType, nullable = false),
+        StructField("ok", BooleanType, nullable = false)))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val v = AviCodec.probe(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(v.width, v.height, v.frames, v.fpsNum, v.fpsDen, v.ok))
+      }
+    }(enc)
+  }
+
+  /** Video frame-sample + feature stage: decode the container ONCE per
+    * row, pick min(`n`, frames) evenly-spaced frames (same index rule
+    * as [[sampleFrames]]) and emit one output row per sampled frame
+    * with its exact integer luminance statistic
+    * ([[AviCodec.frameLumSums]]). Payloads never shuffle; undecodable
+    * rows emit nothing (same contract as explode on an empty array). */
+  def videoFrameStage(df: DataFrame, payloadCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("lum_sum", LongType, nullable = false)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val sums = AviCodec.frameLumSums(r.getAs[Array[Byte]](idx))
+        val total = sums.length
+        val picks =
+          if (total <= n) 0 until total
+          else (0 until n).map(i => (i.toLong * total / n).toInt)
+        picks.map(fi => Row.fromSeq(r.toSeq ++ Seq[Any](fi, sums(fi))))
       }
     }(enc)
   }

@@ -1353,6 +1353,26 @@ object ChSqlParser {
   private val SystemDatabases = """(?i)\bFROM\s+system\.databases\b""".r
   private val SystemParts = """(?i)\bFROM\s+system\.parts\b""".r
   private val SystemDictionaries = """(?i)\bFROM\s+system\.dictionaries\b""".r
+  private val SystemFunctions = """(?i)\bFROM\s+system\.functions\b""".r
+
+  /** Which registered CH functions are aggregates — probed ONCE per
+    * JVM by building each registry entry against dummy literal args
+    * and checking for an aggregate node in the tree (the registry
+    * stores only name → builder, so the tag is derived, not stored).
+    * Builders that reject every probe arity default to scalar. */
+  private lazy val aggregateFnNames: Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    ChDialect.functions.iterator.collect { case (n, b)
+      if (0 to 3).exists { k =>
+        try b(Seq.fill(k)(Literal(1L))).exists {
+          case _: AggregateExpression => true
+          case _: AggregateFunction => true
+          case _ => false
+        } catch { case _: Throwable => false }
+      } => n
+    }.toSet
+  }
 
   private[plans] def chTypeNameOf(t: String): String = {
     val s = t.trim
@@ -1419,6 +1439,18 @@ object ChSqlParser {
         out = SystemTables.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
             "FROM " + valuesSubquery(rows, Seq("database", "name", "engine"))))
+      }
+      // system.functions: the live ChDialect registry — the surface
+      // BI tools and migration scanners enumerate. Every row is a
+      // name the session will actually resolve, so the doc can't
+      // drift from the code (same discipline as docs/FUNCTIONS.md).
+      if (SystemFunctions.findFirstIn(out).isDefined) {
+        val rows = ChDialect.functions.map(_._1).distinct.sorted.map { n =>
+          Seq(sqlStr(n), if (aggregateFnNames.contains(n)) "1" else "0", sqlStr("graft"))
+        }
+        out = SystemFunctions.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement(
+            "FROM " + valuesSubquery(rows, Seq("name", "is_aggregate", "origin"))))
       }
       if (SystemDictionaries.findFirstIn(out).isDefined) {
         val rows = graft.operators.Dictionaries.list.map { case (n, k, h) =>

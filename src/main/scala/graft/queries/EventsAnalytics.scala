@@ -524,6 +524,80 @@ object EventsAnalytics {
             ORDER BY id"""),
   )
 
+  /** REAL video decode through the multimodal plumbing: deterministic
+    * formula-pixel frames muxed into genuine AVI containers
+    * (uncompressed 24-bit DIB — [[graft.multimodal.AviCodec]]), then
+    * demuxed back: header probe (width/height/frames/fps), evenly-
+    * spaced frame sampling, and an exact integer luminance statistic
+    * per sampled frame (Σ 299R+587G+114B — BT.601 ×1000, a BIGINT any
+    * engine reproduces bit-for-bit). The oracle REPLAYS the pixel
+    * formula over generate_series rather than trusting literals; a
+    * junk payload must degrade to ok = false, never throw. */
+  val q80d = GraftQuery(
+    "q80d_video_decode",
+    (s, dir) => {
+      import s.implicits._
+      def avi(w: Int, h: Int, n: Int, fps: Int): Array[Byte] = {
+        val frames = (0 until n).map { t =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (x * 7 + y * 13 + t * 31) % 256
+              val g = (x * 3 + y * 5 + t * 17) % 256
+              val b = (x * 11 + y * 2 + t * 23) % 256
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        graft.multimodal.AviCodec.encodeDib(frames, fps)
+      }
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        1L -> avi(48, 32, 6, 10),
+        2L -> avi(24, 20, 9, 25),
+        3L -> avi(16, 12, 3, 5),
+        4L -> Array[Byte](7, 7, 7)) // not a video
+      val df = rows.toDF("id", "payload")
+      val base = Binary.videoDecodeStage(df, "payload")
+        .select($"id", $"video_info.width".as("width"),
+          $"video_info.height".as("height"), $"video_info.frames".as("frames"),
+          $"video_info.fps_num".as("fps_num"), $"video_info.ok".as("ok"))
+      val framed = Binary.videoFrameStage(df, "payload", 4)
+        .select($"id", $"frame_idx", $"lum_sum")
+      base.join(framed, Seq("id"), "left")
+        .select($"id", $"width", $"height", $"frames", $"fps_num", $"ok",
+          coalesce($"frame_idx", lit(-1)).as("frame_idx"),
+          coalesce($"lum_sum", lit(0L)).as("lum_sum"))
+        .orderBy("id", "frame_idx")
+    },
+    Some("""WITH v(id, w, h, n, fps) AS (VALUES (CAST(1 AS BIGINT), 48, 32, 6, 10),
+                                                (2, 24, 20, 9, 25),
+                                                (3, 16, 12, 3, 5)),
+                 picks AS (SELECT id, w, h, n, fps,
+                                  CAST(CASE WHEN n <= 4 THEN u.i ELSE (u.i * n) // 4 END AS INT) AS frame_idx
+                           FROM v, LATERAL unnest(range(0, CASE WHEN n < 4 THEN n ELSE 4 END)) AS u(i)),
+                 lum AS (SELECT p.id, p.frame_idx,
+                                CAST(sum(299 * ((xx.x * 7 + yy.y * 13 + p.frame_idx * 31) % 256)
+                                       + 587 * ((xx.x * 3 + yy.y * 5 + p.frame_idx * 17) % 256)
+                                       + 114 * ((xx.x * 11 + yy.y * 2 + p.frame_idx * 23) % 256)) AS BIGINT) AS lum_sum
+                         FROM picks p,
+                              LATERAL unnest(range(0, p.w)) AS xx(x),
+                              LATERAL unnest(range(0, p.h)) AS yy(y)
+                         GROUP BY 1, 2)
+            SELECT p.id, CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+                   CAST(p.n AS INT) AS frames, CAST(p.fps AS INT) AS fps_num, TRUE AS ok,
+                   p.frame_idx, l.lum_sum
+            FROM picks p JOIN lum l ON p.id = l.id AND p.frame_idx = l.frame_idx
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), 0, 0, 0, 0, FALSE, CAST(-1 AS INT), CAST(0 AS BIGINT)
+            ORDER BY id, frame_idx"""),
+  )
+
   /** deltaSum analog: sum of POSITIVE deltas of consecutive values.
     * ClickHouse's deltaSum runs in block order (nondeterministic under
     * parallel merge — its own docs warn so); the engine makes the
@@ -618,5 +692,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d)
 }

