@@ -633,11 +633,21 @@ object Replication {
         stream, "ts", watermarkDelay = "6 hours", windowDur = "1 day",
         keys = Seq("user_id"),
         aggs = Seq(count(lit(1)).as("cnt"), sum("cents").as("cents")))
-      val q = agg.select("user_id", "window_start", "cnt", "cents")
-        .writeStream.format("parquet").outputMode("append")
-        .option("path", target).option("checkpointLocation", ckpt).start()
-      q.processAllAvailable()
-      q.stop()
+      // State-store partition count is pinned from shuffle.partitions
+      // at the query's FIRST run. ~21 keys here — 32 state partitions
+      // would mean 32 state-store tasks per micro-batch (×5 batches)
+      // for a handful of rows each. Size state partitions to key
+      // cardinality, exactly as one would on a real cluster; restore
+      // the session default for everything after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.select("user_id", "window_start", "cnt", "cents")
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", target).option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(target).orderBy("user_id", "window_start")
     },
     Some("""WITH slice AS (SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
@@ -652,5 +662,79 @@ object Replication {
             FROM kept GROUP BY 1, 2 ORDER BY user_id, window_start"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q98b, q100, q101, q102, q103, q104)
+  /** Streaming CDC apply IN the gate: the
+    * [[graft.streaming.CdcApply]] flatMapGroupsWithState operator
+    * (latest-version-per-key with tombstones — the continuous
+    * ReplacingMergeTree) driven over a 3-file changelog replayed one
+    * file per micro-batch, deliberately OUT OF ORDER (v2 updates
+    * arrive before v1 inserts, tombstones last) to prove the
+    * at-least-once/out-of-order safety the operator claims. The
+    * memory sink accumulates update-mode emissions; the final state
+    * is the max-version row per key (deterministic — emission only
+    * happens when a version strictly increases, batch boundaries are
+    * mtime-pinned). The oracle replays insert→update→delete
+    * declaratively. Gate-bounded key slice keeps the driver-side
+    * memory sink small; the production path is the same operator
+    * into foreachBatch upserts. */
+  val q105 = GraftQuery(
+    "q105_stream_cdc",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_cdc105/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val landing = s"$base/landing"
+      val slice = Tables(s, dir).orders.where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val v2 = slice.where($"key" % 3 === 0).select($"key",
+        lit(2L).as("version"), lit(false).as("deleted"), $"prio", ($"cents" * 2).as("cents"))
+      val v1 = slice.select($"key", lit(1L).as("version"), lit(false).as("deleted"),
+        $"prio", $"cents")
+      val v3 = slice.where($"key" % 5 === 0).select($"key",
+        lit(3L).as("version"), lit(true).as("deleted"), $"prio", $"cents")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      Seq(v2, v1, v3).zipWithIndex.foreach { case (df, i) =>
+        val t = s"$base/tmp/$i"
+        df.coalesce(1).write.mode("overwrite").json(t)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+        fs.rename(part, dst)
+        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      }
+      val schema = "key LONG, version LONG, deleted BOOLEAN, prio STRING, cents LONG"
+      val changes = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .select($"key", $"version", $"deleted",
+          struct($"prio".as("_1"), $"cents".as("_2")).as("value"))
+        .as[graft.streaming.Change[Long, (String, Long)]]
+      val mat = graft.streaming.CdcApply.latestByKey(changes)
+      // ~2k keys: size state partitions to cardinality (see q104)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = mat.toDF().writeStream.format("memory").queryName("gq105_sink")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("version").desc)
+      s.table("gq105_sink")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1 && !$"deleted")
+        .groupBy($"value._1".as("prio"))
+        .agg(count(lit(1)).as("cnt"), sum($"value._2").as("cents"))
+        .orderBy("prio")
+    },
+    Some("""SELECT o_orderpriority AS prio, count(*) AS cnt,
+                   CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                                 THEN 2 * CAST(floor(o_totalprice * 100) AS BIGINT)
+                                 ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 5 <> 0
+            GROUP BY 1 ORDER BY prio"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q98b, q100, q101, q102, q103, q104, q105)
 }
