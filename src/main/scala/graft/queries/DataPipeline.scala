@@ -894,7 +894,66 @@ object DataPipeline {
             FROM packed GROUP BY shard, pack ORDER BY shard, pack"""),
   )
 
+  /** Continuous dedup at the training-data front door IN the gate:
+    * [[graft.streaming.StreamDedup.firstPerFingerprint]]
+    * (flatMapGroupsWithState — first document per content fingerprint
+    * passes, every later duplicate drops, ACROSS micro-batches) over
+    * a 2-file ingest replay: batch 0 is the initial crawl
+    * (doc_id < 600), batch 1 mixes genuinely new docs (600–899) with
+    * re-deliveries of a third of batch 0 under fresh ingest ids
+    * (+10⁹) — the at-least-once crawler shape. State blocks every
+    * re-delivered fingerprint, within-batch ties break on min id, so
+    * the survivor set is exactly batch dedup's min-doc_id-per-
+    * fingerprint over the union — which is what the oracle replays.
+    * Only (fp, id) ship through the stream: payloads stay in the
+    * store, the 100 TB shape. */
+  val q106 = GraftQuery(
+    "q106_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_dedup106/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val landing = s"$base/landing"
+      val docs = docsNorm(Tables(s, dir))
+        .withColumn("fp", md5(col("norm").cast("binary")))
+        .select(col("doc_id"), col("fp"))
+      val b0 = docs.where(col("doc_id") < 600)
+        .select(col("fp"), col("doc_id").as("id"))
+      val b1 = docs.where(col("doc_id") >= 600 && col("doc_id") < 900)
+        .select(col("fp"), col("doc_id").as("id"))
+        .unionAll(docs.where(col("doc_id") < 600 && col("doc_id") % 3 === 0)
+          .select(col("fp"), (col("doc_id") + 1000000000L).as("id")))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+        val t = s"$base/tmp/$i"
+        df.coalesce(1).write.mode("overwrite").json(t)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+        fs.rename(part, dst)
+        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      }
+      val stream = s.readStream.schema("fp STRING, id LONG")
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .select(col("fp"), col("id"), col("id").as("value"))
+        .as[graft.streaming.Doc[Long]]
+      val survivors = graft.streaming.StreamDedup.firstPerFingerprint(stream)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // ~900 keys (see q104)
+      try {
+        val q = survivors.toDF().writeStream.format("memory").queryName("gq106_sink")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("gq106_sink").select(col("fp"), col("id").as("keep_id")).orderBy("fp")
+    },
+    Some(s"""SELECT md5($normSql) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id
+             FROM documents WHERE doc_id < 900 GROUP BY 1 ORDER BY fp"""),
+  )
+
   val all: Seq[GraftQuery] =
     Seq(q40, q40b, q41, q42, q43, q44, q45, q46, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b)
+        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q106)
 }

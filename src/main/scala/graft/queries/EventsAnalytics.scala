@@ -598,6 +598,79 @@ object EventsAnalytics {
             ORDER BY id, frame_idx"""),
   )
 
+  /** Continuous funnel IN the gate:
+    * [[graft.streaming.StatefulFunnel.funnelUpdates]] (per-user
+    * state-store fold — the continuous windowFunnel materialized
+    * view) over a 2-file landing split AT A TIMESTAMP (events before
+    * the midpoint, then events at/after it) so delivery is
+    * time-ordered across micro-batches — the regime where the
+    * operator provably equals the batch fold. Levels only advance,
+    * so each user's final level is the max of their update-mode
+    * emissions; the oracle is the q71 funnel SQL on the same user
+    * slice. Only (user, ts, type) ship through the stream. */
+  val q107 = GraftQuery(
+    "q107_stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_funnel107/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val landing = s"$base/landing"
+      val slice = Tables(s, dir).events.where(col("user_id") < 300)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val bounds = slice.agg(min("ts"), max("ts")).head() // two bounded scalars
+      val mid = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      Seq(slice.where(col("ts") < lit(mid)), slice.where(col("ts") >= lit(mid)))
+        .zipWithIndex.foreach { case (df, i) =>
+          val t = s"$base/tmp/$i"
+          df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+            .coalesce(1).write.mode("overwrite").json(t)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+          fs.rename(part, dst)
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+        }
+      val stream = s.readStream.schema("user_id LONG, ts_us LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+        .as[graft.streaming.StatefulFunnel.Event]
+      val updates = graft.streaming.StatefulFunnel.funnelUpdates(
+        stream, Seq("signup", "click", "purchase"), windowDays = 7)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // ~300 users (see q104)
+      try {
+        val q = updates.toDF().writeStream.format("memory").queryName("gq107_sink")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("gq107_sink")
+        .groupBy("user_id").agg(max("level").as("level")) // monotone → final
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+    Some("""WITH ev AS (SELECT * FROM events WHERE user_id < 300),
+                 s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                        WHERE event_type = 'signup' GROUP BY 1),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t2, max(t1) AS t1
+                        FROM ev e JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts > t1
+                          AND e.ts <= t1 + INTERVAL 7 DAY GROUP BY 1),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                        FROM ev e JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts > t2
+                          AND e.ts <= t1 + INTERVAL 7 DAY GROUP BY 1)
+            SELECT level, count(*) AS n_users FROM (
+              SELECT s1.user_id,
+                     CASE WHEN s3.user_id IS NOT NULL THEN 3
+                          WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
+              FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) t
+            GROUP BY 1 ORDER BY level"""),
+  )
+
   /** deltaSum analog: sum of POSITIVE deltas of consecutive values.
     * ClickHouse's deltaSum runs in block order (nondeterministic under
     * parallel merge — its own docs warn so); the engine makes the
@@ -692,5 +765,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q107)
 }

@@ -66,10 +66,16 @@ object StatefulFunnel {
           var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
           val before = st.level
           // sort within the micro-batch on (time, type) — the same
-          // tie-break as the batch operator's sort_array fold
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          // tie-break as the batch operator's sort_array fold.
+          // Full microsecond precision: Timestamp.getTime is ms-only
+          // and the event data carries µs — an ms-truncated compare
+          // can flip a `ts > t1` against the batch fold when two
+          // steps fall in the same millisecond.
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_type))
           for (e <- sorted if st.level < steps.length) {
-            val tUs = e.ts.getTime * 1000L
+            val tUs = micros(e.ts)
             val matches = e.event_type == steps(st.level)
             val timeOk = st.level == 0 || (tUs > st.tpUs && tUs <= st.t1Us + winUs)
             if (matches && timeOk) {
