@@ -7,6 +7,18 @@ their values, so join fan-in grows like a real scale-up; dims copy
 as-is). Perf rehearsal only — correctness stays pinned to the driver's
 own sf dirs.
 
+Replica CONTENT is decorrelated, not copied verbatim: every document
+token gets a per-replica suffix (disjoint shingle/minhash space across
+replicas, duplicate structure preserved WITHIN each replica) and every
+embedding is circularly rotated by the replica index (rotations of a
+vector are generally dissimilar, norms/dims unchanged). Verbatim
+copies made every near-dup/LSH bucket hold N exact clones, so
+candidate pairs grew ~quadratically — an artifact of the generator,
+not the plans (round-9 rehearsal). A real 10x corpus is mostly NEW
+content with the same internal dup rate; this models that, so the
+near-dup family should now scale ~linearly and a superlinear bench is
+a genuine plan defect.
+
 Usage: python3 scripts/make_sf_scale.py [N] [outdir]
 """
 import sys
@@ -37,13 +49,29 @@ for t in copy_asis:
         f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT parquet)")
     print(f"{t}: copied")
 
+def perturb(table, col, i):
+    """Replica-i content transform (replica 0 stays verbatim)."""
+    if i == 0:
+        return col
+    if table == "documents" and col == "text":
+        # suffix every token: shingles/minhashes disjoint across
+        # replicas, dup structure within a replica untouched
+        return f"regexp_replace({col}, '(\\w+)', '\\1r{i}', 'g') AS {col}"
+    if table == "embeddings" and col == "embedding":
+        # circular rotation by replica index: same dim and norm,
+        # generally dissimilar direction
+        return (f"(list_slice({col}, {i + 1}, len({col})) || "
+                f"list_slice({col}, 1, {i})) AS {col}")
+    return col
+
 for t, (keys, _) in facts.items():
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
     selects = []
     for i in range(N):
         proj = ", ".join(
-            f"{c} + {i * SHIFT} AS {c}" if c in keys else c for c in cols)
+            f"{c} + {i * SHIFT} AS {c}" if c in keys else perturb(t, c, i)
+            for c in cols)
         selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
     union = " UNION ALL ".join(selects)
     con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT parquet)")

@@ -671,6 +671,66 @@ object EventsAnalytics {
             GROUP BY 1 ORDER BY level"""),
   )
 
+  /** Continuous cohort retention IN the gate:
+    * [[graft.streaming.StatefulFunnel.retentionUpdates]] — each
+    * (user, week_offset) emits exactly once; activity weeks seen
+    * BEFORE the user's cohort event arrives are buffered in state, so
+    * ANY delivery order converges to the batch answer. The replay
+    * exploits that deliberately: files split by event-id parity (not
+    * time), so most users' cohort signup lands in a different batch
+    * than half their activity. Oracle = the q72 retention SQL on the
+    * slice. */
+  val q108 = GraftQuery(
+    "q108_stream_retention",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_ret108/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val landing = s"$base/landing"
+      val slice = Tables(s, dir).events.where(col("user_id") < 400)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("event_id"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      Seq(slice.where(col("event_id") % 2 === 0), slice.where(col("event_id") % 2 === 1))
+        .zipWithIndex.foreach { case (df, i) =>
+          val t = s"$base/tmp/$i"
+          df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+            .coalesce(1).write.mode("overwrite").json(t)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+          fs.rename(part, dst)
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+        }
+      val stream = s.readStream.schema("user_id LONG, ts_us LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+        .as[graft.streaming.StatefulFunnel.Event]
+      val updates = graft.streaming.StatefulFunnel.retentionUpdates(stream, "signup")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // ~400 users (see q104)
+      try {
+        val q = updates.toDF().writeStream.format("memory").queryName("gq108_sink")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("gq108_sink") // exactly-once per (user, offset) by contract
+        .groupBy("week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("week_offset")
+    },
+    Some("""WITH ev AS (SELECT * FROM events WHERE user_id < 400),
+                 cohort AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+                            FROM ev WHERE event_type = 'signup' GROUP BY 1),
+                 act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM ev)
+            SELECT CAST(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) / 7 AS INTEGER) AS week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act JOIN cohort USING (user_id)
+            WHERE aw >= cw GROUP BY 1 ORDER BY week_offset"""),
+  )
+
   /** deltaSum analog: sum of POSITIVE deltas of consecutive values.
     * ClickHouse's deltaSum runs in block order (nondeterministic under
     * parallel merge — its own docs warn so); the engine makes the
@@ -765,5 +825,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q107)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q107, q108)
 }
