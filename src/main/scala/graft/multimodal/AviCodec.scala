@@ -200,7 +200,10 @@ object AviCodec extends Serializable {
           fpsNum = rd32(payload, off + 24) // dwRate
         }
       }
-      if (!sawAvih || w <= 0 || h <= 0) BadInfo
+      // Sanity bounds: a corrupt header must not drive a huge
+      // allocation downstream (a mutated dword can claim 2^31 pixels)
+      if (!sawAvih || w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+          frames < 0 || frames > (1 << 20)) BadInfo
       else VideoInfo(w, h, frames, fpsNum, math.max(fpsDen, 1), ok = true)
     } catch { case _: Exception => BadInfo }
   }
@@ -269,7 +272,7 @@ object AviCodec extends Serializable {
   private def decodeDib(b: Array[Byte], off: Int, len: Int,
                         w: Int, h: Int): Option[BufferedImage] = {
     val stride = (w * 3 + 3) & ~3
-    if (len < stride * h) return None
+    if (len.toLong < stride.toLong * h) return None // long math: no overflow pass
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {

@@ -69,6 +69,27 @@ class AviCodecSpec extends SparkSpec {
     assert(AviCodec.frameLumSums(cut).size <= 4)
   }
 
+  test("fuzz: random byte mutations of a valid AVI never throw") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic CI
+    val avi = AviCodec.encodeDib((0 until 3).map(frame(12, 10, _)), 10)
+    for (i <- 0 until 600) {
+      val b = avi.clone()
+      val nMut = 1 + rnd.nextInt(8)
+      // half the rounds target the header region (avih/strh dwords —
+      // where a mutation can claim absurd dimensions or counts)
+      val span = if (i % 2 == 0) math.min(120, b.length) else b.length
+      for (_ <- 0 until nMut) b(rnd.nextInt(span)) = rnd.nextInt(256).toByte
+      // any of: clean decode, partial decode, ok=false — but no throw
+      AviCodec.probe(b)
+      AviCodec.frames(b)
+      AviCodec.frameLumSums(b)
+    }
+    for (_ <- 0 until 100) { // truncations at arbitrary points
+      val cut = avi.take(rnd.nextInt(avi.length))
+      AviCodec.probe(cut); AviCodec.frames(cut)
+    }
+  }
+
   test("frameLumSums matches the per-pixel integer formula") {
     val (w, h) = (9, 7)
     val avi = AviCodec.encodeDib(Seq(frame(w, h, 2)), 10)
