@@ -77,6 +77,49 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Formula hyperplane `j` over `dim` components:
+    * w(j,i) = ((i·(2j+3)) mod 11) − 5 — small integers a SQL engine
+    * regenerates exactly from the same closed form, which makes the
+    * bucketed-dedup path below fully ORACLE-ABLE (the seeded-hash
+    * planes of [[lshAnnPairs]] are deterministic too, but replaying a
+    * hash chain in SQL is impractical — that family is rows-only). */
+  def formulaPlane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(i => (((i * (2 * j + 3)) % 11) - 5).toDouble)
+
+  /** SemDeDup-style bucketed semantic dedup — the 100 TB
+    * embedding-dedup path. One map-side pass assigns each vector a
+    * `numPlanes`-bit hyperplane-sign bucket; candidate pairs form
+    * only WITHIN a bucket (the one shuffle); a vector is dropped when
+    * a lower-id bucket-mate sits at cosine ≥ `minCos`. Returns every
+    * vector annotated (bucket, id, survived) so callers can both
+    * filter the corpus and report per-bucket stats.
+    *
+    * Scale dial: bucket occupancy ∝ N / 2^numPlanes — grow
+    * `numPlanes` with the corpus so within-bucket pair work stays
+    * bounded (the standard single-table LSH recall/cost trade;
+    * [[embeddingDupPairs]] is the exact bounded-anchor counterpart,
+    * [[lshAnnPairs]] the multi-table recall path). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int, dim: Int, minCos: Double): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val bucket = (0 until numPlanes).map { j =>
+      when(vec.dot(col(vecCol), lit(formulaPlane(j, dim))) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val coded = base.withColumn("__bucket", bucket)
+    val a = coded.select(col("__bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__norm").as("na"))
+    val b = coded.select(col("__bucket").as("__bb"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__norm").as("nb"))
+    val dropped = a.join(b, col("__bucket") === col("__bb") && col("id_a") < col("id_b"))
+      .where(round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4)
+        >= minCos)
+      .select(col("id_b").as("__dropped_id")).distinct()
+    coded.select(col("__bucket").as("bucket"), col(idCol))
+      .join(dropped, col(idCol) === col("__dropped_id"), "left")
+      .select(col("bucket"), col(idCol), col("__dropped_id").isNull.as("survived"))
+  }
+
   /** ANN candidate pairs via multi-table LSH (OR-amplification):
     * `numTables` independent `numPlanes`-bit hyperplane hashes; a pair
     * is a candidate when it collides in ANY table, and each candidate

@@ -953,7 +953,50 @@ object DataPipeline {
              FROM documents WHERE doc_id < 900 GROUP BY 1 ORDER BY fp"""),
   )
 
+  /** SemDeDup-style semantic dedup over embeddings, fully ORACLE-ABLE:
+    * [[Similarity.semanticDedup]] with closed-form integer hyperplanes
+    * (w(j,i) = ((i·(2j+3)) mod 11) − 5) the oracle regenerates from
+    * generate_series — so the whole LSH-bucketed path (sign bucketing,
+    * within-bucket cosine pruning, lower-id-wins survivorship) hash-
+    * checks against DuckDB, unlike the seeded rows-only q51/q42
+    * family. Both engines fold the dot products in index order in
+    * double precision, so bucket signs and rounded cosines are
+    * bit-identical. Output: per-bucket corpus size and survivor
+    * count. */
+  val q47 = GraftQuery(
+    "q47_semdedup",
+    (s, dir) => Similarity.semanticDedup(Tables(s, dir).embeddings,
+        "vec_id", "embedding", numPlanes = 8, dim = 64, minCos = 0.85)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(when(col("survived"), 1L).otherwise(0L)).as("n_survivors"))
+      .orderBy("bucket"),
+    Some("""WITH planes AS (
+              SELECT j.j AS j,
+                     list(CAST(((i.i * (2 * j.j + 3)) % 11) - 5 AS DOUBLE) ORDER BY i.i) AS w
+              FROM generate_series(0, 7) j(j), generate_series(0, 63) i(i)
+              GROUP BY j.j),
+            v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            coded AS (
+              SELECT vec_id, v,
+                     CAST(sum(CASE WHEN list_sum(list_transform(list_zip(v.v, p.w), q -> q[1] * q[2])) >= 0
+                              THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+              FROM v, planes p GROUP BY vec_id, v),
+            n AS (SELECT vec_id, v, bucket,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                  FROM coded),
+            drp AS (SELECT DISTINCT b.vec_id
+                    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                    WHERE round(list_sum(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]))
+                                / (a.nrm * b.nrm), 4) >= 0.85)
+            SELECT bucket, count(*) AS n_vectors,
+                   CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+            FROM n LEFT JOIN drp d USING (vec_id)
+            GROUP BY bucket ORDER BY bucket"""),
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q40b, q41, q42, q43, q44, q45, q46, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q43, q44, q45, q46, q47, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
         q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q106)
 }

@@ -114,6 +114,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
   }
 
+  test("Similarity.semanticDedup drops exact duplicates, lowest id survives") {
+    // exact copies always share every hyperplane sign → same bucket →
+    // cosine 1.0 → all but the min id drop; the orthogonal vector is
+    // untouched whatever bucket it lands in
+    val dup = Seq(
+      (10L, Array(0.6f, 0.8f, 0.0f)),
+      (11L, Array(0.6f, 0.8f, 0.0f)),
+      (12L, Array(0.6f, 0.8f, 0.0f)),
+      (20L, Array(0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(dup, "vec_id", "embedding",
+      numPlanes = 4, dim = 3, minCos = 0.95).collect()
+    val survived = out.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+    assert(survived == Set(10L, 20L), s"got $survived")
+    // all three copies landed in one bucket
+    val buckets = out.filter(_.getLong(1) < 15L).map(_.getLong(0)).toSet
+    assert(buckets.size == 1)
+  }
+
   test("Similarity.lshAnnPairs whale-bucket cap bounds a degenerate duplicate flood") {
     // 400 verbatim copies of one vector: uncapped, every table's
     // bucket yields 400·399/2 ≈ 80k candidate pairs; capped at 20,
