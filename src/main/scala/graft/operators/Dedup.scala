@@ -210,6 +210,100 @@ object Dedup {
     * so lineage doesn't grow exponentially (on a cluster use
     * `checkpoint` to HDFS for fault tolerance). Returns (id, cluster_rep)
     * for every node that appears in `pairs`. */
+  /** MinHash + banded LSH with ORACLE-ABLE hashes (round 10) — the
+    * cross-engine-verifiable variant of [[minHashLshPairs]] (whose
+    * seeded-xxhash chains no SQL engine replays). Shingle → 48-bit
+    * integer via the first 12 hex chars of md5 (portable: every
+    * engine's md5 of the same string matches), then k universal-hash
+    * permutations hᵢ(x) = (aᵢ·x + bᵢ) mod P with aᵢ = 2i+3,
+    * bᵢ = 5i+7, P = 9007199254740881 (prime; aᵢ·x < 2⁵⁴ — exact in
+    * i64 on any engine). Bands of 2: a pair is a candidate when both
+    * components of any band agree; estJaccard = agreeing fraction of
+    * the k components.
+    *
+    * Shuffle discipline matches [[minHashLshPairs]]: signatures
+    * compute per-doc with array HOFs (no per-shingle explode), the
+    * band self-join carries only (id, band, two longs), and each
+    * surviving pair fetches its two signatures exactly once. This
+    * variant is deliberately uncapped (the cap's row_number order is
+    * replayable but muddies the oracle); production whale-bucket
+    * protection lives in [[minHashLshPairs]]. */
+  def minhashOraclePairs(df: DataFrame, idCol: String, normCol: String,
+                         k: Int = 16, ngram: Int = 3,
+                         minMatch: Int = 8): DataFrame = {
+    require(k % 2 == 0 && k > 0)
+    val P = 9007199254740881L
+    val toks = split(col(normCol), " ")
+    val shingles =
+      if (ngram == 1) array_distinct(toks)
+      else when(size(toks) >= ngram,
+          array_distinct(transform(sequence(lit(0), size(toks) - ngram),
+            i => concat_ws(" ", slice(toks, i + 1, lit(ngram))))))
+        .otherwise(array(concat_ws(" ", toks)))
+    // shingle string → portable 48-bit int (md5 prefix, both engines
+    // lowercase-hex); conv returns a decimal string, exact at 48 bits
+    val ints = transform(shingles,
+      s => conv(substring(md5(s.cast("binary")), 1, 12), 16, 10).cast("long"))
+    val sig = array((0 until k).map { i =>
+      array_min(transform(ints, x => (x * lit(2L * i + 3) + lit(5L * i + 7)) % lit(P)))
+    }: _*)
+    val sigs = df.select(col(idCol).as("id"), sig.as("sig"))
+    val bands = sigs.select(col("id"), explode(array((0 until k / 2).map { b =>
+      struct(lit(b).as("band"), col("sig")(2 * b).as("h1"), col("sig")(2 * b + 1).as("h2"))
+    }: _*)).as("bk")).select(col("id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+    val cand = bands.toDF("id_a", "band", "h1", "h2")
+      .join(bands.toDF("id_b", "band", "h1", "h2"), Seq("band", "h1", "h2"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("long"))
+      .where(col("n_match") >= minMatch)
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        round(col("n_match") / lit(k.toDouble), 6).as("est_jaccard"))
+  }
+
+  /** SimHash with ORACLE-ABLE hashes (round 10) — the cross-engine
+    * variant of [[simHashPairs]]. Per-shingle 60-bit ints from md5
+    * prefixes (60 not 64: stays positive in signed i64 on every
+    * engine); fingerprint bit j is the sign of Σ(±1) over shingles'
+    * bit j; candidates must agree on one of four 15-bit chunks
+    * (pigeonhole: hamming ≤ 6 < 4 chunks ⇒ some chunk is untouched…
+    * not guaranteed for 6 > 3, so the chunk filter is the standard
+    * recall/cost trade at this radius); verification is exact
+    * `bit_count(fp_a XOR fp_b)`. The per-(doc,bit) grid explode is
+    * gate-scale only — [[simHashPairs]] computes the 64 sums in one
+    * pass for production. */
+  def simhashOraclePairs(df: DataFrame, idCol: String, normCol: String,
+                         ngram: Int = 3, maxHamming: Int = 6): DataFrame = {
+    val bits = 60
+    val sh = shingleSet(df, idCol, normCol, ngram)
+    val xi = sh.select(col(idCol).as("id"),
+      conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("x"))
+    val grid = xi.select(col("id"), col("x"),
+      explode(sequence(lit(0), lit(bits - 1))).as("j"))
+    val sums = grid.groupBy(col("id"), col("j"))
+      .agg(sum(expr("(shiftright(x, j) & 1) * 2 - 1")).as("s"))
+    val fp = sums.groupBy("id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(lit(0L))).as("fp"))
+    val chunks = fp.select(col("id"), explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), expr(s"shiftright(fp, ${15 * c}) & 32767").as("ck"))): _*)).as("b"))
+      .select(col("id"), col("b.c").as("c"), col("b.ck").as("ck"))
+    val cand = chunks.toDF("id_a", "c", "ck")
+      .join(chunks.toDF("id_b", "c", "ck"), Seq("c", "ck"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(fp.toDF("id_a", "fp_a"), "id_a")
+      .join(fp.toDF("id_b", "fp_b"), "id_b")
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

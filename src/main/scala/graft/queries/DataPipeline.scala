@@ -963,6 +963,89 @@ object DataPipeline {
     * double precision, so bucket signs and rounded cosines are
     * bit-identical. Output: per-bucket corpus size and survivor
     * count. */
+  /** MinHash + banded LSH, fully ORACLE-ABLE (round 10): the
+    * portable-hash variant of q42 — shingle ints from md5 prefixes,
+    * universal-hash permutations in exact i64, bands of 2 — so the
+    * whole pipeline (shingling → signatures → band buckets →
+    * candidate pairs → agreement estimate) hash-checks against a
+    * DuckDB replay from first principles. q42 remains the production
+    * path (xxhash signatures, whale-bucket caps); this pins the
+    * algorithm cross-engine. */
+  val q42b = GraftQuery(
+    "q42b_minhash_oracle",
+    (s, dir) => Dedup.minhashOraclePairs(
+        docsNorm(Tables(s, dir)).where(col("doc_id") < 300), "doc_id", "norm",
+        k = 16, ngram = 3, minMatch = 8)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM documents WHERE doc_id < 300),
+                  sh AS (SELECT doc_id, unnest(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_distinct(list_transform(range(len(toks) - 2),
+                                       i -> array_to_string(toks[i+1:i+3], ' ')))
+                                ELSE [array_to_string(toks, ' ')] END) AS t
+                         FROM t),
+                  xi AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT) AS x
+                         FROM sh),
+                  mh AS (SELECT doc_id, i.i AS i,
+                                min((x * (2 * i.i + 3) + (5 * i.i + 7)) % 9007199254740881) AS h
+                         FROM xi, generate_series(0, 15) i(i) GROUP BY 1, 2),
+                  bands AS (SELECT doc_id, i // 2 AS band,
+                                   max(CASE WHEN i % 2 = 0 THEN h END) AS h1,
+                                   max(CASE WHEN i % 2 = 1 THEN h END) AS h2
+                            FROM mh GROUP BY 1, 2),
+                  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                           FROM bands a JOIN bands b
+                             ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+                                AND a.doc_id < b.doc_id),
+                  agree AS (SELECT c.id_a, c.id_b, count(*) AS n_match
+                            FROM cand c
+                            JOIN mh x ON x.doc_id = c.id_a
+                            JOIN mh y ON y.doc_id = c.id_b AND y.i = x.i AND y.h = x.h
+                            GROUP BY 1, 2)
+             SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match,
+                    round(n_match / 16.0, 6) AS est_jaccard
+             FROM agree WHERE n_match >= 8 ORDER BY id_a, id_b"""),
+  )
+
+  /** SimHash, fully ORACLE-ABLE (round 10): portable-hash variant of
+    * q43 — md5-prefix shingle ints, sign-of-sum fingerprint bits,
+    * 15-bit chunk bucketing, exact XOR-popcount verification — every
+    * stage replayed by the DuckDB oracle from first principles. q43
+    * remains the production one-pass path. */
+  val q43b = GraftQuery(
+    "q43b_simhash_oracle",
+    (s, dir) => Dedup.simhashOraclePairs(
+        docsNorm(Tables(s, dir)).where(col("doc_id") < 300), "doc_id", "norm",
+        ngram = 3, maxHamming = 6)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM documents WHERE doc_id < 300),
+                  sh AS (SELECT doc_id, unnest(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_distinct(list_transform(range(len(toks) - 2),
+                                       i -> array_to_string(toks[i+1:i+3], ' ')))
+                                ELSE [array_to_string(toks, ' ')] END) AS t
+                         FROM t),
+                  xi AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS x
+                         FROM sh),
+                  g AS (SELECT doc_id, j.j AS j, sum(((x >> j.j) & 1) * 2 - 1) AS s
+                        FROM xi, generate_series(0, 59) j(j) GROUP BY 1, 2),
+                  fp AS (SELECT doc_id,
+                                CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS fp
+                         FROM g GROUP BY 1),
+                  ch AS (SELECT doc_id, c.c AS c, (fp >> (15 * c.c)) & 32767 AS ck
+                         FROM fp, generate_series(0, 3) c(c)),
+                  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                           FROM ch a JOIN ch b
+                             ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+             SELECT c.id_a, c.id_b, CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+             FROM cand c JOIN fp x ON x.doc_id = c.id_a
+                         JOIN fp y ON y.doc_id = c.id_b
+             WHERE bit_count(xor(x.fp, y.fp)) <= 6
+             ORDER BY id_a, id_b"""),
+  )
+
   val q47 = GraftQuery(
     "q47_semdedup",
     (s, dir) => Similarity.semanticDedup(Tables(s, dir).embeddings,
@@ -997,6 +1080,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q40b, q41, q42, q43, q44, q45, q46, q47, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
         q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q106)
 }
