@@ -1618,6 +1618,111 @@ object ChSqlParser {
     })
 
   /** Index of the top-level FROM keyword (outside parens/strings). */
+  /** PASTE JOIN — CH zips two result sets row-by-row in BLOCK order,
+    * which a distributed engine does not define. The engine EXECUTES
+    * the deterministic form: both sides are parenthesized subqueries
+    * whose text ends in a top-level ORDER BY over their own output
+    * columns. Each side gets `row_number()` over that order and the
+    * sides zip on it — an inner join, so the result truncates to the
+    * shorter side. Any other shape (bare tables, no ORDER BY, ordinal
+    * ORDER BY, which a window cannot re-read) refuses with this
+    * contract in the message. Paren- and quote-aware throughout;
+    * recursion handles several PASTE JOINs in one statement. */
+  private def rewritePasteJoin(sql: String): String = {
+    val m = """(?i)\bPASTE\s+JOIN\b""".r.findFirstMatchIn(sql).getOrElse(return sql)
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      "PASTE JOIN zips rows by physical block order, which a distributed engine does " +
+        "not define. Executable deterministic form: (SELECT … ORDER BY …) PASTE JOIN " +
+        s"(SELECT … ORDER BY …) — row_number over each side's ORDER BY zips the rows. $why")
+    var i = m.start - 1
+    while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+    if (i < 0 || sql.charAt(i) != ')') refuse("(left side is not a parenthesized subquery)")
+    val leftEnd = i
+    val leftStart = {
+      var depth = 0; var k = leftEnd; var found = -1
+      while (k >= 0 && found < 0) {
+        val c = sql.charAt(k)
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) found = k }
+        k -= 1
+      }
+      if (found < 0) refuse("(unbalanced parentheses before PASTE JOIN)")
+      found
+    }
+    var j = m.end
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    if (j >= sql.length || sql.charAt(j) != '(') refuse("(right side is not a parenthesized subquery)")
+    val rightStart = j
+    val rightEnd = {
+      var depth = 0; var k = rightStart; var found = -1
+      while (k < sql.length && found < 0) {
+        val c = sql.charAt(k)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) found = k }
+        k += 1
+      }
+      if (found < 0) refuse("(unbalanced parentheses after PASTE JOIN)")
+      found
+    }
+    val subA = sql.substring(leftStart + 1, leftEnd)
+    val subB = sql.substring(rightStart + 1, rightEnd)
+    // index just past a top-level "ORDER BY" (last one wins), or -1
+    def afterLastTopLevelOrderBy(s: String): Int = {
+      var depth = 0; var p = 0; var found = -1
+      while (p < s.length) {
+        s.charAt(p) match {
+          case '\'' => p += 1; while (p < s.length && s.charAt(p) != '\'') p += 1
+          case '`'  => p += 1; while (p < s.length && s.charAt(p) != '`') p += 1
+          case '('  => depth += 1
+          case ')'  => depth -= 1
+          case 'o' | 'O' if depth == 0 &&
+              s.regionMatches(true, p, "ORDER", 0, 5) &&
+              (p == 0 || !s.charAt(p - 1).isLetterOrDigit) =>
+            var k = p + 5
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            if (s.regionMatches(true, k, "BY", 0, 2)) { found = k + 2; p = k + 1 }
+          case _ =>
+        }
+        p += 1
+      }
+      found
+    }
+    // the ORDER BY expression list: after "ORDER BY", before any
+    // top-level LIMIT/OFFSET tail
+    def orderOf(sub: String, side: String): String = {
+      val at = afterLastTopLevelOrderBy(sub)
+      if (at < 0) refuse(s"($side side needs a top-level ORDER BY)")
+      var ob = sub.substring(at)
+      var depth = 0; var p = 0; var cut = -1
+      while (p < ob.length && cut < 0) {
+        ob.charAt(p) match {
+          case '\'' => p += 1; while (p < ob.length && ob.charAt(p) != '\'') p += 1
+          case '('  => depth += 1
+          case ')'  => depth -= 1
+          case c if depth == 0 && (c == 'l' || c == 'L' || c == 'o' || c == 'O') &&
+              (ob.regionMatches(true, p, "LIMIT", 0, 5) || ob.regionMatches(true, p, "OFFSET", 0, 6)) &&
+              (p == 0 || !ob.charAt(p - 1).isLetterOrDigit) => cut = p
+          case _ =>
+        }
+        p += 1
+      }
+      if (cut >= 0) ob = ob.substring(0, cut)
+      val t = ob.trim
+      if (t.isEmpty) refuse(s"($side ORDER BY is empty)")
+      if (t.matches("""[\d\s,]+""")) refuse(
+        s"($side ORDER BY uses ordinals, which a window cannot re-read — name the columns)")
+      t
+    }
+    val obA = orderOf(subA, "left")
+    val obB = orderOf(subB, "right")
+    val repl =
+      s"(SELECT * EXCEPT (__pj_rn_a, __pj_rn_b) FROM " +
+        s"(SELECT *, row_number() OVER (ORDER BY $obA) AS __pj_rn_a FROM ($subA) __pja) __ta " +
+        s"JOIN (SELECT *, row_number() OVER (ORDER BY $obB) AS __pj_rn_b FROM ($subB) __pjb) __tb " +
+        s"ON __ta.__pj_rn_a = __tb.__pj_rn_b)"
+    rewritePasteJoin(sql.substring(0, leftStart) + repl + sql.substring(rightEnd + 1))
+  }
+
   private def topLevelFromIndex(s: String): Int = {
     var depth = 0
     var inStr = false
@@ -1842,10 +1947,7 @@ object ChSqlParser {
         .exists(s => try s.catalog.tableExists(m.group(1)) catch { case _: Exception => false })
       out = s"SELECT CAST(${if (exists) 1 else 0} AS TINYINT) AS result"
     }
-    if ("""(?i)\bPASTE\s+JOIN\b""".r.findFirstIn(out).isDefined)
-      throw new UnsupportedOperationException(
-        "PASTE JOIN zips rows by physical order, which a distributed engine does not define; " +
-          "join on explicit row_number() OVER (ORDER BY …) keys instead")
+    out = rewritePasteJoin(out)
     // ALTER TABLE … DELETE/UPDATE and OPTIMIZE TABLE execute — they
     // become RunnableCommands in interceptCommand (called by
     // parsePlan on the rewritten text), not string rewrites.

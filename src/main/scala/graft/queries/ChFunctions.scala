@@ -1933,6 +1933,32 @@ object ChFunctions {
     * once in `* EXCEPT` — one window, one filter, zero extra
     * shuffles vs the hand-written subquery form. The oracle runs the
     * same QUALIFY text natively on DuckDB. */
+  /** PASTE JOIN (CH's by-position zip) in its deterministic
+    * executable form (round 10): both sides carry a top-level ORDER
+    * BY, the parser zips them on row_number over those orders, inner
+    * join truncates to the shorter side
+    * ([[graft.plans.ChSqlParser]] rewritePasteJoin). The oracle
+    * replays the same zip with explicit row_numbers. */
+  val q29p = GraftQuery(
+    "q29p_paste_join",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("gq29p_orders")
+      s.sql("""SELECT * FROM (
+                 (SELECT o_orderpriority AS prio, round(sum(o_totalprice), 2) AS total
+                  FROM gq29p_orders GROUP BY o_orderpriority ORDER BY prio)
+                 PASTE JOIN
+                 (SELECT id + 1 AS rank FROM range(5) ORDER BY rank)
+               ) ORDER BY prio""")
+    },
+    Some("""WITH a AS (SELECT o_orderpriority AS prio, round(sum(o_totalprice), 2) AS total,
+                              row_number() OVER (ORDER BY o_orderpriority) AS rn
+                       FROM orders GROUP BY o_orderpriority),
+                 b AS (SELECT i + 1 AS rank, row_number() OVER (ORDER BY i) AS rn
+                       FROM range(0, 5) t(i))
+            SELECT prio, total, CAST(rank AS BIGINT) AS rank
+            FROM a JOIN b USING (rn) ORDER BY prio"""),
+  )
+
   val q29n = GraftQuery(
     "q29n_qualify",
     (s, dir) => {
@@ -2216,5 +2242,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q38, q38b, q38c, q38d, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q38, q38b, q38c, q38d, q21b)
 }

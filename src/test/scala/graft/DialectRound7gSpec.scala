@@ -132,6 +132,26 @@ class DialectRound7gSpec extends SparkSpec {
     assert(e.getMessage.contains("row_number"))
   }
 
+  test("PASTE JOIN executes on ORDER BY'd subqueries (deterministic zip)") {
+    val r = spark.sql(
+      """SELECT * FROM
+         (SELECT id AS a, id * 10 AS a10 FROM range(5) ORDER BY a DESC)
+         PASTE JOIN
+         (SELECT id AS b FROM range(3) ORDER BY b)""").collect()
+    // left ordered 4,3,2,1,0; right 0,1,2; inner zip truncates to 3
+    assert(r.length == 3)
+    val rows = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._3)
+    assert(rows.toSeq == Seq((4L, 40L, 0L), (3L, 30L, 1L), (2L, 20L, 2L)))
+    // a side without ORDER BY refuses with the contract in the message
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM (SELECT 1 AS x) PASTE JOIN (SELECT 2 AS y ORDER BY y)"))
+    assert(e.getMessage.contains("ORDER BY"))
+    // ordinal ORDER BY refuses (a window cannot re-read ordinals)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM (SELECT id AS x FROM range(3) ORDER BY 1) PASTE JOIN (SELECT id AS y FROM range(3) ORDER BY y)"))
+    assert(e2.getMessage.contains("ordinal"))
+  }
+
   test("MAC codecs, basename, unbin, isConstant, shard constants") {
     val r = spark.sql(
       """SELECT MACNumToString(1099511627775) AS mac,
