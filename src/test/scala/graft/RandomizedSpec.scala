@@ -294,4 +294,77 @@ class RandomizedSpec extends SparkSpec {
     }
     spark.sql("DROP TABLE rnd_proj_t")
   }
+
+  test("PASTE JOIN zip equals the Scala reference zip on random tables") {
+    val rnd = new scala.util.Random(2026L)
+    val left = Seq.tabulate(40)(i => (i.toLong, rnd.nextInt(1000)))
+    val right = Seq.tabulate(25)(i => (i.toLong, rnd.alphanumeric.take(5).mkString))
+    left.toDF("lid", "lv").createOrReplaceTempView("rnd_pj_l")
+    right.toDF("rid", "rv").createOrReplaceTempView("rnd_pj_r")
+    val out = spark.sql(
+      """SELECT * FROM
+         (SELECT lid, lv FROM rnd_pj_l ORDER BY lv, lid)
+         PASTE JOIN
+         (SELECT rid, rv FROM rnd_pj_r ORDER BY rv DESC, rid)""").collect()
+    val expL = left.sortBy(p => (p._2, p._1))
+    val expR = right.sortBy(p => (p._2, p._1.toInt))(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Int))
+    val expected = expL.zip(expR).map { case ((lid, lv), (rid, rv)) => (lid, lv, rid, rv) }.toSet
+    assert(out.length == 25) // shorter side
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet == expected)
+  }
+
+  test("semanticDedup survivorship is exactly the within-bucket lower-id rule") {
+    val rnd = new scala.util.Random(99L)
+    val dim = 8
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    for (i <- 0 until 120) {
+      if (i % 3 == 0 && buf.nonEmpty) {
+        // near-dup of an earlier vector with tiny jitter
+        val (_, b) = buf(rnd.nextInt(buf.length))
+        buf += ((i.toLong, b.map(v => v + (rnd.nextGaussian() * 0.001).toFloat)))
+      } else buf += ((i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    val vecs = buf.toSeq
+    val out = graft.operators.Similarity.semanticDedup(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        numPlanes = 5, dim = dim, minCos = 0.98)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toMap // id -> survived
+    // Scala reference with the IDENTICAL double fold order + HALF_UP
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val planes = (0 until 5).map(j => graft.operators.Similarity.formulaPlane(j, dim))
+    val dv = vecs.map { case (id, a) => id -> a.map(_.toDouble) }
+    val bucket = dv.map { case (id, v) =>
+      id -> (0 until 5).map(j => if (dot(v, planes(j)) >= 0) 1L << j else 0L).sum
+    }.toMap
+    def cosR(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectedDropped = dv.map(_._1).filter { id =>
+      val v = dv.find(_._1 == id).get._2
+      dv.exists { case (id2, v2) =>
+        id2 < id && bucket(id2) == bucket(id) && cosR(v2, v) >= 0.98 }
+    }.toSet
+    assert(expectedDropped.nonEmpty, "fixture should contain droppable near-dups")
+    assert(out.filter(!_._2).keySet == expectedDropped)
+  }
+
+  test("minhashOraclePairs: identical docs agree on all 16; disjoint docs are no candidates") {
+    val rnd = new scala.util.Random(5L)
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val vocabA = Seq.tabulate(30)(i => s"alpha$i")
+    val vocabB = Seq.tabulate(30)(i => s"beta$i")
+    val a1 = doc(Seq.fill(40)(vocabA(rnd.nextInt(vocabA.size))))
+    val b1 = doc(Seq.fill(40)(vocabB(rnd.nextInt(vocabB.size))))
+    val docs = Seq((1L, a1), (2L, a1), (3L, b1)).toDF("doc_id", "norm")
+    val pairs = graft.operators.Dedup.minhashOraclePairs(
+        docs, "doc_id", "norm", k = 16, ngram = 3, minMatch = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(16L), s"identical docs must agree on all 16: $pairs")
+    // disjoint vocabularies share no shingles → no band can collide
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
