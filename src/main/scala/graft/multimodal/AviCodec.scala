@@ -208,18 +208,22 @@ object AviCodec extends Serializable {
     } catch { case _: Exception => BadInfo }
   }
 
-  /** Decode every frame to a BufferedImage: '00db'/'00dd' DIB frames
-    * via the exact integer path, '00dc' (MJPEG) via `javax.imageio`.
-    * Undecodable containers return an empty seq, never throw. */
+  /** Decode every frame of STREAM 0 to a BufferedImage: '00db' DIB
+    * frames via the exact integer path, '00dc' (MJPEG) via
+    * `javax.imageio`. Chunks of other streams ('01db', …) are
+    * skipped — probe() reports stream 0's dimensions, and decoding a
+    * second stream's frames against them would produce garbage on a
+    * foreign multi-stream file. Undecodable containers return an
+    * empty seq, never throw. */
   def frames(payload: Array[Byte]): Seq[BufferedImage] = {
     val info = probe(payload)
     if (!info.ok) return Seq.empty
     val out = Seq.newBuilder[BufferedImage]
     try {
       walkChunks(payload, 12, payload.length) { (id, off, len) =>
-        if (id.length == 4 && id.substring(2) == "db")
+        if (id == "00db")
           decodeDib(payload, off, len, info.width, info.height).foreach(out += _)
-        else if (id.length == 4 && id.substring(2) == "dc") {
+        else if (id == "00dc") {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload.slice(off, off + len)))

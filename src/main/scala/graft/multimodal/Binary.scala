@@ -182,14 +182,21 @@ object Binary {
           var i = 0
           var sumSq = 0.0
           var zc = 0L
-          var prev = 0
           while (i < n) {
             val s =
               if (big) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
               else ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
             sumSq += s.toDouble * s
-            if (i > 0 && s.toLong * prev < 0) zc += 1
-            prev = s
+            // zero-crossings compare each sample with the PREVIOUS
+            // sample of the SAME channel (samples interleave per
+            // frame) — an interleaved compare counts phantom
+            // crossings between channels on any stereo file
+            if (i >= ch) {
+              val p =
+                if (big) ((bytes(2 * (i - ch)).toInt << 8) | (bytes(2 * (i - ch) + 1) & 0xff)).toShort.toInt
+                else ((bytes(2 * (i - ch) + 1).toInt << 8) | (bytes(2 * (i - ch)) & 0xff)).toShort.toInt
+              if (s.toLong * p < 0) zc += 1
+            }
             i += 1
           }
           AudioInfo(ch, f.getSampleRate.toInt, n / ch,

@@ -38,6 +38,17 @@ object ChCommands {
     TableInfo(meta.location.toString, meta.partitionColumnNames, isCatalogTable = true)
   }
 
+  /** A catalog table's rows for a data rewrite. `spark.read.parquet`
+    * infers schema from files and THROWS on a freshly-created EMPTY
+    * table — but CREATE TABLE → ALTER … → INSERT is the mainline
+    * migrated-DDL sequence, so empty must work: fall back to the
+    * catalog read, whose schema needs no inference. (The raw-path
+    * read stays primary because these commands also run against
+    * just-swapped directories the catalog cache may not reflect yet.) */
+  private[plans] def readData(spark: SparkSession, table: String, path: String): org.apache.spark.sql.DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.table(table) }
+
   /** Where a table's TTL rule persists (beside the data, like the
     * projections manifest — survives session restarts with the table). */
   private[plans] def ttlManifest(path: String): org.apache.hadoop.fs.Path =
@@ -118,22 +129,51 @@ object ChCommands {
     * md5'd. Any insert/mutation/compaction changes it, which is
     * exactly the staleness signal auto-use needs. Cost is a metadata
     * walk — no data read. */
+  // Content fingerprints cached per path, keyed by a SHALLOW root
+  // signature (ONE listStatus): in the one-level layouts this engine
+  // writes (files at the root, or one partition-directory level), any
+  // data change creates/renames an entry directly under the root or
+  // inside a partition directory — either way a root-level entry's
+  // (name, len, mtime) triple changes and the signature sees it. The
+  // full recursive walk then runs only when something actually
+  // changed, instead of on every optimizer invocation of every
+  // candidate aggregate (a 50k-file table paid an O(files) driver
+  // walk per query compile). Deeper nesting (depth ≥ 2) is detected
+  // during the walk and NOT cached — a leaf-dir change there would
+  // not bump any root-level mtime.
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   private[plans] def contentFingerprint(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
+    def entrySig(st: org.apache.hadoop.fs.FileStatus): String =
+      s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+    val shallow =
+      try fs.listStatus(root).filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith(".")).map(entrySig).sorted.mkString("\n")
+      catch { case _: Exception => null }
+    if (shallow != null) {
+      val hit = fpCache.get(path)
+      if (hit != null && hit._1 == shallow) return hit._2
+    }
     val acc = scala.collection.mutable.ArrayBuffer[String]()
-    def walk(p: org.apache.hadoop.fs.Path): Unit =
+    var maxDepth = 0
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Unit =
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
         if (!n.startsWith("_") && !n.startsWith(".")) {
-          if (st.isDirectory) walk(st.getPath)
+          if (st.isDirectory) { maxDepth = math.max(maxDepth, depth + 1); walk(st.getPath, depth + 1) }
           else acc += s"${st.getPath.toString.stripPrefix(root.toString)}|${st.getLen}|${st.getModificationTime}"
         }
       }
-    walk(root)
+    walk(root, 0)
     val md = java.security.MessageDigest.getInstance("MD5")
-    org.apache.commons.codec.binary.Hex.encodeHexString(
+    val fp = org.apache.commons.codec.binary.Hex.encodeHexString(
       md.digest(acc.sorted.mkString("\n").getBytes("UTF-8")))
+    if (shallow != null && maxDepth <= 1) fpCache.put(path, (shallow, fp))
+    else fpCache.remove(path)
+    fp
   }
 
   // manifest parse results cached per (path, manifest mtime) — the
@@ -184,10 +224,10 @@ object ChCommands {
 
   /** Materialize one projection's data + upsert its manifest line with
     * the fingerprint of the base it was built from. */
-  private[plans] def writeProjection(spark: SparkSession, path: String, name: String,
+  private[plans] def writeProjection(spark: SparkSession, table: String, path: String, name: String,
       keys: Seq[String], states: Seq[(String, String, String)]): Unit = {
     import org.apache.spark.sql.functions.{count => cnt, lit, max => mx, min => mn, sum => sm}
-    val base = spark.read.parquet(path)
+    val base = readData(spark, table, path)
     val missing = (keys ++ states.map(_._3).filter(_.nonEmpty))
       .filterNot(base.schema.fieldNames.contains)
     if (missing.nonEmpty) throw new IllegalArgumentException(
@@ -276,7 +316,7 @@ case class ChAlterColumnCommand(table: String, op: ChColumnOp) extends LeafRunna
     def refusePartition(c: String): Unit =
       if (partCols.contains(c)) throw new UnsupportedOperationException(
         s"column '$c' is the partition key — recreate the table to change the physical layout")
-    val df = spark.read.parquet(info.path)
+    val df = ChCommands.readData(spark, table, info.path)
     val has = df.schema.fieldNames.toSet
     val newDf: Option[org.apache.spark.sql.DataFrame] = op match {
       case ChColumnOp.Add(name, chType, default, first, after, ifNotExists) =>
@@ -352,6 +392,9 @@ case class ChExchangeTablesCommand(a: String, b: String) extends LeafRunnableCom
   override def run(spark: SparkSession): Seq[Row] = {
     for (t <- Seq(a, b)) if (!spark.catalog.tableExists(t))
       throw new IllegalArgumentException(s"EXCHANGE TABLES: no table '$t'")
+    // a == b would pass both checks, rename a away, then fail the
+    // second rename — stranding the table under the internal name
+    if (a.equalsIgnoreCase(b)) return Nil // CH semantics: self-exchange is a no-op
     val tmp = "__graft_exchange_tmp"
     spark.sql(s"ALTER TABLE $a RENAME TO $tmp")
     spark.sql(s"ALTER TABLE $b RENAME TO $a")
@@ -414,7 +457,7 @@ case class ChAlterMutateCommand(table: String, predSql: String,
         // as ClickHouse rewriting every part). Two-phase via a side
         // directory because Spark refuses to overwrite a path it is
         // reading; streaming both phases, nothing driver-side.
-        fullRewrite(spark, info.path, pred)
+        fullRewrite(spark, table, info.path, pred)
       case many => throw new UnsupportedOperationException(
         s"ALTER TABLE mutation on a ${many.size}-level partitioned table: " +
           "use graft.operators.Mutate with an explicit partition column")
@@ -423,9 +466,9 @@ case class ChAlterMutateCommand(table: String, predSql: String,
     Seq(Row(rep.partitionsTotal, rep.partitionsRewritten, rep.rowsChanged))
   }
 
-  private def fullRewrite(spark: SparkSession, path: String,
+  private def fullRewrite(spark: SparkSession, table: String, path: String,
                           pred: org.apache.spark.sql.Column): graft.operators.Mutate.Report = {
-    val t = spark.read.parquet(path)
+    val t = ChCommands.readData(spark, table, path)
     val changed = t.where(pred).count()
     if (changed == 0) return graft.operators.Mutate.Report(1, 0, 0)
     val out =
@@ -470,7 +513,7 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extend
   override def run(spark: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(spark, table)
     val before = countFiles(spark, info.path)
-    val t0 = spark.read.parquet(info.path)
+    val t0 = ChCommands.readData(spark, table, info.path)
     val t = dedupBy match {
       case None           => t0
       case Some(Nil)      => t0.dropDuplicates()
@@ -584,7 +627,7 @@ case class ChModifyTtlCommand(table: String, ttlExpr: String) extends LeafRunnab
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(sparkSession, table)
     // the expiry predicate must resolve against the current schema
-    sparkSession.read.parquet(info.path)
+    ChCommands.readData(sparkSession, table, info.path)
       .where(expr(s"($ttlExpr) <= current_timestamp()")).queryExecution.analyzed
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
@@ -677,7 +720,7 @@ case class ChAddProjectionCommand(table: String, name: String, body: String,
     }
     if (states.isEmpty) throw new IllegalArgumentException(
       "an aggregate projection needs at least one aggregate state")
-    ChCommands.writeProjection(sparkSession, info.path, name, keys, states)
+    ChCommands.writeProjection(sparkSession, table, info.path, name, keys, states)
     Seq.empty
   }
 }
@@ -691,7 +734,7 @@ case class ChMaterializeProjectionCommand(table: String, name: String) extends L
     val info = ChCommands.resolve(sparkSession, table)
     val sp = ChCommands.tableProjections(sparkSession, info.path).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"projection '$name' does not exist on $table"))
-    ChCommands.writeProjection(sparkSession, info.path, sp.name, sp.keys, sp.states)
+    ChCommands.writeProjection(sparkSession, table, info.path, sp.name, sp.keys, sp.states)
     Seq.empty
   }
 }

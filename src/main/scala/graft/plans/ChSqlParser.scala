@@ -371,13 +371,14 @@ object ChSqlParser {
         if (!urlHostAllowed(uri)) throw new UnsupportedOperationException(
           "url() to a non-allowlisted host needs arbitrary HTTP egress; land the file and " +
             "read it with file(), or add the host to SPARK_GRAFT_URL_ALLOWLIST")
-        urlFetchCache.computeIfAbsent(raw, _ => {
-          val ext = {
-            val p = Option(uri.getPath).getOrElse("")
-            val i = p.lastIndexOf('.')
-            if (i >= 0) p.substring(i) else ""
-          }
-          val tmp = java.nio.file.Files.createTempFile("graft_url_", ext)
+        // fast path without locking; the double-checked putIfAbsent
+        // below means a slow 30 s fetch never runs inside the map's
+        // bin lock (computeIfAbsent would stall unrelated url()
+        // parses hashing to the same stripe). A rare concurrent
+        // duplicate fetch is harmless — last temp file wins.
+        val cached = urlFetchCache.get(raw)
+        if (cached != null) cached
+        else {
           val conn = uri.toURL.openConnection() match {
             case h: java.net.HttpURLConnection => h
             case other => throw new UnsupportedOperationException(
@@ -390,13 +391,24 @@ object ChSqlParser {
             s"url(): '$raw' answered HTTP $code — redirects are refused because they can " +
               "leave the allowlist; point url() at the final location")
           if (code >= 400) throw new java.io.IOException(s"url(): '$raw' returned HTTP $code")
+          // create the temp file only AFTER the response is accepted —
+          // a persistently-failing URL must not accumulate one orphan
+          // temp file per parse attempt
+          val ext = {
+            val p = Option(uri.getPath).getOrElse("")
+            val i = p.lastIndexOf('.')
+            if (i >= 0) p.substring(i) else ""
+          }
+          val tmp = java.nio.file.Files.createTempFile("graft_url_", ext)
           val in = conn.getInputStream
           try java.nio.file.Files.copy(in, tmp,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           finally in.close()
           tmp.toFile.deleteOnExit()
-          tmp.toString
-        })
+          val prev = urlFetchCache.putIfAbsent(raw, tmp.toString)
+          if (prev != null) { java.nio.file.Files.deleteIfExists(tmp); prev }
+          else tmp.toString
+        }
       case other => throw new UnsupportedOperationException(
         s"url() scheme '$other' is not readable here; use file()/s3() or a mounted path")
     }
@@ -592,7 +604,11 @@ object ChSqlParser {
               s"'${colNames.head._1}' ${colNames.head._2.mkString("(", ", ", ")")}; align the " +
               "schemas or UNION the aligned projections explicitly")
         }
-        val wantTable = TableVirtualColRef.findFirstIn(sql).isDefined
+        // lazy virtual column: materialize _table only when the query
+        // SYNTAX references it — a '_table' inside a string literal
+        // must not change the output schema
+        val wantTable = TableVirtualColRef.findAllMatchIn(sql)
+          .exists(t => !insideStringLiteral(sql, t.start))
         val branches = names.map { n =>
           if (wantTable) s"SELECT *, '$n' AS _table FROM $n" else s"SELECT * FROM $n"
         }
@@ -1399,13 +1415,19 @@ object ChSqlParser {
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** VALUES subquery or a typed empty relation when the catalog has
-    * no rows to report. */
-  private def valuesSubquery(rows: Seq[Seq[String]], cols: Seq[String]): String =
+    * no rows to report. Columns are (name, sqlType) pairs and BOTH
+    * branches cast explicitly — otherwise the populated branch's
+    * types come from literal inference (an INT that becomes BIGINT
+    * past 2³¹, STRING on the empty branch) and a system.* table's
+    * schema would change with catalog content. */
+  private def valuesSubquery(rows: Seq[Seq[String]], cols: Seq[(String, String)]): String =
     if (rows.isEmpty)
-      s"(SELECT ${cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString(", ")} WHERE 1=0)"
-    else
-      s"(SELECT * FROM VALUES ${rows.map(_.mkString("(", ", ", ")")).mkString(", ")} " +
-        s"AS __graft_sys(${cols.mkString(", ")}))"
+      s"(SELECT ${cols.map { case (c, t) => s"CAST(NULL AS $t) AS $c" }.mkString(", ")} WHERE 1=0)"
+    else {
+      val proj = cols.zipWithIndex.map { case ((c, t), i) => s"CAST(col$i AS $t) AS $c" }.mkString(", ")
+      s"(SELECT $proj FROM VALUES ${rows.map(_.mkString("(", ", ", ")")).mkString(", ")} " +
+        s"AS __graft_sys(${cols.indices.map(i => s"col$i").mkString(", ")}))"
+    }
 
   private def catalogTables(spark: org.apache.spark.sql.SparkSession): Seq[(String, String, String)] =
     spark.catalog.listDatabases().collect().toSeq.flatMap { db =>
@@ -1430,7 +1452,7 @@ object ChSqlParser {
         val rows = spark.catalog.listDatabases().collect().toSeq
           .map(db => Seq(sqlStr(db.name)))
         out = SystemDatabases.replaceAllIn(out,
-          scala.util.matching.Regex.quoteReplacement("FROM " + valuesSubquery(rows, Seq("name"))))
+          scala.util.matching.Regex.quoteReplacement("FROM " + valuesSubquery(rows, Seq("name" -> "STRING"))))
       }
       if (SystemTables.findFirstIn(out).isDefined) {
         val rows = catalogTables(spark).map { case (d, n, e) =>
@@ -1438,7 +1460,7 @@ object ChSqlParser {
         }
         out = SystemTables.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("database", "name", "engine"))))
+            "FROM " + valuesSubquery(rows, Seq("database" -> "STRING", "name" -> "STRING", "engine" -> "STRING"))))
       }
       // system.functions: the live ChDialect registry — the surface
       // BI tools and migration scanners enumerate. Every row is a
@@ -1450,7 +1472,7 @@ object ChSqlParser {
         }
         out = SystemFunctions.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("name", "is_aggregate", "origin"))))
+            "FROM " + valuesSubquery(rows, Seq("name" -> "STRING", "is_aggregate" -> "INT", "origin" -> "STRING"))))
       }
       if (SystemDictionaries.findFirstIn(out).isDefined) {
         val rows = graft.operators.Dictionaries.list.map { case (n, k, h) =>
@@ -1458,7 +1480,7 @@ object ChSqlParser {
         }
         out = SystemDictionaries.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("name", "key", "hierarchical"))))
+            "FROM " + valuesSubquery(rows, Seq("name" -> "STRING", "key" -> "STRING", "hierarchical" -> "INT"))))
       }
       // system.parts: one row per partition directory (the engine's
       // "part" unit — directories drop/rewrite as units) with
@@ -1502,7 +1524,8 @@ object ChSqlParser {
         out = SystemParts.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
             "FROM " + valuesSubquery(rows,
-              Seq("database", "table", "partition", "part_count", "bytes_on_disk"))))
+              Seq("database" -> "STRING", "table" -> "STRING", "partition" -> "STRING",
+                "part_count" -> "BIGINT", "bytes_on_disk" -> "BIGINT"))))
       }
       if (SystemColumns.findFirstIn(out).isDefined) {
         val rows = catalogTables(spark).flatMap { case (d, n, _) =>
@@ -1514,7 +1537,7 @@ object ChSqlParser {
         }
         out = SystemColumns.replaceAllIn(out,
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("database", "table", "name", "type", "position"))))
+            "FROM " + valuesSubquery(rows, Seq("database" -> "STRING", "table" -> "STRING", "name" -> "STRING", "type" -> "STRING", "position" -> "INT"))))
       }
       out
     } catch { case _: Exception => sql } // fall through to a loud unknown-table error
@@ -1629,11 +1652,26 @@ object ChSqlParser {
     * contract in the message. Paren- and quote-aware throughout;
     * recursion handles several PASTE JOINs in one statement. */
   private def rewritePasteJoin(sql: String): String = {
-    val m = """(?i)\bPASTE\s+JOIN\b""".r.findFirstMatchIn(sql).getOrElse(return sql)
+    val m = """(?i)\bPASTE\s+JOIN\b""".r.findAllMatchIn(sql)
+      .find(mm => !insideStringLiteral(sql, mm.start)).getOrElse(return sql)
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       "PASTE JOIN zips rows by physical block order, which a distributed engine does " +
         "not define. Executable deterministic form: (SELECT … ORDER BY …) PASTE JOIN " +
         s"(SELECT … ORDER BY …) — row_number over each side's ORDER BY zips the rows. $why")
+    // one forward pass marks every position inside a '…'/`…` literal,
+    // so the boundary scans below never count a quoted paren (a
+    // ':-)' in a SELECT literal must not unbalance the subquery)
+    val inStr = new Array[Boolean](sql.length)
+    locally {
+      var q: Char = 0
+      var p = 0
+      while (p < sql.length) {
+        val c = sql.charAt(p)
+        if (q == 0) { if (c == '\'' || c == '`') { q = c; inStr(p) = true } }
+        else { inStr(p) = true; if (c == q) q = 0 }
+        p += 1
+      }
+    }
     var i = m.start - 1
     while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
     if (i < 0 || sql.charAt(i) != ')') refuse("(left side is not a parenthesized subquery)")
@@ -1642,8 +1680,10 @@ object ChSqlParser {
       var depth = 0; var k = leftEnd; var found = -1
       while (k >= 0 && found < 0) {
         val c = sql.charAt(k)
-        if (c == ')') depth += 1
-        else if (c == '(') { depth -= 1; if (depth == 0) found = k }
+        if (!inStr(k)) {
+          if (c == ')') depth += 1
+          else if (c == '(') { depth -= 1; if (depth == 0) found = k }
+        }
         k -= 1
       }
       if (found < 0) refuse("(unbalanced parentheses before PASTE JOIN)")
@@ -1657,8 +1697,10 @@ object ChSqlParser {
       var depth = 0; var k = rightStart; var found = -1
       while (k < sql.length && found < 0) {
         val c = sql.charAt(k)
-        if (c == '(') depth += 1
-        else if (c == ')') { depth -= 1; if (depth == 0) found = k }
+        if (!inStr(k)) {
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) found = k }
+        }
         k += 1
       }
       if (found < 0) refuse("(unbalanced parentheses after PASTE JOIN)")

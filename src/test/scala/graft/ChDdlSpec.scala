@@ -421,11 +421,28 @@ class ChDdlSpec extends SparkSpec {
         "SELECT partition, part_count, bytes_on_disk FROM system.parts WHERE table = 'sys_probe'")
         .collect()
       assert(p.length == 1 && p(0).getString(0) == "all" &&
-        p(0).getInt(1) >= 1 && p(0).getInt(2) > 0)
+        p(0).getLong(1) >= 1L && p(0).getLong(2) > 0L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS sys_probe")
       spark.catalog.dropTempView("sys_probe_view")
     }
+  }
+
+  test("ALTER/TTL on a freshly-created EMPTY table works (CREATE -> ALTER -> INSERT)") {
+    spark.sql("DROP TABLE IF EXISTS ddl_empty")
+    try {
+      spark.sql("CREATE TABLE ddl_empty (id UInt64) ENGINE = MergeTree ORDER BY id")
+      // no INSERT yet — schema DDL must not require data files
+      spark.sql("ALTER TABLE ddl_empty ADD COLUMN v Float64")
+      spark.sql("ALTER TABLE ddl_empty MODIFY TTL toDateTime(1) + INTERVAL 1 DAY")
+      spark.sql("INSERT INTO ddl_empty VALUES (1, 2.5)")
+      val r = spark.sql("SELECT id, v FROM ddl_empty").collect()
+      assert(r.length == 1 && r(0).getLong(0) == 1L && r(0).getDouble(1) == 2.5)
+      // self-exchange is a no-op, not a stranded __graft_exchange_tmp
+      spark.sql("EXCHANGE TABLES ddl_empty AND ddl_empty")
+      assert(spark.catalog.tableExists("ddl_empty"))
+      assert(!spark.catalog.tableExists("__graft_exchange_tmp"))
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_empty")
   }
 
   test("system.functions lists the live registry with aggregate tags") {
@@ -588,6 +605,10 @@ class ChDdlSpec extends SparkSpec {
     // merge() inside a string literal is data, not syntax
     val lit = spark.sql("SELECT 'FROM merge(''^mrg_t'')' AS s").collect()(0).getString(0)
     assert(lit.contains("merge"))
+    // '_table' inside a string LITERAL must not change the schema
+    val litTable = spark.sql(
+      "SELECT * FROM merge('^mrg_t[12]$') WHERE v <> 'see _table docs' ORDER BY id")
+    assert(litTable.columns.toSeq == Seq("id", "v"))
   }
 
   test("CREATE DICTIONARY executes: dictGet resolves, hierarchy flag works, DROP removes") {

@@ -150,6 +150,16 @@ class DialectRound7gSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT * FROM (SELECT id AS x FROM range(3) ORDER BY 1) PASTE JOIN (SELECT id AS y FROM range(3) ORDER BY y)"))
     assert(e2.getMessage.contains("ordinal"))
+    // parens inside string literals must not unbalance the boundary
+    // scans (review finding: ':-)' in a SELECT literal broke them)
+    val lit = spark.sql(
+      """SELECT * FROM
+         (SELECT ':-)' AS face, id AS x FROM range(3) ORDER BY x)
+         PASTE JOIN
+         (SELECT id AS y FROM range(3) ORDER BY y DESC)""").collect()
+    assert(lit.length == 3)
+    assert(lit.forall(_.getString(0) == ":-)"))
+    assert(lit.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((0L, 2L), (1L, 1L), (2L, 0L)))
   }
 
   test("MAC codecs, basename, unbin, isConstant, shard constants") {

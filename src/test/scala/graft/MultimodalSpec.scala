@@ -28,6 +28,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.forall(r => r.getInt(0) >= 16 && r.getInt(0) < 256))
   }
 
+  test("stereo WAV: zero-crossings count per channel, not across interleaved samples") {
+    // constant L=+1000 / R=-1000: neither channel ever crosses zero,
+    // but consecutive INTERLEAVED samples alternate sign — the old
+    // interleaved compare reported ~2·(frames−1) phantom crossings
+    val frames = 200
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](frames * 4)
+    for (i <- 0 until frames) {
+      val l = 1000; val r = -1000
+      pcm(4 * i) = (l & 0xff).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (r & 0xff).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val info = Binary.JavaSoundAudio.decode(bos.toByteArray)
+    assert(info.ok && info.channels == 2 && info.nSamples == frames)
+    assert(info.zeroCrossings == 0L, s"phantom crossings: ${info.zeroCrossings}")
+  }
+
   test("featureStage feeds the similarity operators end to end") {
     val many = (1L to 50L).map(i => (i, s"payload-number-$i"))
       .toDF("id", "s").withColumn("payload", col("s").cast("binary")).drop("s")

@@ -50,8 +50,18 @@ class WireHashSpec extends graft.SparkSpec {
     val inputs = Seq(1, 3, 4, 8, 9, 16, 17, 32, 33, 64, 65, 128, 129, 300)
       .map(n => ("abcdefghijklmnopqrstuvwxyz0123456789" * 10).take(n))
     val got = inputs.map(city)
-    // stability probes: distinct inputs → distinct hashes, and the
-    // values don't drift between runs/JVMs
+    // goldens PINNED as literals (review finding: computing `got` and
+    // asserting only distinctness would let a transcription error in
+    // any rotate/constant/branch pass every test) — any drift in the
+    // port now fails loudly on the exact branch that changed
+    val golden = Seq(
+      0x2420662cd003acfaL, 0x3a912f483a4ece31L, 0xf75a3b8a1499428dL, 0x4382a8d0fe8edb17L,
+      0x66c7fa4eb3fab8d1L, 0xb7c60922803552c1L, 0x034bb4fe133a33e6L, 0x3eca44918b3b7a1aL,
+      0xb0b5c1a8842fb444L, 0x5545fcb340dae4cfL, 0x648b2a42304f1a79L, 0x8e41c63ff0db8510L,
+      0x559e4d5eb02a00c0L, 0x2d6787d55fb9b1b4L)
+    got.zip(golden).zip(inputs).foreach { case ((g, e), in) =>
+      assert(g == e, f"cityHash64 drift at len=${in.length}: got 0x$g%016x expected 0x$e%016x")
+    }
     assert(got.distinct.size == got.size)
     assert(city("a") == city("a"))
     // CH semantics sanity: hash differs from sipHash64 and xxHash64
