@@ -35,6 +35,32 @@ object Sampling {
     df.where(bucketOf(key) < threshold)
   }
 
+  /** Domain-mixture sampling to a size budget — the training-mix op
+    * ("hit B total tokens with relative domain weights w"): per-domain
+    * keep rate = min(1, B·w_d/Σw ÷ avail_d), computed IN the plan (one
+    * tiny per-domain agg + a broadcast join back — no driver collect),
+    * keep decision content-addressed on the row key at 1/16⁶
+    * resolution. Domains short of their target keep everything (rate
+    * caps at 1); up-weighting beyond 1 (epoch repeats) is a
+    * training-loop concern, not a sampling one. Deterministic: same
+    * corpus, weights and budget → the same sample on any engine, any
+    * partitioning — and therefore SQL-oracle-able. The single-
+    * partition window runs over #domains rows (tiny by construction). */
+  def mixtureByBudget(df: DataFrame, key: Column, domain: Column, size: Column,
+                      weightOf: Column => Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rates = df.groupBy(domain.as("__dom")).agg(sum(size).as("__avail"))
+      .withColumn("__w", weightOf(col("__dom")).cast("double"))
+      .withColumn("__wsum", sum(col("__w")).over(Window.partitionBy()))
+      .withColumn("mix_rate",
+        least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__wsum") / col("__avail")))
+      .select(col("__dom"), col("mix_rate"))
+    val u = conv(substring(md5(key.cast("binary")), 1, 6), 16, 10).cast("double") / lit(16777216.0)
+    df.join(broadcast(rates), domain === col("__dom"))
+      .where(u < col("mix_rate"))
+      .drop("__dom")
+  }
+
   /** Table → sample-key SQL expression, the engine's analog of
     * ClickHouse's table-level `SAMPLE BY <expr>` DDL clause. A table
     * registered here makes `FROM t SAMPLE 0.25` rewrite

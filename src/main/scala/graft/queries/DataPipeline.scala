@@ -722,6 +722,41 @@ object DataPipeline {
             GROUP BY 1 ORDER BY lang"""),
   )
 
+  /** Domain-mixture sampling to a character budget (round 10): the
+    * training-mix op — relative source weights 1+src%3, budget 50k
+    * chars, per-source rate min(1, target/avail) computed in-plan
+    * (tiny agg + broadcast back, no collect), keep decision
+    * content-addressed at 1/16⁶ resolution. The oracle recomputes the
+    * rates and replays the md5-threshold draw from first principles;
+    * exact double parity holds because both engines evaluate the
+    * same left-associated expression over exactly-representable
+    * values. ([[Sampling.mixtureByBudget]]) */
+  val q90c = GraftQuery(
+    "q90c_mixture",
+    (s, dir) => Sampling.mixtureByBudget(Tables(s, dir).documents,
+        key = col("doc_id").cast("string"), domain = col("source"),
+        size = col("n_chars"),
+        weightOf = d => lit(1.0) + (regexp_extract(d, "([0-9]+)$", 1).cast("int") % 3).cast("double"),
+        budget = 50000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+           round(max("mix_rate"), 6).as("rate"))
+      .orderBy("source"),
+    Some("""WITH avail AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail,
+                                  1.0 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3) AS w
+                           FROM documents GROUP BY source),
+                 rates AS (SELECT source,
+                                  least(1.0, 50000.0 * w / (SELECT sum(w) FROM avail) / avail) AS rate
+                           FROM avail),
+                 kept AS (SELECT d.source, d.n_chars, r.rate
+                          FROM documents d JOIN rates r USING (source)
+                          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                                  / 16777216.0 < r.rate)
+            SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+                   round(max(rate), 6) AS rate
+            FROM kept GROUP BY source ORDER BY source"""),
+  )
+
   /** BM25 retrieval ([[TextAnalysis.bm25]]) for a fixed 3-term query:
     * top-10 documents by rounded score. The oracle recomputes Okapi
     * BM25 from first principles in SQL; ordering is on the ROUNDED
@@ -1081,5 +1116,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q106)
+        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106)
 }
