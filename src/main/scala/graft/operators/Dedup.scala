@@ -285,6 +285,14 @@ object Dedup {
   def simhashOraclePairs(df: DataFrame, idCol: String, normCol: String,
                          ngram: Int = 3, maxHamming: Int = 6): DataFrame = {
     val bits = 60
+    // Fingerprints via a per-(doc, bit) grid + two aggregations, NOT
+    // a per-row 60-fold HOF pass: ArrayAggregate is CodegenFallback
+    // (interpreted), and the fp subtree is referenced three times
+    // below — as an aggregated exchange it is computed once and
+    // REUSED (ReuseExchange), while a map-side projection would be
+    // recomputed per reference (measured 3× slower). q43's production
+    // kernel does the one-pass 64-sum natively; this variant's job is
+    // oracle-replayability.
     val sh = shingleSet(df, idCol, normCol, ngram)
     val xi = sh.select(col(idCol).as("id"),
       conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("x"))
