@@ -691,6 +691,16 @@ object ChSqlParser {
     * partition-pruned copy-on-write path) — see interceptCommand. */
   private val AlterMutationFull =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DELETE|UPDATE)\s+(.*?)\s*;?\s*$""".r
+
+  /** ClickHouse lightweight delete — `DELETE FROM t WHERE …`, the
+    * CH 23+ preferred spelling. CH implements it as a masked mutation
+    * applied lazily; with copy-on-write rewrite the distinction is
+    * moot, so it executes through the same partition-pruned path as
+    * `ALTER TABLE … DELETE`. */
+  private val LightweightDelete =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
+  private val LightweightDeleteBare =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
   private val AlterColumnStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(.*?)\s*;?\s*$""".r
   private val AlterDropPartition =
@@ -786,6 +796,11 @@ object ChSqlParser {
         "executes, and cross-table moves are a copy + DROP PARTITION")
     case AlterDropPartition(table, value) =>
       Some(ChDropPartitionCommand(table, value))
+    case LightweightDelete(table, pred) =>
+      Some(ChAlterMutateCommand(table, pred, Nil))
+    case LightweightDeleteBare(_) => throw new UnsupportedOperationException(
+      "DELETE FROM needs a WHERE clause (ClickHouse semantics); " +
+        "TRUNCATE TABLE t clears everything")
     case ExchangeTablesStmt(a, b) =>
       Some(ChExchangeTablesCommand(a, b))
     case AlterColumnStmt(table, kind, rest) =>

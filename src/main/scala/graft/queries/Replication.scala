@@ -400,6 +400,8 @@ object Replication {
                FROM gq100_src WHERE o_orderkey < 20000""")
       s.sql("ALTER TABLE gq100 DELETE WHERE total < 50000")
       s.sql("ALTER TABLE gq100 UPDATE status = 'X', total = total * 2 WHERE id % 10 = 0")
+      // CH 23+ lightweight-delete spelling, same executable path
+      s.sql("DELETE FROM gq100 WHERE id % 7 = 3")
       s.sql("""SELECT prio, status, count(*) AS cnt, round(sum(total), 2) AS total
                FROM gq100 GROUP BY prio, status ORDER BY prio, status""")
     },
@@ -410,9 +412,10 @@ object Replication {
                  upd AS (SELECT id, CASE WHEN id % 10 = 0 THEN 'X' ELSE status END AS status,
                                 CASE WHEN id % 10 = 0 THEN total * 2 ELSE total END AS total,
                                 prio
-                         FROM del)
+                         FROM del),
+                 del2 AS (SELECT * FROM upd WHERE NOT (id % 7 = 3))
             SELECT prio, status, count(*) AS cnt, round(sum(total), 2) AS total
-            FROM upd GROUP BY prio, status ORDER BY prio, status"""),
+            FROM del2 GROUP BY prio, status ORDER BY prio, status"""),
   )
 
   /** `OPTIMIZE TABLE … FINAL DEDUPLICATE`, gate-checked: many small

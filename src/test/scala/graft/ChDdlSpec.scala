@@ -155,6 +155,14 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("ALTER TABLE ddl_mut DELETE WHERE p = 3")
     assert(spark.sql("SELECT count(*) FROM ddl_mut WHERE p = 3").head().getLong(0) == 0)
     assert(spark.sql("SELECT count(DISTINCT p) FROM ddl_mut").head().getLong(0) == 3)
+
+    // CH 23+ lightweight-delete spelling routes to the same path
+    val lw = spark.sql("DELETE FROM ddl_mut WHERE p = 0 AND id >= 200").head()
+    assert(lw.getLong(2) == 50L, s"lightweight delete rows: ${lw.getLong(2)}")
+    assert(spark.sql("SELECT count(*) FROM ddl_mut WHERE p = 0 AND id >= 200").head().getLong(0) == 0)
+    // bare DELETE FROM refuses with TRUNCATE guidance (CH requires WHERE)
+    val bare = intercept[Exception](spark.sql("DELETE FROM ddl_mut"))
+    assert(bare.getMessage.contains("TRUNCATE"))
     drop("ddl_mut")
   }
 
