@@ -701,6 +701,12 @@ object ChSqlParser {
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.*?)\s*;?\s*$""".r
   private val LightweightDeleteBare =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+
+  /** Lightweight UPDATE (`UPDATE t SET a = e[, …] WHERE p`, ClickHouse
+    * 25.7+'s standard-SQL spelling) — same executable path as
+    * `ALTER TABLE … UPDATE`. */
+  private val LightweightUpdate =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)\s*;?\s*$""".r
   private val AlterColumnStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(.*?)\s*;?\s*$""".r
   private val AlterDropPartition =
@@ -801,6 +807,15 @@ object ChSqlParser {
     case LightweightDeleteBare(_) => throw new UnsupportedOperationException(
       "DELETE FROM needs a WHERE clause (ClickHouse semantics); " +
         "TRUNCATE TABLE t clears everything")
+    case LightweightUpdate(table, rest) =>
+      val (setPart, predPart) = splitAtTopLevelWhere(rest.trim).getOrElse(
+        throw new IllegalArgumentException("UPDATE … SET requires a WHERE clause"))
+      val assigns = splitTopLevel(setPart).map { a =>
+        val m = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$""".r.findFirstMatchIn(a)
+          .getOrElse(throw new IllegalArgumentException(s"cannot parse assignment '$a'"))
+        (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2))
+      }
+      Some(ChAlterMutateCommand(table, predPart, assigns))
     case ExchangeTablesStmt(a, b) =>
       Some(ChExchangeTablesCommand(a, b))
     case AlterColumnStmt(table, kind, rest) =>

@@ -163,6 +163,13 @@ class ChDdlSpec extends SparkSpec {
     // bare DELETE FROM refuses with TRUNCATE guidance (CH requires WHERE)
     val bare = intercept[Exception](spark.sql("DELETE FROM ddl_mut"))
     assert(bare.getMessage.contains("TRUNCATE"))
+
+    // CH 25.7+ lightweight UPDATE spelling routes to the mutate path
+    val lwu = spark.sql("UPDATE ddl_mut SET owner = 'lw', v = v + 1 WHERE p = 2 AND id < 20").head()
+    assert(lwu.getLong(2) > 0)
+    assert(spark.sql("SELECT count(*) FROM ddl_mut WHERE owner = 'lw'").head().getLong(0) == lwu.getLong(2))
+    val lwuBare = intercept[Exception](spark.sql("UPDATE ddl_mut SET v = 0"))
+    assert(lwuBare.getMessage.contains("WHERE"))
     drop("ddl_mut")
   }
 
