@@ -1795,6 +1795,66 @@ object ChSqlParser {
     rewritePasteJoin(sql.substring(0, leftStart) + repl + sql.substring(rightEnd + 1))
   }
 
+  /** ClickHouse column-matcher selectors — `* APPLY(fn)` applies `fn`
+    * to every column of the FROM table; `COLUMNS('re')` selects the
+    * columns whose name partially matches the regex, optionally with
+    * its own `APPLY`. Expansion needs the FROM target's schema at
+    * PARSE time, so the executable subset is a plain
+    * `SELECT … FROM <table-or-view> …` (no WITH prefix, single
+    * resolvable target); other shapes refuse with the hand-expansion
+    * to write instead. Result columns carry CH's `fn(col)` names. */
+  private val StarApply =
+    """(?is)\*\s+APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+  private val ColumnsSel =
+    """(?is)\bCOLUMNS\s*\(\s*'([^']*)'\s*\)(?:\s+APPLY\s*\(\s*([A-Za-z_]\w*)\s*\))?""".r
+
+  private def rewriteColumnMatchers(sql: String): String = {
+    val hasStar = StarApply.findFirstMatchIn(sql).exists(m => !insideStringLiteral(sql, m.start))
+    val hasCols = ColumnsSel.findFirstMatchIn(sql).exists(m => !insideStringLiteral(sql, m.start))
+    if (!hasStar && !hasCols) return sql
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      "* APPLY(fn) / COLUMNS('re') expand from the FROM table's schema at parse time; " +
+        s"the executable subset is SELECT … FROM <one table/view>. $why — " +
+        "write the expanded column list by hand for other shapes")
+    if (!sql.trim.toUpperCase.startsWith("SELECT")) refuse("(statement does not start with SELECT)")
+    val fromIdx = topLevelFromIndex(sql)
+    if (fromIdx < 0) refuse("(no top-level FROM)")
+    val target = """^\s*([A-Za-z_][\w.]*)\s*""".r
+      .findFirstMatchIn(sql.substring(fromIdx + 4))
+      .map(_.group(1)).getOrElse(refuse("(FROM target is not a plain table/view name)"))
+    if (target.equalsIgnoreCase("select")) refuse("(FROM target is a subquery)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fields =
+      try spark.table(target).schema.fieldNames.toSeq
+      catch { case _: Exception => refuse(s"(cannot resolve table '$target')") }
+    var head = sql.substring(0, fromIdx)
+    val tail = sql.substring(fromIdx)
+    head = StarApply.replaceAllIn(head, m => {
+      if (insideStringLiteral(head, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val fn = m.group(1)
+        scala.util.matching.Regex.quoteReplacement(
+          fields.map(c => s"$fn(`$c`) AS `$fn($c)`").mkString(", "))
+      }
+    })
+    head = ColumnsSel.replaceAllIn(head, m => {
+      if (insideStringLiteral(head, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+      val pat = java.util.regex.Pattern.compile(m.group(1))
+      val matched = fields.filter(c => pat.matcher(c).find())
+      if (matched.isEmpty) refuse(s"(COLUMNS('${m.group(1)}') matches no column of '$target')")
+      val expansion = Option(m.group(2)) match {
+        case Some(fn) => matched.map(c => s"$fn(`$c`) AS `$fn($c)`").mkString(", ")
+        case None => matched.map(c => s"`$c`").mkString(", ")
+      }
+      scala.util.matching.Regex.quoteReplacement(expansion)
+      }
+    })
+    head + tail
+  }
+
   private def topLevelFromIndex(s: String): Int = {
     var depth = 0
     var inStr = false
@@ -2020,6 +2080,7 @@ object ChSqlParser {
       out = s"SELECT CAST(${if (exists) 1 else 0} AS TINYINT) AS result"
     }
     out = rewritePasteJoin(out)
+    out = rewriteColumnMatchers(out)
     // ALTER TABLE … DELETE/UPDATE and OPTIMIZE TABLE execute — they
     // become RunnableCommands in interceptCommand (called by
     // parsePlan on the rewritten text), not string rewrites.

@@ -162,6 +162,34 @@ class DialectRound7gSpec extends SparkSpec {
     assert(lit.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((0L, 2L), (1L, 1L), (2L, 0L)))
   }
 
+  test("* APPLY and COLUMNS('re') expand from the FROM table's schema") {
+    import spark.implicits._
+    Seq((1L, 2.0, 3L), (4L, 5.0, 6L)).toDF("a_num", "b_val", "c_num")
+      .createOrReplaceTempView("apply_t")
+    // * APPLY(max): every column aggregated, CH-style result names
+    val r = spark.sql("SELECT * APPLY(max) FROM apply_t").head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 5.0 && r.getLong(2) == 6L)
+    assert(spark.sql("SELECT * APPLY(max) FROM apply_t").columns.toSeq ==
+      Seq("max(a_num)", "max(b_val)", "max(c_num)"))
+    // COLUMNS regex without APPLY: plain projection of the matches
+    assert(spark.sql("SELECT COLUMNS('_num$') FROM apply_t").columns.toSeq ==
+      Seq("a_num", "c_num"))
+    // COLUMNS + APPLY: aggregate just the matches
+    val s = spark.sql("SELECT COLUMNS('_num$') APPLY(sum) FROM apply_t").head()
+    assert(s.getLong(0) == 5L && s.getLong(1) == 9L)
+    // unsupported shapes refuse with the hand-expansion guidance
+    val e = intercept[Exception](spark.sql(
+      "SELECT * APPLY(sum) FROM (SELECT 1 AS x)"))
+    assert(e.getMessage.contains("expanded column list"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT COLUMNS('^nope$') FROM apply_t"))
+    assert(e2.getMessage.contains("matches no column"))
+    // COLUMNS inside a string literal is data, not syntax
+    val lit = spark.sql("SELECT 'use COLUMNS(''x'') here' AS s FROM apply_t LIMIT 1")
+      .head().getString(0)
+    assert(lit.contains("COLUMNS"))
+  }
+
   test("MAC codecs, basename, unbin, isConstant, shard constants") {
     val r = spark.sql(
       """SELECT MACNumToString(1099511627775) AS mac,
