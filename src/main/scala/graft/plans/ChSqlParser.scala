@@ -2063,6 +2063,7 @@ object ChSqlParser {
     // CH EXPLAIN flavors: AST/SYNTAX describe the parse (Spark's
     // EXTENDED shows both), PLAN/PIPELINE/ESTIMATE describe execution
     // (FORMATTED is the Spark shape of that answer)
+    out = """(?is)^\s*EXPLAIN\s+QUERY\s+TREE\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
     out = """(?is)^\s*EXPLAIN\s+(AST|SYNTAX)\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
     out = """(?is)^\s*EXPLAIN\s+(PLAN|PIPELINE|ESTIMATE)\b""".r.replaceAllIn(out, "EXPLAIN FORMATTED")
     // RENAME TABLE a TO b[, …] → one ALTER per pair (single-pair form

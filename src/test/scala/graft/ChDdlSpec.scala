@@ -504,6 +504,9 @@ class ChDdlSpec extends SparkSpec {
     assert(ast.contains("Parsed Logical Plan") || ast.contains("== Physical Plan =="))
     val pipe = spark.sql("EXPLAIN PIPELINE SELECT count(*) FROM system.one").head().getString(0)
     assert(pipe.contains("(1)") || pipe.contains("Physical Plan"))
+    // CH's analyzer-era flavor maps to the logical-plan dump too
+    val qt = spark.sql("EXPLAIN QUERY TREE SELECT 1").head().getString(0)
+    assert(qt.contains("Parsed Logical Plan") || qt.contains("== Physical Plan =="))
     spark.sql("DROP TABLE IF EXISTS ren_a"); spark.sql("DROP TABLE IF EXISTS ren_b")
     spark.sql("CREATE TABLE ren_a (x UInt32) ENGINE = Memory")
     spark.sql("RENAME TABLE ren_a TO ren_b")
