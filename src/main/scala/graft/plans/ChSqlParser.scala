@@ -2063,6 +2063,9 @@ object ChSqlParser {
     // CH EXPLAIN flavors: AST/SYNTAX describe the parse (Spark's
     // EXTENDED shows both), PLAN/PIPELINE/ESTIMATE describe execution
     // (FORMATTED is the Spark shape of that answer)
+    // SHOW DICTIONARIES → the introspection table (same snapshot)
+    out = """(?is)^\s*SHOW\s+DICTIONARIES\s*;?\s*$""".r.replaceAllIn(out,
+      "SELECT name FROM system.dictionaries ORDER BY name")
     out = """(?is)^\s*EXPLAIN\s+QUERY\s+TREE\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
     out = """(?is)^\s*EXPLAIN\s+(AST|SYNTAX)\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
     out = """(?is)^\s*EXPLAIN\s+(PLAN|PIPELINE|ESTIMATE)\b""".r.replaceAllIn(out, "EXPLAIN FORMATTED")

@@ -484,6 +484,7 @@ class ChDdlSpec extends SparkSpec {
     val rows = spark.sql(
       "SELECT name, key, hierarchical FROM system.dictionaries WHERE name = 'sysd'").collect()
     assert(rows.length == 1 && rows(0).getString(1) == "k" && rows(0).getInt(2) == 0)
+    assert(spark.sql("SHOW DICTIONARIES").collect().map(_.getString(0)).contains("sysd"))
     spark.sql("SYSTEM RELOAD DICTIONARY sysd")
     spark.sql("SYSTEM RELOAD DICTIONARIES")
     spark.sql("SYSTEM DROP MARK CACHE")
