@@ -45,10 +45,20 @@ object Sampling {
     * training-loop concern, not a sampling one. Deterministic: same
     * corpus, weights and budget → the same sample on any engine, any
     * partitioning — and therefore SQL-oracle-able. The single-
-    * partition window runs over #domains rows (tiny by construction). */
+    * partition window runs over #domains rows (tiny by construction).
+    *
+    * Output contract: the input rows that survive the draw, PLUS a
+    * `mix_rate` column carrying the domain's keep rate (callers
+    * report it; q90c does). Input columns named `mix_rate` or
+    * `__dom` would make the internal join ambiguous — refused
+    * upfront rather than failing downstream with an ambiguous-
+    * reference error. */
   def mixtureByBudget(df: DataFrame, key: Column, domain: Column, size: Column,
                       weightOf: Column => Column, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    for (reserved <- Seq("mix_rate", "__dom"))
+      require(!df.columns.contains(reserved),
+        s"mixtureByBudget: input already has a '$reserved' column — rename it first")
     val rates = df.groupBy(domain.as("__dom")).agg(sum(size).as("__avail"))
       .withColumn("__w", weightOf(col("__dom")).cast("double"))
       .withColumn("__wsum", sum(col("__w")).over(Window.partitionBy()))

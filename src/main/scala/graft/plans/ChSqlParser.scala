@@ -793,6 +793,16 @@ object ChSqlParser {
     * for every other statement (the delegate parses those). Runs on
     * the REWRITTEN text, so SETTINGS/FORMAT tails are already
     * stripped and CH literal forms already translated. */
+  /** `col = expr, …` assignment list — shared by `ALTER TABLE …
+    * UPDATE` and the lightweight `UPDATE … SET` spelling so the two
+    * can never drift. */
+  private def parseAssignments(setPart: String): Seq[(String, String)] =
+    splitTopLevel(setPart).map { a =>
+      val m = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$""".r.findFirstMatchIn(a)
+        .getOrElse(throw new IllegalArgumentException(s"cannot parse assignment '$a'"))
+      (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2))
+    }
+
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
     case AlterDropPart() => throw new UnsupportedOperationException(
       "DROP PART names a physical part — this layout's unit is the partition; " +
@@ -804,18 +814,14 @@ object ChSqlParser {
       Some(ChDropPartitionCommand(table, value))
     case LightweightDelete(table, pred) =>
       Some(ChAlterMutateCommand(table, pred, Nil))
+
     case LightweightDeleteBare(_) => throw new UnsupportedOperationException(
       "DELETE FROM needs a WHERE clause (ClickHouse semantics); " +
         "TRUNCATE TABLE t clears everything")
     case LightweightUpdate(table, rest) =>
       val (setPart, predPart) = splitAtTopLevelWhere(rest.trim).getOrElse(
         throw new IllegalArgumentException("UPDATE … SET requires a WHERE clause"))
-      val assigns = splitTopLevel(setPart).map { a =>
-        val m = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$""".r.findFirstMatchIn(a)
-          .getOrElse(throw new IllegalArgumentException(s"cannot parse assignment '$a'"))
-        (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2))
-      }
-      Some(ChAlterMutateCommand(table, predPart, assigns))
+      Some(ChAlterMutateCommand(table, predPart, parseAssignments(setPart)))
     case ExchangeTablesStmt(a, b) =>
       Some(ChExchangeTablesCommand(a, b))
     case AlterColumnStmt(table, kind, rest) =>
@@ -833,12 +839,7 @@ object ChSqlParser {
       } else {
         val (setPart, predPart) = splitAtTopLevelWhere(rest.trim).getOrElse(
           throw new IllegalArgumentException("ALTER TABLE … UPDATE requires a WHERE clause"))
-        val assigns = splitTopLevel(setPart).map { a =>
-          val m = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$""".r.findFirstMatchIn(a)
-            .getOrElse(throw new IllegalArgumentException(s"cannot parse assignment '$a'"))
-          (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2))
-        }
-        Some(ChAlterMutateCommand(table, predPart, assigns))
+        Some(ChAlterMutateCommand(table, predPart, parseAssignments(setPart)))
       }
     case SystemReloadDicts() => Some(ChSystemCommand(reloadDict = Some(None)))
     case SystemReloadDict(name) =>
@@ -1809,8 +1810,10 @@ object ChSqlParser {
     """(?is)\bCOLUMNS\s*\(\s*'([^']*)'\s*\)(?:\s+APPLY\s*\(\s*([A-Za-z_]\w*)\s*\))?""".r
 
   private def rewriteColumnMatchers(sql: String): String = {
-    val hasStar = StarApply.findFirstMatchIn(sql).exists(m => !insideStringLiteral(sql, m.start))
-    val hasCols = ColumnsSel.findFirstMatchIn(sql).exists(m => !insideStringLiteral(sql, m.start))
+    // ALL matches considered, not just the first — a literal mention
+    // before a real matcher must not mask it
+    val hasStar = StarApply.findAllMatchIn(sql).exists(m => !insideStringLiteral(sql, m.start))
+    val hasCols = ColumnsSel.findAllMatchIn(sql).exists(m => !insideStringLiteral(sql, m.start))
     if (!hasStar && !hasCols) return sql
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       "* APPLY(fn) / COLUMNS('re') expand from the FROM table's schema at parse time; " +
@@ -1819,16 +1822,30 @@ object ChSqlParser {
     if (!sql.trim.toUpperCase.startsWith("SELECT")) refuse("(statement does not start with SELECT)")
     val fromIdx = topLevelFromIndex(sql)
     if (fromIdx < 0) refuse("(no top-level FROM)")
-    val target = """^\s*([A-Za-z_][\w.]*)\s*""".r
-      .findFirstMatchIn(sql.substring(fromIdx + 4))
-      .map(_.group(1)).getOrElse(refuse("(FROM target is not a plain table/view name)"))
+    val afterFrom = sql.substring(fromIdx + 4)
+    val targetM = """^\s*([A-Za-z_][\w.]*)\s*""".r.findFirstMatchIn(afterFrom)
+      .getOrElse(refuse("(FROM target is not a plain table/view name)"))
+    val target = targetM.group(1)
     if (target.equalsIgnoreCase("select")) refuse("(FROM target is a subquery)")
+    // the FROM clause must END at the target: a JOIN or comma list
+    // would need the combined schema (CH expands over ALL joined
+    // columns) — refuse rather than silently expand half the columns
+    val afterTarget = afterFrom.substring(targetM.end)
+    if (!"""(?is)^\s*(?:AS\s+[A-Za-z_]\w*\s*)?(?:$|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|HAVING\b|QUALIFY\b|UNION\b|SETTINGS\b|FORMAT\b|INTO\b|;)""".r
+        .findFirstIn(afterTarget).isDefined)
+      refuse("(FROM has more than one table — JOIN/comma lists need the combined schema)")
+    var head = sql.substring(0, fromIdx)
+    val tail = sql.substring(fromIdx)
+    // a matcher AFTER the select list (subquery in WHERE, ORDER BY)
+    // would survive the head-only rewrite and die as a raw parse
+    // error — refuse with the guidance instead
+    if (StarApply.findAllMatchIn(tail).exists(m => !insideStringLiteral(tail, m.start)) ||
+        ColumnsSel.findAllMatchIn(tail).exists(m => !insideStringLiteral(tail, m.start)))
+      refuse("(a matcher appears after the top-level select list)")
     val spark = org.apache.spark.sql.SparkSession.active
     val fields =
       try spark.table(target).schema.fieldNames.toSeq
       catch { case _: Exception => refuse(s"(cannot resolve table '$target')") }
-    var head = sql.substring(0, fromIdx)
-    val tail = sql.substring(fromIdx)
     head = StarApply.replaceAllIn(head, m => {
       if (insideStringLiteral(head, m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
@@ -1842,7 +1859,10 @@ object ChSqlParser {
       if (insideStringLiteral(head, m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
-      val pat = java.util.regex.Pattern.compile(m.group(1))
+      val pat =
+        try java.util.regex.Pattern.compile(m.group(1))
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          refuse(s"(COLUMNS regex '${m.group(1)}' does not compile: ${e.getDescription})") }
       val matched = fields.filter(c => pat.matcher(c).find())
       if (matched.isEmpty) refuse(s"(COLUMNS('${m.group(1)}') matches no column of '$target')")
       val expansion = Option(m.group(2)) match {
@@ -1867,8 +1887,9 @@ object ChSqlParser {
         else if (c == ')') depth -= 1
         else if (depth == 0 && (c == 'f' || c == 'F') && i + 4 <= s.length &&
                  s.substring(i, i + 4).equalsIgnoreCase("from") &&
-                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-                 (i + 4 == s.length || !Character.isLetterOrDigit(s.charAt(i + 4))))
+                 // '_' is a word char: `id_from` must not read as FROM
+                 (i == 0 || (!Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) &&
+                 (i + 4 == s.length || (!Character.isLetterOrDigit(s.charAt(i + 4)) && s.charAt(i + 4) != '_')))
           return i
       }
       i += 1

@@ -188,6 +188,24 @@ class DialectRound7gSpec extends SparkSpec {
     val lit = spark.sql("SELECT 'use COLUMNS(''x'') here' AS s FROM apply_t LIMIT 1")
       .head().getString(0)
     assert(lit.contains("COLUMNS"))
+    // …but a literal mention must not MASK a real matcher after it
+    val both = spark.sql(
+      "SELECT 'see * APPLY(f)' AS doc, COLUMNS('_num$') FROM apply_t WHERE a_num = 1")
+    assert(both.columns.toSeq == Seq("doc", "a_num", "c_num"))
+    // JOINed FROM refuses (CH expands over the combined schema)
+    val j = intercept[Exception](spark.sql(
+      "SELECT * APPLY(max) FROM apply_t JOIN apply_t t2 ON apply_t.a_num = t2.a_num"))
+    assert(j.getMessage.contains("more than one table"))
+    // a matcher after the select list refuses with guidance too
+    val t = intercept[Exception](spark.sql(
+      "SELECT a_num FROM apply_t ORDER BY COLUMNS('_num$')"))
+    assert(t.getMessage.contains("after the top-level select list"))
+    // a broken COLUMNS regex refuses with the dialect message
+    val bad = intercept[Exception](spark.sql("SELECT COLUMNS('(') FROM apply_t"))
+    assert(bad.getMessage.contains("does not compile"))
+    // an identifier containing '_from' must not misdetect FROM
+    val idf = spark.sql("SELECT a_num AS id_from, COLUMNS('_num$') FROM apply_t WHERE a_num = 1")
+    assert(idf.columns.toSeq == Seq("id_from", "a_num", "c_num"))
   }
 
   test("MAC codecs, basename, unbin, isConstant, shard constants") {
