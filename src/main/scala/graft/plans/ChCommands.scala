@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.LongType
 
 /** Executable ClickHouse maintenance DDL — the statements a migrated
@@ -496,7 +496,8 @@ case class ChAlterMutateCommand(table: String, predSql: String,
   * into one file (read-invariant; file count drops). DEDUPLICATE
   * additionally drops exact-duplicate rows (optionally BY a column
   * subset, keeping an arbitrary survivor — ClickHouse semantics). */
-case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extends LeafRunnableCommand {
+case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]],
+                             partition: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
@@ -513,7 +514,21 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extend
   override def run(spark: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(spark, table)
     val before = countFiles(spark, info.path)
-    val t0 = ChCommands.readData(spark, table, info.path)
+    val t00 = ChCommands.readData(spark, table, info.path)
+    // OPTIMIZE … PARTITION 'v': scope BEFORE dedup, so only that
+    // partition's rows read/shuffle/rewrite — at 100 TB the routine
+    // "compact yesterday" touches one directory, not the table. The
+    // value compares through the same Cast(v, String) the partitioned
+    // writer uses for directory names (see Mutate's timestamp fix).
+    val t0 = partition match {
+      case None => t00
+      case Some(v) =>
+        info.partCols match {
+          case Seq(p) => t00.where(col(p).cast("string") === lit(v))
+          case _ => throw new UnsupportedOperationException(
+            "OPTIMIZE … PARTITION needs a single-column partitioned table here")
+        }
+    }
     val t = dedupBy match {
       case None           => t0
       case Some(Nil)      => t0.dropDuplicates()
@@ -522,8 +537,9 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]]) extend
     info.partCols match {
       case Seq(p) =>
         // one hash-shuffle on the partition key → each directory lands
-        // as a single file; dynamic overwrite touches every partition
-        // (that IS the operation) but streams, never collects
+        // as a single file; dynamic overwrite touches every written
+        // partition (all of them without PARTITION, exactly one with)
+        // but streams, never collects
         val key = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "dynamic")

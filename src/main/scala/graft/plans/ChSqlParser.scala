@@ -873,12 +873,15 @@ object ChSqlParser {
       Some(ChDropDictionaryCommand(
         name.stripPrefix("`").stripSuffix("`"), ifExists != null))
     case OptimizeStmt(table, tail) =>
-      if ("""(?i)\bPARTITION\b""".r.findFirstIn(tail).isDefined)
-        throw new UnsupportedOperationException(
-          "OPTIMIZE … PARTITION: use graft.sources.MergeTreeWrite.compact on that directory")
-      val dedup = """(?is)\bDEDUPLICATE(\s+BY\s+(.*?))?\s*$""".r.findFirstMatchIn(tail)
+      // PARTITION 'v' / PARTITION ID 'v' scopes the compaction to one
+      // directory (the routine "compact yesterday" at 100 TB)
+      val partRx = """(?is)\bPARTITION\s+(?:ID\s+)?('([^']*)'|[\w.\-]+)""".r
+      val partition = partRx.findFirstMatchIn(tail)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+      val tail2 = partRx.replaceAllIn(tail, "")
+      val dedup = """(?is)\bDEDUPLICATE(\s+BY\s+(.*?))?\s*$""".r.findFirstMatchIn(tail2)
         .map(m => Option(m.group(2)).map(g => splitTopLevel(g).map(_.trim)).getOrElse(Nil))
-      Some(ChOptimizeCommand(table, dedup))
+      Some(ChOptimizeCommand(table, dedup, partition))
     case _ => None
   }
 

@@ -182,6 +182,19 @@ class ChDdlSpec extends SparkSpec {
       spark.sql(s"INSERT INTO ddl_opt SELECT id + ${b * 100}, CAST(id AS DOUBLE), CAST(id % 2 AS INT) FROM range(100)")
     }
     val sumBefore = spark.sql("SELECT sum(v), count(*) FROM ddl_opt").head()
+
+    // PARTITION-scoped optimize compacts ONE directory; the other
+    // partition's files stay byte-identical on disk
+    val loc0 = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("ddl_opt"))
+      .location.getPath
+    val otherBefore = partFileState(loc0).filter(_._1.contains("p=1"))
+    val rp = spark.sql("OPTIMIZE TABLE ddl_opt PARTITION '0' FINAL").head()
+    assert(rp.getLong(1) < rp.getLong(0), s"files: ${rp.getLong(0)} -> ${rp.getLong(1)}")
+    val otherAfter = partFileState(loc0).filter(_._1.contains("p=1"))
+    assert(otherAfter == otherBefore, "PARTITION '0' optimize touched p=1 files")
+    assert(spark.sql("SELECT sum(v), count(*) FROM ddl_opt").head() == sumBefore)
+
     val r = spark.sql("OPTIMIZE TABLE ddl_opt FINAL").head()
     assert(r.getLong(1) < r.getLong(0), s"file count should drop: ${r.getLong(0)} -> ${r.getLong(1)}")
     assert(r.getLong(1) == 2L) // one file per partition
