@@ -229,6 +229,86 @@ object Binary {
     }(enc)
   }
 
+  /** Nearest-neighbor image resize — REAL decode → scale → re-encode
+    * on the stock JVM. Nearest-neighbor by explicit integer mapping
+    * (dst(x,y) = src(⌊x·sw/dw⌋, ⌊y·sh/dh⌋)) rather than Graphics2D
+    * interpolation: the result is pixel-DETERMINISTIC, so a SQL
+    * oracle can replay the resampled pixels from first principles.
+    * Undecodable payloads pass through as null bytes, never throw. */
+  def resizeImage(payload: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+    require(dw > 0 && dh > 0)
+    if (payload == null || payload.isEmpty) return null
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (src == null) return null
+    val (sw, sh) = (src.getWidth, src.getHeight)
+    val dst = new java.awt.image.BufferedImage(
+      dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dh) {
+      val sy = (y.toLong * sh / dh).toInt
+      var x = 0
+      while (x < dw) {
+        dst.setRGB(x, y, src.getRGB((x.toLong * sw / dw).toInt, sy) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Exact integer luminance statistic of a decoded image:
+    * Σ(299R + 587G + 114B) — BT.601 ×1000, a BIGINT any engine
+    * reproduces (same contract as [[AviCodec.frameLumSums]]).
+    * Undecodable → −1 (distinguishable from a black image's 0). */
+  def imageLumSum(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) return -1L
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return -1L
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Resize stage: per-partition batched [[resizeImage]], appending a
+    * `resized` binary column. Payloads never shuffle; bad rows carry
+    * null through. */
+  def resizeStage(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", org.apache.spark.sql.types.BinaryType, nullable = true))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ resizeImage(r.getAs[Array[Byte]](idx), w, h)))
+    }(enc)
+  }
+
+  /** Luminance-statistic stage: per-partition batched
+    * [[imageLumSum]], appending `lum_sum`. */
+  def lumSumStage(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("lum_sum", LongType, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ imageLumSum(r.getAs[Array[Byte]](idx))))
+    }(enc)
+  }
+
   /** Video decode stage: per-partition batched [[AviCodec.probe]]
     * (REAL container parse — see AviCodec for the format notes),
     * appending a `video_info` struct. Header-only: frame payloads are

@@ -598,6 +598,64 @@ object EventsAnalytics {
             ORDER BY id, frame_idx"""),
   )
 
+  /** REAL image RESIZE through the multimodal plumbing (round 10 —
+    * the brief's last unexercised media stage): formula-pixel PNGs →
+    * nearest-neighbor resize by explicit integer mapping
+    * ([[graft.multimodal.Binary.resizeImage]],
+    * dst(x,y) = src(⌊x·sw/dw⌋, ⌊y·sh/dh⌋) — pixel-deterministic, so
+    * the oracle REPLAYS the resampling from first principles) →
+    * PNG re-encode → decode-back dims + exact integer BT.601
+    * luminance sum. Junk payloads carry null through and land as
+    * ok = false / −1. */
+  val q80e = GraftQuery(
+    "q80e_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      def png(w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = (x * 5 + y * 7) % 256
+            val g = (x * 11 + y * 3) % 256
+            val b = (x * 2 + y * 13) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        1L -> png(40, 30), 2L -> png(25, 17),
+        3L -> Array[Byte](3, 1, 4)) // not an image
+      val df = rows.toDF("id", "payload")
+      val resized = Binary.resizeStage(df, "payload", 16, 12)
+      Binary.decodeStage(Binary.lumSumStage(resized, "resized"), "resized", Binary.ImageIoDecoder)
+        .select($"id", $"media_info.width".as("width"),
+          $"media_info.height".as("height"), $"media_info.ok".as("ok"), $"lum_sum")
+        .orderBy("id")
+    },
+    Some("""WITH v(id, sw, sh) AS (VALUES (CAST(1 AS BIGINT), 40, 30), (2, 25, 17)),
+                 px AS (SELECT id, (xx.x * sw) // 16 AS sx, (yy.y * sh) // 12 AS sy
+                        FROM v, LATERAL unnest(range(0, 16)) AS xx(x),
+                                LATERAL unnest(range(0, 12)) AS yy(y)),
+                 lum AS (SELECT id,
+                                CAST(sum(299 * ((sx * 5 + sy * 7) % 256)
+                                       + 587 * ((sx * 11 + sy * 3) % 256)
+                                       + 114 * ((sx * 2 + sy * 13) % 256)) AS BIGINT) AS lum_sum
+                         FROM px GROUP BY id)
+            SELECT id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height, TRUE AS ok, lum_sum
+            FROM lum
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 0, 0, FALSE, CAST(-1 AS BIGINT)
+            ORDER BY id"""),
+  )
+
   /** Continuous funnel IN the gate:
     * [[graft.streaming.StatefulFunnel.funnelUpdates]] (per-user
     * state-store fold — the continuous windowFunnel materialized
@@ -825,5 +883,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q107, q108)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q80e, q107, q108)
 }

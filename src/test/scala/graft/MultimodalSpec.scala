@@ -50,6 +50,20 @@ class MultimodalSpec extends SparkSpec {
     assert(info.zeroCrossings == 0L, s"phantom crossings: ${info.zeroCrossings}")
   }
 
+  test("resizeImage: nearest-neighbor mapping is pixel-exact; junk passes through null") {
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, (x * 16 + y) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val resized = Binary.resizeImage(bos.toByteArray, 4, 3)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x * 8 / 4, y * 6 / 3) & 0xFFFFFF))
+    assert(Binary.resizeImage(Array[Byte](1, 2, 3), 4, 3) == null)
+    assert(Binary.imageLumSum(Array[Byte](1, 2, 3)) == -1L)
+  }
+
   test("featureStage feeds the similarity operators end to end") {
     val many = (1L to 50L).map(i => (i, s"payload-number-$i"))
       .toDF("id", "s").withColumn("payload", col("s").cast("binary")).drop("s")
