@@ -551,6 +551,18 @@ object ChDialect {
       case _ => throw new IllegalArgumentException("groupArrayInsertAt takes (default, size)(expr, pos)")
     }),
     "median"   -> (es => new Percentile(es.head, Literal(0.5))),
+    // median* family = the quantile* counterpart pinned at 0.5 (CH
+    // defines them exactly so); exact/deterministic variants share the
+    // exact Percentile kernel, the sketch variant the t-digest one
+    "medianExact" -> (es => new Percentile(es.head, Literal(0.5))),
+    "medianExactLow" -> (es => exactRankQuantile(Seq(Literal(0.5), es.head), high = false)),
+    "medianExactHigh" -> (es => exactRankQuantile(Seq(Literal(0.5), es.head), high = true)),
+    "medianDeterministic" -> (es => new Percentile(es.head, Literal(0.5))),
+    "medianTDigest" -> (es => new ApproximatePercentile(es.head, Literal(0.5))),
+    "medianExactWeighted" -> (es => es match {
+      case Seq(x, w) => GraftQuantileExactWeighted(Literal(0.5), x, w)
+      case _ => throw new IllegalArgumentException("medianExactWeighted takes (expr, weight)")
+    }),
     "topK" -> (es => es match {
       case Seq(x)    => GraftTopK(x, Literal(10))
       case Seq(k, x) => GraftTopK(x, k)
