@@ -553,12 +553,36 @@ object ChDialect {
     "median"   -> (es => new Percentile(es.head, Literal(0.5))),
     // median* family = the quantile* counterpart pinned at 0.5 (CH
     // defines them exactly so); exact/deterministic variants share the
-    // exact Percentile kernel, the sketch variant the t-digest one
-    "medianExact" -> (es => new Percentile(es.head, Literal(0.5))),
-    "medianExactLow" -> (es => exactRankQuantile(Seq(Literal(0.5), es.head), high = false)),
-    "medianExactHigh" -> (es => exactRankQuantile(Seq(Literal(0.5), es.head), high = true)),
-    "medianDeterministic" -> (es => new Percentile(es.head, Literal(0.5))),
-    "medianTDigest" -> (es => new ApproximatePercentile(es.head, Literal(0.5))),
+    // exact Percentile kernel, the sketch variant the t-digest one.
+    // Arity is validated — a mistyped medianExact(x, w) must error,
+    // not silently drop the weight.
+    "medianExact" -> (es => es match {
+      case Seq(x) => new Percentile(x, Literal(0.5))
+      case _ => throw new IllegalArgumentException("medianExact takes (expr)")
+    }),
+    "medianExactLow" -> (es => es match {
+      case Seq(x) => exactRankQuantile(Seq(Literal(0.5), x), high = false)
+      case _ => throw new IllegalArgumentException("medianExactLow takes (expr)")
+    }),
+    "medianExactHigh" -> (es => es match {
+      case Seq(x) => exactRankQuantile(Seq(Literal(0.5), x), high = true)
+      case _ => throw new IllegalArgumentException("medianExactHigh takes (expr)")
+    }),
+    // CH signature is (expr, determinator); the determinator only
+    // steadies CH's reservoir sampling — the exact kernel needs none
+    "medianDeterministic" -> (es => {
+      if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
+        "medianDeterministic takes (expr[, determinator])")
+      new Percentile(es.head, Literal(0.5))
+    }),
+    // CH's medianTDigest always returns Float64 whatever the input.
+    // The explicit toAggregateExpression matters: the analyzer only
+    // auto-wraps a BARE AggregateFunction returned by a builder — one
+    // nested under Cast stays unwrapped and fails analysis.
+    "medianTDigest" -> (es => es match {
+      case Seq(x) => Cast(new ApproximatePercentile(x, Literal(0.5)).toAggregateExpression(), DoubleType)
+      case _ => throw new IllegalArgumentException("medianTDigest takes (expr)")
+    }),
     "medianExactWeighted" -> (es => es match {
       case Seq(x, w) => GraftQuantileExactWeighted(Literal(0.5), x, w)
       case _ => throw new IllegalArgumentException("medianExactWeighted takes (expr, weight)")

@@ -873,12 +873,31 @@ object ChSqlParser {
       Some(ChDropDictionaryCommand(
         name.stripPrefix("`").stripSuffix("`"), ifExists != null))
     case OptimizeStmt(table, tail) =>
-      // PARTITION 'v' / PARTITION ID 'v' scopes the compaction to one
-      // directory (the routine "compact yesterday" at 100 TB)
-      val partRx = """(?is)\bPARTITION\s+(?:ID\s+)?('([^']*)'|[\w.\-]+)""".r
+      // PARTITION 'v' scopes the compaction to one directory (the
+      // routine "compact yesterday" at 100 TB). PARTITION ID refuses:
+      // CH's partition ID is a formatted/hashed form distinct from
+      // the VALUE for non-trivial keys, so treating an ID as a value
+      // would filter zero rows and silently no-op. Likewise any
+      // PARTITION spelling the value regex does not consume
+      // (tuple(…), parenthesized) must refuse loudly — falling
+      // through would run a FULL-table optimize the user didn't ask
+      // for.
+      if ("""(?i)\bPARTITION\s+ID\b""".r.findFirstIn(tail).isDefined)
+        throw new UnsupportedOperationException(
+          "OPTIMIZE … PARTITION ID names ClickHouse's formatted partition id, which this " +
+            "layout does not mint; use PARTITION '<value>' with the partition VALUE")
+      // bare-word values must not be followed by '(' — that's a
+      // function form (tuple('…')) the guard below rejects
+      // (?![\w.\-]) forbids stopping mid-token (backtracking would
+      // otherwise shrink tuple('x') to a bare 'tupl' match)
+      val partRx = """(?is)\bPARTITION\s+('([^']*)'|[\w.\-]+(?![\w.\-])(?!\s*\())""".r
       val partition = partRx.findFirstMatchIn(tail)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
       val tail2 = partRx.replaceAllIn(tail, "")
+      if ("""(?i)\bPARTITION\b""".r.findFirstIn(tail2).isDefined)
+        throw new UnsupportedOperationException(
+          "OPTIMIZE … PARTITION: only the PARTITION '<value>' form executes here — " +
+            "tuple(…)/parenthesized spellings would otherwise scope wrong; inline the value")
       val dedup = """(?is)\bDEDUPLICATE(\s+BY\s+(.*?))?\s*$""".r.findFirstMatchIn(tail2)
         .map(m => Option(m.group(2)).map(g => splitTopLevel(g).map(_.trim)).getOrElse(Nil))
       Some(ChOptimizeCommand(table, dedup, partition))

@@ -194,6 +194,17 @@ class ChDdlSpec extends SparkSpec {
     val otherAfter = partFileState(loc0).filter(_._1.contains("p=1"))
     assert(otherAfter == otherBefore, "PARTITION '0' optimize touched p=1 files")
     assert(spark.sql("SELECT sum(v), count(*) FROM ddl_opt").head() == sumBefore)
+    // unconsumable PARTITION spellings refuse LOUDLY — a fall-through
+    // would run a full-table optimize the user didn't ask for
+    val tup = intercept[Exception](
+      spark.sql("OPTIMIZE TABLE ddl_opt PARTITION tuple('0') FINAL"))
+    assert(tup.getMessage.contains("PARTITION"))
+    val par = intercept[Exception](
+      spark.sql("OPTIMIZE TABLE ddl_opt PARTITION (0) FINAL"))
+    assert(par.getMessage.contains("PARTITION"))
+    val pid = intercept[Exception](
+      spark.sql("OPTIMIZE TABLE ddl_opt PARTITION ID '0' FINAL"))
+    assert(pid.getMessage.contains("PARTITION ID"))
 
     val r = spark.sql("OPTIMIZE TABLE ddl_opt FINAL").head()
     assert(r.getLong(1) < r.getLong(0), s"file count should drop: ${r.getLong(0)} -> ${r.getLong(1)}")

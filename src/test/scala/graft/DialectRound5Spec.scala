@@ -518,7 +518,8 @@ class DialectRound5Spec extends SparkSpec {
         |       quantileExactLow(0.0)(v) AS mn, quantileExactHigh(1.0)(v) AS mx
         |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin).head()
     assert(r.getInt(0) == 2 && r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 4)
-    // median* aliases = the quantile* counterpart pinned at 0.5
+    // median* aliases = the quantile* counterpart pinned at 0.5;
+    // medianTDigest is Float64 whatever the input (CH contract)
     val m = spark.sql(
       """SELECT medianExact(v) AS me, medianExactLow(v) AS ml, medianExactHigh(v) AS mh,
         |       medianDeterministic(v) AS md, round(medianTDigest(v), 1) AS mt,
@@ -526,7 +527,11 @@ class DialectRound5Spec extends SparkSpec {
         |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin).head()
     assert(m.getDouble(0) == 2.5 && m.getInt(1) == 2 && m.getInt(2) == 3)
     assert(m.getDouble(3) == 2.5 && m.getDouble(4) == 2.0)
-    assert(m.getInt(5) == 2 || m.getDouble(5) == 2.0)
+    assert(m.get(5) match { case i: Int => i == 2; case d: Double => d == 2.0; case _ => false })
+    // a mistyped weight arg errors instead of silently dropping it
+    val arity = intercept[Exception](
+      spark.sql("SELECT medianExact(v, 1) FROM VALUES (1) AS t(v)").head())
+    assert(arity.getMessage.contains("medianExact takes"))
   }
 
   test("OrNull conversions, ISO calendar, relative nums, -If distincts") {
