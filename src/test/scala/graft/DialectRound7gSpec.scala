@@ -208,6 +208,27 @@ class DialectRound7gSpec extends SparkSpec {
     assert(idf.columns.toSeq == Seq("id_from", "a_num", "c_num"))
   }
 
+  test("two independent PASTE JOINs rewrite; a chained one refuses with the contract") {
+    // one per UNION branch — the recursion must rewrite both
+    val two = spark.sql(
+      """SELECT * FROM ((SELECT id AS a FROM range(2) ORDER BY a)
+                        PASTE JOIN (SELECT id AS b FROM range(2) ORDER BY b DESC))
+         UNION ALL
+         SELECT * FROM ((SELECT id AS a FROM range(2) ORDER BY a DESC)
+                        PASTE JOIN (SELECT id AS b FROM range(2) ORDER BY b))""").collect()
+    assert(two.length == 4)
+    assert(two.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L), (1L, 0L))) // both branches zip opposite orders
+    // chained PASTE JOIN: the rewritten left group carries no ORDER BY,
+    // so the deterministic contract refuses with guidance (CH zips by
+    // block order there — exactly what a distributed engine can't define)
+    val chained = intercept[Exception](spark.sql(
+      """SELECT * FROM (SELECT id AS a FROM range(2) ORDER BY a)
+         PASTE JOIN (SELECT id AS b FROM range(2) ORDER BY b)
+         PASTE JOIN (SELECT id AS c FROM range(2) ORDER BY c)"""))
+    assert(chained.getMessage.contains("ORDER BY"))
+  }
+
   test("MAC codecs, basename, unbin, isConstant, shard constants") {
     val r = spark.sql(
       """SELECT MACNumToString(1099511627775) AS mac,
