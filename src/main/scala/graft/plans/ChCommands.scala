@@ -794,3 +794,39 @@ case class ChSystemCommand(reloadDict: Option[Option[String]] = None,
     Seq.empty
   }
 }
+
+/** `SELECT … INTO OUTFILE 'path' [FORMAT f]` — the console/script
+  * export statement, EXECUTED: the inner query re-enters the full
+  * dialect, the result persists once (one compute serves both the
+  * row count and the write), and lands at `path` in the named format.
+  * Formats map to Spark writers: Parquet (default), CSV[WithNames],
+  * TSV/TabSeparated[WithNames], JSONEachRow; others refuse loudly
+  * with the supported list. Existing output is overwritten —
+  * re-running an export script must converge, not fail. */
+case class ChIntoOutfileCommand(innerSql: String, path: String,
+                                format: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rows_written", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = spark.sql(innerSql).persist()
+    try {
+      val n = df.count()
+      val w = df.write.mode("overwrite")
+      format.map(_.toLowerCase).getOrElse("parquet") match {
+        case "parquet" | "native" => w.parquet(path)
+        case "csv" => w.option("header", "false").csv(path)
+        case "csvwithnames" => w.option("header", "true").csv(path)
+        case "tsv" | "tabseparated" =>
+          w.option("header", "false").option("sep", "\t").csv(path)
+        case "tsvwithnames" | "tabseparatedwithnames" =>
+          w.option("header", "true").option("sep", "\t").csv(path)
+        case "jsoneachrow" | "ndjson" => w.json(path)
+        case other => throw new UnsupportedOperationException(
+          s"INTO OUTFILE FORMAT $other: supported here are Parquet (default), " +
+            "CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow")
+      }
+      Seq(Row(n))
+    } finally df.unpersist()
+  }
+}

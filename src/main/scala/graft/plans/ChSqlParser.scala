@@ -29,6 +29,10 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
   import ChSqlParser.rewriteParametric
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    ChSqlParser.interceptOutfile(sqlText) match {
+      case Some(cmd) => return cmd
+      case None =>
+    }
     val out = rewriteParametric(sqlText)
     ChSqlParser.interceptCommand(out).getOrElse(delegate.parsePlan(out))
   }
@@ -37,6 +41,14 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
   // context, so a delegating parser MUST forward it or every
   // parameterized query fails with UNBOUND_SQL_PARAMETER.
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan = {
+    ChSqlParser.interceptOutfile(sqlText).foreach { cmd =>
+      // the inner query re-enters the parser at run time, outside the
+      // parameter binding — same contract as the other commands
+      if (ChSqlParser.hasParameters(ctx)) throw new UnsupportedOperationException(
+        "parameterized INTO OUTFILE is not supported: the inner query re-parses at " +
+          "run time where placeholder bindings are no longer in scope — inline the values")
+      return cmd
+    }
     val out = rewriteParametric(sqlText)
     ChSqlParser.interceptCommand(out) match {
       case Some(plan) =>
@@ -801,6 +813,19 @@ object ChSqlParser {
       val m = """(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$""".r.findFirstMatchIn(a)
         .getOrElse(throw new IllegalArgumentException(s"cannot parse assignment '$a'"))
       (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2))
+    }
+
+  /** `SELECT … INTO OUTFILE 'path' [FORMAT f]` EXECUTES as an export
+    * command (round 10; previously the clause stripped): the inner
+    * query re-enters the full dialect at run time and its result
+    * lands at the path in the named format. Captured on the RAW text
+    * because the rewrite chain would otherwise strip the clause. */
+  private val IntoOutfileStmt =
+    """(?is)^\s*((?:SELECT|WITH)\b.*\S)\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*$""".r
+
+  private[plans] def interceptOutfile(sql: String): Option[LogicalPlan] =
+    IntoOutfileStmt.findFirstMatchIn(sql).map { m =>
+      ChIntoOutfileCommand(m.group(1), m.group(2), Option(m.group(3)))
     }
 
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {

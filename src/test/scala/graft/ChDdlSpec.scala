@@ -410,6 +410,27 @@ class ChDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("DISTINCT ON"))
   }
 
+  test("INTO OUTFILE executes as an export command") {
+    val dir = s"/tmp/graft_outfile_${java.util.UUID.randomUUID().toString.take(8)}"
+    val r = spark.sql(
+      s"SELECT id, id * 2 AS dbl FROM range(5) INTO OUTFILE '$dir' FORMAT Parquet").head()
+    assert(r.getLong(0) == 5L)
+    assert(spark.read.parquet(dir).count() == 5)
+    // header format + dialect functions inside the inner query
+    val r2 = spark.sql(
+      s"SELECT toString(id) AS s FROM range(3) INTO OUTFILE '$dir-csv' FORMAT CSVWithNames").head()
+    assert(r2.getLong(0) == 3L)
+    assert(spark.read.option("header", "true").csv(s"$dir-csv").count() == 3)
+    // unsupported format refuses with the supported list
+    val bad = intercept[Exception](
+      spark.sql(s"SELECT 1 INTO OUTFILE '$dir-x' FORMAT Arrow"))
+    assert(bad.getMessage.contains("supported here"))
+    // re-running the export overwrites instead of failing
+    assert(spark.sql(
+      s"SELECT id FROM range(2) INTO OUTFILE '$dir' FORMAT Parquet").head().getLong(0) == 2L)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("EXISTS TABLE and EXCHANGE TABLES") {
     for (t <- Seq("ddl_ex_a", "ddl_ex_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
