@@ -899,8 +899,10 @@ object ChFunctions {
                FROM orders_ct
                GROUP BY o_orderpriority
                ORDER BY prio
-               INTO OUTFILE '/tmp/never-written.csv'
                FORMAT CSV""")
+      // (the INTO OUTFILE tail this query once carried now EXECUTES
+      // as an export command — exercised by its own spec; this query
+      // keeps the type zoo + the still-stripped FORMAT tail)
     },
     Some("""SELECT o_orderpriority AS prio,
                    CAST(count(*) AS BIGINT) AS cnt,
