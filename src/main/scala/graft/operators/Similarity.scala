@@ -98,16 +98,46 @@ object Similarity {
     * `numPlanes` with the corpus so within-bucket pair work stays
     * bounded (the standard single-table LSH recall/cost trade;
     * [[embeddingDupPairs]] is the exact bounded-anchor counterpart,
-    * [[lshAnnPairs]] the multi-table recall path). */
+    * [[lshAnnPairs]] the multi-table recall path).
+    *
+    * Whale-bucket guard: only the `maxBucket` LOWEST-id rows of a
+    * bucket act as dedup REPRESENTATIVES (the lower-id comparison
+    * side); every row is still checked against them. This caps the
+    * within-bucket join at maxBucket × occupancy — linear in bucket
+    * size, ≤ maxBucket cosine checks per row — where the uncapped
+    * self-join goes quadratic on exactly the input this operator
+    * exists for (mass-duplicated embeddings all landing in one
+    * bucket). Deliberately ASYMMETRIC, unlike [[lshAnnPairs]]'
+    * symmetric truncation: there a truncated row merely costs
+    * recall; here a row past a symmetric cap would survive
+    * UNCHECKED, letting a duplicate flood through untouched. With
+    * the asymmetric cap a flood of copies still dedups — the
+    * lowest-id representative drops them all. Semantics are exact
+    * while occupancy ≤ maxBucket (so the DuckDB oracle stays
+    * hash-green); past it, the only divergence is a row whose every
+    * ≥ minCos lower-id mate is itself past the cap — it survives
+    * where the uncapped rule would drop it. Truncation is
+    * observable via the `graft_semdedup_cap` [[DataFrame.observe]]
+    * metric (`truncated_reps` > 0 ⇒ the cap engaged). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    numPlanes: Int, dim: Int, minCos: Double): DataFrame = {
+                    numPlanes: Int, dim: Int, minCos: Double,
+                    maxBucket: Int = 4096): DataFrame = {
     val base = withNorm(df, vecCol)
     val bucket = (0 until numPlanes).map { j =>
       when(vec.dot(col(vecCol), lit(formulaPlane(j, dim))) >= 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
     val coded = base.withColumn("__bucket", bucket)
-    val a = coded.select(col("__bucket"), col(idCol).as("id_a"),
+    // representative cap: one row_number window on the same __bucket
+    // key the candidate join shuffles on anyway (exchange reuse — no
+    // extra shuffle, one sort)
+    val reps = coded
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__bucket")).orderBy(col(idCol))))
+      .observe("graft_semdedup_cap",
+        sum(when(col("__rn") > maxBucket, 1L).otherwise(0L)).as("truncated_reps"))
+      .where(col("__rn") <= maxBucket).drop("__rn")
+    val a = reps.select(col("__bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("__norm").as("na"))
     val b = coded.select(col("__bucket").as("__bb"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("__norm").as("nb"))

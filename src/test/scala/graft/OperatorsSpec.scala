@@ -133,6 +133,39 @@ class OperatorsSpec extends SparkSpec {
     assert(buckets.size == 1)
   }
 
+  test("Similarity.semanticDedup whale-bucket cap bounds a poisoned hot bucket") {
+    // 10,000 verbatim copies of one vector all land in one bucket:
+    // uncapped, the within-bucket self-join forms ~50M candidate
+    // pairs; with the asymmetric representative cap at 32 the join is
+    // bounded at 32 × bucket occupancy — and, unlike a symmetric
+    // truncation, the flood still dedups: the lowest-id
+    // representative drops every copy.
+    @volatile var truncated = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft_semdedup_cap")
+          .foreach(r => truncated = r.getAs[Long]("truncated_reps"))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val flood = (0L until 10000L).map(i => (i, Array(0.6f, 0.8f, 0.0f))) :+
+        (99999L, Array(0.0f, 0.0f, 1.0f))
+      val out = Similarity.semanticDedup(flood.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", numPlanes = 4, dim = 3, minCos = 0.95,
+        maxBucket = 32).collect()
+      assert(out.length == 10001)
+      val survivors = out.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+      assert(survivors == Set(0L, 99999L), s"got ${survivors.size} survivors")
+      // the cap engaged: the 10,000-row bucket kept 32 representatives
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (truncated < 0 && System.nanoTime < deadline) Thread.sleep(50)
+      assert(truncated == 10000 - 32, s"truncated_reps = $truncated")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("Similarity.lshAnnPairs whale-bucket cap bounds a degenerate duplicate flood") {
     // 400 verbatim copies of one vector: uncapped, every table's
     // bucket yields 400·399/2 ≈ 80k candidate pairs; capped at 20,
