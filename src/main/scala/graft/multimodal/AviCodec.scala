@@ -257,19 +257,36 @@ object AviCodec extends Serializable {
     }
 
   /** Depth-first chunk walk: calls `f(fourcc, dataOffset, dataLen)` for
-    * every non-LIST chunk, recursing into LIST bodies ('hdrl', 'strl',
-    * 'movi', 'rec '). Bounds-checked; malformed sizes stop the walk. */
+    * every non-LIST chunk, descending into LIST bodies ('hdrl', 'strl',
+    * 'movi', 'rec '). Bounds-checked; malformed sizes stop that level
+    * cleanly. Iterative with an explicit range stack: a crafted AVI can
+    * nest 12-byte LIST headers thousands deep in a ~1 MB payload, and a
+    * call-stack recursion there throws StackOverflowError — an Error
+    * the per-file `catch Exception` guards in probe()/frames() do NOT
+    * catch, so one bad file would kill the whole Spark task. */
   private def walkChunks(b: Array[Byte], start: Int, end: Int)
                         (f: (String, Int, Int) => Unit): Unit = {
-    var p = start
-    while (p + 8 <= end) {
-      val id = cc(b, p)
-      val len = rd32(b, p + 4)
-      if (len < 0 || p + 8 + len > end) return // malformed — stop cleanly
-      if (id == "LIST") {
-        if (len >= 4) walkChunks(b, p + 12, p + 8 + len)(f)
-      } else f(id, p + 8, len)
-      p += 8 + len + (len & 1) // even padding
+    var stack = List((start, end)) // (pos, levelEnd) ranges still to walk
+    while (stack.nonEmpty) {
+      var (p, e) = stack.head
+      stack = stack.tail
+      var walking = true
+      while (walking && p + 8 <= e) {
+        val id = cc(b, p)
+        val len = rd32(b, p + 4)
+        if (len < 0 || p + 8 + len > e) walking = false // malformed — stop this level
+        else {
+          val next = p + 8 + len + (len & 1) // even padding
+          if (id == "LIST" && len >= 4) {
+            // descend depth-first: body first, then this level's remainder
+            stack = (p + 12, p + 8 + len) :: (next, e) :: stack
+            walking = false
+          } else {
+            if (id != "LIST") f(id, p + 8, len)
+            p = next
+          }
+        }
+      }
     }
   }
 

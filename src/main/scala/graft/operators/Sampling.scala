@@ -52,7 +52,14 @@ object Sampling {
     * report it; q90c does). Input columns named `mix_rate` or
     * `__dom` would make the internal join ambiguous — refused
     * upfront rather than failing downstream with an ambiguous-
-    * reference error. */
+    * reference error.
+    *
+    * NULL handling is explicit, never a silent drop: a NULL domain
+    * is a stratum like any other (null-safe `<=>` join, so its rows
+    * flow through the same rate machinery), and `weightOf` MUST
+    * assign every domain — including NULL — a non-null weight, or
+    * the query fails loudly at execution (assign 0.0 to drop a
+    * stratum deterministically instead). */
   def mixtureByBudget(df: DataFrame, key: Column, domain: Column, size: Column,
                       weightOf: Column => Column, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -60,13 +67,17 @@ object Sampling {
       require(!df.columns.contains(reserved),
         s"mixtureByBudget: input already has a '$reserved' column — rename it first")
     val rates = df.groupBy(domain.as("__dom")).agg(sum(size).as("__avail"))
-      .withColumn("__w", weightOf(col("__dom")).cast("double"))
+      .withColumn("__w", coalesce(weightOf(col("__dom")).cast("double"),
+        raise_error(concat(lit("mixtureByBudget: weightOf returned NULL for domain '"),
+          coalesce(col("__dom").cast("string"), lit("NULL")),
+          lit("' — every domain (including NULL) needs an explicit weight; use 0.0 to drop one")))
+          .cast("double")))
       .withColumn("__wsum", sum(col("__w")).over(Window.partitionBy()))
       .withColumn("mix_rate",
         least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__wsum") / col("__avail")))
       .select(col("__dom"), col("mix_rate"))
     val u = conv(substring(md5(key.cast("binary")), 1, 6), 16, 10).cast("double") / lit(16777216.0)
-    df.join(broadcast(rates), domain === col("__dom"))
+    df.join(broadcast(rates), domain <=> col("__dom"))
       .where(u < col("mix_rate"))
       .drop("__dom")
   }

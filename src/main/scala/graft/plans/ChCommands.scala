@@ -141,8 +141,22 @@ object ChCommands {
   // walk per query compile). Deeper nesting (depth ≥ 2) is detected
   // during the walk and NOT cached — a leaf-dir change there would
   // not bump any root-level mtime.
+  //
+  // ENGINE-WRITERS-ONLY assumption: the shallow signature detects
+  // every change this engine's own writers make (Spark writers
+  // create/rename part files, mutations swap directories — all bump
+  // a root-level entry). What it can NOT see is an EXTERNAL writer
+  // overwriting a file in place under the same name inside a
+  // depth-1 partition directory: the parent dir's (name, len,
+  // mtime) root entry does not change, so auto-use would serve a
+  // stale fingerprint. The escape hatches for externally-written
+  // data: `SYSTEM DROP FILESYSTEM CACHE` (clears this cache) or any
+  // command that resyncs the table (invalidateProjectionCache drops
+  // the path's entry).
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[plans] def invalidateFingerprintCache(): Unit = fpCache.clear()
 
   private[plans] def contentFingerprint(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
@@ -181,7 +195,10 @@ object ChCommands {
   private val projCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[ProjSpec])]()
 
-  private[plans] def invalidateProjectionCache(path: String): Unit = projCache.remove(path)
+  private[plans] def invalidateProjectionCache(path: String): Unit = {
+    projCache.remove(path)
+    fpCache.remove(path) // external writes may be invisible to the shallow signature
+  }
 
   /** The declared projections of the table at `path` (empty when none).
     * `fingerprintOk` is evaluated fresh on every call — it's the
@@ -790,7 +807,12 @@ case class ChSystemCommand(reloadDict: Option[Option[String]] = None,
   override val output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
     reloadDict.foreach(graft.operators.Dictionaries.reload)
-    if (dropCache) sparkSession.catalog.clearCache()
+    if (dropCache) {
+      sparkSession.catalog.clearCache()
+      // also the projection-auto-use fingerprint cache: in-place
+      // external overwrites are invisible to its shallow signature
+      ChCommands.invalidateFingerprintCache()
+    }
     Seq.empty
   }
 }
@@ -798,8 +820,14 @@ case class ChSystemCommand(reloadDict: Option[Option[String]] = None,
 /** `SELECT … INTO OUTFILE 'path' [FORMAT f]` — the console/script
   * export statement, EXECUTED: the inner query re-enters the full
   * dialect, the result persists once (one compute serves both the
-  * row count and the write), and lands at `path` in the named format.
-  * Formats map to Spark writers: Parquet (default), CSV[WithNames],
+  * row count and the write), and lands as ONE regular file at exactly
+  * `path` — the reference's contract, which a migrated script then
+  * opens as a plain CSV/JSON/parquet file. The write funnels through
+  * a single task (coalesce(1) into a temp dir, rename the part file)
+  * ON PURPOSE: INTO OUTFILE is the console export of a result small
+  * enough to hand to one consumer; bulk landings go through the
+  * partitioned writers, not this statement. Formats map to Spark
+  * writers: Parquet (default), CSV[WithNames],
   * TSV/TabSeparated[WithNames], JSONEachRow; others refuse loudly
   * with the supported list. Existing output is overwritten —
   * re-running an export script must converge, not fail. */
@@ -812,20 +840,33 @@ case class ChIntoOutfileCommand(innerSql: String, path: String,
     val df = spark.sql(innerSql).persist()
     try {
       val n = df.count()
-      val w = df.write.mode("overwrite")
-      format.map(_.toLowerCase).getOrElse("parquet") match {
-        case "parquet" | "native" => w.parquet(path)
-        case "csv" => w.option("header", "false").csv(path)
-        case "csvwithnames" => w.option("header", "true").csv(path)
-        case "tsv" | "tabseparated" =>
-          w.option("header", "false").option("sep", "\t").csv(path)
-        case "tsvwithnames" | "tabseparatedwithnames" =>
-          w.option("header", "true").option("sep", "\t").csv(path)
-        case "jsoneachrow" | "ndjson" => w.json(path)
-        case other => throw new UnsupportedOperationException(
-          s"INTO OUTFILE FORMAT $other: supported here are Parquet (default), " +
-            "CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow")
-      }
+      val out = new org.apache.hadoop.fs.Path(path)
+      val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(path + "__graft_outfile_tmp")
+      fs.delete(tmp, true)
+      try {
+        val w = df.coalesce(1).write.mode("overwrite")
+        format.map(_.toLowerCase).getOrElse("parquet") match {
+          case "parquet" | "native" => w.parquet(tmp.toString)
+          case "csv" => w.option("header", "false").csv(tmp.toString)
+          case "csvwithnames" => w.option("header", "true").csv(tmp.toString)
+          case "tsv" | "tabseparated" =>
+            w.option("header", "false").option("sep", "\t").csv(tmp.toString)
+          case "tsvwithnames" | "tabseparatedwithnames" =>
+            w.option("header", "true").option("sep", "\t").csv(tmp.toString)
+          case "jsoneachrow" | "ndjson" => w.json(tmp.toString)
+          case other => throw new UnsupportedOperationException(
+            s"INTO OUTFILE FORMAT $other: supported here are Parquet (default), " +
+              "CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow")
+        }
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+        fs.delete(out, true)
+        part match {
+          case Some(p) => fs.rename(p, out)
+          case None => fs.create(out, true).close() // empty result, no part file
+        }
+      } finally fs.delete(tmp, true)
       Seq(Row(n))
     } finally df.unpersist()
   }

@@ -821,7 +821,7 @@ object ChSqlParser {
     * lands at the path in the named format. Captured on the RAW text
     * because the rewrite chain would otherwise strip the clause. */
   private val IntoOutfileStmt =
-    """(?is)^\s*((?:SELECT|WITH)\b.*\S)\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*$""".r
+    """(?is)^\s*((?:\(\s*)*(?:SELECT|WITH)\b.*\S)\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*$""".r
 
   private[plans] def interceptOutfile(sql: String): Option[LogicalPlan] =
     IntoOutfileStmt.findFirstMatchIn(sql).map { m =>
@@ -2119,7 +2119,15 @@ object ChSqlParser {
     // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
     // their clause at the end of the text
     var out = stripTrailingClause(sql, FormatClause)
-    out = stripTrailingClause(out, IntoOutfile)
+    // Any OUTFILE tail still present here escaped interceptOutfile —
+    // an unsupported statement shape (e.g. CREATE TABLE … AS SELECT …
+    // INTO OUTFILE). The clause used to strip silently (query ran, no
+    // file, no error); refuse loudly instead.
+    if (IntoOutfile.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "INTO OUTFILE executes only as a top-level SELECT/WITH statement " +
+          "(parenthesized prefixes included): write the export as its own " +
+          "`SELECT … INTO OUTFILE 'path' [FORMAT f]` statement")
     out = stripTrailingClause(out, SettingsClause)
     out = rewriteChCreateTable(out)
     out = rewriteChCreateTableAs(out)

@@ -69,6 +69,25 @@ class AviCodecSpec extends SparkSpec {
     assert(AviCodec.frameLumSums(cut).size <= 4)
   }
 
+  test("LIST-nesting bomb: 80k-deep nested LIST headers walk without stack overflow") {
+    // ~1 MB of nothing but nested 12-byte LIST headers — the payload
+    // that turned the recursive chunk walk into StackOverflowError
+    // (an Error the per-file Exception guards never catch). The
+    // iterative walk must degrade to ok=false / empty instead.
+    val depth = 80000
+    val bomb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bomb.put("RIFF".getBytes("US-ASCII")).putInt(4 + depth * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (d <- (depth - 1) to 0 by -1) // innermost len 4, each wrapper +12
+      bomb.put("LIST".getBytes("US-ASCII")).putInt(4 + d * 12)
+        .put("hdrl".getBytes("US-ASCII"))
+    val payload = bomb.array()
+    assert(!AviCodec.probe(payload).ok)
+    assert(AviCodec.frames(payload).isEmpty)
+    assert(AviCodec.frameLumSums(payload).isEmpty)
+  }
+
   test("fuzz: random byte mutations of a valid AVI never throw") {
     val rnd = new scala.util.Random(42) // fixed seed — deterministic CI
     val avi = AviCodec.encodeDib((0 until 3).map(frame(12, 10, _)), 10)

@@ -429,6 +429,22 @@ class ChDdlSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT id FROM range(2) INTO OUTFILE '$dir' FORMAT Parquet").head().getLong(0) == 2L)
     assert(spark.read.parquet(dir).count() == 2)
+    // the path is ONE regular file (the reference's contract: a
+    // migrated script opens it directly), not a Spark part directory
+    assert(new java.io.File(dir).isFile, s"$dir should be a single file")
+    assert(new java.io.File(s"$dir-csv").isFile)
+    // a parenthesized query prefix exports too
+    val r3 = spark.sql(
+      s"(SELECT id FROM range(4)) INTO OUTFILE '$dir-paren' FORMAT CSV").head()
+    assert(r3.getLong(0) == 4L)
+    assert(scala.io.Source.fromFile(s"$dir-paren").getLines().size == 4)
+    // a non-SELECT prefix (CTAS) refuses loudly instead of silently
+    // running without writing the file
+    val ctas = intercept[Exception](spark.sql(
+      s"CREATE TABLE outfile_ctas_t AS SELECT 1 AS x INTO OUTFILE '$dir-ctas'"))
+    assert(ctas.getMessage.contains("top-level SELECT/WITH"))
+    for (f <- Seq(dir, s"$dir-csv", s"$dir-paren"))
+      new java.io.File(f).delete()
   }
 
   test("EXISTS TABLE and EXCHANGE TABLES") {

@@ -636,7 +636,12 @@ class DialectRound5Spec extends SparkSpec {
       """SELECT v FROM (SELECT CAST(id / 3 AS INT) AS v FROM range(12)) t
         |ORDER BY v LIMIT 4 WITH TIES""".stripMargin).collect().map(_.getInt(0))
     assert(ties.toSeq == Seq(0, 0, 0, 1, 1, 1)) // the 4th row's key (1) keeps its ties
-    assert(rewriteParametric("SELECT 1 INTO OUTFILE '/tmp/x.csv' FORMAT CSV") == "SELECT 1")
+    // an OUTFILE tail that escapes the executable intercept (here: fed
+    // straight to the rewriter, as a CTAS prefix would be) refuses
+    // loudly instead of silently stripping
+    val of = intercept[UnsupportedOperationException](
+      rewriteParametric("SELECT 1 INTO OUTFILE '/tmp/x.csv' FORMAT CSV"))
+    assert(of.getMessage.contains("top-level SELECT/WITH"))
   }
 
   test("transform dispatch, edit distance, string Jaccard, key-value parse") {

@@ -37,4 +37,27 @@ class SamplingSpec extends SparkSpec {
       .where($"lang" === "en").count() == 0)
     assert(Sampling.stratified(docs, $"text", $"lang", Map.empty, 1.0).count() == 4000)
   }
+
+  test("mixtureByBudget: NULL domain is a real stratum, NULL weight fails loudly") {
+    val withNulls = docs.withColumn("dom",
+      when($"id" % 5 === 0, lit(null).cast("string")).otherwise($"lang"))
+    // weightOf total over all strata incl. NULL → NULL-domain rows
+    // flow through the rate machinery instead of vanishing in the join
+    val out = Sampling.mixtureByBudget(withNulls, $"text", $"dom", lit(1L),
+      d => when(d.isNull, 5.0).otherwise(lit(1.0)), budget = 2000L)
+    val byDom = out.groupBy($"dom").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byDom.contains(None), s"NULL-domain stratum missing: $byDom")
+    assert(byDom(None) > 0)
+    // every surviving row carries its domain's mix_rate
+    assert(out.where($"mix_rate".isNull).count() == 0)
+    // a weightOf that leaves a stratum NULL is a loud error, not a drop
+    val err = intercept[Exception] {
+      Sampling.mixtureByBudget(withNulls, $"text", $"dom", lit(1L),
+        d => when(d === "en", 1.0), budget = 2000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("weightOf returned NULL")), s"got $err")
+  }
 }
