@@ -1728,7 +1728,16 @@ object ChSqlParser {
     * shorter side. Any other shape (bare tables, no ORDER BY, ordinal
     * ORDER BY, which a window cannot re-read) refuses with this
     * contract in the message. Paren- and quote-aware throughout;
-    * recursion handles several PASTE JOINs in one statement. */
+    * recursion handles several PASTE JOINs in one statement.
+    *
+    * A CHAIN — `(A) PASTE JOIN (B) PASTE JOIN (C) …` — is consumed
+    * in ONE pass into a single multi-way zip: every side gets its
+    * own row_number over its own ORDER BY and all sides inner-join
+    * on side 0's row number. That equals CH's left-to-right pairwise
+    * zip (each pairwise zip truncates to the shorter side, so the
+    * chain truncates to the SHORTEST side — which the all-equal
+    * inner join reproduces), without the intermediate zip result
+    * needing a textual ORDER BY of its own. */
   private def rewritePasteJoin(sql: String): String = {
     val m = """(?i)\bPASTE\s+JOIN\b""".r.findAllMatchIn(sql)
       .find(mm => !insideStringLiteral(sql, mm.start)).getOrElse(return sql)
@@ -1767,12 +1776,11 @@ object ChSqlParser {
       if (found < 0) refuse("(unbalanced parentheses before PASTE JOIN)")
       found
     }
-    var j = m.end
-    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
-    if (j >= sql.length || sql.charAt(j) != '(') refuse("(right side is not a parenthesized subquery)")
-    val rightStart = j
-    val rightEnd = {
-      var depth = 0; var k = rightStart; var found = -1
+    def parseSide(from: Int): (Int, Int) = { // (openParen, closeParen)
+      var j = from
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      if (j >= sql.length || sql.charAt(j) != '(') refuse("(right side is not a parenthesized subquery)")
+      var depth = 0; var k = j; var found = -1
       while (k < sql.length && found < 0) {
         val c = sql.charAt(k)
         if (!inStr(k)) {
@@ -1782,10 +1790,35 @@ object ChSqlParser {
         k += 1
       }
       if (found < 0) refuse("(unbalanced parentheses after PASTE JOIN)")
-      found
+      (j, found)
     }
-    val subA = sql.substring(leftStart + 1, leftEnd)
-    val subB = sql.substring(rightStart + 1, rightEnd)
+    val (rs0, re0) = parseSide(m.end)
+    val sides = scala.collection.mutable.ArrayBuffer(
+      sql.substring(leftStart + 1, leftEnd), sql.substring(rs0 + 1, re0))
+    // greedily consume `PASTE JOIN (…)` continuations: the whole chain
+    // zips in ONE multi-way join, so the intermediate zip needs no
+    // textual ORDER BY of its own
+    var chainEnd = re0
+    var more = true
+    while (more) {
+      var p = chainEnd + 1
+      while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+      more = p < sql.length && !inStr(p) &&
+        sql.regionMatches(true, p, "PASTE", 0, 5) &&
+        (p + 5 >= sql.length || !sql.charAt(p + 5).isLetterOrDigit)
+      if (more) {
+        var q2 = p + 5
+        while (q2 < sql.length && sql.charAt(q2).isWhitespace) q2 += 1
+        more = sql.regionMatches(true, q2, "JOIN", 0, 4) &&
+          (q2 + 4 >= sql.length || !sql.charAt(q2 + 4).isLetterOrDigit)
+        if (more) {
+          val (s2, e2) = parseSide(q2 + 4)
+          sides += sql.substring(s2 + 1, e2)
+          chainEnd = e2
+        }
+      }
+    }
+    val rightEnd = chainEnd
     // index just past a top-level "ORDER BY" (last one wins), or -1
     def afterLastTopLevelOrderBy(s: String): Int = {
       var depth = 0; var p = 0; var found = -1
@@ -1833,13 +1866,17 @@ object ChSqlParser {
         s"($side ORDER BY uses ordinals, which a window cannot re-read — name the columns)")
       t
     }
-    val obA = orderOf(subA, "left")
-    val obB = orderOf(subB, "right")
+    val obs = sides.toSeq.zipWithIndex.map { case (s, i) =>
+      orderOf(s, if (i == 0) "left" else if (sides.size == 2) "right" else s"side ${i + 1}")
+    }
+    val numbered = sides.toSeq.zip(obs).zipWithIndex.map { case ((s, ob), i) =>
+      s"(SELECT *, row_number() OVER (ORDER BY $ob) AS __pj_rn_$i FROM ($s) __pjs$i) __pjt$i"
+    }
+    val joined = numbered.head + numbered.tail.zipWithIndex.map { case (t, i) =>
+      s" JOIN $t ON __pjt0.__pj_rn_0 = __pjt${i + 1}.__pj_rn_${i + 1}"
+    }.mkString
     val repl =
-      s"(SELECT * EXCEPT (__pj_rn_a, __pj_rn_b) FROM " +
-        s"(SELECT *, row_number() OVER (ORDER BY $obA) AS __pj_rn_a FROM ($subA) __pja) __ta " +
-        s"JOIN (SELECT *, row_number() OVER (ORDER BY $obB) AS __pj_rn_b FROM ($subB) __pjb) __tb " +
-        s"ON __ta.__pj_rn_a = __tb.__pj_rn_b)"
+      s"(SELECT * EXCEPT (${sides.indices.map(i => s"__pj_rn_$i").mkString(", ")}) FROM $joined)"
     rewritePasteJoin(sql.substring(0, leftStart) + repl + sql.substring(rightEnd + 1))
   }
 

@@ -1936,9 +1936,10 @@ object ChFunctions {
     * shuffles vs the hand-written subquery form. The oracle runs the
     * same QUALIFY text natively on DuckDB. */
   /** PASTE JOIN (CH's by-position zip) in its deterministic
-    * executable form (round 10): both sides carry a top-level ORDER
-    * BY, the parser zips them on row_number over those orders, inner
-    * join truncates to the shorter side
+    * executable form (round 10; CHAINED round 11): every side carries
+    * a top-level ORDER BY, the parser zips the WHOLE chain in one
+    * multi-way join on row_number over each side's own order, inner
+    * join truncating to the shortest side
     * ([[graft.plans.ChSqlParser]] rewritePasteJoin). The oracle
     * replays the same zip with explicit row_numbers. */
   val q29p = GraftQuery(
@@ -1950,15 +1951,20 @@ object ChFunctions {
                   FROM gq29p_orders GROUP BY o_orderpriority ORDER BY prio)
                  PASTE JOIN
                  (SELECT id + 1 AS rank FROM range(5) ORDER BY rank)
+                 PASTE JOIN
+                 (SELECT chr(65 + CAST(id AS INT)) AS tag FROM range(7) ORDER BY tag DESC)
                ) ORDER BY prio""")
     },
     Some("""WITH a AS (SELECT o_orderpriority AS prio, round(sum(o_totalprice), 2) AS total,
                               row_number() OVER (ORDER BY o_orderpriority) AS rn
                        FROM orders GROUP BY o_orderpriority),
                  b AS (SELECT i + 1 AS rank, row_number() OVER (ORDER BY i) AS rn
-                       FROM range(0, 5) t(i))
-            SELECT prio, total, CAST(rank AS BIGINT) AS rank
-            FROM a JOIN b USING (rn) ORDER BY prio"""),
+                       FROM range(0, 5) t(i)),
+                 c AS (SELECT chr(65 + CAST(i AS INT)) AS tag,
+                              row_number() OVER (ORDER BY chr(65 + CAST(i AS INT)) DESC) AS rn
+                       FROM range(0, 7) t(i))
+            SELECT prio, total, CAST(rank AS BIGINT) AS rank, tag
+            FROM a JOIN b USING (rn) JOIN c USING (rn) ORDER BY prio"""),
   )
 
   val q29n = GraftQuery(

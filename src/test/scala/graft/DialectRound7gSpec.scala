@@ -208,7 +208,7 @@ class DialectRound7gSpec extends SparkSpec {
     assert(idf.columns.toSeq == Seq("id_from", "a_num", "c_num"))
   }
 
-  test("two independent PASTE JOINs rewrite; a chained one refuses with the contract") {
+  test("two independent PASTE JOINs rewrite; a chained one zips all sides") {
     // one per UNION branch — the recursion must rewrite both
     val two = spark.sql(
       """SELECT * FROM ((SELECT id AS a FROM range(2) ORDER BY a)
@@ -219,14 +219,22 @@ class DialectRound7gSpec extends SparkSpec {
     assert(two.length == 4)
     assert(two.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((0L, 1L), (1L, 0L))) // both branches zip opposite orders
-    // chained PASTE JOIN: the rewritten left group carries no ORDER BY,
-    // so the deterministic contract refuses with guidance (CH zips by
-    // block order there — exactly what a distributed engine can't define)
-    val chained = intercept[Exception](spark.sql(
+    // chained PASTE JOIN zips ALL sides in one multi-way join —
+    // left-to-right pairwise zip semantics, truncating to the
+    // shortest side (here: 2 rows; side 3 zips descending)
+    val chained = spark.sql(
       """SELECT * FROM (SELECT id AS a FROM range(2) ORDER BY a)
          PASTE JOIN (SELECT id AS b FROM range(2) ORDER BY b)
-         PASTE JOIN (SELECT id AS c FROM range(2) ORDER BY c)"""))
-    assert(chained.getMessage.contains("ORDER BY"))
+         PASTE JOIN (SELECT id AS c FROM range(3) ORDER BY c DESC)""").collect()
+    assert(chained.length == 2)
+    assert(chained.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((0L, 0L, 2L), (1L, 1L, 1L)))
+    // a chained side without its own ORDER BY still refuses with the contract
+    val bad3 = intercept[Exception](spark.sql(
+      """SELECT * FROM (SELECT id AS a FROM range(2) ORDER BY a)
+         PASTE JOIN (SELECT id AS b FROM range(2) ORDER BY b)
+         PASTE JOIN (SELECT id AS c FROM range(2))"""))
+    assert(bad3.getMessage.contains("ORDER BY"))
   }
 
   test("MAC codecs, basename, unbin, isConstant, shard constants") {
