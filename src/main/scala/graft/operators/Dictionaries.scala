@@ -27,8 +27,12 @@ import org.apache.spark.sql.types.DataType
   */
 object Dictionaries {
 
-  final case class Dict(keyCol: String, source: () => DataFrame,
+  /** `keyCols.size > 1` models CH's COMPLEX_KEY layouts: the lookup
+    * key is a tuple and the broadcast join keys on every column. */
+  final case class Dict(keyCols: Seq[String], source: () => DataFrame,
                         parentCol: Option[String] = None) {
+    require(keyCols.nonEmpty, "dictionary needs at least one key column")
+    def keyCol: String = keyCols.head
     // schema is stable across source() calls (same table); cached
     // because DictGetExpr.dataType is consulted many times per analysis
     private lazy val schema = source().schema
@@ -48,7 +52,7 @@ object Dictionaries {
     * key column, hierarchical?). Sorted for deterministic output. */
   def list: Seq[(String, String, Boolean)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
-    dicts.forEach((n, d) => out += ((n, d.keyCol, d.parentCol.isDefined)))
+    dicts.forEach((n, d) => out += ((n, d.keyCols.mkString(", "), d.parentCol.isDefined)))
     out.sortBy(_._1).toSeq
   }
 
@@ -70,8 +74,15 @@ object Dictionaries {
     dicts.remove(name) != null
   }
 
-  def register(name: String, keyCol: String, source: () => DataFrame): Unit = {
-    dicts.put(name, Dict(keyCol, source))
+  def register(name: String, keyCol: String, source: () => DataFrame): Unit =
+    registerComplex(name, Seq(keyCol), source)
+
+  /** A COMPLEX_KEY dictionary: the key is the TUPLE of `keyCols`, and
+    * lookups pass `tuple(k1, k2, …)`; the broadcast join keys on
+    * every column (struct-free, so each equality stays a plain
+    * codegen'd comparison). */
+  def registerComplex(name: String, keyCols: Seq[String], source: () => DataFrame): Unit = {
+    dicts.put(name, Dict(keyCols, source))
     invalidateClosures(name)
   }
 
@@ -81,7 +92,7 @@ object Dictionaries {
     * requires UInt64 there too). */
   def registerHierarchical(name: String, keyCol: String, parentCol: String,
                            source: () => DataFrame): Unit = {
-    dicts.put(name, Dict(keyCol, source, Some(parentCol)))
+    dicts.put(name, Dict(Seq(keyCol), source, Some(parentCol)))
     invalidateClosures(name)
   }
 

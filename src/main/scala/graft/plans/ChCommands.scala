@@ -583,12 +583,14 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]],
   * broadcast-join rewrite. All in-process LAYOUTs (FLAT/HASHED/
   * CACHE/DIRECT/…) map to the same broadcast-hash-join physical
   * shape — ClickHouse's layout choice tunes ITS in-memory container,
-  * which Catalyst owns here; COMPLEX_KEY layouts refuse at parse.
+  * which Catalyst owns here; COMPLEX_KEY layouts register a
+  * composite-key dictionary (lookups pass `tuple(k1, k2, …)`, the
+  * join keys on every column).
   * Declared attribute types are enforced by casting the projected
   * source columns, and the source schema is validated AT DDL TIME
   * (fail here, not at the first dictGet). */
 case class ChCreateDictionaryCommand(
-    name: String, keyCol: String, cols: Seq[(String, String)],
+    name: String, keyCols: Seq[String], cols: Seq[(String, String)],
     hierarchicalCol: Option[String], sourceKind: String,
     sourceProps: Map[String, String], ifNotExists: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
@@ -627,8 +629,8 @@ case class ChCreateDictionaryCommand(
     }
     thunk().schema // source must resolve and carry the declared columns NOW
     hierarchicalCol match {
-      case Some(p) => Dictionaries.registerHierarchical(name, keyCol, p, thunk)
-      case None    => Dictionaries.register(name, keyCol, thunk)
+      case Some(p) => Dictionaries.registerHierarchical(name, keyCols.head, p, thunk)
+      case None    => Dictionaries.registerComplex(name, keyCols, thunk)
     }
     Seq.empty
   }

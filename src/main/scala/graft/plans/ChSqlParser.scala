@@ -1009,10 +1009,14 @@ object ChSqlParser {
     val pkCols = pkM.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
     val layout = """(?is)\bLAYOUT\s*\(\s*(\w+)""".r.findFirstMatchIn(tail)
       .map(_.group(1).toUpperCase).getOrElse("HASHED")
-    if (pkCols.size != 1 || layout.startsWith("COMPLEX_KEY"))
-      throw new UnsupportedOperationException(
-        "composite dictionary keys (COMPLEX_KEY layouts) are not modeled: concatenate " +
-          "the key columns into one key attribute, or use an explicit broadcast join")
+    // COMPLEX_KEY layouts / multi-column PRIMARY KEY register as a
+    // composite-key dictionary — lookups pass tuple(k1, k2, …) and
+    // the broadcast join keys on every column (layout consistency is
+    // CH's own rule: >1 key column requires a COMPLEX_KEY layout)
+    if (pkCols.size > 1 && !layout.startsWith("COMPLEX_KEY"))
+      throw new IllegalArgumentException(
+        s"a ${pkCols.size}-column PRIMARY KEY needs a COMPLEX_KEY layout " +
+          s"(got LAYOUT($layout))")
     val srcKw = """(?i)\bSOURCE\s*\(""".r.findFirstMatchIn(tail).getOrElse(
       throw new IllegalArgumentException("CREATE DICTIONARY requires SOURCE(…)"))
     val (srcInner, _) = balancedParen(tail, srcKw.end - 1)
@@ -1031,10 +1035,13 @@ object ChSqlParser {
       .map(_.replaceAll("(?i)\\b(HIERARCHICAL|INJECTIVE|IS_OBJECT_ID)\\b", " "))
       .mkString(", ")
     val cols = chColumnsToSpark(strippedCols)
-    if (!cols.exists(_._1 == pkCols.head))
+    for (pk <- pkCols if !cols.exists(_._1 == pk))
       throw new IllegalArgumentException(
-        s"PRIMARY KEY ${pkCols.head} must be declared in the dictionary column list")
-    ChCreateDictionaryCommand(name, pkCols.head, cols, hierCol,
+        s"PRIMARY KEY $pk must be declared in the dictionary column list")
+    if (hierCol.isDefined && pkCols.size != 1)
+      throw new UnsupportedOperationException(
+        "a HIERARCHICAL dictionary needs a single integral key (CH requires UInt64 there)")
+    ChCreateDictionaryCommand(name, pkCols, cols, hierCol,
       srcM.group(1).toUpperCase, srcProps, ifNotExists)
   }
   private val SystemStmt =

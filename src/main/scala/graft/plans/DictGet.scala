@@ -149,17 +149,31 @@ case class DictGetRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     var resolvedJoins = Seq.empty[(String, Expression, Attribute, Map[String, Attribute])]
     for ((dictName, key, attrs) <- pairs) {
       val dict = Dictionaries.get(dictName)
-      val want = attrs.filterNot(_ == dict.keyCol)
-      val proj = dict.source().selectExpr((dict.keyCol +: want).map(n => s"`$n`"): _*)
+      val kcols = dict.keyCols
+      // COMPLEX_KEY: the lookup key must be tuple(k1, k2, …) — its
+      // parts join each key column separately, so every equality is
+      // a plain codegen'd comparison (no struct materialization)
+      val parts: Seq[Expression] =
+        if (kcols.size == 1) Seq(key)
+        else key match {
+          case ns: CreateNamedStruct if ns.valExprs.size == kcols.size => ns.valExprs
+          case _ => throw new IllegalArgumentException(
+            s"dictionary '$dictName' has a composite key (${kcols.mkString(", ")}): " +
+              s"pass tuple(${kcols.mkString(", ")}) with ${kcols.size} elements as the key")
+        }
+      val want = attrs.filterNot(kcols.contains)
+      val proj = dict.source().selectExpr((kcols ++ want).map(n => s"`$n`"): _*)
         .queryExecution.analyzed
-      val keyAttr = proj.output.head
-      // lookups on the key column itself resolve to the joined key attr
-      val attrMap = want.zip(proj.output.tail).toMap ++
-        attrs.filter(_ == dict.keyCol).map(_ -> keyAttr).toMap
-      child = Join(child, proj, LeftOuter,
-        Some(EqualTo(Cast(key, keyAttr.dataType), keyAttr)),
+      val keyAttrs = proj.output.take(kcols.size)
+      // lookups on a key column itself resolve to the joined key attr
+      val attrMap = want.zip(proj.output.drop(kcols.size)).toMap ++
+        attrs.filter(kcols.contains).map(a => a -> keyAttrs(kcols.indexOf(a))).toMap
+      val cond = parts.zip(keyAttrs).map { case (k, a) =>
+        EqualTo(Cast(k, a.dataType), a): Expression
+      }.reduce(And)
+      child = Join(child, proj, LeftOuter, Some(cond),
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
-      resolvedJoins :+= ((dictName, key, keyAttr, attrMap))
+      resolvedJoins :+= ((dictName, key, keyAttrs.head, attrMap))
     }
 
     // hierarchy lookups join the dictionary's closure table instead —

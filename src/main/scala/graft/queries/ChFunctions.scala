@@ -2061,6 +2061,45 @@ object ChFunctions {
             GROUP BY 1, 2 ORDER BY nation"""),
   )
 
+  /** COMPLEX_KEY dictionary (round 11): verbatim CH DDL with a
+    * two-column PRIMARY KEY + LAYOUT(COMPLEX_KEY_HASHED()); lookups
+    * pass `tuple(k1, k2)` and [[graft.plans.DictGetRewrite]] keys the
+    * broadcast join on BOTH columns (each equality a plain codegen'd
+    * comparison — no struct materialization). The oracle replays the
+    * two-column left join. */
+  val q38e = GraftQuery(
+    "q38e_dict_complex_key",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("cust_ck")
+      s.sql("""SELECT c_nationkey AS nkey, c_mktsegment AS seg,
+                      round(avg(c_acctbal), 2) AS seg_bal, count(*) AS seg_n
+               FROM cust_ck GROUP BY 1, 2""").createOrReplaceTempView("cust_seg_src")
+      s.sql("DROP DICTIONARY IF EXISTS cust_seg")
+      s.sql("""CREATE DICTIONARY cust_seg
+               (nkey UInt64, seg String, seg_bal Float64, seg_n UInt64)
+               PRIMARY KEY nkey, seg
+               SOURCE(CLICKHOUSE(TABLE 'cust_seg_src'))
+               LAYOUT(COMPLEX_KEY_HASHED())""")
+      s.sql("""SELECT c_mktsegment AS segment, count(*) AS n_cust,
+                      CAST(sum(CASE WHEN c_acctbal >
+                        dictGet('cust_seg', 'seg_bal', tuple(c_nationkey, c_mktsegment))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS above_avg,
+                      CAST(sum(CAST(dictGet('cust_seg', 'seg_n',
+                        tuple(c_nationkey, c_mktsegment)) AS BIGINT)) AS BIGINT) AS sum_seg_n
+               FROM cust_ck GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH seg AS (SELECT c_nationkey AS nkey, c_mktsegment AS sg,
+                                round(avg(c_acctbal), 2) AS seg_bal, count(*) AS seg_n
+                         FROM customer GROUP BY 1, 2)
+            SELECT c.c_mktsegment AS segment, count(*) AS n_cust,
+                   CAST(sum(CASE WHEN c.c_acctbal > s.seg_bal THEN 1 ELSE 0 END) AS BIGINT) AS above_avg,
+                   CAST(sum(s.seg_n) AS BIGINT) AS sum_seg_n
+            FROM customer c LEFT JOIN seg s
+              ON c.c_nationkey = s.nkey AND c.c_mktsegment = s.sg
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Hierarchical dictionary walkers `dictGetHierarchy` / `dictIsIn`
     * over a synthetic binary-tree hierarchy on nation keys
     * (parent(k) = (k−1)/2, root 0): the closure table
@@ -2250,5 +2289,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q38, q38b, q38c, q38d, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q38, q38b, q38c, q38d, q38e, q21b)
 }

@@ -718,17 +718,46 @@ class ChDdlSpec extends SparkSpec {
                    SOURCE(CLICKHOUSE(TABLE 'no_such_table')) LAYOUT(HASHED())"""))
     assert(e.getMessage.toLowerCase.contains("no_such_table") ||
       e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
-    // composite keys refuse with guidance
-    val e2 = intercept[Exception](
-      spark.sql("""CREATE DICTIONARY ddl_dict3 (a UInt64, b UInt64, v String)
-                   PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 'dict_src_t'))
-                   LAYOUT(COMPLEX_KEY_HASHED())"""))
-    assert(e2.getMessage.contains("COMPLEX_KEY"))
     spark.sql("DROP DICTIONARY ddl_dict")
     assert(!graft.operators.Dictionaries.exists("ddl_dict"))
     spark.sql("DROP DICTIONARY IF EXISTS ddl_dict") // no-op, no throw
     val e3 = intercept[Exception](spark.sql("DROP DICTIONARY ddl_dict"))
     assert(e3.getMessage.contains("does not exist"))
+  }
+
+  test("COMPLEX_KEY dictionary: composite-key DDL + tuple() lookups; guards refuse") {
+    import spark.implicits._
+    Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+      .toDF("a", "b", "v").createOrReplaceTempView("ck_dict_src")
+    spark.sql("DROP DICTIONARY IF EXISTS ck_dict")
+    spark.sql("""CREATE DICTIONARY ck_dict (a UInt64, b String, v Float64)
+                 PRIMARY KEY a, b
+                 SOURCE(CLICKHOUSE(TABLE 'ck_dict_src'))
+                 LAYOUT(COMPLEX_KEY_HASHED())""")
+    val got = spark.sql(
+      """SELECT dictGet('ck_dict', 'v', tuple(CAST(1 AS BIGINT), 'y')) AS v1,
+                dictGetOrDefault('ck_dict', 'v', tuple(CAST(9 AS BIGINT), 'z'), -1.0) AS v2,
+                dictHas('ck_dict', tuple(CAST(2 AS BIGINT), 'x')) AS h1,
+                dictHas('ck_dict', tuple(CAST(2 AS BIGINT), 'y')) AS h2""").head()
+    assert(got.getDouble(0) == 20.0)
+    assert(got.getDouble(1) == -1.0)
+    assert(got.getBoolean(2) && !got.getBoolean(3))
+    // a non-tuple (wrong-arity) key refuses with the tuple contract
+    val e = intercept[Exception](spark.sql(
+      "SELECT dictGet('ck_dict', 'v', CAST(1 AS BIGINT))").collect())
+    assert(e.getMessage.contains("tuple"), s"got: ${e.getMessage}")
+    // >1 key column without a COMPLEX_KEY layout refuses (CH's own rule)
+    val e2 = intercept[Exception](spark.sql(
+      """CREATE DICTIONARY ck_bad (a UInt64, b String, v Float64)
+         PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 'ck_dict_src')) LAYOUT(HASHED())"""))
+    assert(e2.getMessage.contains("COMPLEX_KEY"))
+    // hierarchical + composite refuses (CH requires a single UInt64 key)
+    val e3 = intercept[Exception](spark.sql(
+      """CREATE DICTIONARY ck_bad2 (a UInt64, b String HIERARCHICAL, v Float64)
+         PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 'ck_dict_src'))
+         LAYOUT(COMPLEX_KEY_HASHED())"""))
+    assert(e3.getMessage.contains("single"))
+    spark.sql("DROP DICTIONARY ck_dict")
   }
 
   test("MODIFY/MATERIALIZE/REMOVE TTL execute: expired rows drop on materialize") {
