@@ -45,8 +45,16 @@ object Bench {
     // every query is inflated, so a "skip retry if slow" rule skips
     // exactly the queries that need the retry most. A 20 s cap still
     // bounds total bench time on a pathological host.
+    // Run-condition markers: the r10 judgment lost an hour attributing
+    // a 96 s driver rerun vs a 58 s committed artifact (first-parse JIT
+    // + host contention, not plan changes). The artifact now carries the
+    // host load average at start/end and EVERY run's seconds per query,
+    // so warm-vs-cold and contended-vs-idle are self-describing.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     final case class R(sec: Double, err: Option[String])
-    val results: Seq[(String, R)] =
+    final case class Q(best: R, runs: Seq[Double])
+    val results: Seq[(String, Q)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def once(): R = {
           val t0 = System.nanoTime()
@@ -58,12 +66,14 @@ object Bench {
           R((System.nanoTime() - t0) / 1e9, err)
         }
         val r1 = once()
-        val best =
-          if (r1.err.isDefined) r1 // don't re-run a crash just to time it
-          else if (r1.sec < 20.0) { val r2 = once(); if (r2.err.isEmpty && r2.sec < r1.sec) r2 else r1 }
-          else r1
-        name -> best
+        if (r1.err.isDefined) name -> Q(r1, Seq(r1.sec)) // don't re-run a crash just to time it
+        else if (r1.sec < 20.0) {
+          val r2 = once()
+          name -> Q(if (r2.err.isEmpty && r2.sec < r1.sec) r2 else r1, Seq(r1.sec, r2.sec))
+        }
+        else name -> Q(r1, Seq(r1.sec))
       }
+    val loadEnd = osBean.getSystemLoadAverage
 
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -76,22 +86,29 @@ object Bench {
       case c => c.toString
     } + "\""
 
-    val ok = results.filter(_._2.err.isEmpty)
-    val errs = results.collect { case (n, R(_, Some(e))) => n -> e }
-    val total = ok.map(_._2.sec).sum
-    val allQs = results.map { case (k, v) => jstr(k) + ":" + ms(v.sec) }
+    val ok = results.filter(_._2.best.err.isEmpty)
+    val errs = results.collect { case (n, Q(R(_, Some(e)), _)) => n -> e }
+    val total = ok.map(_._2.best.sec).sum
+    val allQs = results.map { case (k, v) => jstr(k) + ":" + ms(v.best.sec) }
       .mkString("{", ",", "}")
+    // every run's seconds: a 1-element array marks a cold single run
+    // (error or >20 s), a 2-element array is min-of-two
+    val runsJson = results.map { case (k, v) =>
+      jstr(k) + ":" + v.runs.map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
+    val cond = s""""load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors},"timing":"min_of_two_unless_cold""""
     val common =
       s""""metric":"total","value":${ms(total)},"unit":"sec","count":${results.size},"ok":${ok.size},"sf":${jstr(sfDir)}"""
     // Full artifact: every query, every error — the committed evidence.
     Files.writeString(Paths.get(outPath),
-      s"""{$common,"queries":$allQs,"errors":$errJson}\n""")
+      s"""{$common,$cond,"queries":$allQs,"runs":$runsJson,"errors":$errJson}\n""")
     // Stdout: driver-parseable summary that fits a bounded log tail.
-    val top10 = ok.sortBy(-_._2.sec).take(10)
-      .map { case (k, v) => jstr(k) + ":" + ms(v.sec) }.mkString("{", ",", "}")
-    println(s"""{$common,"queries":$top10,"errors":${errs.size},"detail":${jstr(outPath)}}""")
+    val top10 = ok.sortBy(-_._2.best.sec).take(10)
+      .map { case (k, v) => jstr(k) + ":" + ms(v.best.sec) }.mkString("{", ",", "}")
+    println(s"""{$common,$cond,"queries":$top10,"errors":${errs.size},"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }
