@@ -182,4 +182,62 @@ class MultimodalSpec extends SparkSpec {
     assert(!Binary.JavaSoundAudio.decode(Array.emptyByteArray).ok)
     assert(!Binary.JavaSoundAudio.decode(null).ok)
   }
+
+  test("JNI seam: a non-JDK Decoder double drops into decode → feature → similarity unchanged") {
+    // The Binary header claims a JNI/codec-backed Decoder drops in
+    // with no other change. Prove it with FakeH264 (below): a decoder
+    // for a format no JDK codec knows, registered ONLY through the
+    // documented decodeStage/featureStage parameters — the pipeline
+    // code is byte-for-byte the one the stock decoders use.
+    def h264(w: Int, h: Int, frames: Int, filler: Byte): Array[Byte] =
+      Array[Byte](0, 0, 0, 1, (w / 16).toByte, (h / 16).toByte, frames.toByte) ++
+        Array.fill[Byte](16)(filler)
+    val rows = Seq(
+      (1L, h264(1280, 720, 24, 7)),
+      (2L, h264(1280, 720, 24, 7)),       // exact duplicate of 1
+      (3L, h264(640, 480, 10, 9)),
+      (4L, "not-a-nal-unit".getBytes.map(_.toByte)),
+    ).toDF("vec_id", "payload")
+    val decoded = Binary.decodeStage(Binary.withMeta(rows, "payload"), "payload", FakeH264)
+    val got = decoded.orderBy("vec_id")
+      .select("media_info.width", "media_info.height", "media_info.frames", "media_info.ok")
+      .collect()
+    assert(got(0).getInt(0) == 1280 && got(0).getInt(1) == 720 && got(0).getInt(2) == 24)
+    assert(got(0).getBoolean(3) && got(2).getInt(0) == 640)
+    assert(!got(3).getBoolean(3)) // junk degrades, never throws
+    // feature stage with the matching extractor double, then the
+    // standard similarity operator over the produced embeddings
+    val feats = Binary.featureStage(decoded, "payload", dim = 8, FakeH264Features)
+      .select(col("vec_id"), col("features").as("embedding"))
+    assert(feats.head().getSeq[Float](1).size == 8)
+    val top = graft.operators.Similarity
+      .bruteForceTopK(feats, "vec_id", "embedding", probeId = 1L, k = 1).head()
+    assert(top.getLong(0) == 2L, s"dup payload should be nearest, got $top")
+    assert(top.getDouble(1) == 1.0)
+  }
+}
+
+/** Test-double "H.264" decoder: consumes an Annex-B-shaped payload
+  * (NAL start code 00 00 00 01, then a fake SPS byte pair carrying
+  * width/16, height/16 and a frame count) — a format no JDK codec
+  * understands, standing in for a JNI-backed library. Top-level
+  * object so the Spark closure ships it without dragging the spec
+  * instance along. */
+object FakeH264 extends Binary.Decoder {
+  def decode(p: Array[Byte]): Binary.MediaInfo =
+    if (p != null && p.length >= 7 && p(0) == 0 && p(1) == 0 && p(2) == 0 && p(3) == 1)
+      Binary.MediaInfo((p(4) & 0xff) * 16, (p(5) & 0xff) * 16, p(6) & 0xff, ok = true)
+    else Binary.MediaInfo(0, 0, 0, ok = false)
+}
+
+/** Matching feature-extractor double: embeds the fake bitstream's
+  * bytes (deterministic, content-addressed — identical payloads give
+  * identical embeddings, so similarity search finds exact dups). */
+object FakeH264Features extends Binary.FeatureExtractor {
+  def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff) / 255f; i += 1 }
+    out
+  }
 }
