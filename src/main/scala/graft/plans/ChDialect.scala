@@ -2944,6 +2944,13 @@ object ChDialect {
     "avgMerge"   -> (es => Divide(
       Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("s"))).toAggregateExpression(),
       Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("c"))).toAggregateExpression(), DoubleType))),
+    // uniqState serializes a DataSketches HLL — NOT ClickHouse's
+    // on-the-wire uniq state (an engine-internal adaptive format
+    // with no stability contract; deliberate descope, SURVEY §2
+    // q35b). uniqMerge therefore merges only states THIS engine
+    // wrote; binary states exported from a live CH must be
+    // re-materialized from the raw table on import (the merge of a
+    // foreign blob fails loudly in sketch deserialization).
     "uniqState"  -> (es => new HllSketchAgg(es.head)),
     "uniqMerge"  -> (es => HllSketchEstimate(new HllUnionAgg(es.head).toAggregateExpression())),
     "uniqExactState" -> (es => CollectSet(es.head)),

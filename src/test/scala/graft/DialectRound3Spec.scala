@@ -219,6 +219,19 @@ class DialectRound3Spec extends SparkSpec {
     }
   }
 
+  test("uniqMerge of a foreign (non-engine) binary state fails loudly, not silently") {
+    // SURVEY §2 q35b descope: CH's on-the-wire uniq state is not
+    // implemented; merging a blob this engine didn't write must be a
+    // loud deserialization error, never a silent wrong estimate
+    Seq(Tuple1(Array[Byte](0x13, 0x37, 0x42, 0x66, 0x01, 0x02, 0x03, 0x04)))
+      .toDF("uq").createOrReplaceTempView("foreign_state_t")
+    val e = intercept[Exception](
+      spark.sql("SELECT uniqMerge(uq) FROM foreign_state_t").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).nonEmpty) // surfaced as an execution error with a message
+  }
+
   test("anyIf takes the first matching row's value, ignoring non-matches") {
     Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v").createOrReplaceTempView("any_t")
     val r = spark.sql("SELECT anyIf(v, k = 'b'), anyLastIf(v, k = 'a') FROM any_t").head()
