@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   *  - simHash: 64 conditional-sum aggregates in one pass, 16-bit
   *    chunk bucketing for candidates, popcount verify.
   */
+/** The real intermediate frames of a bucketed candidate-pair
+  * pipeline: `buckets` = membership rows entering the self-join,
+  * `candidates` = deduplicated id pairs before verification,
+  * `verified` = pairs surviving the exact check. Returned by the
+  * `*Stages` variants so `graft.LshAudit` can count the actual plan
+  * stages at each rehearsal SF (scaling attribution, not a
+  * re-derivation that could drift from the operator). */
+private[graft] final case class LshStages(
+    buckets: DataFrame, candidates: DataFrame, verified: DataFrame)
+
 object Dedup {
 
   /** Exact dedup: keep the smallest id per fingerprint group. */
@@ -126,7 +136,15 @@ object Dedup {
     * (id_a, id_b, inter, size_a, size_b, jaccard). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, normCol: String,
-      minJaccard: Double, ngram: Int = 3, maxPostings: Int = 10000): DataFrame = {
+      minJaccard: Double, ngram: Int = 3, maxPostings: Int = 10000): DataFrame =
+    ngramJaccardStages(df, idCol, normCol, minJaccard, ngram, maxPostings).verified
+
+  /** Stage frames for the audit: buckets = capped (doc, shingle)
+    * postings, candidates = pairs sharing ≥1 shingle (pre-threshold),
+    * verified = pairs at `jaccard ≥ minJaccard`. */
+  private[graft] def ngramJaccardStages(
+      df: DataFrame, idCol: String, normCol: String,
+      minJaccard: Double, ngram: Int = 3, maxPostings: Int = 10000): LshStages = {
     // no cache: the shingle set is read twice but recomputing a
     // projection+explode is cheaper than pinning (doc, shingle) rows
     // in executor storage for the session lifetime
@@ -138,12 +156,13 @@ object Dedup {
     val b = capped.toDF("id_b", "t")
     val inter = a.join(b, Seq("t")).where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    val verified = inter
       .join(sizes.toDF("id_a", "size_a"), "id_a")
       .join(sizes.toDF("id_b", "size_b"), "id_b")
       .withColumn("jaccard",
         round(col("inter") * lit(1.0) / (col("size_a") + col("size_b") - col("inter")), 6))
       .where(col("jaccard") >= minJaccard)
+    LshStages(capped, inter, verified)
   }
 
   /** MinHash signatures (k hash functions realized as seeded xxhash64
@@ -161,7 +180,18 @@ object Dedup {
   def minHashLshPairs(
       df: DataFrame, idCol: String, normCol: String,
       numHashes: Int = 64, bands: Int = 8, minEstJaccard: Double = 0.7,
-      ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      ngram: Int = 3, maxBucket: Int = 4096): DataFrame =
+    minHashLshStages(df, idCol, normCol, numHashes, bands, minEstJaccard,
+      ngram, maxBucket).verified
+
+  /** The REAL intermediate frames of the LSH pipeline (audit hook:
+    * `LshAudit` counts these stages at each rehearsal SF to attribute
+    * scaling — bucket rows, candidate pairs, verified pairs — so a
+    * superlinear bench number can be pinned to the stage that grew). */
+  private[graft] def minHashLshStages(
+      df: DataFrame, idCol: String, normCol: String,
+      numHashes: Int = 64, bands: Int = 8, minEstJaccard: Double = 0.7,
+      ngram: Int = 3, maxBucket: Int = 4096): LshStages = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // the whole signature is ONE map-side expression per document
@@ -189,7 +219,7 @@ object Dedup {
       .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    cand
+    val verified = cand
       .join(sig.toDF("id_a", "sig_a"), "id_a")
       .join(sig.toDF("id_b", "sig_b"), "id_b")
       .withColumn("est_jaccard",
@@ -197,6 +227,7 @@ object Dedup {
           * lit(1.0) / numHashes, 6))
       .where(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
+    LshStages(buckets, cand, verified)
   }
 
   /** Connected components over near-dup pairs → dedup clusters: every

@@ -122,6 +122,19 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     numPlanes: Int, dim: Int, minCos: Double,
                     maxBucket: Int = 4096): DataFrame = {
+    val (coded, st) = semanticDedupInternals(df, idCol, vecCol, numPlanes, dim, minCos, maxBucket)
+    val dropped = st.verified.select(col("id_b").as("__dropped_id")).distinct()
+    coded.select(col("__bucket").as("bucket"), col(idCol))
+      .join(dropped, col(idCol) === col("__dropped_id"), "left")
+      .select(col("bucket"), col(idCol), col("__dropped_id").isNull.as("survived"))
+  }
+
+  /** The operator's actual stage frames (coded corpus + capped reps /
+    * pre-threshold candidates / verified pairs) for `graft.LshAudit`. */
+  private[graft] def semanticDedupInternals(
+      df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, minCos: Double,
+      maxBucket: Int = 4096): (DataFrame, graft.operators.LshStages) = {
     val base = withNorm(df, vecCol)
     val bucket = (0 until numPlanes).map { j =>
       when(vec.dot(col(vecCol), lit(formulaPlane(j, dim))) >= 0, lit(1L << j))
@@ -141,13 +154,11 @@ object Similarity {
       col(vecCol).as("va"), col("__norm").as("na"))
     val b = coded.select(col("__bucket").as("__bb"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("__norm").as("nb"))
-    val dropped = a.join(b, col("__bucket") === col("__bb") && col("id_a") < col("id_b"))
+    val cand = a.join(b, col("__bucket") === col("__bb") && col("id_a") < col("id_b"))
+    val verified = cand
       .where(round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4)
         >= minCos)
-      .select(col("id_b").as("__dropped_id")).distinct()
-    coded.select(col("__bucket").as("bucket"), col(idCol))
-      .join(dropped, col(idCol) === col("__dropped_id"), "left")
-      .select(col("bucket"), col(idCol), col("__dropped_id").isNull.as("survived"))
+    (coded, graft.operators.LshStages(reps, cand, verified))
   }
 
   /** ANN candidate pairs via multi-table LSH (OR-amplification):
@@ -167,7 +178,16 @@ object Similarity {
   def lshAnnPairs(df: DataFrame, idCol: String, vecCol: String,
                   numPlanes: Int = 8, numTables: Int = 4,
                   minCos: Double = 0.3, dim: Int = MaxDim,
-                  maxBucket: Int = 4096): DataFrame = {
+                  maxBucket: Int = 4096): DataFrame =
+    lshAnnStages(df, idCol, vecCol, numPlanes, numTables, minCos, dim, maxBucket).verified
+
+  /** Stage frames for `graft.LshAudit` (capped bucket rows, candidate
+    * pairs, cosine-verified pairs) — the actual plan stages, so
+    * rehearsal scaling attributes to the stage that grew. */
+  private[graft] def lshAnnStages(df: DataFrame, idCol: String, vecCol: String,
+                  numPlanes: Int = 8, numTables: Int = 4,
+                  minCos: Double = 0.3, dim: Int = MaxDim,
+                  maxBucket: Int = 4096): graft.operators.LshStages = {
     // All table bucket ids in ONE batched expression
     // ([[graft.plans.LshBucketIds]]): the candidate-join stage sees a
     // single cheap expression per side instead of numTables×numPlanes
@@ -191,12 +211,13 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     val base = withNorm(df, vecCol)
-    cand
+    val verified = cand
       .join(base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na")), "id_a")
       .join(base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)
+    graft.operators.LshStages(keyed, cand, verified)
   }
 
   /** IVF (inverted-file) ANN: coarse k-means quantization assigns

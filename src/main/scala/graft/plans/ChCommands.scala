@@ -54,6 +54,64 @@ object ChCommands {
   private[plans] def ttlManifest(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path, "_graft_ttl.txt")
 
+  private[plans] def ttlPredicateSql(ttl: String, whereCond: Option[String]): String =
+    whereCond match {
+      case Some(c) => s"(($ttl) <= current_timestamp()) AND ($c)"
+      case None    => s"($ttl) <= current_timestamp()"
+    }
+
+  // TTL rule manifest: line 1.. = the expiry expression; optional
+  // tagged lines carry the WHERE scope and GROUP BY/SET rollup
+  // (U+0001/U+0002 separators cannot occur in SQL text)
+  private[plans] def ttlRuleSerialize(ttl: String, whereCond: Option[String],
+      keys: Seq[String], sets: Seq[(String, String)]): String = {
+    val sb = new StringBuilder(ttl)
+    whereCond.foreach(c => sb.append("\nWHERE\t").append(c))
+    if (keys.nonEmpty) sb.append("\nGROUPBY\t").append(keys.mkString(","))
+    if (sets.nonEmpty) sb.append("\nSET\t").append(
+      sets.map { case (c, e) => s"$c\u0001$e" }.mkString("\u0002"))
+    sb.toString
+  }
+
+  private[plans] def ttlRuleParse(raw: String)
+      : (String, Option[String], Seq[String], Seq[(String, String)]) = {
+    var where: Option[String] = None
+    var keys: Seq[String] = Nil
+    var sets: Seq[(String, String)] = Nil
+    val exprLines = scala.collection.mutable.ArrayBuffer[String]()
+    raw.split("\n").foreach {
+      case l if l.startsWith("WHERE\t")   => where = Some(l.stripPrefix("WHERE\t"))
+      case l if l.startsWith("GROUPBY\t") =>
+        keys = l.stripPrefix("GROUPBY\t").split(",").toSeq
+      case l if l.startsWith("SET\t") =>
+        sets = l.stripPrefix("SET\t").split('\u0002').toSeq.filter(_.nonEmpty).map { s =>
+          val i = s.indexOf('\u0001'); (s.substring(0, i), s.substring(i + 1))
+        }
+      case l => exprLines += l
+    }
+    (exprLines.mkString("\n").trim, where, keys, sets)
+  }
+
+  /** The TTL GROUP BY rollup of `expired`: one row per group — SET
+    * columns by their declared aggregates, every other non-key column
+    * by `min` (the deterministic stand-in for ClickHouse's implicit
+    * `any`). Partition columns auto-join the grouping so a collapse
+    * never crosses partitions — the same boundary ClickHouse's
+    * per-part TTL GROUP BY application has. */
+  private[plans] def ttlRollup(expired: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      sets: Seq[(String, String)], partCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val gk = (partCols ++ keys).distinct
+    val setCols = sets.map(_._1)
+    for (c <- setCols if gk.contains(c))
+      throw new IllegalArgumentException(s"TTL SET column '$c' is a grouping key")
+    val others = expired.columns.filterNot(c => gk.contains(c) || setCols.contains(c))
+    val aggs = sets.map { case (c, e) => expr(e).as(c) } ++
+      others.map(c => org.apache.spark.sql.functions.min(col(c)).as(c))
+    if (aggs.isEmpty) throw new IllegalArgumentException(
+      "TTL GROUP BY needs at least one non-key column to aggregate")
+    expired.groupBy(gk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Partition registry + data cache re-sync after files changed
     * underneath a catalog table. */
   private[plans] def resync(spark: SparkSession, table: String, partitioned: Boolean): Unit = {
@@ -91,6 +149,14 @@ object ChCommands {
       if (fs.exists(dst)) require(fs.delete(backup, true), s"swap failed clearing stale $backup")
       else require(fs.rename(backup, dst), s"swap recovery failed renaming $backup -> $dst")
     }
+    // the TTL rule is table METADATA living inside the table dir —
+    // a data rewrite must not clear it (materializing a TTL, or an
+    // ALTER DELETE on a table that also has one, swaps the dir)
+    val oldTtl = new org.apache.hadoop.fs.Path(dst, "_graft_ttl.txt")
+    val newTtl = new org.apache.hadoop.fs.Path(src, "_graft_ttl.txt")
+    if (fs.exists(oldTtl) && !fs.exists(newTtl))
+      org.apache.hadoop.fs.FileUtil.copy(fs, oldTtl, fs, newTtl, false,
+        spark.sparkContext.hadoopConfiguration)
     require(fs.rename(dst, backup), s"swap failed renaming $dst -> $backup")
     if (!fs.rename(src, dst)) {
       fs.rename(backup, dst) // restore so the table location always exists
@@ -657,17 +723,25 @@ case class ChDropDictionaryCommand(name: String, ifExists: Boolean) extends Leaf
   * partitions rewrite as units and untouched ones stay byte-identical.
   * (ClickHouse applies TTL lazily on merges; MATERIALIZE is its
   * explicit-apply spelling, and the only deterministic one.) */
-case class ChModifyTtlCommand(table: String, ttlExpr: String) extends LeafRunnableCommand {
+case class ChModifyTtlCommand(table: String, ttlExpr: String,
+                              whereCond: Option[String] = None,
+                              groupKeys: Seq[String] = Nil,
+                              sets: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(sparkSession, table)
-    // the expiry predicate must resolve against the current schema
-    ChCommands.readData(sparkSession, table, info.path)
-      .where(expr(s"($ttlExpr) <= current_timestamp()")).queryExecution.analyzed
+    // the expiry predicate (and WHERE scope) must resolve against the
+    // current schema NOW — fail at DDL time, not first MATERIALIZE
+    val data = ChCommands.readData(sparkSession, table, info.path)
+    data.where(expr(ChCommands.ttlPredicateSql(ttlExpr, whereCond)))
+      .queryExecution.analyzed
+    if (groupKeys.nonEmpty) // the rollup must build too
+      ChCommands.ttlRollup(data, groupKeys, sets, info.partCols).queryExecution.analyzed
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(info.path), sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(ChCommands.ttlManifest(info.path), true)
-    try out.write(ttlExpr.getBytes("UTF-8")) finally out.close()
+    try out.write(ChCommands.ttlRuleSerialize(ttlExpr, whereCond, groupKeys, sets)
+      .getBytes("UTF-8")) finally out.close()
     Seq.empty
   }
 }
@@ -684,7 +758,13 @@ case class ChRemoveTtlCommand(table: String) extends LeafRunnableCommand {
   }
 }
 
-/** `ALTER TABLE t MATERIALIZE TTL` — applies the stored rule now. */
+/** `ALTER TABLE t MATERIALIZE TTL` — applies the stored rule now.
+  * DELETE rules (with or without a WHERE scope) route to the
+  * partition-pruned mutate path; GROUP BY rules collapse the expired
+  * rows into one row per group (SET columns by their declared
+  * aggregates, other non-key columns by `min` — the deterministic
+  * stand-in for ClickHouse's `any`) via a whole-table rewrite
+  * preserving the partition layout. */
 case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = ChCommands.reportSchema
   override def run(sparkSession: SparkSession): Seq[Row] = {
@@ -695,12 +775,33 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
     if (!fs.exists(p)) throw new IllegalArgumentException(
       s"table '$table' has no TTL; set one with ALTER TABLE $table MODIFY TTL <expr>")
     val in = fs.open(p)
-    val ttl = try {
+    val raw = try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
-    ChAlterMutateCommand(table, s"($ttl) <= current_timestamp()", Nil).run(sparkSession)
+    val (ttl, whereCond, groupKeys, sets) = ChCommands.ttlRuleParse(raw)
+    val predSql = ChCommands.ttlPredicateSql(ttl, whereCond)
+    if (groupKeys.isEmpty)
+      ChAlterMutateCommand(table, predSql, Nil).run(sparkSession)
+    else {
+      val data = ChCommands.readData(sparkSession, table, info.path)
+      val pred = expr(predSql)
+      val expired = data.where(pred)
+      val changed = expired.count()
+      if (changed == 0) Seq(Row(1L, 0L, 0L))
+      else {
+        val rolled = ChCommands.ttlRollup(data.where(pred), groupKeys, sets, info.partCols)
+        val out = data.where(!pred).unionByName(
+          rolled.select(data.columns.toIndexedSeq.map(col): _*))
+        val tmp = info.path.stripSuffix("/") + "__graft_mutating"
+        val w = out.write.mode("overwrite")
+        (if (info.partCols.nonEmpty) w.partitionBy(info.partCols: _*) else w).parquet(tmp)
+        ChCommands.swapInPlace(sparkSession, tmp, info.path)
+        ChCommands.resync(sparkSession, table, info.partCols.nonEmpty)
+        Seq(Row(1L, 1L, changed))
+      }
+    }
   }
 }
 

@@ -883,13 +883,31 @@ object ChSqlParser {
     case MaterializeProjectionStmt(table, name) =>
       Some(ChMaterializeProjectionCommand(table, name.stripPrefix("`").stripSuffix("`")))
     case AlterModifyTtl(table, rawExpr) =>
-      if ("""(?i)\b(TO\s+DISK|TO\s+VOLUME|RECOMPRESS|GROUP\s+BY|WHERE)\b""".r
-            .findFirstIn(rawExpr).isDefined)
+      // storage tiering has no single-tier analog; DELETE [WHERE] and
+      // GROUP BY … SET rollups execute (round 11)
+      if ("""(?i)\b(TO\s+DISK|TO\s+VOLUME|RECOMPRESS)\b""".r.findFirstIn(rawExpr).isDefined)
         throw new UnsupportedOperationException(
-          "TTL actions beyond DELETE (TO DISK/VOLUME, RECOMPRESS, GROUP BY, WHERE) " +
-            "have no single-tier analog here; use graft.operators.Mutate for custom " +
-            "expiry rewrites")
-      Some(ChModifyTtlCommand(table, rawExpr.replaceAll("(?is)\\s+DELETE\\s*$", "").trim))
+          "TTL storage-tiering actions (TO DISK/VOLUME, RECOMPRESS) have no " +
+            "single-tier analog here; DELETE [WHERE cond] and GROUP BY … SET execute")
+      """(?is)^(.*?)\s+GROUP\s+BY\s+(.*?)\s+SET\s+(.*)$""".r.findFirstMatchIn(rawExpr) match {
+        case Some(g) =>
+          val keys = g.group(2).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          val sets = topLevelSplit(g.group(3)).map(_.trim).filter(_.nonEmpty).map { a =>
+            val m2 = """(?s)^(`[^`]+`|[\w]+)\s*=\s*(.+)$""".r.findFirstMatchIn(a).getOrElse(
+              throw new IllegalArgumentException(
+                s"TTL SET assignment '$a' must be column = aggregate(expr)"))
+            (m2.group(1).stripPrefix("`").stripSuffix("`"), m2.group(2).trim)
+          }
+          Some(ChModifyTtlCommand(table, g.group(1).trim, None, keys, sets))
+        case None =>
+          """(?is)^(.*?)\s+(?:DELETE\s+)?WHERE\s+(.*)$""".r.findFirstMatchIn(rawExpr) match {
+            case Some(w) =>
+              Some(ChModifyTtlCommand(table, w.group(1).trim, Some(w.group(2).trim)))
+            case None =>
+              Some(ChModifyTtlCommand(table,
+                rawExpr.replaceAll("(?is)\\s+DELETE\\s*$", "").trim))
+          }
+      }
     case AlterRemoveTtl(table) => Some(ChRemoveTtlCommand(table))
     case AlterMaterializeTtl(table) => Some(ChMaterializeTtlCommand(table))
     case s if CreateDictionary.findFirstIn(s).isDefined =>

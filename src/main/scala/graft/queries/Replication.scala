@@ -567,6 +567,48 @@ object Replication {
             GROUP BY 1 ORDER BY prio"""),
   )
 
+  /** TTL GROUP BY … SET EXECUTING (round 11): expired rows collapse
+    * into one row per group on MATERIALIZE — SET columns by their
+    * declared aggregates, other non-key columns by `min` (the
+    * deterministic stand-in for CH's implicit `any`); partition
+    * columns auto-join the grouping (collapse never crosses a
+    * partition, CH's own per-part boundary). Century-stable fixture:
+    * expired rows sit in 2020, survivors in 2123. The oracle replays
+    * the rollup algebra (live rows + one collapsed row per group);
+    * sums re-merge at round-0 grid (q35b convention). */
+  val q98c = GraftQuery(
+    "q98c_ttl_groupby",
+    (s, dir) => {
+      dropWithLocation(s, "gq98c")
+      s.sql("""CREATE TABLE gq98c (id UInt64, total Float64, d DateTime, prio String)
+               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq98c_src")
+      s.sql("""INSERT INTO gq98c
+               SELECT o_orderkey, o_totalprice,
+                      CASE WHEN o_orderkey % 3 = 0
+                           THEN timestamp'2020-01-01 00:00:00'
+                           ELSE timestamp'2123-01-01 00:00:00' END,
+                      o_orderpriority
+               FROM gq98c_src WHERE o_orderkey < 6000""")
+      s.sql("""ALTER TABLE gq98c MODIFY TTL d + INTERVAL 30 DAY
+               GROUP BY prio SET total = sum(total)""")
+      s.sql("ALTER TABLE gq98c MATERIALIZE TTL")
+      s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 0) AS total,
+                      CAST(min(id) AS BIGINT) AS min_id
+               FROM gq98c GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH src AS (SELECT o_orderkey AS id, o_totalprice AS total,
+                                o_orderpriority AS prio,
+                                (o_orderkey % 3 = 0) AS expired
+                         FROM orders WHERE o_orderkey < 6000)
+            SELECT prio,
+                   CAST(sum(CASE WHEN expired THEN 0 ELSE 1 END)
+                        + max(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+                   round(sum(total), 0) AS total,
+                   CAST(min(id) AS BIGINT) AS min_id
+            FROM src GROUP BY prio ORDER BY prio"""),
+  )
+
   /** Watermarked event-time window aggregation IN the gate — real
     * Structured Streaming semantics made deterministic: a 5-file
     * landing replayed one file per micro-batch (mtimes pin the
@@ -739,5 +781,5 @@ object Replication {
             GROUP BY 1 ORDER BY prio"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q98b, q100, q101, q102, q103, q104, q105)
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q98b, q98c, q100, q101, q102, q103, q104, q105)
 }

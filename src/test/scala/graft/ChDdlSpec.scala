@@ -786,6 +786,63 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE ttl_ddl_t")
   }
 
+  test("TTL DELETE WHERE scopes expiry; TTL GROUP BY SET rolls expired rows up") {
+    for (t <- Seq("ttl_w_t", "ttl_g_t")) { // clear stale locations too
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      for (sfx <- Seq("", "__graft_backup", "__graft_mutating"))
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$t$sfx"), true)
+    }
+    spark.sql("""CREATE TABLE ttl_w_t (id UInt64, kind String, v Float64, d DateTime)
+                 ENGINE = MergeTree ORDER BY id""")
+    spark.sql("""INSERT INTO ttl_w_t VALUES
+                 (1, 'tmp',  1.0, toDateTime('2020-01-01 00:00:00')),
+                 (2, 'keep', 2.0, toDateTime('2020-01-01 00:00:00')),
+                 (3, 'tmp',  3.0, toDateTime('2123-01-01 00:00:00'))""")
+    // WHERE scope: only expired 'tmp' rows go; the expired 'keep' row stays
+    spark.sql("ALTER TABLE ttl_w_t MODIFY TTL d + INTERVAL 30 DAY DELETE WHERE kind = 'tmp'")
+    spark.sql("ALTER TABLE ttl_w_t MATERIALIZE TTL")
+    assert(spark.table("ttl_w_t").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    spark.sql("DROP TABLE ttl_w_t")
+
+    spark.sql("DROP TABLE IF EXISTS ttl_g_t")
+    spark.sql("""CREATE TABLE ttl_g_t (k String, id UInt64, v Float64, d DateTime)
+                 ENGINE = MergeTree ORDER BY (k, id)""")
+    spark.sql("""INSERT INTO ttl_g_t VALUES
+                 ('a', 1, 10.0, toDateTime('2020-01-01 00:00:00')),
+                 ('a', 2, 20.0, toDateTime('2020-02-01 00:00:00')),
+                 ('b', 3, 30.0, toDateTime('2020-01-01 00:00:00')),
+                 ('a', 4, 40.0, toDateTime('2123-01-01 00:00:00'))""")
+    // expired rows collapse per k: SET column aggregated, other
+    // columns take min (the deterministic stand-in for CH's any)
+    spark.sql("ALTER TABLE ttl_g_t MODIFY TTL d + INTERVAL 30 DAY GROUP BY k SET v = sum(v)")
+    val rep = spark.sql("ALTER TABLE ttl_g_t MATERIALIZE TTL").head()
+    assert(rep.getLong(2) == 3L) // three expired rows
+    val got = spark.table("ttl_g_t").orderBy("k", "id")
+      .select("k", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 1L, 30.0), ("a", 4L, 40.0), ("b", 3L, 30.0)), s"got $got")
+    // the rolled-up 'a'/'b' rows carry min(d)=2020 → still expired →
+    // a second materialize re-collapses them to themselves:
+    // idempotent content (2 rows touched, nothing changes)
+    assert(spark.sql("ALTER TABLE ttl_g_t MATERIALIZE TTL").head().getLong(2) == 2L)
+    val again = spark.table("ttl_g_t").orderBy("k", "id")
+      .select("k", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == got, s"second materialize changed content: $again")
+    // SET on a grouping key refuses
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ttl_g_t MODIFY TTL d GROUP BY k SET k = min(k)"))
+    assert(e.getMessage.contains("grouping key"))
+    // storage tiering still refuses with the supported list
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE ttl_g_t MODIFY TTL d + INTERVAL 1 DAY TO DISK 'cold'"))
+    assert(e2.getMessage.contains("tiering"))
+    spark.sql("DROP TABLE ttl_g_t")
+  }
+
   test("ADD PROJECTION executes; matching aggregates auto-use it; staleness falls back") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString // FileScan shows the location
