@@ -306,7 +306,10 @@ object ChCommands {
   }
 
   /** Materialize one projection's data + upsert its manifest line with
-    * the fingerprint of the base it was built from. */
+    * the fingerprint of the base it was built from. Empty `states`
+    * marks a SORT projection: the same rows range-partitioned +
+    * sorted on `keys` (row-group min/max pruning layout); non-empty
+    * states are the aggregate form. */
   private[plans] def writeProjection(spark: SparkSession, table: String, path: String, name: String,
       keys: Seq[String], states: Seq[(String, String, String)]): Unit = {
     import org.apache.spark.sql.functions.{count => cnt, lit, max => mx, min => mn, sum => sm}
@@ -315,17 +318,26 @@ object ChCommands {
       .filterNot(base.schema.fieldNames.contains)
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"projection '$name' references missing columns: ${missing.mkString(", ")}")
-    val aggCols = states.map {
-      case (c, "count", _) => cnt(lit(1)).as(c)
-      case (c, "sum", src) => sm(col(src)).as(c)
-      case (c, "min", src) => mn(col(src)).as(c)
-      case (c, "max", src) => mx(col(src)).as(c)
-      case (_, f, _) => throw new IllegalArgumentException(s"unsupported projection state $f")
-    }
     val fp = contentFingerprint(spark, path) // sibling data dirs are outside the walk
     val tmp = projDataPath(path, name) + "__building"
-    base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      .write.mode("overwrite").parquet(tmp)
+    if (states.isEmpty) {
+      // sort layout: file count is the pruning granularity (≈ one
+      // row-group per file); scale with data volume on a cluster
+      val files = math.max(8, spark.sparkContext.defaultParallelism / 4)
+      base.repartitionByRange(files, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+    } else {
+      val aggCols = states.map {
+        case (c, "count", _) => cnt(lit(1)).as(c)
+        case (c, "sum", src) => sm(col(src)).as(c)
+        case (c, "min", src) => mn(col(src)).as(c)
+        case (c, "max", src) => mx(col(src)).as(c)
+        case (_, f, _) => throw new IllegalArgumentException(s"unsupported projection state $f")
+      }
+      base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        .write.mode("overwrite").parquet(tmp)
+    }
     val fs = fsOf(spark, path)
     val dst = new org.apache.hadoop.fs.Path(projDataPath(path, name))
     fs.delete(dst, true)
@@ -828,10 +840,27 @@ case class ChAddProjectionCommand(table: String, name: String, body: String,
       if (ifNotExists) return Seq.empty
       throw new IllegalArgumentException(s"projection '$name' already exists on $table")
     }
+    // sort-order projection (round 11): `SELECT * ORDER BY k1, k2` —
+    // the same rows in an alternate sort layout (a sibling dir,
+    // range-partitioned + sorted), so parquet row-group min/max stats
+    // prune decode work for leading-key predicates; SortProjectionUse
+    // swaps the scan transparently while the fingerprint holds.
+    // ClickHouse's sparse-primary-index projection, Spark-shaped.
+    """(?is)^\s*SELECT\s+(.*?)\s+ORDER\s+BY\s+(.*?)\s*$""".r.findFirstMatchIn(body) match {
+      case Some(sm) if !"""(?i)\bGROUP\s+BY\b""".r.findFirstIn(body).isDefined =>
+        if (sm.group(1).trim != "*") throw new UnsupportedOperationException(
+          "sort-order projections execute for the full row (`SELECT * ORDER BY …`); " +
+            "a column-subset sort projection would change the readable schema")
+        val keys = sm.group(2).split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+        ChCommands.writeProjection(sparkSession, table, info.path, name, keys, Nil)
+        return Seq.empty
+      case _ =>
+    }
     val m = """(?is)^\s*SELECT\s+(.*?)\s+GROUP\s+BY\s+(.*?)\s*$""".r.findFirstMatchIn(body)
       .getOrElse(throw new UnsupportedOperationException(
-        "only AGGREGATE projections (SELECT … GROUP BY …) execute here; alternate " +
-          "sort-order projections belong to graft.operators.Projections layouts"))
+        "projections execute as AGGREGATE (SELECT … GROUP BY …) or SORT " +
+          "(SELECT * ORDER BY …) forms"))
     val keys = m.group(2).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
     val items = m.group(1).split(",").map(_.trim).toSeq
     val states: Seq[(String, String, String)] = items.flatMap { it =>

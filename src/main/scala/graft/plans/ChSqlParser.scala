@@ -871,10 +871,8 @@ object ChSqlParser {
       Some(ChSystemCommand(reloadDict = Some(Some(name.stripPrefix("`").stripSuffix("`")))))
     case SystemDropCache(_) => Some(ChSystemCommand(dropCache = true))
     case AddProjectionStmt(table, ine, name, body) =>
-      if ("""(?is)\bGROUP\s+BY\b""".r.findFirstIn(body).isEmpty)
-        throw new UnsupportedOperationException(
-          "only AGGREGATE projections (SELECT … GROUP BY …) execute from DDL; " +
-            "alternate sort-order layouts belong to graft.operators.Projections")
+      // both forms execute (round 11): aggregate (GROUP BY) and
+      // sort-order (SELECT * ORDER BY); the command validates shape
       Some(ChAddProjectionCommand(table,
         name.stripPrefix("`").stripSuffix("`"), body, ine != null))
     case DropProjectionStmt(table, verb, ife, name) =>

@@ -70,5 +70,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dictGet/dictHas placeholders → broadcast left-outer joins
     ext.injectResolutionRule(session => DictGetRewrite(session))
     ext.injectOptimizerRule(session => ProjectionAutoUse(session))
+    ext.injectOptimizerRule(session => SortProjectionUse(session))
   }
 }

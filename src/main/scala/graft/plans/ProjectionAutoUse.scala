@@ -38,6 +38,81 @@ import org.apache.spark.sql.functions.{col, max, min, sum}
   * full fact table — the same reason CH ships the feature. The merge
   * aggregation re-shuffles only projection rows.
   */
+/** Transparent SORT-projection use (round 11): a Filter whose
+  * predicate constrains the LEADING sort key of a materialized
+  * sort-order projection (declared via `ALTER TABLE … ADD PROJECTION
+  * p (SELECT * ORDER BY …)`) has its parquet scan swapped for the
+  * projection's layout — same rows, alternate physical order, so
+  * parquet row-group min/max stats prune decode work exactly like
+  * MergeTree's sparse primary index on the projection's ORDER BY.
+  * Guarded by the same content fingerprint as aggregate auto-use:
+  * any base change falls back to the base scan until MATERIALIZE
+  * PROJECTION re-pins. Rows/schema identical by construction, so the
+  * rewrite is correctness-free; only scan cost changes. */
+case class SortProjectionUse(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!session.conf.get("spark.graft.projections.autoUse", "true").toBoolean) return plan
+    plan.transformUp {
+      case f @ Filter(cond, child) if cond.deterministic &&
+          !SubqueryExpression.hasSubquery(cond) =>
+        tryRewrite(f, cond, child).getOrElse(f)
+    }
+  }
+
+  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+        if fs.location.rootPaths.size == 1 => Some(lr)
+    case SubqueryAlias(_, c) => relationOf(c)
+    case _ => None
+  }
+
+  /** The leading-key comparison shapes row-group stats can prune on. */
+  private def prunable(cond: Expression, key: String): Boolean = {
+    def isKey(e: Expression) = e match {
+      case a: AttributeReference => a.name == key
+      case _ => false
+    }
+    cond match {
+      case CAnd(l, r) => prunable(l, key) || prunable(r, key)
+      case EqualTo(l, r) => (isKey(l) && r.foldable) || (isKey(r) && l.foldable)
+      case LessThan(l, r) => (isKey(l) && r.foldable) || (isKey(r) && l.foldable)
+      case LessThanOrEqual(l, r) => (isKey(l) && r.foldable) || (isKey(r) && l.foldable)
+      case GreaterThan(l, r) => (isKey(l) && r.foldable) || (isKey(r) && l.foldable)
+      case GreaterThanOrEqual(l, r) => (isKey(l) && r.foldable) || (isKey(r) && l.foldable)
+      case In(e, vs) => isKey(e) && vs.forall(_.foldable)
+      case _ => false
+    }
+  }
+
+  private def tryRewrite(f: Filter, cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    val rel = relationOf(child).getOrElse(return None)
+    val path = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.head.toString
+    if (path.contains("__graft_proj_")) return None // never rewrite a projection read
+    val specs = ChCommands.tableProjections(session, path)
+    val hit = specs.find { sp =>
+      sp.states.isEmpty && sp.fingerprintOk &&
+        sp.keys.headOption.exists(k => prunable(cond, k))
+    }.getOrElse(return None)
+    val newRel = session.read.parquet(hit.dataPath).queryExecution.analyzed match {
+      case SubqueryAlias(_, c) => c
+      case p => p
+    }
+    val byName = newRel.output.map(a => a.name -> a).toMap
+    // schema must line up exactly (names and types) or bail
+    if (rel.output.exists(o => !byName.get(o.name).exists(_.dataType == o.dataType)))
+      return None
+    val newCond = cond.transform {
+      case a: AttributeReference => byName.getOrElse(a.name, a)
+    }
+    // restore the original attribute ids above the swapped scan
+    Some(Project(
+      rel.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+      Filter(newCond, newRel)))
+  }
+}
+
 case class ProjectionAutoUse(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -593,5 +593,40 @@ object Arrays {
             FROM orders GROUP BY 1 ORDER BY prio"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99, q99b)
+  /** Sort-order projection DDL EXECUTING with transparent auto-use
+    * (round 11): `ADD PROJECTION p (SELECT * ORDER BY k)` lands the
+    * same rows range-partitioned + sorted on `k` in a sibling layout;
+    * [[graft.plans.SortProjectionUse]] swaps any leading-key
+    * equality/range filter onto it while the content fingerprint
+    * holds — parquet row-group min/max pruning standing in for
+    * MergeTree's sparse primary index on the projection's ORDER BY.
+    * The gate REQUIRES the rewrite to engage (plan-asserted); the
+    * oracle answers the same filter from the raw table (rows are
+    * identical by construction — only the scanned layout differs). */
+  val q99c = GraftQuery(
+    "q99c_sort_projection",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS gq99c")
+      val whRoot = new org.apache.hadoop.fs.Path(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99c*"))
+        .foreach(st => fs.delete(st.getPath, true))
+      s.sql("""CREATE TABLE gq99c (id UInt64, prio String, total Float64)
+               ENGINE = MergeTree ORDER BY id""")
+      Tables(s, dir).orders.createOrReplaceTempView("gq99c_src")
+      s.sql("""INSERT INTO gq99c SELECT o_orderkey, o_orderpriority, o_totalprice
+               FROM gq99c_src""")
+      s.sql("ALTER TABLE gq99c ADD PROJECTION by_prio (SELECT * ORDER BY prio)")
+      val out = s.sql("""SELECT id, round(total, 2) AS total
+                         FROM gq99c WHERE prio = '1-URGENT' ORDER BY id""")
+      require(out.queryExecution.executedPlan.toString.contains("_graft_proj_by_prio"),
+        "sort-projection auto-use did not engage")
+      out
+    },
+    Some("""SELECT o_orderkey AS id, round(o_totalprice, 2) AS total
+            FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99, q99b, q99c)
 }

@@ -617,7 +617,13 @@ class ChDdlSpec extends SparkSpec {
       val e = intercept[Exception](spark.sql(sql))
       assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage.take(100)}")
     }
-    refusal("ALTER TABLE t ADD PROJECTION p (SELECT * ORDER BY x)", "Projections")
+    // sort-order projections EXECUTE since round 11 — the remaining
+    // refusal is the column-subset form (schema-changing); needs a
+    // real table since shape validation happens in the command
+    spark.sql("DROP TABLE IF EXISTS ddl_ref_t")
+    spark.sql("CREATE TABLE ddl_ref_t (x UInt64, y UInt64) ENGINE = MergeTree ORDER BY x")
+    refusal("ALTER TABLE ddl_ref_t ADD PROJECTION p (SELECT x ORDER BY y)", "readable schema")
+    spark.sql("DROP TABLE ddl_ref_t")
     refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY TO DISK 'cold'", "TO DISK")
     refusal("SYSTEM RESTART REPLICA r", "no server")
     // TRUNCATE on a DDL-created table is native Spark behavior
@@ -881,14 +887,55 @@ class ChDdlSpec extends SparkSpec {
     assert(!planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
     spark.sql("ALTER TABLE proj_ddl_t MATERIALIZE PROJECTION p_agg")
     assert(planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
-    // DROP removes declaration + data; duplicate ADD refuses; sort form refuses
+    // DROP removes declaration + data; column-subset sort form refuses
     spark.sql("ALTER TABLE proj_ddl_t DROP PROJECTION p_agg")
     assert(!planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
     spark.sql("ALTER TABLE proj_ddl_t DROP PROJECTION IF EXISTS p_agg") // no-op
     val e = intercept[Exception](
       spark.sql("ALTER TABLE proj_ddl_t ADD PROJECTION s (SELECT k, v ORDER BY v)"))
-    assert(e.getMessage.contains("graft.operators.Projections"))
+    assert(e.getMessage.contains("readable schema"))
     spark.sql("DROP TABLE proj_ddl_t")
+  }
+
+  test("sort-order projection DDL: leading-key filters auto-use the sorted layout") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    drop("sortproj_t")
+    spark.sql("""CREATE TABLE sortproj_t (id UInt64, v UInt64, s String)
+                 ENGINE = MergeTree ORDER BY id""")
+    spark.sql("""INSERT INTO sortproj_t
+                 SELECT id, (id * 37) % 1000 AS v, concat('row', id) AS s
+                 FROM range(5000)""")
+    spark.sql("ALTER TABLE sortproj_t ADD PROJECTION by_v (SELECT * ORDER BY v)")
+    // a selective leading-key predicate scans the sorted sibling
+    val q = "SELECT id, v, s FROM sortproj_t WHERE v = 37 ORDER BY id"
+    val df1 = spark.sql(q)
+    assert(planOf(df1).contains("_graft_proj_by_v"), s"expected projection scan:\n${planOf(df1)}")
+    val rows = df1.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == 37L))
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    // same rows as the base scan answers (v < 1000 always, so
+    // v % 1000 = 37 is equivalent but not a stats-prunable shape → base)
+    val base = spark.sql(
+      "SELECT id FROM sortproj_t WHERE v % 1000 = 37 ORDER BY id")
+    assert(!planOf(base).contains("_graft_proj_by_v"))
+    assert(rows.map(_.getLong(0)).toSeq == base.collect().map(_.getLong(0)).toSeq)
+    // range predicates prune too
+    assert(planOf(spark.sql("SELECT count(*) AS c FROM sortproj_t WHERE v < 10"))
+      .contains("_graft_proj_by_v"))
+    // a filter NOT on the leading key stays on base
+    assert(!planOf(spark.sql("SELECT count(*) AS c FROM sortproj_t WHERE s = 'row7'"))
+      .contains("_graft_proj_by_v"))
+    // staleness: INSERT falls back, MATERIALIZE re-engages
+    spark.sql("INSERT INTO sortproj_t VALUES (99999, 37, 'late')")
+    val df2 = spark.sql(q)
+    assert(!planOf(df2).contains("_graft_proj_by_v"), "stale sort projection must not be read")
+    assert(df2.collect().map(_.getLong(0)).toSeq.contains(99999L))
+    spark.sql("ALTER TABLE sortproj_t MATERIALIZE PROJECTION by_v")
+    val df3 = spark.sql(q)
+    assert(planOf(df3).contains("_graft_proj_by_v"))
+    assert(df3.collect().map(_.getLong(0)).toSeq.contains(99999L))
+    spark.sql("DROP TABLE sortproj_t")
   }
 
   test("CREATE DICTIONARY from a FILE source") {
