@@ -141,6 +141,37 @@ object Mutate {
     require(fs.delete(p, true), s"DROP PARTITION failed: directory $p not found")
   }
 
+  /** DETACH / ATTACH PARTITION: move the partition directory between
+    * the live table root and the `__graft_detached` SIBLING directory
+    * (ClickHouse's `detached/` area, kept outside the table root so
+    * the base read never lists it). Metadata-only — one directory
+    * rename, no data read or rewritten, which is the whole point of
+    * the CH workflow (park a partition for surgery/backfill, attach
+    * it back untouched). */
+  def detachPartition(spark: SparkSession, path: String, partitionCol: String, value: Any): Unit =
+    movePartition(spark, path, partitionCol, value, toDetached = true)
+
+  def attachPartition(spark: SparkSession, path: String, partitionCol: String, value: Any): Unit =
+    movePartition(spark, path, partitionCol, value, toDetached = false)
+
+  /** Where a table's detached partitions live. */
+  def detachedRoot(path: String): String = path.stripSuffix("/") + "__graft_detached"
+
+  private def movePartition(spark: SparkSession, path: String, partitionCol: String,
+                            value: Any, toDetached: Boolean): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partitionCol, partitionPathValue(spark, value))
+    val live = new org.apache.hadoop.fs.Path(path, dirName)
+    val det = new org.apache.hadoop.fs.Path(detachedRoot(path), dirName)
+    val (src, dst, verb) = if (toDetached) (live, det, "DETACH") else (det, live, "ATTACH")
+    require(fs.exists(src), s"$verb PARTITION failed: directory $src not found")
+    require(!fs.exists(dst), s"$verb PARTITION failed: target $dst already exists")
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"$verb PARTITION failed moving $src -> $dst")
+  }
+
   /** ALTER TABLE … UPDATE col = expr, … WHERE pred. Assignments apply
     * only to matching rows; other rows in rewritten partitions are
     * copied through bit-identically. The match flag is computed ONCE

@@ -112,6 +112,28 @@ object ChCommands {
     expired.groupBy(gk.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Resolve a `<verb> PARTITION <literal>` target: the table's single
+    * partition column + the literal cast to its type (external form). */
+  private[plans] def partitionTarget(spark: SparkSession, table: String, info: TableInfo,
+      valueSql: String, verb: String): (String, Any) = {
+    val p = info.partCols match {
+      case Seq(one) => one
+      case Seq() => throw new UnsupportedOperationException(
+        s"$table is unpartitioned — $verb PARTITION needs a partitioned layout")
+      case many => throw new UnsupportedOperationException(
+        s"$verb PARTITION on a ${many.size}-level partitioned table: use graft.operators.Mutate")
+    }
+    val dt = spark.table(table).schema(p).dataType
+    val lit = spark.sessionState.sqlParser.parseExpression(valueSql)
+    if (!lit.foldable) throw new IllegalArgumentException(
+      s"$verb PARTITION takes a literal partition value, got: $valueSql")
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      lit, dt, Option(spark.sessionState.conf.sessionLocalTimeZone))
+    val external = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(cast.eval(null), dt)
+    (p, external)
+  }
+
   /** Partition registry + data cache re-sync after files changed
     * underneath a catalog table. */
   private[plans] def resync(spark: SparkSession, table: String, partitioned: Boolean): Unit = {
@@ -510,22 +532,30 @@ case class ChDropPartitionCommand(table: String, valueSql: String) extends LeafR
 
   override def run(spark: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(spark, table)
-    val p = info.partCols match {
-      case Seq(one) => one
-      case Seq() => throw new UnsupportedOperationException(
-        s"$table is unpartitioned — DROP PARTITION needs a partitioned layout (use TRUNCATE/DELETE)")
-      case many => throw new UnsupportedOperationException(
-        s"DROP PARTITION on a ${many.size}-level partitioned table: use graft.operators.Mutate")
-    }
-    val dt = spark.table(table).schema(p).dataType
-    val lit = spark.sessionState.sqlParser.parseExpression(valueSql)
-    if (!lit.foldable) throw new IllegalArgumentException(
-      s"DROP PARTITION takes a literal partition value, got: $valueSql")
-    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
-      lit, dt, Option(spark.sessionState.conf.sessionLocalTimeZone))
-    val external = org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .convertToScala(cast.eval(null), dt)
+    val (p, external) = ChCommands.partitionTarget(spark, table, info, valueSql, "DROP")
     graft.operators.Mutate.dropPartition(spark, info.path, p, external)
+    ChCommands.resync(spark, table, partitioned = true)
+    Seq(Row(1L))
+  }
+}
+
+/** `ALTER TABLE t DETACH|ATTACH PARTITION 'v'` (round 11): the
+  * partition directory moves between the live table root and the
+  * `__graft_detached` sibling — ClickHouse's park-a-partition
+  * workflow (detach for surgery/backfill, attach back untouched) as
+  * one metadata-only directory rename. `ATTACH PARTITION FROM src`
+  * (cross-table copy) still refuses toward copy + ATTACH. */
+case class ChDetachAttachPartitionCommand(table: String, valueSql: String,
+                                          attach: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partitions_moved", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val verb = if (attach) "ATTACH" else "DETACH"
+    val info = ChCommands.resolve(spark, table)
+    val (p, external) = ChCommands.partitionTarget(spark, table, info, valueSql, verb)
+    if (attach) graft.operators.Mutate.attachPartition(spark, info.path, p, external)
+    else graft.operators.Mutate.detachPartition(spark, info.path, p, external)
     ChCommands.resync(spark, table, partitioned = true)
     Seq(Row(1L))
   }
@@ -710,6 +740,31 @@ case class ChCreateDictionaryCommand(
       case Some(p) => Dictionaries.registerHierarchical(name, keyCols.head, p, thunk)
       case None    => Dictionaries.registerComplex(name, keyCols, thunk)
     }
+    Seq.empty
+  }
+}
+
+/** Multi-pair `RENAME TABLE a TO b, c TO d` (round 11): sequential
+  * catalog renames, left to right — CH's common swap chains
+  * (`a TO tmp, b TO a, tmp TO b`) work. All sources are validated
+  * BEFORE the first rename so a typo aborts with nothing moved; a
+  * mid-chain target collision still surfaces from the catalog (the
+  * preceding renames stand, as they would issuing the statements
+  * one by one). */
+case class ChRenameTablesCommand(pairs: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    // a chain may create its own sources mid-flight (swap via tmp), so
+    // a pair's source is valid if it exists now OR an earlier pair
+    // renames something into it
+    val produced = scala.collection.mutable.Set[String]()
+    for ((a, b) <- pairs) {
+      if (!produced.contains(a) && !spark.catalog.tableExists(a))
+        throw new IllegalArgumentException(s"RENAME TABLE: source '$a' does not exist")
+      produced -= a
+      produced += b
+    }
+    for ((a, b) <- pairs) spark.sql(s"ALTER TABLE $a RENAME TO $b")
     Seq.empty
   }
 }

@@ -723,6 +723,8 @@ object ChSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(.*?)\s*;?\s*$""".r
   private val AlterDropPartition =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+PARTITION\s+(.*?)\s*;?\s*$""".r
+  private val AlterDetachAttachPartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(DETACH|ATTACH)\s+PARTITION\s+(.*?)\s*;?\s*$""".r
   private val AlterPartitionOther =
     """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(DETACH|ATTACH|FREEZE|MOVE|REPLACE|FETCH)\s+PART(ITION)?\b.*$""".r
   private val AlterDropPart =
@@ -832,9 +834,18 @@ object ChSqlParser {
     case AlterDropPart() => throw new UnsupportedOperationException(
       "DROP PART names a physical part — this layout's unit is the partition; " +
         "use DROP PARTITION 'value' or graft.sources.MergeTreeWrite.compact")
+    case AlterDetachAttachPartition(table, verb, value) =>
+      // DETACH/ATTACH PARTITION 'v' execute (round 11) as a directory
+      // move to/from the __graft_detached sibling; the FROM form
+      // (cross-table copy-attach) keeps refusing toward copy + ATTACH
+      if ("""(?i)\bFROM\b""".r.findFirstIn(value).isDefined)
+        throw new UnsupportedOperationException(
+          s"$verb PARTITION FROM <table> copies across tables — INSERT the partition's " +
+            "rows into the target, or copy the partition directory, then ATTACH")
+      Some(ChDetachAttachPartitionCommand(table, value, verb.equalsIgnoreCase("ATTACH")))
     case AlterPartitionOther(verb, _) => throw new UnsupportedOperationException(
       s"ALTER TABLE $verb PARTITION has no single-engine analog here; DROP PARTITION " +
-        "executes, and cross-table moves are a copy + DROP PARTITION")
+        "and DETACH/ATTACH PARTITION execute, and cross-table moves are a copy + ATTACH")
     case AlterDropPartition(table, value) =>
       Some(ChDropPartitionCommand(table, value))
     case LightweightDelete(table, pred) =>
@@ -866,6 +877,17 @@ object ChSqlParser {
           throw new IllegalArgumentException("ALTER TABLE … UPDATE requires a WHERE clause"))
         Some(ChAlterMutateCommand(table, predPart, parseAssignments(setPart)))
       }
+    case RenameTableStmt(list) =>
+      // multi-pair RENAME TABLE a TO b, c TO d (round 11): sequential
+      // renames left to right — swap chains (a TO tmp, b TO a, tmp TO
+      // b) work; sources are validated up front so the common failure
+      // (missing table) aborts before any rename
+      val pairs = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+        val m = """(?is)^([\w.]+)\s+TO\s+([\w.]+)$""".r.findFirstMatchIn(p).getOrElse(
+          throw new IllegalArgumentException(s"RENAME TABLE: cannot parse pair '$p'"))
+        (m.group(1), m.group(2))
+      }
+      Some(ChRenameTablesCommand(pairs))
     case SystemReloadDicts() => Some(ChSystemCommand(reloadDict = Some(None)))
     case SystemReloadDict(name) =>
       Some(ChSystemCommand(reloadDict = Some(Some(name.stripPrefix("`").stripSuffix("`")))))
@@ -1060,6 +1082,8 @@ object ChSqlParser {
     ChCreateDictionaryCommand(name, pkCols, cols, hierCol,
       srcM.group(1).toUpperCase, srcProps, ifNotExists)
   }
+  private val RenameTableStmt =
+    """(?is)^\s*RENAME\s+TABLE\s+(.+?)\s*;?\s*$""".r
   private val SystemStmt =
     """(?is)^\s*SYSTEM\s+\w+""".r
   // the SYSTEM forms with a real single-engine action (cache/closure
@@ -2205,12 +2229,12 @@ object ChSqlParser {
     out = """(?is)^\s*EXPLAIN\s+QUERY\s+TREE\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
     out = """(?is)^\s*EXPLAIN\s+(AST|SYNTAX)\b""".r.replaceAllIn(out, "EXPLAIN EXTENDED")
     out = """(?is)^\s*EXPLAIN\s+(PLAN|PIPELINE|ESTIMATE)\b""".r.replaceAllIn(out, "EXPLAIN FORMATTED")
-    // RENAME TABLE a TO b[, …] → one ALTER per pair (single-pair form
-    // rewrites; multi-pair needs separate statements, loudly)
+    // RENAME TABLE a TO b → the native ALTER spelling; the multi-pair
+    // form stays intact here and executes as ChRenameTablesCommand
+    // (sequential renames, interceptCommand)
     """(?is)^\s*RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*(,?)""".r.findFirstMatchIn(out).foreach { m =>
-      if (m.group(3) == ",") throw new UnsupportedOperationException(
-        "RENAME TABLE with multiple pairs: issue one RENAME per pair")
-      out = s"ALTER TABLE ${m.group(1)} RENAME TO ${m.group(2)}"
+      if (m.group(3) != ",")
+        out = s"ALTER TABLE ${m.group(1)} RENAME TO ${m.group(2)}"
     }
     // CHECK TABLE t → one-row 0/1: the table resolves AND its data
     // files are listable/readable at the metadata level (CH's CHECK

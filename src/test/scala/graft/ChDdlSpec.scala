@@ -387,10 +387,26 @@ class ChDdlSpec extends SparkSpec {
     assert(r.getLong(0) == 1L)
     val left = spark.sql("SELECT DISTINCT g FROM ddl_dp ORDER BY g").collect().map(_.getLong(0))
     assert(left.toSeq == Seq(0L, 2L))
-    // missing partition fails loudly; DETACH refuses with guidance
+    // missing partition fails loudly
     intercept[Exception](spark.sql("ALTER TABLE ddl_dp DROP PARTITION '9'"))
-    val e = intercept[Exception](spark.sql("ALTER TABLE ddl_dp DETACH PARTITION '0'"))
-    assert(e.getMessage.contains("no single-engine analog"))
+    // DETACH parks the partition (invisible to reads, data intact);
+    // ATTACH brings it back untouched — one directory rename each way
+    assert(spark.sql("ALTER TABLE ddl_dp DETACH PARTITION '0'").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT DISTINCT g FROM ddl_dp ORDER BY g").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("ALTER TABLE ddl_dp ATTACH PARTITION '0'").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT DISTINCT g FROM ddl_dp ORDER BY g").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    // detaching a missing partition / attaching a non-detached one fail loudly
+    intercept[Exception](spark.sql("ALTER TABLE ddl_dp DETACH PARTITION '9'"))
+    intercept[Exception](spark.sql("ALTER TABLE ddl_dp ATTACH PARTITION '2'"))
+    // cross-table attach still refuses toward copy + ATTACH
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ddl_dp ATTACH PARTITION '0' FROM ddl_ctas"))
+    assert(e.getMessage.contains("copy"))
+    // FREEZE keeps refusing
+    val e2 = intercept[Exception](spark.sql("ALTER TABLE ddl_dp FREEZE PARTITION '0'"))
+    assert(e2.getMessage.contains("no single-engine analog"))
     for (t <- Seq("ddl_ctas", "ddl_dp")) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -576,8 +592,27 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("RENAME TABLE ren_a TO ren_b")
     assert(spark.catalog.tableExists("ren_b") && !spark.catalog.tableExists("ren_a"))
     spark.sql("DROP TABLE ren_b")
-    val e = intercept[Exception](spark.sql("RENAME TABLE a TO b, c TO d"))
-    assert(e.getMessage.contains("one RENAME per pair"))
+    // multi-pair executes sequentially (round 11), including the CH
+    // swap-via-tmp chain where later sources are created mid-chain
+    for (t <- Seq("ren_m1", "ren_m2", "ren_m3", "ren_m4", "ren_tmp")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$t"), true)
+    }
+    spark.sql("CREATE TABLE ren_m1 (x UInt32) ENGINE = Memory")
+    spark.sql("INSERT INTO ren_m1 VALUES (1)")
+    spark.sql("CREATE TABLE ren_m2 (x UInt32) ENGINE = Memory")
+    spark.sql("INSERT INTO ren_m2 VALUES (2)")
+    spark.sql("RENAME TABLE ren_m1 TO ren_tmp, ren_m2 TO ren_m1, ren_tmp TO ren_m2")
+    assert(spark.table("ren_m1").head().getLong(0) == 2L) // swapped (UInt32 widens to BIGINT)
+    assert(spark.table("ren_m2").head().getLong(0) == 1L)
+    // a missing source anywhere aborts before any rename
+    val e = intercept[Exception](spark.sql("RENAME TABLE ren_m1 TO ren_m3, nope TO ren_m4"))
+    assert(e.getMessage.contains("does not exist"))
+    assert(spark.catalog.tableExists("ren_m1") && !spark.catalog.tableExists("ren_m3"))
+    for (t <- Seq("ren_m1", "ren_m2")) spark.sql(s"DROP TABLE $t")
   }
 
   test("DDL type mapper survives randomly nested container types") {
