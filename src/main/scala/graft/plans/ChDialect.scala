@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
@@ -794,7 +794,7 @@ object ChDialect {
     "parseDateTime32BestEffort"     -> (es => Cast(es.head, TimestampType)),
     // explicit-format parsing; same Java-pattern convention as
     // formatDateTime below (documented deviation from the %-syntax)
-    "parseDateTime"             -> (es => new ParseToTimestamp(es(0), es(1))),
+    "parseDateTime"             -> (es => new ParseToTimestamp(es(0), mysqlFmt(es(1)))),
     "parseDateTimeInJodaSyntax" -> (es => new ParseToTimestamp(es(0), es(1))),
     "dateTrunc" -> (es => TruncTimestamp(es(0), Cast(es(1), TimestampType))),
     // MySQL-mode week numbering: mode 0 (Sunday-start, week 0 before
@@ -930,7 +930,11 @@ object ChDialect {
         case u => throw new IllegalArgumentException(s"dateDiff: unsupported unit '$u'")
       }
     }),
-    "formatDateTime" -> (es => DateFormatClass(es.head, es(1))),
+    // the non-Joda spellings take CH's MySQL %-codes (translated to
+    // Spark patterns when the literal format contains '%'; a
+    // %-free literal passes through as a Spark/Java pattern — the
+    // pre-round-11 documented deviation, kept for compatibility)
+    "formatDateTime" -> (es => DateFormatClass(es.head, mysqlFmt(es(1)))),
     "formatDateTimeInJodaSyntax" -> (es => DateFormatClass(es.head, es(1))),
     "fromUnixTimestampInJodaSyntax" -> (es =>
       DateFormatClass(SecondsToTimestamp(es.head), es(1))),
@@ -2448,9 +2452,18 @@ object ChDialect {
     "roundDuration" -> (es => stepLadder(es.head,
       Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000))),
     "roundAge" -> (es => stepLadder(es.head, Seq(18, 25, 35, 45, 55))),
-    // caseWithExpression(x, from, to, default) — ClickHouse's value
-    // remapper (its `transform`, renamed: Spark's transform is the HOF)
-    "caseWithExpression" -> (es => remap(es(0), es(1), es(2), es(3))),
+    // caseWithExpression — TWO ClickHouse spellings share the name:
+    // the 4-arg array remap (x, [from…], [to…], default — same as CH
+    // transform) and the variadic CASE-expression lowering
+    // (x, when1, then1, …, else). Array literals in positions 1–2
+    // pick the remap; anything else builds CaseKeyWhen.
+    "caseWithExpression" -> (es =>
+      if (es.length == 4 && es(1).isInstanceOf[CreateArray] && es(2).isInstanceOf[CreateArray])
+        remap(es(0), es(1), es(2), es(3))
+      else {
+        require(es.length >= 3, "caseWithExpression needs (x, when1, then1, …[, else])")
+        CaseKeyWhen(es.head, es.tail)
+      }),
     // `transform` itself dispatches on shape: a lambda second arg is
     // Spark's HOF (unchanged semantics), 3–4 plain args are the CH
     // value remapper — the 3-arg form keeps x itself when unmatched
@@ -3116,6 +3129,12 @@ object ChDialect {
       "rowNumberInBlock is block-order dependent; use row_number() OVER (ORDER BY …)")),
     "rowNumberInAllBlocks" -> (_ => throw new UnsupportedOperationException(
       "rowNumberInAllBlocks is block-order dependent; use row_number() OVER (ORDER BY …)")),
+    // multi-column expansion needs parser support Spark reserves for
+    // attribute stars; the aliased-subquery spelling is equivalent
+    "untuple" -> (_ => throw new UnsupportedOperationException(
+      "untuple expands to multiple columns, which only works on a named struct: " +
+        "alias the tuple in a subquery and select `t.*` — " +
+        "SELECT u.* FROM (SELECT <tuple-expr> AS u FROM …)")),
     // SGD aggregates fold state in row-visit order — nondeterministic
     // on a distributed engine; the closed-form spelling is exact
     "stochasticLinearRegression" -> (_ => throw new UnsupportedOperationException(
@@ -4054,6 +4073,78 @@ object ChDialect {
 
   /** ClickHouse's transform/caseWithExpression remap: x found in
     * `from` → the matching `to` element, else `default`. */
+  /** Translate a LITERAL format argument from ClickHouse/MySQL
+    * %-codes to Spark datetime patterns (only when it contains '%';
+    * %-free literals and non-literal formats pass through untouched).
+    * Codes with only week-based Spark equivalents (%u/%V/%w/%g/%G)
+    * refuse loudly rather than map to patterns Spark rejects. */
+  private def mysqlFmt(e: Expression): Expression =
+    if (e.foldable && e.dataType == StringType) {
+      e.eval(null) match {
+        case null => e
+        case v =>
+          val s = v.toString
+          if (s.contains('%')) Literal.create(mysqlToSparkPattern(s), StringType) else e
+      }
+    } else e
+
+  private def mysqlToSparkPattern(fmt: String): String = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        sb.append('\'').append(s.replace("'", "''")).append('\'')
+      else sb.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case '%' => lit.append('%')
+          case 'n' => lit.append('\n')
+          case 't' => lit.append('\t')
+          case code =>
+            val mapped = code match {
+              case 'a' => "EEE"
+              case 'b' => "MMM"
+              case 'c' | 'm' => "MM"
+              case 'd' => "dd"
+              case 'e' => "d"
+              case 'f' => "SSSSSS"
+              case 'F' => "yyyy-MM-dd"
+              case 'h' | 'I' => "hh"
+              case 'H' => "HH"
+              case 'i' => "mm"
+              case 'j' => "DDD"
+              case 'k' => "H"
+              case 'l' => "h"
+              case 'M' => "MMMM"
+              case 'p' => "a"
+              case 'Q' => "Q"
+              case 'r' => "hh:mm:ss a"
+              case 'R' => "HH:mm"
+              case 's' | 'S' => "ss"
+              case 'T' => "HH:mm:ss"
+              case 'W' => "EEEE"
+              case 'y' => "yy"
+              case 'Y' => "yyyy"
+              case 'z' => "xx"
+              case other => throw new UnsupportedOperationException(
+                s"formatDateTime/parseDateTime: '%$other' maps only to week-based or " +
+                  "unsupported Spark patterns; reformulate with toISOWeek/toDayOfWeek")
+            }
+            flush(); sb.append(mapped)
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
   private def remap(x: Expression, from: Expression, to: Expression, default: Expression): Expression = {
     val pos = ArrayPosition(from, x)
     If(GreaterThan(pos, Literal(0L)), ElementAt(to, Cast(pos, IntegerType)), default)

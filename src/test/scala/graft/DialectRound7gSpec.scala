@@ -415,4 +415,37 @@ class DialectRound7gSpec extends SparkSpec {
     assert(r.getString(2) == "ex.com" && r.getString(3) == "uk")
     assert(r.getSeq[Int](4) == Seq(7, 0))
   }
+
+  test("formatDateTime/parseDateTime %-codes translate; variadic caseWithExpression") {
+    // the CH/MySQL %-syntax a migrated estate actually writes
+    val f = spark.sql(
+      """SELECT formatDateTime(toDateTime('2024-01-02 03:04:05'), '%Y-%m-%d %H:%i:%S') AS a,
+                formatDateTime(toDate('2024-03-07'), '%W, %e %b %y') AS b,
+                formatDateTime(toDateTime('2024-01-02 13:04:05'), '%l %p') AS c,
+                formatDateTime(toDateTime('2024-01-02 03:04:05'), '100%% %F') AS d""").head()
+    assert(f.getString(0) == "2024-01-02 03:04:05")
+    assert(f.getString(1) == "Thursday, 7 Mar 24")
+    assert(f.getString(2) == "1 PM")
+    assert(f.getString(3) == "100% 2024-01-02")
+    // %-free literals keep the pre-round-11 Java-pattern behavior
+    assert(spark.sql("SELECT formatDateTime(toDate('2024-03-07'), 'yyyy/MM') AS x")
+      .head().getString(0) == "2024/03")
+    assert(spark.sql(
+      "SELECT parseDateTime('2024-01-02 03:04:05', '%Y-%m-%d %H:%i:%S') AS p").head()
+      .getTimestamp(0).toString.startsWith("2024-01-02 03:04:05"))
+    // week-based-only codes refuse with guidance instead of Spark's
+    // cross-version pattern error
+    val e = intercept[Exception](
+      spark.sql("SELECT formatDateTime(toDate('2024-03-07'), '%V')").collect())
+    assert(e.getMessage.contains("toISOWeek"))
+    // variadic CASE-expression form + the 4-arg array remap coexist
+    val c = spark.sql(
+      """SELECT caseWithExpression('b', 'a', 1, 'b', 2, 0) AS hit,
+                caseWithExpression('z', 'a', 1, 'b', 2, 42) AS dflt,
+                caseWithExpression(2, [1, 2], ['x', 'y'], 'z') AS remap""").head()
+    assert(c.getInt(0) == 2 && c.getInt(1) == 42 && c.getString(2) == "y")
+    // untuple refuses with the aliased-subquery spelling
+    val e2 = intercept[Exception](spark.sql("SELECT untuple(tuple(1, 2))"))
+    assert(e2.getMessage.contains("t.*") || e2.getMessage.contains("u.*"))
+  }
 }
