@@ -432,6 +432,9 @@ object ChDialect {
     // names the CH value type. Values pull through get_json_object
     // per key — dynamic paths are allowed there.
     "JSONExtractKeysAndValues" -> (es => {
+      require(es.length >= 2,
+        "JSONExtractKeysAndValues needs the value type as its last argument " +
+          "(CH semantics), e.g. JSONExtractKeysAndValues(json, 'Int64')")
       val obj = jsonGet(es.init)
       val vt = chScalarType(litString(es.last, "JSONExtractKeysAndValues type"))
       val k = lamVar("gr_kv_k")
@@ -449,6 +452,20 @@ object ChDialect {
           Literal("key"), k,
           Literal("value"),
           GetJsonObject(obj, Concat(Seq(Literal("$."), k))))), Seq(k)))
+    }),
+    // each top-level array element as its raw JSON text (the CH idiom
+    // for iterating arrays of objects: ArrayRaw → per-element
+    // JSONExtract). Dynamic $[i] paths are fine for get_json_object.
+    "JSONExtractArrayRaw" -> (es => {
+      val j = jsonGet(es)
+      val n = LengthOfJsonArray(j)
+      val i = lamVar("gr_ar_i")
+      val idxs = If(Or(IsNull(n), LessThanOrEqual(n, Literal(0))),
+        Literal.create(Seq.empty[Int], org.apache.spark.sql.types.ArrayType(IntegerType)),
+        new Sequence(Literal(0), Subtract(n, Literal(1)), None))
+      ArrayTransform(idxs, LambdaFunction(
+        GetJsonObject(j, Concat(Seq(Literal("$["), Cast(i, StringType), Literal("]")))),
+        Seq(i)))
     }),
     "JSONHas"      -> (es => Not(IsNull(jsonGet(es)))),
     // legacy flat-scan spellings (simpleJSON*/visitParam*) — on the
@@ -3257,21 +3274,48 @@ object ChDialect {
     // spark.sql.mapKeyDedupPolicy (EXCEPTION by default — loud,
     // never silently wrong, vs CH's keep-first)
     "mapConcat"   -> (es => MapConcat(es)),
-    // mapPopulateSeries(keys, vals[, max]): dense integer series from
-    // min(keys) to max (inclusive, CH semantics), gaps filled with 0 —
-    // the counter-map densifier. Returns the (keys, vals) struct shape
-    // sumMap uses, so tupleElement reads both.
+    // mapPopulateSeries(keys, vals[, max]) / mapPopulateSeries(map):
+    // dense integer series from min(keys) to max (inclusive, CH
+    // semantics), gaps filled with 0 — the counter-map densifier.
+    // The two-array form returns the (keys, vals) struct shape sumMap
+    // uses; the one-arg MAP form returns a MAP (CH's own split; a
+    // map form with an explicit max spells as the two-array form).
     "mapPopulateSeries" -> (es => {
-      val (keys, vals) = (es(0), es(1))
+      val mapForm = es.length == 1
+      val (keys, vals) =
+        if (mapForm) (MapKeys(es.head), MapValues(es.head)) else (es(0), es(1))
       val kmax = Cast(if (es.length > 2) es(2) else ArrayMax(keys), LongType)
       val outKeys = new Sequence(Cast(ArrayMin(keys), LongType), kmax, None)
       val k   = lamVar("gr_ps_k")
       val pos = ArrayPosition(keys, k)
       val v = If(GreaterThan(pos, Literal(0L)),
         ElementAt(vals, Cast(pos, IntegerType), None, failOnError = false), Literal(0))
-      CreateNamedStruct(Seq(
-        Literal("keys"), outKeys,
-        Literal("vals"), ArrayTransform(outKeys, LambdaFunction(v, Seq(k)))))
+      val outVals = ArrayTransform(outKeys, LambdaFunction(v, Seq(k)))
+      if (mapForm) MapFromArrays(outKeys, outVals)
+      else CreateNamedStruct(Seq(Literal("keys"), outKeys, Literal("vals"), outVals))
+    }),
+    // mapApply((k, v) -> (k2, v2), map) — rebuilt over entries:
+    // map_entries → transform (with k/v substituted into the entry
+    // struct) → map_from_entries; stays whole-stage-codegen HOFs.
+    "mapApply" -> (es => es.head match {
+      case LambdaFunction(body, Seq(k, v), _) =>
+        val e = lamVar("gr_ma_e")
+        val sub = body.transformUp {
+          case x if x.fastEquals(k) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal("key"))
+          case x if x.fastEquals(v) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal("value"))
+        }
+        val rekeyed = MapFromEntries(ArrayTransform(MapEntries(es(1)), LambdaFunction(sub, Seq(e))))
+        // the analyzer demands the RETURNED expression be a
+        // higher-order function when a source argument was a lambda;
+        // an identity TransformKeys satisfies it without changing the
+        // map (and fuses into the same codegen stage)
+        val ik = lamVar("gr_ma_ik")
+        val iv = lamVar("gr_ma_iv")
+        TransformKeys(rekeyed, LambdaFunction(ik, Seq(ik, iv)))
+      case _ => throw new IllegalArgumentException(
+        "mapApply takes ((k, v) -> (k2, v2), map)")
     }),
     // -- float guards (CH Float64 semantics; Spark doubles are IEEE754
     // the same way). isNaN needs no shim: Spark's isnan resolves

@@ -101,7 +101,7 @@ object ChSqlParser {
     * which resolves to the boundary-crossing semantics in [[ChDialect]].
     * Spark's own `dateDiff(DAY, …)` (unquoted unit, a grammar-level
     * timestampdiff alias) doesn't match — the quote is required. */
-  private val QuotedDateDiff = """\b(?:dateDiff|date_diff|timestampDiff)\s*\(\s*'""".r
+  private val QuotedDateDiff = """\b(?:dateDiff|date_diff|timestampDiff|timestamp_diff)\s*\(\s*'""".r
 
   /** Same treatment for the add/sub family: Spark's grammar owns the
     * unquoted-unit spellings (`dateAdd(MONTH, …)` parses natively),

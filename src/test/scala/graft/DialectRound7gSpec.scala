@@ -448,4 +448,33 @@ class DialectRound7gSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql("SELECT untuple(tuple(1, 2))"))
     assert(e2.getMessage.contains("t.*") || e2.getMessage.contains("u.*"))
   }
+
+  test("JSONExtractArrayRaw, mapApply, map-form mapPopulateSeries, timestamp_diff") {
+    val r1 = spark.sql("""SELECT JSONExtractArrayRaw('[{"a":1},{"a":2}]') AS raw,
+                                 JSONExtractArrayRaw('[1,"x",true]') AS mix,
+                                 JSONExtractArrayRaw('{"not":"array"}') AS na""").head()
+    assert(r1.getSeq[String](0) == Seq("""{"a":1}""", """{"a":2}"""))
+    assert(r1.getSeq[String](1) == Seq("1", "x", "true"))
+    assert(r1.getSeq[String](2).isEmpty) // non-array degrades to []
+    // per-element follow-up extraction — the idiom ArrayRaw exists for
+    val ext = spark.sql(
+      """SELECT transform(JSONExtractArrayRaw('[{"a":1},{"a":5}]'),
+                          x -> JSONExtractInt(x, 'a')) AS vs""").head()
+    assert(ext.getSeq[Long](0) == Seq(1L, 5L))
+    // CH's map form of the series densifier returns a MAP
+    val r2 = spark.sql("SELECT mapPopulateSeries(map(1, 10, 4, 40)) AS m").head()
+    assert(r2.getMap[Long, Int](0) == Map(1L -> 10, 2L -> 0, 3L -> 0, 4L -> 40))
+    // mapApply rewrites keys AND values through one entries pass
+    val r3 = spark.sql(
+      "SELECT mapApply((k, v) -> tuple(concat(k, '!'), v * 2), map('a', 1, 'b', 2)) AS m").head()
+    assert(r3.getMap[String, Int](0) == Map("a!" -> 2, "b!" -> 4))
+    // the type argument is required, loudly (CH semantics)
+    val e = intercept[Exception](
+      spark.sql("""SELECT JSONExtractKeysAndValues('{"a":1}')"""))
+    assert(e.getMessage.contains("value type"))
+    // timestamp_diff spells dateDiff's boundary-crossing semantics
+    assert(spark.sql(
+      """SELECT timestamp_diff('hour', toDateTime('2024-01-01 00:00:00'),
+                               toDateTime('2024-01-02 03:00:00')) AS d""").head().getLong(0) == 27L)
+  }
 }
