@@ -77,6 +77,16 @@ object ChDialect {
     "L1Distance" -> (es =>
       zipFold(es(0), es(1), (x, y) => Abs(Subtract(x, y)))),
     // unit-scaled copies; the norm subtree is shared by codegen CSE
+    // (L1Normalize/L2Normalize are CH's official casings; the
+    // normalize* spellings are kept as aliases)
+    "L1Normalize" -> (es => {
+      val x = lamVar("gr_n1_x")
+      val norm = sumFold(ArrayTransform(es.head,
+        LambdaFunction(Abs(Cast(x, DoubleType)), Seq(x))), LambdaFunction.identity)
+      val y = lamVar("gr_n1_y")
+      ArrayTransform(es.head,
+        LambdaFunction(Divide(Cast(y, DoubleType), norm), Seq(y)))
+    }),
     "normalizeL1" -> (es => {
       val x = lamVar("gr_n1_x")
       val norm = sumFold(ArrayTransform(es.head,
@@ -2027,6 +2037,7 @@ object ChDialect {
     // tokens are [A-Za-z0-9_] runs); dynamic needles escape through
     // the regexpQuoteMeta composition
     "hasToken" -> (es => hasTokenExpr(es(0), es(1))),
+    "hasTokenCaseInsensitive" -> (es => hasTokenExpr(Lower(es(0)), Lower(es(1)))),
     "hasTokenOrNull" -> (es =>
       If(RLike(es(1), Literal("^[A-Za-z0-9_]+$")), hasTokenExpr(es(0), es(1)),
         Literal.create(null, org.apache.spark.sql.types.BooleanType))),
@@ -4254,10 +4265,14 @@ object ChDialect {
       Class.forName("graft.plans.IpKernels"), dt, name, args, returnNullable = nullable)
 
   private def ipv4ToNum(s: Expression): Expression = {
-    val parts = StringSplit(s, Literal("\\."), Literal(-1))
+    // accepts BOTH spellings CH does: a dotted-quad string or an
+    // already-numeric IPv4 (e.g. from IPv4StringToNum/toIPv4)
+    val str = Cast(s, org.apache.spark.sql.types.StringType)
+    val parts = StringSplit(str, Literal("\\."), Literal(-1))
     def octet(i: Int, mult: Long) =
       Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(mult))
-    Add(Add(octet(0, 16777216L), octet(1, 65536L)), Add(octet(2, 256L), octet(3, 1L)))
+    val dotted = Add(Add(octet(0, 16777216L), octet(1, 65536L)), Add(octet(2, 256L), octet(3, 1L)))
+    If(Contains(str, Literal(".")), dotted, Cast(s, LongType))
   }
 
   /** Unsigned 32-bit value → dotted-quad string. */

@@ -27,12 +27,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(_: NumericType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires array<float>/array<double> arguments, " +
+      s"graft_dot requires numeric array arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
@@ -41,18 +41,26 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def reader(e: Expression): (ArrayData, Int) => Double = elemType(e) match {
+    case FloatType  => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType    => (a, i) => a.getLong(i).toDouble
+    case ShortType   => (a, i) => a.getShort(i).toDouble
+    case ByteType    => (a, i) => a.getByte(i).toDouble
+    case d: DecimalType => (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val (lf, rf) = (elemType(left) == FloatType, elemType(right) == FloatType)
+    val (lr, rr) = (reader(left), reader(right))
     var s = 0.0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-        s += xv * yv
+        s += lr(x, i) * rr(y, i)
       }
       i += 1
     }
@@ -60,8 +68,15 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def get(e: Expression, v: String, i: String): String =
-      if (elemType(e) == FloatType) s"(double)$v.getFloat($i)" else s"$v.getDouble($i)"
+    def get(e: Expression, v: String, i: String): String = elemType(e) match {
+      case FloatType   => s"(double)$v.getFloat($i)"
+      case DoubleType  => s"$v.getDouble($i)"
+      case IntegerType => s"(double)$v.getInt($i)"
+      case LongType    => s"(double)$v.getLong($i)"
+      case ShortType   => s"(double)$v.getShort($i)"
+      case ByteType    => s"(double)$v.getByte($i)"
+      case d: DecimalType => s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

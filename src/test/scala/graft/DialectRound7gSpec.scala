@@ -477,4 +477,28 @@ class DialectRound7gSpec extends SparkSpec {
       """SELECT timestamp_diff('hour', toDateTime('2024-01-01 00:00:00'),
                                toDateTime('2024-01-02 03:00:00')) AS d""").head().getLong(0) == 27L)
   }
+
+  test("vector functions take any numeric arrays; IPv4 helpers accept numeric form") {
+    // decimal literals ([1.0, 2.0] parses as array<decimal>) and int
+    // arrays flow through the same codegen'd dot kernel — no CAST
+    // ceremony for the SQL console user
+    val r = spark.sql(
+      """SELECT cosineDistance([1.0, 0.0], [0.0, 1.0]) AS cd,
+                dotProduct([1, 2, 3], [4, 5, 6]) AS dp,
+                L2Distance([0.0, 0.0], [3.0, 4.0]) AS l2,
+                L1Normalize([1.0, 3.0]) AS n1,
+                L2Normalize([3.0, 4.0]) AS n2""").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 32.0 && r.getDouble(2) == 5.0)
+    assert(r.getSeq[Double](3) == Seq(0.25, 0.75))
+    assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
+    // CIDR range accepts the numeric IPv4 CH produces from
+    // IPv4StringToNum as well as the dotted string
+    val c = spark.sql(
+      """SELECT IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16) AS a,
+                IPv4CIDRToRange('192.168.5.2', 16) AS b""").head()
+    assert(c.getStruct(0).getString(0) == "192.168.0.0")
+    assert(c.getStruct(0).getString(1) == "192.168.255.255")
+    assert(c.getStruct(0) == c.getStruct(1))
+    assert(spark.sql("SELECT hasTokenCaseInsensitive('a B c', 'b') AS t").head().getBoolean(0))
+  }
 }
