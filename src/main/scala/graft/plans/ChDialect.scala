@@ -619,6 +619,11 @@ object ChDialect {
       case Seq(k, x) => GraftTopK(x, k)
       case _         => throw new IllegalArgumentException("topK takes (k)(expr)")
     }),
+    // -If combinator (the sketch skips NULLed-out rows)
+    "topKIf" -> (es => es match {
+      case Seq(k, x, cond) => GraftTopK(nullIfNot(cond, x), k)
+      case _ => throw new IllegalArgumentException("topKIf takes (k)(expr, cond)")
+    }),
     "topKWeighted" -> (es => es match {
       case Seq(k, x, w) => GraftTopKWeighted(k, x, w)
       case _            => throw new IllegalArgumentException("topKWeighted takes (k)(expr, weight)")
@@ -1170,6 +1175,11 @@ object ChDialect {
       val n = literalGroupCount(es(1), "extractAllGroupsHorizontal")
       CreateArray((1 to n).map(i => RegExpExtractAll(es(0), es(1), Literal(i))))
     }),
+    // CH's bare name is an alias of the horizontal form
+    "extractAllGroups" -> (es => {
+      val n = literalGroupCount(es(1), "extractAllGroups")
+      CreateArray((1 to n).map(i => RegExpExtractAll(es(0), es(1), Literal(i))))
+    }),
     "extractAllGroupsVertical" -> (es => {
       val n = literalGroupCount(es(1), "extractAllGroupsVertical")
       val cols = (1 to n).map(i => RegExpExtractAll(es(0), es(1), Literal(i)))
@@ -1218,7 +1228,14 @@ object ChDialect {
     // Slice clamps to the end; Int.MaxValue would OVERFLOW in Slice's
     // start+length arithmetic and silently return [])
     "arraySlice"        -> (es => Slice(es(0), es(1), if (es.length > 2) es(2) else Size(es(0)))),
-    "arraySort"         -> (es => SortArray(es.head, Literal(true))),
+    // lambda form sorts BY KEY f(x) (CH semantics); plain form is the
+    // natural ascending sort
+    "arraySort"         -> (es => es match {
+      case Seq(l: LambdaFunction, arr) => sortByKey(arr, l, asc = true)
+      case Seq(arr) => SortArray(arr, Literal(true))
+      case _ => throw new IllegalArgumentException(
+        "arraySort takes (arr) or (x -> key, arr)")
+    }),
     "arrayReverse"      -> (es => Reverse(es.head)),
     "arrayDistinct"     -> (es => ArrayDistinct(es.head)),
     "arrayUniq"         -> (es => Size(ArrayDistinct(es.head))),
@@ -2213,7 +2230,12 @@ object ChDialect {
     "arrayPopBack"   -> (es => Slice(es.head, Literal(1), Greatest(Seq(Subtract(Size(es.head), Literal(1)), Literal(0))))),
     "arrayPopFront"  -> (es => Slice(es.head, Literal(2), Size(es.head))),
     "arrayWithConstant" -> (es => ArrayRepeat(es(1), Cast(es(0), IntegerType))),
-    "arrayReverseSort"  -> (es => SortArray(es.head, Literal(false))),
+    "arrayReverseSort"  -> (es => es match {
+      case Seq(l: LambdaFunction, arr) => sortByKey(arr, l, asc = false)
+      case Seq(arr) => SortArray(arr, Literal(false))
+      case _ => throw new IllegalArgumentException(
+        "arrayReverseSort takes (arr) or (x -> key, arr)")
+    }),
     // range(n) / range(s, e[, step]): end-EXCLUSIVE integer series
     // (Spark's sequence is inclusive, hence the -1; empty guarded —
     // Sequence would count down)
@@ -3206,6 +3228,9 @@ object ChDialect {
     // when the mode is unique, which is the only case an oracle can
     // pin anyway.
     "any"      -> (es => First(es.head, ignoreNulls = true)),
+    // CH's window/aggregate first-value aliases (any/anyLast family)
+    "firstValue" -> (es => First(es.head, ignoreNulls = true)),
+    "lastValue"  -> (es => Last(es.head, ignoreNulls = true)),
     "anyHeavy" -> (es => Mode(es.head)),
     // -- -ForEach combinator: aggregate element-wise across the
     // group's arrays (result[i] = agg of every array's i-th element).
@@ -4198,6 +4223,26 @@ object ChDialect {
     }
     flush()
     sb.toString
+  }
+
+  /** CH's sort-by-key lambda (`arraySort(x -> key, arr)`): rebuilt as
+    * Spark's comparator-lambda array_sort — the key expression is
+    * instantiated per side, tie → 0 (stable), NULL keys last like
+    * Spark's default. */
+  private def sortByKey(arr: Expression, keyFn: LambdaFunction, asc: Boolean): Expression = {
+    val (body, v) = keyFn match {
+      case LambdaFunction(b, Seq(one), _) => (b, one)
+      case _ => throw new IllegalArgumentException("arraySort key lambda takes one argument")
+    }
+    def keyOf(side: Expression) = body.transformUp { case x if x.fastEquals(v) => side }
+    val a = lamVar("gr_as_a")
+    val b = lamVar("gr_as_b")
+    val (ka, kb) = (keyOf(a), keyOf(b))
+    val (ltv, gtv) = if (asc) (Literal(-1), Literal(1)) else (Literal(1), Literal(-1))
+    val cmp = If(Or(IsNull(ka), IsNull(kb)),
+      If(And(IsNull(ka), IsNull(kb)), Literal(0), If(IsNull(ka), Literal(1), Literal(-1))),
+      If(LessThan(ka, kb), ltv, If(GreaterThan(ka, kb), gtv, Literal(0))))
+    new ArraySort(arr, LambdaFunction(cmp, Seq(a, b)))
   }
 
   private def remap(x: Expression, from: Expression, to: Expression, default: Expression): Expression = {

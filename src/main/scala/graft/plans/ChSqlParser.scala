@@ -89,7 +89,7 @@ object ChSqlParser {
     * (sequenceMatch's `'(?1).*(?2)'`), or constant calls nested ONE
     * level (sumMapFiltered's `array('A', 'N')`). */
   private val Parametric =
-    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExactInclusive|quantileExactExclusive|quantilesExactExclusive|quantilesExactInclusive|quantileMerge|quantileIf|quantileExact|quantileTDigestWeighted|quantileTDigest|quantileTimingWeighted|quantileTiming|quantilesTimingWeighted|quantilesTiming|quantileDeterministic|quantileInterpolatedWeighted|quantileGK|quantileBFloat16|quantileDD|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined|histogram|sparkbar|largestTriangleThreeBuckets|windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArrayLast|groupArraySample|groupArray|groupConcat|sumMapFilteredWithOverflow|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExactInclusive|quantileExactExclusive|quantilesExactExclusive|quantilesExactInclusive|quantileMerge|quantileIf|quantileExact|quantileTDigestWeighted|quantileTDigest|quantileTimingWeighted|quantileTiming|quantilesTimingWeighted|quantilesTiming|quantileDeterministic|quantileInterpolatedWeighted|quantileGK|quantileBFloat16|quantileDD|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topKIf|topK|uniqUpTo|uniqCombined|histogram|sparkbar|largestTriangleThreeBuckets|windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArrayLast|groupArraySample|groupArray|groupConcat|sumMapFilteredWithOverflow|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `untuple(t)` in a select list → Spark's struct star
     * expansion `t.*`. Only a bare (possibly qualified) identifier is
@@ -2258,6 +2258,12 @@ object ChSqlParser {
       out = s"SELECT CAST(${if (exists) 1 else 0} AS TINYINT) AS result"
     }
     out = rewritePasteJoin(out)
+    // CH documents leadInFrame/lagInFrame with an explicit
+    // UNBOUNDED..UNBOUNDED frame (where they equal plain lead/lag);
+    // Spark's lead/lag reject any frame, so that exact frame strips.
+    // Bounded frames keep failing loudly (their CH semantics differ).
+    out = """(?is)\b((?:leadInFrame|lagInFrame)\s*\((?:[^()]|\([^()]*\))*\)\s+OVER\s*\([^()]*?)\s+ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING\s*\)""".r
+      .replaceAllIn(out, m => scala.util.matching.Regex.quoteReplacement(s"${m.group(1)})"))
     out = rewriteColumnMatchers(out)
     // ALTER TABLE … DELETE/UPDATE and OPTIMIZE TABLE execute — they
     // become RunnableCommands in interceptCommand (called by

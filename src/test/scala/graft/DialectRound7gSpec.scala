@@ -501,4 +501,40 @@ class DialectRound7gSpec extends SparkSpec {
     assert(c.getStruct(0) == c.getStruct(1))
     assert(spark.sql("SELECT hasTokenCaseInsensitive('a B c', 'b') AS t").head().getBoolean(0))
   }
+
+  test("lambda arraySort, leadInFrame frame, firstValue, topKIf, extractAllGroups") {
+    // CH sort-by-key lambdas
+    val s = spark.sql(
+      """SELECT arraySort(x -> -x, [1, 3, 2]) AS a,
+                arrayReverseSort(x -> length(x), ['bbb', 'a', 'cc']) AS b,
+                arraySort([3, 1, 2]) AS plain""").head()
+    assert(s.getSeq[Int](0) == Seq(3, 2, 1))
+    assert(s.getSeq[String](1) == Seq("bbb", "cc", "a"))
+    assert(s.getSeq[Int](2) == Seq(1, 2, 3))
+    // the documented CH spelling with the UNBOUNDED frame executes;
+    // on frames lead/lag can't honor it still fails
+    spark.range(5).selectExpr("id", "id * 2 AS v").createOrReplaceTempView("lif_t")
+    val w = spark.sql(
+      """SELECT id, leadInFrame(v) OVER (ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nxt,
+              lagInFrame(v, 1, CAST(-1 AS BIGINT)) OVER (ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS prv
+         FROM lif_t ORDER BY id""").collect()
+    assert(w.map(r => if (r.isNullAt(1)) -99L else r.getLong(1)).toSeq == Seq(2L, 4L, 6L, 8L, -99L))
+    assert(w.map(_.getLong(2)).toSeq == Seq(-1L, 0L, 2L, 4L, 6L))
+    intercept[Exception](spark.sql(
+      """SELECT leadInFrame(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         FROM lif_t""").collect())
+    // firstValue/lastValue aliases + the topK -If combinator
+    val f = spark.sql(
+      """SELECT firstValue(v) AS fv, lastValue(v) AS lv,
+                topKIf(2)(id % 3, v >= 4) AS tk
+         FROM (SELECT id, v FROM lif_t ORDER BY id)""").head()
+    assert(f.getLong(0) == 0L && f.getLong(1) == 8L)
+    assert(f.getSeq[Long](2).size == 2)
+    // bare extractAllGroups = the horizontal form
+    val g = spark.sql(
+      """SELECT extractAllGroups('k=v, k2=v2', '(\\w+)=(\\w+)') AS g""").head()
+    assert(g.getSeq[Seq[String]](0) == Seq(Seq("k", "k2"), Seq("v", "v2")))
+  }
 }
