@@ -990,7 +990,9 @@ object DataPipeline {
 
   /** SemDeDup-style semantic dedup over embeddings, fully ORACLE-ABLE:
     * [[Similarity.semanticDedup]] with closed-form integer hyperplanes
-    * (w(j,i) = ((i·(2j+3)) mod 11) − 5) the oracle regenerates from
+    * (w(j,i) = ((i² + i·(7j+3) + 5j) mod 23) − 11, round 11 — the
+    * quadratic term triples bucket spread vs the round-10 linear
+    * form) the oracle regenerates from
     * generate_series — so the whole LSH-bucketed path (sign bucketing,
     * within-bucket cosine pruning, lower-id-wins survivorship) hash-
     * checks against DuckDB, unlike the seeded rows-only q51/q42
@@ -1091,7 +1093,7 @@ object DataPipeline {
       .orderBy("bucket"),
     Some("""WITH planes AS (
               SELECT j.j AS j,
-                     list(CAST(((i.i * (2 * j.j + 3)) % 11) - 5 AS DOUBLE) ORDER BY i.i) AS w
+                     list(CAST(((i.i * i.i + i.i * (7 * j.j + 3) + 5 * j.j) % 23) - 11 AS DOUBLE) ORDER BY i.i) AS w
               FROM generate_series(0, 7) j(j), generate_series(0, 63) i(i)
               GROUP BY j.j),
             v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
