@@ -439,7 +439,7 @@ object Similarity {
 
   /** Exact cosine of every candidate against one probe vector, top-k
     * by TakeOrderedAndProject (scored rows never shuffle). */
-  private def scoreAgainstProbe(cand: DataFrame, idCol: String, vecCol: String,
+  private[graft] def scoreAgainstProbe(cand: DataFrame, idCol: String, vecCol: String,
                                 pd: Array[Double], k: Int): DataFrame = {
     val pn = math.sqrt(pd.map(x => x * x).sum)
     withNorm(cand, vecCol)

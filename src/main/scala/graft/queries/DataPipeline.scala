@@ -230,6 +230,62 @@ object DataPipeline {
             ORDER BY cos DESC, vec_id LIMIT 10"""),
   )
 
+  /** IVF ANN with CLOSED-FORM centroids (round 11) — the oracle-able
+    * twin of seeded-kmeans q53, the same move q42b/q43b/q47 make for
+    * their seeded families: centroids
+    * c(k,i) = ((i·(k+2) + 3k + i²) mod 13 − 6)/6 regenerate exactly
+    * in SQL, so cell assignment (argmin of |c|² − 2·v·c, ties to the
+    * lowest cell), nprobe pruning (4 cells nearest the probe) and
+    * the exact cosine re-rank ALL hash-check against DuckDB. Same
+    * scan shape as q53: one map-side assign pass, cell-pruned
+    * candidates, TakeOrderedAndProject top-k. */
+  val q53b = GraftQuery(
+    "q53b_ivf_formula",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers: Array[Array[Double]] = Array.tabulate(16, 64)((k, i) =>
+        (((i * (k + 2) + 3 * k + i * i) % 13) - 6) / 6.0)
+      val probe = emb.where(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cells = Similarity.nearestCells(probe.map(_.toDouble), centers, nprobe = 4)
+      val cand = emb
+        .withColumn("cell", Similarity.nearestCell(col("embedding"), centers))
+        .where(col("cell").isin(cells: _*) && col("vec_id") =!= 7)
+      Similarity.scoreAgainstProbe(cand, "vec_id", "embedding",
+        probe.map(_.toDouble), k = 10)
+    },
+    Some("""WITH cent AS (
+              SELECT k.k AS k,
+                     list(CAST(((i.i * (k.k + 2) + 3 * k.k + i.i * i.i) % 13) - 6 AS DOUBLE) / 6.0
+                          ORDER BY i.i) AS c
+              FROM generate_series(0, 15) k(k), generate_series(0, 63) i(i)
+              GROUP BY k.k),
+            m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            assigned AS (
+              SELECT m.vec_id, m.v,
+                     (SELECT k FROM (
+                        SELECT cent.k AS k,
+                               list_sum(list_transform(cent.c, x -> x * x))
+                                 - 2 * list_sum(list_transform(list_zip(m.v, cent.c), q -> q[1] * q[2])) AS d2
+                        FROM cent) ORDER BY d2, k LIMIT 1) AS cell
+              FROM m),
+            p AS (SELECT v AS pv, sqrt(list_sum(list_transform(v, x -> x * x))) AS pn
+                  FROM m WHERE vec_id = 7),
+            pcells AS (
+              SELECT cent.k AS k
+              FROM cent, p
+              ORDER BY list_sum(list_transform(list_zip(cent.c, p.pv),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))), cent.k
+              LIMIT 4)
+            SELECT a.vec_id,
+                   round(list_sum(list_transform(list_zip(a.v, p.pv), q -> q[1] * q[2]))
+                         / (sqrt(list_sum(list_transform(a.v, x -> x * x))) * p.pn), 4) AS cos
+            FROM assigned a, p
+            WHERE a.cell IN (SELECT k FROM pcells) AND a.vec_id <> 7
+            ORDER BY cos DESC, vec_id LIMIT 10"""),
+  )
+
   /** Random-hyperplane LSH ANN pairs (seeded planes; rows-only;
     * recall vs q44 is asserted in GraftSpec). */
   val q51 = GraftQuery(
@@ -1117,6 +1173,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q58, q59, q60,
         q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106)
 }
