@@ -2091,6 +2091,14 @@ object ChDialect {
     // -- math / bit long tail
     "bitCount"     -> (es => BitwiseCount(es.head)),
     "roundBankers" -> (es => BRound(es(0), if (es.length > 1) es(1) else Literal(0))),
+    // CH truncate(x[, n]): round TOWARD ZERO at n decimal places
+    // (sign·floor(|x|·10ⁿ)/10ⁿ — floor alone would round −3.78→−3.8
+    // the wrong way). The bare name `trunc` stays Spark's date trunc.
+    "truncate" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      val p = Pow(Literal(10.0), Cast(if (es.length > 1) es(1) else Literal(0), DoubleType))
+      Multiply(Signum(x), Divide(Floor(Multiply(Abs(x), p)), p))
+    }),
     // numeric truncation toward zero at n decimals (Spark's `trunc`
     // is the DATE function, so only the full CH spelling registers)
     "truncate" -> (es => {

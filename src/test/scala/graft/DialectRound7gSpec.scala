@@ -500,6 +500,11 @@ class DialectRound7gSpec extends SparkSpec {
     assert(c.getStruct(0).getString(1) == "192.168.255.255")
     assert(c.getStruct(0) == c.getStruct(1))
     assert(spark.sql("SELECT hasTokenCaseInsensitive('a B c', 'b') AS t").head().getBoolean(0))
+    // CH truncate rounds TOWARD ZERO (floor alone would send
+    // -3.78 → -3.8); bare `trunc` stays Spark's date function
+    val tr = spark.sql(
+      "SELECT truncate(3.789, 1) AS a, truncate(-3.789, 1) AS b, truncate(7.9) AS c").head()
+    assert(tr.getDouble(0) == 3.7 && tr.getDouble(1) == -3.7 && tr.getDouble(2) == 7.0)
   }
 
   test("lambda arraySort, leadInFrame frame, firstValue, topKIf, extractAllGroups") {
