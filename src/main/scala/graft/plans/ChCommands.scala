@@ -769,6 +769,16 @@ case class ChRenameTablesCommand(pairs: Seq[(String, String)]) extends LeafRunna
   }
 }
 
+/** `TRUNCATE TABLE IF EXISTS t` — Spark's TRUNCATE has no IF EXISTS;
+  * a missing table is a no-op here (CH semantics). */
+case class ChTruncateIfExistsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (spark.catalog.tableExists(table)) spark.sql(s"TRUNCATE TABLE $table")
+    Seq.empty
+  }
+}
+
 /** `DROP DICTIONARY [IF EXISTS] name`. */
 case class ChDropDictionaryCommand(name: String, ifExists: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil

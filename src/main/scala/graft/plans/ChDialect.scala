@@ -2383,6 +2383,16 @@ object ChDialect {
       If(RLike(lo, Literal("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
         lo, Literal.create(null, org.apache.spark.sql.types.StringType))
     }),
+    "toUUIDOrNull" -> (es => {
+      val lo = Lower(es.head)
+      If(RLike(lo, Literal("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
+        lo, Literal.create(null, org.apache.spark.sql.types.StringType))
+    }),
+    "toUUIDOrZero" -> (es => {
+      val lo = Lower(es.head)
+      If(RLike(lo, Literal("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
+        lo, Literal("00000000-0000-0000-0000-000000000000"))
+    }),
     "UUIDStringToNum" -> (es =>
       Unhex(RegExpReplace(es.head, Literal("-"), Literal("")))),
     "UUIDNumToString" -> (es => {

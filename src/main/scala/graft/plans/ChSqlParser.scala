@@ -191,11 +191,19 @@ object ChSqlParser {
   private val NullableCast = """(?i)\b(AS\s+)Nullable\s*\(\s*([A-Za-z0-9_]+(?:\s*\(\s*[0-9, ]*\s*\))?)\s*\)""".r
   private val LowCardCast  = """(?i)\b(AS\s+)LowCardinality\s*\(\s*String\s*\)""".r
   private val FixedStrCast = """(?i)\b(AS\s+)FixedString\s*\(\s*\d+\s*\)""".r
-  private val ChTypeCast   = """(?i)\b(AS\s+)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Float32|Float64|DateTime64|DateTime)\b""".r
+  private val ChTypeCast   = """(?i)\b(AS\s+)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Int128|Int256|UInt128|UInt256|Float32|Float64|DateTime64|DateTime|Date32)\b""".r
   private val ChTypeMap = Map(
     "uint8" -> "SMALLINT", "uint16" -> "INT", "uint32" -> "BIGINT", "uint64" -> "BIGINT",
     "int8" -> "TINYINT", "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
-    "float32" -> "FLOAT", "float64" -> "DOUBLE", "datetime" -> "TIMESTAMP", "datetime64" -> "TIMESTAMP")
+    // the 128/256-bit widths narrow to DECIMAL(38,0) — Spark's widest
+    // exact integral; values past 38 digits overflow LOUDLY under
+    // ANSI, never silently wrap
+    "int128" -> "DECIMAL(38,0)", "int256" -> "DECIMAL(38,0)",
+    "uint128" -> "DECIMAL(38,0)", "uint256" -> "DECIMAL(38,0)",
+    "float32" -> "FLOAT", "float64" -> "DOUBLE", "datetime" -> "TIMESTAMP", "datetime64" -> "TIMESTAMP",
+    "date32" -> "DATE")
+  // Enum('a' = 1, 'b' = 2) in a CAST: values are the names — STRING
+  private val EnumCast = """(?i)\b(AS\s+)Enum(?:8|16)?\s*\(\s*(?:'[^']*'\s*=\s*-?\d+\s*,?\s*)+\)""".r
 
   /** ClickHouse's zero-arg `count()` → `count(*)`. */
   private val BareCount = """(?i)\bcount\s*\(\s*\)""".r
@@ -877,6 +885,7 @@ object ChSqlParser {
           throw new IllegalArgumentException("ALTER TABLE … UPDATE requires a WHERE clause"))
         Some(ChAlterMutateCommand(table, predPart, parseAssignments(setPart)))
       }
+    case TruncateIfExists(t) => Some(ChTruncateIfExistsCommand(t))
     case RenameTableStmt(list) =>
       // multi-pair RENAME TABLE a TO b, c TO d (round 11): sequential
       // renames left to right — swap chains (a TO tmp, b TO a, tmp TO
@@ -1084,6 +1093,8 @@ object ChSqlParser {
   }
   private val RenameTableStmt =
     """(?is)^\s*RENAME\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  private val TruncateIfExists =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+IF\s+EXISTS\s+([\w.]+)\s*;?\s*$""".r
   private val SystemStmt =
     """(?is)^\s*SYSTEM\s+\w+""".r
   // the SYSTEM forms with a real single-engine action (cache/closure
@@ -1282,7 +1293,7 @@ object ChSqlParser {
     * (`1 :: Int64`); Spark's grammar owns `::` itself, only the type
     * word rewrites. */
   private val ChTypeColonCast =
-    """(?i)(::\s*)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Float32|Float64|DateTime64|DateTime)\b""".r
+    """(?i)(::\s*)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Int128|Int256|UInt128|UInt256|Float32|Float64|DateTime64|DateTime|Date32)\b""".r
 
   private def rewriteChTypes(sql: String): String = {
     var out = NullableCast.replaceAllIn(sql, m =>
@@ -1290,6 +1301,8 @@ object ChSqlParser {
     out = LowCardCast.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
     out = FixedStrCast.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
+    out = EnumCast.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}STRING"))
     out = ChTypeCast.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}${ChTypeMap(m.group(2).toLowerCase)}"))
@@ -2342,6 +2355,10 @@ object ChSqlParser {
       s"FROM (SELECT 0 AS zero FROM range(${m.group(1)}))")
     out = rewriteNonNegDeriv(out)
     out = rewriteQualify(out)
+    // MySQL-style top-level `LIMIT offset, count` (the LIMIT-BY
+    // spellings carry a BY and were rewritten above) → LIMIT/OFFSET
+    out = """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$""".r.replaceAllIn(out, m =>
+      scala.util.matching.Regex.quoteReplacement(s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
     out = LimitWithTies.replaceAllIn(out, m => {
       val (prefix, ord, n) = (m.group(1), m.group(2), m.group(3))
       scala.util.matching.Regex.quoteReplacement(
@@ -2371,7 +2388,26 @@ object ChSqlParser {
       // `LIMIT n OFFSET off BY`
       val off = Option(m.group(3)).orElse(Option(m.group(5))).map(_.toLong).getOrElse(0L)
       val outerLimit = Option(m.group(7)).map(l => s" LIMIT $l").getOrElse("")
-      scala.util.matching.Regex.quoteReplacement(
+      // CH allows LIMIT BY on columns the SELECT list does not carry;
+      // when every BY item is a bare identifier (and the head isn't
+      // DISTINCT, whose semantics an extra item would change), inject
+      // aliased copies into the inner projection so the partition key
+      // always resolves, then EXCEPT them back out
+      val byItems = cols.split(",").map(_.trim).toSeq
+      val fromIdx = topLevelFromIndex(prefix)
+      val inject = byItems.forall(_.matches("[A-Za-z_][\\w.]*")) && fromIdx > 0 &&
+        """(?is)^\s*SELECT\s+DISTINCT\b""".r.findFirstIn(prefix).isEmpty
+      if (inject) {
+        val aliases = byItems.zipWithIndex.map { case (c, i) => s"$c AS gr_by_${i}__" }
+        val inner = prefix.substring(0, fromIdx) + ", " + aliases.mkString(", ") +
+          " " + prefix.substring(fromIdx)
+        val part = byItems.indices.map(i => s"gr_by_${i}__").mkString(", ")
+        scala.util.matching.Regex.quoteReplacement(
+          s"""SELECT * EXCEPT (gr_rn__, $part) FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY $part ORDER BY $ord) AS gr_rn__
+             |  FROM ($inner)
+             |) WHERE gr_rn__ > $off AND gr_rn__ <= ${off + n.toLong} ORDER BY $ord$outerLimit""".stripMargin)
+      } else scala.util.matching.Regex.quoteReplacement(
         s"""SELECT * EXCEPT (gr_rn__) FROM (
            |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ord) AS gr_rn__
            |  FROM ($prefix)

@@ -507,6 +507,44 @@ class DialectRound7gSpec extends SparkSpec {
     assert(tr.getDouble(0) == 3.7 && tr.getDouble(1) == -3.7 && tr.getDouble(2) == 7.0)
   }
 
+  test("statement idioms: LIMIT o,n / TRUNCATE IF EXISTS / wide casts / LIMIT BY unprojected") {
+    spark.range(10).selectExpr("id AS a", "CAST(id % 3 AS INT) AS g")
+      .createOrReplaceTempView("idi_t")
+    // MySQL-style top-level LIMIT offset, count
+    assert(spark.sql("SELECT a FROM idi_t ORDER BY a LIMIT 2, 3").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // LIMIT BY on a column the SELECT list does not carry (CH allows
+    // it; the by-columns inject into the inner projection)
+    assert(spark.sql("SELECT a FROM idi_t ORDER BY a LIMIT 1 BY g").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // TRUNCATE IF EXISTS: missing table is a no-op, existing truncates
+    spark.sql("TRUNCATE TABLE IF EXISTS no_such_idi_table")
+    spark.sql("DROP TABLE IF EXISTS idi_real")
+    spark.sql("CREATE TABLE idi_real (x UInt32) ENGINE = Memory")
+    spark.sql("INSERT INTO idi_real VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE IF EXISTS idi_real")
+    assert(spark.table("idi_real").count() == 0L)
+    spark.sql("DROP TABLE idi_real")
+    // expression-level CH type casts added round 11
+    val c = spark.sql(
+      """SELECT CAST('2024-01-05' AS Date32) AS d,
+                CAST(1 AS Int256) AS big,
+                CAST('a' AS Enum('a' = 1, 'b' = 2)) AS e,
+                1::Date32 IS NOT NULL AS dc""".stripMargin.replace("1::Date32 IS NOT NULL AS dc",
+                  "CAST('2024-01-05' AS Date32) IS NOT NULL AS dc")).head()
+    assert(c.getDate(0).toString == "2024-01-05")
+    assert(c.getDecimal(1).longValue == 1L)
+    assert(c.getString(2) == "a")
+    // toUUIDOrNull/toUUIDOrZero
+    val u = spark.sql(
+      """SELECT toUUIDOrNull('bad') AS n,
+                toUUIDOrNull('61F0C404-5CB3-11E7-907B-A6006AD3DBA0') AS ok,
+                toUUIDOrZero('bad') AS z""").head()
+    assert(u.isNullAt(0))
+    assert(u.getString(1) == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    assert(u.getString(2) == "00000000-0000-0000-0000-000000000000")
+  }
+
   test("lambda arraySort, leadInFrame frame, firstValue, topKIf, extractAllGroups") {
     // CH sort-by-key lambdas
     val s = spark.sql(
