@@ -2207,15 +2207,28 @@ object ChSqlParser {
     })
 
   def rewriteParametric(sql: String): String = {
+    // `ON CLUSTER name` on DDL strips — on a single engine the
+    // statement IS cluster-wide. Guarded three ways so a join
+    // predicate on a column named `cluster` can't be eaten: only on
+    // DDL-verb statements, only the first occurrence, and only when
+    // it appears before any SELECT (i.e. in the DDL head, not inside
+    // a CTAS body).
+    var sql0 = sql
+    if ("""(?is)^\s*(CREATE|DROP|ALTER|RENAME|TRUNCATE|OPTIMIZE|EXCHANGE|SYSTEM)\b""".r
+          .findFirstIn(sql0).isDefined)
+      """(?i)\s+ON\s+CLUSTER\s+(?:'[^']*'|`[^`]+`|[\w-]+)""".r.findFirstMatchIn(sql0).foreach { m =>
+        val selIdx = """(?i)\bSELECT\b""".r.findFirstMatchIn(sql0).map(_.start).getOrElse(Int.MaxValue)
+        if (m.start < selIdx) sql0 = sql0.substring(0, m.start) + sql0.substring(m.end)
+      }
     // dictionary DDL parses as a COMMAND from the RAW text (CH types
     // and SOURCE/LAYOUT clauses intact) — the query rewrites below
     // would mangle its type names and clause parens
-    if (CreateDictionary.findFirstIn(sql).isDefined ||
-        DropDictionary.findFirstIn(sql).isDefined) return sql
+    if (CreateDictionary.findFirstIn(sql0).isDefined ||
+        DropDictionary.findFirstIn(sql0).isDefined) return sql0
     // client-side trailing clauses unwind first (right to left), so
     // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
     // their clause at the end of the text
-    var out = stripTrailingClause(sql, FormatClause)
+    var out = stripTrailingClause(sql0, FormatClause)
     // Any OUTFILE tail still present here escaped interceptOutfile —
     // an unsupported statement shape (e.g. CREATE TABLE … AS SELECT …
     // INTO OUTFILE). The clause used to strip silently (query ran, no

@@ -801,6 +801,30 @@ class ChDdlSpec extends SparkSpec {
     spark.sql("DROP DICTIONARY ck_dict")
   }
 
+  test("ON CLUSTER strips on DDL; a join predicate on a `cluster` column survives") {
+    spark.sql("DROP TABLE IF EXISTS oc_t")
+    // the replicated-DDL spelling a migrated estate issues verbatim —
+    // on a single engine the statement IS cluster-wide
+    spark.sql("CREATE TABLE oc_t ON CLUSTER main (a UInt64) ENGINE = MergeTree ORDER BY a")
+    spark.sql("INSERT INTO oc_t VALUES (1)")
+    assert(spark.table("oc_t").count() == 1L)
+    spark.sql("TRUNCATE TABLE IF EXISTS oc_t ON CLUSTER main")
+    assert(spark.table("oc_t").count() == 0L)
+    spark.sql("DROP TABLE IF EXISTS oc_t ON CLUSTER 'quoted-name'")
+    assert(!spark.catalog.tableExists("oc_t"))
+    // a CTAS whose BODY joins on a column literally named `cluster`
+    // must keep that predicate (the strip only looks before SELECT)
+    spark.sql("DROP TABLE IF EXISTS oc_ctas")
+    spark.range(3).selectExpr("id", "CAST(id % 2 AS BIGINT) AS cluster")
+      .createOrReplaceTempView("oc_src")
+    spark.sql("""CREATE TABLE oc_ctas ENGINE = MergeTree ORDER BY id AS
+                 SELECT a.id FROM oc_src a
+                 JOIN (SELECT id AS id2, CAST(id % 2 AS BIGINT) AS flag FROM range(3)) b
+                   ON cluster = b.flag AND a.id = b.id2""")
+    assert(spark.table("oc_ctas").count() == 3L)
+    spark.sql("DROP TABLE oc_ctas")
+  }
+
   test("MODIFY/MATERIALIZE/REMOVE TTL execute: expired rows drop on materialize") {
     spark.sql("DROP TABLE IF EXISTS ttl_ddl_t")
     spark.sql("""CREATE TABLE ttl_ddl_t (id UInt64, d DateTime)
