@@ -1967,6 +1967,35 @@ object ChFunctions {
             FROM a JOIN b USING (rn) JOIN c USING (rn) ORDER BY prio"""),
   )
 
+  /** Round-11 dialect grab-bag, driver-gated: the CH/MySQL %-format
+    * codes (↔ DuckDB strftime), `truncate` toward-zero rounding
+    * (↔ trunc·10/10), variadic `caseWithExpression` (↔ CASE x WHEN),
+    * `hasTokenCaseInsensitive` under countIf (↔ the same boundary
+    * regex), and the MySQL-style top-level `LIMIT offset, count`
+    * (↔ LIMIT/OFFSET). */
+  val q29q = GraftQuery(
+    "q29q_dialect_r11",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("gq29q_orders")
+      s.sql("""SELECT formatDateTime(o_orderdate, '%Y-%m') AS ym,
+                      round(avg(o_totalprice), 2) AS avg_t,
+                      truncate(min(o_totalprice), 1) AS min_t,
+                      CAST(sum(caseWithExpression(o_orderpriority,
+                           '1-URGENT', 2, '2-HIGH', 1, 0)) AS BIGINT) AS prio_score,
+                      CAST(countIf(hasTokenCaseInsensitive(o_orderstatus, 'o')) AS BIGINT) AS open_cnt
+               FROM gq29q_orders
+               GROUP BY 1 ORDER BY ym LIMIT 3, 6""")
+    },
+    Some("""SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym,
+                   round(avg(o_totalprice), 2) AS avg_t,
+                   trunc(min(o_totalprice) * 10) / 10 AS min_t,
+                   CAST(sum(CASE o_orderpriority WHEN '1-URGENT' THEN 2
+                            WHEN '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS prio_score,
+                   CAST(sum(CASE WHEN regexp_matches(lower(o_orderstatus),
+                        '(^|[^a-z0-9_])o($|[^a-z0-9_])') THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt
+            FROM orders GROUP BY 1 ORDER BY ym LIMIT 6 OFFSET 3"""),
+  )
+
   val q29n = GraftQuery(
     "q29n_qualify",
     (s, dir) => {
@@ -2289,5 +2318,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q29q, q38, q38b, q38c, q38d, q38e, q21b)
 }

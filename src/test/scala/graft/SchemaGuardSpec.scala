@@ -41,6 +41,8 @@ class SchemaGuardSpec extends SparkSpec {
       case w: WithCTE => terminalSort(w.plan)
       case _: Project | _: GlobalLimit | _: LocalLimit | _: SubqueryAlias | _: Filter =>
         terminalSort(p.children.head)
+      // LIMIT n OFFSET m over a total sort is equally deterministic
+      case o: Offset => terminalSort(o.child)
       // ungrouped aggregate = exactly one row; order is vacuous
       case a: Aggregate => a.groupingExpressions.isEmpty
       case _ => false
