@@ -2107,6 +2107,33 @@ object ChDialect {
       Divide(Multiply(Signum(x), Floor(Multiply(Abs(x), p))), p)
     }),
     "SHA256"       -> (es => Sha2(es.head, Literal(256))),
+    "SHA224"       -> (es => Sha2(es.head, Literal(224))),
+    "SHA384"       -> (es => Sha2(es.head, Literal(384))),
+    // URL-safe base64 (RFC 4648 §5): translate the two URL-unsafe
+    // alphabet chars; padding kept, as in CH
+    "toBase64URL"   -> (es => StringTranslate(
+      Base64(Cast(es.head, org.apache.spark.sql.types.BinaryType)),
+      Literal("+/"), Literal("-_"))),
+    "fromBase64URL" -> (es => Cast(UnBase64(
+      StringTranslate(es.head, Literal("-_"), Literal("+/"))),
+      org.apache.spark.sql.types.StringType)),
+    // AES via Spark's native kernels; CH spells the mode first
+    // ('aes-128-ecb' — the key LENGTH must match the declared bits,
+    // which Spark's kernel enforces) and the data second
+    "encrypt" -> (es => chAes(es, decrypt = false, tryMode = false)),
+    "decrypt" -> (es => chAes(es, decrypt = true, tryMode = false)),
+    "tryDecrypt" -> (es => chAes(es, decrypt = true, tryMode = true)),
+    "aes_encrypt_mysql" -> (es => chAes(es, decrypt = false, tryMode = false)),
+    "aes_decrypt_mysql" -> (es => chAes(es, decrypt = true, tryMode = false)),
+    // random-distribution family (nondeterministic by nature — kept
+    // out of the oracled registry, provided for parity)
+    "randCanonical" -> (_ => new Rand(Literal(scala.util.Random.nextLong()))),
+    "randBernoulli" -> (es => If(
+      LessThan(new Rand(Literal(scala.util.Random.nextLong())), Cast(es.head, DoubleType)),
+      Literal(1L), Literal(0L))),
+    "runningConcurrency" -> (_ => throw new UnsupportedOperationException(
+      "runningConcurrency is block-order dependent; count open intervals with a window: " +
+        "sum(+1/-1 events) OVER (ORDER BY ts) after exploding (begin, end) to events")),
     // -- more arrays
     "arrayIntersect" -> (es => es.reduce(ArrayIntersect(_, _))),
     "arrayFlatten"   -> (es => Flatten(es.head)),
@@ -4241,6 +4268,29 @@ object ChDialect {
     }
     flush()
     sb.toString
+  }
+
+  /** ClickHouse `encrypt/decrypt('aes-N-mode', data, key)` on Spark's
+    * native AES kernels. ECB round-trips CH ciphertexts bit-exactly
+    * (no IV in either layout); CBC/GCM ciphertexts here carry the IV
+    * IN the payload (Spark's layout) — self-consistent
+    * encrypt→decrypt, but not CH-wire, so an explicit IV argument
+    * refuses loudly rather than decode garbage. */
+  private def chAes(es: Seq[Expression], decrypt: Boolean, tryMode: Boolean): Expression = {
+    require(es.length >= 3, "encrypt/decrypt take ('aes-N-mode', data, key)")
+    val modeStr = litString(es.head, "cipher mode").toLowerCase
+    val m = """^aes-(128|192|256)-(ecb|cbc|gcm)$""".r.findFirstMatchIn(modeStr).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cipher mode '$modeStr': aes-{128,192,256}-{ecb,cbc,gcm} execute here"))
+    if (es.length > 3) throw new UnsupportedOperationException(
+      "explicit-IV encrypt/decrypt is CH-wire layout; this engine's CBC/GCM ciphertexts " +
+        "carry the IV in the payload (Spark layout) — drop the IV argument (ECB needs none)")
+    val mode = Literal(m.group(2).toUpperCase)
+    val bt = org.apache.spark.sql.types.BinaryType
+    val (data, key) = (Cast(es(1), bt), Cast(es(2), bt))
+    if (!decrypt) new AesEncrypt(data, key, mode)
+    else if (tryMode) Cast(new TryAesDecrypt(data, key, mode), org.apache.spark.sql.types.StringType)
+    else Cast(new AesDecrypt(data, key, mode), org.apache.spark.sql.types.StringType)
   }
 
   /** CH's sort-by-key lambda (`arraySort(x -> key, arr)`): rebuilt as

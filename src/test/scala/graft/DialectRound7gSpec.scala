@@ -545,6 +545,41 @@ class DialectRound7gSpec extends SparkSpec {
     assert(u.getString(2) == "00000000-0000-0000-0000-000000000000")
   }
 
+  test("AES encrypt/decrypt round-trip; base64URL; SHA widths; rand family") {
+    // ECB round-trips (bit-exact CH interop: no IV in either layout);
+    // GCM round-trips in the engine's own iv-in-payload layout
+    val r = spark.sql(
+      """SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'),
+                        '0123456789abcdef') AS ecb,
+                decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'hi', '0123456789abcdef0123456789abcdef'),
+                        '0123456789abcdef0123456789abcdef') AS gcm,
+                tryDecrypt('aes-128-ecb', unhex('00'), '0123456789abcdef') AS bad""").head()
+    assert(r.getString(0) == "secret text")
+    assert(r.getString(1) == "hi")
+    assert(r.isNullAt(2)) // tryDecrypt degrades to NULL, never throws
+    // wrong key LENGTH for the declared bits fails loudly
+    intercept[Exception](spark.sql(
+      "SELECT encrypt('aes-256-ecb', 'x', 'short')").collect())
+    // explicit IV refuses with the layout contract
+    val e = intercept[Exception](spark.sql(
+      "SELECT encrypt('aes-128-cbc', 'x', '0123456789abcdef', 'iviviviviviviviv')"))
+    assert(e.getMessage.contains("IV"))
+    // URL-safe base64 round-trips and differs from plain at +//
+    val b = spark.sql(
+      """SELECT toBase64URL(unhex('FBFF')) AS url, base64(unhex('FBFF')) AS plain,
+                fromBase64URL(toBase64URL('a?b')) AS rt""").head()
+    assert(b.getString(0) == "-_8=" && b.getString(1) == "+/8=")
+    assert(b.getString(2) == "a?b")
+    assert(spark.sql("SELECT SHA224('abc') AS h").head().getString(0).length == 56 / 2 * 2)
+    val rnd = spark.sql(
+      "SELECT randCanonical() AS c, CAST(randBernoulli(1.0) AS BIGINT) AS one, CAST(randBernoulli(0.0) AS BIGINT) AS zero").head()
+    assert(rnd.getDouble(0) >= 0.0 && rnd.getDouble(0) < 1.0)
+    assert(rnd.getLong(1) == 1L && rnd.getLong(2) == 0L)
+    // block-order runningConcurrency refuses with the window spelling
+    val e2 = intercept[Exception](spark.sql("SELECT runningConcurrency(1, 2)"))
+    assert(e2.getMessage.contains("OVER"))
+  }
+
   test("lambda arraySort, leadInFrame frame, firstValue, topKIf, extractAllGroups") {
     // CH sort-by-key lambdas
     val s = spark.sql(
