@@ -25,6 +25,20 @@ object ChDialect {
   private def nullIfNot(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
+  private lazy val fnMap: Map[String, Seq[Expression] => Expression] = functions.toMap
+
+  /** Generic -If combinator over a dialect-registered base: the
+    * condition NULLs out the LAST data argument (CH -If skips the
+    * row; every base routed here ignores NULL inputs). Parametric
+    * prefixes (quantilesIf(p…)(x, cond)) arrive flattened, so the
+    * params ride through untouched. */
+  private def ifWrapLast(base: String)(es: Seq[Expression]): Expression = {
+    require(es.length >= 2, s"${base}If needs (args…, cond)")
+    val cond = es.last
+    val args = es.init
+    fnMap(base)(args.init :+ nullIfNot(cond, args.last))
+  }
+
   private def lamVar(name: String): UnresolvedNamedLambdaVariable =
     UnresolvedNamedLambdaVariable(Seq(name))
 
@@ -3250,6 +3264,23 @@ object ChDialect {
     // set (count is the only family member that needs a shim — the
     // others are already NULL-on-empty in Spark); -OrDefault yields
     // the numeric zero default instead.
+    // -If chained onto other combinator families (round 11): the
+    // condition NULLs the data argument; the base ignores NULLs
+    "sumArrayIf"   -> ifWrapLast("sumArray"),
+    "avgArrayIf"   -> ifWrapLast("avgArray"),
+    "minArrayIf"   -> ifWrapLast("minArray"),
+    "maxArrayIf"   -> ifWrapLast("maxArray"),
+    "groupUniqArrayIf" -> ifWrapLast("groupUniqArray"),
+    "quantilesIf"  -> ifWrapLast("quantiles"),
+    "stddevPopIf"  -> (es => StddevPop(nullIfNot(es(1), es(0)))),
+    "stddevSampIf" -> (es => StddevSamp(nullIfNot(es(1), es(0)))),
+    "varPopIf"     -> (es => VariancePop(nullIfNot(es(1), es(0)))),
+    "varSampIf"    -> (es => VarianceSamp(nullIfNot(es(1), es(0)))),
+    "corrIf"       -> (es => Corr(nullIfNot(es(2), es(0)), nullIfNot(es(2), es(1)))),
+    "covarPopIf"   -> (es => CovPopulation(nullIfNot(es(2), es(0)), nullIfNot(es(2), es(1)))),
+    "covarSampIf"  -> (es => CovSample(nullIfNot(es(2), es(0)), nullIfNot(es(2), es(1)))),
+    "sumDistinctIf" -> (es => Sum(nullIfNot(es(1), es(0))).toAggregateExpression(isDistinct = true)),
+    "avgDistinctIf" -> (es => Average(nullIfNot(es(1), es(0))).toAggregateExpression(isDistinct = true)),
     "sumDistinct"   -> (es => Sum(es.head).toAggregateExpression(isDistinct = true)),
     "avgDistinct"   -> (es => Average(es.head).toAggregateExpression(isDistinct = true)),
     "countDistinct" -> (es => Count(es).toAggregateExpression(isDistinct = true)),

@@ -102,6 +102,38 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("chained -If combinators equal explicit WHERE pre-filters") {
+    spark.range(40)
+      .selectExpr("id", "CAST(id % 4 AS INT) AS g", "array(id, id * 2) AS arr",
+        "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("cbf_t")
+    // every -If form must equal the base aggregate over a WHERE'd scan
+    val ifs = spark.sql(
+      """SELECT sumArrayIf(arr, g = 1) AS sa,
+                groupUniqArrayIf(g, id < 6) AS gu,
+                round(stddevPopIf(v, g = 1), 6) AS sp,
+                round(varSampIf(v, g = 1), 6) AS vs,
+                round(corrIf(v, v % 7, g = 1), 6) AS cr,
+                round(covarPopIf(v, v % 7, g = 1), 6) AS cp,
+                CAST(sumDistinctIf(g, id < 10) AS BIGINT) AS sd,
+                quantilesIf(0.25, 0.75)(v, g = 1) AS qs
+         FROM cbf_t""").head()
+    val base = spark.sql(
+      """SELECT sumArray(arr) AS sa, round(stddevPop(v), 6) AS sp,
+                round(varSamp(v), 6) AS vs, round(corr(v, v % 7), 6) AS cr,
+                round(covarPop(v, v % 7), 6) AS cp,
+                quantiles(0.25, 0.75)(v) AS qs
+         FROM cbf_t WHERE g = 1""").head()
+    assert(ifs.getAs[Number](0).longValue == base.getAs[Number](0).longValue)
+    assert(ifs.getSeq[Int](1).sorted == Seq(0, 1, 2, 3)) // ids 0..5 → all four groups
+    assert(ifs.getDouble(2) == base.getDouble(1))
+    assert(ifs.getDouble(3) == base.getDouble(2))
+    assert(ifs.getDouble(4) == base.getDouble(3))
+    assert(ifs.getDouble(5) == base.getDouble(4))
+    assert(ifs.getLong(6) == (0 + 1 + 2 + 3)) // distinct groups among ids<10
+    assert(ifs.getSeq[Double](7) == base.getSeq[Double](5))
+  }
+
   test("fuzz: %-format translation matches java.time rendering") {
     val ts = java.time.LocalDateTime.of(2024, 3, 7, 13, 4, 5)
     val cases = Seq(
