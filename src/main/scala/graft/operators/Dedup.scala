@@ -85,7 +85,15 @@ object Dedup {
     * count+canon pass is a whole-partition window over that key, so a
     * boilerplate window repeated 10⁶ times costs a linear sorted
     * partition, never a pair blow-up), one shuffle on doc_id for the
-    * span union. Canonical-occurrence encoding `doc_id*1e6+pos` bounds
+    * span union. A round-11 rehearsal MEASURED the tempting
+    * aggregate+join-back alternative (which AQE's skew splitter can
+    * subdivide where a window partition can't) at 2.1× SLOWER at
+    * sf1: the join branch recomputes the posexplode scan, and that
+    * recompute dominates any realistic skew — so the window form
+    * stands, and the whale-hash guidance is the same as the MinHash
+    * caps': run EXACT dedup first so verbatim boilerplate never
+    * reaches this operator at degenerate multiplicity.
+    * Canonical-occurrence encoding `doc_id*1e6+pos` bounds
     * docs at 10⁶ tokens — raise the multiplier for longer inputs. */
   def substringDedupStats(df: DataFrame, idCol: String, normCol: String, w: Int): DataFrame = {
     require(w >= 2, "window width under 2 degenerates to token counting")
