@@ -25,6 +25,14 @@ object ChDialect {
   private def nullIfNot(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
+  /** CH's tuple spellings of the vector family: an INLINE tuple(…)
+    * literal adapts to the array form (struct columns stay as-is and
+    * fail type-check with the array guidance). */
+  private def tupArr(e: Expression): Expression = e match {
+    case cns: CreateNamedStruct => CreateArray(cns.valExprs)
+    case other => other
+  }
+
   private lazy val fnMap: Map[String, Seq[Expression] => Expression] = functions.toMap
 
   /** Generic -If combinator over a dialect-registered base: the
@@ -72,8 +80,9 @@ object ChDialect {
     // dot products resolve to the codegen'd [[DotProduct]] expression
     // (the same kernel behind graft_dot and the ANN operators);
     // distance folds accumulate left-to-right in double precision, the
-    // precision contract the DuckDB oracles replay.
-    "dotProduct" -> (es => DotProduct(es(0), es(1))),
+    // precision contract the DuckDB oracles replay. CH also spells
+    // these over TUPLES — inline tuple(…) literals adapt to arrays.
+    "dotProduct" -> (es => DotProduct(tupArr(es(0)), tupArr(es(1)))),
     "L2Norm"     -> (es => Sqrt(DotProduct(es.head, es.head))),
     "L1Norm"     -> (es => {
       val x = lamVar("gr_x")
@@ -85,11 +94,11 @@ object ChDialect {
       ArrayMax(ArrayTransform(es.head, LambdaFunction(Abs(Cast(x, DoubleType)), Seq(x))))
     }),
     "L2SquaredDistance" -> (es =>
-      zipFold(es(0), es(1), (x, y) => Multiply(Subtract(x, y), Subtract(x, y)))),
+      zipFold(tupArr(es(0)), tupArr(es(1)), (x, y) => Multiply(Subtract(x, y), Subtract(x, y)))),
     "L2Distance" -> (es =>
-      Sqrt(zipFold(es(0), es(1), (x, y) => Multiply(Subtract(x, y), Subtract(x, y))))),
+      Sqrt(zipFold(tupArr(es(0)), tupArr(es(1)), (x, y) => Multiply(Subtract(x, y), Subtract(x, y))))),
     "L1Distance" -> (es =>
-      zipFold(es(0), es(1), (x, y) => Abs(Subtract(x, y)))),
+      zipFold(tupArr(es(0)), tupArr(es(1)), (x, y) => Abs(Subtract(x, y)))),
     // unit-scaled copies; the norm subtree is shared by codegen CSE
     // (L1Normalize/L2Normalize are CH's official casings; the
     // normalize* spellings are kept as aliases)
@@ -130,14 +139,15 @@ object ChDialect {
       ArrayMax(ZipWith(es(0), es(1),
         LambdaFunction(Abs(Subtract(Cast(x, DoubleType), Cast(y, DoubleType))), Seq(x, y))))
     }),
-    "cosineDistance" -> (es => Subtract(Literal(1.0d),
-      Divide(DotProduct(es(0), es(1)),
-        Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1))))))),
-    "cosineSimilarity" -> (es =>
-      Divide(DotProduct(es(0), es(1)),
-        Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1)))))),
-    "innerProduct"  -> (es => DotProduct(es(0), es(1))),
-    "scalarProduct" -> (es => DotProduct(es(0), es(1))),
+    "cosineDistance" -> (es => { val (a, b) = (tupArr(es(0)), tupArr(es(1)))
+      Subtract(Literal(1.0d),
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))) }),
+    "cosineSimilarity" -> (es => { val (a, b) = (tupArr(es(0)), tupArr(es(1)))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))) }),
+    "innerProduct"  -> (es => DotProduct(tupArr(es(0)), tupArr(es(1)))),
+    "scalarProduct" -> (es => DotProduct(tupArr(es(0)), tupArr(es(1)))),
     "L2SquaredNorm" -> (es => DotProduct(es.head, es.head)),
     "L2Normalize" -> (es => {
       val x = lamVar("gr_x")
@@ -492,6 +502,7 @@ object ChDialect {
         Seq(i)))
     }),
     "JSONHas"      -> (es => Not(IsNull(jsonGet(es)))),
+    "JSONArrayLength" -> (es => LengthOfJsonArray(es.head)),
     // legacy flat-scan spellings (simpleJSON*/visitParam*) — on the
     // JSON documents this engine stores they are exactly the
     // path-one-deep extraction
@@ -3252,6 +3263,18 @@ object ChDialect {
     "stochasticLogisticRegression" -> (_ => throw new UnsupportedOperationException(
       "stochasticLogisticRegression's SGD state is row-order dependent; " +
         "fit offline and score with the expression language instead")),
+    "evalMLMethod" -> (_ => throw new UnsupportedOperationException(
+      "evalMLMethod scores a server-side trained state; fit offline and score with " +
+        "the expression language (closed-form simpleLinearRegression is exact)")),
+    "catboostEvaluate" -> (_ => throw new UnsupportedOperationException(
+      "catboostEvaluate needs the native CatBoost library; export the model's " +
+        "if-else dump and score with CASE expressions, or score offline")),
+    "formatQuery" -> (_ => throw new UnsupportedOperationException(
+      "formatQuery pretty-prints CH's own AST; normalizeQuery/normalizeQueryKeepNames " +
+        "cover fingerprinting, EXPLAIN covers inspection")),
+    "formatQuerySingleLine" -> (_ => throw new UnsupportedOperationException(
+      "formatQuerySingleLine pretty-prints CH's own AST; normalizeQuery covers " +
+        "fingerprinting, EXPLAIN covers inspection")),
     // bounded-edit-distance regex needs a hyperscan-class engine
     "multiFuzzyMatchAny" -> (_ => throw new UnsupportedOperationException(
       "multiFuzzyMatchAny needs a fuzzy regex engine; use multiMatchAny " +

@@ -580,6 +580,23 @@ class DialectRound7gSpec extends SparkSpec {
     assert(e2.getMessage.contains("OVER"))
   }
 
+  test("tuple spellings of the vector family; JSONArrayLength; ML-evaluator refusals") {
+    val r = spark.sql(
+      """SELECT dotProduct(tuple(1, 2), tuple(3, 4)) AS dp,
+                L2Distance(tuple(0.0, 0.0), tuple(3.0, 4.0)) AS l2,
+                cosineSimilarity(tuple(1.0, 0.0), tuple(1.0, 0.0)) AS cs,
+                JSONArrayLength('[1,2,3]') AS n,
+                JSONArrayLength('{}') AS nn""").head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 1.0)
+    assert(r.getInt(3) == 3 && r.isNullAt(4))
+    for ((fn, hint) <- Seq("evalMLMethod(1.0)" -> "offline",
+                           "catboostEvaluate('m', 1.0)" -> "CatBoost",
+                           "formatQuery('select 1')" -> "normalizeQuery")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $fn"))
+      assert(e.getMessage.contains(hint), s"$fn -> ${e.getMessage.take(80)}")
+    }
+  }
+
   test("lambda arraySort, leadInFrame frame, firstValue, topKIf, extractAllGroups") {
     // CH sort-by-key lambdas
     val s = spark.sql(
