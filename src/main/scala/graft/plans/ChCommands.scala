@@ -60,16 +60,26 @@ object ChCommands {
       case None    => s"($ttl) <= current_timestamp()"
     }
 
-  // TTL rule manifest: line 1.. = the expiry expression; optional
+  // TTL rule manifest: line 1 = the expiry expression; optional
   // tagged lines carry the WHERE scope and GROUP BY/SET rollup
-  // (U+0001/U+0002 separators cannot occur in SQL text)
+  // (U+0001/U+0002 separators cannot occur in SQL text). Every field
+  // is newline-normalized first: clause text captured from
+  // triple-quoted multi-line DDL can itself contain \n, and a raw
+  // newline inside a field would bleed continuation lines into
+  // exprLines on parse. SQL whitespace is insignificant, so
+  // collapsing whitespace runs containing a newline to one space is
+  // lossless for the expression.
+  private[plans] def ttlField(s: String): String =
+    if (s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else s.replaceAll("[ \\t]*[\\r\\n]+[ \\t]*", " ").trim
+
   private[plans] def ttlRuleSerialize(ttl: String, whereCond: Option[String],
       keys: Seq[String], sets: Seq[(String, String)]): String = {
-    val sb = new StringBuilder(ttl)
-    whereCond.foreach(c => sb.append("\nWHERE\t").append(c))
-    if (keys.nonEmpty) sb.append("\nGROUPBY\t").append(keys.mkString(","))
+    val sb = new StringBuilder(ttlField(ttl))
+    whereCond.foreach(c => sb.append("\nWHERE\t").append(ttlField(c)))
+    if (keys.nonEmpty) sb.append("\nGROUPBY\t").append(keys.map(ttlField).mkString(","))
     if (sets.nonEmpty) sb.append("\nSET\t").append(
-      sets.map { case (c, e) => s"$c\u0001$e" }.mkString("\u0002"))
+      sets.map { case (c, e) => s"${ttlField(c)}\u0001${ttlField(e)}" }.mkString("\u0002"))
     sb.toString
   }
 
@@ -746,23 +756,33 @@ case class ChCreateDictionaryCommand(
 
 /** Multi-pair `RENAME TABLE a TO b, c TO d` (round 11): sequential
   * catalog renames, left to right — CH's common swap chains
-  * (`a TO tmp, b TO a, tmp TO b`) work. All sources are validated
-  * BEFORE the first rename so a typo aborts with nothing moved; a
-  * mid-chain target collision still surfaces from the catalog (the
-  * preceding renames stand, as they would issuing the statements
-  * one by one). */
+  * (`a TO tmp, b TO a, tmp TO b`) work. The WHOLE chain is validated
+  * BEFORE the first rename so a typo aborts with nothing moved: the
+  * simulation tracks which names each pair consumes and produces, so
+  * a later pair reusing an already-renamed-away source (`a TO b,
+  * a TO c`) or colliding with a still-occupied target fails upfront
+  * too — not mid-chain with half the renames applied. */
 case class ChRenameTablesCommand(pairs: Seq[(String, String)]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    // a chain may create its own sources mid-flight (swap via tmp), so
-    // a pair's source is valid if it exists now OR an earlier pair
-    // renames something into it
+    // simulate the chain over name availability: a source is valid if
+    // an earlier pair produced it, or it exists in the catalog and no
+    // earlier pair consumed it; a target must not be occupied at its
+    // point in the chain (catalog names are case-insensitive)
     val produced = scala.collection.mutable.Set[String]()
-    for ((a, b) <- pairs) {
-      if (!produced.contains(a) && !spark.catalog.tableExists(a))
-        throw new IllegalArgumentException(s"RENAME TABLE: source '$a' does not exist")
-      produced -= a
-      produced += b
+    val consumed = scala.collection.mutable.Set[String]()
+    for ((a0, b0) <- pairs) {
+      val (a, b) = (a0.toLowerCase, b0.toLowerCase)
+      val srcOk = produced.contains(a) ||
+        (!consumed.contains(a) && spark.catalog.tableExists(a0))
+      if (!srcOk) throw new IllegalArgumentException(
+        s"RENAME TABLE: source '$a0' does not exist at its point in the chain")
+      val tgtTaken = produced.contains(b) ||
+        (!consumed.contains(b) && spark.catalog.tableExists(b0))
+      if (tgtTaken) throw new IllegalArgumentException(
+        s"RENAME TABLE: target '$b0' already exists at its point in the chain")
+      produced -= a; consumed += a
+      consumed -= b; produced += b
     }
     for ((a, b) <- pairs) spark.sql(s"ALTER TABLE $a RENAME TO $b")
     Seq.empty

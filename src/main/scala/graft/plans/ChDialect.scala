@@ -147,7 +147,6 @@ object ChDialect {
       Divide(DotProduct(a, b),
         Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))) }),
     "innerProduct"  -> (es => DotProduct(tupArr(es(0)), tupArr(es(1)))),
-    "scalarProduct" -> (es => DotProduct(tupArr(es(0)), tupArr(es(1)))),
     "L2SquaredNorm" -> (es => DotProduct(es.head, es.head)),
     "L2Normalize" -> (es => {
       val x = lamVar("gr_x")
@@ -489,18 +488,13 @@ object ChDialect {
     }),
     // each top-level array element as its raw JSON text (the CH idiom
     // for iterating arrays of objects: ArrayRaw → per-element
-    // JSONExtract). Dynamic $[i] paths are fine for get_json_object.
-    "JSONExtractArrayRaw" -> (es => {
-      val j = jsonGet(es)
-      val n = LengthOfJsonArray(j)
-      val i = lamVar("gr_ar_i")
-      val idxs = If(Or(IsNull(n), LessThanOrEqual(n, Literal(0))),
-        Literal.create(Seq.empty[Int], org.apache.spark.sql.types.ArrayType(IntegerType)),
-        new Sequence(Literal(0), Subtract(n, Literal(1)), None))
-      ArrayTransform(idxs, LambdaFunction(
-        GetJsonObject(j, Concat(Seq(Literal("$["), Cast(i, StringType), Literal("]")))),
-        Seq(i)))
-    }),
+    // JSONExtract). Jackson kernel, not get_json_object('$[i]') —
+    // the latter UNQUOTES string scalars, breaking the raw contract
+    // for arrays of strings.
+    "JSONExtractArrayRaw" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.JsonKernels"),
+        org.apache.spark.sql.types.ArrayType(StringType), "arrayRaw", Seq(jsonGet(es)))),
     "JSONHas"      -> (es => Not(IsNull(jsonGet(es)))),
     "JSONArrayLength" -> (es => LengthOfJsonArray(es.head)),
     // legacy flat-scan spellings (simpleJSON*/visitParam*) — on the
@@ -1265,7 +1259,6 @@ object ChDialect {
     "arrayDistinct"     -> (es => ArrayDistinct(es.head)),
     "arrayUniq"         -> (es => Size(ArrayDistinct(es.head))),
     "flatten"           -> (es => Flatten(es.head)),
-    "arrayFlatten"      -> (es => Flatten(es.head)),
     // dense first-appearance ranks: [10,20,10,30] → [1,2,1,3]
     // (array_distinct preserves first-appearance order)
     "arrayEnumerateDense" -> (es => {
@@ -1303,7 +1296,6 @@ object ChDialect {
     "arrayPartialShuffle" -> (es =>
       arrayShuffle(es.head, if (es.length > 2) es(2) else Literal(0))),
     "arrayROCAUC"         -> (es => ArrayRocAuc(es(0), es(1))),
-    "arrayAUC"            -> (es => ArrayRocAuc(es(0), es(1))),
     "arrayNormalizedGini" -> (es => ArrayNormalizedGini(es(0), es(1))),
     // intersection of every array in the group — sorted, generic
     // elements, shrinking buffer; see [[GraftArrayIntersectAgg]]
@@ -1347,7 +1339,6 @@ object ChDialect {
     "subBitmap" -> (es =>
       Slice(es.head, Add(Cast(es(1), IntegerType), Literal(1)), Cast(es(2), IntegerType))),
     "groupBitmapState"    -> (es => BitmapFoldAgg(Cast(es.head, LongType), "or").toAggregateExpression()),
-    "groupBitmap"         -> (es => Cast(Size(BitmapFoldAgg(Cast(es.head, LongType), "or").toAggregateExpression()), LongType)),
     "groupBitmapOrState"  -> (es => BitmapFoldAgg(es.head, "or").toAggregateExpression()),
     "groupBitmapAndState" -> (es => BitmapFoldAgg(es.head, "and").toAggregateExpression()),
     "groupBitmapXorState" -> (es => BitmapFoldAgg(es.head, "xor").toAggregateExpression()),
@@ -2116,14 +2107,6 @@ object ChDialect {
     // -- math / bit long tail
     "bitCount"     -> (es => BitwiseCount(es.head)),
     "roundBankers" -> (es => BRound(es(0), if (es.length > 1) es(1) else Literal(0))),
-    // CH truncate(x[, n]): round TOWARD ZERO at n decimal places
-    // (sign·floor(|x|·10ⁿ)/10ⁿ — floor alone would round −3.78→−3.8
-    // the wrong way). The bare name `trunc` stays Spark's date trunc.
-    "truncate" -> (es => {
-      val x = Cast(es.head, DoubleType)
-      val p = Pow(Literal(10.0), Cast(if (es.length > 1) es(1) else Literal(0), DoubleType))
-      Multiply(Signum(x), Divide(Floor(Multiply(Abs(x), p)), p))
-    }),
     // numeric truncation toward zero at n decimals (Spark's `trunc`
     // is the DATE function, so only the full CH spelling registers)
     "truncate" -> (es => {
@@ -2153,9 +2136,6 @@ object ChDialect {
     // random-distribution family (nondeterministic by nature — kept
     // out of the oracled registry, provided for parity)
     "randCanonical" -> (_ => new Rand(Literal(scala.util.Random.nextLong()))),
-    "randBernoulli" -> (es => If(
-      LessThan(new Rand(Literal(scala.util.Random.nextLong())), Cast(es.head, DoubleType)),
-      Literal(1L), Literal(0L))),
     "runningConcurrency" -> (_ => throw new UnsupportedOperationException(
       "runningConcurrency is block-order dependent; count open intervals with a window: " +
         "sum(+1/-1 events) OVER (ORDER BY ts) after exploding (begin, end) to events")),

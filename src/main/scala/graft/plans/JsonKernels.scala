@@ -20,6 +20,29 @@ object JsonKernels {
     } catch { case _: Exception => null }
   }
 
+  /** JSONExtractArrayRaw: each top-level array element as its raw
+    * JSON text — string scalars stay QUOTED (`"a"`, not `a`), unlike
+    * get_json_object, so the documented ArrayRaw-then-JSONExtract
+    * idiom round-trips every element type. Elements re-serialize
+    * compactly (insignificant whitespace normalized — the one
+    * deviation from CH's byte-slice raw). Non-array or malformed
+    * input degrades to [] (CH's convention). */
+  def arrayRaw(j: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (j == null) return null
+    try {
+      val root = mapper.readTree(j.toString)
+      if (root == null || !root.isArray) return empty
+      val out = new Array[Any](root.size())
+      var i = 0
+      while (i < root.size()) {
+        out(i) = UTF8String.fromString(mapper.writeValueAsString(root.get(i)))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } catch { case _: Exception => empty }
+  }
+
   private def merge(target: JsonNode, patch: JsonNode): JsonNode =
     if (!patch.isObject) patch
     else {

@@ -320,4 +320,12 @@ class ChDialectSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate") && plan.contains("partial_count"))
   }
+
+  test("the dialect registry has no duplicate names (a later entry would shadow an earlier one)") {
+    // registration is Seq-ordered and last-wins, so a duplicate key is
+    // silently dead code — catch it here instead
+    val dups = graft.plans.ChDialect.functions.map(_._1)
+      .groupBy(identity).collect { case (n, occ) if occ.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate dialect registrations: ${dups.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -454,7 +454,8 @@ class DialectRound7gSpec extends SparkSpec {
                                  JSONExtractArrayRaw('[1,"x",true]') AS mix,
                                  JSONExtractArrayRaw('{"not":"array"}') AS na""").head()
     assert(r1.getSeq[String](0) == Seq("""{"a":1}""", """{"a":2}"""))
-    assert(r1.getSeq[String](1) == Seq("1", "x", "true"))
+    // string scalars stay QUOTED — raw JSON text, not the unquoted value
+    assert(r1.getSeq[String](1) == Seq("1", "\"x\"", "true"))
     assert(r1.getSeq[String](2).isEmpty) // non-array degrades to []
     // per-element follow-up extraction — the idiom ArrayRaw exists for
     val ext = spark.sql(
