@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output bypasses sbt's logger: without this every line the
+// program prints arrives as "[info] {...}", and the driver's bench
+// parser (which matches a line STARTING with '{') never sees the
+// summary JSON (BENCH_r10/r11 both landed with parsed: null).
+Compile / run / outputStrategy := Some(StdoutOutput) // runMain uses it too
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

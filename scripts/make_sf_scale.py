@@ -44,6 +44,9 @@ con = duckdb.connect()
 import pathlib
 pathlib.Path(OUT).mkdir(parents=True, exist_ok=True)
 
+EMB_DIM = con.execute(
+    f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1").fetchone()[0]
+
 for t in copy_asis:
     con.execute(
         f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT parquet)")
@@ -59,9 +62,19 @@ def perturb(table, col, i):
         return f"regexp_replace({col}, '(\\w+)', '\\1r{i}', 'g') AS {col}"
     if table == "embeddings" and col == "embedding":
         # circular rotation by replica index: same dim and norm,
-        # generally dissimilar direction
-        return (f"(list_slice({col}, {i + 1}, len({col})) || "
-                f"list_slice({col}, 1, {i})) AS {col}")
+        # generally dissimilar direction. The rotation index wraps at
+        # the corpus dim (64), so replicas >= dim would EXACTLY clone
+        # replicas i-dim (the round-12 sf10 rehearsal surfaced 1.3M
+        # spurious verified pairs this way); past one full cycle the
+        # vector is additionally negated — cos(v, -rot(v)) = -cos,
+        # never a near-dup — giving 2*dim distinct transforms.
+        assert i < 2 * EMB_DIM, "embedding decorrelation supports < 2*dim replicas"
+        r = i % EMB_DIM
+        rot = (f"(list_slice({col}, {r + 1}, len({col})) || "
+               f"list_slice({col}, 1, {r}))")
+        if i >= EMB_DIM:
+            rot = f"list_transform({rot}, x -> -x)"
+        return f"{rot} AS {col}"
     return col
 
 for t, (keys, _) in facts.items():

@@ -119,6 +119,37 @@ object LshAudit {
       emit("q51_ann_lsh", ("vectors" -> n) +: (("planes" -> annPlanes.toLong) +: c), sec)
     }
 
+    // DEFAULT-dial rehearsal (round 12): the same two families with
+    // numPlanes = autoPlanes(N) — the dial nothing but the corpus
+    // count turns. Run at sf0.1/sf1/sf10 these rows are the evidence
+    // that the default keeps candidate growth ~linear, where the
+    // fixed-dial rows above pin the quadratic exponent a
+    // misconfigured caller would hit.
+    locally {
+      val n = t.embeddings.count()
+      val planes = Similarity.autoPlanes(n)
+      val ((coded, st), _) = timed(Similarity.semanticDedupInternals(
+        t.embeddings, "vec_id", "embedding", numPlanes = planes, dim = 64, minCos = 0.85))
+      val (c, sec) = timed {
+        val occ = coded.groupBy("__bucket").count()
+          .agg(max("count"), count(lit(1))).head()
+        Seq("vectors" -> n,
+            "planes" -> planes.toLong,
+            "distinct_buckets" -> occ.getLong(1),
+            "max_bucket_occupancy" -> occ.getLong(0)) ++ stageCounts(st)
+      }
+      emit("q47_semdedup_auto", c, sec)
+    }
+
+    locally {
+      val n = t.embeddings.count()
+      val planes = Similarity.autoPlanes(n)
+      val (c, sec) = timed(stageCounts(Similarity.lshAnnStages(
+        t.embeddings, "vec_id", "embedding",
+        numPlanes = planes, numTables = 8, minCos = 0.4, dim = 64)))
+      emit("q51_ann_lsh_auto", ("vectors" -> n) +: (("planes" -> planes.toLong) +: c), sec)
+    }
+
     spark.stop()
   }
 }

@@ -124,6 +124,47 @@ object Similarity {
     * where the uncapped rule would drop it. Truncation is
     * observable via the `graft_semdedup_cap` [[DataFrame.observe]]
     * metric (`truncated_reps` > 0 ⇒ the cap engaged). */
+  /** Scale-aware default for the hyperplane-count dial: the smallest
+    * plane count whose EXPECTED bucket occupancy N / 2^planes lands
+    * at or under `targetOccupancy` — planes = ceil(log₂(N / target)).
+    * This is the knob the sf0.1/sf1/sf10 candidate audit proved
+    * matters: at FIXED planes, within-bucket candidate pairs grow
+    * quadratically in the scale factor (measured 97.7×/100.3× pairs
+    * for 10× data), while growing planes with log₂(N) restores
+    * ~linear total work (docs/AUDIT_lsh_r11.md). Clamped to [4, 30]:
+    * ≥4 keeps toy corpora from collapsing into a handful of buckets,
+    * ≤30 (a billion buckets) is past any realistic occupancy need
+    * and keeps multi-table ids comfortably inside the packed Long. */
+  def autoPlanes(n: Long, targetOccupancy: Int = 64): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val ratio = math.max(n, 1L).toDouble / targetOccupancy
+    val raw = math.ceil(math.log(math.max(ratio, 1.0)) / math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
+  /** [[semanticDedup]] with the plane dial computed from the corpus
+    * count — the safe-by-default entry point for corpora of unknown
+    * size. One extra count job (metadata-cheap on parquet sources)
+    * buys immunity from the measured quadratic-at-fixed-planes
+    * failure mode. The chosen dial and achieved occupancy are
+    * observable on the result via the `graft_lsh_dial` metric
+    * (rows / buckets ≫ targetOccupancy ⇒ the corpus is
+    * mass-duplicated or lives in a low-dim subspace — grow
+    * `targetOccupancy` pressure by raising planes manually or accept
+    * the maxBucket cap doing its job). The explicit-planes overload
+    * stays for pinned/oracled formulations (q47's formula planes). */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, minCos: Double,
+                        targetOccupancy: Int = 64,
+                        maxBucket: Int = 4096): DataFrame = {
+    val planes = autoPlanes(df.count(), targetOccupancy)
+    semanticDedup(df, idCol, vecCol, planes, dim, minCos, maxBucket)
+      .observe("graft_lsh_dial",
+        max(lit(planes)).as("planes"),
+        count(lit(1)).as("rows"),
+        approx_count_distinct(col("bucket")).as("buckets"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     numPlanes: Int, dim: Int, minCos: Double,
                     maxBucket: Int = 4096): DataFrame = {
@@ -186,6 +227,22 @@ object Similarity {
                   maxBucket: Int = 4096): DataFrame =
     lshAnnStages(df, idCol, vecCol, numPlanes, numTables, minCos, dim, maxBucket).verified
 
+  /** [[lshAnnPairs]] with the per-table plane dial computed from the
+    * corpus count ([[autoPlanes]]) — same rationale as
+    * [[semanticDedupAuto]]: at fixed planes the per-table bucket
+    * join's candidate count grows quadratically in corpus size
+    * (measured; docs/AUDIT_lsh_r11.md), and OR-amplification across
+    * `numTables` multiplies that. planes = ceil(log₂(N/target))
+    * keeps expected occupancy — and so candidates per table —
+    * ~linear in N at a recall cost the table count buys back. */
+  def lshAnnPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                      numTables: Int = 4, minCos: Double = 0.3,
+                      dim: Int = MaxDim, maxBucket: Int = 4096,
+                      targetOccupancy: Int = 64): DataFrame = {
+    val planes = autoPlanes(df.count(), targetOccupancy)
+    lshAnnStages(df, idCol, vecCol, planes, numTables, minCos, dim, maxBucket).verified
+  }
+
   /** Stage frames for `graft.LshAudit` (capped bucket rows, candidate
     * pairs, cosine-verified pairs) — the actual plan stages, so
     * rehearsal scaling attributes to the stage that grew. */
@@ -245,6 +302,28 @@ object Similarity {
     *    probe's scan prunes to `nprobe` directories at the file index
     *    — the inverted file IS the storage layout.
     */
+  /** Scale-aware default for the IVF cell count: nlist ≈ √N — the
+    * classic probe-cost balance (a probe scores nlist centroids plus
+    * ~nprobe·N/nlist candidates; the sum minimizes near √N for small
+    * nprobe). Clamped to [16, maxSample/8] so the driver-side Lloyd
+    * fit keeps ≥8 sample rows per centroid; past the cap (N ≳ 39M at
+    * the default sample) raise `maxSample` with nlist — centroid
+    * geometry still converges from a sample, the cap only guards the
+    * fit's row-per-cell budget. The probe trade stays the caller's:
+    * recall is bought with `nprobe`, and the partition-pruned scan
+    * reads ~nprobe/nlist of the corpus regardless of how nlist was
+    * chosen. */
+  def autoNlist(n: Long, maxSample: Int = 50000): Int = {
+    val raw = math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt
+    math.min(math.max(16, maxSample / 8), math.max(16, raw))
+  }
+
+  /** [[ivfIndex]] with nlist from [[autoNlist]] — the safe default
+    * for corpora of unknown size (one extra count job). */
+  def ivfIndexAuto(df: DataFrame, idCol: String, vecCol: String,
+                   seed: Long = 42L): (DataFrame, Array[Array[Double]]) =
+    ivfIndex(df, idCol, vecCol, autoNlist(df.count()), seed)
+
   def ivfFit(df: DataFrame, vecCol: String, nlist: Int,
              sampleFraction: Double = 1.0, seed: Long = 42L,
              maxSample: Int = 50000): Array[Array[Double]] = {

@@ -1732,46 +1732,101 @@ object ChSqlParser {
   private val WithFill =
     """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
-  /** ClickHouse `ASOF [LEFT] JOIN` — the nearest-preceding-match join
-    * — rewritten to a correlated LATERAL subquery with `ORDER BY
-    * <right time ref> LIMIT 1`, which Catalyst DECORRELATES into a
-    * rank-based hash join (no per-row execution; verified in the
-    * spec's plan). Supported subset, everything else passing through
-    * to fail loudly on the ASOF token: named right table with alias,
-    * ON as a top-level AND list holding exactly ONE inequality whose
-    * one side references the right alias. The inequality's direction
-    * picks the LATERAL sort (probe ≥ right → latest-before, DESC).
-    * Ties at equal right timestamps are CH-unspecified; dedupe the
-    * right side per (key, time) first for determinism, as q93b does.
-    * [[graft.operators.AsofJoin]] remains the DataFrame-first path —
-    * this rewrite serves migrated SQL text. */
+  /** ClickHouse `ASOF [LEFT] JOIN` — the nearest-match temporal join
+    * — rewritten to the SCALE-SAFE union+window shape of
+    * [[graft.operators.AsofJoin]] (round 12; the round-5 form was a
+    * LATERAL `ORDER BY … LIMIT 1`, which Catalyst decorrelates into
+    * a nested-loop DOMAIN join — O(probes × right) at scale):
+    *
+    *  1. UNION ALL the right rows (payload as `struct(right.*)`,
+    *     side 0) with the DISTINCT probe (key, time) markers
+    *     (side 1, NULL payload);
+    *  2. one key-partitioned window ordered by (time, side) carries
+    *     `last(payload, ignoreNulls)` onto every probe marker —
+    *     side order at equal times encodes inclusive (right first)
+    *     vs strict (probe first), time direction encodes
+    *     latest-before (≥/>) vs earliest-after (≤/<);
+    *  3. equi-join the probe table back on (key, time).
+    *
+    * Cost: one shuffle on the key for the window + one equi shuffle
+    * for the re-join — no inequality ever reaches a join condition,
+    * so the plan audit shows hash/merge joins only.
+    *
+    * Supported subset, everything else passing through to fail
+    * loudly on the ASOF token: named tables with aliases, ON as a
+    * top-level AND list of ≥1 equalities (each side referencing
+    * exactly one alias) plus exactly ONE inequality. Ties at equal
+    * right timestamps are CH-unspecified; dedupe the right side per
+    * (key, time) first for determinism, as q93b does.
+    * [[graft.operators.AsofJoin]] remains the DataFrame-first
+    * path — this rewrite serves migrated SQL text. */
   private val AsofJoinClause =
     ("""(?is)\bFROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ASOF\s+(LEFT\s+)?JOIN\s+""" +
      """([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+(.+?)""" +
      """(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|SETTINGS)\b|\s*;?\s*$)""").r
 
   private val IneqCond = """(?s)^(.+?)\s*(<=|>=|<|>)\s*(.+)$""".r
+  private val EqCond = """(?s)^([^=<>!]+)=([^=<>!]+)$""".r
 
   private def rewriteAsofJoin(sql: String): String =
     AsofJoinClause.replaceAllIn(sql, m => {
       val (t1, a1, t2, a2) = (m.group(1), m.group(2), m.group(4), m.group(5))
       val parts = m.group(6).split("(?i)\\s+AND\\s+").map(_.trim).toSeq
       val ineqs = parts.collect { case p @ IneqCond(_, _, _) => p }
+      def refs(e: String, a: String) = e.contains(a + ".")
+      // orient an (x, y) pair to (a1-side expr, a2-side expr); None
+      // when a side references both aliases or neither
+      def orient(x: String, y: String): Option[(String, String)] =
+        if (refs(x, a1) && !refs(x, a2) && refs(y, a2) && !refs(y, a1)) Some((x, y))
+        else if (refs(x, a2) && !refs(x, a1) && refs(y, a1) && !refs(y, a2)) Some((y, x))
+        else None
       val rewritten = ineqs match {
-        case Seq(IneqCond(lhs, op, rhs)) =>
-          val (l, r) = (lhs.trim, rhs.trim)
-          val a2Left  = l.startsWith(a2 + ".")
-          val a2Right = r.startsWith(a2 + ".")
-          if (a2Left == a2Right) None // ambiguous/unsupported → untouched
-          else {
-            val a2Ref = if (a2Left) l else r
-            // normalize to probe-on-the-left form to pick the sort
-            val effOp = if (a2Right) op
-                        else op match { case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case _ => ">" }
-            val dir = if (effOp == ">=" || effOp == ">") "DESC" else "ASC"
-            val left = if (m.group(3) != null) "LEFT " else ""
-            Some(s"FROM $t1 $a1 ${left}JOIN LATERAL (SELECT * FROM $t2 $a2 " +
-                 s"WHERE ${parts.mkString(" AND ")} ORDER BY $a2Ref $dir LIMIT 1) $a2 ON true")
+        case Seq(IneqCond(lhs, op0, rhs)) =>
+          val eqPairsOpt: Option[Seq[(String, String)]] = {
+            val eqs = parts.filterNot(ineqs.contains).map {
+              case EqCond(x, y) => orient(x.trim, y.trim)
+              case _            => None
+            }
+            if (eqs.nonEmpty && eqs.forall(_.isDefined)) Some(eqs.flatten) else None
+          }
+          val normOpt = orient(lhs.trim, rhs.trim).map { case (le, re) =>
+            // op as seen with the probe expr on the LEFT
+            val op = if (refs(lhs.trim, a1)) op0
+                     else op0 match { case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case _ => ">" }
+            (le, op, re)
+          }
+          (eqPairsOpt, normOpt) match {
+            case (Some(eqPairs), Some((lt, op, rt))) =>
+              val ks = eqPairs.indices.map(i => s"__asof_k$i")
+              val partBy = ks.mkString(", ")
+              val rKeys = eqPairs.zipWithIndex.map { case ((_, re), i) => s"$re AS __asof_k$i" }.mkString(", ")
+              val lKeys = eqPairs.map(_._1).mkString(", ")
+              // time direction: ≥/> look back (latest-before), ≤/<
+              // look forward; side order at equal times: inclusive →
+              // right rows (side 0) visible, strict → probe marker
+              // (side 1) first so equal-time rights are excluded
+              val tDir = if (op == "<=" || op == "<") " DESC" else ""
+              val sDir = if (op == ">" || op == "<") " DESC" else ""
+              val onEq = eqPairs.zipWithIndex.map { case ((le, _), i) => s"$le = $a2.__asof_k$i" }
+                .mkString(" AND ")
+              val left = if (m.group(3) != null) "LEFT " else ""
+              Some(
+                s"""FROM $t1 $a1 ${left}JOIN (
+                   |  SELECT $partBy, __asof_t, __asof_m.*
+                   |  FROM (
+                   |    SELECT $partBy, __asof_t, __asof_side,
+                   |           last(__asof_r, true) OVER (PARTITION BY $partBy
+                   |             ORDER BY __asof_t$tDir, __asof_side$sDir
+                   |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_m
+                   |    FROM (
+                   |      SELECT $rKeys, $rt AS __asof_t, struct($a2.*) AS __asof_r, 0 AS __asof_side FROM $t2 $a2
+                   |      UNION ALL
+                   |      SELECT DISTINCT $lKeys, $lt, NULL, 1 FROM $t1 $a1
+                   |    ) __asof_u
+                   |  ) __asof_w
+                   |  WHERE __asof_side = 1 AND __asof_m IS NOT NULL
+                   |) $a2 ON $onEq AND $lt = $a2.__asof_t""".stripMargin)
+            case _ => None // unsupported shape → untouched, fails loudly on ASOF
           }
         case _ => None
       }

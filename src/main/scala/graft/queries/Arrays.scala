@@ -96,29 +96,25 @@ object Arrays {
   )
 
   /** ClickHouse `ASOF LEFT JOIN` SQL text verbatim: ChSqlParser
-    * rewrites it to a correlated LATERAL + LIMIT 1, which Catalyst
-    * decorrelates into window-group-limit ranking — but the time
-    * inequality lands in a domain-side nested-loop join, so the SQL
-    * form is O(probes × right) and the registry entry BOUNDS BOTH
-    * sides on the same equi-key slice (user_id < 20), the same
-    * explicit-anchor treatment q44 gets. Unbounded ASOF at scale is [[graft.operators.AsofJoin]]
-    * (q93): one shuffle, window over the union, no cross term. The
-    * click side is deduped per (user, ts) first — ties at equal
-    * timestamps are CH-unspecified, the dedupe makes both engines
-    * deterministic (q93's oracle convention). */
+    * rewrites it (round 12) to the SAME union+window shape as
+    * [[graft.operators.AsofJoin]] (q93) — right rows and distinct
+    * probe markers through one key-partitioned window, then an
+    * equi-join back to the probe table. No inequality reaches a join
+    * condition, so the verbatim SQL spelling is now scale-safe and
+    * this entry runs UNBOUNDED over the full events table (the
+    * round-5 LATERAL+LIMIT 1 form planned a nested-loop domain join
+    * and had to anchor both sides to a bounded key slice). The click
+    * side is deduped per (user, ts) first — ties at equal timestamps
+    * are CH-unspecified, the dedupe makes both engines deterministic
+    * (q93's oracle convention). */
   val q93b = GraftQuery(
     "q93b_asof_sql",
     (s, dir) => {
       val e = Tables(s, dir).events
-      e.where(col("event_type") === "purchase" && col("user_id") < 20)
+      e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
         .createOrReplaceTempView("purch_aj")
-      // The equi-key user_id < 20 slice applies to BOTH sides: the
-      // decorrelated plan carries `p.ts >= c.ts` in a nested-loop
-      // join, so an unsliced click stream makes it O(probes × all
-      // clicks). Slicing the build side on the same equi-key is
-      // semantics-preserving and bounds both BNLJ inputs.
-      e.where(col("event_type") === "click" && col("user_id") < 20)
+      e.where(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
         .createOrReplaceTempView("clicks_aj")
       s.sql("""SELECT p.user_id, p.purchase_id, c.click_id
@@ -127,9 +123,9 @@ object Arrays {
                ORDER BY p.purchase_id""")
     },
     Some("""WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
-                       WHERE event_type = 'purchase' AND user_id < 20),
+                       WHERE event_type = 'purchase'),
                  c0 AS (SELECT user_id, ts, event_id AS click_id FROM events
-                        WHERE event_type = 'click' AND user_id < 20),
+                        WHERE event_type = 'click'),
                  c AS (SELECT user_id, ts, max(click_id) AS click_id FROM c0 GROUP BY 1, 2)
             SELECT p.user_id, p.purchase_id, c.click_id
             FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -730,12 +730,15 @@ class DialectRound5Spec extends SparkSpec {
     assert(thrown.getMessage.contains("data quality gate"))
   }
 
-  test("ASOF JOIN rewrites to lateral limit-1; unsupported shapes untouched") {
+  test("ASOF JOIN rewrites to the union+window shape; unsupported shapes untouched") {
     import graft.plans.ChSqlParser.rewriteParametric
     val out = rewriteParametric(
       "SELECT p.x FROM probes p ASOF LEFT JOIN clicks c ON p.k = c.k AND p.ts >= c.ts ORDER BY p.x")
-    assert(out.contains("LEFT JOIN LATERAL"))
-    assert(out.contains("ORDER BY c.ts DESC LIMIT 1"))
+    // the scale-safe shape: right rows + probe markers through one
+    // key-partitioned window, re-joined on equality — no LATERAL
+    assert(out.contains("UNION ALL") && out.contains("last(__asof_r, true) OVER"))
+    assert(!out.toUpperCase.contains("LATERAL"))
+    assert(out.contains("ORDER BY __asof_t, __asof_side\n")) // inclusive latest-before
     // inner form, flipped operand order: still resolves direction
     val inner = rewriteParametric(
       "SELECT 1 FROM a x ASOF JOIN b y ON c.ts <= x.ts AND x.k = y.k WHERE x.k > 0")
@@ -743,17 +746,53 @@ class DialectRound5Spec extends SparkSpec {
     assert(inner.contains("ASOF"))
     val flipped = rewriteParametric(
       "SELECT 1 FROM a x ASOF JOIN b y ON y.ts <= x.ts AND x.k = y.k")
-    assert(flipped.contains("JOIN LATERAL") && flipped.contains("ORDER BY y.ts DESC LIMIT 1"))
+    assert(flipped.contains("UNION ALL") && flipped.contains("ORDER BY __asof_t, __asof_side\n"))
+    // strict inequality excludes equal-time right rows: probe marker
+    // sorts FIRST at equal times
+    val strict = rewriteParametric(
+      "SELECT 1 FROM a x ASOF JOIN b y ON x.ts > y.ts AND x.k = y.k")
+    assert(strict.contains("ORDER BY __asof_t, __asof_side DESC"))
+    // earliest-after direction flips the time sort
+    val fwd = rewriteParametric(
+      "SELECT 1 FROM a x ASOF JOIN b y ON x.ts <= y.ts AND x.k = y.k")
+    assert(fwd.contains("ORDER BY __asof_t DESC, __asof_side\n"))
     // end-to-end semantics (nearest preceding per key)
     Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "ts", "p").createOrReplaceTempView("asof_p")
     Seq((1L, 8L, "c1"), (1L, 15L, "c2"), (2L, 9L, "c3"))
       .toDF("k", "ts", "c").createOrReplaceTempView("asof_c")
-    val got = spark.sql(
-      """SELECT p.p, c.c FROM asof_p p ASOF LEFT JOIN asof_c c
-        |ON p.k = c.k AND p.ts >= c.ts ORDER BY p.p""".stripMargin)
-      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    val q = """SELECT p.p, c.c FROM asof_p p ASOF LEFT JOIN asof_c c
+              |ON p.k = c.k AND p.ts >= c.ts ORDER BY p.p""".stripMargin
+    val df = spark.sql(q)
+    val got = df.collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
     assert(got == Seq(("p1", "c1"), ("p2", "c2"), ("p3", null)))
+    // the plan is nested-loop free — the inequality never reaches a
+    // join condition (the round-5 LATERAL form planned a BNLJ domain join)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // inclusive boundary: a click AT the purchase time matches; strict
+    // (>) must skip it and take the earlier click
+    Seq((1L, 15L, "pX")).toDF("k", "ts", "p").createOrReplaceTempView("asof_p2")
+    val incl = spark.sql(
+      """SELECT c.c FROM asof_p2 p ASOF LEFT JOIN asof_c c
+        |ON p.k = c.k AND p.ts >= c.ts""".stripMargin).head()
+    assert(incl.getString(0) == "c2")
+    val strictGot = spark.sql(
+      """SELECT c.c FROM asof_p2 p ASOF LEFT JOIN asof_c c
+        |ON p.k = c.k AND p.ts > c.ts""".stripMargin).head()
+    assert(strictGot.getString(0) == "c1")
+    // inner ASOF drops unmatched probes
+    val innerGot = spark.sql(
+      """SELECT p.p, c.c FROM asof_p p ASOF JOIN asof_c c
+        |ON p.k = c.k AND p.ts >= c.ts ORDER BY p.p""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(innerGot == Seq("p1", "p2"))
+    // earliest-after: nearest FOLLOWING click
+    val after = spark.sql(
+      """SELECT p.p, c.c FROM asof_p p ASOF LEFT JOIN asof_c c
+        |ON p.k = c.k AND p.ts <= c.ts ORDER BY p.p""".stripMargin)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(after == Seq(("p1", "c2"), ("p2", null), ("p3", "c3")))
   }
 
   test("plural exact quantiles, groupArrayInsertAt") {
