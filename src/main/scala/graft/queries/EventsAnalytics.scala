@@ -656,6 +656,92 @@ object EventsAnalytics {
             ORDER BY id"""),
   )
 
+  /** The COMPOSED multimodal pipeline in one gate query (round 12):
+    * decode → real-pixel embedding → semantic dedup — certifying the
+    * stages CHAIN, not just pass individually. Corpus: 8×8 PNGs of
+    * 2×2 constant gray blocks, so [[Binary.ImageGridFeatures]]' 4×4
+    * grid means recover the 16 block values EXACTLY (constant cells
+    * — no summation-order sensitivity) and the embedding is the
+    * block array/255, which the oracle recomputes from the VALUES
+    * literals. Duplicate payloads are byte-identical → cosine 1.0 →
+    * `semanticDedup` drops all but the lowest id; the distinct
+    * patterns sit at cosine ≤ 0.70 (checkerboard/inverse/ramp),
+    * far under minCos = 0.99, so survivorship is exactly
+    * "no lower id with identical blocks" — which the oracle states
+    * declaratively. The junk payload embeds all-zero — no direction,
+    * no cosine — so only decodable rows enter the dedup and the junk
+    * row flows through flagged (ok = false, trivially surviving),
+    * never an exception. */
+  val q80f = GraftQuery(
+    "q80f_multimodal_dedup",
+    (s, dir) => {
+      import s.implicits._
+      def blockPng(cells: Array[Int]): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v = cells((y / 2) * 4 + (x / 2))
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val pA = Array.tabulate(16)(i => if (i % 2 == 0) 20 else 235)  // checkerboard
+      val pB = Array.tabulate(16)(i => if (i % 2 == 0) 235 else 20)  // inverse (cos 0.17 vs A)
+      val pC = Array.tabulate(16)(i => 8 + 15 * i)                   // ramp (cos ≤ 0.70 vs A/B)
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        1L -> blockPng(pA), 2L -> blockPng(pA), 3L -> blockPng(pB),
+        4L -> blockPng(pA), 5L -> Array[Byte](9, 9, 9), 6L -> blockPng(pC))
+      val decoded = Binary.decodeStage(rows.toDF("id", "payload"), "payload", Binary.ImageIoDecoder)
+      val feat = Binary.featureStage(decoded, "payload", dim = 16, Binary.ImageGridFeatures)
+      // only decodable rows have a direction to dedup on (a zero
+      // embedding has no cosine — ANSI division); undecodable rows
+      // pass through flagged, trivially surviving
+      val dedup = graft.operators.Similarity.semanticDedup(
+        feat.where($"media_info.ok").select($"id", $"features"), "id", "features",
+        numPlanes = 6, dim = 16, minCos = 0.99)
+      feat.join(dedup.select($"id", $"survived"), Seq("id"), "left")
+        .withColumn("survived", coalesce($"survived", lit(true)))
+        .select($"id", $"media_info.width".as("width"), $"media_info.height".as("height"),
+          $"media_info.ok".as("ok"),
+          round(element_at($"features", 1).cast("double"), 4).as("emb0"),
+          round(element_at($"features", 2).cast("double"), 4).as("emb1"),
+          round(element_at($"features", 3).cast("double"), 4).as("emb2"),
+          round(element_at($"features", 4).cast("double"), 4).as("emb3"),
+          $"survived")
+        .orderBy("id")
+    },
+    Some("""WITH cells(id, c) AS (VALUES
+              (CAST(1 AS BIGINT), [20,235,20,235,20,235,20,235,20,235,20,235,20,235,20,235]),
+              (2, [20,235,20,235,20,235,20,235,20,235,20,235,20,235,20,235]),
+              (3, [235,20,235,20,235,20,235,20,235,20,235,20,235,20,235,20]),
+              (4, [20,235,20,235,20,235,20,235,20,235,20,235,20,235,20,235]),
+              (6, [8,23,38,53,68,83,98,113,128,143,158,173,188,203,218,233])),
+            emb AS (SELECT id,
+                      round((0.299*c[1] + 0.587*c[1] + 0.114*c[1])/255.0, 4) AS emb0,
+                      round((0.299*c[2] + 0.587*c[2] + 0.114*c[2])/255.0, 4) AS emb1,
+                      round((0.299*c[3] + 0.587*c[3] + 0.114*c[3])/255.0, 4) AS emb2,
+                      round((0.299*c[4] + 0.587*c[4] + 0.114*c[4])/255.0, 4) AS emb3
+                    FROM cells),
+            surv AS (SELECT a.id,
+                       NOT EXISTS (SELECT 1 FROM cells b WHERE b.id < a.id AND b.c = a.c) AS survived
+                     FROM cells a)
+            SELECT cells.id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, TRUE AS ok,
+                   emb0, emb1, emb2, emb3, survived
+            FROM cells JOIN emb USING (id) JOIN surv USING (id)
+            UNION ALL
+            SELECT CAST(5 AS BIGINT), 0, 0, FALSE,
+                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), TRUE
+            ORDER BY id"""),
+  )
+
   /** Continuous funnel IN the gate:
     * [[graft.streaming.StatefulFunnel.funnelUpdates]] (per-user
     * state-store fold — the continuous windowFunnel materialized
@@ -883,5 +969,5 @@ object EventsAnalytics {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q80e, q107, q108)
+    Seq(q70, q71, q72, q73, q73b, q74, q75, q75b, q76, q77, q77b, q77c, q77d, q78, q78b, q80, q80b, q80c, q80d, q80e, q80f, q107, q108)
 }
