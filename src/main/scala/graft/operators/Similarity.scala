@@ -39,13 +39,18 @@ object Similarity {
   }
 
   /** All-pairs cosine near-duplicates above `minCos` (exact). The
-    * self-join is broadcast when one side is small; at corpus scale
-    * use lshAnnPairs instead. */
+    * operator's contract is a BOUNDED input (at corpus scale use
+    * lshAnnPairs instead), so the build side carries an explicit
+    * broadcast hint: without it, a bounded slice OF a large table
+    * loses its small size estimate to the base table's stats and
+    * Catalyst degrades the inequality join from a broadcast
+    * nested-loop to a shuffled CartesianProduct (observed at the
+    * sf10 rehearsal). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val base = withNorm(df, vecCol)
     val a = base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na"))
     val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)

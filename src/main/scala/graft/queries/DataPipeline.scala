@@ -287,12 +287,18 @@ object DataPipeline {
   )
 
   /** Random-hyperplane LSH ANN pairs (seeded planes; rows-only;
-    * recall vs q44 is asserted in GraftSpec). */
+    * recall vs q44 is asserted in GraftSpec). Round 12: the registry
+    * entry runs the AUTO dial — planes = ceil(log₂(N/64)) from the
+    * corpus count — so the production spelling carries the
+    * scale-safe default the audit measured (fixed 8 planes went
+    * 32× in bench for 10× data at the sf10 rehearsal; the auto dial
+    * is ~linear). At the gate's sf0.01 the dial lands on the same
+    * effective bucketing family, still rows-only by design. */
   val q51 = GraftQuery(
     "q51_ann_lsh",
-    (s, dir) => Similarity.lshAnnPairs(
+    (s, dir) => Similarity.lshAnnPairsAuto(
         Tables(s, dir).embeddings, "vec_id", "embedding",
-        numPlanes = 8, numTables = 8, minCos = 0.4, dim = 64)
+        numTables = 8, minCos = 0.4, dim = 64)
       .orderBy("id_a", "id_b"),
     None,
   )
@@ -725,7 +731,12 @@ object DataPipeline {
     "q55_vector_math",
     (s, dir) => {
       Tables(s, dir).embeddings.createOrReplaceTempView("emb_vm")
-      s.sql("""SELECT e.vec_id,
+      // BROADCAST(p): the 1-row probe subquery inherits the BASE
+      // table's size estimate, so at large SF the planner degrades
+      // the cross join from broadcast-nested-loop to a shuffled
+      // CartesianProduct (observed at the sf10 rehearsal); the hint
+      // pins the bounded-anchor shape at every scale factor
+      s.sql("""SELECT /*+ BROADCAST(p) */ e.vec_id,
                       round(dotProduct(e.embedding, p.embedding), 4) AS dot,
                       round(L2Distance(e.embedding, p.embedding), 4) AS l2,
                       round(L1Distance(e.embedding, p.embedding), 4) AS l1,
