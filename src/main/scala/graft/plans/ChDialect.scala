@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, DoubleType, IntegerType, LongType, NumericType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** ClickHouse-dialect SQL function names registered straight into the
@@ -198,6 +198,26 @@ object ChDialect {
     "dateTime64ToSnowflake" -> (es => ShiftLeft(Subtract(
       Cast(Divide(Cast(UnixMicros(Cast(es.head, TimestampType)), DoubleType), Literal(1000.0d)), LongType),
       Literal(1288834974657L)), Literal(22))),
+    // the ID-suffixed trio is the UNIX-epoch generation (the pair CH
+    // introduced alongside generateSnowflakeID): 41-bit unix-ms,
+    // 10-bit machine — the Spark PARTITION id, each task its own
+    // generator — and a 12-bit sequence from the partition-local
+    // monotonic counter. Timestamp folds per query (CurrentTimestamp
+    // — same documented difference as generateUUIDv7); ids within one
+    // query stay distinct up to 4096 rows per partition per moment,
+    // CH's own per-generator sequence bound.
+    "generateSnowflakeID" -> (_ => BitwiseOr(BitwiseOr(
+      ShiftLeft(UnixMillis(CurrentTimestamp()), Literal(22)),
+      ShiftLeft(BitwiseAnd(Cast(SparkPartitionID(), LongType), Literal(1023L)), Literal(12))),
+      BitwiseAnd(MonotonicallyIncreasingID(), Literal(4095L)))),
+    "snowflakeIDToDateTime" -> (es => MillisToTimestamp(
+      ShiftRight(Cast(es.head, LongType), Literal(22)))),
+    "snowflakeIDToDateTime64" -> (es => MillisToTimestamp(
+      ShiftRight(Cast(es.head, LongType), Literal(22)))),
+    "dateTimeToSnowflakeID" -> (es => ShiftLeft(
+      UnixMillis(Cast(es.head, TimestampType)), Literal(22))),
+    "dateTime64ToSnowflakeID" -> (es => ShiftLeft(
+      UnixMillis(Cast(es.head, TimestampType)), Literal(22))),
     // Spark timestamps are instants rendered in the session zone;
     // toTimeZone's "same instant, different wall clock" is
     // from_utc_timestamp under the session's pinned-UTC convention
@@ -226,6 +246,10 @@ object ChDialect {
         Cast(Subtract(Cast(doy, LongType), Literal(1L)), IntegerType))
       case _ => throw new IllegalArgumentException("makeDate takes (year, month, day) or (year, dayofyear)")
     }),
+    // Date32 carries the same calendar on a wider range; Spark DATE
+    // already covers it, so the 32 spelling is the same construction
+    "makeDate32" -> (es =>
+      MakeDate(Cast(es(0), IntegerType), Cast(es(1), IntegerType), Cast(es(2), IntegerType))),
     "makeDateTime" -> (es => MakeTimestamp(
       Cast(es(0), IntegerType), Cast(es(1), IntegerType), Cast(es(2), IntegerType),
       Cast(es(3), IntegerType), Cast(es(4), IntegerType),
@@ -1632,6 +1656,11 @@ object ChDialect {
       case Seq(n, x, y) => GraftSparkbar(n, Cast(x, DoubleType), Cast(y, DoubleType))
       case _            => throw new IllegalArgumentException("sparkbar takes (buckets)(x, y)")
     }),
+    // camelCase alias CH documents for the same aggregate
+    "sparkBar" -> (es => es match {
+      case Seq(n, x, y) => GraftSparkbar(n, Cast(x, DoubleType), Cast(y, DoubleType))
+      case _            => throw new IllegalArgumentException("sparkBar takes (buckets)(x, y)")
+    }),
     "largestTriangleThreeBuckets" -> (es => es match {
       case Seq(n, x, y) => GraftLttb(n, Cast(x, DoubleType), Cast(y, DoubleType))
       case _ => throw new IllegalArgumentException("largestTriangleThreeBuckets takes (n)(x, y)")
@@ -2071,6 +2100,13 @@ object ChDialect {
     // the regexpQuoteMeta composition
     "hasToken" -> (es => hasTokenExpr(es(0), es(1))),
     "hasTokenCaseInsensitive" -> (es => hasTokenExpr(Lower(es(0)), Lower(es(1)))),
+    // subsequence test (characters in order, gaps allowed) — native
+    // two-pointer kernel, SequenceScan; the UTF8 spellings share the
+    // code-unit scan (same convention as the editDistance family)
+    "hasSubsequence"     -> (es => HasSubsequence(es(0), es(1))),
+    "hasSubsequenceUTF8" -> (es => HasSubsequence(es(0), es(1))),
+    "hasSubsequenceCaseInsensitive"     -> (es => HasSubsequence(Lower(es(0)), Lower(es(1)))),
+    "hasSubsequenceCaseInsensitiveUTF8" -> (es => HasSubsequence(Lower(es(0)), Lower(es(1)))),
     "hasTokenOrNull" -> (es =>
       If(RLike(es(1), Literal("^[A-Za-z0-9_]+$")), hasTokenExpr(es(0), es(1)),
         Literal.create(null, org.apache.spark.sql.types.BooleanType))),
@@ -2097,6 +2133,13 @@ object ChDialect {
     // deviation (the engine's types ARE Spark types here)
     "toTypeName" -> (es => TypeOf(es.head)),
     "toColumnTypeName" -> (es => TypeOf(es.head)),
+    // the type's zero value, from the ARGUMENT's resolved type or a
+    // CH type NAME (numerics 0, strings '', dates/times the epoch,
+    // arrays [] — Nullable/other types NULL, as in ClickHouse)
+    "defaultValueOfArgumentType" -> (es => defaultValueOf(es.head.dataType)),
+    "defaultValueOfTypeName" -> (es => defaultValueOf(
+      org.apache.spark.sql.types.DataType.fromDDL(
+        ChSqlParser.chDdlTypeOf(litString(es.head, "defaultValueOfTypeName type"))))),
     // bin()'s byte-string inverse (CH semantics: '0011000000110001'
     // → '01'), not a numeric parse — kernel decodes bit-octets
     "unbin" -> (es => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -2408,6 +2451,11 @@ object ChDialect {
         Literal(16), Literal(10), ansiEnabled = false), LongType)),
     "currentUser"     -> (_ => CurrentUser()),
     "toJSONString"    -> (es => StructsToJson(Map.empty[String, String], es.head)),
+    // one-row text formatting for the name-free formats (CSV/TSV/
+    // Values — composed string expressions, fully codegen'd);
+    // JSONEachRow points at toJSONString, which can name fields
+    "formatRow"          -> (es => formatRowExpr(es, newline = true)),
+    "formatRowNoNewline" -> (es => formatRowExpr(es, newline = false)),
     "generateUUIDv4"  -> (_ => new Uuid()),
     // UUID text ↔ 16-byte binary, pure hex compositions
     "toUUID" -> (es => {
@@ -2578,6 +2626,16 @@ object ChDialect {
     // names; stringJaccardIndex is the character-SET Jaccard
     "editDistance"        -> (es => Levenshtein(es(0), es(1))),
     "levenshteinDistance" -> (es => Levenshtein(es(0), es(1))),
+    // edit distance over ARRAYS under element equality (SequenceScan)
+    "arrayLevenshteinDistance" -> (es => ArrayLevenshteinDistance(es(0), es(1))),
+    // bit-level substring: offset 1-based in bits, negative from the
+    // end; returns BINARY (sliced bits repacked, zero-padded) since
+    // arbitrary bit runs need not be valid UTF-8
+    "bitSlice" -> (es => es match {
+      case Seq(s, o)    => BitSlice(s, Cast(o, LongType), Literal(0L), hasLength = false)
+      case Seq(s, o, l) => BitSlice(s, Cast(o, LongType), Cast(l, LongType), hasLength = true)
+      case _ => throw new IllegalArgumentException("bitSlice takes (s, offset[, length])")
+    }),
     // Spark's levenshtein already counts code points, so the UTF8
     // spelling is the same kernel
     "editDistanceUTF8"    -> (es => Levenshtein(es(0), es(1))),
@@ -2728,6 +2786,22 @@ object ChDialect {
     "geohashDecode" -> (es => GeohashDecode(es.head)),
     "pointInPolygon" -> (es => PointInPolygon(es(0), es(1))),
     "geohashesInBox" -> (es => GeohashesInBox(es)),
+    // -- cartesian polygon family (native expressions, WktPolygons):
+    // Polygon = ARRAY<ARRAY<STRUCT<x,y>>>, ring 0 outer, rest holes
+    "readWKTPolygon"             -> (es => ReadWktPolygon(es.head)),
+    "polygonAreaCartesian"       -> (es => PolygonAreaCartesian(es.head)),
+    "polygonPerimeterCartesian"  -> (es => PolygonPerimeterCartesian(es.head)),
+    "polygonConvexHullCartesian" -> (es => PolygonConvexHullCartesian(es.head)),
+    // -- H3 index math (native expressions, H3Index): pure bit
+    // manipulation over the public cell layout; the geo↔cell
+    // projections stay refused below
+    "h3GetResolution" -> (es => H3GetResolution(Cast(es.head, LongType))),
+    "h3IsValid"       -> (es => H3IsValid(Cast(es.head, LongType))),
+    "h3IsPentagon"    -> (es => H3IsPentagon(Cast(es.head, LongType))),
+    "h3ToParent"      -> (es => H3ToParent(Cast(es(0), LongType), Cast(es(1), IntegerType))),
+    "h3ToChildren"    -> (es => H3ToChildren(Cast(es(0), LongType), Cast(es(1), IntegerType))),
+    "stringToH3"      -> (es => StringToH3(es.head)),
+    "h3ToString"      -> (es => H3ToString(Cast(es.head, LongType))),
     // central angle in degrees (same haversine core as the distance)
     "greatCircleAngle" -> (es => {
       val Seq(lon1, lat1, lon2, lat2) = es.take(4).map(e => ToRadians(Cast(e, DoubleType)))
@@ -3212,9 +3286,36 @@ object ChDialect {
     "regionToCity" -> (_ => throw new UnsupportedOperationException(
       "regionTo* needs an embedded geobase; load it as a dimension table and dictGet it")),
     "geoToH3" -> (_ => throw new UnsupportedOperationException(
-      "the H3/S2 index families need their native libraries; geohashEncode covers the bucketing use")),
+      "the geo↔H3 projections need the native library's icosahedral gnomonic tables; " +
+        "geohashEncode covers the lat/lon bucketing use, and the h3* index math " +
+        "(h3ToParent, h3ToChildren, h3GetResolution, …) runs natively on indexes you already have")),
     "h3ToGeo" -> (_ => throw new UnsupportedOperationException(
-      "the H3/S2 index families need their native libraries; geohashDecode covers the bucketing use")),
+      "the geo↔H3 projections need the native library's icosahedral gnomonic tables; " +
+        "geohashDecode covers the bucketing use")),
+    // NLP lookups need compiled model/dictionary files ClickHouse
+    // itself only enables with an NLP build + server-side configs
+    "detectLanguage" -> (_ => throw new UnsupportedOperationException(
+      "detectLanguage needs CLD-style compiled models; graft.operators.TextAnalysis.langId " +
+        "(q62) is the in-engine n-gram heuristic")),
+    "detectCharset" -> (_ => throw new UnsupportedOperationException(
+      "detectCharset needs trained charset models; decode explicitly or store UTF-8")),
+    "stem" -> (_ => throw new UnsupportedOperationException(
+      "stem needs per-language stemmer data files; tokenize and join a lemma dimension table")),
+    "lemmatize" -> (_ => throw new UnsupportedOperationException(
+      "lemmatize needs per-language lemma dictionaries; join a lemma dimension table")),
+    "synonyms" -> (_ => throw new UnsupportedOperationException(
+      "synonyms needs a configured synonym-set file; join a synonyms dimension table")),
+    // polygon set operations need a full geometry engine (the
+    // cartesian measures above are native)
+    "polygonsIntersectionCartesian" -> (_ => throw new UnsupportedOperationException(
+      "polygon boolean operations need a geometry engine; polygonAreaCartesian/" +
+        "polygonPerimeterCartesian/polygonConvexHullCartesian/pointInPolygon run natively")),
+    "transactionID" -> (_ => throw new UnsupportedOperationException(
+      "transactionID belongs to ClickHouse's experimental transactions; Spark writes are " +
+        "atomic per job — use the write's commit identity instead")),
+    "dictGetAll" -> (_ => throw new UnsupportedOperationException(
+      "dictGetAll matches regexp-tree dictionaries, which this engine does not model; " +
+        "use a LEFT JOIN against the pattern table with rlike")),
     "lowCardinalityIndices" -> (_ => throw new UnsupportedOperationException(
       "lowCardinalityIndices is dictionary-block-scoped; use dense_rank() OVER (ORDER BY x) for a stable encoding")),
     "lowCardinalityKeys" -> (_ => throw new UnsupportedOperationException(
@@ -3596,6 +3697,60 @@ object ChDialect {
     * the needle must sit between non-token characters (or ends). The
     * needle escapes through the regexpQuoteMeta composition, so
     * dynamic needles are safe. */
+  /** The type's zero value (defaultValueOfArgumentType /
+    * defaultValueOfTypeName): numerics 0, strings '', BOOLEAN false,
+    * DATE/TIMESTAMP the epoch, arrays [] — anything else NULL of the
+    * type (ClickHouse's Nullable default). */
+  private def defaultValueOf(dt: DataType): Expression = dt match {
+    case t: NumericType => Cast(Literal(0), t)
+    case StringType     => Literal("")
+    case BooleanType    => Literal(false)
+    case DateType       => Literal.create(0, DateType)
+    case TimestampType  => MicrosToTimestamp(Literal(0L))
+    case ArrayType(et, n) => Literal.create(Seq.empty[Any], ArrayType(et, n))
+    case other          => Literal.create(null, other)
+  }
+
+  /** formatRow's per-field text for the three formats that need no
+    * column names. CSV always quotes strings (doubling inner quotes);
+    * TSV backslash-escapes tab/newline/backslash; Values
+    * single-quotes strings with backslash escaping. Non-strings print
+    * via CAST in every format. */
+  private def formatRowField(e: Expression, fmt: String): Expression = e.dataType match {
+    case StringType =>
+      val bs = Literal("\\\\")
+      fmt match {
+        case "CSV" => Concat(Seq(Literal("\""),
+          StringReplace(e, Literal("\""), Literal("\"\"")), Literal("\"")))
+        case "TSV" => StringReplace(StringReplace(StringReplace(
+          e, Literal("\\"), bs), Literal("\t"), Literal("\\t")), Literal("\n"), Literal("\\n"))
+        case _ => Concat(Seq(Literal("'"), StringReplace(StringReplace(
+          e, Literal("\\"), bs), Literal("'"), Literal("\\'")), Literal("'")))
+      }
+    case _ => Cast(e, StringType)
+  }
+
+  private def formatRowExpr(es: Seq[Expression], newline: Boolean): Expression = {
+    val name = if (newline) "formatRow" else "formatRowNoNewline"
+    val fmt = litString(es.head, s"$name format")
+    val cols = es.tail
+    require(cols.nonEmpty, s"$name needs at least one value argument")
+    val body = fmt match {
+      case "CSV" => Concat(cols.map(formatRowField(_, "CSV"))
+        .flatMap(c => Seq(Literal(","), c)).tail)
+      case "TSV" | "TabSeparated" => Concat(cols.map(formatRowField(_, "TSV"))
+        .flatMap(c => Seq(Literal("\t"), c)).tail)
+      case "Values" => Concat(Seq(Literal("(")) ++ cols.map(formatRowField(_, "Values"))
+        .flatMap(c => Seq(Literal(","), c)).tail ++ Seq(Literal(")")))
+      case "JSONEachRow" => throw new UnsupportedOperationException(
+        s"$name('JSONEachRow', …) needs column names the expression arguments do not carry: " +
+          "use toJSONString(tuple(…)) / to_json(named_struct(…)) to name the fields explicitly")
+      case other => throw new UnsupportedOperationException(
+        s"$name: format '$other' is not supported — CSV, TSV and Values are")
+    }
+    if (newline) Concat(Seq(body, Literal("\n"))) else body
+  }
+
   private def hasTokenExpr(hay: Expression, needle: Expression): Expression = {
     val quoted = RegExpReplace(needle,
       Literal("([\\\\|()^$.\\[\\]?*+{:-])"), Literal("\\\\$1"))
