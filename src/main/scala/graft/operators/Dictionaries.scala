@@ -52,7 +52,9 @@ object Dictionaries {
     * key column, hierarchical?). Sorted for deterministic output. */
   def list: Seq[(String, String, Boolean)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
-    dicts.forEach((n, d) => out += ((n, d.keyCols.mkString(", "), d.parentCol.isDefined)))
+    dicts.forEach((n, d) =>
+      if (!n.startsWith(JoinPrefix)) // Join-engine tables are not dictionaries
+        out += ((n, d.keyCols.mkString(", "), d.parentCol.isDefined)))
     out.sortBy(_._1).toSeq
   }
 
@@ -84,6 +86,38 @@ object Dictionaries {
   def registerComplex(name: String, keyCols: Seq[String], source: () => DataFrame): Unit = {
     dicts.put(name, Dict(keyCols, source))
     invalidateClosures(name)
+  }
+
+  // -- Join-engine tables (`CREATE TABLE … ENGINE = Join(ANY, LEFT,
+  // k)`, looked up by `joinGet`). They ride the SAME broadcast-join
+  // rewrite as dictionaries, registered under a reserved unprintable
+  // prefix so a Join table can never collide with (or be DROPped as)
+  // a dictionary, and `system.dictionaries` stays dictionaries-only.
+
+  private val JoinPrefix = "join" + '\u0001'
+  // table → (strictness, kind, key columns)
+  private val joinMeta = new ConcurrentHashMap[String, (String, String, Seq[String])]()
+
+  /** The internal dictionary name backing a Join-engine table. */
+  def joinDictName(table: String): String = JoinPrefix + table
+
+  /** Register a Join-engine table. Only ANY-strictness tables get a
+    * lookup source (ClickHouse's joinGet contract is Join(ANY, LEFT,
+    * …)); other strictness is recorded so joinGet can refuse with the
+    * precise reason rather than "unknown table". */
+  def registerJoinTable(table: String, strictness: String, kind: String,
+                        keyCols: Seq[String], source: () => DataFrame): Unit = {
+    joinMeta.put(table, (strictness, kind, keyCols))
+    if (strictness.equalsIgnoreCase("ANY"))
+      registerComplex(joinDictName(table), keyCols, source)
+  }
+
+  def joinTableMeta(table: String): Option[(String, String, Seq[String])] =
+    Option(joinMeta.get(table))
+
+  def unregisterJoinTable(table: String): Boolean = {
+    unregister(joinDictName(table))
+    joinMeta.remove(table) != null
   }
 
   /** A HIERARCHICAL dictionary (ClickHouse's `hierarchical` attribute

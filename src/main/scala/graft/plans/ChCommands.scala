@@ -754,6 +754,52 @@ case class ChCreateDictionaryCommand(
   }
 }
 
+/** `CREATE TABLE … ENGINE = Join(strictness, kind, k1[, k2 …])`
+  * executed: creates the backing parquet table (empty column-list
+  * form or AS SELECT form — `innerSql` carries the already-translated
+  * Spark DDL) and registers it for `joinGet`/`joinGetOrNull` through
+  * the dictionary broadcast-join rewrite
+  * ([[graft.operators.Dictionaries.registerJoinTable]]).
+  *
+  * ClickHouse's Join(ANY, …) keeps the FIRST row inserted per key —
+  * an insertion-order contract a distributed parquet table cannot
+  * replay. The registered lookup source instead keeps, per key, the
+  * row that sorts first over the non-key columns (one window pass at
+  * lookup-plan time) — deterministic for any insert order, hence
+  * oracle-able; documented deviation. Non-ANY strictness creates the
+  * table and records metadata so joinGet refuses with the precise
+  * ClickHouse contract (`joinGet works with ANY LEFT JOIN tables`)
+  * instead of "unknown table". DROPping the backing table makes a
+  * later joinGet fail at analysis with TABLE_OR_VIEW_NOT_FOUND —
+  * loud, and a re-CREATE re-registers. */
+case class ChCreateJoinTableCommand(
+    name: String, strictness: String, kind: String, keyCols: Seq[String],
+    innerSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    spark.sql(innerSql)
+    val schema = spark.table(name).schema
+    val missing = keyCols.filterNot(k => schema.fieldNames.contains(k))
+    require(missing.isEmpty,
+      s"ENGINE = Join key column(s) ${missing.mkString(", ")} not in ${name}'s schema " +
+        s"[${schema.fieldNames.mkString(", ")}]")
+    val thunk: () => org.apache.spark.sql.DataFrame = () => {
+      val df = spark.table(name)
+      val others = df.columns.filterNot(keyCols.contains).sorted
+      if (others.isEmpty) df.dropDuplicates(keyCols)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(others.map(c => col(c).asc_nulls_first): _*)
+        df.withColumn("__gr_any", org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("__gr_any") === 1).drop("__gr_any")
+      }
+    }
+    graft.operators.Dictionaries.registerJoinTable(name, strictness, kind, keyCols, thunk)
+    Seq.empty
+  }
+}
+
 /** Multi-pair `RENAME TABLE a TO b, c TO d` (round 11): sequential
   * catalog renames, left to right — CH's common swap chains
   * (`a TO tmp, b TO a, tmp TO b`) work. The WHOLE chain is validated

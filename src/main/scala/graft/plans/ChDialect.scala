@@ -3578,6 +3578,13 @@ object ChDialect {
     // -- dictionary lookups: plant [[DictGetExpr]]/[[DictHasExpr]]
     // placeholders; [[DictGetRewrite]] turns each into a broadcast
     // left-outer join during analysis (see Dictionaries scaladoc).
+    // Join-engine lookups: joinGet('t', 'attr', key…) rides the SAME
+    // broadcast-join rewrite as dictGet, against the table's
+    // ANY-deduped registration (ChCreateJoinTableCommand). joinGet
+    // returns the attribute type's default on a miss (CH contract),
+    // joinGetOrNull returns NULL
+    "joinGet"       -> (es => joinGetExpr(es, orNull = false)),
+    "joinGetOrNull" -> (es => joinGetExpr(es, orNull = true)),
     "dictGet" -> (es =>
       DictGetExpr(litString(es(0), "dictGet dict name"),
         litString(es(1), "dictGet attribute"), es(2), None)),
@@ -3697,6 +3704,42 @@ object ChDialect {
     * the needle must sit between non-token characters (or ends). The
     * needle escapes through the regexpQuoteMeta composition, so
     * dynamic needles are safe. */
+  /** `joinGet('table', 'value_col', key[, key …])` — resolves the
+    * Join-engine registration and plants the dictionary lookup
+    * placeholder; composite keys travel as a tuple so the rewrite
+    * joins every key column. The `db.table` spelling resolves the
+    * full name first, then the bare table name. */
+  private def joinGetExpr(es: Seq[Expression], orNull: Boolean): Expression = {
+    import graft.operators.Dictionaries
+    val fname = if (orNull) "joinGetOrNull" else "joinGet"
+    require(es.length >= 3, s"$fname takes (table, value_column, key[, key …])")
+    val rawName = litString(es(0), s"$fname table")
+    val attr = litString(es(1), s"$fname value column")
+    val (table, meta) = Dictionaries.joinTableMeta(rawName).map((rawName, _))
+      .orElse {
+        val bare = rawName.substring(rawName.lastIndexOf('.') + 1)
+        Dictionaries.joinTableMeta(bare).map((bare, _))
+      }
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$fname: '$rawName' is not a registered Join-engine table — " +
+          "CREATE TABLE … ENGINE = Join(ANY, LEFT, key) first"))
+    val (strictness, kind, keys) = meta
+    if (!strictness.equalsIgnoreCase("ANY") || !kind.equalsIgnoreCase("LEFT"))
+      throw new UnsupportedOperationException(
+        s"$fname works with ANY LEFT JOIN tables (ClickHouse's contract); " +
+          s"'$table' is Join($strictness, $kind, …)")
+    val keyArgs = es.drop(2)
+    require(keyArgs.length == keys.length,
+      s"$fname: '$table' joins on ${keys.length} key column(s) (${keys.mkString(", ")}), " +
+        s"got ${keyArgs.length} key argument(s)")
+    val key = if (keyArgs.length == 1) keyArgs.head else CreateStruct(keyArgs)
+    val dictName = Dictionaries.joinDictName(table)
+    val default =
+      if (orNull) None
+      else Some(defaultValueOf(Dictionaries.get(dictName).attrType(attr)))
+    DictGetExpr(dictName, attr, key, default)
+  }
+
   /** The type's zero value (defaultValueOfArgumentType /
     * defaultValueOfTypeName): numerics 0, strings '', BOOLEAN false,
     * DATE/TIMESTAMP the epoch, arrays [] — anything else NULL of the

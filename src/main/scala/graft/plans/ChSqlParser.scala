@@ -838,7 +838,38 @@ object ChSqlParser {
       ChIntoOutfileCommand(m.group(1), m.group(2), Option(m.group(3)))
     }
 
+  /** `ENGINE = Join(strictness, kind, keys…)` — the two CREATE forms
+    * intercept into [[ChCreateJoinTableCommand]] (the generic
+    * CREATE-TABLE rewrites skip Join engines so the clause survives
+    * to this intercept). */
+  private val CreateJoinTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+ENGINE\s*=\s*Join\s*\(([^)]*)\)\s*AS\s+(SELECT\b.*)$""".r
+  private val CreateJoinTableCols =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*ENGINE\s*=\s*Join\s*\(([^)]*)\)\s*;?\s*$""".r
+
+  private def parseJoinEngineArgs(args: String): (String, String, Seq[String]) = {
+    val parts = args.split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.length >= 3,
+      s"ENGINE = Join needs (strictness, kind, key[, key …]), got ($args)")
+    val strictness = parts(0)
+    val known = Seq("ANY", "ALL", "SEMI", "ANTI")
+    require(known.exists(_.equalsIgnoreCase(strictness)),
+      s"ENGINE = Join strictness '$strictness' is not one of ${known.mkString("/")}")
+    (strictness, parts(1), parts.drop(2).toSeq.map(_.stripPrefix("`").stripSuffix("`")))
+  }
+
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case CreateJoinTableAs(ifNot, name, engineArgs, select) =>
+      val (strictness, kind, keys) = parseJoinEngineArgs(engineArgs)
+      val ine = if (ifNot == null) "" else "IF NOT EXISTS "
+      Some(ChCreateJoinTableCommand(name, strictness, kind, keys,
+        s"CREATE TABLE $ine$name USING parquet AS $select"))
+    case CreateJoinTableCols(ifNot, name, colsRaw, engineArgs) =>
+      val (strictness, kind, keys) = parseJoinEngineArgs(engineArgs)
+      val ine = if (ifNot == null) "" else "IF NOT EXISTS "
+      val cols = chColumnsToSpark(colsRaw).map { case (n, t) => s"$n $t" }
+      Some(ChCreateJoinTableCommand(name, strictness, kind, keys,
+        s"CREATE TABLE $ine$name (${cols.mkString(", ")}) USING parquet"))
     case AlterDropPart() => throw new UnsupportedOperationException(
       "DROP PART names a physical part — this layout's unit is the partition; " +
         "use DROP PARTITION 'value' or graft.sources.MergeTreeWrite.compact")
@@ -1144,6 +1175,8 @@ object ChSqlParser {
     }
 
   private def rewriteChCreateTableAs(sql: String): String = sql match {
+    case _ if """(?i)\bENGINE\s*=\s*Join\s*\(""".r.findFirstIn(sql).isDefined =>
+      sql // survives to interceptCommand → ChCreateJoinTableCommand
     case ChCreateTableAs(ifNot, name, tail, select) =>
       if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
         throw new UnsupportedOperationException(
@@ -1154,6 +1187,8 @@ object ChSqlParser {
   }
 
   private def rewriteChCreateTable(sql: String): String = sql match {
+    case _ if """(?i)\bENGINE\s*=\s*Join\s*\(""".r.findFirstIn(sql).isDefined =>
+      sql // survives to interceptCommand → ChCreateJoinTableCommand
     case ChCreateTable(ifNot, name, colsRaw, tail) =>
       if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
         throw new UnsupportedOperationException(
