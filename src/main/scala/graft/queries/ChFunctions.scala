@@ -1996,6 +1996,65 @@ object ChFunctions {
             FROM orders GROUP BY 1 ORDER BY ym LIMIT 6 OFFSET 3"""),
   )
 
+  /** Round-12 dialect features driver-gated in one query: Join-engine
+    * DDL + joinGet (↔ DuckDB LEFT JOIN + coalesce-to-default),
+    * hasSubsequence (↔ an order-preserving regex), array edit
+    * distance over single-char splits (↔ DuckDB's string
+    * levenshtein), the H3 index bit layout (cell built per-row from
+    * nation keys, resolution/parent recomputed by the oracle with
+    * plain bit arithmetic), formatRowNoNewline CSV, and makeDate32.
+    * Scale shape: one broadcast dim join (the Join-engine lookup) +
+    * per-row codegen'd projections. */
+  val q29r = GraftQuery(
+    "q29r_dialect_r12",
+    (s, dir) => {
+      Tables(s, dir).nation.createOrReplaceTempView("gq29r_nation")
+      Tables(s, dir).customer.createOrReplaceTempView("gq29r_cust")
+      s.sql("DROP TABLE IF EXISTS gq29r_jt")
+      s.sql("""CREATE TABLE gq29r_jt ENGINE = Join(ANY, LEFT, k) AS
+               SELECT n_nationkey AS k, n_name AS name FROM gq29r_nation""")
+      s.sql("""WITH base AS (
+                 SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                        shiftleft(CAST(1 AS BIGINT), 59) + shiftleft(CAST(1 AS BIGINT), 52)
+                          + shiftleft(CAST(20 AS BIGINT), 45)
+                          + shiftleft(CAST(c_nationkey % 7 AS BIGINT), 42)
+                          + shiftleft(CAST(1 AS BIGINT), 42) - 1 AS h3
+                 FROM gq29r_cust)
+               SELECT c_custkey AS ck,
+                      joinGet('gq29r_jt', 'name', c_nationkey) AS nname,
+                      CAST(hasSubsequence(c_name, '15') AS BIGINT) AS subs,
+                      CAST(arrayLevenshteinDistance(split(c_mktsegment, ''),
+                                                    split('BUILDING', '')) AS BIGINT) AS lev,
+                      CAST(h3GetResolution(h3) AS BIGINT) AS h3res,
+                      h3ToParent(h3, 0) AS h3parent,
+                      h3 AS h3cell,
+                      formatRowNoNewline('CSV', c_mktsegment, c_nationkey) AS csvrow,
+                      makeDate32(1992, 1 + c_nationkey % 12,
+                                 1 + CAST(c_custkey % 28 AS INT)) AS d32
+               FROM base ORDER BY ck LIMIT 50""")
+    },
+    Some("""WITH base AS (
+              SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                     (CAST(1 AS BIGINT) << 59) + (CAST(1 AS BIGINT) << 52)
+                       + (CAST(20 AS BIGINT) << 45)
+                       + (CAST(c_nationkey % 7 AS BIGINT) << 42)
+                       + ((CAST(1 AS BIGINT) << 42) - 1) AS h3
+              FROM customer)
+            SELECT c_custkey AS ck,
+                   coalesce(n.n_name, '') AS nname,
+                   CAST(CASE WHEN regexp_matches(c_name, '1.*5') THEN 1 ELSE 0 END AS BIGINT) AS subs,
+                   CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+                   CAST((h3 >> 52) & 15 AS BIGINT) AS h3res,
+                   (CAST(1 AS BIGINT) << 59) + (CAST(20 AS BIGINT) << 45)
+                     + ((CAST(1 AS BIGINT) << 45) - 1) AS h3parent,
+                   h3 AS h3cell,
+                   '"' || c_mktsegment || '",' || CAST(c_nationkey AS VARCHAR) AS csvrow,
+                   make_date(1992, 1 + c_nationkey % 12,
+                             1 + CAST(c_custkey % 28 AS INT)) AS d32
+            FROM base LEFT JOIN nation n ON base.c_nationkey = n.n_nationkey
+            ORDER BY ck LIMIT 50"""),
+  )
+
   val q29n = GraftQuery(
     "q29n_qualify",
     (s, dir) => {
@@ -2318,5 +2377,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q29q, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q29q, q29r, q38, q38b, q38c, q38d, q38e, q21b)
 }
