@@ -2571,6 +2571,9 @@ object ChDialect {
     // binary min/max in Float64, the CH contract
     "min2" -> (es => Least(es.map(Cast(_, DoubleType)))),
     "max2" -> (es => Greatest(es.map(Cast(_, DoubleType)))),
+    // clamp(x, lo, hi) = min(max(x, lo), hi) — errors if lo > hi at
+    // runtime in CH; the composition returns hi there, documented
+    "clamp" -> (es => Least(Seq(Greatest(Seq(es(0), es(1))), es(2)))),
     "bitShiftLeft"  -> (es => ShiftLeft(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitShiftRight" -> (es => ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType))),
     "bitRotateLeft" -> (es => {
@@ -2897,6 +2900,26 @@ object ChDialect {
     // the engine-internal seeded remap (see ChWireHash scaladoc).
     "cityHash64" -> (es => ChWireHash(es, "cityHash64", 42L)),
     "sipHash64"  -> (es => ChWireHash(es, "sipHash64", 9L)),
+    // sipHash64Keyed((k0, k1), s): the SAME SipHash-2-4 kernel under
+    // the caller's key — CH VALUE parity for one String/FixedString
+    // message. The multi-argument combine interleaves the key into
+    // CH's internal chaining, which the combine kernel does not
+    // model — refuse rather than return non-wire values under a name
+    // that promises them
+    "sipHash64Keyed" -> (es => {
+      val (k0, k1) = es.head match {
+        case ns: CreateNamedStruct if ns.valExprs.size == 2 =>
+          (ns.valExprs.head, ns.valExprs(1))
+        case _ => throw new IllegalArgumentException(
+          "sipHash64Keyed takes ((k0, k1), message) — pass the key as tuple(k0, k1)")
+      }
+      es.tail match {
+        case Seq(msg) => SipHashKeyedExpr(Cast(k0, LongType), Cast(k1, LongType), msg)
+        case _ => throw new UnsupportedOperationException(
+          "sipHash64Keyed supports one message argument (wire parity); for multi-argument " +
+            "combining use sipHash64, or concatenate the arguments explicitly")
+      }
+    }),
     // more CH hash spellings on the same contract (the engine's
     // deterministic 64-bit kernel under distinct seeds — these names
     // promise a stable hash, not a byte-level CH replay); the 32-bit
@@ -3332,6 +3355,20 @@ object ChDialect {
       "rowNumberInAllBlocks is block-order dependent; use row_number() OVER (ORDER BY …)")),
     // multi-column expansion needs parser support Spark reserves for
     // attribute stars; the aliased-subquery spelling is equivalent
+    // struct → [(name, value)] pairs; Spark coerces the field values
+    // to a common type exactly as CH requires of the tuple
+    "tupleToNameValuePairs" -> (es => {
+      val st = es.head.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s
+        case other => throw new IllegalArgumentException(
+          s"tupleToNameValuePairs takes a named tuple, got ${other.sql}")
+      }
+      CreateArray(st.fields.zipWithIndex.map { case (f, i) =>
+        CreateStruct(Seq(Literal(f.name), GetStructField(es.head, i)))
+      }.toSeq)
+    }),
+    "BLAKE3" -> (_ => throw new UnsupportedOperationException(
+      "BLAKE3 needs its native library; sha256/sipHash64 cover keyed/cryptographic hashing here")),
     "untuple" -> (_ => throw new UnsupportedOperationException(
       "untuple expands to multiple columns, which only works on a named struct: " +
         "alias the tuple in a subquery and select `t.*` — " +

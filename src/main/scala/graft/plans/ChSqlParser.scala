@@ -1514,6 +1514,12 @@ object ChSqlParser {
     * CH's column name `number`. */
   private val NumbersFn = """(?i)\bFROM\s+numbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
+  /** `FROM generate_series(start, stop[, step])` / generateSeries —
+    * CH's inclusive-stop series generator; the output column is named
+    * `generate_series` (both spellings), as in ClickHouse. */
+  private val GenerateSeriesFn =
+    """(?i)\bFROM\s+(generate_series|generateSeries)\s*\(\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+
   /** `FROM system.numbers LIMIT n [OFFSET m]` / `LIMIT m, n` — the
     * unbounded generator is only meaningful with its LIMIT, which
     * (with any offset) becomes the range bounds. Both the OFFSET and
@@ -2456,6 +2462,14 @@ object ChSqlParser {
     })
     out = ZerosFn.replaceAllIn(out, m =>
       s"FROM (SELECT 0 AS zero FROM range(${m.group(1)}))")
+    // generate_series/generateSeries: INCLUSIVE stop (CH contract —
+    // unlike numbers(), whose count form is exclusive), optional step
+    out = GenerateSeriesFn.replaceAllIn(out, m => {
+      val (start, stop) = (m.group(2).toLong, m.group(3).toLong)
+      val step = Option(m.group(4)).map(_.toLong).getOrElse(1L)
+      require(step > 0, "generate_series step must be positive")
+      s"FROM (SELECT id AS generate_series FROM range($start, ${stop + 1}, $step))"
+    })
     out = rewriteNonNegDeriv(out)
     out = rewriteQualify(out)
     // MySQL-style top-level `LIMIT offset, count` (the LIMIT-BY

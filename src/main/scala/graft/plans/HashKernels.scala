@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -351,6 +351,24 @@ case class HashKernelExpr(child: Expression, kernel: String) extends UnaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.HashKernelFns.$kernel($c)")
   override protected def withNewChildInternal(c: Expression): HashKernelExpr = copy(child = c)
+}
+
+/** `sipHash64Keyed((k0, k1), msg)` — the SipHash-2-4 kernel under a
+  * caller-supplied 128-bit key; CH VALUE parity for string messages
+  * (same kernel [[HashKernelFns.sipHash24]] the unkeyed spelling
+  * uses with k0 = k1 = 0). */
+case class SipHashKeyedExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sipHash64Keyed"
+  override protected def nullSafeEval(k0: Any, k1: Any, msg: Any): Any =
+    HashKernelFns.sipHash24(k0.asInstanceOf[Long], k1.asInstanceOf[Long],
+      msg.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.plans.HashKernelFns.sipHash24($a, $b, $c.getBytes())")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): SipHashKeyedExpr =
+    copy(first = a, second = b, third = c)
 }
 
 /** Codegen'd `intHash64` over a long input (see

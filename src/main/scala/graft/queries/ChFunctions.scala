@@ -2011,6 +2011,12 @@ object ChFunctions {
       Tables(s, dir).nation.createOrReplaceTempView("gq29r_nation")
       Tables(s, dir).customer.createOrReplaceTempView("gq29r_cust")
       s.sql("DROP TABLE IF EXISTS gq29r_jt")
+      // a prior session's warehouse dir survives a fresh metastore's
+      // no-op DROP — clear it so CREATE never hits LOCATION_EXISTS
+      val whRoot = new org.apache.hadoop.fs.Path(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(whRoot, "gq29r_jt"), true)
       s.sql("""CREATE TABLE gq29r_jt ENGINE = Join(ANY, LEFT, k) AS
                SELECT n_nationkey AS k, n_name AS name FROM gq29r_nation""")
       s.sql("""WITH base AS (

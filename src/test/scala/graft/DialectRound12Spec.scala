@@ -175,6 +175,33 @@ class DialectRound12Spec extends SparkSpec {
     assert(bar.nonEmpty)
   }
 
+  test("clamp / generate_series / tupleToNameValuePairs / sipHash64Keyed") {
+    assert(one[Int]("clamp(7, 1, 5)") == 5)
+    assert(one[Int]("clamp(-3, 1, 5)") == 1)
+    assert(one[Int]("clamp(3, 1, 5)") == 3)
+    // inclusive stop (CH contract), optional step, CH column name
+    assert(seqOf[Long]("collect_list(generate_series) FROM (SELECT * FROM generate_series(2, 6) ORDER BY generate_series)") ==
+      Seq(2L, 3L, 4L, 5L, 6L))
+    assert(seqOf[Long]("collect_list(generate_series) FROM (SELECT * FROM generateSeries(0, 10, 5) ORDER BY generate_series)") ==
+      Seq(0L, 5L, 10L))
+    val pairs = spark.sql(
+      "SELECT tupleToNameValuePairs(named_struct('a', 1, 'b', 2)) AS v")
+      .selectExpr("transform(v, p -> concat(p.col1, '=', p.col2)) AS s")
+      .collect().head.getSeq[String](0)
+    assert(pairs == Seq("a=1", "b=2"))
+    // key (0, 0) must reproduce the unkeyed wire value
+    assert(one[Boolean]("sipHash64Keyed(tuple(CAST(0 AS BIGINT), CAST(0 AS BIGINT)), 'abc') = sipHash64('abc')"))
+    // a different key must not
+    assert(one[Boolean]("sipHash64Keyed(tuple(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 'abc') != sipHash64('abc')"))
+    def msg(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def all(t: Throwable): String = if (t == null) "" else t.getMessage + all(t.getCause)
+      all(e)
+    }
+    assert(msg("SELECT sipHash64Keyed(tuple(1L, 2L), 'a', 'b')").contains("one message"))
+    assert(msg("SELECT BLAKE3('x')").contains("native"))
+  }
+
   test("round-12 refusals name their replacement") {
     for ((fn, hint) <- Seq(
         "detectLanguage('x')" -> "langId",
