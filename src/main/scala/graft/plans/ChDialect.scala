@@ -464,6 +464,8 @@ object ChDialect {
       CreateArray(es.map(y => Corr(Cast(x, DoubleType), Cast(y, DoubleType)).toAggregateExpression()))))),
     "covarPopMatrix" -> (es => CreateArray(es.map(x =>
       CreateArray(es.map(y => CovPopulation(Cast(x, DoubleType), Cast(y, DoubleType)).toAggregateExpression()))))),
+    "covarSampMatrix" -> (es => CreateArray(es.map(x =>
+      CreateArray(es.map(y => CovSample(Cast(x, DoubleType), Cast(y, DoubleType)).toAggregateExpression()))))),
     // multi-argument uniq counts distinct TUPLES (CH semantics):
     // the args pack into a struct for the sketch
     "uniq" -> (es => HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es))),
@@ -954,6 +956,7 @@ object ChDialect {
     "toMinute"     -> (es => Minute(es.head)),
     "toSecond"     -> (es => Second(es.head)),
     "toYYYYMMDD"   -> (es => DateFormatClass(es.head, Literal("yyyyMMdd"))),
+    "toYYYYMMDDhhmmss" -> (es => DateFormatClass(es.head, Literal("yyyyMMddHHmmss"))),
     "today"        -> (_  => CurrentDate()),
     "yesterday"    -> (_  => DateAdd(CurrentDate(), Literal(-1))),
     // -- date arithmetic (add*/subtract* take (ts, n))
@@ -1422,6 +1425,28 @@ object ChDialect {
         LambdaFunction(acc, Seq(acc, x)),
         LambdaFunction.identity)
     }),
+    // the OrNull spellings ARE the construction above — arrayFirst/
+    // arrayLast already yield NULL when nothing matches (the
+    // documented Spark-idiomatic analog of CH's type-default), so
+    // CH's explicit-NULL names bind to the same trees
+    "arrayFirstOrNull" -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      ArrayAggregate(
+        Slice(es(1), Literal(1), Literal(0)),
+        GetArrayItem(ArrayFilter(es(1), es.head), Literal(0), failOnError = false),
+        LambdaFunction(acc, Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
+    "arrayLastOrNull" -> (es => {
+      val acc = lamVar("gr_acc")
+      val x   = lamVar("gr_x")
+      ArrayAggregate(
+        Slice(es(1), Literal(1), Literal(0)),
+        ElementAt(ArrayFilter(es(1), es.head), Literal(-1), None, failOnError = false),
+        LambdaFunction(acc, Seq(acc, x)),
+        LambdaFunction.identity)
+    }),
     // first/last 1-based index where the predicate holds (0 when
     // none, CH's convention): the user lambda maps the array to
     // booleans, ArrayPosition finds the edge, and the whole value
@@ -1632,6 +1657,10 @@ object ChDialect {
       case Seq(acc, x)    => new ApproximatePercentile(x, Literal(0.5d), Cast(acc, IntegerType))
       case Seq(acc, p, x) => new ApproximatePercentile(x, p, Cast(acc, IntegerType))
       case _ => throw new IllegalArgumentException("quantileGK takes (accuracy[, level])(expr)")
+    }),
+    "quantilesGK" -> (es => {
+      require(es.length >= 3, "quantilesGK takes (accuracy, l1[, l2, ...])(expr)")
+      new ApproximatePercentile(es.last, CreateArray(es.tail.init), Cast(es.head, IntegerType))
     }),
     // weighted quantile with linear interpolation — percentile_cont
     // over the weight-expanded multiset; see
@@ -2730,6 +2759,30 @@ object ChDialect {
       Cast(Subtract(UnixMillis(CurrentTimestamp()), Literal(JvmStartMs)), DoubleType),
       Literal(1000.0d)), LongType)),
     // Decimal conversions: toDecimalN(x, scale) with CH's width map
+    // decimal arithmetic with an explicit (or max-of-inputs, CH's
+    // default) result scale at Spark's max precision 38 — CH's
+    // Decimal256 headroom caps at 76 digits there, documented
+    "multiplyDecimal" -> (es => decimalArith(es, "multiplyDecimal", Multiply(_, _))),
+    "divideDecimal"   -> (es => decimalArith(es, "divideDecimal", Divide(_, _))),
+    // schema introspection at plan time: TRUE iff the table exists
+    // AND carries the column (CH errors on a missing table; so does
+    // the catalog probe here)
+    "hasColumnInTable" -> (es => {
+      require(es.length == 3,
+        "hasColumnInTable takes ('db', 'table', 'column'); remote-host forms refuse " +
+          "(no cross-server catalog here)")
+      val db = litString(es(0), "hasColumnInTable database")
+      val tbl = litString(es(1), "hasColumnInTable table")
+      val colName = litString(es(2), "hasColumnInTable column")
+      val session = org.apache.spark.sql.SparkSession.active
+      val qualified = if (db.isEmpty || db.equalsIgnoreCase("default")) tbl else s"$db.$tbl"
+      Literal(session.table(qualified).schema.fieldNames.contains(colName))
+    }),
+    // date/timestamp ± tuple(interval, …) — fold the struct's
+    // interval fields into chained arithmetic the analyzer's binary-
+    // arithmetic resolution turns into DateAddInterval/TimeAdd
+    "addTupleOfIntervals" -> (es => tupleIntervalFold(es, negate = false)),
+    "subtractTupleOfIntervals" -> (es => tupleIntervalFold(es, negate = true)),
     "toDecimal32"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32 scale")))),
     "toDecimal64"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64 scale")))),
     "toDecimal128" -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128 scale")))),
@@ -3741,6 +3794,40 @@ object ChDialect {
     * the needle must sit between non-token characters (or ends). The
     * needle escapes through the regexpQuoteMeta composition, so
     * dynamic needles are safe. */
+  /** multiplyDecimal/divideDecimal: operate at Spark's max decimal
+    * precision, result cast to the explicit scale or (CH's default)
+    * the larger of the two input scales. */
+  private def decimalArith(es: Seq[Expression], name: String,
+                           op: (Expression, Expression) => Expression): Expression = {
+    require(es.length == 2 || es.length == 3, s"$name takes (a, b[, result_scale])")
+    def scaleOf(e: Expression): Int = e.dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => d.scale
+      case _ => 10
+    }
+    val outScale =
+      if (es.length == 3) litInt(es(2), s"$name result scale")
+      else math.max(scaleOf(es(0)), scaleOf(es(1)))
+    def widen(e: Expression): Expression =
+      Cast(e, org.apache.spark.sql.types.DecimalType(38, math.min(scaleOf(e) + 6, 30)))
+    Cast(op(widen(es(0)), widen(es(1))),
+      org.apache.spark.sql.types.DecimalType(38, outScale))
+  }
+
+  /** addTupleOfIntervals/subtractTupleOfIntervals: the interval tuple
+    * must be a literal tuple(…) so its fields unfold at plan time. */
+  private def tupleIntervalFold(es: Seq[Expression], negate: Boolean): Expression = {
+    val name = if (negate) "subtractTupleOfIntervals" else "addTupleOfIntervals"
+    require(es.length == 2, s"$name takes (date, tuple(interval, …))")
+    val intervals = es(1) match {
+      case ns: CreateNamedStruct => ns.valExprs
+      case _ => throw new IllegalArgumentException(
+        s"$name needs an explicit tuple(toIntervalDay(…), …) second argument")
+    }
+    intervals.foldLeft(es.head) { (d, iv) =>
+      if (negate) Subtract(d, iv) else Add(d, iv)
+    }
+  }
+
   /** `joinGet('table', 'value_col', key[, key …])` — resolves the
     * Join-engine registration and plants the dictionary lookup
     * placeholder; composite keys travel as a tuple so the rewrite

@@ -89,7 +89,7 @@ object ChSqlParser {
     * (sequenceMatch's `'(?1).*(?2)'`), or constant calls nested ONE
     * level (sumMapFiltered's `array('A', 'N')`). */
   private val Parametric =
-    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExactInclusive|quantileExactExclusive|quantilesExactExclusive|quantilesExactInclusive|quantileMerge|quantilesIf|quantileIf|quantileExact|quantileTDigestWeighted|quantileTDigest|quantileTimingWeighted|quantileTiming|quantilesTimingWeighted|quantilesTiming|quantileDeterministic|quantileInterpolatedWeighted|quantileGK|quantileBFloat16|quantileDD|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topKIf|topK|uniqUpTo|uniqCombined|histogram|sparkbar|sparkBar|largestTriangleThreeBuckets|windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArrayLast|groupArraySample|groupArray|groupConcat|sumMapFilteredWithOverflow|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
+    """\b(quantileExactWeighted|quantileExactLow|quantileExactHigh|quantileExactInclusive|quantileExactExclusive|quantilesExactExclusive|quantilesExactInclusive|quantileMerge|quantilesIf|quantileIf|quantileExact|quantileTDigestWeighted|quantileTDigest|quantileTimingWeighted|quantileTiming|quantilesTimingWeighted|quantilesTiming|quantileDeterministic|quantileInterpolatedWeighted|quantilesGK|quantileGK|quantileBFloat16|quantileDD|quantilesExact|quantilesTDigest|quantiles|quantile|topKWeighted|topKIf|topK|uniqUpTo|uniqCombined|histogram|sparkbar|sparkBar|largestTriangleThreeBuckets|windowFunnel|sequenceMatchEvents|sequenceMatch|sequenceCount|sequenceNextNode|groupArrayMovingSum|groupArrayMovingAvg|groupArraySorted|groupArrayInsertAt|groupArrayLast|groupArraySample|groupArray|groupConcat|sumMapFilteredWithOverflow|sumMapFiltered|countResample|sumResample|minResample|maxResample|avgResample|mannWhitneyUTest|kolmogorovSmirnovTest|meanZTest|exponentialMovingAverage|exponentialTimeDecayedSum|exponentialTimeDecayedAvg|exponentialTimeDecayedCount|exponentialTimeDecayedMax)\s*\(((?:'[^']*'|\((?:'[^']*'|[^()])*\)|[^()])*)\)\s*\(""".r
 
   /** ClickHouse `untuple(t)` in a select list → Spark's struct star
     * expansion `t.*`. Only a bare (possibly qualified) identifier is

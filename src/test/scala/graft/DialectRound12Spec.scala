@@ -202,6 +202,40 @@ class DialectRound12Spec extends SparkSpec {
     assert(msg("SELECT BLAKE3('x')").contains("native"))
   }
 
+  test("covarSampMatrix / quantilesGK / arrayFirstOrNull family / toYYYYMMDDhhmmss") {
+    val m = spark.sql(
+      """SELECT covarSampMatrix(x, y) AS m FROM
+         (SELECT id * 1.0 AS x, id * 2.0 AS y FROM range(5))""")
+      .selectExpr("CAST(round(m[0][1], 4) AS DOUBLE) AS c").collect().head.getDouble(0)
+    assert(m == 5.0) // covar_samp(x, 2x) over 0..4 = 2 * var_samp = 5
+    val qs = spark.sql(
+      "SELECT quantilesGK(100, 0.25, 0.75)(CAST(id AS DOUBLE)) AS q FROM range(101)")
+      .collect().head.getSeq[Double](0)
+    assert(qs.length == 2 && qs.head <= qs.last && qs.head >= 20 && qs.last <= 80)
+    assert(one[Int]("arrayFirstOrNull(x -> x > 1, array(1, 2, 3))") == 2)
+    assert(spark.sql("SELECT arrayFirstOrNull(x -> x > 9, array(1)) AS v").collect().head.isNullAt(0))
+    assert(one[Int]("arrayLastOrNull(x -> x > 1, array(1, 2, 3))") == 3)
+    assert(one[String]("toYYYYMMDDhhmmss(timestamp'2026-02-14 13:45:09')") == "20260214134509")
+  }
+
+  test("multiplyDecimal / divideDecimal scales; interval tuples; hasColumnInTable") {
+    assert(one[java.math.BigDecimal]("multiplyDecimal(CAST(2.5 AS DECIMAL(10,2)), CAST(4.2 AS DECIMAL(10,2)))")
+      .compareTo(new java.math.BigDecimal("10.50")) == 0)
+    assert(one[java.math.BigDecimal]("divideDecimal(CAST(1 AS DECIMAL(10,1)), CAST(3 AS DECIMAL(10,1)), 4)")
+      .compareTo(new java.math.BigDecimal("0.3333")) == 0)
+    assert(one[java.sql.Date](
+      "CAST(addTupleOfIntervals(date'2026-01-01', tuple(toIntervalDay(1), toIntervalMonth(1))) AS DATE)")
+      .toString == "2026-02-02")
+    assert(one[java.sql.Date](
+      "CAST(subtractTupleOfIntervals(date'2026-02-02', tuple(toIntervalDay(1), toIntervalMonth(1))) AS DATE)")
+      .toString == "2026-01-01")
+    spark.sql("CREATE OR REPLACE TEMP VIEW hcit_v AS SELECT 1 AS a, 'x' AS b")
+    assert(one[Boolean]("hasColumnInTable('default', 'hcit_v', 'a')"))
+    assert(!one[Boolean]("hasColumnInTable('default', 'hcit_v', 'zz')"))
+    val e = intercept[Exception](spark.sql("SELECT hasColumnInTable('default', 'no_such_t_42', 'a')").collect())
+    assert(e.getMessage.contains("no_such_t_42") || (e.getCause != null))
+  }
+
   test("round-12 refusals name their replacement") {
     for ((fn, hint) <- Seq(
         "detectLanguage('x')" -> "langId",
