@@ -140,6 +140,61 @@ object Similarity {
     * ≥4 keeps toy corpora from collapsing into a handful of buckets,
     * ≤30 (a billion buckets) is past any realistic occupancy need
     * and keeps multi-table ids comfortably inside the packed Long. */
+  /** Corpus row count for dial computation ([[autoPlanes]] /
+    * [[autoNlist]]): prefers a METADATA-ONLY read when the input is a
+    * bare (projected/aliased, unfiltered) scan of a parquet relation
+    * — row counts come from the file footers, no Spark job, no data
+    * bytes — and falls back to a full `count()` otherwise. At 100 TB
+    * the fallback is an extra full pass before every auto-dialed
+    * dedup; the footer path is a driver-side metadata sweep of the
+    * file index the scan already holds. */
+  def corpusCount(df: DataFrame): Long =
+    statsRowCount(df).getOrElse(df.count())
+
+  /** The metadata fast path of [[corpusCount]]: Some(rowCount) when
+    * `df` is row-count-equivalent to a raw parquet scan (only
+    * row-preserving Project/SubqueryAlias nodes above the relation —
+    * a Filter/Join/Generate/Limit anywhere disqualifies), computed by
+    * summing row-group counts from the parquet footers. Runs no Spark
+    * job — the spec asserts it with a job listener. */
+  private[graft] def statsRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    @scala.annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child)       => strip(child) // per-row map: row-count-preserving
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            scala.util.Try {
+              fs.location.inputFiles.iterator.filterNot { p =>
+                val name = p.substring(p.lastIndexOf('/') + 1)
+                name.startsWith("_") || name.startsWith(".")
+              }.map { p =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try {
+                  var s = 0L
+                  val it = r.getFooter.getBlocks.iterator()
+                  while (it.hasNext) s += it.next().getRowCount
+                  s
+                } finally r.close()
+              }.sum
+            }.toOption
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   def autoPlanes(n: Long, targetOccupancy: Int = 64): Int = {
     require(targetOccupancy > 0, "targetOccupancy must be positive")
     val ratio = math.max(n, 1L).toDouble / targetOccupancy
@@ -162,7 +217,7 @@ object Similarity {
                         dim: Int, minCos: Double,
                         targetOccupancy: Int = 64,
                         maxBucket: Int = 4096): DataFrame = {
-    val planes = autoPlanes(df.count(), targetOccupancy)
+    val planes = autoPlanes(corpusCount(df), targetOccupancy)
     semanticDedup(df, idCol, vecCol, planes, dim, minCos, maxBucket)
       .observe("graft_lsh_dial",
         max(lit(planes)).as("planes"),
@@ -244,7 +299,7 @@ object Similarity {
                       numTables: Int = 4, minCos: Double = 0.3,
                       dim: Int = MaxDim, maxBucket: Int = 4096,
                       targetOccupancy: Int = 64): DataFrame = {
-    val planes = autoPlanes(df.count(), targetOccupancy)
+    val planes = autoPlanes(corpusCount(df), targetOccupancy)
     lshAnnStages(df, idCol, vecCol, planes, numTables, minCos, dim, maxBucket).verified
   }
 
@@ -324,10 +379,11 @@ object Similarity {
   }
 
   /** [[ivfIndex]] with nlist from [[autoNlist]] — the safe default
-    * for corpora of unknown size (one extra count job). */
+    * for corpora of unknown size (count via [[corpusCount]]:
+    * metadata-only on bare parquet scans). */
   def ivfIndexAuto(df: DataFrame, idCol: String, vecCol: String,
                    seed: Long = 42L): (DataFrame, Array[Array[Double]]) =
-    ivfIndex(df, idCol, vecCol, autoNlist(df.count()), seed)
+    ivfIndex(df, idCol, vecCol, autoNlist(corpusCount(df)), seed)
 
   def ivfFit(df: DataFrame, vecCol: String, nlist: Int,
              sampleFraction: Double = 1.0, seed: Long = 42L,
@@ -341,10 +397,20 @@ object Similarity {
 
   /** Nearest-centroid cell id as a pure column expression: argmin over
     * `nlist` cells of d²(v,c) = |v|² − 2·v·c + |c|². The |v|² term is
-    * constant across cells, so only (|c|² − 2·v·c) is scored —
-    * `nlist` codegen'd dot products per row, ties to the lowest cell
-    * id via struct ordering. */
-  def nearestCell(vecCol: Column, centers: Array[Array[Double]]): Column = {
+    * constant across cells, so only (|c|² − 2·v·c) is scored — one
+    * batched [[graft.plans.NearestCentroid]] sweep per row (the
+    * unrolled per-cell form blows past codegen limits at the
+    * [[autoNlist]] dial; see that expression's scaladoc), ties to the
+    * lowest cell id. Numerically identical to [[nearestCellUnrolled]]
+    * — the spec asserts it at two codebook sizes. */
+  def nearestCell(vecCol: Column, centers: Array[Array[Double]]): Column =
+    call_function("graft_nearest_cell", vecCol,
+      typedLit[Seq[Seq[Double]]](centers.map(_.toSeq).toSeq))
+
+  /** The compositional argmin (one struct per cell through array_min)
+    * — kept as the independent reference the batched sweep is
+    * spec-checked against; not for large nlist. */
+  private[graft] def nearestCellUnrolled(vecCol: Column, centers: Array[Array[Double]]): Column = {
     val scored = centers.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * vec.dot(vecCol, lit(c))).as("d2"),
@@ -435,8 +501,20 @@ object Similarity {
     }.toArray
   }
 
-  /** Plain seeded Lloyd's k-means for the tiny driver-side codebook
-    * fits. Deterministic; an emptied cluster keeps its old centroid. */
+  /** Plain seeded Lloyd's k-means for the bounded driver-side codebook
+    * fits. Deterministic; an emptied cluster keeps its old centroid.
+    *
+    * The assignment sweep is O(|pts|·k·d) per iteration — trivial at
+    * ksub=16 codebooks but real money at the [[autoNlist]] dial
+    * (50k sample × √N cells × 64 dims × 15 iters ≈ 20 G multiplies at
+    * the sf10 rehearsal), so sweeps above a fixed work threshold fan
+    * out across driver cores in a FIXED 32-chunk split (chunk count
+    * is a constant, not the core count, and per-chunk accumulators
+    * merge in chunk order — deterministic on any machine). Small fits
+    * stay on the sequential fold, bit-identical to the historical
+    * behavior every toy gate pinned; the parallel split's last-ulp
+    * summation-order shift only touches the big-dial fits, whose
+    * families are rows-only/recall-asserted by design. */
   private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val d = pts.head.length
@@ -444,21 +522,54 @@ object Similarity {
       .map(i => pts(i).clone).toArray
     // pad (degenerate tiny inputs) so callers always get k centroids
     while (centers.length < k) centers = centers :+ centers(rnd.nextInt(centers.length)).clone
+    val bigFit = pts.length.toLong * k * d >= 200_000_000L
+    val nThreads = if (bigFit) 32 else 1
+    val chunk = (pts.length + nThreads - 1) / nThreads
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     for (_ <- 0 until iters) {
-      val sums   = Array.fill(k)(new Array[Double](d))
-      val counts = new Array[Int](k)
-      pts.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          var dist = 0.0; var i = 0
-          while (i < d) { val t = p(i) - centers(c)(i); dist += t * t; i += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
+      val cs = centers // stable reference for the closure
+      def sweep(from: Int, until: Int): (Array[Array[Double]], Array[Int]) = {
+        val sums   = Array.fill(k)(new Array[Double](d))
+        val counts = new Array[Int](k)
+        var pi = from
+        while (pi < until) {
+          val p = pts(pi)
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < k) {
+            var dist = 0.0; var i = 0
+            while (i < d) { val t = p(i) - cs(c)(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+          pi += 1
         }
-        var i = 0
-        while (i < d) { sums(best)(i) += p(i); i += 1 }
-        counts(best) += 1
+        (sums, counts)
       }
+      val (sums, counts) =
+        if (nThreads <= 1) sweep(0, pts.length)
+        else {
+          val parts = Await.result(
+            Future.sequence((0 until nThreads).map { t =>
+              val from = t * chunk
+              val until = math.min(pts.length, from + chunk)
+              Future(sweep(from, until))
+            }), Duration.Inf)
+          val sums   = Array.fill(k)(new Array[Double](d))
+          val counts = new Array[Int](k)
+          parts.foreach { case (s, n) =>  // fixed chunk order: deterministic
+            for (c <- 0 until k) {
+              counts(c) += n(c)
+              var i = 0
+              while (i < d) { sums(c)(i) += s(c)(i); i += 1 }
+            }
+          }
+          (sums, counts)
+        }
       for (c <- 0 until k if counts(c) > 0; i <- 0 until d)
         centers(c)(i) = sums(c)(i) / counts(c)
     }
@@ -500,6 +611,21 @@ object Similarity {
        .withColumn("codes", pqEncode(col(vecCol), codebooks)),
      centers, codebooks)
   }
+
+  /** [[ivfPqIndex]] with nlist from [[autoNlist]] — same rationale as
+    * [[ivfIndexAuto]]: nlist ≈ √N keeps the probe's scanned fraction
+    * (~nprobe/nlist) SHRINKING as the corpus grows, where any pinned
+    * nlist makes it a constant fraction — the measured q53 sf10
+    * pattern (nlist=16, nprobe=6 ⇒ 37% of 200k vectors PQ-scored per
+    * probe). The PQ codebook dials (m, ksub) deliberately do NOT
+    * scale with N: they set bytes-per-code, a storage-precision
+    * trade, not a partition-occupancy one. Count via [[corpusCount]]
+    * (metadata-only on bare parquet scans); Lloyd fit stays
+    * sample-bounded and parallel past the work threshold. */
+  def ivfPqIndexAuto(df: DataFrame, idCol: String, vecCol: String, m: Int,
+                     ksub: Int, seed: Long = 42L)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqIndex(df, idCol, vecCol, autoNlist(corpusCount(df)), m, ksub, seed)
 
   /** IVF-PQ top-k: prune to `nprobe` cells, shortlist `k × refine`
     * candidates by PQ score over (id, codes) ONLY, then re-rank just

@@ -203,13 +203,22 @@ object ChDialect {
     // 10-bit machine — the Spark PARTITION id, each task its own
     // generator — and a 12-bit sequence from the partition-local
     // monotonic counter. Timestamp folds per query (CurrentTimestamp
-    // — same documented difference as generateUUIDv7); ids within one
-    // query stay distinct up to 4096 rows per partition per moment,
-    // CH's own per-generator sequence bound.
-    "generateSnowflakeID" -> (_ => BitwiseOr(BitwiseOr(
-      ShiftLeft(UnixMillis(CurrentTimestamp()), Literal(22)),
-      ShiftLeft(BitwiseAnd(Cast(SparkPartitionID(), LongType), Literal(1023L)), Literal(12))),
-      BitwiseAnd(MonotonicallyIncreasingID(), Literal(4095L)))),
+    // — same documented difference as generateUUIDv7), so the
+    // sequence-overflow rule CH applies per generator (advance the
+    // timestamp when the 12-bit sequence wraps) is applied
+    // arithmetically: the counter's overflow bits (counter >> 12)
+    // advance the ms field, counter & 4095 stays the sequence — ids
+    // are unique for ANY partition size (up to the counter's 2^33
+    // row bound), not just 4096 rows, exactly as if the generator
+    // had emitted 4096 ids per simulated millisecond.
+    "generateSnowflakeID" -> { _ =>
+      val counter = BitwiseAnd(MonotonicallyIncreasingID(), Literal((1L << 33) - 1))
+      BitwiseOr(BitwiseOr(
+        ShiftLeft(Add(UnixMillis(CurrentTimestamp()), ShiftRight(counter, Literal(12))),
+          Literal(22)),
+        ShiftLeft(BitwiseAnd(Cast(SparkPartitionID(), LongType), Literal(1023L)), Literal(12))),
+        BitwiseAnd(counter, Literal(4095L)))
+    },
     "snowflakeIDToDateTime" -> (es => MillisToTimestamp(
       ShiftRight(Cast(es.head, LongType), Literal(22)))),
     "snowflakeIDToDateTime64" -> (es => MillisToTimestamp(
@@ -2762,8 +2771,8 @@ object ChDialect {
     // decimal arithmetic with an explicit (or max-of-inputs, CH's
     // default) result scale at Spark's max precision 38 — CH's
     // Decimal256 headroom caps at 76 digits there, documented
-    "multiplyDecimal" -> (es => decimalArith(es, "multiplyDecimal", Multiply(_, _))),
-    "divideDecimal"   -> (es => decimalArith(es, "divideDecimal", Divide(_, _))),
+    "multiplyDecimal" -> (es => decimalArith(es, "multiplyDecimal")),
+    "divideDecimal"   -> (es => decimalArith(es, "divideDecimal")),
     // schema introspection at plan time: TRUE iff the table exists
     // AND carries the column (CH errors on a missing table; so does
     // the catalog probe here)
@@ -3794,11 +3803,17 @@ object ChDialect {
     * the needle must sit between non-token characters (or ends). The
     * needle escapes through the regexpQuoteMeta composition, so
     * dynamic needles are safe. */
-  /** multiplyDecimal/divideDecimal: operate at Spark's max decimal
-    * precision, result cast to the explicit scale or (CH's default)
-    * the larger of the two input scales. */
-  private def decimalArith(es: Seq[Expression], name: String,
-                           op: (Expression, Expression) => Expression): Expression = {
+  /** multiplyDecimal/divideDecimal: exact arithmetic TRUNCATED (not
+    * rounded) at the result scale — the explicit third argument or
+    * (CH's default) the larger of the two input scales — via
+    * [[graft.plans.DecimalOpTrunc]]: Spark's own decimal Multiply/
+    * Divide + Cast both rounds HALF_UP and caps division's
+    * intermediate scale near 6 under the precision-loss rules, so
+    * divideDecimal(2,3,1) came out 0.7 (CH: 0.6) and
+    * divideDecimal(1,3,10) zero-padded past 6 digits. Non-decimal
+    * inputs enter at their literal scale (or 10 for non-decimal
+    * columns, the historical default). */
+  private def decimalArith(es: Seq[Expression], name: String): Expression = {
     require(es.length == 2 || es.length == 3, s"$name takes (a, b[, result_scale])")
     def scaleOf(e: Expression): Int = e.dataType match {
       case d: org.apache.spark.sql.types.DecimalType => d.scale
@@ -3807,10 +3822,12 @@ object ChDialect {
     val outScale =
       if (es.length == 3) litInt(es(2), s"$name result scale")
       else math.max(scaleOf(es(0)), scaleOf(es(1)))
-    def widen(e: Expression): Expression =
-      Cast(e, org.apache.spark.sql.types.DecimalType(38, math.min(scaleOf(e) + 6, 30)))
-    Cast(op(widen(es(0)), widen(es(1))),
-      org.apache.spark.sql.types.DecimalType(38, outScale))
+    def asDecimal(e: Expression): Expression = e.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType => e
+      case _ => Cast(e, org.apache.spark.sql.types.DecimalType(38, scaleOf(e)))
+    }
+    DecimalOpTrunc(asDecimal(es(0)), asDecimal(es(1)), outScale,
+      isMultiply = name == "multiplyDecimal")
   }
 
   /** addTupleOfIntervals/subtractTupleOfIntervals: the interval tuple

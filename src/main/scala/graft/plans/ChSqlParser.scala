@@ -1814,7 +1814,11 @@ object ChSqlParser {
       val (t1, a1, t2, a2) = (m.group(1), m.group(2), m.group(4), m.group(5))
       val parts = m.group(6).split("(?i)\\s+AND\\s+").map(_.trim).toSeq
       val ineqs = parts.collect { case p @ IneqCond(_, _, _) => p }
-      def refs(e: String, a: String) = e.contains(a + ".")
+      // word-boundary match: raw substring matching let an alias that
+      // is a suffix of another identifier ("c" in "abc.ts")
+      // misclassify an ON operand's side
+      def refs(e: String, a: String) =
+        ("(?<![\\w.])" + java.util.regex.Pattern.quote(a) + "\\.").r.findFirstIn(e).isDefined
       // orient an (x, y) pair to (a1-side expr, a2-side expr); None
       // when a side references both aliases or neither
       def orient(x: String, y: String): Option[(String, String)] =

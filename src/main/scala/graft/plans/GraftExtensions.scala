@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeEncodeExpr(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_cell"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_nearest_cell takes (vec, centroids)")
+        NearestCentroid(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {

@@ -91,7 +91,8 @@ case class HasSubsequence(left: Expression, right: Expression) extends BinaryExp
 }
 
 /** `bitSlice(s, offset[, length])`; the two-argument spelling passes
-  * `length = Long.MaxValue, hasLength = false` from the dialect. */
+  * `length = Literal(0L), hasLength = false` from the dialect — the
+  * length operand is ignored whenever `hasLength` is false. */
 case class BitSlice(first: Expression, second: Expression, third: Expression,
                     hasLength: Boolean) extends TernaryExpression {
   override def dataType: DataType = BinaryType

@@ -309,15 +309,22 @@ object DataPipeline {
     * (m=8 × 16 centroids over dim-64) shortlist by table lookups over
     * 8 ints per row, exact cosine re-ranks only k×refine survivors.
     * Seeded k-means → rows-only (no SQL oracle; the planted-near-dup
-    * recall and exact-re-rank behavior are spec-asserted). */
+    * recall and exact-re-rank behavior are spec-asserted). Round 13:
+    * the registry entry runs the AUTO cell dial — nlist ≈ √N from
+    * the corpus count ([[Similarity.ivfPqIndexAuto]]) — so the
+    * production spelling carries the scale-safe default: at a pinned
+    * nlist the probe scans a CONSTANT corpus fraction (nprobe/nlist
+    * — the measured 42 s sf10 q53), at √N the fraction shrinks with
+    * the corpus. PQ dials (m, ksub) stay pinned: bytes-per-code is a
+    * precision trade, not an occupancy one. */
   val q53 = GraftQuery(
     "q53_ivf_pq",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val probe = emb.where(col("vec_id") === 7).select("embedding")
         .head().getSeq[Float](0).toArray
-      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
-        nlist = 16, m = 8, ksub = 16, seed = 11L)
+      val idx = Similarity.ivfPqIndexAuto(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, seed = 11L)
       Similarity.ivfPqTopK(idx, "vec_id", "embedding", probe,
         k = 10, nprobe = 6, refine = 4).where(col("vec_id") =!= 7)
     },
