@@ -12,15 +12,27 @@ import org.apache.spark.sql.SparkSession
   * 2-3× total cores; AQE coalesces the excess).
   */
 object GraftSession {
-  /** Broadcast-join threshold. 64 MB comfortably broadcasts every dim
-    * table at test scale; at 100× the `part`/`customer` dims outgrow
-    * it and the dim joins silently fall back to shuffle joins (AQE
-    * still localizes them when runtime stats allow). If executor
-    * memory supports it, raise via SPARK_GRAFT_BROADCAST_MB so
-    * star-schema joins stay broadcast at the real scale factor —
-    * this is the one knob to revisit before a 100 TB run. */
-  private def broadcastBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong * 1024 * 1024
+  /** Broadcast-join threshold — POLICY, not a pinned constant.
+    *
+    * The round-12 sf10 rehearsal measured the failure of a fixed
+    * 64 MB: dim-like join sides (orders at the rehearsal's scale)
+    * outgrow it and the star joins silently tip to sort-merge +
+    * shuffle, turning 2× queries into 9–15× ones — while the host
+    * had gigabytes of unused heap that could have kept them
+    * broadcast. So the default derives from the memory actually
+    * available: heap/16 (a hashed relation deserializes at ~3-4× its
+    * parquet bytes, and driver + one executor copy must coexist with
+    * query working memory), floored at the historical 64 MB, capped
+    * at 512 MB (past that, shipping the relation to every executor
+    * costs more than the shuffle it avoids — at 1000 executors a
+    * 512 MB broadcast is half a terabyte of aggregate network; the
+    * at-scale answer for bigger dims is the bucketed layout, q15b).
+    * SPARK_GRAFT_BROADCAST_MB overrides the policy outright. */
+  private[graft] def broadcastBytes: Long =
+    sys.env.get("SPARK_GRAFT_BROADCAST_MB").map(_.toLong * 1024 * 1024).getOrElse {
+      val heap = Runtime.getRuntime.maxMemory()
+      math.min(math.max(heap / 16, 64L << 20), 512L << 20)
+    }
 
   def builder(appName: String = "graft",
               master: Option[String] = None,

@@ -2795,10 +2795,34 @@ object ChDialect {
     "toDecimal32"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32 scale")))),
     "toDecimal64"  -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64 scale")))),
     "toDecimal128" -> (es => Cast(es.head, org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128 scale")))),
+    // Decimal256 lives within Spark's 38-digit Decimal when the scale
+    // fits; values needing more than 38 total digits overflow to
+    // NULL/zero per variant (CH's 76-digit headroom past that is
+    // documented as unsupported — same bound multiplyDecimal pins)
+    "toDecimal256" -> (es => {
+      val sc = litInt(es(1), "toDecimal256 scale")
+      require(sc <= 38, s"toDecimal256: scale $sc exceeds this engine's 38-digit decimal bound " +
+        "(Spark Decimal caps at precision 38; CH Decimal256 scales past it are unsupported)")
+      Cast(es.head, org.apache.spark.sql.types.DecimalType(38, sc))
+    }),
     "toDecimal32OrNull" -> (es => Cast(es.head,
       org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32OrNull scale")), None, EvalMode.TRY)),
     "toDecimal64OrNull" -> (es => Cast(es.head,
       org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64OrNull scale")), None, EvalMode.TRY)),
+    "toDecimal128OrNull" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128OrNull scale")), None, EvalMode.TRY)),
+    "toDecimal32OrZero" -> (es => {
+      val dt = org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32OrZero scale"))
+      Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt)))
+    }),
+    "toDecimal64OrZero" -> (es => {
+      val dt = org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64OrZero scale"))
+      Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt)))
+    }),
+    "toDecimal128OrZero" -> (es => {
+      val dt = org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128OrZero scale"))
+      Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt)))
+    }),
     // ULID: 48-bit unix-ms + 80 random bits in Crockford base32 (26
     // chars). Timestamp folds per query like generateUUIDv7; the
     // base32hex→Crockford remap is a translate over conv() output.

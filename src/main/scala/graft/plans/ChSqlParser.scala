@@ -2200,31 +2200,35 @@ object ChSqlParser {
     * names like a `row_number() … AS r` visible to it, and a window
     * call written directly in the predicate computes alongside the
     * query's own windows), then the query wraps once and the marker
-    * filters and drops via `* EXCEPT`. Supported subset mirrors
-    * LIMIT BY: a plain SELECT head (no DISTINCT — injecting an item
-    * would change its key), optional paren-free trailing ORDER BY
-    * and LIMIT n. Anything else leaves the text untouched and fails
-    * loudly at parse on the QUALIFY keyword — never silently
-    * wrong. */
+    * filters and drops via `* EXCEPT`. A DISTINCT head keeps its key:
+    * the predicate is injected into a NON-distinct inner select (so
+    * windows see pre-dedup rows, the standard QUALIFY-before-DISTINCT
+    * evaluation order) and DISTINCT moves to the wrapping query,
+    * applying after the filter and after the marker is dropped.
+    * Supported subset mirrors LIMIT BY: optional paren-free trailing
+    * ORDER BY and LIMIT n. Anything else leaves the text untouched
+    * and fails loudly at parse on the QUALIFY keyword — never
+    * silently wrong. */
   private val QualifyClause =
-    """(?is)^\s*(SELECT\s+(?!DISTINCT\b).+?)\s+QUALIFY\s+(.+?)(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(DISTINCT\s+)?(.+?)\s+QUALIFY\s+(.+?)(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*;?\s*$""".r
 
   private def rewriteQualify(sql: String): String =
     QualifyClause.findFirstMatchIn(sql).flatMap { m =>
       // quote parity at the keyword: odd = the match strays into a
       // string literal, leave the text alone
-      if (sql.substring(0, m.end(1)).count(_ == '\'') % 2 != 0) None
+      if (sql.substring(0, m.end(2)).count(_ == '\'') % 2 != 0) None
       else {
-        val head    = m.group(1)
-        val fromIdx = topLevelFromIndex(head)
+        val distinct = Option(m.group(1)).map(_ => "DISTINCT ").getOrElse("")
+        val head     = "SELECT " + m.group(2)
+        val fromIdx  = topLevelFromIndex(head)
         if (fromIdx < 0) None
         else {
-          val pred = m.group(2)
-          val ord  = Option(m.group(3)).getOrElse("")
-          val lim  = Option(m.group(4)).getOrElse("")
+          val pred = m.group(3)
+          val ord  = Option(m.group(4)).getOrElse("")
+          val lim  = Option(m.group(5)).getOrElse("")
           val injected =
             head.substring(0, fromIdx).trim + s", ($pred) AS gr_qf__ " + head.substring(fromIdx)
-          Some(s"SELECT * EXCEPT (gr_qf__) FROM ($injected) WHERE gr_qf__$ord$lim")
+          Some(s"SELECT $distinct* EXCEPT (gr_qf__) FROM ($injected) WHERE gr_qf__$ord$lim")
         }
       }
     }.getOrElse(sql)

@@ -2082,6 +2082,91 @@ object ChFunctions {
             ORDER BY prio, rn"""),
   )
 
+  /** QUALIFY over a DISTINCT head (round 13; replaces the round-7
+    * refusal): the predicate filters PRE-dedup rows — windows see
+    * every row — and DISTINCT applies to the survivors, the standard
+    * QUALIFY-before-DISTINCT evaluation order (DuckDB/Snowflake;
+    * verified against DuckDB's own QUALIFY in the oracle). The
+    * rewrite injects the predicate into a non-distinct inner select
+    * and hoists DISTINCT to the wrapper, so the dedup key is exactly
+    * the user's select list. */
+  val q29n2 = GraftQuery(
+    "q29n2_qualify_distinct",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_qfd")
+      s.sql("""SELECT DISTINCT o_orderpriority AS prio
+               FROM orders_qfd
+               QUALIFY row_number() OVER (PARTITION BY year(o_orderdate)
+                                          ORDER BY o_totalprice DESC, o_orderkey) <= 10
+               ORDER BY prio""")
+    },
+    Some("""SELECT DISTINCT o_orderpriority AS prio
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY year(o_orderdate)
+                                       ORDER BY o_totalprice DESC, o_orderkey) <= 10
+            ORDER BY prio"""),
+  )
+
+  /** Decimal surface gate (round 13): CH Decimal32/64/128/256 CAST
+    * names, string round-trips (toDecimalString), OrNull/OrZero
+    * parse edges, and the TRUNCATING multiplyDecimal/divideDecimal
+    * semantics ([[graft.plans.DecimalOpTrunc]]) — all rendered to
+    * strings so the DuckDB compare is digit-exact at full scale. The
+    * oracle replays truncation with HUGEINT integer math (DuckDB's
+    * own decimal division degrades to DOUBLE): unscaled·10^Δ // d is
+    * floor — equal to CH's toward-zero digit-discard for these
+    * all-positive prices. Overflow/refusal edges (toDecimal32 past
+    * precision 9 → NULL, toDecimal256 scale > 38 → loud error,
+    * division by zero → loud error) are spec-pinned, not oracled. */
+  val q29s = GraftQuery(
+    "q29s_decimal",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_dec")
+      s.sql("""SELECT o_orderkey AS okey,
+                      toString(toDecimal64(o_totalprice, 4)) AS d4,
+                      toString(toDecimal32(o_totalprice, 2)) AS d2,
+                      toString(toDecimal128(o_totalprice, 10)) AS d10,
+                      toString(toDecimal256(o_totalprice, 6)) AS d256,
+                      toDecimalString(o_totalprice, 5) AS ds5,
+                      toString(toDecimal64(toDecimalString(o_totalprice, 3), 2)) AS rt2,
+                      toString(multiplyDecimal(toDecimal64(o_totalprice, 2), toDecimal32(1.1, 1))) AS mul_d,
+                      toString(multiplyDecimal(toDecimal64(o_totalprice, 2), toDecimal32(0.07, 2), 3)) AS mul3,
+                      toString(divideDecimal(toDecimal64(o_totalprice, 2), toDecimal32(7, 0), 6)) AS div6,
+                      toString(divideDecimal(toDecimal64(o_totalprice, 2), toDecimal32(7, 0))) AS div_d,
+                      toString(toDecimal64OrNull('nope', 2)) AS bad_null,
+                      toString(toDecimal32OrZero('nope', 3)) AS bad_zero
+               FROM orders_dec
+               ORDER BY okey LIMIT 100""")
+    },
+    Some("""WITH v AS (SELECT o_orderkey AS okey,
+                              CAST(o_totalprice AS DECIMAL(18,2)) AS p2
+                       FROM orders),
+                 u AS (SELECT okey, p2,
+                              CAST(p2 * 100 AS HUGEINT) AS up,
+                              CAST(p2 * CAST(1.1 AS DECIMAL(9,1)) * 1000 AS HUGEINT) AS um3,
+                              CAST(p2 * CAST(0.07 AS DECIMAL(9,2)) * 10000 AS HUGEINT) AS um4
+                       FROM v)
+            SELECT okey,
+                   CAST(CAST(p2 AS DECIMAL(18,4)) AS VARCHAR) AS d4,
+                   CAST(p2 AS VARCHAR) AS d2,
+                   CAST(CAST(p2 AS DECIMAL(38,10)) AS VARCHAR) AS d10,
+                   CAST(CAST(p2 AS DECIMAL(38,6)) AS VARCHAR) AS d256,
+                   CAST(CAST(p2 AS DECIMAL(38,5)) AS VARCHAR) AS ds5,
+                   CAST(p2 AS VARCHAR) AS rt2,
+                   printf('%d.%02d', CAST((um3 // 10) // 100 AS BIGINT),
+                                     CAST((um3 // 10) % 100 AS BIGINT)) AS mul_d,
+                   printf('%d.%03d', CAST((um4 // 10) // 1000 AS BIGINT),
+                                     CAST((um4 // 10) % 1000 AS BIGINT)) AS mul3,
+                   printf('%d.%06d', CAST((up * 10000 // 7) // 1000000 AS BIGINT),
+                                     CAST((up * 10000 // 7) % 1000000 AS BIGINT)) AS div6,
+                   printf('%d.%02d', CAST((up // 7) // 100 AS BIGINT),
+                                     CAST((up // 7) % 100 AS BIGINT)) AS div_d,
+                   CAST(TRY_CAST('nope' AS DECIMAL(18,2)) AS VARCHAR) AS bad_null,
+                   CAST(CAST(0 AS DECIMAL(9,3)) AS VARCHAR) AS bad_zero
+            FROM u
+            ORDER BY okey LIMIT 100"""),
+  )
+
   /** Cluster-fabric table functions with a real single-session
     * analog (reference: scanner-modeled CH surface; CH docs
     * `merge`/`cluster`): `merge('regexp')` expands at parse time into
@@ -2383,5 +2468,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29o, q29p, q29q, q29r, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q38, q38b, q38c, q38d, q38e, q21b)
 }

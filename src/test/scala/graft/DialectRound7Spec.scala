@@ -538,13 +538,18 @@ class DialectRound7Spec extends SparkSpec {
     assert(r.getString(14) == "x" && r.getLong(15) == 5L && !r.getBoolean(16))
   }
 
-  test("QUALIFY: DISTINCT head is refused loudly (no silent key change)") {
+  test("QUALIFY: DISTINCT head — filter before dedup, windows over pre-dedup rows (round 13)") {
     viewT()
-    val e = intercept[Exception] {
-      spark.sql(
-        """SELECT DISTINCT k FROM qual_t
-           QUALIFY row_number() OVER (ORDER BY k) = 1""").collect()
-    }
-    assert(e.getMessage.toUpperCase.contains("QUALIFY")) // parse error names the keyword
+    // windows compute over ALL rows, then QUALIFY filters, then
+    // DISTINCT dedups the survivors — the standard evaluation order
+    val got = spark.sql(
+      """SELECT DISTINCT k FROM qual_t
+         QUALIFY row_number() OVER (PARTITION BY k ORDER BY x) <= 2
+         ORDER BY k""").collect().map(_.get(0))
+    val want = spark.sql(
+      """SELECT DISTINCT k FROM (
+           SELECT k, row_number() OVER (PARTITION BY k ORDER BY x) AS rn FROM qual_t
+         ) WHERE rn <= 2 ORDER BY k""").collect().map(_.get(0))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 }

@@ -59,6 +59,30 @@ class Round13AdviceSpec extends SparkSpec {
       (e.getCause != null && e.getCause.getMessage.contains("division by zero")))
   }
 
+  test("decimal refusal edges: overflow to NULL, toDecimal256 past 38 digits loud, OrZero fills") {
+    // toDecimal32 holds 9 digits: 1e10 at scale 2 overflows -> NULL (TRY-style cast)
+    assert(spark.sql("SELECT toDecimal32OrNull('10000000000', 2) AS v").head().isNullAt(0))
+    // the 256-width name exists but the engine's 38-digit bound is loud, not silent
+    val e = intercept[Exception](spark.sql("SELECT toDecimal256(1.5, 40) AS v").collect())
+    assert(e.getMessage.contains("38") || (e.getCause != null && e.getCause.getMessage.contains("38")))
+    // in-range 256 works at the mapped precision
+    assert(one[java.math.BigDecimal]("toDecimal256(1.5, 6)")
+      .compareTo(new java.math.BigDecimal("1.500000")) == 0)
+    assert(one[java.math.BigDecimal]("toDecimal128OrZero('nope', 4)")
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(one[java.math.BigDecimal]("toDecimal128OrNull('2.25', 4)")
+      .compareTo(new java.math.BigDecimal("2.2500")) == 0)
+  }
+
+  test("broadcast threshold policy: heap/16 clamped to [64 MB, 512 MB]; env override wins") {
+    // this JVM has no SPARK_GRAFT_BROADCAST_MB set, so the policy applies
+    assume(sys.env.get("SPARK_GRAFT_BROADCAST_MB").isEmpty)
+    val expected = math.min(math.max(Runtime.getRuntime.maxMemory() / 16, 64L << 20), 512L << 20)
+    assert(GraftSession.broadcastBytes == expected)
+    assert(GraftSession.broadcastBytes >= (64L << 20))
+    assert(GraftSession.broadcastBytes <= (512L << 20))
+  }
+
   test("ASOF SQL rewrite: alias that suffixes another identifier doesn't misorient sides") {
     // alias "c" is a suffix of "abc": raw substring matching saw
     // "c." inside "abc.ts" and misclassified the operand's side

@@ -13,7 +13,7 @@ class SurveyConsistencySpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
   private val section2 = surveyText.split("## §3")(0)
 
-  private val QName = """`(q\d+[a-z]?_\w+)`""".r
+  private val QName = """`(q\d+[a-z0-9]*_\w+)`""".r
   private def namesIn(text: String): Set[String] =
     QName.findAllMatchIn(text).map(_.group(1)).toSet
 
