@@ -67,13 +67,28 @@ def perturb(table, col, i):
         # replicas i-dim (the round-12 sf10 rehearsal surfaced 1.3M
         # spurious verified pairs this way); past one full cycle the
         # vector is additionally negated — cos(v, -rot(v)) = -cos,
-        # never a near-dup — giving 2*dim distinct transforms.
-        assert i < 2 * EMB_DIM, "embedding decorrelation supports < 2*dim replicas"
+        # never a near-dup — giving 2*dim distinct transforms. Past
+        # 2*dim replicas (the sf100 rehearsal), each replica further
+        # applies a deterministic per-replica ±1 SIGN MASK (seeded
+        # from the replica index): norm and dims unchanged, and two
+        # replicas sharing a rotation now differ in ~half their signs
+        # — expected cosine ~0, so cross-replica pairs stay out of
+        # every near-dup family.
         r = i % EMB_DIM
         rot = (f"(list_slice({col}, {r + 1}, len({col})) || "
                f"list_slice({col}, 1, {r}))")
-        if i >= EMB_DIM:
+        if EMB_DIM <= i < 2 * EMB_DIM:
             rot = f"list_transform({rot}, x -> -x)"
+        elif i >= 2 * EMB_DIM:
+            import random
+            rng = random.Random(0xE5CA1E + i)
+            mask = [rng.choice((-1.0, 1.0)) for _ in range(EMB_DIM)]
+            mask_sql = "[" + ", ".join(str(m) for m in mask) + "]"
+            # cast back to FLOAT: the mask literal is DOUBLE and the
+            # product would silently widen the column type, changing
+            # the unioned table's schema vs the small SFs
+            rot = (f"list_transform(list_zip({rot}, {mask_sql}), "
+                   f"p -> CAST(p[1] * p[2] AS FLOAT))")
         return f"{rot} AS {col}"
     return col
 

@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeEncodeExpr(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_pg_text_array"),
+      new ExpressionInfo(classOf[PgTextArray].getName, "graft_pg_text_array"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_pg_text_array takes exactly 1 argument")
+        PgTextArray(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_cell"),
       (children: Seq[Expression]) => {

@@ -31,6 +31,18 @@ class SurveyConsistencySpec extends AnyFunSuite {
       s"registry queries missing from SURVEY §2: ${undocumented.toSeq.sorted}")
   }
 
+  test("the §2 registry-count line matches SparkEntry (prose can't drift)") {
+    val CountLine = """\*\*Registry: (\d+) queries — (\d+) oracle-able, (\d+) seeded rows-only""".r
+    val m = CountLine.findFirstMatchIn(section2)
+      .getOrElse(fail("SURVEY §2 must carry the machine-checked registry-count line"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${m.group(1)} queries, registry has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${m.group(2)} oracle-able, registry has ${SparkEntry.oracleSql.size}")
+    assert(m.group(3).toInt == SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      "rows-only count must be queries minus oracled")
+  }
+
   test("⭕ entries and ONLY ⭕ entries run without an oracle") {
     val rowsOnly = section2.linesIterator.filter(_.contains("⭕"))
       .flatMap(l => QName.findAllMatchIn(l).map(_.group(1))).toSet
