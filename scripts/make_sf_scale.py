@@ -101,8 +101,24 @@ for t, (keys, _) in facts.items():
             f"{c} + {i * SHIFT} AS {c}" if c in keys else perturb(t, c, i)
             for c in cols)
         selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
-    union = " UNION ALL ".join(selects)
-    con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT parquet)")
-    n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
-    print(f"{t}: {n} rows ({N}x)")
+    # A single N-way UNION ALL trips DuckDB's expression-depth limit
+    # past ~1000 replicas; chunk into part-files inside a `t.parquet/`
+    # DIRECTORY (Spark and DuckDB both read it transparently). Single
+    # file is kept for small N so the sf10 harness output is unchanged.
+    CHUNK = 100
+    if N <= CHUNK:
+        union = " UNION ALL ".join(selects)
+        con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    else:
+        d = pathlib.Path(OUT) / f"{t}.parquet"
+        d.mkdir(parents=True, exist_ok=True)
+        for j in range(0, N, CHUNK):
+            union = " UNION ALL ".join(selects[j:j + CHUNK])
+            con.execute(
+                f"COPY ({union}) TO '{d}/part_{j:05d}.parquet' (FORMAT parquet)")
+            print(f"  {t}: replicas {j}..{min(j + CHUNK, N) - 1} written", flush=True)
+        n = con.execute(
+            f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows ({N}x)", flush=True)
 print("done ->", OUT)

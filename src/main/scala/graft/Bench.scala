@@ -24,6 +24,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
+    // Optional comma-separated allowlist for targeted scale rehearsals
+    // (e.g. the sf100 heavy-family subset) — absent means the full registry.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.local("graft-bench")
     // Warm the JVM/codegen/parquet-reader paths so startup cost isn't
     // attributed to whichever query happens to run first.
@@ -55,7 +59,9 @@ object Bench {
     final case class R(sec: Double, err: Option[String])
     final case class Q(best: R, runs: Seq[Double])
     val results: Seq[(String, Q)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         def once(): R = {
           val t0 = System.nanoTime()
           val err =

@@ -254,16 +254,26 @@ object Analytics {
         // re-declare the bucket spec in this session's catalog; the
         // write is a ONE-TIME layout cost, not a per-query one
         def landed(sub: String) = new java.io.File(s"/tmp/graft_bucketed/$tag/$sub/_SUCCESS").exists()
-        if (landed("orders") && landed("lineitem")) {
+        // Round 13: the bucket COUNT is dialed from the fact size
+        // (one bucket per ~256 MB of the larger side, pow2, min 8 —
+        // [[MergeTreeWrite.autoBucketCount]]) instead of a pinned 8,
+        // which capped join parallelism at 8 tasks once lineitem hit
+        // 600M rows. A landed layout's count comes from its on-disk
+        // marker so re-declaration can never mismatch the files;
+        // marker-less layouts (pre-round-13) are rewritten, not
+        // guessed at.
+        val landedN = MergeTreeWrite.landedBucketCount(s"/tmp/graft_bucketed/$tag/lineitem")
+        if (landed("orders") && landed("lineitem") && landedN.isDefined) {
           MergeTreeWrite.registerBucketed(s, ordersTbl,
-            s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", 8, Seq("o_orderkey"))
+            s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", landedN.get, Seq("o_orderkey"))
           MergeTreeWrite.registerBucketed(s, lineitemTbl,
-            s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+            s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", landedN.get, Seq("l_orderkey"))
         } else {
+          val nb = MergeTreeWrite.autoBucketCount(t.lineitem, t.orders)
           MergeTreeWrite.writeBucketed(t.orders, ordersTbl,
-            s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", 8, Seq("o_orderkey"))
+            s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", nb, Seq("o_orderkey"))
           MergeTreeWrite.writeBucketed(t.lineitem, lineitemTbl,
-            s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+            s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", nb, Seq("l_orderkey"))
         }
       }
       s.table(ordersTbl).where(col("o_orderstatus") === "O").hint("merge")

@@ -67,6 +67,42 @@ object MergeTreeWrite {
       case head +: tail => w.sortBy(head, tail: _*)
     }
     sorted.format("parquet").saveAsTable(tableName)
+    // Persist the bucket count beside the data: the catalog spec dies
+    // with the session, and re-declaring a DIFFERENT count over a
+    // landed layout silently mis-buckets every later join. Readers use
+    // [[landedBucketCount]] and refuse to guess.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, BucketMarker), numBuckets.toString)
+  }
+
+  private val BucketMarker = "_GRAFT_BUCKETS"
+
+  /** The bucket count a [[writeBucketed]] layout at `path` was written
+    * with, if the marker is present (layouts from before the marker
+    * existed return None — rewrite those rather than guessing). */
+  def landedBucketCount(path: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(path, BucketMarker)
+    if (java.nio.file.Files.exists(p))
+      scala.util.Try(java.nio.file.Files.readString(p).trim.toInt).toOption
+    else None
+  }
+
+  /** Scale-safe bucket-count dial: one bucket per ~`targetBytes` of
+    * on-disk input (plan statistics — a metadata read for parquet
+    * scans, no job), rounded up to a power of two and clamped to
+    * [8, 4096]. Dial from the LARGER side of an intended co-located
+    * join and write both sides with the same count — equal counts are
+    * what lets Spark elide both exchanges. At sf0.1 (~10 MB facts)
+    * this floors at 8 (the historical constant); at a 100 TB fact it
+    * caps at 4096 buckets of ~25 GB — above that, bucket-pruned scans
+    * and AQE coalescing matter more than further splitting. */
+  def autoBucketCount(dfs: DataFrame*): Int = {
+    require(dfs.nonEmpty, "autoBucketCount needs at least one input")
+    val bytes = dfs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).max
+    val targetBytes = BigInt(256L << 20)
+    val raw = ((bytes + targetBytes - 1) / targetBytes).max(1)
+    val capped = raw.min(BigInt(4096)).toInt
+    math.max(8, Integer.highestOneBit(math.max(1, capped - 1)) * 2)
   }
 
   /** Register an ALREADY-written bucketed layout in the catalog
