@@ -106,12 +106,21 @@ for t, (keys, _) in facts.items():
     # DIRECTORY (Spark and DuckDB both read it transparently). Single
     # file is kept for small N so the sf10 harness output is unchanged.
     CHUNK = 100
+    # a previous run may have left this target as a file OR a chunk
+    # directory (possibly with MORE parts than this N writes) — stale
+    # parts would silently inflate the corpus, so always start clean
+    tgt = pathlib.Path(OUT) / f"{t}.parquet"
+    if tgt.is_dir():
+        import shutil
+        shutil.rmtree(tgt)
+    elif tgt.exists():
+        tgt.unlink()
     if N <= CHUNK:
         union = " UNION ALL ".join(selects)
         con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT parquet)")
         n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     else:
-        d = pathlib.Path(OUT) / f"{t}.parquet"
+        d = tgt
         d.mkdir(parents=True, exist_ok=True)
         for j in range(0, N, CHUNK):
             union = " UNION ALL ".join(selects[j:j + CHUNK])

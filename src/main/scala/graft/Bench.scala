@@ -23,11 +23,21 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
     // Optional comma-separated allowlist for targeted scale rehearsals
-    // (e.g. the sf100 heavy-family subset) — absent means the full registry.
+    // (e.g. the sf100 heavy-family subset) — absent means the full
+    // registry. A typo'd name would silently bench nothing, so every
+    // name must exist; and a subset run must not overwrite the
+    // committed full-registry artifact, so its default output moves
+    // to /tmp.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/graft_bench_subset.json" else "/root/repo/BENCH_local.json")
     val spark = GraftSession.local("graft-bench")
     // Warm the JVM/codegen/parquet-reader paths so startup cost isn't
     // attributed to whichever query happens to run first.

@@ -27,10 +27,22 @@ object GraftSession {
     * costs more than the shuffle it avoids — at 1000 executors a
     * 512 MB broadcast is half a terabyte of aggregate network; the
     * at-scale answer for bigger dims is the bucketed layout, q15b).
-    * SPARK_GRAFT_BROADCAST_MB overrides the policy outright. */
+    *
+    * The relation is BUILT on executors, so the budget follows the
+    * SMALLER of driver heap and configured executor heap: on a
+    * cluster with a big driver and 4 GB executors, driver-heap/16
+    * would pick a threshold whose hashed relation OOMs every
+    * executor task. `spark.executor.memory` comes from the submitted
+    * conf (system properties); local mode has none and driver heap
+    * IS executor heap. SPARK_GRAFT_BROADCAST_MB overrides the policy
+    * outright. */
   private[graft] def broadcastBytes: Long =
     sys.env.get("SPARK_GRAFT_BROADCAST_MB").map(_.toLong * 1024 * 1024).getOrElse {
-      val heap = Runtime.getRuntime.maxMemory()
+      val driverHeap = Runtime.getRuntime.maxMemory()
+      val executorHeap = scala.util.Try(
+        new org.apache.spark.SparkConf(true).getSizeAsBytes("spark.executor.memory")
+      ).toOption
+      val heap = executorHeap.fold(driverHeap)(math.min(_, driverHeap))
       math.min(math.max(heap / 16, 64L << 20), 512L << 20)
     }
 
@@ -48,6 +60,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes.toString)
+      // Building a broadcast relation COLLECTS the side to the
+      // driver, and that collect is bounded by maxResultSize — a
+      // raised broadcast threshold with the default 1g result cap
+      // kills exactly the joins the threshold was raised to keep
+      // broadcast (sf100 rehearsal: a ~1.1 GB collect under the
+      // 512 MB-threshold policy). Serialized task results run
+      // several × the planner's size estimate, so budget 8× the
+      // threshold, floored at the 1g default.
+      .config("spark.driver.maxResultSize",
+        math.max(8L * broadcastBytes, 1L << 30).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     master.orElse(Some(s"local[$cores]")).foldLeft(b)(_ master _)
   }

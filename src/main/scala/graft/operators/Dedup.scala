@@ -93,8 +93,9 @@ object Dedup {
     * stands, and the whale-hash guidance is the same as the MinHash
     * caps': run EXACT dedup first so verbatim boilerplate never
     * reaches this operator at degenerate multiplicity.
-    * Canonical-occurrence encoding `doc_id*1e6+pos` bounds
-    * docs at 10⁶ tokens — raise the multiplier for longer inputs. */
+    * The canonical occurrence is the lexicographic-min (doc_id, pos)
+    * struct — no arithmetic packing, so any Long doc_id and any
+    * document length are safe. */
   def substringDedupStats(df: DataFrame, idCol: String, normCol: String, w: Int): DataFrame = {
     require(w >= 2, "window width under 2 degenerates to token counting")
     val base = df.select(col(idCol).cast("long").as("doc_id"), split(col(normCol), " ").as("t"))
@@ -104,12 +105,16 @@ object Dedup {
         posexplode(transform(sequence(lit(0), col("n_tokens") - w),
           i => concat_ws(" ", slice(col("t"), i + 1, lit(w))))).as(Seq("p0", "win")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(col("win")).as("h"))
-    val occ = col("doc_id") * 1000000L + col("pos")
+    // canonical occurrence = lexicographic min (doc_id, pos): a STRUCT
+    // min, not the former doc_id*1e6+pos packing — the packing
+    // overflowed Long once doc_ids carried a 10^13-range shard shift
+    // (caught by the sf100 rehearsal under ANSI arithmetic)
+    val occ = struct(col("doc_id"), col("pos"))
     val byHash = Window.partitionBy(col("h"))
     val removable = wins
       .withColumn("cnt", count(lit(1)).over(byHash))
       .withColumn("canon", min(occ).over(byHash))
-      .where(col("cnt") >= 2 && occ =!= col("canon"))
+      .where(col("cnt") >= 2 && !(occ === col("canon")))
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cov = removable

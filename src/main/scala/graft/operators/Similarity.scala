@@ -155,8 +155,11 @@ object Similarity {
     * `df` is row-count-equivalent to a raw parquet scan (only
     * row-preserving Project/SubqueryAlias nodes above the relation —
     * a Filter/Join/Generate/Limit anywhere disqualifies), computed by
-    * summing row-group counts from the parquet footers. Runs no Spark
-    * job — the spec asserts it with a job listener. */
+    * summing row-group counts from the parquet footers (a bounded
+    * driver-side thread pool; tables past 4096 files fall through to
+    * the distributed count() instead — serial-ish driver footer reads
+    * at lake scale would be slower than the job they avoid). Runs no
+    * Spark job — the spec asserts it with a job listener. */
   private[graft] def statsRowCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -173,11 +176,20 @@ object Similarity {
               if fs.fileFormat.isInstanceOf[
                 org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
             val conf = df.sparkSession.sessionState.newHadoopConf()
-            scala.util.Try {
-              fs.location.inputFiles.iterator.filterNot { p =>
-                val name = p.substring(p.lastIndexOf('/') + 1)
-                name.startsWith("_") || name.startsWith(".")
-              }.map { p =>
+            val files = fs.location.inputFiles.filterNot { p =>
+              val name = p.substring(p.lastIndexOf('/') + 1)
+              name.startsWith("_") || name.startsWith(".")
+            }
+            // A lake-scale table is 10^5–10^6 files; one serial footer
+            // open per file on the driver (~10-50 ms each on remote
+            // storage) would be slower than the distributed count()
+            // this path exists to avoid. Past a small-file bound, let
+            // the caller fall through to count() — Spark answers a
+            // parquet count(*) from the same footer metadata, but
+            // fanned across every executor.
+            if (files.length > 4096) None
+            else scala.util.Try {
+              def footerRows(p: String): Long = {
                 val in = org.apache.parquet.hadoop.util.HadoopInputFile
                   .fromPath(new org.apache.hadoop.fs.Path(p), conf)
                 val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -187,7 +199,21 @@ object Similarity {
                   while (it.hasNext) s += it.next().getRowCount
                   s
                 } finally r.close()
-              }.sum
+              }
+              if (files.length <= 4) files.map(footerRows).sum
+              else {
+                // bounded driver-side pool: footer reads are I/O-bound
+                val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                  math.min(32, files.length))
+                try {
+                  val futs = files.map { p =>
+                    pool.submit(new java.util.concurrent.Callable[Long] {
+                      override def call(): Long = footerRows(p)
+                    })
+                  }
+                  futs.map(_.get()).sum
+                } finally pool.shutdown()
+              }
             }.toOption
           case _ => None
         }
@@ -315,30 +341,49 @@ object Similarity {
     // single cheap expression per side instead of numTables×numPlanes
     // inlined dot loops (which blew past codegen size limits and fell
     // back to per-element interpreted eval).
-    // Bucket join carries ONLY (id, table, bucket); vectors rejoin
-    // after pair dedup, so each candidate pair ships its two vectors
-    // through a shuffle exactly once.
     val keyed0 = df
       .select(col(idCol),
         posexplode(call_function("graft_lsh_buckets", col(vecCol), lit(numPlanes), lit(numTables))))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
     // whale-bucket cap: one row_number window on the same (tbl, bk)
-    // key the candidate join shuffles on anyway
+    // key the candidate join shuffles on anyway — over SLIM
+    // (id, tbl, bk) rows, so the window sort never carries vectors
     val keyed = keyed0
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("tbl"), col("bk")).orderBy(col(idCol))))
       .where(col("__rn") <= maxBucket).drop("__rn")
+    // audit-only frame: distinct candidate pairs (not on the
+    // verified path — materializing all-table pair occurrences just
+    // to dedup them before verification was the sf100 disk killer)
     val cand = keyed.toDF("id_a", "tbl", "bk")
       .join(keyed.toDF("id_b", "tbl", "bk"), Seq("tbl", "bk"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // Verification happens INSIDE the bucket self-join: vectors
+    // attach to the capped per-table rows (linear in N — one
+    // shuffle-hash join against the base, no sort), the self-join
+    // streams each bucket's pairs through the cosine filter in the
+    // same stage, and only SURVIVORS are materialized and deduped.
+    // The former shape deduped all candidate pairs first and then
+    // ran two id-joins to fetch vectors — at sf100 that second join
+    // sort-merge-sorted ~10^8 pairs × 0.5 KB of attached vector
+    // payload (~100+ GB of spill, measured disk-full). Cross-table
+    // duplicate pairs now pay a redundant dot product instead (pure
+    // CPU, bounded by numTables×N×occupancy), which scales; the
+    // shuffle volume stays at the bucket rows themselves.
     val base = withNorm(df, vecCol)
-    val verified = cand
-      .join(base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__norm").as("na")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__norm").as("nb")), "id_b")
+      .select(col(idCol), col(vecCol).as("__v"), col("__norm"))
+    val enriched = keyed.join(base.hint("shuffle_hash"), Seq(idCol))
+    val a = enriched.select(col(idCol).as("id_a"), col("tbl"), col("bk"),
+      col("__v").as("va"), col("__norm").as("na"))
+    val b = enriched.select(col(idCol).as("id_b"), col("tbl"), col("bk"),
+      col("__v").as("vb"), col("__norm").as("nb"))
+    val verified = a.join(b.hint("shuffle_hash"), Seq("tbl", "bk"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)
+      .dropDuplicates("id_a", "id_b")
     graft.operators.LshStages(keyed, cand, verified)
   }
 

@@ -868,13 +868,16 @@ object ChDialect {
           case TimestampType => MicrosToTimestamp(Literal(0L))
           case other => Cast(Literal(0), other)
         }
-      Coalesce(Seq(tryCastTo(es.head, t), dflt))
+      orZeroOf(es.head, tryCastTo(es.head, t), dflt)
     }),
     "toDateOrNull"    -> (es => tryCastTo(es.head, DateType)),
     "toDateTimeOrNull" -> (es => tryCastTo(es.head, TimestampType)),
-    "toInt64OrZero"   -> (es => Coalesce(Seq(tryCastTo(es.head, LongType), Literal(0L)))),
-    "toInt32OrZero"   -> (es => Coalesce(Seq(tryCastTo(es.head, IntegerType), Literal(0)))),
-    "toFloat64OrZero" -> (es => Coalesce(Seq(tryCastTo(es.head, DoubleType), Literal(0.0d)))),
+    // OrZero fills PARSE FAILURES with zero; a NULL INPUT stays NULL
+    // (CH ordinary functions propagate NULL arguments — OrZero(NULL)
+    // is NULL, not 0; only an unparseable non-NULL string is 0)
+    "toInt64OrZero"   -> (es => orZeroOf(es.head, tryCastTo(es.head, LongType), Literal(0L))),
+    "toInt32OrZero"   -> (es => orZeroOf(es.head, tryCastTo(es.head, IntegerType), Literal(0))),
+    "toFloat64OrZero" -> (es => orZeroOf(es.head, tryCastTo(es.head, DoubleType), Literal(0.0d))),
     "parseDateTimeBestEffort"       -> (es => Cast(es.head, TimestampType)),
     "parseDateTimeBestEffortOrNull" -> (es => tryCastTo(es.head, TimestampType)),
     "parseDateTime32BestEffort"     -> (es => Cast(es.head, TimestampType)),
@@ -2508,8 +2511,9 @@ object ChDialect {
     }),
     "toUUIDOrZero" -> (es => {
       val lo = Lower(es.head)
-      If(RLike(lo, Literal("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
-        lo, Literal("00000000-0000-0000-0000-000000000000"))
+      val parsed = If(RLike(lo, Literal("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
+        lo, Literal.create(null, org.apache.spark.sql.types.StringType))
+      orZeroOf(es.head, parsed, Literal("00000000-0000-0000-0000-000000000000"))
     }),
     "UUIDStringToNum" -> (es =>
       Unhex(RegExpReplace(es.head, Literal("-"), Literal("")))),
@@ -2813,15 +2817,15 @@ object ChDialect {
       org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128OrNull scale")), None, EvalMode.TRY)),
     "toDecimal32OrZero" -> (es => {
       val dt = org.apache.spark.sql.types.DecimalType(9, litInt(es(1), "toDecimal32OrZero scale"))
-      Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt)))
+      orZeroOf(es.head, Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt))
     }),
     "toDecimal64OrZero" -> (es => {
       val dt = org.apache.spark.sql.types.DecimalType(18, litInt(es(1), "toDecimal64OrZero scale"))
-      Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt)))
+      orZeroOf(es.head, Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt))
     }),
     "toDecimal128OrZero" -> (es => {
       val dt = org.apache.spark.sql.types.DecimalType(38, litInt(es(1), "toDecimal128OrZero scale"))
-      Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt)))
+      orZeroOf(es.head, Cast(es.head, dt, None, EvalMode.TRY), Cast(Literal(0), dt))
     }),
     // ULID: 48-bit unix-ms + 80 random bits in Crockford base32 (26
     // chars). Timestamp folds per query like generateUUIDv7; the
@@ -3755,6 +3759,17 @@ object ChDialect {
   private def tryCastTo(e: Expression, dt: DataType): Expression =
     Cast(e, dt, None, EvalMode.TRY)
 
+  /** The OrZero/OrDefault combinator: `dflt` only when a NON-NULL
+    * input fails to parse; a NULL input propagates as NULL (CH
+    * ordinary functions execute under the Nullable wrapper, so
+    * toInt32OrZero(NULL) is NULL, not 0 — a Coalesce alone cannot
+    * tell "parse failed" from "input was NULL" and fabricates
+    * zeros). `input` appears twice in the tree; both occurrences are
+    * the same deterministic subtree. */
+  private def orZeroOf(input: Expression, parsed: Expression, dflt: Expression): Expression =
+    If(IsNull(input), Cast(Literal(null), parsed.dataType),
+      Coalesce(Seq(parsed, dflt)))
+
   /** quantileExactLow/High(q)(x): the discrete nearest-rank selector
     * over the sorted group array — index floor/ceil((n−1)·q), 1-based
     * ElementAt. The CollectList subtree is shared with any other
@@ -4395,7 +4410,7 @@ object ChDialect {
     val bytes = Cast(Ceil(value), LongType)
     onBad match {
       case "null" => bytes
-      case "zero" => Coalesce(Seq(bytes, Literal(0L)))
+      case "zero" => orZeroOf(in, bytes, Literal(0L))
       case _ => If(IsNull(in), Literal.create(null, LongType),
         If(IsNull(bytes),
           Cast(RaiseError(Concat(Seq(Literal("parseReadableSize: cannot parse '"), in,

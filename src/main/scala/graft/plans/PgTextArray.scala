@@ -11,7 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * text-literal syntax (PG docs §8.15.2): elements comma-separated
   * inside `{}`; an element is double-quoted when it contains braces,
   * commas, quotes, backslashes or whitespace (backslash escapes `\"`
-  * and `\\` inside quotes); an UNQUOTED `NULL` (any case) is a null
+  * and `\\` inside quotes); backslash also escapes in UNQUOTED
+  * elements (`{a\"b}` is `a"b`), an escaped char survives
+  * whitespace-trimming and disables NULL detection (`\N\U\L\L` is
+  * the string "NULL"); whitespace around elements is skipped like
+  * PG's array_in; an UNQUOTED bare `NULL` (any case) is a null
   * element; `{}` is the empty array. Malformed input fails loudly —
   * a silently-dropped element in a replication pipeline is data
   * loss. */
@@ -37,11 +41,12 @@ case class PgTextArray(child: Expression)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     while (i <= body.length) {
-      // one element per loop pass; i sits at its first char
+      // one element per loop pass; PG's array_in skips whitespace
+      // around elements (quoted or not), so do the same
+      while (i < body.length && body(i).isWhitespace) i += 1
       val sb = new StringBuilder
-      var quoted = false
+      var isNull = false
       if (i < body.length && body(i) == '"') {
-        quoted = true
         i += 1
         var closed = false
         while (i < body.length && !closed) {
@@ -54,22 +59,34 @@ case class PgTextArray(child: Expression)
           }
         }
         if (!closed) bad("unterminated quote")
+        while (i < body.length && body(i).isWhitespace) i += 1
         // only delimiter or end may follow a closing quote
         if (i < body.length && body(i) != ',') bad("garbage after closing quote")
       } else {
+        // PG treats backslash as an escape in UNQUOTED elements too
+        // ('{a\"b}' is the two chars a"b); an escaped char is literal,
+        // survives trailing-whitespace trimming, and disables NULL
+        // detection (\N\U\L\L is the STRING "NULL")
+        var escLen = 0 // prefix of sb that trimming must preserve
+        var hadEscape = false
         while (i < body.length && body(i) != ',') {
-          if (body(i) == '"' || body(i) == '{' || body(i) == '}') bad("unquoted special character")
-          sb += body(i); i += 1
+          body(i) match {
+            case '\\' =>
+              if (i + 1 >= body.length) bad("dangling backslash")
+              sb += body(i + 1); i += 2
+              hadEscape = true; escLen = sb.length
+            case '"' | '{' | '}' => bad("unquoted special character")
+            case c => sb += c; i += 1
+          }
         }
+        // trim unescaped trailing whitespace (leading was skipped above)
+        var end = sb.length
+        while (end > escLen && sb(end - 1).isWhitespace) end -= 1
+        sb.setLength(end)
+        if (sb.isEmpty && !hadEscape) bad("empty unquoted element")
+        isNull = !hadEscape && sb.toString.equalsIgnoreCase("NULL")
       }
-      val raw = sb.toString
-      if (quoted) out += UTF8String.fromString(raw)
-      else {
-        val t = raw.trim
-        if (t.isEmpty) bad("empty unquoted element")
-        else if (t.equalsIgnoreCase("NULL")) out += null
-        else out += UTF8String.fromString(t)
-      }
+      out += (if (isNull) null else UTF8String.fromString(sb.toString))
       if (i < body.length && body(i) == ',') {
         i += 1
         if (i >= body.length) bad("trailing delimiter")

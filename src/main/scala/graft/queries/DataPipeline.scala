@@ -172,10 +172,10 @@ object DataPipeline {
                            FROM toks, LATERAL unnest(range(1, len(t) - 6)) AS u(i)),
                   marked AS (SELECT doc_id, pos,
                                     count(*) OVER (PARTITION BY win) AS cnt,
-                                    min(doc_id * 1000000 + pos) OVER (PARTITION BY win) AS canon
+                                    min(row(doc_id, pos)) OVER (PARTITION BY win) AS canon
                              FROM wins),
                   removable AS (SELECT doc_id, pos FROM marked
-                                WHERE cnt >= 2 AND doc_id * 1000000 + pos <> canon),
+                                WHERE cnt >= 2 AND row(doc_id, pos) <> canon),
                   spans AS (SELECT doc_id, pos,
                                    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
                             FROM removable),

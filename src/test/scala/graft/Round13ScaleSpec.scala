@@ -23,6 +23,59 @@ class Round13ScaleSpec extends SparkSpec {
     assert(MergeTreeWrite.autoBucketCount(spark.range((100L << 40) / 8).toDF()) == 4096)
   }
 
+  test("OrZero family: NULL input propagates NULL; only non-NULL parse failures become zero") {
+    // CH ordinary functions propagate NULL args — OrZero(NULL) is
+    // NULL, never a fabricated 0 (a review found Coalesce alone
+    // couldn't tell "parse failed" from "input was NULL")
+    val r = spark.sql(
+      """SELECT toInt64OrZero(CAST(NULL AS STRING)) AS a,
+               toInt32OrZero(CAST(NULL AS STRING)) AS b,
+               toFloat64OrZero(CAST(NULL AS STRING)) AS c,
+               toDecimal64OrZero(CAST(NULL AS STRING), 2) AS d,
+               toUUIDOrZero(CAST(NULL AS STRING)) AS e,
+               parseReadableSizeOrZero(CAST(NULL AS STRING)) AS f,
+               accurateCastOrDefault(CAST(NULL AS STRING), 'Int64') AS g,
+               toInt64OrZero('nope') AS h,
+               toDecimal64OrZero('nope', 2) AS i,
+               toUUIDOrZero('nope') AS j""").head()
+    for (idx <- 0 to 6) assert(r.isNullAt(idx), s"column $idx must be NULL for NULL input")
+    assert(r.getLong(7) == 0L)
+    assert(r.getDecimal(8).compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(r.getString(9) == "00000000-0000-0000-0000-000000000000")
+  }
+
+  test("graft_pg_text_array: PG-faithful whitespace and unquoted backslash escapes") {
+    def arr(lit: String): Seq[String] =
+      spark.sql(s"SELECT graft_pg_text_array('$lit') AS a").head().getSeq[String](0)
+    // whitespace around quoted elements is skipped, like PG array_in
+    assert(arr("""{ "a", "b" }""") == Seq("a", "b"))
+    assert(arr("""{"a" , "b"}""") == Seq("a", "b"))
+    // backslash escapes in UNQUOTED elements: {a\\"b} is the chars a"b
+    assert(arr("""{a\\"b}""") == Seq("a\"b"))
+    // escaped NULL spelling is the STRING "NULL", not a null element
+    assert(arr("""{\\N\\U\\L\\L}""") == Seq("NULL"))
+    // bare unquoted NULL still null; escaped trailing space survives trim
+    val withNull = spark.sql("""SELECT graft_pg_text_array('{a, NULL, c}') AS a""")
+      .head().getSeq[String](0)
+    assert(withNull == Seq("a", null, "c"))
+    assert(arr("""{a\\ }""") == Seq("a "))
+  }
+
+  test("broadcastBytes follows the smaller of driver and executor heap") {
+    assume(sys.env.get("SPARK_GRAFT_BROADCAST_MB").isEmpty)
+    val key = "spark.executor.memory"
+    assert(sys.props.get(key).isEmpty, "test needs the prop unset to start")
+    try {
+      sys.props(key) = "2g"
+      // 2 GB / 16 = 128 MB — the executor bound wins over the big driver heap
+      assert(GraftSession.broadcastBytes == (128L << 20))
+    } finally sys.props.remove(key)
+    // prop cleared: back to the driver-heap policy
+    val driver = Runtime.getRuntime.maxMemory()
+    assert(GraftSession.broadcastBytes ==
+      math.min(math.max(driver / 16, 64L << 20), 512L << 20))
+  }
+
   test("writeBucketed persists its count; landedBucketCount round-trips; marker-less is None") {
     val base = "/tmp/graft_bucket_marker_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
