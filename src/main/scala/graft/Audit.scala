@@ -30,10 +30,12 @@ object Audit {
   )
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
+    // GraftSession.builder, not a hand-rolled one: the audit must see
+    // the plans the bench/driver sessions produce (broadcast-threshold
+    // policy, bucketed-scan ordering, AQE) or its ex=/sort counts
+    // describe a session nobody runs.
+    val spark = GraftSession.builder("graft-audit",
+        master = Some("local[8]"), shufflePartitions = Some(8))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

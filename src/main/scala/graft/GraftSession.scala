@@ -60,6 +60,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes.toString)
+      // Honor the per-bucket sort order of bucketed layouts at scan
+      // time (off by default since Spark 3.0 because multi-file
+      // buckets would need a merge): writeBucketed lands EXACTLY one
+      // file per bucket, the single shape the flag is sound for, and
+      // without it every bucketed join re-sorts both sides — at the
+      // sf100 rehearsal that re-sort was 5× the join itself.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Building a broadcast relation COLLECTS the side to the
       // driver, and that collect is bounded by maxResultSize — a
       // raised broadcast threshold with the default 1g result cap

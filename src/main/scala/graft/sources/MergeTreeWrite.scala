@@ -60,7 +60,17 @@ object MergeTreeWrite {
                     bucketCol: String, numBuckets: Int,
                     sortCols: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).option("path", path)
+    // ONE file per bucket: repartition on the bucket column with the
+    // bucket count — HashPartitioning here is the same
+    // murmur3-pmod-numBuckets formula the bucket-id assignment uses,
+    // so each task holds exactly one bucket. Without this, every
+    // input task writes a sliver into every bucket (the sf100
+    // rehearsal landed 140 files/bucket) and Spark's bucketed READ
+    // drops the sort-order guarantee (it only holds for single-file
+    // buckets), silently re-sorting both join sides per query — the
+    // exact Exchange+Sort this layout exists to eliminate.
+    val oneFilePerBucket = df.repartition(numBuckets, col(bucketCol))
+    val w = oneFilePerBucket.write.mode(mode).option("path", path)
       .bucketBy(numBuckets, bucketCol)
     val sorted = sortCols match {
       case Nil          => w

@@ -10,10 +10,8 @@ import org.apache.spark.sql.SparkSession
   * dedup family); SPARK_GRAFT_SF_DIR picks the scale factor. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
+    // same session policy as the bench — see Audit.scala's rationale
+    val spark = graft.GraftSession.builder("graft-probe")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
