@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
 object ChFunctions {
 
   /** argMax/argMin over a deterministic total order. `value` has ties
-    * at 2 decimals, so the ordering key folds in event_id:
-    * ord = round(value*100)::bigint * 10^7 + event_id. */
+    * at 2 decimals, so the ordering key folds in event_id — as a
+    * FIXED-WIDTH zero-padded string, value digits first: lexicographic
+    * order equals (value, event_id) order with no arithmetic packing
+    * (the former round(value*100)*10^7 + event_id silently let huge
+    * sharded event_ids outvote the value once ids passed 10^7, the
+    * q46 overflow class). The 10^10 offset keeps the value field
+    * non-negative for |value| ≤ 10^8; event_ids must be ≥ 0. */
   val q21 = GraftQuery(
     "q21_argmax",
     (s, dir) => {
-      val ord = round(col("value") * 100).cast("long") * lit(10000000L) + col("event_id")
+      val ord = concat(
+        lpad((round(col("value") * 100).cast("long") + lit(10000000000L)).cast("string"), 12, "0"),
+        lpad(col("event_id").cast("string"), 20, "0"))
       Tables(s, dir).events
         .groupBy(col("user_id"))
         .agg(ch.argMax(col("event_type"), ord).as("top_event"),
@@ -26,8 +33,10 @@ object ChFunctions {
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id,
-                   max_by(event_type, cast(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_event,
-                   min_by(event_type, cast(round(value * 100) AS BIGINT) * 10000000 + event_id) AS bottom_event
+                   max_by(event_type, lpad(cast(cast(round(value * 100) AS BIGINT) + 10000000000 AS VARCHAR), 12, '0')
+                                      || lpad(cast(event_id AS VARCHAR), 20, '0')) AS top_event,
+                   min_by(event_type, lpad(cast(cast(round(value * 100) AS BIGINT) + 10000000000 AS VARCHAR), 12, '0')
+                                      || lpad(cast(event_id AS VARCHAR), 20, '0')) AS bottom_event
             FROM events GROUP BY 1 ORDER BY user_id"""),
   )
 
