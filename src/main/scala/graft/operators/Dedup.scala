@@ -93,9 +93,10 @@ object Dedup {
     * stands, and the whale-hash guidance is the same as the MinHash
     * caps': run EXACT dedup first so verbatim boilerplate never
     * reaches this operator at degenerate multiplicity.
-    * The canonical occurrence is the lexicographic-min (doc_id, pos)
-    * struct — no arithmetic packing, so any Long doc_id and any
-    * document length are safe. */
+    * The canonical occurrence is the lexicographically first
+    * (doc_id, pos) in its window partition (row_number = 1) — no
+    * arithmetic packing, so any Long doc_id and any document length
+    * are safe. */
   def substringDedupStats(df: DataFrame, idCol: String, normCol: String, w: Int): DataFrame = {
     require(w >= 2, "window width under 2 degenerates to token counting")
     val base = df.select(col(idCol).cast("long").as("doc_id"), split(col(normCol), " ").as("t"))
@@ -105,16 +106,19 @@ object Dedup {
         posexplode(transform(sequence(lit(0), col("n_tokens") - w),
           i => concat_ws(" ", slice(col("t"), i + 1, lit(w))))).as(Seq("p0", "win")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(col("win")).as("h"))
-    // canonical occurrence = lexicographic min (doc_id, pos): a STRUCT
-    // min, not the former doc_id*1e6+pos packing — the packing
-    // overflowed Long once doc_ids carried a 10^13-range shard shift
-    // (caught by the sf100 rehearsal under ANSI arithmetic)
-    val occ = struct(col("doc_id"), col("pos"))
+    // canonical occurrence = lexicographic-first (doc_id, pos) in the
+    // window-hash partition, i.e. row_number() = 1 under that order.
+    // Not the former doc_id*1e6+pos packing — it overflowed Long once
+    // doc_ids carried a 10^13-range shard shift (caught by the sf100
+    // rehearsal under ANSI arithmetic). The ordered row_number and
+    // the unordered count share one exchange; the sort is the same
+    // work the old packed-min's aggregation buffer did per partition.
     val byHash = Window.partitionBy(col("h"))
+    val byHashOrd = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     val removable = wins
       .withColumn("cnt", count(lit(1)).over(byHash))
-      .withColumn("canon", min(occ).over(byHash))
-      .where(col("cnt") >= 2 && !(occ === col("canon")))
+      .withColumn("rn", row_number().over(byHashOrd))
+      .where(col("cnt") >= 2 && col("rn") > 1)
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cov = removable

@@ -76,6 +76,39 @@ class Round13ScaleSpec extends SparkSpec {
       math.min(math.max(driver / 16, 64L << 20), 512L << 20))
   }
 
+  test("bucketed join under session policy: zero Exchange AND zero Sort (one file/bucket + ordering flag)") {
+    // GraftSession sets spark.sql.legacy.bucketedTableScan.outputOrdering;
+    // replicate it here (runtime-settable) and restore after — the
+    // shared test session doesn't carry the production session policy
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val base = "/tmp/graft_bucket_sortfree_spec"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Seq("bkt_sf_left", "bkt_sf_right").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val left = spark.range(1, 5000).select($"id".as("k"), ($"id" * 3).as("lv"))
+      val right = spark.range(1, 15000).select(($"id" % 4999 + 1).as("k"), ($"id" * 7).as("rv"))
+      MergeTreeWrite.writeBucketed(left, "bkt_sf_left", s"$base/l", "k", 8, Seq("k"))
+      MergeTreeWrite.writeBucketed(right, "bkt_sf_right", s"$base/r", "k", 8, Seq("k"))
+      // one file per bucket — the shape the ordering flag is sound for
+      def files(p: String) = new java.io.File(p).listFiles()
+        .count(f => f.getName.startsWith("part-"))
+      assert(files(s"$base/l") == 8 && files(s"$base/r") == 8)
+      val joined = spark.table("bkt_sf_left").hint("merge")
+        .join(spark.table("bkt_sf_right"), "k")
+        .groupBy("k").agg(sum($"rv").as("s"))
+      joined.count() // materialize through AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("+- Sort "), s"bucketed sort order not honored:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("writeBucketed persists its count; landedBucketCount round-trips; marker-less is None") {
     val base = "/tmp/graft_bucket_marker_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
