@@ -110,15 +110,17 @@ object Dedup {
     // window-hash partition, i.e. row_number() = 1 under that order.
     // Not the former doc_id*1e6+pos packing — it overflowed Long once
     // doc_ids carried a 10^13-range shard shift (caught by the sf100
-    // rehearsal under ANSI arithmetic). The ordered row_number and
-    // the unordered count share one exchange; the sort is the same
-    // work the old packed-min's aggregation buffer did per partition.
-    val byHash = Window.partitionBy(col("h"))
+    // rehearsal under ANSI arithmetic). rn > 1 already implies the
+    // partition has ≥2 occurrences, so no separate count pass is
+    // needed. Trade-off vs the packed min: the window now sorts on
+    // (h, doc_id, pos) instead of running an O(n) min buffer — for
+    // whale hashes (verbatim boilerplate at degenerate multiplicity)
+    // that sort can spill, which is one more reason the scaladoc's
+    // run-exact-dedup-first guidance applies.
     val byHashOrd = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     val removable = wins
-      .withColumn("cnt", count(lit(1)).over(byHash))
       .withColumn("rn", row_number().over(byHashOrd))
-      .where(col("cnt") >= 2 && col("rn") > 1)
+      .where(col("rn") > 1)
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cov = removable

@@ -19,13 +19,21 @@ object ChFunctions {
     * (the former round(value*100)*10^7 + event_id silently let huge
     * sharded event_ids outvote the value once ids passed 10^7, the
     * q46 overflow class). The 10^10 offset keeps the value field
-    * non-negative for |value| ≤ 10^8; event_ids must be ≥ 0. */
+    * non-negative for |value| ≤ 10^8; event_ids must be ≥ 0. Both
+    * bounds are ENFORCED per row (raise_error), because outside them
+    * lpad would silently scramble the order — the failure mode this
+    * key exists to eliminate must be loud, not moved. */
   val q21 = GraftQuery(
     "q21_argmax",
     (s, dir) => {
+      val vpart = round(col("value") * 100).cast("long") + lit(10000000000L)
       val ord = concat(
-        lpad((round(col("value") * 100).cast("long") + lit(10000000000L)).cast("string"), 12, "0"),
-        lpad(col("event_id").cast("string"), 20, "0"))
+        lpad(when(vpart < 0 || vpart >= 100000000000L,
+               raise_error(lit("q21 ordering key: |value| exceeds 10^8")))
+             .otherwise(vpart).cast("string"), 12, "0"),
+        lpad(when(col("event_id") < 0,
+               raise_error(lit("q21 ordering key: negative event_id")))
+             .otherwise(col("event_id")).cast("string"), 20, "0"))
       Tables(s, dir).events
         .groupBy(col("user_id"))
         .agg(ch.argMax(col("event_type"), ord).as("top_event"),

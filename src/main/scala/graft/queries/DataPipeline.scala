@@ -170,17 +170,11 @@ object DataPipeline {
     Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
                   wins AS (SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS win
                            FROM toks, LATERAL unnest(range(1, len(t) - 6)) AS u(i)),
-                  marked AS (SELECT doc_id, pos, win,
-                                    count(*) OVER (PARTITION BY win) AS cnt,
-                                    min(doc_id) OVER (PARTITION BY win) AS cdoc
+                  marked AS (SELECT doc_id, pos,
+                                    row_number() OVER (PARTITION BY win
+                                                       ORDER BY doc_id, pos) AS rn
                              FROM wins),
-                  marked2 AS (SELECT doc_id, pos, cnt, cdoc,
-                                     min(CASE WHEN doc_id = cdoc THEN pos END)
-                                       OVER (PARTITION BY win) AS cpos
-                              FROM marked),
-                  removable AS (SELECT doc_id, pos FROM marked2
-                                WHERE cnt >= 2
-                                  AND NOT (doc_id = cdoc AND pos = cpos)),
+                  removable AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
                   spans AS (SELECT doc_id, pos,
                                    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
                             FROM removable),

@@ -60,6 +60,13 @@ object MergeTreeWrite {
                     bucketCol: String, numBuckets: Int,
                     sortCols: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // Append would land a SECOND file in every bucket, and Spark only
+    // honors per-bucket sort order for single-file buckets — one
+    // append silently degrades every later join on the table. Rewrite
+    // (or compact) instead.
+    require(mode != SaveMode.Append,
+      "writeBucketed: Append breaks the one-file-per-bucket invariant the " +
+      "sort-order policy depends on; rewrite the layout instead")
     // ONE file per bucket: repartition on the bucket column with the
     // bucket count — HashPartitioning here is the same
     // murmur3-pmod-numBuckets formula the bucket-id assignment uses,
@@ -80,21 +87,32 @@ object MergeTreeWrite {
     // Persist the bucket count beside the data: the catalog spec dies
     // with the session, and re-declaring a DIFFERENT count over a
     // landed layout silently mis-buckets every later join. Readers use
-    // [[landedBucketCount]] and refuse to guess.
+    // [[landedBucketCount]] and refuse to guess. The marker also
+    // carries a layout-FORMAT version: v2 = one file per bucket (the
+    // shape the sort-order session flag is sound for). A count-only
+    // or missing marker means a pre-v2 multi-file layout — readers
+    // return None and callers rewrite, because reusing it would
+    // silently re-sort every join while the policy claims zero-Sort.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, BucketMarker), numBuckets.toString)
+      java.nio.file.Paths.get(path, BucketMarker), s"$LayoutVersion:$numBuckets")
   }
 
   private val BucketMarker = "_GRAFT_BUCKETS"
+  private val LayoutVersion = 2 // v2: one file per bucket
 
   /** The bucket count a [[writeBucketed]] layout at `path` was written
-    * with, if the marker is present (layouts from before the marker
-    * existed return None — rewrite those rather than guessing). */
+    * with, if the marker is present AND the layout format is current
+    * (older formats — no marker, or a pre-v2 count-only marker whose
+    * buckets may span many files — return None: rewrite, don't
+    * guess). */
   def landedBucketCount(path: String): Option[Int] = {
     val p = java.nio.file.Paths.get(path, BucketMarker)
-    if (java.nio.file.Files.exists(p))
-      scala.util.Try(java.nio.file.Files.readString(p).trim.toInt).toOption
-    else None
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split(":") match {
+      case Array(v, n) if v == LayoutVersion.toString =>
+        scala.util.Try(n.toInt).toOption
+      case _ => None
+    }
   }
 
   /** Scale-safe bucket-count dial: one bucket per ~`targetBytes` of

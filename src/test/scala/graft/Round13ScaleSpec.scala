@@ -102,7 +102,11 @@ class Round13ScaleSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
       assert(plan.contains("SortMergeJoin"))
-      assert(!plan.contains("+- Sort "), s"bucketed sort order not honored:\n$plan")
+      // a SortExec prints as "Sort [keys...]" at ANY tree position
+      // (+-, :-, codegen-starred); only SortMergeJoin shares the
+      // prefix, excluded by the lookbehind
+      assert("(?<!Merge)Sort \\[".r.findFirstIn(plan).isEmpty,
+        s"bucketed sort order not honored:\n$plan")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
