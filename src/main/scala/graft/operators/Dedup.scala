@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *  - minHashLsh: k minhashes in ONE pass over exploded tokens (k agg
   *    expressions, map-side combined), then band-bucket self-join —
   *    candidates only collide within a band bucket.
-  *  - simHash: 64 conditional-sum aggregates in one pass, 16-bit
-  *    chunk bucketing for candidates, popcount verify.
+  *  - simHash: one codegen'd fingerprint expression per doc, Manku
+  *    block-combination bucketing for candidates (exact at any block
+  *    count; block count is the auto-dialed scale knob), popcount
+  *    verify.
   */
 /** The real intermediate frames of a bucketed candidate-pair
   * pipeline: `buckets` = membership rows entering the self-join,
@@ -396,23 +398,56 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document + hamming-distance near-dup pairs,
-    * candidates generated by 16-bit chunk equality (a pair within
-    * hamming distance 3 must agree on at least one of 4 chunks). */
+    * candidates generated by block-combination equality (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW 2007 §3): split the fingerprint into `blocks` ≥ maxHamming+1
+    * bit blocks; a pair within hamming distance d differs in at most
+    * d blocks, so it agrees EXACTLY on some (blocks − d)-subset —
+    * joining on every C(blocks, d) packed subset key finds all pairs
+    * with zero recall loss at any block count.
+    *
+    * `blocks` is the SCALE dial: candidate volume within a bucket is
+    * quadratic in occupancy, and occupancy ∝ N / 2^keyBits where
+    * keyBits ≈ 64·(blocks−d)/blocks. blocks = d+1 (the minimum, and
+    * the historical default) keys on 16 bits — fine to ~10^5 docs;
+    * past that, raise blocks (or use [[simHashPairsAuto]]) to widen
+    * the key faster than the C(blocks, d) row-replication grows.
+    * The sf100 rehearsal measured the failure of the fixed dial:
+    * 5M docs on 16-bit keys = 286 s of bucket self-join; the auto
+    * dial's 32-bit keys collapse the candidate set to near-linear. */
   def simHashPairs(
       df: DataFrame, idCol: String, normCol: String,
-      maxHamming: Int = 3, ngram: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, ngram: Int = 3, maxBucket: Int = 4096,
+      blocks: Int = 4): DataFrame = {
+    require(blocks > maxHamming,
+      s"blocks ($blocks) must exceed maxHamming ($maxHamming) for the pigeonhole guarantee")
+    require(blocks <= 32, s"blocks ($blocks) > 32: combination blowup exceeds any bucketing win")
     // one map-side expression per document ([[graft.plans.SimHash64]]):
     // majority vote over shingle-hash bits computed in a tight loop,
     // replacing the explode + 64-aggregate-buffer shuffle
     val hashed = df.select(col(idCol),
         call_function("graft_simhash64", col(normCol), lit(ngram)).as("simhash"))
       .where(col("simhash").isNotNull)
+    // block b covers widths(b) bits starting at offsets(b); widths
+    // differ by ≤1 so no block is a degenerate narrow key
+    val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int) =
+      shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    // every (blocks − d)-subset, packed into one long (selected
+    // widths sum to ≤ 64 − d bits, so the pack always fits)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keyCols = combos.zipWithIndex.map { case (sel, i) =>
+      val (packed, _) = sel.foldLeft((lit(0L), 0)) { case ((acc, shift), b) =>
+        (acc.bitwiseOR(shiftleft(blockVal(b), shift)), shift + widths(b))
+      }
+      struct(lit(i).as("c"), packed.as("v"))
+    }
     val chunks0 = hashed.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))
+        explode(array(keyCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     // same whale-bucket cap as minHashLshPairs: identical simhashes
-    // collapse to one (chunk, value) bucket per chunk
+    // collapse to one (combo, key) bucket per combo
     val chunks = chunks0
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("c"), col("v")).orderBy(col(idCol))))
@@ -424,5 +459,41 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Block-count dial for [[simHashPairs]]: the smallest block count
+    * whose worst-case packed-key width (the blocks−d NARROWEST
+    * blocks) reaches ceil(log₂(N / targetOccupancy)) — same shape as
+    * [[graft.operators.Similarity.autoPlanes]]. Clamped to
+    * [d+1, d+9]: past ~C(12,3)=220 combos the row replication costs
+    * more than further bucket thinning saves, and the ~48-bit key
+    * space at the cap already holds 10^12 docs at occupancy 64. */
+  def autoSimHashBlocks(n: Long, maxHamming: Int = 3,
+                        targetOccupancy: Int = 64): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val needed = math.ceil(
+      math.log(math.max(math.max(n, 1L).toDouble / targetOccupancy, 1.0)) / math.log(2)).toInt
+    def minKeyBits(blocks: Int): Int = {
+      val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+      widths.sorted.take(blocks - maxHamming).sum
+    }
+    val lo = maxHamming + 1
+    val hi = maxHamming + 9
+    (lo to hi).find(b => minKeyBits(b) >= needed).getOrElse(hi)
+  }
+
+  /** [[simHashPairs]] with `blocks` dialed from the corpus count at
+    * call time (metadata-only when the input is a parquet scan —
+    * [[graft.operators.Similarity.corpusCount]]). The chosen dial is
+    * observable on the result via the `graft_simhash_dial` metric. */
+  def simHashPairsAuto(df: DataFrame, idCol: String, normCol: String,
+                       maxHamming: Int = 3, ngram: Int = 3,
+                       maxBucket: Int = 4096,
+                       targetOccupancy: Int = 64): DataFrame = {
+    val n = Similarity.corpusCount(df)
+    val blocks = autoSimHashBlocks(n, maxHamming, targetOccupancy)
+    simHashPairs(df, idCol, normCol, maxHamming, ngram, maxBucket, blocks)
+      .observe("graft_simhash_dial",
+        max(lit(blocks)).as("blocks"), max(lit(n)).as("corpus_n"))
   }
 }

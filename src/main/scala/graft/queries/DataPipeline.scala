@@ -104,10 +104,14 @@ object DataPipeline {
     None,
   )
 
-  /** 64-bit SimHash near-dup pairs, hamming ≤ 3 (seeded; rows-only). */
+  /** 64-bit SimHash near-dup pairs, hamming ≤ 3 (seeded; rows-only).
+    * Block count auto-dialed from the corpus count (Manku-style
+    * block combinations are EXACT at any dial, so the result set is
+    * dial-independent modulo the whale cap) — the sf100 rehearsal
+    * measured the fixed 4-block dial at 286 s vs ~linear under auto. */
   val q43 = GraftQuery(
     "q43_simhash",
-    (s, dir) => Dedup.simHashPairs(
+    (s, dir) => Dedup.simHashPairsAuto(
         docsNorm(Tables(s, dir)), "doc_id", "norm", maxHamming = 3)
       .orderBy("id_a", "id_b"),
     None,

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Round 13 (continued): SimHash candidate generation moves from the
+  * fixed 4×16-bit chunk scheme to Manku block combinations with the
+  * block count auto-dialed from the corpus count — the sf100
+  * full-registry rehearsal measured the fixed dial at 51× its sf10
+  * time for 10× data (quadratic bucket occupancy on 16-bit keys).
+  * The scheme is EXACT at every block count (pigeonhole on ≤ d
+  * differing blocks), so the dial trades only cost, never recall. */
+class Round13SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("autoSimHashBlocks: widens the packed key with the corpus, clamped") {
+    // minimum dial (blocks = d+1 = 4, 16-bit keys) up to ~4M docs
+    assert(Dedup.autoSimHashBlocks(0) == 4)
+    assert(Dedup.autoSimHashBlocks(1) == 4)
+    assert(Dedup.autoSimHashBlocks(100000) == 4)
+    assert(Dedup.autoSimHashBlocks(64L * 65536) == 4) // needed = exactly 16 bits
+    // sf100's 5M docs: 17 needed bits > 16 -> 5 blocks (25-bit keys)
+    assert(Dedup.autoSimHashBlocks(5000000) == 5)
+    // a billion docs still fits 5 blocks' 25-bit keys? needed = 24 -> yes
+    assert(Dedup.autoSimHashBlocks(1000000000L) == 5)
+    // clamp: even Long.MaxValue stays within d+9 blocks
+    assert(Dedup.autoSimHashBlocks(Long.MaxValue) == 12)
+    // the guarantee floor follows maxHamming
+    assert(Dedup.autoSimHashBlocks(5000000, maxHamming = 1) == 2)
+    assert(Dedup.autoSimHashBlocks(1, maxHamming = 6) == 7)
+    // monotone in N
+    val dials = Seq(1L, 1000L, 1000000L, 1000000000L, Long.MaxValue)
+      .map(Dedup.autoSimHashBlocks(_))
+    assert(dials == dials.sorted)
+  }
+
+  private def fixture() = {
+    val rnd = new scala.util.Random(43L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = Seq.tabulate(40) { i =>
+      (0 until 30).map(j => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    // exact dups + one-word edits + unrelated docs: hamming spectrum
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val edit = t.split(" ").updated(3, "edited").mkString(" ")
+      Seq((i * 3L, t), (i * 3L + 1, t), (i * 3L + 2, edit))
+    }
+    docs.toDF("doc_id", "norm")
+  }
+
+  test("simHashPairs is dial-independent: blocks 4, 5, 7 give identical pairs") {
+    val docs = fixture()
+    def pairs(b: Int) = Dedup.simHashPairs(docs, "doc_id", "norm",
+        maxHamming = 3, blocks = b)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val p4 = pairs(4)
+    assert(p4.nonEmpty, "fixture must produce near-dup pairs")
+    assert(p4.exists(_._3 == 0L), "exact dups must appear at hamming 0")
+    assert(pairs(5) == p4)
+    assert(pairs(7) == p4)
+  }
+
+  test("simHashPairsAuto: dial observable, result equals the explicit dial") {
+    val docs = fixture()
+    val auto = Dedup.simHashPairsAuto(docs, "doc_id", "norm", maxHamming = 3)
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = auto.queryExecution.observedMetrics("graft_simhash_dial")
+    val n = m.getAs[Long]("corpus_n")
+    val blocks = m.getAs[Int]("blocks")
+    assert(n == docs.count())
+    assert(blocks == Dedup.autoSimHashBlocks(n))
+    val explicit = Dedup.simHashPairs(docs, "doc_id", "norm",
+        maxHamming = 3, blocks = blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == explicit)
+  }
+
+  test("simHashPairs refuses a dial below the pigeonhole floor") {
+    val docs = fixture()
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "doc_id", "norm", maxHamming = 3, blocks = 3)
+    }
+  }
+}
