@@ -27,6 +27,12 @@ object LshAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val label = args.headOption.getOrElse(dir.split('/').last)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_LSH_OUT", "/root/repo/docs/AUDIT_lsh.jsonl")
+    // comma-separated family-prefix filter (e.g. "q43"): at sf100 a
+    // full audit sweep is ~3× every operator's cost — target the one
+    // under investigation instead
+    val families: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_LSH_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(family: String): Boolean = families.forall(_.exists(family.startsWith))
     val spark = GraftSession.local("graft-lsh-audit")
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, dir)
@@ -58,7 +64,7 @@ object LshAudit {
 
     // q41 family: exact shingle-Jaccard on its documented 300-doc
     // bounded slice (the operator's own anchor convention)
-    locally {
+    if (wanted("q41_ngram_jaccard")) {
       val (c, sec) = timed(stageCounts(Dedup.ngramJaccardStages(
         docsNorm.where(col("doc_id") < 300), "doc_id", "norm",
         minJaccard = 0.6, ngram = 3)))
@@ -66,16 +72,36 @@ object LshAudit {
     }
 
     // q42 family: MinHash+banded LSH over the full corpus
-    locally {
+    if (wanted("q42_minhash_lsh")) {
       val n = docsNorm.count()
       val (c, sec) = timed(stageCounts(Dedup.minHashLshStages(
         docsNorm, "doc_id", "norm", numHashes = 64, bands = 8, minEstJaccard = 0.7)))
       emit("q42_minhash_lsh", ("docs" -> n) +: c, sec)
     }
 
+    // q43 family: SimHash block-combination bucketing, fixed minimum
+    // dial (4 blocks / 16-bit keys) vs the corpus-count auto dial —
+    // same fixed-vs-auto attribution story as q47/q51 below. The
+    // sf100 rehearsal measured the fixed dial's quadratic bucket
+    // self-join at 286 s; these rows pin the candidate exponent that
+    // explains it and the auto dial's restoration of ~linear growth.
+    if (wanted("q43_simhash_fixed")) {
+      val n = docsNorm.count()
+      val (c, sec) = timed(stageCounts(Dedup.simHashStages(
+        docsNorm, "doc_id", "norm", maxHamming = 3)))
+      emit("q43_simhash_fixed", ("docs" -> n) +: (("blocks" -> 4L) +: c), sec)
+    }
+    if (wanted("q43_simhash_auto")) {
+      val n = docsNorm.count()
+      val blocks = Dedup.autoSimHashBlocks(n)
+      val (c, sec) = timed(stageCounts(Dedup.simHashStages(
+        docsNorm, "doc_id", "norm", maxHamming = 3, blocks = blocks)))
+      emit("q43_simhash_auto", ("docs" -> n) +: (("blocks" -> blocks.toLong) +: c), sec)
+    }
+
     // q46 family: exact-substring span dedup (windowed fingerprints);
     // stage counts = corpus size, affected docs, removable windows
-    locally {
+    if (wanted("q46_substring_dedup")) {
       val n = docsNorm.count()
       val (c, sec) = timed {
         val stats = Dedup.substringDedupStats(docsNorm, "doc_id", "norm", w = 12)
@@ -95,7 +121,7 @@ object LshAudit {
     val annPlanes = sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES", "8").toInt
 
     // q47 family: bucketed semantic dedup over embeddings
-    locally {
+    if (wanted("q47_semdedup")) {
       val n = t.embeddings.count()
       val ((coded, st), _) = timed(Similarity.semanticDedupInternals(
         t.embeddings, "vec_id", "embedding", numPlanes = semPlanes, dim = 64, minCos = 0.85))
@@ -111,7 +137,7 @@ object LshAudit {
     }
 
     // q51 family: multi-table hyperplane LSH ANN pairs
-    locally {
+    if (wanted("q51_ann_lsh")) {
       val n = t.embeddings.count()
       val (c, sec) = timed(stageCounts(Similarity.lshAnnStages(
         t.embeddings, "vec_id", "embedding",
@@ -125,7 +151,7 @@ object LshAudit {
     // that the default keeps candidate growth ~linear, where the
     // fixed-dial rows above pin the quadratic exponent a
     // misconfigured caller would hit.
-    locally {
+    if (wanted("q47_semdedup_auto")) {
       val n = t.embeddings.count()
       val planes = Similarity.autoPlanes(n)
       val ((coded, st), _) = timed(Similarity.semanticDedupInternals(
@@ -141,7 +167,7 @@ object LshAudit {
       emit("q47_semdedup_auto", c, sec)
     }
 
-    locally {
+    if (wanted("q51_ann_lsh_auto")) {
       val n = t.embeddings.count()
       val planes = Similarity.autoPlanes(n)
       val (c, sec) = timed(stageCounts(Similarity.lshAnnStages(

@@ -418,7 +418,14 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, idCol: String, normCol: String,
       maxHamming: Int = 3, ngram: Int = 3, maxBucket: Int = 4096,
-      blocks: Int = 4): DataFrame = {
+      blocks: Int = 4): DataFrame =
+    simHashStages(df, idCol, normCol, maxHamming, ngram, maxBucket, blocks).verified
+
+  /** The audit hook behind [[simHashPairs]] — see [[LshStages]]. */
+  private[graft] def simHashStages(
+      df: DataFrame, idCol: String, normCol: String,
+      maxHamming: Int = 3, ngram: Int = 3, maxBucket: Int = 4096,
+      blocks: Int = 4): LshStages = {
     require(blocks > maxHamming,
       s"blocks ($blocks) must exceed maxHamming ($maxHamming) for the pigeonhole guarantee")
     require(blocks <= 32, s"blocks ($blocks) > 32: combination blowup exceeds any bucketing win")
@@ -454,11 +461,13 @@ object Dedup {
       .where(col("__rn") <= maxBucket).drop("__rn")
     val l = chunks.toDF("id_a", "sim_a", "c", "v")
     val r = chunks.toDF("id_b", "sim_b", "c", "v")
-    l.join(r, Seq("c", "v")).where(col("id_a") < col("id_b"))
+    val cand = l.join(r, Seq("c", "v")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sim_a", "sim_b").dropDuplicates("id_a", "id_b")
+    val verified = cand
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    LshStages(chunks, cand, verified)
   }
 
   /** Block-count dial for [[simHashPairs]]: the smallest block count
