@@ -101,13 +101,21 @@ object Dedup {
     * are safe. */
   def substringDedupStats(df: DataFrame, idCol: String, normCol: String, w: Int): DataFrame = {
     require(w >= 2, "window width under 2 degenerates to token counting")
-    val base = df.select(col(idCol).cast("long").as("doc_id"), split(col(normCol), " ").as("t"))
-      .withColumn("n_tokens", size(col("t")))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        col(normCol).as("norm"), size(split(col(normCol), " ")).as("n_tokens"))
+    // per-position window hashes in ONE kernel pass
+    // ([[graft.plans.ShingleHashes]]): token XXH64s then the chained
+    // window hash — the window STRINGS are never built (the former
+    // transform+slice+concat_ws+xxhash64 formulation was interpreted
+    // HOFs materializing O(n·w) bytes per doc before hashing).
+    // Equality classes are unchanged modulo 64-bit collisions, the
+    // same caveat the old text hash carried; the oracle groups on
+    // window TEXT either way.
     val wins = base.where(col("n_tokens") >= w)
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode(transform(sequence(lit(0), col("n_tokens") - w),
-          i => concat_ws(" ", slice(col("t"), i + 1, lit(w))))).as(Seq("p0", "win")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), xxhash64(col("win")).as("h"))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_shingle_hashes", col("norm"), lit(w)))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     // canonical occurrence = lexicographic-first (doc_id, pos) in the
     // window-hash partition, i.e. row_number() = 1 under that order.
     // Not the former doc_id*1e6+pos packing — it overflowed Long once

@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_simhash64 takes (text, nGram)")
         SimHash64(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_hashes takes (text, w)")
+        ShingleHashes(children.head, children(1))
+      }))
     ChDialect.register(ext)
     // ClickHouse parametric-aggregate spelling (quantile(0.5)(x)) —
     // flattened pre-parse, resolved through the registrations above.

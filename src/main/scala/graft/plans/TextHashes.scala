@@ -235,6 +235,39 @@ case class SimHash64(left: Expression, right: Expression)
       l: Expression, r: Expression): SimHash64 = copy(l, r)
 }
 
+/** `graft_shingle_hashes(text, w)` → array<bigint>: the hash of every
+  * w-word window of `text`, one per starting position, in one pass
+  * (token XXH64s, then the seed-chained window hash per position) —
+  * the map stage of exact-substring dedup ([[graft.operators.Dedup
+  * .substringDedupStats]]). Replaces the compositional
+  * transform(sequence(...), slice+concat_ws)+xxhash64 formulation,
+  * which is interpreted (higher-order functions are CodegenFallback)
+  * and materializes every window STRING before hashing — O(n·w)
+  * string bytes per document that this expression never builds.
+  * Same short/empty-document conventions as [[TextHashes
+  * .shingleHashes]]; callers that need exactly the ≥w-token windows
+  * filter short docs first, as substringDedupStats does. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import TextHashes._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("graft_shingle_hashes requires a string column")
+    else requireFoldableInt(right, "w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  private lazy val n = right.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, nv: Any): Any =
+    new GenericArrayData(shingleHashes(text.asInstanceOf[UTF8String], n))
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ShingleHashes = copy(l, r)
+}
+
 /** The ClickHouse scalar sketch spellings — `ngramMinHash` /
   * `wordShingleMinHash` (→ struct of two digests: fold of the k
   * smallest and k largest shingle hashes) and `ngramSimHash` /

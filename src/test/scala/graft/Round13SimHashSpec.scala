@@ -76,6 +76,44 @@ class Round13SimHashSpec extends SparkSpec {
     assert(got == explicit)
   }
 
+  test("substringDedupStats (shingle-hash kernel) matches brute-force window-text dedup") {
+    val rnd = new scala.util.Random(46L)
+    val words = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold", "rust")
+    val boiler = (0 until 12).map(j => words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = (0L until 30L).map { i =>
+      val own = (0 until 20).map(j => words(rnd.nextInt(words.length))).mkString(" ")
+      // half the docs embed the shared boilerplate span
+      (i, if (i % 2 == 0) s"$own $boiler" else own)
+    }
+    val w = 8
+    // brute force in plain Scala: group positions by window TEXT
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      if (t.length < w) Seq.empty
+      else (0 to t.length - w).map(p => (t.slice(p, p + w).mkString(" "), id, p + 1))
+    }
+    val removable = wins.groupBy(_._1).values.flatMap { occ =>
+      occ.sortBy(o => (o._2, o._3)).drop(1)
+    }.toSeq.map(o => (o._2, o._3))
+    val expected = removable.groupBy(_._1).map { case (id, ps) =>
+      val pos = ps.map(_._2).sorted
+      val covered = pos.zipAll(pos.drop(1).map(Some(_)), 0, None).map {
+        case (p, Some(n)) => math.min(n - p, w)
+        case (p, _) => w
+        case _ => 0
+      }.sum
+      (id, ps.size.toLong, covered.toLong)
+    }
+    val got = Dedup.substringDedupStats(
+        docs.toDF("doc_id", "norm"), "doc_id", "norm", w)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.map(_._1).toSet)
+    expected.foreach { case (id, dw, cov) =>
+      assert(got(id) == ((dw, cov)), s"doc $id")
+    }
+    assert(expected.nonEmpty, "fixture must produce duplicate spans")
+  }
+
   test("simHashPairs refuses a dial below the pigeonhole floor") {
     val docs = fixture()
     intercept[IllegalArgumentException] {
