@@ -226,10 +226,29 @@ object Dedup {
     // the whole signature is ONE map-side expression per document
     // ([[graft.plans.MinHashSignature]]): no shingle explode, no
     // 30-80× row blowup through a shuffle, no k-wide aggregate — the
-    // only shuffle in this operator is the band-bucket join below
+    // only shuffle in this operator is the band-bucket join below.
+    //
+    // Local-checkpointed because the plan reads it THREE times with
+    // different downstream keys (band explode, verify join on id_a,
+    // verify join on id_b): ReuseExchange can't share them, so
+    // without the checkpoint the k·shingles hash kernel re-runs per
+    // read. Measured at sf100 (5M docs): warm chain 35.7 → 16.2 s;
+    // a COLD single run is ~a wash (the ~10 s materialization job ≈
+    // the recomputes it saves), so the win is repeated/warm use and
+    // the stage audit, not one-shot cold latency. Storage cost is k
+    // longs + id per doc (~520 B at k=64, a fraction of the text
+    // bytes), block-manager managed, spilled to executor disk at
+    // scale. EAGER: the three consumers are independent stages the
+    // scheduler runs in parallel — under a lazy checkpoint they race
+    // ahead of block persistence and each recompute the kernel anyway
+    // (measured: lazy ≈ no checkpoint). Same convention as
+    // [[clusters]]' checkpoints. (A one-join fetch-both-sides pivot
+    // variant measured SLOWER than two joins on the checkpointed sig
+    // — 33.1 vs 16.2 s warm — and was rejected.)
     val sig = df.select(col(idCol),
         call_function("graft_minhash_sig", col(normCol), lit(ngram), lit(numHashes)).as("sig"))
       .where(col("sig").isNotNull)
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
