@@ -361,17 +361,21 @@ object Dedup {
     * `bit_count(fp_a XOR fp_b)`. The per-(doc,bit) grid explode is
     * gate-scale only — [[simHashPairs]] computes the 64 sums in one
     * pass for production. */
-  def simhashOraclePairs(df: DataFrame, idCol: String, normCol: String,
-                         ngram: Int = 3, maxHamming: Int = 6): DataFrame = {
-    val bits = 60
-    // Fingerprints via a per-(doc, bit) grid + two aggregations, NOT
-    // a per-row 60-fold HOF pass: ArrayAggregate is CodegenFallback
-    // (interpreted), and the fp subtree is referenced three times
-    // below — as an aggregated exchange it is computed once and
-    // REUSED (ReuseExchange), while a map-side projection would be
-    // recomputed per reference (measured 3× slower). q43's production
-    // kernel does the one-pass 64-sum natively; this variant's job is
-    // oracle-replayability.
+  /** The PORTABLE 60-bit SimHash fingerprint per document — the
+    * cross-engine hash family behind [[simhashOraclePairs]] and the
+    * streaming near-dedup gate: per-shingle 60-bit ints from md5
+    * prefixes, fingerprint bit j = sign of Σ(±1) over shingles' bit
+    * j. Returns (id, fp). Computed via a per-(doc, bit) grid + two
+    * aggregations, NOT a per-row 60-fold HOF pass: ArrayAggregate is
+    * CodegenFallback (interpreted), and as an aggregated exchange the
+    * fp subtree is computed once and REUSED (ReuseExchange) when
+    * referenced repeatedly, while a map-side projection would be
+    * recomputed per reference (measured 3× slower). q43's production
+    * kernel does the one-pass 64-sum natively; this family's job is
+    * oracle-replayability. */
+  private[graft] def simhashOracleFp(df: DataFrame, idCol: String,
+                                     normCol: String, ngram: Int = 3,
+                                     bits: Int = 60): DataFrame = {
     val sh = shingleSet(df, idCol, normCol, ngram)
     val xi = sh.select(col(idCol).as("id"),
       conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("x"))
@@ -379,9 +383,14 @@ object Dedup {
       explode(sequence(lit(0), lit(bits - 1))).as("j"))
     val sums = grid.groupBy(col("id"), col("j"))
       .agg(sum(expr("(shiftright(x, j) & 1) * 2 - 1")).as("s"))
-    val fp = sums.groupBy("id")
+    sums.groupBy("id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
         .otherwise(lit(0L))).as("fp"))
+  }
+
+  def simhashOraclePairs(df: DataFrame, idCol: String, normCol: String,
+                         ngram: Int = 3, maxHamming: Int = 6): DataFrame = {
+    val fp = simhashOracleFp(df, idCol, normCol, ngram)
     val chunks = fp.select(col("id"), explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), expr(s"shiftright(fp, ${15 * c}) & 32767").as("ck"))): _*)).as("b"))
       .select(col("id"), col("b.c").as("c"), col("b.ck").as("ck"))

@@ -1065,6 +1065,109 @@ object DataPipeline {
              FROM documents WHERE doc_id < 900 GROUP BY 1 ORDER BY fp"""),
   )
 
+  /** Continuous NEAR-dup detection at the ingest door, fully
+    * ORACLE-ABLE: [[graft.streaming.StreamNearDedup.nearHitsPerChunk]]
+    * (flatMapGroupsWithState keyed by SimHash chunk value; exact
+    * XOR-popcount verify inside the bucket) over the q106 two-batch
+    * replay, with lightly-EDITED re-deliveries in the mix — the
+    * re-crawl shape exact dedup can't catch. The fingerprint is the
+    * portable 60-bit family ([[Dedup.simhashOracleFp]], the q43b
+    * hash), chunked 4 × 15 bits; at maxHamming = 3 the pigeonhole is
+    * EXACT (≤ 3 flipped bits touch ≤ 3 chunks), so the streaming
+    * verdicts equal the oracle's quadratic "∃ smaller-ingest-id doc
+    * within hamming ≤ 3" — which DuckDB replays from first
+    * principles, bit_count(xor(...)) included. Ingest ids are
+    * arrival-ordered (the q106 convention), so cross-batch state and
+    * within-batch id-order arbitration reproduce the same kept set.
+    * Only (id, fp) ship through the stream; state is 16 B per doc
+    * per chunk, RocksDB-backed at scale (SURVEY §4). */
+  val q106b = GraftQuery(
+    "q106b_stream_neardedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_neardedup106b/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val landing = s"$base/landing"
+      val norm = docsNorm(Tables(s, dir))
+      // ingest stream: initial crawl (<600), then new docs (600-899)
+      // mixed with re-deliveries of every third batch-0 doc under
+      // fresh ingest ids — every SIXTH doc re-arrives lightly edited
+      // (one appended token), the near-dup the exact fp can't catch
+      val ing = norm.where(col("doc_id") < 900)
+        .select(col("doc_id").as("ingest_id"), col("norm").as("txt"))
+        .unionAll(norm.where(col("doc_id") < 600 && col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000000L).as("ingest_id"),
+            when(col("doc_id") % 6 === 0, concat(col("norm"), lit(" zz")))
+              .otherwise(col("norm")).as("txt")))
+      val fp = Dedup.simhashOracleFp(ing, "ingest_id", "txt")
+        .select(col("id"), col("fp"))
+      val b0 = fp.where(col("id") < 600)
+      val b1 = fp.where(col("id") >= 600)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+        val t = s"$base/tmp/$i"
+        df.coalesce(1).write.mode("overwrite").json(t)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+        fs.rename(part, dst)
+        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      }
+      val stream = s.readStream.schema("id LONG, fp LONG")
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .select(explode(array((0 until 4).map(c =>
+            struct((lit(c.toLong) * 32768L + shiftright(col("fp"), c * 15).bitwiseAND(32767L)).as("ck"),
+              col("id"), col("fp"))): _*)).as("x"))
+        .select(col("x.ck"), col("x.id"), col("x.fp"))
+        .as[graft.streaming.ChunkDoc]
+      val hits = graft.streaming.StreamNearDedup.nearHitsPerChunk(stream, maxHamming = 3)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // ~4k chunk keys (see q104)
+      try {
+        val q = hits.toDF().writeStream.format("memory").queryName("gq106b_sink")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val dropped = s.table("gq106b_sink").select(col("id")).distinct()
+        .withColumn("__hit", lit(1))
+      fp.toDF("ingest_id", "fp")
+        .join(dropped.withColumnRenamed("id", "ingest_id"), Seq("ingest_id"), "left")
+        .select(col("ingest_id"), col("fp"),
+          when(col("__hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy("ingest_id")
+    },
+    Some(s"""WITH ing AS (
+               SELECT doc_id AS ingest_id, $normSql AS txt
+               FROM documents WHERE doc_id < 900
+               UNION ALL
+               SELECT doc_id + 1000000000,
+                      CASE WHEN doc_id % 6 = 0 THEN concat($normSql, ' zz')
+                           ELSE $normSql END
+               FROM documents WHERE doc_id < 600 AND doc_id % 3 = 0),
+             t AS (SELECT ingest_id, string_split(txt, ' ') AS toks FROM ing),
+             sh AS (SELECT ingest_id, unnest(
+                      CASE WHEN len(toks) >= 3
+                           THEN list_distinct(list_transform(range(len(toks) - 2),
+                                  i -> array_to_string(toks[i+1:i+3], ' ')))
+                           ELSE [array_to_string(toks, ' ')] END) AS t
+                    FROM t),
+             xi AS (SELECT ingest_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS x
+                    FROM sh),
+             g AS (SELECT ingest_id, j.j AS j, sum(((x >> j.j) & 1) * 2 - 1) AS s
+                   FROM xi, generate_series(0, 59) j(j) GROUP BY 1, 2),
+             fp AS (SELECT ingest_id,
+                           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS fp
+                    FROM g GROUP BY 1)
+             SELECT a.ingest_id, a.fp,
+                    CAST(CASE WHEN EXISTS (SELECT 1 FROM fp b
+                                           WHERE b.ingest_id < a.ingest_id
+                                             AND bit_count(xor(a.fp, b.fp)) <= 3)
+                         THEN 0 ELSE 1 END AS INTEGER) AS kept
+             FROM fp a ORDER BY a.ingest_id"""),
+  )
+
   /** SemDeDup-style semantic dedup over embeddings, fully ORACLE-ABLE:
     * [[Similarity.semanticDedup]] with closed-form integer hyperplanes
     * (w(j,i) = ((i² + i·(7j+3) + 5j) mod 23) − 11, round 11 — the
@@ -1195,5 +1298,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106)
+        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b)
 }
