@@ -60,17 +60,18 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Shuffle-partition SCALE policy: shuffles START wide (8× the
-      // core count) and AQE coalesces what the data doesn't need.
-      // A fixed partition count is a hidden scale dial — the sf100
-      // rehearsal measured big windowed sorts at 32 partitions
-      // spilling ~0.5 GB/task (the window family ran 16-38× its sf10
-      // time for 10× data), while small SFs coalesce back to the same
-      // handful of post-AQE partitions either way. Batch-only by
-      // construction: streaming state partitioning reads
-      // spark.sql.shuffle.partitions, which stays = cores.
+      // session's shuffle-partition base — the explicit builder pin
+      // when given, else the core count) and AQE coalesces what the
+      // data doesn't need. A fixed partition count is a hidden scale
+      // dial — the sf100 rehearsal measured big windowed sorts at 32
+      // partitions spilling ~0.5 GB/task (the window family ran
+      // 16-38× its sf10 time for 10× data), while small SFs coalesce
+      // back to the same handful of post-AQE partitions either way.
+      // Batch-only by construction: streaming state partitioning
+      // reads spark.sql.shuffle.partitions, which stays at the base.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          (cores.toInt * 8).toString))
+          (shufflePartitions.getOrElse(cores.toInt) * 8).toString))
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes.toString)
       // Honor the per-bucket sort order of bucketed layouts at scan
       // time (off by default since Spark 3.0 because multi-file

@@ -87,9 +87,10 @@ object LshAudit {
     // explains it and the auto dial's restoration of ~linear growth.
     if (wanted("q43_simhash_fixed")) {
       val n = docsNorm.count()
+      val fixedBlocks = 4 // the historical minimum dial, passed AND echoed
       val (c, sec) = timed(stageCounts(Dedup.simHashStages(
-        docsNorm, "doc_id", "norm", maxHamming = 3)))
-      emit("q43_simhash_fixed", ("docs" -> n) +: (("blocks" -> 4L) +: c), sec)
+        docsNorm, "doc_id", "norm", maxHamming = 3, blocks = fixedBlocks)))
+      emit("q43_simhash_fixed", ("docs" -> n) +: (("blocks" -> fixedBlocks.toLong) +: c), sec)
     }
     if (wanted("q43_simhash_auto")) {
       val n = docsNorm.count()

@@ -70,8 +70,7 @@ object NearDedupScaleRehearsal {
       spark.range(0, docs).where($"id" % 30 === 0))
     slices.zipWithIndex.foreach { case (ids, i) =>
       val df =
-        if (i == 3) ids.select(($"id" + 1000000000L).as("out_id"), fpExpr.as("fp"), $"id".as("src"))
-          .select($"out_id".as("id"), $"fp")
+        if (i == 3) ids.select(($"id" + 1000000000L).as("id"), fpExpr.as("fp"))
         else ids.select($"id", fpExpr.as("fp"))
       val t = s"$base/tmp/$i"
       df.coalesce(1).write.mode("overwrite").parquet(t)
@@ -96,13 +95,10 @@ object NearDedupScaleRehearsal {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       else
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      val stream = spark.readStream.schema("id LONG, fp LONG")
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-        .select(explode(array((0 until 4).map(c =>
-            struct((lit(c.toLong) * 32768L + shiftright($"fp", c * 15).bitwiseAND(32767L)).as("ck"),
-              $"id", $"fp")): _*)).as("x"))
-        .select($"x.ck", $"x.id", $"x.fp")
-        .as[graft.streaming.ChunkDoc]
+      val stream = graft.streaming.StreamNearDedup.explodeChunks(
+        spark.readStream.schema("id LONG, fp LONG")
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        maxHamming = 3)
       val hits = graft.streaming.StreamNearDedup.nearHitsPerChunk(stream, maxHamming = 3)
       val t0 = System.nanoTime()
       // raw per-chunk hits into the sink (a streaming dropDuplicates

@@ -101,8 +101,16 @@ object Dedup {
     * are safe. */
   def substringDedupStats(df: DataFrame, idCol: String, normCol: String, w: Int): DataFrame = {
     require(w >= 2, "window width under 2 degenerates to token counting")
+    // Whitespace-canonicalize DEFENSIVELY so the split-based n_tokens
+    // and the kernel's non-space-run tokens always agree: split(" ")
+    // counts empty tokens on doubled spaces, the kernel skips them —
+    // on unnormalized input a short doc could otherwise pass the ≥w
+    // filter yet emit its whole-doc fallback hash as if it were a
+    // w-token window. A no-op (one codegen'd regexp per doc) for the
+    // normalized text q46 feeds.
+    val cleaned = trim(regexp_replace(col(normCol), "\\s+", " "))
     val base = df.select(col(idCol).cast("long").as("doc_id"),
-        col(normCol).as("norm"), size(split(col(normCol), " ")).as("n_tokens"))
+        cleaned.as("norm"), size(split(cleaned, " ")).as("n_tokens"))
     // per-position window hashes in ONE kernel pass
     // ([[graft.plans.ShingleHashes]]): token XXH64s then the chained
     // window hash — the window STRINGS are never built (the former
@@ -228,27 +236,24 @@ object Dedup {
     // 30-80× row blowup through a shuffle, no k-wide aggregate — the
     // only shuffle in this operator is the band-bucket join below.
     //
-    // Local-checkpointed because the plan reads it THREE times with
-    // different downstream keys (band explode, verify join on id_a,
-    // verify join on id_b): ReuseExchange can't share them, so
-    // without the checkpoint the k·shingles hash kernel re-runs per
-    // read. Measured at sf100 (5M docs): warm chain 35.7 → 16.2 s;
-    // a COLD single run is ~a wash (the ~10 s materialization job ≈
-    // the recomputes it saves), so the win is repeated/warm use and
-    // the stage audit, not one-shot cold latency. Storage cost is k
-    // longs + id per doc (~520 B at k=64, a fraction of the text
-    // bytes), block-manager managed, spilled to executor disk at
-    // scale. EAGER: the three consumers are independent stages the
-    // scheduler runs in parallel — under a lazy checkpoint they race
-    // ahead of block persistence and each recompute the kernel anyway
-    // (measured: lazy ≈ no checkpoint). Same convention as
-    // [[clusters]]' checkpoints. (A one-join fetch-both-sides pivot
-    // variant measured SLOWER than two joins on the checkpointed sig
-    // — 33.1 vs 16.2 s warm — and was rejected.)
+    // The plan reads this frame THREE times with different downstream
+    // keys (band explode, verify join on id_a, verify join on id_b);
+    // ReuseExchange can't share them, so the kernel re-runs per read.
+    // That recompute is DELIBERATE: an eager localCheckpoint was
+    // measured (sf100, 5M docs) a wash for a cold single run (the
+    // ~10 s materialization job ≈ the recomputes it saves, 31.7 vs
+    // 32-35 s end-to-end), while truncating the lineage the plan
+    // audit inspects (q42 would show a LogicalRDD instead of the
+    // kernel stages), pinning ~520 B/doc of block-manager storage for
+    // the session's lifetime, and breaking any future streaming
+    // caller outright. A lazy checkpoint doesn't help either — the
+    // three consumers are independent stages the scheduler runs in
+    // parallel, racing ahead of block persistence (measured ≈ no
+    // checkpoint). A one-join fetch-both-sides pivot variant also
+    // measured slower than the two plain joins (33.1 vs 16.2 s warm).
     val sig = df.select(col(idCol),
         call_function("graft_minhash_sig", col(normCol), lit(ngram), lit(numHashes)).as("sig"))
       .where(col("sig").isNotNull)
-      .localCheckpoint(true)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
@@ -462,6 +467,9 @@ object Dedup {
       df: DataFrame, idCol: String, normCol: String,
       maxHamming: Int = 3, ngram: Int = 3, maxBucket: Int = 4096,
       blocks: Int = 4): LshStages = {
+    require(maxHamming >= 1,
+      "maxHamming 0 is exact duplication — use Dedup.exact on a content fingerprint " +
+        "(a single 64-bit block would also need a mask wider than a Long)")
     require(blocks > maxHamming,
       s"blocks ($blocks) must exceed maxHamming ($maxHamming) for the pigeonhole guarantee")
     require(blocks <= 32, s"blocks ($blocks) > 32: combination blowup exceeds any bucketing win")
@@ -515,6 +523,7 @@ object Dedup {
     * space at the cap already holds 10^12 docs at occupancy 64. */
   def autoSimHashBlocks(n: Long, maxHamming: Int = 3,
                         targetOccupancy: Int = 64): Int = {
+    require(maxHamming >= 1, "maxHamming 0 is exact duplication — use Dedup.exact")
     require(targetOccupancy > 0, "targetOccupancy must be positive")
     val needed = math.ceil(
       math.log(math.max(math.max(n, 1L).toDouble / targetOccupancy, 1.0)) / math.log(2)).toInt

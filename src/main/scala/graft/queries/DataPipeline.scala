@@ -1114,13 +1114,10 @@ object DataPipeline {
         fs.rename(part, dst)
         fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
       }
-      val stream = s.readStream.schema("id LONG, fp LONG")
-        .option("maxFilesPerTrigger", "1").json(landing)
-        .select(explode(array((0 until 4).map(c =>
-            struct((lit(c.toLong) * 32768L + shiftright(col("fp"), c * 15).bitwiseAND(32767L)).as("ck"),
-              col("id"), col("fp"))): _*)).as("x"))
-        .select(col("x.ck"), col("x.id"), col("x.fp"))
-        .as[graft.streaming.ChunkDoc]
+      val stream = graft.streaming.StreamNearDedup.explodeChunks(
+        s.readStream.schema("id LONG, fp LONG")
+          .option("maxFilesPerTrigger", "1").json(landing),
+        maxHamming = 3)
       val hits = graft.streaming.StreamNearDedup.nearHitsPerChunk(stream, maxHamming = 3)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4") // ~4k chunk keys (see q104)

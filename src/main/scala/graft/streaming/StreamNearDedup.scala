@@ -49,6 +49,31 @@ final case class BucketSeen(ids: Array[Long], fps: Array[Long])
   */
 object StreamNearDedup {
 
+  /** Explode an (id, fp) frame into the (maxHamming + 1) chunk
+    * memberships [[nearHitsPerChunk]] keys its state by. Lives HERE —
+    * next to the operator whose pigeonhole guarantee it carries — so
+    * a caller can't silently raise maxHamming without the chunk count
+    * following (d flipped bits touch ≤ d of the d+1 chunks, so ≥ 1
+    * chunk survives intact; fewer chunks = silent recall loss).
+    * Chunk widths split `bits` evenly, wider chunks first, the Manku
+    * convention of the batch operator. */
+  def explodeChunks(df: org.apache.spark.sql.DataFrame, maxHamming: Int,
+                    bits: Int = 60)(
+      implicit cEnc: Encoder[ChunkDoc]): Dataset[ChunkDoc] = {
+    import org.apache.spark.sql.functions._
+    require(maxHamming >= 1 && maxHamming + 1 <= bits,
+      s"maxHamming $maxHamming needs ${maxHamming + 1} non-empty chunks of a $bits-bit fingerprint")
+    val chunks = maxHamming + 1
+    val widths = (0 until chunks).map(c => bits / chunks + (if (c < bits % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    df.select(explode(array((0 until chunks).map(c =>
+        struct((lit(c.toLong) * (1L << widths.max) +
+            shiftright(col("fp"), offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))).as("ck"),
+          col("id"), col("fp"))): _*)).as("x"))
+      .select(col("x.ck"), col("x.id"), col("x.fp"))
+      .as[ChunkDoc]
+  }
+
   def nearHitsPerChunk(docs: Dataset[ChunkDoc], maxHamming: Int,
                        maxBucket: Int = 4096)(
       implicit hEnc: Encoder[NearHit]): Dataset[NearHit] = {

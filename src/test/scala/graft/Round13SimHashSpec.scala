@@ -120,4 +120,27 @@ class Round13SimHashSpec extends SparkSpec {
       Dedup.simHashPairs(docs, "doc_id", "norm", maxHamming = 3, blocks = 3)
     }
   }
+
+  test("maxHamming 0 refuses with a pointer to exact dedup (1-block mask would overflow)") {
+    val docs = fixture()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "doc_id", "norm", maxHamming = 0, blocks = 1)
+    }
+    assert(e.getMessage.contains("Dedup.exact"))
+    intercept[IllegalArgumentException] { Dedup.autoSimHashBlocks(1000, maxHamming = 0) }
+  }
+
+  test("substringDedupStats canonicalizes whitespace: split-count and kernel tokens agree") {
+    // doubled spaces: split(' ') would count 4 tokens, the kernel's
+    // non-space runs count 3 — pre-fix these docs passed the >=4
+    // filter and emitted whole-doc fallback hashes as fake windows
+    val docs = Seq((1L, "a b  c"), (2L, "a  b c")).toDF("doc_id", "norm")
+    val got = Dedup.substringDedupStats(docs, "doc_id", "norm", w = 4).collect()
+    assert(got.isEmpty, s"3-token docs must not report 4-token windows: ${got.mkString}")
+    // and a real duplicate window still reports under messy whitespace
+    val dup = Seq((1L, "x  y z w  q"), (2L, " x y  z w r")).toDF("doc_id", "norm")
+    val rows = Dedup.substringDedupStats(dup, "doc_id", "norm", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toList
+    assert(rows == List((2L, 1L, 4L, 5)))
+  }
 }
