@@ -1165,6 +1165,114 @@ object DataPipeline {
              FROM fp a ORDER BY a.ingest_id"""),
   )
 
+  /** Continuous SEMANTIC dedup at the ingest door, fully ORACLE-ABLE —
+    * the third of the streaming dedup trio (exact q106, SimHash
+    * q106b, embedding-cosine this):
+    * [[graft.streaming.StreamSemanticDedup.hitsPerBucket]] keyed by
+    * the SAME closed-form integer hyperplane buckets as batch q47,
+    * exact double-precision cosine verify against every
+    * earlier-arrived vector in the bucket. With ingest ids in arrival
+    * order the streamed verdicts are EXACTLY batch semanticDedup's
+    * per-vector survivorship, which the DuckDB oracle replays from
+    * generate_series planes + index-order double folds + 4-decimal
+    * rounding. Bounded to a ≤3000-vector slice (the q106 fixture
+    * convention); vectors ride the stream once and live in bucket
+    * state (dim doubles each — the exact-verify price; SURVEY §4's
+    * RocksDB knob at scale). */
+  val q106c = GraftQuery(
+    "q106c_stream_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_semdedup106c/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val landing = s"$base/landing"
+      // ingest stream (the q106/q106b re-delivery convention): the
+      // original ≤3000-vector slice, then every 5th vector re-arrives
+      // VERBATIM under a fresh +10⁹ id (cosine 1.0 in the same bucket
+      // — guaranteed drop) and every 7th re-arrives PERTURBED in its
+      // first coordinate (+0.05) under +2·10⁹ — near-1 cosine whose
+      // verdict (and possibly bucket flip: SemDeDup's documented
+      // bucket-boundary recall trade) both engines derive identically
+      val orig = Tables(s, dir).embeddings.where(col("vec_id") < 3000)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val ing = orig.select(col("vec_id").as("ingest_id"), col("v"))
+        .unionAll(orig.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 1000000000L).as("ingest_id"), col("v")))
+        .unionAll(orig.where(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 2000000000L).as("ingest_id"),
+            concat(array(element_at(col("v"), 1) + lit(0.05)),
+              slice(col("v"), 2, 63)).as("v")))
+      val (coded, _) = Similarity.semanticDedupInternals(
+        ing, "ingest_id", "v", numPlanes = 8, dim = 64, minCos = 0.85)
+      val withBucket = coded.select(col("ingest_id").as("id"),
+        col("__bucket").as("bucket"), col("v").as("vec"))
+      // three arrival-ordered micro-batches (contiguous id ranges —
+      // the operator's ids-in-arrival-order contract)
+      val ranked = withBucket.withColumn("__b",
+        ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      (1 to 3).foreach { i =>
+        val t = s"$base/tmp/$i"
+        ranked.where(col("__b") === i).drop("__b")
+          .coalesce(1).write.mode("overwrite").parquet(t)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*.parquet"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      }
+      val stream = s.readStream.schema("id LONG, bucket LONG, vec ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+        .as[graft.streaming.VecDoc]
+      val hits = graft.streaming.StreamSemanticDedup.hitsPerBucket(stream, minCos = 0.85)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // ≤256 buckets (see q104)
+      try {
+        val q = hits.toDF().writeStream.format("memory").queryName("gq106c_sink")
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val dropped = s.table("gq106c_sink").select(col("id")).distinct()
+        .withColumn("__hit", lit(1))
+      withBucket.select(col("id").as("vec_id"), col("bucket"))
+        .join(dropped.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket"),
+          when(col("__hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH planes AS (
+              SELECT j.j AS j,
+                     list(CAST(((i.i * i.i + i.i * (7 * j.j + 3) + 5 * j.j) % 23) - 11 AS DOUBLE) ORDER BY i.i) AS w
+              FROM generate_series(0, 7) j(j), generate_series(0, 63) i(i)
+              GROUP BY j.j),
+            base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings WHERE vec_id < 3000),
+            v AS (SELECT vec_id AS ingest_id, v FROM base
+                  UNION ALL
+                  SELECT vec_id + 1000000000, v FROM base WHERE vec_id % 5 = 0
+                  UNION ALL
+                  SELECT vec_id + 2000000000, list_concat([v[1] + 0.05], v[2:]) FROM base
+                  WHERE vec_id % 7 = 0),
+            coded AS (
+              SELECT ingest_id, v,
+                     CAST(sum(CASE WHEN list_sum(list_transform(list_zip(v.v, p.w), q -> q[1] * q[2])) >= 0
+                              THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+              FROM v, planes p GROUP BY ingest_id, v),
+            n AS (SELECT ingest_id, v, bucket,
+                         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                  FROM coded),
+            drp AS (SELECT DISTINCT b.ingest_id
+                    FROM n a JOIN n b ON a.bucket = b.bucket AND a.ingest_id < b.ingest_id
+                    WHERE round(list_sum(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]))
+                                / (a.nrm * b.nrm), 4) >= 0.85)
+            SELECT n.ingest_id AS vec_id, n.bucket,
+                   CAST(CASE WHEN d.ingest_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+            FROM n LEFT JOIN drp d USING (ingest_id)
+            ORDER BY vec_id"""),
+  )
+
   /** SemDeDup-style semantic dedup over embeddings, fully ORACLE-ABLE:
     * [[Similarity.semanticDedup]] with closed-form integer hyperplanes
     * (w(j,i) = ((i² + i·(7j+3) + 5j) mod 23) − 11, round 11 — the
@@ -1295,5 +1403,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b)
+        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b, q106c)
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One (vector, LSH-bucket) row entering streaming semantic dedup:
+  * `bucket` is the signed-hyperplane code (computed upstream with the
+  * same closed-form planes as the batch operator), `id` the
+  * arrival-ordered ingest id, `vec` the embedding widened to double. */
+final case class VecDoc(bucket: Long, id: Long, vec: Array[Double])
+
+/** A semantic near-duplicate hit: `id` arrived after `earlier` in the
+  * same bucket with rounded cosine ≥ the threshold. */
+final case class CosHit(id: Long, earlier: Long, cos: Double)
+
+/** Per-bucket state: every (id, norm, vec) seen in this bucket. */
+final case class BucketVecs(ids: Array[Long], norms: Array[Double],
+                            vecs: Array[Array[Double]])
+
+/** Continuous SEMANTIC dedup for streaming ingestion — the streaming
+  * face of [[graft.operators.Similarity.semanticDedup]] (SemDeDup):
+  * a vector is flagged when an earlier-arrived vector in the SAME
+  * hyperplane bucket has cosine ≥ `minCos`. Completes the streaming
+  * dedup trio: exact ([[StreamDedup]], q106), SimHash near-dup
+  * ([[StreamNearDedup]], q106b), embedding-cosine (this, q106c).
+  *
+  * The predicate — "∃ smaller-id same-bucket vector with
+  * round(cos, 4) ≥ τ" — is EXACTLY the batch operator's per-vector
+  * survivorship, so with ids assigned in arrival order the streamed
+  * verdicts equal batch semanticDedup over the union of batches, and
+  * the DuckDB oracle replays the whole thing (closed-form integer
+  * planes, double-precision index-order dot folds, 4-decimal
+  * rounding) from first principles.
+  *
+  * Cosine arithmetic mirrors [[graft.plans.DotProduct]] bit for bit:
+  * index-order double accumulation over min(len) elements, norms =
+  * sqrt of the self-dot, `round` = HALF_UP at 4 decimals (Spark's
+  * Round on doubles).
+  *
+  * At 100 TB: state carries the vectors themselves — dim doubles per
+  * doc (the price of exact verification; int8-quantized variants
+  * trade that off, q59) — hash-partitioned by bucket, capped at
+  * `maxBucket` per bucket (whale discipline: run exact dedup first),
+  * RocksDB-backed past memory (SURVEY §4). */
+object StreamSemanticDedup {
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private[graft] def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def hitsPerBucket(docs: Dataset[VecDoc], minCos: Double,
+                    maxBucket: Int = 4096)(
+      implicit hEnc: Encoder[CosHit]): Dataset[CosHit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bucket: Long, it: Iterator[VecDoc], state: GroupState[BucketVecs]) => {
+          val seen = state.getOption.getOrElse(
+            BucketVecs(Array.empty, Array.empty, Array.empty))
+          var ids = seen.ids
+          var norms = seen.norms
+          var vecs = seen.vecs
+          var n = ids.length
+          val batch = it.toArray.sortBy(_.id) // id order == arrival order
+          val out = Seq.newBuilder[CosHit]
+          for (d <- batch) {
+            val dn = math.sqrt(dot(d.vec, d.vec))
+            var bestId = -1L
+            var bestCos = 0.0
+            var i = 0
+            while (i < n) {
+              if (ids(i) < d.id) {
+                val c = round4(dot(vecs(i), d.vec) / (norms(i) * dn))
+                if (c >= minCos && (bestId < 0 || ids(i) < bestId)) {
+                  bestId = ids(i); bestCos = c
+                }
+              }
+              i += 1
+            }
+            if (bestId >= 0) out += CosHit(d.id, bestId, bestCos)
+            if (n < maxBucket) {
+              if (n == ids.length) {
+                val grow = math.max(8, n * 2)
+                ids = java.util.Arrays.copyOf(ids, grow)
+                norms = java.util.Arrays.copyOf(norms, grow)
+                vecs = java.util.Arrays.copyOf(vecs, grow)
+              }
+              ids(n) = d.id; norms(n) = dn; vecs(n) = d.vec; n += 1
+            }
+          }
+          state.update(BucketVecs(
+            java.util.Arrays.copyOf(ids, n),
+            java.util.Arrays.copyOf(norms, n),
+            java.util.Arrays.copyOf(vecs, n)))
+          out.result().iterator
+        })
+  }
+}
