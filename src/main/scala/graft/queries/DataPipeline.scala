@@ -1209,9 +1209,13 @@ object DataPipeline {
       val withBucket = coded.select(col("ingest_id").as("id"),
         col("__bucket").as("bucket"), col("v").as("vec"))
       // three arrival-ordered micro-batches (contiguous id ranges —
-      // the operator's ids-in-arrival-order contract)
+      // the operator's ids-in-arrival-order contract); cached so the
+      // 3 batch writes don't each recompute the 8-plane bucket coding
+      // + ntile (a single-partition window, fine at the ≤4k fixture
+      // cap, wasteful to repeat)
       val ranked = withBucket.withColumn("__b",
         ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+        .cache()
       fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
       (1 to 3).foreach { i =>
         val t = s"$base/tmp/$i"
@@ -1233,7 +1237,10 @@ object DataPipeline {
           .outputMode("update").start()
         q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        ranked.unpersist() // fixture cache ends with the landing writes
+      }
       val dropped = s.table("gq106c_sink").select(col("id")).distinct()
         .withColumn("__hit", lit(1))
       withBucket.select(col("id").as("vec_id"), col("bucket"))

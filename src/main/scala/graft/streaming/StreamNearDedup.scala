@@ -90,20 +90,23 @@ object StreamNearDedup {
           val out = Seq.newBuilder[NearHit]
           for (d <- batch) {
             // exact verify against every earlier doc in this bucket;
-            // report the SMALLEST matching earlier id (deterministic)
-            var bestId = -1L
+            // report the SMALLEST matching earlier id (deterministic).
+            // A found flag, not a -1 sentinel: ingest ids may be
+            // negative, and a negative match must still emit.
+            var found = false
+            var bestId = 0L
             var bestH = maxHamming + 1
             var i = 0
             while (i < n) {
               if (ids(i) < d.id) {
                 val h = java.lang.Long.bitCount(fps(i) ^ d.fp)
-                if (h <= maxHamming && (bestId < 0 || ids(i) < bestId)) {
-                  bestId = ids(i); bestH = h
+                if (h <= maxHamming && (!found || ids(i) < bestId)) {
+                  found = true; bestId = ids(i); bestH = h
                 }
               }
               i += 1
             }
-            if (bestId >= 0) out += NearHit(d.id, bestId, bestH)
+            if (found) out += NearHit(d.id, bestId, bestH)
             if (n < maxBucket) {
               if (n == ids.length) {
                 val grow = math.max(8, n * 2)

@@ -43,6 +43,14 @@ final case class BucketVecs(ids: Array[Long], norms: Array[Double],
   * `maxBucket` per bucket (whale discipline: run exact dedup first),
   * RocksDB-backed past memory (SURVEY §4). */
 object StreamSemanticDedup {
+  // The keyed-state skeleton (sorted batch, parallel-array growth,
+  // smallest-earlier-id arbitration, maxBucket cap) deliberately
+  // mirrors [[StreamNearDedup.nearHitsPerChunk]] rather than sharing
+  // a generic helper: the two state payloads want DIFFERENT compact
+  // encodings (two long arrays vs longs + norms + nested vectors),
+  // and a payload-generic GroupState would trade that for encoder
+  // indirection. Behavioral fixes must land in BOTH (see the
+  // found-flag arbitration note there).
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
@@ -73,19 +81,27 @@ object StreamSemanticDedup {
           val out = Seq.newBuilder[CosHit]
           for (d <- batch) {
             val dn = math.sqrt(dot(d.vec, d.vec))
-            var bestId = -1L
+            var found = false // not a -1 sentinel: ids may be negative
+            var bestId = 0L
             var bestCos = 0.0
             var i = 0
             while (i < n) {
               if (ids(i) < d.id) {
-                val c = round4(dot(vecs(i), d.vec) / (norms(i) * dn))
-                if (c >= minCos && (bestId < 0 || ids(i) < bestId)) {
-                  bestId = ids(i); bestCos = c
+                // zero-norm/empty vectors give NaN — the batch
+                // operator's round() passes NaN through and the
+                // comparison keeps the vector; BigDecimal(NaN) would
+                // throw instead, so skip before rounding
+                val raw = dot(vecs(i), d.vec) / (norms(i) * dn)
+                if (!raw.isNaN && !raw.isInfinite) {
+                  val c = round4(raw)
+                  if (c >= minCos && (!found || ids(i) < bestId)) {
+                    found = true; bestId = ids(i); bestCos = c
+                  }
                 }
               }
               i += 1
             }
-            if (bestId >= 0) out += CosHit(d.id, bestId, bestCos)
+            if (found) out += CosHit(d.id, bestId, bestCos)
             if (n < maxBucket) {
               if (n == ids.length) {
                 val grow = math.max(8, n * 2)

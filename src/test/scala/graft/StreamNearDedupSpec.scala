@@ -55,6 +55,22 @@ class StreamNearDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("negative ingest ids still match and arbitrate (no -1 sentinel confusion)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fp = 0x2222L
+    val input = MemoryStream[ChunkDoc]
+    val out = StreamNearDedup.nearHitsPerChunk(input.toDS(), maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("neardedup_neg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(chunks(-5L, fp) ++ chunks(3L, fp) ++ chunks(7L, fp): _*)
+      q.processAllAvailable()
+      val got = spark.table("neardedup_neg").as[NearHit].collect()
+        .map(h => h.id -> h.earlier).toMap
+      assert(got == Map(3L -> -5L, 7L -> -5L))
+    } finally q.stop()
+  }
+
   test("whale cap bounds state; capped docs still verify against the first entries") {
     implicit val sqlCtx = spark.sqlContext
     val fp = 0x1111L
