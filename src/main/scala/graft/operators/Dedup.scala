@@ -517,10 +517,16 @@ object Dedup {
   /** Block-count dial for [[simHashPairs]]: the smallest block count
     * whose worst-case packed-key width (the blocks−d NARROWEST
     * blocks) reaches ceil(log₂(N / targetOccupancy)) — same shape as
-    * [[graft.operators.Similarity.autoPlanes]]. Clamped to
-    * [d+1, d+9]: past ~C(12,3)=220 combos the row replication costs
-    * more than further bucket thinning saves, and the ~48-bit key
-    * space at the cap already holds 10^12 docs at occupancy 64. */
+    * [[graft.operators.Similarity.autoPlanes]]. The upper clamp is on
+    * the COST the dial drives — the per-document key replication
+    * C(blocks, d) — not a fixed block offset: the largest block count
+    * with C(blocks, d) ≤ 256 combos (C(12,3)=220 at the default d=3,
+    * the historical cap; at d=6 it stops at 10 blocks = 210 combos,
+    * where a fixed +9 offset would have silently allowed 15 blocks =
+    * C(15,6) = 5005 key rows per document). 64 blocks is the hard
+    * ceiling (one bit per block of a 64-bit simhash), and the ~48-bit
+    * key space at the d=3 cap already holds 10^12 docs at
+    * occupancy 64. */
   def autoSimHashBlocks(n: Long, maxHamming: Int = 3,
                         targetOccupancy: Int = 64): Int = {
     require(maxHamming >= 1, "maxHamming 0 is exact duplication — use Dedup.exact")
@@ -531,8 +537,16 @@ object Dedup {
       val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
       widths.sorted.take(blocks - maxHamming).sum
     }
+    // C(b, d) exactly (iterative r·(b−d+i)/i stays integral); monotone
+    // in b for fixed d and the scan stops at ≤256, so no overflow
+    def combos(b: Int): Long = {
+      var r = 1L
+      var i = 1
+      while (i <= maxHamming) { r = r * (b - maxHamming + i) / i; i += 1 }
+      r
+    }
     val lo = maxHamming + 1
-    val hi = maxHamming + 9
+    val hi = (lo to 64).takeWhile(b => combos(b) <= 256L).lastOption.getOrElse(lo)
     (lo to hi).find(b => minKeyBits(b) >= needed).getOrElse(hi)
   }
 

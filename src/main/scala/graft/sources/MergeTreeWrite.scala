@@ -93,8 +93,17 @@ object MergeTreeWrite {
     // or missing marker means a pre-v2 multi-file layout — readers
     // return None and callers rewrite, because reusing it would
     // silently re-sort every join while the policy claims zero-Sort.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, BucketMarker), s"$LayoutVersion:$numBuckets")
+    // The marker goes through the SAME Hadoop FileSystem the data
+    // write resolved (not java.nio local paths): on hdfs:// or s3a://
+    // a local-path marker would land beside nothing — every session
+    // would silently rewrite the layout, or a post-commit local write
+    // failure would orphan a valid layout readers refuse to reuse.
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
+    val fs = marker.getFileSystem(conf)
+    val out = fs.create(marker, true)
+    try out.write(s"$LayoutVersion:$numBuckets".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private val BucketMarker = "_GRAFT_BUCKETS"
@@ -104,14 +113,27 @@ object MergeTreeWrite {
     * with, if the marker is present AND the layout format is current
     * (older formats — no marker, or a pre-v2 count-only marker whose
     * buckets may span many files — return None: rewrite, don't
-    * guess). */
-  def landedBucketCount(path: String): Option[Int] = {
-    val p = java.nio.file.Paths.get(path, BucketMarker)
-    if (!java.nio.file.Files.exists(p)) None
-    else java.nio.file.Files.readString(p).trim.split(":") match {
-      case Array(v, n) if v == LayoutVersion.toString =>
-        scala.util.Try(n.toInt).toOption
-      case _ => None
+    * guess). Resolved through the Hadoop FileSystem for `path` (same
+    * resolution as the data write), so non-local layouts work; `conf`
+    * defaults to the active session's Hadoop conf. */
+  def landedBucketCount(path: String,
+                        conf: Option[org.apache.hadoop.conf.Configuration] = None): Option[Int] = {
+    val hconf = conf.getOrElse(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val text = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      text.trim.split(":") match {
+        case Array(v, n) if v == LayoutVersion.toString =>
+          scala.util.Try(n.toInt).toOption
+        case _ => None
+      }
     }
   }
 

@@ -87,16 +87,20 @@ object StreamSemanticDedup {
             var i = 0
             while (i < n) {
               if (ids(i) < d.id) {
-                // zero-norm/empty vectors give NaN — the batch
-                // operator's round() passes NaN through and the
-                // comparison keeps the vector; BigDecimal(NaN) would
-                // throw instead, so skip before rounding
+                // Batch parity for non-finite cosines (zero-norm /
+                // overflowing vectors): Spark's round() passes
+                // NaN/Infinity through unchanged and BOTH engines
+                // order NaN GREATER than every value, so in batch
+                // semanticDedup (and the DuckDB oracle) round(cos,4)
+                // >= minCos is TRUE for NaN and +Inf, FALSE for
+                // -Inf. Mirror that exactly; only finite values go
+                // through BigDecimal rounding (which would throw on
+                // non-finite input).
                 val raw = dot(vecs(i), d.vec) / (norms(i) * dn)
-                if (!raw.isNaN && !raw.isInfinite) {
-                  val c = round4(raw)
-                  if (c >= minCos && (!found || ids(i) < bestId)) {
-                    found = true; bestId = ids(i); bestCos = c
-                  }
+                val c = if (raw.isNaN || raw.isInfinite) raw else round4(raw)
+                val hit = raw.isNaN || c >= minCos
+                if (hit && (!found || ids(i) < bestId)) {
+                  found = true; bestId = ids(i); bestCos = c
                 }
               }
               i += 1

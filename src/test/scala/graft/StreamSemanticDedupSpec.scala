@@ -38,6 +38,33 @@ class StreamSemanticDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NaN cosine (zero-norm vectors) flags the later arrival — NaN-greater batch/oracle parity") {
+    // Ground truth for the parity claim: Spark's round() passes NaN
+    // through and orders NaN greater than any value, so in the batch
+    // operator (and DuckDB) round(cos,4) >= τ is TRUE for a NaN
+    // cosine and the later zero-norm duplicate is dropped.
+    assert(spark.sql("SELECT round(CAST('NaN' AS DOUBLE), 4) >= 0.85 AS hit")
+      .collect()(0).getBoolean(0))
+    implicit val sqlCtx = spark.sqlContext
+    val z = Array(0.0, 0.0)
+    val nz = Array(1.0, 1.0)
+    val input = MemoryStream[VecDoc]
+    val out = StreamSemanticDedup.hitsPerBucket(input.toDS(), minCos = 0.85)
+    val q = out.writeStream.format("memory").queryName("semdedup_nan")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two zero-norm vectors + one nonzero, all one bucket: every
+      // pair involving a zero vector has cosine 0/0 = NaN → hit
+      input.addData(VecDoc(2L, 1L, z), VecDoc(2L, 2L, z), VecDoc(2L, 3L, nz))
+      q.processAllAvailable()
+      val got = spark.table("semdedup_nan").as[CosHit].collect()
+        .map(h => h.id -> ((h.earlier, h.cos))).toMap
+      assert(got.keySet == Set(2L, 3L))
+      assert(got(2L)._1 == 1L && got(2L)._2.isNaN)
+      assert(got(3L)._1 == 1L && got(3L)._2.isNaN) // smallest earlier id wins
+    } finally q.stop()
+  }
+
   test("within a batch, id order arbitrates and the smallest matching earlier id is reported") {
     implicit val sqlCtx = spark.sqlContext
     val v = Array(1.0, 1.0)
