@@ -37,8 +37,15 @@ object Projections {
   private def manifestPath(path: String) = new org.apache.hadoop.fs.Path(path, "_projections.txt")
 
   sealed trait Spec { def name: String; def keys: Seq[String] }
-  /** Same rows, alternate ORDER BY. */
-  final case class Sort(name: String, keys: Seq[String]) extends Spec
+  /** Same rows, alternate ORDER BY. `cols` non-empty stores only that
+    * COLUMN SUBSET (keys must be included) — at 100 TB the subset is
+    * what makes a second sort order affordable: a few hot columns
+    * instead of a full table copy. [[route]] then serves a query from
+    * it only when the query's needed columns fit the subset. */
+  final case class Sort(name: String, keys: Seq[String], cols: Seq[String] = Nil) extends Spec {
+    require(cols.isEmpty || keys.forall(cols.contains),
+      s"sort projection '$name': ORDER BY keys must be among the stored columns")
+  }
   /** Pre-aggregation: `states` are (stateCol, func, srcCol) with func
     * one of count|sum|min|max (count ignores srcCol). */
   final case class Agg(name: String, keys: Seq[String], states: Seq[(String, String, String)]) extends Spec
@@ -71,15 +78,20 @@ object Projections {
         .sortWithinPartitions(keys.map(col): _*)
     sorted(baseOrder).write.mode("overwrite").parquet(s"$path/base")
     projections.foreach {
-      case Sort(name, keys) =>
-        sorted(keys).write.mode("overwrite").parquet(s"$path/$name")
+      case Sort(name, keys, cols) =>
+        val stored = if (cols.isEmpty) df else df.select(cols.map(col): _*)
+        stored.repartitionByRange(filesPerLayout, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+          .write.mode("overwrite").parquet(s"$path/$name")
       case Agg(name, keys, states) =>
         val aggs = states.map { case (c, f, src) => stateCol(f, src).as(c) }
         df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .write.mode("overwrite").parquet(s"$path/$name")
     }
+    // 5th field (when present) = a sort layout's stored column subset
     val manifest = (Seq(s"base|sort|${baseOrder.mkString(",")}|") ++ projections.map {
-      case Sort(name, keys) => s"$name|sort|${keys.mkString(",")}|"
+      case Sort(name, keys, cols) =>
+        s"$name|sort|${keys.mkString(",")}|" + (if (cols.nonEmpty) s"|${cols.mkString(",")}" else "")
       case Agg(name, keys, states) =>
         s"$name|agg|${keys.mkString(",")}|${states.map { case (c, f, s) => s"$c:$f:$s" }.mkString(",")}"
     }).mkString("\n")
@@ -96,7 +108,7 @@ object Projections {
     if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
   }
 
-  private def manifest(spark: SparkSession, path: String): Seq[(String, String, Seq[String], Seq[(String, String, String)])] = {
+  private def manifest(spark: SparkSession, path: String): Seq[(String, String, Seq[String], Seq[(String, String, String)], Seq[String])] = {
     val in = fsFor(spark, path).open(manifestPath(path))
     val text = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -105,29 +117,41 @@ object Projections {
     } finally in.close()
     text
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(name, kind, keys, states) = line.split("\\|", -1)
+        // 4 fields = full-row layout; a 5th lists a sort layout's
+        // stored column subset
+        val parts = line.split("\\|", -1)
+        val Array(name, kind, keys, states) = parts.take(4)
+        val cols = if (parts.length >= 5) parts(4).split(",").toSeq.filter(_.nonEmpty) else Nil
         val st = states.split(",").toSeq.filter(_.nonEmpty).map { s =>
           val Array(c, f, src) = s.split(":", -1); (c, f, src)
         }
-        (name, kind, keys.split(",").toSeq.filter(_.nonEmpty), st)
+        (name, kind, keys.split(",").toSeq.filter(_.nonEmpty), st, cols)
       }
   }
 
   /** Pick the cheapest layout for a query shape: an aggregate
     * projection whose keys equal the GROUP BY set wins (rows ∝
-    * groups), else the sort layout whose leading key carries a
-    * selective filter (row-group pruning), else base. Returns the
-    * layout's DataFrame and its name (for plan audits). */
+    * groups), else a sort layout whose leading key carries a
+    * selective filter (row-group pruning) — smallest covering
+    * column-subset layout first, full-row next — else base.
+    * `neededCols` is every column the query reads; leave it empty to
+    * mean "all of them" (subset layouts are then skipped). Returns
+    * the layout's DataFrame and its name (for plan audits). */
   def route(spark: SparkSession, path: String,
             filterCols: Set[String] = Set.empty,
-            groupByCols: Seq[String] = Nil): (DataFrame, String) = {
+            groupByCols: Seq[String] = Nil,
+            neededCols: Set[String] = Set.empty): (DataFrame, String) = {
     val specs = manifest(spark, path)
-    val aggHit = specs.find { case (_, kind, keys, _) =>
+    val aggHit = specs.find { case (_, kind, keys, _, _) =>
       kind == "agg" && groupByCols.nonEmpty && keys.toSet == groupByCols.toSet
     }
-    val sortHit = specs.find { case (name, kind, keys, _) =>
-      kind == "sort" && name != "base" && keys.headOption.exists(filterCols.contains)
+    val sortHits = specs.filter { case (name, kind, keys, _, cols) =>
+      kind == "sort" && name != "base" && keys.headOption.exists(filterCols.contains) &&
+        (cols.isEmpty || (neededCols.nonEmpty && neededCols.subsetOf(cols.toSet)))
     }
+    val sortHit = sortHits.sortBy { case (_, _, _, _, cols) =>
+      if (cols.isEmpty) Int.MaxValue else cols.size // fewest stored columns first
+    }.headOption
     val name = aggHit.orElse(sortHit).map(_._1).getOrElse("base")
     (spark.read.parquet(s"$path/$name"), name)
   }
@@ -136,7 +160,7 @@ object Projections {
     * down to final values (counts/sums add across state rows, min/max
     * recombine). The manifest supplies the merge functions. */
   def mergeAgg(spark: SparkSession, path: String, name: String): DataFrame = {
-    val (_, _, keys, states) = manifest(spark, path).find(_._1 == name)
+    val (_, _, keys, states, _) = manifest(spark, path).find(_._1 == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
     val df = spark.read.parquet(s"$path/$name")
     val aggs = states.map { case (c, f, _) => mergeCol(f, c).as(c) }

@@ -202,10 +202,14 @@ object ChCommands {
   // the ProjectionAutoUse optimizer rule)
 
   /** One declared projection: keys, (stateCol, func, srcCol) states,
-    * and whether its recorded base fingerprint still matches. */
+    * and whether its recorded base fingerprint still matches. For
+    * SORT projections (empty states), `cols` non-empty means a
+    * COLUMN-SUBSET layout (only those columns are stored — CH
+    * projections can store subsets); empty `cols` is the full row. */
   private[plans] case class ProjSpec(name: String, keys: Seq[String],
       states: Seq[(String, String, String)], dataPath: String,
-      fingerprint: String, fingerprintOk: Boolean)
+      fingerprint: String, fingerprintOk: Boolean,
+      cols: Seq[String] = Nil)
 
   private def projManifest(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path, "_graft_table_projections.txt")
@@ -317,13 +321,17 @@ object ChCommands {
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
       val specs = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(name, keys, states, fp) = line.split("\\|", -1)
+        // 4 fields = pre-subset manifest (full-row sort / aggregate);
+        // 5th field = stored column subset of a sort projection
+        val parts = line.split("\\|", -1)
+        val Array(name, keys, states, fp) = parts.take(4)
+        val cols = if (parts.length >= 5) parts(4).split(",").toSeq.filter(_.nonEmpty) else Nil
         ProjSpec(name, keys.split(",").toSeq.filter(_.nonEmpty),
           states.split(",").toSeq.filter(_.nonEmpty).map { s =>
             val Array(c, f, src) = s.split(":", -1); (c, f, src)
           },
           projDataPath(path, name), fp,
-          fingerprintOk = false)
+          fingerprintOk = false, cols = cols)
       }
       projCache.put(path, (mtime, specs))
       specs
@@ -340,23 +348,32 @@ object ChCommands {
   /** Materialize one projection's data + upsert its manifest line with
     * the fingerprint of the base it was built from. Empty `states`
     * marks a SORT projection: the same rows range-partitioned +
-    * sorted on `keys` (row-group min/max pruning layout); non-empty
-    * states are the aggregate form. */
+    * sorted on `keys` (row-group min/max pruning layout) — storing
+    * only `cols` when non-empty (a column-subset layout: at 100 TB
+    * the subset is what makes a second sort order affordable, a few
+    * hot columns instead of a full table copy); non-empty states are
+    * the aggregate form. */
   private[plans] def writeProjection(spark: SparkSession, table: String, path: String, name: String,
-      keys: Seq[String], states: Seq[(String, String, String)]): Unit = {
+      keys: Seq[String], states: Seq[(String, String, String)],
+      cols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{count => cnt, lit, max => mx, min => mn, sum => sm}
     val base = readData(spark, table, path)
-    val missing = (keys ++ states.map(_._3).filter(_.nonEmpty))
+    val missing = (keys ++ cols ++ states.map(_._3).filter(_.nonEmpty))
       .filterNot(base.schema.fieldNames.contains)
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"projection '$name' references missing columns: ${missing.mkString(", ")}")
+    require(cols.isEmpty || states.isEmpty,
+      "column subsets apply to SORT projections; aggregate projections already store only states")
+    require(cols.isEmpty || keys.forall(cols.contains),
+      s"projection '$name': ORDER BY keys must be among the stored columns")
     val fp = contentFingerprint(spark, path) // sibling data dirs are outside the walk
     val tmp = projDataPath(path, name) + "__building"
     if (states.isEmpty) {
       // sort layout: file count is the pruning granularity (≈ one
       // row-group per file); scale with data volume on a cluster
       val files = math.max(8, spark.sparkContext.defaultParallelism / 4)
-      base.repartitionByRange(files, keys.map(col): _*)
+      val stored = if (cols.isEmpty) base else base.select(cols.map(col): _*)
+      stored.repartitionByRange(files, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
         .write.mode("overwrite").parquet(tmp)
     } else {
@@ -376,14 +393,14 @@ object ChCommands {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst), s"projection build rename failed: $dst")
     val others = tableProjections(spark, path).filterNot(_.name == name)
     writeProjectionManifest(spark, path,
-      others :+ ProjSpec(name, keys, states, dst.toString, fp, fingerprintOk = true))
+      others :+ ProjSpec(name, keys, states, dst.toString, fp, fingerprintOk = true, cols = cols))
   }
 
   private[plans] def writeProjectionManifest(spark: SparkSession, path: String,
       specs: Seq[ProjSpec]): Unit = {
     val fs = fsOf(spark, path)
     val text = specs.map { sp =>
-      s"${sp.name}|${sp.keys.mkString(",")}|${sp.states.map { case (c, f, s) => s"$c:$f:$s" }.mkString(",")}|${sp.fingerprint}"
+      s"${sp.name}|${sp.keys.mkString(",")}|${sp.states.map { case (c, f, s) => s"$c:$f:$s" }.mkString(",")}|${sp.fingerprint}|${sp.cols.mkString(",")}"
     }.mkString("\n")
     val out = fs.create(projManifest(path), true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -977,14 +994,29 @@ case class ChAddProjectionCommand(table: String, name: String, body: String,
     // prune decode work for leading-key predicates; SortProjectionUse
     // swaps the scan transparently while the fingerprint holds.
     // ClickHouse's sparse-primary-index projection, Spark-shaped.
+    // Round 14: `SELECT a, b ORDER BY b` stores a COLUMN SUBSET (CH
+    // projections can store subsets) — the layout holds only the
+    // listed columns and auto-use engages only when every column the
+    // query touches is in the subset, so at 100 TB a second sort
+    // order costs a few hot columns, not a full table copy.
     """(?is)^\s*SELECT\s+(.*?)\s+ORDER\s+BY\s+(.*?)\s*$""".r.findFirstMatchIn(body) match {
       case Some(sm) if !"""(?i)\bGROUP\s+BY\b""".r.findFirstIn(body).isDefined =>
-        if (sm.group(1).trim != "*") throw new UnsupportedOperationException(
-          "sort-order projections execute for the full row (`SELECT * ORDER BY …`); " +
-            "a column-subset sort projection would change the readable schema")
         val keys = sm.group(2).split(",")
           .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-        ChCommands.writeProjection(sparkSession, table, info.path, name, keys, Nil)
+        val sel = sm.group(1).trim
+        val cols =
+          if (sel == "*") Nil
+          else {
+            val cs = sel.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+            require(cs.nonEmpty && cs.forall(c => c.nonEmpty && !c.contains("(")),
+              s"sort-order projection columns must be bare column names, got: $sel")
+            val missingKeys = keys.filterNot(cs.contains)
+            if (missingKeys.nonEmpty) throw new IllegalArgumentException(
+              s"sort-order projection '$name': ORDER BY column(s) ${missingKeys.mkString(", ")} " +
+                "must appear in the SELECT list (they are part of the stored subset)")
+            cs
+          }
+        ChCommands.writeProjection(sparkSession, table, info.path, name, keys, Nil, cols)
         return Seq.empty
       case _ =>
     }
@@ -1030,7 +1062,7 @@ case class ChMaterializeProjectionCommand(table: String, name: String) extends L
     val info = ChCommands.resolve(sparkSession, table)
     val sp = ChCommands.tableProjections(sparkSession, info.path).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"projection '$name' does not exist on $table"))
-    ChCommands.writeProjection(sparkSession, table, info.path, sp.name, sp.keys, sp.states)
+    ChCommands.writeProjection(sparkSession, table, info.path, sp.name, sp.keys, sp.states, sp.cols)
     Seq.empty
   }
 }

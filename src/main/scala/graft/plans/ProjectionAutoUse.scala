@@ -54,7 +54,16 @@ case class SortProjectionUse(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get("spark.graft.projections.autoUse", "true").toBoolean) return plan
-    plan.transformUp {
+    // top-down so a Project(…, Filter(…)) sees the COLUMN-SUBSET
+    // layouts first (they read fewer bytes); the bare-Filter fallback
+    // then handles full-row layouts. The `__graft_proj_` path guard
+    // keeps the rewrite idempotent under the fixed-point batch.
+    plan.transformDown {
+      case p @ Project(ps, Filter(cond, child)) if cond.deterministic &&
+          !SubqueryExpression.hasSubquery(cond) &&
+          ps.forall(_.deterministic) &&
+          !ps.exists(SubqueryExpression.hasSubquery) =>
+        tryRewriteSubset(ps, cond, child).getOrElse(p)
       case f @ Filter(cond, child) if cond.deterministic &&
           !SubqueryExpression.hasSubquery(cond) =>
         tryRewrite(f, cond, child).getOrElse(f)
@@ -86,30 +95,83 @@ case class SortProjectionUse(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryRewrite(f: Filter, cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+  /** Sort-projection specs of `child`'s single-root parquet scan whose
+    * leading key `cond` can prune on, with the scan's root path. */
+  private def candidates(cond: Expression, child: LogicalPlan): Option[(LogicalRelation, Seq[ChCommands.ProjSpec])] = {
     val rel = relationOf(child).getOrElse(return None)
     val path = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.head.toString
     if (path.contains("__graft_proj_")) return None // never rewrite a projection read
-    val specs = ChCommands.tableProjections(session, path)
-    val hit = specs.find { sp =>
+    val specs = ChCommands.tableProjections(session, path).filter { sp =>
       sp.states.isEmpty && sp.fingerprintOk &&
         sp.keys.headOption.exists(k => prunable(cond, k))
-    }.getOrElse(return None)
-    val newRel = session.read.parquet(hit.dataPath).queryExecution.analyzed match {
+    }
+    if (specs.isEmpty) None else Some((rel, specs))
+  }
+
+  private def projectionScan(sp: ChCommands.ProjSpec): LogicalPlan =
+    session.read.parquet(sp.dataPath).queryExecution.analyzed match {
       case SubqueryAlias(_, c) => c
       case p => p
     }
-    val byName = newRel.output.map(a => a.name -> a).toMap
-    // schema must line up exactly (names and types) or bail
-    if (rel.output.exists(o => !byName.get(o.name).exists(_.dataType == o.dataType)))
-      return None
-    val newCond = cond.transform {
-      case a: AttributeReference => byName.getOrElse(a.name, a)
-    }
-    // restore the original attribute ids above the swapped scan
-    Some(Project(
-      rel.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
-      Filter(newCond, newRel)))
+
+  /** Column-subset engagement: a Project over the Filter bounds what
+    * the query reads, so a layout storing only those columns serves
+    * it — the smallest covering subset wins (fewest bytes). The
+    * rewritten Project keeps the original attribute ids. */
+  private def tryRewriteSubset(ps: Seq[NamedExpression], cond: Expression,
+                               child: LogicalPlan): Option[LogicalPlan] = {
+    val (rel, specs) = candidates(cond, child).getOrElse(return None)
+    val needed = (ps.flatMap(_.references) ++ cond.references).map(_.name).toSet
+    // every needed column must exist on the base relation by name
+    // (no hidden metadata attrs) for the name-keyed swap to be sound
+    val baseByName = rel.output.map(a => a.name -> a).toMap
+    if (!needed.forall(baseByName.contains)) return None
+    val covering = specs
+      .filter(sp => sp.cols.nonEmpty && needed.subsetOf(sp.cols.toSet))
+      .sortBy(_.cols.size)
+    covering.view.flatMap { sp =>
+      val newRel = projectionScan(sp)
+      val byName = newRel.output.map(a => a.name -> a).toMap
+      val typesOk = needed.forall(n =>
+        byName.get(n).exists(_.dataType == baseByName(n).dataType))
+      if (!typesOk) None
+      else {
+        val newCond = cond.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, a)
+        }
+        val newPs = ps.map { ne =>
+          val swapped = ne.transformUp {
+            case a: AttributeReference => byName.getOrElse(a.name, a)
+          }
+          swapped match {
+            case al: Alias => al // transform preserved the exprId
+            case e => Alias(e, ne.name)(exprId = ne.exprId)
+          }
+        }
+        Some(Project(newPs, Filter(newCond, newRel)))
+      }
+    }.headOption
+  }
+
+  private def tryRewrite(f: Filter, cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    val (rel, specs) = candidates(cond, child).getOrElse(return None)
+    // a bare Filter exposes the FULL relation schema, so only layouts
+    // carrying every base column qualify; first spec that lines up
+    // (names and types) wins
+    specs.view.flatMap { sp =>
+      val newRel = projectionScan(sp)
+      val byName = newRel.output.map(a => a.name -> a).toMap
+      if (rel.output.exists(o => !byName.get(o.name).exists(_.dataType == o.dataType))) None
+      else {
+        val newCond = cond.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, a)
+        }
+        // restore the original attribute ids above the swapped scan
+        Some(Project(
+          rel.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+          Filter(newCond, newRel)))
+      }
+    }.headOption
   }
 }
 

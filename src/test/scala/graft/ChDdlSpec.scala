@@ -652,12 +652,13 @@ class ChDdlSpec extends SparkSpec {
       val e = intercept[Exception](spark.sql(sql))
       assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage.take(100)}")
     }
-    // sort-order projections EXECUTE since round 11 — the remaining
-    // refusal is the column-subset form (schema-changing); needs a
-    // real table since shape validation happens in the command
+    // sort-order projections EXECUTE since round 11, column subsets
+    // since round 14 — what still refuses is an ORDER BY key missing
+    // from the stored subset (needs a real table: shape validation
+    // happens in the command)
     spark.sql("DROP TABLE IF EXISTS ddl_ref_t")
     spark.sql("CREATE TABLE ddl_ref_t (x UInt64, y UInt64) ENGINE = MergeTree ORDER BY x")
-    refusal("ALTER TABLE ddl_ref_t ADD PROJECTION p (SELECT x ORDER BY y)", "readable schema")
+    refusal("ALTER TABLE ddl_ref_t ADD PROJECTION p (SELECT x ORDER BY y)", "SELECT list")
     spark.sql("DROP TABLE ddl_ref_t")
     refusal("ALTER TABLE t MODIFY TTL d + INTERVAL 30 DAY TO DISK 'cold'", "TO DISK")
     refusal("SYSTEM RESTART REPLICA r", "no server")
@@ -946,14 +947,54 @@ class ChDdlSpec extends SparkSpec {
     assert(!planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
     spark.sql("ALTER TABLE proj_ddl_t MATERIALIZE PROJECTION p_agg")
     assert(planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
-    // DROP removes declaration + data; column-subset sort form refuses
+    // DROP removes declaration + data
     spark.sql("ALTER TABLE proj_ddl_t DROP PROJECTION p_agg")
     assert(!planOf(spark.sql(q)).contains("_graft_proj_p_agg"))
     spark.sql("ALTER TABLE proj_ddl_t DROP PROJECTION IF EXISTS p_agg") // no-op
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE proj_ddl_t ADD PROJECTION s (SELECT k, v ORDER BY v)"))
-    assert(e.getMessage.contains("readable schema"))
+    // column-subset sort form (round 14) executes
+    spark.sql("ALTER TABLE proj_ddl_t ADD PROJECTION s (SELECT k, v ORDER BY v)")
+    assert(planOf(spark.sql("SELECT k FROM proj_ddl_t WHERE v = 5.0"))
+      .contains("_graft_proj_s"))
     spark.sql("DROP TABLE proj_ddl_t")
+  }
+
+  test("column-subset sort projection: engages iff the query's columns fit the subset") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    drop("subproj_t")
+    spark.sql("""CREATE TABLE subproj_t (id UInt64, v UInt64, s String, wide String)
+                 ENGINE = MergeTree ORDER BY id""")
+    spark.sql("""INSERT INTO subproj_t
+                 SELECT id, (id * 37) % 1000 AS v, concat('row', id) AS s,
+                        repeat('x', 100) AS wide
+                 FROM range(5000)""")
+    spark.sql("ALTER TABLE subproj_t ADD PROJECTION by_v (SELECT id, v, s ORDER BY v)")
+    // the stored layout holds ONLY the subset columns
+    val stored = spark.read.parquet(
+      spark.sql("DESCRIBE TABLE EXTENDED subproj_t").collect()
+        .find(_.getString(0) == "Location").map(_.getString(1)).get + "__graft_proj_by_v")
+    assert(stored.schema.fieldNames.toSet == Set("id", "v", "s"))
+    // covered query: engages, same rows as base
+    val q = "SELECT id, s FROM subproj_t WHERE v = 37 ORDER BY id"
+    val df1 = spark.sql(q)
+    assert(planOf(df1).contains("_graft_proj_by_v"), s"expected subset scan:\n${planOf(df1)}")
+    val ids = df1.collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty && ids == ids.sorted)
+    spark.conf.set("spark.graft.projections.autoUse", "false")
+    val baseIds = try spark.sql(q).collect().map(_.getLong(0)).toSeq
+    finally spark.conf.set("spark.graft.projections.autoUse", "true")
+    assert(ids == baseIds)
+    // a query touching a column OUTSIDE the subset stays on base
+    assert(!planOf(spark.sql("SELECT id, wide FROM subproj_t WHERE v = 37"))
+      .contains("_graft_proj_by_v"))
+    // staleness discipline carries over: INSERT → base, MATERIALIZE → back
+    spark.sql("INSERT INTO subproj_t VALUES (99999, 37, 'late', 'w')")
+    assert(!planOf(spark.sql(q)).contains("_graft_proj_by_v"))
+    spark.sql("ALTER TABLE subproj_t MATERIALIZE PROJECTION by_v")
+    val df3 = spark.sql(q)
+    assert(planOf(df3).contains("_graft_proj_by_v"))
+    assert(df3.collect().map(_.getLong(0)).toSeq.contains(99999L))
+    spark.sql("DROP TABLE subproj_t")
   }
 
   test("sort-order projection DDL: leading-key filters auto-use the sorted layout") {

@@ -48,6 +48,32 @@ class ProjectionsSpec extends SparkSpec {
     assert(Projections.route(spark, path, groupByCols = Seq("c", "b"))._2 == "base")
   }
 
+  test("column-subset sort layout: routed only to covered queries, stores only the subset") {
+    val df = Seq.tabulate(1000) { i =>
+      (i.toLong, (i.toLong * 31) % 100, i % 50, i.toDouble, s"wide_$i")
+    }.toDF("id", "b", "c", "v", "s")
+    val p = java.nio.file.Files.createTempDirectory("graft_proj_sub").toString
+    Projections.write(df, p, baseOrder = Seq("id"), projections = Seq(
+      Projections.Sort("by_b_sub", Seq("b"), Seq("b", "id", "v"))), filesPerLayout = 4)
+    // the layout holds only the declared columns
+    assert(spark.read.parquet(s"$p/by_b_sub").schema.fieldNames.toSet == Set("b", "id", "v"))
+    // covered needs → subset layout; uncovered needs (reads s) → base;
+    // unknown needs (empty set = "all of them") → base
+    assert(Projections.route(spark, p, filterCols = Set("b"),
+      neededCols = Set("b", "v"))._2 == "by_b_sub")
+    assert(Projections.route(spark, p, filterCols = Set("b"),
+      neededCols = Set("b", "s"))._2 == "base")
+    assert(Projections.route(spark, p, filterCols = Set("b"))._2 == "base")
+    // same answer either way on a covered query
+    val sub = Projections.route(spark, p, filterCols = Set("b"), neededCols = Set("b", "v"))._1
+    assert(sub.where($"b" === 31L).agg(sum("v")).head().getDouble(0) ==
+      spark.read.parquet(s"$p/base").where($"b" === 31L).agg(sum("v")).head().getDouble(0))
+    // ORDER BY keys outside the stored subset refuse at declaration
+    intercept[IllegalArgumentException] {
+      Projections.Sort("bad", Seq("b"), Seq("id", "v"))
+    }
+  }
+
   test("sort projection prunes decode work for a selective leading-key range") {
     val pred = ($"b" >= 1000L && $"b" < 2000L)
     val routed = Projections.route(spark, path, filterCols = Set("b"))._1.where(pred)
