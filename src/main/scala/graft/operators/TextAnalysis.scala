@@ -329,9 +329,42 @@ object TextAnalysis {
     * sequential argmax is unchanged, tie order included. */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
                batchK: Int = 8): (Seq[(String, String)], DataFrame) = {
-    require(batchK >= 1, "batchK must be >= 1")
-    var words = docs
+    val words = docs
       .select(explode(tokens(normalize(col(textCol)))).as("word"))
+    trainMerges(words, numMerges, batchK)
+  }
+
+  /** Byte-level BPE trainer (the GPT-2 public recipe, Radford et al.
+    * 2019 §2.2): the symbol alphabet is the 256 UTF-8 bytes (rendered
+    * printable by the byte↔char table in [[graft.plans.BpeFns]]) and
+    * the word universe is the GPT-2 regex pre-tokens, so merges never
+    * cross a pre-token and EVERY string tokenizes — no unknown-symbol
+    * escape hatch, and decode(encode(x)) == x exactly. Same
+    * distribution shape as [[bpeTrain]]: one (word, freq) collapse,
+    * then bounded-collect merge rounds. */
+  def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                    batchK: Int = 8): (Seq[(String, String)], DataFrame) = {
+    val words = docs
+      .select(explode(call_function("graft_bpe_byte_pretokens", col(textCol))).as("word"))
+    trainMerges(words, numMerges, batchK)
+  }
+
+  /** Byte-level BPE APPLY — [[graft.plans.BpeFns.encodeBytes]]: GPT-2
+    * pre-tokenize + greedy ranked merges, map-only on raw text (no
+    * normalization: bytes are the alphabet, case and whitespace are
+    * tokens like any other). */
+  def bpeEncodeBytes(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_byte_encode", text,
+      lit(merges.map { case (a, b) => s"$a $b" }.mkString("\n")))
+
+  /** Inverse of [[bpeEncodeBytes]] — the round-trip identity. */
+  def bpeDecodeBytes(tokens: Column): Column =
+    call_function("graft_bpe_byte_decode", tokens)
+
+  private def trainMerges(words0: DataFrame, numMerges: Int,
+                          batchK: Int): (Seq[(String, String)], DataFrame) = {
+    require(batchK >= 1, "batchK must be >= 1")
+    var words = words0
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(split(col("word"), "").as("syms"), col("freq"))
       .localCheckpoint()

@@ -89,6 +89,101 @@ object BpeFns {
     }
     new GenericArrayData(out.toArray)
   }
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE (the GPT-2 public spec: Radford et al. 2019 §2.2):
+  // UTF-8 bytes are the base alphabet, each byte rendered as one
+  // printable unicode char so merges/vocab stay plain strings, and a
+  // regex pre-tokenizer bounds merges (no merge crosses a pre-token).
+  // Byte-level means EVERY string round-trips: decode(encode(x)) == x
+  // with no unknown-token escape hatch — what a production tokenizer
+  // (and so the LLM-cost estimate q64 feeds) actually guarantees.
+
+  /** GPT-2 byte→printable-char table: bytes that are already printable
+    * (33–126, 161–172, 174–255) map to themselves; the rest take
+    * codepoints 256+n in first-gap order (so 0x20 ' ' → U+0120 'Ġ'). */
+  val byteToChar: Array[Char] = {
+    val m = new Array[Char](256)
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) m(b) = b.toChar
+      else { m(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    m
+  }
+
+  private val charToByte: Array[Byte] = {
+    val m = new Array[Byte](324) // max mapped codepoint is 0x143
+    var b = 0
+    while (b < 256) { m(byteToChar(b)) = b.toByte; b += 1 }
+    m
+  }
+
+  /** The GPT-2 pre-tokenizer (public spec). `\s+(?!\S)` keeps the last
+    * space of a run attached to the following word (as its ` ?`
+    * prefix); UNICODE_CHARACTER_CLASS makes `\s` match unicode
+    * whitespace like Python's `regex` module does. */
+  val gpt2Pretokenizer: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** One pre-token → its byte-mapped symbol string. */
+  def mapPretoken(pt: String): String = {
+    val bytes = pt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val chars = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { chars(i) = byteToChar(bytes(i) & 0xff); i += 1 }
+    new String(chars)
+  }
+
+  private def pretokenList(text: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val m = gpt2Pretokenizer.matcher(text)
+    while (m.find()) out.add(mapPretoken(m.group()))
+    out
+  }
+
+  /** Raw text → byte-mapped pre-tokens (the trainer's word universe). */
+  def bytePretokens(text: UTF8String): GenericArrayData = {
+    val pts = pretokenList(text.toString)
+    val out = new Array[Any](pts.size)
+    var i = 0
+    while (i < pts.size) { out(i) = UTF8String.fromString(pts.get(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Byte-level BPE APPLY over raw text: GPT-2 pre-tokenize, map each
+    * pre-token to byte-chars, then the same greedy lowest-rank merge
+    * loop (and per-table word memo) the word-level encoder uses. */
+  def encodeBytes(text: UTF8String, merges: UTF8String): GenericArrayData = {
+    val t = table(merges.toString)
+    val out = new java.util.ArrayList[Any]()
+    val pts = pretokenList(text.toString)
+    var i = 0
+    while (i < pts.size) {
+      val toks = encodeWord(pts.get(i), t)
+      var k = 0
+      while (k < toks.length) { out.add(UTF8String.fromString(toks(k))); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Inverse of [[encodeBytes]]: concatenate token chars, map each back
+    * to its byte, UTF-8 decode — the byte-level round-trip identity. */
+  def decodeBytes(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < tokens.numElements()) { sb.append(tokens.getUTF8String(i).toString); i += 1 }
+    val s = sb.toString
+    val bytes = new Array[Byte](s.length)
+    var k = 0
+    while (k < s.length) { bytes(k) = charToByte(s.charAt(k)); k += 1 }
+    UTF8String.fromString(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
 
 case class BpeEncodeExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -100,4 +195,42 @@ case class BpeEncodeExpr(left: Expression, right: Expression) extends BinaryExpr
     defineCodeGen(ctx, ev, (t, m) => s"graft.plans.BpeFns.encode($t, $m)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncodeExpr =
     copy(left = l, right = r)
+}
+
+/** Raw text → GPT-2 byte-mapped pre-tokens (byte-level trainer input). */
+case class BpeBytePretokensExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_byte_pretokens"
+  override protected def nullSafeEval(text: Any): Any =
+    BpeFns.bytePretokens(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.BpeFns.bytePretokens($t)")
+  override protected def withNewChildInternal(c: Expression): BpeBytePretokensExpr =
+    copy(child = c)
+}
+
+/** Byte-level BPE tokenizer hot path — map-only like the word form. */
+case class BpeByteEncodeExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_byte_encode"
+  override protected def nullSafeEval(text: Any, merges: Any): Any =
+    BpeFns.encodeBytes(text.asInstanceOf[UTF8String], merges.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.plans.BpeFns.encodeBytes($t, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeByteEncodeExpr =
+    copy(left = l, right = r)
+}
+
+/** Byte-level BPE detokenizer: the round-trip identity's other half. */
+case class BpeByteDecodeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_byte_decode"
+  override protected def nullSafeEval(tokens: Any): Any =
+    BpeFns.decodeBytes(tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.BpeFns.decodeBytes($t)")
+  override protected def withNewChildInternal(c: Expression): BpeByteDecodeExpr =
+    copy(child = c)
 }

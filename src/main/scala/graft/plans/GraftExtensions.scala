@@ -57,6 +57,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeEncodeExpr(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_byte_pretokens"),
+      new ExpressionInfo(classOf[BpeBytePretokensExpr].getName, "graft_bpe_byte_pretokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bpe_byte_pretokens takes (text)")
+        BpeBytePretokensExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_byte_encode"),
+      new ExpressionInfo(classOf[BpeByteEncodeExpr].getName, "graft_bpe_byte_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_bpe_byte_encode takes (text, mergesTable)")
+        BpeByteEncodeExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_byte_decode"),
+      new ExpressionInfo(classOf[BpeByteDecodeExpr].getName, "graft_bpe_byte_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bpe_byte_decode takes (tokens)")
+        BpeByteDecodeExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_pg_text_array"),
       new ExpressionInfo(classOf[PgTextArray].getName, "graft_pg_text_array"),
       (children: Seq[Expression]) => {

@@ -909,6 +909,97 @@ object DataPipeline {
              FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""),
   )
 
+  /** Fixture byte-level BPE vocab for q64c: 64 merges trained ONCE on
+    * the sf0.01 documents corpus by [[graft.tools.BpeFixtureTool]]
+    * (`TextAnalysis.bpeTrainBytes`) and pinned here the way a
+    * production pipeline pins its tokenizer file — train once, apply
+    * forever. 'Ġ' is GPT-2's byte-char for space (0x20 → U+0120).
+    * Self-merges (a == b) are excluded by the tool so the DuckDB
+    * oracle's separator-joined replace replay is exact (a pattern
+    * `│a│b│` can only self-overlap when a == b). */
+  private val bpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("Ġ", "c"), ("a", "s"), ("Ġ", "b"), ("Ġ", "v"),
+    ("a", "r"), ("p", "ar"), ("Ġ", "f"), ("Ġ", "a"), ("Ġ", "t"), ("j", "o"),
+    ("jo", "in"), ("as", "h"), ("h", "ash"), ("Ġ", "join"), ("s", "t"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("a", "n"), ("c", "an"),
+    ("lu", "m"), ("lum", "n"), ("o", "lumn"), ("o", "mer"), ("st", "omer"),
+    ("u", "stomer"), ("i", "l"), ("il", "t"), ("ilt", "er"), ("Ġ", "hash"),
+    ("a", "l"), ("al", "l"), ("m", "all"), ("Ġ", "row"), ("Ġs", "can"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("Ġ", "d"), ("Ġs", "mall"),
+    ("Ġb", "atch"), ("Ġc", "olumn"), ("Ġf", "ilter"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("Ġc", "ustomer"), ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
+    ("abl", "e"), ("at", "a"), ("u", "p"),
+  )
+
+  /** DuckDB replay of byte-level BPE with [[bpeFixtureMerges]]: per
+    * pre-token, symbols ride a `│`-joined string (every symbol flanked
+    * by separators) and each merge rank applies as replace(`│a│b│` →
+    * `│ab│`) twice — replace is left-to-right non-overlapping, and for
+    * a ≠ b two passes reach the full merge set (pass 1 can consume the
+    * shared separator of an adjacent occurrence; leftovers are then
+    * isolated). Rank order replays the greedy lowest-rank loop exactly
+    * (a pair of rank r can never reappear after rank r is processed —
+    * its parts were built strictly earlier). Layered CTEs keep
+    * expression depth under DuckDB's 128 cap. */
+  private def bpeByteOracleSql: String = {
+    val sep = "│"
+    val layers = bpeFixtureMerges.grouped(8).map { group =>
+      group.foldLeft("s") { case (expr, (a, b)) =>
+        val pat = s"$sep$a$sep$b$sep"
+        val rep = s"$sep$a$b$sep"
+        s"replace(replace($expr, '$pat', '$rep'), '$pat', '$rep')"
+      }
+    }.toSeq
+    val ctes = layers.zipWithIndex.map { case (expr, i) =>
+      s"e${i + 1} AS (SELECT doc_id, t, i, $expr AS s FROM e$i)"
+    }
+    val last = s"e${layers.size}"
+    s"""WITH d AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+        pre AS (SELECT doc_id, t, regexp_extract_all(t,
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|\\s+') AS l
+                FROM d),
+        e0 AS (SELECT doc_id, t, i,
+                      '$sep' || regexp_replace(replace(pt, ' ', chr(288)), '(.)', '\\1$sep', 'g') AS s
+               FROM (SELECT doc_id, t, l[i+1] AS pt, i
+                     FROM pre, LATERAL (SELECT unnest(range(len(l))) AS i) ix)),
+        ${ctes.mkString(",\n        ")},
+        agg AS (SELECT doc_id, any_value(t) AS t,
+                       CAST(sum(length(s) - length(replace(s, '$sep', '')) - 1) AS BIGINT) AS n_tokens,
+                       md5(string_agg(trim(s, '$sep'), '$sep' ORDER BY i)) AS fp,
+                       string_agg(replace(s, '$sep', ''), '' ORDER BY i) AS joined
+                FROM $last GROUP BY doc_id)
+        SELECT doc_id, n_tokens, fp,
+               CAST(replace(joined, chr(288), ' ') = t AS INT) AS roundtrip
+        FROM agg ORDER BY doc_id"""
+  }
+
+  /** Byte-level BPE tokenization (GPT-2 public spec: UTF-8 bytes as
+    * the alphabet, regex pre-tokenizer, greedy ranked merges) with the
+    * pinned fixture vocab — the real-tokenizer upgrade of q64's
+    * LLM-cost estimate. Per doc: exact token count, an md5 over the
+    * full token stream (any drifted merge anywhere changes it), and a
+    * decode(encode(x)) == x round-trip flag, which byte-level BPE
+    * guarantees by construction. Map-only over the scan: the merge
+    * table rides the plan as one literal; the oracle replays the
+    * merges rank-by-rank in SQL (see [[bpeByteOracleSql]]). */
+  val q64c = GraftQuery(
+    "q64c_bpe_byte",
+    (s, dir) => {
+      val t = trim(regexp_replace(col("text"), "\\s+", " "))
+      val enc = TextAnalysis.bpeEncodeBytes(t, bpeFixtureMerges)
+      Tables(s, dir).documents
+        .select(col("doc_id"), t.as("t"), enc.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(concat_ws("│", col("toks")).cast("binary")).as("fp"),
+          (TextAnalysis.bpeDecodeBytes(col("toks")) === col("t")).cast("int").as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some(bpeByteOracleSql),
+  )
+
   /** Int8 embedding quantization for storage — the 4× compression a
     * training pipeline applies before writing embedding shards.
     * Per-vector affine params (min, scale = range/255) with FLOOR
@@ -1410,5 +1501,5 @@ object DataPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q58, q59, q60,
-        q61, q62, q63, q64, q64b, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b, q106c)
+        q61, q62, q63, q64, q64b, q64c, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b, q106c)
 }

@@ -925,6 +925,79 @@ class DialectRound5Spec extends SparkSpec {
     assert(seq16 == seq1, "batchK=16 diverged from sequential merges")
   }
 
+  test("byte-level BPE: decode(encode(x)) == x for ANY string and ANY merge table") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    // byte-level means no unknown-symbol escape hatch: unicode, emoji,
+    // control chars, multi-space runs, trailing whitespace all survive
+    val nasty = Seq(
+      "hello world", "  leading and   triple   spaces  ", "tabs\tand\nnewlines\r\n",
+      "caFÉ naïve Ḽơᶉëᶆ", "日本語のテキスト", "mixed 日本 and ascii", "🦆 emoji 🚀🎉",
+      "it's we're they'll I'd you've i'm don't", "numbers 123 456.78 9e10",
+      "punct!!! ???, (brackets) [and] {braces}", "a", " ", "", " nullbytes")
+    val docs = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // an arbitrary merge table — round-trip must hold regardless
+    val merges = Seq(("h", "e"), ("l", "l"), ("Ġ", "w"), ("ll", "o"), ("é", "Ċ"))
+    val back = docs.select(col("text"),
+        TextAnalysis.bpeDecodeBytes(
+          TextAnalysis.bpeEncodeBytes(col("text"), merges)).as("rt"))
+      .collect()
+    back.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"round-trip broke for ${r.getString(0).take(40)}"))
+    // and with an EMPTY merge table (pure byte alphabet)
+    val raw = docs.select(col("text"),
+        TextAnalysis.bpeDecodeBytes(
+          TextAnalysis.bpeEncodeBytes(col("text"), Nil)).as("rt")).collect()
+    raw.foreach(r => assert(r.getString(1) == r.getString(0)))
+  }
+
+  test("byte-level BPE: GPT-2 pre-tokenizer and byte map semantics") {
+    import graft.plans.BpeFns
+    def pts(s: String): List[String] = {
+      val m = BpeFns.gpt2Pretokenizer.matcher(s)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toList
+    }
+    // the last space of a run attaches to the next word (`\s+(?!\S)`)
+    assert(pts("a   b") == List("a", "  ", " b"))
+    assert(pts("hello world") == List("hello", " world"))
+    // contractions split off; punctuation groups with its leading space
+    assert(pts("it's fine, isn't it?") ==
+      List("it", "'s", " fine", ",", " isn", "'t", " it", "?"))
+    // trailing whitespace is its own pre-token; digits split from letters
+    assert(pts("x2 ab12 ") == List("x", "2", " ab", "12", " "))
+    // byte map: printable ASCII identity, space → Ġ (U+0120), multi-byte
+    // UTF-8 chars become one mapped char per BYTE
+    assert(BpeFns.mapPretoken(" ab") == "Ġab")
+    assert(BpeFns.byteToChar(0x20) == 'Ġ')
+    assert(BpeFns.byteToChar('x'.toInt) == 'x')
+    assert(BpeFns.mapPretoken("é").length == 2) // C3 A9
+  }
+
+  test("bpeTrainBytes: merges respect pre-token bounds and encode reconstructs the corpus") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val texts = Seq.fill(6)("the merge table") ++ Seq.fill(4)("the stable table") ++
+      Seq.fill(3)("it's the tables' fault")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrainBytes(docs, "text", numMerges = 10)
+    assert(merges.size == 10)
+    // symbols stay inside the byte-char alphabet and merges are learned
+    // over Ġ-prefixed words (the space travels with the word)
+    assert(merges.exists { case (a, b) => (a + b).contains("Ġ") })
+    val v = vocab.collect().map(_.getString(0))
+    assert(v.forall(s => !s.contains(" ")), "no raw space may survive byte mapping")
+    // apply: concatenated tokens rebuild each document byte-for-byte
+    val enc = docs.select(col("text"),
+      TextAnalysis.bpeDecodeBytes(
+        TextAnalysis.bpeEncodeBytes(col("text"), merges)).as("rt")).collect()
+    enc.foreach(r => assert(r.getString(1) == r.getString(0)))
+    // determinism: training twice yields the identical merge sequence
+    val (merges2, _) = TextAnalysis.bpeTrainBytes(docs, "text", numMerges = 10)
+    assert(merges2 == merges)
+  }
+
   test("arrayLast/FirstIndex/LastIndex, union, symmetric difference") {
     val r = spark.sql(
       """SELECT arrayLast(x -> x < 9, array(1, 5, 12, 7)) AS last_small,
