@@ -27,11 +27,23 @@ import org.apache.spark.sql.functions._
   * 8-plane bucket: 256 state rows whose values carry the corpus.
   * The RocksDB provider is the memory knob as everywhere (SURVEY §4).
   *
+  * The hyperplane dial: SPARK_GRAFT_STATE_PLANES — an integer pins it
+  * (the round-13 rows ran 8, measuring the fixed-dial cliff: 256
+  * buckets → ~3,900 vectors/bucket → CPU-bound verify); the default
+  * "auto" picks [[graft.streaming.StreamSemanticDedup.autoPlanes]]
+  * from the corpus size, the dial a deployer should use (at 1M
+  * vectors: 14 planes → 16k buckets → occupancy ~64, the round-14
+  * fix for round 13's deliberate cliff).
+  *
   * Usage: SPARK_GRAFT_STATE_KEYS=1000000 graft.SemanticDedupScaleRehearsal
   * Appends JSON lines to docs/STATE_SCALE_r13.jsonl. */
 object SemanticDedupScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "1000000").toLong
+    val planes = sys.env.getOrElse("SPARK_GRAFT_STATE_PLANES", "auto") match {
+      case "auto" => graft.streaming.StreamSemanticDedup.autoPlanes(docs)
+      case n => n.toInt
+    }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
       "/root/repo/docs/STATE_SCALE_r13.jsonl")
     val spark = GraftSession.local("graft-semdedup-scale")
@@ -64,7 +76,7 @@ object SemanticDedupScaleRehearsal {
         if (i == 3) ids.select(($"id" + 1000000000L).as("ingest_id"), vecExpr.as("v"))
         else ids.select($"id".as("ingest_id"), vecExpr.as("v"))
       val (coded, _) = graft.operators.Similarity.semanticDedupInternals(
-        raw, "ingest_id", "v", numPlanes = 8, dim = 64, minCos = 0.85)
+        raw, "ingest_id", "v", numPlanes = planes, dim = 64, minCos = 0.85)
       val df = coded.select($"ingest_id".as("id"), $"__bucket".as("bucket"), $"v".as("vec"))
       val t = s"$base/tmp/$i"
       df.coalesce(2).write.mode("overwrite").parquet(t)
@@ -127,7 +139,10 @@ object SemanticDedupScaleRehearsal {
       q.stop()
       require(hitCount >= lo && hitCount <= hi,
         s"$backend: expected hits in [$lo, $hi], got $hitCount")
+      val buckets = progs.lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(0L)
       emit(s"""{"family":"semdedup","backend":"$backend","docs":$docs,"hits":$hitCount,""" +
+        s""""planes":$planes,"buckets":$buckets,""" +
+        s""""occupancy":${if (buckets > 0) docs / buckets else -1},""" +
         s""""total_sec":${math.rint(totalSec * 100) / 100}}""")
     }
     spark.stop()

@@ -38,6 +38,29 @@ object Replicate {
     (pulled, max(col(watermarkCol)))
   }
 
+  /** Re-materialize an imported materialized view by replaying its
+    * defining SELECT against the (already-imported) RAW table and
+    * atomically overwriting the MV target — the executable form of
+    * the q35b migration guidance. ClickHouse's binary
+    * AggregateFunction(uniq, …) states are an engine-internal format
+    * with no published stability contract, so foreign blobs copied
+    * from a live CH AggregatingMergeTree CANNOT be merged here (they
+    * fail loudly); after one rematerialize, every state in the target
+    * was written by THIS engine's uniqState and all merges work.
+    * count/sum/min/max/avg states are plain values/structs and never
+    * need this. `mvSelect` is the MV's defining SELECT (CH dialect
+    * accepted — `SELECT …, uniqState(x) FROM imported_raw GROUP BY …`);
+    * the rebuild is one aggregation over the raw table, the same cost
+    * a CH `POPULATE` pays on creation. */
+  def rematerializeMv(spark: org.apache.spark.sql.SparkSession,
+                      mvTarget: String, mvSelect: String): Unit = {
+    val rebuilt = spark.sql(mvSelect)
+    val target = spark.table(mvTarget)
+    require(rebuilt.schema.length == target.schema.length,
+      s"MV SELECT yields ${rebuilt.schema.length} columns, $mvTarget has ${target.schema.length}")
+    rebuilt.write.mode("overwrite").insertInto(mvTarget)
+  }
+
   /** Latest row per key by a total version ordering (ReplacingMergeTree
     * FINAL semantics). `orderCols` must be a deterministic total order
     * within each key (include a unique id as tiebreak). */

@@ -478,7 +478,7 @@ object Arrays {
         fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")).getModificationTime
       }
       val fresh = graft.operators.Projections.manifestMTime(s, path).exists(_ >= srcMTime)
-      if (!fresh) {
+      if (!fresh) graft.FixtureClock.time {
         graft.operators.Projections.write(Tables(s, dir).lineitem, path,
           baseOrder = Seq("l_orderkey"),
           projections = Seq(
@@ -566,18 +566,20 @@ object Arrays {
   val q99b = GraftQuery(
     "q99b_projection_ddl",
     (s, dir) => {
-      s.sql("DROP TABLE IF EXISTS gq99b")
-      val whRoot = new org.apache.hadoop.fs.Path(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
-      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // the table dir AND its sibling projection-data dirs from prior runs
-      fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99b*"))
-        .foreach(st => fs.delete(st.getPath, true))
-      s.sql("""CREATE TABLE gq99b (id UInt64, prio String, total Float64)
-               ENGINE = MergeTree ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq99b_src")
-      s.sql("""INSERT INTO gq99b SELECT o_orderkey, o_orderpriority, o_totalprice
-               FROM gq99b_src""")
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq99b")
+        val whRoot = new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // the table dir AND its sibling projection-data dirs from prior runs
+        fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99b*"))
+          .foreach(st => fs.delete(st.getPath, true))
+        s.sql("""CREATE TABLE gq99b (id UInt64, prio String, total Float64)
+                 ENGINE = MergeTree ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq99b_src")
+        s.sql("""INSERT INTO gq99b SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM gq99b_src""")
+      }
       s.sql("""ALTER TABLE gq99b ADD PROJECTION by_prio
                (SELECT prio, count(), sum(total), min(total), max(total) GROUP BY prio)""")
       val out = s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total,
@@ -608,17 +610,19 @@ object Arrays {
   val q99c = GraftQuery(
     "q99c_sort_projection",
     (s, dir) => {
-      s.sql("DROP TABLE IF EXISTS gq99c")
-      val whRoot = new org.apache.hadoop.fs.Path(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
-      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99c*"))
-        .foreach(st => fs.delete(st.getPath, true))
-      s.sql("""CREATE TABLE gq99c (id UInt64, prio String, total Float64)
-               ENGINE = MergeTree ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq99c_src")
-      s.sql("""INSERT INTO gq99c SELECT o_orderkey, o_orderpriority, o_totalprice
-               FROM gq99c_src""")
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq99c")
+        val whRoot = new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99c*"))
+          .foreach(st => fs.delete(st.getPath, true))
+        s.sql("""CREATE TABLE gq99c (id UInt64, prio String, total Float64)
+                 ENGINE = MergeTree ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq99c_src")
+        s.sql("""INSERT INTO gq99c SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM gq99c_src""")
+      }
       s.sql("ALTER TABLE gq99c ADD PROJECTION by_prio (SELECT * ORDER BY prio)")
       val out = s.sql("""SELECT id, round(total, 2) AS total
                          FROM gq99c WHERE prio = '1-URGENT' ORDER BY id""")
@@ -646,18 +650,20 @@ object Arrays {
   val q99d = GraftQuery(
     "q99d_subset_projection",
     (s, dir) => {
-      s.sql("DROP TABLE IF EXISTS gq99d")
-      val whRoot = new org.apache.hadoop.fs.Path(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
-      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99d*"))
-        .foreach(st => fs.delete(st.getPath, true))
-      s.sql("""CREATE TABLE gq99d (id UInt64, prio String, total Float64, odate Date)
-               ENGINE = MergeTree ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq99d_src")
-      s.sql("""INSERT INTO gq99d
-               SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
-               FROM gq99d_src""")
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq99d")
+        val whRoot = new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, "gq99d*"))
+          .foreach(st => fs.delete(st.getPath, true))
+        s.sql("""CREATE TABLE gq99d (id UInt64, prio String, total Float64, odate Date)
+                 ENGINE = MergeTree ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq99d_src")
+        s.sql("""INSERT INTO gq99d
+                 SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+                 FROM gq99d_src""")
+      }
       s.sql("ALTER TABLE gq99d ADD PROJECTION by_prio (SELECT prio, id, total ORDER BY prio)")
       // the landed layout must hold ONLY the subset columns
       val info = s.sql("DESCRIBE TABLE EXTENDED gq99d").collect()

@@ -1117,25 +1117,27 @@ object DataPipeline {
       val base = s"/tmp/graft_dedup106/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val landing = s"$base/landing"
-      val docs = docsNorm(Tables(s, dir))
-        .withColumn("fp", md5(col("norm").cast("binary")))
-        .select(col("doc_id"), col("fp"))
-      val b0 = docs.where(col("doc_id") < 600)
-        .select(col("fp"), col("doc_id").as("id"))
-      val b1 = docs.where(col("doc_id") >= 600 && col("doc_id") < 900)
-        .select(col("fp"), col("doc_id").as("id"))
-        .unionAll(docs.where(col("doc_id") < 600 && col("doc_id") % 3 === 0)
-          .select(col("fp"), (col("doc_id") + 1000000000L).as("id")))
-      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-      Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
-        val t = s"$base/tmp/$i"
-        df.coalesce(1).write.mode("overwrite").json(t)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-        fs.rename(part, dst)
-        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      graft.FixtureClock.time {
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val docs = docsNorm(Tables(s, dir))
+          .withColumn("fp", md5(col("norm").cast("binary")))
+          .select(col("doc_id"), col("fp"))
+        val b0 = docs.where(col("doc_id") < 600)
+          .select(col("fp"), col("doc_id").as("id"))
+        val b1 = docs.where(col("doc_id") >= 600 && col("doc_id") < 900)
+          .select(col("fp"), col("doc_id").as("id"))
+          .unionAll(docs.where(col("doc_id") < 600 && col("doc_id") % 3 === 0)
+            .select(col("fp"), (col("doc_id") + 1000000000L).as("id")))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+          val t = s"$base/tmp/$i"
+          df.coalesce(1).write.mode("overwrite").json(t)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+          fs.rename(part, dst)
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+        }
       }
       val stream = s.readStream.schema("fp STRING, id LONG")
         .option("maxFilesPerTrigger", "1").json(landing)
@@ -1179,7 +1181,7 @@ object DataPipeline {
       val base = s"/tmp/graft_neardedup106b/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.FixtureClock.time { fs.delete(new org.apache.hadoop.fs.Path(base), true) }
       val landing = s"$base/landing"
       val norm = docsNorm(Tables(s, dir))
       // ingest stream: initial crawl (<600), then new docs (600-899)
@@ -1196,14 +1198,16 @@ object DataPipeline {
         .select(col("id"), col("fp"))
       val b0 = fp.where(col("id") < 600)
       val b1 = fp.where(col("id") >= 600)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-      Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
-        val t = s"$base/tmp/$i"
-        df.coalesce(1).write.mode("overwrite").json(t)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-        fs.rename(part, dst)
-        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      graft.FixtureClock.time {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+          val t = s"$base/tmp/$i"
+          df.coalesce(1).write.mode("overwrite").json(t)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+          fs.rename(part, dst)
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+        }
       }
       val stream = graft.streaming.StreamNearDedup.explodeChunks(
         s.readStream.schema("id LONG, fp LONG")
@@ -1277,7 +1281,7 @@ object DataPipeline {
       val base = s"/tmp/graft_semdedup106c/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.FixtureClock.time { fs.delete(new org.apache.hadoop.fs.Path(base), true) }
       val landing = s"$base/landing"
       // ingest stream (the q106/q106b re-delivery convention): the
       // original ≤3000-vector slice, then every 5th vector re-arrives
@@ -1307,15 +1311,17 @@ object DataPipeline {
       val ranked = withBucket.withColumn("__b",
         ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
         .cache()
-      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-      (1 to 3).foreach { i =>
-        val t = s"$base/tmp/$i"
-        ranked.where(col("__b") === i).drop("__b")
-          .coalesce(1).write.mode("overwrite").parquet(t)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*.parquet"))(0).getPath
-        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      graft.FixtureClock.time {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        (1 to 3).foreach { i =>
+          val t = s"$base/tmp/$i"
+          ranked.where(col("__b") === i).drop("__b")
+            .coalesce(1).write.mode("overwrite").parquet(t)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*.parquet"))(0).getPath
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.parquet")
+          fs.rename(part, dst)
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+        }
       }
       val stream = s.readStream.schema("id LONG, bucket LONG, vec ARRAY<DOUBLE>")
         .option("maxFilesPerTrigger", "1").parquet(landing)

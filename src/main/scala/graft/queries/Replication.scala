@@ -349,13 +349,16 @@ object Replication {
     (s, dir) => {
       val path = s"/tmp/graft_ttl/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_by_year"
       // land only the columns the TTL query reads: the layout is
-      // rebuilt every run (TTL mutates it destructively), so the
-      // write IS the query's cost — a projected landing is the same
-      // partition-drop exercise at a third of the IO
-      Tables(s, dir).orders
-        .select(col("o_orderdate"), col("o_totalprice"))
-        .withColumn("yr", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      // rebuilt every run (TTL mutates it destructively), so a
+      // projected landing is the same partition-drop exercise at a
+      // third of the IO; the landing is fixture time, the TTL is the
+      // operator under test
+      graft.FixtureClock.time {
+        Tables(s, dir).orders
+          .select(col("o_orderdate"), col("o_totalprice"))
+          .withColumn("yr", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("yr").parquet(path)
+      }
       Mutate.ttl(s, path, "yr",
         rowExpired = col("o_orderdate") < "1995-07-01",
         partitionWhollyExpired = col("yr") < 1995)
@@ -391,13 +394,15 @@ object Replication {
   val q100 = GraftQuery(
     "q100_mutation_sql",
     (s, dir) => {
-      dropWithLocation(s, "gq100")
-      s.sql("""CREATE TABLE gq100 (id UInt64, status String, total Float64, prio String)
-               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq100_src")
-      s.sql("""INSERT INTO gq100
-               SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-               FROM gq100_src WHERE o_orderkey < 20000""")
+      graft.FixtureClock.time {
+        dropWithLocation(s, "gq100")
+        s.sql("""CREATE TABLE gq100 (id UInt64, status String, total Float64, prio String)
+                 ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq100_src")
+        s.sql("""INSERT INTO gq100
+                 SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+                 FROM gq100_src WHERE o_orderkey < 20000""")
+      }
       s.sql("ALTER TABLE gq100 DELETE WHERE total < 50000")
       s.sql("ALTER TABLE gq100 UPDATE status = 'X', total = total * 2 WHERE id % 10 = 0")
       // CH 23+ lightweight-delete spelling, same executable path
@@ -425,15 +430,17 @@ object Replication {
   val q101 = GraftQuery(
     "q101_optimize_sql",
     (s, dir) => {
-      dropWithLocation(s, "gq101")
-      s.sql("""CREATE TABLE gq101 (id UInt64, v Float64, prio String)
-               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq101_src")
-      val ins = """INSERT INTO gq101
-                   SELECT o_orderkey, o_totalprice, o_orderpriority
-                   FROM gq101_src WHERE o_orderkey >= %d AND o_orderkey < %d"""
-      s.sql(ins.format(0, 4000)); s.sql(ins.format(4000, 8000)); s.sql(ins.format(8000, 12000))
-      s.sql(ins.format(0, 4000)) // duplicate part, collapsed by DEDUPLICATE
+      graft.FixtureClock.time {
+        dropWithLocation(s, "gq101")
+        s.sql("""CREATE TABLE gq101 (id UInt64, v Float64, prio String)
+                 ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq101_src")
+        val ins = """INSERT INTO gq101
+                     SELECT o_orderkey, o_totalprice, o_orderpriority
+                     FROM gq101_src WHERE o_orderkey >= %d AND o_orderkey < %d"""
+        s.sql(ins.format(0, 4000)); s.sql(ins.format(4000, 8000)); s.sql(ins.format(8000, 12000))
+        s.sql(ins.format(0, 4000)) // duplicate part, collapsed by DEDUPLICATE
+      }
       s.sql("OPTIMIZE TABLE gq101 FINAL DEDUPLICATE")
       s.sql("""SELECT prio, count(*) AS cnt, round(sum(v), 2) AS total
                FROM gq101 GROUP BY prio ORDER BY prio""")
@@ -462,18 +469,20 @@ object Replication {
       val base = s"/tmp/graft_kafka/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      // fresh chain per run: a stale checkpoint would skip the replay
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val (landing, target, ckpt) = (s"$base/landing", s"$base/target", s"$base/ckpt")
-      Tables(s, dir).events
-        .where(col("user_id") < 50)
-        .select(col("user_id"), col("event_type"),
-                expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
-        .repartition(3)
-        .write.mode("overwrite").json(landing)
-      // Spark's json writer leaves a _SUCCESS marker the schema'd
-      // streaming reader must not treat as data
-      fs.delete(new org.apache.hadoop.fs.Path(landing, "_SUCCESS"), false)
+      graft.FixtureClock.time {
+        // fresh chain per run: a stale checkpoint would skip the replay
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        Tables(s, dir).events
+          .where(col("user_id") < 50)
+          .select(col("user_id"), col("event_type"),
+                  expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .repartition(3)
+          .write.mode("overwrite").json(landing)
+        // Spark's json writer leaves a _SUCCESS marker the schema'd
+        // streaming reader must not treat as data
+        fs.delete(new org.apache.hadoop.fs.Path(landing, "_SUCCESS"), false)
+      }
       val q = graft.streaming.KafkaEngine.fromDdl(s,
         s"""CREATE TABLE gq102_queue (user_id UInt64, event_type String, cents Int64)
             ENGINE = Kafka SETTINGS kafka_broker_list = '$landing',
@@ -505,12 +514,14 @@ object Replication {
   val q103 = GraftQuery(
     "q103_alter_column_sql",
     (s, dir) => {
-      dropWithLocation(s, "gq103")
-      s.sql("""CREATE TABLE gq103 (id UInt64, total Float64, prio String)
-               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq103_src")
-      s.sql("""INSERT INTO gq103 SELECT o_orderkey, o_totalprice, o_orderpriority
-               FROM gq103_src WHERE o_orderkey < 8000""")
+      graft.FixtureClock.time {
+        dropWithLocation(s, "gq103")
+        s.sql("""CREATE TABLE gq103 (id UInt64, total Float64, prio String)
+                 ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq103_src")
+        s.sql("""INSERT INTO gq103 SELECT o_orderkey, o_totalprice, o_orderpriority
+                 FROM gq103_src WHERE o_orderkey < 8000""")
+      }
       s.sql("ALTER TABLE gq103 ADD COLUMN flag UInt8") // backfills 0, not null
       s.sql("ALTER TABLE gq103 ADD COLUMN half Float64 DEFAULT total / 2 AFTER total")
       s.sql("ALTER TABLE gq103 ADD COLUMN scratch Nullable(String)")
@@ -543,19 +554,21 @@ object Replication {
   val q98b = GraftQuery(
     "q98b_ttl_ddl",
     (s, dir) => {
-      dropWithLocation(s, "gq98b")
-      s.sql("""CREATE TABLE gq98b (id UInt64, total Float64, d DateTime, prio String)
-               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq98b_src")
-      // partition columns land LAST in a Spark table schema; the
-      // positional INSERT lists them last to match
-      s.sql("""INSERT INTO gq98b
-               SELECT o_orderkey, o_totalprice,
-                      CASE WHEN o_orderkey % 3 = 0
-                           THEN timestamp'2020-01-01 00:00:00'
-                           ELSE timestamp'2123-01-01 00:00:00' END,
-                      o_orderpriority
-               FROM gq98b_src WHERE o_orderkey < 6000""")
+      graft.FixtureClock.time {
+        dropWithLocation(s, "gq98b")
+        s.sql("""CREATE TABLE gq98b (id UInt64, total Float64, d DateTime, prio String)
+                 ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq98b_src")
+        // partition columns land LAST in a Spark table schema; the
+        // positional INSERT lists them last to match
+        s.sql("""INSERT INTO gq98b
+                 SELECT o_orderkey, o_totalprice,
+                        CASE WHEN o_orderkey % 3 = 0
+                             THEN timestamp'2020-01-01 00:00:00'
+                             ELSE timestamp'2123-01-01 00:00:00' END,
+                        o_orderpriority
+                 FROM gq98b_src WHERE o_orderkey < 6000""")
+      }
       s.sql("ALTER TABLE gq98b MODIFY TTL d + INTERVAL 30 DAY")
       s.sql("ALTER TABLE gq98b MATERIALIZE TTL")
       s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total
@@ -579,17 +592,19 @@ object Replication {
   val q98c = GraftQuery(
     "q98c_ttl_groupby",
     (s, dir) => {
-      dropWithLocation(s, "gq98c")
-      s.sql("""CREATE TABLE gq98c (id UInt64, total Float64, d DateTime, prio String)
-               ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
-      Tables(s, dir).orders.createOrReplaceTempView("gq98c_src")
-      s.sql("""INSERT INTO gq98c
-               SELECT o_orderkey, o_totalprice,
-                      CASE WHEN o_orderkey % 3 = 0
-                           THEN timestamp'2020-01-01 00:00:00'
-                           ELSE timestamp'2123-01-01 00:00:00' END,
-                      o_orderpriority
-               FROM gq98c_src WHERE o_orderkey < 6000""")
+      graft.FixtureClock.time {
+        dropWithLocation(s, "gq98c")
+        s.sql("""CREATE TABLE gq98c (id UInt64, total Float64, d DateTime, prio String)
+                 ENGINE = MergeTree PARTITION BY prio ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq98c_src")
+        s.sql("""INSERT INTO gq98c
+                 SELECT o_orderkey, o_totalprice,
+                        CASE WHEN o_orderkey % 3 = 0
+                             THEN timestamp'2020-01-01 00:00:00'
+                             ELSE timestamp'2123-01-01 00:00:00' END,
+                        o_orderpriority
+                 FROM gq98c_src WHERE o_orderkey < 6000""")
+      }
       s.sql("""ALTER TABLE gq98c MODIFY TTL d + INTERVAL 30 DAY
                GROUP BY prio SET total = sum(total)""")
       s.sql("ALTER TABLE gq98c MATERIALIZE TTL")
@@ -635,40 +650,42 @@ object Replication {
       val base = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val (landing, target, ckpt, tmp) =
         (s"$base/landing", s"$base/target", s"$base/ckpt", s"$base/tmp")
-      val slice = Tables(s, dir).events.where(col("user_id") < 20)
-        .select(col("user_id"),
-          // NTZ sources normalize to TIMESTAMP (session is UTC, values preserved)
-          col("ts").cast("timestamp").as("ts"),
-          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
-      // the exact watermark Spark will compute after batch 1:
-      // ms-floored max event time minus the 6h delay
-      val maxTs = slice.agg(max("ts")).head().getTimestamp(0) // one bounded scalar
-      val wm = java.sql.Timestamp.from(
-        java.time.Instant.ofEpochMilli(maxTs.getTime).minusSeconds(6 * 3600))
-      val winEnd = expr("date_trunc('DAY', ts) + INTERVAL 1 DAY")
-      val lateCond = col("user_id") % 5 === 3 && winEnd < lit(wm)
-      def sentinel(isoTs: String) = s.range(1).select(
-        lit(9999L).as("user_id"), lit(isoTs).cast("timestamp").as("ts"), lit(0L).as("cents"))
-      val files = Seq(
-        Some(slice.where(!lateCond)), None /* empty flush batch */,
-        Some(slice.where(lateCond)),
-        Some(sentinel("2100-01-01 00:00:00")), Some(sentinel("2100-01-02 00:00:00")))
-      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-      files.zipWithIndex.foreach { case (dfOpt, i) =>
-        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-        dfOpt match {
-          case Some(df) =>
-            val t = s"$tmp/$i"
-            df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("cents"))
-              .coalesce(1).write.mode("overwrite").json(t)
-            val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-            fs.rename(part, dst)
-          case None => fs.create(dst, true).close()
+      graft.FixtureClock.time {
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val slice = Tables(s, dir).events.where(col("user_id") < 20)
+          .select(col("user_id"),
+            // NTZ sources normalize to TIMESTAMP (session is UTC, values preserved)
+            col("ts").cast("timestamp").as("ts"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        // the exact watermark Spark will compute after batch 1:
+        // ms-floored max event time minus the 6h delay
+        val maxTs = slice.agg(max("ts")).head().getTimestamp(0) // one bounded scalar
+        val wm = java.sql.Timestamp.from(
+          java.time.Instant.ofEpochMilli(maxTs.getTime).minusSeconds(6 * 3600))
+        val winEnd = expr("date_trunc('DAY', ts) + INTERVAL 1 DAY")
+        val lateCond = col("user_id") % 5 === 3 && winEnd < lit(wm)
+        def sentinel(isoTs: String) = s.range(1).select(
+          lit(9999L).as("user_id"), lit(isoTs).cast("timestamp").as("ts"), lit(0L).as("cents"))
+        val files = Seq(
+          Some(slice.where(!lateCond)), None /* empty flush batch */,
+          Some(slice.where(lateCond)),
+          Some(sentinel("2100-01-01 00:00:00")), Some(sentinel("2100-01-02 00:00:00")))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        files.zipWithIndex.foreach { case (dfOpt, i) =>
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+          dfOpt match {
+            case Some(df) =>
+              val t = s"$tmp/$i"
+              df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("cents"))
+                .coalesce(1).write.mode("overwrite").json(t)
+              val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+              fs.rename(part, dst)
+            case None => fs.create(dst, true).close()
+          }
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
         }
-        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
       }
       val schema = "user_id LONG, ts_us LONG, cents LONG"
       val stream = s.readStream.schema(schema)
@@ -728,25 +745,27 @@ object Replication {
       val base = s"/tmp/graft_cdc105/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val landing = s"$base/landing"
-      val slice = Tables(s, dir).orders.where(col("o_orderkey") < 2000)
-        .select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"),
-          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val v2 = slice.where($"key" % 3 === 0).select($"key",
-        lit(2L).as("version"), lit(false).as("deleted"), $"prio", ($"cents" * 2).as("cents"))
-      val v1 = slice.select($"key", lit(1L).as("version"), lit(false).as("deleted"),
-        $"prio", $"cents")
-      val v3 = slice.where($"key" % 5 === 0).select($"key",
-        lit(3L).as("version"), lit(true).as("deleted"), $"prio", $"cents")
-      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-      Seq(v2, v1, v3).zipWithIndex.foreach { case (df, i) =>
-        val t = s"$base/tmp/$i"
-        df.coalesce(1).write.mode("overwrite").json(t)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-        val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-        fs.rename(part, dst)
-        fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+      graft.FixtureClock.time {
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val slice = Tables(s, dir).orders.where(col("o_orderkey") < 2000)
+          .select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val v2 = slice.where($"key" % 3 === 0).select($"key",
+          lit(2L).as("version"), lit(false).as("deleted"), $"prio", ($"cents" * 2).as("cents"))
+        val v1 = slice.select($"key", lit(1L).as("version"), lit(false).as("deleted"),
+          $"prio", $"cents")
+        val v3 = slice.where($"key" % 5 === 0).select($"key",
+          lit(3L).as("version"), lit(true).as("deleted"), $"prio", $"cents")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        Seq(v2, v1, v3).zipWithIndex.foreach { case (df, i) =>
+          val t = s"$base/tmp/$i"
+          df.coalesce(1).write.mode("overwrite").json(t)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
+          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
+          fs.rename(part, dst)
+          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
+        }
       }
       val schema = "key LONG, version LONG, deleted BOOLEAN, prio STRING, cents LONG"
       val changes = s.readStream.schema(schema)

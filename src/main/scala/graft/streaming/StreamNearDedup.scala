@@ -49,27 +49,77 @@ final case class BucketSeen(ids: Array[Long], fps: Array[Long])
   */
 object StreamNearDedup {
 
-  /** Explode an (id, fp) frame into the (maxHamming + 1) chunk
-    * memberships [[nearHitsPerChunk]] keys its state by. Lives HERE —
-    * next to the operator whose pigeonhole guarantee it carries — so
-    * a caller can't silently raise maxHamming without the chunk count
-    * following (d flipped bits touch ≤ d of the d+1 chunks, so ≥ 1
-    * chunk survives intact; fewer chunks = silent recall loss).
-    * Chunk widths split `bits` evenly, wider chunks first, the Manku
-    * convention of the batch operator. */
+  /** Block-count dial for [[explodeChunks]] — the STREAMING analog of
+    * [[graft.operators.Dedup.autoSimHashBlocks]], same formula, same
+    * clamps, because the cliff is the same: at the default
+    * blocks = maxHamming + 1, a 60-bit fingerprint gives 15-bit bucket
+    * keys — 32k buckets per chunk index — so at 100M documents each
+    * bucket holds ~3,000 fingerprints and the exact in-bucket verify
+    * goes quadratic (the 1M-doc rehearsal measured that shape on the
+    * semantic twin). A deployer sizes `expectedDocs` from the corpus
+    * estimate (or [[graft.operators.Similarity.corpusCount]] on the
+    * batch store the stream lands in); more blocks → wider combo keys
+    * → occupancy ~`targetOccupancy` regardless of corpus size, with
+    * per-doc key replication C(blocks, maxHamming) clamped ≤ 256.
+    * Additionally clamped so the packed (combo, bits) key fits the
+    * 63-bit [[ChunkDoc.ck]]. */
+  def autoBlocks(expectedDocs: Long, maxHamming: Int = 3, bits: Int = 60,
+                 targetOccupancy: Int = 64): Int = {
+    val b = graft.operators.Dedup.autoSimHashBlocks(expectedDocs, maxHamming, targetOccupancy)
+    (b to (maxHamming + 1) by -1).find(keyFitsLong(_, maxHamming, bits)).getOrElse(maxHamming + 1)
+  }
+
+  private def comboIndexBits(blocks: Int, maxHamming: Int): Int = {
+    var c = 1L
+    var i = 1
+    while (i <= maxHamming) { c = c * (blocks - maxHamming + i) / i; i += 1 }
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(c - 1, 1L)))
+  }
+
+  private def keyFitsLong(blocks: Int, maxHamming: Int, bits: Int): Boolean = {
+    // selected bits = the (blocks − maxHamming) WIDEST blocks' widths
+    val widths = (0 until blocks).map(c => bits / blocks + (if (c < bits % blocks) 1 else 0))
+    val sel = widths.sorted.reverse.take(blocks - maxHamming).sum
+    comboIndexBits(blocks, maxHamming) + sel <= 63
+  }
+
+  /** Explode an (id, fp) frame into the chunk-combination memberships
+    * [[nearHitsPerChunk]] keys its state by. Lives HERE — next to the
+    * operator whose pigeonhole guarantee it carries — so a caller
+    * can't silently raise maxHamming without the key scheme following.
+    *
+    * `blocks` defaults to maxHamming + 1 (one block per key: d flipped
+    * bits touch ≤ d of the d+1 blocks, so ≥ 1 survives intact — the
+    * q106b gate's oracled dial). Larger `blocks` switches to the Manku
+    * combination scheme of the batch operator: keys are the
+    * C(blocks, blocks−maxHamming) ways to choose blocks − maxHamming
+    * blocks, concatenated — a pair within hamming d still agrees on
+    * ≥ blocks − d whole blocks, so ≥ 1 combination key collides and
+    * candidates stay EXACT, while each key carries ~(blocks−d)/blocks
+    * of the fingerprint's bits and bucket occupancy falls
+    * exponentially. Size it with [[autoBlocks]]. Chunk widths split
+    * `bits` evenly, wider blocks first (the batch convention). */
   def explodeChunks(df: org.apache.spark.sql.DataFrame, maxHamming: Int,
-                    bits: Int = 60)(
+                    bits: Int = 60, blocks: Int = 0)(
       implicit cEnc: Encoder[ChunkDoc]): Dataset[ChunkDoc] = {
     import org.apache.spark.sql.functions._
-    require(maxHamming >= 1 && maxHamming + 1 <= bits,
-      s"maxHamming $maxHamming needs ${maxHamming + 1} non-empty chunks of a $bits-bit fingerprint")
-    val chunks = maxHamming + 1
-    val widths = (0 until chunks).map(c => bits / chunks + (if (c < bits % chunks) 1 else 0))
+    val b = if (blocks <= 0) maxHamming + 1 else blocks
+    require(maxHamming >= 1 && b >= maxHamming + 1 && b <= bits,
+      s"blocks $b must lie in [maxHamming+1=${maxHamming + 1}, bits=$bits]")
+    require(keyFitsLong(b, maxHamming, bits),
+      s"blocks=$b maxHamming=$maxHamming bits=$bits: packed combo key exceeds 63 bits")
+    val widths = (0 until b).map(c => bits / b + (if (c < bits % b) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    df.select(explode(array((0 until chunks).map(c =>
-        struct((lit(c.toLong) * (1L << widths.max) +
-            shiftright(col("fp"), offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))).as("ck"),
-          col("id"), col("fp"))): _*)).as("x"))
+    val combos = (0 until b).combinations(b - maxHamming).toSeq
+    require(combos.size <= 4096, s"C($b, ${b - maxHamming}) = ${combos.size} keys per doc — lower blocks")
+    val comboBits = comboIndexBits(b, maxHamming)
+    df.select(explode(array(combos.zipWithIndex.map { case (sel, ci) =>
+        val packed = sel.foldLeft(lit(ci.toLong): org.apache.spark.sql.Column) { (acc, blk) =>
+          shiftleft(acc, widths(blk)).bitwiseOR(
+            shiftright(col("fp"), offsets(blk)).bitwiseAND(lit((1L << widths(blk)) - 1)))
+        }
+        struct(packed.as("ck"), col("id"), col("fp"))
+      }: _*)).as("x"))
       .select(col("x.ck"), col("x.id"), col("x.fp"))
       .as[ChunkDoc]
   }

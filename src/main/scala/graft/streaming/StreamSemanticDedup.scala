@@ -52,6 +52,25 @@ object StreamSemanticDedup {
   // indirection. Behavioral fixes must land in BOTH (see the
   // found-flag arbitration note there).
 
+  /** Hyperplane-count dial for the UPSTREAM bucket coding this
+    * operator keys on — delegates to
+    * [[graft.operators.Similarity.autoPlanes]] (the batch dial: planes
+    * = log₂(n / targetOccupancy), clamped [4, 30]) so a deployer
+    * sizes the stream's bucket space from the corpus estimate instead
+    * of pinning a constant. The 1M-vector rehearsal measured the
+    * fixed-8-planes cliff this exists to prevent: 256 buckets →
+    * ~3,900 vectors per bucket → the exact cosine verify goes
+    * quadratic and CPU-bound (~92 s/1M); at the auto dial
+    * (autoPlanes(1_000_000) = 14 → 16k buckets) occupancy stays ~64.
+    * `expectedDocs` comes from the batch store the stream lands in
+    * ([[graft.operators.Similarity.corpusCount]] is metadata-only on
+    * parquet) or a capacity-planning estimate; re-bucketing an
+    * ALREADY-RUNNING stream changes bucket identities, so pick for
+    * the horizon the state is allowed to span (watermark/TTL), not
+    * for day one. */
+  def autoPlanes(expectedDocs: Long, targetOccupancy: Int = 64): Int =
+    graft.operators.Similarity.autoPlanes(expectedDocs, targetOccupancy)
+
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0

@@ -232,6 +232,46 @@ class DialectRound3Spec extends SparkSpec {
     assert(msgs(e).nonEmpty) // surfaced as an execution error with a message
   }
 
+  test("rematerializeMv: replaying the defining SELECT makes an imported MV mergeable") {
+    // the q35b migration guidance as ONE call: an MV imported from a
+    // live ClickHouse carries foreign binary uniq states that this
+    // engine cannot merge; rematerializeMv replays the MV's defining
+    // SELECT against the imported RAW table and overwrites the target,
+    // after which every state is engine-written and merges exactly
+    spark.sql("DROP TABLE IF EXISTS remat_raw")
+    spark.sql("DROP TABLE IF EXISTS remat_mv")
+    spark.sql("CREATE TABLE remat_raw (g UInt64, u UInt64, v Float64) ENGINE = MergeTree ORDER BY g")
+    Seq.tabulate(600)(i => (i % 5, i % 37, i.toDouble))
+      .toDF("g", "u", "v").createOrReplaceTempView("remat_src")
+    spark.sql("INSERT INTO remat_raw SELECT g, u, v FROM remat_src")
+    // simulate the import: plain states migrate as data, the uniq blob
+    // is a FOREIGN binary this engine didn't write
+    spark.sql("""SELECT g, sum(v) AS sum_st, unhex('FEEDFACE') AS uq_st
+                 FROM remat_raw GROUP BY g""")
+      .write.mode("overwrite").saveAsTable("remat_mv")
+    val mvSelect =
+      """SELECT g, sumState(v) AS sum_st, uniqState(u) AS uq_st
+         FROM remat_raw GROUP BY g"""
+    // the foreign state fails loudly on merge (the descope contract)
+    intercept[Exception](
+      spark.sql("SELECT g, uniqMerge(uq_st) FROM remat_mv GROUP BY g").collect())
+    graft.operators.Replicate.rematerializeMv(spark, "remat_mv", mvSelect)
+    val got = spark.sql(
+      """SELECT g, round(sumMerge(sum_st), 2) AS total,
+                CAST(uniqMerge(uq_st) AS BIGINT) AS uniq
+         FROM remat_mv GROUP BY g ORDER BY g""").collect()
+    val want = spark.sql(
+      """SELECT g, round(sum(v), 2) AS total, count(DISTINCT u) AS uniq
+         FROM remat_raw GROUP BY g ORDER BY g""").collect()
+    assert(got.length == want.length && got.length == 5)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getDouble(1) == b.getDouble(1))
+      assert(a.getLong(2) == b.getLong(2)) // 37 distinct — HLL exact range
+    }
+    spark.sql("DROP TABLE remat_raw"); spark.sql("DROP TABLE remat_mv")
+  }
+
   test("anyIf takes the first matching row's value, ignoring non-matches") {
     Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v").createOrReplaceTempView("any_t")
     val r = spark.sql("SELECT anyIf(v, k = 'b'), anyLastIf(v, k = 'a') FROM any_t").head()

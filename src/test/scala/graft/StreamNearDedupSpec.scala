@@ -71,6 +71,62 @@ class StreamNearDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Manku combination keys (blocks > maxHamming+1) stay pigeonhole-exact") {
+    // xxhash-derived pseudo-random 60-bit fps plus planted near-dups;
+    // explodeChunks at an auto-dialed block count must yield EXACTLY
+    // the quadratic ∃-smaller-id-within-hamming verdicts
+    val d = 3
+    val base = (1L to 40L).map(i =>
+      i -> (scala.util.hashing.MurmurHash3.stringHash(s"fp$i").toLong & 0xFFFFFFFFL |
+            ((scala.util.hashing.MurmurHash3.stringHash(s"hi$i").toLong & 0x0FFFFFFFL) << 32)))
+    val planted = Seq(
+      101L -> (base(4)._2 ^ 0x3L),          // hamming 2 of doc 5
+      102L -> (base(9)._2 ^ (1L << 45)),    // hamming 1 of doc 10
+      103L -> (base(0)._2 ^ 0xFL))          // hamming 4 — OUTSIDE d=3
+    val all = base ++ planted
+    val blocks = StreamNearDedup.autoBlocks(expectedDocs = 100000000L, maxHamming = d)
+    assert(blocks > d + 1, s"dial should exceed the minimum at 100M docs, got $blocks")
+    val df = all.toDF("id", "fp")
+    val exploded = StreamNearDedup.explodeChunks(df, maxHamming = d, blocks = blocks)
+    // per-doc key count is C(blocks, d), the documented replication
+    val perDoc = exploded.groupBy("id").count().select("count").distinct().collect()
+    def c(n: Int, k: Int): Long = (1 to k).foldLeft(1L)((a, i) => a * (n - k + i) / i)
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(c(blocks, d)))
+    // batch-mode equivalence check of the candidate route: group by ck,
+    // verify in-bucket, compare against the quadratic reference
+    val hits = exploded.as[ChunkDoc].collect().toSeq.groupBy(_.ck).values.toSeq.flatMap { bucket =>
+      for {
+        a <- bucket; b <- bucket
+        if b.id < a.id && java.lang.Long.bitCount(a.fp ^ b.fp) <= d
+      } yield a.id -> b.id
+    }.groupBy(_._1).map { case (id, es) => id -> es.map(_._2).min }
+    val quad = (for {
+      (id, fp) <- all
+      cands = all.filter { case (e, efp) =>
+        e < id && java.lang.Long.bitCount(efp ^ fp) <= d }
+      if cands.nonEmpty
+    } yield id -> cands.map(_._1).min).toMap
+    assert(hits == quad, "combination-key candidates diverged from the quadratic reference")
+    assert(quad.contains(101L) && quad.contains(102L) && !quad.contains(103L))
+  }
+
+  test("autoBlocks clamps to a 63-bit packable key and the combo-count cap") {
+    // tiny corpus → the minimum (maxHamming+1); huge corpus → more
+    // blocks, never an unpackable key, C(blocks, d) ≤ 256
+    def c(n: Int, k: Int): Long = (1 to k).foldLeft(1L)((a, i) => a * (n - k + i) / i)
+    for (d <- 1 to 6; n <- Seq(1000L, 1000000L, 1000000000L, 100000000000L)) {
+      val b = StreamNearDedup.autoBlocks(n, maxHamming = d)
+      assert(b >= d + 1 && c(b, d) <= 256, s"d=$d n=$n b=$b")
+      // must construct without throwing the 63-bit packing guard
+      StreamNearDedup.explodeChunks(Seq((1L, 42L)).toDF("id", "fp"), d, blocks = b).collect()
+    }
+    assert(StreamNearDedup.autoBlocks(100L, maxHamming = 3) == 4)
+    // streaming semantic twin: the plane dial is the batch dial
+    assert(graft.streaming.StreamSemanticDedup.autoPlanes(1000000L) ==
+      graft.operators.Similarity.autoPlanes(1000000L))
+    assert(graft.streaming.StreamSemanticDedup.autoPlanes(256L * 64L) == 8)
+  }
+
   test("whale cap bounds state; capped docs still verify against the first entries") {
     implicit val sqlCtx = spark.sqlContext
     val fp = 0x1111L
