@@ -98,18 +98,20 @@ object KafkaEngine {
       q.maxBlockFiles.foreach(n => r.option("maxFilesPerTrigger", n))
       r.load(q.brokers.stripPrefix("file:"))
     } else {
+      // format gate FIRST: a bad format must fail with routing
+      // guidance, not with the connector's missing-jar error
+      q.format match {
+        case "JSONEachRow" | "NDJSON" | "JSONLines" => ()
+        case other => throw new IllegalArgumentException(
+          s"Kafka connector transport decodes JSONEachRow only (got '$other'); " +
+            "route other formats through a landing directory")
+      }
       val raw = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", q.brokers)
         .option("subscribe", q.topic)
         .option("startingOffsets", "earliest")
         .load()
-      q.format match {
-        case "JSONEachRow" | "NDJSON" | "JSONLines" =>
-          raw.select(from_json(col("value").cast("string"), q.schema).as("r")).select("r.*")
-        case other => throw new IllegalArgumentException(
-          s"Kafka connector transport decodes JSONEachRow only (got '$other'); " +
-            "route other formats through a landing directory")
-      }
+      raw.select(from_json(col("value").cast("string"), q.schema).as("r")).select("r.*")
     }
 
   /** Idempotent per-block append: the TO-table insert under

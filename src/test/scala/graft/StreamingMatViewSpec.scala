@@ -111,6 +111,34 @@ class StreamingMatViewSpec extends SparkSpec {
     assert(e.getMessage.contains("KafkaEngine"))
   }
 
+  test("broker spelling routes to the stock kafka connector (descope boundary pinned)") {
+    import graft.streaming.KafkaEngine
+    // DESCOPE, the q35b way: no Kafka broker can run in this sandbox
+    // (no spark-sql-kafka/kafka-clients jars on the unmanaged
+    // classpath, offline resolver, zero egress — an embedded KRaft
+    // broker needs both), so the cluster transport can't be driven
+    // end-to-end HERE. What this pins instead: a non-file broker
+    // spelling must construct the STOCK `kafka` connector source
+    // (subscribe = topic, earliest offsets) — the exact seam a real
+    // cluster completes by shipping org.apache.spark:spark-sql-kafka-
+    // 0-10 — so the refusal is the connector's own missing-jar error,
+    // never a silent fallback to some other transport.
+    val q = KafkaEngine.parseQueue(
+      """CREATE TABLE kqb (k String, v Float64) ENGINE = Kafka
+         SETTINGS kafka_broker_list = 'broker1:9092,broker2:9092',
+                  kafka_topic_list = 'events', kafka_group_name = 'g',
+                  kafka_format = 'JSONEachRow'""")
+    val e = intercept[Exception](KafkaEngine.source(spark, q))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.toLowerCase.contains("kafka")),
+      s"expected the stock connector's missing-source error, got: ${msgs(e).headOption}")
+    // non-JSON formats refuse with routing guidance on the connector path
+    val e2 = intercept[IllegalArgumentException](
+      KafkaEngine.source(spark, q.copy(format = "CSV")))
+    assert(e2.getMessage.contains("landing directory"))
+  }
+
   test("idempotence holds even with the committer's _SUCCESS markers off") {
     val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
     val prev = spark.conf.getOption(key)
