@@ -479,7 +479,13 @@ object Arrays {
       }
       val fresh = graft.operators.Projections.manifestMTime(s, path).exists(_ >= srcMTime)
       if (!fresh) graft.FixtureClock.time {
+        // file count scales with the session's parallelism: pruning
+        // granularity is the parquet row-group either way, but the
+        // sort tasks must fit their slice (8 files at sf100 means
+        // 2.3 GB/task; defaultParallelism-many keeps slices bounded
+        // on any cluster shape)
         graft.operators.Projections.write(Tables(s, dir).lineitem, path,
+          filesPerLayout = math.max(8, s.sparkContext.defaultParallelism),
           baseOrder = Seq("l_orderkey"),
           projections = Seq(
             // COLUMN-SUBSET sort layout (round 14): the shipdate
