@@ -67,16 +67,26 @@ object Projections {
     case other           => throw new IllegalArgumentException(s"unsupported projection state: $other")
   }
 
-  /** Land the base layout plus every projection, and the manifest.
-    * One range-exchange per sort layout; one aggregation for each agg
+  /** Land every projection layout and the manifest. `externalBase`
+    * set (the 100 TB shape, and ClickHouse's actual semantics —
+    * projections live BESIDE the table inside its parts; the base is
+    * never copied) records the source directory as the base layout:
+    * [[route]]'s fallback then reads the table itself and only the
+    * projections cost storage (the round-13 sf100 disk crash was
+    * exactly the base copy: 18 GB re-landed for zero routing value —
+    * nothing prunes on the fallback layout). `externalBase` empty
+    * lands a self-contained base copy range-sorted on `baseOrder`.
+    * One range-exchange per sort layout; one aggregation per agg
     * layout. `filesPerLayout` bounds file count (≈ row-group count),
     * i.e. the pruning granularity. */
   def write(df: DataFrame, path: String, baseOrder: Seq[String],
-            projections: Seq[Spec], filesPerLayout: Int = 8): Unit = {
+            projections: Seq[Spec], filesPerLayout: Int = 8,
+            externalBase: Option[String] = None): Unit = {
     def sorted(keys: Seq[String]) =
       df.repartitionByRange(filesPerLayout, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
-    sorted(baseOrder).write.mode("overwrite").parquet(s"$path/base")
+    if (externalBase.isEmpty)
+      sorted(baseOrder).write.mode("overwrite").parquet(s"$path/base")
     projections.foreach {
       case Sort(name, keys, cols) =>
         val stored = if (cols.isEmpty) df else df.select(cols.map(col): _*)
@@ -88,8 +98,11 @@ object Projections {
         df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .write.mode("overwrite").parquet(s"$path/$name")
     }
-    // 5th field (when present) = a sort layout's stored column subset
-    val manifest = (Seq(s"base|sort|${baseOrder.mkString(",")}|") ++ projections.map {
+    // 5th field (when present) = a sort layout's stored column subset;
+    // 6th = an external data path (base-as-the-table, never copied)
+    val baseLine = s"base|sort|${baseOrder.mkString(",")}|" +
+      externalBase.map(src => s"||$src").getOrElse("")
+    val manifest = (Seq(baseLine) ++ projections.map {
       case Sort(name, keys, cols) =>
         s"$name|sort|${keys.mkString(",")}|" + (if (cols.nonEmpty) s"|${cols.mkString(",")}" else "")
       case Agg(name, keys, states) =>
@@ -108,7 +121,14 @@ object Projections {
     if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
   }
 
-  private def manifest(spark: SparkSession, path: String): Seq[(String, String, Seq[String], Seq[(String, String, String)], Seq[String])] = {
+  /** One manifest line: name, kind, keys, agg states, a sort layout's
+    * stored column subset (empty = full row), and the layout's data
+    * directory (the external base path when present, else a child of
+    * the layout root). */
+  private final case class Layout(name: String, kind: String, keys: Seq[String],
+      states: Seq[(String, String, String)], cols: Seq[String], dataPath: String)
+
+  private def manifest(spark: SparkSession, path: String): Seq[Layout] = {
     val in = fsFor(spark, path).open(manifestPath(path))
     val text = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -118,14 +138,16 @@ object Projections {
     text
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>
         // 4 fields = full-row layout; a 5th lists a sort layout's
-        // stored column subset
+        // stored column subset; a 6th points at external data
         val parts = line.split("\\|", -1)
         val Array(name, kind, keys, states) = parts.take(4)
         val cols = if (parts.length >= 5) parts(4).split(",").toSeq.filter(_.nonEmpty) else Nil
+        val external = if (parts.length >= 6) parts(5).trim else ""
         val st = states.split(",").toSeq.filter(_.nonEmpty).map { s =>
           val Array(c, f, src) = s.split(":", -1); (c, f, src)
         }
-        (name, kind, keys.split(",").toSeq.filter(_.nonEmpty), st, cols)
+        Layout(name, kind, keys.split(",").toSeq.filter(_.nonEmpty), st, cols,
+          if (external.nonEmpty) external else s"$path/$name")
       }
   }
 
@@ -142,28 +164,28 @@ object Projections {
             groupByCols: Seq[String] = Nil,
             neededCols: Set[String] = Set.empty): (DataFrame, String) = {
     val specs = manifest(spark, path)
-    val aggHit = specs.find { case (_, kind, keys, _, _) =>
-      kind == "agg" && groupByCols.nonEmpty && keys.toSet == groupByCols.toSet
-    }
-    val sortHits = specs.filter { case (name, kind, keys, _, cols) =>
-      kind == "sort" && name != "base" && keys.headOption.exists(filterCols.contains) &&
-        (cols.isEmpty || (neededCols.nonEmpty && neededCols.subsetOf(cols.toSet)))
-    }
-    val sortHit = sortHits.sortBy { case (_, _, _, _, cols) =>
-      if (cols.isEmpty) Int.MaxValue else cols.size // fewest stored columns first
-    }.headOption
-    val name = aggHit.orElse(sortHit).map(_._1).getOrElse("base")
-    (spark.read.parquet(s"$path/$name"), name)
+    val aggHit = specs.find(sp =>
+      sp.kind == "agg" && groupByCols.nonEmpty && sp.keys.toSet == groupByCols.toSet)
+    val sortHits = specs.filter(sp =>
+      sp.kind == "sort" && sp.name != "base" && sp.keys.headOption.exists(filterCols.contains) &&
+        (sp.cols.isEmpty || (neededCols.nonEmpty && neededCols.subsetOf(sp.cols.toSet))))
+    val sortHit = sortHits.sortBy(sp =>
+      if (sp.cols.isEmpty) Int.MaxValue else sp.cols.size // fewest stored columns first
+    ).headOption
+    val hit = aggHit.orElse(sortHit)
+      .orElse(specs.find(_.name == "base"))
+      .getOrElse(throw new IllegalStateException(s"no base layout in $path"))
+    (spark.read.parquet(hit.dataPath), hit.name)
   }
 
   /** Finish an aggregate-projection read: merge the partial states
     * down to final values (counts/sums add across state rows, min/max
     * recombine). The manifest supplies the merge functions. */
   def mergeAgg(spark: SparkSession, path: String, name: String): DataFrame = {
-    val (_, _, keys, states, _) = manifest(spark, path).find(_._1 == name)
+    val sp = manifest(spark, path).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
-    val df = spark.read.parquet(s"$path/$name")
-    val aggs = states.map { case (c, f, _) => mergeCol(f, c).as(c) }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val df = spark.read.parquet(sp.dataPath)
+    val aggs = sp.states.map { case (c, f, _) => mergeCol(f, c).as(c) }
+    df.groupBy(sp.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

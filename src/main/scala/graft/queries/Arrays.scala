@@ -483,9 +483,14 @@ object Arrays {
         // granularity is the parquet row-group either way, but the
         // sort tasks must fit their slice (8 files at sf100 means
         // 2.3 GB/task; defaultParallelism-many keeps slices bounded
-        // on any cluster shape)
+        // on any cluster shape). externalBase: the base layout IS the
+        // source table (CH semantics — projections are stored BESIDE
+        // the table, the base is never copied); the round-13 sf100
+        // disk crash was the 18 GB base re-land paying for a fallback
+        // layout nothing prunes on
         graft.operators.Projections.write(Tables(s, dir).lineitem, path,
           filesPerLayout = math.max(8, s.sparkContext.defaultParallelism),
+          externalBase = Some(s"$dir/lineitem.parquet"),
           baseOrder = Seq("l_orderkey"),
           projections = Seq(
             // COLUMN-SUBSET sort layout (round 14): the shipdate

@@ -38,6 +38,32 @@ class ProjectionsSpec extends SparkSpec {
     fp.collect { case s: FileSourceScanExec => s }.map(_.metrics("numOutputRows").value).sum
   }
 
+  test("externalBase: the base layout IS the source table — never copied") {
+    val df = Seq.tabulate(2000) { i =>
+      (i.toLong, (i.toLong * 31) % 100, i % 20, i.toDouble)
+    }.toDF("id", "b", "c", "v")
+    val src = java.nio.file.Files.createTempDirectory("graft_proj_src").toString + "/t"
+    df.write.parquet(src)
+    val p = java.nio.file.Files.createTempDirectory("graft_proj_ext").toString
+    Projections.write(spark.read.parquet(src), p, baseOrder = Seq("id"),
+      projections = Seq(
+        Projections.Sort("by_b", Seq("b"), Seq("b", "id")),
+        Projections.Agg("agg_c", Seq("c"), Seq(("cnt", "count", "")))),
+      filesPerLayout = 4, externalBase = Some(src))
+    // no base directory lands — only the projections cost storage
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "base")))
+    // the base fallback reads the SOURCE table (all rows, all columns)
+    val (baseDf, baseName) = Projections.route(spark, p, filterCols = Set("v"))
+    assert(baseName == "base" && baseDf.count() == 2000 &&
+      baseDf.columns.toSet == Set("id", "b", "c", "v"))
+    // projections still route and answer
+    assert(Projections.route(spark, p, filterCols = Set("b"),
+      neededCols = Set("b", "id"))._2 == "by_b")
+    val agg = Projections.mergeAgg(spark, p, "agg_c").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(agg == (0 until 20).map(_ -> 100L).toMap)
+  }
+
   test("routing: agg keys beat sort keys beat base") {
     assert(Projections.route(spark, path, groupByCols = Seq("c"))._2 == "agg_c")
     assert(Projections.route(spark, path, filterCols = Set("b"))._2 == "by_b")
