@@ -24,17 +24,26 @@ package graft
   */
 object FixtureClock {
   private val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val depth = new ThreadLocal[Integer] { override def initialValue(): Integer = 0 }
 
   def reset(): Unit = acc.set(0L)
 
   /** Nanoseconds of fixture time accumulated since the last reset. */
   def nanos: Long = acc.get
 
-  /** Bracket a fixture-build section. Nests safely (outer bracket
-    * double-counts nothing because inner time IS outer time — don't
-    * nest; keep one bracket per build section). */
+  /** Bracket a fixture-build section. Nesting-safe: only the
+    * OUTERMOST bracket on a thread accumulates, so a fixture helper
+    * that brackets its own body can be called from inside a query's
+    * bracket without double-counting (double-counting would push
+    * `setup` past wall-clock and silently zero the query's reported
+    * plan time in Bench). */
   def time[T](f: => T): T = {
+    val d = depth.get
+    depth.set(d + 1)
     val t0 = System.nanoTime()
-    try f finally acc.addAndGet(System.nanoTime() - t0)
+    try f finally {
+      depth.set(d)
+      if (d == 0) acc.addAndGet(System.nanoTime() - t0)
+    }
   }
 }

@@ -528,13 +528,17 @@ object Dedup {
     * key space at the d=3 cap already holds 10^12 docs at
     * occupancy 64. */
   def autoSimHashBlocks(n: Long, maxHamming: Int = 3,
-                        targetOccupancy: Int = 64): Int = {
+                        targetOccupancy: Int = 64, bits: Int = 64): Int = {
     require(maxHamming >= 1, "maxHamming 0 is exact duplication — use Dedup.exact")
     require(targetOccupancy > 0, "targetOccupancy must be positive")
+    require(bits >= maxHamming + 1 && bits <= 64, s"fingerprint width $bits out of range")
     val needed = math.ceil(
       math.log(math.max(math.max(n, 1L).toDouble / targetOccupancy, 1.0)) / math.log(2)).toInt
+    // key bits come from the ACTUAL fingerprint width: the streaming
+    // family carries 60-bit portable fps, and sizing them as if 64
+    // under-buckets by up to 2^4
     def minKeyBits(blocks: Int): Int = {
-      val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+      val widths = (0 until blocks).map(b => bits / blocks + (if (b < bits % blocks) 1 else 0))
       widths.sorted.take(blocks - maxHamming).sum
     }
     // C(b, d) exactly (iterative r·(b−d+i)/i stays integral); monotone
@@ -546,7 +550,7 @@ object Dedup {
       r
     }
     val lo = maxHamming + 1
-    val hi = (lo to 64).takeWhile(b => combos(b) <= 256L).lastOption.getOrElse(lo)
+    val hi = (lo to bits).takeWhile(b => combos(b) <= 256L).lastOption.getOrElse(lo)
     (lo to hi).find(b => minKeyBits(b) >= needed).getOrElse(hi)
   }
 

@@ -82,17 +82,15 @@ object Projections {
   def write(df: DataFrame, path: String, baseOrder: Seq[String],
             projections: Seq[Spec], filesPerLayout: Int = 8,
             externalBase: Option[String] = None): Unit = {
-    def sorted(keys: Seq[String]) =
-      df.repartitionByRange(filesPerLayout, keys.map(col): _*)
+    def sorted(in: DataFrame, keys: Seq[String]) =
+      in.repartitionByRange(filesPerLayout, keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
     if (externalBase.isEmpty)
-      sorted(baseOrder).write.mode("overwrite").parquet(s"$path/base")
+      sorted(df, baseOrder).write.mode("overwrite").parquet(s"$path/base")
     projections.foreach {
       case Sort(name, keys, cols) =>
         val stored = if (cols.isEmpty) df else df.select(cols.map(col): _*)
-        stored.repartitionByRange(filesPerLayout, keys.map(col): _*)
-          .sortWithinPartitions(keys.map(col): _*)
-          .write.mode("overwrite").parquet(s"$path/$name")
+        sorted(stored, keys).write.mode("overwrite").parquet(s"$path/$name")
       case Agg(name, keys, states) =>
         val aggs = states.map { case (c, f, src) => stateCol(f, src).as(c) }
         df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

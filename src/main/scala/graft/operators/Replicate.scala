@@ -51,14 +51,22 @@ object Replicate {
     * need this. `mvSelect` is the MV's defining SELECT (CH dialect
     * accepted — `SELECT …, uniqState(x) FROM imported_raw GROUP BY …`);
     * the rebuild is one aggregation over the raw table, the same cost
-    * a CH `POPULATE` pays on creation. */
+    * a CH `POPULATE` pays on creation. Columns map by NAME (CH
+    * TO-table MVs map by name, so a defining SELECT whose column
+    * order differs from the target is realistic and must not write
+    * values into the wrong columns); the rebuild runs fully before
+    * the overwrite commits, but the swap itself is only as atomic as
+    * the table's committer — rebuild into a staging table first if
+    * the target must stay readable throughout. */
   def rematerializeMv(spark: org.apache.spark.sql.SparkSession,
                       mvTarget: String, mvSelect: String): Unit = {
     val rebuilt = spark.sql(mvSelect)
-    val target = spark.table(mvTarget)
-    require(rebuilt.schema.length == target.schema.length,
-      s"MV SELECT yields ${rebuilt.schema.length} columns, $mvTarget has ${target.schema.length}")
-    rebuilt.write.mode("overwrite").insertInto(mvTarget)
+    val targetCols = spark.table(mvTarget).columns.toSeq
+    val missing = targetCols.filterNot(rebuilt.columns.contains)
+    require(missing.isEmpty,
+      s"MV SELECT is missing target column(s) of $mvTarget: ${missing.mkString(", ")}")
+    rebuilt.select(targetCols.map(col): _*)
+      .write.mode("overwrite").insertInto(mvTarget)
   }
 
   /** Latest row per key by a total version ordering (ReplacingMergeTree

@@ -115,10 +115,13 @@ object BpeFns {
     m
   }
 
-  private val charToByte: Array[Byte] = {
-    val m = new Array[Byte](324) // max mapped codepoint is 0x143
+  // -1 marks codepoints OUTSIDE the byte-char alphabet (raw space,
+  // unmapped printables, anything ≥ 0x144): decode must reject them
+  // loudly, not index out of bounds or silently emit 0x00
+  private val charToByte: Array[Short] = {
+    val m = Array.fill[Short](324)(-1) // max mapped codepoint is 0x143
     var b = 0
-    while (b < 256) { m(byteToChar(b)) = b.toByte; b += 1 }
+    while (b < 256) { m(byteToChar(b)) = b.toShort; b += 1 }
     m
   }
 
@@ -181,7 +184,15 @@ object BpeFns {
     val s = sb.toString
     val bytes = new Array[Byte](s.length)
     var k = 0
-    while (k < s.length) { bytes(k) = charToByte(s.charAt(k)); k += 1 }
+    while (k < s.length) {
+      val c = s.charAt(k)
+      val b = if (c < 324) charToByte(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        f"graft_bpe_byte_decode: token char U+${c.toInt}%04X is outside the " +
+          "byte-level alphabet — input must be graft_bpe_byte_encode output")
+      bytes(k) = b.toByte
+      k += 1
+    }
     UTF8String.fromString(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -965,14 +965,19 @@ object DataPipeline {
                FROM (SELECT doc_id, t, l[i+1] AS pt, i
                      FROM pre, LATERAL (SELECT unnest(range(len(l))) AS i) ix)),
         ${ctes.mkString(",\n        ")},
-        agg AS (SELECT doc_id, any_value(t) AS t,
+        agg AS (SELECT doc_id,
                        CAST(sum(length(s) - length(replace(s, '$sep', '')) - 1) AS BIGINT) AS n_tokens,
-                       md5(string_agg(trim(s, '$sep'), '$sep' ORDER BY i)) AS fp,
+                       string_agg(trim(s, '$sep'), '$sep' ORDER BY i) AS stream,
                        string_agg(replace(s, '$sep', ''), '' ORDER BY i) AS joined
                 FROM $last GROUP BY doc_id)
-        SELECT doc_id, n_tokens, fp,
-               CAST(replace(joined, chr(288), ' ') = t AS INT) AS roundtrip
-        FROM agg ORDER BY doc_id"""
+        -- LEFT JOIN back to d: an empty/whitespace-only document has
+        -- ZERO pre-tokens (no agg row) but the Spark side still emits
+        -- (doc_id, 0, md5(''), roundtrip=1) for it
+        SELECT d.doc_id,
+               coalesce(agg.n_tokens, 0) AS n_tokens,
+               md5(coalesce(agg.stream, '')) AS fp,
+               CAST(replace(coalesce(agg.joined, ''), chr(288), ' ') = d.t AS INT) AS roundtrip
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
   }
 
   /** Byte-level BPE tokenization (GPT-2 public spec: UTF-8 bytes as

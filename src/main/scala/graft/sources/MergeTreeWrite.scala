@@ -118,8 +118,13 @@ object MergeTreeWrite {
     * defaults to the active session's Hadoop conf. */
   def landedBucketCount(path: String,
                         conf: Option[org.apache.hadoop.conf.Configuration] = None): Option[Int] = {
-    val hconf = conf.getOrElse(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    // no-session callers (tool mains, pre-session probes) still get a
+    // filesystem answer: fall back to a stock Hadoop conf, which
+    // resolves local and any fs whose scheme is on the classpath
+    val hconf = conf
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf()))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val marker = new org.apache.hadoop.fs.Path(path, BucketMarker)
     val fs = marker.getFileSystem(hconf)
     if (!fs.exists(marker)) None

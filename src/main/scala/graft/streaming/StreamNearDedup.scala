@@ -65,7 +65,7 @@ object StreamNearDedup {
     * 63-bit [[ChunkDoc.ck]]. */
   def autoBlocks(expectedDocs: Long, maxHamming: Int = 3, bits: Int = 60,
                  targetOccupancy: Int = 64): Int = {
-    val b = graft.operators.Dedup.autoSimHashBlocks(expectedDocs, maxHamming, targetOccupancy)
+    val b = graft.operators.Dedup.autoSimHashBlocks(expectedDocs, maxHamming, targetOccupancy, bits)
     (b to (maxHamming + 1) by -1).find(keyFitsLong(_, maxHamming, bits)).getOrElse(maxHamming + 1)
   }
 
@@ -98,7 +98,17 @@ object StreamNearDedup {
     * candidates stay EXACT, while each key carries ~(blocks−d)/blocks
     * of the fingerprint's bits and bucket occupancy falls
     * exponentially. Size it with [[autoBlocks]]. Chunk widths split
-    * `bits` evenly, wider blocks first (the batch convention). */
+    * `bits` evenly, wider blocks first (the batch convention).
+    *
+    * STATE-KEY FORMAT (round 14): keys pack per-block widths
+    * (`ci << w1 | blk1 …`) where the pre-combination scheme shifted
+    * by the max width — for configurations where `bits % blocks != 0`
+    * the packed values differ, so a checkpoint written by the old
+    * scheme must be DRAINED (stop at a batch boundary, restart fresh)
+    * before upgrading; resuming it would leave historical
+    * fingerprints under unreachable keys (silent recall loss). The
+    * default 60-bit / maxHamming-3 gate configuration divides evenly
+    * and is bit-identical across the change. */
   def explodeChunks(df: org.apache.spark.sql.DataFrame, maxHamming: Int,
                     bits: Int = 60, blocks: Int = 0)(
       implicit cEnc: Encoder[ChunkDoc]): Dataset[ChunkDoc] = {

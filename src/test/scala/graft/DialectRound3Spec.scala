@@ -249,8 +249,11 @@ class DialectRound3Spec extends SparkSpec {
     spark.sql("""SELECT g, sum(v) AS sum_st, unhex('FEEDFACE') AS uq_st
                  FROM remat_raw GROUP BY g""")
       .write.mode("overwrite").saveAsTable("remat_mv")
+    // column order deliberately differs from the target (CH TO-table
+    // MVs map by NAME): rematerializeMv must reorder, not write by
+    // position
     val mvSelect =
-      """SELECT g, sumState(v) AS sum_st, uniqState(u) AS uq_st
+      """SELECT sumState(v) AS sum_st, uniqState(u) AS uq_st, g
          FROM remat_raw GROUP BY g"""
     // the foreign state fails loudly on merge (the descope contract)
     intercept[Exception](

@@ -949,6 +949,16 @@ class DialectRound5Spec extends SparkSpec {
         TextAnalysis.bpeDecodeBytes(
           TextAnalysis.bpeEncodeBytes(col("text"), Nil)).as("rt")).collect()
     raw.foreach(r => assert(r.getString(1) == r.getString(0)))
+    // decode REJECTS tokens outside the byte-char alphabet loudly —
+    // a raw space (never produced by the byte map) and a CJK char
+    // must both fail with the alphabet message, not corrupt or crash
+    for (bad <- Seq("a b", "日")) {
+      val e = intercept[Exception](
+        spark.sql(s"SELECT graft_bpe_byte_decode(array('$bad'))").collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("byte-level alphabet")), s"for '$bad': ${msgs(e).headOption}")
+    }
   }
 
   test("byte-level BPE: GPT-2 pre-tokenizer and byte map semantics") {
