@@ -985,6 +985,35 @@ class DialectRound5Spec extends SparkSpec {
     assert(BpeFns.mapPretoken("é").length == 2) // C3 A9
   }
 
+  test("byte-level BPE: property round-trip over random unicode strings (kernel-level)") {
+    import graft.plans.BpeFns
+    import org.apache.spark.unsafe.types.UTF8String
+    // 500 seeded-random strings over a hostile alphabet (ASCII, CJK,
+    // emoji incl. surrogate pairs, control chars, NBSP, combining
+    // marks) × a random merge table built from byte-char symbols:
+    // decode(encode(x)) must equal x for EVERY input — byte-level
+    // BPE's defining guarantee, independent of what was trained
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet: IndexedSeq[String] =
+      ("abc XY09.,!?'\t\n".map(_.toString) ++
+        Seq("é", "日", "本", "🦆", "🚀", " ", "é", "ß", "€", "\r\n", "  "))
+    def randString(): String =
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    def randSym(): String =
+      (0 to rnd.nextInt(2)).map(_ => BpeFns.byteToChar(rnd.nextInt(256)).toString).mkString
+    for (trial <- 0 until 50) {
+      val merges = (0 until rnd.nextInt(20)).map(_ => s"${randSym()} ${randSym()}").mkString("\n")
+      val m = UTF8String.fromString(merges)
+      for (_ <- 0 until 10) {
+        val s = randString()
+        val toks = BpeFns.encodeBytes(UTF8String.fromString(s), m)
+        val back = BpeFns.decodeBytes(toks).toString
+        assert(back == s,
+          s"trial $trial: round-trip broke for ${s.take(30).map(c => f"U+${c.toInt}%04X").mkString(" ")}")
+      }
+    }
+  }
+
   test("bpeTrainBytes: merges respect pre-token bounds and encode reconstructs the corpus") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.functions.col
