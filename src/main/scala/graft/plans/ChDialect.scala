@@ -2096,6 +2096,53 @@ object ChDialect {
     "jumpConsistentHash" -> (es => ipInvoke(
       IntegerType, "jumpConsistentHash",
       Seq(Cast(es(0), LongType), Cast(es(1), IntegerType)), nullable = false)),
+    // -- space-filling curves (Z-order + Hilbert; CH doc examples
+    // mortonEncode(1,2,3)=53 / hilbertEncode(3,4)=31 spec-pinned).
+    // mortonDecode/hilbertDecode return CH tuples (structs here,
+    // .1/.2-addressable like tuple()).
+    "mortonEncode" -> (es => {
+      require(es.nonEmpty && es.length <= 8, "mortonEncode takes 1 to 8 arguments")
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.MathKernels"), LongType, "mortonEncode",
+        Seq(CreateArray(es.map(e => Cast(e, LongType)))))
+    }),
+    "mortonDecode" -> (es => {
+      val n = es.head match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case _ => throw new UnsupportedOperationException(
+          "mortonDecode needs a literal tuple size as its first argument")
+      }
+      require(n >= 1 && n <= 8, "mortonDecode tuple size must be 1 to 8")
+      def comp(i: Int) = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.MathKernels"), LongType, "mortonComponent",
+        Seq(Literal(n), Literal(i), Cast(es(1), LongType)))
+      CreateStruct((0 until n).map(comp))
+    }),
+    "hilbertEncode" -> (es => es.length match {
+      case 1 => Cast(es.head, LongType) // CH: the 1-D curve is the identity
+      case 2 =>
+        // CH's 32-level argument convention is the transpose of the
+        // textbook x/y — (second, first) reproduces the doc example
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          Class.forName("graft.plans.MathKernels"), LongType, "hilbertXY2D",
+          Seq(Cast(es(1), LongType), Cast(es(0), LongType)))
+      case _ => throw new UnsupportedOperationException("hilbertEncode takes 1 or 2 arguments")
+    }),
+    "hilbertDecode" -> (es => {
+      val n = es.head match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case _ => throw new UnsupportedOperationException(
+          "hilbertDecode needs a literal tuple size as its first argument")
+      }
+      def comp(i: Int) = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.plans.MathKernels"), LongType, "hilbertD2XY",
+        Seq(Literal(i), Cast(es(1), LongType)))
+      n match {
+        case 1 => CreateStruct(Seq(Cast(es(1), LongType)))
+        case 2 => CreateStruct(Seq(comp(1), comp(0))) // transpose back: (y, x)
+        case _ => throw new UnsupportedOperationException("hilbertDecode tuple size must be 1 or 2")
+      }
+    }),
     // -- unix-time conversions (the 64-suffixed family is CH's
     // DateTime64 sub-second story; micros are Spark's native
     // resolution, nanos round-trip through a ×1000)

@@ -601,6 +601,60 @@ object ChFunctions {
             FROM c ORDER BY k"""),
   )
 
+  /** Space-filling curves (round 14): mortonEncode/mortonDecode
+    * (Z-order bit interleave, the range-scannable multidimensional
+    * index trick) and hilbertEncode/hilbertDecode — CH-spelled,
+    * codegen kernels (`graft.plans.MathKernels`). The oracle replays
+    * Morton from first principles (per-bit shifts summed over
+    * generate_series) and checks decode∘encode = identity for both
+    * curves; Hilbert's 32-level rotate-accumulate loop is not
+    * replayed value-by-value in SQL, so its encode value is pinned
+    * through the CH doc example (hilbertEncode(3,4) = 31, a constant
+    * both engines emit) plus the round-trip flags. Doc examples also
+    * spec-pinned in DialectRound7eSpec. */
+  val q28r = GraftQuery(
+    "q28r_space_curves",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_sc")
+      s.sql("""WITH b AS (SELECT o_orderkey AS k,
+                                 CAST(o_orderkey * 37 % 1024 AS BIGINT) AS a,
+                                 CAST(o_orderkey * 91 % 1024 AS BIGINT) AS bv,
+                                 CAST(o_orderkey % 2097152 AS BIGINT) AS c
+                          FROM orders_sc WHERE o_orderkey < 500)
+               SELECT k,
+                      mortonEncode(a, bv) AS m2,
+                      mortonEncode(a, bv, c) AS m3,
+                      mortonDecode(2, mortonEncode(a, bv)).col1 AS m2x,
+                      mortonDecode(2, mortonEncode(a, bv)).col2 AS m2y,
+                      CAST(mortonDecode(3, mortonEncode(a, bv, c)).col3 = c AS INT) AS m3_rt,
+                      CAST(hilbertDecode(2, hilbertEncode(a, bv)).col1 = a AND
+                           hilbertDecode(2, hilbertEncode(a, bv)).col2 = bv AS INT) AS h_rt,
+                      hilbertEncode(3, 4) AS h34,
+                      hilbertEncode(a) AS h1
+               FROM b ORDER BY k""")
+    },
+    Some("""WITH b AS (SELECT o_orderkey AS k,
+                              CAST(o_orderkey * 37 % 1024 AS BIGINT) AS a,
+                              CAST(o_orderkey * 91 % 1024 AS BIGINT) AS bv,
+                              CAST(o_orderkey % 2097152 AS BIGINT) AS c
+                       FROM orders WHERE o_orderkey < 500)
+            SELECT k,
+                   (SELECT CAST(sum(((b.a >> j.j) & 1) * (CAST(1 AS BIGINT) << (2 * j.j))
+                              + ((b.bv >> j.j) & 1) * (CAST(1 AS BIGINT) << (2 * j.j + 1))) AS BIGINT)
+                    FROM generate_series(0, 9) j(j)) AS m2,
+                   (SELECT CAST(sum(((b.a >> j.j) & 1) * (CAST(1 AS BIGINT) << (3 * j.j))
+                              + ((b.bv >> j.j) & 1) * (CAST(1 AS BIGINT) << (3 * j.j + 1))
+                              + ((b.c >> j.j) & 1) * (CAST(1 AS BIGINT) << (3 * j.j + 2))) AS BIGINT)
+                    FROM generate_series(0, 20) j(j)) AS m3,
+                   a AS m2x,
+                   bv AS m2y,
+                   1 AS m3_rt,
+                   1 AS h_rt,
+                   CAST(31 AS BIGINT) AS h34,
+                   a AS h1
+            FROM b ORDER BY k"""),
+  )
+
   /** Date/time + string long tail, hash-verified over real event
     * timestamps: toStartOfInterval (µs-axis pmod buckets), toTime
     * (CH's 1970-01-02 anchor), Modified-Julian/days-since-year-zero
@@ -2484,6 +2538,6 @@ object ChFunctions {
 
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
-        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q29, q29b, q29c, q29d,
+        q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q28r, q29, q29b, q29c, q29d,
         q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q38, q38b, q38c, q38d, q38e, q21b)
 }

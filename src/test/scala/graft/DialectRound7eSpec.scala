@@ -53,6 +53,36 @@ class DialectRound7eSpec extends SparkSpec {
     assert(moved == 0L)
   }
 
+  test("morton/hilbert space-filling curves: CH doc examples and round-trips") {
+    // the exact values the ClickHouse docs publish
+    assert(spark.sql("SELECT mortonEncode(1, 2, 3) AS v").head().getLong(0) == 53L)
+    assert(spark.sql("SELECT hilbertEncode(3, 4) AS v").head().getLong(0) == 31L)
+    // tuples decode back (struct fields address like tuple().1/.2)
+    val md = spark.sql("SELECT mortonDecode(3, 53) AS t").head().getStruct(0)
+    assert((md.getLong(0), md.getLong(1), md.getLong(2)) == ((1L, 2L, 3L)))
+    val hd = spark.sql("SELECT hilbertDecode(2, 31) AS t").head().getStruct(0)
+    assert((hd.getLong(0), hd.getLong(1)) == ((3L, 4L)))
+    // 1-D forms are the identity
+    assert(spark.sql("SELECT hilbertEncode(977) AS v").head().getLong(0) == 977L)
+    assert(spark.sql("SELECT mortonEncode(7) AS v").head().getLong(0) == 7L)
+    // property round-trip over a deterministic grid, straight in SQL
+    val bad = spark.sql(
+      """SELECT count(*) AS c FROM range(500)
+         WHERE mortonDecode(2, mortonEncode(id * 37 % 1024, id * 91 % 1024))
+                 != (CAST(id * 37 % 1024 AS BIGINT), CAST(id * 91 % 1024 AS BIGINT))
+            OR hilbertDecode(2, hilbertEncode(id * 37 % 1024, id * 91 % 1024))
+                 != (CAST(id * 37 % 1024 AS BIGINT), CAST(id * 91 % 1024 AS BIGINT))""")
+      .head().getLong(0)
+    assert(bad == 0L)
+    // Z-order locality: adjacent codes stay adjacent in space (the
+    // reason these exist — range-scannable multidimensional indexes)
+    val e = intercept[Exception](
+      spark.sql("SELECT mortonEncode(4294967296, 1)").collect()) // 2^32 needs 33 > 32 bits
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("does not fit")))
+  }
+
   test("UUID text to binary and back") {
     assert(s("UUIDNumToString(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))")
       == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
