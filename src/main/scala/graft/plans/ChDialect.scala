@@ -22,6 +22,16 @@ import org.apache.spark.unsafe.types.CalendarInterval
   */
 object ChDialect {
 
+  private val minSampleSizeContinuousFn: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression = es => {
+    val Seq(baseline, sigma, mde, power, alpha) = es.take(5).map(e => Cast(e, DoubleType))
+    val z = Add(
+      NormalQuantileExpr(Subtract(Literal(1.0d), Divide(alpha, Literal(2.0d)))),
+      NormalQuantileExpr(power))
+    val effect = Multiply(mde, baseline)
+    Divide(Multiply(Multiply(Literal(2.0d), Multiply(sigma, sigma)), Multiply(z, z)),
+      Multiply(effect, effect))
+  }
+
   private def nullIfNot(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
@@ -1929,15 +1939,10 @@ object ChDialect {
       Multiply(root, root)
     }),
     // continuous metric: n = 2σ²(z_{1-α/2} + z_{power})²/(mde·baseline)²
-    "minSampleSizeContinuous" -> (es => {
-      val Seq(baseline, sigma, mde, power, alpha) = es.take(5).map(e => Cast(e, DoubleType))
-      val z = Add(
-        NormalQuantileExpr(Subtract(Literal(1.0d), Divide(alpha, Literal(2.0d)))),
-        NormalQuantileExpr(power))
-      val effect = Multiply(mde, baseline)
-      Divide(Multiply(Multiply(Literal(2.0d), Multiply(sigma, sigma)), Multiply(z, z)),
-        Multiply(effect, effect))
-    }),
+    // (CH's primary spelling carries the upstream typo "Continous";
+    // both resolve to the same closed form)
+    "minSampleSizeContinous" -> minSampleSizeContinuousFn,
+    "minSampleSizeContinuous" -> minSampleSizeContinuousFn,
     // two-proportion z statistic from success/trial counts
     // (statistic-only like the t family; pooled variance, the CH
     // default 'unpooled' third spelling accepted and ignored — the
@@ -2248,6 +2253,9 @@ object ChDialect {
     "SHA256"       -> (es => Sha2(es.head, Literal(256))),
     "SHA224"       -> (es => Sha2(es.head, Literal(224))),
     "SHA384"       -> (es => Sha2(es.head, Literal(384))),
+    "SHA512"       -> (es => Sha2(es.head, Literal(512))),
+    // FIPS 180-4 truncated variant — JDK-native digest, hex like SHA256
+    "SHA512_256"   -> (es => StringCodec(es.head, "sha512_256")),
     // URL-safe base64 (RFC 4648 §5): translate the two URL-unsafe
     // alphabet chars; padding kept, as in CH
     "toBase64URL"   -> (es => StringTranslate(
@@ -2590,6 +2598,9 @@ object ChDialect {
     "base64URLDecode"   -> (es => StringCodec(es.head, "base64UrlDecode")),
     "tryBase64URLDecode" -> (es => StringCodec(es.head, "tryBase64UrlDecode")),
     "base58Encode"      -> (es => StringCodec(es.head, "base58Encode")),
+    "base32Encode"      -> (es => StringCodec(es.head, "base32Encode")),
+    "base32Decode"      -> (es => StringCodec(es.head, "base32Decode")),
+    "tryBase32Decode"   -> (es => StringCodec(es.head, "tryBase32Decode")),
     "base58Decode"      -> (es => StringCodec(es.head, "base58Decode")),
     "tryBase58Decode"   -> (es => StringCodec(es.head, "tryBase58Decode")),
     "punycodeEncode"    -> (es => StringCodec(es.head, "punycodeEncode")),

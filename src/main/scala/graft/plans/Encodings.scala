@@ -223,10 +223,80 @@ object EncodingKernels {
   def idnaDecode(in: UTF8String): UTF8String =
     UTF8String.fromString(java.net.IDN.toUnicode(in.toString))
 
+  private val Base32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  /** RFC 4648 base32 (the CH base32Encode/base32Decode pair): 5-byte
+    * groups → 8 chars, '=' padding, strict decode. */
+  def base32Encode(in: UTF8String): UTF8String = {
+    val bytes = in.getBytes
+    val sb = new java.lang.StringBuilder((bytes.length + 4) / 5 * 8)
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(5, bytes.length - i)
+      var acc = 0L
+      var k = 0
+      while (k < 5) { acc = (acc << 8) | (if (k < n) bytes(i + k) & 0xffL else 0L); k += 1 }
+      val outChars = n match { case 1 => 2; case 2 => 4; case 3 => 5; case 4 => 7; case _ => 8 }
+      var c = 0
+      while (c < 8) {
+        sb.append(if (c < outChars) Base32Alphabet.charAt(((acc >>> (35 - 5 * c)) & 31L).toInt) else '=')
+        c += 1
+      }
+      i += 5
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def base32Decode(in: UTF8String): UTF8String = {
+    val s = in.toString
+    require(s.length % 8 == 0, s"base32Decode: length ${s.length} is not a multiple of 8")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      var acc = 0L
+      var pad = 0
+      var k = 0
+      while (k < 8) {
+        val ch = s.charAt(i + k)
+        if (ch == '=') { pad += 1; acc <<= 5 }
+        else {
+          require(pad == 0, "base32Decode: data after padding")
+          val v = Base32Alphabet.indexOf(ch.toUpper)
+          require(v >= 0, s"base32Decode: invalid character '$ch'")
+          acc = (acc << 5) | v
+        }
+        k += 1
+      }
+      val nBytes = pad match { case 0 => 5; case 1 => 4; case 3 => 3; case 4 => 2; case 6 => 1
+        case p => throw new IllegalArgumentException(s"base32Decode: invalid padding length $p") }
+      var b = 0
+      while (b < nBytes) { out.write(((acc >>> (32 - 8 * b)) & 0xffL).toInt); b += 1 }
+      i += 8
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  def tryBase32Decode(in: UTF8String): UTF8String =
+    try base32Decode(in) catch { case _: IllegalArgumentException => UTF8String.fromString("") }
+
+  /** SHA-512/256 (FIPS 180-4 truncated variant — a JDK-native digest;
+    * NOT a 256-bit prefix of SHA-512: different IVs). Hex output, the
+    * same surface convention as the Sha2-backed SHA256 here. */
+  def sha512_256(in: UTF8String): UTF8String = {
+    val d = java.security.MessageDigest.getInstance("SHA-512/256").digest(in.getBytes)
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.toString)
+  }
+
   def dispatch(kernel: String, in: UTF8String): UTF8String = kernel match {
     case "base58Encode"       => base58Encode(in)
     case "base58Decode"       => base58Decode(in)
     case "tryBase58Decode"    => tryBase58Decode(in)
+    case "base32Encode"       => base32Encode(in)
+    case "base32Decode"       => base32Decode(in)
+    case "tryBase32Decode"    => tryBase32Decode(in)
+    case "sha512_256"         => sha512_256(in)
     case "base64UrlEncode"    => base64UrlEncode(in)
     case "base64UrlDecode"    => base64UrlDecode(in)
     case "tryBase64UrlDecode" => tryBase64UrlDecode(in)

@@ -53,6 +53,29 @@ class DialectRound7eSpec extends SparkSpec {
     assert(moved == 0L)
   }
 
+  test("base32, SHA512_256, minSampleSizeContinous spelling") {
+    // RFC 4648 §10 test vectors, verbatim
+    val vecs = Seq("" -> "", "f" -> "MY======", "fo" -> "MZXQ====", "foo" -> "MZXW6===",
+      "foob" -> "MZXW6YQ=", "fooba" -> "MZXW6YTB", "foobar" -> "MZXW6YTBOI======")
+    for ((plain, enc) <- vecs) {
+      assert(s(s"base32Encode('$plain')") == enc, s"encode $plain")
+      assert(s(s"base32Decode('$enc')") == plain, s"decode $enc")
+    }
+    intercept[Exception](spark.sql("SELECT base32Decode('1~======')").collect())
+    assert(s("tryBase32Decode('1~======')") == "")
+    assert(s("tryBase32Decode('MZXW6===')") == "foo")
+    // FIPS 180-4 SHA-512/256 known-answer vector ('abc') — NOT a
+    // truncated SHA-512 (different IVs), the JDK-native digest
+    assert(s("SHA512_256('abc')") ==
+      "53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc6d46e0e2f13107e7af23")
+    assert(s("SHA512('')").length == 128)
+    // CH's primary spelling carries the upstream typo — both resolve
+    val r = spark.sql(
+      """SELECT minSampleSizeContinous(100.0, 20.0, 0.05, 0.8, 0.05) AS a,
+                minSampleSizeContinuous(100.0, 20.0, 0.05, 0.8, 0.05) AS b""").head()
+    assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(0) > 0)
+  }
+
   test("morton/hilbert space-filling curves: CH doc examples and round-trips") {
     // the exact values the ClickHouse docs publish
     assert(spark.sql("SELECT mortonEncode(1, 2, 3) AS v").head().getLong(0) == 53L)
