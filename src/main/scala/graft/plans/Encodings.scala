@@ -252,15 +252,16 @@ object EncodingKernels {
     require(s.length % 8 == 0, s"base32Decode: length ${s.length} is not a multiple of 8")
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
+    var seenPad = false // '=' may appear only in the final group
     while (i < s.length) {
       var acc = 0L
       var pad = 0
       var k = 0
       while (k < 8) {
         val ch = s.charAt(i + k)
-        if (ch == '=') { pad += 1; acc <<= 5 }
+        if (ch == '=') { pad += 1; seenPad = true; acc <<= 5 }
         else {
-          require(pad == 0, "base32Decode: data after padding")
+          require(pad == 0 && !seenPad, "base32Decode: data after padding")
           val v = Base32Alphabet.indexOf(ch.toUpper)
           require(v >= 0, s"base32Decode: invalid character '$ch'")
           acc = (acc << 5) | v

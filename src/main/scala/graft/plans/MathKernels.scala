@@ -31,10 +31,10 @@ object MathKernels {
     var i = 0
     while (i < n) {
       val v = vals.getLong(i)
-      if (budget < 64 && (v < 0 || (v >>> budget) != 0)) throw new IllegalArgumentException(
+      if (v < 0 || (budget < 64 && (v >>> budget) != 0)) throw new IllegalArgumentException(
         s"mortonEncode: argument ${i + 1} ($v) does not fit $budget bits (64/$n)")
       var j = 0
-      while ((v >>> j) != 0) {
+      while (j < 64 && (v >>> j) != 0) {
         if (((v >>> j) & 1L) == 1L) r |= 1L << (j * n + i)
         j += 1
       }

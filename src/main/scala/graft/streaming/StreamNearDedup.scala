@@ -100,15 +100,94 @@ object StreamNearDedup {
     * exponentially. Size it with [[autoBlocks]]. Chunk widths split
     * `bits` evenly, wider blocks first (the batch convention).
     *
-    * STATE-KEY FORMAT (round 14): keys pack per-block widths
-    * (`ci << w1 | blk1 …`) where the pre-combination scheme shifted
-    * by the max width — for configurations where `bits % blocks != 0`
-    * the packed values differ, so a checkpoint written by the old
-    * scheme must be DRAINED (stop at a batch boundary, restart fresh)
-    * before upgrading; resuming it would leave historical
-    * fingerprints under unreachable keys (silent recall loss). The
-    * default 60-bit / maxHamming-3 gate configuration divides evenly
-    * and is bit-identical across the change. */
+    * STATE-KEY FORMAT (round 14, scheme "v2"): keys pack per-block
+    * widths (`ci << w1 | blk1 …`) where the pre-combination scheme
+    * shifted by the max width — for configurations where
+    * `bits % blocks != 0` the packed values differ, so a checkpoint
+    * written by the old scheme must be DRAINED (stop at a batch
+    * boundary, restart fresh) before upgrading; resuming it would
+    * leave historical fingerprints under unreachable keys (silent
+    * recall loss). The default 60-bit / maxHamming-3 gate
+    * configuration divides evenly and is bit-identical across the
+    * change. This contract is ENFORCED, not advisory: call
+    * [[ensureCheckpointScheme]] on the query's checkpoint directory
+    * before `start()` — it stamps a `_GRAFT_KEY_SCHEME` marker on a
+    * fresh checkpoint and FAILS FAST on one written by a different
+    * packing (or by any pre-versioned build, unless the dial is
+    * bit-identical across schemes). */
+  /** The state-key packing scheme id of this build. "v2" = per-block
+    * width shifts (round 14); "v1" (rounds ≤ 13) shifted every block
+    * by the max width. Bumped whenever [[explodeChunks]]' packed `ck`
+    * values change for ANY (bits, blocks, maxHamming) dial. */
+  val KeyScheme = "v2"
+
+  /** True iff the dial packs bit-identically under v1 and v2 — blocks
+    * all the same width, i.e. the max-width shift IS the per-block
+    * shift. Such checkpoints are safe to adopt across the upgrade. */
+  def schemeCompatibleAcrossV1(bits: Int, blocks: Int): Boolean = bits % blocks == 0
+
+  /** One-line descriptor of the exact key layout a running query
+    * writes state under; persisted as the checkpoint marker body. */
+  def schemeTag(maxHamming: Int, bits: Int, blocks: Int): String =
+    s"$KeyScheme:bits=$bits:blocks=$blocks:maxHamming=$maxHamming"
+
+  /** Guard a streaming query's checkpoint against the silent-recall
+    * loss of resuming state written under a DIFFERENT key packing
+    * (the upgrade hazard documented on [[explodeChunks]]). Call with
+    * the query's `checkpointLocation` BEFORE `start()`:
+    *
+    *  - fresh checkpoint → stamps `_GRAFT_KEY_SCHEME` with
+    *    [[schemeTag]] and returns;
+    *  - marker present and equal → returns (same scheme, same dial);
+    *  - marker present but different → IllegalStateException naming
+    *    both tags (changing the dial ALSO re-keys state — same
+    *    hazard, same refusal);
+    *  - NO marker but Spark offsets exist → the checkpoint predates
+    *    scheme versioning (≤ round 13 build). If the dial is
+    *    bit-identical across v1/v2 ([[schemeCompatibleAcrossV1]]) the
+    *    marker is adopted in place; otherwise IllegalStateException —
+    *    drain the old query at a batch boundary and restart with a
+    *    fresh checkpoint.
+    *
+    * Resolves paths through the checkpoint's own Hadoop FileSystem,
+    * so non-`file:` checkpoint stores (HDFS/S3A) are first-class. */
+  def ensureCheckpointScheme(spark: org.apache.spark.sql.SparkSession,
+                             checkpointDir: String, maxHamming: Int,
+                             bits: Int = 60, blocks: Int = 0): Unit = {
+    val b = if (blocks <= 0) maxHamming + 1 else blocks
+    val tag = schemeTag(maxHamming, bits, b)
+    val root = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_KEY_SCHEME")
+    def write(): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      if (found != tag) throw new IllegalStateException(
+        s"StreamNearDedup: checkpoint $checkpointDir was written under key scheme '$found' " +
+        s"but this query packs '$tag' — resuming would strand historical fingerprints under " +
+        "unreachable keys (silent recall loss). Drain the old query at a batch boundary and " +
+        "restart with a fresh checkpoint (or restore the original dial).")
+    } else {
+      val hasOffsets = {
+        val off = new org.apache.hadoop.fs.Path(root, "offsets")
+        fs.exists(off) && fs.listStatus(off).nonEmpty
+      }
+      if (hasOffsets && !schemeCompatibleAcrossV1(bits, b)) throw new IllegalStateException(
+        s"StreamNearDedup: checkpoint $checkpointDir has no _GRAFT_KEY_SCHEME marker but already " +
+        s"contains batches — it predates key-scheme versioning (v1 packing), and bits=$bits " +
+        s"blocks=$b packs differently under $KeyScheme. Drain the old query and restart fresh.")
+      write()
+    }
+  }
+
   def explodeChunks(df: org.apache.spark.sql.DataFrame, maxHamming: Int,
                     bits: Int = 60, blocks: Int = 0)(
       implicit cEnc: Encoder[ChunkDoc]): Dataset[ChunkDoc] = {
