@@ -66,6 +66,10 @@ object Bench {
     // so warm-vs-cold and contended-vs-idle are self-describing.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // min-of-two retry cutoff (seconds). Overridable so the noise-audit
+    // machinery below is exercisable at smoke scale; the committed
+    // artifacts always use the default 20 s.
+    val retryCutoff = sys.env.get("SPARK_GRAFT_BENCH_RETRY_CUTOFF").map(_.toDouble).getOrElse(20.0)
     // `setup` is the fixture-build time the DDL/streaming chain
     // queries self-report through FixtureClock (landing writes, CH
     // table loads) — work that exists only because the gate rebuilds
@@ -91,13 +95,60 @@ object Bench {
         }
         val r1 = once()
         if (r1.err.isDefined) name -> Q(r1, Seq(r1.sec)) // don't re-run a crash just to time it
-        else if (r1.sec < 20.0) {
+        else if (r1.sec < retryCutoff) {
           val r2 = once()
           name -> Q(if (r2.err.isEmpty && r2.sec < r1.sec) r2 else r1, Seq(r1.sec, r2.sec))
         }
         else name -> Q(r1, Seq(r1.sec))
       }
     val loadEnd = osBean.getSystemLoadAverage
+
+    // ----------------------------------------------------------------
+    // Mechanical noise audit (round 15): a serial full-registry pass
+    // self-contends (load >10 at sf100), and single-run cells above
+    // the 20 s retry cutoff keep whatever moment they got — in rounds
+    // 13/14 every hand-checked "regression" (q57 4.7×, q74 50×,
+    // q03 2×) vanished when re-run alone. The manual "re-run what
+    // looks regressed" discipline missed q03_monthly in r14, so it is
+    // now the harness's job: point SPARK_GRAFT_BENCH_PREV at the
+    // previous committed artifact and every ok cell that (a) ran once
+    // (>20 s, no retry), and (b) moved >1.5× vs that artifact, is
+    // re-run ISOLATED after the serial pass (host load is this
+    // process alone by then) and the three numbers land in the
+    // artifact's "audit" table with a noise/regression verdict.
+    final case class Audit(serial: Double, prev: Double, isolated: Double, setup: Double) {
+      def verdict: String =
+        if (math.max(0.0, isolated - setup) <= 1.5 * prev) "noise" else "regression"
+    }
+    val prevTimes: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
+      import org.json4s._
+      val root = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(p)))
+      // accept Bench's own artifact (top-level "queries") or the
+      // driver's BENCH_r{N}.json wrapper ("parsed" → "queries")
+      val qs = root \ "queries" match {
+        case o: JObject => o
+        case _ => root \ "parsed" \ "queries"
+      }
+      qs match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+    val audits: Seq[(String, Audit)] =
+      if (prevTimes.isEmpty) Nil
+      else results.collect {
+        case (name, Q(best, runs)) if best.err.isEmpty && runs.size == 1 && best.sec > retryCutoff &&
+            prevTimes.get(name).exists(p => p > 0 && best.sec > 1.5 * p) =>
+          FixtureClock.reset()
+          val t0 = System.nanoTime()
+          val iso =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          name -> Audit(best.sec, prevTimes(name), iso, FixtureClock.nanos / 1e9)
+      }
 
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -129,19 +180,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
+    // the harness-generated audit table (empty when no PREV artifact
+    // was supplied or nothing tripped the 20 s + 1.5× gate)
+    val auditJson = audits.map { case (k, a) =>
+      jstr(k) + s""":{"serial":${ms(a.serial)},"prev":${ms(a.prev)},"isolated":${ms(a.isolated)},""" +
+        s""""isolated_setup":${ms(a.setup)},"verdict":${jstr(a.verdict)}}"""
+    }.mkString("{", ",", "}")
     val cond = s""""load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors},"timing":"min_of_two_unless_cold""""
     val common =
       s""""metric":"total","value":${ms(total)},"unit":"sec","count":${results.size},"ok":${ok.size},"sf":${jstr(sfDir)}"""
     // Full artifact: every query, every error — the committed evidence.
     Files.writeString(Paths.get(outPath),
-      s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$allQs,"setup":$setupJson,"runs":$runsJson,"errors":$errJson}\n""")
+      s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$allQs,"setup":$setupJson,"runs":$runsJson,"errors":$errJson,"audit":$auditJson}\n""")
     // Stdout: driver-parseable summary that fits a bounded log tail.
     // Top-10 ranks on PLAN-dominated seconds (total minus reported
     // fixture time) so a plan regression can't hide in fixture noise.
     val top10 = ok.sortBy(q => -workOf(q._2.best)).take(10)
       .map { case (k, v) => jstr(k) + ":" + ms(workOf(v.best)) }.mkString("{", ",", "}")
-    println(s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$top10,"errors":${errs.size},"detail":${jstr(outPath)}}""")
+    val auditSummary =
+      if (audits.isEmpty) "0"
+      else s"${audits.size}(${audits.count(_._2.verdict == "regression")} regression)"
+    println(s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$top10,"errors":${errs.size},"audited":${jstr(auditSummary)},"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }
