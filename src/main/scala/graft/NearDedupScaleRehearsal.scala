@@ -26,14 +26,21 @@ import org.apache.spark.sql.functions._
   * The rehearsal pins that the store, not the row count, carries the
   * corpus — the RocksDB knob applies as in SURVEY §4.
   *
+  * Round 15: the LSH dial is no longer pinned at blocks = d+1 — the
+  * run uses [[graft.streaming.StreamNearDedup.autoBlocks]](docs) (the
+  * production default; override: SPARK_GRAFT_STATE_BLOCKS), emits the
+  * dial and the measured mean bucket occupancy, and stamps/validates
+  * the checkpoint key-scheme marker via `ensureCheckpointScheme` the
+  * way a production start-up must.
+  *
   * Usage: SPARK_GRAFT_STATE_KEYS=1000000 graft.NearDedupScaleRehearsal
-  * Appends JSON lines to docs/STATE_SCALE_r13.jsonl
+  * Appends JSON lines to docs/STATE_SCALE_r15.jsonl
   * (override: SPARK_GRAFT_STATE_OUT). */
 object NearDedupScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "1000000").toLong
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
-      "/root/repo/docs/STATE_SCALE_r13.jsonl")
+      "/root/repo/docs/STATE_SCALE_r15.jsonl")
     val spark = GraftSession.local("graft-neardedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -89,6 +96,14 @@ object NearDedupScaleRehearsal {
     }
 
     val expectedHits = 3 * (docs / 10) + (docs + 29) / 30
+    val blocks = sys.env.get("SPARK_GRAFT_STATE_BLOCKS").map(_.toInt)
+      .getOrElse(graft.streaming.StreamNearDedup.autoBlocks(docs, maxHamming = 3))
+    // per-doc key replication under the Manku scheme: C(blocks, d)
+    val combosPerDoc = {
+      var c = 1L; var i = 1
+      while (i <= 3) { c = c * (blocks - 3 + i) / i; i += 1 }
+      c
+    }
     for (backend <- Seq("hdfs", "rocksdb")) {
       if (backend == "rocksdb")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -98,8 +113,12 @@ object NearDedupScaleRehearsal {
       val stream = graft.streaming.StreamNearDedup.explodeChunks(
         spark.readStream.schema("id LONG, fp LONG")
           .option("maxFilesPerTrigger", "1").parquet(landing),
-        maxHamming = 3)
+        maxHamming = 3, blocks = blocks)
       val hits = graft.streaming.StreamNearDedup.nearHitsPerChunk(stream, maxHamming = 3)
+      // the production start-up discipline: stamp / validate the
+      // state-key scheme before the query touches the checkpoint
+      graft.streaming.StreamNearDedup.ensureCheckpointScheme(
+        spark, s"$base/ckpt_$backend", maxHamming = 3, blocks = blocks)
       val t0 = System.nanoTime()
       // raw per-chunk hits into the sink (a streaming dropDuplicates
       // would be a SECOND stateful operator — unsupported in update
@@ -117,7 +136,7 @@ object NearDedupScaleRehearsal {
           if (backend == "rocksdb") custom.getOrDefault("rocksdbTotalMemoryUsageBytes", 0L) +
             custom.getOrDefault("rocksdbSstFileSize", 0L)
           else so.memoryUsedBytes
-        emit(s"""{"family":"neardedup","backend":"$backend","batch":${p.batchId},""" +
+        emit(s"""{"family":"neardedup","backend":"$backend","blocks":$blocks,"batch":${p.batchId},""" +
           s""""input_rows":${p.numInputRows},""" +
           s""""batch_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},""" +
           s""""state_rows":${so.numRowsTotal},"state_bytes":$sizeBytes}""")
@@ -129,7 +148,12 @@ object NearDedupScaleRehearsal {
       // (tiny slack for random-mask birthday collisions)
       require(hitCount >= expectedHits && hitCount <= expectedHits + 16,
         s"$backend: expected ~$expectedHits hits, got $hitCount")
-      emit(s"""{"family":"neardedup","backend":"$backend","docs":$docs,"hits":$hitCount,""" +
+      // mean bucket occupancy: (doc,combo) memberships per state bucket
+      val memberships = (docs + docs / 30) * combosPerDoc
+      val buckets = progs.lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(0L)
+      val occ = if (buckets > 0) math.rint(memberships.toDouble / buckets * 10) / 10 else -1.0
+      emit(s"""{"family":"neardedup","backend":"$backend","docs":$docs,"blocks":$blocks,""" +
+        s""""hits":$hitCount,"buckets":$buckets,"mean_bucket_docs":$occ,""" +
         s""""total_sec":${math.rint(totalSec * 100) / 100}}""")
     }
     spark.stop()

@@ -181,14 +181,17 @@ object ChCommands {
       if (fs.exists(dst)) require(fs.delete(backup, true), s"swap failed clearing stale $backup")
       else require(fs.rename(backup, dst), s"swap recovery failed renaming $backup -> $dst")
     }
-    // the TTL rule is table METADATA living inside the table dir —
-    // a data rewrite must not clear it (materializing a TTL, or an
-    // ALTER DELETE on a table that also has one, swaps the dir)
-    val oldTtl = new org.apache.hadoop.fs.Path(dst, "_graft_ttl.txt")
-    val newTtl = new org.apache.hadoop.fs.Path(src, "_graft_ttl.txt")
-    if (fs.exists(oldTtl) && !fs.exists(newTtl))
-      org.apache.hadoop.fs.FileUtil.copy(fs, oldTtl, fs, newTtl, false,
-        spark.sparkContext.hadoopConfiguration)
+    // the TTL rule and the CH-DDL record are table METADATA living
+    // inside the table dir — a data rewrite must not clear them
+    // (materializing a TTL, or an ALTER DELETE on a table that also
+    // has one, swaps the dir)
+    for (metaFile <- Seq("_graft_ttl.txt", "_graft_engine.txt")) {
+      val oldMeta = new org.apache.hadoop.fs.Path(dst, metaFile)
+      val newMeta = new org.apache.hadoop.fs.Path(src, metaFile)
+      if (fs.exists(oldMeta) && !fs.exists(newMeta))
+        org.apache.hadoop.fs.FileUtil.copy(fs, oldMeta, fs, newMeta, false,
+          spark.sparkContext.hadoopConfiguration)
+    }
     require(fs.rename(dst, backup), s"swap failed renaming $dst -> $backup")
     if (!fs.rename(src, dst)) {
       fs.rename(backup, dst) // restore so the table location always exists
@@ -405,6 +408,140 @@ object ChCommands {
     val out = fs.create(projManifest(path), true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     invalidateProjectionCache(path)
+  }
+
+  // ------------------------------------------------------------------
+  // SHOW CREATE TABLE (round 15): the ClickHouse DDL record. The
+  // CREATE front-end strips ORDER BY / SAMPLE BY / SETTINGS toward
+  // physical layout; `_graft_engine.txt` (written by
+  // ChCreateChTableCommand beside the data, like the TTL and
+  // projection manifests) preserves the declared text so the first
+  // thing a migrating user types — SHOW CREATE TABLE t — answers with
+  // the table's CH shape: engine, partition key, ORDER BY, live TTL
+  // rule and projections.
+
+  private[plans] def engineManifest(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_graft_engine.txt")
+
+  private[plans] def writeEngineManifest(spark: SparkSession, path: String,
+      fields: Seq[(String, String)]): Unit = {
+    val fs = fsOf(spark, path)
+    val text = fields.map { case (k, v) =>
+      s"$k=${v.replace("\\", "\\\\").replace("\n", "\\n")}"
+    }.mkString("\n")
+    val out = fs.create(engineManifest(path), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[plans] def readEngineManifest(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = fsOf(spark, path)
+    val p = engineManifest(path)
+    if (!(try fs.exists(p) catch { case _: Exception => false })) return Map.empty
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.contains("=")).map { line =>
+      val i = line.indexOf('=')
+      line.substring(0, i) ->
+        line.substring(i + 1).replace("\\n", "\n").replace("\\\\", "\\")
+    }.toMap
+  }
+
+  /** Spark type → ClickHouse type text (the SHOW CREATE direction;
+    * the inverse of the parser's chDdlType, lossy where the mapping
+    * in was — Nullable/LowCardinality wrappers and enum/fixed-string
+    * flavors don't survive the round trip). */
+  private[plans] def chTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "Int64"
+      case IntegerType => "Int32"
+      case ShortType => "Int16"
+      case ByteType => "Int8"
+      case DoubleType => "Float64"
+      case FloatType => "Float32"
+      case _: StringType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case TimestampType | TimestampNTZType => "DateTime64(6)"
+      case BinaryType => "String"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case ArrayType(e, _) => s"Array(${chTypeName(e)})"
+      case MapType(k, v, _) => s"Map(${chTypeName(k)}, ${chTypeName(v)})"
+      case s: StructType =>
+        "Tuple(" + s.fields.map(f => s"${f.name} ${chTypeName(f.dataType)}").mkString(", ") + ")"
+      case other => other.sql
+    }
+  }
+
+  /** The reconstructed CH CREATE statement of `table`, or None when
+    * the table carries no graft metadata at all (plain Spark tables
+    * fall through to Spark's native SHOW CREATE TABLE). Composes the
+    * engine manifest (engine, ORDER BY, PARTITION BY, PRIMARY KEY,
+    * SAMPLE BY, SETTINGS), the catalog schema (types reverse-mapped),
+    * the LIVE TTL rule (`_graft_ttl.txt` — which ALTER MODIFY/REMOVE
+    * TTL keeps current, so the answer tracks the table, not its
+    * creation text), and the declared projections. */
+  private[plans] def showCreateChTable(spark: SparkSession, table: String): Option[String] = {
+    if (!(try spark.catalog.tableExists(table) catch { case _: Exception => false })) return None
+    val info = try resolve(spark, table) catch { case _: Exception => return None }
+    val meta = readEngineManifest(spark, info.path)
+    val fs = fsOf(spark, info.path)
+    val ttlP = ttlManifest(info.path)
+    val hasTtl = try fs.exists(ttlP) catch { case _: Exception => false }
+    val projs = tableProjections(spark, info.path)
+    if (meta.isEmpty && !hasTtl && projs.isEmpty) return None
+    // catalog schema in the DECLARED order (Spark floats partition
+    // columns to the end; columns added later append after them)
+    val fields = spark.table(table).schema.fields.toSeq
+    val declared = meta.get("columns").map(_.split(",").toSeq).getOrElse(Nil)
+    val ordered = if (declared.isEmpty) fields else {
+      val byName = fields.map(f => f.name -> f).toMap
+      declared.flatMap(byName.get) ++ fields.filterNot(f => declared.contains(f.name))
+    }
+    val colLines = ordered.map(f => s"`${f.name}` ${chTypeName(f.dataType)}")
+    val projLines = projs.map { sp =>
+      if (sp.states.isEmpty) {
+        val sel = if (sp.cols.isEmpty) "*" else sp.cols.map(c => s"`$c`").mkString(", ")
+        s"PROJECTION ${sp.name} (SELECT $sel ORDER BY ${sp.keys.mkString(", ")})"
+      } else {
+        val aggs = sp.states.map {
+          case (_, "count", _) => "count()"
+          case (_, f, src) => s"$f($src)"
+        }
+        s"PROJECTION ${sp.name} (SELECT ${(sp.keys ++ aggs).mkString(", ")} " +
+          s"GROUP BY ${sp.keys.mkString(", ")})"
+      }
+    }
+    val body = (colLines ++ projLines).map("    " + _).mkString(",\n")
+    val sb = new StringBuilder
+    sb.append(s"CREATE TABLE $table\n(\n$body\n)\n")
+    sb.append(s"ENGINE = ${meta.getOrElse("engine", "MergeTree")}")
+    meta.get("partition_by")
+      .orElse(if (info.partCols.nonEmpty) Some(info.partCols.mkString(", ")) else None)
+      .foreach(p => sb.append(s"\nPARTITION BY $p"))
+    sb.append(s"\nORDER BY ${meta.getOrElse("order_by", "tuple()")}")
+    meta.get("primary_key").foreach(p => sb.append(s"\nPRIMARY KEY $p"))
+    meta.get("sample_by").foreach(p => sb.append(s"\nSAMPLE BY $p"))
+    if (hasTtl) {
+      val in = fs.open(ttlP)
+      val raw = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      val (ttl, whereCond, groupKeys, sets) = ttlRuleParse(raw)
+      val tail =
+        if (groupKeys.nonEmpty)
+          s" GROUP BY ${groupKeys.mkString(", ")} SET ${sets.map { case (c, e) => s"$c = $e" }.mkString(", ")}"
+        else whereCond.map(c => s" WHERE $c").getOrElse("")
+      sb.append(s"\nTTL $ttl$tail")
+    }
+    meta.get("settings").foreach(p => sb.append(s"\nSETTINGS $p"))
+    Some(sb.toString)
   }
 }
 
@@ -789,6 +926,48 @@ case class ChCreateDictionaryCommand(
   * instead of "unknown table". DROPping the backing table makes a
   * later joinGet fail at analysis with TABLE_OR_VIEW_NOT_FOUND —
   * loud, and a re-CREATE re-registers. */
+/** A ClickHouse `CREATE TABLE … ENGINE = …` (column-list or CTAS
+  * form): executes the rewritten Spark DDL, then records the declared
+  * physical-layout clauses — which the rewrite strips from the Spark
+  * statement — in `_graft_engine.txt` beside the data so
+  * `SHOW CREATE TABLE` can answer with the table's CH shape after any
+  * session restart. A declared table TTL routes through
+  * `ALTER TABLE … MODIFY TTL` (full validation + the live
+  * `_graft_ttl.txt` manifest), making CREATE-declared TTLs
+  * first-class rather than silently stripped. `IF NOT EXISTS` on an
+  * existing table leaves the existing record untouched. */
+case class ChCreateChTableCommand(name: String, innerSql: String, engine: String,
+    clauses: Map[String, String], declaredCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val existed = spark.catalog.tableExists(name)
+    spark.sql(innerSql)
+    if (!existed) {
+      val info = ChCommands.resolve(spark, name)
+      val fields = Seq("engine" -> engine) ++
+        (if (declaredCols.nonEmpty) Seq("columns" -> declaredCols.mkString(",")) else Nil) ++
+        clauses.get("ORDER BY").map("order_by" -> _) ++
+        clauses.get("PARTITION BY").map("partition_by" -> _) ++
+        clauses.get("PRIMARY KEY").map("primary_key" -> _) ++
+        clauses.get("SAMPLE BY").map("sample_by" -> _) ++
+        clauses.get("SETTINGS").map("settings" -> _)
+      ChCommands.writeEngineManifest(spark, info.path, fields)
+      clauses.get("TTL").foreach(t => spark.sql(s"ALTER TABLE $name MODIFY TTL $t"))
+    }
+    Seq.empty
+  }
+}
+
+/** The parse-time-resolved `SHOW CREATE TABLE` answer (see
+  * ChSqlParser.interceptCommand); carrying the table name keeps the
+  * plan's string form self-describing. */
+case class ChShowCreateTableCommand(table: String, ddl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "statement", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(ddl))
+}
+
 case class ChCreateJoinTableCommand(
     name: String, strictness: String, kind: String, keyCols: Seq[String],
     innerSql: String) extends LeafRunnableCommand {

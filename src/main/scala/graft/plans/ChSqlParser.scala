@@ -34,7 +34,9 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
       case None =>
     }
     val out = rewriteParametric(sqlText)
-    ChSqlParser.interceptCommand(out).getOrElse(delegate.parsePlan(out))
+    ChSqlParser.interceptCommand(out)
+      .orElse(ChSqlParser.interceptChCreate(sqlText, out))
+      .getOrElse(delegate.parsePlan(out))
   }
   // `spark.sql(text, args)` enters here (NOT parsePlan) in Spark 4.1;
   // the interface's default implementation drops the parameter
@@ -61,7 +63,18 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
             "command re-parses its predicate text at run time where placeholder " +
             "bindings are no longer in scope — inline the values into the SQL text")
         plan
-      case None => delegate.parsePlanWithParameters(out, ctx)
+      case None =>
+        ChSqlParser.interceptChCreate(sqlText, out) match {
+          case Some(plan) =>
+            // the inner Spark DDL re-parses at run time, outside the
+            // parameter binding — same contract as the commands above
+            if (ChSqlParser.hasParameters(ctx)) throw new UnsupportedOperationException(
+              "parameterized ClickHouse CREATE TABLE is not supported: the statement " +
+                "re-parses at run time where placeholder bindings are no longer in " +
+                "scope — inline the values into the SQL text")
+            plan
+          case None => delegate.parsePlanWithParameters(out, ctx)
+        }
     }
   }
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewriteParametric(sqlText))
@@ -858,7 +871,21 @@ object ChSqlParser {
     (strictness, parts(1), parts.drop(2).toSeq.map(_.stripPrefix("`").stripSuffix("`")))
   }
 
+  /** `SHOW CREATE TABLE t` — one `statement` row with the
+    * reconstructed ClickHouse DDL (engine manifest + catalog schema +
+    * live TTL rule + projections), CH's own output shape. Evaluated
+    * at parse time (the CHECK TABLE / EXISTS discipline) as a command
+    * so later textual rewrites can't touch the DDL string; tables
+    * carrying NO graft metadata return None here and fall through to
+    * Spark's native SHOW CREATE TABLE (createtab_stmt). */
+  private val ShowCreateTableStmt =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case ShowCreateTableStmt(table) =>
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => ChCommands.showCreateChTable(s, table))
+        .map(ChShowCreateTableCommand(table, _))
     case CreateJoinTableAs(ifNot, name, engineArgs, select) =>
       val (strictness, kind, keys) = parseJoinEngineArgs(engineArgs)
       val ine = if (ifNot == null) "" else "IF NOT EXISTS "
@@ -1162,6 +1189,79 @@ object ChSqlParser {
     * physical-layout hints strip toward MergeTreeWrite. */
   private val ChCreateTableAs =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+ENGINE\s*=\s*[A-Za-z]+(?:\([^)]*\))?\s*(.*?)\s*AS\s+(SELECT\b.*)$""".r
+
+  /** Engine text (name + optional args) of a CH CREATE statement. */
+  private val EngineText = """(?is)\bENGINE\s*=\s*([A-Za-z]+(?:\([^)]*\))?)""".r
+
+  private val EngineTailKeywords =
+    Seq("PARTITION BY", "PRIMARY KEY", "ORDER BY", "SAMPLE BY", "SETTINGS", "TTL", "COMMENT")
+
+  /** Split a CREATE tail (`ORDER BY k PARTITION BY p TTL …`) into its
+    * top-level clauses — paren- and quote-aware, so expression keys
+    * (`ORDER BY (a, cityHash64(b))`) stay whole. Whitespace is
+    * normalized first; the returned values are the clause BODIES. */
+  private[graft] def splitEngineTail(tail0: String): Map[String, String] = {
+    val tail = tail0.replaceAll("\\s+", " ").trim
+    final case class Hit(kw: String, start: Int, bodyStart: Int)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+    val upper = tail.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < tail.length) {
+      tail.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          i += 1; while (i < tail.length && tail.charAt(i) != '\'') i += 1; i += 1
+        case '`' =>
+          i += 1; while (i < tail.length && tail.charAt(i) != '`') i += 1; i += 1
+        case c if depth == 0 && c.isLetter &&
+            (i == 0 || (!tail.charAt(i - 1).isLetterOrDigit && tail.charAt(i - 1) != '_')) =>
+          EngineTailKeywords.find { k =>
+            upper.startsWith(k, i) && {
+              val after = i + k.length
+              after >= tail.length ||
+                (!tail.charAt(after).isLetterOrDigit && tail.charAt(after) != '_')
+            }
+          } match {
+            case Some(k) => hits += Hit(k, i, i + k.length); i += k.length
+            case None =>
+              while (i < tail.length &&
+                (tail.charAt(i).isLetterOrDigit || tail.charAt(i) == '_')) i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    hits.toSeq.zipWithIndex.map { case (h, idx) =>
+      val end = if (idx + 1 < hits.length) hits(idx + 1).start else tail.length
+      h.kw -> tail.substring(h.bodyStart, end).trim
+    }.toMap
+  }
+
+  /** ClickHouse CREATE TABLE (MergeTree family, both column-list and
+    * CTAS forms) intercepts into [[ChCreateChTableCommand]]: the
+    * rewritten Spark DDL still does the creating, and the clauses the
+    * rewrite strips (ENGINE, ORDER BY, SAMPLE BY, SETTINGS, the
+    * original PARTITION BY spelling, a declared TTL) persist to the
+    * `_graft_engine.txt` manifest for SHOW CREATE TABLE. Join/Kafka
+    * engines keep their dedicated paths. */
+  private[plans] def interceptChCreate(raw: String, rewritten: String): Option[LogicalPlan] = {
+    if ("""(?i)\bENGINE\s*=\s*(Join|Kafka)\b""".r.findFirstIn(raw).isDefined) return None
+    val nameTailCols = raw match {
+      case ChCreateTableAs(_, name, tail, _) => Some((name, tail, Nil))
+      case ChCreateTable(_, name, colsRaw, tail) =>
+        // declared column ORDER (Spark's catalog floats partition
+        // columns to the end; SHOW CREATE restores the CH order)
+        val declared = chColumnsToSpark(colsRaw)
+          .map(_._1.stripPrefix("`").stripSuffix("`"))
+        Some((name, tail, declared))
+      case _ => None
+    }
+    nameTailCols.map { case (name, tail, declared) =>
+      val engine = EngineText.findFirstMatchIn(raw).map(_.group(1).trim).getOrElse("MergeTree")
+      ChCreateChTableCommand(name, rewritten, engine, splitEngineTail(tail), declared)
+    }
+  }
 
   private def partitionedByClause(tail: String): String =
     """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|\S+)""".r
@@ -1766,10 +1866,16 @@ object ChSqlParser {
     * exclusive, as in ClickHouse. `INTERPOLATE (c1, c2)` — the bare
     * carry-forward form — fills those columns from the nearest
     * preceding source row instead of 0 (last_value ignore-nulls over
-    * the fill order). Anything outside the subset — CTE prefix,
-    * expression bounds, INTERPOLATE with AS-expressions — passes
-    * through untouched and fails loudly at parse, never silently
-    * wrong. */
+    * the fill order). `INTERPOLATE (c AS expr)` executes for the
+    * common carry family (round 15): `c AS c` (explicit carry) and
+    * the affine recurrence `c AS c ± k` (numeric literal k), CH's
+    * running-counter/timestamp spelling — each filled row applies the
+    * step to the PREVIOUS row's value, so a run of filled rows ramps
+    * from the last source value (last source + k × rows-since-source;
+    * before the first source row the 0 default applies, as for the
+    * bare form). Anything outside the subset — CTE prefix, expression
+    * bounds, non-affine AS-expressions — passes through untouched and
+    * fails loudly at parse, never silently wrong. */
   private val WithFill =
     """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
@@ -2144,14 +2250,33 @@ object ChSqlParser {
   private val AliasedItem = """(?is)^.*\s+AS\s+([A-Za-z_]\w*)\s*$""".r
   private val BareItem    = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
 
+  /** One INTERPOLATE item: "carry" (bare `c` or `c AS c`) or the
+    * affine step ("+"/"-", literal) of `c AS c ± k`. */
+  private def parseInterpItem(it: String): Option[(String, (String, String))] = {
+    val t = it.trim
+    if (t.matches("[A-Za-z_]\\w*")) Some((t, ("carry", "")))
+    else """(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$""".r.findFirstMatchIn(t).flatMap { m =>
+      val c = m.group(1)
+      val e = m.group(2).trim
+      if (e == c) Some((c, ("carry", "")))
+      else """^([A-Za-z_]\w*)\s*([+\-])\s*(\d+(?:\.\d+)?)$""".r.findFirstMatchIn(e) match {
+        case Some(a) if a.group(1) == c => Some((c, (a.group(2), a.group(3))))
+        case _ => None
+      }
+    }
+  }
+
   private def rewriteWithFill(sql: String): String = sql match {
     case WithFill(body, fillCol, from, to, stepOrNull, interpOrNull) =>
       val step = Option(stepOrNull).getOrElse("1")
-      val interp = Option(interpOrNull).map(_.split(",").map(_.trim).toSet)
-        .getOrElse(Set.empty[String])
-      // AS-expression interpolation is not the bare subset — leave
-      // the text alone so the INTERPOLATE keyword fails loudly
-      if (interp.exists(!_.matches("[A-Za-z_]\\w*"))) return sql
+      val items = Option(interpOrNull).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val parsedItems = items.map(parseInterpItem)
+      // interpolation outside the carry/affine subset is not
+      // executable here — leave the text alone so the INTERPOLATE
+      // keyword fails loudly
+      if (parsedItems.exists(_.isEmpty)) return sql
+      val interp: Map[String, (String, String)] = parsedItems.flatten.toMap
       val fromIdx = topLevelFromIndex(body)
       if (fromIdx < 0) sql
       else {
@@ -2164,30 +2289,56 @@ object ChSqlParser {
         // an INTERPOLATE column absent from the SELECT list leaves the
         // text alone → the keyword fails loudly, never silently skips
         if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol) ||
-            !interp.subsetOf(colSet)) sql
+            !interp.keySet.subsetOf(colSet)) sql
         else {
           val cols = names.flatten
+          val affine = interp.exists(_._2._1 != "carry")
           val sel = cols.map { n =>
             if (n == fillCol) s"coalesce(gr_src__.$n, gr_axis__.gr_fill__) AS $n"
-            else if (interp(n)) s"gr_src__.$n AS $n" // filled below
+            else if (interp.contains(n)) s"gr_src__.$n AS $n" // filled below
             else s"coalesce(gr_src__.$n, 0) AS $n"
-          }.mkString(", ")
+          }.mkString(", ") +
+            // affine steps need to know which rows are source rows
+            (if (affine) s", (gr_src__.$fillCol IS NOT NULL) AS gr_is_src__" else "")
           val joined =
             s"""(SELECT $sel
                |FROM (SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__) gr_axis__
                |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+          def carryExpr(n: String) =
+            s"coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
           if (interp.isEmpty)
             s"SELECT * FROM $joined ORDER BY $fillCol"
-          else {
+          else if (!affine) {
             // carry the nearest preceding source value across filled
             // rows; before the first source row the 0 default applies
             // (the same default the non-interpolated columns get)
             val outer = cols.map { n =>
-              if (interp(n))
-                s"coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
-              else n
+              if (interp.contains(n)) carryExpr(n) else n
             }.mkString(", ")
             s"SELECT $outer FROM $joined ORDER BY $fillCol"
+          } else {
+            // affine recurrence `c AS c ± k`: each filled row applies
+            // the step to the previous row's value, so the run ramps
+            // last-source-value ± k × rows-since-source. gr_grp__
+            // counts source rows seen (one group per source row and
+            // its trailing filled run); the row_number inside a group
+            // minus 1 is rows-since-source.
+            val grpSel =
+              s"""SELECT *, count(CASE WHEN gr_is_src__ THEN 1 END)
+                 |  OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
+                 |FROM $joined""".stripMargin
+            val outer = cols.map { n =>
+              interp.get(n) match {
+                case Some(("carry", _)) => carryExpr(n)
+                case Some((op, lit)) =>
+                  s"""CASE WHEN gr_is_src__ THEN $n
+                     |     ELSE coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     |            $op ($lit) * (row_number() OVER (PARTITION BY gr_grp__ ORDER BY $fillCol) - 1), 0)
+                     |END AS $n""".stripMargin
+                case None => n
+              }
+            }.mkString(", ")
+            s"SELECT $outer FROM ($grpSel) gr_fill_g__ ORDER BY $fillCol"
           }
         }
       }

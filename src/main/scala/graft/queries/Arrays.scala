@@ -250,6 +250,45 @@ object Arrays {
             ORDER BY d"""),
   )
 
+  /** `WITH FILL … INTERPOLATE` AS-expressions (round 15): the carry
+    * form `cnt AS cnt` and the affine recurrence `peak AS peak - 3` —
+    * CH's running-counter spelling, where each filled row applies the
+    * step to the PREVIOUS row's value so a gap ramps down from the
+    * last observed peak. The oracle replays the recurrence from first
+    * principles in DuckDB: source-row groups via a running count,
+    * rows-since-source via row_number, last-source value via
+    * last_value IGNORE NULLS. */
+  val q95c = GraftQuery(
+    "q95c_fill_interpolate",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_wfi")
+      s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt,
+                      CAST(max(value) AS BIGINT) AS peak
+               FROM events_wfi WHERE event_type = 'purchase' AND value > 495
+               GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
+               ORDER BY d WITH FILL FROM 0 TO 60 INTERPOLATE (cnt AS cnt, peak AS peak - 3)""")
+    },
+    Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+                              count(*) AS cnt, CAST(max(value) AS BIGINT) AS peak
+                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                 axis AS (SELECT range AS g FROM range(0, 60)),
+                 j AS (SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, d.cnt AS cnt,
+                              d.peak AS peak, (d.d IS NOT NULL) AS is_src
+                       FROM axis FULL OUTER JOIN d ON d.d = axis.g),
+                 g AS (SELECT *, count(CASE WHEN is_src THEN 1 END)
+                                   OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                       FROM j)
+            SELECT d,
+                   coalesce(last_value(cnt IGNORE NULLS)
+                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cnt,
+                   CASE WHEN is_src THEN peak
+                        ELSE coalesce(last_value(peak IGNORE NULLS)
+                               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               - 3 * (row_number() OVER (PARTITION BY grp ORDER BY d) - 1), 0)
+                   END AS peak
+            FROM g ORDER BY d"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -697,5 +736,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q96, q97, q99, q99b, q99c, q99d)
 }

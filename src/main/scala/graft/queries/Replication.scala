@@ -177,6 +177,52 @@ object Replication {
             FROM states GROUP BY 1 ORDER BY month"""),
   )
 
+  /** The uniqState-import MIGRATION story as one driver-checked gate
+    * (round 15): an MV store imported from a live ClickHouse carries
+    * FOREIGN binary uniq states this engine did not write — merging
+    * them fails LOUDLY (never silently wrong, the q35b descope
+    * contract), and [[Replicate.rematerializeMv]] replays the MV's
+    * defining SELECT against the imported raw table and swaps the
+    * store, after which every state is engine-written and the merge
+    * is exact. The gate output is the post-rematerialize merge plus a
+    * flag proving the foreign blob DID refuse; distinct keys are
+    * bucketed (mod 211) to stay inside the HLL sketch's exact range
+    * so the DuckDB oracle can pin the values. */
+  val q35c = GraftQuery(
+    "q35c_mv_rematerialize",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_remat")
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq35c_raw")
+        s.sql("DROP TABLE IF EXISTS gq35c_mv")
+        s.sql("CREATE TABLE gq35c_raw (et String, u Int64, v Float64) ENGINE = MergeTree ORDER BY et")
+        s.sql("""INSERT INTO gq35c_raw
+                 SELECT event_type, user_id % 211, value FROM events_remat""")
+        // the simulated import: plain sum states migrate as data, the
+        // uniq blob is a FOREIGN binary this engine didn't write
+        s.sql("""SELECT et, sumState(v) AS sum_st, unhex('FEEDFACE') AS uq_st
+                 FROM gq35c_raw GROUP BY et""")
+          .write.mode("overwrite").saveAsTable("gq35c_mv")
+      }
+      val foreignFailed =
+        try {
+          s.sql("SELECT et, uniqMerge(uq_st) FROM gq35c_mv GROUP BY et").collect()
+          0 // would mean a foreign blob silently merged — the oracle pins 1
+        } catch { case _: Exception => 1 }
+      graft.operators.Replicate.rematerializeMv(s, "gq35c_mv",
+        """SELECT sumState(v) AS sum_st, uniqState(u) AS uq_st, et
+           FROM gq35c_raw GROUP BY et""")
+      s.sql(s"""SELECT et, round(sumMerge(sum_st), 0) AS total,
+                       CAST(uniqMerge(uq_st) AS BIGINT) AS uniq_buckets,
+                       CAST($foreignFailed AS INT) AS foreign_failed
+                FROM gq35c_mv GROUP BY et ORDER BY et""")
+    },
+    Some("""SELECT event_type AS et, round(sum(value), 0) AS total,
+                   CAST(count(DISTINCT user_id % 211) AS BIGINT) AS uniq_buckets,
+                   CAST(1 AS INT) AS foreign_failed
+            FROM events GROUP BY 1 ORDER BY et"""),
+  )
+
   /** CollapsingMergeTree(sign) FINAL: 'error' events are the cancel
     * rows; a user survives only with positive net sign, carrying the
     * latest +1 row. */
@@ -800,5 +846,5 @@ object Replication {
             GROUP BY 1 ORDER BY prio"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q36, q36b, q36c, q37, q39, q98, q98b, q98c, q100, q101, q102, q103, q104, q105)
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q35c, q36, q36b, q36c, q37, q39, q98, q98b, q98c, q100, q101, q102, q103, q104, q105)
 }
