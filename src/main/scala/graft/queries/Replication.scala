@@ -193,8 +193,8 @@ object Replication {
     (s, dir) => {
       Tables(s, dir).events.createOrReplaceTempView("events_remat")
       graft.FixtureClock.time {
-        s.sql("DROP TABLE IF EXISTS gq35c_raw")
-        s.sql("DROP TABLE IF EXISTS gq35c_mv")
+        dropWithLocation(s, "gq35c_raw")
+        dropWithLocation(s, "gq35c_mv")
         s.sql("CREATE TABLE gq35c_raw (et String, u Int64, v Float64) ENGINE = MergeTree ORDER BY et")
         s.sql("""INSERT INTO gq35c_raw
                  SELECT event_type, user_id % 211, value FROM events_remat""")

@@ -308,9 +308,20 @@ class DialectRound7gSpec extends SparkSpec {
     val vs = rows.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
     assert(vs == Seq(0.0, 10.0, 10.0, 10.0, 40.0, 40.0))
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 100L, 0L, 0L, 400L, 0L))
-    // AS-expression form stays out of the subset and fails loudly
+    // affine AS-form (round 15): each filled row steps from the
+    // PREVIOUS row's value — gaps ramp from the last source value
+    val ramp = spark.sql(
+      """SELECT x, v FROM wf_src
+         ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (v AS v + 1)""").collect()
+    assert(ramp.map(_.getDouble(1)).toSeq == Seq(0.0, 10.0, 11.0, 12.0, 40.0, 41.0))
+    // explicit-carry AS-form equals the bare spelling
+    val carry = spark.sql(
+      """SELECT x, v FROM wf_src
+         ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (v AS v)""").collect()
+    assert(carry.map(_.getDouble(1)).toSeq == Seq(0.0, 10.0, 10.0, 10.0, 40.0, 40.0))
+    // non-affine AS-expressions stay out of the subset and fail loudly
     val e = intercept[Exception](spark.sql(
-      "SELECT x, v FROM wf_src ORDER BY x WITH FILL FROM 0 TO 3 INTERPOLATE (v AS v + 1)"))
+      "SELECT x, v, w FROM wf_src ORDER BY x WITH FILL FROM 0 TO 3 INTERPOLATE (v AS w * 2)"))
     assert(e != null)
   }
 
