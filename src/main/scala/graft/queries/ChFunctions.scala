@@ -2076,6 +2076,38 @@ object ChFunctions {
     * plain bit arithmetic), formatRowNoNewline CSV, and makeDate32.
     * Scale shape: one broadcast dim join (the Join-engine lookup) +
     * per-row codegen'd projections. */
+  /** `SHOW CREATE TABLE` (round 15) — the migration-UX introspection
+    * statement: the first thing a migrating user types to verify a
+    * landed table. The engine reconstructs the ClickHouse DDL from
+    * the manifests the DDL front-end persists (`_graft_engine.txt`:
+    * engine/ORDER BY/PARTITION BY spelling/SETTINGS; `_graft_ttl.txt`:
+    * the LIVE TTL rule; the projections manifest) plus the catalog
+    * schema reverse-mapped to CH types. The oracle pins the EXACT
+    * statement text, so any drift in the reconstruction — a dropped
+    * clause, a reordered column, a lost TTL — is a hash mismatch. */
+  val q29t = GraftQuery(
+    "q29t_show_create",
+    (s, dir) => {
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq29t_t")
+        val whRoot = new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(whRoot, "gq29t_t"), true)
+        s.sql("""CREATE TABLE gq29t_t (d Date, k String, v Float64)
+                 ENGINE = MergeTree PARTITION BY k ORDER BY (d, k)
+                 TTL d + INTERVAL 30 DAY
+                 SETTINGS index_granularity = 8192""")
+        s.sql("ALTER TABLE gq29t_t ADD PROJECTION pa (SELECT k, count(), max(v) GROUP BY k)")
+      }
+      s.sql("SHOW CREATE TABLE gq29t_t")
+    },
+    Some("SELECT 'CREATE TABLE gq29t_t\n(\n    `d` Date,\n    `k` String,\n    `v` Float64,\n" +
+      "    PROJECTION pa (SELECT k, count(), max(v) GROUP BY k)\n)\nENGINE = MergeTree\n" +
+      "PARTITION BY k\nORDER BY (d, k)\nTTL d + INTERVAL 30 DAY\n" +
+      "SETTINGS index_granularity = 8192' AS statement"),
+  )
+
   val q29r = GraftQuery(
     "q29r_dialect_r12",
     (s, dir) => {
@@ -2539,5 +2571,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q28r, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q38, q38b, q38c, q38d, q38e, q21b)
 }
