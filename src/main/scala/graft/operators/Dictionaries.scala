@@ -70,9 +70,16 @@ object Dictionaries {
       while (it.hasMoreElements) invalidateClosures(it.nextElement())
   }
 
+  // original CREATE DICTIONARY text per name (SHOW CREATE DICTIONARY);
+  // Scala-API registrations have no DDL and answer with guidance
+  private val ddls = new ConcurrentHashMap[String, String]()
+  def recordDdl(name: String, text: String): Unit = ddls.put(name, text)
+  def ddlOf(name: String): Option[String] = Option(ddls.get(name))
+
   /** Remove a dictionary (DROP DICTIONARY); true when it existed. */
   def unregister(name: String): Boolean = {
     invalidateClosures(name)
+    ddls.remove(name)
     dicts.remove(name) != null
   }
 

@@ -864,7 +864,8 @@ case class ChOptimizeCommand(table: String, dedupBy: Option[Seq[String]],
 case class ChCreateDictionaryCommand(
     name: String, keyCols: Seq[String], cols: Seq[(String, String)],
     hierarchicalCol: Option[String], sourceKind: String,
-    sourceProps: Map[String, String], ifNotExists: Boolean) extends LeafRunnableCommand {
+    sourceProps: Map[String, String], ifNotExists: Boolean,
+    ddlText: String = "") extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import graft.operators.Dictionaries
@@ -904,6 +905,7 @@ case class ChCreateDictionaryCommand(
       case Some(p) => Dictionaries.registerHierarchical(name, keyCols.head, p, thunk)
       case None    => Dictionaries.registerComplex(name, keyCols, thunk)
     }
+    if (ddlText.nonEmpty) Dictionaries.recordDdl(name, ddlText)
     Seq.empty
   }
 }

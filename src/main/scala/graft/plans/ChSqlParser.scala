@@ -881,7 +881,24 @@ object ChSqlParser {
   private val ShowCreateTableStmt =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
 
+  /** `SHOW CREATE DICTIONARY d` — the original CREATE DICTIONARY text
+    * (recorded at execution; CH answers a normalized form, this
+    * answers the statement as written — same information). Unknown or
+    * Scala-registered dictionaries refuse with guidance. */
+  private val ShowCreateDictStmt =
+    """(?is)^\s*SHOW\s+CREATE\s+DICTIONARY\s+([\w.]+)\s*;?\s*$""".r
+
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case ShowCreateDictStmt(name) =>
+      val n = name.stripPrefix("`").stripSuffix("`")
+      if (!graft.operators.Dictionaries.exists(n))
+        throw new IllegalArgumentException(s"dictionary '$n' does not exist")
+      graft.operators.Dictionaries.ddlOf(n) match {
+        case Some(ddl) => Some(ChShowCreateTableCommand(n, ddl))
+        case None => throw new UnsupportedOperationException(
+          s"dictionary '$n' was registered through the Scala API (graft.operators." +
+            "Dictionaries), not DDL — there is no CREATE statement to show")
+      }
     case ShowCreateTableStmt(table) =>
       org.apache.spark.sql.SparkSession.getActiveSession
         .flatMap(s => ChCommands.showCreateChTable(s, table))
@@ -1147,7 +1164,8 @@ object ChSqlParser {
       throw new UnsupportedOperationException(
         "a HIERARCHICAL dictionary needs a single integral key (CH requires UInt64 there)")
     ChCreateDictionaryCommand(name, pkCols, cols, hierCol,
-      srcM.group(1).toUpperCase, srcProps, ifNotExists)
+      srcM.group(1).toUpperCase, srcProps, ifNotExists,
+      ddlText = sql.trim.stripSuffix(";").trim)
   }
   private val RenameTableStmt =
     """(?is)^\s*RENAME\s+TABLE\s+(.+?)\s*;?\s*$""".r

@@ -45,6 +45,9 @@ class SchemaGuardSpec extends SparkSpec {
       case o: Offset => terminalSort(o.child)
       // ungrouped aggregate = exactly one row; order is vacuous
       case a: Aggregate => a.groupingExpressions.isEmpty
+      // a single-row introspection command (SHOW CREATE TABLE) —
+      // exactly one row by construction; order is vacuous
+      case _: graft.plans.ChShowCreateTableCommand => true
       case _ => false
     }
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -95,6 +95,32 @@ class ShowCreateTableSpec extends SparkSpec {
     spark.sql("DROP TABLE sct_plain")
   }
 
+  test("SHOW CREATE DICTIONARY returns the recorded DDL; unknown/API dictionaries refuse") {
+    val dir = s"/tmp/graft_sct_dict_${System.nanoTime()}"
+    spark.range(5).selectExpr("id AS k", "concat('v', id) AS v")
+      .write.mode("overwrite").parquet(dir)
+    val ddl = s"""CREATE DICTIONARY sct_dict (k UInt64, v String) PRIMARY KEY k
+                  SOURCE(FILE(PATH '$dir' FORMAT 'Parquet')) LAYOUT(FLAT())"""
+    spark.sql(ddl)
+    try {
+      val shown = spark.sql("SHOW CREATE DICTIONARY sct_dict")
+      assert(shown.columns.toSeq == Seq("statement"))
+      assert(shown.head().getString(0) == ddl.trim)
+      // DROP forgets the DDL; a later SHOW refuses loudly
+      spark.sql("DROP DICTIONARY sct_dict")
+      val e = intercept[Exception](spark.sql("SHOW CREATE DICTIONARY sct_dict"))
+      assert(e.getMessage.contains("does not exist"))
+      // a Scala-API registration has no DDL to show — guidance, not a blank
+      graft.operators.Dictionaries.register("sct_api_dict", "k",
+        () => spark.range(3).selectExpr("id AS k", "id AS v"))
+      val e2 = intercept[Exception](spark.sql("SHOW CREATE DICTIONARY sct_api_dict"))
+      assert(e2.getMessage.contains("Scala API"))
+    } finally {
+      graft.operators.Dictionaries.unregister("sct_api_dict")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("splitEngineTail: paren/quote-aware top-level clause split") {
     import graft.plans.ChSqlParser.splitEngineTail
     val m = splitEngineTail(
