@@ -939,7 +939,8 @@ case class ChCreateDictionaryCommand(
   * first-class rather than silently stripped. `IF NOT EXISTS` on an
   * existing table leaves the existing record untouched. */
 case class ChCreateChTableCommand(name: String, innerSql: String, engine: String,
-    clauses: Map[String, String], declaredCols: Seq[String]) extends LeafRunnableCommand {
+    clauses: Map[String, String], declaredCols: Seq[String],
+    projections: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val existed = spark.catalog.tableExists(name)
@@ -955,6 +956,10 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
         clauses.get("SETTINGS").map("settings" -> _)
       ChCommands.writeEngineManifest(spark, info.path, fields)
       clauses.get("TTL").foreach(t => spark.sql(s"ALTER TABLE $name MODIFY TTL $t"))
+      // CREATE-declared projections (CH allows them in the body, and
+      // SHOW CREATE emits them there) — same path as ALTER ADD
+      for ((pn, body) <- projections)
+        spark.sql(s"ALTER TABLE $name ADD PROJECTION $pn ($body)")
     }
     Seq.empty
   }

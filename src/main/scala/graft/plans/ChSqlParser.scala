@@ -1266,18 +1266,27 @@ object ChSqlParser {
   private[plans] def interceptChCreate(raw: String, rewritten: String): Option[LogicalPlan] = {
     if ("""(?i)\bENGINE\s*=\s*(Join|Kafka)\b""".r.findFirstIn(raw).isDefined) return None
     val nameTailCols = raw match {
-      case ChCreateTableAs(_, name, tail, _) => Some((name, tail, Nil))
+      case ChCreateTableAs(_, name, tail, _) => Some((name, tail, Nil, Nil))
       case ChCreateTable(_, name, colsRaw, tail) =>
         // declared column ORDER (Spark's catalog floats partition
         // columns to the end; SHOW CREATE restores the CH order)
         val declared = chColumnsToSpark(colsRaw)
           .map(_._1.stripPrefix("`").stripSuffix("`"))
-        Some((name, tail, declared))
+        // PROJECTION entries declared in the CREATE body (CH's own
+        // SHOW CREATE emits them there): executed as ADD PROJECTION
+        // after the create, so CREATE-declared projections are
+        // first-class — and SHOW CREATE's output is re-executable
+        val projections = topLevelSplit(colsRaw).map(_.trim).flatMap { e =>
+          """(?is)^PROJECTION\s+(`[^`]+`|[A-Za-z_]\w*)\s*\((.*)\)\s*$""".r
+            .findFirstMatchIn(e)
+            .map(m => (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2).trim))
+        }
+        Some((name, tail, declared, projections))
       case _ => None
     }
-    nameTailCols.map { case (name, tail, declared) =>
+    nameTailCols.map { case (name, tail, declared, projections) =>
       val engine = EngineText.findFirstMatchIn(raw).map(_.group(1).trim).getOrElse("MergeTree")
-      ChCreateChTableCommand(name, rewritten, engine, splitEngineTail(tail), declared)
+      ChCreateChTableCommand(name, rewritten, engine, splitEngineTail(tail), declared, projections)
     }
   }
 
