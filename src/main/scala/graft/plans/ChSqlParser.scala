@@ -879,14 +879,14 @@ object ChSqlParser {
     * carrying NO graft metadata return None here and fall through to
     * Spark's native SHOW CREATE TABLE (createtab_stmt). */
   private val ShowCreateTableStmt =
-    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([\w.]+)`?\s*;?\s*$""".r
 
   /** `SHOW CREATE DICTIONARY d` — the original CREATE DICTIONARY text
     * (recorded at execution; CH answers a normalized form, this
     * answers the statement as written — same information). Unknown or
     * Scala-registered dictionaries refuse with guidance. */
   private val ShowCreateDictStmt =
-    """(?is)^\s*SHOW\s+CREATE\s+DICTIONARY\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+DICTIONARY\s+`?([\w.]+)`?\s*;?\s*$""".r
 
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
     case ShowCreateDictStmt(name) =>
