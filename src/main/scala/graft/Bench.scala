@@ -118,31 +118,42 @@ object Bench {
     // artifact's "audit" table with a noise/regression verdict.
     final case class Audit(serial: Double, prev: Double, isolated: Double, setup: Double,
                            loadAtRerun: Double) {
+      // WORK-time vs WORK-time: `prev` already has the prior run's
+      // fixture seconds subtracted (below), so the comparison can't
+      // be gamed either way by fixture noise. A crashed re-run is its
+      // own verdict — never "noise".
       def verdict: String =
-        if (math.max(0.0, isolated - setup) <= 1.5 * prev) "noise" else "regression"
+        if (isolated < 0) "rerun_error"
+        else if (math.max(0.0, isolated - setup) <= 1.5 * prev) "noise"
+        else "regression"
     }
+    // Previous per-query WORK seconds (total minus the artifact's
+    // recorded fixture setup, when present). Accepts Bench's own
+    // artifact (top-level "queries"/"setup") or the driver's
+    // BENCH_r{N}.json wrapper ("parsed" → "queries").
     val prevTimes: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
       import org.json4s._
       val root = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(p)))
-      // accept Bench's own artifact (top-level "queries") or the
-      // driver's BENCH_r{N}.json wrapper ("parsed" → "queries")
-      val qs = root \ "queries" match {
-        case o: JObject => o
-        case _ => root \ "parsed" \ "queries"
-      }
-      qs match {
+      def numMap(v: JValue): Map[String, Double] = v match {
         case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDouble(x)) => k -> x
+          case (k, JInt(x)) => k -> x.toDouble
         }.toMap
-        case _ => Map.empty[String, Double]
+        case _ => Map.empty
       }
+      val qs = root \ "queries" match {
+        case o: JObject => numMap(o)
+        case _ => numMap(root \ "parsed" \ "queries")
+      }
+      val st = numMap(root \ "setup")
+      qs.map { case (k, v) => k -> math.max(0.0, v - st.getOrElse(k, 0.0)) }
     }.getOrElse(Map.empty)
     val auditCandidates: Seq[(String, R)] =
       if (prevTimes.isEmpty) Nil
       else results.collect {
         case (name, Q(best, runs)) if best.err.isEmpty && runs.size == 1 && best.sec > retryCutoff &&
-            prevTimes.get(name).exists(p => p > 0 && best.sec > 1.5 * p) => name -> best
+            prevTimes.get(name).exists(p => p > 0 && math.max(0.0, best.sec - best.setup) > 1.5 * p) =>
+          name -> best
       }
     val audits: Seq[(String, Audit)] = auditCandidates.map { case (name, best) =>
       // "isolated" has to MEAN isolated: the serial pass just ended, so
@@ -209,7 +220,7 @@ object Bench {
     // the harness-generated audit table (empty when no PREV artifact
     // was supplied or nothing tripped the 20 s + 1.5× gate)
     val auditJson = audits.map { case (k, a) =>
-      jstr(k) + s""":{"serial":${ms(a.serial)},"prev":${ms(a.prev)},"isolated":${ms(a.isolated)},""" +
+      jstr(k) + s""":{"serial":${ms(a.serial)},"prev_work":${ms(a.prev)},"isolated":${ms(a.isolated)},""" +
         s""""isolated_setup":${ms(a.setup)},"load_at_rerun":${ms(a.loadAtRerun)},"verdict":${jstr(a.verdict)}}"""
     }.mkString("{", ",", "}")
     val cond = s""""load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},""" +

@@ -98,12 +98,9 @@ object NearDedupScaleRehearsal {
     val expectedHits = 3 * (docs / 10) + (docs + 29) / 30
     val blocks = sys.env.get("SPARK_GRAFT_STATE_BLOCKS").map(_.toInt)
       .getOrElse(graft.streaming.StreamNearDedup.autoBlocks(docs, maxHamming = 3))
-    // per-doc key replication under the Manku scheme: C(blocks, d)
-    val combosPerDoc = {
-      var c = 1L; var i = 1
-      while (i <= 3) { c = c * (blocks - 3 + i) / i; i += 1 }
-      c
-    }
+    // per-doc key replication under the Manku scheme: C(blocks, d) —
+    // the operator's OWN count, so this metric can't drift from it
+    val combosPerDoc = graft.streaming.StreamNearDedup.combinations(blocks, 3)
     for (backend <- Seq("hdfs", "rocksdb")) {
       if (backend == "rocksdb")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",

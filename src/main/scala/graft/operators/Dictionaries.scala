@@ -93,6 +93,10 @@ object Dictionaries {
   def registerComplex(name: String, keyCols: Seq[String], source: () => DataFrame): Unit = {
     dicts.put(name, Dict(keyCols, source))
     invalidateClosures(name)
+    // a re-registration REPLACES the dictionary: a previously-recorded
+    // CREATE text no longer describes it (the DDL path re-records
+    // AFTER registering, so DDL-created dictionaries keep theirs)
+    ddls.remove(name)
   }
 
   // -- Join-engine tables (`CREATE TABLE … ENGINE = Join(ANY, LEFT,
@@ -135,6 +139,7 @@ object Dictionaries {
                            source: () => DataFrame): Unit = {
     dicts.put(name, Dict(Seq(keyCol), source, Some(parentCol)))
     invalidateClosures(name)
+    ddls.remove(name) // same replacement contract as registerComplex
   }
 
   // collected (key, parent) walks cached per dictionary so repeated

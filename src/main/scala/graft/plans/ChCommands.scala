@@ -229,6 +229,17 @@ object ChCommands {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** Read a small metadata file (manifests) fully as UTF-8. */
+  private[plans] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** Content fingerprint of the BASE data under `path`: every visible
     * (non-hidden) file's (relative path, length, mtime), sorted,
     * md5'd. Any insert/mutation/compaction changes it, which is
@@ -317,12 +328,7 @@ object ChCommands {
     } catch { case _: Exception => return Nil }
     val cached = projCache.get(path)
     val parsed = if (cached != null && cached._1 == mtime) cached._2 else {
-      val in = fs.open(mp)
-      val text = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-        new String(bos.toByteArray, "UTF-8")
-      } finally in.close()
+      val text = readSmallFile(fs, mp)
       val specs = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
         // 4 fields = pre-subset manifest (full-row sort / aggregate);
         // 5th field = stored column subset of a sort projection
@@ -437,16 +443,27 @@ object ChCommands {
     val fs = fsOf(spark, path)
     val p = engineManifest(path)
     if (!(try fs.exists(p) catch { case _: Exception => false })) return Map.empty
-    val in = fs.open(p)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-      new String(bos.toByteArray, "UTF-8")
-    } finally in.close()
-    text.split("\n").toSeq.filter(_.contains("=")).map { line =>
+    // left-to-right unescape: naive sequential .replace calls corrupt
+    // values containing a literal backslash followed by 'n' (the
+    // write escaped '\\' first, so the read must decode pairwise)
+    def unescape(v: String): String = {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '\\' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case 'n'  => sb.append('\n'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case o    => sb.append(c).append(o); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    readSmallFile(fs, p).split("\n").toSeq.filter(_.contains("=")).map { line =>
       val i = line.indexOf('=')
-      line.substring(0, i) ->
-        line.substring(i + 1).replace("\\n", "\n").replace("\\\\", "\\")
+      line.substring(0, i) -> unescape(line.substring(i + 1))
     }.toMap
   }
 
@@ -527,12 +544,7 @@ object ChCommands {
     meta.get("primary_key").foreach(p => sb.append(s"\nPRIMARY KEY $p"))
     meta.get("sample_by").foreach(p => sb.append(s"\nSAMPLE BY $p"))
     if (hasTtl) {
-      val in = fs.open(ttlP)
-      val raw = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-        new String(bos.toByteArray, "UTF-8")
-      } finally in.close()
+      val raw = readSmallFile(fs, ttlP)
       val (ttl, whereCond, groupKeys, sets) = ttlRuleParse(raw)
       val tail =
         if (groupKeys.nonEmpty)
@@ -1120,12 +1132,7 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
     val p = ChCommands.ttlManifest(info.path)
     if (!fs.exists(p)) throw new IllegalArgumentException(
       s"table '$table' has no TTL; set one with ALTER TABLE $table MODIFY TTL <expr>")
-    val in = fs.open(p)
-    val raw = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-      new String(bos.toByteArray, "UTF-8")
-    } finally in.close()
+    val raw = ChCommands.readSmallFile(fs, p)
     val (ttl, whereCond, groupKeys, sets) = ChCommands.ttlRuleParse(raw)
     val predSql = ChCommands.ttlPredicateSql(ttl, whereCond)
     if (groupKeys.isEmpty)

@@ -879,18 +879,18 @@ object ChSqlParser {
     * carrying NO graft metadata return None here and fall through to
     * Spark's native SHOW CREATE TABLE (createtab_stmt). */
   private val ShowCreateTableStmt =
-    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([\w.]+)`?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
 
   /** `SHOW CREATE DICTIONARY d` — the original CREATE DICTIONARY text
     * (recorded at execution; CH answers a normalized form, this
     * answers the statement as written — same information). Unknown or
     * Scala-registered dictionaries refuse with guidance. */
   private val ShowCreateDictStmt =
-    """(?is)^\s*SHOW\s+CREATE\s+DICTIONARY\s+`?([\w.]+)`?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+DICTIONARY\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
 
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
     case ShowCreateDictStmt(name) =>
-      val n = name.stripPrefix("`").stripSuffix("`")
+      val n = name.replace("`", "")
       if (!graft.operators.Dictionaries.exists(n))
         throw new IllegalArgumentException(s"dictionary '$n' does not exist")
       graft.operators.Dictionaries.ddlOf(n) match {
@@ -899,7 +899,8 @@ object ChSqlParser {
           s"dictionary '$n' was registered through the Scala API (graft.operators." +
             "Dictionaries), not DDL — there is no CREATE statement to show")
       }
-    case ShowCreateTableStmt(table) =>
+    case ShowCreateTableStmt(table0) =>
+      val table = table0.replace("`", "") // per-part backtick quoting
       org.apache.spark.sql.SparkSession.getActiveSession
         .flatMap(s => ChCommands.showCreateChTable(s, table))
         .map(ChShowCreateTableCommand(table, _))
@@ -2298,12 +2299,22 @@ object ChSqlParser {
       val step = Option(stepOrNull).getOrElse("1")
       val items = Option(interpOrNull).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+      // an INTERPOLATE clause that is present but empty is malformed —
+      // leave the text alone so the keyword fails loudly (rewriting it
+      // away would silently downgrade to 0-fill)
+      if (interpOrNull != null && items.isEmpty) return sql
       val parsedItems = items.map(parseInterpItem)
       // interpolation outside the carry/affine subset is not
       // executable here — leave the text alone so the INTERPOLATE
-      // keyword fails loudly
+      // keyword fails loudly; same for duplicate entries for one
+      // column (toMap would silently keep the last spelling) and for
+      // interpolating the fill axis itself (CH rejects it; the filled
+      // axis is never NULL so a carry would read the CURRENT row)
       if (parsedItems.exists(_.isEmpty)) return sql
-      val interp: Map[String, (String, String)] = parsedItems.flatten.toMap
+      val flat = parsedItems.flatten
+      if (flat.map(_._1).distinct.size != flat.size) return sql
+      if (flat.exists(_._1 == fillCol)) return sql
+      val interp: Map[String, (String, String)] = flat.toMap
       val fromIdx = topLevelFromIndex(body)
       if (fromIdx < 0) sql
       else {

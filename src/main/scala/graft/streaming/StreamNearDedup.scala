@@ -69,10 +69,19 @@ object StreamNearDedup {
     (b to (maxHamming + 1) by -1).find(keyFitsLong(_, maxHamming, bits)).getOrElse(maxHamming + 1)
   }
 
-  private def comboIndexBits(blocks: Int, maxHamming: Int): Int = {
+  /** C(blocks, maxHamming) — the per-doc key replication of the Manku
+    * combination scheme (= C(blocks, blocks - maxHamming), the number
+    * of ways to choose the intact blocks). Exposed so rehearsal /
+    * sizing math shares the operator's own count. */
+  def combinations(blocks: Int, maxHamming: Int): Long = {
     var c = 1L
     var i = 1
     while (i <= maxHamming) { c = c * (blocks - maxHamming + i) / i; i += 1 }
+    c
+  }
+
+  private def comboIndexBits(blocks: Int, maxHamming: Int): Int = {
+    val c = combinations(blocks, maxHamming)
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(c - 1, 1L)))
   }
 
@@ -83,38 +92,6 @@ object StreamNearDedup {
     comboIndexBits(blocks, maxHamming) + sel <= 63
   }
 
-  /** Explode an (id, fp) frame into the chunk-combination memberships
-    * [[nearHitsPerChunk]] keys its state by. Lives HERE — next to the
-    * operator whose pigeonhole guarantee it carries — so a caller
-    * can't silently raise maxHamming without the key scheme following.
-    *
-    * `blocks` defaults to maxHamming + 1 (one block per key: d flipped
-    * bits touch ≤ d of the d+1 blocks, so ≥ 1 survives intact — the
-    * q106b gate's oracled dial). Larger `blocks` switches to the Manku
-    * combination scheme of the batch operator: keys are the
-    * C(blocks, blocks−maxHamming) ways to choose blocks − maxHamming
-    * blocks, concatenated — a pair within hamming d still agrees on
-    * ≥ blocks − d whole blocks, so ≥ 1 combination key collides and
-    * candidates stay EXACT, while each key carries ~(blocks−d)/blocks
-    * of the fingerprint's bits and bucket occupancy falls
-    * exponentially. Size it with [[autoBlocks]]. Chunk widths split
-    * `bits` evenly, wider blocks first (the batch convention).
-    *
-    * STATE-KEY FORMAT (round 14, scheme "v2"): keys pack per-block
-    * widths (`ci << w1 | blk1 …`) where the pre-combination scheme
-    * shifted by the max width — for configurations where
-    * `bits % blocks != 0` the packed values differ, so a checkpoint
-    * written by the old scheme must be DRAINED (stop at a batch
-    * boundary, restart fresh) before upgrading; resuming it would
-    * leave historical fingerprints under unreachable keys (silent
-    * recall loss). The default 60-bit / maxHamming-3 gate
-    * configuration divides evenly and is bit-identical across the
-    * change. This contract is ENFORCED, not advisory: call
-    * [[ensureCheckpointScheme]] on the query's checkpoint directory
-    * before `start()` — it stamps a `_GRAFT_KEY_SCHEME` marker on a
-    * fresh checkpoint and FAILS FAST on one written by a different
-    * packing (or by any pre-versioned build, unless the dial is
-    * bit-identical across schemes). */
   /** The state-key packing scheme id of this build. "v2" = per-block
     * width shifts (round 14); "v1" (rounds ≤ 13) shifted every block
     * by the max width. Bumped whenever [[explodeChunks]]' packed `ck`
@@ -188,6 +165,38 @@ object StreamNearDedup {
     }
   }
 
+  /** Explode an (id, fp) frame into the chunk-combination memberships
+    * [[nearHitsPerChunk]] keys its state by. Lives HERE — next to the
+    * operator whose pigeonhole guarantee it carries — so a caller
+    * can't silently raise maxHamming without the key scheme following.
+    *
+    * `blocks` defaults to maxHamming + 1 (one block per key: d flipped
+    * bits touch ≤ d of the d+1 blocks, so ≥ 1 survives intact — the
+    * q106b gate's oracled dial). Larger `blocks` switches to the Manku
+    * combination scheme of the batch operator: keys are the
+    * C(blocks, blocks−maxHamming) ways to choose blocks − maxHamming
+    * blocks, concatenated — a pair within hamming d still agrees on
+    * ≥ blocks − d whole blocks, so ≥ 1 combination key collides and
+    * candidates stay EXACT, while each key carries ~(blocks−d)/blocks
+    * of the fingerprint's bits and bucket occupancy falls
+    * exponentially. Size it with [[autoBlocks]]. Chunk widths split
+    * `bits` evenly, wider blocks first (the batch convention).
+    *
+    * STATE-KEY FORMAT (round 14, scheme "v2"): keys pack per-block
+    * widths (`ci << w1 | blk1 …`) where the pre-combination scheme
+    * shifted by the max width — for configurations where
+    * `bits % blocks != 0` the packed values differ, so a checkpoint
+    * written by the old scheme must be DRAINED (stop at a batch
+    * boundary, restart fresh) before upgrading; resuming it would
+    * leave historical fingerprints under unreachable keys (silent
+    * recall loss). The default 60-bit / maxHamming-3 gate
+    * configuration divides evenly and is bit-identical across the
+    * change. This contract is ENFORCED, not advisory: call
+    * [[ensureCheckpointScheme]] on the query's checkpoint directory
+    * before `start()` — it stamps a `_GRAFT_KEY_SCHEME` marker on a
+    * fresh checkpoint and FAILS FAST on one written by a different
+    * packing (or by any pre-versioned build, unless the dial is
+    * bit-identical across schemes). */
   def explodeChunks(df: org.apache.spark.sql.DataFrame, maxHamming: Int,
                     bits: Int = 60, blocks: Int = 0)(
       implicit cEnc: Encoder[ChunkDoc]): Dataset[ChunkDoc] = {

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Round-15 self-review fixes, pinned:
+  *  - engine-manifest escaping decodes left-to-right (a literal
+  *    backslash-n in a clause survives the round trip);
+  *  - INTERPOLATE guards: the fill axis itself, an empty list, and
+  *    duplicate entries all fail loudly instead of rewriting;
+  *  - SHOW CREATE accepts per-part backtick quoting;
+  *  - a Scala-API re-registration clears a recorded dictionary DDL. */
+class Round15ReviewSpec extends SparkSpec {
+
+  test("engine manifest round-trips values containing literal backslash-n") {
+    val dir = s"/tmp/graft_r15_manifest_${System.nanoTime()}"
+    new java.io.File(dir).mkdirs()
+    try {
+      // '\','n' as two characters, plus a lone backslash and a real
+      // newline — the full escape alphabet
+      val tricky = Seq(
+        "order_by" -> """extractAll(s, '\n')[1]""",
+        "settings" -> "a\\b",
+        "partition_by" -> "x\ny")
+      ChCommands.writeEngineManifest(spark, dir, tricky)
+      val back = ChCommands.readEngineManifest(spark, dir)
+      assert(back == tricky.toMap, s"got $back")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("INTERPOLATE guards: fill axis, empty list, duplicates fail loudly") {
+    spark.sql("SELECT * FROM VALUES (1, 10.0D), (4, 40.0D) t(x, v)")
+      .createOrReplaceTempView("wfi_guard")
+    // interpolating the ORDER BY axis itself would silently corrupt it
+    intercept[Exception](spark.sql(
+      "SELECT x, v FROM wfi_guard ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (x AS x + 1)"))
+    // present-but-empty clause is malformed, not 0-fill
+    intercept[Exception](spark.sql(
+      "SELECT x, v FROM wfi_guard ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE ()"))
+    // duplicate entries must not silently keep the last spelling
+    intercept[Exception](spark.sql(
+      "SELECT x, v FROM wfi_guard ORDER BY x WITH FILL FROM 0 TO 6 " +
+        "INTERPOLATE (v AS v + 1, v AS v - 1)"))
+    // the valid forms still execute
+    assert(spark.sql(
+      """SELECT x, v FROM wfi_guard
+         ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (v AS v + 1)""").count() == 6)
+  }
+
+  test("SHOW CREATE TABLE accepts per-part backtick quoting") {
+    spark.sql("DROP TABLE IF EXISTS r15_bt")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(wh, "r15_bt"), true)
+    spark.sql("CREATE TABLE r15_bt (k Int64) ENGINE = MergeTree ORDER BY k")
+    try {
+      for (spelling <- Seq("`r15_bt`", "`default`.`r15_bt`", "default.r15_bt")) {
+        val ddl = spark.sql(s"SHOW CREATE TABLE $spelling")
+        assert(ddl.columns.toSeq == Seq("statement"), spelling)
+        assert(ddl.head().getString(0).contains("ENGINE = MergeTree"), spelling)
+      }
+    } finally spark.sql("DROP TABLE r15_bt")
+  }
+
+  test("Scala-API re-registration clears a recorded dictionary DDL") {
+    val dir = s"/tmp/graft_r15_dictdll_${System.nanoTime()}"
+    spark.range(3).selectExpr("id AS k", "id AS v").write.mode("overwrite").parquet(dir)
+    spark.sql(s"""CREATE DICTIONARY r15_redict (k UInt64, v Int64) PRIMARY KEY k
+                  SOURCE(FILE(PATH '$dir' FORMAT 'Parquet')) LAYOUT(FLAT())""")
+    try {
+      assert(spark.sql("SHOW CREATE DICTIONARY r15_redict").count() == 1)
+      // re-register the SAME name through the Scala API: the stored
+      // CREATE text no longer describes the dictionary → refuse
+      graft.operators.Dictionaries.register("r15_redict", "k",
+        () => spark.range(5).selectExpr("id AS k", "id * 2 AS v"))
+      val e = intercept[Exception](spark.sql("SHOW CREATE DICTIONARY r15_redict"))
+      assert(e.getMessage.contains("Scala API"), e.getMessage)
+    } finally graft.operators.Dictionaries.unregister("r15_redict")
+  }
+}
