@@ -977,6 +977,78 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
   }
 }
 
+/** `ALTER TABLE t MODIFY ORDER BY expr` — updates the table's
+  * declared sort key in the engine record (`_graft_engine.txt`), the
+  * clause SHOW CREATE TABLE answers with and MergeTreeWrite-style
+  * relayouts consult. ClickHouse's own MODIFY ORDER BY is metadata
+  * too (existing parts keep their order; new ones sort by the new
+  * key) — same semantics here: no data rewrite. Bare column
+  * references are validated against the live schema so a typo fails
+  * now, not at the next relayout. */
+case class ChModifyEngineClauseCommand(table: String, field: String,
+    value: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(spark, table)
+    if (field == "order_by") value.foreach { v =>
+      val names = ChCommands.readData(spark, table, info.path).schema.fieldNames.toSet
+      val bare = """[A-Za-z_]\w*""".r.findAllIn(
+        v.replaceAll("""'[^']*'""", "")).toSeq.filterNot(_.matches("(?i)tuple"))
+      // identifiers directly followed by '(' are function calls
+      val missing = bare.filter(c => !names.contains(c) &&
+        ("""(?i)\b""" + java.util.regex.Pattern.quote(c) + """\s*\(""").r.findFirstIn(v).isEmpty)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"MODIFY ORDER BY references missing column(s): ${missing.mkString(", ")}")
+    }
+    val meta = ChCommands.readEngineManifest(spark, info.path)
+    val updated = (meta - field) ++ value.map(field -> _) +
+      ("engine" -> meta.getOrElse("engine", "MergeTree"))
+    ChCommands.writeEngineManifest(spark, info.path, updated.toSeq.sortBy(_._1))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t MODIFY SETTING a = 1, b = 2` / `RESET SETTING a, b`
+  * — upserts/removes entries in the engine record's SETTINGS clause
+  * (CH table settings are engine metadata; none drives execution
+  * here, but the record must track what the user declared — it is
+  * what SHOW CREATE answers). */
+case class ChModifySettingsCommand(table: String, text: String,
+    reset: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(spark, table)
+    val meta = ChCommands.readEngineManifest(spark, info.path)
+    val current: Seq[(String, String)] = meta.get("settings").toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty).map { e =>
+        val i = e.indexOf('=')
+        if (i < 0) (e, "") else (e.substring(0, i).trim, e.substring(i + 1).trim)
+      }
+    val next: Seq[(String, String)] =
+      if (reset) {
+        val names = text.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSet
+        current.filterNot { case (k, _) => names.contains(k) }
+      } else {
+        val sets = text.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { a =>
+          val m = """(?s)^(`[^`]+`|\w+)\s*=\s*(.+)$""".r.findFirstMatchIn(a).getOrElse(
+            throw new IllegalArgumentException(
+              s"MODIFY SETTING entry '$a' must be name = value"))
+          (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2).trim)
+        }
+        val bySet = sets.toMap
+        current.filterNot { case (k, _) => bySet.contains(k) } ++ sets
+      }
+    val settingsText = next.map { case (k, v) => if (v.isEmpty) k else s"$k = $v" }
+      .mkString(", ")
+    val updated = (meta - "settings") ++
+      (if (settingsText.nonEmpty) Seq("settings" -> settingsText) else Nil) +
+      ("engine" -> meta.getOrElse("engine", "MergeTree"))
+    ChCommands.writeEngineManifest(spark, info.path, updated.toSeq.sortBy(_._1))
+    Seq.empty
+  }
+}
+
 /** The parse-time-resolved `SHOW CREATE TABLE` answer (see
   * ChSqlParser.interceptCommand); carrying the table name keeps the
   * plan's string form self-describing. */

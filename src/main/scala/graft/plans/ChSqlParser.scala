@@ -987,6 +987,12 @@ object ChSqlParser {
         ifExists = ife != null, clearOnly = verb.equalsIgnoreCase("CLEAR")))
     case MaterializeProjectionStmt(table, name) =>
       Some(ChMaterializeProjectionCommand(table, name.stripPrefix("`").stripSuffix("`")))
+    case AlterModifyOrderBy(table, orderExpr) =>
+      Some(ChModifyEngineClauseCommand(table, "order_by", Some(orderExpr.trim)))
+    case AlterModifySetting(table, assigns) =>
+      Some(ChModifySettingsCommand(table, assigns.trim, reset = false))
+    case AlterResetSetting(table, names) =>
+      Some(ChModifySettingsCommand(table, names.trim, reset = true))
     case AlterModifyTtl(table, rawExpr) =>
       // storage tiering has no single-tier analog; DELETE [WHERE] and
       // GROUP BY … SET rollups execute (round 11)
@@ -1082,6 +1088,12 @@ object ChSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MATERIALIZE\s+PROJECTION\s+(`[^`]+`|\w+)\s*;?\s*$""".r
   private val AlterModifyTtl =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+TTL\s+(.+?)\s*;?\s*$""".r
+  private val AlterModifyOrderBy =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+ORDER\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val AlterModifySetting =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+SETTING\s+(.+?)\s*;?\s*$""".r
+  private val AlterResetSetting =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RESET\s+SETTING\s+(.+?)\s*;?\s*$""".r
   private val AlterRemoveTtl =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REMOVE\s+TTL\s*;?\s*$""".r
   private val AlterMaterializeTtl =

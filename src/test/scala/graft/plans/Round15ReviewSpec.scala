@@ -62,6 +62,38 @@ class Round15ReviewSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE r15_bt")
   }
 
+  test("MODIFY ORDER BY / MODIFY SETTING / RESET SETTING update the engine record") {
+    spark.sql("DROP TABLE IF EXISTS r15_alt")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(wh, "r15_alt"), true)
+    spark.sql("""CREATE TABLE r15_alt (a Int64, b String, c Float64)
+                 ENGINE = MergeTree ORDER BY a SETTINGS index_granularity = 8192""")
+    def shown(): String = spark.sql("SHOW CREATE TABLE r15_alt").head().getString(0)
+    try {
+      // MODIFY ORDER BY: metadata-only, reflected in SHOW CREATE
+      spark.sql("ALTER TABLE r15_alt MODIFY ORDER BY (a, b)")
+      assert(shown().contains("ORDER BY (a, b)"), shown())
+      // expression keys validate bare columns but allow function calls
+      spark.sql("ALTER TABLE r15_alt MODIFY ORDER BY (a, cityHash64(b))")
+      assert(shown().contains("ORDER BY (a, cityHash64(b))"))
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE r15_alt MODIFY ORDER BY (a, nope)"))
+      assert(e.getMessage.contains("missing column"), e.getMessage)
+      // MODIFY SETTING upserts; RESET SETTING removes
+      spark.sql("ALTER TABLE r15_alt MODIFY SETTING ttl_only_drop_parts = 1")
+      assert(shown().contains("index_granularity = 8192, ttl_only_drop_parts = 1"))
+      spark.sql("ALTER TABLE r15_alt MODIFY SETTING index_granularity = 4096")
+      assert(shown().contains("ttl_only_drop_parts = 1, index_granularity = 4096"))
+      spark.sql("ALTER TABLE r15_alt RESET SETTING ttl_only_drop_parts")
+      assert(shown().contains("SETTINGS index_granularity = 4096") &&
+        !shown().contains("ttl_only_drop_parts"))
+      spark.sql("ALTER TABLE r15_alt RESET SETTING index_granularity")
+      assert(!shown().contains("SETTINGS"))
+    } finally spark.sql("DROP TABLE r15_alt")
+  }
+
   test("Scala-API re-registration clears a recorded dictionary DDL") {
     val dir = s"/tmp/graft_r15_dictdll_${System.nanoTime()}"
     spark.range(3).selectExpr("id AS k", "id AS v").write.mode("overwrite").parquet(dir)
