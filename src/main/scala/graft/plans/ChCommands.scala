@@ -553,6 +553,7 @@ object ChCommands {
       sb.append(s"\nTTL $ttl$tail")
     }
     meta.get("settings").foreach(p => sb.append(s"\nSETTINGS $p"))
+    meta.get("comment").foreach(p => sb.append(s"\nCOMMENT $p"))
     Some(sb.toString)
   }
 }
@@ -965,7 +966,8 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
         clauses.get("PARTITION BY").map("partition_by" -> _) ++
         clauses.get("PRIMARY KEY").map("primary_key" -> _) ++
         clauses.get("SAMPLE BY").map("sample_by" -> _) ++
-        clauses.get("SETTINGS").map("settings" -> _)
+        clauses.get("SETTINGS").map("settings" -> _) ++
+        clauses.get("COMMENT").map("comment" -> _)
       ChCommands.writeEngineManifest(spark, info.path, fields)
       clauses.get("TTL").foreach(t => spark.sql(s"ALTER TABLE $name MODIFY TTL $t"))
       // CREATE-declared projections (CH allows them in the body, and

@@ -92,6 +92,15 @@ class Round15ReviewSpec extends SparkSpec {
       spark.sql("ALTER TABLE r15_alt RESET SETTING index_granularity")
       assert(!shown().contains("SETTINGS"))
     } finally spark.sql("DROP TABLE r15_alt")
+    // a CREATE-declared COMMENT survives into SHOW CREATE
+    spark.sql("DROP TABLE IF EXISTS r15_cmt")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(wh, "r15_cmt"), true)
+    spark.sql("""CREATE TABLE r15_cmt (a Int64) ENGINE = MergeTree ORDER BY a
+                 COMMENT 'orders landed from pg'""")
+    try assert(spark.sql("SHOW CREATE TABLE r15_cmt").head().getString(0)
+      .endsWith("COMMENT 'orders landed from pg'"))
+    finally spark.sql("DROP TABLE r15_cmt")
   }
 
   test("Scala-API re-registration clears a recorded dictionary DDL") {
