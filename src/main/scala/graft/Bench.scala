@@ -182,7 +182,12 @@ object Bench {
       if (iso >= 0 && math.max(0.0, iso - setup) > 1.5 * prev) {
         settle() // looks regressed — confirm on a second settled run
         val (iso2, setup2) = once()
-        if (iso2 >= 0 && iso2 < iso) { iso = iso2; setup = setup2 }
+        // keep the better WORK time (the verdict's unit) — comparing
+        // totals would let slow fixture rebuilds discard a confirm
+        // run that proved the plan time is fine
+        if (iso2 >= 0 && math.max(0.0, iso2 - setup2) < math.max(0.0, iso - setup)) {
+          iso = iso2; setup = setup2
+        }
       }
       name -> Audit(best.sec, prev, iso, setup, load)
     }

@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
 object ExactDedupScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "10000000").toLong
+    // the batch-equals-slice contract needs each slice's coalesce(4)
+    // to emit 4 non-empty files; tiny dials would mix slices across
+    // maxFilesPerTrigger batches and fail the re-delivery require
+    require(docs >= 1200, s"SPARK_GRAFT_STATE_KEYS=$docs: this rehearsal needs >= 1200 docs")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
       "/root/repo/docs/STATE_SCALE_r15.jsonl")
     val spark = GraftSession.local("graft-exactdedup-scale")

@@ -229,6 +229,28 @@ object ChCommands {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** Split on top-level commas — paren- and single-quote-aware, so
+    * values like storage_policy = 'hot,cold' stay whole. */
+  private[plans] def commaSplit(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '\'' =>
+          i += 1; while (i < text.length && text.charAt(i) != '\'') i += 1
+        case ',' if depth == 0 => out += text.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Read a small metadata file (manifests) fully as UTF-8. */
   private[plans] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
@@ -992,19 +1014,28 @@ case class ChModifyEngineClauseCommand(table: String, field: String,
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(spark, table)
-    if (field == "order_by") value.foreach { v =>
-      val names = ChCommands.readData(spark, table, info.path).schema.fieldNames.toSet
-      val bare = """[A-Za-z_]\w*""".r.findAllIn(
-        v.replaceAll("""'[^']*'""", "")).toSeq.filterNot(_.matches("(?i)tuple"))
-      // identifiers directly followed by '(' are function calls
-      val missing = bare.filter(c => !names.contains(c) &&
-        ("""(?i)\b""" + java.util.regex.Pattern.quote(c) + """\s*\(""").r.findFirstIn(v).isEmpty)
-      if (missing.nonEmpty) throw new IllegalArgumentException(
-        s"MODIFY ORDER BY references missing column(s): ${missing.mkString(", ")}")
-    }
     val meta = ChCommands.readEngineManifest(spark, info.path)
-    val updated = (meta - field) ++ value.map(field -> _) +
-      ("engine" -> meta.getOrElse("engine", "MergeTree"))
+    // no engine record = the table was not created through CH DDL;
+    // fabricating one would flip SHOW CREATE from Spark-native output
+    // to invented MergeTree DDL (ClickHouse rejects the ALTER too)
+    if (meta.isEmpty) throw new IllegalArgumentException(
+      s"table '$table' has no ClickHouse engine record (not created through CH DDL); " +
+        "re-create it with CREATE TABLE … ENGINE = MergeTree … first")
+    if (field == "order_by") value.foreach { v =>
+      // typo protection for the common case: a SIMPLE column list
+      // (bare/backticked identifiers only) is validated against the
+      // live schema; expression keys (function calls, arithmetic)
+      // pass through — they resolve at relayout time
+      val inner = v.trim.stripPrefix("(").stripSuffix(")").trim
+      val simple = inner.split(",").map(_.trim)
+      if (simple.forall(c => c.matches("`[^`]+`|[A-Za-z_]\\w*"))) {
+        val names = ChCommands.readData(spark, table, info.path).schema.fieldNames.toSet
+        val missing = simple.map(_.stripPrefix("`").stripSuffix("`")).filterNot(names.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"MODIFY ORDER BY references missing column(s): ${missing.mkString(", ")}")
+      }
+    }
+    val updated = (meta - field) ++ value.map(field -> _)
     ChCommands.writeEngineManifest(spark, info.path, updated.toSeq.sortBy(_._1))
     Seq.empty
   }
@@ -1021,8 +1052,13 @@ case class ChModifySettingsCommand(table: String, text: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(spark, table)
     val meta = ChCommands.readEngineManifest(spark, info.path)
-    val current: Seq[(String, String)] = meta.get("settings").toSeq.flatMap(_.split(","))
-      .map(_.trim).filter(_.nonEmpty).map { e =>
+    if (meta.isEmpty) throw new IllegalArgumentException(
+      s"table '$table' has no ClickHouse engine record (not created through CH DDL); " +
+        "re-create it with CREATE TABLE … ENGINE = MergeTree … first")
+    // quote-aware splits: setting values may contain commas inside
+    // quotes (storage_policy = 'hot,cold')
+    val current: Seq[(String, String)] = meta.get("settings").toSeq
+      .flatMap(ChCommands.commaSplit).map { e =>
         val i = e.indexOf('=')
         if (i < 0) (e, "") else (e.substring(0, i).trim, e.substring(i + 1).trim)
       }
@@ -1032,7 +1068,7 @@ case class ChModifySettingsCommand(table: String, text: String,
           .filter(_.nonEmpty).toSet
         current.filterNot { case (k, _) => names.contains(k) }
       } else {
-        val sets = text.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { a =>
+        val sets = ChCommands.commaSplit(text).map { a =>
           val m = """(?s)^(`[^`]+`|\w+)\s*=\s*(.+)$""".r.findFirstMatchIn(a).getOrElse(
             throw new IllegalArgumentException(
               s"MODIFY SETTING entry '$a' must be name = value"))

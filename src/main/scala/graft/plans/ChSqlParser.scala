@@ -1229,13 +1229,40 @@ object ChSqlParser {
 
   /** Split a CREATE tail (`ORDER BY k PARTITION BY p TTL …`) into its
     * top-level clauses — paren- and quote-aware, so expression keys
-    * (`ORDER BY (a, cityHash64(b))`) stay whole. Whitespace is
-    * normalized first; the returned values are the clause BODIES. */
-  private[graft] def splitEngineTail(tail0: String): Map[String, String] = {
-    val tail = tail0.replaceAll("\\s+", " ").trim
+    * (`ORDER BY (a, cityHash64(b))`) stay whole. Keyword matching
+    * tolerates any whitespace between keyword words; the ORIGINAL
+    * text is scanned (no whitespace normalization — a quoted COMMENT
+    * payload keeps its literal spacing/newlines), and each returned
+    * clause BODY is whitespace-normalized OUTSIDE quotes only. */
+  private[graft] def splitEngineTail(tail: String): Map[String, String] = {
+    // EXPRESSION bodies read better single-spaced, but text inside
+    // single quotes is user payload and must survive verbatim
+    def normalizeOutsideQuotes(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      var inQ = false
+      var pendingSpace = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQ) { sb.append(c); if (c == '\'') inQ = false }
+        else if (c == '\'') {
+          if (pendingSpace && sb.nonEmpty) sb.append(' ')
+          pendingSpace = false; sb.append(c); inQ = true
+        }
+        else if (c.isWhitespace) pendingSpace = true
+        else {
+          if (pendingSpace && sb.nonEmpty) sb.append(' ')
+          pendingSpace = false
+          sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+    val kwRx = EngineTailKeywords.map(k =>
+      k -> ("(?is)^" + k.replace(" ", "\\s+") + "(?![\\w])").r)
     final case class Hit(kw: String, start: Int, bodyStart: Int)
     val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
-    val upper = tail.toUpperCase
     var depth = 0
     var i = 0
     while (i < tail.length) {
@@ -1248,14 +1275,10 @@ object ChSqlParser {
           i += 1; while (i < tail.length && tail.charAt(i) != '`') i += 1; i += 1
         case c if depth == 0 && c.isLetter &&
             (i == 0 || (!tail.charAt(i - 1).isLetterOrDigit && tail.charAt(i - 1) != '_')) =>
-          EngineTailKeywords.find { k =>
-            upper.startsWith(k, i) && {
-              val after = i + k.length
-              after >= tail.length ||
-                (!tail.charAt(after).isLetterOrDigit && tail.charAt(after) != '_')
-            }
-          } match {
-            case Some(k) => hits += Hit(k, i, i + k.length); i += k.length
+          val rest = tail.substring(i)
+          kwRx.view.flatMap { case (k, rx) => rx.findFirstMatchIn(rest).map(k -> _) }
+            .headOption match {
+            case Some((k, m)) => hits += Hit(k, i, i + m.end); i += m.end
             case None =>
               while (i < tail.length &&
                 (tail.charAt(i).isLetterOrDigit || tail.charAt(i) == '_')) i += 1
@@ -1265,7 +1288,7 @@ object ChSqlParser {
     }
     hits.toSeq.zipWithIndex.map { case (h, idx) =>
       val end = if (idx + 1 < hits.length) hits(idx + 1).start else tail.length
-      h.kw -> tail.substring(h.bodyStart, end).trim
+      h.kw -> normalizeOutsideQuotes(tail.substring(h.bodyStart, end).trim)
     }.toMap
   }
 

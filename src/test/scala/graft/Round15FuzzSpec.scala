@@ -20,15 +20,7 @@ class Round15FuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(1501)
     for (trial <- 0 until 3) {
       val t = s"fuzz_proj_$trial"
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      // a killed prior run can leave the managed location (and the
-      // projection sibling dirs) behind a no-op DROP — clear them so
-      // CREATE never hits LOCATION_ALREADY_EXISTS
-      val wh = new org.apache.hadoop.fs.Path(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
-      val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (leftover <- Seq(t, s"${t}__graft_proj_pa", s"${t}__graft_proj_ps"))
-        whFs.delete(new org.apache.hadoop.fs.Path(wh, leftover), true)
+      dropWithLocation(t) // clears projection sibling dirs too
       spark.sql(s"CREATE TABLE $t (k String, v Int64) ENGINE = MergeTree ORDER BY k")
       // model: the rows the base table holds, maintained in parallel
       val model = scala.collection.mutable.ArrayBuffer[(String, Long)]()

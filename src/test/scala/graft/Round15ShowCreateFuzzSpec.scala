@@ -9,15 +9,6 @@ package graft
   * table name) plus schema equality. */
 class Round15ShowCreateFuzzSpec extends SparkSpec {
 
-  private def drop(t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val wh = new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.globStatus(new org.apache.hadoop.fs.Path(wh, t + "*"))
-    if (it != null) it.foreach(s => fs.delete(s.getPath, true))
-  }
-
   test("fuzz: SHOW CREATE TABLE output re-executes and reproduces the table") {
     val rnd = new scala.util.Random(1504)
     val scalarTypes = Seq("Int64", "Int32", "Int16", "Float64", "Float32", "String",
@@ -25,7 +16,7 @@ class Round15ShowCreateFuzzSpec extends SparkSpec {
     for (trial <- 0 until 6) {
       val a = s"fz_sct_a_$trial"
       val b = s"fz_sct_b_$trial"
-      drop(a); drop(b)
+      dropWithLocation(a); dropWithLocation(b)
       // c0 Int64 (order key), c1 String (partition key), c2 Date
       // (TTL base), then random tail columns
       val tail = (0 until rnd.nextInt(4)).map(i =>
@@ -51,7 +42,7 @@ class Round15ShowCreateFuzzSpec extends SparkSpec {
         s"trial $trial: projection lost in the round trip\n$shownB")
       // and the live TTL rule
       if (ttl.nonEmpty) assert(shownB.contains("TTL c2 + INTERVAL 90 DAY"))
-      drop(a); drop(b)
+      dropWithLocation(a); dropWithLocation(b)
     }
   }
 }

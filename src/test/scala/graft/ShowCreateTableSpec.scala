@@ -10,19 +10,9 @@ class ShowCreateTableSpec extends SparkSpec {
   private def showCreate(t: String): String =
     spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
 
-  /** DROP + managed-location cleanup, so a failed prior run's leftover
-    * directory can't fail this run's CREATE with LOCATION_ALREADY_EXISTS. */
-  private def drop(t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val wh = new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
-    val p = new org.apache.hadoop.fs.Path(wh, t)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
 
   test("MergeTree table with TTL + projections: full CH DDL reconstruction") {
-    drop("sct_t")
+    dropWithLocation("sct_t")
     spark.sql("""CREATE TABLE sct_t (d Date, k String, v Float64, n UInt64)
                  ENGINE = MergeTree
                  PARTITION BY k
@@ -62,7 +52,7 @@ class ShowCreateTableSpec extends SparkSpec {
   }
 
   test("CREATE-declared TTL is live (not stripped) and survives a mutation swap") {
-    drop("sct_ttl")
+    dropWithLocation("sct_ttl")
     spark.sql("""CREATE TABLE sct_ttl (d DateTime, v Int64)
                  ENGINE = MergeTree ORDER BY d
                  TTL d + INTERVAL 1 DAY""")
@@ -78,7 +68,7 @@ class ShowCreateTableSpec extends SparkSpec {
   }
 
   test("CTAS form records its clauses; plain Spark tables keep native output") {
-    drop("sct_ctas")
+    dropWithLocation("sct_ctas")
     spark.sql("""CREATE TABLE sct_ctas ENGINE = ReplacingMergeTree(v) ORDER BY k AS
                  SELECT id AS k, id * 2 AS v FROM range(10)""")
     val ddl = showCreate("sct_ctas")
@@ -87,7 +77,7 @@ class ShowCreateTableSpec extends SparkSpec {
     spark.sql("DROP TABLE sct_ctas")
     // a table created through PLAIN Spark DDL has no graft metadata:
     // Spark's native SHOW CREATE TABLE answers (createtab_stmt)
-    drop("sct_plain")
+    dropWithLocation("sct_plain")
     spark.sql("CREATE TABLE sct_plain (a INT, b STRING) USING parquet")
     val native = spark.sql("SHOW CREATE TABLE sct_plain")
     assert(native.columns.toSeq == Seq("createtab_stmt"))

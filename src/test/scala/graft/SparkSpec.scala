@@ -8,6 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate — so suites don't pay repeated startup). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** DROP TABLE plus managed-location (and sibling-dir) cleanup: a
+    * killed prior run can leave the warehouse directory behind a
+    * no-op DROP, failing the next CREATE with LOCATION_ALREADY_EXISTS.
+    * Globs `name*` so projection/backup sibling dirs go too. */
+  def dropWithLocation(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = fs.globStatus(new org.apache.hadoop.fs.Path(wh, name + "*"))
+    if (hits != null) hits.foreach(st => fs.delete(st.getPath, true))
+  }
 }
 
 object SparkSpec {

@@ -47,11 +47,7 @@ class Round15ReviewSpec extends SparkSpec {
   }
 
   test("SHOW CREATE TABLE accepts per-part backtick quoting") {
-    spark.sql("DROP TABLE IF EXISTS r15_bt")
-    val wh = new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(wh, "r15_bt"), true)
+    dropWithLocation("r15_bt")
     spark.sql("CREATE TABLE r15_bt (k Int64) ENGINE = MergeTree ORDER BY k")
     try {
       for (spelling <- Seq("`r15_bt`", "`default`.`r15_bt`", "default.r15_bt")) {
@@ -63,11 +59,7 @@ class Round15ReviewSpec extends SparkSpec {
   }
 
   test("MODIFY ORDER BY / MODIFY SETTING / RESET SETTING update the engine record") {
-    spark.sql("DROP TABLE IF EXISTS r15_alt")
-    val wh = new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(wh, "r15_alt"), true)
+    dropWithLocation("r15_alt")
     spark.sql("""CREATE TABLE r15_alt (a Int64, b String, c Float64)
                  ENGINE = MergeTree ORDER BY a SETTINGS index_granularity = 8192""")
     def shown(): String = spark.sql("SHOW CREATE TABLE r15_alt").head().getString(0)
@@ -93,9 +85,7 @@ class Round15ReviewSpec extends SparkSpec {
       assert(!shown().contains("SETTINGS"))
     } finally spark.sql("DROP TABLE r15_alt")
     // a CREATE-declared COMMENT survives into SHOW CREATE
-    spark.sql("DROP TABLE IF EXISTS r15_cmt")
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(wh, "r15_cmt"), true)
+    dropWithLocation("r15_cmt")
     spark.sql("""CREATE TABLE r15_cmt (a Int64) ENGINE = MergeTree ORDER BY a
                  COMMENT 'orders landed from pg'""")
     try assert(spark.sql("SHOW CREATE TABLE r15_cmt").head().getString(0)
