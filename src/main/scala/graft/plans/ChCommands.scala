@@ -229,26 +229,18 @@ object ChCommands {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** Split on top-level commas — paren- and single-quote-aware, so
-    * values like storage_policy = 'hot,cold' stay whole. */
-  private[plans] def commaSplit(text: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0
-    var start = 0
-    var i = 0
-    while (i < text.length) {
-      text.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case '\'' =>
-          i += 1; while (i < text.length && text.charAt(i) != '\'') i += 1
-        case ',' if depth == 0 => out += text.substring(start, i); start = i + 1
-        case _ =>
-      }
-      i += 1
-    }
-    out += text.substring(start)
-    out.map(_.trim).filter(_.nonEmpty).toSeq
+  /** ClickHouse allows comma-combined multi-action ALTERs
+    * (`MODIFY ORDER BY (a), MODIFY SETTING x = 1`); the metadata
+    * commands here take one action per statement — a second action
+    * swallowed into the first's captured text must refuse loudly,
+    * never persist as garbage. */
+  private[plans] def refuseMultiAction(text: String, stmt: String): Unit = {
+    val actionHead =
+      """(?is)^(MODIFY|RESET|ADD|DROP|CLEAR|MATERIALIZE|RENAME|COMMENT|DELETE|UPDATE)\b""".r
+    if (ChSqlParser.topLevelSplit(text).map(_.trim).exists(e => actionHead.findFirstIn(e).isDefined))
+      throw new UnsupportedOperationException(
+        s"$stmt: comma-combined multi-action ALTER is not supported here — " +
+          "issue each action as its own ALTER TABLE statement")
   }
 
   /** Read a small metadata file (manifests) fully as UTF-8. */
@@ -1003,12 +995,13 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
 
 /** `ALTER TABLE t MODIFY ORDER BY expr` — updates the table's
   * declared sort key in the engine record (`_graft_engine.txt`), the
-  * clause SHOW CREATE TABLE answers with and MergeTreeWrite-style
-  * relayouts consult. ClickHouse's own MODIFY ORDER BY is metadata
-  * too (existing parts keep their order; new ones sort by the new
-  * key) — same semantics here: no data rewrite. Bare column
-  * references are validated against the live schema so a typo fails
-  * now, not at the next relayout. */
+  * clause SHOW CREATE TABLE answers with. ClickHouse's own MODIFY
+  * ORDER BY is metadata too (existing parts keep their order) — here
+  * it is metadata-only as well: no data rewrite, and a relayout that
+  * honors the new key is an explicit MergeTreeWrite/OPTIMIZE pass.
+  * Identifier-shaped key elements are validated against the live
+  * schema so a typo fails now; expression elements resolve at
+  * relayout time. */
 case class ChModifyEngineClauseCommand(table: String, field: String,
     value: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
@@ -1022,15 +1015,17 @@ case class ChModifyEngineClauseCommand(table: String, field: String,
       s"table '$table' has no ClickHouse engine record (not created through CH DDL); " +
         "re-create it with CREATE TABLE … ENGINE = MergeTree … first")
     if (field == "order_by") value.foreach { v =>
-      // typo protection for the common case: a SIMPLE column list
-      // (bare/backticked identifiers only) is validated against the
-      // live schema; expression keys (function calls, arithmetic)
-      // pass through — they resolve at relayout time
+      ChCommands.refuseMultiAction(v, "MODIFY ORDER BY")
+      // typo protection, PER ELEMENT (paren-aware split): each
+      // identifier-shaped key is validated against the live schema;
+      // expression elements (function calls, arithmetic) pass
+      // through — they resolve at relayout time
       val inner = v.trim.stripPrefix("(").stripSuffix(")").trim
-      val simple = inner.split(",").map(_.trim)
-      if (simple.forall(c => c.matches("`[^`]+`|[A-Za-z_]\\w*"))) {
+      val elems = ChSqlParser.topLevelSplit(inner).map(_.trim)
+      val idents = elems.filter(_.matches("`[^`]+`|[A-Za-z_]\\w*"))
+      if (idents.nonEmpty) {
         val names = ChCommands.readData(spark, table, info.path).schema.fieldNames.toSet
-        val missing = simple.map(_.stripPrefix("`").stripSuffix("`")).filterNot(names.contains)
+        val missing = idents.map(_.stripPrefix("`").stripSuffix("`")).filterNot(names.contains)
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"MODIFY ORDER BY references missing column(s): ${missing.mkString(", ")}")
       }
@@ -1055,10 +1050,11 @@ case class ChModifySettingsCommand(table: String, text: String,
     if (meta.isEmpty) throw new IllegalArgumentException(
       s"table '$table' has no ClickHouse engine record (not created through CH DDL); " +
         "re-create it with CREATE TABLE … ENGINE = MergeTree … first")
+    ChCommands.refuseMultiAction(text, if (reset) "RESET SETTING" else "MODIFY SETTING")
     // quote-aware splits: setting values may contain commas inside
     // quotes (storage_policy = 'hot,cold')
     val current: Seq[(String, String)] = meta.get("settings").toSeq
-      .flatMap(ChCommands.commaSplit).map { e =>
+      .flatMap(v => ChSqlParser.topLevelSplit(v).map(_.trim)).map { e =>
         val i = e.indexOf('=')
         if (i < 0) (e, "") else (e.substring(0, i).trim, e.substring(i + 1).trim)
       }
@@ -1068,20 +1064,22 @@ case class ChModifySettingsCommand(table: String, text: String,
           .filter(_.nonEmpty).toSet
         current.filterNot { case (k, _) => names.contains(k) }
       } else {
-        val sets = ChCommands.commaSplit(text).map { a =>
+        val sets0 = ChSqlParser.topLevelSplit(text).map(_.trim).map { a =>
           val m = """(?s)^(`[^`]+`|\w+)\s*=\s*(.+)$""".r.findFirstMatchIn(a).getOrElse(
             throw new IllegalArgumentException(
               s"MODIFY SETTING entry '$a' must be name = value"))
           (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2).trim)
         }
+        // last-wins within one statement (duplicate entries would
+        // persist a SETTINGS clause ClickHouse rejects on re-CREATE)
+        val sets = sets0.map(_._1).distinct.map(k => k -> sets0.reverse.find(_._1 == k).get._2)
         val bySet = sets.toMap
         current.filterNot { case (k, _) => bySet.contains(k) } ++ sets
       }
     val settingsText = next.map { case (k, v) => if (v.isEmpty) k else s"$k = $v" }
       .mkString(", ")
     val updated = (meta - "settings") ++
-      (if (settingsText.nonEmpty) Seq("settings" -> settingsText) else Nil) +
-      ("engine" -> meta.getOrElse("engine", "MergeTree"))
+      (if (settingsText.nonEmpty) Seq("settings" -> settingsText) else Nil)
     ChCommands.writeEngineManifest(spark, info.path, updated.toSeq.sortBy(_._1))
     Seq.empty
   }

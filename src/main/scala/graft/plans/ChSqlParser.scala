@@ -1226,6 +1226,11 @@ object ChSqlParser {
 
   private val EngineTailKeywords =
     Seq("PARTITION BY", "PRIMARY KEY", "ORDER BY", "SAMPLE BY", "SETTINGS", "TTL", "COMMENT")
+  // compiled once: clause-keyword matchers tolerating any whitespace
+  // between keyword words (used at offsets via Matcher.region)
+  private val EngineTailKwPatterns = EngineTailKeywords.map(k =>
+    k -> java.util.regex.Pattern.compile(
+      "(?is)" + k.replace(" ", "\\s+") + "(?![\\w])"))
 
   /** Split a CREATE tail (`ORDER BY k PARTITION BY p TTL …`) into its
     * top-level clauses — paren- and quote-aware, so expression keys
@@ -1244,7 +1249,11 @@ object ChSqlParser {
       var pendingSpace = false
       while (i < s.length) {
         val c = s.charAt(i)
-        if (inQ) { sb.append(c); if (c == '\'') inQ = false }
+        if (inQ) {
+          sb.append(c)
+          if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
+          else if (c == '\'') inQ = false
+        }
         else if (c == '\'') {
           if (pendingSpace && sb.nonEmpty) sb.append(' ')
           pendingSpace = false; sb.append(c); inQ = true
@@ -1259,8 +1268,6 @@ object ChSqlParser {
       }
       sb.toString
     }
-    val kwRx = EngineTailKeywords.map(k =>
-      k -> ("(?is)^" + k.replace(" ", "\\s+") + "(?![\\w])").r)
     final case class Hit(kw: String, start: Int, bodyStart: Int)
     val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
     var depth = 0
@@ -1270,15 +1277,27 @@ object ChSqlParser {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case '\'' =>
-          i += 1; while (i < tail.length && tail.charAt(i) != '\'') i += 1; i += 1
+          // backslash-escape-aware: \' inside the string must not
+          // close it (CH's default escaping), or a keyword-LOOKING
+          // word inside a COMMENT payload becomes a real clause
+          i += 1
+          while (i < tail.length && tail.charAt(i) != '\'') {
+            if (tail.charAt(i) == '\\' && i + 1 < tail.length) i += 1
+            i += 1
+          }
+          i += 1
         case '`' =>
           i += 1; while (i < tail.length && tail.charAt(i) != '`') i += 1; i += 1
         case c if depth == 0 && c.isLetter &&
             (i == 0 || (!tail.charAt(i - 1).isLetterOrDigit && tail.charAt(i - 1) != '_')) =>
-          val rest = tail.substring(i)
-          kwRx.view.flatMap { case (k, rx) => rx.findFirstMatchIn(rest).map(k -> _) }
-            .headOption match {
-            case Some((k, m)) => hits += Hit(k, i, i + m.end); i += m.end
+          EngineTailKwPatterns.collectFirst {
+            case (k, pat) if {
+              val m = pat.matcher(tail); m.region(i, tail.length).lookingAt()
+            } =>
+              val m = pat.matcher(tail); m.region(i, tail.length); m.lookingAt()
+              (k, m.end)
+          } match {
+            case Some((k, end)) => hits += Hit(k, i, end); i = end
             case None =>
               while (i < tail.length &&
                 (tail.charAt(i).isLetterOrDigit || tail.charAt(i) == '_')) i += 1
@@ -1414,8 +1433,10 @@ object ChSqlParser {
     }
   }
 
-  /** Split on top-level commas (paren- and quote-aware). */
-  private def topLevelSplit(s: String): Seq[String] = {
+  /** Split on top-level commas (paren- and quote-aware; inside a
+    * single-quoted string, backslash escapes — CH's default string
+    * escaping — are skipped so an escaped quote can't end the scan). */
+  private[plans] def topLevelSplit(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var start = 0
@@ -1426,7 +1447,10 @@ object ChSqlParser {
         case ')' => depth -= 1
         case '\'' =>
           i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
+          while (i < s.length && s.charAt(i) != '\'') {
+            if (s.charAt(i) == '\\' && i + 1 < s.length) i += 1
+            i += 1
+          }
         case '`' =>
           i += 1
           while (i < s.length && s.charAt(i) != '`') i += 1

@@ -18,8 +18,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wh = new org.apache.hadoop.fs.Path(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hits = fs.globStatus(new org.apache.hadoop.fs.Path(wh, name + "*"))
-    if (hits != null) hits.foreach(st => fs.delete(st.getPath, true))
+    // exact location + the engine's __graft_* sibling dirs ONLY — a
+    // bare name* glob would delete other tables extending the name
+    // (dropWithLocation("sct_t") must not touch sct_ttl)
+    fs.delete(new org.apache.hadoop.fs.Path(wh, name), true)
+    val sibs = fs.globStatus(new org.apache.hadoop.fs.Path(wh, name + "__graft_*"))
+    if (sibs != null) sibs.foreach(st => fs.delete(st.getPath, true))
   }
 }
 

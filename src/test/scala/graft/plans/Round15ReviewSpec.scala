@@ -93,6 +93,40 @@ class Round15ReviewSpec extends SparkSpec {
     finally spark.sql("DROP TABLE r15_cmt")
   }
 
+  test("third-review pins: escaped quotes, multi-action ALTER, duplicate settings") {
+    // a COMMENT payload containing an escaped quote AND keyword-like
+    // text must survive verbatim — the clause scanner is
+    // backslash-escape-aware, so 'don\'t ORDER BY x' is one string
+    dropWithLocation("r15_esc")
+    spark.sql("""CREATE TABLE r15_esc (a Int64) ENGINE = MergeTree ORDER BY a
+                 COMMENT 'don\'t ORDER BY x'""")
+    try {
+      val ddl = spark.sql("SHOW CREATE TABLE r15_esc").head().getString(0)
+      assert(ddl.contains("ORDER BY a"), ddl)          // the REAL key survived
+      assert(ddl.contains("""COMMENT 'don\'t ORDER BY x'"""), ddl)
+      // comma-combined multi-action ALTER refuses loudly (each branch)
+      val e1 = intercept[Exception](spark.sql(
+        "ALTER TABLE r15_esc MODIFY ORDER BY (a), MODIFY SETTING x = 1"))
+      assert(e1.getMessage.contains("multi-action"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE r15_esc MODIFY SETTING a1 = 1, RESET SETTING a1"))
+      assert(e2.getMessage.contains("multi-action"), e2.getMessage)
+      // a quoted comma in a setting value stays whole, and duplicate
+      // names in one statement collapse last-wins
+      spark.sql("ALTER TABLE r15_esc MODIFY SETTING storage_policy = 'hot,cold'")
+      spark.sql("ALTER TABLE r15_esc MODIFY SETTING g = 1, g = 2")
+      val shown = spark.sql("SHOW CREATE TABLE r15_esc").head().getString(0)
+      assert(shown.contains("SETTINGS storage_policy = 'hot,cold', g = 2"), shown)
+      // metadata ALTERs refuse on tables without an engine record
+      dropWithLocation("r15_plainp")
+      spark.sql("CREATE TABLE r15_plainp (a INT) USING parquet")
+      val e3 = intercept[Exception](spark.sql(
+        "ALTER TABLE r15_plainp MODIFY SETTING x = 1"))
+      assert(e3.getMessage.contains("engine record"), e3.getMessage)
+      spark.sql("DROP TABLE r15_plainp")
+    } finally spark.sql("DROP TABLE r15_esc")
+  }
+
   test("Scala-API re-registration clears a recorded dictionary DDL") {
     val dir = s"/tmp/graft_r15_dictdll_${System.nanoTime()}"
     spark.range(3).selectExpr("id AS k", "id AS v").write.mode("overwrite").parquet(dir)
