@@ -1962,9 +1962,75 @@ object ChSqlParser {
     * before the first source row the 0 default applies, as for the
     * bare form). Anything outside the subset — CTE prefix, expression
     * bounds, non-affine AS-expressions — passes through untouched and
-    * fails loudly at parse, never silently wrong. */
+    * fails loudly at parse, never silently wrong.
+    *
+    * Round 16: Date/DateTime axes. Bounds may be `toDate('…')`,
+    * `toDateTime('…')`, ANSI `DATE '…'`/`TIMESTAMP '…'` or a bare
+    * date-shaped string literal, and STEP takes the ClickHouse
+    * `INTERVAL n DAY/WEEK/MONTH/QUARTER/YEAR/HOUR/MINUTE/SECOND`
+    * spelling — the axis generates with Spark's native
+    * sequence(date, date, interval) (TRUE calendar month arithmetic,
+    * never a 30-day approximation), TO stays exclusive via a
+    * `< TO` filter on the generated grid. A bare integer STEP on a
+    * Date axis means days, on a DateTime axis seconds (CH's own
+    * unit conventions); QUARTER lowers to 3n MONTH (Spark intervals
+    * have no quarter unit). Mixed bound kinds (int FROM, date TO)
+    * refuse by pass-through. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(.+?)\s+TO\s+(.+?)(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+
+  /** Classify one WITH FILL bound → (spark expr, kind) where kind ∈
+    * int | date | ts. Date-shaped literals are validated
+    * (`yyyy-MM-dd[ HH:mm:ss[.f…]]`) so a typo refuses at parse via
+    * pass-through rather than landing a NULL axis. */
+  private def fillBound(raw: String): Option[(String, String)] = {
+    val t = raw.trim
+    val DateLit = """^\d{4}-\d{2}-\d{2}$""".r
+    val TsLit = """^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d+)?$""".r
+    def lit(l: String, wantTs: Boolean): Option[(String, String)] = l match {
+      case DateLit() if !wantTs => Some((s"DATE '$l'", "date"))
+      case DateLit()            => Some((s"TIMESTAMP '$l 00:00:00'", "ts"))
+      case TsLit()              => Some((s"TIMESTAMP '$l'", "ts"))
+      case _                    => None
+    }
+    if (t.matches("-?\\d+")) Some((t, "int"))
+    else {
+      val ToDateFn = """(?is)^toDate\s*\(\s*'([^']*)'\s*\)$""".r
+      val ToDateTimeFn = """(?is)^toDateTime(?:64)?\s*\(\s*'([^']*)'\s*\)$""".r
+      val AnsiDate = """(?is)^DATE\s+'([^']*)'$""".r
+      val AnsiTs = """(?is)^TIMESTAMP\s+'([^']*)'$""".r
+      val Bare = """(?s)^'([^']*)'$""".r
+      t match {
+        case ToDateFn(l)     => lit(l, wantTs = false)
+        case ToDateTimeFn(l) => lit(l, wantTs = true)
+        case AnsiDate(l)     => lit(l, wantTs = false)
+        case AnsiTs(l)       => lit(l, wantTs = true)
+        case Bare(l)         => lit(l, wantTs = l.contains(":"))
+        case _               => None
+      }
+    }
+  }
+
+  private val FillIntervalStep = """(?is)^INTERVAL\s+(\d+)\s+([A-Za-z]+)$""".r
+
+  /** Resolve the STEP spelling against the axis kind; None refuses. */
+  private def fillStep(stepOrNull: String, kind: String): Option[String] = {
+    val units = Set("second", "minute", "hour", "day", "week", "month", "year")
+    (Option(stepOrNull).map(_.trim), kind) match {
+      case (None, "int")                                 => Some("1")
+      case (Some(s), "int") if s.matches("-?\\d+")       => Some(s)
+      case (None, "date")                                => Some("interval 1 day")
+      case (None, "ts")                                  => Some("interval 1 second")
+      case (Some(s), "date") if s.matches("\\d+")        => Some(s"interval $s day")
+      case (Some(s), "ts") if s.matches("\\d+")          => Some(s"interval $s second")
+      case (Some(FillIntervalStep(n, u)), k) if k != "int" =>
+        val ul = u.toLowerCase
+        if (ul == "quarter") Some(s"interval ${n.toLong * 3} month")
+        else if (units.contains(ul)) Some(s"interval $n $ul")
+        else None
+      case _ => None
+    }
+  }
 
   /** ClickHouse `ASOF [LEFT] JOIN` — the nearest-match temporal join
     * — rewritten to the SCALE-SAFE union+window shape of
@@ -2354,8 +2420,16 @@ object ChSqlParser {
   }
 
   private def rewriteWithFill(sql: String): String = sql match {
-    case WithFill(body, fillCol, from, to, stepOrNull, interpOrNull) =>
-      val step = Option(stepOrNull).getOrElse("1")
+    case WithFill(body, fillCol, fromRaw, toRaw, stepOrNull, interpOrNull) =>
+      val (fromB, toB) = (fillBound(fromRaw), fillBound(toRaw))
+      // unclassifiable or mixed-kind bounds (int FROM, date TO) pass
+      // through untouched so the WITH FILL keyword fails loudly
+      if (fromB.isEmpty || toB.isEmpty || fromB.get._2 != toB.get._2) return sql
+      val (from, kind) = fromB.get
+      val to = toB.get._1
+      val stepOpt = fillStep(stepOrNull, kind)
+      if (stepOpt.isEmpty) return sql
+      val step = stepOpt.get
       val items = Option(interpOrNull).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
       // an INTERPOLATE clause that is present but empty is malformed —
@@ -2397,9 +2471,17 @@ object ChSqlParser {
           }.mkString(", ") +
             // affine steps need to know which rows are source rows
             (if (affine) s", (gr_src__.$fillCol IS NOT NULL) AS gr_is_src__" else "")
+          // int axis: TO-exclusive via `$to - 1`; date/ts axes:
+          // sequence is end-inclusive when TO lands on grid, so the
+          // grid filters `< TO` (true calendar stepping either way)
+          val axisSub =
+            if (kind == "int")
+              s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"
+            else
+              s"(SELECT gr_fill__ FROM (SELECT explode(sequence($from, $to, $step)) AS gr_fill__) WHERE gr_fill__ < $to)"
           val joined =
             s"""(SELECT $sel
-               |FROM (SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__) gr_axis__
+               |FROM $axisSub gr_axis__
                |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
           def carryExpr(n: String) =
             s"coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"

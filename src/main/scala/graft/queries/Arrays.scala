@@ -289,6 +289,51 @@ object Arrays {
             FROM g ORDER BY d"""),
   )
 
+  /** Date-axis `WITH FILL … STEP INTERVAL 1 MONTH` VERBATIM (round
+    * 16, the round-15 verdict's top item): the gap-filled monthly
+    * rollup a migrating user writes right after q03_monthly. The axis
+    * generates with Spark's native sequence(date, date, interval) —
+    * TRUE calendar month arithmetic, never a 30-day approximation —
+    * TO exclusive, and INTERPOLATE composes with the date axis (carry
+    * `cnt AS cnt` + affine `peak AS peak - 100`). At sf0.01 months
+    * 1995-07 and 1996-09 are empty under the filter (the fill
+    * engages) and post-TO months survive off-grid, exactly CH's
+    * semantics. Oracle replays the month grid with DuckDB
+    * generate_series + the same recurrence. */
+  val q95d = GraftQuery(
+    "q95d_fill_date_axis",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_wfd")
+      s.sql("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS cnt,
+                      CAST(round(max(o_totalprice)) AS BIGINT) AS peak
+               FROM orders_wfd WHERE o_totalprice > 495000
+               GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ORDER BY month WITH FILL FROM toDate('1995-01-01') TO toDate('1997-01-01')
+                 STEP INTERVAL 1 MONTH INTERPOLATE (cnt AS cnt, peak AS peak - 100)""")
+    },
+    Some("""WITH d AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                              count(*) AS cnt, CAST(round(max(o_totalprice)) AS BIGINT) AS peak
+                       FROM orders WHERE o_totalprice > 495000 GROUP BY 1),
+                 axis AS (SELECT CAST(gs AS DATE) AS g
+                          FROM generate_series(DATE '1995-01-01', DATE '1997-01-01', INTERVAL 1 MONTH) t(gs)
+                          WHERE gs < DATE '1997-01-01'),
+                 j AS (SELECT coalesce(d.month, axis.g) AS month, d.cnt AS cnt, d.peak AS peak,
+                              (d.month IS NOT NULL) AS is_src
+                       FROM axis FULL OUTER JOIN d ON d.month = axis.g),
+                 g AS (SELECT *, count(CASE WHEN is_src THEN 1 END)
+                                   OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                       FROM j)
+            SELECT month,
+                   coalesce(last_value(cnt IGNORE NULLS)
+                     OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cnt,
+                   CASE WHEN is_src THEN peak
+                        ELSE coalesce(last_value(peak IGNORE NULLS)
+                               OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               - 100 * (row_number() OVER (PARTITION BY grp ORDER BY month) - 1), 0)
+                   END AS peak
+            FROM g ORDER BY month"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -736,5 +781,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q96, q97, q99, q99b, q99c, q99d)
 }

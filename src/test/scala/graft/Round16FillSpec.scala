@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+/** Round 16: Date/DateTime WITH FILL axes (the round-15 verdict's top
+  * item). Pins true calendar month arithmetic, TO-exclusivity on the
+  * date grid, CH's bare-integer step units (days on Date, seconds on
+  * DateTime), QUARTER lowering, INTERPOLATE composing with a date
+  * axis, and the refusal edges (mixed bound kinds, unknown units,
+  * malformed literals pass through to fail loudly at parse). */
+class Round16FillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDateView(): Unit =
+    Seq(
+      (Date.valueOf("2024-01-01"), 10L),
+      (Date.valueOf("2024-04-01"), 40L),
+      (Date.valueOf("2024-09-01"), 90L), // off-grid (past TO) — must survive
+    ).toDF("d", "v").createOrReplaceTempView("fill_dates")
+
+  test("month axis uses true calendar arithmetic and TO is exclusive") {
+    mkDateView()
+    val rows = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+        |ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2024-07-01') STEP INTERVAL 1 MONTH"""
+        .stripMargin).collect()
+    val ds = rows.map(_.getDate(0).toString)
+    // six grid months (Feb/Mar/May/Jun filled — firsts of month, not
+    // 30-day drift: Jan 1 + 30d would be Jan 31) + the off-grid Sep row
+    assert(ds.toSeq == Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01",
+      "2024-05-01", "2024-06-01", "2024-09-01"))
+    val byD = rows.map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(byD("2024-02-01") == 0L && byD("2024-03-01") == 0L)
+    assert(byD("2024-04-01") == 40L && byD("2024-09-01") == 90L)
+    assert(!ds.contains("2024-07-01")) // TO exclusive
+  }
+
+  test("QUARTER step lowers to 3n months") {
+    mkDateView()
+    val ds = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+        |ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2025-01-01') STEP INTERVAL 1 QUARTER"""
+        .stripMargin).collect().map(_.getDate(0).toString)
+    assert(ds.toSeq == Seq("2024-01-01", "2024-04-01", "2024-07-01", "2024-09-01", "2024-10-01"))
+  }
+
+  test("bare integer STEP on a Date axis means days") {
+    Seq((Date.valueOf("2024-01-01"), 1L)).toDF("d", "v").createOrReplaceTempView("fill_day")
+    val ds = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_day GROUP BY d
+        |ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2024-01-06') STEP 2""".stripMargin)
+      .collect().map(_.getDate(0).toString)
+    assert(ds.toSeq == Seq("2024-01-01", "2024-01-03", "2024-01-05"))
+  }
+
+  test("DateTime axis: INTERVAL HOUR step and bare-integer seconds") {
+    Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-01 03:00:00"), 3L),
+    ).toDF("ts", "v").createOrReplaceTempView("fill_ts")
+    val hours = spark.sql(
+      """SELECT ts, sum(v) AS v FROM fill_ts GROUP BY ts
+        |ORDER BY ts WITH FILL FROM toDateTime('2024-01-01 00:00:00') TO toDateTime('2024-01-01 04:00:00') STEP INTERVAL 1 HOUR"""
+        .stripMargin).collect()
+    assert(hours.map(_.getTimestamp(0).toString).toSeq == Seq(
+      "2024-01-01 00:00:00.0", "2024-01-01 01:00:00.0",
+      "2024-01-01 02:00:00.0", "2024-01-01 03:00:00.0"))
+    assert(hours.map(_.getLong(1)).toSeq == Seq(1L, 0L, 0L, 3L))
+    val secs = spark.sql(
+      """SELECT ts, sum(v) AS v FROM fill_ts GROUP BY ts
+        |ORDER BY ts WITH FILL FROM toDateTime('2024-01-01 00:00:00') TO toDateTime('2024-01-01 00:00:04') STEP 2"""
+        .stripMargin).collect().map(_.getTimestamp(0).toString)
+    assert(secs.take(2).toSeq == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:00:02.0"))
+  }
+
+  test("INTERPOLATE carry + affine compose with a date axis") {
+    Seq(
+      (Date.valueOf("2024-01-01"), 10L, 100L),
+      (Date.valueOf("2024-04-01"), 40L, 400L),
+    ).toDF("d", "cnt0", "peak0").createOrReplaceTempView("fill_interp")
+    val rows = spark.sql(
+      """SELECT d, sum(cnt0) AS cnt, max(peak0) AS peak FROM fill_interp GROUP BY d
+        |ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2024-05-01')
+        |  STEP INTERVAL 1 MONTH INTERPOLATE (cnt AS cnt, peak AS peak - 7)""".stripMargin)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 10L, 100L),
+      ("2024-02-01", 10L, 93L),  // carry cnt; peak ramps −7/row from last source
+      ("2024-03-01", 10L, 86L),
+      ("2024-04-01", 40L, 400L)))
+  }
+
+  test("refusal edges pass through and fail loudly at parse") {
+    mkDateView()
+    def refuses(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage != null)
+    }
+    // mixed bound kinds: int FROM, date TO
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL FROM 0 TO toDate('2024-07-01') STEP INTERVAL 1 MONTH""".stripMargin)
+    // unknown interval unit
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2024-07-01') STEP INTERVAL 1 FORTNIGHT""".stripMargin)
+    // malformed literal
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL FROM toDate('garbage') TO toDate('2024-07-01') STEP INTERVAL 1 MONTH""".stripMargin)
+    // INTERVAL step on an integer axis
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL FROM 0 TO 10 STEP INTERVAL 1 DAY""".stripMargin)
+  }
+}
