@@ -225,7 +225,7 @@ object ChCommands {
   private[plans] def projDataPath(path: String, name: String): String =
     path.stripSuffix("/") + s"__graft_proj_$name"
 
-  private def fsOf(spark: SparkSession, path: String) =
+  private[plans] def fsOf(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
@@ -506,6 +506,22 @@ object ChCommands {
         "Tuple(" + s.fields.map(f => s"${f.name} ${chTypeName(f.dataType)}").mkString(", ") + ")"
       case other => other.sql
     }
+  }
+
+  /** Parse-time fallthrough probe for SHOW CREATE TABLE: does the
+    * table carry ANY graft metadata (engine manifest, TTL rule, or a
+    * projection)? Only this existence check runs at parse — the DDL
+    * itself is composed at execution by [[ChShowCreateTableCommand]],
+    * so a plan parsed before a later ALTER answers the table's
+    * CURRENT state (ClickHouse resolves at execution too) and parsing
+    * stays side-effect-light. */
+  private[plans] def hasChTableMetadata(spark: SparkSession, table: String): Boolean = {
+    if (!(try spark.catalog.tableExists(table) catch { case _: Exception => false })) return false
+    val info = try resolve(spark, table) catch { case _: Exception => return false }
+    val fs = fsOf(spark, info.path)
+    val hasTtl = try fs.exists(ttlManifest(info.path)) catch { case _: Exception => false }
+    readEngineManifest(spark, info.path).nonEmpty || hasTtl ||
+      tableProjections(spark, info.path).nonEmpty
   }
 
   /** The reconstructed CH CREATE statement of `table`, or None when
@@ -964,30 +980,65 @@ case class ChCreateDictionaryCommand(
   * `ALTER TABLE … MODIFY TTL` (full validation + the live
   * `_graft_ttl.txt` manifest), making CREATE-declared TTLs
   * first-class rather than silently stripped. `IF NOT EXISTS` on an
-  * existing table leaves the existing record untouched. */
+  * existing table leaves the existing record untouched.
+  *
+  * Atomicity (round 16): if a post-create sub-statement throws (an
+  * invalid TTL expression, a bad projection body), the just-created
+  * table, its manifests and any projection sibling dirs are dropped
+  * before rethrowing — a failed CREATE leaves no partial table, like
+  * ClickHouse's atomic CREATE (only when the table did not already
+  * exist; an IF NOT EXISTS hit on an existing table is untouched).
+  *
+  * CTAS column order (round 16): the CTAS form carries its SELECT
+  * (`ctasSelect`) and records the analyzed output field order as the
+  * manifest's `columns` — without it a partitioned CTAS's SHOW CREATE
+  * emitted Spark's partition-columns-floated order instead of the
+  * declared SELECT order the column-list path restores. Analysis is
+  * lazy (schema only, no execution). */
 case class ChCreateChTableCommand(name: String, innerSql: String, engine: String,
     clauses: Map[String, String], declaredCols: Seq[String],
-    projections: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
+    projections: Seq[(String, String)] = Nil,
+    ctasSelect: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val existed = spark.catalog.tableExists(name)
+    // CTAS declares its column order via the SELECT; analyze before
+    // creating so the manifest records the declared order
+    val cols =
+      if (declaredCols.nonEmpty || ctasSelect.isEmpty) declaredCols
+      else spark.sql(ctasSelect.get).schema.fieldNames.toSeq
     spark.sql(innerSql)
     if (!existed) {
       val info = ChCommands.resolve(spark, name)
-      val fields = Seq("engine" -> engine) ++
-        (if (declaredCols.nonEmpty) Seq("columns" -> declaredCols.mkString(",")) else Nil) ++
-        clauses.get("ORDER BY").map("order_by" -> _) ++
-        clauses.get("PARTITION BY").map("partition_by" -> _) ++
-        clauses.get("PRIMARY KEY").map("primary_key" -> _) ++
-        clauses.get("SAMPLE BY").map("sample_by" -> _) ++
-        clauses.get("SETTINGS").map("settings" -> _) ++
-        clauses.get("COMMENT").map("comment" -> _)
-      ChCommands.writeEngineManifest(spark, info.path, fields)
-      clauses.get("TTL").foreach(t => spark.sql(s"ALTER TABLE $name MODIFY TTL $t"))
-      // CREATE-declared projections (CH allows them in the body, and
-      // SHOW CREATE emits them there) — same path as ALTER ADD
-      for ((pn, body) <- projections)
-        spark.sql(s"ALTER TABLE $name ADD PROJECTION $pn ($body)")
+      try {
+        val fields = Seq("engine" -> engine) ++
+          (if (cols.nonEmpty) Seq("columns" -> cols.mkString(",")) else Nil) ++
+          clauses.get("ORDER BY").map("order_by" -> _) ++
+          clauses.get("PARTITION BY").map("partition_by" -> _) ++
+          clauses.get("PRIMARY KEY").map("primary_key" -> _) ++
+          clauses.get("SAMPLE BY").map("sample_by" -> _) ++
+          clauses.get("SETTINGS").map("settings" -> _) ++
+          clauses.get("COMMENT").map("comment" -> _)
+        ChCommands.writeEngineManifest(spark, info.path, fields)
+        clauses.get("TTL").foreach(t => spark.sql(s"ALTER TABLE $name MODIFY TTL $t"))
+        // CREATE-declared projections (CH allows them in the body, and
+        // SHOW CREATE emits them there) — same path as ALTER ADD
+        for ((pn, body) <- projections)
+          spark.sql(s"ALTER TABLE $name ADD PROJECTION $pn ($body)")
+      } catch {
+        case e: Throwable =>
+          // atomic CREATE: never leave a half-created table behind
+          try {
+            spark.sql(s"DROP TABLE IF EXISTS $name")
+            val p = new org.apache.hadoop.fs.Path(info.path)
+            val fs = ChCommands.fsOf(spark, info.path)
+            fs.delete(p, true)
+            val sibs = fs.globStatus(
+              new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__graft_*"))
+            if (sibs != null) sibs.foreach(st => fs.delete(st.getPath, true))
+          } catch { case _: Exception => () }
+          throw e
+      }
     }
     Seq.empty
   }
@@ -1085,14 +1136,26 @@ case class ChModifySettingsCommand(table: String, text: String,
   }
 }
 
-/** The parse-time-resolved `SHOW CREATE TABLE` answer (see
-  * ChSqlParser.interceptCommand); carrying the table name keeps the
-  * plan's string form self-describing. */
-case class ChShowCreateTableCommand(table: String, ddl: String) extends LeafRunnableCommand {
+/** `SHOW CREATE TABLE` / `SHOW CREATE DICTIONARY` answer. For tables
+  * (`ddl = None`) the DDL is composed AT EXECUTION from the live
+  * manifests, so a plan parsed before a later ALTER answers the
+  * table's current state — ClickHouse's own resolution point — and
+  * EXPLAIN does not bake a stale statement into the plan; parse time
+  * only probed metadata existence ([[ChCommands.hasChTableMetadata]]).
+  * Dictionaries pass their recorded CREATE text (`Some(ddl)` — an
+  * in-memory registry lookup with no filesystem side effects). */
+case class ChShowCreateTableCommand(table: String, ddl: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "statement", org.apache.spark.sql.types.StringType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] = Seq(Row(ddl))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val text = ddl.orElse(ChCommands.showCreateChTable(spark, table)).getOrElse(
+      throw new IllegalStateException(
+        s"table '$table' lost its engine metadata between parse and execution; " +
+          "re-run SHOW CREATE TABLE (plain Spark tables answer through the native command)"))
+    Seq(Row(text))
+  }
 }
 
 case class ChCreateJoinTableCommand(

@@ -894,16 +894,19 @@ object ChSqlParser {
       if (!graft.operators.Dictionaries.exists(n))
         throw new IllegalArgumentException(s"dictionary '$n' does not exist")
       graft.operators.Dictionaries.ddlOf(n) match {
-        case Some(ddl) => Some(ChShowCreateTableCommand(n, ddl))
+        case Some(ddl) => Some(ChShowCreateTableCommand(n, Some(ddl)))
         case None => throw new UnsupportedOperationException(
           s"dictionary '$n' was registered through the Scala API (graft.operators." +
             "Dictionaries), not DDL — there is no CREATE statement to show")
       }
     case ShowCreateTableStmt(table0) =>
       val table = table0.replace("`", "") // per-part backtick quoting
+      // parse probes only metadata EXISTENCE (the None-fallthrough to
+      // Spark's native SHOW CREATE TABLE); the DDL text composes at
+      // execution so it tracks ALTERs made after parse
       org.apache.spark.sql.SparkSession.getActiveSession
-        .flatMap(s => ChCommands.showCreateChTable(s, table))
-        .map(ChShowCreateTableCommand(table, _))
+        .filter(s => ChCommands.hasChTableMetadata(s, table))
+        .map(_ => ChShowCreateTableCommand(table))
     case CreateJoinTableAs(ifNot, name, engineArgs, select) =>
       val (strictness, kind, keys) = parseJoinEngineArgs(engineArgs)
       val ine = if (ifNot == null) "" else "IF NOT EXISTS "
@@ -1224,6 +1227,40 @@ object ChSqlParser {
   /** Engine text (name + optional args) of a CH CREATE statement. */
   private val EngineText = """(?is)\bENGINE\s*=\s*([A-Za-z]+(?:\([^)]*\))?)""".r
 
+  /** The FIRST `ENGINE = <Name>[(args)]` outside single-quoted /
+    * backtick-quoted payloads — a MergeTree CREATE whose COMMENT
+    * mentions 'ENGINE = Kafka' must not steer the Join/Kafka gates
+    * (a bare findFirstIn over the whole statement did). Returns the
+    * engine text (name + optional args). */
+  private[plans] def engineOf(raw: String): Option[String] = {
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < raw.length && raw.charAt(i) != '\'') {
+            if (raw.charAt(i) == '\\' && i + 1 < raw.length) i += 1
+            i += 1
+          }
+          i += 1
+        case '`' =>
+          i += 1; while (i < raw.length && raw.charAt(i) != '`') i += 1; i += 1
+        case c if (c == 'E' || c == 'e') &&
+            (i == 0 || (!raw.charAt(i - 1).isLetterOrDigit && raw.charAt(i - 1) != '_')) =>
+          val m = EngineText.pattern.matcher(raw)
+          m.region(i, raw.length)
+          if (m.lookingAt()) return Some(m.group(1).trim)
+          i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Engine NAME (args stripped) from [[engineOf]], lowercased. */
+  private[plans] def engineNameOf(raw: String): Option[String] =
+    engineOf(raw).map(_.takeWhile(ch => ch.isLetterOrDigit || ch == '_').toLowerCase)
+
   private val EngineTailKeywords =
     Seq("PARTITION BY", "PRIMARY KEY", "ORDER BY", "SAMPLE BY", "SETTINGS", "TTL", "COMMENT")
   // compiled once: clause-keyword matchers tolerating any whitespace
@@ -1305,6 +1342,13 @@ object ChSqlParser {
         case _ => i += 1
       }
     }
+    // duplicate clause keywords ('SETTINGS a=1 SETTINGS b=2', two
+    // ORDER BY) would silently merge last-wins through toMap where
+    // ClickHouse rejects the statement — refuse loudly instead
+    val dups = hits.groupBy(_.kw).collect { case (k, v) if v.size > 1 => k }
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"duplicate ${dups.mkString(", ")} clause(s) in the CREATE/ENGINE tail — " +
+        "ClickHouse rejects repeated clauses; merge them into one")
     hits.toSeq.zipWithIndex.map { case (h, idx) =>
       val end = if (idx + 1 < hits.length) hits(idx + 1).start else tail.length
       h.kw -> normalizeOutsideQuotes(tail.substring(h.bodyStart, end).trim)
@@ -1319,9 +1363,15 @@ object ChSqlParser {
     * `_graft_engine.txt` manifest for SHOW CREATE TABLE. Join/Kafka
     * engines keep their dedicated paths. */
   private[plans] def interceptChCreate(raw: String, rewritten: String): Option[LogicalPlan] = {
-    if ("""(?i)\bENGINE\s*=\s*(Join|Kafka)\b""".r.findFirstIn(raw).isDefined) return None
+    // gate on the ACTUAL engine (first ENGINE= outside quotes), not a
+    // scan of the whole statement — a COMMENT payload mentioning
+    // 'ENGINE = Kafka' must not skip manifest persistence
+    if (engineNameOf(raw).exists(e => e == "join" || e == "kafka")) return None
     val nameTailCols = raw match {
-      case ChCreateTableAs(_, name, tail, _) => Some((name, tail, Nil, Nil))
+      // CTAS: carry the SELECT so the command records its analyzed
+      // output order as the manifest's declared columns
+      case ChCreateTableAs(_, name, tail, select) =>
+        Some((name, tail, Nil, Nil, Some(select)))
       case ChCreateTable(_, name, colsRaw, tail) =>
         // declared column ORDER (Spark's catalog floats partition
         // columns to the end; SHOW CREATE restores the CH order)
@@ -1336,12 +1386,13 @@ object ChSqlParser {
             .findFirstMatchIn(e)
             .map(m => (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2).trim))
         }
-        Some((name, tail, declared, projections))
+        Some((name, tail, declared, projections, None))
       case _ => None
     }
-    nameTailCols.map { case (name, tail, declared, projections) =>
-      val engine = EngineText.findFirstMatchIn(raw).map(_.group(1).trim).getOrElse("MergeTree")
-      ChCreateChTableCommand(name, rewritten, engine, splitEngineTail(tail), declared, projections)
+    nameTailCols.map { case (name, tail, declared, projections, ctasSelect) =>
+      val engine = engineOf(raw).getOrElse("MergeTree")
+      ChCreateChTableCommand(name, rewritten, engine, splitEngineTail(tail), declared,
+        projections, ctasSelect)
     }
   }
 
@@ -1357,10 +1408,10 @@ object ChSqlParser {
     }
 
   private def rewriteChCreateTableAs(sql: String): String = sql match {
-    case _ if """(?i)\bENGINE\s*=\s*Join\s*\(""".r.findFirstIn(sql).isDefined =>
+    case _ if engineNameOf(sql).contains("join") =>
       sql // survives to interceptCommand → ChCreateJoinTableCommand
     case ChCreateTableAs(ifNot, name, tail, select) =>
-      if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
+      if (engineNameOf(sql).contains("kafka"))
         throw new UnsupportedOperationException(
           "ENGINE = Kafka declares a streaming queue; drive it with graft.streaming.KafkaEngine")
       val ine = if (ifNot == null) "" else "IF NOT EXISTS "
@@ -1369,10 +1420,10 @@ object ChSqlParser {
   }
 
   private def rewriteChCreateTable(sql: String): String = sql match {
-    case _ if """(?i)\bENGINE\s*=\s*Join\s*\(""".r.findFirstIn(sql).isDefined =>
+    case _ if engineNameOf(sql).contains("join") =>
       sql // survives to interceptCommand → ChCreateJoinTableCommand
     case ChCreateTable(ifNot, name, colsRaw, tail) =>
-      if ("""(?i)\bENGINE\s*=\s*Kafka\b""".r.findFirstIn(sql).isDefined)
+      if (engineNameOf(sql).contains("kafka"))
         throw new UnsupportedOperationException(
           "ENGINE = Kafka declares a streaming queue, not a batch table; drive it with " +
             "graft.streaming.KafkaEngine.fromDdl (readStream source + MV chain — " +
