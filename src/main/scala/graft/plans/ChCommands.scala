@@ -1530,3 +1530,157 @@ case class ChIntoOutfileCommand(innerSql: String, path: String,
     } finally df.unpersist()
   }
 }
+
+/** Shared assembly for the INSERT-ingestion commands (round 16). */
+private[plans] object ChInsertIngest {
+  import org.apache.spark.sql.types._
+
+  /** FORMAT name (any case) → the canonical [[graft.sources.Formats]]
+    * name, refusing loudly with the supported list — the same
+    * contract as INTO OUTFILE's writer map. */
+  def canonicalFormat(name: String, context: String): String =
+    name.toLowerCase match {
+      case "csv"                             => "CSV"
+      case "csvwithnames"                    => "CSVWithNames"
+      case "tsv" | "tabseparated"            => "TSV"
+      case "tsvwithnames" | "tabseparatedwithnames" => "TSVWithNames"
+      case "jsoneachrow" | "ndjson"          => "JSONEachRow"
+      case "parquet" | "native"              => "Parquet"
+      case "orc"                             => "ORC"
+      case other => throw new UnsupportedOperationException(
+        s"$context FORMAT $other: supported here are Parquet, CSV[WithNames], " +
+          "TSV/TabSeparated[WithNames], JSONEachRow, ORC")
+    }
+
+  /** FORMAT omitted → infer from the file extension (CH's own rule);
+    * unrecognized extensions refuse toward an explicit FORMAT. */
+  def inferFormat(path: String): String = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "csv"                      => "CSV"
+      case "tsv"                      => "TSV"
+      case "json" | "ndjson" | "jsonl" => "JSONEachRow"
+      case "parquet"                  => "Parquet"
+      case "orc"                      => "ORC"
+      case _ => throw new IllegalArgumentException(
+        s"INSERT FROM INFILE: cannot infer a format from '$path' — add FORMAT <f> " +
+          "(Parquet, CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow, ORC)")
+    }
+  }
+
+  /** The CH type default for a column the INSERT did not list (CH
+    * fills 0 / '' / epoch; the catalog does not retain Nullable, so
+    * the non-null type default applies — the ADD COLUMN convention). */
+  private def defaultLit(f: StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    f.dataType match {
+      case _: StringType => lit("")
+      case BooleanType   => lit(false)
+      case DateType | TimestampType | TimestampNTZType =>
+        lit("1970-01-01 00:00:00").cast(f.dataType)
+      case dt => lit(0).cast(dt)
+    }
+  }
+
+  /** The file/payload's schema: the listed columns' target types in
+    * the LISTED order (positional formats read by position, JSON by
+    * name — both served by the same StructType). */
+  def fileSchema(spark: SparkSession, table: String, cols: Seq[String]): StructType = {
+    val tschema = spark.table(table).schema
+    val listed = if (cols.isEmpty) tschema.fieldNames.toSeq else cols
+    val missing = listed.filterNot(n => tschema.fieldNames.contains(n))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT INTO $table: column(s) ${missing.mkString(", ")} not in the table's " +
+        s"schema [${tschema.fieldNames.mkString(", ")}]")
+    StructType(listed.map(n => tschema(n)))
+  }
+
+  /** Append `df` (carrying the listed columns) into `table`: unlisted
+    * columns fill with CH type defaults, everything casts to the
+    * target type, the write goes positionally in catalog order (the
+    * order insertInto expects — partition columns last). Returns the
+    * inserted row count (one extra pass over a persisted frame, the
+    * INTO OUTFILE convention — this is the console/script ingestion
+    * surface, not the bulk landing path). */
+  def appendInto(spark: SparkSession, table: String, cols: Seq[String],
+                 df: org.apache.spark.sql.DataFrame): Long = {
+    val tschema = spark.table(table).schema
+    val listed = if (cols.isEmpty) tschema.fieldNames.toSeq else cols
+    val full = tschema.fields.toSeq.map { f =>
+      if (listed.contains(f.name)) org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+      else defaultLit(f).as(f.name)
+    }
+    val toWrite = df.select(full: _*).persist()
+    try {
+      val n = toWrite.count()
+      toWrite.write.mode("append").insertInto(table)
+      n
+    } finally toWrite.unpersist()
+  }
+}
+
+/** `INSERT INTO t [(cols)] FROM INFILE 'path' [COMPRESSION 'c']
+  * [FORMAT f]` EXECUTED — the import twin of INTO OUTFILE: the file
+  * reads through [[graft.sources.Formats]] with the TARGET table's
+  * column types (no schema inference drift), unlisted columns fill
+  * with CH type defaults, and the rows append to the table. FORMAT
+  * omitted infers from the extension (CH's rule). COMPRESSION beyond
+  * 'none' refuses (no codecs wired here); 'auto' and 'none' pass. */
+case class ChInsertFromInfileCommand(table: String, cols: Seq[String], path: String,
+    format: Option[String], compression: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    compression.filterNot(c => c.equalsIgnoreCase("none") || c.equalsIgnoreCase("auto"))
+      .foreach(c => throw new UnsupportedOperationException(
+        s"INSERT FROM INFILE COMPRESSION '$c': only 'none'/'auto' execute here — " +
+          "decompress the file first, or land it as Parquet/ORC (internally compressed)"))
+    val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INSERT FROM INFILE"))
+      .getOrElse(ChInsertIngest.inferFormat(path))
+    val schema = ChInsertIngest.fileSchema(spark, table, cols)
+    val df = graft.sources.Formats.read(spark, path, fmt, Some(schema.toDDL))
+    Seq(Row(ChInsertIngest.appendInto(spark, table, cols, df)))
+  }
+}
+
+/** `INSERT INTO t [(cols)] FORMAT f⏎rows…` EXECUTED for the text
+  * formats: the inline payload parses DISTRIBUTED (Dataset[String]
+  * through the same reader options as INFILE — no driver temp file,
+  * so the statement works identically on a cluster). Binary formats
+  * (Parquet/ORC) can't ride SQL text and refuse toward FROM INFILE;
+  * a missing payload (the native-protocol shape, where rows arrive
+  * out-of-band) refuses with the same route. */
+case class ChInsertInlineFormatCommand(table: String, cols: Seq[String],
+    format: String, payload: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fmt = ChInsertIngest.canonicalFormat(format, "INSERT INTO … FORMAT")
+    if (fmt == "Parquet" || fmt == "ORC") throw new UnsupportedOperationException(
+      s"INSERT INTO … FORMAT $fmt carries binary rows that cannot ride SQL text — " +
+        s"land the file and use INSERT INTO $table FROM INFILE '<path>' FORMAT $fmt")
+    val body = payload.getOrElse(throw new UnsupportedOperationException(
+      s"INSERT INTO $table FORMAT $fmt has no inline rows: the native/HTTP protocols " +
+        "carry the payload out-of-band — append the rows after the statement " +
+        s"(client-script shape), or land them as a file and use INSERT INTO $table " +
+        s"FROM INFILE '<path>' FORMAT $fmt"))
+    val schema = ChInsertIngest.fileSchema(spark, table, cols)
+    val lines = body.split("\r?\n").toSeq.filter(_.trim.nonEmpty)
+    import spark.implicits._
+    val ds = spark.createDataset(lines)
+    val r = spark.read.schema(schema)
+    val df = fmt match {
+      case "CSV"          => r.option("header", "false").csv(ds)
+      case "CSVWithNames" => r.option("header", "true").csv(ds)
+      case "TSV"          => r.option("header", "false").option("sep", "\t").csv(ds)
+      case "TSVWithNames" => r.option("header", "true").option("sep", "\t").csv(ds)
+      case "JSONEachRow"  => r.json(ds)
+      case other => throw new UnsupportedOperationException(
+        s"INSERT INTO … FORMAT $other: inline payloads execute for " +
+          "CSV[WithNames], TSV[WithNames], JSONEachRow")
+    }
+    Seq(Row(ChInsertIngest.appendInto(spark, table, cols, df)))
+  }
+}

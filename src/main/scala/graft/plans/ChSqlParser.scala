@@ -33,6 +33,10 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(cmd) => return cmd
       case None =>
     }
+    ChSqlParser.interceptInfile(sqlText) match {
+      case Some(cmd) => return cmd
+      case None =>
+    }
     val out = rewriteParametric(sqlText)
     ChSqlParser.interceptCommand(out)
       .orElse(ChSqlParser.interceptChCreate(sqlText, out))
@@ -49,6 +53,15 @@ class ChSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (ChSqlParser.hasParameters(ctx)) throw new UnsupportedOperationException(
         "parameterized INTO OUTFILE is not supported: the inner query re-parses at " +
           "run time where placeholder bindings are no longer in scope — inline the values")
+      return cmd
+    }
+    ChSqlParser.interceptInfile(sqlText).foreach { cmd =>
+      // the file/payload parses at run time, outside the parameter
+      // binding — same contract as the other commands
+      if (ChSqlParser.hasParameters(ctx)) throw new UnsupportedOperationException(
+        "parameterized INSERT FROM INFILE / INSERT … FORMAT is not supported: the " +
+          "statement executes at run time where placeholder bindings are no longer " +
+          "in scope — inline the values")
       return cmd
     }
     val out = rewriteParametric(sqlText)
@@ -850,6 +863,39 @@ object ChSqlParser {
     IntoOutfileStmt.findFirstMatchIn(sql).map { m =>
       ChIntoOutfileCommand(m.group(1), m.group(2), Option(m.group(3)))
     }
+
+  /** `INSERT INTO t [(cols)] FROM INFILE 'path' [COMPRESSION 'c']
+    * [FORMAT f]` — the ingestion twin of INTO OUTFILE (round 16): the
+    * reference's migration flow lands files then loads them, and only
+    * the export half executed before. Routed through
+    * [[graft.sources.Formats]]' name mapping (FORMAT omitted → the
+    * file extension infers it, CH's own rule). */
+  private val InsertFromInfileStmt =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*(?:\(([^()]*)\))?\s*FROM\s+INFILE\s+'([^']+)'(?:\s+COMPRESSION\s+'(\w+)')?(?:\s+FORMAT\s+(\w+))?\s*;?\s*$""".r
+
+  /** `INSERT INTO t [(cols)] FORMAT f⏎<rows…>` — the client-script
+    * spelling where the payload follows the statement (CH's native /
+    * HTTP protocols carry it out-of-band; scripts inline it after a
+    * newline). Text formats execute by parsing the inline payload
+    * distributed (Dataset[String] → the same reader options as
+    * INFILE); binary formats and a MISSING payload refuse with the
+    * FROM INFILE route. */
+  private val InsertInlineFormatStmt =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*(?:\(([^()]*)\))?\s*FORMAT\s+(\w+)(?:[ \t]*\r?\n([\s\S]*\S))?\s*$""".r
+
+  private def splitColList(colsOrNull: String): Seq[String] =
+    Option(colsOrNull).map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private[plans] def interceptInfile(sql: String): Option[LogicalPlan] = sql match {
+    case InsertFromInfileStmt(table, cols, path, compression, format) =>
+      Some(ChInsertFromInfileCommand(table, splitColList(cols), path,
+        Option(format), Option(compression)))
+    case InsertInlineFormatStmt(table, cols, format, payload)
+        if !table.equalsIgnoreCase("FUNCTION") =>
+      Some(ChInsertInlineFormatCommand(table, splitColList(cols), format, Option(payload)))
+    case _ => None
+  }
 
   /** `ENGINE = Join(strictness, kind, keys…)` — the two CREATE forms
     * intercept into [[ChCreateJoinTableCommand]] (the generic

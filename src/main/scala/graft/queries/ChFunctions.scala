@@ -2568,8 +2568,48 @@ object ChFunctions {
             FROM r WHERE rn <= 3 GROUP BY yr ORDER BY yr"""),
   )
 
+  /** The INGESTION half of the file-format surface (round 16): the
+    * reference's migration flow lands files then loads them, and
+    * before this round only the export half (q29j's INTO OUTFILE)
+    * executed. The gate drives the full round trip — a slice exported
+    * INTO OUTFILE as CSVWithNames (fixture-bracketed), loaded back
+    * with verbatim `INSERT INTO t FROM INFILE … FORMAT CSVWithNames`,
+    * then two rows appended through the client-script
+    * `INSERT INTO t (cols) FORMAT CSV⏎rows` inline spelling — and the
+    * aggregates must equal the source slice plus the inline rows
+    * (the oracle replays that directly over orders). */
+  val q29u = GraftQuery(
+    "q29u_infile",
+    (s, dir) => {
+      val base = s"/tmp/graft_infile/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq29u")
+        val wh = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))),
+          "gq29u")
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+        s.sql("""CREATE TABLE gq29u (id UInt64, prio String, total Float64)
+                 ENGINE = MergeTree ORDER BY id""")
+        Tables(s, dir).orders.createOrReplaceTempView("gq29u_src")
+        s.sql(s"""SELECT o_orderkey AS id, o_orderpriority AS prio, o_totalprice AS total
+                  FROM gq29u_src WHERE o_orderkey < 8000
+                  INTO OUTFILE '$base/orders.csv' FORMAT CSVWithNames""")
+      }
+      s.sql(s"INSERT INTO gq29u FROM INFILE '$base/orders.csv' FORMAT CSVWithNames")
+      s.sql("INSERT INTO gq29u (id, prio, total) FORMAT CSV\n9000001,9-INLINE,100.5\n9000002,9-INLINE,99.5")
+      s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total
+               FROM gq29u GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH base AS (SELECT o_orderpriority AS prio, o_totalprice AS total
+                          FROM orders WHERE o_orderkey < 8000
+                          UNION ALL SELECT '9-INLINE', 100.5
+                          UNION ALL SELECT '9-INLINE', 99.5)
+            SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total
+            FROM base GROUP BY prio ORDER BY prio"""),
+  )
+
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q28r, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q29u, q38, q38b, q38c, q38d, q38e, q21b)
 }
