@@ -524,6 +524,19 @@ object ChCommands {
       tableProjections(spark, info.path).nonEmpty
   }
 
+  /** The table's catalog fields in DECLARED order: the manifest's
+    * `columns` record restores the CH declaration order (Spark floats
+    * partition columns to the end; columns added later append). */
+  private[plans] def declaredOrderedFields(spark: SparkSession, table: String,
+      meta: Map[String, String]): Seq[org.apache.spark.sql.types.StructField] = {
+    val fields = spark.table(table).schema.fields.toSeq
+    val declared = meta.get("columns").map(_.split(",").toSeq).getOrElse(Nil)
+    if (declared.isEmpty) fields else {
+      val byName = fields.map(f => f.name -> f).toMap
+      declared.flatMap(byName.get) ++ fields.filterNot(f => declared.contains(f.name))
+    }
+  }
+
   /** The reconstructed CH CREATE statement of `table`, or None when
     * the table carries no graft metadata at all (plain Spark tables
     * fall through to Spark's native SHOW CREATE TABLE). Composes the
@@ -541,14 +554,7 @@ object ChCommands {
     val hasTtl = try fs.exists(ttlP) catch { case _: Exception => false }
     val projs = tableProjections(spark, info.path)
     if (meta.isEmpty && !hasTtl && projs.isEmpty) return None
-    // catalog schema in the DECLARED order (Spark floats partition
-    // columns to the end; columns added later append after them)
-    val fields = spark.table(table).schema.fields.toSeq
-    val declared = meta.get("columns").map(_.split(",").toSeq).getOrElse(Nil)
-    val ordered = if (declared.isEmpty) fields else {
-      val byName = fields.map(f => f.name -> f).toMap
-      declared.flatMap(byName.get) ++ fields.filterNot(f => declared.contains(f.name))
-    }
+    val ordered = declaredOrderedFields(spark, table, meta)
     val colLines = ordered.map(f => s"`${f.name}` ${chTypeName(f.dataType)}")
     val projLines = projs.map { sp =>
       if (sp.states.isEmpty) {
@@ -1155,6 +1161,49 @@ case class ChShowCreateTableCommand(table: String, ddl: Option[String] = None)
         s"table '$table' lost its engine metadata between parse and execution; " +
           "re-run SHOW CREATE TABLE (plain Spark tables answer through the native command)"))
     Seq(Row(text))
+  }
+}
+
+/** `DESCRIBE TABLE t` for engine-recorded tables (round 16 — the
+  * second thing a migrating user types after SHOW CREATE): CH's
+  * column shape (name, type, default_type, default_expression,
+  * comment) with the types reverse-mapped to ClickHouse names and, as
+  * system.columns does, the partition/sorting-key membership flags.
+  * Resolved AT EXECUTION like SHOW CREATE (parse only probes
+  * metadata existence; plain Spark tables fall through to the native
+  * DESCRIBE). default_type/default_expression/comment render empty —
+  * the CREATE front-end does not persist per-column DEFAULT/COMMENT
+  * attributes (they strip toward storage), and empty is exactly what
+  * CH prints for columns without them. Sorting-key membership marks
+  * identifier-shaped key elements; expression elements (cityHash64(x))
+  * resolve at relayout time and are not attributed to columns. */
+case class ChDescribeTableCommand(table: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)(),
+    AttributeReference("default_type", StringType, nullable = false)(),
+    AttributeReference("default_expression", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = false)(),
+    AttributeReference("is_in_partition_key", IntegerType, nullable = false)(),
+    AttributeReference("is_in_sorting_key", IntegerType, nullable = false)())
+
+  private def keyIdents(expr: String): Set[String] =
+    ChSqlParser.topLevelSplit(expr.trim.stripPrefix("(").stripSuffix(")"))
+      .map(_.trim).filter(_.matches("`[^`]+`|[A-Za-z_]\\w*"))
+      .map(_.stripPrefix("`").stripSuffix("`")).toSet
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val info = ChCommands.resolve(spark, table)
+    val meta = ChCommands.readEngineManifest(spark, info.path)
+    val partKeys = meta.get("partition_by").map(keyIdents)
+      .getOrElse(info.partCols.toSet)
+    val sortKeys = meta.get("order_by").map(keyIdents).getOrElse(Set.empty)
+    ChCommands.declaredOrderedFields(spark, table, meta).map { f =>
+      Row(f.name, ChCommands.chTypeName(f.dataType), "", "", "",
+        if (partKeys.contains(f.name)) 1 else 0,
+        if (sortKeys.contains(f.name)) 1 else 0)
+    }
   }
 }
 

@@ -934,6 +934,13 @@ object ChSqlParser {
   private val ShowCreateDictStmt =
     """(?is)^\s*SHOW\s+CREATE\s+DICTIONARY\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
 
+  /** `DESCRIBE TABLE t` / `DESC TABLE t` — CH's column shape for
+    * engine-recorded tables; plain tables (and the bare `DESCRIBE t`
+    * spelling) stay on Spark's native DESCRIBE. Parse probes only
+    * metadata existence; the rows compose at execution. */
+  private val DescribeTableStmt =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+TABLE\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
+
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
     case ShowCreateDictStmt(name) =>
       val n = name.replace("`", "")
@@ -945,6 +952,11 @@ object ChSqlParser {
           s"dictionary '$n' was registered through the Scala API (graft.operators." +
             "Dictionaries), not DDL — there is no CREATE statement to show")
       }
+    case DescribeTableStmt(table0) =>
+      val table = table0.replace("`", "")
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .filter(s => ChCommands.hasChTableMetadata(s, table))
+        .map(_ => ChDescribeTableCommand(table))
     case ShowCreateTableStmt(table0) =>
       val table = table0.replace("`", "") // per-part backtick quoting
       // parse probes only metadata EXISTENCE (the None-fallthrough to
