@@ -78,28 +78,52 @@ object Bench {
     // whole top-10 was fixture-dominated and a 1.62× "regression" on
     // code-unchanged q103 turned out to be landing-write noise.
     final case class R(sec: Double, setup: Double, err: Option[String])
-    final case class Q(best: R, runs: Seq[Double])
+    // Plan fingerprint (round 16): #shuffle Exchanges, #BroadcastExchanges,
+    // #Sorts, #scans parsed once per query from the executed-plan string
+    // (the AQE INITIAL plan — deterministic, and exactly where a rule
+    // regression shows up). The audit below diffs it against the previous
+    // artifact so a PLAN regression is caught even when wall time hides
+    // it (q15b's ex=0 promise was previously asserted only in its gate).
+    final case class FP(ex: Int, bex: Int, sort: Int, scan: Int) {
+      def json: String = s"""{"ex":$ex,"bex":$bex,"sort":$sort,"scan":$scan}"""
+    }
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Option[FP] =
+      try {
+        val s = df.queryExecution.executedPlan.toString
+        def cnt(re: scala.util.matching.Regex) = re.findAllMatchIn(s).size
+        Some(FP(
+          cnt("""(?m)(?:^|\s|\+- |:- )Exchange """.r),
+          cnt("""BroadcastExchange""".r),
+          cnt("""(?m)(?:^|\s|\+- |:- )Sort \[""".r),
+          cnt("""FileScan|BatchScan""".r)))
+      } catch { case _: Throwable => None }
+    final case class Q(best: R, runs: Seq[Double], fp: Option[FP])
     val results: Seq[(String, Q)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
-        def once(): R = {
+        var fp: Option[FP] = None
+        def once(takeFp: Boolean): R = {
           FixtureClock.reset()
           val t0 = System.nanoTime()
           val err =
-            try { fn(spark, sfDir).count(); None }
+            try {
+              val df = fn(spark, sfDir)
+              if (takeFp) fp = fingerprint(df)
+              df.count(); None
+            }
             catch { case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
             }
           R((System.nanoTime() - t0) / 1e9, FixtureClock.nanos / 1e9, err)
         }
-        val r1 = once()
-        if (r1.err.isDefined) name -> Q(r1, Seq(r1.sec)) // don't re-run a crash just to time it
+        val r1 = once(takeFp = true)
+        if (r1.err.isDefined) name -> Q(r1, Seq(r1.sec), fp) // don't re-run a crash just to time it
         else if (r1.sec < retryCutoff) {
-          val r2 = once()
-          name -> Q(if (r2.err.isEmpty && r2.sec < r1.sec) r2 else r1, Seq(r1.sec, r2.sec))
+          val r2 = once(takeFp = false)
+          name -> Q(if (r2.err.isEmpty && r2.sec < r1.sec) r2 else r1, Seq(r1.sec, r2.sec), fp)
         }
-        else name -> Q(r1, Seq(r1.sec))
+        else name -> Q(r1, Seq(r1.sec), fp)
       }
     val loadEnd = osBean.getSystemLoadAverage
 
@@ -148,10 +172,33 @@ object Bench {
       val st = numMap(root \ "setup")
       qs.map { case (k, v) => k -> math.max(0.0, v - st.getOrElse(k, 0.0)) }
     }.getOrElse(Map.empty)
+    // Previous plan fingerprints (absent in pre-round-16 artifacts →
+    // empty diff; from round 16 on, any count change is reported).
+    val prevPlans: Map[String, (Int, Int, Int, Int)] = sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
+      import org.json4s._
+      val root = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(p)))
+      def i(v: JValue): Int = v match {
+        case JInt(x) => x.toInt; case JDouble(x) => x.toInt; case _ => -1
+      }
+      root \ "plan" match {
+        case JObject(fields) => fields.collect {
+          case (k, o: JObject) =>
+            k -> (i(o \ "ex"), i(o \ "bex"), i(o \ "sort"), i(o \ "scan"))
+        }.toMap
+        case _ => Map.empty[String, (Int, Int, Int, Int)]
+      }
+    }.getOrElse(Map.empty)
+    val planDiffs: Seq[(String, String)] = results.collect {
+      case (name, q) if q.fp.isDefined && prevPlans.contains(name) &&
+          (q.fp.get.ex, q.fp.get.bex, q.fp.get.sort, q.fp.get.scan) != prevPlans(name) =>
+        val (pe, pb, ps, pc) = prevPlans(name)
+        name -> (s"""{"prev":{"ex":$pe,"bex":$pb,"sort":$ps,"scan":$pc},""" +
+          s""""now":${q.fp.get.json}}""")
+    }
     val auditCandidates: Seq[(String, R)] =
       if (prevTimes.isEmpty) Nil
       else results.collect {
-        case (name, Q(best, runs)) if best.err.isEmpty && runs.size == 1 && best.sec > retryCutoff &&
+        case (name, Q(best, runs, _)) if best.err.isEmpty && runs.size == 1 && best.sec > retryCutoff &&
             prevTimes.get(name).exists(p => p > 0 && math.max(0.0, best.sec - best.setup) > 1.5 * p) =>
           name -> best
       }
@@ -204,7 +251,7 @@ object Bench {
     } + "\""
 
     val ok = results.filter(_._2.best.err.isEmpty)
-    val errs = results.collect { case (n, Q(R(_, _, Some(e)), _)) => n -> e }
+    val errs = results.collect { case (n, Q(R(_, _, Some(e)), _, _)) => n -> e }
     val total = ok.map(_._2.best.sec).sum
     def workOf(r: R): Double = math.max(0.0, r.sec - r.setup)
     val workTotal = ok.map(q => workOf(q._2.best)).sum
@@ -222,6 +269,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
+    val planJson = results.collect { case (k, q) if q.fp.isDefined =>
+      jstr(k) + ":" + q.fp.get.json
+    }.mkString("{", ",", "}")
+    val planDiffJson = planDiffs.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     // the harness-generated audit table (empty when no PREV artifact
     // was supplied or nothing tripped the 20 s + 1.5× gate)
     val auditJson = audits.map { case (k, a) =>
@@ -234,7 +286,7 @@ object Bench {
       s""""metric":"total","value":${ms(total)},"unit":"sec","count":${results.size},"ok":${ok.size},"sf":${jstr(sfDir)}"""
     // Full artifact: every query, every error — the committed evidence.
     Files.writeString(Paths.get(outPath),
-      s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$allQs,"setup":$setupJson,"runs":$runsJson,"errors":$errJson,"audit":$auditJson}\n""")
+      s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$allQs,"setup":$setupJson,"runs":$runsJson,"errors":$errJson,"audit":$auditJson,"plan":$planJson,"plan_diff":$planDiffJson}\n""")
     // Stdout: driver-parseable summary that fits a bounded log tail.
     // Top-10 ranks on PLAN-dominated seconds (total minus reported
     // fixture time) so a plan regression can't hide in fixture noise.
@@ -243,7 +295,7 @@ object Bench {
     val auditSummary =
       if (audits.isEmpty) "0"
       else s"${audits.size}(${audits.count(_._2.verdict == "regression")} regression)"
-    println(s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$top10,"errors":${errs.size},"audited":${jstr(auditSummary)},"detail":${jstr(outPath)}}""")
+    println(s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$top10,"errors":${errs.size},"audited":${jstr(auditSummary)},"plan_diffs":${planDiffs.size},"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }

@@ -675,8 +675,14 @@ object Arrays {
         s.sql("""INSERT INTO gq99b SELECT o_orderkey, o_orderpriority, o_totalprice
                  FROM gq99b_src""")
       }
-      s.sql("""ALTER TABLE gq99b ADD PROJECTION by_prio
-               (SELECT prio, count(), sum(total), min(total), max(total) GROUP BY prio)""")
+      // the projection layout build is one-time fixture work (round
+      // 16: at sf100 it rewrites 150M rows and was dominating the
+      // timed cell as if the ROUTED query cost 30 s) — bracket it so
+      // the bench cell tracks the plan, not the build
+      graft.FixtureClock.time {
+        s.sql("""ALTER TABLE gq99b ADD PROJECTION by_prio
+                 (SELECT prio, count(), sum(total), min(total), max(total) GROUP BY prio)""")
+      }
       val out = s.sql("""SELECT prio, count(*) AS cnt, round(sum(total), 2) AS total,
                                 round(min(total), 2) AS lo, round(max(total), 2) AS hi
                          FROM gq99b GROUP BY prio ORDER BY prio""")
@@ -718,7 +724,10 @@ object Arrays {
         s.sql("""INSERT INTO gq99c SELECT o_orderkey, o_orderpriority, o_totalprice
                  FROM gq99c_src""")
       }
-      s.sql("ALTER TABLE gq99c ADD PROJECTION by_prio (SELECT * ORDER BY prio)")
+      // layout build = fixture work (see q99b's round-16 note)
+      graft.FixtureClock.time {
+        s.sql("ALTER TABLE gq99c ADD PROJECTION by_prio (SELECT * ORDER BY prio)")
+      }
       val out = s.sql("""SELECT id, round(total, 2) AS total
                          FROM gq99c WHERE prio = '1-URGENT' ORDER BY id""")
       require(out.queryExecution.executedPlan.toString.contains("_graft_proj_by_prio"),
@@ -759,13 +768,18 @@ object Arrays {
                  SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
                  FROM gq99d_src""")
       }
-      s.sql("ALTER TABLE gq99d ADD PROJECTION by_prio (SELECT prio, id, total ORDER BY prio)")
-      // the landed layout must hold ONLY the subset columns
-      val info = s.sql("DESCRIBE TABLE EXTENDED gq99d").collect()
-        .find(_.getString(0) == "Location").map(_.getString(1)).get
-      val storedCols = s.read.parquet(info + "__graft_proj_by_prio").schema.fieldNames.toSet
-      require(storedCols == Set("prio", "id", "total"),
-        s"subset layout stored $storedCols")
+      // layout build + layout ASSERTS = fixture work (see q99b's
+      // round-16 note); the plan asserts below stay timed — they
+      // inspect the executed plan, not the data
+      graft.FixtureClock.time {
+        s.sql("ALTER TABLE gq99d ADD PROJECTION by_prio (SELECT prio, id, total ORDER BY prio)")
+        // the landed layout must hold ONLY the subset columns
+        val info = s.sql("DESCRIBE TABLE EXTENDED gq99d").collect()
+          .find(_.getString(0) == "Location").map(_.getString(1)).get
+        val storedCols = s.read.parquet(info + "__graft_proj_by_prio").schema.fieldNames.toSet
+        require(storedCols == Set("prio", "id", "total"),
+          s"subset layout stored $storedCols")
+      }
       // covered query → subset layout (plan-asserted)
       val out = s.sql("""SELECT id, round(total, 2) AS total
                          FROM gq99d WHERE prio = '1-URGENT' ORDER BY id""")
