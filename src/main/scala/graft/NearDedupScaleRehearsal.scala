@@ -33,14 +33,29 @@ import org.apache.spark.sql.functions._
   * the checkpoint key-scheme marker via `ensureCheckpointScheme` the
   * way a production start-up must.
   *
+  * Round 16 (the RocksDB-cost question): SPARK_GRAFT_STATE_BACKENDS
+  * selects backends ("hdfs,rocksdb" default; "rocksdb" for tuning
+  * sweeps) and SPARK_GRAFT_ROCKSDB_TUNING ("k=v;k=v", keys under
+  * spark.sql.streaming.stateStore.rocksdb.*) applies provider confs
+  * before the query starts and is recorded in every emitted line —
+  * the profiling dial for changelog checkpointing / write buffer /
+  * row tracking.
+  *
   * Usage: SPARK_GRAFT_STATE_KEYS=1000000 graft.NearDedupScaleRehearsal
-  * Appends JSON lines to docs/STATE_SCALE_r15.jsonl
+  * Appends JSON lines to docs/STATE_SCALE_r16.jsonl
   * (override: SPARK_GRAFT_STATE_OUT). */
 object NearDedupScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "1000000").toLong
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
-      "/root/repo/docs/STATE_SCALE_r15.jsonl")
+      "/root/repo/docs/STATE_SCALE_r16.jsonl")
+    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val tuning: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING")
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }).getOrElse(Nil)
+    val tuningTag = tuning.map { case (k, v) => s"$k=$v" }.mkString(";")
     val spark = GraftSession.local("graft-neardedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -101,10 +116,14 @@ object NearDedupScaleRehearsal {
     // per-doc key replication under the Manku scheme: C(blocks, d) —
     // the operator's OWN count, so this metric can't drift from it
     val combosPerDoc = graft.streaming.StreamNearDedup.combinations(blocks, 3)
-    for (backend <- Seq("hdfs", "rocksdb")) {
-      if (backend == "rocksdb")
+    for (backend <- backends) {
+      if (backend == "rocksdb") {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        tuning.foreach { case (k, v) =>
+          spark.conf.set(s"spark.sql.streaming.stateStore.rocksdb.$k", v)
+        }
+      }
       else
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       val stream = graft.streaming.StreamNearDedup.explodeChunks(
@@ -133,7 +152,7 @@ object NearDedupScaleRehearsal {
           if (backend == "rocksdb") custom.getOrDefault("rocksdbTotalMemoryUsageBytes", 0L) +
             custom.getOrDefault("rocksdbSstFileSize", 0L)
           else so.memoryUsedBytes
-        emit(s"""{"family":"neardedup","backend":"$backend","blocks":$blocks,"batch":${p.batchId},""" +
+        emit(s"""{"family":"neardedup","backend":"$backend","tuning":"$tuningTag","blocks":$blocks,"batch":${p.batchId},""" +
           s""""input_rows":${p.numInputRows},""" +
           s""""batch_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},""" +
           s""""state_rows":${so.numRowsTotal},"state_bytes":$sizeBytes}""")
@@ -149,7 +168,7 @@ object NearDedupScaleRehearsal {
       val memberships = (docs + docs / 30) * combosPerDoc
       val buckets = progs.lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(0L)
       val occ = if (buckets > 0) math.rint(memberships.toDouble / buckets * 10) / 10 else -1.0
-      emit(s"""{"family":"neardedup","backend":"$backend","docs":$docs,"blocks":$blocks,""" +
+      emit(s"""{"family":"neardedup","backend":"$backend","tuning":"$tuningTag","docs":$docs,"blocks":$blocks,""" +
         s""""hits":$hitCount,"buckets":$buckets,"mean_bucket_docs":$occ,""" +
         s""""total_sec":${math.rint(totalSec * 100) / 100}}""")
     }

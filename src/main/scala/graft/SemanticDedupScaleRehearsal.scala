@@ -45,7 +45,14 @@ object SemanticDedupScaleRehearsal {
       case n => n.toInt
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
-      "/root/repo/docs/STATE_SCALE_r13.jsonl")
+      "/root/repo/docs/STATE_SCALE_r16.jsonl")
+    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val tuning: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING")
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }).getOrElse(Nil)
+    val tuningTag = tuning.map { case (k, v) => s"$k=$v" }.mkString(";")
     val spark = GraftSession.local("graft-semdedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -102,10 +109,14 @@ object SemanticDedupScaleRehearsal {
     val replays = (docs + 29) / 30
     val lo = 2 * groups + replays
     val hi = 3 * groups + replays + 16
-    for (backend <- Seq("hdfs", "rocksdb")) {
-      if (backend == "rocksdb")
+    for (backend <- backends) {
+      if (backend == "rocksdb") {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        tuning.foreach { case (k, v) =>
+          spark.conf.set(s"spark.sql.streaming.stateStore.rocksdb.$k", v)
+        }
+      }
       else
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       // one batch per pinned mtime: maxFilesPerTrigger=2 matches the
@@ -129,7 +140,7 @@ object SemanticDedupScaleRehearsal {
           if (backend == "rocksdb") custom.getOrDefault("rocksdbTotalMemoryUsageBytes", 0L) +
             custom.getOrDefault("rocksdbSstFileSize", 0L)
           else so.memoryUsedBytes
-        emit(s"""{"family":"semdedup","backend":"$backend","batch":${p.batchId},""" +
+        emit(s"""{"family":"semdedup","backend":"$backend","tuning":"$tuningTag","batch":${p.batchId},""" +
           s""""input_rows":${p.numInputRows},""" +
           s""""batch_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},""" +
           s""""state_rows":${so.numRowsTotal},"state_bytes":$sizeBytes}""")
@@ -140,7 +151,7 @@ object SemanticDedupScaleRehearsal {
       require(hitCount >= lo && hitCount <= hi,
         s"$backend: expected hits in [$lo, $hi], got $hitCount")
       val buckets = progs.lastOption.map(_.stateOperators(0).numRowsTotal).getOrElse(0L)
-      emit(s"""{"family":"semdedup","backend":"$backend","docs":$docs,"hits":$hitCount,""" +
+      emit(s"""{"family":"semdedup","backend":"$backend","tuning":"$tuningTag","docs":$docs,"hits":$hitCount,""" +
         s""""planes":$planes,"buckets":$buckets,""" +
         s""""occupancy":${if (buckets > 0) docs / buckets else -1},""" +
         s""""total_sec":${math.rint(totalSec * 100) / 100}}""")
