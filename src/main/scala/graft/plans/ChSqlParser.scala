@@ -2084,9 +2084,37 @@ object ChSqlParser {
     * Date axis means days, on a DateTime axis seconds (CH's own
     * unit conventions); QUARTER lowers to 3n MONTH (Spark intervals
     * have no quarter unit). Mixed bound kinds (int FROM, date TO)
-    * refuse by pass-through. */
+    * refuse by pass-through.
+    *
+    * BOUND-LESS form (round 16): `ORDER BY c WITH FILL [STEP s]` with
+    * no FROM/TO — CH's most common dashboard spelling — derives both
+    * bounds from the RESULT's own min/max of the fill column (a CTE
+    * so the source evaluates once per side of the join, and the max
+    * is INCLUSIVE: it is an existing row). STEP omitted lets Spark's
+    * sequence() pick the type default (1 for integers, 1 day for
+    * dates). FROM-only / TO-only forms stay refused by
+    * pass-through. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(.+?)\s+TO\s+(.+?)(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?)\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+
+  /** The bound-less form's STEP argument: INTERVAL spellings lower as
+    * usual (quarter → 3n month), a bare integer passes through,
+    * absent omits the argument (sequence()'s type default — 1 for
+    * integers, 1 day for dates). The axis kind is the fill column's
+    * own type — unknown at parse, resolved by sequence() at analysis,
+    * failing loudly on a mismatch. */
+  private def boundlessStep(stepOrNull: String): Option[String] =
+    Option(stepOrNull).map(_.trim) match {
+      case None => Some("")
+      case Some(s) if s.matches("-?\\d+") => Some(s", $s")
+      case Some(FillIntervalStep(n, u)) =>
+        val ul = u.toLowerCase
+        val units = Set("second", "minute", "hour", "day", "week", "month", "year")
+        if (ul == "quarter") Some(s", interval ${n.toLong * 3} month")
+        else if (units.contains(ul)) Some(s", interval $n $ul")
+        else None
+      case _ => None
+    }
 
   /** Classify one WITH FILL bound → (spark expr, kind) where kind ∈
     * int | date | ts. Date-shaped literals are validated
@@ -2530,15 +2558,26 @@ object ChSqlParser {
 
   private def rewriteWithFill(sql: String): String = sql match {
     case WithFill(body, fillCol, fromRaw, toRaw, stepOrNull, interpOrNull) =>
-      val (fromB, toB) = (fillBound(fromRaw), fillBound(toRaw))
-      // unclassifiable or mixed-kind bounds (int FROM, date TO) pass
-      // through untouched so the WITH FILL keyword fails loudly
-      if (fromB.isEmpty || toB.isEmpty || fromB.get._2 != toB.get._2) return sql
-      val (from, kind) = fromB.get
-      val to = toB.get._1
-      val stepOpt = fillStep(stepOrNull, kind)
-      if (stepOpt.isEmpty) return sql
-      val step = stepOpt.get
+      val boundless = fromRaw == null
+      // bounded form: classify bounds; unclassifiable or mixed-kind
+      // bounds (int FROM, date TO) pass through untouched so the
+      // WITH FILL keyword fails loudly. Bound-less form: only the
+      // step needs resolving (bounds come from the data at run time).
+      var from = ""; var to = ""; var kind = ""; var step = ""
+      var blStep = "" // bound-less sequence() step argument ("", ", 2", ", interval 1 month")
+      if (boundless) {
+        val s = boundlessStep(stepOrNull)
+        if (s.isEmpty) return sql
+        blStep = s.get
+      } else {
+        val (fromB, toB) = (fillBound(fromRaw), fillBound(toRaw))
+        if (fromB.isEmpty || toB.isEmpty || fromB.get._2 != toB.get._2) return sql
+        from = fromB.get._1; kind = fromB.get._2
+        to = toB.get._1
+        val stepOpt = fillStep(stepOrNull, kind)
+        if (stepOpt.isEmpty) return sql
+        step = stepOpt.get
+      }
       val items = Option(interpOrNull).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
       // an INTERPOLATE clause that is present but empty is malformed —
@@ -2582,16 +2621,27 @@ object ChSqlParser {
             (if (affine) s", (gr_src__.$fillCol IS NOT NULL) AS gr_is_src__" else "")
           // int axis: TO-exclusive via `$to - 1`; date/ts axes:
           // sequence is end-inclusive when TO lands on grid, so the
-          // grid filters `< TO` (true calendar stepping either way)
-          val axisSub =
-            if (kind == "int")
-              s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"
-            else
-              s"(SELECT gr_fill__ FROM (SELECT explode(sequence($from, $to, $step)) AS gr_fill__) WHERE gr_fill__ < $to)"
+          // grid filters `< TO` (true calendar stepping either way).
+          // Bound-less: min/max of the source itself (max INCLUSIVE —
+          // it is an existing row), via a CTE so the source computes
+          // once per join side, not three times.
           val joined =
-            s"""(SELECT $sel
-               |FROM $axisSub gr_axis__
-               |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+            if (boundless)
+              s"""(WITH gr_fill_src__ AS (SELECT $body)
+                 |SELECT $sel
+                 |FROM (SELECT explode(sequence(gr_mn__, gr_mx__$blStep)) AS gr_fill__
+                 |      FROM (SELECT min($fillCol) AS gr_mn__, max($fillCol) AS gr_mx__ FROM gr_fill_src__)) gr_axis__
+                 |FULL OUTER JOIN gr_fill_src__ gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+            else {
+              val axisSub =
+                if (kind == "int")
+                  s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"
+                else
+                  s"(SELECT gr_fill__ FROM (SELECT explode(sequence($from, $to, $step)) AS gr_fill__) WHERE gr_fill__ < $to)"
+              s"""(SELECT $sel
+                 |FROM $axisSub gr_axis__
+                 |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+            }
           def carryExpr(n: String) =
             s"coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
           if (interp.isEmpty)

@@ -334,6 +334,33 @@ object Arrays {
             FROM g ORDER BY month"""),
   )
 
+  /** BOUND-LESS `WITH FILL STEP INTERVAL 1 MONTH` (round 16): no
+    * FROM/TO — the axis derives from the result's own min/max month
+    * (max inclusive: it is an existing row), CH's most common
+    * dashboard spelling. Same filter as q95d so months 1995-07 and
+    * 1996-09 (and more across the full range) fill at sf0.01; the
+    * oracle replays the min/max month grid with generate_series. */
+  val q95e = GraftQuery(
+    "q95e_fill_boundless",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_wfb")
+      s.sql("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS cnt
+               FROM orders_wfb WHERE o_totalprice > 495000
+               GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ORDER BY month WITH FILL STEP INTERVAL 1 MONTH""")
+    },
+    Some("""WITH d AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                              count(*) AS cnt
+                       FROM orders WHERE o_totalprice > 495000 GROUP BY 1),
+                 b AS (SELECT CAST(min(month) AS TIMESTAMP) AS mn,
+                              CAST(max(month) AS TIMESTAMP) AS mx FROM d),
+                 axis AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS g
+                          FROM b)
+            SELECT coalesce(d.month, axis.g) AS month, coalesce(d.cnt, 0) AS cnt
+            FROM axis FULL OUTER JOIN d ON d.month = axis.g
+            ORDER BY month"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -795,5 +822,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q96, q97, q99, q99b, q99c, q99d)
 }

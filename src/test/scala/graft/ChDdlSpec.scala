@@ -64,14 +64,22 @@ class ChDdlSpec extends SparkSpec {
     drop("ddl_part")
     spark.sql("""CREATE TABLE ddl_part (d Date, k UInt32, v String)
                  ENGINE = MergeTree PARTITION BY k ORDER BY d""")
-    val cat = spark.sql("DESCRIBE TABLE ddl_part").collect().map(_.getString(0))
+    // round 16: DESCRIBE TABLE on an engine-recorded table answers
+    // the CH shape — partition membership is the flag column
+    val flags = spark.sql("DESCRIBE TABLE ddl_part").collect()
+      .map(r => r.getString(0) -> r.getInt(5)).toMap
+    assert(flags("k") == 1 && flags("d") == 0 && flags("v") == 0)
+    // the PHYSICAL layout partitioned too (native DESCRIBE EXTENDED)
+    val cat = spark.sql("DESCRIBE TABLE EXTENDED ddl_part").collect().map(_.getString(0))
     assert(cat.contains("# Partition Information"))
     drop("ddl_part")
     drop("ddl_expr")
-    // expression partition key: table still creates, unpartitioned
+    // expression partition key: table still creates, unpartitioned —
+    // no column carries the flag (the expression resolves at relayout)
     spark.sql("""CREATE TABLE ddl_expr (d DateTime, v UInt64)
                  ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY d""")
-    assert(!spark.sql("DESCRIBE TABLE ddl_expr").collect()
+    assert(spark.sql("DESCRIBE TABLE ddl_expr").collect().map(_.getInt(5)).sum == 0)
+    assert(!spark.sql("DESCRIBE TABLE EXTENDED ddl_expr").collect()
       .map(_.getString(0)).contains("# Partition Information"))
     drop("ddl_expr")
   }

@@ -90,6 +90,35 @@ class Round16FillSpec extends SparkSpec {
       ("2024-04-01", 40L, 400L)))
   }
 
+  test("bound-less WITH FILL derives the axis from the data (max inclusive)") {
+    mkDateView()
+    // month steps: 2024-01 .. 2024-09 from the data's own min/max
+    val months = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+        |ORDER BY d WITH FILL STEP INTERVAL 1 MONTH""".stripMargin)
+      .collect().map(_.getDate(0).toString)
+    assert(months.length == 9 && months.head == "2024-01-01" && months.last == "2024-09-01")
+    // integers, no step: sequence()'s type default of 1
+    Seq((1L, 10L), (4L, 40L)).toDF("n", "v").createOrReplaceTempView("fill_int_bl")
+    val ns = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_int_bl GROUP BY n
+        |ORDER BY n WITH FILL""".stripMargin).collect().map(_.getLong(0))
+    assert(ns.toSeq == Seq(1L, 2L, 3L, 4L))
+    // dates, no step: 1-day default
+    Seq((Date.valueOf("2024-01-01"), 1L), (Date.valueOf("2024-01-04"), 4L))
+      .toDF("d", "v").createOrReplaceTempView("fill_day_bl")
+    val ds = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_day_bl GROUP BY d
+        |ORDER BY d WITH FILL""".stripMargin).collect().map(_.getDate(0).toString)
+    assert(ds.toSeq == Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    // INTERPOLATE composes with the bound-less axis
+    val interp = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_day_bl GROUP BY d
+        |ORDER BY d WITH FILL INTERPOLATE (v AS v)""".stripMargin)
+      .collect().map(_.getLong(1))
+    assert(interp.toSeq == Seq(1L, 1L, 1L, 4L))
+  }
+
   test("refusal edges pass through and fail loudly at parse") {
     mkDateView()
     def refuses(sql: String): Unit = {
