@@ -2092,10 +2092,19 @@ object ChSqlParser {
     * so the source evaluates once per side of the join, and the max
     * is INCLUSIVE: it is an existing row). STEP omitted lets Spark's
     * sequence() pick the type default (1 for integers, 1 day for
-    * dates). FROM-only / TO-only forms stay refused by
-    * pass-through. */
+    * dates).
+    *
+    * HALF-BOUNDED forms (round 16): `WITH FILL FROM a [STEP s]`
+    * derives TO from the data's max (INCLUSIVE — it is an existing
+    * row, CH's to-omitted convention), `WITH FILL TO b [STEP s]`
+    * derives FROM from the data's min; the literal bound fixes the
+    * axis kind and a data column of a different type fails loudly in
+    * sequence() at analysis. A FROM beyond the data's max (or TO at
+    * or below the min) fills nothing — source rows pass through, as
+    * in CH. Negative steps refuse by pass-through in the half forms
+    * (they would invert the data-derived guard). */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?)\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
   /** The bound-less form's STEP argument: INTERVAL spellings lower as
     * usual (quarter → 3n month), a bare integer passes through,
@@ -2558,17 +2567,31 @@ object ChSqlParser {
 
   private def rewriteWithFill(sql: String): String = sql match {
     case WithFill(body, fillCol, fromRaw, toRaw, stepOrNull, interpOrNull) =>
-      val boundless = fromRaw == null
+      val boundless = fromRaw == null && toRaw == null
+      val fromOnly = fromRaw != null && toRaw == null
+      val toOnly = fromRaw == null && toRaw != null
       // bounded form: classify bounds; unclassifiable or mixed-kind
       // bounds (int FROM, date TO) pass through untouched so the
       // WITH FILL keyword fails loudly. Bound-less form: only the
       // step needs resolving (bounds come from the data at run time).
+      // Half forms: the one literal bound fixes the kind; the other
+      // derives from the data (min for TO-only, max for FROM-only).
       var from = ""; var to = ""; var kind = ""; var step = ""
       var blStep = "" // bound-less sequence() step argument ("", ", 2", ", interval 1 month")
       if (boundless) {
         val s = boundlessStep(stepOrNull)
         if (s.isEmpty) return sql
         blStep = s.get
+      } else if (fromOnly || toOnly) {
+        val b = fillBound(if (fromOnly) fromRaw else toRaw)
+        if (b.isEmpty) return sql
+        kind = b.get._2
+        if (fromOnly) from = b.get._1 else to = b.get._1
+        // a negative step would invert the data-derived bound guard
+        if (stepOrNull != null && stepOrNull.trim.startsWith("-")) return sql
+        val stepOpt = fillStep(stepOrNull, kind)
+        if (stepOpt.isEmpty) return sql
+        step = stepOpt.get
       } else {
         val (fromB, toB) = (fillBound(fromRaw), fillBound(toRaw))
         if (fromB.isEmpty || toB.isEmpty || fromB.get._2 != toB.get._2) return sql
@@ -2626,13 +2649,23 @@ object ChSqlParser {
           // it is an existing row), via a CTE so the source computes
           // once per join side, not three times.
           val joined =
-            if (boundless)
+            if (boundless || fromOnly || toOnly) {
+              // data-derived bound(s): CASE guards the sequence() call
+              // when the literal bound lies outside the data's range
+              // (explode(NULL) → empty axis, source rows pass
+              // through); TO-only keeps CH's exclusive TO via a grid
+              // filter (uniform across int and date/ts kinds).
+              val axisExpr =
+                if (boundless) s"sequence(gr_mn__, gr_mx__$blStep)"
+                else if (fromOnly) s"CASE WHEN gr_mx__ >= $from THEN sequence($from, gr_mx__, $step) END"
+                else s"CASE WHEN gr_mn__ < $to THEN sequence(gr_mn__, $to, $step) END"
+              val axisFilter = if (toOnly) s" WHERE gr_fill__ < $to" else ""
               s"""(WITH gr_fill_src__ AS (SELECT $body)
                  |SELECT $sel
-                 |FROM (SELECT explode(sequence(gr_mn__, gr_mx__$blStep)) AS gr_fill__
-                 |      FROM (SELECT min($fillCol) AS gr_mn__, max($fillCol) AS gr_mx__ FROM gr_fill_src__)) gr_axis__
+                 |FROM (SELECT gr_fill__ FROM (SELECT explode($axisExpr) AS gr_fill__
+                 |      FROM (SELECT min($fillCol) AS gr_mn__, max($fillCol) AS gr_mx__ FROM gr_fill_src__))$axisFilter) gr_axis__
                  |FULL OUTER JOIN gr_fill_src__ gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
-            else {
+            } else {
               val axisSub =
                 if (kind == "int")
                   s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"

@@ -361,6 +361,34 @@ object Arrays {
             ORDER BY month"""),
   )
 
+  /** HALF-BOUNDED `WITH FILL FROM a STEP INTERVAL 1 MONTH` (round
+    * 16): TO omitted — the upper bound derives from the result's own
+    * max month (INCLUSIVE: it is an existing row), CH's to-omitted
+    * convention; `WITH FILL TO b` symmetrically derives FROM from the
+    * min (spec-pinned in Round16FillSpec). The literal bound fixes
+    * the axis kind, and months before FROM survive off-grid (CH
+    * keeps out-of-range source rows — the 1995 months here). Oracle
+    * replays the FROM→max grid with generate_series. */
+  val q95f = GraftQuery(
+    "q95f_fill_half_bounded",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_wfh")
+      s.sql("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS cnt
+               FROM orders_wfh WHERE o_totalprice > 495000
+               GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ORDER BY month WITH FILL FROM toDate('1996-01-01') STEP INTERVAL 1 MONTH""")
+    },
+    Some("""WITH d AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                              count(*) AS cnt
+                       FROM orders WHERE o_totalprice > 495000 GROUP BY 1),
+                 b AS (SELECT CAST(max(month) AS TIMESTAMP) AS mx FROM d),
+                 axis AS (SELECT CAST(unnest(generate_series(TIMESTAMP '1996-01-01 00:00:00', mx, INTERVAL 1 MONTH)) AS DATE) AS g
+                          FROM b WHERE mx >= TIMESTAMP '1996-01-01 00:00:00')
+            SELECT coalesce(d.month, axis.g) AS month, coalesce(d.cnt, 0) AS cnt
+            FROM axis FULL OUTER JOIN d ON d.month = axis.g
+            ORDER BY month"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -822,5 +850,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q96, q97, q99, q99b, q99c, q99d)
 }

@@ -119,6 +119,40 @@ class Round16FillSpec extends SparkSpec {
     assert(interp.toSeq == Seq(1L, 1L, 1L, 4L))
   }
 
+  test("half-bounded WITH FILL: FROM-only derives TO from the max, TO-only FROM from the min") {
+    mkDateView()
+    // FROM-only month axis: grid Mar..Sep (data max, inclusive); the
+    // Jan source row is before FROM and survives off-grid
+    val fromOnly = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+        |ORDER BY d WITH FILL FROM toDate('2024-03-01') STEP INTERVAL 1 MONTH""".stripMargin)
+      .collect().map(_.getDate(0).toString)
+    assert(fromOnly.toSeq == Seq("2024-01-01", "2024-03-01", "2024-04-01", "2024-05-01",
+      "2024-06-01", "2024-07-01", "2024-08-01", "2024-09-01"))
+    // TO-only int axis: FROM = data min, TO stays exclusive
+    Seq((3L, 30L), (5L, 50L)).toDF("n", "v").createOrReplaceTempView("fill_half_int")
+    val toOnly = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_half_int GROUP BY n
+        |ORDER BY n WITH FILL TO 8 STEP 2""".stripMargin).collect().map(_.getLong(0))
+    assert(toOnly.toSeq == Seq(3L, 5L, 7L))
+    // a FROM beyond the data max fills nothing — source rows pass through
+    val beyond = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_half_int GROUP BY n
+        |ORDER BY n WITH FILL FROM 100""".stripMargin).collect().map(_.getLong(0))
+    assert(beyond.toSeq == Seq(3L, 5L))
+    // a TO at/below the data min likewise
+    val below = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_half_int GROUP BY n
+        |ORDER BY n WITH FILL TO 3""".stripMargin).collect().map(_.getLong(0))
+    assert(below.toSeq == Seq(3L, 5L))
+    // INTERPOLATE composes with a half-bounded axis
+    val interp = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_half_int GROUP BY n
+        |ORDER BY n WITH FILL TO 7 INTERPOLATE (v AS v)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(interp.toSeq == Seq((3L, 30L), (4L, 30L), (5L, 50L), (6L, 50L)))
+  }
+
   test("refusal edges pass through and fail loudly at parse") {
     mkDateView()
     def refuses(sql: String): Unit = {
@@ -137,5 +171,10 @@ class Round16FillSpec extends SparkSpec {
     // INTERVAL step on an integer axis
     refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
               |ORDER BY d WITH FILL FROM 0 TO 10 STEP INTERVAL 1 DAY""".stripMargin)
+    // negative step in a half-bounded form (it would invert the
+    // data-derived bound guard)
+    Seq((3L, 30L)).toDF("n", "v").createOrReplaceTempView("fill_neg_half")
+    refuses("""SELECT n, sum(v) AS v FROM fill_neg_half GROUP BY n
+              |ORDER BY n WITH FILL FROM 10 STEP -1""".stripMargin)
   }
 }
