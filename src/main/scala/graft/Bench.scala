@@ -109,7 +109,13 @@ object Bench {
           val err =
             try {
               val df = fn(spark, sfDir)
-              if (takeFp) fp = fingerprint(df)
+              // fingerprint must read the plan BEFORE execution (the
+              // AQE initial plan is the deterministic one), so it
+              // cannot leave the timed window — but its stringify +
+              // regex cost is fixture-class, not plan cost, and run 2
+              // does not carry it: bracket it so work-time (sec −
+              // setup, what the audit compares) stays symmetric.
+              if (takeFp) FixtureClock.time { fp = fingerprint(df) }
               df.count(); None
             }
             catch { case e: Throwable =>
@@ -180,12 +186,19 @@ object Bench {
       def i(v: JValue): Int = v match {
         case JInt(x) => x.toInt; case JDouble(x) => x.toInt; case _ => -1
       }
-      root \ "plan" match {
+      // same two shapes as prevTimes: Bench's own artifact (top-level
+      // "plan") or the driver's wrapper ("parsed" → "plan") — a
+      // wrapper input must not silently disable plan-diff detection
+      def planMap(v: JValue): Map[String, (Int, Int, Int, Int)] = v match {
         case JObject(fields) => fields.collect {
           case (k, o: JObject) =>
             k -> (i(o \ "ex"), i(o \ "bex"), i(o \ "sort"), i(o \ "scan"))
         }.toMap
         case _ => Map.empty[String, (Int, Int, Int, Int)]
+      }
+      root \ "plan" match {
+        case o: JObject => planMap(o)
+        case _ => planMap(root \ "parsed" \ "plan")
       }
     }.getOrElse(Map.empty)
     val planDiffs: Seq[(String, String)] = results.collect {

@@ -1015,8 +1015,8 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
       else spark.sql(ctasSelect.get).schema.fieldNames.toSeq
     spark.sql(innerSql)
     if (!existed) {
-      val info = ChCommands.resolve(spark, name)
       try {
+        val info = ChCommands.resolve(spark, name)
         val fields = Seq("engine" -> engine) ++
           (if (cols.nonEmpty) Seq("columns" -> cols.mkString(",")) else Nil) ++
           clauses.get("ORDER BY").map("order_by" -> _) ++
@@ -1033,15 +1033,22 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
           spark.sql(s"ALTER TABLE $name ADD PROJECTION $pn ($body)")
       } catch {
         case e: Throwable =>
-          // atomic CREATE: never leave a half-created table behind
+          // atomic CREATE: never leave a half-created table behind.
+          // resolve() itself may be what threw — recover the location
+          // best-effort before the DROP erases the catalog entry
           try {
+            val loc =
+              try Some(ChCommands.resolve(spark, name).path)
+              catch { case _: Exception => None }
             spark.sql(s"DROP TABLE IF EXISTS $name")
-            val p = new org.apache.hadoop.fs.Path(info.path)
-            val fs = ChCommands.fsOf(spark, info.path)
-            fs.delete(p, true)
-            val sibs = fs.globStatus(
-              new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__graft_*"))
-            if (sibs != null) sibs.foreach(st => fs.delete(st.getPath, true))
+            loc.foreach { lp =>
+              val p = new org.apache.hadoop.fs.Path(lp)
+              val fs = ChCommands.fsOf(spark, lp)
+              fs.delete(p, true)
+              val sibs = fs.globStatus(
+                new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__graft_*"))
+              if (sibs != null) sibs.foreach(st => fs.delete(st.getPath, true))
+            }
           } catch { case _: Exception => () }
           throw e
       }
@@ -1553,20 +1560,12 @@ case class ChIntoOutfileCommand(innerSql: String, path: String,
       val tmp = new org.apache.hadoop.fs.Path(path + "__graft_outfile_tmp")
       fs.delete(tmp, true)
       try {
-        val w = df.coalesce(1).write.mode("overwrite")
-        format.map(_.toLowerCase).getOrElse("parquet") match {
-          case "parquet" | "native" => w.parquet(tmp.toString)
-          case "csv" => w.option("header", "false").csv(tmp.toString)
-          case "csvwithnames" => w.option("header", "true").csv(tmp.toString)
-          case "tsv" | "tabseparated" =>
-            w.option("header", "false").option("sep", "\t").csv(tmp.toString)
-          case "tsvwithnames" | "tabseparatedwithnames" =>
-            w.option("header", "true").option("sep", "\t").csv(tmp.toString)
-          case "jsoneachrow" | "ndjson" => w.json(tmp.toString)
-          case other => throw new UnsupportedOperationException(
-            s"INTO OUTFILE FORMAT $other: supported here are Parquet (default), " +
-              "CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow")
-        }
+        // one shared name map with the INSERT-ingestion commands —
+        // export and import stay symmetric by construction (the q29u
+        // OUTFILE → INFILE round trip depends on it)
+        val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INTO OUTFILE"))
+          .getOrElse("Parquet")
+        graft.sources.Formats.write(df.coalesce(1), tmp.toString, fmt)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.startsWith("part-"))
         fs.delete(out, true)
@@ -1615,6 +1614,29 @@ private[plans] object ChInsertIngest {
         s"INSERT FROM INFILE: cannot infer a format from '$path' — add FORMAT <f> " +
           "(Parquet, CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow, ORC)")
     }
+  }
+
+  /** Split an inline CSV payload into records, honoring quoting: a
+    * newline INSIDE a quoted field belongs to the field, not the
+    * record boundary (the naive line split would cut it into two
+    * malformed rows). The `""` escape toggles the quote state twice —
+    * a no-op, which is exactly right. */
+  def splitCsvRecords(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"') { inQ = !inQ; cur += c }
+      else if (!inQ && (c == '\n' || c == '\r')) {
+        if (c == '\r' && i + 1 < body.length && body.charAt(i + 1) == '\n') i += 1
+        out += cur.result(); cur.clear()
+      } else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.result()
   }
 
   /** The CH type default for a column the INSERT did not list (CH
@@ -1688,7 +1710,9 @@ case class ChInsertFromInfileCommand(table: String, cols: Seq[String], path: Str
     val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INSERT FROM INFILE"))
       .getOrElse(ChInsertIngest.inferFormat(path))
     val schema = ChInsertIngest.fileSchema(spark, table, cols)
-    val df = graft.sources.Formats.read(spark, path, fmt, Some(schema.toDDL))
+    // strict read: malformed rows / failed conversions refuse (CH
+    // rejects bad input rows); *WithNames formats map by HEADER NAME
+    val df = graft.sources.Formats.readIngest(spark, path, fmt, schema, "INSERT FROM INFILE")
     Seq(Row(ChInsertIngest.appendInto(spark, table, cols, df)))
   }
 }
@@ -1716,20 +1740,15 @@ case class ChInsertInlineFormatCommand(table: String, cols: Seq[String],
         s"(client-script shape), or land them as a file and use INSERT INTO $table " +
         s"FROM INFILE '<path>' FORMAT $fmt"))
     val schema = ChInsertIngest.fileSchema(spark, table, cols)
-    val lines = body.split("\r?\n").toSeq.filter(_.trim.nonEmpty)
+    // CSV records split quote-aware (a quoted field may embed a
+    // newline — a naive line split would cut it into two malformed
+    // rows); TSV has no quoting and JSONEachRow escapes newlines
+    // inside strings, so the plain split is exact there
+    val lines = (if (fmt.startsWith("CSV")) ChInsertIngest.splitCsvRecords(body)
+                 else body.split("\r?\n").toSeq).filter(_.trim.nonEmpty)
     import spark.implicits._
     val ds = spark.createDataset(lines)
-    val r = spark.read.schema(schema)
-    val df = fmt match {
-      case "CSV"          => r.option("header", "false").csv(ds)
-      case "CSVWithNames" => r.option("header", "true").csv(ds)
-      case "TSV"          => r.option("header", "false").option("sep", "\t").csv(ds)
-      case "TSVWithNames" => r.option("header", "true").option("sep", "\t").csv(ds)
-      case "JSONEachRow"  => r.json(ds)
-      case other => throw new UnsupportedOperationException(
-        s"INSERT INTO … FORMAT $other: inline payloads execute for " +
-          "CSV[WithNames], TSV[WithNames], JSONEachRow")
-    }
+    val df = graft.sources.Formats.parseIngest(spark, ds, fmt, schema, "INSERT INTO …")
     Seq(Row(ChInsertIngest.appendInto(spark, table, cols, df)))
   }
 }

@@ -2116,14 +2116,21 @@ object ChSqlParser {
     Option(stepOrNull).map(_.trim) match {
       case None => Some("")
       case Some(s) if s.matches("-?\\d+") => Some(s", $s")
-      case Some(FillIntervalStep(n, u)) =>
-        val ul = u.toLowerCase
-        val units = Set("second", "minute", "hour", "day", "week", "month", "year")
-        if (ul == "quarter") Some(s", interval ${n.toLong * 3} month")
-        else if (units.contains(ul)) Some(s", interval $n $ul")
-        else None
+      case Some(FillIntervalStep(n, u)) => lowerInterval(n, u).map(iv => s", $iv")
       case _ => None
     }
+
+  /** One home for the INTERVAL-step lowering (quarter → 3n month,
+    * unit whitelist) — boundlessStep and fillStep both consume it, so
+    * a unit addition or lowering fix cannot diverge between the
+    * bound-less and bounded forms. */
+  private def lowerInterval(n: String, unit: String): Option[String] = {
+    val units = Set("second", "minute", "hour", "day", "week", "month", "year")
+    val ul = unit.toLowerCase
+    if (ul == "quarter") Some(s"interval ${n.toLong * 3} month")
+    else if (units.contains(ul)) Some(s"interval $n $ul")
+    else None
+  }
 
   /** Classify one WITH FILL bound → (spark expr, kind) where kind ∈
     * int | date | ts. Date-shaped literals are validated
@@ -2160,8 +2167,7 @@ object ChSqlParser {
   private val FillIntervalStep = """(?is)^INTERVAL\s+(\d+)\s+([A-Za-z]+)$""".r
 
   /** Resolve the STEP spelling against the axis kind; None refuses. */
-  private def fillStep(stepOrNull: String, kind: String): Option[String] = {
-    val units = Set("second", "minute", "hour", "day", "week", "month", "year")
+  private def fillStep(stepOrNull: String, kind: String): Option[String] =
     (Option(stepOrNull).map(_.trim), kind) match {
       case (None, "int")                                 => Some("1")
       case (Some(s), "int") if s.matches("-?\\d+")       => Some(s)
@@ -2169,14 +2175,9 @@ object ChSqlParser {
       case (None, "ts")                                  => Some("interval 1 second")
       case (Some(s), "date") if s.matches("\\d+")        => Some(s"interval $s day")
       case (Some(s), "ts") if s.matches("\\d+")          => Some(s"interval $s second")
-      case (Some(FillIntervalStep(n, u)), k) if k != "int" =>
-        val ul = u.toLowerCase
-        if (ul == "quarter") Some(s"interval ${n.toLong * 3} month")
-        else if (units.contains(ul)) Some(s"interval $n $ul")
-        else None
+      case (Some(FillIntervalStep(n, u)), k) if k != "int" => lowerInterval(n, u)
       case _ => None
     }
-  }
 
   /** ClickHouse `ASOF [LEFT] JOIN` — the nearest-match temporal join
     * — rewritten to the SCALE-SAFE union+window shape of

@@ -103,6 +103,64 @@ class Round16InfileSpec extends SparkSpec {
     spark.sql("DROP TABLE inf_refuse")
   }
 
+  test("*WithNames maps by header NAME, not position (review)") {
+    freshTable("inf_byname")
+    // header column order differs from the table's — by-name mapping
+    // must land each value in its named column (positional mapping
+    // would put total into id)
+    spark.sql(s"SELECT 9.75 AS total, 11 AS id, 'C' AS prio INTO OUTFILE '$base/byname.csv' FORMAT CSVWithNames")
+    spark.sql(s"INSERT INTO inf_byname FROM INFILE '$base/byname.csv' FORMAT CSVWithNames")
+    val r = spark.sql("SELECT id, prio, total FROM inf_byname").head()
+    assert(r.getLong(0) == 11L && r.getString(1) == "C" && r.getDouble(2) == 9.75)
+    // a header missing a target column refuses, naming it
+    spark.sql(s"SELECT 1 AS id INTO OUTFILE '$base/missing.csv' FORMAT CSVWithNames")
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"INSERT INTO inf_byname FROM INFILE '$base/missing.csv' FORMAT CSVWithNames"))
+    assert(e.getMessage.contains("header") && e.getMessage.contains("prio"))
+    spark.sql("DROP TABLE inf_byname")
+  }
+
+  test("malformed rows refuse instead of landing NULLs (review)") {
+    freshTable("inf_strict")
+    // inline: a non-numeric value in a Float64 column refuses (FAILFAST),
+    // and nothing lands
+    intercept[Exception](spark.sql("INSERT INTO inf_strict FORMAT CSV\n1,A,notanumber"))
+    assert(spark.table("inf_strict").count() == 0L)
+    // by-name file path: a bad value in a typed header column refuses
+    // with the column named (a post-hoc cast would silently NULL it)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base-bad.csv"), "total,id,prio\nxx,1,A\n")
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"INSERT INTO inf_strict FROM INFILE '$base-bad.csv' FORMAT CSVWithNames"))
+    assert(e.getMessage.contains("total"))
+    assert(spark.table("inf_strict").count() == 0L)
+    spark.sql("DROP TABLE inf_strict")
+  }
+
+  test("a quoted newline inside an inline CSV field stays one row (review)") {
+    freshTable("inf_nl")
+    val n = spark.sql("INSERT INTO inf_nl FORMAT CSV\n1,\"line1\nline2\",2.5\n2,plain,3.5")
+      .head().getLong(0)
+    assert(n == 2L)
+    val rows = spark.sql("SELECT id, prio, total FROM inf_nl ORDER BY id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "line1\nline2" &&
+      rows(0).getDouble(2) == 2.5)
+    assert(rows(1).getString(1) == "plain")
+    spark.sql("DROP TABLE inf_nl")
+  }
+
+  test("OUTFILE ORC round trips through INFILE (one shared format map)") {
+    dropWithLocation("inf_orc_src"); freshTable("inf_orc_dst")
+    spark.sql("CREATE TABLE inf_orc_src (id UInt64, prio String, total Float64) ENGINE = MergeTree ORDER BY id")
+    spark.sql("INSERT INTO inf_orc_src VALUES (1, 'A', 1.5), (2, 'B', 2.5)")
+    spark.sql(s"SELECT id, prio, total FROM inf_orc_src INTO OUTFILE '$base/rt.orc' FORMAT ORC")
+    val n = spark.sql(s"INSERT INTO inf_orc_dst FROM INFILE '$base/rt.orc' FORMAT ORC")
+      .head().getLong(0)
+    assert(n == 2L)
+    assert(spark.sql("SELECT sum(total) FROM inf_orc_dst").head().getDouble(0) == 4.0)
+    spark.sql("DROP TABLE inf_orc_src"); spark.sql("DROP TABLE inf_orc_dst")
+  }
+
   test("INSERT INTO t SELECT … is untouched by the intercepts") {
     freshTable("inf_sel")
     spark.sql("INSERT INTO inf_sel SELECT 9, 'S', 9.5")
