@@ -2102,9 +2102,20 @@ object ChSqlParser {
     * sequence() at analysis. A FROM beyond the data's max (or TO at
     * or below the min) fills nothing — source rows pass through, as
     * in CH. Negative steps refuse by pass-through in the half forms
-    * (they would invert the data-derived guard). */
+    * (they would invert the data-derived guard).
+    *
+    * GROUPED form (round 16): `ORDER BY p1, …, pk, c WITH FILL` —
+    * the fill column is the LAST sort key and the fill restarts per
+    * distinct value of the preceding plain named-output keys, CH's
+    * per-category series shape. Literal bounds grid CROSS JOINs the
+    * distinct prefix; data-derived bounds compute PER GROUP (each
+    * category fills its own min→max). Prefix equality in the axis
+    * join is null-safe, the INTERPOLATE windows partition by the
+    * prefix, and a prefix column cannot itself be interpolated
+    * (refuses by pass-through). Prefix keys with ASC/DESC modifiers
+    * or expression keys stay unsupported → pass-through. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
   /** The bound-less form's STEP argument: INTERVAL spellings lower as
     * usual (quarter → 3n month), a bare integer passes through,
@@ -2567,7 +2578,12 @@ object ChSqlParser {
   }
 
   private def rewriteWithFill(sql: String): String = sql match {
-    case WithFill(body, fillCol, fromRaw, toRaw, stepOrNull, interpOrNull) =>
+    case WithFill(body, prefixRaw, fillCol, fromRaw, toRaw, stepOrNull, interpOrNull) =>
+      // grouped form: plain named sort keys BEFORE the fill column —
+      // the fill restarts per distinct prefix value
+      val prefix: Seq[String] =
+        Option(prefixRaw).getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (prefix.contains(fillCol) || prefix.distinct.size != prefix.size) return sql
       val boundless = fromRaw == null && toRaw == null
       val fromOnly = fromRaw != null && toRaw == null
       val toOnly = fromRaw == null && toRaw != null
@@ -2630,19 +2646,29 @@ object ChSqlParser {
         }
         val colSet = names.flatten.toSet
         // an INTERPOLATE column absent from the SELECT list leaves the
-        // text alone → the keyword fails loudly, never silently skips
+        // text alone → the keyword fails loudly, never silently skips;
+        // ditto prefix keys that are not named outputs, and an
+        // INTERPOLATE on a prefix key (its filled rows carry the
+        // group's value by construction — CH rejects the spelling)
         if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol) ||
-            !interp.keySet.subsetOf(colSet)) sql
+            !interp.keySet.subsetOf(colSet) ||
+            !prefix.forall(colSet.contains) || prefix.exists(interp.contains)) sql
         else {
           val cols = names.flatten
           val affine = interp.exists(_._2._1 != "carry")
           val sel = cols.map { n =>
             if (n == fillCol) s"coalesce(gr_src__.$n, gr_axis__.gr_fill__) AS $n"
+            else if (prefix.contains(n)) s"coalesce(gr_src__.$n, gr_axis__.$n) AS $n"
             else if (interp.contains(n)) s"gr_src__.$n AS $n" // filled below
             else s"coalesce(gr_src__.$n, 0) AS $n"
           }.mkString(", ") +
             // affine steps need to know which rows are source rows
             (if (affine) s", (gr_src__.$fillCol IS NOT NULL) AS gr_is_src__" else "")
+          val pfx = prefix.mkString(", ")
+          // null-safe prefix equality: a NULL category still lines up
+          // with its own per-group axis row
+          val onClause = (prefix.map(p => s"gr_src__.$p <=> gr_axis__.$p") :+
+            s"gr_src__.$fillCol = gr_axis__.gr_fill__").mkString(" AND ")
           // int axis: TO-exclusive via `$to - 1`; date/ts axes:
           // sequence is end-inclusive when TO lands on grid, so the
           // grid filters `< TO` (true calendar stepping either way).
@@ -2655,31 +2681,53 @@ object ChSqlParser {
               // when the literal bound lies outside the data's range
               // (explode(NULL) → empty axis, source rows pass
               // through); TO-only keeps CH's exclusive TO via a grid
-              // filter (uniform across int and date/ts kinds).
+              // filter (uniform across int and date/ts kinds). With a
+              // prefix, min/max compute PER GROUP — each category
+              // fills its own range.
               val axisExpr =
                 if (boundless) s"sequence(gr_mn__, gr_mx__$blStep)"
                 else if (fromOnly) s"CASE WHEN gr_mx__ >= $from THEN sequence($from, gr_mx__, $step) END"
                 else s"CASE WHEN gr_mn__ < $to THEN sequence(gr_mn__, $to, $step) END"
               val axisFilter = if (toOnly) s" WHERE gr_fill__ < $to" else ""
+              val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
+              val agg =
+                if (prefix.isEmpty)
+                  s"SELECT min($fillCol) AS gr_mn__, max($fillCol) AS gr_mx__ FROM gr_fill_src__"
+                else
+                  s"SELECT $pfx, min($fillCol) AS gr_mn__, max($fillCol) AS gr_mx__ FROM gr_fill_src__ GROUP BY $pfx"
               s"""(WITH gr_fill_src__ AS (SELECT $body)
                  |SELECT $sel
-                 |FROM (SELECT gr_fill__ FROM (SELECT explode($axisExpr) AS gr_fill__
-                 |      FROM (SELECT min($fillCol) AS gr_mn__, max($fillCol) AS gr_mx__ FROM gr_fill_src__))$axisFilter) gr_axis__
-                 |FULL OUTER JOIN gr_fill_src__ gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+                 |FROM (SELECT ${pfxSel}gr_fill__ FROM (SELECT ${pfxSel}explode($axisExpr) AS gr_fill__
+                 |      FROM ($agg))$axisFilter) gr_axis__
+                 |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
             } else {
               val axisSub =
                 if (kind == "int")
                   s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"
                 else
                   s"(SELECT gr_fill__ FROM (SELECT explode(sequence($from, $to, $step)) AS gr_fill__) WHERE gr_fill__ < $to)"
-              s"""(SELECT $sel
-                 |FROM $axisSub gr_axis__
-                 |FULL OUTER JOIN (SELECT $body) gr_src__ ON gr_src__.$fillCol = gr_axis__.gr_fill__) gr_fill_out__""".stripMargin
+              if (prefix.isEmpty)
+                s"""(SELECT $sel
+                   |FROM $axisSub gr_axis__
+                   |FULL OUTER JOIN (SELECT $body) gr_src__ ON $onClause) gr_fill_out__""".stripMargin
+              else
+                // literal bounds with a prefix: the same grid for
+                // every distinct prefix value (CH's bounded grouped
+                // fill) — DISTINCT prefix CROSS JOIN grid
+                s"""(WITH gr_fill_src__ AS (SELECT $body)
+                   |SELECT $sel
+                   |FROM (SELECT $pfx, gr_fill__ FROM (SELECT DISTINCT $pfx FROM gr_fill_src__) gr_pfx__
+                   |      CROSS JOIN $axisSub gr_grid__) gr_axis__
+                   |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
             }
+          // the INTERPOLATE windows and the final sort respect the
+          // prefix: each group carries/ramps its own series
+          val partBy = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
+          val orderOut = (prefix :+ fillCol).mkString(", ")
           def carryExpr(n: String) =
-            s"coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
+            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
           if (interp.isEmpty)
-            s"SELECT * FROM $joined ORDER BY $fillCol"
+            s"SELECT * FROM $joined ORDER BY $orderOut"
           else if (!affine) {
             // carry the nearest preceding source value across filled
             // rows; before the first source row the 0 default applies
@@ -2687,7 +2735,7 @@ object ChSqlParser {
             val outer = cols.map { n =>
               if (interp.contains(n)) carryExpr(n) else n
             }.mkString(", ")
-            s"SELECT $outer FROM $joined ORDER BY $fillCol"
+            s"SELECT $outer FROM $joined ORDER BY $orderOut"
           } else {
             // affine recurrence `c AS c ± k`: each filled row applies
             // the step to the previous row's value, so the run ramps
@@ -2697,20 +2745,21 @@ object ChSqlParser {
             // minus 1 is rows-since-source.
             val grpSel =
               s"""SELECT *, count(CASE WHEN gr_is_src__ THEN 1 END)
-                 |  OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
+                 |  OVER (${partBy}ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
                  |FROM $joined""".stripMargin
+            val grpPart = (prefix :+ "gr_grp__").mkString(", ")
             val outer = cols.map { n =>
               interp.get(n) match {
                 case Some(("carry", _)) => carryExpr(n)
                 case Some((op, lit)) =>
                   s"""CASE WHEN gr_is_src__ THEN $n
-                     |     ELSE coalesce(last_value($n, true) OVER (ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     |            $op ($lit) * (row_number() OVER (PARTITION BY gr_grp__ ORDER BY $fillCol) - 1), 0)
+                     |     ELSE coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     |            $op ($lit) * (row_number() OVER (PARTITION BY $grpPart ORDER BY $fillCol) - 1), 0)
                      |END AS $n""".stripMargin
                 case None => n
               }
             }.mkString(", ")
-            s"SELECT $outer FROM ($grpSel) gr_fill_g__ ORDER BY $fillCol"
+            s"SELECT $outer FROM ($grpSel) gr_fill_g__ ORDER BY $orderOut"
           }
         }
       }

@@ -389,6 +389,36 @@ object Arrays {
             ORDER BY month"""),
   )
 
+  /** GROUPED `ORDER BY prio, month WITH FILL` (round 16): the fill
+    * column is the LAST sort key and the fill restarts per distinct
+    * value of the preceding keys — CH's per-category dashboard
+    * series. Bound-less here, so each priority class fills its OWN
+    * min→max month range (per-group sequence(), one aggregate + one
+    * join — no per-group driver loop). Oracle replays the per-group
+    * grid with a GROUP BY + generate_series FULL OUTER JOIN. */
+  val q95g = GraftQuery(
+    "q95g_fill_grouped",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_wfg")
+      s.sql("""SELECT o_orderpriority AS prio, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                      count(*) AS cnt
+               FROM orders_wfg WHERE o_totalprice > 490000
+               GROUP BY o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE)
+               ORDER BY prio, month WITH FILL STEP INTERVAL 1 MONTH""")
+    },
+    Some("""WITH d AS (SELECT o_orderpriority AS prio,
+                              CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS cnt
+                       FROM orders WHERE o_totalprice > 490000 GROUP BY 1, 2),
+                 b AS (SELECT prio, CAST(min(month) AS TIMESTAMP) AS mn,
+                              CAST(max(month) AS TIMESTAMP) AS mx FROM d GROUP BY prio),
+                 axis AS (SELECT prio, CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS g
+                          FROM b)
+            SELECT coalesce(d.prio, axis.prio) AS prio, coalesce(d.month, axis.g) AS month,
+                   coalesce(d.cnt, 0) AS cnt
+            FROM axis FULL OUTER JOIN d ON d.prio = axis.prio AND d.month = axis.g
+            ORDER BY prio, month"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -850,5 +880,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q96, q97, q99, q99b, q99c, q99d)
 }

@@ -153,6 +153,69 @@ class Round16FillSpec extends SparkSpec {
     assert(interp.toSeq == Seq((3L, 30L), (4L, 30L), (5L, 50L), (6L, 50L)))
   }
 
+  test("grouped WITH FILL: fill restarts per preceding sort key") {
+    Seq(
+      ("a", 1L, 10L), ("a", 4L, 40L),
+      ("b", 2L, 20L), ("b", 3L, 30L),
+    ).toDF("cat", "n", "v").createOrReplaceTempView("fill_grp")
+    // boundless: each group fills its OWN min..max
+    val rows = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_grp GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 40L),
+      ("b", 2L, 20L), ("b", 3L, 30L)))
+    // bounded: the same grid for every group, TO exclusive; the
+    // off-grid source row (a, 4) survives
+    val bounded = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_grp GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL FROM 1 TO 4""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bounded.toSeq == Seq(
+      ("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 40L),
+      ("b", 1L, 0L), ("b", 2L, 20L), ("b", 3L, 30L)))
+    // INTERPOLATE carries within the group only — b's first filled row
+    // must not see a's last value
+    val interp = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_grp GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL FROM 1 TO 4 INTERPOLATE (v AS v)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(interp.toSeq == Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 40L),
+      ("b", 1L, 0L), ("b", 2L, 20L), ("b", 3L, 30L)))
+    // a prefix key in INTERPOLATE refuses by pass-through
+    intercept[Exception](spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_grp GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL INTERPOLATE (cat AS cat)""".stripMargin).collect())
+    // a NULL group still lines up with its own axis rows (null-safe join)
+    Seq((Option.empty[String], 1L, 5L), (Option.empty[String], 3L, 15L))
+      .toDF("cat", "n", "v").createOrReplaceTempView("fill_grp_null")
+    val nulls = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_grp_null GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL""".stripMargin)
+      .collect().map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(nulls.toSeq == Seq(("NULL", 1L, 5L), ("NULL", 2L, 0L), ("NULL", 3L, 15L)))
+  }
+
+  test("grouped boundless fill plans as aggregate + join — no nested loop") {
+    Seq(("a", 1L, 10L), ("a", 4L, 40L), ("b", 2L, 20L)).toDF("cat", "n", "v")
+      .createOrReplaceTempView("fill_grp_plan")
+    val df = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_grp_plan GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL""".stripMargin)
+    df.collect()
+    // the per-group axis is ONE aggregate + ONE equi-join: at scale
+    // (many categories × long series) a nested-loop here would be
+    // O(groups × rows); only the bounded grouped form carries a
+    // deliberate tiny CROSS JOIN (distinct prefix × literal grid)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"grouped boundless fill must not plan a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"grouped boundless fill must not plan a nested loop:\n$plan")
+  }
+
   test("refusal edges pass through and fail loudly at parse") {
     mkDateView()
     def refuses(sql: String): Unit = {
