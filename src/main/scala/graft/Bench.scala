@@ -87,9 +87,9 @@ object Bench {
     final case class FP(ex: Int, bex: Int, sort: Int, scan: Int) {
       def json: String = s"""{"ex":$ex,"bex":$bex,"sort":$sort,"scan":$scan}"""
     }
-    def fingerprint(df: org.apache.spark.sql.DataFrame): Option[FP] =
+    def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): Option[FP] =
       try {
-        val s = df.queryExecution.executedPlan.toString
+        val s = plan.toString
         def cnt(re: scala.util.matching.Regex) = re.findAllMatchIn(s).size
         Some(FP(
           cnt("""(?m)(?:^|\s|\+- |:- )Exchange """.r),
@@ -113,9 +113,15 @@ object Bench {
               // AQE initial plan is the deterministic one), so it
               // cannot leave the timed window — but its stringify +
               // regex cost is fixture-class, not plan cost, and run 2
-              // does not carry it: bracket it so work-time (sec −
-              // setup, what the audit compares) stays symmetric.
-              if (takeFp) FixtureClock.time { fp = fingerprint(df) }
+              // does not carry it: bracket JUST that so work-time
+              // (sec − setup, what the audit compares) stays
+              // symmetric. Plan MATERIALIZATION stays unbracketed —
+              // run 2 pays optimizer+planning inside count() too, so
+              // bracketing it would skew run 1's work-time low.
+              if (takeFp) {
+                val plan = df.queryExecution.executedPlan
+                FixtureClock.time { fp = fingerprint(plan) }
+              }
               df.count(); None
             }
             catch { case e: Throwable =>

@@ -2,6 +2,36 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** One home for the state-rehearsal env contract (round 16 review):
+  * SPARK_GRAFT_STATE_BACKENDS and SPARK_GRAFT_ROCKSDB_TUNING parse
+  * identically for every rehearsal main, refusing unknown backend
+  * names (a typo must not silently measure hdfs under the given
+  * label) and any JSON-breaking character in a tuning segment — KEY
+  * or value — since the tag embeds verbatim into the JSONL lines. */
+private[graft] object StateRehearsalEnv {
+  def backends: Seq[String] = {
+    val bs = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    bs.filterNot(Set("hdfs", "rocksdb")).foreach(b =>
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_BACKENDS: unknown backend '$b' (hdfs, rocksdb)"))
+    bs
+  }
+
+  def tuning: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING")
+    .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty && !kv.exists(c => c == '"' || c == '\\') => (k, v)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ROCKSDB_TUNING: segment '$kv' is not key=value " +
+            "(quotes/backslashes refuse — the tag embeds into JSON lines)")
+      }
+    }).getOrElse(Nil)
+
+  def tuningTag(tuning: Seq[(String, String)]): String =
+    tuning.map { case (k, v) => s"$k=$v" }.mkString(";")
+}
+
 /** Streaming state-store rehearsal for the NEAR-dedup operator
   * (round 13) — q106b's gate runs at ~1.1k docs; this replays
   * [[graft.streaming.StreamNearDedup.nearHitsPerChunk]] at ~1M docs
@@ -49,23 +79,9 @@ object NearDedupScaleRehearsal {
     val docs = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "1000000").toLong
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
       "/root/repo/docs/STATE_SCALE_r16.jsonl")
-    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    // an unknown backend name must refuse, not silently run hdfs
-    // under the given label (that would corrupt the JSONL evidence)
-    backends.filterNot(Set("hdfs", "rocksdb")).foreach(b =>
-      throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STATE_BACKENDS: unknown backend '$b' (hdfs, rocksdb)"))
-    val tuning: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING")
-      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) if k.nonEmpty && !v.exists(c => c == '"' || c == '\\') => (k, v)
-          case _ => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_ROCKSDB_TUNING: segment '$kv' is not key=value " +
-              "(quotes/backslashes refuse — the tag embeds into JSON lines)")
-        }
-      }).getOrElse(Nil)
-    val tuningTag = tuning.map { case (k, v) => s"$k=$v" }.mkString(";")
+    val backends = StateRehearsalEnv.backends
+    val tuning = StateRehearsalEnv.tuning
+    val tuningTag = StateRehearsalEnv.tuningTag(tuning)
     val spark = GraftSession.local("graft-neardedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

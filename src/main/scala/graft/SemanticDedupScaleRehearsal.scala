@@ -46,23 +46,9 @@ object SemanticDedupScaleRehearsal {
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT",
       "/root/repo/docs/STATE_SCALE_r16.jsonl")
-    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    // an unknown backend name must refuse, not silently run hdfs
-    // under the given label (that would corrupt the JSONL evidence)
-    backends.filterNot(Set("hdfs", "rocksdb")).foreach(b =>
-      throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STATE_BACKENDS: unknown backend '$b' (hdfs, rocksdb)"))
-    val tuning: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_ROCKSDB_TUNING")
-      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) if k.nonEmpty && !v.exists(c => c == '"' || c == '\\') => (k, v)
-          case _ => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_ROCKSDB_TUNING: segment '$kv' is not key=value " +
-              "(quotes/backslashes refuse — the tag embeds into JSON lines)")
-        }
-      }).getOrElse(Nil)
-    val tuningTag = tuning.map { case (k, v) => s"$k=$v" }.mkString(";")
+    val backends = StateRehearsalEnv.backends
+    val tuning = StateRehearsalEnv.tuning
+    val tuningTag = StateRehearsalEnv.tuningTag(tuning)
     val spark = GraftSession.local("graft-semdedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

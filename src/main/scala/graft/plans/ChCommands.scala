@@ -1541,11 +1541,14 @@ case class ChSystemCommand(reloadDict: Option[Option[String]] = None,
   * a single task (coalesce(1) into a temp dir, rename the part file)
   * ON PURPOSE: INTO OUTFILE is the console export of a result small
   * enough to hand to one consumer; bulk landings go through the
-  * partitioned writers, not this statement. Formats map to Spark
-  * writers: Parquet (default), CSV[WithNames],
-  * TSV/TabSeparated[WithNames], JSONEachRow; others refuse loudly
-  * with the supported list. Existing output is overwritten —
-  * re-running an export script must converge, not fail. */
+  * partitioned writers, not this statement. Format names resolve
+  * through [[ChInsertIngest.canonicalFormat]] — ONE map shared with
+  * the INSERT-ingestion commands (Parquet default, CSV[WithNames],
+  * TSV/TabSeparated[WithNames], JSONEachRow, ORC, Native→Parquet;
+  * others refuse loudly with the supported list), so the q29u
+  * OUTFILE → INFILE round trip holds by construction. Existing
+  * output is overwritten — re-running an export script must
+  * converge, not fail. */
 case class ChIntoOutfileCommand(innerSql: String, path: String,
                                 format: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
