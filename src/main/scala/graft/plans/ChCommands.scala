@@ -1214,6 +1214,42 @@ case class ChDescribeTableCommand(table: String) extends LeafRunnableCommand {
   }
 }
 
+/** `EXISTS [TABLE] t` / `EXISTS DICTIONARY d` / `EXISTS DATABASE db`
+  * — CH's existence probe: one `result` row, 1 or 0 (TINYINT, the
+  * CHECK TABLE shape). Resolved AT EXECUTION (the SHOW CREATE
+  * discipline): a DROP or CREATE between parse and run answers the
+  * truth at run time. Tables cover catalog tables AND temp views,
+  * exactly what a migration script's `EXISTS t` guard wants. */
+case class ChExistsCommand(name: String, kind: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.ByteType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", ByteType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = kind match {
+      case "dictionary" => graft.operators.Dictionaries.exists(name)
+      case "database"   => spark.catalog.databaseExists(name)
+      case _            => spark.catalog.tableExists(name)
+    }
+    Seq(Row(if (exists) 1.toByte else 0.toByte))
+  }
+}
+
+/** `CHECK TABLE t` — one `result` row, 1/0: the table resolves
+  * through the catalog at execution time (CH's CHECK verifies part
+  * checksums; parquet footers play that role here and unreadable
+  * files surface at scan — this validates the catalog layout without
+  * a full data read). Execution-time like EXISTS: the same statement
+  * text answers the truth at each run. */
+case class ChCheckTableCommand(table: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.ByteType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", ByteType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ok = try { spark.table(table).schema; true } catch { case _: Exception => false }
+    Seq(Row(if (ok) 1.toByte else 0.toByte))
+  }
+}
+
 case class ChCreateJoinTableCommand(
     name: String, strictness: String, kind: String, keyCols: Seq[String],
     innerSql: String) extends LeafRunnableCommand {

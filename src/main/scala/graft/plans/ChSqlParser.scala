@@ -941,7 +941,23 @@ object ChSqlParser {
   private val DescribeTableStmt =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+TABLE\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
 
+  /** `EXISTS [TEMPORARY] [TABLE] t` / `EXISTS DICTIONARY d` /
+    * `EXISTS DATABASE db` — CH's existence probe (one `result` row,
+    * 1/0). The bare `EXISTS name` spelling is CH's own shorthand for
+    * the table form; `EXISTS (SELECT …)` subqueries never reach here
+    * (a statement cannot begin with one). */
+  private val ExistsStmt =
+    """(?is)^\s*EXISTS\s+(?:(?:TEMPORARY\s+)?(TABLE)\s+|(DICTIONARY)\s+|(DATABASE)\s+)?((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
+
+  private val CheckTableStmt =
+    """(?is)^\s*CHECK\s+TABLE\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
+
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
+    case ExistsStmt(_, dict, db, name0) =>
+      val kind = if (dict != null) "dictionary" else if (db != null) "database" else "table"
+      Some(ChExistsCommand(name0.replace("`", ""), kind))
+    case CheckTableStmt(name0) =>
+      Some(ChCheckTableCommand(name0.replace("`", "")))
     case ShowCreateDictStmt(name) =>
       val n = name.replace("`", "")
       if (!graft.operators.Dictionaries.exists(n))
@@ -2104,6 +2120,21 @@ object ChSqlParser {
     * in CH. Negative steps refuse by pass-through in the half forms
     * (they would invert the data-derived guard).
     *
+    * STALENESS form (round 16, CH 24.10+): `WITH FILL [STEP s]
+    * STALENESS k` — instead of bridging every gap to the next source
+    * row, each SOURCE row spawns a bounded trailing run: fill values
+    * v+s, v+2s, … while < min(v+k, next source value); the LAST row's
+    * run extends to v+k (exclusive) even with no successor — CH's
+    * sensor-series shape, where an outage longer than k is left as a
+    * hole rather than bridged. Integer axes with a bare-integer (or
+    * omitted → 1) STEP; k must be positive. CH rejects STALENESS
+    * combined with FROM/TO — here those spellings (and INTERVAL
+    * steps / date axes, whose staleness unit CH also takes as a
+    * number) refuse by pass-through. Composes with the grouped
+    * prefix (runs restart per category, lead() partitioned) and with
+    * INTERPOLATE (the carry/affine windows operate on the joined
+    * output unchanged).
+    *
     * GROUPED form (round 16): `ORDER BY p1, …, pk, c WITH FILL` —
     * the fill column is the LAST sort key and the fill restarts per
     * distinct value of the preceding plain named-output keys, CH's
@@ -2115,7 +2146,7 @@ object ChSqlParser {
     * (refuses by pass-through). Prefix keys with ASC/DESC modifiers
     * or expression keys stay unsupported → pass-through. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+STALENESS\s+(-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
   /** The bound-less form's STEP argument: INTERVAL spellings lower as
     * usual (quarter → 3n month), a bare integer passes through,
@@ -2578,13 +2609,22 @@ object ChSqlParser {
   }
 
   private def rewriteWithFill(sql: String): String = sql match {
-    case WithFill(body, prefixRaw, fillCol, fromRaw, toRaw, stepOrNull, interpOrNull) =>
+    case WithFill(body, prefixRaw, fillCol, fromRaw, toRaw, stepOrNull, staleOrNull, interpOrNull) =>
       // grouped form: plain named sort keys BEFORE the fill column —
       // the fill restarts per distinct prefix value
       val prefix: Seq[String] =
         Option(prefixRaw).getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (prefix.contains(fillCol) || prefix.distinct.size != prefix.size) return sql
-      val boundless = fromRaw == null && toRaw == null
+      // STALENESS: per-source-row bounded runs — CH rejects it with
+      // FROM/TO, and its unit is a bare number, so INTERVAL steps
+      // (date axes) refuse by pass-through; k must be positive and
+      // the step a non-negative bare integer
+      val stale: Option[Long] = Option(staleOrNull).map(_.trim.toLong)
+      if (stale.exists(_ <= 0)) return sql
+      if (stale.isDefined && (fromRaw != null || toRaw != null)) return sql
+      val staleStep: String = Option(stepOrNull).map(_.trim).getOrElse("1")
+      if (stale.isDefined && !staleStep.matches("\\d+")) return sql
+      val boundless = fromRaw == null && toRaw == null && stale.isEmpty
       val fromOnly = fromRaw != null && toRaw == null
       val toOnly = fromRaw == null && toRaw != null
       // bounded form: classify bounds; unclassifiable or mixed-kind
@@ -2595,7 +2635,9 @@ object ChSqlParser {
       // derives from the data (min for TO-only, max for FROM-only).
       var from = ""; var to = ""; var kind = ""; var step = ""
       var blStep = "" // bound-less sequence() step argument ("", ", 2", ", interval 1 month")
-      if (boundless) {
+      if (stale.isDefined) {
+        // no bounds to classify: the axis is the union of per-row runs
+      } else if (boundless) {
         val s = boundlessStep(stepOrNull)
         if (s.isEmpty) return sql
         blStep = s.get
@@ -2676,7 +2718,28 @@ object ChSqlParser {
           // it is an existing row), via a CTE so the source computes
           // once per join side, not three times.
           val joined =
-            if (boundless || fromOnly || toOnly) {
+            if (stale.isDefined) {
+              // per-source-row runs: each row at v fills v+s, v+2s, …
+              // while < min(v+k, next source value); the last row (no
+              // successor) runs to v+k exclusive. sequence() needs an
+              // inclusive end → `- 1` (integer axis); the CASE guards
+              // the empty run (Spark's sequence refuses start > stop);
+              // DISTINCT collapses identical runs from duplicate
+              // source values. Generated values never collide with
+              // source values (each run is strictly below the next
+              // source row), so every axis row is a pure fill row.
+              val k = stale.get
+              val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
+              val leadPart = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
+              s"""(WITH gr_fill_src__ AS (SELECT $body)
+                 |SELECT $sel
+                 |FROM (SELECT DISTINCT ${pfxSel}gr_fill__
+                 |      FROM (SELECT ${pfxSel}explode(CASE WHEN gr_v__ + $staleStep <= gr_end__ THEN sequence(gr_v__ + $staleStep, gr_end__, $staleStep) END) AS gr_fill__
+                 |            FROM (SELECT ${pfxSel}$fillCol AS gr_v__,
+                 |                         least($fillCol + $k, coalesce(lead($fillCol) OVER (${leadPart}ORDER BY $fillCol), $fillCol + $k)) - 1 AS gr_end__
+                 |                  FROM gr_fill_src__))) gr_axis__
+                 |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
+            } else if (boundless || fromOnly || toOnly) {
               // data-derived bound(s): CASE guards the sequence() call
               // when the literal bound lies outside the data's range
               // (explode(NULL) → empty axis, source rows pass
@@ -2938,27 +3001,9 @@ object ChSqlParser {
       if (m.group(3) != ",")
         out = s"ALTER TABLE ${m.group(1)} RENAME TO ${m.group(2)}"
     }
-    // CHECK TABLE t → one-row 0/1: the table resolves AND its data
-    // files are listable/readable at the metadata level (CH's CHECK
-    // TABLE verifies part checksums; parquet footers play that role
-    // here and unreadable ones surface at scan — this validates the
-    // storage layout without a full data read)
-    """(?is)^\s*CHECK\s+TABLE\s+([\w.]+)\s*;?\s*$""".r.findFirstMatchIn(out).foreach { m =>
-      val ok = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
-        try {
-          s.table(m.group(1)).schema // resolves through the catalog
-          true
-        } catch { case _: Exception => false }
-      }
-      out = s"SELECT CAST(${if (ok) 1 else 0} AS TINYINT) AS result"
-    }
-    // EXISTS [TABLE] t → one-row 0/1 (parse-time catalog check, same
-    // snapshot discipline as system.tables)
-    """(?is)^\s*EXISTS\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r.findFirstMatchIn(out).foreach { m =>
-      val exists = org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(s => try s.catalog.tableExists(m.group(1)) catch { case _: Exception => false })
-      out = s"SELECT CAST(${if (exists) 1 else 0} AS TINYINT) AS result"
-    }
+    // CHECK TABLE / EXISTS resolve at EXECUTION as commands in
+    // interceptCommand (round 16 — they were parse-time snapshots
+    // here, the staleness class the SHOW CREATE fix closed)
     out = rewritePasteJoin(out)
     // CH documents leadInFrame/lagInFrame with an explicit
     // UNBOUNDED..UNBOUNDED frame (where they equal plain lead/lag);
@@ -3056,6 +3101,26 @@ object ChSqlParser {
     // spellings carry a BY and were rewritten above) → LIMIT/OFFSET
     out = """(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$""".r.replaceAllIn(out, m =>
       scala.util.matching.Regex.quoteReplacement(s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
+    // ANSI OFFSET/FETCH (CH accepts the standard spelling): strip the
+    // ROW/ROWS noise words Spark's grammar lacks and lower FETCH
+    // FIRST/NEXT to LIMIT. An omitted count means 1 row (standard and
+    // CH). `FETCH … WITH TIES` (no OFFSET) reshapes to `LIMIT n WITH
+    // TIES` and rides the rank() wrap below; OFFSET combined with
+    // WITH TIES stays untouched → the FETCH keyword fails loudly.
+    out = """(?is)\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\s*;?\s*$""".r
+      .replaceAllIn(out, m => {
+        val cnt = Option(m.group(2)).getOrElse("1")
+        scala.util.matching.Regex.quoteReplacement(s"LIMIT $cnt OFFSET ${m.group(1)}")
+      })
+    out = """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\s*;?\s*$""".r
+      .replaceAllIn(out, m =>
+        scala.util.matching.Regex.quoteReplacement(s"LIMIT ${Option(m.group(1)).getOrElse("1")}"))
+    if ("""(?is)\bOFFSET\s+\d+\s+ROWS?\s+FETCH\b""".r.findFirstIn(out).isEmpty)
+      out = """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\s*;?\s*$""".r
+        .replaceAllIn(out, m =>
+          scala.util.matching.Regex.quoteReplacement(s"LIMIT ${Option(m.group(1)).getOrElse("1")} WITH TIES"))
+    out = """(?is)\bOFFSET\s+(\d+)\s+ROWS?\s*;?\s*$""".r
+      .replaceAllIn(out, m => scala.util.matching.Regex.quoteReplacement(s"OFFSET ${m.group(1)}"))
     out = LimitWithTies.replaceAllIn(out, m => {
       val (prefix, ord, n) = (m.group(1), m.group(2), m.group(3))
       scala.util.matching.Regex.quoteReplacement(

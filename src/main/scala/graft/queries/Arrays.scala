@@ -419,6 +419,40 @@ object Arrays {
             ORDER BY prio, month"""),
   )
 
+  /** `WITH FILL STALENESS k` (round 16, CH 24.10+): instead of
+    * bridging every gap to the next source row, each source day
+    * spawns a bounded trailing run — fill while < min(day+k, next
+    * source day), the last day running to day+k exclusive — CH's
+    * sensor-series shape where an outage longer than k stays a hole.
+    * Composes with INTERPOLATE (mx carries across the filled run).
+    * Oracle replays the per-row runs in DuckDB with lead() +
+    * generate_series; STALENESS with FROM/TO (CH rejects) and
+    * non-positive k refuse by pass-through (Round16FillSpec). */
+  val q95h = GraftQuery(
+    "q95h_fill_staleness",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_wfs")
+      s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt,
+                      CAST(round(max(value)) AS BIGINT) AS mx
+               FROM events_wfs WHERE event_type = 'purchase' AND value > 495
+               GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
+               ORDER BY d WITH FILL STALENESS 5 INTERPOLATE (mx AS mx)""")
+    },
+    Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+                              count(*) AS cnt, CAST(round(max(value)) AS BIGINT) AS mx
+                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                 r AS (SELECT d, lead(d) OVER (ORDER BY d) AS nx FROM d),
+                 axis AS (SELECT DISTINCT g FROM
+                            (SELECT unnest(generate_series(d + 1, least(d + 5, coalesce(nx, d + 5)) - 1, 1)) AS g
+                             FROM r) runs),
+                 j AS (SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, cnt, mx
+                       FROM axis FULL OUTER JOIN d ON d.d = axis.g)
+            SELECT d, coalesce(cnt, 0) AS cnt,
+                   coalesce(last_value(mx IGNORE NULLS)
+                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS mx
+            FROM j ORDER BY d"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -880,5 +914,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q96, q97, q99, q99b, q99c, q99d)
 }

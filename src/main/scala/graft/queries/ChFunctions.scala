@@ -1003,6 +1003,26 @@ object ChFunctions {
             ORDER BY bucket"""),
   )
 
+  /** ANSI `OFFSET n ROWS FETCH NEXT m ROWS ONLY` (round 16) — the
+    * standard pagination spelling CH accepts alongside LIMIT/OFFSET.
+    * ChSqlParser strips the ROW/ROWS noise words and lowers FETCH
+    * FIRST/NEXT to LIMIT (omitted count = 1 row, the standard's
+    * default); `FETCH … WITH TIES` reshapes onto the q29k rank()
+    * wrap. A unique ORDER BY key keeps the page deterministic. */
+  val q29v = GraftQuery(
+    "q29v_offset_fetch",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_of")
+      s.sql("""SELECT o_orderkey, o_orderpriority FROM orders_of
+               WHERE o_orderkey <= 2000
+               ORDER BY o_orderkey
+               OFFSET 10 ROWS FETCH NEXT 7 ROWS ONLY""")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey <= 2000
+            ORDER BY o_orderkey LIMIT 7 OFFSET 10"""),
+  )
+
   /** Client-side trailing clauses run verbatim: every ClickHouse
     * console/driver appends `FORMAT <name>`, and migrated queries
     * carry per-query `SETTINGS k = v` engine knobs — both are
@@ -2611,5 +2631,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q28r, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q29u, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q29u, q29v, q38, q38b, q38c, q38d, q38e, q21b)
 }

@@ -216,6 +216,82 @@ class Round16FillSpec extends SparkSpec {
       s"grouped boundless fill must not plan a nested loop:\n$plan")
   }
 
+  test("STALENESS bounds each source row's trailing run (CH 24.10 semantics)") {
+    // the CH docs' own example shape: keys 0,5,10,15 with STALENESS 3
+    // → each row (INCLUDING the last) fills 2 trailing steps
+    Seq((0L, 1L), (5L, 1L), (10L, 1L), (15L, 1L)).toDF("n", "v")
+      .createOrReplaceTempView("fill_stale")
+    val ns = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_stale GROUP BY n
+        |ORDER BY n WITH FILL STALENESS 3""".stripMargin).collect().map(_.getLong(0))
+    assert(ns.toSeq == Seq(0L, 1L, 2L, 5L, 6L, 7L, 10L, 11L, 12L, 15L, 16L, 17L))
+    // a nearer next source row truncates the run (never bridges past it)
+    Seq((0L, 1L), (2L, 2L)).toDF("n", "v").createOrReplaceTempView("fill_stale2")
+    val near = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_stale2 GROUP BY n
+        |ORDER BY n WITH FILL STALENESS 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 2L), (3L, 0L), (4L, 0L), (5L, 0L), (6L, 0L)))
+    // STEP composes: values v+s, v+2s, … while < v + k
+    Seq((0L, 1L), (10L, 1L)).toDF("n", "v").createOrReplaceTempView("fill_stale3")
+    val stepped = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_stale3 GROUP BY n
+        |ORDER BY n WITH FILL STEP 2 STALENESS 5""".stripMargin).collect().map(_.getLong(0))
+    assert(stepped.toSeq == Seq(0L, 2L, 4L, 10L, 12L, 14L))
+  }
+
+  test("STALENESS composes with the grouped prefix and INTERPOLATE") {
+    Seq(("a", 0L, 10L), ("a", 8L, 80L), ("b", 1L, 11L)).toDF("cat", "n", "v")
+      .createOrReplaceTempView("fill_stale_grp")
+    // runs restart per category: a's rows each trail 2 fills (staleness
+    // 3, gap 0→8 NOT bridged), b's lone row trails its own run
+    val rows = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_stale_grp GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL STALENESS 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("a", 0L, 10L), ("a", 1L, 0L), ("a", 2L, 0L),
+      ("a", 8L, 80L), ("a", 9L, 0L), ("a", 10L, 0L),
+      ("b", 1L, 11L), ("b", 2L, 0L), ("b", 3L, 0L)))
+    // carry INTERPOLATE rides the filled runs
+    val interp = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_stale_grp GROUP BY cat, n
+        |ORDER BY cat, n WITH FILL STALENESS 3 INTERPOLATE (v AS v)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(interp.toSeq == Seq(
+      ("a", 0L, 10L), ("a", 1L, 10L), ("a", 2L, 10L),
+      ("a", 8L, 80L), ("a", 9L, 80L), ("a", 10L, 80L),
+      ("b", 1L, 11L), ("b", 2L, 11L), ("b", 3L, 11L)))
+    // duplicate source values produce ONE run, not a joined fan-out
+    Seq((0L, 1L), (0L, 2L), (4L, 4L)).toDF("n", "v").createOrReplaceTempView("fill_stale_dup")
+    val dup = spark.sql(
+      """SELECT n, v FROM fill_stale_dup
+        |ORDER BY n WITH FILL STALENESS 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.count(_._1 == 1L) == 1 && dup.count(_._1 == 2L) == 1)
+    assert(dup.count(_._1 == 0L) == 2) // both source rows survive
+  }
+
+  test("STALENESS refusal edges: FROM/TO combos, non-positive k, interval steps") {
+    Seq((0L, 1L)).toDF("n", "v").createOrReplaceTempView("fill_stale_bad")
+    def refuses(sql: String): Unit =
+      intercept[Exception](spark.sql(sql).collect())
+    // CH rejects STALENESS together with FROM; TO likewise here
+    refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
+              |ORDER BY n WITH FILL FROM 0 STALENESS 3""".stripMargin)
+    refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
+              |ORDER BY n WITH FILL TO 10 STALENESS 3""".stripMargin)
+    // k must be positive
+    refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
+              |ORDER BY n WITH FILL STALENESS 0""".stripMargin)
+    refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
+              |ORDER BY n WITH FILL STALENESS -3""".stripMargin)
+    // INTERVAL steps (date axes) refuse — CH's staleness unit is a number
+    mkDateView()
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL STEP INTERVAL 1 MONTH STALENESS 3""".stripMargin)
+  }
+
   test("refusal edges pass through and fail loudly at parse") {
     mkDateView()
     def refuses(sql: String): Unit = {
