@@ -1225,11 +1225,18 @@ case class ChExistsCommand(name: String, kind: String) extends LeafRunnableComma
   override val output: Seq[Attribute] =
     Seq(AttributeReference("result", ByteType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val exists = kind match {
-      case "dictionary" => graft.operators.Dictionaries.exists(name)
-      case "database"   => spark.catalog.databaseExists(name)
-      case _            => spark.catalog.tableExists(name)
-    }
+    // a name the catalog API itself rejects (unknown catalog prefix,
+    // reserved word) is an answerable "no", not an error — EXISTS is
+    // CH's probe-without-failing spelling
+    val exists = try {
+      kind match {
+        case "dictionary" => graft.operators.Dictionaries.exists(name)
+        case "database"   => spark.catalog.databaseExists(name)
+        case "temptable"  => // CH's TEMPORARY form sees ONLY temporary tables
+          spark.catalog.tableExists(name) && spark.catalog.getTable(name).isTemporary
+        case _            => spark.catalog.tableExists(name)
+      }
+    } catch { case _: Exception => false }
     Seq(Row(if (exists) 1.toByte else 0.toByte))
   }
 }
@@ -1238,13 +1245,20 @@ case class ChExistsCommand(name: String, kind: String) extends LeafRunnableComma
   * through the catalog at execution time (CH's CHECK verifies part
   * checksums; parquet footers play that role here and unreadable
   * files surface at scan — this validates the catalog layout without
-  * a full data read). Execution-time like EXISTS: the same statement
-  * text answers the truth at each run. */
+  * a full data read). A MISSING table throws (CH raises
+  * UNKNOWN_TABLE — `EXISTS t` is the probe that never fails), so a
+  * health check never conflates "missing" with "broken". Execution-
+  * time like EXISTS: the same statement text answers the truth at
+  * each run. */
 case class ChCheckTableCommand(table: String) extends LeafRunnableCommand {
   import org.apache.spark.sql.types.ByteType
   override val output: Seq[Attribute] =
     Seq(AttributeReference("result", ByteType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val exists = try spark.catalog.tableExists(table) catch { case _: Exception => false }
+    if (!exists) throw new IllegalArgumentException(
+      s"table '$table' does not exist — ClickHouse CHECK TABLE raises UNKNOWN_TABLE; " +
+        s"use EXISTS $table to probe without failing")
     val ok = try { spark.table(table).schema; true } catch { case _: Exception => false }
     Seq(Row(if (ok) 1.toByte else 0.toByte))
   }

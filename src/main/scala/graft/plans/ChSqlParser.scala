@@ -947,14 +947,18 @@ object ChSqlParser {
     * the table form; `EXISTS (SELECT …)` subqueries never reach here
     * (a statement cannot begin with one). */
   private val ExistsStmt =
-    """(?is)^\s*EXISTS\s+(?:(?:TEMPORARY\s+)?(TABLE)\s+|(DICTIONARY)\s+|(DATABASE)\s+)?((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
+    """(?is)^\s*EXISTS\s+(?:(TEMPORARY\s+)?(?:TABLE)\s+|(DICTIONARY)\s+|(DATABASE)\s+)?((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
 
   private val CheckTableStmt =
     """(?is)^\s*CHECK\s+TABLE\s+((?:`\w+`|\w+)(?:\.(?:`\w+`|\w+))*)\s*;?\s*$""".r
 
   private[plans] def interceptCommand(sql: String): Option[LogicalPlan] = sql match {
-    case ExistsStmt(_, dict, db, name0) =>
-      val kind = if (dict != null) "dictionary" else if (db != null) "database" else "table"
+    case ExistsStmt(tmp, dict, db, name0) =>
+      val kind =
+        if (dict != null) "dictionary"
+        else if (db != null) "database"
+        else if (tmp != null) "temptable" // CH's TEMPORARY form: temp tables only
+        else "table"
       Some(ChExistsCommand(name0.replace("`", ""), kind))
     case CheckTableStmt(name0) =>
       Some(ChCheckTableCommand(name0.replace("`", "")))
@@ -2126,14 +2130,17 @@ object ChSqlParser {
     * v+s, v+2s, … while < min(v+k, next source value); the LAST row's
     * run extends to v+k (exclusive) even with no successor — CH's
     * sensor-series shape, where an outage longer than k is left as a
-    * hole rather than bridged. Integer axes with a bare-integer (or
-    * omitted → 1) STEP; k must be positive. CH rejects STALENESS
-    * combined with FROM/TO — here those spellings (and INTERVAL
-    * steps / date axes, whose staleness unit CH also takes as a
-    * number) refuse by pass-through. Composes with the grouped
-    * prefix (runs restart per category, lead() partitioned) and with
-    * INTERPOLATE (the carry/affine windows operate on the joined
-    * output unchanged).
+    * hole rather than bridged. Integer axes with a positive
+    * bare-integer (or omitted → 1) STEP; k must be positive. CH
+    * rejects STALENESS combined with FROM/TO — here those spellings
+    * and INTERVAL step spellings refuse by pass-through at parse; a
+    * date/timestamp fill COLUMN is unknowable at parse and fails
+    * loudly at analysis instead (sequence() rejects a bare-int step
+    * on a date axis). The axis is a UNION ALL of source rows and
+    * per-row fill runs — never a join (fill values never collide
+    * with source values). Composes with the grouped prefix (runs
+    * restart per category, lead() partitioned) and with INTERPOLATE
+    * (the carry/affine windows operate on the union unchanged).
     *
     * GROUPED form (round 16): `ORDER BY p1, …, pk, c WITH FILL` —
     * the fill column is the LAST sort key and the fill restarts per
@@ -2154,12 +2161,18 @@ object ChSqlParser {
     * integers, 1 day for dates). The axis kind is the fill column's
     * own type — unknown at parse, resolved by sequence() at analysis,
     * failing loudly on a mismatch. */
+  /** A bare-integer step literal, validated: in Long range and
+    * nonzero (CH rejects `STEP 0`; an overflowing literal refuses at
+    * parse rather than crashing it). */
+  private def intStep(s: String): Option[String] =
+    if (!s.matches("-?\\d+")) None
+    else scala.util.Try(s.toLong).toOption.filter(_ != 0L).map(_ => s)
+
   private def boundlessStep(stepOrNull: String): Option[String] =
     Option(stepOrNull).map(_.trim) match {
       case None => Some("")
-      case Some(s) if s.matches("-?\\d+") => Some(s", $s")
       case Some(FillIntervalStep(n, u)) => lowerInterval(n, u).map(iv => s", $iv")
-      case _ => None
+      case Some(s) => intStep(s).map(v => s", $v")
     }
 
   /** One home for the INTERVAL-step lowering (quarter → 3n month,
@@ -2169,7 +2182,11 @@ object ChSqlParser {
   private def lowerInterval(n: String, unit: String): Option[String] = {
     val units = Set("second", "minute", "hour", "day", "week", "month", "year")
     val ul = unit.toLowerCase
-    if (ul == "quarter") Some(s"interval ${n.toLong * 3} month")
+    // nonzero, bounded (CH rejects zero steps; Int.MaxValue keeps the
+    // quarter ×3 lowering and Spark's interval literal both in range)
+    val nv = scala.util.Try(n.toLong).toOption.filter(v => v > 0 && v <= Int.MaxValue)
+    if (nv.isEmpty) None
+    else if (ul == "quarter") Some(s"interval ${nv.get * 3} month")
     else if (units.contains(ul)) Some(s"interval $n $ul")
     else None
   }
@@ -2212,11 +2229,11 @@ object ChSqlParser {
   private def fillStep(stepOrNull: String, kind: String): Option[String] =
     (Option(stepOrNull).map(_.trim), kind) match {
       case (None, "int")                                 => Some("1")
-      case (Some(s), "int") if s.matches("-?\\d+")       => Some(s)
+      case (Some(s), "int") if s.matches("-?\\d+")       => intStep(s)
       case (None, "date")                                => Some("interval 1 day")
       case (None, "ts")                                  => Some("interval 1 second")
-      case (Some(s), "date") if s.matches("\\d+")        => Some(s"interval $s day")
-      case (Some(s), "ts") if s.matches("\\d+")          => Some(s"interval $s second")
+      case (Some(s), "date") if s.matches("\\d+")        => intStep(s).map(v => s"interval $v day")
+      case (Some(s), "ts") if s.matches("\\d+")          => intStep(s).map(v => s"interval $v second")
       case (Some(FillIntervalStep(n, u)), k) if k != "int" => lowerInterval(n, u)
       case _ => None
     }
@@ -2616,14 +2633,20 @@ object ChSqlParser {
         Option(prefixRaw).getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (prefix.contains(fillCol) || prefix.distinct.size != prefix.size) return sql
       // STALENESS: per-source-row bounded runs — CH rejects it with
-      // FROM/TO, and its unit is a bare number, so INTERVAL steps
-      // (date axes) refuse by pass-through; k must be positive and
-      // the step a non-negative bare integer
-      val stale: Option[Long] = Option(staleOrNull).map(_.trim.toLong)
+      // FROM/TO; its unit is a bare number, so INTERVAL step
+      // spellings refuse at parse; k and the step must be positive
+      // bare integers (Long-range — an overflowing literal refuses
+      // rather than crashing the parser). A date/timestamp fill
+      // column is unknowable at parse and fails loudly at ANALYSIS
+      // (sequence() rejects a bare-int step on a date axis).
+      val staleParsed = Option(staleOrNull).map(s => scala.util.Try(s.trim.toLong))
+      if (staleParsed.exists(_.isFailure)) return sql
+      val stale: Option[Long] = staleParsed.map(_.get)
       if (stale.exists(_ <= 0)) return sql
       if (stale.isDefined && (fromRaw != null || toRaw != null)) return sql
       val staleStep: String = Option(stepOrNull).map(_.trim).getOrElse("1")
-      if (stale.isDefined && !staleStep.matches("\\d+")) return sql
+      if (stale.isDefined &&
+          scala.util.Try(staleStep.toLong).toOption.forall(_ <= 0)) return sql
       val boundless = fromRaw == null && toRaw == null && stale.isEmpty
       val fromOnly = fromRaw != null && toRaw == null
       val toOnly = fromRaw == null && toRaw != null
@@ -2727,18 +2750,31 @@ object ChSqlParser {
               // DISTINCT collapses identical runs from duplicate
               // source values. Generated values never collide with
               // source values (each run is strictly below the next
-              // source row), so every axis row is a pure fill row.
+              // source row), so every fill row is pure — UNION ALL of
+              // source and fill rows, never a join (a FULL OUTER here
+              // would shuffle both sides on a key that never equates).
+              // Union type coercion plays coalesce's role: the 0 /
+              // NULL defaults widen to each source column's type.
               val k = stale.get
               val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
               val leadPart = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
+              val srcSel = cols.mkString(", ") +
+                (if (affine) ", true AS gr_is_src__" else "")
+              val fillSel = cols.map { n =>
+                if (n == fillCol) s"gr_fill__ AS $n"
+                else if (prefix.contains(n)) n
+                else if (interp.contains(n)) s"NULL AS $n" // the INTERPOLATE windows fill below
+                else s"0 AS $n" // CH's numeric default-fill
+              }.mkString(", ") + (if (affine) ", false AS gr_is_src__" else "")
               s"""(WITH gr_fill_src__ AS (SELECT $body)
-                 |SELECT $sel
+                 |SELECT $srcSel FROM gr_fill_src__
+                 |UNION ALL
+                 |SELECT $fillSel
                  |FROM (SELECT DISTINCT ${pfxSel}gr_fill__
                  |      FROM (SELECT ${pfxSel}explode(CASE WHEN gr_v__ + $staleStep <= gr_end__ THEN sequence(gr_v__ + $staleStep, gr_end__, $staleStep) END) AS gr_fill__
                  |            FROM (SELECT ${pfxSel}$fillCol AS gr_v__,
                  |                         least($fillCol + $k, coalesce(lead($fillCol) OVER (${leadPart}ORDER BY $fillCol), $fillCol + $k)) - 1 AS gr_end__
-                 |                  FROM gr_fill_src__))) gr_axis__
-                 |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
+                 |                  FROM gr_fill_src__)))) gr_fill_out__""".stripMargin
             } else if (boundless || fromOnly || toOnly) {
               // data-derived bound(s): CASE guards the sequence() call
               // when the literal bound lies outside the data's range
@@ -3115,7 +3151,10 @@ object ChSqlParser {
     out = """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\s*;?\s*$""".r
       .replaceAllIn(out, m =>
         scala.util.matching.Regex.quoteReplacement(s"LIMIT ${Option(m.group(1)).getOrElse("1")}"))
-    if ("""(?is)\bOFFSET\s+\d+\s+ROWS?\s+FETCH\b""".r.findFirstIn(out).isEmpty)
+    // end-anchored so a string literal mentioning OFFSET…FETCH cannot
+    // suppress a legitimate trailing WITH TIES lowering
+    if ("""(?is)\bOFFSET\s+\d+\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES\s*;?\s*$""".r
+          .findFirstIn(out).isEmpty)
       out = """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\s*;?\s*$""".r
         .replaceAllIn(out, m =>
           scala.util.matching.Regex.quoteReplacement(s"LIMIT ${Option(m.group(1)).getOrElse("1")} WITH TIES"))

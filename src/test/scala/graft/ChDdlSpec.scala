@@ -480,7 +480,9 @@ class ChDdlSpec extends SparkSpec {
         .delete(new org.apache.hadoop.fs.Path(wh, t), true)
     }
     assert(spark.sql("EXISTS TABLE ddl_ex_a").head().getByte(0) == 0)
-    assert(spark.sql("CHECK TABLE ddl_ex_a").head().getByte(0) == 0) // not there yet
+    // CH's CHECK TABLE raises UNKNOWN_TABLE for a missing table —
+    // EXISTS is the probe that never fails
+    intercept[Exception](spark.sql("CHECK TABLE ddl_ex_a").collect())
     spark.sql("CREATE TABLE ddl_ex_a ENGINE = MergeTree ORDER BY id AS SELECT id FROM range(3)")
     spark.sql("CREATE TABLE ddl_ex_b ENGINE = MergeTree ORDER BY id AS SELECT id FROM range(7)")
     assert(spark.sql("CHECK TABLE ddl_ex_a").head().getByte(0) == 1)

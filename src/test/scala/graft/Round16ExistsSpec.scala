@@ -30,9 +30,20 @@ class Round16ExistsSpec extends SparkSpec {
     assert(spark.sql("EXISTS DICTIONARY no_such_dict_xyz").head().getByte(0) == 0.toByte)
     assert(spark.sql("EXISTS DATABASE default").head().getByte(0) == 1.toByte)
     assert(spark.sql("EXISTS DATABASE no_such_db_xyz").head().getByte(0) == 0.toByte)
-    // TEMPORARY noise word accepted on the table form
+    // the TEMPORARY form sees ONLY temporary tables (CH semantics):
+    // a temp view answers 1, a permanent table answers 0
     Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("exists_tmp")
     assert(spark.sql("EXISTS TEMPORARY TABLE exists_tmp").head().getByte(0) == 1.toByte)
+    spark.sql("DROP TABLE IF EXISTS exists_perm")
+    spark.sql("CREATE TABLE exists_perm AS SELECT 1 AS x")
+    try {
+      assert(spark.sql("EXISTS TABLE exists_perm").head().getByte(0) == 1.toByte)
+      assert(spark.sql("EXISTS TEMPORARY TABLE exists_perm").head().getByte(0) == 0.toByte)
+    } finally spark.sql("DROP TABLE IF EXISTS exists_perm")
+  }
+
+  test("names the catalog API rejects answer 0, never throw") {
+    assert(spark.sql("EXISTS TABLE nosuchcat.nodb.not_there").head().getByte(0) == 0.toByte)
   }
 
   test("EXISTS (SELECT ...) subqueries are untouched by the intercept") {

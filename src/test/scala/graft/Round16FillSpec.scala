@@ -272,6 +272,22 @@ class Round16FillSpec extends SparkSpec {
     assert(dup.count(_._1 == 0L) == 2) // both source rows survive
   }
 
+  test("STALENESS fill plans as a union, never a join") {
+    Seq((0L, 1L), (5L, 1L), (10L, 1L)).toDF("n", "v")
+      .createOrReplaceTempView("fill_stale_plan")
+    val df = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_stale_plan GROUP BY n
+        |ORDER BY n WITH FILL STALENESS 3""".stripMargin)
+    df.collect()
+    // fill values cannot collide with source values, so the axis is a
+    // UNION ALL — a FULL OUTER join here would shuffle both sides on
+    // a key that never equates
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"staleness fill must plan a union:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"staleness fill must not plan a join:\n$plan")
+  }
+
   test("STALENESS refusal edges: FROM/TO combos, non-positive k, interval steps") {
     Seq((0L, 1L)).toDF("n", "v").createOrReplaceTempView("fill_stale_bad")
     def refuses(sql: String): Unit =
@@ -286,10 +302,34 @@ class Round16FillSpec extends SparkSpec {
               |ORDER BY n WITH FILL STALENESS 0""".stripMargin)
     refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
               |ORDER BY n WITH FILL STALENESS -3""".stripMargin)
-    // INTERVAL steps (date axes) refuse — CH's staleness unit is a number
+    // INTERVAL steps refuse at parse — CH's staleness unit is a number
     mkDateView()
     refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
               |ORDER BY d WITH FILL STEP INTERVAL 1 MONTH STALENESS 3""".stripMargin)
+    // STEP 0 refuses (CH rejects zero fill steps)
+    refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
+              |ORDER BY n WITH FILL STEP 0 STALENESS 3""".stripMargin)
+    // a Long-overflowing STALENESS literal refuses cleanly at parse
+    refuses("""SELECT n, sum(v) AS v FROM fill_stale_bad GROUP BY n
+              |ORDER BY n WITH FILL STALENESS 99999999999999999999""".stripMargin)
+    // a date fill COLUMN (unknowable at parse) fails loudly at analysis
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL STALENESS 3""".stripMargin)
+  }
+
+  test("zero and overflowing steps refuse across the fill forms") {
+    Seq((1L, 10L), (4L, 40L)).toDF("n", "v").createOrReplaceTempView("fill_step0")
+    def refuses(sql: String): Unit =
+      intercept[Exception](spark.sql(sql).collect())
+    refuses("""SELECT n, sum(v) AS v FROM fill_step0 GROUP BY n
+              |ORDER BY n WITH FILL FROM 1 TO 10 STEP 0""".stripMargin)
+    refuses("""SELECT n, sum(v) AS v FROM fill_step0 GROUP BY n
+              |ORDER BY n WITH FILL STEP 0""".stripMargin)
+    mkDateView()
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d WITH FILL STEP INTERVAL 0 MONTH""".stripMargin)
+    refuses("""SELECT n, sum(v) AS v FROM fill_step0 GROUP BY n
+              |ORDER BY n WITH FILL FROM 1 TO 10 STEP 99999999999999999999""".stripMargin)
   }
 
   test("refusal edges pass through and fail loudly at parse") {
