@@ -3059,6 +3059,16 @@ object ChSqlParser {
         "SYSTEM statements administer a ClickHouse server; there is no server here — " +
           "caches and dictionaries reload per query plan (SYSTEM RELOAD DICTIONARY/" +
           "DICTIONARIES and SYSTEM DROP … CACHE do execute)")
+    // KILL QUERY / KILL MUTATION administer a ClickHouse server's
+    // process lists. Here mutations run SYNCHRONOUSLY inside the
+    // issuing statement (there is never a pending mutation to kill)
+    // and queries are Spark jobs — cancellation is the engine's
+    // sparkContext.cancelJobGroup/cancelAllJobs seam, not SQL.
+    if ("""(?is)^\s*KILL\s+(QUERY|MUTATION)\b""".r.findFirstIn(out).isDefined)
+      throw new UnsupportedOperationException(
+        "KILL QUERY/MUTATION administer a ClickHouse server's process list; mutations " +
+          "here apply synchronously inside the ALTER statement (nothing is ever pending) " +
+          "and running queries cancel through Spark (sparkContext.cancelJobGroup)")
     out = rewriteWithConstants(out)
     out = rewriteArrayLiterals(out)
     out = rewriteMapLiterals(out)
