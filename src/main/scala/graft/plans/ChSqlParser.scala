@@ -1543,6 +1543,21 @@ object ChSqlParser {
         }
       }
       s"STRUCT<${fields.mkString(", ")}>"
+    } else if (lower.startsWith("nested(")) {
+      // CH Nested = parallel per-field arrays zipped positionally; the
+      // Spark-idiomatic carrier is ONE array of structs — `n.field`
+      // still answers the per-field array (Spark extracts a field
+      // across an array of structs), and an alias-less ARRAY JOIN n
+      // explodes the lockstep rows exactly like CH
+      val args = topLevelSplit(inner("nested"))
+      val fields = args.map { a =>
+        """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r.findFirstMatchIn(a.trim) match {
+          case Some(m) => s"${m.group(1)}: ${chDdlType(m.group(2))}"
+          case None => throw new IllegalArgumentException(
+            s"Nested entries need 'name Type': '$a'")
+        }
+      }
+      s"ARRAY<STRUCT<${fields.mkString(", ")}>>"
     } else if (lower.startsWith("fixedstring")) "STRING"
     else if (lower.startsWith("enum")) "STRING"
     else if (lower.startsWith("datetime64") || lower.startsWith("datetime")) "TIMESTAMP"
@@ -2957,17 +2972,53 @@ object ChSqlParser {
     out.toSeq
   }
 
+  private val BareIdent = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
+
   private def rewriteArrayJoin(sql: String): String =
     ArrayJoinClause.replaceAllIn(sql, m => {
       val (table, left) = (m.group(1), m.group(2) != null)
       val outer         = if (left) "OUTER " else ""
-      val pairs = splitTopLevel(m.group(3)).map {
+      val items = splitTopLevel(m.group(3))
+      val pairs = items.map {
         case ArrayJoinPair(e, a) => Some((e.trim, a))
         case _                   => None
       }
-      if (pairs.exists(_.isEmpty))
-        scala.util.matching.Regex.quoteReplacement(m.matched) // alias-less form: untouched → loud parse error
-      else {
+      if (pairs.exists(_.isEmpty)) {
+        // ALIAS-LESS items (CH's most common spelling: `ARRAY JOIN
+        // arr` — the element SHADOWS the array column, which is also
+        // how Nested explodes). Supported when every item is a bare
+        // column ident or `expr AS alias`: the FROM becomes a
+        // subquery (aliased back to the table name so qualified
+        // outer references keep resolving) that posexplodes the
+        // first item, zips the rest positionally, EXCEPTs the
+        // shadowed array columns from `*`, and re-exposes each
+        // element under the array's own name. Alias-less EXPRESSIONS
+        // (CH names the output after the expression text — no Spark
+        // analog) stay untouched → loud parse failure.
+        val classified = items.map(_.trim).map {
+          case ArrayJoinPair(e, a) => Some((e.trim, a, false))
+          case BareIdent(n)        => Some((n, n, true))
+          case _                   => None
+        }
+        if (classified.exists(_.isEmpty))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val cs = classified.flatten
+          val shadowed = cs.collect { case (_, n, true) => n }
+          val single = cs.size == 1
+          val view =
+            if (single) s"LATERAL VIEW ${outer}explode(${cs.head._1}) gr_aj0 AS gr_ajel0__"
+            else s"LATERAL VIEW ${outer}posexplode(${cs.head._1}) gr_aj0 AS gr_aj_pos__, gr_ajel0__"
+          val helpers = if (single) Seq("gr_ajel0__") else Seq("gr_aj_pos__", "gr_ajel0__")
+          val elems = cs.zipWithIndex.map { case ((e, name, _), i) =>
+            val el = if (i == 0) "gr_ajel0__" else s"try_element_at($e, gr_aj_pos__ + 1)"
+            s"$el AS $name"
+          }
+          scala.util.matching.Regex.quoteReplacement(
+            s"FROM (SELECT * EXCEPT (${(shadowed ++ helpers).mkString(", ")}), " +
+              s"${elems.mkString(", ")} FROM $table $view) $table")
+        }
+      } else {
         val ps = pairs.flatten
         val views =
           if (ps.size == 1)
