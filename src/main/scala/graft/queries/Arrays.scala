@@ -633,6 +633,32 @@ object Arrays {
     * further arrays index by position); the DuckDB oracle zips the
     * same arrays with its native multi-unnest. Ties in the final sort
     * produce identical full rows, so the order stays hash-stable. */
+  /** ALIAS-LESS `ARRAY JOIN` (round 16) — CH's most common spelling,
+    * where the element SHADOWS the array column — driver-gated over
+    * deterministic per-order arrays (sequence + arrayMap, so the
+    * zip order is content-defined, not collect order). Two bare
+    * arrays zip positionally and both names flip from array to
+    * scalar; the oracle replays with DuckDB's lockstep unnest. */
+  val q97b = GraftQuery(
+    "q97b_array_join_bare",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_ajb")
+      s.sql("""WITH t AS (SELECT o_orderkey AS k,
+                                 sequence(1, CAST(o_orderkey % 4 + 1 AS INT)) AS ns,
+                                 arrayMap(x -> x * 10 + o_orderkey % 7, sequence(1, CAST(o_orderkey % 4 + 1 AS INT))) AS ms
+                          FROM orders_ajb WHERE o_orderkey <= 400)
+               SELECT k, ns, ms FROM t ARRAY JOIN ns, ms
+               ORDER BY k, ns""")
+    },
+    Some("""WITH t AS (SELECT o_orderkey AS k,
+                              generate_series(1, CAST(o_orderkey % 4 + 1 AS INT)) AS ns0
+                       FROM orders WHERE o_orderkey <= 400),
+                 u AS (SELECT k, unnest(ns0) AS ns FROM t)
+            SELECT CAST(k AS BIGINT) AS k, CAST(ns AS INT) AS ns,
+                   CAST(ns * 10 + k % 7 AS BIGINT) AS ms
+            FROM u ORDER BY k, ns"""),
+  )
+
   val q97 = GraftQuery(
     "q97_array_join",
     (s, dir) => {
@@ -914,5 +940,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q96, q97, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q96, q97, q97b, q99, q99b, q99c, q99d)
 }
