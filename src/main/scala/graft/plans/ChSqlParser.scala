@@ -1520,6 +1520,10 @@ object ChSqlParser {
 
   /** ClickHouse type text → Spark DDL type (recursive over the
     * container types). */
+  /** `name Type` inside Tuple(...)/Nested(...) DDL — one pattern so
+    * the two field parsers cannot drift. */
+  private val DdlFieldEntry = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r
+
   private def chDdlType(t0: String): String = {
     val t = t0.trim
     def inner(prefix: String): String =
@@ -1537,7 +1541,7 @@ object ChSqlParser {
     } else if (lower.startsWith("tuple(")) {
       val args = topLevelSplit(inner("tuple"))
       val fields = args.zipWithIndex.map { case (a, i) =>
-        """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r.findFirstMatchIn(a.trim) match {
+        DdlFieldEntry.findFirstMatchIn(a.trim) match {
           case Some(m) => s"${m.group(1)}: ${chDdlType(m.group(2))}"
           case None    => s"_${i + 1}: ${chDdlType(a)}"
         }
@@ -1551,7 +1555,7 @@ object ChSqlParser {
       // explodes the lockstep rows exactly like CH
       val args = topLevelSplit(inner("nested"))
       val fields = args.map { a =>
-        """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r.findFirstMatchIn(a.trim) match {
+        DdlFieldEntry.findFirstMatchIn(a.trim) match {
           case Some(m) => s"${m.group(1)}: ${chDdlType(m.group(2))}"
           case None => throw new IllegalArgumentException(
             s"Nested entries need 'name Type': '$a'")
@@ -2065,19 +2069,25 @@ object ChSqlParser {
     * the companion view fails loudly at analysis (unknown relation). */
   private val FromFinal = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+FINAL\b""".r
 
-  /** ClickHouse `FROM t [LEFT] ARRAY JOIN e1 AS x1[, e2 AS x2, …]` →
-    * chained LATERAL VIEWs. ARRAY JOIN with several arrays ZIPS them
-    * positionally (it is not a cross product), so the first pair
-    * drives positions via posexplode and every further alias is the
-    * positional element of its own array (`try_element_at`, 1-based;
-    * a one-element `explode(array(…))` lateral view is how a derived
-    * column can reference the generated position column in pure SQL).
+  /** ClickHouse `FROM t [LEFT] ARRAY JOIN item1[, item2, …]` where an
+    * item is `expr AS alias` (adds a new column) or, round 16, a BARE
+    * column ident — CH's most common spelling, where the element
+    * SHADOWS the array column (Nested explodes this way). ARRAY JOIN
+    * with several arrays ZIPS them positionally (never a cross
+    * product): one subquery (aliased back to the table name so
+    * qualified outer references keep resolving) posexplodes the first
+    * item, every further item is the positional element of its own
+    * array (`try_element_at`, 1-based, guarded so unequal sizes raise
+    * like CH's SIZES_OF_ARRAYS_DONT_MATCH), and `* EXCEPT` hides the
+    * shadowed columns and the gr_* helpers from star output.
     * `LEFT ARRAY JOIN` keeps empty-array rows via LATERAL VIEW OUTER —
     * Spark surfaces NULL elements where ClickHouse manufactures
     * default values (0/''), the grouping-null-style difference
-    * documented for WITH TOTALS too. Matched subset: a named FROM
-    * table and `expr AS alias` pairs (parens allowed one level deep,
-    * commas inside parens protected); anything else — no alias,
+    * documented for WITH TOTALS too; star output appends
+    * shadowed/added columns at the END rather than CH's in-place
+    * position. Matched subset: a named FROM table, `expr AS alias`
+    * pairs (parens one level deep, commas inside parens protected)
+    * and bare idents; anything else — an alias-less expression, a
     * subquery source — passes through and fails loudly at parse,
     * never silently wrong. */
   private val ArrayJoinClause =
@@ -2972,63 +2982,54 @@ object ChSqlParser {
     out.toSeq
   }
 
-  private val BareIdent = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
-
   private def rewriteArrayJoin(sql: String): String =
     ArrayJoinClause.replaceAllIn(sql, m => {
       val (table, left) = (m.group(1), m.group(2) != null)
       val outer         = if (left) "OUTER " else ""
-      val items = splitTopLevel(m.group(3))
-      val pairs = items.map {
-        case ArrayJoinPair(e, a) => Some((e.trim, a))
+      // (expr, output name, shadows-the-column?): `expr AS alias`
+      // adds a new name, a bare column ident is CH's common spelling
+      // where the element SHADOWS the array column (Nested explodes
+      // this way too). Alias-less EXPRESSIONS (CH names the output
+      // after the expression text — no Spark analog) leave the whole
+      // clause untouched → loud parse failure, never silently wrong.
+      val classified = splitTopLevel(m.group(3)).map(_.trim).map {
+        case ArrayJoinPair(e, a) => Some((e.trim, a, false))
+        case BareItem(n)         => Some((n, n, true))
         case _                   => None
       }
-      if (pairs.exists(_.isEmpty)) {
-        // ALIAS-LESS items (CH's most common spelling: `ARRAY JOIN
-        // arr` — the element SHADOWS the array column, which is also
-        // how Nested explodes). Supported when every item is a bare
-        // column ident or `expr AS alias`: the FROM becomes a
-        // subquery (aliased back to the table name so qualified
-        // outer references keep resolving) that posexplodes the
-        // first item, zips the rest positionally, EXCEPTs the
-        // shadowed array columns from `*`, and re-exposes each
-        // element under the array's own name. Alias-less EXPRESSIONS
-        // (CH names the output after the expression text — no Spark
-        // analog) stay untouched → loud parse failure.
-        val classified = items.map(_.trim).map {
-          case ArrayJoinPair(e, a) => Some((e.trim, a, false))
-          case BareIdent(n)        => Some((n, n, true))
-          case _                   => None
+      if (classified.exists(_.isEmpty))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        // ONE shape for both spellings: the FROM becomes a subquery
+        // (aliased back to the table name so qualified outer
+        // references keep resolving) that [pos]explodes the first
+        // item, zips the rest positionally via try_element_at, and
+        // EXCEPTs the shadowed columns AND the gr_* helpers from `*`
+        // — SELECT * never sees a phantom position column. Unequal
+        // array sizes raise (CH's SIZES_OF_ARRAYS_DONT_MATCH),
+        // null-safely so LEFT ARRAY JOIN's NULL arrays pass. Star
+        // caveat: shadowed/added columns land at the END of the star
+        // expansion, not CH's in-place position — name the columns
+        // when order matters.
+        val cs = classified.flatten
+        val first = cs.head._1
+        val single = cs.size == 1
+        val view =
+          if (single) s"LATERAL VIEW ${outer}explode($first) gr_aj0 AS gr_ajel0__"
+          else s"LATERAL VIEW ${outer}posexplode($first) gr_aj0 AS gr_aj_pos__, gr_ajel0__"
+        val helpers = if (single) Seq("gr_ajel0__") else Seq("gr_aj_pos__", "gr_ajel0__")
+        val shadowed = cs.collect { case (_, n, true) => n }
+        val elems = cs.zipWithIndex.map { case ((e, name, _), i) =>
+          val el =
+            if (i == 0) "gr_ajel0__"
+            else s"CASE WHEN size($e) <=> size($first) THEN try_element_at($e, gr_aj_pos__ + 1) " +
+              "ELSE raise_error('ARRAY JOIN: arrays must be equal-sized " +
+              "(ClickHouse SIZES_OF_ARRAYS_DONT_MATCH)') END"
+          s"$el AS $name"
         }
-        if (classified.exists(_.isEmpty))
-          scala.util.matching.Regex.quoteReplacement(m.matched)
-        else {
-          val cs = classified.flatten
-          val shadowed = cs.collect { case (_, n, true) => n }
-          val single = cs.size == 1
-          val view =
-            if (single) s"LATERAL VIEW ${outer}explode(${cs.head._1}) gr_aj0 AS gr_ajel0__"
-            else s"LATERAL VIEW ${outer}posexplode(${cs.head._1}) gr_aj0 AS gr_aj_pos__, gr_ajel0__"
-          val helpers = if (single) Seq("gr_ajel0__") else Seq("gr_aj_pos__", "gr_ajel0__")
-          val elems = cs.zipWithIndex.map { case ((e, name, _), i) =>
-            val el = if (i == 0) "gr_ajel0__" else s"try_element_at($e, gr_aj_pos__ + 1)"
-            s"$el AS $name"
-          }
-          scala.util.matching.Regex.quoteReplacement(
-            s"FROM (SELECT * EXCEPT (${(shadowed ++ helpers).mkString(", ")}), " +
-              s"${elems.mkString(", ")} FROM $table $view) $table")
-        }
-      } else {
-        val ps = pairs.flatten
-        val views =
-          if (ps.size == 1)
-            Seq(s"LATERAL VIEW ${outer}explode(${ps.head._1}) gr_aj0 AS ${ps.head._2}")
-          else
-            s"LATERAL VIEW ${outer}posexplode(${ps.head._1}) gr_aj0 AS gr_aj_pos__, ${ps.head._2}" +:
-              ps.tail.zipWithIndex.map { case ((e, a), i) =>
-                s"LATERAL VIEW explode(array(try_element_at($e, gr_aj_pos__ + 1))) gr_aj${i + 1} AS $a"
-              }
-        scala.util.matching.Regex.quoteReplacement(s"FROM $table ${views.mkString(" ")}")
+        scala.util.matching.Regex.quoteReplacement(
+          s"FROM (SELECT * EXCEPT (${(shadowed ++ helpers).mkString(", ")}), " +
+            s"${elems.mkString(", ")} FROM $table $view) $table")
       }
     })
 

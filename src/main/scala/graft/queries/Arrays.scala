@@ -633,32 +633,6 @@ object Arrays {
     * further arrays index by position); the DuckDB oracle zips the
     * same arrays with its native multi-unnest. Ties in the final sort
     * produce identical full rows, so the order stays hash-stable. */
-  /** ALIAS-LESS `ARRAY JOIN` (round 16) — CH's most common spelling,
-    * where the element SHADOWS the array column — driver-gated over
-    * deterministic per-order arrays (sequence + arrayMap, so the
-    * zip order is content-defined, not collect order). Two bare
-    * arrays zip positionally and both names flip from array to
-    * scalar; the oracle replays with DuckDB's lockstep unnest. */
-  val q97b = GraftQuery(
-    "q97b_array_join_bare",
-    (s, dir) => {
-      Tables(s, dir).orders.createOrReplaceTempView("orders_ajb")
-      s.sql("""WITH t AS (SELECT o_orderkey AS k,
-                                 sequence(1, CAST(o_orderkey % 4 + 1 AS INT)) AS ns,
-                                 arrayMap(x -> x * 10 + o_orderkey % 7, sequence(1, CAST(o_orderkey % 4 + 1 AS INT))) AS ms
-                          FROM orders_ajb WHERE o_orderkey <= 400)
-               SELECT k, ns, ms FROM t ARRAY JOIN ns, ms
-               ORDER BY k, ns""")
-    },
-    Some("""WITH t AS (SELECT o_orderkey AS k,
-                              generate_series(1, CAST(o_orderkey % 4 + 1 AS INT)) AS ns0
-                       FROM orders WHERE o_orderkey <= 400),
-                 u AS (SELECT k, unnest(ns0) AS ns FROM t)
-            SELECT CAST(k AS BIGINT) AS k, CAST(ns AS INT) AS ns,
-                   CAST(ns * 10 + k % 7 AS BIGINT) AS ms
-            FROM u ORDER BY k, ns"""),
-  )
-
   val q97 = GraftQuery(
     "q97_array_join",
     (s, dir) => {
@@ -684,6 +658,32 @@ object Arrays {
                  u AS (SELECT l_orderkey, unnest(qtys) AS q, unnest(prices) AS p FROM oa)
             SELECT l_orderkey, CAST(q AS DOUBLE) AS qty, round(p, 2) AS price
             FROM u ORDER BY l_orderkey, qty, price"""),
+  )
+
+  /** ALIAS-LESS `ARRAY JOIN` (round 16) — CH's most common spelling,
+    * where the element SHADOWS the array column — driver-gated over
+    * deterministic per-order arrays (sequence + arrayMap, so the
+    * zip order is content-defined, not collect order). Two bare
+    * arrays zip positionally and both names flip from array to
+    * scalar; the oracle replays with DuckDB's lockstep unnest. */
+  val q97b = GraftQuery(
+    "q97b_array_join_bare",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_ajb")
+      s.sql("""WITH t AS (SELECT o_orderkey AS k,
+                                 sequence(1, CAST(o_orderkey % 4 + 1 AS INT)) AS ns,
+                                 arrayMap(x -> x * 10 + o_orderkey % 7, sequence(1, CAST(o_orderkey % 4 + 1 AS INT))) AS ms
+                          FROM orders_ajb WHERE o_orderkey <= 400)
+               SELECT k, ns, ms FROM t ARRAY JOIN ns, ms
+               ORDER BY k, ns""")
+    },
+    Some("""WITH t AS (SELECT o_orderkey AS k,
+                              generate_series(1, CAST(o_orderkey % 4 + 1 AS INT)) AS ns0
+                       FROM orders WHERE o_orderkey <= 400),
+                 u AS (SELECT k, unnest(ns0) AS ns FROM t)
+            SELECT CAST(k AS BIGINT) AS k, CAST(ns AS INT) AS ns,
+                   CAST(ns * 10 + k % 7 AS BIGINT) AS ms
+            FROM u ORDER BY k, ns"""),
   )
 
   /** MergeTree projections made executable: lineitem landed once per

@@ -47,9 +47,16 @@ class DialectRound4Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 20), (1L, 40), (1L, 60)))
   }
 
-  test("alias-less ARRAY JOIN is left untouched and fails loudly") {
-    val sql = "SELECT id FROM aj_t ARRAY JOIN ns"
-    intercept[Exception](spark.sql(sql).collect())
+  test("alias-less ARRAY JOIN: bare idents execute (round 16), expressions refuse") {
+    arrView
+    // a bare column ident shadows the array with its element
+    val out = spark.sql(
+      "SELECT id, ns FROM aj_t ARRAY JOIN ns WHERE id = 1 ORDER BY ns")
+      .as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 10), (1L, 20), (1L, 30)))
+    // an alias-less EXPRESSION still passes through → loud parse failure
+    intercept[Exception](spark.sql(
+      "SELECT id FROM aj_t ARRAY JOIN arrayMap(x -> x * 2, ns)").collect())
   }
 
   test("topKWeighted: weight-ordered, deterministic ties, partition-independent") {

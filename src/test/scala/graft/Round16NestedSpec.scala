@@ -69,6 +69,28 @@ class Round16NestedSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10L), (2L, -1L)))
   }
 
+  test("unequal array sizes raise like CH; SELECT * sees no helper columns") {
+    Seq((1L, Seq(1L, 2L, 3L), Seq(10L, 20L))).toDF("id", "a", "b")
+      .createOrReplaceTempView("aj_sizes")
+    // CH raises SIZES_OF_ARRAYS_DONT_MATCH — never a silent NULL pad
+    val e = intercept[Exception](spark.sql(
+      "SELECT id, a, b FROM aj_sizes ARRAY JOIN a, b").collect())
+    assert(e.getMessage != null)
+    // star output of the ALIASED spelling carries no gr_aj_pos__
+    Seq((1L, Seq(1L, 2L), Seq(10L, 20L))).toDF("id", "a", "b")
+      .createOrReplaceTempView("aj_star")
+    val cols = spark.sql("SELECT * FROM aj_star ARRAY JOIN a AS x, b AS y").columns.toSeq
+    assert(cols == Seq("id", "a", "b", "x", "y"), s"got $cols")
+    // LEFT ARRAY JOIN with BOTH arrays NULL passes the null-safe guard
+    Seq((1L, Option(Seq(1L)), Option(Seq(10L))),
+        (2L, Option.empty[Seq[Long]], Option.empty[Seq[Long]]))
+      .toDF("id", "a", "b").createOrReplaceTempView("aj_nulls")
+    val rows = spark.sql(
+      "SELECT id, a, b FROM aj_nulls LEFT ARRAY JOIN a, b ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2)))
+    assert(rows.toSeq == Seq((1L, false, false), (2L, true, true)))
+  }
+
   test("alias-less expressions and WHERE-tail queries behave") {
     Seq((1L, Seq(1L, 2L))).toDF("id", "vals").createOrReplaceTempView("aj_expr")
     // an alias-less EXPRESSION refuses by pass-through (loud)

@@ -14,7 +14,7 @@ class Round16StalenessFuzzSpec extends SparkSpec {
   import spark.implicits._
 
   /** CH staleness-fill model over one group's (axis, payload) rows
-    * (axis values distinct). Returns (axis, payload, isSource). */
+    * (axis values distinct). Returns (axis, payload) in fill order. */
   private def modelGroup(src: Seq[(Long, Long)], k: Long, s: Long,
                          carry: Boolean): Seq[(Long, Long)] = {
     val sorted = src.sortBy(_._1)
