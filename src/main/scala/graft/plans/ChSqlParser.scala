@@ -2187,11 +2187,16 @@ object ChSqlParser {
     * own type — unknown at parse, resolved by sequence() at analysis,
     * failing loudly on a mismatch. */
   /** A bare-integer step literal, validated: in Long range and
-    * nonzero (CH rejects `STEP 0`; an overflowing literal refuses at
-    * parse rather than crashing it). */
+    * POSITIVE. CH rejects `STEP 0`; a negative step would need the
+    * DESC sort-key spelling (`ORDER BY c DESC WITH FILL …`), which
+    * the rewrite doesn't match — every executing form here fills
+    * ascending (the axis guards and the final ORDER BY assume it),
+    * so a negative step refuses by pass-through instead of
+    * computing a wrong exclusive bound. An overflowing literal
+    * refuses at parse rather than crashing it. */
   private def intStep(s: String): Option[String] =
     if (!s.matches("-?\\d+")) None
-    else scala.util.Try(s.toLong).toOption.filter(_ != 0L).map(_ => s)
+    else scala.util.Try(s.toLong).toOption.filter(_ > 0L).map(_ => s)
 
   private def boundlessStep(stepOrNull: String): Option[String] =
     Option(stepOrNull).map(_.trim) match {

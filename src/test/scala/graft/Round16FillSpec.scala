@@ -330,6 +330,12 @@ class Round16FillSpec extends SparkSpec {
               |ORDER BY d WITH FILL STEP INTERVAL 0 MONTH""".stripMargin)
     refuses("""SELECT n, sum(v) AS v FROM fill_step0 GROUP BY n
               |ORDER BY n WITH FILL FROM 1 TO 10 STEP 99999999999999999999""".stripMargin)
+    // negative steps refuse in EVERY form — descending fill needs the
+    // DESC sort-key spelling CH pairs it with, which passes through
+    refuses("""SELECT n, sum(v) AS v FROM fill_step0 GROUP BY n
+              |ORDER BY n WITH FILL FROM 10 TO 0 STEP -1""".stripMargin)
+    refuses("""SELECT n, sum(v) AS v FROM fill_step0 GROUP BY n
+              |ORDER BY n WITH FILL STEP -1""".stripMargin)
   }
 
   test("refusal edges pass through and fail loudly at parse") {
