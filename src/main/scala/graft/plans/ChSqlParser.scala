@@ -2167,6 +2167,18 @@ object ChSqlParser {
     * restart per category, lead() partitioned) and with INTERPOLATE
     * (the carry/affine windows operate on the union unchanged).
     *
+    * DESC form (round 16): `ORDER BY c DESC WITH FILL [FROM a] [TO b]
+    * [STEP -n]` — CH's latest-first series. Integer axes only (a
+    * descending date grid would need negative INTERVAL spellings the
+    * STEP regex doesn't carry — refuse by pass-through); the step
+    * defaults to -1 and a literal step must be negative (CH rejects
+    * a sign mismatch with the sort direction); TO stays exclusive
+    * DOWNWARD (fills stop above it), data-derived bounds mirror
+    * (FROM-only runs down to the min, TO-only starts at the max),
+    * and the INTERPOLATE windows follow the OUTPUT order so a carry
+    * reads the previous result row, CH's own convention. Bounded
+    * DESC requires FROM ≥ TO; STALENESS + DESC refuses.
+    *
     * GROUPED form (round 16): `ORDER BY p1, …, pk, c WITH FILL` —
     * the fill column is the LAST sort key and the fill restarts per
     * distinct value of the preceding plain named-output keys, CH's
@@ -2178,7 +2190,7 @@ object ChSqlParser {
     * (refuses by pass-through). Prefix keys with ASC/DESC modifiers
     * or expression keys stay unsupported → pass-through. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+STALENESS\s+(-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+STALENESS\s+(-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
   /** The bound-less form's STEP argument: INTERVAL spellings lower as
     * usual (quarter → 3n month), a bare integer passes through,
@@ -2656,12 +2668,20 @@ object ChSqlParser {
   }
 
   private def rewriteWithFill(sql: String): String = sql match {
-    case WithFill(body, prefixRaw, fillCol, fromRaw, toRaw, stepOrNull, staleOrNull, interpOrNull) =>
+    case WithFill(body, prefixRaw, fillCol, dirOrNull, fromRaw, toRaw, stepOrNull, staleOrNull, interpOrNull) =>
       // grouped form: plain named sort keys BEFORE the fill column —
       // the fill restarts per distinct prefix value
       val prefix: Seq[String] =
         Option(prefixRaw).getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (prefix.contains(fillCol) || prefix.distinct.size != prefix.size) return sql
+      // DESC fill (round 16): `ORDER BY c DESC WITH FILL … STEP -n` —
+      // CH's latest-first dashboard spelling. Integer axes only (a
+      // DESC date grid would need negative INTERVAL spellings the
+      // STEP regex doesn't carry), step defaults to -1 and a literal
+      // step must be NEGATIVE (CH rejects a sign mismatch with the
+      // sort direction); STALENESS pairs with a negative unit in CH's
+      // DESC form — unsupported here, refuse.
+      val desc = dirOrNull != null && dirOrNull.equalsIgnoreCase("DESC")
       // STALENESS: per-source-row bounded runs — CH rejects it with
       // FROM/TO; its unit is a bare number, so INTERVAL step
       // spellings refuse at parse; k and the step must be positive
@@ -2677,6 +2697,14 @@ object ChSqlParser {
       val staleStep: String = Option(stepOrNull).map(_.trim).getOrElse("1")
       if (stale.isDefined &&
           scala.util.Try(staleStep.toLong).toOption.forall(_ <= 0)) return sql
+      if (desc && stale.isDefined) return sql
+      // a DESC step literal: negative bare integer, default -1
+      def descStep: Option[String] = Option(stepOrNull).map(_.trim) match {
+        case None => Some("-1")
+        case Some(s) =>
+          if (!s.matches("-\\d+")) None
+          else scala.util.Try(s.toLong).toOption.filter(_ < 0).map(_ => s)
+      }
       val boundless = fromRaw == null && toRaw == null && stale.isEmpty
       val fromOnly = fromRaw != null && toRaw == null
       val toOnly = fromRaw == null && toRaw != null
@@ -2691,27 +2719,49 @@ object ChSqlParser {
       if (stale.isDefined) {
         // no bounds to classify: the axis is the union of per-row runs
       } else if (boundless) {
-        val s = boundlessStep(stepOrNull)
-        if (s.isEmpty) return sql
-        blStep = s.get
+        if (desc) {
+          val s = descStep
+          if (s.isEmpty) return sql
+          blStep = s", ${s.get}"
+        } else {
+          val s = boundlessStep(stepOrNull)
+          if (s.isEmpty) return sql
+          blStep = s.get
+        }
       } else if (fromOnly || toOnly) {
         val b = fillBound(if (fromOnly) fromRaw else toRaw)
         if (b.isEmpty) return sql
         kind = b.get._2
         if (fromOnly) from = b.get._1 else to = b.get._1
-        // a negative step would invert the data-derived bound guard
-        if (stepOrNull != null && stepOrNull.trim.startsWith("-")) return sql
-        val stepOpt = fillStep(stepOrNull, kind)
-        if (stepOpt.isEmpty) return sql
-        step = stepOpt.get
+        if (desc) {
+          if (kind != "int") return sql // DESC date grids: see Scaladoc
+          val s = descStep
+          if (s.isEmpty) return sql
+          step = s.get
+        } else {
+          // a negative step would invert the data-derived bound guard
+          if (stepOrNull != null && stepOrNull.trim.startsWith("-")) return sql
+          val stepOpt = fillStep(stepOrNull, kind)
+          if (stepOpt.isEmpty) return sql
+          step = stepOpt.get
+        }
       } else {
         val (fromB, toB) = (fillBound(fromRaw), fillBound(toRaw))
         if (fromB.isEmpty || toB.isEmpty || fromB.get._2 != toB.get._2) return sql
         from = fromB.get._1; kind = fromB.get._2
         to = toB.get._1
-        val stepOpt = fillStep(stepOrNull, kind)
-        if (stepOpt.isEmpty) return sql
-        step = stepOpt.get
+        if (desc) {
+          // int bounds running downward: FROM at or above TO
+          if (kind != "int" ||
+              scala.util.Try(from.toLong < to.toLong).getOrElse(true)) return sql
+          val s = descStep
+          if (s.isEmpty) return sql
+          step = s.get
+        } else {
+          val stepOpt = fillStep(stepOrNull, kind)
+          if (stepOpt.isEmpty) return sql
+          step = stepOpt.get
+        }
       }
       val items = Option(interpOrNull).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
@@ -2814,10 +2864,18 @@ object ChSqlParser {
               // prefix, min/max compute PER GROUP — each category
               // fills its own range.
               val axisExpr =
-                if (boundless) s"sequence(gr_mn__, gr_mx__$blStep)"
-                else if (fromOnly) s"CASE WHEN gr_mx__ >= $from THEN sequence($from, gr_mx__, $step) END"
+                if (boundless)
+                  if (desc) s"sequence(gr_mx__, gr_mn__$blStep)"
+                  else s"sequence(gr_mn__, gr_mx__$blStep)"
+                else if (fromOnly)
+                  if (desc) s"CASE WHEN gr_mn__ <= $from THEN sequence($from, gr_mn__, $step) END"
+                  else s"CASE WHEN gr_mx__ >= $from THEN sequence($from, gr_mx__, $step) END"
+                else if (desc) s"CASE WHEN gr_mx__ > $to THEN sequence(gr_mx__, $to, $step) END"
                 else s"CASE WHEN gr_mn__ < $to THEN sequence(gr_mn__, $to, $step) END"
-              val axisFilter = if (toOnly) s" WHERE gr_fill__ < $to" else ""
+              val axisFilter =
+                if (!toOnly) ""
+                else if (desc) s" WHERE gr_fill__ > $to"
+                else s" WHERE gr_fill__ < $to"
               val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
               val agg =
                 if (prefix.isEmpty)
@@ -2831,7 +2889,9 @@ object ChSqlParser {
                  |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
             } else {
               val axisSub =
-                if (kind == "int")
+                if (kind == "int" && desc)
+                  s"(SELECT explode(sequence($from, $to + 1, $step)) AS gr_fill__)"
+                else if (kind == "int")
                   s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"
                 else
                   s"(SELECT gr_fill__ FROM (SELECT explode(sequence($from, $to, $step)) AS gr_fill__) WHERE gr_fill__ < $to)"
@@ -2852,9 +2912,14 @@ object ChSqlParser {
           // the INTERPOLATE windows and the final sort respect the
           // prefix: each group carries/ramps its own series
           val partBy = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
-          val orderOut = (prefix :+ fillCol).mkString(", ")
+          // DESC: the windows and the final sort follow the OUTPUT
+          // order, so a carry reads the previous row of the result —
+          // CH's own convention (the fill direction IS the carry
+          // direction)
+          val fillOrd = if (desc) s"$fillCol DESC" else fillCol
+          val orderOut = (prefix :+ fillOrd).mkString(", ")
           def carryExpr(n: String) =
-            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
+            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
           if (interp.isEmpty)
             s"SELECT * FROM $joined ORDER BY $orderOut"
           else if (!affine) {
@@ -2874,7 +2939,7 @@ object ChSqlParser {
             // minus 1 is rows-since-source.
             val grpSel =
               s"""SELECT *, count(CASE WHEN gr_is_src__ THEN 1 END)
-                 |  OVER (${partBy}ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
+                 |  OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
                  |FROM $joined""".stripMargin
             val grpPart = (prefix :+ "gr_grp__").mkString(", ")
             val outer = cols.map { n =>
@@ -2882,8 +2947,8 @@ object ChSqlParser {
                 case Some(("carry", _)) => carryExpr(n)
                 case Some((op, lit)) =>
                   s"""CASE WHEN gr_is_src__ THEN $n
-                     |     ELSE coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     |            $op ($lit) * (row_number() OVER (PARTITION BY $grpPart ORDER BY $fillCol) - 1), 0)
+                     |     ELSE coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     |            $op ($lit) * (row_number() OVER (PARTITION BY $grpPart ORDER BY $fillOrd) - 1), 0)
                      |END AS $n""".stripMargin
                 case None => n
               }

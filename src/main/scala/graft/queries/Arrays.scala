@@ -453,6 +453,33 @@ object Arrays {
             FROM j ORDER BY d"""),
   )
 
+  /** DESC `WITH FILL` (round 16): `ORDER BY d DESC WITH FILL FROM 60
+    * TO -1 STEP -1` — CH's latest-first series, TO exclusive
+    * DOWNWARD, with INTERPOLATE carrying along the OUTPUT
+    * (descending) order so each filled day reads the previous
+    * (higher) day's count. Off-grid days above FROM survive and sort
+    * first. The oracle replays the descending grid with DuckDB
+    * generate_series(…, -1) + the same carry window. */
+  val q95i = GraftQuery(
+    "q95i_fill_desc",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_wfd2")
+      s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt
+               FROM events_wfd2 WHERE event_type = 'purchase' AND value > 495
+               GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
+               ORDER BY d DESC WITH FILL FROM 60 TO -1 STEP -1 INTERPOLATE (cnt AS cnt)""")
+    },
+    Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+                              count(*) AS cnt
+                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                 axis AS (SELECT unnest(generate_series(60, 0, -1)) AS g),
+                 j AS (SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, cnt
+                       FROM axis FULL OUTER JOIN d ON d.d = axis.g)
+            SELECT d, coalesce(last_value(cnt IGNORE NULLS)
+                     OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cnt
+            FROM j ORDER BY d DESC"""),
+  )
+
   /** -Array aggregate combinators (sumArray/avgArray) + the t-digest
     * parametric quantile, in CH SQL spelling over per-customer arrays
     * built with groupArray. The element aggregation folds per row and
@@ -940,5 +967,5 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q96, q97, q97b, q99, q99b, q99c, q99d)
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q95i, q96, q97, q97b, q99, q99b, q99c, q99d)
 }

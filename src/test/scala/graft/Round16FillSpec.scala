@@ -317,6 +317,65 @@ class Round16FillSpec extends SparkSpec {
               |ORDER BY d WITH FILL STALENESS 3""".stripMargin)
   }
 
+  test("DESC fill: bounded, boundless, half-bounded run downward") {
+    Seq((10L, 100L), (4L, 40L)).toDF("n", "v").createOrReplaceTempView("fill_desc")
+    // bounded: grid 10,8,6,4,2 — TO 0 exclusive downward
+    val bounded = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_desc GROUP BY n
+        |ORDER BY n DESC WITH FILL FROM 10 TO 0 STEP -2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bounded.toSeq == Seq((10L, 100L), (8L, 0L), (6L, 0L), (4L, 40L), (2L, 0L)))
+    // boundless: data max down to min, default step -1
+    val boundless = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_desc GROUP BY n
+        |ORDER BY n DESC WITH FILL""".stripMargin).collect().map(_.getLong(0))
+    assert(boundless.toSeq == Seq(10L, 9L, 8L, 7L, 6L, 5L, 4L))
+    // FROM-only: FROM 6 down to the data min (inclusive); the source
+    // row above FROM survives off-grid and sorts first
+    val fromOnly = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_desc GROUP BY n
+        |ORDER BY n DESC WITH FILL FROM 6""".stripMargin).collect().map(_.getLong(0))
+    assert(fromOnly.toSeq == Seq(10L, 6L, 5L, 4L))
+    // TO-only: data max down to TO exclusive
+    val toOnly = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_desc GROUP BY n
+        |ORDER BY n DESC WITH FILL TO 7""".stripMargin).collect().map(_.getLong(0))
+    assert(toOnly.toSeq == Seq(10L, 9L, 8L, 4L))
+    // INTERPOLATE carries along the OUTPUT (descending) order
+    val interp = spark.sql(
+      """SELECT n, sum(v) AS v FROM fill_desc GROUP BY n
+        |ORDER BY n DESC WITH FILL FROM 10 TO 2 STEP -2 INTERPOLATE (v AS v)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(interp.toSeq == Seq((10L, 100L), (8L, 100L), (6L, 100L), (4L, 40L)))
+    // grouped DESC: each category fills its own max→min
+    Seq(("a", 1L, 10L), ("a", 3L, 30L), ("b", 5L, 50L)).toDF("cat", "n", "v")
+      .createOrReplaceTempView("fill_desc_grp")
+    val grp = spark.sql(
+      """SELECT cat, n, sum(v) AS v FROM fill_desc_grp GROUP BY cat, n
+        |ORDER BY cat, n DESC WITH FILL""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grp.toSeq == Seq(("a", 3L), ("a", 2L), ("a", 1L), ("b", 5L)))
+  }
+
+  test("DESC fill refusals: sign mismatch, date axes, staleness, inverted bounds") {
+    Seq((10L, 100L)).toDF("n", "v").createOrReplaceTempView("fill_desc_bad")
+    def refuses(sql: String): Unit =
+      intercept[Exception](spark.sql(sql).collect())
+    // positive step with DESC (CH rejects the sign mismatch)
+    refuses("""SELECT n, sum(v) AS v FROM fill_desc_bad GROUP BY n
+              |ORDER BY n DESC WITH FILL FROM 10 TO 0 STEP 2""".stripMargin)
+    // FROM below TO in a DESC fill
+    refuses("""SELECT n, sum(v) AS v FROM fill_desc_bad GROUP BY n
+              |ORDER BY n DESC WITH FILL FROM 0 TO 10 STEP -1""".stripMargin)
+    // DESC date grid (negative INTERVAL spellings unsupported)
+    mkDateView()
+    refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+              |ORDER BY d DESC WITH FILL FROM toDate('2024-09-01') TO toDate('2024-01-01') STEP INTERVAL 1 MONTH""".stripMargin)
+    // STALENESS + DESC
+    refuses("""SELECT n, sum(v) AS v FROM fill_desc_bad GROUP BY n
+              |ORDER BY n DESC WITH FILL STALENESS 3""".stripMargin)
+  }
+
   test("zero and overflowing steps refuse across the fill forms") {
     Seq((1L, 10L), (4L, 40L)).toDF("n", "v").createOrReplaceTempView("fill_step0")
     def refuses(sql: String): Unit =
