@@ -35,6 +35,53 @@ class Round16StalenessFuzzSpec extends SparkSpec {
     out.toSeq
   }
 
+  /** DESC boundless-fill model for one group: grid from max down to
+    * min by -s, source rows kept, fills defaulting to 0 or carrying
+    * the last source value seen in DESCENDING order. */
+  private def descModel(src: Seq[(Long, Long)], s: Long,
+                        carry: Boolean): Seq[(Long, Long)] = {
+    val bySrc = src.toMap
+    val grid = (src.map(_._1).max to src.map(_._1).min by -s).toSet
+    val axis = (grid ++ src.map(_._1)).toSeq.sortBy(v => -v)
+    var last = 0L
+    axis.map { v =>
+      bySrc.get(v) match {
+        case Some(p) => last = p; (v, p)
+        case None    => (v, if (carry) last else 0L)
+      }
+    }
+  }
+
+  test("fuzz: DESC boundless fill matches the model across random draws") {
+    val rnd = new scala.util.Random(1602)
+    for (trial <- 0 until 25) {
+      val s = 1L + rnd.nextInt(3)
+      val carry = rnd.nextBoolean()
+      val grouped = rnd.nextBoolean()
+      val cats = if (grouped) Seq("a", "b") else Seq("x")
+      val src: Seq[(String, Long, Long)] = cats.flatMap { c =>
+        val n = 1 + rnd.nextInt(6)
+        rnd.shuffle((-5 to 20).toList).take(n)
+          .map(v => (c, v.toLong, 1L + rnd.nextInt(99)))
+      }
+      src.toDF("cat", "n", "v").createOrReplaceTempView("fuzz_desc")
+      val interp = if (carry) " INTERPOLATE (v AS v)" else ""
+      val got =
+        if (grouped)
+          spark.sql(s"SELECT cat, n, v FROM fuzz_desc ORDER BY cat, n DESC WITH FILL STEP -$s$interp")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        else
+          spark.sql(s"SELECT n, v FROM fuzz_desc ORDER BY n DESC WITH FILL STEP -$s$interp")
+            .collect().map(r => ("x", r.getLong(0), r.getLong(1))).toSeq
+      val want = cats.flatMap { c =>
+        descModel(src.filter(_._1 == c).map(t => (t._2, t._3)), s, carry)
+          .map { case (n, v) => (c, n, v) }
+      }
+      assert(got == want,
+        s"trial $trial (s=$s carry=$carry grouped=$grouped)\nsrc  $src\ngot  $got\nwant $want")
+    }
+  }
+
   test("fuzz: staleness fill matches the first-principles model across random draws") {
     val rnd = new scala.util.Random(1601)
     for (trial <- 0 until 40) {
