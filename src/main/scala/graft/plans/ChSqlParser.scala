@@ -2168,16 +2168,21 @@ object ChSqlParser {
     * (the carry/affine windows operate on the union unchanged).
     *
     * DESC form (round 16): `ORDER BY c DESC WITH FILL [FROM a] [TO b]
-    * [STEP -n]` — CH's latest-first series. Integer axes only (a
+    * [STEP -n]` — CH's latest-first series. Integer axes only: a
     * descending date grid would need negative INTERVAL spellings the
-    * STEP regex doesn't carry — refuse by pass-through); the step
-    * defaults to -1 and a literal step must be negative (CH rejects
-    * a sign mismatch with the sort direction); TO stays exclusive
-    * DOWNWARD (fills stop above it), data-derived bounds mirror
-    * (FROM-only runs down to the min, TO-only starts at the max),
-    * and the INTERPOLATE windows follow the OUTPUT order so a carry
-    * reads the previous result row, CH's own convention. Bounded
-    * DESC requires FROM ≥ TO; STALENESS + DESC refuses.
+    * STEP regex doesn't carry, so bounded forms with a date literal
+    * refuse by pass-through and the BOUND-LESS form (whose axis kind
+    * is unknowable at parse) fails loudly at analysis on a date
+    * column, like the staleness form. The step defaults to -1 and a
+    * literal step must be negative (CH rejects a sign mismatch with
+    * the sort direction); TO stays exclusive DOWNWARD (fills stop
+    * above it), data-derived bounds mirror (FROM-only runs down to
+    * the min, TO-only starts at the max), and the INTERPOLATE
+    * windows follow the OUTPUT order so a carry reads the previous
+    * result row, CH's own convention. Literal bounds with FROM at or
+    * below TO fill NOTHING (empty grid, source rows pass through —
+    * CH's behavior, mirrored for ASC with FROM at or above TO);
+    * STALENESS + DESC refuses.
     *
     * GROUPED form (round 16): `ORDER BY p1, …, pk, c WITH FILL` —
     * the fill column is the LAST sort key and the fill restarts per
@@ -2198,14 +2203,13 @@ object ChSqlParser {
     * integers, 1 day for dates). The axis kind is the fill column's
     * own type — unknown at parse, resolved by sequence() at analysis,
     * failing loudly on a mismatch. */
-  /** A bare-integer step literal, validated: in Long range and
-    * POSITIVE. CH rejects `STEP 0`; a negative step would need the
-    * DESC sort-key spelling (`ORDER BY c DESC WITH FILL …`), which
-    * the rewrite doesn't match — every executing form here fills
-    * ascending (the axis guards and the final ORDER BY assume it),
-    * so a negative step refuses by pass-through instead of
-    * computing a wrong exclusive bound. An overflowing literal
-    * refuses at parse rather than crashing it. */
+  /** A bare-integer step literal for the ASCENDING fill forms: in
+    * Long range and POSITIVE. CH rejects `STEP 0`; a negative step
+    * belongs to the DESC sort-key spelling, which resolves through
+    * rewriteWithFill's own descStep (negative-only) — in an ASC form
+    * it refuses by pass-through instead of computing a wrong
+    * exclusive bound. An overflowing literal refuses at parse rather
+    * than crashing it. */
   private def intStep(s: String): Option[String] =
     if (!s.matches("-?\\d+")) None
     else scala.util.Try(s.toLong).toOption.filter(_ > 0L).map(_ => s)
@@ -2698,13 +2702,18 @@ object ChSqlParser {
       if (stale.isDefined &&
           scala.util.Try(staleStep.toLong).toOption.forall(_ <= 0)) return sql
       if (desc && stale.isDefined) return sql
-      // a DESC step literal: negative bare integer, default -1
-      def descStep: Option[String] = Option(stepOrNull).map(_.trim) match {
-        case None => Some("-1")
-        case Some(s) =>
-          if (!s.matches("-\\d+")) None
-          else scala.util.Try(s.toLong).toOption.filter(_ < 0).map(_ => s)
-      }
+      // a DESC step literal: negative bare integer, default -1 —
+      // resolved ONCE (it depends only on the STEP text, not the
+      // bound classification); every DESC branch consumes this
+      val descStep: Option[String] =
+        if (!desc) None
+        else Option(stepOrNull).map(_.trim) match {
+          case None => Some("-1")
+          case Some(s) =>
+            if (!s.matches("-\\d+")) None
+            else scala.util.Try(s.toLong).toOption.filter(_ < 0).map(_ => s)
+        }
+      if (desc && descStep.isEmpty) return sql
       val boundless = fromRaw == null && toRaw == null && stale.isEmpty
       val fromOnly = fromRaw != null && toRaw == null
       val toOnly = fromRaw == null && toRaw != null
@@ -2719,11 +2728,8 @@ object ChSqlParser {
       if (stale.isDefined) {
         // no bounds to classify: the axis is the union of per-row runs
       } else if (boundless) {
-        if (desc) {
-          val s = descStep
-          if (s.isEmpty) return sql
-          blStep = s", ${s.get}"
-        } else {
+        if (desc) blStep = s", ${descStep.get}"
+        else {
           val s = boundlessStep(stepOrNull)
           if (s.isEmpty) return sql
           blStep = s.get
@@ -2735,9 +2741,7 @@ object ChSqlParser {
         if (fromOnly) from = b.get._1 else to = b.get._1
         if (desc) {
           if (kind != "int") return sql // DESC date grids: see Scaladoc
-          val s = descStep
-          if (s.isEmpty) return sql
-          step = s.get
+          step = descStep.get
         } else {
           // a negative step would invert the data-derived bound guard
           if (stepOrNull != null && stepOrNull.trim.startsWith("-")) return sql
@@ -2751,12 +2755,8 @@ object ChSqlParser {
         from = fromB.get._1; kind = fromB.get._2
         to = toB.get._1
         if (desc) {
-          // int bounds running downward: FROM at or above TO
-          if (kind != "int" ||
-              scala.util.Try(from.toLong < to.toLong).getOrElse(true)) return sql
-          val s = descStep
-          if (s.isEmpty) return sql
-          step = s.get
+          if (kind != "int") return sql // DESC date grids: see Scaladoc
+          step = descStep.get
         } else {
           val stepOpt = fillStep(stepOrNull, kind)
           if (stepOpt.isEmpty) return sql
@@ -2888,13 +2888,17 @@ object ChSqlParser {
                  |      FROM ($agg))$axisFilter) gr_axis__
                  |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
             } else {
+              // CASE guards make empty/inverted literal ranges an
+              // EMPTY grid (source rows pass through, CH's behavior
+              // for FROM at/after TO) instead of sequence() throwing
+              // "Illegal sequence boundaries" mid-query
               val axisSub =
                 if (kind == "int" && desc)
-                  s"(SELECT explode(sequence($from, $to + 1, $step)) AS gr_fill__)"
+                  s"(SELECT explode(CASE WHEN $from >= $to + 1 THEN sequence($from, $to + 1, $step) END) AS gr_fill__)"
                 else if (kind == "int")
-                  s"(SELECT explode(sequence($from, $to - 1, $step)) AS gr_fill__)"
+                  s"(SELECT explode(CASE WHEN $from <= $to - 1 THEN sequence($from, $to - 1, $step) END) AS gr_fill__)"
                 else
-                  s"(SELECT gr_fill__ FROM (SELECT explode(sequence($from, $to, $step)) AS gr_fill__) WHERE gr_fill__ < $to)"
+                  s"(SELECT gr_fill__ FROM (SELECT explode(CASE WHEN $from <= $to THEN sequence($from, $to, $step) END) AS gr_fill__) WHERE gr_fill__ < $to)"
               if (prefix.isEmpty)
                 s"""(SELECT $sel
                    |FROM $axisSub gr_axis__

@@ -357,6 +357,28 @@ class Round16FillSpec extends SparkSpec {
     assert(grp.toSeq == Seq(("a", 3L), ("a", 2L), ("a", 1L), ("b", 5L)))
   }
 
+  test("empty or inverted literal ranges fill nothing — source rows pass through") {
+    Seq((10L, 100L), (4L, 40L)).toDF("n", "v").createOrReplaceTempView("fill_empty")
+    def keys(sql: String): Seq[Long] = spark.sql(sql).collect().map(_.getLong(0)).toSeq
+    // ASC: FROM at or above TO → empty grid, never a sequence() crash
+    assert(keys("""SELECT n, sum(v) AS v FROM fill_empty GROUP BY n
+                  |ORDER BY n WITH FILL FROM 7 TO 7""".stripMargin) == Seq(4L, 10L))
+    assert(keys("""SELECT n, sum(v) AS v FROM fill_empty GROUP BY n
+                  |ORDER BY n WITH FILL FROM 9 TO 5""".stripMargin) == Seq(4L, 10L))
+    // DESC: FROM at or below TO likewise
+    assert(keys("""SELECT n, sum(v) AS v FROM fill_empty GROUP BY n
+                  |ORDER BY n DESC WITH FILL FROM 7 TO 7""".stripMargin) == Seq(10L, 4L))
+    assert(keys("""SELECT n, sum(v) AS v FROM fill_empty GROUP BY n
+                  |ORDER BY n DESC WITH FILL FROM 0 TO 10 STEP -1""".stripMargin) == Seq(10L, 4L))
+    // date axis: equal bounds likewise pass through empty
+    mkDateView()
+    val ds = spark.sql(
+      """SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
+        |ORDER BY d WITH FILL FROM toDate('2024-02-01') TO toDate('2024-02-01') STEP INTERVAL 1 MONTH"""
+        .stripMargin).collect().map(_.getDate(0).toString)
+    assert(ds.toSeq == Seq("2024-01-01", "2024-04-01", "2024-09-01"))
+  }
+
   test("DESC fill refusals: sign mismatch, date axes, staleness, inverted bounds") {
     Seq((10L, 100L)).toDF("n", "v").createOrReplaceTempView("fill_desc_bad")
     def refuses(sql: String): Unit =
@@ -364,9 +386,6 @@ class Round16FillSpec extends SparkSpec {
     // positive step with DESC (CH rejects the sign mismatch)
     refuses("""SELECT n, sum(v) AS v FROM fill_desc_bad GROUP BY n
               |ORDER BY n DESC WITH FILL FROM 10 TO 0 STEP 2""".stripMargin)
-    // FROM below TO in a DESC fill
-    refuses("""SELECT n, sum(v) AS v FROM fill_desc_bad GROUP BY n
-              |ORDER BY n DESC WITH FILL FROM 0 TO 10 STEP -1""".stripMargin)
     // DESC date grid (negative INTERVAL spellings unsupported)
     mkDateView()
     refuses("""SELECT d, sum(v) AS v FROM fill_dates GROUP BY d
