@@ -633,7 +633,10 @@ object Arrays {
     (s, dir) => {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val path = s"/tmp/graft_mergetree/$tag/events_by_month"
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // FixtureClock-bracketed (round 16): the one-time landing is
+      // layout cost, not query cost (a cold sf10 tmpdir showed a
+      // 22 s serial cell whose isolated re-run was 1.9 s)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) graft.FixtureClock.time {
         graft.sources.MergeTreeWrite.write(
           Tables(s, dir).events, path,
           partitionExprs = Seq("month" -> date_format(col("ts"), "yyyy-MM")),
