@@ -77,15 +77,41 @@ object Bench {
     // regression would actually show up in; by round 13 the artifact's
     // whole top-10 was fixture-dominated and a 1.62× "regression" on
     // code-unchanged q103 turned out to be landing-write noise.
-    final case class R(sec: Double, setup: Double, err: Option[String])
+    final case class R(sec: Double, setup: Double, err: Option[String],
+                       spillMem: Long = 0L, spillDisk: Long = 0L)
+    // Per-query spill accounting (round 17): the q16 sf100 forensics
+    // took an idle host and three scales to adjudicate because the
+    // artifact couldn't say whether a slow cell SPILLED or was merely
+    // contended. Task-end metrics accumulate here; the listener bus is
+    // drained (GraftSparkBridge) before each snapshot so a query's
+    // spill can't leak into its successor's delta.
+    val spillMemTotal = new java.util.concurrent.atomic.AtomicLong
+    val spillDiskTotal = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spillMemTotal.addAndGet(m.memoryBytesSpilled)
+          spillDiskTotal.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def spillSnapshot(): (Long, Long) = {
+      org.apache.spark.graftbridge.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      (spillMemTotal.get, spillDiskTotal.get)
+    }
     // Plan fingerprint (round 16): #shuffle Exchanges, #BroadcastExchanges,
     // #Sorts, #scans parsed once per query from the executed-plan string
     // (the AQE INITIAL plan — deterministic, and exactly where a rule
     // regression shows up). The audit below diffs it against the previous
     // artifact so a PLAN regression is caught even when wall time hides
     // it (q15b's ex=0 promise was previously asserted only in its gate).
-    final case class FP(ex: Int, bex: Int, sort: Int, scan: Int) {
-      def json: String = s"""{"ex":$ex,"bex":$bex,"sort":$sort,"scan":$scan}"""
+    // `wgl` (round 17): #WindowGroupLimit nodes — Spark 4.1's rank-limit
+    // pushdown. The q16 class of regressions (a top-k-per-group window
+    // silently losing its pushdown and full-sorting the fact table) is
+    // only artifact-visible if this count is pinned per round.
+    final case class FP(ex: Int, bex: Int, sort: Int, scan: Int, wgl: Int) {
+      def json: String = s"""{"ex":$ex,"bex":$bex,"sort":$sort,"scan":$scan,"wgl":$wgl}"""
     }
     def fingerprint(plan: org.apache.spark.sql.execution.SparkPlan): Option[FP] =
       try {
@@ -95,7 +121,8 @@ object Bench {
           cnt("""(?m)(?:^|\s|\+- |:- )Exchange """.r),
           cnt("""BroadcastExchange""".r),
           cnt("""(?m)(?:^|\s|\+- |:- )Sort \[""".r),
-          cnt("""FileScan|BatchScan""".r)))
+          cnt("""FileScan|BatchScan""".r),
+          cnt("""WindowGroupLimit""".r)))
       } catch { case _: Throwable => None }
     final case class Q(best: R, runs: Seq[Double], fp: Option[FP])
     val results: Seq[(String, Q)] =
@@ -105,6 +132,7 @@ object Bench {
         var fp: Option[FP] = None
         def once(takeFp: Boolean): R = {
           FixtureClock.reset()
+          val (sm0, sd0) = spillSnapshot()
           val t0 = System.nanoTime()
           val err =
             try {
@@ -127,7 +155,9 @@ object Bench {
             catch { case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
             }
-          R((System.nanoTime() - t0) / 1e9, FixtureClock.nanos / 1e9, err)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (sm1, sd1) = spillSnapshot()
+          R(sec, FixtureClock.nanos / 1e9, err, sm1 - sm0, sd1 - sd0)
         }
         val r1 = once(takeFp = true)
         if (r1.err.isDefined) name -> Q(r1, Seq(r1.sec), fp) // don't re-run a crash just to time it
@@ -153,7 +183,7 @@ object Bench {
     // process alone by then) and the three numbers land in the
     // artifact's "audit" table with a noise/regression verdict.
     final case class Audit(serial: Double, prev: Double, isolated: Double, setup: Double,
-                           loadAtRerun: Double) {
+                           loadAtRerun: Double, serialSpillDisk: Long, isolatedSpillDisk: Long) {
       // WORK-time vs WORK-time: `prev` already has the prior run's
       // fixture seconds subtracted (below), so the comparison can't
       // be gamed either way by fixture noise. A crashed re-run is its
@@ -186,7 +216,7 @@ object Bench {
     }.getOrElse(Map.empty)
     // Previous plan fingerprints (absent in pre-round-16 artifacts →
     // empty diff; from round 16 on, any count change is reported).
-    val prevPlans: Map[String, (Int, Int, Int, Int)] = sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
+    val prevPlans: Map[String, (Int, Int, Int, Int, Int)] = sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
       import org.json4s._
       val root = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(p)))
       def i(v: JValue): Int = v match {
@@ -195,12 +225,15 @@ object Bench {
       // same two shapes as prevTimes: Bench's own artifact (top-level
       // "plan") or the driver's wrapper ("parsed" → "plan") — a
       // wrapper input must not silently disable plan-diff detection
-      def planMap(v: JValue): Map[String, (Int, Int, Int, Int)] = v match {
+      // wgl reads -1 from pre-round-17 artifacts (field absent) → the
+      // diff below skips the wgl comparison for those, so adding the
+      // column doesn't flag all 208 queries as "changed" once.
+      def planMap(v: JValue): Map[String, (Int, Int, Int, Int, Int)] = v match {
         case JObject(fields) => fields.collect {
           case (k, o: JObject) =>
-            k -> (i(o \ "ex"), i(o \ "bex"), i(o \ "sort"), i(o \ "scan"))
+            k -> (i(o \ "ex"), i(o \ "bex"), i(o \ "sort"), i(o \ "scan"), i(o \ "wgl"))
         }.toMap
-        case _ => Map.empty[String, (Int, Int, Int, Int)]
+        case _ => Map.empty[String, (Int, Int, Int, Int, Int)]
       }
       root \ "plan" match {
         case o: JObject => planMap(o)
@@ -208,10 +241,14 @@ object Bench {
       }
     }.getOrElse(Map.empty)
     val planDiffs: Seq[(String, String)] = results.collect {
-      case (name, q) if q.fp.isDefined && prevPlans.contains(name) &&
-          (q.fp.get.ex, q.fp.get.bex, q.fp.get.sort, q.fp.get.scan) != prevPlans(name) =>
-        val (pe, pb, ps, pc) = prevPlans(name)
-        name -> (s"""{"prev":{"ex":$pe,"bex":$pb,"sort":$ps,"scan":$pc},""" +
+      case (name, q) if q.fp.isDefined && prevPlans.contains(name) && {
+          val f = q.fp.get; val (pe, pb, ps, pc, pw) = prevPlans(name)
+          (f.ex, f.bex, f.sort, f.scan) != ((pe, pb, ps, pc)) ||
+            (pw >= 0 && f.wgl != pw)
+        } =>
+        val (pe, pb, ps, pc, pw) = prevPlans(name)
+        val prevWgl = if (pw >= 0) s""","wgl":$pw""" else ""
+        name -> (s"""{"prev":{"ex":$pe,"bex":$pb,"sort":$ps,"scan":$pc$prevWgl},""" +
           s""""now":${q.fp.get.json}}""")
     }
     val auditCandidates: Seq[(String, R)] =
@@ -235,27 +272,33 @@ object Bench {
           Thread.sleep(5000); waited += 5
         }
       }
-      def once(): (Double, Double) = {
+      def once(): (Double, Double, Long) = {
         FixtureClock.reset()
+        val (_, sd0) = spillSnapshot()
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, FixtureClock.nanos / 1e9) }
-        catch { case _: Throwable => (-1.0, 0.0) }
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (_, sd1) = spillSnapshot()
+          (sec, FixtureClock.nanos / 1e9, sd1 - sd0)
+        }
+        catch { case _: Throwable => (-1.0, 0.0, 0L) }
       }
       settle()
       val load = osBean.getSystemLoadAverage
       val prev = prevTimes(name)
-      var (iso, setup) = once()
+      var (iso, setup, isoSpill) = once()
       if (iso >= 0 && math.max(0.0, iso - setup) > 1.5 * prev) {
         settle() // looks regressed — confirm on a second settled run
-        val (iso2, setup2) = once()
+        val (iso2, setup2, isoSpill2) = once()
         // keep the better WORK time (the verdict's unit) — comparing
         // totals would let slow fixture rebuilds discard a confirm
         // run that proved the plan time is fine
         if (iso2 >= 0 && math.max(0.0, iso2 - setup2) < math.max(0.0, iso - setup)) {
-          iso = iso2; setup = setup2
+          iso = iso2; setup = setup2; isoSpill = isoSpill2
         }
       }
-      name -> Audit(best.sec, prev, iso, setup, load)
+      name -> Audit(best.sec, prev, iso, setup, load, best.spillDisk, isoSpill)
     }
 
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
@@ -270,7 +313,7 @@ object Bench {
     } + "\""
 
     val ok = results.filter(_._2.best.err.isEmpty)
-    val errs = results.collect { case (n, Q(R(_, _, Some(e)), _, _)) => n -> e }
+    val errs = results.collect { case (n, Q(R(_, _, Some(e), _, _), _, _)) => n -> e }
     val total = ok.map(_._2.best.sec).sum
     def workOf(r: R): Double = math.max(0.0, r.sec - r.setup)
     val workTotal = ok.map(q => workOf(q._2.best)).sum
@@ -297,15 +340,25 @@ object Bench {
     // was supplied or nothing tripped the 20 s + 1.5× gate)
     val auditJson = audits.map { case (k, a) =>
       jstr(k) + s""":{"serial":${ms(a.serial)},"prev_work":${ms(a.prev)},"isolated":${ms(a.isolated)},""" +
-        s""""isolated_setup":${ms(a.setup)},"load_at_rerun":${ms(a.loadAtRerun)},"verdict":${jstr(a.verdict)}}"""
+        s""""isolated_setup":${ms(a.setup)},"load_at_rerun":${ms(a.loadAtRerun)},""" +
+        s""""serial_spill_disk":${a.serialSpillDisk},"isolated_spill_disk":${a.isolatedSpillDisk},""" +
+        s""""verdict":${jstr(a.verdict)}}"""
     }.mkString("{", ",", "}")
+    // spill table (round 17): only the queries that actually spilled,
+    // bytes from the KEPT run (the same run "queries" reports). A slow
+    // cell with zero spill is contention; one with gigabytes here is a
+    // memory-pressure finding — self-identifying in the artifact.
+    val spillJson = results
+      .filter { case (_, q) => q.best.spillMem > 0 || q.best.spillDisk > 0 }
+      .map { case (k, q) => jstr(k) + s""":{"mem":${q.best.spillMem},"disk":${q.best.spillDisk}}""" }
+      .mkString("{", ",", "}")
     val cond = s""""load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors},"timing":"min_of_two_unless_cold""""
     val common =
       s""""metric":"total","value":${ms(total)},"unit":"sec","count":${results.size},"ok":${ok.size},"sf":${jstr(sfDir)}"""
     // Full artifact: every query, every error — the committed evidence.
     Files.writeString(Paths.get(outPath),
-      s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$allQs,"setup":$setupJson,"runs":$runsJson,"errors":$errJson,"audit":$auditJson,"plan":$planJson,"plan_diff":$planDiffJson}\n""")
+      s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$allQs,"setup":$setupJson,"runs":$runsJson,"errors":$errJson,"audit":$auditJson,"plan":$planJson,"plan_diff":$planDiffJson,"spill":$spillJson}\n""")
     // Stdout: driver-parseable summary that fits a bounded log tail.
     // Top-10 ranks on PLAN-dominated seconds (total minus reported
     // fixture time) so a plan regression can't hide in fixture noise.
@@ -314,7 +367,8 @@ object Bench {
     val auditSummary =
       if (audits.isEmpty) "0"
       else s"${audits.size}(${audits.count(_._2.verdict == "regression")} regression)"
-    println(s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$top10,"errors":${errs.size},"audited":${jstr(auditSummary)},"plan_diffs":${planDiffs.size},"detail":${jstr(outPath)}}""")
+    val spilledCount = results.count { case (_, q) => q.best.spillMem > 0 || q.best.spillDisk > 0 }
+    println(s"""{$common,$cond,"work_total":${ms(workTotal)},"queries":$top10,"errors":${errs.size},"audited":${jstr(auditSummary)},"plan_diffs":${planDiffs.size},"spilled":$spilledCount,"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }
