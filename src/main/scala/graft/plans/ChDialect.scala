@@ -772,9 +772,13 @@ object ChDialect {
     // discrete selectors (Percentile interpolates, these never do)
     "quantileExactLow"  -> (es => exactRankQuantile(es, high = false)),
     "quantileExactHigh" -> (es => exactRankQuantile(es, high = true)),
-    // groupArraySorted(n)(x): the first n values in ascending order
+    // groupArraySorted(n)(x): the first n values in ascending order.
+    // The bounded form is a size-capped heap aggregate (round 17):
+    // O(n) buffer per group, partial-combines map-side — not a
+    // collect-the-group-then-slice. The unbounded form is the whole
+    // sorted group by definition, so collect_list stays.
     "groupArraySorted" -> (es => es match {
-      case Seq(n, x) => Slice(SortArray(CollectList(x).toAggregateExpression(), Literal(true)), Literal(1), n)
+      case Seq(n, x) => GraftGroupArraySorted(x, n)
       case Seq(x)    => SortArray(CollectList(x).toAggregateExpression(), Literal(true))
       case _         => throw new IllegalArgumentException("groupArraySorted takes (n)(expr)")
     }),

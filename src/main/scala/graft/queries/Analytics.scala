@@ -317,6 +317,35 @@ object Analytics {
             WHERE rn <= 3 ORDER BY o_orderpriority, rn"""),
   )
 
+  /** q16's result computed the 100 TB way: a bounded-heap top-k
+    * aggregate instead of a window. q16's WindowGroupLimit plan still
+    * full-sorts every map task's input before reducing it (both WGL
+    * modes require sorted children — docs/AUDIT_q16_wgl_r17.md, the
+    * sf100 spill source); this shape sorts NOTHING but the 15-row
+    * result set. groupArraySorted keeps ≤3 struct values per group per
+    * task, the shuffle carries groups × 3 rows, the merge is
+    * heap-merge. Ascending order on struct(-price, key) = price desc,
+    * key asc — exactly row_number's total order, so the two registry
+    * entries are result-identical and share the oracle shape. */
+  val q16b = GraftQuery(
+    "q16b_topn_agg",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("groupArraySorted(3, struct(-o_totalprice AS neg, o_orderkey, o_totalprice))").as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), col("col.o_orderkey"), col("col.o_totalprice"),
+                (col("pos") + 1).cast("int").as("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+            WHERE rn <= 3 ORDER BY o_orderpriority, rn"""),
+  )
+
   private def dailyByType(t: Tables) =
     t.events.groupBy(col("event_type"), ch.toStartOfDay(col("ts")).as("day"))
       .agg(round(sum("value"), 2).as("v"))
@@ -452,6 +481,6 @@ object Analytics {
   )
 
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-                                 q11, q12, q13, q13b, q14, q15, q15b, q16, q17, q18,
-                                 q18b, q19, q20)
+                                 q11, q12, q13, q13b, q14, q15, q15b, q16, q16b, q17,
+                                 q18, q18b, q19, q20)
 }
