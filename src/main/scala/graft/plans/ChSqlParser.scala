@@ -2195,7 +2195,38 @@ object ChSqlParser {
     * (refuses by pass-through). Prefix keys with ASC/DESC modifiers
     * or expression keys stay unsupported → pass-through. */
   private val WithFill =
-    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+STALENESS\s+(-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+STALENESS\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+
+  /** MULTI-KEY form (round 17): `ORDER BY a WITH FILL [b1], b WITH
+    * FILL [b2] [INTERPOLATE (…)]`. ClickHouse's semantics here are NOT
+    * a cartesian grid (a common misreading): the docs' own example
+    * (`ORDER BY d2 WITH FILL, d1 WITH FILL STEP 5` over numbers(10)
+    * WHERE number % 3 = 1) shows the FIRST key filling over its range
+    * with every other column — including the second fill key — taking
+    * the type default, and the SECOND key filling only within runs of
+    * equal first-key values ("d1 doesn't fill … because we don't have
+    * repeated values for d2"). That is exactly a composition of two
+    * single-key fills, which is how it executes here:
+    *
+    *   1. inner: fill k2 GROUPED by (prefix ++ k1) — the round-16
+    *      grouped machinery verbatim;
+    *   2. outer: fill k1 grouped by prefix over the inner result,
+    *      inserted rows taking the 0 default for k2 and the other
+    *      columns.
+    *
+    * INTERPOLATE applies at BOTH stages (CH evaluates the recurrence
+    * against the previous OUTPUT row, whichever key's fill produced
+    * it); each stage's own refusals compose — any unsupported piece
+    * refuses the WHOLE multi-key rewrite by pass-through. Three or
+    * more fill keys, DESC keys and STALENESS stay unmatched → loud
+    * parse failure on the WITH FILL keyword. Bounds must be
+    * comma-free (true of every supported bound spelling). */
+  private val WithFill2 =
+    ("""(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)\s+WITH\s+FILL""" +
+     """((?:\s+FROM\s+[^,]+?)?(?:\s+TO\s+[^,]+?)?(?:\s+STEP\s+(?:INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?)""" +
+     """\s*,\s*(\w+)\s+WITH\s+FILL""" +
+     """((?:\s+FROM\s+[^,]+?)?(?:\s+TO\s+[^,]+?)?(?:\s+STEP\s+(?:INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?)""" +
+     """(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""").r
 
   /** The bound-less form's STEP argument: INTERVAL spellings lower as
     * usual (quarter → 3n month), a bare integer passes through,
@@ -2655,8 +2686,22 @@ object ChSqlParser {
   private val AliasedItem = """(?is)^.*\s+AS\s+([A-Za-z_]\w*)\s*$""".r
   private val BareItem    = """(?s)^\s*([A-Za-z_]\w*)\s*$""".r
 
-  /** One INTERPOLATE item: "carry" (bare `c` or `c AS c`) or the
-    * affine step ("+"/"-", literal) of `c AS c ± k`. */
+  /** One INTERPOLATE item. Executable recurrences over the previous
+    * output row (CH evaluates the AS-expression against it):
+    *   - "carry":   bare `c` or `c AS c` — repeat the previous value
+    *   - "+"/"-":   `c AS c ± k` (numeric literal) — affine ramp,
+    *                closed form last ± k·n (round 15)
+    *   - "*"/"/":   `c AS c * k` / `c AS c / k` (round 17) —
+    *                geometric, closed form last · k^±n (k ≠ 0 for /)
+    *   - "+col"/"-col": `c AS c ± d` where d is ANOTHER output column
+    *                (round 17) — linear recurrence c_i = c_{i-1} ± d_{i-1},
+    *                closed form last ± Σ d over the preceding filled
+    *                run (d's filled values are known: 0-default, the
+    *                prefix constant, or the fill axis itself)
+    * Anything else — cross-column multiplication, expressions over a
+    * column that is itself interpolated (evaluation-order dependent),
+    * arbitrary functions — returns None and the caller refuses by
+    * pass-through. */
   private def parseInterpItem(it: String): Option[(String, (String, String))] = {
     val t = it.trim
     if (t.matches("[A-Za-z_]\\w*")) Some((t, ("carry", "")))
@@ -2664,9 +2709,16 @@ object ChSqlParser {
       val c = m.group(1)
       val e = m.group(2).trim
       if (e == c) Some((c, ("carry", "")))
-      else """^([A-Za-z_]\w*)\s*([+\-])\s*(\d+(?:\.\d+)?)$""".r.findFirstMatchIn(e) match {
-        case Some(a) if a.group(1) == c => Some((c, (a.group(2), a.group(3))))
-        case _ => None
+      else """^([A-Za-z_]\w*)\s*([+\-*/])\s*(\d+(?:\.\d+)?)$""".r.findFirstMatchIn(e) match {
+        case Some(a) if a.group(1) == c =>
+          if (a.group(2) == "/" && a.group(3).toDouble == 0.0) None // CH raises on /0 too
+          else Some((c, (a.group(2), a.group(3))))
+        case _ =>
+          """^([A-Za-z_]\w*)\s*([+\-])\s*([A-Za-z_]\w*)$""".r.findFirstMatchIn(e) match {
+            case Some(a) if a.group(1) == c && a.group(3) != c =>
+              Some((c, (a.group(2) + "col", a.group(3))))
+            case _ => None
+          }
       }
     }
   }
@@ -2693,15 +2745,39 @@ object ChSqlParser {
       // rather than crashing the parser). A date/timestamp fill
       // column is unknowable at parse and fails loudly at ANALYSIS
       // (sequence() rejects a bare-int step on a date axis).
-      val staleParsed = Option(staleOrNull).map(s => scala.util.Try(s.trim.toLong))
+      // Date/DateTime STALENESS (round 17): `STALENESS INTERVAL n unit`
+      // — q95d's interval machinery reused for the per-row bounded
+      // runs. An INTERVAL staleness requires an INTERVAL step (a
+      // bare-int step's unit depends on the axis kind, unknowable at
+      // parse — refuse rather than guess); the unit whitelist and the
+      // quarter lowering are lowerInterval's, shared with every other
+      // interval spelling.
+      val staleIvRaw = Option(staleOrNull).map(_.trim).collect {
+        case s @ FillIntervalStep(_, _) => s
+      }
+      val staleIv: Option[String] = staleIvRaw.flatMap {
+        case FillIntervalStep(n, u) => lowerInterval(n, u)
+        case _                      => None
+      }
+      if (staleIvRaw.isDefined && staleIv.isEmpty) return sql
+      val staleIvStep: Option[String] =
+        if (staleIv.isEmpty) None
+        else Option(stepOrNull).map(_.trim) match {
+          case Some(FillIntervalStep(n, u)) => lowerInterval(n, u)
+          case _ => None
+        }
+      if (staleIv.isDefined && staleIvStep.isEmpty) return sql
+      val staleParsed = Option(staleOrNull).filter(_ => staleIv.isEmpty)
+        .map(s => scala.util.Try(s.trim.toLong))
       if (staleParsed.exists(_.isFailure)) return sql
       val stale: Option[Long] = staleParsed.map(_.get)
       if (stale.exists(_ <= 0)) return sql
-      if (stale.isDefined && (fromRaw != null || toRaw != null)) return sql
+      val anyStale = stale.isDefined || staleIv.isDefined
+      if (anyStale && (fromRaw != null || toRaw != null)) return sql
       val staleStep: String = Option(stepOrNull).map(_.trim).getOrElse("1")
       if (stale.isDefined &&
           scala.util.Try(staleStep.toLong).toOption.forall(_ <= 0)) return sql
-      if (desc && stale.isDefined) return sql
+      if (desc && anyStale) return sql
       // a DESC step literal: negative bare integer, default -1 —
       // resolved ONCE (it depends only on the STEP text, not the
       // bound classification); every DESC branch consumes this
@@ -2714,7 +2790,7 @@ object ChSqlParser {
             else scala.util.Try(s.toLong).toOption.filter(_ < 0).map(_ => s)
         }
       if (desc && descStep.isEmpty) return sql
-      val boundless = fromRaw == null && toRaw == null && stale.isEmpty
+      val boundless = fromRaw == null && toRaw == null && !anyStale
       val fromOnly = fromRaw != null && toRaw == null
       val toOnly = fromRaw == null && toRaw != null
       // bounded form: classify bounds; unclassifiable or mixed-kind
@@ -2725,7 +2801,7 @@ object ChSqlParser {
       // derives from the data (min for TO-only, max for FROM-only).
       var from = ""; var to = ""; var kind = ""; var step = ""
       var blStep = "" // bound-less sequence() step argument ("", ", 2", ", interval 1 month")
-      if (stale.isDefined) {
+      if (anyStale) {
         // no bounds to classify: the axis is the union of per-row runs
       } else if (boundless) {
         if (desc) blStep = s", ${descStep.get}"
@@ -2795,9 +2871,19 @@ object ChSqlParser {
         // ditto prefix keys that are not named outputs, and an
         // INTERPOLATE on a prefix key (its filled rows carry the
         // group's value by construction — CH rejects the spelling)
+        // cross-column operands (`c AS c + d`): d must be a named
+        // output and must NOT itself be interpolated — the recurrence
+        // would then depend on evaluation order (CH evaluates all
+        // INTERPOLATE expressions against the same previous row; a
+        // closed form per column can't honor that coupling → refuse)
+        val colOperands = interp.values.collect {
+          case (op, operand) if op.endsWith("col") => operand
+        }.toSeq
         if (names.exists(_.isEmpty) || !names.flatten.contains(fillCol) ||
             !interp.keySet.subsetOf(colSet) ||
-            !prefix.forall(colSet.contains) || prefix.exists(interp.contains)) sql
+            !prefix.forall(colSet.contains) || prefix.exists(interp.contains) ||
+            !colOperands.forall(colSet.contains) ||
+            colOperands.exists(interp.contains)) sql
         else {
           val cols = names.flatten
           val affine = interp.exists(_._2._1 != "carry")
@@ -2805,7 +2891,9 @@ object ChSqlParser {
             if (n == fillCol) s"coalesce(gr_src__.$n, gr_axis__.gr_fill__) AS $n"
             else if (prefix.contains(n)) s"coalesce(gr_src__.$n, gr_axis__.$n) AS $n"
             else if (interp.contains(n)) s"gr_src__.$n AS $n" // filled below
-            else s"coalesce(gr_src__.$n, 0) AS $n"
+            // the TYPE default (0 / '' / epoch — CH's fill values),
+            // never a bare 0: that coerced string passengers to bigint
+            else s"coalesce(gr_src__.$n, graft_fill_default(gr_src__.$n)) AS $n"
           }.mkString(", ") +
             // affine steps need to know which rows are source rows
             (if (affine) s", (gr_src__.$fillCol IS NOT NULL) AS gr_is_src__" else "")
@@ -2855,6 +2943,41 @@ object ChSqlParser {
                  |            FROM (SELECT ${pfxSel}$fillCol AS gr_v__,
                  |                         least($fillCol + $k, coalesce(lead($fillCol) OVER (${leadPart}ORDER BY $fillCol), $fillCol + $k)) - 1 AS gr_end__
                  |                  FROM gr_fill_src__)))) gr_fill_out__""".stripMargin
+            } else if (staleIv.isDefined) {
+              // Date/DateTime STALENESS (round 17): same union-of-runs
+              // shape as the integer form, but "last grid value
+              // strictly below the cap" has no `- 1` on a calendar
+              // axis — each run generates through v + k inclusive and
+              // a `< cap` filter (cap = least(v + k, next source
+              // value)) enforces both exclusivities, true calendar
+              // stepping throughout. q95d's interval machinery
+              // supplies the step/staleness lowering (quarter → 3n
+              // month); DISTINCT collapses duplicate-source runs as in
+              // the integer form.
+              val kIv = staleIv.get
+              val sIv = staleIvStep.get
+              val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
+              val leadPart = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
+              val srcSel = cols.mkString(", ") +
+                (if (affine) ", true AS gr_is_src__" else "")
+              val fillSel = cols.map { n =>
+                if (n == fillCol) s"gr_fill__ AS $n"
+                else if (prefix.contains(n)) n
+                else if (interp.contains(n)) s"NULL AS $n" // the INTERPOLATE windows fill below
+                else s"0 AS $n" // CH's numeric default-fill
+              }.mkString(", ") + (if (affine) ", false AS gr_is_src__" else "")
+              s"""(WITH gr_fill_src__ AS (SELECT $body)
+                 |SELECT $srcSel FROM gr_fill_src__
+                 |UNION ALL
+                 |SELECT $fillSel
+                 |FROM (SELECT DISTINCT ${pfxSel}gr_fill__
+                 |      FROM (SELECT ${pfxSel}gr_fill__
+                 |            FROM (SELECT ${pfxSel}explode(CASE WHEN gr_v__ + $sIv <= gr_v__ + $kIv THEN sequence(gr_v__ + $sIv, gr_v__ + $kIv, $sIv) END) AS gr_fill__,
+                 |                         gr_cap__
+                 |                  FROM (SELECT ${pfxSel}$fillCol AS gr_v__,
+                 |                               least($fillCol + $kIv, coalesce(lead($fillCol) OVER (${leadPart}ORDER BY $fillCol), $fillCol + $kIv)) AS gr_cap__
+                 |                        FROM gr_fill_src__))
+                 |            WHERE gr_fill__ < gr_cap__))) gr_fill_out__""".stripMargin
             } else if (boundless || fromOnly || toOnly) {
               // data-derived bound(s): CASE guards the sequence() call
               // when the literal bound lies outside the data's range
@@ -2923,7 +3046,7 @@ object ChSqlParser {
           val fillOrd = if (desc) s"$fillCol DESC" else fillCol
           val orderOut = (prefix :+ fillOrd).mkString(", ")
           def carryExpr(n: String) =
-            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS $n"
+            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), graft_fill_default($n)) AS $n"
           if (interp.isEmpty)
             s"SELECT * FROM $joined ORDER BY $orderOut"
           else if (!affine) {
@@ -2946,13 +3069,43 @@ object ChSqlParser {
                  |  OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
                  |FROM $joined""".stripMargin
             val grpPart = (prefix :+ "gr_grp__").mkString(", ")
+            // shared closed-form pieces: the most recent SOURCE value
+            // (interp columns are NULL on fill rows in the joined
+            // relation, so ignore-nulls last_value finds it) and the
+            // rows-since-source counter. NULL-before-first-source
+            // propagates through the arithmetic into the outer
+            // coalesce's 0 default — the same default the
+            // non-interpolated columns get.
+            val lastSrc =
+              s"last_value(%s, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            val sinceSrc = s"(row_number() OVER (PARTITION BY $grpPart ORDER BY $fillOrd) - 1)"
             val outer = cols.map { n =>
               interp.get(n) match {
                 case Some(("carry", _)) => carryExpr(n)
+                case Some(("*", lit)) =>
+                  // geometric: c_i = c_{i-1} * k → last · k^n
+                  s"""CASE WHEN gr_is_src__ THEN $n
+                     |     ELSE coalesce(${lastSrc.format(n)} * power($lit, $sinceSrc), 0)
+                     |END AS $n""".stripMargin
+                case Some(("/", lit)) =>
+                  // c_i = c_{i-1} / k → last / k^n (k ≠ 0, parse-checked)
+                  s"""CASE WHEN gr_is_src__ THEN $n
+                     |     ELSE coalesce(${lastSrc.format(n)} / power($lit, $sinceSrc), 0)
+                     |END AS $n""".stripMargin
+                case Some((op, operand)) if op.endsWith("col") =>
+                  // cross-column recurrence c_i = c_{i-1} ± d_{i-1} →
+                  // last ± Σ d over rows src..i-1 of the run. d's
+                  // values on filled rows are already materialized in
+                  // the joined relation (0-default / prefix / axis),
+                  // so the frame UNBOUNDED PRECEDING..1 PRECEDING
+                  // within the run is exactly the recurrence's sum.
+                  val sumD = s"coalesce(sum($operand) OVER (PARTITION BY $grpPart ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+                  s"""CASE WHEN gr_is_src__ THEN $n
+                     |     ELSE coalesce(${lastSrc.format(n)} ${op.stripSuffix("col")} $sumD, 0)
+                     |END AS $n""".stripMargin
                 case Some((op, lit)) =>
                   s"""CASE WHEN gr_is_src__ THEN $n
-                     |     ELSE coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     |            $op ($lit) * (row_number() OVER (PARTITION BY $grpPart ORDER BY $fillOrd) - 1), 0)
+                     |     ELSE coalesce(${lastSrc.format(n)} $op ($lit) * $sinceSrc, 0)
                      |END AS $n""".stripMargin
                 case None => n
               }
@@ -2961,6 +3114,58 @@ object ChSqlParser {
           }
         }
       }
+    case _ => sql
+  }
+
+  /** The named outputs of a select-list body (`a, f(x) AS b FROM …`)
+    * — None when any item is neither a bare ident nor aliased, or no
+    * top-level FROM exists. Shared by the multi-key fill composition
+    * (which must re-select the same columns around the inner stage). */
+  private def selectNames(body: String): Option[Seq[String]] = {
+    val fromIdx = topLevelFromIndex(body)
+    if (fromIdx < 0) None
+    else {
+      val names = splitTopLevel(body.substring(0, fromIdx)).map {
+        case AliasedItem(a) => Some(a)
+        case BareItem(a)    => Some(a)
+        case _              => None
+      }
+      if (names.exists(_.isEmpty)) None else Some(names.flatten)
+    }
+  }
+
+  /** Multi-key `ORDER BY a WITH FILL …, b WITH FILL …` — see
+    * [[WithFill2]]'s Scaladoc for the (non-cartesian) ClickHouse
+    * semantics. Executes as a composition of two single-key rewrites:
+    * inner fills the SECOND key grouped by (prefix ++ first key),
+    * outer fills the FIRST key grouped by prefix over the inner
+    * result (its inserted rows default the second key to 0 — CH's
+    * type default). Any piece either stage refuses (unsupported
+    * bound, interp form, unknown column) refuses the whole statement
+    * by pass-through → loud parse failure on WITH FILL. */
+  private def rewriteMultiFill(sql: String): String = sql match {
+    case WithFill2(body, prefixRaw, k1, b1raw, k2, b2raw, interpOrNull) =>
+      val b1 = Option(b1raw).getOrElse("").trim
+      val b2 = Option(b2raw).getOrElse("").trim
+      val names = selectNames(body)
+      if (names.isEmpty) return sql
+      if (k1 == k2) return sql
+      val prefix = Option(prefixRaw).getOrElse("").trim // "p1, p2, " (or "")
+      val interpCl = Option(interpOrNull).map(i => s" INTERPOLATE ($i)").getOrElse("")
+      // 1. inner: k2 fills grouped by prefix + k1 (the round-16
+      //    grouped machinery — data-derived bounds compute PER GROUP)
+      val inner = s"SELECT $body ORDER BY $prefix$k1, $k2 WITH FILL" +
+        (if (b2.isEmpty) "" else s" $b2") + interpCl
+      val innerRw = rewriteWithFill(inner)
+      if (innerRw == inner) return sql
+      // 2. outer: k1 fills grouped by prefix over the inner result;
+      //    k2 is now a plain column and takes the 0 default on
+      //    inserted rows, CH's behavior for the docs' d1/d2 example
+      val outer = s"SELECT ${names.get.mkString(", ")} FROM ($innerRw) gr_mk__ " +
+        s"ORDER BY $prefix$k1 WITH FILL" +
+        (if (b1.isEmpty) "" else s" $b1") + interpCl
+      val outerRw = rewriteWithFill(outer)
+      if (outerRw == outer) sql else outerRw
     case _ => sql
   }
 
@@ -3239,6 +3444,7 @@ object ChSqlParser {
       scala.util.matching.Regex.quoteReplacement(s"FROM ${m.group(1)}_final"))
     out = rewriteArrayJoin(out)
     out = rewriteAsofJoin(out)
+    out = rewriteMultiFill(out)
     out = rewriteWithFill(out)
     out = SystemNumbersOffset.replaceAllIn(out, m => {
       val (n, off) = (m.group(1).toLong, m.group(2).toLong)

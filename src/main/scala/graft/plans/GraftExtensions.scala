@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeByteDecodeExpr(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_fill_default"),
+      new ExpressionInfo(classOf[FillDefault].getName, "graft_fill_default"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_fill_default takes exactly 1 argument")
+        FillDefault(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_pg_text_array"),
       new ExpressionInfo(classOf[PgTextArray].getName, "graft_pg_text_array"),
       (children: Seq[Expression]) => {

@@ -434,13 +434,20 @@ object Arrays {
       Tables(s, dir).events.createOrReplaceTempView("events_wfs")
       s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt,
                       CAST(round(max(value)) AS BIGINT) AS mx
-               FROM events_wfs WHERE event_type = 'purchase' AND value > 495
+               FROM events_wfs WHERE event_type = 'purchase' AND value > 240
+                 AND day(CAST(ts AS DATE)) NOT BETWEEN 10 AND 16
                GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
                ORDER BY d WITH FILL STALENESS 5 INTERPOLATE (mx AS mx)""")
     },
+    // the round-16 filter (value > 495) matched ZERO events at every
+    // SF — a vacuous 0-row gate. value > 240 with a structural 7-day
+    // hole (days 10-16) makes the staleness behavior visible at
+    // sf0.01: the 9→18 gap exceeds k=5, so runs stop at +4 and the
+    // hole STAYS — the exact semantics the operator exists for.
     Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
                               count(*) AS cnt, CAST(round(max(value)) AS BIGINT) AS mx
-                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                       FROM events WHERE event_type = 'purchase' AND value > 240
+                         AND day(CAST(ts AS DATE)) NOT BETWEEN 10 AND 16 GROUP BY 1),
                  r AS (SELECT d, lead(d) OVER (ORDER BY d) AS nx FROM d),
                  axis AS (SELECT DISTINCT g FROM
                             (SELECT unnest(generate_series(d + 1, least(d + 5, coalesce(nx, d + 5)) - 1, 1)) AS g
@@ -465,13 +472,13 @@ object Arrays {
     (s, dir) => {
       Tables(s, dir).events.createOrReplaceTempView("events_wfd2")
       s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt
-               FROM events_wfd2 WHERE event_type = 'purchase' AND value > 495
+               FROM events_wfd2 WHERE event_type = 'purchase' AND value > 240
                GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
                ORDER BY d DESC WITH FILL FROM 60 TO -1 STEP -1 INTERPOLATE (cnt AS cnt)""")
     },
     Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
                               count(*) AS cnt
-                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                       FROM events WHERE event_type = 'purchase' AND value > 240 GROUP BY 1),
                  axis AS (SELECT unnest(generate_series(60, 0, -1)) AS g),
                  j AS (SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, cnt
                        FROM axis FULL OUTER JOIN d ON d.d = axis.g)
@@ -970,5 +977,144 @@ object Arrays {
             FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY id"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q95i, q96, q97, q97b, q99, q99b, q99c, q99d)
+  /** MULTI-KEY `ORDER BY a WITH FILL, b WITH FILL` (round 17 — the
+    * last WITH FILL spelling; the round-16 descope deleted). NOT a
+    * cartesian grid: ClickHouse's own docs example shows the first
+    * key filling over its range with the second key taking the type
+    * default, and the second key filling only within runs of equal
+    * first-key values. Executes as the composition of two grouped
+    * single-key fills (ChSqlParser.rewriteMultiFill); the oracle
+    * replays the same nested semantics in DuckDB — per-month
+    * generate_series for the inner axis, a global generate_series
+    * for the outer with b defaulted to 0. */
+  val q95j = GraftQuery(
+    "q95j_fill_multikey",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_mkf")
+      s.sql("""SELECT m, b, round(sum(o_totalprice), 0) AS v
+               FROM (SELECT month(o_orderdate) AS m,
+                            CAST(floor(day(o_orderdate) / 9) AS INT) AS b, o_totalprice
+                     FROM orders_mkf
+                     WHERE year(o_orderdate) = 1995 AND month(o_orderdate) IN (2, 5, 6)
+                       AND day(o_orderdate) IN (2, 3, 25, 26))
+               GROUP BY m, b
+               ORDER BY m WITH FILL, b WITH FILL""")
+    },
+    Some("""WITH src AS (
+              SELECT month(o_orderdate) AS m,
+                     CAST(floor(day(o_orderdate) / 9) AS INT) AS b,
+                     round(sum(o_totalprice), 0) AS v
+              FROM orders
+              WHERE year(o_orderdate) = 1995 AND month(o_orderdate) IN (2, 5, 6)
+                AND day(o_orderdate) IN (2, 3, 25, 26)
+              GROUP BY 1, 2),
+            axis2 AS (
+              SELECT m, unnest(generate_series(mn, mx)) AS b
+              FROM (SELECT m, min(b) AS mn, max(b) AS mx FROM src GROUP BY m)),
+            inner_fill AS (
+              SELECT m, b, v FROM src
+              UNION ALL
+              SELECT a.m, a.b, 0 FROM axis2 a
+              WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.m = a.m AND s.b = a.b)),
+            axis1 AS (
+              SELECT unnest(generate_series((SELECT min(m) FROM src),
+                                            (SELECT max(m) FROM src))) AS m)
+            SELECT m, b, v FROM inner_fill
+            UNION ALL
+            SELECT a.m, 0 AS b, 0 AS v FROM axis1 a
+            WHERE NOT EXISTS (SELECT 1 FROM inner_fill i WHERE i.m = a.m)
+            ORDER BY m, b"""),
+  )
+
+  /** Non-affine INTERPOLATE AS-expressions (round 17): the geometric
+    * recurrence `c AS c * 2` (each filled row doubles the previous —
+    * closed form last · 2ⁿ) and the cross-column recurrence
+    * `w AS w + d` (each filled row adds the PREVIOUS row's d — here d
+    * is the fill axis itself, so a filled run ramps by the running
+    * axis sum). The oracle replays both closed forms over the same
+    * grid with DuckDB windows. Forms outside the whitelist (cross-
+    * column multiplication, expressions over an interpolated operand)
+    * keep refusing — Round17FillSpec. */
+  val q95k = GraftQuery(
+    "q95k_fill_interpolate_expr",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_nafe")
+      s.sql("""SELECT d, cnt, c, w FROM (
+                 SELECT day(CAST(ts AS DATE)) AS d, count(*) AS cnt,
+                        round(sum(value), 2) AS c, round(max(value), 2) AS w
+                 FROM events_nafe WHERE event_type = 'purchase' AND value > 240
+                   AND day(CAST(ts AS DATE)) % 7 IN (1, 3)
+                 GROUP BY day(CAST(ts AS DATE)))
+               ORDER BY d WITH FILL FROM 1 TO 31
+               INTERPOLATE (c AS c / 2, w AS w + d)""")
+    },
+    Some("""WITH src AS (
+              SELECT day(CAST(ts AS DATE)) AS d, count(*) AS cnt,
+                     round(sum(value), 2) AS c, round(max(value), 2) AS w
+              FROM events WHERE event_type = 'purchase' AND value > 240
+                AND day(CAST(ts AS DATE)) % 7 IN (1, 3)
+              GROUP BY 1),
+            axis AS (SELECT unnest(generate_series(1, 30)) AS d),
+            j AS (SELECT CAST(coalesce(s.d, a.d) AS INT) AS d,
+                         coalesce(s.cnt, 0) AS cnt, s.c AS c, s.w AS w,
+                         (s.d IS NOT NULL) AS is_src
+                  FROM axis a FULL OUTER JOIN src s ON s.d = a.d),
+            g AS (SELECT *,
+                         count(CASE WHEN is_src THEN 1 END)
+                           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                  FROM j),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY grp ORDER BY d) - 1 AS n,
+                         last_value(c IGNORE NULLS)
+                           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+                         last_value(w IGNORE NULLS)
+                           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lw,
+                         sum(d) OVER (PARTITION BY grp ORDER BY d
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
+                  FROM g)
+            SELECT d, cnt,
+                   CASE WHEN is_src THEN c ELSE coalesce(lc / power(2, n), 0) END AS c,
+                   CASE WHEN is_src THEN w ELSE coalesce(lw + coalesce(sd, 0), 0) END AS w
+            FROM r ORDER BY d"""),
+  )
+
+  /** STALENESS on a Date axis (round 17): `STEP INTERVAL 1 DAY
+    * STALENESS INTERVAL 4 DAY` — per-source-day bounded runs with
+    * TRUE calendar stepping (q95d's interval machinery), gaps longer
+    * than the staleness left as holes. Same union-of-runs plan as the
+    * integer form (fill values never collide with source values —
+    * never a join); the `- 1` inclusive-end trick has no calendar
+    * equivalent, so runs generate through v + k and a strict `< cap`
+    * filter enforces both exclusivities. Oracle: per-row
+    * generate_series + the same cap in DuckDB. */
+  val q95l = GraftQuery(
+    "q95l_fill_staleness_date",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events_wfsd")
+      s.sql("""SELECT d, cnt FROM (
+                 SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+                 FROM events_wfsd WHERE event_type = 'purchase' AND value > 240
+                   AND day(CAST(ts AS DATE)) NOT BETWEEN 10 AND 16
+                 GROUP BY CAST(ts AS DATE))
+               ORDER BY d WITH FILL STEP INTERVAL 1 DAY STALENESS INTERVAL 4 DAY""")
+    },
+    Some("""WITH src AS (
+              SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+              FROM events WHERE event_type = 'purchase' AND value > 240
+                AND day(CAST(ts AS DATE)) NOT BETWEEN 10 AND 16
+              GROUP BY 1),
+            r AS (SELECT d, least(d + INTERVAL 4 DAY,
+                                  coalesce(lead(d) OVER (ORDER BY d), d + INTERVAL 4 DAY)) AS cap
+                  FROM src),
+            fills AS (SELECT CAST(unnest(generate_series(CAST(d + INTERVAL 1 DAY AS TIMESTAMP),
+                                                         CAST(d + INTERVAL 4 DAY AS TIMESTAMP),
+                                                         INTERVAL 1 DAY)) AS DATE) AS d, cap
+                      FROM r)
+            SELECT d, cnt FROM src
+            UNION ALL
+            SELECT DISTINCT f.d, 0 FROM fills f WHERE CAST(f.d AS TIMESTAMP) < CAST(f.cap AS TIMESTAMP)
+            ORDER BY d"""),
+  )
+
+  val all: Seq[GraftQuery] = Seq(q90, q91, q91b, q91c, q91d, q91e, q92, q93, q93b, q94, q94b, q95, q95b, q95c, q95d, q95e, q95f, q95g, q95h, q95i, q95j, q95k, q95l, q96, q97, q97b, q99, q99b, q99c, q99d)
 }
