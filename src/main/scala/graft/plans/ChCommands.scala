@@ -453,6 +453,16 @@ object ChCommands {
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Identifier-shaped elements of a PARTITION BY / ORDER BY clause —
+    * the columns system.columns/DESCRIBE mark as key members.
+    * Expression elements (cityHash64(x)) resolve at relayout time and
+    * are not attributed to columns. Shared by ChDescribeTableCommand
+    * and the system.columns view (round 17). */
+  private[plans] def keyIdents(expr: String): Set[String] =
+    ChSqlParser.topLevelSplit(expr.trim.stripPrefix("(").stripSuffix(")"))
+      .map(_.trim).filter(_.matches("`[^`]+`|[A-Za-z_]\\w*"))
+      .map(_.stripPrefix("`").stripSuffix("`")).toSet
+
   private[plans] def readEngineManifest(spark: SparkSession, path: String): Map[String, String] = {
     val fs = fsOf(spark, path)
     val p = engineManifest(path)
@@ -1195,17 +1205,12 @@ case class ChDescribeTableCommand(table: String) extends LeafRunnableCommand {
     AttributeReference("is_in_partition_key", IntegerType, nullable = false)(),
     AttributeReference("is_in_sorting_key", IntegerType, nullable = false)())
 
-  private def keyIdents(expr: String): Set[String] =
-    ChSqlParser.topLevelSplit(expr.trim.stripPrefix("(").stripSuffix(")"))
-      .map(_.trim).filter(_.matches("`[^`]+`|[A-Za-z_]\\w*"))
-      .map(_.stripPrefix("`").stripSuffix("`")).toSet
-
   override def run(spark: SparkSession): Seq[Row] = {
     val info = ChCommands.resolve(spark, table)
     val meta = ChCommands.readEngineManifest(spark, info.path)
-    val partKeys = meta.get("partition_by").map(keyIdents)
+    val partKeys = meta.get("partition_by").map(ChCommands.keyIdents)
       .getOrElse(info.partCols.toSet)
-    val sortKeys = meta.get("order_by").map(keyIdents).getOrElse(Set.empty)
+    val sortKeys = meta.get("order_by").map(ChCommands.keyIdents).getOrElse(Set.empty)
     ChCommands.declaredOrderedFields(spark, table, meta).map { f =>
       Row(f.name, ChCommands.chTypeName(f.dataType), "", "", "",
         if (partKeys.contains(f.name)) 1 else 0,

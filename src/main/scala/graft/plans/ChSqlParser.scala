@@ -1878,12 +1878,15 @@ object ChSqlParser {
     * for views/temp views. Column types map back to CH spellings for
     * the common scalar/array cases, passing through Spark's name
     * where no CH analog exists. */
-  private val SystemTables = """(?i)\bFROM\s+system\.tables\b""".r
-  private val SystemColumns = """(?i)\bFROM\s+system\.columns\b""".r
-  private val SystemDatabases = """(?i)\bFROM\s+system\.databases\b""".r
-  private val SystemParts = """(?i)\bFROM\s+system\.parts\b""".r
-  private val SystemDictionaries = """(?i)\bFROM\s+system\.dictionaries\b""".r
-  private val SystemFunctions = """(?i)\bFROM\s+system\.functions\b""".r
+  // FROM and JOIN both introduce a relation — a dashboard query
+  // joining system.columns to system.tables (round 17) must resolve
+  // both. The replacement keeps the introducing keyword via $1.
+  private val SystemTables = """(?i)\b(FROM|JOIN)\s+system\.tables\b""".r
+  private val SystemColumns = """(?i)\b(FROM|JOIN)\s+system\.columns\b""".r
+  private val SystemDatabases = """(?i)\b(FROM|JOIN)\s+system\.databases\b""".r
+  private val SystemParts = """(?i)\b(FROM|JOIN)\s+system\.parts\b""".r
+  private val SystemDictionaries = """(?i)\b(FROM|JOIN)\s+system\.dictionaries\b""".r
+  private val SystemFunctions = """(?i)\b(FROM|JOIN)\s+system\.functions\b""".r
 
   /** Which registered CH functions are aggregates — probed ONCE per
     * JVM by building each registry entry against dummy literal args
@@ -1965,16 +1968,16 @@ object ChSqlParser {
       if (SystemDatabases.findFirstIn(out).isDefined) {
         val rows = spark.catalog.listDatabases().collect().toSeq
           .map(db => Seq(sqlStr(db.name)))
-        out = SystemDatabases.replaceAllIn(out,
-          scala.util.matching.Regex.quoteReplacement("FROM " + valuesSubquery(rows, Seq("name" -> "STRING"))))
+        out = SystemDatabases.replaceAllIn(out, m =>
+          scala.util.matching.Regex.quoteReplacement(m.group(1) + " " + valuesSubquery(rows, Seq("name" -> "STRING"))))
       }
       if (SystemTables.findFirstIn(out).isDefined) {
         val rows = catalogTables(spark).map { case (d, n, e) =>
           Seq(sqlStr(d), sqlStr(n), sqlStr(e))
         }
-        out = SystemTables.replaceAllIn(out,
+        out = SystemTables.replaceAllIn(out, m =>
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("database" -> "STRING", "name" -> "STRING", "engine" -> "STRING"))))
+            m.group(1) + " " + valuesSubquery(rows, Seq("database" -> "STRING", "name" -> "STRING", "engine" -> "STRING"))))
       }
       // system.functions: the live ChDialect registry — the surface
       // BI tools and migration scanners enumerate. Every row is a
@@ -1984,17 +1987,17 @@ object ChSqlParser {
         val rows = ChDialect.functions.map(_._1).distinct.sorted.map { n =>
           Seq(sqlStr(n), if (aggregateFnNames.contains(n)) "1" else "0", sqlStr("graft"))
         }
-        out = SystemFunctions.replaceAllIn(out,
+        out = SystemFunctions.replaceAllIn(out, m =>
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("name" -> "STRING", "is_aggregate" -> "INT", "origin" -> "STRING"))))
+            m.group(1) + " " + valuesSubquery(rows, Seq("name" -> "STRING", "is_aggregate" -> "INT", "origin" -> "STRING"))))
       }
       if (SystemDictionaries.findFirstIn(out).isDefined) {
         val rows = graft.operators.Dictionaries.list.map { case (n, k, h) =>
           Seq(sqlStr(n), sqlStr(k), if (h) "1" else "0")
         }
-        out = SystemDictionaries.replaceAllIn(out,
+        out = SystemDictionaries.replaceAllIn(out, m =>
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("name" -> "STRING", "key" -> "STRING", "hierarchical" -> "INT"))))
+            m.group(1) + " " + valuesSubquery(rows, Seq("name" -> "STRING", "key" -> "STRING", "hierarchical" -> "INT"))))
       }
       // system.parts: one row per partition directory (the engine's
       // "part" unit — directories drop/rewrite as units) with
@@ -2005,53 +2008,97 @@ object ChSqlParser {
             val qualified = if (d.isEmpty) n else s"$d.$n"
             val meta = spark.sessionState.catalog.getTableMetadata(
               spark.sessionState.sqlParser.parseTableIdentifier(qualified))
-            val fs = org.apache.hadoop.fs.FileSystem.get(
-              meta.location, spark.sparkContext.hadoopConfiguration)
+            val hconf = spark.sparkContext.hadoopConfiguration
+            val fs = org.apache.hadoop.fs.FileSystem.get(meta.location, hconf)
             val root = new org.apache.hadoop.fs.Path(meta.location)
-            def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long) = {
-              var (cnt, bytes) = (0L, 0L)
+            // rows from parquet footers (round 17) — a metadata read
+            // per file, the same promise CH's system.parts makes
+            // (part row counts come from part metadata, never a scan)
+            def footerRows(st: org.apache.hadoop.fs.FileStatus): Long =
+              try {
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              } catch { case _: Exception => 0L }
+            def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+              var (cnt, bytes, rows) = (0L, 0L, 0L)
               fs.listStatus(p).foreach { st =>
                 val nm = st.getPath.getName
                 if (!nm.startsWith("_") && !nm.startsWith(".")) {
-                  if (st.isDirectory) { val (c, b) = filesUnder(st.getPath); cnt += c; bytes += b }
-                  else { cnt += 1; bytes += st.getLen }
+                  if (st.isDirectory) {
+                    val (c, b, r) = filesUnder(st.getPath); cnt += c; bytes += b; rows += r
+                  }
+                  else {
+                    cnt += 1; bytes += st.getLen
+                    if (nm.endsWith(".parquet")) rows += footerRows(st)
+                  }
                 }
               }
-              (cnt, bytes)
+              (cnt, bytes, rows)
             }
             if (meta.partitionColumnNames.nonEmpty) {
               fs.listStatus(root).toSeq
                 .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
                   !st.getPath.getName.startsWith("."))
                 .map { st =>
-                  val (c, b) = filesUnder(st.getPath)
+                  val (c, b, r) = filesUnder(st.getPath)
                   Seq(sqlStr(if (d.isEmpty) "default" else d), sqlStr(n),
-                    sqlStr(st.getPath.getName), c.toString, b.toString)
+                    sqlStr(st.getPath.getName), c.toString, b.toString, r.toString)
                 }
             } else {
-              val (c, b) = filesUnder(root)
+              val (c, b, r) = filesUnder(root)
               Seq(Seq(sqlStr(if (d.isEmpty) "default" else d), sqlStr(n),
-                sqlStr("all"), c.toString, b.toString))
+                sqlStr("all"), c.toString, b.toString, r.toString))
             }
           } catch { case _: Exception => Nil }
         }
-        out = SystemParts.replaceAllIn(out,
+        out = SystemParts.replaceAllIn(out, m =>
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows,
+            m.group(1) + " " + valuesSubquery(rows,
               Seq("database" -> "STRING", "table" -> "STRING", "partition" -> "STRING",
-                "part_count" -> "BIGINT", "bytes_on_disk" -> "BIGINT"))))
+                "part_count" -> "BIGINT", "bytes_on_disk" -> "BIGINT", "rows" -> "BIGINT"))))
       }
       if (SystemColumns.findFirstIn(out).isDefined) {
-        val rows = catalogTables(spark).flatMap { case (d, n, _) =>
+        val rows = catalogTables(spark).flatMap { case (d, n, engine) =>
           val qualified = if (d.isEmpty) n else s"$d.$n"
-          try spark.catalog.listColumns(qualified).collect().toSeq.zipWithIndex.map {
-            case (c, i) => Seq(sqlStr(d), sqlStr(n), sqlStr(c.name),
-              sqlStr(chTypeNameOf(c.dataType)), (i + 1).toString)
+          // key-membership flags (round 17): the engine manifest's
+          // PARTITION BY / ORDER BY clauses, the same resolution
+          // DESCRIBE TABLE uses — plain tables and views carry 0s.
+          // Engine tables also report their columns in DECLARED order
+          // (the manifest's `columns` record — Spark floats partition
+          // columns to the end; DESCRIBE and system.columns agree).
+          val (partKeys, sortKeys, declared) =
+            if (engine != "MergeTree")
+              (Set.empty[String], Set.empty[String], Seq.empty[(String, String)])
+            else try {
+              val info = ChCommands.resolve(spark, qualified)
+              val meta = ChCommands.readEngineManifest(spark, info.path)
+              val fields = ChCommands.declaredOrderedFields(spark, qualified, meta)
+                .map(f => f.name -> f.dataType.simpleString)
+              (meta.get("partition_by").map(ChCommands.keyIdents).getOrElse(info.partCols.toSet),
+                meta.get("order_by").map(ChCommands.keyIdents).getOrElse(Set.empty[String]),
+                fields)
+            } catch { case _: Exception =>
+              (Set.empty[String], Set.empty[String], Seq.empty[(String, String)])
+            }
+          try {
+            val cols =
+              if (declared.nonEmpty) declared
+              else spark.catalog.listColumns(qualified).collect().toSeq
+                .map(c => c.name -> c.dataType)
+            cols.zipWithIndex.map { case ((cn, ct), i) =>
+              Seq(sqlStr(d), sqlStr(n), sqlStr(cn),
+                sqlStr(chTypeNameOf(ct)), (i + 1).toString,
+                if (partKeys.contains(cn)) "1" else "0",
+                if (sortKeys.contains(cn)) "1" else "0")
+            }
           } catch { case _: Exception => Nil }
         }
-        out = SystemColumns.replaceAllIn(out,
+        out = SystemColumns.replaceAllIn(out, m =>
           scala.util.matching.Regex.quoteReplacement(
-            "FROM " + valuesSubquery(rows, Seq("database" -> "STRING", "table" -> "STRING", "name" -> "STRING", "type" -> "STRING", "position" -> "INT"))))
+            m.group(1) + " " + valuesSubquery(rows, Seq("database" -> "STRING", "table" -> "STRING",
+              "name" -> "STRING", "type" -> "STRING", "position" -> "INT",
+              "is_in_partition_key" -> "INT", "is_in_sorting_key" -> "INT"))))
       }
       out
     } catch { case _: Exception => sql } // fall through to a loud unknown-table error

@@ -2128,6 +2128,52 @@ object ChFunctions {
       "SETTINGS index_granularity = 8192' AS statement"),
   )
 
+  /** system.tables / system.columns / system.parts — the
+    * introspection surface a migrating user's TOOLING queries after
+    * the CLI habits (SHOW CREATE, DESCRIBE — rounds 15/16) are
+    * satisfied: dashboards enumerate system.columns, ops scripts read
+    * system.parts for part/byte/row counts. system.columns carries
+    * CH's is_in_partition_key/is_in_sorting_key flags resolved from
+    * the same engine manifests DESCRIBE uses; system.parts carries
+    * per-partition part_count/bytes_on_disk/rows with rows read from
+    * parquet FOOTERS (a metadata read, CH's own system.parts promise
+    * — never a data scan). The oracle pins the exact column shape,
+    * key flags, engine name and part/row counts; bytes_on_disk —
+    * the one layout-dependent cell — is pinned > 0 in ChDdlSpec
+    * rather than hashed. */
+  val q29w = GraftQuery(
+    "q29w_system_catalog",
+    (s, dir) => {
+      graft.FixtureClock.time {
+        s.sql("DROP TABLE IF EXISTS gq29w_t")
+        val whRoot = new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(whRoot, "gq29w_t"), true)
+        s.sql("""CREATE TABLE gq29w_t (d Date, k String, v Float64)
+                 ENGINE = MergeTree PARTITION BY k ORDER BY (d, k)""")
+        s.sql("""INSERT INTO gq29w_t (d, k, v) VALUES
+                 (DATE '2024-01-01', 'a', 1.5), (DATE '2024-01-02', 'a', 2.5),
+                 (DATE '2024-01-03', 'b', 3.5), (DATE '2024-01-04', 'b', 4.5)""")
+      }
+      s.sql("""SELECT c.name, c.type, c.position,
+                      c.is_in_partition_key, c.is_in_sorting_key,
+                      t.engine,
+                      CAST((SELECT count(*) FROM system.parts WHERE table = 'gq29w_t') AS BIGINT) AS n_parts,
+                      CAST((SELECT sum(rows) FROM system.parts WHERE table = 'gq29w_t') AS BIGINT) AS total_rows
+               FROM system.columns c
+               JOIN system.tables t ON t.name = c.table
+               WHERE c.table = 'gq29w_t'
+               ORDER BY c.position""")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('d', 'Date',    1, 0, 1, 'MergeTree', CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+              ('k', 'String',  2, 1, 1, 'MergeTree', CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+              ('v', 'Float64', 3, 0, 0, 'MergeTree', CAST(2 AS BIGINT), CAST(4 AS BIGINT)))
+            t(name, type, position, is_in_partition_key, is_in_sorting_key, engine, n_parts, total_rows)
+            ORDER BY position"""),
+  )
+
   val q29r = GraftQuery(
     "q29r_dialect_r12",
     (s, dir) => {
@@ -2631,5 +2677,5 @@ object ChFunctions {
   val all: Seq[GraftQuery] =
     Seq(q21, q22, q22b, q22c, q22d, q22e, q23, q23b, q23c, q24, q25, q25b, q25c, q25d, q25e, q25f, q25g, q26, q27, q27b,
         q27c, q27d, q27e, q27f, q27g, q27h, q28, q28b, q28c, q28d, q28e, q28f, q28h, q28i, q28j, q28k, q28l, q28m, q28n, q28o, q28p, q28q, q28r, q29, q29b, q29c, q29d,
-        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q29u, q29v, q38, q38b, q38c, q38d, q38e, q21b)
+        q29e, q29f, q29g, q29h, q29i, q29j, q29k, q29m, q29n, q29n2, q29o, q29p, q29q, q29r, q29s, q29t, q29u, q29v, q29w, q38, q38b, q38c, q38d, q38e, q21b)
 }

@@ -519,13 +519,20 @@ class ChDdlSpec extends SparkSpec {
       assert(c.map(_.getInt(2)).toSeq == Seq(1, 2))
       val d = spark.sql("SELECT name FROM system.databases").collect().map(_.getString(0))
       assert(d.contains("default"))
-      // system.parts: one row per partition directory, bytes from metadata
+      // round 17: key-membership flags from the engine manifest
+      val cf = spark.sql(
+        """SELECT name, is_in_partition_key, is_in_sorting_key FROM system.columns
+           WHERE table = 'sys_probe' ORDER BY position""").collect()
+      assert(cf.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+        Seq(("id", 0, 1), ("label", 0, 0)))
+      // system.parts: one row per partition directory, bytes from file
+      // metadata, rows from parquet FOOTERS (round 17) — never a scan
       spark.sql("INSERT INTO sys_probe VALUES (1, 'a'), (2, 'b')")
       val p = spark.sql(
-        "SELECT partition, part_count, bytes_on_disk FROM system.parts WHERE table = 'sys_probe'")
+        "SELECT partition, part_count, bytes_on_disk, rows FROM system.parts WHERE table = 'sys_probe'")
         .collect()
       assert(p.length == 1 && p(0).getString(0) == "all" &&
-        p(0).getLong(1) >= 1L && p(0).getLong(2) > 0L)
+        p(0).getLong(1) >= 1L && p(0).getLong(2) > 0L && p(0).getLong(3) == 2L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS sys_probe")
       spark.catalog.dropTempView("sys_probe_view")
