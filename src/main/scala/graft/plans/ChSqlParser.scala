@@ -507,7 +507,7 @@ object ChSqlParser {
         case other => throw new IllegalArgumentException(
           s"file()/s3(): format '$other' has no direct-path reader; use graft.sources.Formats")
       }
-      val p = if (fn == "s3" && path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+      val p = if (fn == "s3" && path.startsWith("s3://")) s3aPath(path)
               else if (fn == "url") resolveUrl(path)
               else path
       scala.util.matching.Regex.quoteReplacement(s"FROM $spark.`$p`")
@@ -700,10 +700,28 @@ object ChSqlParser {
           s"file() write: format '$other' has no directory writer; use graft.sources.Formats")
       }
       val p = if (m.group(1).toLowerCase == "s3" && m.group(2).startsWith("s3://"))
-        "s3a://" + m.group(2).stripPrefix("s3://") else m.group(2)
+        s3aPath(m.group(2)) else m.group(2)
       scala.util.matching.Regex.quoteReplacement(
         s"INSERT OVERWRITE DIRECTORY '$p' USING $fmt")
     })
+
+  /** s3:// → s3a:// (the Hadoop connector scheme). Credentials
+    * embedded in the URL authority (`s3://key:secret@bucket/…`)
+    * refuse with routing guidance: they would otherwise ride into the
+    * relation path and surface in plans/logs — the connector's
+    * credential-provider chain (Hadoop conf / env / instance role) is
+    * the supported channel. Shared by the read and write rewrites so
+    * the contract cannot diverge (round 17, spec-pinned in
+    * Round17S3PathSpec). */
+  private def s3aPath(path: String): String = {
+    val rest = path.stripPrefix("s3://")
+    val authority = rest.takeWhile(_ != '/')
+    if (authority.contains("@")) throw new IllegalArgumentException(
+      "s3(): credentials in the URL are refused — configure the s3a credential " +
+        "provider chain (fs.s3a.access.key/fs.s3a.secret.key in Hadoop conf, env, " +
+        "or an instance role) and pass the bare s3://bucket/path")
+    "s3a://" + rest
+  }
 
   /** Longer file()/s3()/url() argument lists (credentials, explicit
     * structure, headers) that the 1-2 arg rewrite above cannot model
