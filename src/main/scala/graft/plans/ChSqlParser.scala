@@ -1899,6 +1899,11 @@ object ChSqlParser {
   // FROM and JOIN both introduce a relation — a dashboard query
   // joining system.columns to system.tables (round 17) must resolve
   // both. The replacement keeps the introducing keyword via $1.
+  /** Parquet footer row counts keyed by (path, mtime, length) — a
+    * rewritten/rewatched file misses and re-reads; see footerRows. */
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
   private val SystemTables = """(?i)\b(FROM|JOIN)\s+system\.tables\b""".r
   private val SystemColumns = """(?i)\b(FROM|JOIN)\s+system\.columns\b""".r
   private val SystemDatabases = """(?i)\b(FROM|JOIN)\s+system\.databases\b""".r
@@ -2031,13 +2036,26 @@ object ChSqlParser {
             val root = new org.apache.hadoop.fs.Path(meta.location)
             // rows from parquet footers (round 17) — a metadata read
             // per file, the same promise CH's system.parts makes
-            // (part row counts come from part metadata, never a scan)
-            def footerRows(st: org.apache.hadoop.fs.FileStatus): Long =
-              try {
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try r.getRecordCount finally r.close()
-              } catch { case _: Exception => 0L }
+            // (part row counts come from part metadata, never a scan).
+            // Footer counts cache by (path, mtime, length): the view
+            // inlines EVERY table's parts at parse, so without the
+            // cache a session that has landed big fixture tables pays
+            // a footer open per file per system.parts parse.
+            def footerRows(st: org.apache.hadoop.fs.FileStatus): Long = {
+              val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+              val cached = footerRowCache.get(key)
+              if (cached != null) cached
+              else {
+                val n = try {
+                  val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                  try r.getRecordCount finally r.close()
+                } catch { case _: Exception => 0L }
+                if (footerRowCache.size > 65536) footerRowCache.clear() // bound, rarely hit
+                footerRowCache.put(key, n)
+                n
+              }
+            }
             def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
               var (cnt, bytes, rows) = (0L, 0L, 0L)
               fs.listStatus(p).foreach { st =>
