@@ -2280,36 +2280,16 @@ object ChSqlParser {
   private val WithFill =
     """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)(?:\s+(ASC|DESC))?\s+WITH\s+FILL(?:\s+FROM\s+(.+?))?(?:\s+TO\s+(.+?))?(?:\s+STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+STALENESS\s+(INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
 
-  /** MULTI-KEY form (round 17): `ORDER BY a WITH FILL [b1], b WITH
-    * FILL [b2] [INTERPOLATE (…)]`. ClickHouse's semantics here are NOT
-    * a cartesian grid (a common misreading): the docs' own example
-    * (`ORDER BY d2 WITH FILL, d1 WITH FILL STEP 5` over numbers(10)
-    * WHERE number % 3 = 1) shows the FIRST key filling over its range
-    * with every other column — including the second fill key — taking
-    * the type default, and the SECOND key filling only within runs of
-    * equal first-key values ("d1 doesn't fill … because we don't have
-    * repeated values for d2"). That is exactly a composition of two
-    * single-key fills, which is how it executes here:
-    *
-    *   1. inner: fill k2 GROUPED by (prefix ++ k1) — the round-16
-    *      grouped machinery verbatim;
-    *   2. outer: fill k1 grouped by prefix over the inner result,
-    *      inserted rows taking the 0 default for k2 and the other
-    *      columns.
-    *
-    * INTERPOLATE applies at BOTH stages (CH evaluates the recurrence
-    * against the previous OUTPUT row, whichever key's fill produced
-    * it); each stage's own refusals compose — any unsupported piece
-    * refuses the WHOLE multi-key rewrite by pass-through. Three or
-    * more fill keys, DESC keys and STALENESS stay unmatched → loud
-    * parse failure on the WITH FILL keyword. Bounds must be
-    * comma-free (true of every supported bound spelling). */
-  private val WithFill2 =
-    ("""(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+((?:\w+\s*,\s*)*)(\w+)\s+WITH\s+FILL""" +
-     """((?:\s+FROM\s+[^,]+?)?(?:\s+TO\s+[^,]+?)?(?:\s+STEP\s+(?:INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?)""" +
-     """\s*,\s*(\w+)\s+WITH\s+FILL""" +
-     """((?:\s+FROM\s+[^,]+?)?(?:\s+TO\s+[^,]+?)?(?:\s+STEP\s+(?:INTERVAL\s+\d+\s+[A-Za-z]+|-?\d+))?)""" +
-     """(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""").r
+  // MULTI-KEY fill semantics (round 17): `ORDER BY a WITH FILL [b1],
+  // b WITH FILL [b2], … [INTERPOLATE (…)]`. ClickHouse's semantics
+  // here are NOT a cartesian grid (a common misreading): the docs'
+  // own example (`ORDER BY d2 WITH FILL, d1 WITH FILL STEP 5` over
+  // numbers(10) WHERE number % 3 = 1) shows the FIRST key filling
+  // over its range with every other column — including the second
+  // fill key — taking the type default, and the SECOND key filling
+  // only within runs of equal first-key values ("d1 doesn't fill …
+  // because we don't have repeated values for d2"). That is exactly a
+  // composition of grouped single-key fills — see rewriteMultiFill.
 
   /** The bound-less form's STEP argument: INTERVAL spellings lower as
     * usual (quarter → 3n month), a bare integer passes through,
@@ -3217,38 +3197,66 @@ object ChSqlParser {
     }
   }
 
-  /** Multi-key `ORDER BY a WITH FILL …, b WITH FILL …` — see
-    * [[WithFill2]]'s Scaladoc for the (non-cartesian) ClickHouse
-    * semantics. Executes as a composition of two single-key rewrites:
-    * inner fills the SECOND key grouped by (prefix ++ first key),
-    * outer fills the FIRST key grouped by prefix over the inner
-    * result (its inserted rows default the second key to 0 — CH's
-    * type default). Any piece either stage refuses (unsupported
-    * bound, interp form, unknown column) refuses the whole statement
-    * by pass-through → loud parse failure on WITH FILL. */
+  /** Multi-key `ORDER BY p…, a WITH FILL …, b WITH FILL …[, c WITH
+    * FILL …]` — see the multi-key semantics note above [[WithFill]]
+    * for the (non-cartesian) ClickHouse model. Round-17 second pass
+    * generalizes from
+    * exactly two fill keys to ANY count: the ORDER BY tail tokenizes
+    * on top-level commas (plain named keys first, then 2+ `k WITH
+    * FILL [bounds]` items), and the rewrite composes single-key fills
+    * from the INNERMOST key outward — fill key i is grouped by
+    * (plain prefix ++ fill keys 0..i-1), so each key fills only
+    * within runs of equal earlier-key values and earlier-key
+    * insertions default the later keys (CH's docs shape). INTERPOLATE
+    * applies at every stage (CH evaluates against the previous OUTPUT
+    * row); a final wrap re-sorts on ALL keys (each stage alone only
+    * orders by its own axis, which leaves later-key fills unordered
+    * within ties). Any stage the single-key machinery refuses —
+    * unsupported bound, ASC/DESC modifier, STALENESS, interp form,
+    * unknown column — refuses the WHOLE statement by pass-through →
+    * loud parse failure on WITH FILL. */
+  private val MultiFillOuter =
+    """(?is)^\s*SELECT\b(.*\S)\s+ORDER\s+BY\s+(.+?)(?:\s+INTERPOLATE\s*\(([^()]*)\))?\s*;?\s*$""".r
+  private val MultiFillItem = """(?is)^(\w+)\s+WITH\s+FILL\b(.*)$""".r
+  private val MultiPlainItem = """(?s)^(\w+)$""".r
+
   private def rewriteMultiFill(sql: String): String = sql match {
-    case WithFill2(body, prefixRaw, k1, b1raw, k2, b2raw, interpOrNull) =>
-      val b1 = Option(b1raw).getOrElse("").trim
-      val b2 = Option(b2raw).getOrElse("").trim
+    case MultiFillOuter(body, orderTail, interpOrNull) =>
+      // fast path: fewer than two WITH FILL keys → not this form
+      if ("""(?i)WITH\s+FILL""".r.findAllMatchIn(orderTail).size < 2) return sql
+      val items = splitTopLevel(orderTail).map(_.trim)
+      // plain named keys first, then only fill items; anything else
+      // (ASC/DESC modifiers, expression keys) refuses by pass-through
+      val (plainItems, rest) = items.span(MultiPlainItem.findFirstIn(_).isDefined)
+      val fills: Seq[(String, String)] = rest.map {
+        case MultiFillItem(k, tail) => (k, tail.trim)
+        case _                      => return sql
+      }
+      if (fills.size < 2) return sql
+      val plains = plainItems
+      val keyNames = plains ++ fills.map(_._1)
+      if (keyNames.distinct.size != keyNames.size) return sql
+      // STALENESS anywhere in a multi-key fill refuses (its per-row
+      // runs have no defined interaction with later-key fills)
+      if (fills.exists(f => """(?i)\bSTALENESS\b""".r.findFirstIn(f._2).isDefined)) return sql
       val names = selectNames(body)
       if (names.isEmpty) return sql
-      if (k1 == k2) return sql
-      val prefix = Option(prefixRaw).getOrElse("").trim // "p1, p2, " (or "")
+      val cols = names.get.mkString(", ")
       val interpCl = Option(interpOrNull).map(i => s" INTERPOLATE ($i)").getOrElse("")
-      // 1. inner: k2 fills grouped by prefix + k1 (the round-16
-      //    grouped machinery — data-derived bounds compute PER GROUP)
-      val inner = s"SELECT $body ORDER BY $prefix$k1, $k2 WITH FILL" +
-        (if (b2.isEmpty) "" else s" $b2") + interpCl
-      val innerRw = rewriteWithFill(inner)
-      if (innerRw == inner) return sql
-      // 2. outer: k1 fills grouped by prefix over the inner result;
-      //    k2 is now a plain column and takes the 0 default on
-      //    inserted rows, CH's behavior for the docs' d1/d2 example
-      val outer = s"SELECT ${names.get.mkString(", ")} FROM ($innerRw) gr_mk__ " +
-        s"ORDER BY $prefix$k1 WITH FILL" +
-        (if (b1.isEmpty) "" else s" $b1") + interpCl
-      val outerRw = rewriteWithFill(outer)
-      if (outerRw == outer) sql else outerRw
+      // compose from the innermost (last) fill key outward
+      var current: String = null // the previous stage's REWRITTEN sql
+      for (i <- fills.indices.reverse) {
+        val groupKeys = plains ++ fills.take(i).map(_._1)
+        val pfx = if (groupKeys.isEmpty) "" else groupKeys.mkString(", ") + ", "
+        val (k, bounds) = fills(i)
+        val src = if (current == null) body else s"$cols FROM ($current) gr_mk${i}__"
+        val stage = s"SELECT $src ORDER BY $pfx$k WITH FILL" +
+          (if (bounds.isEmpty) "" else s" $bounds") + interpCl
+        val rw = rewriteWithFill(stage)
+        if (rw == stage) return sql
+        current = rw
+      }
+      s"SELECT $cols FROM ($current) gr_mkf__ ORDER BY ${keyNames.mkString(", ")}"
     case _ => sql
   }
 

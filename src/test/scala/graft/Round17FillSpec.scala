@@ -81,12 +81,28 @@ class Round17FillSpec extends SparkSpec {
       (4, 1, 0.0), (4, 2, 7.0), (4, 3, 0.0)))
   }
 
-  test("multi-key fill refusals: 3+ keys, duplicate key, DESC, STALENESS") {
+  test("THREE fill keys compose: each fills within runs of equal earlier keys") {
+    // (a, b, c): a has a gap (1→3); within a=1, b has a gap (1→3);
+    // within (a=1, b=1), c has a gap (1→3)
+    Seq((1, 1, 1, 10.0), (1, 1, 3, 30.0), (1, 3, 1, 50.0), (3, 1, 1, 70.0))
+      .toDF("a", "b", "c", "v").createOrReplaceTempView("mkf_three")
+    val rows = spark.sql(
+      "SELECT a, b, c, v FROM mkf_three ORDER BY a WITH FILL, b WITH FILL, c WITH FILL")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1, 1, 1, 10.0), (1, 1, 2, 0.0), (1, 1, 3, 30.0), // c fills within (1,1)
+      (1, 2, 0, 0.0),                                   // b fill: c defaults
+      (1, 3, 1, 50.0),
+      (2, 0, 0, 0.0),                                   // a fill: b and c default
+      (3, 1, 1, 70.0)))
+  }
+
+  test("multi-key fill refusals: duplicate key, DESC, STALENESS, expression key") {
     Seq((1, 2, 3, 1.0)).toDF("a", "b", "c", "v").createOrReplaceTempView("mkf_bad")
-    refuses("SELECT a, b, c, v FROM mkf_bad ORDER BY a WITH FILL, b WITH FILL, c WITH FILL")
     refuses("SELECT a, b, v FROM mkf_bad ORDER BY a WITH FILL, a WITH FILL")
     refuses("SELECT a, b, v FROM mkf_bad ORDER BY a DESC WITH FILL, b WITH FILL")
     refuses("SELECT a, b, v FROM mkf_bad ORDER BY a WITH FILL, b WITH FILL STALENESS 3")
+    refuses("SELECT a, b, v FROM mkf_bad ORDER BY a + 1 WITH FILL, b WITH FILL")
   }
 
   // ------------------------------------- non-affine INTERPOLATE forms
