@@ -236,6 +236,35 @@ object TextAnalysis {
       .agg(sum("__contrib").as("score"), count(lit(1)).as("n_terms"))
   }
 
+  /** Reciprocal-rank fusion (round 17) — the standard hybrid-retrieval
+    * combiner: each leg is a TOP-N frame of (id, score) from one
+    * retrieval mode (BM25, dense cosine, …), ranks are re-derived
+    * deterministically inside each leg (score desc, id — the same
+    * tie-break the legs' own ORDER BYs use), and the fused score is
+    * Σ 1/(rrfK + rank) over the legs an id appears in. Returns
+    * (id, rrf rounded to 6, n_legs), fused top-k.
+    *
+    * Scale shape: the legs are top-N by CONTRACT (a leg is the output
+    * of bm25/bruteForceTopK/ivf — each already a bounded frame), so
+    * the un-partitioned rank windows and the union run on result-set-
+    * sized inputs; the heavy lifting stays in the legs' own plans. */
+  def rrfFuse(legs: Seq[(DataFrame, String, String)], rrfK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val ranked = legs.map { case (df, idCol, scoreCol) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol).cast("long").as("id"),
+        row_number().over(w).as("__rank"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("__rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_legs"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Train/eval contamination check — the overlap audit every LLM
     * data pipeline needs before a benchmark is trusted: for each
     * document of the eval slice, the fraction of its word `ngram`

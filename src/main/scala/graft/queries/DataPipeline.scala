@@ -861,6 +861,57 @@ object DataPipeline {
              FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 10"""),
   )
 
+  /** Hybrid retrieval via reciprocal-rank fusion (round 17,
+    * [[TextAnalysis.rrfFuse]]): the BM25 lexical leg (q57's operator,
+    * top-20) fused with the dense cosine leg (q50's brute top-20
+    * against probe vec 0 — vec_id shares documents' id space) by
+    * Σ 1/(60 + rank). The curation move behind retrieval-based dedup
+    * and contamination triage: neither pure-lexical nor pure-dense
+    * ranking survives paraphrase AND keyword drift; RRF is the
+    * standard rank-level combiner. Deterministic: both legs rank on
+    * their ROUNDED scores with id tie-breaks (q57/q50's own oracle
+    * conventions), so the DuckDB replay reproduces the ranks
+    * exactly. */
+  val q57b = GraftQuery(
+    "q57b_hybrid_rrf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lex = TextAnalysis.bm25(t.documents, "doc_id", "text", Seq("vector", "hash", "merge"))
+        .select(col("doc_id"), round(col("score"), 4).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(20)
+      val dense = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding",
+        probeId = 0L, k = 20)
+      TextAnalysis.rrfFuse(Seq((lex, "doc_id", "s"), (dense, "vec_id", "cos")), rrfK = 60, topK = 10)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+                  base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+                  stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+                  post AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+                  tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM post
+                         WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2, 3),
+                  dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+                  sc AS (SELECT doc_id,
+                                round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                                    * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS s
+                         FROM tf JOIN dft USING (term), stats GROUP BY 1),
+                  lex AS (SELECT doc_id AS id,
+                                 row_number() OVER (ORDER BY s DESC, doc_id) AS r
+                          FROM sc QUALIFY r <= 20),
+                  m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+                  n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+                  p AS (SELECT v AS pv, nrm AS pn FROM n WHERE vec_id = 0),
+                  cosall AS (SELECT m2.vec_id AS id,
+                                    round(list_sum(list_transform(list_zip(m2.v, p.pv), q -> q[1] * q[2]))
+                                          / (m2.nrm * p.pn), 4) AS cos
+                             FROM n m2, p WHERE m2.vec_id <> 0),
+                  dense AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r
+                            FROM cosall QUALIFY r <= 20),
+                  u AS (SELECT id, r FROM lex UNION ALL SELECT id, r FROM dense)
+             SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf, count(*) AS n_legs
+             FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 10"""),
+  )
+
   /** Train/eval contamination audit ([[TextAnalysis.contamination]]):
     * every ~97th document plays the benchmark; for each, the fraction
     * of its 5-gram shingles found anywhere in the training rest. */
@@ -1511,6 +1562,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q57b, q58, q59, q60,
         q61, q62, q63, q64, q64b, q64c, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b, q106c)
 }
