@@ -54,6 +54,12 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the ClickHouse `system` database as a V2 catalog — resolves
+      // system.tables/columns/parts/databases/functions/dictionaries
+      // to driver-local scans computed at execution (round 17; was a
+      // parse-time VALUES rewrite, which froze the catalog snapshot
+      // into the statement text)
+      .config("spark.sql.catalog.system", "graft.plans.GraftSystemCatalog")
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.map(_.toString).getOrElse(cores))
       .config("spark.sql.adaptive.enabled", "true")

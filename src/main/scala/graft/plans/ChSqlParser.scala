@@ -1896,40 +1896,6 @@ object ChSqlParser {
     * for views/temp views. Column types map back to CH spellings for
     * the common scalar/array cases, passing through Spark's name
     * where no CH analog exists. */
-  // FROM and JOIN both introduce a relation — a dashboard query
-  // joining system.columns to system.tables (round 17) must resolve
-  // both. The replacement keeps the introducing keyword via $1.
-  /** Parquet footer row counts keyed by (path, mtime, length) — a
-    * rewritten/rewatched file misses and re-reads; see footerRows. */
-  private val footerRowCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
-
-  private val SystemTables = """(?i)\b(FROM|JOIN)\s+system\.tables\b""".r
-  private val SystemColumns = """(?i)\b(FROM|JOIN)\s+system\.columns\b""".r
-  private val SystemDatabases = """(?i)\b(FROM|JOIN)\s+system\.databases\b""".r
-  private val SystemParts = """(?i)\b(FROM|JOIN)\s+system\.parts\b""".r
-  private val SystemDictionaries = """(?i)\b(FROM|JOIN)\s+system\.dictionaries\b""".r
-  private val SystemFunctions = """(?i)\b(FROM|JOIN)\s+system\.functions\b""".r
-
-  /** Which registered CH functions are aggregates — probed ONCE per
-    * JVM by building each registry entry against dummy literal args
-    * and checking for an aggregate node in the tree (the registry
-    * stores only name → builder, so the tag is derived, not stored).
-    * Builders that reject every probe arity default to scalar. */
-  private lazy val aggregateFnNames: Set[String] = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
-    ChDialect.functions.iterator.collect { case (n, b)
-      if (0 to 3).exists { k =>
-        try b(Seq.fill(k)(Literal(1L))).exists {
-          case _: AggregateExpression => true
-          case _: AggregateFunction => true
-          case _ => false
-        } catch { case _: Throwable => false }
-      } => n
-    }.toSet
-  }
-
   private[plans] def chTypeNameOf(t: String): String = {
     val s = t.trim
     val l = s.toLowerCase
@@ -1949,195 +1915,6 @@ object ChSqlParser {
       case "boolean" => "Bool"
       case _ => s
     }
-  }
-
-  private def sqlStr(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-  /** VALUES subquery or a typed empty relation when the catalog has
-    * no rows to report. Columns are (name, sqlType) pairs and BOTH
-    * branches cast explicitly — otherwise the populated branch's
-    * types come from literal inference (an INT that becomes BIGINT
-    * past 2³¹, STRING on the empty branch) and a system.* table's
-    * schema would change with catalog content. */
-  private def valuesSubquery(rows: Seq[Seq[String]], cols: Seq[(String, String)]): String =
-    if (rows.isEmpty)
-      s"(SELECT ${cols.map { case (c, t) => s"CAST(NULL AS $t) AS $c" }.mkString(", ")} WHERE 1=0)"
-    else {
-      val proj = cols.zipWithIndex.map { case ((c, t), i) => s"CAST(col$i AS $t) AS $c" }.mkString(", ")
-      s"(SELECT $proj FROM VALUES ${rows.map(_.mkString("(", ", ", ")")).mkString(", ")} " +
-        s"AS __graft_sys(${cols.indices.map(i => s"col$i").mkString(", ")}))"
-    }
-
-  private def catalogTables(spark: org.apache.spark.sql.SparkSession): Seq[(String, String, String)] =
-    spark.catalog.listDatabases().collect().toSeq.flatMap { db =>
-      spark.catalog.listTables(db.name).collect().toSeq.map { t =>
-        val database =
-          if (t.isTemporary) "" else Option(t.namespace).map(_.mkString(".")).getOrElse(db.name)
-        val engine = if (t.isTemporary || t.tableType == "VIEW") "View" else "MergeTree"
-        (database, t.name, engine)
-      }
-    }.distinct
-
-  private def rewriteSystemCatalog(sql: String): String = {
-    // cheap guard: don't touch the catalog for the vast majority of
-    // statements that never mention these names
-    if (!sql.toLowerCase.contains("system.")) return sql
-    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
-    if (sparkOpt.isEmpty) return sql
-    val spark = sparkOpt.get
-    var out = sql
-    try {
-      if (SystemDatabases.findFirstIn(out).isDefined) {
-        val rows = spark.catalog.listDatabases().collect().toSeq
-          .map(db => Seq(sqlStr(db.name)))
-        out = SystemDatabases.replaceAllIn(out, m =>
-          scala.util.matching.Regex.quoteReplacement(m.group(1) + " " + valuesSubquery(rows, Seq("name" -> "STRING"))))
-      }
-      if (SystemTables.findFirstIn(out).isDefined) {
-        val rows = catalogTables(spark).map { case (d, n, e) =>
-          Seq(sqlStr(d), sqlStr(n), sqlStr(e))
-        }
-        out = SystemTables.replaceAllIn(out, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            m.group(1) + " " + valuesSubquery(rows, Seq("database" -> "STRING", "name" -> "STRING", "engine" -> "STRING"))))
-      }
-      // system.functions: the live ChDialect registry — the surface
-      // BI tools and migration scanners enumerate. Every row is a
-      // name the session will actually resolve, so the doc can't
-      // drift from the code (same discipline as docs/FUNCTIONS.md).
-      if (SystemFunctions.findFirstIn(out).isDefined) {
-        val rows = ChDialect.functions.map(_._1).distinct.sorted.map { n =>
-          Seq(sqlStr(n), if (aggregateFnNames.contains(n)) "1" else "0", sqlStr("graft"))
-        }
-        out = SystemFunctions.replaceAllIn(out, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            m.group(1) + " " + valuesSubquery(rows, Seq("name" -> "STRING", "is_aggregate" -> "INT", "origin" -> "STRING"))))
-      }
-      if (SystemDictionaries.findFirstIn(out).isDefined) {
-        val rows = graft.operators.Dictionaries.list.map { case (n, k, h) =>
-          Seq(sqlStr(n), sqlStr(k), if (h) "1" else "0")
-        }
-        out = SystemDictionaries.replaceAllIn(out, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            m.group(1) + " " + valuesSubquery(rows, Seq("name" -> "STRING", "key" -> "STRING", "hierarchical" -> "INT"))))
-      }
-      // system.parts: one row per partition directory (the engine's
-      // "part" unit — directories drop/rewrite as units) with
-      // file count + bytes from a metadata walk, no data read.
-      if (SystemParts.findFirstIn(out).isDefined) {
-        val rows = catalogTables(spark).filter(_._3 == "MergeTree").flatMap { case (d, n, _) =>
-          try {
-            val qualified = if (d.isEmpty) n else s"$d.$n"
-            val meta = spark.sessionState.catalog.getTableMetadata(
-              spark.sessionState.sqlParser.parseTableIdentifier(qualified))
-            val hconf = spark.sparkContext.hadoopConfiguration
-            val fs = org.apache.hadoop.fs.FileSystem.get(meta.location, hconf)
-            val root = new org.apache.hadoop.fs.Path(meta.location)
-            // rows from parquet footers (round 17) — a metadata read
-            // per file, the same promise CH's system.parts makes
-            // (part row counts come from part metadata, never a scan).
-            // Footer counts cache by (path, mtime, length): the view
-            // inlines EVERY table's parts at parse, so without the
-            // cache a session that has landed big fixture tables pays
-            // a footer open per file per system.parts parse.
-            def footerRows(st: org.apache.hadoop.fs.FileStatus): Long = {
-              val key = (st.getPath.toString, st.getModificationTime, st.getLen)
-              val cached = footerRowCache.get(key)
-              if (cached != null) cached
-              else {
-                val n = try {
-                  val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
-                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                  try r.getRecordCount finally r.close()
-                } catch { case _: Exception => 0L }
-                if (footerRowCache.size > 65536) footerRowCache.clear() // bound, rarely hit
-                footerRowCache.put(key, n)
-                n
-              }
-            }
-            def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
-              var (cnt, bytes, rows) = (0L, 0L, 0L)
-              fs.listStatus(p).foreach { st =>
-                val nm = st.getPath.getName
-                if (!nm.startsWith("_") && !nm.startsWith(".")) {
-                  if (st.isDirectory) {
-                    val (c, b, r) = filesUnder(st.getPath); cnt += c; bytes += b; rows += r
-                  }
-                  else {
-                    cnt += 1; bytes += st.getLen
-                    if (nm.endsWith(".parquet")) rows += footerRows(st)
-                  }
-                }
-              }
-              (cnt, bytes, rows)
-            }
-            if (meta.partitionColumnNames.nonEmpty) {
-              fs.listStatus(root).toSeq
-                .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
-                  !st.getPath.getName.startsWith("."))
-                .map { st =>
-                  val (c, b, r) = filesUnder(st.getPath)
-                  Seq(sqlStr(if (d.isEmpty) "default" else d), sqlStr(n),
-                    sqlStr(st.getPath.getName), c.toString, b.toString, r.toString)
-                }
-            } else {
-              val (c, b, r) = filesUnder(root)
-              Seq(Seq(sqlStr(if (d.isEmpty) "default" else d), sqlStr(n),
-                sqlStr("all"), c.toString, b.toString, r.toString))
-            }
-          } catch { case _: Exception => Nil }
-        }
-        out = SystemParts.replaceAllIn(out, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            m.group(1) + " " + valuesSubquery(rows,
-              Seq("database" -> "STRING", "table" -> "STRING", "partition" -> "STRING",
-                "part_count" -> "BIGINT", "bytes_on_disk" -> "BIGINT", "rows" -> "BIGINT"))))
-      }
-      if (SystemColumns.findFirstIn(out).isDefined) {
-        val rows = catalogTables(spark).flatMap { case (d, n, engine) =>
-          val qualified = if (d.isEmpty) n else s"$d.$n"
-          // key-membership flags (round 17): the engine manifest's
-          // PARTITION BY / ORDER BY clauses, the same resolution
-          // DESCRIBE TABLE uses — plain tables and views carry 0s.
-          // Engine tables also report their columns in DECLARED order
-          // (the manifest's `columns` record — Spark floats partition
-          // columns to the end; DESCRIBE and system.columns agree).
-          val (partKeys, sortKeys, declared) =
-            if (engine != "MergeTree")
-              (Set.empty[String], Set.empty[String], Seq.empty[(String, String)])
-            else try {
-              val info = ChCommands.resolve(spark, qualified)
-              val meta = ChCommands.readEngineManifest(spark, info.path)
-              val fields = ChCommands.declaredOrderedFields(spark, qualified, meta)
-                .map(f => f.name -> f.dataType.simpleString)
-              (meta.get("partition_by").map(ChCommands.keyIdents).getOrElse(info.partCols.toSet),
-                meta.get("order_by").map(ChCommands.keyIdents).getOrElse(Set.empty[String]),
-                fields)
-            } catch { case _: Exception =>
-              (Set.empty[String], Set.empty[String], Seq.empty[(String, String)])
-            }
-          try {
-            val cols =
-              if (declared.nonEmpty) declared
-              else spark.catalog.listColumns(qualified).collect().toSeq
-                .map(c => c.name -> c.dataType)
-            cols.zipWithIndex.map { case ((cn, ct), i) =>
-              Seq(sqlStr(d), sqlStr(n), sqlStr(cn),
-                sqlStr(chTypeNameOf(ct)), (i + 1).toString,
-                if (partKeys.contains(cn)) "1" else "0",
-                if (sortKeys.contains(cn)) "1" else "0")
-            }
-          } catch { case _: Exception => Nil }
-        }
-        out = SystemColumns.replaceAllIn(out, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            m.group(1) + " " + valuesSubquery(rows, Seq("database" -> "STRING", "table" -> "STRING",
-              "name" -> "STRING", "type" -> "STRING", "position" -> "INT",
-              "is_in_partition_key" -> "INT", "is_in_sorting_key" -> "INT"))))
-      }
-      out
-    } catch { case _: Exception => sql } // fall through to a loud unknown-table error
   }
 
   /** ClickHouse `FROM zeros(N)` (the constant-0 generator table) —
@@ -3548,7 +3325,6 @@ object ChSqlParser {
     out = SystemNumbers.replaceAllIn(out, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)}))")
     out = SystemOne.replaceAllIn(out, "FROM (SELECT 0 AS dummy)")
-    out = rewriteSystemCatalog(out)
     out = NumbersFn.replaceAllIn(out, m => Option(m.group(2)) match {
       case Some(count) =>
         s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + count.toLong}))"

@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Row computation for the ClickHouse `system.*` introspection tables
+  * — shared by [[GraftSystemCatalog]] (the DataSourceV2 catalog that
+  * serves `FROM system.tables` & co.) and resolved AT EXECUTION, the
+  * same staleness discipline SHOW CREATE / DESCRIBE / EXISTS follow:
+  * a DROP or CREATE between parse and run answers the truth at run
+  * time (rounds 15-16 moved the command surfaces there; round 17
+  * moves the relations — they were parse-time VALUES inlining
+  * before, which froze the catalog snapshot into the plan text).
+  *
+  * Values are plain JVM types matching each schema below; the
+  * V2 LocalScan converts them to InternalRows on the driver.
+  */
+object SystemViews {
+
+  val schemas: Map[String, StructType] = Map(
+    "databases" -> StructType(Seq(StructField("name", StringType))),
+    "tables" -> StructType(Seq(
+      StructField("database", StringType), StructField("name", StringType),
+      StructField("engine", StringType))),
+    "functions" -> StructType(Seq(
+      StructField("name", StringType), StructField("is_aggregate", IntegerType),
+      StructField("origin", StringType))),
+    "dictionaries" -> StructType(Seq(
+      StructField("name", StringType), StructField("key", StringType),
+      StructField("hierarchical", IntegerType))),
+    "parts" -> StructType(Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("partition", StringType), StructField("part_count", LongType),
+      StructField("bytes_on_disk", LongType), StructField("rows", LongType))),
+    "columns" -> StructType(Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("position", IntegerType),
+      StructField("is_in_partition_key", IntegerType),
+      StructField("is_in_sorting_key", IntegerType))))
+
+  def rows(view: String, spark: SparkSession): Seq[Seq[Any]] = view match {
+    case "databases"    => databases(spark)
+    case "tables"       => tables(spark)
+    case "functions"    => functions()
+    case "dictionaries" => dictionaries()
+    case "parts"        => parts(spark)
+    case "columns"      => columns(spark)
+    case other => throw new IllegalArgumentException(s"unknown system view '$other'")
+  }
+
+  private def databases(spark: SparkSession): Seq[Seq[Any]] =
+    spark.catalog.listDatabases().collect().toSeq.map(db => Seq(db.name))
+
+  /** (database, name, engine) for every catalog table and temp view —
+    * temp views report engine View with an empty database, catalog
+    * tables MergeTree (the engine every landed table gets here). */
+  private[plans] def catalogTables(spark: SparkSession): Seq[(String, String, String)] =
+    spark.catalog.listDatabases().collect().toSeq.flatMap { db =>
+      spark.catalog.listTables(db.name).collect().toSeq.map { t =>
+        val database =
+          if (t.isTemporary) "" else Option(t.namespace).map(_.mkString(".")).getOrElse(db.name)
+        val engine = if (t.isTemporary || t.tableType == "VIEW") "View" else "MergeTree"
+        (database, t.name, engine)
+      }
+    }.distinct
+
+  private def tables(spark: SparkSession): Seq[Seq[Any]] =
+    catalogTables(spark).map { case (d, n, e) => Seq(d, n, e) }
+
+  /** Which registered CH functions are aggregates — probed ONCE per
+    * JVM by building each registry entry against dummy literal args
+    * and checking for an aggregate node in the tree (the registry
+    * stores only name → builder, so the tag is derived, not stored).
+    * Builders that reject every probe arity default to scalar. */
+  private lazy val aggregateFnNames: Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    ChDialect.functions.iterator.collect { case (n, b)
+      if (0 to 3).exists { k =>
+        try b(Seq.fill(k)(Literal(1L))).exists {
+          case _: AggregateExpression => true
+          case _: AggregateFunction => true
+          case _ => false
+        } catch { case _: Throwable => false }
+      } => n
+    }.toSet
+  }
+
+  /** system.functions: the live ChDialect registry — the surface BI
+    * tools and migration scanners enumerate. Every row is a name the
+    * session will actually resolve, so the doc can't drift from the
+    * code (same discipline as docs/FUNCTIONS.md). */
+  private def functions(): Seq[Seq[Any]] =
+    ChDialect.functions.map(_._1).distinct.sorted.map { n =>
+      Seq(n, if (aggregateFnNames.contains(n)) 1 else 0, "graft")
+    }
+
+  private def dictionaries(): Seq[Seq[Any]] =
+    graft.operators.Dictionaries.list.map { case (n, k, h) =>
+      Seq(n, k, if (h) 1 else 0)
+    }
+
+  /** Parquet footer row counts keyed by (path, mtime, length) — a
+    * rewritten file misses and re-reads. The view walks EVERY
+    * MergeTree table's parts per query, so without the cache a
+    * session that has landed big fixture tables pays a footer open
+    * per file per system.parts read. */
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  /** system.parts: one row per partition directory (the engine's
+    * "part" unit — directories drop/rewrite as units) with file
+    * count + bytes from a metadata walk and rows from parquet
+    * FOOTERS — metadata reads, the same promise CH's system.parts
+    * makes (part row counts come from part metadata, never a scan). */
+  private def parts(spark: SparkSession): Seq[Seq[Any]] =
+    catalogTables(spark).filter(_._3 == "MergeTree").flatMap { case (d, n, _) =>
+      try {
+        val qualified = if (d.isEmpty) n else s"$d.$n"
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(qualified))
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem.get(meta.location, hconf)
+        val root = new org.apache.hadoop.fs.Path(meta.location)
+        def footerRows(st: org.apache.hadoop.fs.FileStatus): Long = {
+          val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+          val cached = footerRowCache.get(key)
+          if (cached != null) cached
+          else {
+            val n = try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            } catch { case _: Exception => 0L }
+            if (footerRowCache.size > 65536) footerRowCache.clear() // bound, rarely hit
+            footerRowCache.put(key, n)
+            n
+          }
+        }
+        def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+          var (cnt, bytes, rws) = (0L, 0L, 0L)
+          fs.listStatus(p).foreach { st =>
+            val nm = st.getPath.getName
+            if (!nm.startsWith("_") && !nm.startsWith(".")) {
+              if (st.isDirectory) {
+                val (c, b, r) = filesUnder(st.getPath); cnt += c; bytes += b; rws += r
+              } else {
+                cnt += 1; bytes += st.getLen
+                if (nm.endsWith(".parquet")) rws += footerRows(st)
+              }
+            }
+          }
+          (cnt, bytes, rws)
+        }
+        if (meta.partitionColumnNames.nonEmpty) {
+          fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .map { st =>
+              val (c, b, r) = filesUnder(st.getPath)
+              Seq[Any](if (d.isEmpty) "default" else d, n, st.getPath.getName, c, b, r)
+            }
+        } else {
+          val (c, b, r) = filesUnder(root)
+          Seq(Seq[Any](if (d.isEmpty) "default" else d, n, "all", c, b, r))
+        }
+      } catch { case _: Exception => Nil }
+    }
+
+  /** system.columns with CH's key-membership flags, resolved from the
+    * same engine manifests DESCRIBE TABLE reads; engine tables report
+    * their columns in DECLARED order (the manifest's `columns` record
+    * — Spark floats partition columns to the end; DESCRIBE and
+    * system.columns agree). Plain tables and views carry 0 flags. */
+  private def columns(spark: SparkSession): Seq[Seq[Any]] =
+    catalogTables(spark).flatMap { case (d, n, engine) =>
+      val qualified = if (d.isEmpty) n else s"$d.$n"
+      val (partKeys, sortKeys, declared) =
+        if (engine != "MergeTree")
+          (Set.empty[String], Set.empty[String], Seq.empty[(String, String)])
+        else try {
+          val info = ChCommands.resolve(spark, qualified)
+          val meta = ChCommands.readEngineManifest(spark, info.path)
+          val fields = ChCommands.declaredOrderedFields(spark, qualified, meta)
+            .map(f => f.name -> f.dataType.simpleString)
+          (meta.get("partition_by").map(ChCommands.keyIdents).getOrElse(info.partCols.toSet),
+            meta.get("order_by").map(ChCommands.keyIdents).getOrElse(Set.empty[String]),
+            fields)
+        } catch { case _: Exception =>
+          (Set.empty[String], Set.empty[String], Seq.empty[(String, String)])
+        }
+      try {
+        val cols =
+          if (declared.nonEmpty) declared
+          else spark.catalog.listColumns(qualified).collect().toSeq
+            .map(c => c.name -> c.dataType)
+        cols.zipWithIndex.map { case ((cn, ct), i) =>
+          Seq[Any](d, n, cn, ChSqlParser.chTypeNameOf(ct), i + 1,
+            if (partKeys.contains(cn)) 1 else 0,
+            if (sortKeys.contains(cn)) 1 else 0)
+        }
+      } catch { case _: Exception => Nil }
+    }
+}

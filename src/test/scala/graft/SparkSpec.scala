@@ -34,6 +34,7 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.system", "graft.plans.GraftSystemCatalog")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
