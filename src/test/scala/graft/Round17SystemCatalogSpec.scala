@@ -61,6 +61,12 @@ class Round17SystemCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("mutations"))
   }
 
+  test("SHOW TABLES IN system lists the views (CH tooling habit)") {
+    val names = spark.sql("SHOW TABLES IN system").collect()
+      .map(_.getString(1)).toSet
+    assert(names == Set("databases", "tables", "functions", "dictionaries", "parts", "columns"))
+  }
+
   test("catalog listTables exposes exactly the six views") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val cat = new graft.plans.GraftSystemCatalog
