@@ -76,34 +76,46 @@ class Round17FillFuzzSpec extends SparkSpec {
 
   // -------------------------------------------------- multi-key fill
 
-  private def modelMultiKey(src: Seq[(Int, Int, Double)]): Seq[(Int, Int, Double)] = {
-    // nested semantics: b fills per a-group [min,max]; missing a values
-    // insert (a, 0, 0); order (a, b)
-    val groups = src.groupBy(_._1)
-    val inner = groups.toSeq.flatMap { case (a, rows) =>
-      val byB = rows.map(r => r._2 -> r._3).toMap
-      val bs = rows.map(_._2)
-      (bs.min to bs.max).map(b => (a, b, byB.getOrElse(b, 0.0)))
+  /** N-key nested fill, recursively: key j fills [min,max] within its
+    * (keys 0..j-1) group; a missing value inserts one row with all
+    * later keys and the value at their defaults — exactly the
+    * composition rewriteMultiFill executes and the CH docs shape. */
+  private def modelNestedFill(rows: Seq[(List[Int], Double)]): Seq[(List[Int], Double)] = {
+    val arity = rows.head._1.length
+    val groups = rows.groupBy(_._1.head)
+    val ks = groups.keySet
+    (ks.min to ks.max).toSeq.flatMap { k =>
+      groups.get(k) match {
+        case Some(g) =>
+          if (arity == 1) Seq((List(k), g.head._2))
+          else modelNestedFill(g.map { case (l, v) => (l.tail, v) })
+            .map { case (l, v) => (k :: l, v) }
+        case None => Seq((k :: List.fill(arity - 1)(0), 0.0))
+      }
     }
-    val as = src.map(_._1)
-    val outer = (as.min to as.max).filterNot(groups.contains).map(a => (a, 0, 0.0))
-    (inner ++ outer).sortBy(r => (r._1, r._2))
   }
 
-  test("fuzz: multi-key fill vs the nested-composition model") {
+  test("fuzz: 2- and 3-key nested fill vs the recursive model") {
     val rnd = new Random(2026)
     for (round <- 0 until 24) {
-      val nGroups = 1 + rnd.nextInt(4)
-      val as = rnd.shuffle((0 to 12).toList).take(nGroups)
-      val src = as.flatMap { a =>
-        val nb = 1 + rnd.nextInt(4)
-        rnd.shuffle((0 to 9).toList).take(nb).map(b =>
-          (a, b, math.rint(rnd.nextDouble() * 40) / 4))
-      }.distinct
-      src.toDF("a", "b", "v").createOrReplaceTempView("fz_mk")
-      val got = spark.sql("SELECT a, b, v FROM fz_mk ORDER BY a WITH FILL, b WITH FILL")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
-      assert(got == modelMultiKey(src), s"round $round src=$src\ngot=$got")
+      val arity = 2 + rnd.nextInt(2)
+      val n = 2 + rnd.nextInt(7)
+      val src0 = (0 until n).map { _ =>
+        (List.fill(arity)(rnd.nextInt(6)), math.rint(rnd.nextDouble() * 40) / 4)
+      }
+      // distinct full key-vectors (duplicate keys would be a GROUP BY
+      // upstream in any real query)
+      val src = src0.groupBy(_._1).map(_._2.head).toSeq
+      val cols = Seq("a", "b", "c").take(arity)
+      val df =
+        if (arity == 2) src.map { case (l, v) => (l(0), l(1), v) }.toDF("a", "b", "v")
+        else src.map { case (l, v) => (l(0), l(1), l(2), v) }.toDF("a", "b", "c", "v")
+      df.createOrReplaceTempView("fz_mk")
+      val fills = cols.map(c => s"$c WITH FILL").mkString(", ")
+      val got = spark.sql(s"SELECT ${cols.mkString(", ")}, v FROM fz_mk ORDER BY $fills")
+        .collect().map(r => (List.range(0, arity).map(r.getInt), r.getDouble(arity))).toSeq
+      val want = modelNestedFill(src)
+      assert(got == want, s"round $round arity=$arity src=$src\ngot=$got\nwant=$want")
     }
   }
 
