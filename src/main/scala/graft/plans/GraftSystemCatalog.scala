@@ -74,19 +74,40 @@ private[plans] class SystemViewTable(view: String) extends Table with SupportsRe
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LocalScan {
-        override def readSchema(): StructType = SystemViews.schemas(view)
-        // rows() runs on the DRIVER when the physical plan is built —
-        // i.e. per execution, never baked in at parse
-        override def rows(): Array[InternalRow] = {
-          val spark = SparkSession.active
-          val conv = CatalystTypeConverters.createToCatalystConverter(SystemViews.schemas(view))
-          SystemViews.rows(view, spark)
-            .map(vals => conv(org.apache.spark.sql.Row.fromSeq(vals)).asInstanceOf[InternalRow])
-            .toArray
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      // EqualTo on (database, table) prunes the metadata WALK for the
+      // table-scanning views — a work-saver only: every filter is
+      // reported residual, so Spark re-applies them all above the
+      // scan and a missed prune can never change results.
+      private var restrict = SystemViews.Restrict()
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+          Array[org.apache.spark.sql.sources.Filter] = {
+        if (view == "parts" || view == "columns") filters.foreach {
+          case org.apache.spark.sql.sources.EqualTo("table", v: String) =>
+            restrict = restrict.copy(table = Some(v))
+          case org.apache.spark.sql.sources.EqualTo("database", v: String) =>
+            restrict = restrict.copy(database = Some(v))
+          case _ => ()
         }
-        override def description(): String = s"GraftSystemView($view)"
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+      override def build(): Scan = {
+        val r = restrict
+        new LocalScan {
+          override def readSchema(): StructType = SystemViews.schemas(view)
+          // rows() runs on the DRIVER when the physical plan is built —
+          // i.e. per execution, never baked in at parse
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val conv = CatalystTypeConverters.createToCatalystConverter(SystemViews.schemas(view))
+            SystemViews.rows(view, spark, r)
+              .map(vals => conv(org.apache.spark.sql.Row.fromSeq(vals)).asInstanceOf[InternalRow])
+              .toArray
+          }
+          override def description(): String = s"GraftSystemView($view, $r)"
+        }
       }
     }
 }

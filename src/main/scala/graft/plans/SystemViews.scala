@@ -39,13 +39,24 @@ object SystemViews {
       StructField("is_in_partition_key", IntegerType),
       StructField("is_in_sorting_key", IntegerType))))
 
-  def rows(view: String, spark: SparkSession): Seq[Seq[Any]] = view match {
+  /** Optional pruning hints from pushed-down EqualTo filters on the
+    * (database, table) columns — Spark re-applies every filter above
+    * the scan regardless (the scan reports them as residual), so the
+    * restriction is purely a work-saver: `system.parts WHERE table =
+    * 'x'` walks ONE table's directories and footers instead of every
+    * MergeTree table's. */
+  final case class Restrict(database: Option[String] = None, table: Option[String] = None) {
+    def keeps(d: String, n: String): Boolean =
+      database.forall(_ == d) && table.forall(_ == n)
+  }
+
+  def rows(view: String, spark: SparkSession, r: Restrict = Restrict()): Seq[Seq[Any]] = view match {
     case "databases"    => databases(spark)
     case "tables"       => tables(spark)
     case "functions"    => functions()
     case "dictionaries" => dictionaries()
-    case "parts"        => parts(spark)
-    case "columns"      => columns(spark)
+    case "parts"        => parts(spark, r)
+    case "columns"      => columns(spark, r)
     case other => throw new IllegalArgumentException(s"unknown system view '$other'")
   }
 
@@ -114,8 +125,10 @@ object SystemViews {
     * count + bytes from a metadata walk and rows from parquet
     * FOOTERS — metadata reads, the same promise CH's system.parts
     * makes (part row counts come from part metadata, never a scan). */
-  private def parts(spark: SparkSession): Seq[Seq[Any]] =
-    catalogTables(spark).filter(_._3 == "MergeTree").flatMap { case (d, n, _) =>
+  private def parts(spark: SparkSession, r: Restrict): Seq[Seq[Any]] =
+    catalogTables(spark).filter(_._3 == "MergeTree")
+      .filter { case (d, n, _) => r.keeps(if (d.isEmpty) "default" else d, n) }
+      .flatMap { case (d, n, _) =>
       try {
         val qualified = if (d.isEmpty) n else s"$d.$n"
         val meta = spark.sessionState.catalog.getTableMetadata(
@@ -173,8 +186,10 @@ object SystemViews {
     * their columns in DECLARED order (the manifest's `columns` record
     * — Spark floats partition columns to the end; DESCRIBE and
     * system.columns agree). Plain tables and views carry 0 flags. */
-  private def columns(spark: SparkSession): Seq[Seq[Any]] =
-    catalogTables(spark).flatMap { case (d, n, engine) =>
+  private def columns(spark: SparkSession, r: Restrict): Seq[Seq[Any]] =
+    catalogTables(spark)
+      .filter { case (d, n, _) => r.keeps(d, n) }
+      .flatMap { case (d, n, engine) =>
       val qualified = if (d.isEmpty) n else s"$d.$n"
       val (partKeys, sortKeys, declared) =
         if (engine != "MergeTree")

@@ -67,6 +67,36 @@ class Round17SystemCatalogSpec extends SparkSpec {
     assert(names == Set("databases", "tables", "functions", "dictionaries", "parts", "columns"))
   }
 
+  test("EqualTo(table) pushdown prunes the metadata walk (residual-safe)") {
+    spark.sql("DROP TABLE IF EXISTS sysv2_p1")
+    spark.sql("DROP TABLE IF EXISTS sysv2_p2")
+    try {
+      spark.sql("CREATE TABLE sysv2_p1 (id UInt64) ENGINE = MergeTree ORDER BY id")
+      spark.sql("CREATE TABLE sysv2_p2 (id UInt64) ENGINE = MergeTree ORDER BY id")
+      import org.apache.spark.sql.connector.catalog.Identifier
+      import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val cat = new graft.plans.GraftSystemCatalog
+      cat.initialize("system", new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      val sb = cat.loadTable(Identifier.of(Array.empty, "columns"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      val residual = sb.asInstanceOf[SupportsPushDownFilters]
+        .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("table", "sysv2_p1")))
+      assert(residual.length == 1) // everything residual — Spark re-applies
+      val rows = sb.build().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows()
+      // the walk only visited the filtered table
+      assert(rows.nonEmpty && rows.forall(_.getUTF8String(1).toString == "sysv2_p1"))
+      // and SQL over the same filter still answers correctly end to end
+      val n = spark.sql(
+        "SELECT count(*) AS c FROM system.columns WHERE table = 'sysv2_p2'").head.getLong(0)
+      assert(n == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sysv2_p1")
+      spark.sql("DROP TABLE IF EXISTS sysv2_p2")
+    }
+  }
+
   test("catalog listTables exposes exactly the six views") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val cat = new graft.plans.GraftSystemCatalog
