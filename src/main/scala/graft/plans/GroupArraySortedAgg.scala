@@ -102,16 +102,20 @@ case class GraftGroupArraySorted(
 
   // single-value rows through an UnsafeProjection — the standard wire
   // format for typed imperative aggregates (same as GraftTopK's).
+  // Instance-cached: under ObjectHashAggregate's sort-fallback,
+  // serialize runs per buffer — exactly the memory-pressured path that
+  // must not pay per-call projection codegen/setup.
   private lazy val rowTypes: Array[DataType] = Array(child.dataType)
+  @transient private lazy val serProjection: UnsafeProjection =
+    UnsafeProjection.create(rowTypes)
 
   override def serialize(buffer: mutable.PriorityQueue[AnyRef]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val scratch = new Array[Byte](4096)
     try {
-      val projection = UnsafeProjection.create(rowTypes)
       buffer.foreach { v =>
-        val unsafeRow = projection.apply(InternalRow.apply(v))
+        val unsafeRow = serProjection.apply(InternalRow.apply(v))
         out.writeInt(unsafeRow.getSizeInBytes)
         unsafeRow.writeToStream(out, scratch)
       }
