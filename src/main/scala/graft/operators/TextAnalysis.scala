@@ -247,10 +247,26 @@ object TextAnalysis {
     * Scale shape: the legs are top-N by CONTRACT (a leg is the output
     * of bm25/bruteForceTopK/ivf — each already a bounded frame), so
     * the un-partitioned rank windows and the union run on result-set-
-    * sized inputs; the heavy lifting stays in the legs' own plans. */
+    * sized inputs; the heavy lifting stays in the legs' own plans.
+    * Round 18: the contract is ENFORCED — a leg above `maxLegRows`
+    * (default 100k, still instant to rank) refuses loudly instead of
+    * becoming a one-task external sort. */
   def rrfFuse(legs: Seq[(DataFrame, String, String)], rrfK: Int = 60,
-              topK: Int = 10): DataFrame = {
+              topK: Int = 10, maxLegRows: Int = 100000): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    // ENFORCE the bounded-leg contract before the global rank windows
+    // below see a row: those windows are un-partitioned (single task),
+    // safe only because each leg is a top-N result frame. An unbounded
+    // leg would silently become a one-task external sort — refuse it
+    // loudly instead. limit(cap+1).count() short-circuits per
+    // partition, so the check costs one bounded pass per leg; callers
+    // with expensive legs should .cache() them before fusing.
+    legs.zipWithIndex.foreach { case ((df, _, _), i) =>
+      val n = df.limit(maxLegRows + 1).count()
+      require(n <= maxLegRows,
+        s"rrfFuse leg $i exceeds maxLegRows=$maxLegRows; legs must be bounded " +
+          "top-N frames — pre-limit each leg (.limit(n)) or raise maxLegRows")
+    }
     val ranked = legs.map { case (df, idCol, scoreCol) =>
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col(scoreCol).desc, col(idCol))

@@ -2563,7 +2563,16 @@ object ChSqlParser {
     }
   }
 
-  private def rewriteWithFill(sql: String): String = sql match {
+  /** `winTiebreak`: extra columns appended to every carry/recurrence
+    * WINDOW's ORDER BY (never to the fill grid itself). Used by the
+    * multi-key composition: at an OUTER fill stage the source holds
+    * many rows tied on the outer key (one per inner-key value), so a
+    * window ordered by the fill key alone reads a nondeterministic
+    * "previous row" — partition/sort-order dependent at scale even
+    * when tiny single-host runs pass. Ordering ties by the inner fill
+    * keys makes the recurrence base the (outer, inner…)-max row, CH's
+    * previous-OUTPUT-row semantics, deterministically. */
+  private def rewriteWithFill(sql: String, winTiebreak: Seq[String] = Nil): String = sql match {
     case WithFill(body, prefixRaw, fillCol, dirOrNull, fromRaw, toRaw, stepOrNull, staleOrNull, interpOrNull) =>
       // grouped form: plain named sort keys BEFORE the fill column —
       // the fill restarts per distinct prefix value
@@ -2772,7 +2781,7 @@ object ChSqlParser {
                 if (n == fillCol) s"gr_fill__ AS $n"
                 else if (prefix.contains(n)) n
                 else if (interp.contains(n)) s"NULL AS $n" // the INTERPOLATE windows fill below
-                else s"0 AS $n" // CH's numeric default-fill
+                else s"NULL AS $n" // typed default applied post-union (see unionFill)
               }.mkString(", ") + (if (affine) ", false AS gr_is_src__" else "")
               s"""(WITH gr_fill_src__ AS (SELECT $body)
                  |SELECT $srcSel FROM gr_fill_src__
@@ -2804,7 +2813,7 @@ object ChSqlParser {
                 if (n == fillCol) s"gr_fill__ AS $n"
                 else if (prefix.contains(n)) n
                 else if (interp.contains(n)) s"NULL AS $n" // the INTERPOLATE windows fill below
-                else s"0 AS $n" // CH's numeric default-fill
+                else s"NULL AS $n" // typed default applied post-union (see unionFill)
               }.mkString(", ") + (if (affine) ", false AS gr_is_src__" else "")
               s"""(WITH gr_fill_src__ AS (SELECT $body)
                  |SELECT $srcSel FROM gr_fill_src__
@@ -2876,6 +2885,18 @@ object ChSqlParser {
                    |      CROSS JOIN $axisSub gr_grid__) gr_axis__
                    |FULL OUTER JOIN gr_fill_src__ gr_src__ ON $onClause) gr_fill_out__""".stripMargin
             }
+          // STALENESS union branches emit NULL for non-interpolated
+          // passenger columns (a literal 0 coerced string passengers
+          // to bigint and made date/timestamp passengers fail UNION
+          // analysis); the TYPE default (graft_fill_default — 0 / ''
+          // / epoch, CH's fill values) applies HERE, post-union, where
+          // the column carries its source type. The joined branches
+          // already coalesce inside `sel`.
+          val unionFill = stale.isDefined || staleIv.isDefined
+          def passDefault(n: String): String =
+            if (unionFill && n != fillCol && !prefix.contains(n) && !interp.contains(n))
+              s"coalesce($n, graft_fill_default($n)) AS $n"
+            else n
           // the INTERPOLATE windows and the final sort respect the
           // prefix: each group carries/ramps its own series
           val partBy = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
@@ -2884,17 +2905,21 @@ object ChSqlParser {
           // CH's own convention (the fill direction IS the carry
           // direction)
           val fillOrd = if (desc) s"$fillCol DESC" else fillCol
+          // window order: the fill axis, ties broken by the inner fill
+          // keys (multi-key composition only; Nil for single-key)
+          val winOrd = (fillOrd +: winTiebreak.filterNot(_ == fillCol)).mkString(", ")
           val orderOut = (prefix :+ fillOrd).mkString(", ")
           def carryExpr(n: String) =
-            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), graft_fill_default($n)) AS $n"
-          if (interp.isEmpty)
-            s"SELECT * FROM $joined ORDER BY $orderOut"
-          else if (!affine) {
+            s"coalesce(last_value($n, true) OVER (${partBy}ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), graft_fill_default($n)) AS $n"
+          if (interp.isEmpty) {
+            val outer = if (unionFill) cols.map(passDefault).mkString(", ") else "*"
+            s"SELECT $outer FROM $joined ORDER BY $orderOut"
+          } else if (!affine) {
             // carry the nearest preceding source value across filled
             // rows; before the first source row the 0 default applies
             // (the same default the non-interpolated columns get)
             val outer = cols.map { n =>
-              if (interp.contains(n)) carryExpr(n) else n
+              if (interp.contains(n)) carryExpr(n) else passDefault(n)
             }.mkString(", ")
             s"SELECT $outer FROM $joined ORDER BY $orderOut"
           } else {
@@ -2906,7 +2931,7 @@ object ChSqlParser {
             // minus 1 is rows-since-source.
             val grpSel =
               s"""SELECT *, count(CASE WHEN gr_is_src__ THEN 1 END)
-                 |  OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
+                 |  OVER (${partBy}ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gr_grp__
                  |FROM $joined""".stripMargin
             val grpPart = (prefix :+ "gr_grp__").mkString(", ")
             // shared closed-form pieces: the most recent SOURCE value
@@ -2917,8 +2942,8 @@ object ChSqlParser {
             // coalesce's 0 default — the same default the
             // non-interpolated columns get.
             val lastSrc =
-              s"last_value(%s, true) OVER (${partBy}ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            val sinceSrc = s"(row_number() OVER (PARTITION BY $grpPart ORDER BY $fillOrd) - 1)"
+              s"last_value(%s, true) OVER (${partBy}ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            val sinceSrc = s"(row_number() OVER (PARTITION BY $grpPart ORDER BY $winOrd) - 1)"
             val outer = cols.map { n =>
               interp.get(n) match {
                 case Some(("carry", _)) => carryExpr(n)
@@ -2939,7 +2964,7 @@ object ChSqlParser {
                   // the joined relation (0-default / prefix / axis),
                   // so the frame UNBOUNDED PRECEDING..1 PRECEDING
                   // within the run is exactly the recurrence's sum.
-                  val sumD = s"coalesce(sum($operand) OVER (PARTITION BY $grpPart ORDER BY $fillOrd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+                  val sumD = s"coalesce(sum($operand) OVER (PARTITION BY $grpPart ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
                   s"""CASE WHEN gr_is_src__ THEN $n
                      |     ELSE coalesce(${lastSrc.format(n)} ${op.stripSuffix("col")} $sumD, 0)
                      |END AS $n""".stripMargin
@@ -2947,7 +2972,7 @@ object ChSqlParser {
                   s"""CASE WHEN gr_is_src__ THEN $n
                      |     ELSE coalesce(${lastSrc.format(n)} $op ($lit) * $sinceSrc, 0)
                      |END AS $n""".stripMargin
-                case None => n
+                case None => passDefault(n)
               }
             }.mkString(", ")
             s"SELECT $outer FROM ($grpSel) gr_fill_g__ ORDER BY $orderOut"
@@ -3029,7 +3054,12 @@ object ChSqlParser {
         val src = if (current == null) body else s"$cols FROM ($current) gr_mk${i}__"
         val stage = s"SELECT $src ORDER BY $pfx$k WITH FILL" +
           (if (bounds.isEmpty) "" else s" $bounds") + interpCl
-        val rw = rewriteWithFill(stage)
+        // this stage's source carries one row per inner-key value for
+        // every outer-key run — break the stage windows' ties by the
+        // inner fill keys so the carry/recurrence base is the
+        // (outer, inner…)-max row (CH's previous-output-row), not
+        // whichever row the partitioning happened to order last
+        val rw = rewriteWithFill(stage, winTiebreak = fills.drop(i + 1).map(_._1))
         if (rw == stage) return sql
         current = rw
       }

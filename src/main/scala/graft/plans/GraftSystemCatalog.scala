@@ -43,7 +43,11 @@ class GraftSystemCatalog extends TableCatalog {
     Seq("databases", "tables", "functions", "dictionaries", "parts", "columns")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    require(namespace.isEmpty, s"system has no namespaces, got ${namespace.mkString(".")}")
+    // Spark's own error for SHOW TABLES IN system.sub — a raw
+    // require() here surfaced as an unidiomatic IllegalArgumentException
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
     viewNames.map(Identifier.of(Array.empty, _)).toArray
   }
 

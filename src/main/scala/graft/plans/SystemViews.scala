@@ -116,9 +116,43 @@ object SystemViews {
     * rewritten file misses and re-reads. The view walks EVERY
     * MergeTree table's parts per query, so without the cache a
     * session that has landed big fixture tables pays a footer open
-    * per file per system.parts read. */
-  private val footerRowCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+    * per file per system.parts read.
+    *
+    * Round 18: LRU-bounded (access-ordered LinkedHashMap evicting the
+    * eldest past the cap) — the old bound cleared the WHOLE cache at
+    * 65536 entries, dumping it exactly when it was most valuable.
+    * Cap is package-visible so the eviction spec can exercise it. */
+  private[graft] var footerRowCacheMax = 65536
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def footerCacheReset(): Unit = footerRowCache.clear()
+  private val footerRowCache: java.util.Map[(String, Long, Long), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), java.lang.Long]): Boolean =
+          size() > footerRowCacheMax
+      })
+
+  /** Bounded-parallel map on the DRIVER. The parts walk is
+    * metadata-only by design (CH's own system.parts promise), but one
+    * thread × one footer open per uncached file stalls minutes at
+    * real part counts — a 100 TB table is 10⁵-10⁶ files. The work is
+    * IO-bound (listStatus RPCs, footer reads), so a small fixed pool
+    * gets near-linear speedup; the pool is per-call, so no threads
+    * leak and nested waves can't deadlock each other. */
+  private val footerPoolSize = 16
+  private def driverPar[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.lengthCompare(1) <= 0) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(footerPoolSize, items.size))
+      try {
+        val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+          override def call(): B = f(a)
+        }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
 
   /** system.parts: one row per partition directory (the engine's
     * "part" unit — directories drop/rewrite as units) with file
@@ -141,42 +175,45 @@ object SystemViews {
           val cached = footerRowCache.get(key)
           if (cached != null) cached
           else {
+            footerReads.incrementAndGet()
             val n = try {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf)
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
               try r.getRecordCount finally r.close()
             } catch { case _: Exception => 0L }
-            if (footerRowCache.size > 65536) footerRowCache.clear() // bound, rarely hit
             footerRowCache.put(key, n)
             n
           }
         }
-        def filesUnder(p: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
-          var (cnt, bytes, rws) = (0L, 0L, 0L)
-          fs.listStatus(p).foreach { st =>
-            val nm = st.getPath.getName
-            if (!nm.startsWith("_") && !nm.startsWith(".")) {
-              if (st.isDirectory) {
-                val (c, b, r) = filesUnder(st.getPath); cnt += c; bytes += b; rws += r
-              } else {
-                cnt += 1; bytes += st.getLen
-                if (nm.endsWith(".parquet")) rws += footerRows(st)
-              }
-            }
-          }
-          (cnt, bytes, rws)
+        def listFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+          val (dirs, files) = fs.listStatus(p).toSeq
+            .filterNot { st =>
+              val nm = st.getPath.getName
+              nm.startsWith("_") || nm.startsWith(".")
+            }.partition(_.isDirectory)
+          files ++ dirs.flatMap(st => listFiles(st.getPath))
         }
-        if (meta.partitionColumnNames.nonEmpty) {
-          fs.listStatus(root).toSeq
-            .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
-              !st.getPath.getName.startsWith("."))
-            .map { st =>
-              val (c, b, r) = filesUnder(st.getPath)
-              Seq[Any](if (d.isEmpty) "default" else d, n, st.getPath.getName, c, b, r)
-            }
-        } else {
-          val (c, b, r) = filesUnder(root)
-          Seq(Seq[Any](if (d.isEmpty) "default" else d, n, "all", c, b, r))
+        val partDirs: Seq[(String, org.apache.hadoop.fs.Path)] =
+          if (meta.partitionColumnNames.nonEmpty)
+            fs.listStatus(root).toSeq
+              .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+              .map(st => (st.getPath.getName, st.getPath))
+          else Seq(("all", root))
+        // wave 1: enumerate each part's files in parallel (listStatus
+        // RPCs); wave 2: open every UNCACHED parquet footer in
+        // parallel. The summation below then reads the warm cache.
+        val listed = driverPar(partDirs) { case (nm, p) => (nm, listFiles(p)) }
+        val uncached = listed.flatMap(_._2).filter { st =>
+          st.getPath.getName.endsWith(".parquet") &&
+            !footerRowCache.containsKey(
+              (st.getPath.toString, st.getModificationTime, st.getLen))
+        }
+        driverPar(uncached)(footerRows)
+        listed.map { case (nm, files) =>
+          val bytes = files.map(_.getLen).sum
+          val rws = files.filter(_.getPath.getName.endsWith(".parquet")).map(footerRows).sum
+          Seq[Any](if (d.isEmpty) "default" else d, n, nm, files.size.toLong, bytes, rws)
         }
       } catch { case _: Exception => Nil }
     }
