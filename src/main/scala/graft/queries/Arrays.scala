@@ -207,7 +207,11 @@ object Arrays {
     "q95_gap_fill",
     (s, dir) => {
       val e = Tables(s, dir).events
-      val daily = e.where(col("event_type") === "purchase" && col("value") > 480)
+      // round-18 vacuity audit: value > 480 matched ZERO events at
+      // every SF (the q95h class) — every spine day filled 0 and the
+      // join's real-day branch never ran. 200 keeps 21 of 30 days
+      // real and 9 filled at the gate SF.
+      val daily = e.where(col("event_type") === "purchase" && col("value") > 200)
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
       val spine = e
@@ -222,7 +226,7 @@ object Arrays {
                               max(date_trunc('day', ts)) AS hi FROM events),
                  spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
                  d AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt FROM events
-                       WHERE event_type = 'purchase' AND value > 480 GROUP BY 1)
+                       WHERE event_type = 'purchase' AND value > 200 GROUP BY 1)
             SELECT spine.day, coalesce(d.cnt, 0) AS cnt
             FROM spine LEFT JOIN d USING (day) ORDER BY day"""),
   )
@@ -237,13 +241,13 @@ object Arrays {
     (s, dir) => {
       Tables(s, dir).events.createOrReplaceTempView("events_wf")
       s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt
-               FROM events_wf WHERE event_type = 'purchase' AND value > 495
+               FROM events_wf WHERE event_type = 'purchase' AND value > 200
                GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
                ORDER BY d WITH FILL FROM 0 TO 60""")
     },
     Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
                               count(*) AS cnt
-                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                       FROM events WHERE event_type = 'purchase' AND value > 200 GROUP BY 1),
                  axis AS (SELECT range AS g FROM range(0, 60))
             SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, coalesce(cnt, 0) AS cnt
             FROM axis FULL OUTER JOIN d ON d.d = axis.g
@@ -264,13 +268,18 @@ object Arrays {
       Tables(s, dir).events.createOrReplaceTempView("events_wfi")
       s.sql("""SELECT datediff(CAST(ts AS DATE), DATE '1995-01-01') AS d, count(*) AS cnt,
                       CAST(max(value) AS BIGINT) AS peak
-               FROM events_wfi WHERE event_type = 'purchase' AND value > 495
+               FROM events_wfi WHERE event_type = 'purchase' AND value > 200
                GROUP BY datediff(CAST(ts AS DATE), DATE '1995-01-01')
                ORDER BY d WITH FILL FROM 0 TO 60 INTERPOLATE (cnt AS cnt, peak AS peak - 3)""")
     },
     Some("""WITH d AS (SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
-                              count(*) AS cnt, CAST(max(value) AS BIGINT) AS peak
-                       FROM events WHERE event_type = 'purchase' AND value > 495 GROUP BY 1),
+                              count(*) AS cnt,
+                              -- floor, not bare CAST: DuckDB's double→bigint
+                              -- cast ROUNDS where Spark (and CH toInt64)
+                              -- truncate — masked while the filter matched
+                              -- zero rows, exposed by the round-18 re-seed
+                              CAST(floor(max(value)) AS BIGINT) AS peak
+                       FROM events WHERE event_type = 'purchase' AND value > 200 GROUP BY 1),
                  axis AS (SELECT range AS g FROM range(0, 60)),
                  j AS (SELECT CAST(coalesce(d.d, axis.g) AS INT) AS d, d.cnt AS cnt,
                               d.peak AS peak, (d.d IS NOT NULL) AS is_src

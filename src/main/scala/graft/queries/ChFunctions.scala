@@ -493,7 +493,7 @@ object ChFunctions {
     (s, dir) => {
       Tables(s, dir).orders.createOrReplaceTempView("orders_bm")
       s.sql("""WITH s AS (SELECT o_orderpriority AS prio, o_custkey % 4 AS b,
-                                 groupBitmapState(o_orderkey % 97) AS bm
+                                 groupBitmapState(o_orderkey % 997) AS bm
                           FROM orders_bm GROUP BY 1, 2),
                     folds AS (SELECT prio, groupBitmapOr(bm) AS or_card,
                                      groupBitmapAnd(bm) AS and_card,
@@ -517,7 +517,7 @@ object ChFunctions {
                ORDER BY prio""")
     },
     Some("""WITH base AS (SELECT o_orderpriority AS prio, o_custkey % 4 AS b,
-                                 o_orderkey % 97 AS x
+                                 o_orderkey % 997 AS x
                           FROM orders),
                  s AS (SELECT prio, b, list_sort(list_distinct(list(x))) AS bm
                        FROM base GROUP BY prio, b),

@@ -30,12 +30,28 @@ object DataPipeline {
   /** Exact dedup by md5 fingerprint of normalized text; keep min id. */
   val q40 = GraftQuery(
     "q40_dedup_exact",
-    (s, dir) => Dedup.exact(
-        docsNorm(Tables(s, dir)).withColumn("fp", md5(col("norm").cast("binary"))),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // round-18 vacuity audit: the corpus holds ZERO exact duplicates
+      // at the gate SF, so every group_size was 1 and the dedup never
+      // dropped a row — hash-green while exercising nothing. A 10%
+      // slice re-enters under shifted ids: those groups carry
+      // group_size 2 (the dup branch), the rest stay singletons.
+      val docs = t.documents.unionAll(
+        t.documents.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exact(
+        docs.withColumn("norm", TextAnalysis.normalize(col("text")))
+          .withColumn("fp", md5(col("norm").cast("binary"))),
         "doc_id", "fp")
-      .orderBy(col("fp")),
-    Some(s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
-             FROM documents GROUP BY 1 ORDER BY fp"""),
+        .orderBy(col("fp"))
+    },
+    Some(s"""WITH all_docs AS (SELECT doc_id, text FROM documents
+                               UNION ALL
+                               SELECT doc_id + 100000 AS doc_id, text
+                               FROM documents WHERE doc_id % 10 = 0)
+             SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+             FROM all_docs GROUP BY 1 ORDER BY fp"""),
   )
 
   /** Incremental dedup — the corpus-building loop: docs with
@@ -693,10 +709,23 @@ object DataPipeline {
   val q69 = GraftQuery(
     "q69_repetition",
     (s, dir) => TextAnalysis.repetitionSignals(
-        Tables(s, dir).documents.where(col("doc_id") < 200), "doc_id", "text")
+        Tables(s, dir).documents.where(col("doc_id") < 200)
+          // round-18 vacuity audit: no SF's corpus ever repeats a
+          // 5-gram, so dup_gram5_frac was 0.0 on every row — the
+          // Gopher 5-gram duplicate branch never fired. Docs below
+          // id 40 re-enter doubled, giving that branch real positives
+          // while the rest keep measuring the natural corpus.
+          .withColumn("text",
+            when(col("doc_id") < 40, concat(col("text"), lit(" "), col("text")))
+              .otherwise(col("text"))),
+        "doc_id", "text")
       .orderBy("doc_id"),
-    Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
-                        FROM documents WHERE doc_id < 200),
+    Some(s"""WITH docs2 AS (SELECT doc_id,
+                                   CASE WHEN doc_id < 40 THEN text || ' ' || text
+                                        ELSE text END AS text
+                            FROM documents WHERE doc_id < 200),
+                  t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                        FROM docs2),
                   base AS (SELECT doc_id, len(toks) AS n_words,
                                   round(list_sum(list_transform(toks, w -> len(w))) * 1.0 / len(toks), 4) AS mean_word_len
                            FROM t),
@@ -878,9 +907,13 @@ object DataPipeline {
       val t = Tables(s, dir)
       val lex = TextAnalysis.bm25(t.documents, "doc_id", "text", Seq("vector", "hash", "merge"))
         .select(col("doc_id"), round(col("score"), 4).as("s"))
-        .orderBy(col("s").desc, col("doc_id")).limit(20)
+        // round-18 vacuity audit: 20-row legs never overlapped at the
+        // gate SF, so every fused id had n_legs = 1 and the fusion
+        // summed nothing — 100-row legs share 17 ids at sf0.01 (both
+        // the 1-leg and 2-leg branches are real)
+        .orderBy(col("s").desc, col("doc_id")).limit(100)
       val dense = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding",
-        probeId = 0L, k = 20)
+        probeId = 0L, k = 100)
       TextAnalysis.rrfFuse(Seq((lex, "doc_id", "s"), (dense, "vec_id", "cos")), rrfK = 60, topK = 10)
     },
     Some(s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
@@ -896,7 +929,7 @@ object DataPipeline {
                          FROM tf JOIN dft USING (term), stats GROUP BY 1),
                   lex AS (SELECT doc_id AS id,
                                  row_number() OVER (ORDER BY s DESC, doc_id) AS r
-                          FROM sc QUALIFY r <= 20),
+                          FROM sc QUALIFY r <= 100),
                   m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                         FROM embeddings),
                   n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
@@ -906,7 +939,7 @@ object DataPipeline {
                                           / (m2.nrm * p.pn), 4) AS cos
                              FROM n m2, p WHERE m2.vec_id <> 0),
                   dense AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r
-                            FROM cosall QUALIFY r <= 20),
+                            FROM cosall QUALIFY r <= 100),
                   u AS (SELECT id, r FROM lex UNION ALL SELECT id, r FROM dense)
              SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf, count(*) AS n_legs
              FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 10"""),
