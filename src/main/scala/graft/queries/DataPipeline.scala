@@ -67,14 +67,26 @@ object DataPipeline {
       val docs = docsNorm(Tables(s, dir))
         .withColumn("fp", md5(col("norm").cast("binary")))
       val seen = docs.where(col("doc_id") < 300).select("fp").distinct()
-      Dedup.incrementalExact(docs.where(col("doc_id") >= 300), "doc_id", "fp", seen)
+      // round-18 vacuity audit: a disjoint batch (>= 300) never shared
+      // a fingerprint with the store, so neither the store-wins
+      // anti-join nor the within-batch min-id pass ever dropped a row.
+      // The batch now overlaps the store (250-299 drop store-side) and
+      // carries intra-batch duplicates (copies of 480-499 drop to the
+      // min-id originals) — both drop paths fire, survivors = 300-499.
+      val batch = docs.where(col("doc_id") >= 250).unionByName(
+        docs.where(col("doc_id") >= 480)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.incrementalExact(batch, "doc_id", "fp", seen)
         .select(col("doc_id"), col("fp"))
         .orderBy("doc_id")
     },
     Some(s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
                   seen AS (SELECT DISTINCT fp FROM f WHERE doc_id < 300),
-                  batch AS (SELECT * FROM f WHERE doc_id >= 300
-                            AND fp NOT IN (SELECT fp FROM seen))
+                  batch0 AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250
+                             UNION ALL
+                             SELECT doc_id + 100000 AS doc_id, fp FROM f WHERE doc_id >= 480),
+                  batch AS (SELECT * FROM batch0
+                            WHERE fp NOT IN (SELECT fp FROM seen))
              SELECT doc_id, fp FROM batch
              WHERE doc_id = (SELECT min(b2.doc_id) FROM batch b2 WHERE b2.fp = batch.fp)
              ORDER BY doc_id"""),
@@ -1563,7 +1575,16 @@ object DataPipeline {
 
   val q47 = GraftQuery(
     "q47_semdedup",
-    (s, dir) => Similarity.semanticDedup(Tables(s, dir).embeddings,
+    // round-18 vacuity audit: no two corpus embeddings reach cos 0.85
+    // at the gate SF, so n_survivors == n_vectors in EVERY bucket —
+    // the dedup never dropped a vector. Vectors below id 100 re-enter
+    // as exact copies (cos 1.0, same hyperplane bucket by
+    // construction): their buckets now drop the copy while untouched
+    // buckets keep everything — both branches real.
+    (s, dir) => Similarity.semanticDedup(
+        Tables(s, dir).embeddings.unionByName(
+          Tables(s, dir).embeddings.where(col("vec_id") < 100)
+            .withColumn("vec_id", col("vec_id") + 100000)),
         "vec_id", "embedding", numPlanes = 8, dim = 64, minCos = 0.85)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"),
@@ -1575,7 +1596,11 @@ object DataPipeline {
               FROM generate_series(0, 7) j(j), generate_series(0, 63) i(i)
               GROUP BY j.j),
             v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                  FROM embeddings),
+                  FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 100000 AS vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings WHERE vec_id < 100),
             coded AS (
               SELECT vec_id, v,
                      CAST(sum(CASE WHEN list_sum(list_transform(list_zip(v.v, p.w), q -> q[1] * q[2])) >= 0
