@@ -57,6 +57,20 @@ object ChDialect {
     fnMap(base)(args.init :+ nullIfNot(cond, args.last))
   }
 
+  /** Accumulator type for the running-sum/difference array kernels:
+    * integral elements keep integral sums (CH returns Int64 for
+    * arrayCumSum of ints, never Float — the round-18 dialect fuzz
+    * caught the unconditional Double). Double for floats/decimals and
+    * while the child is still unresolved. */
+  private def cumAccType(arr: Expression): DataType =
+    if (!arr.resolved) DoubleType
+    else arr.dataType match {
+      case ArrayType(et, _) if et == org.apache.spark.sql.types.ByteType ||
+        et == org.apache.spark.sql.types.ShortType ||
+        et == IntegerType || et == LongType => LongType
+      case _ => DoubleType
+    }
+
   private def lamVar(name: String): UnresolvedNamedLambdaVariable =
     UnresolvedNamedLambdaVariable(Seq(name))
 
@@ -3198,11 +3212,16 @@ object ChDialect {
     "arrayCumSum" -> (es => {
       val acc = lamVar("gr_acc")
       val x   = lamVar("gr_x")
-      val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0d),
+      // CH keeps integral running sums integral (arrayCumSum([6,-9])
+      // = [6,-3] Int64, never [6.0,-3.0]) — the round-18 dialect fuzz
+      // caught the unconditional Double accumulator. Long carries any
+      // integral element; floats stay Double.
+      val accT = cumAccType(es.head)
+      val last = If(EqualTo(Size(acc), Literal(0)), Literal.default(accT),
         ElementAt(acc, Literal(-1), None, failOnError = false))
       ArrayAggregate(es.head,
-        Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
-        LambdaFunction(Concat(Seq(acc, CreateArray(Seq(Add(last, Cast(x, DoubleType)))))), Seq(acc, x)),
+        Literal.create(Array.empty[Any], org.apache.spark.sql.types.ArrayType(accT)),
+        LambdaFunction(Concat(Seq(acc, CreateArray(Seq(Add(last, Cast(x, accT)))))), Seq(acc, x)),
         LambdaFunction.identity)
     }),
     // running sum clamped at zero after each step (CH's gauge-reset
@@ -3210,24 +3229,26 @@ object ChDialect {
     "arrayCumSumNonNegative" -> (es => {
       val acc = lamVar("gr_acc")
       val x   = lamVar("gr_x")
-      val last = If(EqualTo(Size(acc), Literal(0)), Literal(0.0d),
+      val accT = cumAccType(es.head)
+      val last = If(EqualTo(Size(acc), Literal(0)), Literal.default(accT),
         ElementAt(acc, Literal(-1), None, failOnError = false))
       ArrayAggregate(es.head,
-        Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
+        Literal.create(Array.empty[Any], org.apache.spark.sql.types.ArrayType(accT)),
         LambdaFunction(Concat(Seq(acc, CreateArray(Seq(
-          Greatest(Seq(Literal(0.0d), Add(last, Cast(x, DoubleType)))))))), Seq(acc, x)),
+          Greatest(Seq(Literal.default(accT), Add(last, Cast(x, accT)))))))), Seq(acc, x)),
         LambdaFunction.identity)
     }),
     "arrayDifference" -> (es => {
       val arr = es.head
+      val accT = cumAccType(arr)
       val i = lamVar("gr_i")
       If(LessThanOrEqual(Size(arr), Literal(0)),
-        Literal.create(Array.empty[Double], org.apache.spark.sql.types.ArrayType(DoubleType)),
+        Literal.create(Array.empty[Any], org.apache.spark.sql.types.ArrayType(accT)),
         ArrayTransform(new Sequence(Literal(1), Size(arr), None),
           LambdaFunction(
-            If(EqualTo(i, Literal(1)), Literal(0.0d),
-              Subtract(Cast(ElementAt(arr, i, None, failOnError = false), DoubleType),
-                Cast(ElementAt(arr, Subtract(i, Literal(1)), None, failOnError = false), DoubleType))),
+            If(EqualTo(i, Literal(1)), Literal.default(accT),
+              Subtract(Cast(ElementAt(arr, i, None, failOnError = false), accT),
+                Cast(ElementAt(arr, Subtract(i, Literal(1)), None, failOnError = false), accT))),
             Seq(i))))
     }),
     // uniqUpTo(N)(x): exact distinct count saturating at N+1 (CH
