@@ -140,7 +140,9 @@ object SystemViews {
     * IO-bound (listStatus RPCs, footer reads), so a small fixed pool
     * gets near-linear speedup; the pool is per-call, so no threads
     * leak and nested waves can't deadlock each other. */
-  private val footerPoolSize = 16
+  // env-overridable so the rehearsal can measure the serial baseline
+  private val footerPoolSize =
+    sys.env.get("GRAFT_PARTS_POOL").map(_.toInt).filter(_ > 0).getOrElse(16)
   private def driverPar[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.lengthCompare(1) <= 0) items.map(f)
     else {
