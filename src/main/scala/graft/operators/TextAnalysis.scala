@@ -254,24 +254,27 @@ object TextAnalysis {
   def rrfFuse(legs: Seq[(DataFrame, String, String)], rrfK: Int = 60,
               topK: Int = 10, maxLegRows: Int = 100000): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
-    // ENFORCE the bounded-leg contract before the global rank windows
-    // below see a row: those windows are un-partitioned (single task),
-    // safe only because each leg is a top-N result frame. An unbounded
-    // leg would silently become a one-task external sort — refuse it
-    // loudly instead. limit(cap+1).count() short-circuits per
-    // partition, so the check costs one bounded pass per leg; callers
-    // with expensive legs should .cache() them before fusing.
-    legs.zipWithIndex.foreach { case ((df, _, _), i) =>
-      val n = df.limit(maxLegRows + 1).count()
-      require(n <= maxLegRows,
-        s"rrfFuse leg $i exceeds maxLegRows=$maxLegRows; legs must be bounded " +
-          "top-N frames — pre-limit each leg (.limit(n)) or raise maxLegRows")
-    }
-    val ranked = legs.map { case (df, idCol, scoreCol) =>
+    // ENFORCE the bounded-leg contract IN the plan, not with an eager
+    // count: the rank windows below are un-partitioned (single task),
+    // safe only because each leg is a top-N result frame, and an
+    // unbounded leg would silently become a one-task external sort.
+    // Each leg caps at limit(maxLegRows + 1) — never ranking more than
+    // cap+1 rows — and a rank reaching cap+1 proves the leg overflowed
+    // and raises at execution. One pass per leg (the first cut of this
+    // check ran limit().count() eagerly, which EXECUTED every leg
+    // twice — exactly doubling q57b's expensive BM25/dense legs; the
+    // sf10 bench cell read 1.93× and gave it away).
+    val ranked = legs.zipWithIndex.map { case ((df, idCol, scoreCol), i) =>
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col(scoreCol).desc, col(idCol))
-      df.select(col(idCol).cast("long").as("id"),
-        row_number().over(w).as("__rank"))
+      df.limit(maxLegRows + 1)
+        .select(col(idCol).cast("long").as("id"),
+          row_number().over(w).as("__rank"))
+        .withColumn("__rank",
+          when(col("__rank") <= maxLegRows, col("__rank"))
+            .otherwise(raise_error(lit(
+              s"rrfFuse leg $i exceeds maxLegRows=$maxLegRows; legs must be bounded " +
+                "top-N frames — pre-limit each leg (.limit(n)) or raise maxLegRows"))))
     }
     ranked.reduce(_ unionAll _)
       .groupBy(col("id"))

@@ -98,11 +98,14 @@ class Round18AdviceSpec extends SparkSpec {
 
   test("rrfFuse refuses a leg above maxLegRows with pre-limit guidance") {
     val big = spark.range(0, 500).select($"id", rand(7).as("score"))
-    val e = intercept[IllegalArgumentException] {
-      graft.operators.TextAnalysis.rrfFuse(
-        Seq((big, "id", "score")), maxLegRows = 100)
-    }
-    assert(e.getMessage.contains("pre-limit"), e.getMessage)
+    // the cap lives IN the plan (one pass per leg — an eager count
+    // executed every leg twice), so the refusal fires at execution
+    val fused = graft.operators.TextAnalysis.rrfFuse(
+      Seq((big, "id", "score")), maxLegRows = 100)
+    val e = intercept[Exception](fused.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pre-limit")), msgs(e).mkString(" | "))
   }
 
   test("rrfFuse under the cap fuses as before") {
