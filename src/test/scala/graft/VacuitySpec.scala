@@ -15,7 +15,7 @@ import org.apache.spark.sql.Row
   * asserts per-query EFFECT predicates: filled rows exist AND real
   * rows exist for the fill family, duplicate groups AND singletons for
   * dedup, matches for search/sequence, both branches for conditionals,
-  * funnel monotonicity, roundtrip invariants, approximation error
+  * funnel/level structure, roundtrip invariants, approximation error
   * bounds. The name table is machine-locked to the registry — adding a
   * query without an effect assertion fails the suite (same discipline
   * as SurveyConsistencySpec).
