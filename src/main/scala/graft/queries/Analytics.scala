@@ -346,6 +346,36 @@ object Analytics {
             WHERE rn <= 3 ORDER BY o_orderpriority, rn"""),
   )
 
+  /** Tie-admitting top-k: `rank() <= k` keeps EVERY row tied at the
+    * boundary (the k-th rank's whole tie group), with rank gaps after
+    * ties — semantics a k-bounded row heap cannot produce. Round 19's
+    * TopKRewrite plans this spelling as the [[graft.plans.GraftRankTopK]]
+    * aggregate (groups ordered in a TreeMap, pruned by the rank rule),
+    * so the window plan's map-side full task sort disappears: wgl 0,
+    * sort −2 in the fingerprint. The fixture is deliberately tie-rich:
+    * coarse value buckets ranked DESC give tie groups of 2–4 rows,
+    * rank gaps (1,2,4,…) and a boundary group overflowing k. Output
+    * rows within a (grp, bucket) pair are full duplicates, so the
+    * ORDER BY is total for the hash gate. */
+  val q16c = GraftQuery(
+    "q16c_rank_ties",
+    (s, dir) => {
+      val w = Window.partitionBy(col("grp")).orderBy(col("bucket").desc)
+      Tables(s, dir).events
+        .where(col("event_id") <= 2000)
+        .select((col("user_id") % 4).as("grp"),
+                floor(col("value") / 10).cast("int").as("bucket"))
+        .select(col("grp"), col("bucket"), rank().over(w).as("rk"))
+        .where(col("rk") <= 5)
+        .orderBy(col("grp"), col("bucket").desc)
+    },
+    Some("""SELECT grp, bucket, rk FROM (
+              SELECT grp, bucket, rank() OVER (PARTITION BY grp ORDER BY bucket DESC) AS rk
+              FROM (SELECT user_id % 4 AS grp, CAST(floor(value / 10) AS INT) AS bucket
+                    FROM events WHERE event_id <= 2000) t)
+            WHERE rk <= 5 ORDER BY grp, bucket DESC"""),
+  )
+
   private def dailyByType(t: Tables) =
     t.events.groupBy(col("event_type"), ch.toStartOfDay(col("ts")).as("day"))
       .agg(round(sum("value"), 2).as("v"))
@@ -481,6 +511,6 @@ object Analytics {
   )
 
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-                                 q11, q12, q13, q13b, q14, q15, q15b, q16, q16b, q17,
+                                 q11, q12, q13, q13b, q14, q15, q15b, q16, q16b, q16c, q17,
                                  q18, q18b, q19, q20)
 }

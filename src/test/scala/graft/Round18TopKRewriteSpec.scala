@@ -114,12 +114,17 @@ class Round18TopKRewriteSpec extends SparkSpec {
     assert(df.select("key").as[Long].collect().toSeq == Seq(1L, 2L, 6L))
   }
 
-  test("rank/dense_rank do NOT rewrite (ties admit >k rows)") {
-    val w = Window.partitionBy("g").orderBy(col("price").desc)
+  test("rank/dense_rank route to the tie-admitting kernel, never the row heap (round 19)") {
+    // round 18 refused these outright (a k-bounded row heap would
+    // silently drop boundary ties); round 19 rewrites them onto
+    // graft_rank_topk instead — Round19RankTopKSpec owns the semantics
+    val w = Window.partitionBy("g").orderBy(col("key"))
     val r = base.select(col("g"), rank().over(w).as("rn")).where(col("rn") <= 2)
     assert(!planOf(r).contains("graft_row_topk"))
+    assert(planOf(r).contains("graft_rank_topk"))
     val d = base.select(col("g"), dense_rank().over(w).as("rn")).where(col("rn") <= 2)
     assert(!planOf(d).contains("graft_row_topk"))
+    assert(planOf(d).contains("graft_rank_topk"))
   }
 
   test("a second surviving window output blocks the rewrite") {

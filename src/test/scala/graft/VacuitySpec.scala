@@ -120,6 +120,19 @@ class VacuitySpec extends SparkSpec {
     // C. windows
     "q16_topn_per_group" -> Seq(distinctAtLeast("o_orderpriority", 5), distinctAtLeast("rn", 3)),
     "q16b_topn_agg" -> Seq(distinctAtLeast("o_orderpriority", 5), distinctAtLeast("rn", 3)),
+    // the rank gate must exercise what row_number cannot: tie groups
+    // (duplicate (grp,bucket) rows), rank GAPS after ties, and a
+    // boundary tie group overflowing k=5 rows in some partition
+    "q16c_rank_ties" -> Seq(rowsAtLeast(17), distinctAtLeast("rk", 3),
+      check("some tie group has >1 row")(rs =>
+        rs.groupBy(r => (r.get(0), r.get(1))).values.exists(_.length > 1)),
+      check("rank gap after a tie (rank semantics, not dense_rank)")(rs =>
+        rs.groupBy(_.get(0)).values.exists { g =>
+          val rks = g.map(r => num(r.get(r.fieldIndex("rk")))).distinct.sorted
+          rks.zip(rks.drop(1)).exists { case (a, b) => b - a > 1 }
+        }),
+      check("some partition admits >k rows (boundary ties beyond k)")(rs =>
+        rs.groupBy(_.get(0)).values.exists(_.length > 5))),
     "q17_running_sum" -> Seq(distinctAtLeast("event_type", 5), distinctAtLeast("running", 100), pos("running")),
     "q18_lag_delta" -> Seq(nullAndNot("delta"), some("delta")("negative", v => num(v) < 0)),
     "q18b_ch_window" -> Seq(nullAndNot("next_ok"), pos("first_ok")),
