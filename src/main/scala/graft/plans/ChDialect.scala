@@ -60,10 +60,19 @@ object ChDialect {
   /** Accumulator type for the running-sum/difference array kernels:
     * integral elements keep integral sums (CH returns Int64 for
     * arrayCumSum of ints, never Float — the round-18 dialect fuzz
-    * caught the unconditional Double). Double for floats/decimals and
-    * while the child is still unresolved. */
+    * caught the unconditional Double). Double for floats/decimals.
+    * The type is BAKED at build time, so an unresolved child must
+    * fail loudly here: silently defaulting to Double would reintroduce
+    * the exact integral-sums-in-Double bug on any future direct-
+    * construction call path (round-19 ADVICE). The registered-function
+    * path always arrives resolved — the analyzer only invokes builders
+    * once children are resolved. */
   private def cumAccType(arr: Expression): DataType =
-    if (!arr.resolved) DoubleType
+    if (!arr.resolved) throw new IllegalStateException(
+      "arrayCumSum/arrayCumSumNonNegative/arrayDifference bake their accumulator type from " +
+        "the array element type at build time; got an UNRESOLVED child — resolve the argument " +
+        "before constructing the kernel (a silent Double default would diverge from CH's " +
+        "integral sums)")
     else arr.dataType match {
       case ArrayType(et, _) if et == org.apache.spark.sql.types.ByteType ||
         et == org.apache.spark.sql.types.ShortType ||

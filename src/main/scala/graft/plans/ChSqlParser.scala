@@ -2775,14 +2775,13 @@ object ChSqlParser {
               val k = stale.get
               val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
               val leadPart = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
-              val srcSel = cols.mkString(", ") +
-                (if (affine) ", true AS gr_is_src__" else "")
+              val srcSel = cols.mkString(", ") + ", true AS gr_is_src__"
               val fillSel = cols.map { n =>
                 if (n == fillCol) s"gr_fill__ AS $n"
                 else if (prefix.contains(n)) n
                 else if (interp.contains(n)) s"NULL AS $n" // the INTERPOLATE windows fill below
                 else s"NULL AS $n" // typed default applied post-union (see unionFill)
-              }.mkString(", ") + (if (affine) ", false AS gr_is_src__" else "")
+              }.mkString(", ") + ", false AS gr_is_src__"
               s"""(WITH gr_fill_src__ AS (SELECT $body)
                  |SELECT $srcSel FROM gr_fill_src__
                  |UNION ALL
@@ -2807,14 +2806,13 @@ object ChSqlParser {
               val sIv = staleIvStep.get
               val pfxSel = if (prefix.isEmpty) "" else s"$pfx, "
               val leadPart = if (prefix.isEmpty) "" else s"PARTITION BY $pfx "
-              val srcSel = cols.mkString(", ") +
-                (if (affine) ", true AS gr_is_src__" else "")
+              val srcSel = cols.mkString(", ") + ", true AS gr_is_src__"
               val fillSel = cols.map { n =>
                 if (n == fillCol) s"gr_fill__ AS $n"
                 else if (prefix.contains(n)) n
                 else if (interp.contains(n)) s"NULL AS $n" // the INTERPOLATE windows fill below
                 else s"NULL AS $n" // typed default applied post-union (see unionFill)
-              }.mkString(", ") + (if (affine) ", false AS gr_is_src__" else "")
+              }.mkString(", ") + ", false AS gr_is_src__"
               s"""(WITH gr_fill_src__ AS (SELECT $body)
                  |SELECT $srcSel FROM gr_fill_src__
                  |UNION ALL
@@ -2890,12 +2888,15 @@ object ChSqlParser {
           // to bigint and made date/timestamp passengers fail UNION
           // analysis); the TYPE default (graft_fill_default — 0 / ''
           // / epoch, CH's fill values) applies HERE, post-union, where
-          // the column carries its source type. The joined branches
-          // already coalesce inside `sel`.
+          // the column carries its source type — gated on the
+          // gr_is_src__ marker (round-19 ADVICE): only GENERATED fill
+          // rows take the default; a genuinely-NULL passenger on a
+          // SOURCE row stays NULL, as CH outputs original rows
+          // unchanged. The joined branches coalesce inside `sel`.
           val unionFill = stale.isDefined || staleIv.isDefined
           def passDefault(n: String): String =
             if (unionFill && n != fillCol && !prefix.contains(n) && !interp.contains(n))
-              s"coalesce($n, graft_fill_default($n)) AS $n"
+              s"CASE WHEN gr_is_src__ THEN $n ELSE graft_fill_default($n) END AS $n"
             else n
           // the INTERPOLATE windows and the final sort respect the
           // prefix: each group carries/ramps its own series
