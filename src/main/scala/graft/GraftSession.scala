@@ -49,6 +49,14 @@ object GraftSession {
   def builder(appName: String = "graft",
               master: Option[String] = None,
               shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    // Arrow IPC (FORMAT Arrow/ArrowStream) allocates through
+    // arrow-memory-netty; on JDK 9+ netty grants the reflective
+    // access Arrow needs only when this is set BEFORE netty's
+    // PlatformDependent0 loads. spark-submit injects it
+    // (JavaModuleOptions); the driver's bare `java -cp` Verify/Bench
+    // invocations do not — so set it here, ahead of the SparkContext
+    // (whose RPC layer is what first loads netty in this JVM).
+    System.setProperty("io.netty.tryReflectiveSetAccessible", "true")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .appName(appName)

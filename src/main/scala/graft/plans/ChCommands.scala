@@ -1605,7 +1605,9 @@ case class ChSystemCommand(reloadDict: Option[Option[String]] = None,
   * output is overwritten — re-running an export script must
   * converge, not fail. */
 case class ChIntoOutfileCommand(innerSql: String, path: String,
-                                format: Option[String]) extends LeafRunnableCommand {
+                                format: Option[String],
+                                compression: Option[String] = None,
+                                level: Option[Int] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("rows_written", LongType, nullable = false)())
 
@@ -1623,18 +1625,87 @@ case class ChIntoOutfileCommand(innerSql: String, path: String,
         // OUTFILE → INFILE round trip depends on it)
         val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INTO OUTFILE"))
           .getOrElse("Parquet")
+        val codec = compression.map(_.toLowerCase).filterNot(_ == "none")
+        // COMPRESSION applies to the TEXT formats (round 19): the
+        // binary formats carry their own internal codecs, and a
+        // double-compressed parquet is a trap, not a feature
+        codec.foreach { c =>
+          if (!(fmt.startsWith("CSV") || fmt.startsWith("TSV") ||
+                fmt == "TabSeparated" || fmt == "TabSeparatedWithNames" ||
+                fmt == "JSONEachRow"))
+            throw new UnsupportedOperationException(
+              s"INTO OUTFILE COMPRESSION '$c' FORMAT $fmt: compression applies to the text " +
+                s"formats; $fmt is internally compressed — use its own codec options")
+        }
+        if (codec.isEmpty && level.isDefined) throw new IllegalArgumentException(
+          "INTO OUTFILE LEVEL needs a COMPRESSION type to apply to")
         graft.sources.Formats.write(df.coalesce(1), tmp.toString, fmt)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.startsWith("part-"))
         fs.delete(out, true)
-        part match {
-          case Some(p) => fs.rename(p, out)
-          case None => fs.create(out, true).close() // empty result, no part file
+        (part, codec) match {
+          case (Some(p), None) => fs.rename(p, out)
+          case (Some(p), Some(c)) =>
+            val is = fs.open(p)
+            val raw = fs.create(out, true)
+            val os = ChOutfileCompression.wrap(raw, c, level, "INTO OUTFILE")
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var r = is.read(buf)
+              while (r >= 0) { if (r > 0) os.write(buf, 0, r); r = is.read(buf) }
+            } finally { os.close(); is.close() }
+          case (None, _) => fs.create(out, true).close() // empty result, no part file
         }
       } finally fs.delete(tmp, true)
       Seq(Row(n))
     } finally df.unpersist()
   }
+}
+
+/** Compression codecs for `INTO OUTFILE … COMPRESSION 'c' [LEVEL n]`
+  * and `FROM INFILE … COMPRESSION 'c'` (round 19) — the stock-JVM +
+  * Spark-classpath set: gzip / deflate (java.util.zip, levels 1-9),
+  * zstd (zstd-jni, levels 1-22), lz4 frame (lz4-java, no level
+  * dial — LEVEL with lz4 refuses rather than silently ignoring).
+  * br / xz / bz2 have no codec on this classpath and refuse naming
+  * the supported set. */
+private[plans] object ChOutfileCompression {
+  private def badLevel(c: String, n: Int, range: String, ctx: String): Nothing =
+    throw new IllegalArgumentException(s"$ctx COMPRESSION '$c' LEVEL $n: valid levels are $range")
+
+  def wrap(os: java.io.OutputStream, codec: String, level: Option[Int],
+           ctx: String): java.io.OutputStream = codec match {
+    case "gzip" =>
+      val lv = level.getOrElse(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      if (level.exists(l => l < 1 || l > 9)) badLevel(codec, level.get, "1-9", ctx)
+      new java.util.zip.GZIPOutputStream(os) { `def`.setLevel(lv) }
+    case "deflate" =>
+      if (level.exists(l => l < 1 || l > 9)) badLevel(codec, level.get, "1-9", ctx)
+      new java.util.zip.DeflaterOutputStream(os,
+        new java.util.zip.Deflater(level.getOrElse(java.util.zip.Deflater.DEFAULT_COMPRESSION)))
+    case "zstd" =>
+      if (level.exists(l => l < 1 || l > 22)) badLevel(codec, level.get, "1-22", ctx)
+      val z = new com.github.luben.zstd.ZstdOutputStream(os)
+      level.foreach(z.setLevel)
+      z
+    case "lz4" =>
+      if (level.isDefined) throw new UnsupportedOperationException(
+        s"$ctx COMPRESSION 'lz4' has no LEVEL dial in the lz4 frame codec here — drop LEVEL " +
+          "or pick gzip/zstd")
+      new net.jpountz.lz4.LZ4FrameOutputStream(os)
+    case other => throw new UnsupportedOperationException(
+      s"$ctx COMPRESSION '$other': supported here are none, gzip, deflate, zstd, lz4")
+  }
+
+  def unwrap(is: java.io.InputStream, codec: String, ctx: String): java.io.InputStream =
+    codec match {
+      case "gzip"    => new java.util.zip.GZIPInputStream(is)
+      case "deflate" => new java.util.zip.InflaterInputStream(is)
+      case "zstd"    => new com.github.luben.zstd.ZstdInputStream(is)
+      case "lz4"     => new net.jpountz.lz4.LZ4FrameInputStream(is)
+      case other => throw new UnsupportedOperationException(
+        s"$ctx COMPRESSION '$other': supported here are none, auto, gzip, deflate, zstd, lz4")
+    }
 }
 
 /** Shared assembly for the INSERT-ingestion commands (round 16). */
@@ -1653,9 +1724,11 @@ private[plans] object ChInsertIngest {
       case "jsoneachrow" | "ndjson"          => "JSONEachRow"
       case "parquet" | "native"              => "Parquet"
       case "orc"                             => "ORC"
+      case "arrow"                           => "Arrow"
+      case "arrowstream"                     => "ArrowStream"
       case other => throw new UnsupportedOperationException(
         s"$context FORMAT $other: supported here are Parquet, CSV[WithNames], " +
-          "TSV/TabSeparated[WithNames], JSONEachRow, ORC")
+          "TSV/TabSeparated[WithNames], JSONEachRow, ORC, Arrow, ArrowStream")
     }
 
   /** FORMAT omitted → infer from the file extension (CH's own rule);
@@ -1668,9 +1741,12 @@ private[plans] object ChInsertIngest {
       case "json" | "ndjson" | "jsonl" => "JSONEachRow"
       case "parquet"                  => "Parquet"
       case "orc"                      => "ORC"
+      case "arrow"                    => "Arrow"
+      case "arrows"                   => "ArrowStream"
       case _ => throw new IllegalArgumentException(
         s"INSERT FROM INFILE: cannot infer a format from '$path' — add FORMAT <f> " +
-          "(Parquet, CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow, ORC)")
+          "(Parquet, CSV[WithNames], TSV/TabSeparated[WithNames], JSONEachRow, ORC, " +
+          "Arrow, ArrowStream)")
     }
   }
 
@@ -1761,16 +1837,43 @@ case class ChInsertFromInfileCommand(table: String, cols: Seq[String], path: Str
     AttributeReference("rows_inserted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    compression.filterNot(c => c.equalsIgnoreCase("none") || c.equalsIgnoreCase("auto"))
-      .foreach(c => throw new UnsupportedOperationException(
-        s"INSERT FROM INFILE COMPRESSION '$c': only 'none'/'auto' execute here — " +
-          "decompress the file first, or land it as Parquet/ORC (internally compressed)"))
+    val codec = compression.map(_.toLowerCase)
+      .filterNot(c => c == "none" || c == "auto")
+    // strip a compression extension before inferring the format:
+    // CH spells the round trip `INTO OUTFILE 'x.csv.gz' COMPRESSION
+    // 'gzip'` / `FROM INFILE 'x.csv.gz' COMPRESSION 'gzip'`
+    val inferPath = codec.fold(path)(_ =>
+      path.replaceAll("""(?i)\.(gz|zst|lz4|deflate)$""", ""))
     val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INSERT FROM INFILE"))
-      .getOrElse(ChInsertIngest.inferFormat(path))
+      .getOrElse(ChInsertIngest.inferFormat(inferPath))
     val schema = ChInsertIngest.fileSchema(spark, table, cols)
-    // strict read: malformed rows / failed conversions refuse (CH
-    // rejects bad input rows); *WithNames formats map by HEADER NAME
-    val df = graft.sources.Formats.readIngest(spark, path, fmt, schema, "INSERT FROM INFILE")
+    val df = codec match {
+      case None =>
+        // strict read: malformed rows / failed conversions refuse (CH
+        // rejects bad input rows); *WithNames map by HEADER NAME.
+        // 'auto' rides the native reader: Spark's text sources
+        // decompress by extension (.gz etc.) on their own
+        graft.sources.Formats.readIngest(spark, path, fmt, schema, "INSERT FROM INFILE")
+      case Some(c) =>
+        // explicit codec (round 19, the OUTFILE COMPRESSION twin):
+        // text formats only — decompress the single console-scale
+        // file, split records, and parse through the same strict
+        // reader as the inline-payload path
+        if (fmt == "Parquet" || fmt == "ORC" || fmt.startsWith("Arrow"))
+          throw new UnsupportedOperationException(
+            s"INSERT FROM INFILE COMPRESSION '$c' FORMAT $fmt: explicit compression applies " +
+              s"to the text formats; $fmt is internally compressed")
+        val in = new org.apache.hadoop.fs.Path(path)
+        val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+        val is = ChOutfileCompression.unwrap(fs.open(in), c, "INSERT FROM INFILE")
+        val body = try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                   finally is.close()
+        val lines = (if (fmt.startsWith("CSV")) ChInsertIngest.splitCsvRecords(body)
+                     else body.split("\r?\n").toSeq).filter(_.trim.nonEmpty)
+        import spark.implicits._
+        graft.sources.Formats.parseIngest(spark, spark.createDataset(lines), fmt, schema,
+          "INSERT FROM INFILE")
+    }
     Seq(Row(ChInsertIngest.appendInto(spark, table, cols, df)))
   }
 }

@@ -875,11 +875,12 @@ object ChSqlParser {
     * lands at the path in the named format. Captured on the RAW text
     * because the rewrite chain would otherwise strip the clause. */
   private val IntoOutfileStmt =
-    """(?is)^\s*((?:\(\s*)*(?:SELECT|WITH)\b.*\S)\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*$""".r
+    """(?is)^\s*((?:\(\s*)*(?:SELECT|WITH)\b.*\S)\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+COMPRESSION\s+'(\w+)'(?:\s+LEVEL\s+(\d+))?)?(?:\s+FORMAT\s+(\w+))?\s*;?\s*$""".r
 
   private[plans] def interceptOutfile(sql: String): Option[LogicalPlan] =
     IntoOutfileStmt.findFirstMatchIn(sql).map { m =>
-      ChIntoOutfileCommand(m.group(1), m.group(2), Option(m.group(3)))
+      ChIntoOutfileCommand(m.group(1), m.group(2), Option(m.group(5)),
+        Option(m.group(3)), Option(m.group(4)).map(_.toInt))
     }
 
   /** `INSERT INTO t [(cols)] FROM INFILE 'path' [COMPRESSION 'c']

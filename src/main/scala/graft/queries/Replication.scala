@@ -360,6 +360,39 @@ object Replication {
             GROUP BY 1 ORDER BY o_orderpriority"""),
   )
 
+  /** Arrow IPC in the registry (round 19, `graft.sources.ArrowIpc`):
+    * a slice of orders — timestamps included, the type Arrow exports
+    * most often trip on — lands as the random-access Arrow FILE
+    * format and as ArrowStream, reads back through the same format
+    * names, and the round-tripped union must aggregate exactly like
+    * the parquet original (the oracle never sees the files). The
+    * write runs distributed (one IPC part file per partition); the
+    * read decodes one file per task. */
+  val q30c = GraftQuery(
+    "q30c_arrow_roundtrip",
+    (s, dir) => {
+      val root = s"/tmp/graft_arrow/${dir.replaceAll("[^A-Za-z0-9]", "_")}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val slice = Tables(s, dir).orders
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+                col("o_orderdate"))
+      graft.sources.Formats.write(slice, s"$root/arrow", "Arrow")
+      graft.sources.Formats.write(slice, s"$root/arrows", "ArrowStream")
+      val file   = graft.sources.Formats.read(s, s"$root/arrow", "Arrow")
+      val stream = graft.sources.Formats.read(s, s"$root/arrows", "ArrowStream")
+      file.unionByName(stream)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"),
+             max(col("o_orderdate")).as("latest"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, 2 * count(*) AS cnt,
+                   round(2 * sum(o_totalprice), 2) AS total,
+                   max(o_orderdate) AS latest
+            FROM orders WHERE o_orderkey <= 2000
+            GROUP BY 1 ORDER BY o_orderpriority"""),
+  )
+
   /** SummingMergeTree FINAL (`Replicate.collapseSumming`): pre-agg
     * rows collapse per sorting key with numeric columns summed and
     * the remaining payload taking the deterministic group minimum —
@@ -846,5 +879,5 @@ object Replication {
             GROUP BY 1 ORDER BY prio"""),
   )
 
-  val all: Seq[GraftQuery] = Seq(q30, q30b, q31, q32, q33, q34, q35, q35b, q35c, q36, q36b, q36c, q37, q39, q98, q98b, q98c, q100, q101, q102, q103, q104, q105)
+  val all: Seq[GraftQuery] = Seq(q30, q30b, q30c, q31, q32, q33, q34, q35, q35b, q35c, q36, q36b, q36c, q37, q39, q98, q98b, q98c, q100, q101, q102, q103, q104, q105)
 }

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * Supported names (case-sensitive, CH spellings): CSV /
   * CSVWithNames, TSV / TabSeparated / TSVWithNames /
-  * TabSeparatedWithNames, JSONEachRow, Parquet, ORC. Unknown names
+  * TabSeparatedWithNames, JSONEachRow, Parquet, ORC, Arrow /
+  * ArrowStream (round 19, [[ArrowIpc]]). Unknown names
   * fail loudly. Readers take an optional explicit DDL schema —
   * header-less formats otherwise surface _c0-style names, exactly
   * like Spark, and that is the caller's signal to pass one. */
@@ -33,6 +34,10 @@ object Formats {
 
   def read(spark: SparkSession, path: String, format: String,
            schemaDdl: Option[String] = None): DataFrame = {
+    // Arrow formats carry a structural schema (like Parquet/ORC) —
+    // the DDL parameter is ignored, never silently applied
+    if (format == "Arrow") return ArrowIpc.readDir(spark, path, stream = false)
+    if (format == "ArrowStream") return ArrowIpc.readDir(spark, path, stream = true)
     val r0 = spark.read
     val withSchema = schemaDdl.fold(r0.option("inferSchema", "true"))(r0.schema)
     val (r, src) = base(withSchema, format)
@@ -86,7 +91,17 @@ object Formats {
     * structural) and map by name as always. */
   def readIngest(spark: SparkSession, path: String, format: String,
                  schema: StructType, ctx: String): DataFrame =
-    if (isWithNames(format)) {
+    if (format == "Arrow" || format == "ArrowStream") {
+      // structural schema, like Parquet: map by NAME onto the target
+      // columns with casts; a missing column refuses
+      import org.apache.spark.sql.functions.col
+      val raw = ArrowIpc.readDir(spark, path, format == "ArrowStream")
+      val missing = schema.fieldNames.toSeq.filterNot(raw.columns.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"$ctx FORMAT $format: the file lacks column(s) ${missing.mkString(", ")} " +
+          s"(file schema: ${raw.columns.mkString(", ")})")
+      raw.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    } else if (isWithNames(format)) {
       val (r, _) = base(spark.read.option("mode", "FAILFAST")
         .option("inferSchema", "false"), format)
       mapByName(r.csv(path), schema, s"$ctx FORMAT $format")
@@ -130,6 +145,8 @@ object Formats {
     case "JSONEachRow"  => df.write.mode("overwrite").json(path)
     case "Parquet"      => df.write.mode("overwrite").parquet(path)
     case "ORC"          => df.write.mode("overwrite").orc(path)
+    case "Arrow"        => ArrowIpc.writeDir(df, path, stream = false)
+    case "ArrowStream"  => ArrowIpc.writeDir(df, path, stream = true)
     case other => throw new IllegalArgumentException(s"Formats: unsupported format '$other'")
   }
 }

@@ -50,13 +50,15 @@ class Round16InfileSpec extends SparkSpec {
     spark.sql("DROP TABLE inf_ext")
   }
 
-  test("COMPRESSION none/auto pass; anything else refuses") {
+  test("COMPRESSION none/auto pass; codecs off the classpath refuse") {
     freshTable("inf_comp")
     spark.sql(s"SELECT 1 AS id, 'Z' AS prio, 5.0 AS total INTO OUTFILE '$base/comp.csv' FORMAT CSV")
     spark.sql(s"INSERT INTO inf_comp FROM INFILE '$base/comp.csv' COMPRESSION 'none' FORMAT CSV")
     assert(spark.table("inf_comp").count() == 1L)
+    // round 19: gzip/deflate/zstd/lz4 now EXECUTE (Round19ArrowSpec
+    // pins the round trips); br has no codec here and still refuses
     val e = intercept[UnsupportedOperationException](
-      spark.sql(s"INSERT INTO inf_comp FROM INFILE '$base/comp.csv' COMPRESSION 'gzip' FORMAT CSV"))
+      spark.sql(s"INSERT INTO inf_comp FROM INFILE '$base/comp.csv' COMPRESSION 'br' FORMAT CSV"))
     assert(e.getMessage.contains("COMPRESSION"))
     spark.sql("DROP TABLE inf_comp")
   }

@@ -29,6 +29,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // see GraftSession.builder: Arrow IPC needs this set before netty loads
+    System.setProperty("io.netty.tryReflectiveSetAccessible", "true")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

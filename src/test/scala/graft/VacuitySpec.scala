@@ -261,6 +261,7 @@ class VacuitySpec extends SparkSpec {
     // E. replication / CDC
     "q30_snapshot" -> Seq(rowsAtLeast(1000), distinctAtLeast("type", 5), pos("amount")),
     "q30b_format_roundtrip" -> Seq(rowsAtLeast(5), pos("total")),
+    "q30c_arrow_roundtrip" -> Seq(rowsAtLeast(5), pos("total"), pos("cnt"), noNulls("latest")),
     "q31_cdc_latest" -> Seq(unique("user_id"), distinctAtLeast("last_type", 2), pos("last_event_id")),
     "q32_cdc_deletes" -> Seq(unique("user_id"), rowsAtLeast(50),
       check("deletes shrank the keyset below q31's")(rs => rs.length < 150)),
