@@ -1014,7 +1014,8 @@ case class ChCreateDictionaryCommand(
 case class ChCreateChTableCommand(name: String, innerSql: String, engine: String,
     clauses: Map[String, String], declaredCols: Seq[String],
     projections: Seq[(String, String)] = Nil,
-    ctasSelect: Option[String] = None) extends LeafRunnableCommand {
+    ctasSelect: Option[String] = None,
+    vectorIndexes: Seq[(String, String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val existed = spark.catalog.tableExists(name)
@@ -1041,6 +1042,10 @@ case class ChCreateChTableCommand(name: String, innerSql: String, engine: String
         // SHOW CREATE emits them there) — same path as ALTER ADD
         for ((pn, body) <- projections)
           spark.sql(s"ALTER TABLE $name ADD PROJECTION $pn ($body)")
+        // CREATE-declared vector_similarity indexes (round 19):
+        // declared now, built on ALTER … MATERIALIZE INDEX
+        for ((vn, vcol, vdist) <- vectorIndexes)
+          VectorIndex.declare(spark, name, vn, vcol, vdist, ifNotExists = false)
       } catch {
         case e: Throwable =>
           // atomic CREATE: never leave a half-created table behind.

@@ -771,6 +771,14 @@ object ChSqlParser {
     * `ALTER TABLE … UPDATE`. */
   private val LightweightUpdate =
     """(?is)^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)\s*;?\s*$""".r
+  // vector_similarity index DDL (round 19 — plans/VectorIndex.scala)
+  private val AlterAddIndexStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(.*?)\s*;?\s*$""".r
+  private val AlterDropIndexStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(`[^`]+`|[A-Za-z_]\w*)\s*;?\s*$""".r
+  private val AlterMaterializeIndexStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+MATERIALIZE\s+INDEX\s+(`[^`]+`|[A-Za-z_]\w*)\s*;?\s*$""".r
+
   private val AlterColumnStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(.*?)\s*;?\s*$""".r
   private val AlterDropPartition =
@@ -1044,6 +1052,17 @@ object ChSqlParser {
       Some(ChAlterMutateCommand(table, predPart, parseAssignments(setPart)))
     case ExchangeTablesStmt(a, b) =>
       Some(ChExchangeTablesCommand(a, b))
+    case AlterAddIndexStmt(table, ifNot, rest) =>
+      // validate the vector_similarity args AT PARSE (non-mappable
+      // settings refuse before anything executes); non-vector index
+      // types refuse inside the command with the parquet-stats story
+      if ("""(?is)\bTYPE\s+vector_similarity\b""".r.findFirstIn(rest).isDefined)
+        VectorIndex.parseIndexEntry(s"INDEX $rest")
+      Some(ChAddVectorIndexCommand(table, s"INDEX $rest", ifNot != null))
+    case AlterDropIndexStmt(table, ifExists, name) =>
+      Some(ChDropVectorIndexCommand(table, name.stripPrefix("`").stripSuffix("`"), ifExists != null))
+    case AlterMaterializeIndexStmt(table, name) =>
+      Some(ChMaterializeVectorIndexCommand(table, name.stripPrefix("`").stripSuffix("`")))
     case AlterColumnStmt(table, kind, rest) =>
       Some(ChAlterColumnCommand(table, parseColumnOp(kind, rest)))
     case AlterMutationFull(table, kind, rest) =>
@@ -1468,7 +1487,7 @@ object ChSqlParser {
       // CTAS: carry the SELECT so the command records its analyzed
       // output order as the manifest's declared columns
       case ChCreateTableAs(_, name, tail, select) =>
-        Some((name, tail, Nil, Nil, Some(select)))
+        Some((name, tail, Nil, Nil, Nil, Some(select)))
       case ChCreateTable(_, name, colsRaw, tail) =>
         // declared column ORDER (Spark's catalog floats partition
         // columns to the end; SHOW CREATE restores the CH order)
@@ -1483,13 +1502,23 @@ object ChSqlParser {
             .findFirstMatchIn(e)
             .map(m => (m.group(1).stripPrefix("`").stripSuffix("`"), m.group(2).trim))
         }
-        Some((name, tail, declared, projections, None))
+        // vector_similarity INDEX entries declared in the CREATE body
+        // (round 19): validated AT PARSE (non-mappable settings refuse
+        // before the table exists), declared after the create. Other
+        // INDEX types (skip indexes) strip as before — parquet
+        // row-group stats play their role on every scan.
+        val vectorIndexes = topLevelSplit(colsRaw).map(_.trim).flatMap { e =>
+          if ("""(?is)^INDEX\b.*\bTYPE\s+vector_similarity\b""".r.findFirstIn(e).isDefined)
+            VectorIndex.parseIndexEntry(e)
+          else None
+        }
+        Some((name, tail, declared, projections, vectorIndexes, None))
       case _ => None
     }
-    nameTailCols.map { case (name, tail, declared, projections, ctasSelect) =>
+    nameTailCols.map { case (name, tail, declared, projections, vectorIndexes, ctasSelect) =>
       val engine = engineOf(raw).getOrElse("MergeTree")
       ChCreateChTableCommand(name, rewritten, engine, splitEngineTail(tail), declared,
-        projections, ctasSelect)
+        projections, ctasSelect, vectorIndexes)
     }
   }
 
@@ -3231,6 +3260,13 @@ object ChSqlParser {
     // would mangle its type names and clause parens
     if (CreateDictionary.findFirstIn(sql0).isDefined ||
         DropDictionary.findFirstIn(sql0).isDefined) return sql0
+    // ANN probe over a vector_similarity-indexed table (round 19):
+    // `SELECT … FROM t ORDER BY cosineDistance(col, [q…]) LIMIT k`
+    // rewrites onto the cell-pruned IVF layout; the emitted SQL keeps
+    // the [vector] literal and flows through the rewrites below like
+    // any dialect text. Non-indexed / stale / non-matching shapes
+    // fall through untouched — the exact scan.
+    VectorIndex.probeRewrite(sql0).foreach(r => sql0 = r)
     // client-side trailing clauses unwind first (right to left), so
     // the end-anchored rewrites below (LIMIT BY, WITH FILL) still see
     // their clause at the end of the text

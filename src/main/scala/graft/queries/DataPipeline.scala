@@ -317,6 +317,64 @@ object DataPipeline {
             ORDER BY cos DESC, vec_id LIMIT 10"""),
   )
 
+  /** The CH 24.8+ `vector_similarity` index DDL chain end-to-end
+    * (round 19, plans/VectorIndex.scala): CREATE TABLE with
+    * `INDEX … TYPE vector_similarity('hnsw','cosineDistance')`,
+    * INSERT the embeddings slice, `ALTER TABLE … MATERIALIZE INDEX`
+    * (kmeans fit + cell-partitioned IVF landing), then the CH ANN
+    * probe shape at FULL probe width — every cell probed, so the
+    * result is the EXACT top-k and the DuckDB oracle replays it
+    * (the approximate narrow-probe path is plan-asserted in
+    * Round19VectorIndexSpec; q53/q53b own the pruning benches). */
+  val q53c = GraftQuery(
+    "q53c_vector_index_ddl",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"gr_vec_ddl_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // a PRIOR SESSION's warehouse dir (and index sibling dirs) may
+      // survive the catalog drop — clear them or CREATE refuses with
+      // LOCATION_ALREADY_EXISTS
+      locally {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(wh, tbl)
+        val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(loc, true)
+        val sibs = fs.globStatus(new org.apache.hadoop.fs.Path(wh, tbl + "__graft_*"))
+        if (sibs != null) sibs.foreach(st => fs.delete(st.getPath, true))
+      }
+      s.sql(s"""CREATE TABLE $tbl (
+               |  vec_id Int64, embedding Array(Float32),
+               |  INDEX ann embedding TYPE vector_similarity('hnsw', 'cosineDistance')
+               |) ENGINE = MergeTree ORDER BY vec_id""".stripMargin)
+      Tables(s, dir).embeddings.where(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+        .createOrReplaceTempView(s"gr_vec_ddl_src_$tag")
+      s.sql(s"INSERT INTO $tbl SELECT vec_id, embedding FROM gr_vec_ddl_src_$tag")
+      s.sql(s"ALTER TABLE $tbl MATERIALIZE INDEX ann")
+      val probe = Tables(s, dir).embeddings.where(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      val lit = probe.map(_.toString).mkString("[", ", ", "]")
+      val prev = s.conf.getOption("spark.graft.vector.nprobe")
+      s.conf.set("spark.graft.vector.nprobe", "1000000")
+      try s.sql(s"""SELECT vec_id, round(cosineDistance(embedding, $lit), 4) AS dist
+                   |FROM $tbl ORDER BY cosineDistance(embedding, $lit) LIMIT 10""".stripMargin)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.graft.vector.nprobe", v)
+        case None    => s.conf.unset("spark.graft.vector.nprobe")
+      }
+    },
+    Some("""WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 500),
+                 p AS (SELECT v AS pv, sqrt(list_sum(list_transform(v, x -> x * x))) AS pn
+                       FROM m WHERE vec_id = 7),
+                 d AS (SELECT m.vec_id,
+                              1 - list_sum(list_transform(list_zip(m.v, p.pv), q -> q[1] * q[2]))
+                                  / (sqrt(list_sum(list_transform(m.v, x -> x * x))) * p.pn) AS dx
+                       FROM m, p)
+            SELECT vec_id, round(dx, 4) AS dist FROM d ORDER BY dx LIMIT 10"""),
+  )
+
   /** Random-hyperplane LSH ANN pairs (seeded planes; rows-only;
     * recall vs q44 is asserted in GraftSpec). Round 12: the registry
     * entry runs the AUTO dial — planes = ceil(log₂(N/64)) from the
@@ -1620,6 +1678,6 @@ object DataPipeline {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q54, q55, q56, q57, q57b, q58, q59, q60,
+    Seq(q40, q40b, q41, q42, q42b, q43, q43b, q44, q45, q46, q47, q50, q51, q52, q53, q53b, q53c, q54, q55, q56, q57, q57b, q58, q59, q60,
         q61, q62, q63, q64, q64b, q64c, q65, q66, q66b, q67, q67b, q68, q69, q90b, q90c, q106, q106b, q106c)
 }

@@ -326,6 +326,10 @@ class VacuitySpec extends SparkSpec {
     "q52_knn_join_sample" -> Seq(zeroAndPos("n_agree")),
     "q53_ivf_pq" -> Seq(rowsAtLeast(5), allPos("cos")),
     "q53b_ivf_formula" -> Seq(rowsAtLeast(10), allPos("cos")),
+    // the DDL gate probes at FULL width: exact top-10, the probe row
+    // itself at distance 0 plus real positive distances
+    "q53c_vector_index_ddl" -> Seq(rowsExactly(10), distinctAtLeast("dist", 5),
+      some("dist")("==0", v => num(v) == 0.0), some("dist")(">0", v => num(v) > 0)),
     "q54_centroids" -> Seq(rowsAtLeast(50), pos("n")),
     "q55_vector_math" -> Seq(allEq("nrm", 1.0), distinctAtLeast("dot", 40), pos("l2")),
     "q59_embed_quantize" -> Seq(pos("max_code"), allEq("within_bound", 1), distinctAtLeast("scale", 100)),
