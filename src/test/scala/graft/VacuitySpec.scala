@@ -436,8 +436,101 @@ class VacuitySpec extends SparkSpec {
     assert(stale.isEmpty, s"effect assertions for unknown queries: ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  // ----------------------------------------- auto floors (round 19)
+  //
+  // The hand predicates above encode per-query INTENT; the recorded
+  // floors encode the MEASURED variety of every gate output at the
+  // gate SF (rows, per-column distinct counts, and which of the
+  // null / zero / nonzero branches fired). The round-18 profile
+  // sweep that found eight vacuous gates was a one-shot; this locks
+  // it: a future re-seed, fixture edit or query change that REDUCES
+  // any gate's variety fails the suite until the floors are
+  // consciously regenerated with
+  //   GRAFT_REGEN_VACUITY_FLOORS=1 sbt "testOnly graft.VacuitySpec"
+  // (the diff of vacuity_floors.tsv then shows exactly what moved).
+
+  private val floorsFile =
+    java.nio.file.Paths.get("src/test/resources/vacuity_floors.tsv")
+  private val regenFloors = sys.env.get("GRAFT_REGEN_VACUITY_FLOORS").contains("1")
+
+  private final case class ColFloor(distinct: Int, hadNull: Boolean,
+                                    hadZero: Boolean, hadNonzero: Boolean)
+  private final case class Floor(rows: Int, cols: Seq[(String, ColFloor)])
+
+  private def profile(rows: Array[Row]): Floor = {
+    val cols = if (rows.isEmpty) Nil else rows.head.schema.fieldNames.toSeq.map { c =>
+      val vs = vals(rows, c)
+      val ns = vs.map(num)
+      c -> ColFloor(
+        distinct = vs.filter(_ != null).map(String.valueOf).distinct.length,
+        hadNull = vs.contains(null),
+        hadZero = ns.contains(0.0),
+        hadNonzero = ns.exists(d => !d.isNaN && d != 0.0))
+    }
+    Floor(rows.length, cols)
+  }
+
+  private def loadFloors(): Map[String, Floor] = {
+    if (!java.nio.file.Files.exists(floorsFile)) return Map.empty
+    java.nio.file.Files.readAllLines(floorsFile).toArray(Array.empty[String])
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+        val p = l.split("\t", -1)
+        val cols = if (p(2).isEmpty) Nil else p(2).split(";").toSeq.map { ce =>
+          val q = ce.split("\\|", -1)
+          q(0) -> ColFloor(q(1).toInt, q(2) == "1", q(3) == "1", q(4) == "1")
+        }
+        p(0) -> Floor(p(1).toInt, cols)
+      }.toMap
+  }
+
+  private def writeFloors(fs: Seq[(String, Floor)]): Unit = {
+    val body = "# machine-generated by VacuitySpec (GRAFT_REGEN_VACUITY_FLOORS=1) at sf0.01\n" +
+      "# name\trows\tcol|distinct|hadNull|hadZero|hadNonzero;…\n" +
+      fs.sortBy(_._1).map { case (n, f) =>
+        val cs = f.cols.map { case (c, cf) =>
+          s"$c|${cf.distinct}|${if (cf.hadNull) 1 else 0}|${if (cf.hadZero) 1 else 0}|${if (cf.hadNonzero) 1 else 0}"
+        }.mkString(";")
+        s"$n\t${f.rows}\t$cs"
+      }.mkString("\n") + "\n"
+    java.nio.file.Files.createDirectories(floorsFile.getParent)
+    java.nio.file.Files.writeString(floorsFile, body)
+  }
+
+  private def checkFloor(name: String, now: Floor, rec: Floor,
+                         failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    if (now.rows < rec.rows)
+      failures += s"$name [floor]: rows ${now.rows} < recorded ${rec.rows}"
+    val nowCols = now.cols.toMap
+    rec.cols.foreach { case (c, r) =>
+      nowCols.get(c) match {
+        case None => failures += s"$name [floor]: column '$c' disappeared"
+        case Some(n) =>
+          if (n.distinct < r.distinct)
+            failures += s"$name [floor]: distinct($c) ${n.distinct} < recorded ${r.distinct}"
+          if (r.hadNull && !n.hadNull)
+            failures += s"$name [floor]: null branch of '$c' no longer fires"
+          if (r.hadZero && !n.hadZero)
+            failures += s"$name [floor]: zero branch of '$c' no longer fires"
+          if (r.hadNonzero && !n.hadNonzero)
+            failures += s"$name [floor]: nonzero branch of '$c' no longer fires"
+      }
+    }
+  }
+
+  test("recorded floors cover exactly the registry (regenerate on registry change)") {
+    if (!regenFloors) {
+      val rec = loadFloors().keySet
+      val reg = SparkEntry.queries.keySet
+      assert(rec == reg,
+        s"floors out of lockstep — regenerate with GRAFT_REGEN_VACUITY_FLOORS=1; " +
+          s"missing=${(reg -- rec).toSeq.sorted} stale=${(rec -- reg).toSeq.sorted}")
+    }
+  }
+
   test("no gate is vacuous: every query's sf0.01 result exercises its feature") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val recorded = if (regenFloors) Map.empty[String, Floor] else loadFloors()
+    val profiles = scala.collection.mutable.ArrayBuffer[(String, Floor)]()
     effects.toSeq.sortBy(_._1).foreach { case (name, effs) =>
       val rows = try SparkEntry.queries(name)(spark, sfDir).collect()
       catch { case e: Exception =>
@@ -445,13 +538,22 @@ class VacuitySpec extends SparkSpec {
       }
       if (rows.nonEmpty || !failures.exists(_.startsWith(s"$name:"))) {
         if (rows.isEmpty) failures += s"$name: EMPTY result"
-        else effs.foreach { case (desc, p) =>
-          val ok = try p(rows) catch { case e: Exception =>
-            failures += s"$name [$desc]: predicate error ${e.getMessage.take(80)}"; true
+        else {
+          effs.foreach { case (desc, p) =>
+            val ok = try p(rows) catch { case e: Exception =>
+              failures += s"$name [$desc]: predicate error ${e.getMessage.take(80)}"; true
+            }
+            if (!ok) failures += s"$name [$desc]: VACUOUS — effect not observed"
           }
-          if (!ok) failures += s"$name [$desc]: VACUOUS — effect not observed"
+          val now = profile(rows)
+          profiles += name -> now
+          recorded.get(name).foreach(rec => checkFloor(name, now, rec, failures))
         }
       }
+    }
+    if (regenFloors) {
+      writeFloors(profiles.toSeq)
+      info(s"regenerated ${profiles.length} floors into $floorsFile")
     }
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
