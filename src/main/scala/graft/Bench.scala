@@ -37,7 +37,9 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "/tmp/graft_bench_subset.json" else "/root/repo/BENCH_local.json")
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").contains("1"))
+        "/tmp/graft_bench_subset.json"
+      else "/root/repo/BENCH_local.json")
     val spark = GraftSession.local("graft-bench")
     // Warm the JVM/codegen/parquet-reader paths so startup cost isn't
     // attributed to whichever query happens to run first.
@@ -70,6 +72,11 @@ object Bench {
     // machinery below is exercisable at smoke scale; the committed
     // artifacts always use the default 20 s.
     val retryCutoff = sys.env.get("SPARK_GRAFT_BENCH_RETRY_CUTOFF").map(_.toDouble).getOrElse(20.0)
+    // SPARK_GRAFT_BENCH_MATERIALIZE=1: time full-result computation
+    // (hash-reduce every column) instead of count() — see the
+    // execution site below. Subset-style default-out guard applies:
+    // a materialize run must not overwrite the committed artifact.
+    val materialize = sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").contains("1")
     // `setup` is the fixture-build time the DDL/streaming chain
     // queries self-report through FixtureClock (landing writes, CH
     // table loads) — work that exists only because the gate rebuilds
@@ -150,7 +157,19 @@ object Bench {
                 val plan = df.queryExecution.executedPlan
                 FixtureClock.time { fp = fingerprint(plan) }
               }
-              df.count(); None
+              // Default df.count(): comparable across rounds, but a
+              // map-only query benches as scan cost — Spark prunes
+              // every column a count doesn't need, so a codegen'd
+              // kernel regression in e.g. the BPE encode path never
+              // moves the cell. The opt-in forces every output column
+              // to be COMPUTED and reduced (one xxhash64 over the
+              // row, min-aggregated — no collect, no extra shuffle)
+              // for kernel-cost profiling; committed artifacts keep
+              // the count() path for comparability.
+              if (materialize)
+                df.selectExpr("min(xxhash64(struct(*)))").collect()
+              else df.count()
+              None
             }
             catch { case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")

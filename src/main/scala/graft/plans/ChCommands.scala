@@ -563,9 +563,15 @@ object ChCommands {
     val ttlP = ttlManifest(info.path)
     val hasTtl = try fs.exists(ttlP) catch { case _: Exception => false }
     val projs = tableProjections(spark, info.path)
-    if (meta.isEmpty && !hasTtl && projs.isEmpty) return None
+    val vecIdx = try VectorIndex.indexes(spark, info.path) catch { case _: Exception => Nil }
+    if (meta.isEmpty && !hasTtl && projs.isEmpty && vecIdx.isEmpty) return None
     val ordered = declaredOrderedFields(spark, table, meta)
     val colLines = ordered.map(f => s"`${f.name}` ${chTypeName(f.dataType)}")
+    // vector indexes re-emit in the CREATE body (CH's own SHOW CREATE
+    // does the same), so the output is re-executable DDL — re-running
+    // it re-DECLARES the index; MATERIALIZE INDEX rebuilds the layout
+    val idxLines = vecIdx.map(s =>
+      s"INDEX ${s.name} ${s.column} TYPE vector_similarity('hnsw', '${s.distance}')")
     val projLines = projs.map { sp =>
       if (sp.states.isEmpty) {
         val sel = if (sp.cols.isEmpty) "*" else sp.cols.map(c => s"`$c`").mkString(", ")
@@ -579,7 +585,7 @@ object ChCommands {
           s"GROUP BY ${sp.keys.mkString(", ")})"
       }
     }
-    val body = (colLines ++ projLines).map("    " + _).mkString(",\n")
+    val body = (colLines ++ idxLines ++ projLines).map("    " + _).mkString(",\n")
     val sb = new StringBuilder
     sb.append(s"CREATE TABLE $table\n(\n$body\n)\n")
     sb.append(s"ENGINE = ${meta.getOrElse("engine", "MergeTree")}")

@@ -445,9 +445,10 @@ class ChDdlSpec extends SparkSpec {
       s"SELECT toString(id) AS s FROM range(3) INTO OUTFILE '$dir-csv' FORMAT CSVWithNames").head()
     assert(r2.getLong(0) == 3L)
     assert(spark.read.option("header", "true").csv(s"$dir-csv").count() == 3)
-    // unsupported format refuses with the supported list
+    // unsupported format refuses with the supported list (Arrow
+    // joined the supported set in round 19 — Round19ArrowSpec)
     val bad = intercept[Exception](
-      spark.sql(s"SELECT 1 INTO OUTFILE '$dir-x' FORMAT Arrow"))
+      spark.sql(s"SELECT 1 INTO OUTFILE '$dir-x' FORMAT Avro"))
     assert(bad.getMessage.contains("supported here"))
     // re-running the export overwrites instead of failing
     assert(spark.sql(

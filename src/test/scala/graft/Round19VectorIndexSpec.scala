@@ -166,6 +166,20 @@ class Round19VectorIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE vt7")
   }
 
+  test("SHOW CREATE TABLE re-emits the vector index and the DDL re-executes") {
+    createIndexed("vt9")
+    val ddl = spark.sql("SHOW CREATE TABLE vt9").head().getString(0)
+    assert(ddl.contains("INDEX ann vec TYPE vector_similarity('hnsw', 'cosineDistance')"), ddl)
+    spark.sql("DROP TABLE vt9")
+    // the emitted DDL is re-executable and re-declares the index
+    spark.sql(ddl)
+    landRows("vt9", 80)
+    spark.sql("ALTER TABLE vt9 MATERIALIZE INDEX ann")
+    val probed = spark.sql(s"SELECT id FROM vt9 ORDER BY cosineDistance(vec, $probeLit) LIMIT 3")
+    assert(probed.inputFiles.forall(_.contains("__graft_vecidx_ann")))
+    spark.sql("DROP TABLE vt9")
+  }
+
   test("skip-index entries in a CREATE body still strip silently (schema baggage)") {
     dropWithLocation("vt8")
     spark.sql(
