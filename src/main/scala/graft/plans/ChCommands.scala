@@ -1903,9 +1903,10 @@ case class ChInsertInlineFormatCommand(table: String, cols: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val fmt = ChInsertIngest.canonicalFormat(format, "INSERT INTO … FORMAT")
-    if (fmt == "Parquet" || fmt == "ORC") throw new UnsupportedOperationException(
-      s"INSERT INTO … FORMAT $fmt carries binary rows that cannot ride SQL text — " +
-        s"land the file and use INSERT INTO $table FROM INFILE '<path>' FORMAT $fmt")
+    if (fmt == "Parquet" || fmt == "ORC" || fmt.startsWith("Arrow"))
+      throw new UnsupportedOperationException(
+        s"INSERT INTO … FORMAT $fmt carries binary rows that cannot ride SQL text — " +
+          s"land the file and use INSERT INTO $table FROM INFILE '<path>' FORMAT $fmt")
     val body = payload.getOrElse(throw new UnsupportedOperationException(
       s"INSERT INTO $table FORMAT $fmt has no inline rows: the native/HTTP protocols " +
         "carry the payload out-of-band — append the rows after the statement " +

@@ -771,6 +771,26 @@ object ChSqlParser {
     * `ALTER TABLE … UPDATE`. */
   private val LightweightUpdate =
     """(?is)^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)\s*;?\s*$""".r
+  /** `DROP TABLE [IF EXISTS] t` — intercepted ONLY when a parse-time
+    * probe finds sibling layout directories (projections / vector
+    * indexes) beside the table's location: the native drop would
+    * orphan them on disk. Plain tables, temp views and missing names
+    * fall through to Spark's native command untouched. */
+  private val DropTableStmt =
+    """(?is)^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
+
+  private def hasSiblingLayouts(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try {
+        val lp = ChCommands.resolve(s, name).path
+        val p = new org.apache.hadoop.fs.Path(lp)
+        val fs = ChCommands.fsOf(s, lp)
+        val sibs = fs.globStatus(
+          new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__graft_*"))
+        sibs != null && sibs.nonEmpty
+      } catch { case _: Exception => false }
+    }
+
   // vector_similarity index DDL (round 19 — plans/VectorIndex.scala)
   private val AlterAddIndexStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(.*?)\s*;?\s*$""".r
@@ -1052,6 +1072,8 @@ object ChSqlParser {
       Some(ChAlterMutateCommand(table, predPart, parseAssignments(setPart)))
     case ExchangeTablesStmt(a, b) =>
       Some(ChExchangeTablesCommand(a, b))
+    case DropTableStmt(ifExists, name) if hasSiblingLayouts(name) =>
+      Some(ChDropTableWithSiblingsCommand(name, ifExists != null))
     case AlterAddIndexStmt(table, ifNot, rest) =>
       // validate the vector_similarity args AT PARSE (non-mappable
       // settings refuse before anything executes); non-vector index

@@ -279,3 +279,39 @@ case class ChDropVectorIndexCommand(table: String, name: String,
     Seq.empty
   }
 }
+
+/** `DROP TABLE [IF EXISTS] t` for a table that carries sibling
+  * layout directories (`__graft_proj_*` projections,
+  * `__graft_vecidx_*` vector indexes) — round 19: the native drop
+  * removes the table location but would ORPHAN the siblings on disk.
+  * The parser only routes here when a parse-time probe saw siblings;
+  * everything else (temp views, plain tables, missing names) keeps
+  * Spark's native DROP TABLE untouched. */
+case class ChDropTableWithSiblingsCommand(table: String,
+                                          ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    // resolve BEFORE the drop erases the catalog entry; a table
+    // dropped between parse and execution degrades to the native
+    // contract (IF EXISTS no-op / loud error)
+    val loc = try Some(ChCommands.resolve(spark, table).path)
+              catch { case _: Exception => None }
+    if (!(try spark.catalog.tableExists(table) catch { case _: Exception => false })) {
+      if (ifExists) return Seq.empty
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "TABLE_OR_VIEW_NOT_FOUND",
+        messageParameters = Map("relationName" -> s"`$table`"))
+    }
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.dropTable(ident, ignoreIfNotExists = ifExists, purge = false)
+    loc.foreach { lp =>
+      val p = new org.apache.hadoop.fs.Path(lp)
+      val fs = ChCommands.fsOf(spark, lp)
+      val sibs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__graft_*"))
+      if (sibs != null) sibs.foreach(st => fs.delete(st.getPath, true))
+      ChCommands.invalidateProjectionCache(lp)
+    }
+    Seq.empty
+  }
+}

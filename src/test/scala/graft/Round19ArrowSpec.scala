@@ -162,6 +162,15 @@ class Round19ArrowSpec extends SparkSpec {
     assert(e5.getMessage.contains("1-9"))
   }
 
+  test("inline INSERT ... FORMAT Arrow refuses toward FROM INFILE (binary rows)") {
+    dropWithLocation("arr_inline")
+    spark.sql("CREATE TABLE arr_inline (id UInt64) ENGINE = MergeTree ORDER BY id")
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("INSERT INTO arr_inline FORMAT Arrow\n123"))
+    assert(e.getMessage.contains("FROM INFILE"), e.getMessage)
+    spark.sql("DROP TABLE arr_inline")
+  }
+
   test("direct ArrowIpc reader handles a single file path (not just directories)") {
     val p = s"$base/single"
     Formats.write(fullDf.coalesce(1), p, "Arrow")

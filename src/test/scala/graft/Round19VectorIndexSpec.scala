@@ -180,6 +180,32 @@ class Round19VectorIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE vt9")
   }
 
+  test("DROP TABLE cleans up sibling layout dirs (vector indexes AND projections)") {
+    createIndexed("vt10")
+    landRows("vt10", 60)
+    spark.sql("ALTER TABLE vt10 MATERIALIZE INDEX ann")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val sib = new java.io.File(wh, "vt10__graft_vecidx_ann")
+    assert(sib.exists, s"expected the IVF sibling at $sib")
+    spark.sql("DROP TABLE vt10")
+    assert(!spark.catalog.tableExists("vt10"))
+    assert(!sib.exists, "DROP TABLE must not orphan the index layout")
+    // projections ride the same cleanup
+    dropWithLocation("vt11")
+    spark.sql("CREATE TABLE vt11 (id UInt64, v Float64) ENGINE = MergeTree ORDER BY id")
+    spark.sql("INSERT INTO vt11 VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE vt11 ADD PROJECTION psum (SELECT id, sum(v) GROUP BY id)")
+    val psib = new java.io.File(wh, "vt11__graft_proj_psum")
+    assert(psib.exists)
+    spark.sql("DROP TABLE vt11")
+    assert(!psib.exists, "DROP TABLE must not orphan the projection layout")
+    // native behaviors untouched: IF EXISTS on a missing name is a
+    // no-op; a missing name without it fails loudly
+    spark.sql("DROP TABLE IF EXISTS vt10")
+    val e = intercept[Exception](spark.sql("DROP TABLE vt10_nope").collect())
+    assert(e.getMessage != null)
+  }
+
   test("skip-index entries in a CREATE body still strip silently (schema baggage)") {
     dropWithLocation("vt8")
     spark.sql(
