@@ -34,7 +34,7 @@ object QueryFuzz {
   /** Deterministic: same (seed, n) → same shapes. */
   def shapes(seed: Long, n: Int): Seq[Shape] = (0 until n).map { i =>
     val r = new scala.util.Random(seed * 1000003L + i)
-    i % 11 match {
+    i % 13 match {
       case 0 => aggHaving(i, r)
       case 1 => condAgg(i, r)
       case 2 => joinAgg(i, r)
@@ -46,7 +46,70 @@ object QueryFuzz {
       case 8 => castEdge(i, r)
       case 9 => dateArith(i, r)
       case 10 => decimalAgg(i, r)
+      case 11 => fillInterpolate(i, r)
+      case 12 => fillStaleness(i, r)
     }
+  }
+
+  /** WITH FILL … INTERPOLATE (v) — the carry semantics: each fill row
+    * takes the previous OUTPUT row's value; before the first source
+    * row the typed default (0) applies. The duck model replays the
+    * carry with last_value IGNORE NULLS over the filled spine. */
+  private def fillInterpolate(i: Int, r: scala.util.Random): Shape = {
+    val w = 20 + r.nextInt(60)
+    val e = 3000 + r.nextInt(20000)
+    val a = r.nextInt(3)
+    val b = a + 4 + r.nextInt(7)
+    val s =
+      s"""SELECT bucket, v FROM (
+         |  SELECT bucket, round(max(value), 2) AS v FROM (
+         |    SELECT CAST(floor(value / $w) AS INT) AS bucket, value
+         |    FROM events WHERE event_id <= $e) t0 GROUP BY bucket) t1
+         |ORDER BY bucket WITH FILL FROM $a TO $b STEP 1 INTERPOLATE (v)""".stripMargin
+    val d =
+      s"""WITH d AS (SELECT CAST(floor(value / $w) AS INT) AS bucket,
+         |                  round(max(value), 2) AS v
+         |           FROM events WHERE event_id <= $e GROUP BY 1),
+         |     spine AS (SELECT unnest(generate_series($a, $b - 1, 1)) AS bucket
+         |               UNION SELECT bucket FROM d),
+         |     j AS (SELECT spine.bucket, d.v AS sv FROM spine LEFT JOIN d USING (bucket))
+         |SELECT bucket,
+         |       coalesce(last_value(sv IGNORE NULLS)
+         |                OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |                0) AS v
+         |FROM j ORDER BY bucket""".stripMargin
+    Shape(f"fz$i%03d_fill_interp", s, d)
+  }
+
+  /** WITH FILL … STALENESS k — per-source-row bounded runs: each
+    * source value v fills v+s, v+2s, … while < min(v+k, next source
+    * value). The duck model replays the run arithmetic with lead() +
+    * generate_series, mirroring the engine's union-of-runs shape. */
+  private def fillStaleness(i: Int, r: scala.util.Random): Shape = {
+    val w = 20 + r.nextInt(60)
+    val e = 3000 + r.nextInt(20000)
+    val k = 2 + r.nextInt(4)
+    val st = 1 + r.nextInt(2)
+    val s =
+      s"""SELECT bucket, cnt FROM (
+         |  SELECT bucket, count() AS cnt FROM (
+         |    SELECT CAST(floor(value / $w) AS INT) AS bucket
+         |    FROM events WHERE event_id <= $e) t0 GROUP BY bucket) t1
+         |ORDER BY bucket WITH FILL STEP $st STALENESS $k""".stripMargin
+    val d =
+      s"""WITH d AS (SELECT CAST(floor(value / $w) AS INT) AS bucket, count(*) AS cnt
+         |           FROM events WHERE event_id <= $e GROUP BY 1),
+         |     runs AS (SELECT bucket AS v0,
+         |                     least(bucket + $k,
+         |                           coalesce(lead(bucket) OVER (ORDER BY bucket), bucket + $k)) - 1 AS vend
+         |              FROM d),
+         |     f AS (SELECT DISTINCT unnest(generate_series(v0 + $st, vend, $st)) AS bucket
+         |           FROM runs WHERE v0 + $st <= vend)
+         |SELECT bucket, cnt FROM d
+         |UNION ALL
+         |SELECT bucket, 0 AS cnt FROM f
+         |ORDER BY bucket""".stripMargin
+    Shape(f"fz$i%03d_fill_staleness", s, d)
   }
 
   /** The q95c divergence class, pinned EXECUTABLY: Spark (and CH)
