@@ -40,7 +40,8 @@ class GraftSystemCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private val viewNames: Seq[String] =
-    Seq("databases", "tables", "functions", "dictionaries", "parts", "columns")
+    Seq("databases", "tables", "functions", "dictionaries", "parts", "columns",
+      "data_skipping_indices")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     // Spark's own error for SHOW TABLES IN system.sub — a raw
@@ -86,7 +87,8 @@ private[plans] class SystemViewTable(view: String) extends Table with SupportsRe
       private var restrict = SystemViews.Restrict()
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
           Array[org.apache.spark.sql.sources.Filter] = {
-        if (view == "parts" || view == "columns") filters.foreach {
+        if (view == "parts" || view == "columns" ||
+            view == "data_skipping_indices") filters.foreach {
           case org.apache.spark.sql.sources.EqualTo("table", v: String) =>
             restrict = restrict.copy(table = Some(v))
           case org.apache.spark.sql.sources.EqualTo("database", v: String) =>

@@ -37,7 +37,17 @@ object SystemViews {
       StructField("name", StringType), StructField("type", StringType),
       StructField("position", IntegerType),
       StructField("is_in_partition_key", IntegerType),
-      StructField("is_in_sorting_key", IntegerType))))
+      StructField("is_in_sorting_key", IntegerType))),
+    // CH's index-introspection table, restricted to what this engine
+    // models: vector_similarity indexes (skip indexes have no analog —
+    // parquet row-group stats serve that role on every scan).
+    // data_compressed_bytes = the IVF sibling layout's on-disk size,
+    // 0 while declared-unbuilt.
+    "data_skipping_indices" -> StructType(Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("expr", StringType),
+      StructField("data_compressed_bytes", LongType))))
 
   /** Optional pruning hints from pushed-down EqualTo filters on the
     * (database, table) columns — Spark re-applies every filter above
@@ -57,8 +67,33 @@ object SystemViews {
     case "dictionaries" => dictionaries()
     case "parts"        => parts(spark, r)
     case "columns"      => columns(spark, r)
+    case "data_skipping_indices" => dataSkippingIndices(spark, r)
     case other => throw new IllegalArgumentException(s"unknown system view '$other'")
   }
+
+  /** system.data_skipping_indices — one row per declared vector index
+    * (round 19): read from each MergeTree table's `_vector_indexes.txt`
+    * manifest; bytes from the sibling IVF layout when built. The
+    * (database, table) Restrict prunes the manifest walk like
+    * parts/columns. */
+  private def dataSkippingIndices(spark: SparkSession, r: Restrict): Seq[Seq[Any]] =
+    catalogTables(spark)
+      .filter { case (d, n, e) => e == "MergeTree" && r.keeps(d, n) }
+      .flatMap { case (d, n, _) =>
+        try {
+          val path = ChCommands.resolve(spark, n).path
+          VectorIndex.indexes(spark, path).map { s =>
+            val bytes =
+              if (!s.built) 0L
+              else try {
+                val sib = new org.apache.hadoop.fs.Path(VectorIndex.siblingPath(path, s.name))
+                sib.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .getContentSummary(sib).getLength
+              } catch { case _: Exception => 0L }
+            Seq[Any](d, n, s.name, "vector_similarity", s.column, bytes)
+          }
+        } catch { case _: Exception => Nil }
+      }
 
   private def databases(spark: SparkSession): Seq[Seq[Any]] =
     spark.catalog.listDatabases().collect().toSeq.map(db => Seq(db.name))

@@ -64,7 +64,8 @@ class Round17SystemCatalogSpec extends SparkSpec {
   test("SHOW TABLES IN system lists the views (CH tooling habit)") {
     val names = spark.sql("SHOW TABLES IN system").collect()
       .map(_.getString(1)).toSet
-    assert(names == Set("databases", "tables", "functions", "dictionaries", "parts", "columns"))
+    assert(names == Set("databases", "tables", "functions", "dictionaries", "parts", "columns",
+      "data_skipping_indices")) // data_skipping_indices joined in round 19
   }
 
   test("EqualTo(table) pushdown prunes the metadata walk (residual-safe)") {
@@ -97,13 +98,14 @@ class Round17SystemCatalogSpec extends SparkSpec {
     }
   }
 
-  test("catalog listTables exposes exactly the six views") {
+  test("catalog listTables exposes exactly the seven views") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val cat = new graft.plans.GraftSystemCatalog
     cat.initialize("system", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       java.util.Collections.emptyMap()))
     val names = cat.listTables(Array.empty).map(_.name).toSet
-    assert(names == Set("databases", "tables", "functions", "dictionaries", "parts", "columns"))
+    assert(names == Set("databases", "tables", "functions", "dictionaries", "parts", "columns",
+      "data_skipping_indices")) // data_skipping_indices joined in round 19
     assert(cat.loadTable(Identifier.of(Array.empty, "parts")).schema().fieldNames.toSeq ==
       Seq("database", "table", "partition", "part_count", "bytes_on_disk", "rows"))
   }

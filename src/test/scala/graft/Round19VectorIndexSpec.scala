@@ -206,6 +206,25 @@ class Round19VectorIndexSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("system.data_skipping_indices lists declared and built vector indexes") {
+    createIndexed("vt12")
+    val declared = spark.sql(
+      "SELECT type, expr, data_compressed_bytes FROM system.data_skipping_indices WHERE table = 'vt12'")
+      .collect()
+    assert(declared.length == 1)
+    assert(declared.head.getString(0) == "vector_similarity" &&
+      declared.head.getString(1) == "vec" && declared.head.getLong(2) == 0L)
+    landRows("vt12", 100)
+    spark.sql("ALTER TABLE vt12 MATERIALIZE INDEX ann")
+    val built = spark.sql(
+      "SELECT data_compressed_bytes FROM system.data_skipping_indices WHERE table = 'vt12'")
+      .head().getLong(0)
+    assert(built > 0L, "a built index must report its layout bytes")
+    spark.sql("DROP TABLE vt12")
+    assert(spark.sql(
+      "SELECT * FROM system.data_skipping_indices WHERE table = 'vt12'").collect().isEmpty)
+  }
+
   test("skip-index entries in a CREATE body still strip silently (schema baggage)") {
     dropWithLocation("vt8")
     spark.sql(
