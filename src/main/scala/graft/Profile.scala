@@ -10,11 +10,28 @@ object Profile {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = GraftSession.local("graft-profile")
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    // per-run job/task counters — a DDL/streaming chain's cost is its
+    // JOB count as much as its wall time, and wall time alone cannot
+    // show a removed pass on a noisy host
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    })
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
+      org.apache.spark.graftbridge.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val (j0, k0) = (jobs.get, tasks.get)
+      graft.FixtureClock.reset()
       val t0 = System.nanoTime()
       val n  = fn(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      println(f"run $i: $sec%.3f s (setup ${graft.FixtureClock.nanos / 1e9}%.3f s, " +
+        f"$n rows, jobs ${jobs.get - j0}, tasks ${tasks.get - k0})")
     }
     fn(spark, sfDir).explain("formatted")
     spark.stop()

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Mutate {
 
-  final case class Report(partitionsTotal: Long, partitionsRewritten: Long, rowsChanged: Long)
+  /** `partitionsEmptied` counts affected partitions whose directory
+    * was removed because the mutation deleted every row — the signal
+    * the catalog re-sync uses to skip MSCK when the partition SET is
+    * unchanged (a mutation can never add partitions). */
+  final case class Report(partitionsTotal: Long, partitionsRewritten: Long, rowsChanged: Long,
+                          partitionsEmptied: Long = 0L)
 
   /** The string Spark's partitioned writer embeds in a directory name
     * for this partition value. `v.toString` is NOT it for every type:
@@ -50,27 +55,53 @@ object Mutate {
 
   /** Rewrite the partitions containing `pred` matches with
     * `transform` applied to their rows; everything else stays on disk
-    * untouched. Core of delete/update. */
-  private def rewriteAffected(spark: SparkSession, path: String, partitionCol: String,
-                              pred: Column, transform: DataFrame => DataFrame): Report = {
+    * untouched. Core of delete/update.
+    *
+    * One stats pass replaces the previous four discovery jobs
+    * (distinct-partition count, affected discovery, changed count,
+    * and a full RE-EXECUTION of `transform` just to find emptied
+    * partitions): a single narrow aggregate over (partition column,
+    * predicate) yields per-partition row/match/keep counts, from
+    * which total, affected, changed and emptied all follow — so a
+    * mutation is now exactly two jobs, stats + write (guide §1.2:
+    * remove passes before tuning anything else). The stats scan reads
+    * only the partition column and the predicate's input columns; the
+    * trade against the old pushed-filter discovery scan is one
+    * row-group-skip opportunity lost in exchange for three whole
+    * passes (two of them over full data rows) removed.
+    *
+    * NULL-predicate semantics are replicated exactly: a partition is
+    * affected only by pred = TRUE rows (matching the old
+    * `where(pred)` discovery); `changed` counts TRUE rows only; and
+    * within an affected partition, emptiness after a delete means no
+    * row keeps (`NOT pred` not TRUE — `where(!pred)` drops NULLs
+    * too), which `keeps == 0` captures. */
+  private[operators] def rewriteAffected(spark: SparkSession, path: String, partitionCol: String,
+                              pred: Column, transform: DataFrame => DataFrame,
+                              removesNonKeepers: Boolean): Report = {
     val table = spark.read.parquet(path)
-    val total = table.select(partitionCol).distinct().count()
-    // pruned discovery: predicate pushdown + partition-column-only read
-    val affected = table.where(pred).select(partitionCol).distinct()
-      .collect().map(_.get(0))
+    val stats = table.groupBy(col(partitionCol)).agg(
+      sum(when(pred, 1L).otherwise(0L)).as("gr_matches"),
+      sum(when(!pred, 1L).otherwise(0L)).as("gr_keeps"))
+      .collect()
+    val total = stats.length.toLong
+    val affectedStats = stats.filter(_.getLong(1) > 0)
+    val affected: Array[Any] = affectedStats.map(_.get(0))
     if (affected.isEmpty) return Report(total, 0, 0)
+    val changed = affectedStats.map(_.getLong(1)).sum
     val slice = table.where(col(partitionCol).isInCollection(affected.toSeq))
-    val changed = slice.where(pred).count()
     val rewritten = transform(slice)
-    // Dynamic overwrite only replaces partitions PRESENT in the output:
-    // a partition whose every row is deleted produces no output rows and
-    // would otherwise survive on disk untouched. Find those (bounded by
-    // the affected set) and drop their directories explicitly.
-    val survivors = rewritten.select(partitionCol).distinct().collect().map(_.get(0)).toSet
     withDynamicOverwrite(spark) {
       rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     }
-    val emptied = affected.filterNot(survivors)
+    // Dynamic overwrite only replaces partitions PRESENT in the output:
+    // a partition whose every row is deleted produces no output rows and
+    // would otherwise survive on disk untouched. An update never drops
+    // rows (nothing can empty); a delete keeps exactly the `!pred`-TRUE
+    // rows, so a partition empties iff it has none.
+    val emptied: Array[Any] =
+      if (!removesNonKeepers) Array.empty
+      else affectedStats.filter(_.getLong(2) == 0L).map(_.get(0))
     if (emptied.nonEmpty) {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -80,12 +111,12 @@ object Mutate {
         fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
       }
     }
-    Report(total, affected.length.toLong, changed)
+    Report(total, affected.length.toLong, changed, emptied.length.toLong)
   }
 
   /** ALTER TABLE … DELETE WHERE pred. */
   def delete(spark: SparkSession, path: String, partitionCol: String, pred: Column): Report =
-    rewriteAffected(spark, path, partitionCol, pred, _.where(!pred))
+    rewriteAffected(spark, path, partitionCol, pred, _.where(!pred), removesNonKeepers = true)
 
   final case class TtlReport(partitionsDropped: Long, partitionsRewritten: Long, rowsDeleted: Long)
 
@@ -185,7 +216,7 @@ object Mutate {
     // directories while dynamic overwrite leaves the stale copies behind.
     require(!set.exists(_._1.equalsIgnoreCase(partitionCol)),
       s"cannot UPDATE partition column '$partitionCol'")
-    rewriteAffected(spark, path, partitionCol, pred, df => {
+    rewriteAffected(spark, path, partitionCol, pred, transform = df => {
       val flagged = df.withColumn("__graft_match", pred)
       // evaluate every RHS against the PRE-update row first…
       val staged = set.zipWithIndex.foldLeft(flagged) { case (d, ((_, value), i)) =>
@@ -196,6 +227,6 @@ object Mutate {
         d.withColumn(name, when(col("__graft_match"), col(s"__graft_new_$i")).otherwise(col(name)))
       }
       applied.drop("__graft_match" +: set.indices.map(i => s"__graft_new_$i"): _*)
-    })
+    }, removesNonKeepers = false)
   }
 }

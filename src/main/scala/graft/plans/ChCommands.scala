@@ -723,7 +723,10 @@ case class ChAlterColumnCommand(table: String, op: ChColumnOp) extends LeafRunna
         // exactly what this command just materialized on disk
         val db = ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
         spark.sharedState.externalCatalog.alterTableDataSchema(db, ident.table, dataSchema)
-        ChCommands.resync(spark, table, info.partCols.nonEmpty)
+        // a column ALTER rewrites rows in place (swap preserves the
+        // table root; the partition column itself is refused above),
+        // so the partition set cannot change — cache refresh only
+        ChCommands.resync(spark, table, partitioned = false)
         Seq(Row(out.schema.length.toLong))
     }
   }
@@ -816,7 +819,10 @@ case class ChAlterMutateCommand(table: String, predSql: String,
         s"ALTER TABLE mutation on a ${many.size}-level partitioned table: " +
           "use graft.operators.Mutate with an explicit partition column")
     }
-    ChCommands.resync(spark, table, info.partCols.nonEmpty)
+    // A mutation can never ADD a partition, so the MSCK walk is needed
+    // only when the rewrite emptied (removed) one; otherwise the
+    // partition set is unchanged and the cache refresh suffices.
+    ChCommands.resync(spark, table, info.partCols.nonEmpty && rep.partitionsEmptied > 0)
     Seq(Row(rep.partitionsTotal, rep.partitionsRewritten, rep.rowsChanged))
   }
 
@@ -1444,7 +1450,10 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
         val w = out.write.mode("overwrite")
         (if (info.partCols.nonEmpty) w.partitionBy(info.partCols: _*) else w).parquet(tmp)
         ChCommands.swapInPlace(sparkSession, tmp, info.path)
-        ChCommands.resync(sparkSession, table, info.partCols.nonEmpty)
+        // the rollup emits one row per (partition cols ++ keys) group,
+        // so every affected partition re-lands and the set is
+        // unchanged — cache refresh only, no MSCK walk
+        ChCommands.resync(sparkSession, table, partitioned = false)
         Seq(Row(1L, 1L, changed))
       }
     }

