@@ -1632,34 +1632,47 @@ case class ChIntoOutfileCommand(innerSql: String, path: String,
     AttributeReference("rows_written", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val df = spark.sql(innerSql).persist()
+    // one shared name map with the INSERT-ingestion commands —
+    // export and import stay symmetric by construction (the q29u
+    // OUTFILE → INFILE round trip depends on it)
+    val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INTO OUTFILE"))
+      .getOrElse("Parquet")
+    val codec = compression.map(_.toLowerCase).filterNot(_ == "none")
+    // COMPRESSION applies to the TEXT formats (round 19): the
+    // binary formats carry their own internal codecs, and a
+    // double-compressed parquet is a trap, not a feature
+    codec.foreach { c =>
+      if (!(fmt.startsWith("CSV") || fmt.startsWith("TSV") ||
+            fmt == "TabSeparated" || fmt == "TabSeparatedWithNames" ||
+            fmt == "JSONEachRow"))
+        throw new UnsupportedOperationException(
+          s"INTO OUTFILE COMPRESSION '$c' FORMAT $fmt: compression applies to the text " +
+            s"formats; $fmt is internally compressed — use its own codec options")
+    }
+    if (codec.isEmpty && level.isDefined) throw new IllegalArgumentException(
+      "INTO OUTFILE LEVEL needs a COMPRESSION type to apply to")
+    // Row count observed IN the export pass (`Dataset.observe`) — one
+    // compute serves both the count and the write; the previous shape
+    // paid persist + count + write. The Arrow formats are the
+    // exception: their writer executes at RDD level
+    // (ArrowIpc.writeDir's queryExecution.toRdd), which never fires
+    // the QueryExecutionListener an Observation waits on — they keep
+    // the persist + count shape rather than hang on obs.get.
+    val inner = spark.sql(innerSql).coalesce(1)
+    val arrowFmt = fmt == "Arrow" || fmt == "ArrowStream"
+    val obs = new org.apache.spark.sql.Observation()
+    val df =
+      if (arrowFmt) inner.persist()
+      else inner.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     try {
-      val n = df.count()
+      val arrowCount = if (arrowFmt) df.count() else 0L
       val out = new org.apache.hadoop.fs.Path(path)
       val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(path + "__graft_outfile_tmp")
       fs.delete(tmp, true)
       try {
-        // one shared name map with the INSERT-ingestion commands —
-        // export and import stay symmetric by construction (the q29u
-        // OUTFILE → INFILE round trip depends on it)
-        val fmt = format.map(ChInsertIngest.canonicalFormat(_, "INTO OUTFILE"))
-          .getOrElse("Parquet")
-        val codec = compression.map(_.toLowerCase).filterNot(_ == "none")
-        // COMPRESSION applies to the TEXT formats (round 19): the
-        // binary formats carry their own internal codecs, and a
-        // double-compressed parquet is a trap, not a feature
-        codec.foreach { c =>
-          if (!(fmt.startsWith("CSV") || fmt.startsWith("TSV") ||
-                fmt == "TabSeparated" || fmt == "TabSeparatedWithNames" ||
-                fmt == "JSONEachRow"))
-            throw new UnsupportedOperationException(
-              s"INTO OUTFILE COMPRESSION '$c' FORMAT $fmt: compression applies to the text " +
-                s"formats; $fmt is internally compressed — use its own codec options")
-        }
-        if (codec.isEmpty && level.isDefined) throw new IllegalArgumentException(
-          "INTO OUTFILE LEVEL needs a COMPRESSION type to apply to")
-        graft.sources.Formats.write(df.coalesce(1), tmp.toString, fmt)
+        graft.sources.Formats.write(df, tmp.toString, fmt)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.startsWith("part-"))
         fs.delete(out, true)
@@ -1677,8 +1690,8 @@ case class ChIntoOutfileCommand(innerSql: String, path: String,
           case (None, _) => fs.create(out, true).close() // empty result, no part file
         }
       } finally fs.delete(tmp, true)
-      Seq(Row(n))
-    } finally df.unpersist()
+      Seq(Row(if (arrowFmt) arrowCount else obs.get("rows").asInstanceOf[Long]))
+    } finally if (arrowFmt) { df.unpersist(); () }
   }
 }
 
@@ -1824,9 +1837,10 @@ private[plans] object ChInsertIngest {
     * columns fill with CH type defaults, everything casts to the
     * target type, the write goes positionally in catalog order (the
     * order insertInto expects — partition columns last). Returns the
-    * inserted row count (one extra pass over a persisted frame, the
-    * INTO OUTFILE convention — this is the console/script ingestion
-    * surface, not the bulk landing path). */
+    * inserted row count, observed IN the write pass
+    * (`Dataset.observe`) — the previous persist → count → write shape
+    * paid a whole extra job plus cache residency per INSERT just for
+    * the count. */
   def appendInto(spark: SparkSession, table: String, cols: Seq[String],
                  df: org.apache.spark.sql.DataFrame): Long = {
     val tschema = spark.table(table).schema
@@ -1835,12 +1849,12 @@ private[plans] object ChInsertIngest {
       if (listed.contains(f.name)) org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
       else defaultLit(f).as(f.name)
     }
-    val toWrite = df.select(full: _*).persist()
-    try {
-      val n = toWrite.count()
-      toWrite.write.mode("append").insertInto(table)
-      n
-    } finally toWrite.unpersist()
+    val obs = new org.apache.spark.sql.Observation()
+    df.select(full: _*)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("append").insertInto(table)
+    obs.get("rows").asInstanceOf[Long]
   }
 }
 

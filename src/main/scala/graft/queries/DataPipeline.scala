@@ -1288,15 +1288,8 @@ object DataPipeline {
           .select(col("fp"), col("doc_id").as("id"))
           .unionAll(docs.where(col("doc_id") < 600 && col("doc_id") % 3 === 0)
             .select(col("fp"), (col("doc_id") + 1000000000L).as("id")))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
-          val t = s"$base/tmp/$i"
-          df.coalesce(1).write.mode("overwrite").json(t)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-          fs.rename(part, dst)
-          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
-        }
+        graft.streaming.Landing.jsonFiles(landing, Seq(b0, b1).map(Some(_)),
+          s.sparkContext.hadoopConfiguration)
       }
       val stream = s.readStream.schema("fp STRING, id LONG")
         .option("maxFilesPerTrigger", "1").json(landing)
@@ -1358,15 +1351,8 @@ object DataPipeline {
       val b0 = fp.where(col("id") < 600)
       val b1 = fp.where(col("id") >= 600)
       graft.FixtureClock.time {
-        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
-          val t = s"$base/tmp/$i"
-          df.coalesce(1).write.mode("overwrite").json(t)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-          fs.rename(part, dst)
-          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
-        }
+        graft.streaming.Landing.jsonFiles(landing, Seq(b0, b1).map(Some(_)),
+          s.sparkContext.hadoopConfiguration)
       }
       val stream = graft.streaming.StreamNearDedup.explodeChunks(
         s.readStream.schema("id LONG, fp LONG")

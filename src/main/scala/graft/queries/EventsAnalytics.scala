@@ -767,17 +767,11 @@ object EventsAnalytics {
         val bounds = slice.agg(min("ts"), max("ts")).head() // two bounded scalars
         val mid = new java.sql.Timestamp(
           (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        Seq(slice.where(col("ts") < lit(mid)), slice.where(col("ts") >= lit(mid)))
-          .zipWithIndex.foreach { case (df, i) =>
-            val t = s"$base/tmp/$i"
-            df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
-              .coalesce(1).write.mode("overwrite").json(t)
-            val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-            val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-            fs.rename(part, dst)
-            fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
-          }
+        graft.streaming.Landing.jsonFiles(landing,
+          Seq(slice.where(col("ts") < lit(mid)), slice.where(col("ts") >= lit(mid)))
+            .map(df => Some(df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type")))),
+          s.sparkContext.hadoopConfiguration)
       }
       val stream = s.readStream.schema("user_id LONG, ts_us LONG, event_type STRING")
         .option("maxFilesPerTrigger", "1").json(landing)
@@ -839,17 +833,11 @@ object EventsAnalytics {
         val slice = Tables(s, dir).events.where(col("user_id") < 400)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
             col("event_type"), col("event_id"))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        Seq(slice.where(col("event_id") % 2 === 0), slice.where(col("event_id") % 2 === 1))
-          .zipWithIndex.foreach { case (df, i) =>
-            val t = s"$base/tmp/$i"
-            df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
-              .coalesce(1).write.mode("overwrite").json(t)
-            val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-            val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-            fs.rename(part, dst)
-            fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
-          }
+        graft.streaming.Landing.jsonFiles(landing,
+          Seq(slice.where(col("event_id") % 2 === 0), slice.where(col("event_id") % 2 === 1))
+            .map(df => Some(df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type")))),
+          s.sparkContext.hadoopConfiguration)
       }
       val stream = s.readStream.schema("user_id LONG, ts_us LONG, event_type STRING")
         .option("maxFilesPerTrigger", "1").json(landing)

@@ -729,8 +729,8 @@ object Replication {
       val base = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
-      val (landing, target, ckpt, tmp) =
-        (s"$base/landing", s"$base/target", s"$base/ckpt", s"$base/tmp")
+      val (landing, target, ckpt) =
+        (s"$base/landing", s"$base/target", s"$base/ckpt")
       graft.FixtureClock.time {
         fs.delete(new org.apache.hadoop.fs.Path(base), true)
         val slice = Tables(s, dir).events.where(col("user_id") < 20)
@@ -751,20 +751,10 @@ object Replication {
           Some(slice.where(!lateCond)), None /* empty flush batch */,
           Some(slice.where(lateCond)),
           Some(sentinel("2100-01-01 00:00:00")), Some(sentinel("2100-01-02 00:00:00")))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        files.zipWithIndex.foreach { case (dfOpt, i) =>
-          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-          dfOpt match {
-            case Some(df) =>
-              val t = s"$tmp/$i"
-              df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("cents"))
-                .coalesce(1).write.mode("overwrite").json(t)
-              val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-              fs.rename(part, dst)
-            case None => fs.create(dst, true).close()
-          }
-          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
-        }
+        graft.streaming.Landing.jsonFiles(landing,
+          files.map(_.map(_.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("cents")))),
+          s.sparkContext.hadoopConfiguration)
       }
       val schema = "user_id LONG, ts_us LONG, cents LONG"
       val stream = s.readStream.schema(schema)
@@ -836,15 +826,8 @@ object Replication {
           $"prio", $"cents")
         val v3 = slice.where($"key" % 5 === 0).select($"key",
           lit(3L).as("version"), lit(true).as("deleted"), $"prio", $"cents")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
-        Seq(v2, v1, v3).zipWithIndex.foreach { case (df, i) =>
-          val t = s"$base/tmp/$i"
-          df.coalesce(1).write.mode("overwrite").json(t)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*"))(0).getPath
-          val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.json")
-          fs.rename(part, dst)
-          fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order
-        }
+        graft.streaming.Landing.jsonFiles(landing, Seq(v2, v1, v3).map(Some(_)),
+          s.sparkContext.hadoopConfiguration)
       }
       val schema = "key LONG, version LONG, deleted BOOLEAN, prio STRING, cents LONG"
       val changes = s.readStream.schema(schema)
