@@ -78,8 +78,11 @@ object Mutate {
     * too), which `keeps == 0` captures. */
   private[operators] def rewriteAffected(spark: SparkSession, path: String, partitionCol: String,
                               pred: Column, transform: DataFrame => DataFrame,
-                              removesNonKeepers: Boolean): Report = {
-    val table = spark.read.parquet(path)
+                              removesNonKeepers: Boolean,
+                              schema: Option[org.apache.spark.sql.types.StructType]): Report = {
+    // an explicit schema (the catalog's, when the caller has one)
+    // skips the per-mutation footer-inference pass
+    val table = schema.fold(spark.read)(spark.read.schema(_)).parquet(path)
     val stats = table.groupBy(col(partitionCol)).agg(
       sum(when(pred, 1L).otherwise(0L)).as("gr_matches"),
       sum(when(!pred, 1L).otherwise(0L)).as("gr_keeps"))
@@ -115,8 +118,10 @@ object Mutate {
   }
 
   /** ALTER TABLE … DELETE WHERE pred. */
-  def delete(spark: SparkSession, path: String, partitionCol: String, pred: Column): Report =
-    rewriteAffected(spark, path, partitionCol, pred, _.where(!pred), removesNonKeepers = true)
+  def delete(spark: SparkSession, path: String, partitionCol: String, pred: Column,
+             schema: Option[org.apache.spark.sql.types.StructType] = None): Report =
+    rewriteAffected(spark, path, partitionCol, pred, _.where(!pred),
+      removesNonKeepers = true, schema = schema)
 
   final case class TtlReport(partitionsDropped: Long, partitionsRewritten: Long, rowsDeleted: Long)
 
@@ -210,7 +215,8 @@ object Mutate {
     * sees pre-update values for every assignment (SQL UPDATE
     * semantics, not sequential reassignment). */
   def update(spark: SparkSession, path: String, partitionCol: String, pred: Column,
-             set: Seq[(String, Column)]): Report = {
+             set: Seq[(String, Column)],
+             schema: Option[org.apache.spark.sql.types.StructType] = None): Report = {
     // ClickHouse forbids mutating key columns; here the partition column
     // is the physical key — updating it would move rows between
     // directories while dynamic overwrite leaves the stale copies behind.
@@ -227,6 +233,6 @@ object Mutate {
         d.withColumn(name, when(col("__graft_match"), col(s"__graft_new_$i")).otherwise(col(name)))
       }
       applied.drop("__graft_match" +: set.indices.map(i => s"__graft_new_$i"): _*)
-    }, removesNonKeepers = false)
+    }, removesNonKeepers = false, schema = schema)
   }
 }

@@ -38,15 +38,17 @@ object ChCommands {
     TableInfo(meta.location.toString, meta.partitionColumnNames, isCatalogTable = true)
   }
 
-  /** A catalog table's rows for a data rewrite. `spark.read.parquet`
-    * infers schema from files and THROWS on a freshly-created EMPTY
-    * table — but CREATE TABLE → ALTER … → INSERT is the mainline
-    * migrated-DDL sequence, so empty must work: fall back to the
-    * catalog read, whose schema needs no inference. (The raw-path
-    * read stays primary because these commands also run against
-    * just-swapped directories the catalog cache may not reflect yet.) */
+  /** A catalog table's rows for a data rewrite: the raw path read
+    * with the CATALOG's schema passed explicitly — the catalog is
+    * authoritative for the shape (every ALTER maintains it), the raw
+    * path is authoritative for the bytes (these commands also run
+    * against just-swapped directories the catalog data cache may not
+    * reflect yet), and an explicit schema skips the per-command
+    * footer-inference job AND makes a freshly-created EMPTY table
+    * read as zero rows instead of throwing (CREATE → ALTER → INSERT
+    * is the mainline migrated-DDL sequence). */
   private[plans] def readData(spark: SparkSession, table: String, path: String): org.apache.spark.sql.DataFrame =
-    try spark.read.parquet(path)
+    try spark.read.schema(spark.table(table).schema).parquet(path)
     catch { case _: org.apache.spark.sql.AnalysisException => spark.table(table) }
 
   /** Where a table's TTL rule persists (beside the data, like the
@@ -806,9 +808,11 @@ case class ChAlterMutateCommand(table: String, predSql: String,
     val pred = expr(predSql)
     val rep = info.partCols match {
       case Seq(p) =>
-        if (assignments.isEmpty) graft.operators.Mutate.delete(spark, info.path, p, pred)
+        val catSchema = Some(spark.table(table).schema)
+        if (assignments.isEmpty)
+          graft.operators.Mutate.delete(spark, info.path, p, pred, catSchema)
         else graft.operators.Mutate.update(spark, info.path, p, pred,
-          assignments.map { case (n, e) => n -> expr(e) })
+          assignments.map { case (n, e) => n -> expr(e) }, catSchema)
       case Seq() =>
         // unpartitioned: a mutation is inherently a full rewrite (same
         // as ClickHouse rewriting every part). Two-phase via a side
