@@ -82,8 +82,23 @@ object Projections {
   def write(df: DataFrame, path: String, baseOrder: Seq[String],
             projections: Seq[Spec], filesPerLayout: Int = 8,
             externalBase: Option[String] = None): Unit = {
+    // Partition count per sort layout: `filesPerLayout` is the FLOOR
+    // (pruning granularity / cluster parallelism), but the build must
+    // also bound the per-task sort slice — a fixed count is a hidden
+    // scale dial (guide §5): at the sf100 rehearsal 32 range
+    // partitions over an 18 GB-source layout put ~0.5-1 GB of
+    // deserialized rows in each sort task and the build spilled 29 GB.
+    // Scale the count so each task sorts ≈128 MB of source bytes
+    // (deserialized ~2-3×, comfortably inside a task slot), capped so
+    // a huge table cannot explode into millions of files; output
+    // files stay in the 100 MB-1 GB band either way (guide §6).
+    def layoutPartitions(in: DataFrame): Int = {
+      val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+      val target = (bytes / (128L << 20)).min(BigInt(32768)).toInt
+      math.max(filesPerLayout, target)
+    }
     def sorted(in: DataFrame, keys: Seq[String]) =
-      in.repartitionByRange(filesPerLayout, keys.map(col): _*)
+      in.repartitionByRange(layoutPartitions(in), keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
     if (externalBase.isEmpty)
       sorted(df, baseOrder).write.mode("overwrite").parquet(s"$path/base")
