@@ -371,8 +371,17 @@ object Bench {
       .filter { case (_, q) => q.best.spillMem > 0 || q.best.spillDisk > 0 }
       .map { case (k, q) => jstr(k) + s""":{"mem":${q.best.spillMem},"disk":${q.best.spillDisk}}""" }
       .mkString("{", ",", "}")
+    // "cpus" must report the CONTRACT value — the SPARK_GRAFT_CPUS core
+    // count the session's local[$cores] master was actually built with
+    // (GraftSession), not availableProcessors: the driver's low-core
+    // scaling run (SPARK_GRAFT_CPUS=8 on a 32-CPU host) previously
+    // printed "cpus":32 and its whole scaling block read as suspect.
+    // defaultParallelism is the engine-side witness of the same value.
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val cond = s""""load_avg_start":${ms(loadStart)},"load_avg_end":${ms(loadEnd)},""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors},"timing":"min_of_two_unless_cold""""
+      s""""cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""timing":"min_of_two_unless_cold""""
     val common =
       s""""metric":"total","value":${ms(total)},"unit":"sec","count":${results.size},"ok":${ok.size},"sf":${jstr(sfDir)}"""
     // Full artifact: every query, every error — the committed evidence.

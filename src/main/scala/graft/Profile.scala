@@ -15,23 +15,36 @@ object Profile {
     // show a removed pass on a noisy host
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
+        val m = e.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
     })
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       org.apache.spark.graftbridge.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       val (j0, k0) = (jobs.get, tasks.get)
+      val (sm0, sd0, sw0) = (spillMem.get, spillDisk.get, shufWrite.get)
       graft.FixtureClock.reset()
       val t0 = System.nanoTime()
       val n  = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftbridge.GraftSparkBridge.drainListenerBus(spark.sparkContext)
       println(f"run $i: $sec%.3f s (setup ${graft.FixtureClock.nanos / 1e9}%.3f s, " +
-        f"$n rows, jobs ${jobs.get - j0}, tasks ${tasks.get - k0})")
+        f"$n rows, jobs ${jobs.get - j0}, tasks ${tasks.get - k0}, " +
+        f"spillMem ${(spillMem.get - sm0) / 1e9}%.2f GB, spillDisk ${(spillDisk.get - sd0) / 1e9}%.2f GB, " +
+        f"shufWrite ${(shufWrite.get - sw0) / 1e9}%.2f GB)")
     }
     fn(spark, sfDir).explain("formatted")
     spark.stop()

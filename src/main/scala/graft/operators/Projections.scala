@@ -93,23 +93,37 @@ object Projections {
     // a huge table cannot explode into millions of files; output
     // files stay in the 100 MB-1 GB band either way (guide §6).
     def layoutPartitions(in: DataFrame): Int = {
-      val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+      val est = in.queryExecution.optimizedPlan.stats.sizeInBytes
+      // secondary bound: the planner's estimate can overrun by orders
+      // of magnitude above a join/aggregate (no CBO), which would hit
+      // the 32768 cap and emit tens of thousands of tiny files. The
+      // leaf scan bytes bound the true input from above for the
+      // leaf-rooted frames write() receives (a column-subset Project
+      // estimates BELOW its leaf, and min keeps that tighter figure).
+      val leaf = in.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      val bytes = if (leaf > 0) est.min(leaf) else est
       val target = (bytes / (128L << 20)).min(BigInt(32768)).toInt
       math.max(filesPerLayout, target)
     }
     def sorted(in: DataFrame, keys: Seq[String]) =
       in.repartitionByRange(layoutPartitions(in), keys.map(col): _*)
         .sortWithinPartitions(keys.map(col): _*)
+    // zstd layouts (guide §6): the build is write-I/O-bound and every
+    // routed query afterwards reads these files — smaller both ways.
     if (externalBase.isEmpty)
-      sorted(df, baseOrder).write.mode("overwrite").parquet(s"$path/base")
+      sorted(df, baseOrder).write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$path/base")
     projections.foreach {
       case Sort(name, keys, cols) =>
         val stored = if (cols.isEmpty) df else df.select(cols.map(col): _*)
-        sorted(stored, keys).write.mode("overwrite").parquet(s"$path/$name")
+        sorted(stored, keys).write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$path/$name")
       case Agg(name, keys, states) =>
         val aggs = states.map { case (c, f, src) => stateCol(f, src).as(c) }
         df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          .write.mode("overwrite").parquet(s"$path/$name")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$path/$name")
     }
     // 5th field (when present) = a sort layout's stored column subset;
     // 6th = an external data path (base-as-the-table, never copied)

@@ -332,36 +332,94 @@ object Similarity {
   /** Stage frames for `graft.LshAudit` (capped bucket rows, candidate
     * pairs, cosine-verified pairs) — the actual plan stages, so
     * rehearsal scaling attributes to the stage that grew. */
+  /** How many whale buckets the split path below will handle before
+    * falling back to the global-window shape — 4096×10⁴ capped rows
+    * is already a corpus-scale degeneracy, not a hot-spot. */
+  private val MaxHotBuckets = 10000
+
   private[graft] def lshAnnStages(df: DataFrame, idCol: String, vecCol: String,
                   numPlanes: Int = 8, numTables: Int = 4,
                   minCos: Double = 0.3, dim: Int = MaxDim,
-                  maxBucket: Int = 4096): graft.operators.LshStages = {
+                  maxBucket: Int = 4096,
+                  hotBucketLimit: Int = MaxHotBuckets): graft.operators.LshStages = {
+    val spark = df.sparkSession
     // All table bucket ids in ONE batched expression
     // ([[graft.plans.LshBucketIds]]): the candidate-join stage sees a
     // single cheap expression per side instead of numTables×numPlanes
     // inlined dot loops (which blew past codegen size limits and fell
     // back to per-element interpreted eval).
-    val keyed0 = df
-      .select(col(idCol),
-        posexplode(call_function("graft_lsh_buckets", col(vecCol), lit(numPlanes), lit(numTables))))
+    def bucketIds = call_function("graft_lsh_buckets", col(vecCol), lit(numPlanes), lit(numTables))
+    // Whale-bucket cap, restructured round 20 (guide §8: decide with
+    // small rows, move the heavy rows once). The old shape windowed
+    // EVERY (id, tbl, bk) row (one full exchange + sort of 8N slim
+    // rows) and then attached vectors with an id-join (one more
+    // exchange of the slim rows AND one of the N vector rows) before
+    // the bucket self-join — three exchanges spent entirely on a cap
+    // that, on a realistic corpus, caps NOTHING (sf1 rehearsal: ~80
+    // rows/bucket vs the 4096 cap; sf100 isolated: 10 exchanges,
+    // 32 s). Now one cheap slim aggregate finds the buckets actually
+    // over the cap — almost always NONE, in which case the vectors
+    // ride the posexplode straight from the scan and the self-join's
+    // two exchanges are the only ones carrying payload. Rare hot
+    // buckets take a bounded split path; a corpus degenerate enough
+    // to blow past MaxHotBuckets falls back to the old global-window
+    // shape wholesale. Pair semantics are identical in all three
+    // paths (lowest maxBucket ids per (tbl, bk) survive — pinned by
+    // OperatorsSpec's flood tests and Round20OptSpec).
+    val slim = df
+      .select(col(idCol), posexplode(bucketIds))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
-    // whale-bucket cap: one row_number window on the same (tbl, bk)
-    // key the candidate join shuffles on anyway — over SLIM
-    // (id, tbl, bk) rows, so the window sort never carries vectors
-    val keyed = keyed0
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("tbl"), col("bk")).orderBy(col(idCol))))
-      .where(col("__rn") <= maxBucket).drop("__rn")
+    val hotRows = slim.groupBy(col("tbl"), col("bk"))
+      .agg(count(lit(1)).as("__cnt")).where(col("__cnt") > maxBucket)
+      .select(col("tbl"), col("bk"))
+      .limit(hotBucketLimit + 1).collect()
+    val base = withNorm(df, vecCol)
+      .select(col(idCol), col(vecCol).as("__v"), col("__norm"))
+    // vectors attach at the SCAN (posexplode carries them) — no
+    // id-join; norms are computed in the same projection
+    val keyedAll = withNorm(df, vecCol)
+      .select(col(idCol), col("__norm"), col(vecCol).as("__v"), posexplode(bucketIds))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
+      .select(col(idCol), col("tbl"), col("bk"), col("__v"), col("__norm"))
+    val keyed: DataFrame =
+      if (hotRows.isEmpty) keyedAll
+      else if (hotRows.length <= hotBucketLimit) {
+        // bounded split: hot buckets are windowed SLIM (the whale
+        // rows never carry vectors into the sort) and re-attach
+        // vectors for just the ≤ maxBucket×hot survivors
+        val hotDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tbl",
+              slim.schema("tbl").dataType, nullable = false),
+            org.apache.spark.sql.types.StructField("bk",
+              slim.schema("bk").dataType, nullable = false))))
+        val cold = keyedAll.join(broadcast(hotDf), Seq("tbl", "bk"), "left_anti")
+        val capped = slim.join(broadcast(hotDf), Seq("tbl", "bk"), "left_semi")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("tbl"), col("bk")).orderBy(col(idCol))))
+          .where(col("__rn") <= maxBucket).drop("__rn")
+        val hotKeyed = capped.join(base.hint("shuffle_hash"), Seq(idCol))
+          .select(col(idCol), col("tbl"), col("bk"), col("__v"), col("__norm"))
+        cold.unionByName(hotKeyed)
+      } else {
+        // degenerate corpus: the old global-window cap, verbatim
+        val cappedAll = slim
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("tbl"), col("bk")).orderBy(col(idCol))))
+          .where(col("__rn") <= maxBucket).drop("__rn")
+        cappedAll.join(base.hint("shuffle_hash"), Seq(idCol))
+          .select(col(idCol), col("tbl"), col("bk"), col("__v"), col("__norm"))
+      }
+    val keyedSlim = keyed.select(col(idCol), col("tbl"), col("bk"))
     // audit-only frame: distinct candidate pairs (not on the
     // verified path — materializing all-table pair occurrences just
     // to dedup them before verification was the sf100 disk killer)
-    val cand = keyed.toDF("id_a", "tbl", "bk")
-      .join(keyed.toDF("id_b", "tbl", "bk"), Seq("tbl", "bk"))
+    val cand = keyedSlim.toDF("id_a", "tbl", "bk")
+      .join(keyedSlim.toDF("id_b", "tbl", "bk"), Seq("tbl", "bk"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    // Verification happens INSIDE the bucket self-join: vectors
-    // attach to the capped per-table rows (linear in N — one
-    // shuffle-hash join against the base, no sort), the self-join
+    // Verification happens INSIDE the bucket self-join: the self-join
     // streams each bucket's pairs through the cosine filter in the
     // same stage, and only SURVIVORS are materialized and deduped.
     // The former shape deduped all candidate pairs first and then
@@ -371,12 +429,9 @@ object Similarity {
     // duplicate pairs now pay a redundant dot product instead (pure
     // CPU, bounded by numTables×N×occupancy), which scales; the
     // shuffle volume stays at the bucket rows themselves.
-    val base = withNorm(df, vecCol)
-      .select(col(idCol), col(vecCol).as("__v"), col("__norm"))
-    val enriched = keyed.join(base.hint("shuffle_hash"), Seq(idCol))
-    val a = enriched.select(col(idCol).as("id_a"), col("tbl"), col("bk"),
+    val a = keyed.select(col(idCol).as("id_a"), col("tbl"), col("bk"),
       col("__v").as("va"), col("__norm").as("na"))
-    val b = enriched.select(col(idCol).as("id_b"), col("tbl"), col("bk"),
+    val b = keyed.select(col(idCol).as("id_b"), col("tbl"), col("bk"),
       col("__v").as("vb"), col("__norm").as("nb"))
     val verified = a.join(b.hint("shuffle_hash"), Seq("tbl", "bk"))
       .where(col("id_a") < col("id_b"))
@@ -384,7 +439,7 @@ object Similarity {
         round(vec.cosineWithNorms(vec.dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .where(col("cos") >= minCos)
       .dropDuplicates("id_a", "id_b")
-    graft.operators.LshStages(keyed, cand, verified)
+    graft.operators.LshStages(keyedSlim, cand, verified)
   }
 
   /** IVF (inverted-file) ANN: coarse k-means quantization assigns

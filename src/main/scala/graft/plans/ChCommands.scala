@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
 import org.apache.spark.sql.types.LongType
 
 /** Executable ClickHouse maintenance DDL — the statements a migrated
@@ -1443,8 +1443,16 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
     else {
       val data = ChCommands.readData(sparkSession, table, info.path)
       val pred = expr(predSql)
-      val expired = data.where(pred)
-      val changed = expired.count()
+      // one stats pass instead of a count job: `changed` (pred TRUE)
+      // decides the rewrite, `nullPred` guards the MSCK skip below —
+      // rows whose TTL predicate evaluates to NULL are dropped by
+      // BOTH where(pred) and where(!pred), so a partition holding
+      // only NULL-pred rows vanishes from the rewritten root while
+      // its catalog entry would survive a cache-only resync
+      val st = data.agg(
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(pred.isNull, 1L).otherwise(0L)), lit(0L))).head()
+      val (changed, nullPred) = (st.getLong(0), st.getLong(1))
       if (changed == 0) Seq(Row(1L, 0L, 0L))
       else {
         val rolled = ChCommands.ttlRollup(data.where(pred), groupKeys, sets, info.partCols)
@@ -1455,9 +1463,12 @@ case class ChMaterializeTtlCommand(table: String) extends LeafRunnableCommand {
         (if (info.partCols.nonEmpty) w.partitionBy(info.partCols: _*) else w).parquet(tmp)
         ChCommands.swapInPlace(sparkSession, tmp, info.path)
         // the rollup emits one row per (partition cols ++ keys) group,
-        // so every affected partition re-lands and the set is
-        // unchanged — cache refresh only, no MSCK walk
-        ChCommands.resync(sparkSession, table, partitioned = false)
+        // so with no NULL-pred rows every affected partition re-lands
+        // and the set is unchanged — cache refresh only. NULL-pred
+        // rows CAN empty a partition (dropped by both branches), so
+        // only then pay the MSCK walk.
+        ChCommands.resync(sparkSession, table,
+          partitioned = info.partCols.nonEmpty && nullPred > 0)
         Seq(Row(1L, 1L, changed))
       }
     }

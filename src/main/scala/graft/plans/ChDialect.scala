@@ -2058,8 +2058,8 @@ object ChDialect {
           LambdaFunction(GreaterThan(Length(p), Literal(0)), Seq(p))),
         LambdaFunction(RegExpExtract(p, Literal("^([^=]*)"), Literal(1)), Seq(p)))
     }),
-    "URLHierarchy"     -> (es => urlHierarchyExpr(es.head, pathOnly = false)),
-    "URLPathHierarchy" -> (es => urlHierarchyExpr(es.head, pathOnly = true)),
+    "URLHierarchy"     -> (es => UrlHierarchy(es.head, pathOnly = false)),
+    "URLPathHierarchy" -> (es => UrlHierarchy(es.head, pathOnly = true)),
     // -- IPv4 (CH stores IPv4 as UInt32; the long math is identical)
     "IPv4NumToString" -> (es => {
       val n = Cast(es.head, LongType)
@@ -4657,7 +4657,12 @@ object ChDialect {
     * it doesn't end in a separator. pathOnly drops the scheme+
     * authority prefix and the bare `/` root element (CH shape). All
     * array ops — no UDF, O(|tail|) per row. */
-  private def urlHierarchyExpr(url: Expression, pathOnly: Boolean): Expression = {
+  /** Retired from the dispatch table in round 20 — [[UrlHierarchy]]
+    * is the one-pass kernel that replaced this expression forest —
+    * but kept (package-visible) as the REFERENCE SEMANTICS for the
+    * differential fuzz net (Round20UrlFuzzSpec): the two must agree
+    * on every input, exotic or not. */
+  private[graft] def urlHierarchyExpr(url: Expression, pathOnly: Boolean): Expression = {
     val schemeIdx = StringInstr(url, Literal("://"))
     val prefixLen = If(GreaterThan(schemeIdx, Literal(0)),
       Add(schemeIdx, Literal(2)), Literal(0))

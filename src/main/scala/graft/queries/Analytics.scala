@@ -276,10 +276,24 @@ object Analytics {
             s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", landedN.get, Seq("l_orderkey"))
         } else {
           val nb = MergeTreeWrite.autoBucketCount(t.lineitem, t.orders)
-          MergeTreeWrite.writeBucketed(t.orders, ordersTbl,
-            s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", nb, Seq("o_orderkey"))
-          MergeTreeWrite.writeBucketed(t.lineitem, lineitemTbl,
-            s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", nb, Seq("l_orderkey"))
+          // The two landings are independent jobs — submit them from
+          // two driver threads (guide §2.6) so the smaller orders
+          // write back-fills executor slots freed by the lineitem
+          // write's tail instead of running serially after it.
+          // SparkSession actions are thread-safe; the tables differ.
+          val landings = Seq(
+            () => MergeTreeWrite.writeBucketed(t.orders, ordersTbl,
+              s"/tmp/graft_bucketed/$tag/orders", "o_orderkey", nb, Seq("o_orderkey")),
+            () => MergeTreeWrite.writeBucketed(t.lineitem, lineitemTbl,
+              s"/tmp/graft_bucketed/$tag/lineitem", "l_orderkey", nb, Seq("l_orderkey")))
+          val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+          val threads = landings.map { job =>
+            val th = new Thread(() =>
+              try job() catch { case e: Throwable => failure.compareAndSet(null, e) })
+            th.start(); th
+          }
+          threads.foreach(_.join())
+          if (failure.get != null) throw failure.get
         }
       }
       s.table(ordersTbl).where(col("o_orderstatus") === "O").hint("merge")

@@ -1449,20 +1449,24 @@ object DataPipeline {
       val withBucket = coded.select(col("ingest_id").as("id"),
         col("__bucket").as("bucket"), col("v").as("vec"))
       // three arrival-ordered micro-batches (contiguous id ranges —
-      // the operator's ids-in-arrival-order contract); cached so the
-      // 3 batch writes don't each recompute the 8-plane bucket coding
-      // + ntile (a single-partition window, fine at the ≤4k fixture
-      // cap, wasteful to repeat)
+      // the operator's ids-in-arrival-order contract), landed in ONE
+      // job: partitionBy(__b) on a single task writes the three batch
+      // files in one pass with one commit protocol (the previous
+      // per-batch coalesce(1).write + glob + rename paid three full
+      // file-sink commits and recomputed the bucket coding + ntile
+      // per batch — the cache that papered over that is gone with
+      // it). The partition column stays out of the written files,
+      // matching the old drop("__b"); in-file row order is free to
+      // differ — hitsPerBucket sorts each batch by id.
       val ranked = withBucket.withColumn("__b",
         ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
-        .cache()
       graft.FixtureClock.time {
         fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val t = s"$base/tmp"
+        ranked.coalesce(1).write.mode("overwrite").partitionBy("__b").parquet(t)
         (1 to 3).foreach { i =>
-          val t = s"$base/tmp/$i"
-          ranked.where(col("__b") === i).drop("__b")
-            .coalesce(1).write.mode("overwrite").parquet(t)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(t, "part-*.parquet"))(0).getPath
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$t/__b=$i", "part-*.parquet"))(0).getPath
           val dst = new org.apache.hadoop.fs.Path(landing, f"$i%02d.parquet")
           fs.rename(part, dst)
           fs.setTimes(dst, 1000000000000L + i * 60000L, -1) // pin replay order

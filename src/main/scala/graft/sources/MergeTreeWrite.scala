@@ -29,17 +29,48 @@ object MergeTreeWrite {
 
   /** Write `df` as parquet at `path`, partitioned by `partitionExprs`
     * (name → expression; materialized as columns) and sorted within
-    * partitions by `orderBy` (the MergeTree ORDER BY analog). */
+    * partitions by `orderBy` (the MergeTree ORDER BY analog).
+    *
+    * Clustering is RANGE partitioning on (partition cols ++ ORDER BY),
+    * with the task count sized from the input bytes — NOT a hash
+    * repartition on the partition expression alone. Hashing on the
+    * partition value caps write parallelism at the number of DISTINCT
+    * partition values and hands each task a whole directory's rows:
+    * the sf100 rehearsal measured the one-month events landing (q96)
+    * at 275 s because the entire 2 GB source hashed into ONE sort+
+    * write task (guide §2.5 — a partitioning key with too few
+    * distinct values). Range partitioning keeps each directory's rows
+    * contiguous (a directory is written by ~its-bytes/128 MB adjacent
+    * tasks, never sliver-written by every task) and bounds the
+    * per-task sort slice at any scale; rows inside every file are
+    * still sorted by (partCols ++ orderBy), so row-group min/max
+    * pruning is unchanged. */
   def write(df: DataFrame, path: String,
             partitionExprs: Seq[(String, Column)],
             orderBy: Seq[String],
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     val withParts = partitionExprs.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) }
     val partCols = partitionExprs.map(_._1)
+    val sortCols = (partCols ++ orderBy).map(col)
     val clustered = withParts
-      .repartition(partCols.map(col): _*)
-      .sortWithinPartitions((partCols ++ orderBy).map(col): _*)
-    clustered.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+      .repartitionByRange(writeTasks(withParts), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    clustered.write.mode(mode).option("compression", "zstd")
+      .partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Task count for a clustered landing: ~128 MB of source bytes per
+    * sort task (bounded per-task memory at any scale, guide §5),
+    * capped so a huge table cannot explode into millions of files,
+    * floored at the session parallelism only while that keeps files
+    * ≥ ~16 MB (guide §6 — no small-file storm at small SF). Bytes come
+    * from plan statistics: a metadata read for parquet scans, no job. */
+  private def writeTasks(in: DataFrame): Int = {
+    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / (128L << 20)).min(BigInt(32768)).toInt
+    val par = in.sparkSession.sparkContext.defaultParallelism
+    val floor = math.min(par, (bytes / (16L << 20)).max(BigInt(1)).min(BigInt(par)).toInt)
+    math.max(floor, target)
   }
 
   /** Bucketed write — the co-located-join layout MergeTree gets from
@@ -77,7 +108,12 @@ object MergeTreeWrite {
     // buckets), silently re-sorting both join sides per query — the
     // exact Exchange+Sort this layout exists to eliminate.
     val oneFilePerBucket = df.repartition(numBuckets, col(bucketCol))
+    // zstd over the default snappy (guide §6): the layout build is
+    // disk-bound (the isolated sf100 rebuild ran 257 s with zero spill
+    // and ~100 GB of disk traffic), so smaller files are faster to
+    // write AND faster for every later bucketed join to read.
     val w = oneFilePerBucket.write.mode(mode).option("path", path)
+      .option("compression", "zstd")
       .bucketBy(numBuckets, bucketCol)
     val sorted = sortCols match {
       case Nil          => w
