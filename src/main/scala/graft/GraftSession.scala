@@ -105,14 +105,17 @@ object GraftSession {
       .config("spark.driver.maxResultSize",
         math.max(8L * broadcastBytes, 1L << 30).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // Shuffle/spill/broadcast block codec: zstd over the lz4 default
-      // (guide §2.3/§9 — "markedly better ratio for a bit more CPU",
-      // measured here, not assumed: the q15b sf100 bucket landing
-      // shuffles 30.6 GB under lz4 vs ~19 GB under zstd on a
-      // disk-bound host, and the full sf0.1 registry shows no cell
-      // regression). Env-overridable for A/B measurement.
+      // Shuffle/spill/broadcast block codec — MEASURED both ways at
+      // sf100 (guide §2.3: "no universal answer"): zstd shrinks the
+      // disk-bound one-time layout builds (q15b bucket landing
+      // 218.8 → 152.7 s, shuffle write 30.6 → 20.9 GB) but costs the
+      // CPU-bound query-path shuffles up to 2.4× (text family
+      // isolated total 157 → 235 s; q46 43 → 103 s). Query paths are
+      // the product, so the local default stays lz4; on a cluster
+      // whose shuffles are NETWORK-bound the byte ratio wins and
+      // SPARK_GRAFT_IO_CODEC=zstd is the deploy-time dial.
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
     master.orElse(Some(s"local[$cores]")).foldLeft(b)(_ master _)
   }
 

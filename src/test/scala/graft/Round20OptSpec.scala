@@ -104,6 +104,46 @@ class Round20OptSpec extends SparkSpec {
     }
   }
 
+  // --- Mutate: NULL partition keys and the stats-collect guard ---------
+
+  test("delete with a NULL partition key: never rewritten, and the report says so") {
+    val path = java.nio.file.Files.createTempDirectory("graft_r20_nullpart").resolve("t").toString
+    Seq[(java.lang.Long, Integer, java.lang.Boolean)](
+      (1L, null, true),  // NULL partition: pred TRUE but NEVER rewritten (documented)
+      (2L, 0, true), (3L, 0, false))
+      .toDF("id", "p", "flag")
+      .write.partitionBy("p").parquet(path)
+    val rep = graft.operators.Mutate.delete(spark, path, "p", $"flag")
+    // the report no longer counts work that will not happen: only the
+    // p=0 partition is affected/changed; the NULL-key row survives
+    assert(rep.partitionsTotal == 2 && rep.partitionsRewritten == 1 && rep.rowsChanged == 1,
+      s"got $rep")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2)
+    assert(back.where($"p".isNull).select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(back.where($"p" === 0).select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("stats-collect guard: the discovery failover matches the stats path exactly") {
+    import graft.operators.Mutate
+    def land(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_r20_guard_$tag").resolve("t").toString
+      (1L to 60L).map(i => (i, (i % 6).toInt, i % 4 == 0))
+        .toDF("id", "p", "flag").write.partitionBy("p").parquet(p)
+      p
+    }
+    val (statsPath, discPath) = (land("stats"), land("disc"))
+    val viaStats = Mutate.rewriteAffected(spark, statsPath, "p", $"flag",
+      _.where(!$"flag"), removesNonKeepers = true, schema = None)
+    val viaDisc = Mutate.rewriteAffected(spark, discPath, "p", $"flag",
+      _.where(!$"flag"), removesNonKeepers = true, schema = None,
+      maxStatsPartitions = 2) // 6 partitions > 2 → forces the failover
+    assert(viaStats == viaDisc, s"$viaStats vs $viaDisc")
+    val a = spark.read.parquet(statsPath).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(discPath).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   // --- TTL GROUP BY: NULL-pred partitions don't go catalog-stale -------
 
   test("TTL GROUP BY materialize removes a NULL-pred-emptied partition from the catalog") {
